@@ -1,0 +1,120 @@
+"""Triple-barrier labeling (reference: src/labeling/triple_barrier.rs:629-735,
+config 229-267, timeout strategies 274-296).
+
+First-touch scanning is genuinely sequential-ish per key, so this is one of
+the engine's few sanctioned vectorized pandas UDAFs (SURVEY §2.10): an
+``applyInPandas`` per conversation using a numpy sliding-window matrix — one
+Arrow batch per group, O(T·H) vectorized, never per-row Python. Memory stays
+bounded because the horizon is bounded (the forward matrix is T×H doubles).
+
+Semantics (frozen for the contract / oracle):
+* entry at t with price p_t; upper = p_t*(1+profit_take), lower = p_t*(1-stop_loss)
+* only rows with a COMPLETE horizon (t + H <= T-1) are labeled; others NULL
+* first touch at offset d in (min_hold, H]: label +1 (upper) / -1 (lower),
+  exit_offset = d, exit_return = p_{t+d}/p_t - 1
+* no touch: exit_offset = H, exit_return = p_{t+H}/p_t - 1, label by timeout
+  strategy: label_as_timeout -> 0 | use_return_sign -> sign(exit_return) |
+  use_fractional_threshold -> sign if |exit_return| > frac*profit_take else 0
+* upper checked before lower at the same row (cannot both trigger when
+  profit_take + stop_loss > 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+
+
+def _label_group(
+    pdf: pd.DataFrame,
+    price_col: str,
+    order_cols: list[str],
+    pt: float,
+    sl: float,
+    horizon: int,
+    min_hold: int,
+    timeout: str,
+    frac: float,
+) -> pd.DataFrame:
+    pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+    p = pdf[price_col].to_numpy(dtype=np.float64)
+    n = len(p)
+    label = np.full(n, np.nan)
+    exit_off = np.full(n, np.nan)
+    exit_ret = np.full(n, np.nan)
+
+    m = n - horizon  # rows with a complete horizon
+    if m > 0:
+        fwd = np.lib.stride_tricks.sliding_window_view(p, horizon + 1)[:m, 1:]  # (m, H)
+        entry = p[:m]
+        upper = entry * (1.0 + pt)
+        lower = entry * (1.0 - sl)
+        up_t = fwd >= upper[:, None]
+        dn_t = fwd <= lower[:, None]
+        touch = up_t | dn_t
+        if min_hold > 0:
+            touch[:, :min_hold] = False
+            up_t = up_t & touch
+        first = touch.argmax(axis=1)
+        has = touch.any(axis=1)
+        rows = np.arange(m)
+
+        d = np.where(has, first + 1, horizon).astype(np.float64)
+        exit_price = fwd[rows, np.where(has, first, horizon - 1)]
+        ret = exit_price / entry - 1.0
+
+        touched_label = np.where(up_t[rows, first], 1.0, -1.0)
+        if timeout == "label_as_timeout":
+            to_label = np.zeros(m)
+        elif timeout == "use_return_sign":
+            to_label = np.sign(ret)
+        elif timeout == "use_fractional_threshold":
+            to_label = np.where(np.abs(ret) > frac * pt, np.sign(ret), 0.0)
+        else:
+            raise ValueError(f"unknown timeout strategy {timeout}")
+
+        label[:m] = np.where(has, touched_label, to_label)
+        exit_off[:m] = d
+        exit_ret[:m] = ret
+
+    pdf["tb_label"] = pd.array(
+        [None if np.isnan(v) else int(v) for v in label], dtype="Int8"
+    )
+    pdf["tb_exit_offset"] = pd.array(
+        [None if np.isnan(v) else int(v) for v in exit_off], dtype="Int32"
+    )
+    pdf["tb_exit_return"] = exit_ret
+    return pdf
+
+
+def triple_barrier_labels(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    price_col: str = "p",
+    profit_take: float | None = None,
+    stop_loss: float | None = None,
+    horizon: int | None = None,
+    min_hold: int | None = None,
+    timeout: str = "label_as_timeout",
+    frac: float = 0.5,
+) -> DataFrame:
+    """Returns df plus tb_label (tinyint), tb_exit_offset (int),
+    tb_exit_return (double). Runs one Arrow batch per conversation."""
+    pt = cfg.labels.profit_take if profit_take is None else profit_take
+    sl = cfg.labels.stop_loss if stop_loss is None else stop_loss
+    h = cfg.labels.max_holding if horizon is None else horizon
+    mh = cfg.labels.min_hold if min_hold is None else min_hold
+    order_cols = list(cfg.order_cols)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", tb_label tinyint, tb_exit_offset int, tb_exit_return double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _label_group(pdf, price_col, order_cols, pt, sl, h, mh, timeout, frac)
+
+    return df.groupBy(cfg.key_col).applyInPandas(fn, schema=out_schema)

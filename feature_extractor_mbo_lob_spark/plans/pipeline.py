@@ -1,0 +1,88 @@
+"""End-to-end feature plans.
+
+The reference's Pipeline::process loop (src/pipeline.rs:606-736) restated as
+one declarative DataFrame pipeline: scan -> filter -> stateful window columns
+-> rolling frames -> sample filter -> label frames -> align join. Catalyst
+owns the physical plan; every window shares the identical
+partitionBy(conv_id).orderBy(turn_idx, ts) spec so the whole feature stage is
+ONE shuffle + sort followed by fused window execs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import contract
+from ..config import PipelineConfig
+from ..labeling import tlob_labels
+from ..operators import ordering, rolling, state
+
+
+def clean_input(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Invalid-row filter (reference: src/pipeline.rs:609-612 drops system
+    messages). Transcript analog: drop rows with null key/order/ts. Pushed to
+    the scan by Catalyst."""
+    return df.filter(
+        F.col(cfg.key_col).isNotNull()
+        & F.col(cfg.ts_col).isNotNull()
+        & F.col("turn_idx").isNotNull()
+    )
+
+
+def build_features(df: DataFrame, cfg: PipelineConfig, validate: bool = True) -> DataFrame:
+    """Full point-in-time feature frame: contract columns + passthrough keys.
+
+    Zero temporal leakage by construction: every feature window frame ends at
+    the current row (cumulative / trailing); only labeling uses forward frames.
+    """
+    df = clean_input(df, cfg)
+    df = state.with_state_features(df, cfg)
+    df = state.with_sessions(df, cfg)
+    df = state.with_time_regime(df, cfg)
+    df = rolling.with_rolling_features(df, cfg)
+    if validate:
+        contract.validate_feature_frame(df.columns, cfg.window_sizes)
+    return df
+
+
+def sample_anchors(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Event-based sampler: keep every Nth turn per conversation
+    (reference: EventBasedSampler, src/preprocessing/sampling.rs:253-330)."""
+    w = ordering.stable_window(cfg)
+    df = df.withColumn("_rn", F.row_number().over(w))
+    return df.filter(F.pmod(F.col("_rn"), F.lit(cfg.sample_every_n)) == 0).drop("_rn")
+
+
+def flagship_pipeline(
+    df: DataFrame,
+    cfg: PipelineConfig | None = None,
+    price_col: str = "char_len",
+) -> DataFrame:
+    """The minimum-slice end-to-end query (SURVEY §7): features -> TLOB
+    labels on the per-turn scalar timeline -> feature/label alignment via
+    inner equi join on (conv_id, turn_idx) (reference:
+    src/export_aligned/alignment.rs:136-173 — a sort-merge join here since
+    both sides are co-partitioned on the key)."""
+    cfg = cfg or PipelineConfig()
+    feats = build_features(df, cfg)
+
+    labels = tlob_labels(
+        df.select(cfg.key_col, *cfg.order_cols, F.coalesce(F.length("text"), F.lit(0)).cast("double").alias("_p"))
+        if price_col == "char_len"
+        else df.select(cfg.key_col, *cfg.order_cols, F.col(price_col).alias("_p")),
+        cfg,
+        price_col="_p",
+    ).select(cfg.key_col, "turn_idx", "label", "label_pct_change")
+
+    out = feats.join(labels, on=[cfg.key_col, "turn_idx"], how="inner").filter(
+        F.col("label").isNotNull()
+    )
+    return out.select(
+        cfg.key_col,
+        "turn_idx",
+        cfg.ts_col,
+        *[F.round(F.col(c), 6).alias(c) for c in cfg.feature_columns()],
+        "label",
+        F.round("label_pct_change", 6).alias("label_pct_change"),
+    )

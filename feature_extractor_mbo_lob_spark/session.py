@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where execution knobs live so tests, bench and spark-submit
+entrypoints agree. Defaults are chosen for the 100 TB design point and
+scale *down* to local[N]:
+
+* AQE on (runtime partition coalescing + skew-join splitting),
+* Arrow on (all pandas UDFs are vectorized batches, never per-row Python),
+* shuffle partitions sized to cores locally; on a real cluster this is
+  overridden to ~2-3x total executor cores via spark-submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "feature-extractor-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    # Make this package importable by executor Python workers (pandas UDFs
+    # pickle references to it). Local mode inherits the driver env at JVM
+    # launch; on a cluster the same is done with `spark-submit --py-files`.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
+
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[len("local["):-1]
+            shuffle_partitions = 32 if inner == "*" else max(int(inner), 4)
+        else:
+            shuffle_partitions = 200
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: coalesce small shuffle partitions, split skewed ones at runtime
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transfer for every pandas UDF / applyInPandas
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # deterministic session timezone — feature values must not depend on
+        # the machine's locale (time_regime, windows on ts)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,7 @@
+from .transcripts import (  # noqa: F401
+    TRANSCRIPT_SCHEMA,
+    ORACLE_TRANSCRIPTS_CTE,
+    read_transcripts,
+    synth_transcripts,
+    transcripts_from_events,
+)

@@ -1,0 +1,88 @@
+"""End-to-end pipeline invariants: no nulls/NaN in features, determinism
+across partition layouts, zero temporal leakage."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from feature_extractor_mbo_lob_spark.config import PipelineConfig
+from feature_extractor_mbo_lob_spark.plans import build_features, flagship_pipeline
+
+
+CFG = PipelineConfig(window_sizes=(4, 8), warmup_turns=4)
+
+
+def _collect_sorted(df):
+    return sorted(df.collect(), key=lambda r: (r.conv_id, r.turn_idx))
+
+
+def test_flagship_runs_and_features_finite(transcripts):
+    out = flagship_pipeline(transcripts, CFG)
+    rows = out.collect()
+    assert len(rows) > 0
+    fcols = CFG.feature_columns()
+    for r in rows[:200]:
+        for c in fcols:
+            v = r[c]
+            assert v is not None and not math.isnan(v) and not math.isinf(v), (c, v)
+
+
+def test_feature_width_matches_contract(transcripts):
+    feats = build_features(transcripts, CFG)
+    assert set(CFG.feature_columns()).issubset(set(feats.columns))
+    assert CFG.feature_count() == len(CFG.feature_columns())
+
+
+def test_determinism_across_partition_layouts(transcripts):
+    a = _collect_sorted(flagship_pipeline(transcripts, CFG))
+    b = _collect_sorted(flagship_pipeline(transcripts.repartition(17), CFG))
+    assert a == b
+
+
+def test_zero_temporal_leakage(spark, transcripts):
+    """Mutate every turn with turn_idx > anchor in one conversation; features
+    at the anchor must be bit-identical, labels may change (labels are the
+    only intentional lookahead)."""
+    conv = transcripts.select("conv_id").first().conv_id
+    n = transcripts.filter(F.col("conv_id") == conv).count()
+    anchor = n // 2
+
+    mutated = transcripts.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == conv) & (F.col("turn_idx") > anchor),
+            F.concat(F.col("text"), F.lit(" MUTATED FUTURE CONTENT xxxxxxxx")),
+        ).otherwise(F.col("text")),
+    )
+
+    base = build_features(transcripts, CFG).filter(
+        (F.col("conv_id") == conv) & (F.col("turn_idx") <= anchor)
+    )
+    mut = build_features(mutated, CFG).filter(
+        (F.col("conv_id") == conv) & (F.col("turn_idx") <= anchor)
+    )
+    fcols = CFG.feature_columns()
+    a = {r.turn_idx: [r[c] for c in fcols] for r in base.collect()}
+    b = {r.turn_idx: [r[c] for c in fcols] for r in mut.collect()}
+    assert a == b
+
+    # labels at the anchor DO see the future
+    la = {r.turn_idx: r.label_pct_change for r in flagship_pipeline(transcripts, CFG)
+          .filter(F.col("conv_id") == conv).collect()}
+    lb = {r.turn_idx: r.label_pct_change for r in flagship_pipeline(mutated, CFG)
+          .filter(F.col("conv_id") == conv).collect()}
+    changed = [t for t in la if t in lb and la[t] != lb[t]]
+    assert changed, "mutating future text should change labels near the anchor"
+
+
+def test_state_isolation_between_conversations(spark, transcripts):
+    """Reference: zero cross-day leakage (tests/state_leak_test.rs). Dropping
+    other conversations must not change a conversation's features."""
+    conv = transcripts.select("conv_id").first().conv_id
+    solo = transcripts.filter(F.col("conv_id") == conv)
+    full = build_features(transcripts, CFG).filter(F.col("conv_id") == conv)
+    alone = build_features(solo, CFG)
+    fcols = CFG.feature_columns()
+    a = {r.turn_idx: [r[c] for c in fcols] for r in full.collect()}
+    b = {r.turn_idx: [r[c] for c in fcols] for r in alone.collect()}
+    assert a == b

@@ -1,0 +1,94 @@
+"""Hand-computed rolling window features (population std / moment skew / HHI
+conventions per contract)."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from feature_extractor_mbo_lob_spark.config import PipelineConfig
+from feature_extractor_mbo_lob_spark.operators import rolling, state
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+LENS = [4, 10, 7, 1, 12]  # text lengths per turn
+ROLES = ["user", "assistant", "user", "tool", "assistant"]
+
+
+@pytest.fixture(scope="module")
+def rolled(spark):
+    from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+
+    cfg = PipelineConfig(window_sizes=(3,))
+    df = spark.createDataFrame(
+        [
+            ("a", i, ROLES[i], "x" * LENS[i], None, T0 + dt.timedelta(seconds=10 * i))
+            for i in range(5)
+        ],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    out = rolling.with_rolling_features(state.with_state_features(df, cfg), cfg)
+    return {r.turn_idx: r for r in out.collect()}
+
+
+def test_mean_std_zscore(rolled):
+    r = rolled[4]  # frame = lens [7, 1, 12]
+    xs = [7.0, 1.0, 12.0]
+    mean = sum(xs) / 3
+    var = sum((x - mean) ** 2 for x in xs) / 3
+    std = math.sqrt(var)
+    assert abs(r.char_mean_w3 - mean) < 1e-9
+    assert abs(r.char_std_w3 - std) < 1e-9
+    assert abs(r.char_zscore_w3 - (12.0 - mean) / (std + 1e-8)) < 1e-9
+
+
+def test_partial_frame_at_start(rolled):
+    r = rolled[0]
+    assert r.char_mean_w3 == 4.0
+    assert r.char_std_w3 == 0.0
+    assert r.char_skew_w3 == 0.0  # n<3 -> 0
+
+
+def test_hhi(rolled):
+    r = rolled[4]
+    xs = [7.0, 1.0, 12.0]
+    s = sum(xs)
+    assert abs(r.char_hhi_w3 - sum(x * x for x in xs) / (s * s)) < 1e-12
+
+
+def test_skew_population_moment_form(rolled):
+    r = rolled[4]
+    xs = [7.0, 1.0, 12.0]
+    mean = sum(xs) / 3
+    std = math.sqrt(sum((x - mean) ** 2 for x in xs) / 3)
+    skew = sum(((x - mean) / std) ** 3 for x in xs) / 3
+    assert abs(r.char_skew_w3 - skew) < 1e-9
+
+
+def test_percentiles_interpolated(rolled):
+    r = rolled[4]  # sorted frame [1, 7, 12]
+    assert abs(r.char_p50_w3 - 7.0) < 1e-12
+    assert abs(r.char_p25_w3 - 4.0) < 1e-12  # 1 + 0.5*(7-1)
+    assert abs(r.char_p90_w3 - (7 + 0.8 * 5)) < 1e-12
+
+
+def test_rates_and_fracs(rolled):
+    r = rolled[4]  # frame turns 2,3,4 over 20s
+    assert abs(r.turn_rate_w3 - 3 / 20.0) < 1e-12
+    assert abs(r.user_frac_w3 - 1 / 3) < 1e-12
+    assert abs(r.assistant_frac_w3 - 1 / 3) < 1e-12
+    assert abs(r.tool_rate_w3 - 1 / 20.0) < 1e-12
+    # roles user,assistant,user,tool,assistant -> flips at every turn 1..4
+    assert abs(r.role_flip_rate_w3 - 1.0) < 1e-12
+
+
+def test_large_turn_ratio(rolled):
+    r = rolled[4]  # p90 = 11, only 12 exceeds it
+    assert abs(r.large_turn_ratio_w3 - 1 / 3) < 1e-12
+
+
+def test_duration_floor_single_row():
+    # duplicate-timestamp frame would divide by zero without the 1ms floor
+    from feature_extractor_mbo_lob_spark.contract import MIN_DURATION_S
+
+    assert MIN_DURATION_S == 1e-3

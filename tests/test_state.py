@@ -1,0 +1,85 @@
+"""Hand-computed expectations for cumulative state features."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from feature_extractor_mbo_lob_spark.config import PipelineConfig
+from feature_extractor_mbo_lob_spark.operators import state
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def mk(spark, rows):
+    from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+
+    return spark.createDataFrame(
+        [
+            (c, i, r, t, None, T0 + dt.timedelta(seconds=off))
+            for (c, i, r, t, off) in rows
+        ],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    cfg = PipelineConfig(window_sizes=(4,), warmup_turns=3, session_gap_s=100.0)
+    df = mk(
+        spark,
+        [
+            ("a", 0, "user", "hello", 0),
+            ("a", 1, "assistant", "hi there", 10),
+            ("a", 2, "tool", "x" * 20, 30),
+            ("a", 3, "user", "ok", 190),  # gap 160s > 100s -> new session
+            ("b", 0, "user", "solo", 0),
+        ],
+    )
+    out = state.with_sessions(state.with_state_features(df, cfg), cfg)
+    out = state.with_time_regime(out, cfg)
+    return {(r.conv_id, r.turn_idx): r for r in out.collect()}
+
+
+def test_cumulative_counts(tiny):
+    a3 = tiny[("a", 3)]
+    assert a3.turns_so_far == 4.0
+    assert a3.user_turns_so_far == 2.0
+    assert a3.assistant_turns_so_far == 1.0
+    assert a3.tool_turns_so_far == 1.0
+    assert a3.chars_so_far == 5 + 8 + 20 + 2
+    assert tiny[("b", 0)].turns_so_far == 1.0  # no cross-key leakage
+
+
+def test_dt_and_elapsed(tiny):
+    assert tiny[("a", 0)].dt_seconds == 0.0
+    assert tiny[("a", 1)].dt_seconds == 10.0
+    assert tiny[("a", 3)].dt_seconds == 160.0
+    assert tiny[("a", 3)].secs_since_start == 190.0
+
+
+def test_flow_signals(tiny):
+    a1 = tiny[("a", 1)]
+    # (user - assistant) / (user + assistant + eps) = (1-1)/(2+eps)
+    assert abs(a1.net_role_flow) < 1e-9
+    a2 = tiny[("a", 2)]
+    # tool=1, non-tool=2, turns=3 -> (1-2)/3
+    assert abs(a2.net_tool_flow - (1 - 2) / (3 + 1e-8)) < 1e-12
+
+
+def test_warmup_flag(tiny):
+    assert tiny[("a", 1)].session_ready == 0.0
+    assert tiny[("a", 2)].session_ready == 1.0  # warmup_turns=3
+
+
+def test_sessionization(tiny):
+    assert tiny[("a", 0)].is_session_start == 1.0
+    assert tiny[("a", 0)].session_id == 0.0
+    assert tiny[("a", 2)].session_id == 0.0
+    assert tiny[("a", 3)].is_session_start == 1.0
+    assert tiny[("a", 3)].session_id == 1.0
+    assert tiny[("b", 0)].session_id == 0.0
+
+
+def test_time_regime(tiny):
+    assert tiny[("a", 0)].time_regime == 1.0  # 10:00 UTC -> bucket 1 (06-12)
