@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline feature-extraction job plus every driver query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., ...extras}
+
+Headline workload: full point-in-time feature frame (all contract columns,
+3 rolling windows) + TLOB labels + alignment join over a deterministic
+synthetic transcript corpus scaled to the sf (seed 42), materialized with a
+noop sink so the measurement is compute, not local-disk I/O.
+
+Scaling evidence (BASELINE.md contract): run `python bench.py --cores 8` and
+`--cores 32` on the same input; tools/bench_scaling.py automates both and
+reports efficiency = (T_8/T_32)/4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def sf_label(sf_dir: str) -> float:
+    name = Path(sf_dir).name  # sf0.1
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def ensure_transcripts(spark, sf_dir: str, turns_target: int) -> str:
+    """Synthesize (once) a transcript corpus sized to the sf: ~turns_target
+    turns across conversations of 5-64 turns plus 2 mega-conversations for
+    skew. Cached as parquet under /tmp keyed by sf + size."""
+    out = f"/tmp/bench_transcripts_{Path(sf_dir).name}_{turns_target}.parquet"
+    if not Path(out).exists():
+        from feature_extractor_mbo_lob_spark.sources import synth_transcripts
+
+        n_convs = max(turns_target // 35, 10)
+        df = synth_transcripts(
+            spark, n_convs=n_convs, min_turns=5, max_turns=64, seed=42,
+            n_mega_convs=2, mega_turns=max(turns_target // 100, 1000),
+        )
+        df.repartition(64, "conv_id").write.mode("overwrite").parquet(out)
+    return out
+
+
+def noop(df) -> int:
+    """Force full materialization of every column without disk I/O."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = args.sf_dir
+    sf = sf_label(sf_dir)
+
+    from feature_extractor_mbo_lob_spark import get_spark
+    from feature_extractor_mbo_lob_spark.plans import flagship_pipeline
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import CFG, QUERIES
+    from feature_extractor_mbo_lob_spark.sources import read_transcripts
+
+    spark = get_spark(
+        app_name=f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # headline: feature+label job over synthetic transcripts at sf scale
+    turns_target = int(6_000_000 * sf) if sf > 0 else 600_000
+    tpath = ensure_transcripts(spark, sf_dir, turns_target)
+    transcripts = read_transcripts(spark, tpath)
+    n_turns = transcripts.count()
+
+    t0 = time.time()
+    noop(flagship_pipeline(transcripts, CFG, price_col="char_len"))
+    headline_sec = time.time() - t0
+
+    q_times: dict[str, float] = {}
+    if not args.skip_queries:
+        for name, fn in QUERIES.items():
+            t0 = time.time()
+            noop(fn(spark, sf_dir))
+            q_times[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "feature_extraction_e2e_wall_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "cores": cores,
+        "turns": n_turns,
+        "throughput_turns_per_sec": round(n_turns / headline_sec, 1),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""Export sink: partitioned parquet + per-partition lineage manifests +
+checkpoint-resume.
+
+Reference: the NPY/metadata export stage (src/export_aligned/npy_export.rs,
+metadata.rs, mod.rs:469-533 — per-day artifacts with schema version,
+distribution, config hash, validation flags). The reference's resume story
+is "rerun the day"; the north rule upgrades that to: idempotent per-partition
+overwrite, a JSON lineage manifest per partition (input fingerprint, config
+hash, row counts, checksums, wall time, throughput), and skip-if-valid
+resume.
+
+Partition unit: a deterministic bucket of conv_id (pmod(xxhash64(conv_id), n))
+— the Iceberg-partition analog that keeps each manifest's scope aligned with
+the shuffle partitioning, so resume granularity == work granularity. Writes
+use dynamic partition overwrite: re-running a bucket replaces exactly that
+bucket (idempotent).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+
+MANIFEST_DIR = "_manifests"
+BUCKET_COL = "part_bucket"
+
+
+@dataclass
+class PartitionManifest:
+    bucket: int
+    rows: int
+    keys: int
+    value_checksum: str
+    config_hash: str
+    input_fingerprint: str
+    schema_version: str
+    wall_sec: float
+    rows_per_sec: float
+    written_at_unix: float
+
+
+def with_bucket(df: DataFrame, cfg: PipelineConfig, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(cfg.key_col), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _bucket_fingerprints(df: DataFrame, cfg: PipelineConfig, cols: list[str]) -> dict[int, dict]:
+    """Per-bucket row count / key count / order-insensitive checksum in one
+    aggregate pass. Checksum = sum of xxhash64 over the stringified row — the
+    same trick the driver uses, cheap and associative."""
+    # decimal(38,0) accumulator: order-insensitive, associative, and immune
+    # to ANSI long-overflow at any row count
+    rowhash = F.xxhash64(*[F.col(c).cast("string") for c in cols]).cast("decimal(38,0)")
+    agg = (
+        df.groupBy(BUCKET_COL)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct(cfg.key_col).alias("keys"),
+            F.sum(rowhash).alias("checksum"),
+        )
+        .collect()
+    )
+    return {
+        int(r[BUCKET_COL]): {
+            "rows": int(r["rows"]),
+            "keys": int(r["keys"]),
+            "checksum": format(int(r["checksum"]) & 0xFFFFFFFFFFFFFFFF, "016x"),
+        }
+        for r in agg
+    }
+
+
+def manifest_path(out_dir: str, bucket: int) -> Path:
+    return Path(out_dir) / MANIFEST_DIR / f"bucket={bucket}.json"
+
+
+def valid_buckets(out_dir: str, config_hash: str, input_fingerprint: str) -> set[int]:
+    """Buckets whose manifest exists and matches config + input — these are
+    skipped on resume."""
+    mdir = Path(out_dir) / MANIFEST_DIR
+    done = set()
+    if not mdir.exists():
+        return done
+    for p in mdir.glob("bucket=*.json"):
+        try:
+            m = json.loads(p.read_text())
+        except Exception:
+            continue
+        if m.get("config_hash") == config_hash and m.get("input_fingerprint") == input_fingerprint:
+            done.add(int(m["bucket"]))
+    return done
+
+
+def export_with_manifests(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    out_dir: str,
+    input_fingerprint: str,
+    n_buckets: int = 16,
+    resume: bool = True,
+) -> dict:
+    """Write df partitioned by conv-bucket with one lineage manifest per
+    bucket; on resume, buckets with a valid manifest are skipped entirely
+    (their input rows are filtered out before any compute on the write side).
+
+    Returns a run report {written_buckets, skipped_buckets, rows, wall_sec}.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    cfg_hash = cfg.config_hash()
+    bdf = with_bucket(df, cfg, n_buckets)
+
+    done = valid_buckets(out_dir, cfg_hash, input_fingerprint) if resume else set()
+    todo = bdf.filter(~F.col(BUCKET_COL).isin(sorted(done))) if done else bdf
+
+    t0 = time.time()
+    value_cols = [c for c in df.columns]
+    fps = _bucket_fingerprints(todo, cfg, value_cols)
+    if fps:
+        (
+            todo.repartition(max(len(fps), 1), BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+    wall = time.time() - t0
+
+    total_rows = sum(v["rows"] for v in fps.values())
+    mdir = Path(out_dir) / MANIFEST_DIR
+    mdir.mkdir(parents=True, exist_ok=True)
+    for b, v in fps.items():
+        m = PartitionManifest(
+            bucket=b,
+            rows=v["rows"],
+            keys=v["keys"],
+            value_checksum=v["checksum"],
+            config_hash=cfg_hash,
+            input_fingerprint=input_fingerprint,
+            schema_version=str(df.schema.simpleString().__hash__() & 0xFFFFFFFF),
+            wall_sec=round(wall, 3),
+            rows_per_sec=round(v["rows"] / wall, 1) if wall > 0 else 0.0,
+            written_at_unix=time.time(),
+        )
+        manifest_path(out_dir, b).write_text(json.dumps(asdict(m), indent=1))
+
+    return {
+        "written_buckets": sorted(fps),
+        "skipped_buckets": sorted(done),
+        "rows": total_rows,
+        "wall_sec": round(wall, 3),
+    }
+
+
+def input_fingerprint_for_path(spark: SparkSession, path: str) -> str:
+    """Cheap input snapshot id: file listing + sizes + mtimes hashed.
+    (With Iceberg this is simply the snapshot id.)"""
+    import hashlib
+
+    p = Path(path)
+    h = hashlib.sha256()
+    if p.exists():
+        for f in sorted(p.rglob("*.parquet")):
+            st = f.stat()
+            h.update(f"{f.name}:{st.st_size}:{int(st.st_mtime)}".encode())
+    else:
+        h.update(path.encode())
+    return h.hexdigest()[:16]

@@ -1,0 +1,90 @@
+"""Text-analysis functions for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All JVM-side column expressions (regex/aggregate/transform) — no Python in
+the hot path. Each has an ANSI-SQL twin in driver_queries so the DuckDB
+oracle covers it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..contract import DIVISION_GUARD_EPS
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "zu"),
+}
+
+
+def token_count_ws(col) -> Column:
+    """Whitespace tokenization count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+")).cast("long")
+
+
+def token_count_bpe_ish(col) -> Column:
+    """BPE-ish token estimate: word pieces + digits + punctuation as separate
+    tokens (regex '\\w+|[^\\w\\s]' match count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), F.lit(0))).cast("long")
+
+
+def punct_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (n_punct / (F.length(c) + F.lit(DIVISION_GUARD_EPS))).cast("double")
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    n_sw = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return (n_sw / (F.size(words).cast("double") + F.lit(DIVISION_GUARD_EPS))).cast("double")
+
+
+def quality_score(col) -> Column:
+    """Composite quality heuristic in [0,1]: length band + word length
+    sanity + low punctuation noise (reference analog: the validator's
+    bounds checks, src/validation.rs:156-330, recast as a score)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    words = F.split(F.trim(c), r"\s+")
+    nw = F.size(words).cast("double")
+    avg_wlen = n / (nw + F.lit(DIVISION_GUARD_EPS))
+    len_ok = F.when((n >= 20) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wlen_ok = F.when((avg_wlen >= 2.0) & (avg_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    return ((len_ok + wlen_ok + punct_ok) / F.lit(3.0)).cast("double")
+
+
+def lang_id(col) -> Column:
+    """Stopword-vote language ID: the language whose stopword list matches
+    the most tokens; 'und' when nothing matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    scores = []
+    for lang, sws in LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in sws])
+        scores.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: F.array_contains(sw, w))).alias("n"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text (rolling-hash analog; md5 so DuckDB reproduces it)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normed = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normed)

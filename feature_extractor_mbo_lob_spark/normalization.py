@@ -1,0 +1,172 @@
+"""Normalization families (reference: src/preprocessing/normalization.rs and
+the export engine src/export_aligned/normalization.rs:29-330).
+
+Two shapes:
+* STREAMING (point-in-time, leakage-safe): statistics over the cumulative or
+  trailing frame — usable as features;
+* EXPORT (two-pass): statistics over the whole export, broadcast back and
+  applied — the reference's normalize_sequences. Categorical columns are
+  never normalized (contract.CATEGORICAL_FEATURES; reference
+  src/contract.rs:43).
+
+Strategy names mirror FeatureNormStrategy (reference:
+src/export/config/normalization.rs:47-100): none | zscore | minmax |
+pct_change | global_zscore (row-wise over the feature vector).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+from .contract import CATEGORICAL_FEATURES, DIVISION_GUARD_EPS, MIN_STD
+from .operators import ordering
+
+
+# --- streaming (leakage-safe) ------------------------------------------------
+
+def zscore_cumulative(df: DataFrame, cfg: PipelineConfig, cols: list[str],
+                      suffix: str = "_zn") -> DataFrame:
+    """Welford-equivalent running z-score (reference: ZScoreNormalizer,
+    normalization.rs:242-382): population stats over everything seen so far."""
+    cum = ordering.cumulative(cfg)
+    out = []
+    for c in cols:
+        mean = F.avg(c).over(cum)
+        var = F.greatest(F.avg(F.col(c) * F.col(c)).over(cum) - mean * mean, F.lit(0.0))
+        out.append(((F.col(c) - mean) / (F.sqrt(var) + F.lit(DIVISION_GUARD_EPS))).alias(c + suffix))
+    return df.select("*", *out)
+
+
+def zscore_rolling_sessions(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    cols: list[str],
+    n_sessions: int = 5,
+    session_col: str = "session_id",
+    suffix: str = "_rzn",
+) -> DataFrame:
+    """Rolling per-session z-score: normalize each row by statistics of the
+    PREVIOUS ``n_sessions`` sessions (never the current one — strictly
+    point-in-time). Reference: RollingZScoreNormalizer day-stats deque,
+    normalization.rs:564-700.
+
+    Two-level: per-session (n, sum, sum_sq) aggregates — tiny table — then a
+    window over sessions and a broadcast join back. One extra shuffle on the
+    small side only.
+    """
+    stats = df.groupBy(cfg.key_col, session_col).agg(
+        *[F.count(c).alias(f"_n_{c}") for c in cols],
+        *[F.sum(c).alias(f"_s_{c}") for c in cols],
+        *[F.sum(F.col(c) * F.col(c)).alias(f"_s2_{c}") for c in cols],
+    )
+    wprev = (
+        Window.partitionBy(cfg.key_col)
+        .orderBy(session_col)
+        .rowsBetween(-n_sessions, -1)
+    )
+    rolled = stats.select(
+        cfg.key_col,
+        session_col,
+        *[F.sum(f"_n_{c}").over(wprev).alias(f"_rn_{c}") for c in cols],
+        *[F.sum(f"_s_{c}").over(wprev).alias(f"_rs_{c}") for c in cols],
+        *[F.sum(f"_s2_{c}").over(wprev).alias(f"_rs2_{c}") for c in cols],
+    )
+    joined = df.join(F.broadcast(rolled), on=[cfg.key_col, session_col], how="left")
+    out = []
+    for c in cols:
+        n = F.col(f"_rn_{c}")
+        mean = F.col(f"_rs_{c}") / n
+        var = F.greatest(F.col(f"_rs2_{c}") / n - mean * mean, F.lit(0.0))
+        z = (F.col(c) - mean) / (F.sqrt(var) + F.lit(DIVISION_GUARD_EPS))
+        out.append(F.when(n > 0, z).otherwise(F.lit(0.0)).alias(c + suffix))
+    drop = [f"_{p}_{c}" for c in cols for p in ("rn", "rs", "rs2")]
+    return joined.select("*", *out).drop(*drop)
+
+
+# --- export (two-pass) --------------------------------------------------------
+
+def compute_export_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pass 1: one tiny row of per-column stats (count/mean/std/min/max) —
+    reference: compute_normalization_stats, export_aligned/normalization.rs:217-330."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.avg(c).alias(f"mean_{c}"),
+            F.stddev_pop(c).alias(f"std_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    return df.agg(*aggs)
+
+
+def apply_export_normalization(
+    df: DataFrame,
+    stats: DataFrame,
+    strategies: dict[str, str],
+    suffix: str = "",
+) -> DataFrame:
+    """Pass 2: broadcast the stats row and apply per-column strategies.
+    Categorical contract columns are forced to 'none' regardless of the
+    strategy table (reference: categorical indices skipped,
+    export_aligned/normalization.rs:29-213)."""
+    out = df.crossJoin(F.broadcast(stats))
+    exprs = []
+    for c, strat in strategies.items():
+        if c in CATEGORICAL_FEATURES:
+            strat = "none"
+        x = F.col(c)
+        if strat == "none":
+            e = x
+        elif strat == "zscore":
+            e = (x - F.col(f"mean_{c}")) / (
+                F.greatest(F.col(f"std_{c}"), F.lit(MIN_STD))
+            )
+        elif strat == "minmax":
+            rng = F.col(f"max_{c}") - F.col(f"min_{c}")
+            e = F.when(rng > 0, (x - F.col(f"min_{c}")) / rng).otherwise(F.lit(0.0))
+        elif strat == "pct_change":
+            ref = F.col(f"mean_{c}")
+            e = F.when(F.abs(ref) > 0, (x - ref) / F.abs(ref)).otherwise(F.lit(0.0))
+        else:
+            raise ValueError(f"unknown normalization strategy {strat} for {c}")
+        exprs.append(e.cast("double").alias(c + suffix if suffix else c))
+    keep = [c for c in df.columns if c not in strategies or suffix]
+    stat_cols = [f"{p}_{c}" for c in strategies for p in ("mean", "std", "min", "max")]
+    result = out.select(*[k for k in keep if k not in stat_cols], *exprs)
+    return result
+
+
+def normalize_export(df: DataFrame, cols: list[str],
+                     strategy: str = "zscore") -> DataFrame:
+    """Convenience: same strategy for every column, two-pass."""
+    stats = compute_export_stats(df, cols)
+    return apply_export_normalization(df, stats, {c: strategy for c in cols})
+
+
+def global_zscore_rowwise(df: DataFrame, vec_col: str = "features",
+                          out_col: str = "features_gz") -> DataFrame:
+    """LOBench global z-score: mean/std across all features of ONE row's
+    vector (reference: normalize_snapshot, normalization.rs:983-1021) —
+    a pure array expression, no shuffle."""
+    n = F.size(vec_col).cast("double")
+    mean = F.aggregate(vec_col, F.lit(0.0), lambda acc, v: acc + v) / n
+    var = (
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, v: acc + (v - mean) * (v - mean)) / n
+    )
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return df.withColumn(
+        out_col,
+        F.transform(vec_col, lambda v: (v - mean) / (std + F.lit(DIVISION_GUARD_EPS))),
+    )
+
+
+def pct_change(col, ref):
+    """(x - ref)/ref (reference: normalization.rs:166-215)."""
+    return (F.col(col) - F.col(ref)) / F.col(ref)
+
+
+def bilinear(col, mid, k: float, tick: float):
+    """TLOB bilinear (p - mid)/(k*tick) (reference: normalization.rs:405-452)."""
+    return (F.col(col) - F.col(mid)) / F.lit(k * tick)

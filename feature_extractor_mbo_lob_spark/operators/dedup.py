@@ -1,0 +1,197 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+* exact dedup — hash groupBy on the normalized text (one shuffle);
+* shingle-based ops explode to (doc, shingle) and aggregate — shuffle is
+  O(total shingles), never O(n^2); pair candidates come from equi joins on
+  shingle / band keys, so only colliding docs meet;
+* MinHash permutations are md5(seed || shingle) (a keyed hash IS a random
+  permutation oracle) — chosen over xxhash so DuckDB reproduces signatures
+  bit-for-bit for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint
+
+
+def normalize_text(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                normalized: bool = True) -> DataFrame:
+    """Group identical texts; keep the smallest id as representative.
+    Returns (keep_id, n_copies, dupe_ids)."""
+    key = normalize_text(text_col) if normalized else F.col(text_col)
+    return (
+        df.groupBy(key.alias("_k"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .drop("_k")
+    )
+
+
+def word_shingles(col, k: int = 3) -> F.Column:
+    """Distinct k-word shingles of the normalized text (array<string>)."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", words))))
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 3) -> DataFrame:
+    """(id, shingle) exploded — the base relation for Jaccard and MinHash."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+    Intersections come from a self-equi-join on shingle (only co-occurring
+    docs ever meet); set sizes from a pre-aggregate."""
+    sh = shingle_table(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc: sig_s = min(md5(s || '|' || shingle)) for
+    seeds s in 0..num_hashes — one groupBy computing all mins at once.
+    Returns (id, sig_0..sig_{H-1})."""
+    sh = shingle_table(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"sig_{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH: docs sharing any band
+    key (md5 of the band's signature slice) are candidates. Returns distinct
+    (id_a < id_b) candidate pairs with the number of matching bands."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.md5(F.concat_ws("#", *parts)).alias(f"band_{b}"))
+    banded = sigs.select("id", *band_cols)
+    melted = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(bands)
+            ])
+        ).alias("band_key"),
+    )
+    a, b_ = melted.alias("a"), melted.alias("b")
+    return (
+        a.join(b_, on="band_key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            k: int = 2, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over shingle xxhash64 hashes: bit i of the fingerprint
+    is 1 iff sum over shingles of (2*bit_i(h)-1) > 0. One groupBy with
+    ``bits`` conditional sums (JVM-side, no UDF). Returns (id, simhash)."""
+    sh = shingle_table(df, id_col, text_col, k).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    aggs = [
+        F.sum(
+            (F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = sh.groupBy("id").agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(F.lit(0))
+    return agg.select("id", acc.alias("simhash"))
+
+
+def simhash_candidates(sim: DataFrame, chunk_bits: int = 16) -> DataFrame:
+    """Hamming-LSH: split the 64-bit fingerprint into 64/chunk_bits chunks;
+    docs sharing any chunk value are candidates (guarantees recall for
+    hamming distance < n_chunks)."""
+    n_chunks = 64 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    chunks = [
+        F.concat(
+            F.lit(f"{c}:"),
+            (F.shiftrightunsigned("simhash", c * chunk_bits).bitwiseAND(F.lit(mask))).cast("string"),
+        )
+        for c in range(n_chunks)
+    ]
+    melted = sim.select("id", "simhash", F.explode(F.array(*chunks)).alias("ck"))
+    a, b = melted.alias("a"), melted.alias("b")
+    pairs = (
+        a.join(b, on="ck")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).drop("sh_a", "sh_b")

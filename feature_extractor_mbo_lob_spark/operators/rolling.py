@@ -2,18 +2,28 @@
 
 Transcript analog of the reference's three parallel ring-buffer windows with
 O(1) incremental counters (reference: src/features/mbo_features/window.rs:18-213,
-multi-timescale wiring src/features/mbo_features/mod.rs:115-125). Spark
-recomputes aggregates per sliding frame, but vectorized and all frames share
-one sort+shuffle because every spec uses the identical partition/order — the
-idiomatic translation per SURVEY §2.3.
+multi-timescale wiring src/features/mbo_features/mod.rs:115-125).
+
+Scale design: Spark's WindowExec recomputes sliding-frame aggregates per row
+(O(n*w) per aggregate — w=128 means 128x work). The reference's O(1)
+incremental counters translate here to *prefix-sum algebra*:
+
+    sum over rows (-(w-1), 0)  ==  cumsum(x) - lag(cumsum(x), w, 0)
+    count over the frame        ==  least(row_number, w)
+    min(ts) over the frame      ==  lag(ts, w-1)  (ts monotone per key)
+
+which is O(n) regardless of w, and EXACT for integer-valued inputs
+(char counts, role indicators, epoch-us — all < 2^53), so parity with a
+frame-based oracle is bit-stable. Only order statistics (percentiles,
+large-turn ratio) still pay the true sliding frame.
 
 Float-parity choices (frozen in the contract):
 * std is population std (reference: window.rs:190-213),
-* skewness is the population moment form Σ((x-μ)/σ)³/n, 0 if n<3 or σ<1e-10
-  (reference: src/features/mbo_features/size_features.rs:60-81),
+* skewness is the population moment form sum(((x-mu)/sigma)^3)/n, 0 if n<3
+  or sigma<1e-10 (reference: src/features/mbo_features/size_features.rs:60-81),
 * percentiles are exact interpolated (Spark `percentile` == DuckDB
   `quantile_cont`); the reference uses nearest-rank indexing — documented
-  deviation, tolerance covered by golden fixtures.
+  deviation, covered by golden fixtures.
 """
 
 from __future__ import annotations
@@ -26,20 +36,20 @@ from ..contract import DIVISION_GUARD_EPS, MIN_DURATION_S, MIN_STD
 from . import ordering
 
 
-def _duration_s(us: Column, frame) -> Column:
-    """Frame duration in seconds floored at 1 ms (reference: window.rs:150-155)."""
-    dur = (F.max(us).over(frame) - F.min(us).over(frame)) / F.lit(1e6)
-    return F.greatest(dur, F.lit(MIN_DURATION_S))
+def _sliding_sum(cum_col: Column, w, n: int) -> Column:
+    """Trailing-n sum from a cumulative sum column: cum - cum[n rows back]."""
+    return cum_col - F.coalesce(F.lag(cum_col, n).over(w), F.lit(0.0))
 
 
 def with_rolling_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Adds ROLLING_FEATURES with suffix _w{n} for every configured window.
 
     Requires ``char_len`` (added by state.with_state_features) and the raw
-    role column. One extra per-row helper: ``role_flip`` (1.0 when role
-    differs from the previous turn) — the OFI-style signed-transition analog.
+    role column. Adds a per-row ``role_flip`` helper (1.0 when role differs
+    from the previous turn) — the OFI-style signed-transition analog.
     """
     w = ordering.stable_window(cfg)
+    cum = ordering.cumulative(cfg)
     us = ordering.epoch_us(cfg.ts_col)
 
     prev_role = F.lag("role").over(w)
@@ -51,52 +61,91 @@ def with_rolling_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
     x = F.col("char_len")
-    is_user = (F.col("role") == "user").cast("double")
-    is_assistant = (F.col("role") == "assistant").cast("double")
-    is_tool = (F.col("role") == "tool").cast("double")
+
+    # one cumulative pass feeds every window size (single Window exec —
+    # all aggregates share the identical spec); bulk select keeps the
+    # logical plan small (serial driver analysis is an Amdahl term)
+    df = df.select(
+        "*",
+        F.row_number().over(w).alias("_rn"),
+        us.alias("_us"),
+        F.first(us).over(cum).alias("_first_us"),
+        F.sum(x).over(cum).alias("_cx"),
+        F.sum(x * x).over(cum).alias("_cx2"),
+        F.sum(x * x * x).over(cum).alias("_cx3"),
+        F.sum((F.col("role") == "user").cast("double")).over(cum).alias("_cu"),
+        F.sum((F.col("role") == "assistant").cast("double")).over(cum).alias("_ca"),
+        F.sum((F.col("role") == "tool").cast("double")).over(cum).alias("_ct"),
+        F.sum("role_flip").over(cum).alias("_cf"),
+    )
+
+    helper = ["_rn", "_us", "_first_us", "_cx", "_cx2", "_cx3", "_cu", "_ca", "_ct", "_cf"]
 
     for n in cfg.window_sizes:
-        fr = ordering.trailing(cfg, n)
-        cnt = F.count(F.lit(1)).over(fr).cast("double")
-        dur = _duration_s(us, fr)
-        mean = F.avg(x).over(fr)
-        # population variance via E[x^2]-E[x]^2 (guarded at 0)
-        var = F.greatest(F.avg(x * x).over(fr) - mean * mean, F.lit(0.0))
+        cnt = F.least(F.col("_rn"), F.lit(n)).cast("double")
+
+        # frame duration: ts is monotone under the stable order (asserted by
+        # validation.assert_monotone_ts) so max=current, min=ts w-1 rows back
+        start_us = F.coalesce(F.lag("_us", n - 1).over(w), F.col("_first_us"))
+        dur = F.greatest((F.col("_us") - start_us) / F.lit(1e6), F.lit(MIN_DURATION_S))
+
+        sum_x = _sliding_sum(F.col("_cx"), w, n)
+        sum_x2 = _sliding_sum(F.col("_cx2"), w, n)
+        sum_x3 = _sliding_sum(F.col("_cx3"), w, n)
+        n_user = _sliding_sum(F.col("_cu"), w, n)
+        n_assistant = _sliding_sum(F.col("_ca"), w, n)
+        n_tool = _sliding_sum(F.col("_ct"), w, n)
+        n_flip = _sliding_sum(F.col("_cf"), w, n)
+
+        mean = sum_x / cnt
+        var = F.greatest(sum_x2 / cnt - mean * mean, F.lit(0.0))
         std = F.sqrt(var)
-        m3 = F.avg(x * x * x).over(fr) - 3 * mean * F.avg(x * x).over(fr) + 2 * mean * mean * mean
-        skew = F.when(
-            (cnt < 3) | (std < F.lit(MIN_STD)), F.lit(0.0)
-        ).otherwise(m3 / (std * std * std))
-        sum_x = F.sum(x).over(fr)
-        hhi = F.when(
-            sum_x > 0, F.sum(x * x).over(fr) / (sum_x * sum_x)
-        ).otherwise(F.lit(0.0))
-        p = lambda q: F.percentile(x, F.lit(q)).over(fr)  # noqa: E731
-        p90 = p(0.90)
-        arr = F.collect_list(x).over(fr)
-        large_ratio = (
-            F.size(F.filter(arr, lambda e: e > p90)).cast("double") / cnt
+        # population 3rd central moment from raw moments
+        m3 = sum_x3 / cnt - 3 * mean * (sum_x2 / cnt) + 2 * mean * mean * mean
+        skew = F.when((cnt < 3) | (std < F.lit(MIN_STD)), F.lit(0.0)).otherwise(
+            m3 / (std * std * std)
         )
+        hhi = F.when(sum_x > 0, sum_x2 / (sum_x * sum_x)).otherwise(F.lit(0.0))
+
+        # order statistics: the one genuinely frame-bound computation.
+        # ONE collect_list per frame, sorted once (a materialized helper so
+        # the Window exec evaluates it exactly once); all four percentiles
+        # and the strictly-greater count derive from that single sorted
+        # array (mirrors the reference's lazy sorted-cache, window.rs:170-187).
+        fr = ordering.trailing(cfg, n)
+        df = df.select("*", F.array_sort(F.collect_list(x).over(fr)).alias("_sarr"))
+
+        def pct(q: float) -> Column:
+            # exact interpolated percentile at q over the sorted frame array
+            # (identical definition to Spark `percentile` / DuckDB
+            # quantile_cont: position q*(n-1), linear interpolation)
+            idx = (cnt - 1) * F.lit(q)
+            lo = F.floor(idx).cast("int")
+            frac = idx - lo
+            vlo = F.get("_sarr", lo)
+            vhi = F.coalesce(F.get("_sarr", lo + 1), vlo)
+            return vlo + frac * (vhi - vlo)
+
+        p90 = pct(0.90)
+        large_ratio = F.size(F.filter("_sarr", lambda e: e > p90)).cast("double") / cnt
 
         sfx = f"_w{n}"
-        df = (
-            df.withColumn("turn_rate" + sfx, (cnt / dur).cast("double"))
-            .withColumn("user_frac" + sfx, (F.sum(is_user).over(fr) / cnt).cast("double"))
-            .withColumn("assistant_frac" + sfx, (F.sum(is_assistant).over(fr) / cnt).cast("double"))
-            .withColumn("tool_rate" + sfx, (F.sum(is_tool).over(fr) / dur).cast("double"))
-            .withColumn("role_flip_rate" + sfx, (F.sum("role_flip").over(fr) / cnt).cast("double"))
-            .withColumn("char_mean" + sfx, mean.cast("double"))
-            .withColumn("char_std" + sfx, std.cast("double"))
-            .withColumn(
-                "char_zscore" + sfx,
-                ((x - mean) / (std + F.lit(DIVISION_GUARD_EPS))).cast("double"),
-            )
-            .withColumn("char_p25" + sfx, p(0.25).cast("double"))
-            .withColumn("char_p50" + sfx, p(0.50).cast("double"))
-            .withColumn("char_p75" + sfx, p(0.75).cast("double"))
-            .withColumn("char_p90" + sfx, p90.cast("double"))
-            .withColumn("char_skew" + sfx, skew.cast("double"))
-            .withColumn("char_hhi" + sfx, hhi.cast("double"))
-            .withColumn("large_turn_ratio" + sfx, large_ratio.cast("double"))
-        )
-    return df
+        df = df.select(
+            "*",
+            (cnt / dur).cast("double").alias("turn_rate" + sfx),
+            (n_user / cnt).cast("double").alias("user_frac" + sfx),
+            (n_assistant / cnt).cast("double").alias("assistant_frac" + sfx),
+            (n_tool / dur).cast("double").alias("tool_rate" + sfx),
+            (n_flip / cnt).cast("double").alias("role_flip_rate" + sfx),
+            mean.cast("double").alias("char_mean" + sfx),
+            std.cast("double").alias("char_std" + sfx),
+            ((x - mean) / (std + F.lit(DIVISION_GUARD_EPS))).cast("double").alias("char_zscore" + sfx),
+            pct(0.25).cast("double").alias("char_p25" + sfx),
+            pct(0.50).cast("double").alias("char_p50" + sfx),
+            pct(0.75).cast("double").alias("char_p75" + sfx),
+            p90.cast("double").alias("char_p90" + sfx),
+            skew.cast("double").alias("char_skew" + sfx),
+            hhi.cast("double").alias("char_hhi" + sfx),
+            large_ratio.cast("double").alias("large_turn_ratio" + sfx),
+        ).drop("_sarr")
+    return df.drop(*helper)

@@ -1,0 +1,107 @@
+"""Sequence building — sliding tensor windows over sampled feature rows.
+
+Reference: src/sequence_builder/builder.rs:501-588 (bounded deque, emit the
+trailing `window` rows every `stride` pushes, Arc zero-copy) and the
+multi-scale variant src/sequence_builder/multiscale.rs (decimation d keeps
+every d-th sample, three parallel builders share the vectors).
+
+Spark restatement (SURVEY §2.6): no bounded buffer, no backpressure — a
+sequence exists for every anchor row where
+    (sample_pos - (window-1)) % stride == 0  and  sample_pos >= window-1,
+and its content is collect_list over the trailing frame. The engine keeps
+features as named columns until this point and packs arrays only here (late
+materialization — the Arc-analog: nothing is copied until a sequence is
+actually emitted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from . import ordering
+
+
+def build_sequences(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    feature_cols: list[str],
+    window: int | None = None,
+    stride: int | None = None,
+    decimation: int = 1,
+) -> DataFrame:
+    """Emit one row per sequence anchor:
+    (key, end_turn_idx, seq_pos, start_ts, end_ts, duration_s, seq_len,
+     sequence: array<array<double>> [window x F]).
+
+    ``decimation`` keeps every d-th sample before windowing (multi-scale
+    path, reference: multiscale.rs:86-135).
+    """
+    window = cfg.seq_window if window is None else window
+    stride = cfg.seq_stride if stride is None else stride
+
+    pos = F.row_number().over(ordering.stable_window(cfg)) - 1
+    df = df.withColumn("_pos", pos)
+    if decimation > 1:
+        df = df.filter(F.pmod("_pos", F.lit(decimation)) == 0)
+        df = df.withColumn("_pos", F.row_number().over(ordering.stable_window(cfg)) - 1)
+
+    fr = ordering.trailing(cfg, window)
+    vec = F.array(*[F.col(c) for c in feature_cols])
+    us = ordering.epoch_us(cfg.ts_col)
+
+    seq = df.select(
+        F.col(cfg.key_col),
+        F.col("turn_idx").alias("end_turn_idx"),
+        F.col("_pos").alias("seq_pos"),
+        F.collect_list(vec).over(fr).alias("sequence"),
+        F.min(F.col(cfg.ts_col)).over(fr).alias("start_ts"),
+        F.max(F.col(cfg.ts_col)).over(fr).alias("end_ts"),
+        ((F.max(us).over(fr) - F.min(us).over(fr)) / 1e6).cast("double").alias("duration_s"),
+    )
+    seq = seq.withColumn("seq_len", F.size("sequence"))
+    # emit rule: complete window AND stride phase (reference counts pushes
+    # since last emit == fixed phase for an uninterrupted stream,
+    # builder.rs:545-588)
+    return seq.filter(
+        (F.col("seq_pos") >= window - 1)
+        & (F.pmod(F.col("seq_pos") - (window - 1), F.lit(stride)) == 0)
+    )
+
+
+def build_multiscale_sequences(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    feature_cols: list[str],
+    window: int | None = None,
+    stride: int | None = None,
+) -> DataFrame:
+    """Three decimation scales unioned with a scale tag (reference defaults
+    d in {1,2,4}, multiscale.rs:183-189) — three cheap derived DataFrames
+    over the same input, one shuffle each on the already-keyed data."""
+    parts = []
+    for d in cfg.multiscale_decimation:
+        s = build_sequences(df, cfg, feature_cols, window=window, stride=stride, decimation=d)
+        parts.append(s.withColumn("scale", F.lit(d)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def horizon_aware_params(
+    horizon: int,
+    base_lookback: int = 64,
+    scale: float = 2.0,
+    min_lookback: int = 16,
+    max_lookback: int = 512,
+    target_len: int = 32,
+) -> tuple[int, int]:
+    """lookback = clamp(max(base, h*scale), min, max); stride = lookback/target
+    (reference: src/sequence_builder/horizon_aware.rs:289-295). Pure config
+    arithmetic."""
+    lookback = int(max(base_lookback, horizon * scale))
+    lookback = max(min_lookback, min(max_lookback, lookback))
+    stride = max(1, lookback // target_len)
+    return lookback, stride

@@ -58,26 +58,49 @@ def flagship_pipeline(
     df: DataFrame,
     cfg: PipelineConfig | None = None,
     price_col: str = "char_len",
+    strategy: str = "fused",
 ) -> DataFrame:
-    """The minimum-slice end-to-end query (SURVEY §7): features -> TLOB
-    labels on the per-turn scalar timeline -> feature/label alignment via
-    inner equi join on (conv_id, turn_idx) (reference:
-    src/export_aligned/alignment.rs:136-173 — a sort-merge join here since
-    both sides are co-partitioned on the key)."""
+    """The minimum-slice end-to-end query (SURVEY §7): features + TLOB
+    labels on the per-turn scalar timeline, aligned per (conv_id, turn_idx).
+
+    strategy='fused' (default, the scale plan): label forward-frames share
+    the feature stage's partitionBy/orderBy, so Catalyst folds everything
+    into ONE shuffle+sort — no second scan, no join. This is the plan you
+    want at 100 TB.
+
+    strategy='join': labels built as a separate timeline and aligned via an
+    inner equi join on (conv_id, turn_idx) — mirrors the reference's
+    separate alignment step (src/export_aligned/alignment.rs:136-173, a
+    sort-merge join on co-partitioned sides). Kept for parity testing and
+    as the shape used when labels genuinely come from a different table
+    (then: the as-of join operator).
+
+    Both strategies produce identical rows (tested).
+    """
     cfg = cfg or PipelineConfig()
     feats = build_features(df, cfg)
-
-    labels = tlob_labels(
-        df.select(cfg.key_col, *cfg.order_cols, F.coalesce(F.length("text"), F.lit(0)).cast("double").alias("_p"))
+    price = (
+        F.coalesce(F.length("text"), F.lit(0)).cast("double")
         if price_col == "char_len"
-        else df.select(cfg.key_col, *cfg.order_cols, F.col(price_col).alias("_p")),
-        cfg,
-        price_col="_p",
-    ).select(cfg.key_col, "turn_idx", "label", "label_pct_change")
-
-    out = feats.join(labels, on=[cfg.key_col, "turn_idx"], how="inner").filter(
-        F.col("label").isNotNull()
+        else F.col(price_col)
     )
+
+    if strategy == "fused":
+        out = tlob_labels(feats.withColumn("_p", price), cfg, price_col="_p").filter(
+            F.col("label").isNotNull()
+        )
+    elif strategy == "join":
+        labels = tlob_labels(
+            df.select(cfg.key_col, *cfg.order_cols, price.alias("_p")),
+            cfg,
+            price_col="_p",
+        ).select(cfg.key_col, "turn_idx", "label", "label_pct_change")
+        out = feats.join(labels, on=[cfg.key_col, "turn_idx"], how="inner").filter(
+            F.col("label").isNotNull()
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy}")
+
     return out.select(
         cfg.key_col,
         "turn_idx",

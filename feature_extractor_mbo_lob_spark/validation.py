@@ -1,0 +1,83 @@
+"""Validation gates (reference: src/validation.rs:156-330 FeatureValidator,
+src/export_aligned/validation.rs:27-118 NaN/Inf scan + contract check).
+
+Spark restatement: audit columns + aggregate gates computed in ONE pass with
+``df.agg`` (or attached via ``observe`` so the gate costs nothing extra on
+the write path). A hard gate raises before anything is written.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+from .operators import ordering
+
+
+class ValidationError(RuntimeError):
+    pass
+
+
+def nan_inf_counts(df: DataFrame, cols: list[str]) -> dict[str, int]:
+    """Per-column NaN/Inf/null counts in one aggregate pass (reference:
+    scan_for_nan_inf, export_aligned/validation.rs:27-95)."""
+    aggs = [
+        F.sum(
+            (F.isnan(c) | F.col(c).isNull() | (F.abs(F.col(c)) == float("inf"))).cast("long")
+        ).alias(c)
+        for c in cols
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {c: int(row[c] or 0) for c in cols}
+
+
+def assert_no_nan_inf(df: DataFrame, cols: list[str]) -> None:
+    """Hard gate before export — any NaN/Inf/null in a feature column aborts
+    the write (reference hard-errors the day)."""
+    bad = {c: n for c, n in nan_inf_counts(df, cols).items() if n > 0}
+    if bad:
+        raise ValidationError(f"NaN/Inf/null in feature columns: {bad}")
+
+
+def assert_feature_contract(df: DataFrame, cfg: PipelineConfig) -> None:
+    """Width/shape gate (reference: validation.rs:101-118 — only configured
+    widths accepted)."""
+    from . import contract
+
+    contract.validate_feature_frame(df.columns, cfg.window_sizes)
+
+
+def monotonicity_violations(df: DataFrame, cfg: PipelineConfig) -> int:
+    """Count of rows whose ts regresses under the stable order (reference:
+    validate_timestamps, src/lib.rs:132-134)."""
+    w = ordering.stable_window(cfg)
+    prev = F.lag(cfg.ts_col).over(w)
+    return (
+        df.select((prev > F.col(cfg.ts_col)).cast("long").alias("v"))
+        .agg(F.sum("v").alias("n"))
+        .collect()[0]["n"]
+        or 0
+    )
+
+
+def audit_report(df: DataFrame, cfg: PipelineConfig, feature_cols: list[str]) -> dict:
+    """One-pass audit summary recorded into lineage manifests."""
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct(cfg.key_col).alias("keys"),
+    ]
+    for c in feature_cols:
+        aggs.append(
+            F.sum(
+                (F.isnan(c) | F.col(c).isNull() | (F.abs(F.col(c)) == float("inf"))).cast("long")
+            ).alias(f"bad_{c}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    bad = {c: int(row[f"bad_{c}"] or 0) for c in feature_cols}
+    return {
+        "rows": int(row["rows"]),
+        "keys": int(row["keys"]),
+        "bad_value_columns": {c: n for c, n in bad.items() if n > 0},
+        "monotonicity_violations": monotonicity_violations(df, cfg),
+    }

@@ -1,0 +1,122 @@
+"""Dedup + similarity search + text functions."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_mbo_lob_spark.functions import text as tx
+from feature_extractor_mbo_lob_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "THE  quick brown fox jumps over the lazy dog"),  # exact after norm
+        (3, "completely different text about spark windows and shuffles"),
+        (4, "el gato es un animal y la casa es grande"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r.keep_id: r for r in dedup.exact_dedup(docs).collect()}
+    assert out[0].n_copies == 2 and out[0].member_ids == [0, 2]
+    assert out[1].n_copies == 1
+    assert len(out) == 4
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (0, 1) in pairs and 0.3 <= pairs[(0, 1)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b): r.n_bands for r in
+             dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=8).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 8  # identical shingle sets
+    assert (0, 1) in pairs                          # near-dup shares some bands
+    assert (0, 4) not in pairs
+
+
+def test_minhash_signature_determinism(docs):
+    a = dedup.minhash_signatures(docs, num_hashes=4).orderBy("id").collect()
+    b = dedup.minhash_signatures(docs.repartition(5), num_hashes=4).orderBy("id").collect()
+    assert a == b
+
+
+def test_simhash_near_dups_close(docs):
+    sim = dedup.simhash(docs, k=2)
+    vals = {r.id: r.simhash for r in sim.collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert hamming(vals[0], vals[2]) == 0
+    assert hamming(vals[0], vals[1]) < hamming(vals[0], vals[3])
+    cands = {(r.id_a, r.id_b): r.hamming for r in
+             dedup.simhash_candidates(sim).collect()}
+    assert (0, 2) in cands and cands[(0, 2)] == 0
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # first two vectors double as IVF centroids (deterministic_centroids);
+    # x-axis cluster {0, 2, 4} and y-axis cluster {1, 3} are separable
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.95, 0.05]),
+        (4, [0.95, 0.05, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(vecs):
+    out = similarity.brute_force_topk(vecs, k=1)
+    top = {r.query_id: (r.neighbor_id, r.cos) for r in out.collect()}
+    assert top[0][0] == 4
+    assert top[1][0] == 3
+    # tolerance bounded below by the contract's DIVISION_GUARD_EPS (1e-8)
+    assert abs(top[0][1] - (0.95 / math.sqrt(0.95**2 + 0.05**2))) < 1e-7
+
+
+def test_ivf_topk_recall_on_separable_clusters(vecs):
+    bf = {r.query_id: r.neighbor_id for r in
+          similarity.brute_force_topk(vecs, k=1).collect()}
+    ivf = {r.query_id: r.neighbor_id for r in
+           similarity.ivf_topk(vecs, k=1, n_centroids=2).collect()}
+    for q in (0, 1, 2, 3, 4):
+        assert ivf[q] == bf[q]
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox, and the lazy dog!"),
+         (2, "el gato y la casa es de un perro que es grande"),
+         (3, "zzz qqq xxx")],
+        "id long, text string",
+    )
+    out = {r.id: r for r in df.select(
+        "id",
+        tx.token_count_ws("text").alias("tc"),
+        tx.token_count_bpe_ish("text").alias("tb"),
+        tx.lang_id("text").alias("lang"),
+        tx.quality_score("text").alias("q"),
+        tx.fingerprint("text").alias("fp"),
+    ).collect()}
+    assert out[1].tc == 8
+    assert out[1].tb == 10  # 8 words + comma + bang
+    assert out[1].lang == "en"
+    assert out[2].lang == "es"
+    assert out[3].lang == "und"
+    assert 0.0 <= out[3].q < out[1].q <= 1.0
+    # fingerprint is whitespace/case-insensitive
+    df2 = spark.createDataFrame([(1, "  THE quick   brown fox, and the lazy dog! ")],
+                                "id long, text string")
+    fp2 = df2.select(tx.fingerprint("text").alias("fp")).collect()[0].fp
+    assert fp2 == out[1].fp

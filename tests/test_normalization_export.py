@@ -1,0 +1,140 @@
+"""Normalization families, validation gates, export manifests + resume."""
+
+import json
+import math
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_mbo_lob_spark import normalization as norm
+from feature_extractor_mbo_lob_spark import validation as val
+from feature_extractor_mbo_lob_spark.config import PipelineConfig
+from feature_extractor_mbo_lob_spark.export import (
+    export_with_manifests,
+    input_fingerprint_for_path,
+    manifest_path,
+    valid_buckets,
+)
+
+CFG = PipelineConfig(window_sizes=(4,))
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [("a", i, float(i), float(i % 3)) for i in range(10)] + [
+        ("b", i, float(10 - i), 1.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, x double, y double")
+    return df.withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("turn_idx")))
+
+
+def test_zscore_cumulative_leakage_safe(frame):
+    out = norm.zscore_cumulative(frame, CFG, ["x"])
+    rows = {(r.conv_id, r.turn_idx): r.x_zn for r in out.collect()}
+    assert rows[("a", 0)] == 0.0  # single point: (x-x)/(0+eps)
+    # t=2 for conv a: mean(0,1,2)=1, popstd=sqrt(2/3)
+    want = (2.0 - 1.0) / (math.sqrt(2.0 / 3.0) + 1e-8)
+    assert abs(rows[("a", 2)] - want) < 1e-9
+
+
+def test_export_zscore_two_pass(frame):
+    out = norm.normalize_export(frame, ["x"], strategy="zscore")
+    vals = [r.x for r in out.collect()]
+    n = len(vals)
+    assert abs(sum(vals) / n) < 1e-9
+    assert abs(sum(v * v for v in vals) / n - 1.0) < 1e-9
+
+
+def test_export_minmax_and_categorical_skip(frame):
+    df = frame.withColumn("time_regime", F.col("y"))
+    stats = norm.compute_export_stats(df, ["x", "time_regime"])
+    out = norm.apply_export_normalization(
+        df, stats, {"x": "minmax", "time_regime": "zscore"}
+    )
+    rows = out.collect()
+    xs = [r.x for r in rows]
+    assert min(xs) == 0.0 and max(xs) == 1.0
+    # categorical column untouched despite requested zscore
+    assert sorted({r.time_regime for r in rows}) == [0.0, 1.0, 2.0]
+
+
+def test_rolling_session_zscore_uses_only_past_sessions(spark):
+    rows = []
+    for s in range(3):
+        for i in range(4):
+            rows.append(("a", s * 4 + i, s, float(s * 10 + i)))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, session_id int, x double")
+    out = norm.zscore_rolling_sessions(df, CFG, ["x"], n_sessions=2)
+    got = {r.turn_idx: r.x_rzn for r in out.collect()}
+    for i in range(4):  # first session has no history -> 0.0
+        assert got[i] == 0.0
+    # session 1 normalized by session 0 stats: mean=1.5, popstd=sqrt(1.25)
+    want = (10.0 - 1.5) / (math.sqrt(1.25) + 1e-8)
+    assert abs(got[4] - want) < 1e-9
+
+
+def test_global_zscore_rowwise(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id long, features array<double>")
+    out = df.transform(norm.global_zscore_rowwise).collect()[0].features_gz
+    assert abs(sum(out)) < 1e-7
+    assert abs(out[1]) < 1e-7
+
+
+def test_nan_gate(spark, frame):
+    val.assert_no_nan_inf(frame, ["x", "y"])
+    bad = frame.withColumn("x", F.when(F.col("turn_idx") == 3, float("nan")).otherwise(F.col("x")))
+    with pytest.raises(val.ValidationError, match="x"):
+        val.assert_no_nan_inf(bad, ["x", "y"])
+
+
+def test_monotonicity(frame, spark):
+    assert val.monotonicity_violations(frame, CFG) == 0
+    shuffled = frame.withColumn(
+        "ts", F.when(F.col("turn_idx") == 5, F.timestamp_seconds(F.lit(0))).otherwise(F.col("ts"))
+    )
+    assert val.monotonicity_violations(shuffled, CFG) == 2  # regression + recovery
+
+
+def test_export_manifests_and_resume(tmp_path, frame):
+    out_dir = str(tmp_path / "exp")
+    fp = "fingerprint-v1"
+    rep1 = export_with_manifests(frame, CFG, out_dir, fp, n_buckets=4)
+    assert rep1["rows"] == 20 and not rep1["skipped_buckets"]
+    written = rep1["written_buckets"]
+    assert written and all(manifest_path(out_dir, b).exists() for b in written)
+
+    m = json.loads(manifest_path(out_dir, written[0]).read_text())
+    assert m["config_hash"] == CFG.config_hash()
+    assert m["input_fingerprint"] == fp
+    assert m["rows"] > 0 and m["value_checksum"]
+
+    # resume: same config+input -> everything skipped
+    rep2 = export_with_manifests(frame, CFG, out_dir, fp, n_buckets=4)
+    assert rep2["rows"] == 0 and rep2["skipped_buckets"] == written
+
+    # changed input fingerprint invalidates manifests
+    rep3 = export_with_manifests(frame, CFG, out_dir, "fingerprint-v2", n_buckets=4)
+    assert rep3["rows"] == 20
+
+    # data actually readable and complete
+    spark = frame.sparkSession
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 20
+
+
+def test_valid_buckets_rejects_config_change(tmp_path, frame):
+    out_dir = str(tmp_path / "exp2")
+    export_with_manifests(frame, CFG, out_dir, "fp", n_buckets=2)
+    other_cfg = PipelineConfig(window_sizes=(8,))
+    assert valid_buckets(out_dir, CFG.config_hash(), "fp")
+    assert not valid_buckets(out_dir, other_cfg.config_hash(), "fp")
+
+
+def test_input_fingerprint_changes_with_data(tmp_path, spark, frame):
+    p = str(tmp_path / "src")
+    frame.write.mode("overwrite").parquet(p)
+    f1 = input_fingerprint_for_path(spark, p)
+    frame.limit(5).write.mode("overwrite").parquet(p)
+    f2 = input_fingerprint_for_path(spark, p)
+    assert f1 != f2

@@ -1,0 +1,205 @@
+"""Unit tests: as-of join, ffill/bfill, samplers, interval assignment,
+lifecycle pairing, sequences."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_mbo_lob_spark.config import PipelineConfig
+from feature_extractor_mbo_lob_spark.operators import asof, lifecycle, sampling, sequence
+from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+
+T0 = dt.datetime(2024, 1, 1)
+CFG = PipelineConfig(window_sizes=(4,))
+
+
+def ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    rows = [
+        ("a", 0, "user", "hello world", None, ts(0)),
+        ("a", 1, "assistant", "hi", "t1", ts(10)),       # invoke t1
+        ("a", 2, "tool", "result one", "t1", ts(12)),    # result t1
+        ("a", 3, "assistant", "done", "t2", ts(20)),     # invoke t2 (no result)
+        ("a", 4, "user", "more", None, ts(30)),
+        ("a", 5, "assistant", "go", "t1", ts(40)),       # invoke t1 again
+        ("a", 6, "tool", "result two", "t1", ts(45)),    # result t1 #2
+        ("b", 0, "user", "solo conversation", None, ts(0)),
+    ]
+    return spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+
+
+# --- as-of join ---------------------------------------------------------------
+
+def test_asof_backward(spark, turns):
+    right = spark.createDataFrame(
+        [("a", ts(5), 1.0), ("a", ts(12), 2.0), ("a", ts(45), 3.0)],
+        "conv_id string, ts timestamp, v double",
+    )
+    out = asof.asof_join(turns, right, key="conv_id", ts="ts", value_cols=["v"])
+    got = {(r.conv_id, r.turn_idx): r.v_asof for r in out.collect()}
+    assert got[("a", 0)] is None          # no right row at/before ts 0
+    assert got[("a", 1)] == 1.0
+    assert got[("a", 2)] == 2.0           # inclusive at equal ts
+    assert got[("a", 4)] == 2.0
+    assert got[("a", 6)] == 3.0
+    assert got[("b", 0)] is None          # key isolation
+
+
+def test_asof_forward(spark, turns):
+    right = spark.createDataFrame(
+        [("a", ts(12), 2.0)], "conv_id string, ts timestamp, v double"
+    )
+    out = asof.asof_join(turns, right, key="conv_id", ts="ts",
+                         value_cols=["v"], direction="forward")
+    got = {(r.conv_id, r.turn_idx): r.v_asof for r in out.collect()}
+    assert got[("a", 0)] == 2.0
+    assert got[("a", 2)] == 2.0           # inclusive
+    assert got[("a", 3)] is None
+
+
+def test_ffill_bfill(spark, turns):
+    sparse = turns.withColumn(
+        "x", F.when(F.col("role") == "tool", F.length("text").cast("double"))
+    )
+    f = {r.turn_idx: r.x_ffill for r in asof.ffill(sparse, CFG, ["x"])
+         .filter(F.col("conv_id") == "a").collect()}
+    assert f[0] is None and f[1] is None
+    assert f[2] == 10.0 and f[3] == 10.0 and f[5] == 10.0
+    assert f[6] == 10.0  # "result two" length
+    b = {r.turn_idx: r.x_bfill for r in asof.bfill(sparse, CFG, ["x"])
+         .filter(F.col("conv_id") == "a").collect()}
+    assert b[0] == 10.0 and b[3] == 10.0 and b[6] == 10.0
+
+
+# --- samplers -----------------------------------------------------------------
+
+def test_event_sampler(turns):
+    out = sampling.event_sample_flag(turns, CFG, n=3)
+    got = {(r.conv_id, r.turn_idx): r.is_sample for r in out.collect()}
+    assert [got[("a", i)] for i in range(7)] == [0, 0, 1, 0, 0, 1, 0]
+
+
+def test_volume_sampler_cumsum_form(spark):
+    rows = [("a", i, "user", "x" * ln, None, ts(i)) for i, ln in
+            enumerate([40, 40, 40, 10, 100, 5])]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA).withColumn(
+        "char_len", F.length("text").cast("double")
+    )
+    out = sampling.volume_sample_flag(df, CFG, target=100.0)
+    got = [r.is_sample for r in out.orderBy("turn_idx").collect()]
+    # cumsum: 40 80 120 130 230 235 -> buckets 0 0 1 1 2 2 -> fires at idx 2, 4
+    assert got == [0, 0, 1, 0, 1, 0]
+
+
+def test_volume_sampler_exact_replay(spark):
+    rows = [("a", i, "user", "x" * ln, None, ts(i)) for i, ln in
+            enumerate([40, 40, 40, 10, 100, 5])]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA).withColumn(
+        "char_len", F.length("text").cast("double")
+    )
+    out = sampling.volume_sample_flag_exact(df, CFG, target=100.0)
+    got = [r.is_sample for r in out.orderBy("turn_idx").collect()]
+    # acc: 40 80 120* ->0; 10 110* ->0; 5  => fires at idx 2 and 4
+    assert got == [0, 0, 1, 0, 1, 0]
+    # reset-on-fire differs from cumsum form when remainders accumulate
+    rows2 = [("a", i, "user", "x" * ln, None, ts(i)) for i, ln in
+             enumerate([60, 60, 60, 60])]
+    df2 = spark.createDataFrame(rows2, schema=TRANSCRIPT_SCHEMA).withColumn(
+        "char_len", F.length("text").cast("double")
+    )
+    exact = [r.is_sample for r in
+             sampling.volume_sample_flag_exact(df2, CFG, target=100.0)
+             .orderBy("turn_idx").collect()]
+    assert exact == [0, 1, 0, 1]  # acc 60 120*; 60 120*
+
+
+def test_interval_assignment(turns):
+    flagged = sampling.event_sample_flag(turns, CFG, n=3)
+    out = sampling.assign_sample_intervals(flagged, CFG)
+    got = {(r.conv_id, r.turn_idx): r.sample_id for r in out.collect()}
+    # fires at idx 2 and 5; rows 0-2 -> interval 0, 3-5 -> 1, 6 -> 2
+    assert [got[("a", i)] for i in range(7)] == [0, 0, 0, 1, 1, 1, 2]
+
+
+def test_interval_aggregate_drains_on_fired_rows(turns):
+    flagged = sampling.event_sample_flag(
+        turns.withColumn("char_len", F.length("text").cast("double")), CFG, n=3
+    )
+    out = sampling.interval_aggregate(
+        flagged, CFG, aggs=[F.sum("char_len").alias("chars"), F.count(F.lit(1)).alias("n")]
+    )
+    got = {(r.conv_id, r.turn_idx): (r.chars, r.n) for r in out.collect()}
+    assert got[("a", 2)] == (11.0 + 2.0 + 10.0, 3)
+    assert got[("a", 5)] == (4.0 + 4.0 + 2.0, 3)
+    assert ("a", 6) not in got  # unfired tail never drains
+
+
+# --- lifecycle ------------------------------------------------------------------
+
+def test_tool_episode_pairing(turns):
+    ep = lifecycle.tool_episodes(turns, CFG)
+    rows = {(r.conv_id, r.tool, r.episode_rank): r for r in ep.collect()}
+    e1 = rows[("a", "t1", 1)]
+    assert e1.invoke_turn_idx == 1 and e1.result_turn_idx == 2
+    assert e1.latency_s == 2.0 and e1.gap_turns == 1 and e1.completed == 1
+    e2 = rows[("a", "t1", 2)]
+    assert e2.invoke_turn_idx == 5 and e2.result_turn_idx == 6 and e2.latency_s == 5.0
+    e3 = rows[("a", "t2", 1)]
+    assert e3.result_turn_idx is None and e3.completed == 0
+
+
+def test_episode_stats(turns):
+    st = {r.conv_id: r for r in lifecycle.episode_stats(turns, CFG).collect()}
+    a = st["a"]
+    assert a.n_episodes == 3 and a.n_completed == 2
+    assert abs(a.completion_ratio - 2 / 3) < 1e-12
+    assert abs(a.mean_latency_s - 3.5) < 1e-12
+    assert "b" not in st  # no tool calls
+
+
+def test_active_episode_count(turns):
+    out = lifecycle.with_active_episode_count(turns, CFG)
+    got = {(r.conv_id, r.turn_idx): r.active_episodes for r in out.collect()}
+    assert [got[("a", i)] for i in range(7)] == [0, 1, 0, 1, 1, 2, 1]
+
+
+# --- sequences -------------------------------------------------------------------
+
+def test_sequence_builder(spark):
+    rows = [("a", i, "user", "x", None, ts(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA).withColumn(
+        "f1", F.col("turn_idx").cast("double")
+    )
+    seq = sequence.build_sequences(df, CFG, ["f1"], window=4, stride=2)
+    got = {r.end_turn_idx: r for r in seq.collect()}
+    assert sorted(got) == [3, 5, 7, 9]
+    assert [v[0] for v in got[5].sequence] == [2.0, 3.0, 4.0, 5.0]
+    assert got[9].seq_len == 4 and got[9].duration_s == 3.0
+
+
+def test_multiscale_decimation(spark):
+    cfg = PipelineConfig(window_sizes=(4,), multiscale_decimation=(1, 2))
+    rows = [("a", i, "user", "x", None, ts(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA).withColumn(
+        "f1", F.col("turn_idx").cast("double")
+    )
+    seq = sequence.build_multiscale_sequences(df, cfg, ["f1"], window=3, stride=1)
+    d2 = [r for r in seq.collect() if r.scale == 2]
+    # decimation 2 keeps turns 0,2,4,...; windows of 3 kept samples
+    ends = sorted(r.end_turn_idx for r in d2)
+    assert ends == [4, 6, 8, 10]
+    r = [x for x in d2 if x.end_turn_idx == 8][0]
+    assert [v[0] for v in r.sequence] == [4.0, 6.0, 8.0]
+
+
+def test_horizon_aware_params():
+    lb, st = sequence.horizon_aware_params(horizon=100, base_lookback=64,
+                                           scale=2.0, target_len=32)
+    assert lb == 200 and st == 6
+    lb, _ = sequence.horizon_aware_params(horizon=1000, max_lookback=512)
+    assert lb == 512

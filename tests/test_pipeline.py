@@ -86,3 +86,9 @@ def test_state_isolation_between_conversations(spark, transcripts):
     a = {r.turn_idx: [r[c] for c in fcols] for r in full.collect()}
     b = {r.turn_idx: [r[c] for c in fcols] for r in alone.collect()}
     assert a == b
+
+
+def test_fused_equals_join_strategy(transcripts):
+    a = _collect_sorted(flagship_pipeline(transcripts, CFG, strategy="fused"))
+    b = _collect_sorted(flagship_pipeline(transcripts, CFG, strategy="join"))
+    assert a == b
