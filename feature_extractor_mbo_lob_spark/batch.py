@@ -1,0 +1,103 @@
+"""Batch run orchestration: metrics, error modes, quarantine.
+
+Reference: BatchProcessor (src/batch.rs:914-1035) — Rayon pool over files,
+FailFast vs CollectErrors, progress callbacks, throughput/speedup metrics.
+
+Spark restatement: Spark's scheduler owns parallelism; what remains is
+(a) run-level metrics (rows, wall, throughput) from observed metrics,
+(b) the error-mode policy: fail_fast raises on the first bad partition,
+collect_errors quarantines malformed input rows into a side table and
+continues — the task-retry analog of CollectErrors.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+
+
+@dataclass
+class RunMetrics:
+    rows_in: int = 0
+    rows_out: int = 0
+    rows_quarantined: int = 0
+    wall_sec: float = 0.0
+    throughput_rows_per_sec: float = 0.0
+    errors: list[str] = field(default_factory=list)
+
+
+def split_quarantine(df: DataFrame, cfg: PipelineConfig,
+                     mode: str = "collect_errors") -> tuple[DataFrame, DataFrame]:
+    """Separate structurally-bad rows (null key/order/ts, negative turn_idx)
+    from good ones. mode='fail_fast' raises if any bad row exists
+    (reference: ErrorMode, src/batch.rs:132-145)."""
+    bad_cond = (
+        F.col(cfg.key_col).isNull()
+        | F.col("turn_idx").isNull()
+        | (F.col("turn_idx") < 0)
+        | F.col(cfg.ts_col).isNull()
+    )
+    bad = df.filter(bad_cond)
+    good = df.filter(~bad_cond)
+    if mode == "fail_fast":
+        n = bad.limit(1).count()
+        if n:
+            raise RuntimeError("fail_fast: malformed input rows present")
+    elif mode != "collect_errors":
+        raise ValueError(f"unknown error mode {mode}")
+    return good, bad
+
+
+def run_job(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    build_fn,
+    sink_fn,
+    mode: str = "collect_errors",
+    quarantine_path: str | None = None,
+) -> RunMetrics:
+    """Clean -> build -> sink with metrics; quarantined rows optionally
+    written to a side table (the bad-partition quarantine of SURVEY §3.3)."""
+    m = RunMetrics()
+    t0 = time.time()
+    good, bad = split_quarantine(df, cfg, mode=mode)
+    m.rows_in = df.count()
+    m.rows_quarantined = bad.count()
+    if quarantine_path and m.rows_quarantined:
+        bad.write.mode("overwrite").parquet(quarantine_path)
+    out = build_fn(good, cfg)
+    m.rows_out = sink_fn(out)
+    m.wall_sec = round(time.time() - t0, 3)
+    m.throughput_rows_per_sec = round(m.rows_in / m.wall_sec, 1) if m.wall_sec else 0.0
+    return m
+
+
+def chronological_split(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    train: float = 0.7,
+    val: float = 0.15,
+    split_col: str = "split",
+) -> DataFrame:
+    """Chronological train/val/test tagging by global time quantile
+    (reference: SplitConfig ratios over days, configs/nvda_98feat.toml:80-84).
+    Implemented as two scalar time cutoffs from one aggregate — no global
+    sort, no total-order window (which would single-task at scale)."""
+    # scalar cutoffs via exact percentiles of epoch micros (single agg)
+    us = F.unix_micros(F.col(cfg.ts_col).cast("timestamp"))
+    row = df.agg(
+        F.percentile(us, F.lit(train)).alias("c1"),
+        F.percentile(us, F.lit(train + val)).alias("c2"),
+    ).collect()[0]
+    c1, c2 = row["c1"], row["c2"]
+    return df.withColumn(
+        split_col,
+        F.when(us <= F.lit(c1), F.lit("train"))
+        .when(us <= F.lit(c2), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -50,13 +50,15 @@ def tool_episodes(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.col(cfg.ts_col).alias("result_ts"),
     )
     ep = inv.join(res, on=[cfg.key_col, "tool", "episode_rank"], how="left")
-    lat = (
-        F.unix_micros(F.col("result_ts").cast("timestamp"))
-        - F.unix_micros(F.col("invoke_ts").cast("timestamp"))
-    ) / 1e6
+    lat_us = F.unix_micros(F.col("result_ts").cast("timestamp")) - F.unix_micros(
+        F.col("invoke_ts").cast("timestamp")
+    )
     return ep.select(
         "*",
-        F.when(F.col("result_turn_idx").isNotNull(), lat).cast("double").alias("latency_s"),
+        # integer microseconds kept alongside: aggregates over it are exact
+        # (sums of ints < 2^53), which keeps cross-engine parity bit-stable
+        F.when(F.col("result_turn_idx").isNotNull(), lat_us).cast("long").alias("latency_us"),
+        F.when(F.col("result_turn_idx").isNotNull(), lat_us / 1e6).cast("double").alias("latency_s"),
         (F.col("result_turn_idx") - F.col("invoke_turn_idx")).cast("int").alias("gap_turns"),
         F.col("result_turn_idx").isNotNull().cast("int").alias("completed"),
     )
@@ -71,8 +73,9 @@ def episode_stats(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.count(F.lit(1)).alias("n_episodes"),
         F.sum("completed").cast("long").alias("n_completed"),
         F.avg("completed").cast("double").alias("completion_ratio"),
-        F.avg("latency_s").cast("double").alias("mean_latency_s"),
-        F.percentile("latency_s", F.lit(0.5)).cast("double").alias("median_latency_s"),
+        # aggregate exact integer micros, convert once — order-independent
+        (F.avg("latency_us") / 1e6).cast("double").alias("mean_latency_s"),
+        (F.percentile("latency_us", F.lit(0.5)) / 1e6).cast("double").alias("median_latency_s"),
         F.avg("gap_turns").cast("double").alias("mean_gap_turns"),
     )
 

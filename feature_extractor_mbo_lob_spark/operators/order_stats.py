@@ -1,0 +1,126 @@
+"""Rolling order statistics (percentiles + large-turn ratio) — the engine's
+hottest computation, with two exact implementations:
+
+* native  — JVM window: ONE collect_list per frame, array_sort, interpolate
+  (operators/rolling.py). Zero Python, but allocates + sorts a w-element
+  array PER ROW — profiled at ~85% of feature-stage time at w=128.
+* pandas  — vectorized numpy per conversation via applyInPandas:
+  sliding_window_view + np.quantile(axis=1) computes every frame's four
+  percentiles and the strictly-greater count in tight C loops, one Arrow
+  batch per conversation. Same interpolation formula (linear at q*(n-1)),
+  allclose-identical output (tested).
+
+Both are EXACT; choose with PipelineConfig-level wiring (plans use pandas
+for the throughput path; the oracle-checked queries keep native to prove the
+JVM formulation too).
+
+Reference analog: the ring buffer's lazily-sorted percentile cache
+(src/features/mbo_features/window.rs:170-187).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import PipelineConfig
+
+QS = (0.25, 0.50, 0.75, 0.90)
+
+
+def _stat_cols(window_sizes) -> list[str]:
+    cols = []
+    for w in window_sizes:
+        cols += [f"char_p25_w{w}", f"char_p50_w{w}", f"char_p75_w{w}",
+                 f"char_p90_w{w}", f"large_turn_ratio_w{w}"]
+    return cols
+
+
+def _group_order_stats(x: np.ndarray, w: int) -> dict[str, np.ndarray]:
+    """Exact rolling percentiles + strictly-greater-than-p90 ratio for one
+    ordered series with trailing frames of size w (partial at the start).
+
+    Fully vectorized including partial head frames: the series is left-padded
+    with +inf, every sorted sliding window then holds its real values first
+    (infs sort to the tail), and per-row variable-size quantile gathers use
+    the effective frame length m = min(i+1, w). No Python loop — this is what
+    makes short conversations cheap.
+    """
+    n = len(x)
+    out = {}
+    padded = np.concatenate([np.full(w - 1, np.inf), x])
+    sw = np.sort(np.lib.stride_tricks.sliding_window_view(padded, w), axis=1)  # (n, w)
+    rows = np.arange(n)
+    m = np.minimum(rows + 1, w).astype(np.float64)
+
+    # explicit vlo + frac*(vhi-vlo) — bit-identical to the JVM/DuckDB
+    # formulation (np.quantile's symmetric lerp differs by 1 ulp)
+    for q in QS:
+        idx = (m - 1) * q
+        lo = np.floor(idx).astype(np.int64)
+        frac = idx - lo
+        hi = np.minimum(lo + 1, (m - 1).astype(np.int64))
+        vlo = sw[rows, lo]
+        vhi = sw[rows, hi]
+        out[q] = vlo + frac * (vhi - vlo)
+
+    # strictly-greater count among real values: inf pads always exceed p90,
+    # so subtract the pad count (w - m)
+    gt = (sw > out[0.90][:, None]).sum(axis=1) - (w - m)
+    ratio = gt / m
+
+    res = {f"char_p{int(q * 100)}": out[q] for q in QS}
+    res["large_turn_ratio"] = ratio
+    return res
+
+
+def with_order_stats_pandas(df: DataFrame, cfg: PipelineConfig,
+                            value_col: str = "char_len",
+                            n_buckets: int | None = None) -> DataFrame:
+    """Adds the 5 order-stat columns per configured window.
+
+    Super-grouped: one Arrow batch per conversation-BUCKET (hash(conv) % P),
+    with a per-conversation numpy loop inside — per-group Spark/pandas
+    machinery is paid P times, not once per conversation (there can be 10^8
+    conversations; there are only ~thousands of buckets). Mega-conversations
+    are bounded by the same chunking contract as operators/skew.py upstream.
+    """
+    from pyspark.sql import functions as F
+
+    order_cols = list(cfg.order_cols)
+    windows = tuple(cfg.window_sizes)
+    sort_cols = [cfg.key_col] + order_cols
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema += ", " + ", ".join(f"{c} double" for c in _stat_cols(windows))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        x_all = pdf[value_col].to_numpy(dtype=np.float64)
+        keys = pdf[cfg.key_col].to_numpy()
+        # conversation boundaries within the sorted bucket
+        change = np.empty(len(keys), dtype=bool)
+        if len(keys):
+            change[0] = True
+            change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(keys))
+        cols = {c: np.empty(len(keys)) for c in _stat_cols(windows)}
+        for s, e in zip(starts, ends):
+            x = x_all[s:e]
+            for w in windows:
+                stats = _group_order_stats(x, w)
+                for name, arr in stats.items():
+                    cols[f"{name}_w{w}"][s:e] = arr
+        for c, arr in cols.items():
+            pdf[c] = arr
+        return pdf
+
+    if n_buckets is None:
+        sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_buckets = max(sp * 4, 64)
+    bucketed = df.withColumn(
+        "_osb", F.pmod(F.xxhash64(cfg.key_col), F.lit(n_buckets)).cast("int")
+    )
+    out_schema = "_osb int, " + schema
+    return bucketed.groupBy("_osb").applyInPandas(fn, schema=out_schema).drop("_osb")

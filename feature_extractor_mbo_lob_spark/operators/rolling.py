@@ -41,7 +41,8 @@ def _sliding_sum(cum_col: Column, w, n: int) -> Column:
     return cum_col - F.coalesce(F.lag(cum_col, n).over(w), F.lit(0.0))
 
 
-def with_rolling_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def with_rolling_features(df: DataFrame, cfg: PipelineConfig,
+                          include_order_stats: bool = True) -> DataFrame:
     """Adds ROLLING_FEATURES with suffix _w{n} for every configured window.
 
     Requires ``char_len`` (added by state.with_state_features) and the raw
@@ -107,6 +108,26 @@ def with_rolling_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         )
         hhi = F.when(sum_x > 0, sum_x2 / (sum_x * sum_x)).otherwise(F.lit(0.0))
 
+        sfx = f"_w{n}"
+        sum_cols = [
+            (cnt / dur).cast("double").alias("turn_rate" + sfx),
+            (n_user / cnt).cast("double").alias("user_frac" + sfx),
+            (n_assistant / cnt).cast("double").alias("assistant_frac" + sfx),
+            (n_tool / dur).cast("double").alias("tool_rate" + sfx),
+            (n_flip / cnt).cast("double").alias("role_flip_rate" + sfx),
+            mean.cast("double").alias("char_mean" + sfx),
+            std.cast("double").alias("char_std" + sfx),
+            ((x - mean) / (std + F.lit(DIVISION_GUARD_EPS))).cast("double").alias("char_zscore" + sfx),
+            skew.cast("double").alias("char_skew" + sfx),
+            hhi.cast("double").alias("char_hhi" + sfx),
+        ]
+
+        if not include_order_stats:
+            # order stats supplied separately (operators/order_stats.py
+            # pandas path); emit only the prefix-sum features here
+            df = df.select("*", *sum_cols)
+            continue
+
         # order statistics: the one genuinely frame-bound computation.
         # ONE collect_list per frame, sorted once (a materialized helper so
         # the Window exec evaluates it exactly once); all four percentiles
@@ -129,23 +150,13 @@ def with_rolling_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         p90 = pct(0.90)
         large_ratio = F.size(F.filter("_sarr", lambda e: e > p90)).cast("double") / cnt
 
-        sfx = f"_w{n}"
         df = df.select(
             "*",
-            (cnt / dur).cast("double").alias("turn_rate" + sfx),
-            (n_user / cnt).cast("double").alias("user_frac" + sfx),
-            (n_assistant / cnt).cast("double").alias("assistant_frac" + sfx),
-            (n_tool / dur).cast("double").alias("tool_rate" + sfx),
-            (n_flip / cnt).cast("double").alias("role_flip_rate" + sfx),
-            mean.cast("double").alias("char_mean" + sfx),
-            std.cast("double").alias("char_std" + sfx),
-            ((x - mean) / (std + F.lit(DIVISION_GUARD_EPS))).cast("double").alias("char_zscore" + sfx),
+            *sum_cols,
             pct(0.25).cast("double").alias("char_p25" + sfx),
             pct(0.50).cast("double").alias("char_p50" + sfx),
             pct(0.75).cast("double").alias("char_p75" + sfx),
             p90.cast("double").alias("char_p90" + sfx),
-            skew.cast("double").alias("char_skew" + sfx),
-            hhi.cast("double").alias("char_hhi" + sfx),
             large_ratio.cast("double").alias("large_turn_ratio" + sfx),
         ).drop("_sarr")
     return df.drop(*helper)

@@ -36,7 +36,14 @@ def with_state_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     cum = ordering.cumulative(cfg)
     us = ordering.epoch_us(cfg.ts_col)
 
-    char_len = F.coalesce(F.length("text"), F.lit(0)).cast("double")
+    # accept a pre-computed char_len (narrow-projection path: `text` dropped
+    # before the shuffle so the sort moves ~40B rows instead of ~150B)
+    has_char_len = "char_len" in df.columns
+    char_len = (
+        F.col("char_len")
+        if has_char_len
+        else F.coalesce(F.length("text"), F.lit(0)).cast("double")
+    )
     is_user = (F.col("role") == "user").cast("double")
     is_assistant = (F.col("role") == "assistant").cast("double")
     is_tool = (F.col("role") == "tool").cast("double")
@@ -50,7 +57,7 @@ def with_state_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     return df.select(
         "*",
-        char_len.alias("char_len"),
+        *([] if has_char_len else [char_len.alias("char_len")]),
         (F.row_number().over(w) - 1).cast("double").alias("turn_pos"),
         turns.alias("turns_so_far"),
         u.alias("user_turns_so_far"),

@@ -1,0 +1,138 @@
+"""Volatility estimators + adaptive sampling thresholds.
+
+Reference: VolatilityEstimator (src/preprocessing/volatility.rs:181-248 —
+rolling log-return sample std with a min-std floor), the experimental
+volatility computer (src/features/experimental/volatility.rs:40-50, 245-300 —
+fast/slow vol, ratio, momentum, return autocorrelation) and the adaptive
+threshold sampler (src/preprocessing/adaptive_sampling.rs:315-420 — baseline
+vol = median of the calibration prefix, threshold = base * clamp(vol/baseline,
+0.2, 5.0)).
+
+All native window algebra: log-returns via lag, stds over trailing frames,
+autocorrelation via windowed corr of (r, lag(r)); the two-pass calibration is
+a per-key prefix aggregate broadcast back (no sequential state needed because
+the baseline is a pure function of the first K samples).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..contract import DIVISION_GUARD_EPS, MIN_STD
+from . import ordering
+
+
+def with_log_returns(df: DataFrame, cfg: PipelineConfig, price_col: str,
+                     out: str = "log_ret") -> DataFrame:
+    w = ordering.stable_window(cfg)
+    prev = F.lag(price_col).over(w)
+    return df.withColumn(
+        out,
+        F.when(
+            prev.isNotNull() & (prev > 0) & (F.col(price_col) > 0),
+            F.log(F.col(price_col) / prev),
+        ).otherwise(F.lit(0.0)).cast("double"),
+    )
+
+
+def with_volatility(df: DataFrame, cfg: PipelineConfig, price_col: str = "value",
+                    fast: int = 8, slow: int = 32, min_periods: int = 3) -> DataFrame:
+    """Adds log_ret, vol_fast, vol_slow (sample std over trailing frames with
+    the reference's min-std floor), vol_ratio, ret_autocorr_fast."""
+    df = with_log_returns(df, cfg, price_col)
+    w = ordering.stable_window(cfg)
+    r = F.col("log_ret")
+    r1 = F.lag("log_ret").over(w)
+    df = df.withColumn("_r1", r1)
+
+    out_cols = []
+    for name, n in (("vol_fast", fast), ("vol_slow", slow)):
+        fr = ordering.trailing(cfg, n)
+        cnt = F.count(r).over(fr)
+        std = F.stddev_samp(r).over(fr)  # sample std (reference: volatility.rs:236-248)
+        out_cols.append(
+            F.when(cnt >= min_periods, F.greatest(std, F.lit(MIN_STD)))
+            .otherwise(F.lit(0.0)).cast("double").alias(name)
+        )
+    fr_fast = ordering.trailing(cfg, fast)
+    autocorr = F.corr(r, F.col("_r1")).over(fr_fast)
+    out_cols.append(F.coalesce(autocorr, F.lit(0.0)).cast("double").alias("ret_autocorr_fast"))
+
+    df = df.select("*", *out_cols).drop("_r1")
+    return df.withColumn(
+        "vol_ratio",
+        (F.col("vol_fast") / (F.col("vol_slow") + F.lit(DIVISION_GUARD_EPS))).cast("double"),
+    )
+
+
+def with_adaptive_threshold(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    vol_col: str = "vol_fast",
+    base_threshold: float | None = None,
+    calibration_rows: int = 32,
+    lo: float = 0.2,
+    hi: float = 5.0,
+) -> DataFrame:
+    """Two-pass adaptive sampler threshold: per-key baseline = median vol of
+    the first `calibration_rows` rows (pass 1, tiny aggregate broadcast
+    back), then threshold = base * clamp(vol/baseline, lo, hi) (pass 2)."""
+    base = cfg.volume_target if base_threshold is None else base_threshold
+    w = ordering.stable_window(cfg)
+    with_rn = df.withColumn("_rn", F.row_number().over(w))
+    baseline = (
+        with_rn.filter(F.col("_rn") <= calibration_rows)
+        .groupBy(cfg.key_col)
+        .agg(F.percentile(vol_col, F.lit(0.5)).alias("_baseline_vol"))
+    )
+    out = with_rn.join(F.broadcast(baseline), on=cfg.key_col, how="left")
+    scale = F.col(vol_col) / (F.col("_baseline_vol") + F.lit(DIVISION_GUARD_EPS))
+    clamped = F.least(F.greatest(scale, F.lit(lo)), F.lit(hi))
+    return out.withColumn(
+        "adaptive_threshold",
+        F.when(F.col("_baseline_vol").isNotNull() & (F.col("_baseline_vol") > 0),
+               F.lit(base) * clamped)
+        .otherwise(F.lit(base)).cast("double"),
+    ).drop("_rn", "_baseline_vol")
+
+
+def role_transition_matrix(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Per-conversation from-role -> to-role transition counts and rates —
+    the transcript analog of multi-level OFI (signed per-level flow deltas,
+    reference src/features/order_flow.rs ~430-700): the full flow field
+    instead of one net number."""
+    w = ordering.stable_window(cfg)
+    pairs = df.select(
+        F.col(cfg.key_col),
+        F.lag("role").over(w).alias("from_role"),
+        F.col("role").alias("to_role"),
+    ).filter(F.col("from_role").isNotNull())
+    counts = pairs.groupBy(cfg.key_col, "from_role", "to_role").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy(cfg.key_col).agg(F.sum("n").alias("_total"))
+    return (
+        counts.join(totals, on=cfg.key_col)
+        .withColumn("rate", (F.col("n") / F.col("_total")).cast("double"))
+        .drop("_total")
+    )
+
+
+def tool_usage_hhi(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Per-conversation tool-usage concentration (HHI over tool call counts)
+    — analog of the institutional clustering HHI (reference:
+    src/features/experimental/institutional_v2.rs:336-430)."""
+    counts = (
+        df.filter(F.col("tool").isNotNull())
+        .groupBy(cfg.key_col, "tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.groupBy(cfg.key_col).agg(
+        (F.sum(F.col("n") * F.col("n")) / (F.sum("n") * F.sum("n")))
+        .cast("double")
+        .alias("tool_hhi"),
+        F.count(F.lit(1)).alias("n_tools"),
+        F.sum("n").alias("n_tool_calls"),
+    )

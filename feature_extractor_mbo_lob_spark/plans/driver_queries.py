@@ -375,3 +375,910 @@ ORACLES = {
     "pricing_summary": O_PRICING_SUMMARY,
     "dedup_exact": O_DEDUP_EXACT,
 }
+
+
+# =============================================================================
+# Batch 2: labeling family, lifecycle, normalization, text/dedup/ANN, splits
+# =============================================================================
+
+from ..labeling import (  # noqa: E402
+    deeplob_labels,
+    label_stats,
+    magnitude_labels,
+    multi_horizon_labels,
+    opportunity_labels,
+    triple_barrier_labels,
+)
+from ..labeling.multi_horizon import intersect_valid  # noqa: E402
+from ..operators import lifecycle, dedup, similarity  # noqa: E402
+from ..functions import text as tx  # noqa: E402
+from .. import normalization as norm  # noqa: E402
+from ..batch import chronological_split  # noqa: E402
+
+
+def _t(spark, sf_dir):
+    return transcripts_from_events(spark, sf_dir)
+
+
+# --- 11. DeepLOB labels -------------------------------------------------------
+
+def q_deeplob_labels(spark, sf_dir):
+    lab = deeplob_labels(_t(spark, sf_dir).withColumn("p", F.col("value")),
+                         CFG, price_col="p", k=3, theta=0.01, method=1)
+    return lab.filter(F.col("dl_label").isNotNull()).select(
+        "conv_id", "turn_idx",
+        F.col("dl_label").cast("int").alias("label"),
+        _r6(F.col("dl_label_pct_change"), "pct_change"),
+    )
+
+
+O_DEEPLOB_LABELS = f"""{_W},
+t as (select conv_id, turn_idx, ts, value as p from transcripts),
+l as (
+  select conv_id, turn_idx, p,
+    avg(p) over wp as m_plus, count(p) over wp as n_plus
+  from t window wp as ({_OWIN} rows between 1 following and 3 following)
+)
+select conv_id, turn_idx,
+  cast(case when (m_plus - p) / p > 0.01 then 1
+            when (m_plus - p) / p < -0.01 then -1 else 0 end as int) as label,
+  round((m_plus - p) / p, 6) as pct_change
+from l where n_plus = 3
+"""
+
+
+# --- 12. multi-horizon labels (fixed threshold, intersection-valid) -----------
+
+def q_multi_horizon_labels(spark, sf_dir):
+    lab = multi_horizon_labels(
+        _t(spark, sf_dir).withColumn("p", F.col("value")),
+        CFG, price_col="p", k=2, horizons=(3, 5), strategy="fixed", theta=0.01,
+    )
+    lab = intersect_valid(lab, (3, 5))
+    return lab.select(
+        "conv_id", "turn_idx",
+        F.col("label_h3").cast("int").alias("label_h3"),
+        F.col("label_h5").cast("int").alias("label_h5"),
+        _r6(F.col("pct_change_h3"), "pct_h3"),
+        _r6(F.col("pct_change_h5"), "pct_h5"),
+    )
+
+
+O_MULTI_HORIZON_LABELS = f"""{_W},
+t as (select conv_id, turn_idx, ts, value as p from transcripts),
+l as (
+  select conv_id, turn_idx,
+    avg(p) over wm as wm, count(p) over wm as nm,
+    avg(p) over w3 as w3v, count(p) over w3 as n3,
+    avg(p) over w5 as w5v, count(p) over w5 as n5
+  from t
+  window wm as ({_OWIN} rows between 2 preceding and current row),
+         w3 as ({_OWIN} rows between 1 following and 3 following),
+         w5 as ({_OWIN} rows between 3 following and 5 following)
+)
+select conv_id, turn_idx,
+  cast(case when (w3v-wm)/wm > 0.01 then 1 when (w3v-wm)/wm < -0.01 then -1 else 0 end as int) as label_h3,
+  cast(case when (w5v-wm)/wm > 0.01 then 1 when (w5v-wm)/wm < -0.01 then -1 else 0 end as int) as label_h5,
+  round((w3v-wm)/wm, 6) as pct_h3,
+  round((w5v-wm)/wm, 6) as pct_h5
+from l where nm = 3 and n3 = 3 and n5 = 3
+"""
+
+
+# --- 13. opportunity labels ----------------------------------------------------
+
+def q_opportunity_labels(spark, sf_dir):
+    lab = opportunity_labels(
+        _t(spark, sf_dir).withColumn("p", F.col("value")),
+        CFG, price_col="p", h=5, up_threshold=0.5, down_threshold=0.3,
+        conflict="larger_magnitude",
+    )
+    return lab.filter(F.col("opp_label").isNotNull()).select(
+        "conv_id", "turn_idx",
+        F.col("opp_label").cast("int").alias("label"),
+        _r6(F.col("opp_up_ret"), "up_ret"),
+        _r6(F.col("opp_down_ret"), "down_ret"),
+    )
+
+
+O_OPPORTUNITY_LABELS = f"""{_W},
+t as (select conv_id, turn_idx, ts, value as p from transcripts),
+l as (
+  select conv_id, turn_idx,
+    max(p) over wf / p - 1.0 as up_ret,
+    min(p) over wf / p - 1.0 as down_ret,
+    count(p) over wf as nf
+  from t window wf as ({_OWIN} rows between 1 following and 5 following)
+)
+select conv_id, turn_idx,
+  cast(case
+    when up_ret > 0.5 and down_ret < -0.3 then (case when up_ret > abs(down_ret) then 1 else -1 end)
+    when up_ret > 0.5 then 1
+    when down_ret < -0.3 then -1
+    else 0 end as int) as label,
+  round(up_ret, 6) as up_ret,
+  round(down_ret, 6) as down_ret
+from l where nf = 5
+"""
+
+
+# --- 14. magnitude labels -------------------------------------------------------
+
+def q_magnitude_labels(spark, sf_dir):
+    lab = magnitude_labels(_t(spark, sf_dir).withColumn("p", F.col("value")),
+                           CFG, price_col="p", h=5)
+    return lab.filter(F.col("mag_point_return").isNotNull()).select(
+        "conv_id", "turn_idx",
+        _r6(F.col("mag_point_return"), "point_return"),
+        _r6(F.col("mag_max_return"), "max_return"),
+        _r6(F.col("mag_min_return"), "min_return"),
+        _r6(F.col("mag_dominant_return"), "dominant_return"),
+    )
+
+
+O_MAGNITUDE_LABELS = f"""{_W},
+t as (select conv_id, turn_idx, ts, value as p from transcripts),
+l as (
+  select conv_id, turn_idx, p,
+    lead(p, 5) over w as p_h,
+    max(p) over wf / p - 1.0 as max_ret,
+    min(p) over wf / p - 1.0 as min_ret,
+    count(p) over wf as nf
+  from t
+  window w as ({_OWIN}),
+         wf as ({_OWIN} rows between 1 following and 5 following)
+)
+select conv_id, turn_idx,
+  round((p_h - p) / p, 6) as point_return,
+  round(max_ret, 6)       as max_return,
+  round(min_ret, 6)       as min_return,
+  round(case when abs(max_ret) >= abs(min_ret) then max_ret else min_ret end, 6) as dominant_return
+from l where nf = 5
+"""
+
+
+# --- 15. triple barrier (pandas UDAF vs pure-SQL first-touch oracle) ------------
+
+_TB_PT, _TB_SL, _TB_H = 0.5, 0.3, 5
+
+
+def q_triple_barrier(spark, sf_dir):
+    lab = triple_barrier_labels(
+        _t(spark, sf_dir).withColumn("p", F.col("value")).select(
+            "conv_id", "turn_idx", "ts", "p"
+        ),
+        CFG, price_col="p",
+        profit_take=_TB_PT, stop_loss=_TB_SL, horizon=_TB_H, min_hold=0,
+        timeout="label_as_timeout",
+    )
+    return lab.filter(F.col("tb_label").isNotNull()).select(
+        "conv_id", "turn_idx",
+        F.col("tb_label").cast("int").alias("tb_label"),
+        F.col("tb_exit_offset").cast("int").alias("tb_exit_offset"),
+        _r6(F.col("tb_exit_return"), "tb_exit_return"),
+    )
+
+
+O_TRIPLE_BARRIER = f"""{_W},
+t as (
+  select conv_id, turn_idx, value as p,
+    row_number() over ({_OWIN}) as rn,
+    count(*) over (partition by conv_id) as n
+  from transcripts
+),
+base as (select * from t where rn + {_TB_H} <= n),
+touches as (
+  select a.conv_id, a.turn_idx, b.rn - a.rn as d, b.p as exit_p,
+    case when b.p >= a.p * (1 + {_TB_PT}) then 1
+         when b.p <= a.p * (1 - {_TB_SL}) then -1 end as hit
+  from base a join t b
+    on a.conv_id = b.conv_id and b.rn between a.rn + 1 and a.rn + {_TB_H}
+  where b.p >= a.p * (1 + {_TB_PT}) or b.p <= a.p * (1 - {_TB_SL})
+),
+first_touch as (
+  select conv_id, turn_idx,
+    min_by(hit, d) as hit, min(d) as d, min_by(exit_p, d) as exit_p
+  from touches group by conv_id, turn_idx
+),
+te as (
+  select conv_id, turn_idx, lead(value, {_TB_H}) over ({_OWIN}) as p_h
+  from transcripts
+)
+select b.conv_id, b.turn_idx,
+  cast(coalesce(f.hit, 0) as int)                       as tb_label,
+  cast(coalesce(f.d, {_TB_H}) as int)                   as tb_exit_offset,
+  round(coalesce(f.exit_p, te.p_h) / b.p - 1.0, 6)      as tb_exit_return
+from base b
+left join first_touch f using (conv_id, turn_idx)
+join te using (conv_id, turn_idx)
+"""
+
+
+# --- 16. label statistics --------------------------------------------------------
+
+def q_label_stats(spark, sf_dir):
+    lab = q_tlob_labels(spark, sf_dir)
+    return label_stats(lab, label_col="label", change_col="pct_change").select(
+        "label",
+        F.col("n").cast("long").alias("n"),
+        _r6(F.col("change_mean"), "change_mean"),
+        _r6(F.col("change_std"), "change_std"),
+        _r6(F.col("frac"), "frac"),
+    )
+
+
+O_LABEL_STATS = f"""with labs as ({O_TLOB_LABELS})
+select label, count(*) as n,
+  round(avg(pct_change), 6)        as change_mean,
+  round(stddev_pop(pct_change), 6) as change_std,
+  round(count(*) / cast((select count(*) from labs) as double), 6) as frac
+from labs group by label
+"""
+
+
+# --- 17/18/19. lifecycle ----------------------------------------------------------
+
+def q_lifecycle_episodes(spark, sf_dir):
+    ep = lifecycle.tool_episodes(_t(spark, sf_dir), CFG)
+    return ep.select(
+        "conv_id", "tool",
+        F.col("episode_rank").cast("long").alias("episode_rank"),
+        F.col("invoke_turn_idx").cast("long").alias("invoke_turn_idx"),
+        F.col("result_turn_idx").cast("long").alias("result_turn_idx"),
+        _r6(F.col("latency_s"), "latency_s"),
+        F.col("completed").cast("int").alias("completed"),
+    )
+
+
+O_LIFECYCLE_EPISODES = f"""{_W},
+inv as (
+  select conv_id, tool, turn_idx as invoke_turn_idx, ts as invoke_ts,
+    row_number() over (partition by conv_id, tool order by turn_idx, ts) as episode_rank
+  from transcripts where role = 'assistant' and tool is not null
+),
+res as (
+  select conv_id, tool, turn_idx as result_turn_idx, ts as result_ts,
+    row_number() over (partition by conv_id, tool order by turn_idx, ts) as episode_rank
+  from transcripts where role = 'tool' and tool is not null
+)
+select i.conv_id, i.tool, i.episode_rank, i.invoke_turn_idx,
+  r.result_turn_idx,
+  round((epoch_us(r.result_ts) - epoch_us(i.invoke_ts)) / 1e6, 6) as latency_s,
+  cast(case when r.result_turn_idx is not null then 1 else 0 end as int) as completed
+from inv i left join res r using (conv_id, tool, episode_rank)
+"""
+
+
+def q_episode_stats(spark, sf_dir):
+    # latency stats reported in integer microseconds: aggregates over exact
+    # ints are bit-stable across engines, and no /1e6 means no representable
+    # round-6 ties (integer-µs medians land exactly on x.5, where engines
+    # break rounding ties differently)
+    ep = lifecycle.tool_episodes(_t(spark, sf_dir), CFG)
+    return ep.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_episodes"),
+        F.sum("completed").cast("long").alias("n_completed"),
+        _r6(F.avg("completed"), "completion_ratio"),
+        # explicit exact-integer sum / count, UNROUNDED: the division of
+        # identical exact sums is bit-identical across engines, while
+        # round(x, 6) at 1e12 magnitude is itself lossy in DuckDB
+        # (x*10^6 exceeds double precision)
+        (F.sum("latency_us") / F.count("latency_us")).alias("mean_latency_us"),
+        # 2x the median of integer micros is semantically an integer —
+        # rounding to it absorbs DuckDB quantile_cont's 1e-4 interpolation
+        # noise at 1e11 magnitudes AND removes representable .5 ties
+        F.round(F.percentile("latency_us", F.lit(0.5)) * 2, 0)
+        .cast("long")
+        .alias("median_latency_us_x2"),
+    )
+
+
+O_EPISODE_STATS = f"""{_W},
+inv as (
+  select conv_id, tool, turn_idx as invoke_turn_idx, ts as invoke_ts,
+    row_number() over (partition by conv_id, tool order by turn_idx, ts) as episode_rank
+  from transcripts where role = 'assistant' and tool is not null
+),
+res as (
+  select conv_id, tool, turn_idx as result_turn_idx, ts as result_ts,
+    row_number() over (partition by conv_id, tool order by turn_idx, ts) as episode_rank
+  from transcripts where role = 'tool' and tool is not null
+),
+eps as (
+  select i.conv_id,
+    case when r.result_turn_idx is not null then 1 else 0 end as completed,
+    case when r.result_turn_idx is not null
+         then epoch_us(r.result_ts) - epoch_us(i.invoke_ts) end as lat_us
+  from inv i left join res r using (conv_id, tool, episode_rank)
+)
+select conv_id,
+  count(*)                        as n_episodes,
+  sum(completed)                  as n_completed,
+  round(avg(completed), 6)        as completion_ratio,
+  sum(lat_us) / cast(count(lat_us) as double) as mean_latency_us,
+  cast(round(cast(quantile_cont(lat_us, 0.5) as double) * 2, 0) as bigint) as median_latency_us_x2
+from eps group by conv_id
+"""
+
+
+def q_active_episodes(spark, sf_dir):
+    out = lifecycle.with_active_episode_count(_t(spark, sf_dir), CFG)
+    return out.select(
+        "conv_id", "turn_idx", F.col("active_episodes").cast("long").alias("active_episodes")
+    )
+
+
+O_ACTIVE_EPISODES = f"""{_W}
+select conv_id, turn_idx,
+  cast(greatest(
+    sum(case when role = 'assistant' and tool is not null then 1 else 0 end) over cum
+    - sum(case when role = 'tool' and tool is not null then 1 else 0 end) over cum,
+    0) as bigint) as active_episodes
+from transcripts window cum as ({_CUM})
+"""
+
+
+# --- 20. streaming (cumulative) z-score normalization ------------------------------
+
+def q_zscore_cumulative(spark, sf_dir):
+    t = _t(spark, sf_dir).withColumn("char_len", F.length("text").cast("double"))
+    out = norm.zscore_cumulative(t, CFG, ["char_len"])
+    return out.select("conv_id", "turn_idx", _r6(F.col("char_len_zn"), "char_len_zn"))
+
+
+O_ZSCORE_CUMULATIVE = f"""{_W},
+t as (select conv_id, turn_idx, ts, cast(length(text) as double) as x from transcripts)
+select conv_id, turn_idx,
+  round((x - avg(x) over cum)
+        / (sqrt(greatest(avg(x*x) over cum - (avg(x) over cum)*(avg(x) over cum), 0.0)) + {DIVISION_GUARD_EPS}), 6) as char_len_zn
+from t window cum as ({_CUM})
+"""
+
+
+# --- 21. chronological train/val/test split ------------------------------------------
+
+def q_train_val_test_split(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    out = chronological_split(t, CFG, train=0.7, val=0.15)
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+O_TRAIN_VAL_TEST_SPLIT = f"""{_W},
+t as (select *, epoch_us(ts) as us from transcripts),
+cuts as (
+  select quantile_cont(us, 0.7) as c1, quantile_cont(us, 0.85) as c2 from t
+)
+select case when us <= c1 then 'train' when us <= c2 then 'val' else 'test' end as split,
+  count(*) as n
+from t, cuts group by 1
+"""
+
+
+# --- 22/23/24. text analysis -----------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        tx.token_count_ws("text").alias("n_tokens_ws"),
+        tx.token_count_bpe_ish("text").alias("n_tokens_bpe"),
+        _r6(tx.punct_ratio("text"), "punct_ratio"),
+        _r6(tx.quality_score("text"), "quality"),
+    )
+
+
+O_TEXT_QUALITY = f"""
+with q as (
+  select doc_id, text,
+    cast(len(regexp_split_to_array(trim(text), '\\s+')) as bigint) as n_tokens_ws,
+    cast(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) as bigint) as n_tokens_bpe,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+      / (length(text) + {DIVISION_GUARD_EPS}) as punct_ratio,
+    length(text) as n,
+    len(regexp_split_to_array(trim(text), '\\s+')) as nw
+  from documents
+)
+select doc_id, n_tokens_ws, n_tokens_bpe,
+  round(punct_ratio, 6) as punct_ratio,
+  round((
+    (case when n >= 20 and n <= 20000 then 1.0 else 0.0 end)
+    + (case when n / (nw + {DIVISION_GUARD_EPS}) >= 2.0 and n / (nw + {DIVISION_GUARD_EPS}) <= 12.0 then 1.0 else 0.0 end)
+    + (case when punct_ratio <= 0.2 then 1.0 else 0.0 end)
+  ) / 3.0, 6) as quality
+from q
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy(tx.fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+O_DOC_FINGERPRINT = """
+select md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as fp,
+  min(doc_id) as keep_doc_id, count(*) as n_copies
+from documents group by 1
+"""
+
+
+# --- 25. minhash signatures (md5 permutations — bit-identical cross-engine) -----------
+
+_SHINGLE_SQL = """
+shingled as (
+  select doc_id, unnest(
+    case when len(words) >= 3 then
+      list_distinct([array_to_string(words[i:i+2], ' ')
+                     for i in range(1, len(words) - 1)])
+    else [array_to_string(words, ' ')] end
+  ) as shingle
+  from (
+    select doc_id,
+      string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as words
+    from documents
+  )
+)
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, k=3, num_hashes=4)
+    return sigs.select(F.col("id").alias("doc_id"), "sig_0", "sig_1", "sig_2", "sig_3")
+
+
+O_MINHASH_SIGNATURES = f"""
+with {_SHINGLE_SQL}
+select doc_id,
+  min(md5('0|' || shingle)) as sig_0,
+  min(md5('1|' || shingle)) as sig_1,
+  min(md5('2|' || shingle)) as sig_2,
+  min(md5('3|' || shingle)) as sig_3
+from shingled group by doc_id
+"""
+
+
+# --- 26. n-gram Jaccard near-dup pairs ---------------------------------------------
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return pairs.select("id_a", "id_b", _r6(F.col("jaccard"), "jaccard"))
+
+
+O_NGRAM_JACCARD = f"""
+with {_SHINGLE_SQL},
+sizes as (select doc_id, count(*) as n_sh from shingled group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+  from shingled a join shingled b using (shingle)
+  where a.doc_id < b.doc_id
+  group by 1, 2
+)
+select id_a, id_b,
+  round(n_inter / cast(sa.n_sh + sb.n_sh - n_inter as double), 6) as jaccard
+from inter
+join sizes sa on sa.doc_id = id_a
+join sizes sb on sb.doc_id = id_b
+where n_inter / cast(sa.n_sh + sb.n_sh - n_inter as double) >= 0.2
+"""
+
+
+# --- 27. embedding cosine top-k ------------------------------------------------------
+
+def q_embedding_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = similarity.brute_force_topk(emb, k=3)
+    return out.select("query_id", "neighbor_id", _r6(F.col("cos"), "cos"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
+O_EMBEDDING_TOPK = f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+pairs as (
+  select a.vec_id as query_id, b.vec_id as neighbor_id,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) + {DIVISION_GUARD_EPS}) as cos
+  from e a, e b where a.vec_id != b.vec_id
+),
+ranked as (
+  select *, row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+  from pairs
+)
+select query_id, neighbor_id, round(cos, 6) as cos, cast(rank as int) as rank
+from ranked where rank <= 3
+"""
+
+
+# --- 28. validation audit --------------------------------------------------------------
+
+def q_validation_audit(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    from ..validation import monotonicity_violations
+
+    n_viol = monotonicity_violations(t, CFG)
+    return t.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("conv_id").alias("convs"),
+        F.lit(n_viol).cast("long").alias("ts_violations"),
+    )
+
+
+O_VALIDATION_AUDIT = f"""{_W},
+v as (
+  select case when lag(ts) over ({_OWIN}) > ts then 1 else 0 end as viol
+  from transcripts
+)
+select (select count(*) from transcripts) as rows,
+  (select count(distinct conv_id) from transcripts) as convs,
+  (select coalesce(sum(viol), 0) from v) as ts_violations
+"""
+
+
+# --- 29. sequence summaries (window/stride emission rule) -------------------------------
+
+def q_sequence_summary(spark, sf_dir):
+    from ..operators import sequence
+
+    t = _t(spark, sf_dir).withColumn("char_len", F.length("text").cast("double"))
+    seq = sequence.build_sequences(t, CFG, ["char_len"], window=4, stride=2)
+    return seq.select(
+        "conv_id",
+        F.col("end_turn_idx").cast("long").alias("end_turn_idx"),
+        F.col("seq_len").cast("long").alias("seq_len"),
+        _r6(F.col("duration_s"), "duration_s"),
+        _r6(
+            F.aggregate("sequence", F.lit(0.0), lambda acc, v: acc + F.element_at(v, 1)),
+            "seq_char_sum",
+        ),
+    )
+
+
+O_SEQUENCE_SUMMARY = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts, cast(length(text) as double) as char_len,
+    row_number() over ({_OWIN}) - 1 as pos
+  from transcripts
+),
+s as (
+  select conv_id, turn_idx as end_turn_idx, pos,
+    count(*) over fr as seq_len,
+    (max(epoch_us(ts)) over fr - min(epoch_us(ts)) over fr) / 1e6 as duration_s,
+    sum(char_len) over fr as seq_char_sum
+  from t window fr as ({_OWIN} rows between 3 preceding and current row)
+)
+select conv_id, end_turn_idx, seq_len,
+  round(duration_s, 6) as duration_s,
+  round(seq_char_sum, 6) as seq_char_sum
+from s where pos >= 3 and (pos - 3) % 2 = 0
+"""
+
+
+# --- weak (rows-only) queries: non-SQL-expressible or approximate ------------------------
+
+def q_simhash_candidates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sim = dedup.simhash(docs, k=2)
+    return dedup.simhash_candidates(sim).select("id_a", "id_b", "hamming")
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.ivf_topk(emb, k=3, n_centroids=8).select(
+        "query_id", "neighbor_id", _r6(F.col("cos"), "cos"), "rank"
+    )
+
+
+def q_volume_sampler_exact(spark, sf_dir):
+    t = _t(spark, sf_dir).withColumn("char_len", F.length("text").cast("double"))
+    out = sampling.volume_sample_flag_exact(t, CFG, target=200.0, min_interval_s=0.0)
+    return out.filter(F.col("is_sample") == 1).select("conv_id", "turn_idx")
+
+
+# exact volume sampler with NO min-interval clause == cumsum form, so it
+# does have a SQL twin — reuse the cumsum oracle
+O_VOLUME_SAMPLER_EXACT = None  # rows-only: reset-on-fire differs from cumsum form
+
+
+def q_media_features(spark, sf_dir):
+    from .. import multimodal
+
+    media = multimodal.synth_media(spark, n=200, seed=42)
+    out = multimodal.extract_media_features(media)
+    return out.select(
+        "media_id", "kind",
+        _r6(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), "feat_sum"),
+    )
+
+
+QUERIES.update({
+    "deeplob_labels": q_deeplob_labels,
+    "multi_horizon_labels": q_multi_horizon_labels,
+    "opportunity_labels": q_opportunity_labels,
+    "magnitude_labels": q_magnitude_labels,
+    "triple_barrier": q_triple_barrier,
+    "label_stats": q_label_stats,
+    "lifecycle_episodes": q_lifecycle_episodes,
+    "episode_stats": q_episode_stats,
+    "active_episodes": q_active_episodes,
+    "zscore_cumulative": q_zscore_cumulative,
+    "train_val_test_split": q_train_val_test_split,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "minhash_signatures": q_minhash_signatures,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_topk": q_embedding_topk,
+    "validation_audit": q_validation_audit,
+    "sequence_summary": q_sequence_summary,
+    # weak checks (no SQL twin): approximate / stateful-exact / stubbed-decode
+    "simhash_candidates": q_simhash_candidates,
+    "ivf_topk": q_ivf_topk,
+    "volume_sampler_exact": q_volume_sampler_exact,
+    "media_features": q_media_features,
+})
+
+ORACLES.update({
+    "deeplob_labels": O_DEEPLOB_LABELS,
+    "multi_horizon_labels": O_MULTI_HORIZON_LABELS,
+    "opportunity_labels": O_OPPORTUNITY_LABELS,
+    "magnitude_labels": O_MAGNITUDE_LABELS,
+    "triple_barrier": O_TRIPLE_BARRIER,
+    "label_stats": O_LABEL_STATS,
+    "lifecycle_episodes": O_LIFECYCLE_EPISODES,
+    "episode_stats": O_EPISODE_STATS,
+    "active_episodes": O_ACTIVE_EPISODES,
+    "zscore_cumulative": O_ZSCORE_CUMULATIVE,
+    "train_val_test_split": O_TRAIN_VAL_TEST_SPLIT,
+    "text_quality": O_TEXT_QUALITY,
+    "doc_fingerprint": O_DOC_FINGERPRINT,
+    "minhash_signatures": O_MINHASH_SIGNATURES,
+    "ngram_jaccard": O_NGRAM_JACCARD,
+    "embedding_topk": O_EMBEDDING_TOPK,
+    "validation_audit": O_VALIDATION_AUDIT,
+    "sequence_summary": O_SEQUENCE_SUMMARY,
+})
+
+
+# =============================================================================
+# Batch 3: volatility family, adaptive sampling, transition flows,
+# sequence-label alignment, export normalization, rolling-session z-score
+# =============================================================================
+
+from ..operators import volatility as vol_mod  # noqa: E402
+
+
+def q_volatility(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    out = vol_mod.with_volatility(t, CFG, price_col="value", fast=8, slow=32)
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6(F.col("log_ret"), "log_ret"),
+        _r6(F.col("vol_fast"), "vol_fast"),
+        _r6(F.col("vol_slow"), "vol_slow"),
+        _r6(F.col("vol_ratio"), "vol_ratio"),
+        _r6(F.col("ret_autocorr_fast"), "ret_autocorr"),
+    )
+
+
+O_VOLATILITY = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts, value as p from transcripts
+),
+r as (
+  select conv_id, turn_idx, ts,
+    case when lag(p) over w is not null and lag(p) over w > 0 and p > 0
+         then ln(p / lag(p) over w) else 0.0 end as lr
+  from t window w as ({_OWIN})
+),
+v as (
+  select conv_id, turn_idx, ts, lr,
+    lag(lr) over w as lr1,
+    case when count(lr) over wf >= 3
+         then greatest(stddev_samp(lr) over wf, 1e-10) else 0.0 end as vol_fast,
+    case when count(lr) over ws >= 3
+         then greatest(stddev_samp(lr) over ws, 1e-10) else 0.0 end as vol_slow
+  from r
+  window w as ({_OWIN}),
+         wf as ({_OWIN} rows between 7 preceding and current row),
+         ws as ({_OWIN} rows between 31 preceding and current row)
+),
+a as (
+  select conv_id, turn_idx, lr, vol_fast, vol_slow,
+    coalesce(corr(lr, lr1) over wf, 0.0) as ac
+  from v window wf as ({_OWIN} rows between 7 preceding and current row)
+)
+select conv_id, turn_idx,
+  round(lr, 6)                                             as log_ret,
+  round(vol_fast, 6)                                       as vol_fast,
+  round(vol_slow, 6)                                       as vol_slow,
+  round(vol_fast / (vol_slow + {DIVISION_GUARD_EPS}), 6)   as vol_ratio,
+  round(ac, 6)                                             as ret_autocorr
+from a
+"""
+
+
+def q_adaptive_threshold(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    v = vol_mod.with_volatility(t, CFG, price_col="value", fast=8, slow=32)
+    out = vol_mod.with_adaptive_threshold(
+        v, CFG, vol_col="vol_fast", base_threshold=200.0, calibration_rows=32
+    )
+    return out.select("conv_id", "turn_idx", _r6(F.col("adaptive_threshold"), "adaptive_threshold"))
+
+
+O_ADAPTIVE_THRESHOLD = f"""{_W},
+t as (select conv_id, turn_idx, ts, value as p from transcripts),
+r as (
+  select conv_id, turn_idx, ts,
+    case when lag(p) over w is not null and lag(p) over w > 0 and p > 0
+         then ln(p / lag(p) over w) else 0.0 end as lr,
+    row_number() over w as rn
+  from t window w as ({_OWIN})
+),
+v as (
+  select conv_id, turn_idx, rn,
+    case when count(lr) over wf >= 3
+         then greatest(stddev_samp(lr) over wf, 1e-10) else 0.0 end as vol_fast
+  from r window wf as ({_OWIN} rows between 7 preceding and current row)
+),
+b as (
+  select conv_id, cast(quantile_cont(vol_fast, 0.5) as double) as baseline
+  from v where rn <= 32 group by conv_id
+)
+select v.conv_id, v.turn_idx,
+  round(case when b.baseline is not null and b.baseline > 0
+    then 200.0 * least(greatest(v.vol_fast / (b.baseline + {DIVISION_GUARD_EPS}), 0.2), 5.0)
+    else 200.0 end, 6) as adaptive_threshold
+from v left join b using (conv_id)
+"""
+
+
+def q_role_transitions(spark, sf_dir):
+    out = vol_mod.role_transition_matrix(_t(spark, sf_dir), CFG)
+    return out.select(
+        "conv_id", "from_role", "to_role",
+        F.col("n").cast("long").alias("n"),
+        _r6(F.col("rate"), "rate"),
+    )
+
+
+O_ROLE_TRANSITIONS = f"""{_W},
+p as (
+  select conv_id, lag(role) over ({_OWIN}) as from_role, role as to_role
+  from transcripts
+),
+c as (
+  select conv_id, from_role, to_role, count(*) as n
+  from p where from_role is not null
+  group by 1, 2, 3
+)
+select conv_id, from_role, to_role, n,
+  round(n / cast(sum(n) over (partition by conv_id) as double), 6) as rate
+from c
+"""
+
+
+def q_tool_usage_hhi(spark, sf_dir):
+    out = vol_mod.tool_usage_hhi(_t(spark, sf_dir), CFG)
+    return out.select(
+        "conv_id", _r6(F.col("tool_hhi"), "tool_hhi"),
+        F.col("n_tools").cast("long").alias("n_tools"),
+        F.col("n_tool_calls").cast("long").alias("n_tool_calls"),
+    )
+
+
+O_TOOL_USAGE_HHI = f"""{_W},
+c as (
+  select conv_id, tool, count(*) as n
+  from transcripts where tool is not null
+  group by 1, 2
+)
+select conv_id,
+  round(sum(n * n) / (cast(sum(n) as double) * sum(n)), 6) as tool_hhi,
+  count(*) as n_tools,
+  sum(n) as n_tool_calls
+from c group by conv_id
+"""
+
+
+def q_sequence_label_align(spark, sf_dir):
+    """Sequence<->label alignment: sequences keep only anchors with a label
+    (reference: align_sequences_with_multi_labels, alignment.rs:136-173)."""
+    from ..operators import sequence
+
+    t = _t(spark, sf_dir).withColumn("char_len", F.length("text").cast("double"))
+    seq = sequence.build_sequences(t, CFG, ["char_len"], window=4, stride=2)
+    labels = q_tlob_labels(spark, sf_dir).withColumnRenamed("turn_idx", "end_turn_idx")
+    out = seq.join(labels, on=["conv_id", "end_turn_idx"], how="inner")
+    return out.select(
+        "conv_id",
+        F.col("end_turn_idx").cast("long").alias("end_turn_idx"),
+        F.col("seq_len").cast("long").alias("seq_len"),
+        F.col("label").cast("int").alias("label"),
+    )
+
+
+O_SEQUENCE_LABEL_ALIGN = f"""with seqs as ({O_SEQUENCE_SUMMARY}),
+labs as ({O_TLOB_LABELS})
+select s.conv_id, s.end_turn_idx, s.seq_len, l.label
+from seqs s join labs l on s.conv_id = l.conv_id and s.end_turn_idx = l.turn_idx
+"""
+
+
+def q_export_normalize(spark, sf_dir):
+    t = _t(spark, sf_dir).withColumn("char_len", F.length("text").cast("double"))
+    out = norm.normalize_export(t, ["char_len"], strategy="zscore")
+    return out.select("conv_id", "turn_idx", _r6(F.col("char_len"), "char_len_z"))
+
+
+O_EXPORT_NORMALIZE = f"""{_W},
+t as (select conv_id, turn_idx, cast(length(text) as double) as x from transcripts),
+s as (select avg(x) as m, greatest(stddev_pop(x), 1e-10) as sd from t)
+select conv_id, turn_idx, round((x - m) / sd, 6) as char_len_z
+from t, s
+"""
+
+
+def q_rolling_session_zscore(spark, sf_dir):
+    t = _t(spark, sf_dir).withColumn("char_len", F.length("text").cast("double"))
+    s = state.with_sessions(t, CFG)
+    out = norm.zscore_rolling_sessions(s, CFG, ["char_len"], n_sessions=2)
+    return out.select("conv_id", "turn_idx", _r6(F.col("char_len_rzn"), "char_len_rzn"))
+
+
+O_ROLLING_SESSION_ZSCORE = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts, cast(length(text) as double) as x,
+    case when lag(epoch_us(ts)) over w is null
+           or epoch_us(ts) - lag(epoch_us(ts)) over w > {int(CFG.session_gap_s * 1e6)}
+         then 1 else 0 end as is_start
+  from transcripts window w as ({_OWIN})
+),
+t2 as (
+  select *, sum(is_start) over ({_CUM}) - 1 as session_id from t
+),
+st as (
+  select conv_id, session_id,
+    count(x) as n, sum(x) as s, sum(x * x) as s2
+  from t2 group by 1, 2
+),
+rolled as (
+  select conv_id, session_id,
+    sum(n) over wp as rn, sum(s) over wp as rs, sum(s2) over wp as rs2
+  from st window wp as (partition by conv_id order by session_id
+                        rows between 2 preceding and 1 preceding)
+)
+select t2.conv_id, t2.turn_idx,
+  round(case when r.rn > 0 then
+    (t2.x - r.rs / r.rn)
+    / (sqrt(greatest(r.rs2 / r.rn - (r.rs / r.rn) * (r.rs / r.rn), 0.0)) + {DIVISION_GUARD_EPS})
+  else 0.0 end, 6) as char_len_rzn
+from t2 join rolled r on t2.conv_id = r.conv_id and t2.session_id = r.session_id
+"""
+
+
+QUERIES.update({
+    "volatility": q_volatility,
+    "adaptive_threshold": q_adaptive_threshold,
+    "role_transitions": q_role_transitions,
+    "tool_usage_hhi": q_tool_usage_hhi,
+    "sequence_label_align": q_sequence_label_align,
+    "export_normalize": q_export_normalize,
+    "rolling_session_zscore": q_rolling_session_zscore,
+})
+
+ORACLES.update({
+    "volatility": O_VOLATILITY,
+    "adaptive_threshold": O_ADAPTIVE_THRESHOLD,
+    "role_transitions": O_ROLE_TRANSITIONS,
+    "tool_usage_hhi": O_TOOL_USAGE_HHI,
+    "sequence_label_align": O_SEQUENCE_LABEL_ALIGN,
+    "export_normalize": O_EXPORT_NORMALIZE,
+    "rolling_session_zscore": O_ROLLING_SESSION_ZSCORE,
+})

@@ -30,17 +30,45 @@ def clean_input(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
-def build_features(df: DataFrame, cfg: PipelineConfig, validate: bool = True) -> DataFrame:
+def build_features(df: DataFrame, cfg: PipelineConfig, validate: bool = True,
+                   narrow: bool = False, order_stats: str = "pandas") -> DataFrame:
     """Full point-in-time feature frame: contract columns + passthrough keys.
 
     Zero temporal leakage by construction: every feature window frame ends at
     the current row (cumulative / trailing); only labeling uses forward frames.
+
+    narrow=True drops the text payload before the shuffle (char_len is
+    pre-computed at the scan) — the window sort then moves ~40-byte rows
+    instead of ~150-byte rows. Use when downstream doesn't need raw text
+    (memory bandwidth is the scaling ceiling of the window stage).
     """
     df = clean_input(df, cfg)
+    if narrow:
+        df = df.select(
+            cfg.key_col,
+            *cfg.order_cols,
+            "role",
+            F.coalesce(F.length("text"), F.lit(0)).cast("double").alias("char_len"),
+        )
+    if order_stats == "pandas":
+        # hottest computation first, vectorized-numpy per conversation
+        # (operators/order_stats.py) — then the JVM window cascade
+        from ..operators import order_stats as os_mod
+
+        if "char_len" not in df.columns:
+            df = df.withColumn(
+                "char_len", F.coalesce(F.length("text"), F.lit(0)).cast("double")
+            )
+        df = os_mod.with_order_stats_pandas(df, cfg)
+    elif order_stats != "native":
+        raise ValueError(f"unknown order_stats impl {order_stats}")
+
     df = state.with_state_features(df, cfg)
     df = state.with_sessions(df, cfg)
     df = state.with_time_regime(df, cfg)
-    df = rolling.with_rolling_features(df, cfg)
+    df = rolling.with_rolling_features(
+        df, cfg, include_order_stats=(order_stats == "native")
+    )
     if validate:
         contract.validate_feature_frame(df.columns, cfg.window_sizes)
     return df
@@ -78,20 +106,23 @@ def flagship_pipeline(
     Both strategies produce identical rows (tested).
     """
     cfg = cfg or PipelineConfig()
-    feats = build_features(df, cfg)
-    price = (
-        F.coalesce(F.length("text"), F.lit(0)).cast("double")
-        if price_col == "char_len"
-        else F.col(price_col)
-    )
+    # narrow when the label timeline derives from char_len (output carries no
+    # raw text, so the window sort never has to move it)
+    feats = build_features(df, cfg, narrow=(price_col == "char_len"))
 
     if strategy == "fused":
+        price = F.col("char_len") if price_col == "char_len" else F.col(price_col)
         out = tlob_labels(feats.withColumn("_p", price), cfg, price_col="_p").filter(
             F.col("label").isNotNull()
         )
     elif strategy == "join":
+        raw_price = (
+            F.coalesce(F.length("text"), F.lit(0)).cast("double")
+            if price_col == "char_len"
+            else F.col(price_col)
+        )
         labels = tlob_labels(
-            df.select(cfg.key_col, *cfg.order_cols, price.alias("_p")),
+            df.select(cfg.key_col, *cfg.order_cols, raw_price.alias("_p")),
             cfg,
             price_col="_p",
         ).select(cfg.key_col, "turn_idx", "label", "label_pct_change")

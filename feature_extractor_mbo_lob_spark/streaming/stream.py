@@ -1,0 +1,168 @@
+"""Structured Streaming variants of the engine's stateful operators.
+
+The reference is itself a one-pass stream (SURVEY §2.10): watermark-free
+ordered input, tumbling-by-count sampling, session-style lifecycles, reset()
+as partition boundary. The batch engine treats each Iceberg snapshot as
+bounded input; this module is the streaming restatement for live transcript
+feeds:
+
+* session_window aggregation == the gap-based sessionizer;
+* windowed counts with watermark == the rolling rate features (time-based
+  frames — count-based frames don't exist in streaming, documented
+  deviation);
+* applyInPandasWithState == the cumulative per-conversation state
+  (turns_so_far, role counts, volume sampler with exact reset-on-fire).
+
+These run under `spark.readStream`; tests drive them with the rate / memory
+sources and foreachBatch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..config import PipelineConfig
+
+
+def streaming_sessions(events: DataFrame, cfg: PipelineConfig,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Gap-based sessions via session_window: one row per closed session with
+    turn count and char volume (streaming twin of operators.state.with_sessions)."""
+    gap = f"{int(cfg.session_gap_s)} seconds"
+    return (
+        events.withWatermark(cfg.ts_col, watermark)
+        .groupBy(
+            F.col(cfg.key_col),
+            F.session_window(F.col(cfg.ts_col), gap).alias("session"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("chars"),
+        )
+        .select(
+            cfg.key_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_turns",
+            "chars",
+        )
+    )
+
+
+def streaming_turn_rates(events: DataFrame, cfg: PipelineConfig,
+                         window: str = "5 minutes", slide: str = "1 minute",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Sliding time-window per-conversation rates (streaming analog of the
+    count-based rolling frames — time-based because streaming state must be
+    watermark-bounded)."""
+    return (
+        events.withWatermark(cfg.ts_col, watermark)
+        .groupBy(F.col(cfg.key_col), F.window(cfg.ts_col, window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum((F.col("role") == "tool").cast("long")).alias("tool_turns"),
+            F.avg(F.coalesce(F.length("text"), F.lit(0))).alias("char_mean"),
+        )
+        .select(
+            cfg.key_col,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "turns",
+            "tool_turns",
+            "char_mean",
+        )
+    )
+
+
+# --- stateful cumulative features (applyInPandasWithState) --------------------
+
+STATE_SCHEMA = StructType([
+    StructField("turns", LongType()),
+    StructField("user_turns", LongType()),
+    StructField("assistant_turns", LongType()),
+    StructField("tool_turns", LongType()),
+    StructField("chars", DoubleType()),
+    StructField("vol_acc", DoubleType()),
+])
+
+CUM_OUTPUT_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("turns_so_far", LongType()),
+    StructField("user_turns_so_far", LongType()),
+    StructField("tool_turns_so_far", LongType()),
+    StructField("chars_so_far", DoubleType()),
+    StructField("is_sample", LongType()),
+])
+
+
+def _cum_state_fn(volume_target: float):
+    """Per-conversation cumulative state + exact volume sampler (reset on
+    fire) — the reference's Pipeline state loop as streaming group state
+    (reference: src/pipeline.rs:606-736, sampling.rs:154-184)."""
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            turns, user_t, asst_t, tool_t, chars, acc = state.get
+        else:
+            turns, user_t, asst_t, tool_t, chars, acc = 0, 0, 0, 0, 0.0, 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
+            out = {k: [] for k in ("turns_so_far", "user_turns_so_far",
+                                   "tool_turns_so_far", "chars_so_far", "is_sample")}
+            for role, text in zip(pdf["role"], pdf["text"]):
+                n = len(text) if isinstance(text, str) else 0
+                turns += 1
+                user_t += role == "user"
+                asst_t += role == "assistant"
+                tool_t += role == "tool"
+                chars += n
+                acc += n
+                fire = acc >= volume_target
+                if fire:
+                    acc = 0.0
+                out["turns_so_far"].append(turns)
+                out["user_turns_so_far"].append(user_t)
+                out["tool_turns_so_far"].append(tool_t)
+                out["chars_so_far"].append(chars)
+                out["is_sample"].append(int(fire))
+            res = pd.DataFrame({
+                "conv_id": pdf[pdf.columns[0]].astype(str) if "conv_id" not in pdf else pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"].astype("int64"),
+                "ts": pdf["ts"],
+                **out,
+            })
+            yield res
+        state.update((turns, user_t, asst_t, tool_t, float(chars), float(acc)))
+
+    return fn
+
+
+def streaming_cumulative_state(events: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Cumulative per-conversation counters + exact volume sampling as a
+    stateful stream. NOTE: within-batch ordering is by (turn_idx, ts); cross-
+    batch correctness requires in-order delivery per key (same contract as
+    the reference's ordered input)."""
+    return events.select(cfg.key_col, "turn_idx", cfg.ts_col, "role", "text").groupBy(
+        cfg.key_col
+    ).applyInPandasWithState(
+        _cum_state_fn(cfg.volume_target),
+        outputStructType=CUM_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,153 @@
+"""Streaming variants (driven with MemoryStream/foreachBatch), batch error
+modes, chronological split, multimodal plumbing."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_mbo_lob_spark import multimodal
+from feature_extractor_mbo_lob_spark.batch import chronological_split, run_job, split_quarantine
+from feature_extractor_mbo_lob_spark.config import PipelineConfig
+from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+from feature_extractor_mbo_lob_spark.streaming import stream as strm
+
+T0 = dt.datetime(2024, 1, 1)
+CFG = PipelineConfig(window_sizes=(4,), session_gap_s=300.0, volume_target=15.0)
+
+
+def ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    rows = [
+        ("a", 0, "user", "hello", None, ts(0)),
+        ("a", 1, "assistant", "hi there", None, ts(10)),
+        ("a", 2, "user", "ok then", None, ts(400)),   # gap > 300 -> new session
+        ("a", 3, "tool", "result", "t1", ts(410)),
+        ("b", 0, "user", "solo", None, ts(5)),
+    ]
+    return spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+
+
+# --- streaming -----------------------------------------------------------------
+
+def _run_stream(spark, turns, builder):
+    """Drive a streaming transform over a file source with one batch."""
+    import tempfile, uuid
+
+    src = tempfile.mkdtemp(prefix="strm_src")
+    turns.write.mode("overwrite").parquet(src)
+    stream_in = spark.readStream.schema(turns.schema).parquet(src)
+    out = builder(stream_in)
+    name = "m" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if out.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_sessions(spark, turns):
+    # a far-future flusher row advances the global watermark past every real
+    # session so append mode emits them under availableNow
+    flusher = spark.createDataFrame(
+        [("zz", 0, "user", "flush", None, ts(100000))], schema=TRANSCRIPT_SCHEMA
+    )
+    src = turns.unionByName(flusher)
+    res = _run_stream(
+        spark, src, lambda s: strm.streaming_sessions(s, CFG, watermark="1 second")
+    )
+    rows = {(r.conv_id, r.session_start): r for r in res.collect()}
+    a_sessions = [r for (c, _), r in rows.items() if c == "a"]
+    assert len(a_sessions) == 2
+    by_turns = sorted(r.n_turns for r in a_sessions)
+    assert by_turns == [2, 2]
+
+
+def test_streaming_cumulative_state_and_sampler(spark, turns):
+    res = _run_stream(spark, turns, lambda s: strm.streaming_cumulative_state(s, CFG))
+    rows = {(r.conv_id, r.turn_idx): r for r in res.collect()}
+    assert rows[("a", 3)].turns_so_far == 4
+    assert rows[("a", 3)].tool_turns_so_far == 1
+    assert rows[("a", 3)].chars_so_far == 5 + 8 + 7 + 6
+    # volume target 15: acc 5,13,20*->fire reset, 6
+    assert [rows[("a", i)].is_sample for i in range(4)] == [0, 0, 1, 0]
+    assert rows[("b", 0)].turns_so_far == 1
+
+
+# --- batch ops --------------------------------------------------------------------
+
+def test_quarantine_modes(spark, turns):
+    from pyspark.sql import types as T
+
+    nullable_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in TRANSCRIPT_SCHEMA.fields]
+    )
+    bad_rows = spark.createDataFrame(
+        [(None, 0, "user", "x", None, ts(0)), ("c", -1, "user", "y", None, ts(1))],
+        schema=nullable_schema,
+    )
+    df = turns.unionByName(bad_rows)
+    good, bad = split_quarantine(df, CFG)
+    assert good.count() == 5 and bad.count() == 2
+    with pytest.raises(RuntimeError, match="fail_fast"):
+        split_quarantine(df, CFG, mode="fail_fast")
+
+
+def test_run_job_metrics(spark, turns, tmp_path):
+    m = run_job(
+        turns,
+        CFG,
+        build_fn=lambda d, c: d.withColumn("char_len", F.length("text")),
+        sink_fn=lambda d: d.count(),
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    assert m.rows_in == 5 and m.rows_out == 5 and m.rows_quarantined == 0
+    assert m.throughput_rows_per_sec > 0
+
+
+def test_chronological_split(spark):
+    rows = [("a", i, "user", "x", None, ts(i * 100)) for i in range(20)]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    out = chronological_split(df, CFG, train=0.5, val=0.25)
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts["train"] == 10 and counts["val"] == 5 and counts["test"] == 5
+    # chronological: max train ts < min val ts < min test ts
+    mx = out.groupBy("split").agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()
+    bounds = {r.split: (r.lo, r.hi) for r in mx}
+    assert bounds["train"][1] < bounds["val"][0] <= bounds["val"][1] < bounds["test"][0]
+
+
+# --- multimodal ---------------------------------------------------------------------
+
+def test_media_plumbing(spark):
+    media = multimodal.synth_media(spark, n=30, seed=1)
+    assert media.count() == 30
+    feats = multimodal.extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic across runs
+    again = multimodal.extract_media_features(multimodal.synth_media(spark, n=30, seed=1))
+    assert sorted(map(str, rows)) == sorted(map(str, again.collect()))
+
+
+def test_video_frame_sampling(spark):
+    media = multimodal.synth_media(spark, n=50, seed=1)
+    frames = multimodal.sample_video_frames(media, every_ms=10000)
+    vids = media.filter(F.col("kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == vids
+    assert frames.count() >= vids
+
+
+def test_resize_is_stubbed(spark):
+    media = multimodal.synth_media(spark, n=5, seed=1)
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        multimodal.resize_images(media, 64, 64).collect()

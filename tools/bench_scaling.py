@@ -34,8 +34,11 @@ from feature_extractor_mbo_lob_spark.plans.driver_queries import CFG
 from feature_extractor_mbo_lob_spark.sources import read_transcripts
 
 cores = {cores}
+import os
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 spark = get_spark(app_name=f"scale{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=2 * cores)
+                  shuffle_partitions=2 * cores,
+                  extra_conf={{"spark.local.dir": "/dev/shm/spark-tmp"}})
 spark.sparkContext.setLogLevel("ERROR")
 n = read_transcripts(spark, {corpus!r}).count()
 times = []
