@@ -93,15 +93,26 @@ def main() -> None:
     transcripts = read_transcripts(spark, tpath)
     n_turns = transcripts.count()
 
+    from feature_extractor_mbo_lob_spark.plans.vectorized import vectorized_flagship
+
     # warm-up execution (JIT/codegen), then min of 2 fresh executions —
-    # each a fresh DataFrame so no stage outputs are reused
+    # each a fresh DataFrame so no stage outputs are reused. Headline is the
+    # vectorized single-pass path (tested bit-equal to the declarative plan,
+    # which is also timed for transparency).
     runs = []
     for _ in range(3):
         fresh = read_transcripts(spark, tpath)
         t0 = time.time()
-        noop(flagship_pipeline(fresh, CFG, price_col="char_len"))
+        noop(vectorized_flagship(fresh, CFG, price_col="char_len"))
         runs.append(time.time() - t0)
     headline_sec = min(runs[1:])
+
+    decl_runs = []
+    for _ in range(2):
+        fresh = read_transcripts(spark, tpath)
+        t0 = time.time()
+        noop(flagship_pipeline(fresh, CFG, price_col="char_len"))
+        decl_runs.append(time.time() - t0)
 
     q_times: dict[str, float] = {}
     if not args.skip_queries:
@@ -120,6 +131,7 @@ def main() -> None:
         "turns": n_turns,
         "throughput_turns_per_sec": round(n_turns / headline_sec, 1),
         "all_runs_sec": [round(r, 3) for r in runs],
+        "declarative_path_sec": round(min(decl_runs[1:] or decl_runs), 3),
     }
     spark.stop()
     print(json.dumps(result))

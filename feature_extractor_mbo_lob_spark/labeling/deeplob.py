@@ -29,14 +29,14 @@ def deeplob_labels(
     n_plus = F.count(p).over(fwd)
 
     if method == 1:
-        l = (m_plus - p) / p
-        complete = n_plus == k
+        complete = (n_plus == k) & (p != 0)
+        l = F.when(complete, (m_plus - p) / p)
     elif method == 2:
         back = ordering.forward(cfg, -(k - 1), 0)
         m_minus = F.avg(p).over(back)
         n_minus = F.count(p).over(back)
-        l = (m_plus - m_minus) / m_minus
-        complete = (n_plus == k) & (n_minus == k)
+        complete = (n_plus == k) & (n_minus == k) & (m_minus != 0)
+        l = F.when(complete, (m_plus - m_minus) / m_minus)
     else:
         raise ValueError(f"unknown DeepLOB method {method}")
 

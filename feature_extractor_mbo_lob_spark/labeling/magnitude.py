@@ -22,11 +22,11 @@ def magnitude_labels(
     p = F.col(price_col)
     w = ordering.stable_window(cfg)
     fwd = ordering.forward(cfg, 1, h)
-    complete = F.count(p).over(fwd) == h
+    complete = (F.count(p).over(fwd) == h) & (p != 0)
 
-    point = (F.lead(p, h).over(w) - p) / p
-    max_ret = F.max(p).over(fwd) / p - 1.0
-    min_ret = F.min(p).over(fwd) / p - 1.0
+    point = F.when(complete, (F.lead(p, h).over(w) - p) / p)
+    max_ret = F.when(complete, F.max(p).over(fwd) / p - 1.0)
+    min_ret = F.when(complete, F.min(p).over(fwd) / p - 1.0)
     dominant = F.when(F.abs(max_ret) >= F.abs(min_ret), max_ret).otherwise(min_ret)
 
     return (

@@ -40,7 +40,11 @@ def multi_horizon_labels(
         back = ordering.forward(cfg, -k, 0)
         fwd = ordering.forward(cfg, h - k, h)
         w_minus, w_plus = F.avg(p).over(back), F.avg(p).over(fwd)
-        complete = (F.count(p).over(back) == k + 1) & (F.count(p).over(fwd) == k + 1)
+        complete = (
+            (F.count(p).over(back) == k + 1)
+            & (F.count(p).over(fwd) == k + 1)
+            & (w_minus != 0)
+        )
         l = F.when(complete, (w_plus - w_minus) / w_minus)
         df = df.withColumn(f"pct_change_h{h}", l.cast("double"))
 

@@ -32,10 +32,10 @@ def opportunity_labels(
     h = cfg.labels.horizon if h is None else h
     p = F.col(price_col)
     fwd = ordering.forward(cfg, 1, h)
-    complete = F.count(p).over(fwd) == h
+    complete = (F.count(p).over(fwd) == h) & (p != 0)
 
-    up_ret = F.max(p).over(fwd) / p - 1.0
-    down_ret = F.min(p).over(fwd) / p - 1.0
+    up_ret = F.when(complete, F.max(p).over(fwd) / p - 1.0)
+    down_ret = F.when(complete, F.min(p).over(fwd) / p - 1.0)
     big_up = up_ret > up_threshold
     big_down = down_ret < -down_threshold
 

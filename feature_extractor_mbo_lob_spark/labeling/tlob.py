@@ -46,9 +46,9 @@ def tlob_labels(
     w_plus = F.avg(p).over(fwd)
     n_minus = F.count(p).over(back)
     n_plus = F.count(p).over(fwd)
-    complete = (n_minus == k + 1) & (n_plus == k + 1)
+    complete = (n_minus == k + 1) & (n_plus == k + 1) & (w_minus != 0)
 
-    l = (w_plus - w_minus) / w_minus
+    l = F.when(complete, (w_plus - w_minus) / w_minus)
     label = (
         F.when(l > theta, F.lit(1)).when(l < -theta, F.lit(-1)).otherwise(F.lit(0))
     ).cast("tinyint")

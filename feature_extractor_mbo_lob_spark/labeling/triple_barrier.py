@@ -118,3 +118,79 @@ def triple_barrier_labels(
         return _label_group(pdf, price_col, order_cols, pt, sl, h, mh, timeout, frac)
 
     return df.groupBy(cfg.key_col).applyInPandas(fn, schema=out_schema)
+
+
+def volatility_scaled_barriers(
+    df: "DataFrame",
+    cfg: "PipelineConfig",
+    price_col: str = "p",
+    vol_ref: float | None = None,
+    scale_floor: float = 0.5,
+    scale_cap: float = 2.0,
+):
+    """Per-conversation volatility scaling for barrier percentages
+    (reference: with_volatility_scaling, src/export_aligned/mod.rs:312-328:
+    scale = clamp(vol_key / vol_ref, floor, cap) applied to profit/stop).
+
+    Returns (df + barrier_scale column, per-key vol table). vol_ref defaults
+    to the global median of per-key vols (two tiny aggregates)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import ordering
+
+    w = ordering.stable_window(cfg)
+    prev = F.lag(price_col).over(w)
+    ret = F.when(
+        prev.isNotNull() & (prev > 0) & (F.col(price_col) > 0),
+        F.log(F.col(price_col) / prev),
+    )
+    per_key = (
+        df.withColumn("_lr", ret)
+        .groupBy(cfg.key_col)
+        .agg(F.stddev_samp("_lr").alias("_vol"))
+    )
+    if vol_ref is None:
+        vol_ref = per_key.agg(F.percentile("_vol", F.lit(0.5)).alias("m")).collect()[0]["m"]
+    scaled = per_key.withColumn(
+        "barrier_scale",
+        F.least(
+            F.greatest(F.col("_vol") / F.lit(float(vol_ref)), F.lit(scale_floor)),
+            F.lit(scale_cap),
+        ),
+    ).drop("_vol")
+    return df.join(F.broadcast(scaled), on=cfg.key_col, how="left"), vol_ref
+
+
+def triple_barrier_labels_vol_scaled(
+    df: "DataFrame",
+    cfg: "PipelineConfig",
+    price_col: str = "p",
+    **kwargs,
+):
+    """Triple-barrier with per-conversation volatility-scaled barriers:
+    pt_key = profit_take * scale_key, sl_key = stop_loss * scale_key.
+    Implemented by pre-scaling the price ratio per key is NOT equivalent, so
+    the kernel takes the scale as a column — here via one applyInPandas per
+    key with its own scale (the scale is constant within a group)."""
+    import pandas as pd
+
+    from ..config import PipelineConfig as _PC  # noqa: F401
+
+    scaled_df, _ = volatility_scaled_barriers(df, cfg, price_col=price_col)
+    pt = kwargs.pop("profit_take", cfg.labels.profit_take)
+    sl = kwargs.pop("stop_loss", cfg.labels.stop_loss)
+    h = kwargs.pop("horizon", cfg.labels.max_holding)
+    mh = kwargs.pop("min_hold", cfg.labels.min_hold)
+    timeout = kwargs.pop("timeout", "label_as_timeout")
+    frac = kwargs.pop("frac", 0.5)
+    order_cols = list(cfg.order_cols)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in scaled_df.schema.fields
+    ) + ", tb_label tinyint, tb_exit_offset int, tb_exit_return double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = float(pdf["barrier_scale"].iloc[0]) if pdf["barrier_scale"].notna().any() else 1.0
+        return _label_group(pdf, price_col, order_cols, pt * s, sl * s, h, mh, timeout, frac)
+
+    return scaled_df.groupBy(cfg.key_col).applyInPandas(fn, schema=out_schema)

@@ -75,6 +75,45 @@ def _group_order_stats(x: np.ndarray, w: int) -> dict[str, np.ndarray]:
     return res
 
 
+def _bucket_order_stats(x_all: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                        w: int) -> dict[str, np.ndarray]:
+    """Order stats for EVERY conversation in a bucket in one shot: a single
+    +inf-padded concatenated array gives every row its trailing frame via
+    one sliding_window_view + one sort — no per-conversation Python loop.
+
+    starts/ends delimit conversations in the (sorted) bucket arrays.
+    Identical arithmetic to _group_order_stats (tested equal).
+    """
+    n = len(x_all)
+    n_convs = len(starts)
+    sizes = ends - starts
+    conv_idx = np.repeat(np.arange(n_convs), sizes)
+    pos_in_conv = np.arange(n) - starts[conv_idx]
+
+    padded = np.full(n + n_convs * (w - 1), np.inf)
+    padded[np.arange(n) + (w - 1) * (conv_idx + 1)] = x_all
+    sw = np.lib.stride_tricks.sliding_window_view(padded, w)[
+        np.arange(n) + (w - 1) * conv_idx
+    ]
+    sw = np.sort(sw, axis=1)
+
+    rows = np.arange(n)
+    m = np.minimum(pos_in_conv + 1, w).astype(np.float64)
+    out = {}
+    for q in QS:
+        idx = (m - 1) * q
+        lo = np.floor(idx).astype(np.int64)
+        frac = idx - lo
+        hi = np.minimum(lo + 1, (m - 1).astype(np.int64))
+        vlo = sw[rows, lo]
+        vhi = sw[rows, hi]
+        out[q] = vlo + frac * (vhi - vlo)
+    gt = (sw > out[0.90][:, None]).sum(axis=1) - (w - m)
+    res = {f"char_p{int(q * 100)}": out[q] for q in QS}
+    res["large_turn_ratio"] = gt / m
+    return res
+
+
 def with_order_stats_pandas(df: DataFrame, cfg: PipelineConfig,
                             value_col: str = "char_len",
                             n_buckets: int | None = None) -> DataFrame:
@@ -105,15 +144,10 @@ def with_order_stats_pandas(df: DataFrame, cfg: PipelineConfig,
             change[1:] = keys[1:] != keys[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(keys))
-        cols = {c: np.empty(len(keys)) for c in _stat_cols(windows)}
-        for s, e in zip(starts, ends):
-            x = x_all[s:e]
-            for w in windows:
-                stats = _group_order_stats(x, w)
-                for name, arr in stats.items():
-                    cols[f"{name}_w{w}"][s:e] = arr
-        for c, arr in cols.items():
-            pdf[c] = arr
+        for w in windows:
+            stats = _bucket_order_stats(x_all, starts, ends, w)
+            for name, arr in stats.items():
+                pdf[f"{name}_w{w}"] = arr
         return pdf
 
     if n_buckets is None:

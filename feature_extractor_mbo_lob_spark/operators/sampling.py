@@ -129,3 +129,24 @@ def interval_aggregate(
     per_interval = with_ids.groupBy(cfg.key_col, "sample_id").agg(*aggs)
     fired = with_ids.filter(F.col(flag) == 1)
     return fired.join(per_interval, on=[cfg.key_col, "sample_id"], how="left")
+
+
+def time_sample_flag(df: DataFrame, cfg: PipelineConfig, interval_s: float = 60.0,
+                     flag: str = "is_sample") -> DataFrame:
+    """Time-based sampler: fire on the first turn of each per-conversation
+    time bucket of ``interval_s`` seconds since conversation start.
+
+    The reference declares this sampler but leaves it unimplemented
+    (src/pipeline.rs:862-869 hard-errors); trivial in window algebra, so the
+    engine implements it.
+    """
+    w = ordering.stable_window(cfg)
+    cum = ordering.cumulative(cfg)
+    us = ordering.epoch_us(cfg.ts_col)
+    first_us = F.first(us).over(cum)
+    bucket = F.floor((us - first_us) / F.lit(interval_s * 1e6))
+    df = df.withColumn("_tbucket", bucket)
+    prev = F.lag("_tbucket").over(w)
+    return df.withColumn(
+        flag, (prev.isNull() | (prev < F.col("_tbucket"))).cast("int")
+    ).drop("_tbucket")

@@ -241,7 +241,7 @@ select conv_id, turn_idx,
             else 0 end as int)                      as label,
   round((w_plus - w_minus) / w_minus, 6)            as pct_change
 from l
-where n_minus = {_K + 1} and n_plus = {_K + 1}
+where n_minus = {_K + 1} and n_plus = {_K + 1} and w_minus != 0
 """
 
 
@@ -423,7 +423,7 @@ select conv_id, turn_idx,
   cast(case when (m_plus - p) / p > 0.01 then 1
             when (m_plus - p) / p < -0.01 then -1 else 0 end as int) as label,
   round((m_plus - p) / p, 6) as pct_change
-from l where n_plus = 3
+from l where n_plus = 3 and p != 0
 """
 
 
@@ -461,7 +461,7 @@ select conv_id, turn_idx,
   cast(case when (w5v-wm)/wm > 0.01 then 1 when (w5v-wm)/wm < -0.01 then -1 else 0 end as int) as label_h5,
   round((w3v-wm)/wm, 6) as pct_h3,
   round((w5v-wm)/wm, 6) as pct_h5
-from l where nm = 3 and n3 = 3 and n5 = 3
+from l where nm = 3 and n3 = 3 and n5 = 3 and wm != 0
 """
 
 
@@ -484,7 +484,7 @@ def q_opportunity_labels(spark, sf_dir):
 O_OPPORTUNITY_LABELS = f"""{_W},
 t as (select conv_id, turn_idx, ts, value as p from transcripts),
 l as (
-  select conv_id, turn_idx,
+  select conv_id, turn_idx, p,
     max(p) over wf / p - 1.0 as up_ret,
     min(p) over wf / p - 1.0 as down_ret,
     count(p) over wf as nf
@@ -498,7 +498,7 @@ select conv_id, turn_idx,
     else 0 end as int) as label,
   round(up_ret, 6) as up_ret,
   round(down_ret, 6) as down_ret
-from l where nf = 5
+from l where nf = 5 and p != 0
 """
 
 
@@ -533,7 +533,7 @@ select conv_id, turn_idx,
   round(max_ret, 6)       as max_return,
   round(min_ret, 6)       as min_return,
   round(case when abs(max_ret) >= abs(min_ret) then max_ret else min_ret end, 6) as dominant_return
-from l where nf = 5
+from l where nf = 5 and p != 0
 """
 
 
@@ -1281,4 +1281,131 @@ ORACLES.update({
     "sequence_label_align": O_SEQUENCE_LABEL_ALIGN,
     "export_normalize": O_EXPORT_NORMALIZE,
     "rolling_session_zscore": O_ROLLING_SESSION_ZSCORE,
+})
+
+
+# =============================================================================
+# Batch 4: time sampler, volatility-scaled barriers, embedding near-dup
+# =============================================================================
+
+
+def q_time_sampler(spark, sf_dir):
+    out = sampling.time_sample_flag(_t(spark, sf_dir), CFG, interval_s=86400.0)
+    return out.filter(F.col("is_sample") == 1).select("conv_id", "turn_idx")
+
+
+O_TIME_SAMPLER = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts,
+    floor((epoch_us(ts) - first_value(epoch_us(ts)) over ({_CUM})) / (86400.0 * 1e6)) as bucket
+  from transcripts
+)
+select conv_id, turn_idx
+from (
+  select conv_id, turn_idx, bucket, lag(bucket) over ({_OWIN}) as prev
+  from t
+) where prev is null or prev < bucket
+"""
+
+
+def q_triple_barrier_vol_scaled(spark, sf_dir):
+    from ..labeling.triple_barrier import triple_barrier_labels_vol_scaled
+
+    t = _t(spark, sf_dir).withColumn("p", F.col("value")).select(
+        "conv_id", "turn_idx", "ts", "p"
+    )
+    lab = triple_barrier_labels_vol_scaled(
+        t, CFG, price_col="p", profit_take=0.5, stop_loss=0.3, horizon=5,
+    )
+    return lab.filter(F.col("tb_label").isNotNull()).select(
+        "conv_id", "turn_idx",
+        F.col("tb_label").cast("int").alias("tb_label"),
+        F.col("tb_exit_offset").cast("int").alias("tb_exit_offset"),
+        _r6(F.col("tb_exit_return"), "tb_exit_return"),
+    )
+
+
+O_TRIPLE_BARRIER_VOL_SCALED = f"""{_W},
+t as (
+  select conv_id, turn_idx, value as p,
+    row_number() over ({_OWIN}) as rn,
+    count(*) over (partition by conv_id) as n,
+    case when lag(value) over ({_OWIN}) is not null
+           and lag(value) over ({_OWIN}) > 0 and value > 0
+         then ln(value / lag(value) over ({_OWIN})) end as lr
+  from transcripts
+),
+kv as (select conv_id, stddev_samp(lr) as vol from t group by conv_id),
+ref as (select cast(quantile_cont(vol, 0.5) as double) as vr from kv),
+sc as (
+  select conv_id, least(greatest(vol / vr, 0.5), 2.0) as s
+  from kv, ref
+),
+ts_ as (
+  select t.*, coalesce(sc.s, 1.0) as s from t left join sc using (conv_id)
+),
+base as (select * from ts_ where rn + 5 <= n),
+touches as (
+  select a.conv_id, a.turn_idx, b.rn - a.rn as d, b.p as exit_p,
+    case when b.p >= a.p * (1 + 0.5 * a.s) then 1
+         when b.p <= a.p * (1 - 0.3 * a.s) then -1 end as hit
+  from base a join ts_ b
+    on a.conv_id = b.conv_id and b.rn between a.rn + 1 and a.rn + 5
+  where b.p >= a.p * (1 + 0.5 * a.s) or b.p <= a.p * (1 - 0.3 * a.s)
+),
+first_touch as (
+  select conv_id, turn_idx,
+    min_by(hit, d) as hit, min(d) as d, min_by(exit_p, d) as exit_p
+  from touches group by conv_id, turn_idx
+),
+te as (
+  select conv_id, turn_idx, lead(value, 5) over ({_OWIN}) as p_h
+  from transcripts
+)
+select b.conv_id, b.turn_idx,
+  cast(coalesce(f.hit, 0) as int)                  as tb_label,
+  cast(coalesce(f.d, 5) as int)                    as tb_exit_offset,
+  round(coalesce(f.exit_p, te.p_h) / b.p - 1.0, 6) as tb_exit_return
+from base b
+left join first_touch f using (conv_id, turn_idx)
+join te using (conv_id, turn_idx)
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", similarity.cosine(F.col("_va"), F.col("_vb")).alias("cos")
+    )
+    return scored.filter(F.col("cos") >= 0.35).select(
+        "id_a", "id_b", _r6(F.col("cos"), "cos")
+    )
+
+
+O_EMBEDDING_NEAR_DUP = f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+pairs as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) + {DIVISION_GUARD_EPS}) as cos
+  from e a, e b where a.vec_id < b.vec_id
+)
+select id_a, id_b, round(cos, 6) as cos from pairs where cos >= 0.35
+"""
+
+
+QUERIES.update({
+    "time_sampler": q_time_sampler,
+    "triple_barrier_vol_scaled": q_triple_barrier_vol_scaled,
+    "embedding_near_dup": q_embedding_near_dup,
+})
+ORACLES.update({
+    "time_sampler": O_TIME_SAMPLER,
+    "triple_barrier_vol_scaled": O_TRIPLE_BARRIER_VOL_SCALED,
+    "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
 })

@@ -19,6 +19,16 @@ from ..labeling import tlob_labels
 from ..operators import ordering, rolling, state
 
 
+def r6(c):
+    """Half-away-from-zero rounding at 6 decimals via pure float algebra —
+    bit-identical between Spark expressions and the numpy kernel
+    (plans/vectorized.py), unlike F.round (BigDecimal HALF_UP) vs np.round
+    (half-to-even), which disagree on representable ties."""
+    pos = F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    neg = -(F.floor(-c * 1e6 + F.lit(0.5)) / 1e6)
+    return F.when(c >= 0, pos).otherwise(neg).cast("double")
+
+
 def clean_input(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Invalid-row filter (reference: src/pipeline.rs:609-612 drops system
     messages). Transcript analog: drop rows with null key/order/ts. Pushed to
@@ -136,7 +146,7 @@ def flagship_pipeline(
         cfg.key_col,
         "turn_idx",
         cfg.ts_col,
-        *[F.round(F.col(c), 6).alias(c) for c in cfg.feature_columns()],
+        *[r6(F.col(c)).alias(c) for c in cfg.feature_columns()],
         "label",
-        F.round("label_pct_change", 6).alias("label_pct_change"),
+        r6(F.col("label_pct_change")).alias("label_pct_change"),
     )

@@ -30,6 +30,7 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from feature_extractor_mbo_lob_spark import get_spark
 from feature_extractor_mbo_lob_spark.plans import flagship_pipeline
+from feature_extractor_mbo_lob_spark.plans.vectorized import vectorized_flagship
 from feature_extractor_mbo_lob_spark.plans.driver_queries import CFG
 from feature_extractor_mbo_lob_spark.sources import read_transcripts
 
@@ -41,16 +42,21 @@ spark = get_spark(app_name=f"scale{{cores}}", master=f"local[{{cores}}]",
                   extra_conf={{"spark.local.dir": "/dev/shm/spark-tmp"}})
 spark.sparkContext.setLogLevel("ERROR")
 n = read_transcripts(spark, {corpus!r}).count()
-times = []
-for i in range({repeats} + 1):
-    t = read_transcripts(spark, {corpus!r})
-    df = flagship_pipeline(t, CFG, price_col="char_len")
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    times.append(time.time() - t0)
-best = min(times[1:])  # drop warm-up
-print("RESULT " + json.dumps({{"cores": cores, "sec": round(best, 2),
-      "all_sec": [round(x, 2) for x in times], "turns": n,
+results = {{}}
+for name, builder in (("vectorized", vectorized_flagship),
+                      ("declarative", flagship_pipeline)):
+    times = []
+    for i in range({repeats} + 1):
+        t = read_transcripts(spark, {corpus!r})
+        df = builder(t, CFG, price_col="char_len")
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        times.append(time.time() - t0)
+    results[name] = {{"sec": round(min(times[1:]), 2),
+                      "all_sec": [round(x, 2) for x in times]}}
+best = results["vectorized"]["sec"]
+print("RESULT " + json.dumps({{"cores": cores, "sec": best,
+      "paths": results, "turns": n,
       "turns_per_sec": round(n / best, 1)}}))
 spark.stop()
 """
@@ -92,6 +98,7 @@ def main() -> None:
     lo = run_level(n, corpus, args.repeats)
     hi = run_level(n4, corpus, args.repeats)
     eff = (lo["sec"] / hi["sec"]) / 4.0
+    eff_decl = (lo["paths"]["declarative"]["sec"] / hi["paths"]["declarative"]["sec"]) / 4.0
     print(json.dumps({
         "scaling": {"N_cores": n, "4N_cores": n4,
                     "T_N_sec": lo["sec"], "T_4N_sec": hi["sec"],
@@ -99,7 +106,8 @@ def main() -> None:
                     "throughput_N": lo["turns_per_sec"],
                     "throughput_4N": hi["turns_per_sec"],
                     "efficiency": round(eff, 3), "target": 0.8,
-                    "pass": eff >= 0.8},
+                    "pass": eff >= 0.8,
+                    "efficiency_declarative_path": round(eff_decl, 3)},
         "raw": [lo, hi],
     }))
 
