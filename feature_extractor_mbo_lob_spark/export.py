@@ -174,3 +174,49 @@ def input_fingerprint_for_path(spark: SparkSession, path: str) -> str:
     else:
         h.update(path.encode())
     return h.hexdigest()[:16]
+
+
+def export_npy_sequences(
+    seq_df: DataFrame,
+    out_dir: str,
+    tag: str,
+    label_col: str | None = None,
+    max_rows: int = 1_000_000,
+) -> dict:
+    """NPY tensor sink for fixture parity with the reference's primary
+    artifact (reference: export_sequences src/export_aligned/npy_export.rs:
+    36-116 — {day}_sequences.npy [N,T,F] float32, {day}_labels.npy [N] int8,
+    metadata JSON). The parquet table is the production sink; this collects
+    a bounded slice to the driver, so it is for fixtures/small exports only
+    (hard cap max_rows).
+
+    seq_df must have a `sequence: array<array<double>>` column (from
+    operators.sequence.build_sequences) and optionally a label column.
+    """
+    import numpy as np
+
+    n = seq_df.count()
+    if n > max_rows:
+        raise ValueError(f"npy export capped at {max_rows} rows, got {n}")
+    cols = ["sequence"] + ([label_col] if label_col else [])
+    pdf = seq_df.select(*cols).toPandas()
+    # explicit [N][T][F] nesting — Arrow may hand back ragged object arrays
+    seqs = np.array(
+        [[list(vec) for vec in s] for s in pdf["sequence"]], dtype=np.float32
+    )
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / f"{tag}_sequences.npy", seqs)
+    meta = {
+        "shape": list(seqs.shape),
+        "dtype": "float32",
+        "rows": int(n),
+        "written_at_unix": time.time(),
+    }
+    if label_col:
+        labels = pdf[label_col].to_numpy(dtype=np.int8)
+        np.save(out / f"{tag}_labels.npy", labels)
+        meta["labels_shape"] = list(labels.shape)
+        meta["labels_dtype"] = "int8"
+    (out / f"{tag}_metadata.json").write_text(json.dumps(meta, indent=1))
+    return meta

@@ -138,3 +138,31 @@ def test_input_fingerprint_changes_with_data(tmp_path, spark, frame):
     frame.limit(5).write.mode("overwrite").parquet(p)
     f2 = input_fingerprint_for_path(spark, p)
     assert f1 != f2
+
+
+def test_npy_export_roundtrip(tmp_path, spark):
+    """Reference L4: write-then-read NPY, shape + value checks
+    (tests/export_roundtrip.rs)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.export import export_npy_sequences
+    from feature_extractor_mbo_lob_spark.operators import sequence
+    from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+    import datetime as dt
+
+    rows = [("a", i, "user", "x" * (i + 1), None,
+             dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)) for i in range(10)]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA).withColumn(
+        "f1", F.length("text").cast("double")
+    ).withColumn("lab", (F.col("turn_idx") % 3 - 1).cast("tinyint"))
+    seq = sequence.build_sequences(df, CFG, ["f1"], window=4, stride=2)
+    seq = seq.join(df.select(F.col("turn_idx").alias("end_turn_idx"), "lab"),
+                   on="end_turn_idx")
+    meta = export_npy_sequences(seq, str(tmp_path), "day1", label_col="lab")
+    seqs = np.load(tmp_path / "day1_sequences.npy")
+    labs = np.load(tmp_path / "day1_labels.npy")
+    assert seqs.shape == (4, 4, 1) and seqs.dtype == np.float32
+    assert labs.shape == (4,) and labs.dtype == np.int8
+    assert meta["shape"] == [4, 4, 1]
+    assert not np.isnan(seqs).any()
