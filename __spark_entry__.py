@@ -16,7 +16,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+_shipped_sessions: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on executor Python workers regardless of
+    how the driver built its SparkSession: distribute dist/engine.zip via
+    addPyFile (works on a live session; pandas-UDF closures pickle module
+    references, so workers must import the package)."""
+    key = id(spark.sparkContext)
+    if key in _shipped_sessions:
+        return
+    zip_path = os.path.join(_REPO, "dist", "engine.zip")
+    import subprocess
+
+    if not os.path.exists(zip_path):
+        subprocess.run(
+            [sys.executable, os.path.join(_REPO, "tools", "make_pyfiles.py")],
+            check=True,
+            capture_output=True,
+        )
+    spark.sparkContext.addPyFile(zip_path)
+    _shipped_sessions.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,6 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from feature_extractor_mbo_lob_spark.plans.driver_queries import CFG
     from feature_extractor_mbo_lob_spark.sources import transcripts_from_events
 
+    _ship_package(spark)
     t = transcripts_from_events(spark, "/root/testdata/sf0.001")
     return flagship_pipeline(t, CFG, price_col="value")
 
@@ -33,7 +58,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
 
-    return dict(QUERIES)
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
