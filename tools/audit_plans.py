@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Physical-plan audit: verifies (and documents, into PLANS.md) that the
+engine's plans have the shape you want at 100 TB — filters pushed to the
+scan, columns pruned, minimal exchanges/sorts, broadcast where intended."""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def summarize(name: str, df, notes: str) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        re.sub(r"Location: \S+", "", line.strip())[:200]
+        for line in plan.splitlines()
+        if "FileScan" in line
+    ]
+    counts = {
+        "exchanges": plan.count("Exchange"),
+        "sorts": len(re.findall(r"\bSort \[", plan)),
+        "window_execs": len(re.findall(r"\bWindow \[", plan)),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "python_stages": plan.count("FlatMapGroupsInPandas") + plan.count("MapInPandas"),
+    }
+    lines = [f"## {name}", "", notes, ""]
+    lines.append("| metric | value |")
+    lines.append("|---|---|")
+    for k, v in counts.items():
+        lines.append(f"| {k} | {v} |")
+    lines.append("")
+    for s in scans:
+        lines.append(f"- scan: `{s}`")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark import get_spark
+    from feature_extractor_mbo_lob_spark.operators import asof, dedup
+    from feature_extractor_mbo_lob_spark.plans import build_features, flagship_pipeline
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import CFG
+    from feature_extractor_mbo_lob_spark.plans.vectorized import vectorized_flagship
+    from feature_extractor_mbo_lob_spark.sources import synth_transcripts
+
+    spark = get_spark(app_name="plan-audit", master="local[2]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    t = synth_transcripts(spark, n_convs=50, seed=42)
+    t.write.mode("overwrite").parquet("/tmp/plan_audit_input.parquet")
+    t = spark.read.parquet("/tmp/plan_audit_input.parquet")
+
+    sections = ["# PLANS — physical-plan audit (tools/audit_plans.py)", ""]
+
+    sections.append(summarize(
+        "flagship declarative (fused)",
+        flagship_pipeline(t, CFG, price_col="char_len"),
+        "Full contract feature frame + TLOB labels. Target shape: ONE "
+        "exchange + ONE sort feeding the whole window cascade (every window "
+        "shares partitionBy(conv_id).orderBy(turn_idx, ts)); order stats "
+        "ride a bucketed Arrow/pandas stage.",
+    ))
+
+    sections.append(summarize(
+        "flagship vectorized (single-pass kernel)",
+        vectorized_flagship(t, CFG, price_col="char_len"),
+        "The fused-loop twin: ONE exchange to conversation buckets, one "
+        "python stage, nothing else.",
+    ))
+
+    sections.append(summarize(
+        "pushdown + pruning probe",
+        build_features(t, CFG, narrow=True, order_stats="native")
+        .filter(F.col("conv_id") == "c42")
+        .select("conv_id", "turn_idx", "char_mean_w8"),
+        "Key-filter must appear in the scan's DataFilters; ReadSchema must "
+        "drop `role`/`tool` (only text->char_len is needed).",
+    ))
+
+    labels = t.filter(F.col("role") == "tool").select(
+        "conv_id", "ts", F.length("text").cast("double").alias("v")
+    )
+    sections.append(summarize(
+        "as-of join (union-tag form)",
+        asof.asof_join(t.select("conv_id", "turn_idx", "ts"), labels,
+                       key="conv_id", ts="ts", value_cols=["v"]),
+        "Single shuffle on the key; the as-of resolution is a window over "
+        "the unioned stream — no per-row probe structure, no range "
+        "explosion.",
+    ))
+
+    docs = t.select(F.col("turn_idx").cast("long").alias("doc_id"), "text").limit(200)
+    sections.append(summarize(
+        "minhash LSH candidate pairs",
+        dedup.minhash_lsh_pairs(docs, k=3, num_hashes=8, bands=4),
+        "Shuffles are O(total shingles) + O(band keys); pairs only form via "
+        "the band-key equi join (never a cross join).",
+    ))
+
+    out = Path(__file__).resolve().parent.parent / "PLANS.md"
+    out.write_text("\n".join(sections))
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
