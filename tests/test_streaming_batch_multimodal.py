@@ -151,3 +151,21 @@ def test_resize_is_stubbed(spark):
     media = multimodal.synth_media(spark, n=5, seed=1)
     with pytest.raises(Exception, match="NotImplementedError|image decode"):
         multimodal.resize_images(media, 64, 64).collect()
+
+
+def test_streaming_turn_rates(spark, turns):
+    flusher = spark.createDataFrame(
+        [("zz", 0, "user", "flush", None, ts(100000))], schema=TRANSCRIPT_SCHEMA
+    )
+    src = turns.unionByName(flusher)
+    res = _run_stream(
+        spark, src,
+        lambda s: strm.streaming_turn_rates(s, CFG, window="5 minutes",
+                                            slide="5 minutes", watermark="1 second"),
+    )
+    rows = [r for r in res.collect() if r.conv_id == "a"]
+    assert rows, "windowed rates should emit for conv a"
+    total = sum(r.turns for r in rows)
+    assert total == 4  # every 'a' turn lands in exactly one tumbling window
+    tool_total = sum(r.tool_turns for r in rows)
+    assert tool_total == 1
