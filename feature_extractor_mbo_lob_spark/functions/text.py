@@ -64,22 +64,31 @@ def quality_score(col) -> Column:
     return ((len_ok + wlen_ok + punct_ok) / F.lit(3.0)).cast("double")
 
 
-def lang_id(col) -> Column:
-    """Stopword-vote language ID: the language whose stopword list matches
-    the most tokens; 'und' when nothing matches."""
+def lang_stopword_count(col, lang: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(F.lower(F.trim(c)), r"\s+")
-    scores = []
-    for lang, sws in LANG_STOPWORDS.items():
-        sw = F.array(*[F.lit(w) for w in sws])
-        scores.append(
-            F.struct(
-                F.size(F.filter(words, lambda w: F.array_contains(sw, w))).alias("n"),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    best = F.array_max(F.array(*scores))
-    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
+def lang_id(col) -> Column:
+    """Stopword-vote language ID: the language whose stopword list matches
+    the most tokens; 'und' when nothing matches. Ties break by the fixed
+    priority en > es > fr > de (an explicit CASE cascade, so any SQL engine
+    reproduces the exact same decision)."""
+    counts = {lang: lang_stopword_count(col, lang) for lang in LANG_STOPWORDS}
+    order = list(LANG_STOPWORDS)  # en, es, fr, de — priority order
+    # simple first-match cascade: a language wins when its count is positive
+    # and >= every LATER language's count (earlier CASE arms absorb earlier
+    # languages) — trivially mirrored as SQL CASE WHEN
+    expr = F.lit("und")
+    for i in range(len(order) - 1, -1, -1):
+        lang = order[i]
+        cond = counts[lang] > 0
+        for other in order[i + 1 :]:
+            cond = cond & (counts[lang] >= counts[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
 
 
 def fingerprint(col) -> Column:

@@ -1409,3 +1409,41 @@ ORACLES.update({
     "triple_barrier_vol_scaled": O_TRIPLE_BARRIER_VOL_SCALED,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
 })
+
+
+# --- language ID (deterministic cascade — strong oracle) ----------------------
+
+def q_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", "lang", tx.lang_id("text").alias("lang_pred"))
+
+
+def _sw_count_sql(lang):
+    words = tx.LANG_STOPWORDS[lang]
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(string_split(lower(trim(text)), ' '), "
+        f"w -> w in ({in_list})))"
+    )
+
+
+O_LANG_ID = f"""
+with c as (
+  select doc_id, lang,
+    {_sw_count_sql('en')} as n_en,
+    {_sw_count_sql('es')} as n_es,
+    {_sw_count_sql('fr')} as n_fr,
+    {_sw_count_sql('de')} as n_de
+  from documents
+)
+select doc_id, lang,
+  case when n_en > 0 and n_en >= n_es and n_en >= n_fr and n_en >= n_de then 'en'
+       when n_es > 0 and n_es >= n_fr and n_es >= n_de then 'es'
+       when n_fr > 0 and n_fr >= n_de then 'fr'
+       when n_de > 0 then 'de'
+       else 'und' end as lang_pred
+from c
+"""
+
+QUERIES["lang_id"] = q_lang_id
+ORACLES["lang_id"] = O_LANG_ID
