@@ -51,6 +51,12 @@ def _label_group(
     if m > 0:
         fwd = np.lib.stride_tricks.sliding_window_view(p, horizon + 1)[:m, 1:]  # (m, H)
         entry = p[:m]
+        # Zero/negative entry prices make the return undefined (div-by-zero)
+        # and the barriers degenerate (0*(1±x) = 0 touches immediately), so
+        # those anchors are masked to NULL — mirrored by the `p > 0` guard in
+        # the oracle SQL (ANSI zero-guard convention).
+        valid = entry > 0
+        safe_entry = np.where(valid, entry, 1.0)
         upper = entry * (1.0 + pt)
         lower = entry * (1.0 - sl)
         up_t = fwd >= upper[:, None]
@@ -65,7 +71,7 @@ def _label_group(
 
         d = np.where(has, first + 1, horizon).astype(np.float64)
         exit_price = fwd[rows, np.where(has, first, horizon - 1)]
-        ret = exit_price / entry - 1.0
+        ret = exit_price / safe_entry - 1.0
 
         touched_label = np.where(up_t[rows, first], 1.0, -1.0)
         if timeout == "label_as_timeout":
@@ -77,9 +83,9 @@ def _label_group(
         else:
             raise ValueError(f"unknown timeout strategy {timeout}")
 
-        label[:m] = np.where(has, touched_label, to_label)
-        exit_off[:m] = d
-        exit_ret[:m] = ret
+        label[:m] = np.where(valid, np.where(has, touched_label, to_label), np.nan)
+        exit_off[:m] = np.where(valid, d, np.nan)
+        exit_ret[:m] = np.where(valid, ret, np.nan)
 
     pdf["tb_label"] = pd.array(
         [None if np.isnan(v) else int(v) for v in label], dtype="Int8"

@@ -60,9 +60,9 @@ def q_state_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_STATE_CUMULATIVE = f"""{_W}
 select conv_id, turn_idx,
   count(*) over cum                                         as turns_so_far,
-  sum(case when role = 'user' then 1 else 0 end) over cum   as user_turns_so_far,
-  sum(case when role = 'assistant' then 1 else 0 end) over cum as assistant_turns_so_far,
-  sum(case when role = 'tool' then 1 else 0 end) over cum   as tool_turns_so_far,
+  cast(sum(case when role = 'user' then 1 else 0 end) over cum as bigint)   as user_turns_so_far,
+  cast(sum(case when role = 'assistant' then 1 else 0 end) over cum as bigint) as assistant_turns_so_far,
+  cast(sum(case when role = 'tool' then 1 else 0 end) over cum as bigint)   as tool_turns_so_far,
   round(sum(cast(length(text) as double)) over cum, 6)      as chars_so_far,
   round(coalesce((epoch_us(ts) - lag(epoch_us(ts)) over w) / 1e6, 0.0), 6) as dt_seconds,
   round((epoch_us(ts) - first_value(epoch_us(ts)) over cum) / 1e6, 6) as secs_since_start
@@ -131,7 +131,7 @@ t as (
   window w as ({_OWIN})
 )
 select conv_id,
-  sum(is_start)                          as n_sessions,
+  cast(sum(is_start) as bigint)          as n_sessions,
   count(*)                               as n_turns,
   round(count(*) / cast(sum(is_start) as double), 6) as turns_per_session
 from t group by conv_id
@@ -566,7 +566,7 @@ t as (
     count(*) over (partition by conv_id) as n
   from transcripts
 ),
-base as (select * from t where rn + {_TB_H} <= n),
+base as (select * from t where rn + {_TB_H} <= n and p > 0),
 touches as (
   select a.conv_id, a.turn_idx, b.rn - a.rn as d, b.p as exit_p,
     case when b.p >= a.p * (1 + {_TB_PT}) then 1
@@ -693,7 +693,7 @@ eps as (
 )
 select conv_id,
   count(*)                        as n_episodes,
-  sum(completed)                  as n_completed,
+  cast(sum(completed) as bigint)  as n_completed,
   round(avg(completed), 6)        as completion_ratio,
   sum(lat_us) / cast(count(lat_us) as double) as mean_latency_us,
   cast(round(cast(quantile_cont(lat_us, 0.5) as double) * 2, 0) as bigint) as median_latency_us_x2
@@ -915,7 +915,7 @@ v as (
 )
 select (select count(*) from transcripts) as rows,
   (select count(distinct conv_id) from transcripts) as convs,
-  (select coalesce(sum(viol), 0) from v) as ts_violations
+  (select cast(coalesce(sum(viol), 0) as bigint) from v) as ts_violations
 """
 
 
@@ -1182,7 +1182,7 @@ c as (
 select conv_id,
   round(sum(n * n) / (cast(sum(n) as double) * sum(n)), 6) as tool_hhi,
   count(*) as n_tools,
-  sum(n) as n_tool_calls
+  cast(sum(n) as bigint) as n_tool_calls
 from c group by conv_id
 """
 
@@ -1344,7 +1344,7 @@ sc as (
 ts_ as (
   select t.*, coalesce(sc.s, 1.0) as s from t left join sc using (conv_id)
 ),
-base as (select * from ts_ where rn + 5 <= n),
+base as (select * from ts_ where rn + 5 <= n and p > 0),
 touches as (
   select a.conv_id, a.turn_idx, b.rn - a.rn as d, b.p as exit_p,
     case when b.p >= a.p * (1 + 0.5 * a.s) then 1

@@ -107,15 +107,32 @@ def main() -> int:
             print(f"weak  {name}: rows={len(s_rows)} (no oracle — rows-only check)")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [c[0] for c in res.description]
-            d_rows = res.fetchall()
+            # Fetch via Arrow to reproduce the driver's canonicalizer exactly:
+            # DuckDB sum(INTEGER) -> HUGEINT surfaces as decimal128(38,0) in
+            # Arrow, which hashes differently from BIGINT. fetchall() masks
+            # this by converting through Python ints.
+            import pyarrow as pa
+
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            d_cols = list(tbl.column_names)
+            dec_cols = [
+                n for n, t in zip(tbl.column_names, tbl.schema.types)
+                if pa.types.is_decimal(t)
+            ]
+            d_rows = [
+                tuple(row[c] for c in d_cols) for row in tbl.to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
 
         problems = []
+        if dec_cols:
+            problems.append(
+                f"decimal128 oracle columns (HUGEINT leak — add cast(... as "
+                f"bigint/double)): {dec_cols}"
+            )
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
