@@ -145,39 +145,76 @@ def minhash_lsh_pairs(
     )
 
 
+def _nibble_lane_lut() -> list[int]:
+    # packed lane value for hex nibble v: bit b of v contributes 1 << (16*b)
+    return [sum(((v >> b) & 1) << (16 * b) for b in range(4)) for v in range(16)]
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             k: int = 2, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over shingle xxhash64 hashes: bit i of the fingerprint
-    is 1 iff sum over shingles of (2*bit_i(h)-1) > 0. One groupBy with
-    ``bits`` conditional sums (JVM-side, no UDF). Returns (id, simhash)."""
-    sh = shingle_table(df, id_col, text_col, k).withColumn(
-        "h", F.xxhash64("shingle")
-    )
-    aggs = [
-        F.sum(
-            (F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-        ).alias(f"b{i}")
-        for i in range(bits)
+    """64-bit SimHash over the first 16 hex nibbles of md5(shingle) —
+    DuckDB-reproducible (same trick as MinHash's md5 permutations).
+
+    Single groupBy with 17 aggregates instead of 64: count(*) plus one
+    packed counter per nibble position, whose four 16-bit lanes count that
+    nibble's set bits across shingles (lanes cannot collide below 65 535
+    shingles per doc — far above any real document). Bit i of the
+    fingerprint is set iff count_i > n/2 (majority vote, identical to the
+    classic sum(±1) > 0 rule). Returns (id, c0..c3, simhash) where c0..c3
+    are the 16-bit fingerprint chunks (c0 = low bits) used by Hamming-LSH.
+
+    Reference parity: simhash dedup per src pipeline docs; recall guarantee
+    of the chunk LSH (hamming < n_chunks => some chunk equal) is preserved.
+    """
+    assert bits == 64, "simhash is fixed at 64 bits (16 md5 nibbles)"
+    sh = shingle_table(df, id_col, text_col, k).withColumn("hx", F.md5("shingle"))
+    lut = F.array(*[F.lit(v) for v in _nibble_lane_lut()])
+
+    def nib(j: int) -> F.Column:  # value 0..15 of hex char j (0-based)
+        return F.conv(F.substring("hx", j + 1, 1), 16, 10).cast("int")
+
+    aggs = [F.count(F.lit(1)).alias("n_sh")] + [
+        F.sum(F.element_at(lut, nib(j) + 1)).alias(f"p{j}") for j in range(16)
     ]
     agg = sh.groupBy("id").agg(*aggs)
-    acc = F.lit(0).cast("long")
-    for i in range(bits):
-        acc = acc + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(F.lit(0))
-    return agg.select("id", acc.alias("simhash"))
+
+    def bit_cnt(i: int) -> F.Column:
+        # count of shingles with bit i set = lane i%4 of packed counter i//4
+        return F.shiftright(F.col(f"p{i // 4}"), 16 * (i % 4)).bitwiseAND(F.lit(0xFFFF))
+
+    def chunk(c: int) -> F.Column:  # 16-bit chunk over fingerprint bits 16c..16c+15
+        acc = F.lit(0).cast("long")
+        for b in range(16):
+            acc = acc + F.when(bit_cnt(16 * c + b) * 2 > F.col("n_sh"),
+                               F.lit(1 << b)).otherwise(F.lit(0))
+        return acc.alias(f"c{c}")
+
+    out = agg.select("id", *[chunk(c) for c in range(4)])
+    # signed 64-bit fingerprint; c3 >= 2^15 means bit 63 set -> negative
+    hi = F.when(F.col("c3") >= F.lit(1 << 15), F.col("c3") - F.lit(1 << 16)).otherwise(F.col("c3"))
+    return out.withColumn(
+        "simhash",
+        hi * F.lit(1 << 48) + F.col("c2") * F.lit(1 << 32)
+        + F.col("c1") * F.lit(1 << 16) + F.col("c0"),
+    )
 
 
 def simhash_candidates(sim: DataFrame, chunk_bits: int = 16) -> DataFrame:
     """Hamming-LSH: split the 64-bit fingerprint into 64/chunk_bits chunks;
     docs sharing any chunk value are candidates (guarantees recall for
-    hamming distance < n_chunks)."""
+    hamming distance < n_chunks). Uses the precomputed c0..c3 chunk columns
+    when present (chunk_bits=16), avoiding signed-shift gymnastics."""
     n_chunks = 64 // chunk_bits
-    mask = (1 << chunk_bits) - 1
+    if chunk_bits == 16 and all(f"c{c}" in sim.columns for c in range(4)):
+        chunk_vals = [F.col(f"c{c}") for c in range(4)]
+    else:
+        mask = (1 << chunk_bits) - 1
+        chunk_vals = [
+            F.shiftrightunsigned("simhash", c * chunk_bits).bitwiseAND(F.lit(mask))
+            for c in range(n_chunks)
+        ]
     chunks = [
-        F.concat(
-            F.lit(f"{c}:"),
-            (F.shiftrightunsigned("simhash", c * chunk_bits).bitwiseAND(F.lit(mask))).cast("string"),
-        )
-        for c in range(n_chunks)
+        F.concat(F.lit(f"{c}:"), chunk_vals[c].cast("string")) for c in range(n_chunks)
     ]
     melted = sim.select("id", "simhash", F.explode(F.array(*chunks)).alias("ck"))
     a, b = melted.alias("a"), melted.alias("b")

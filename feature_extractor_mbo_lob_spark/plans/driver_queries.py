@@ -958,12 +958,80 @@ from s where pos >= 3 and (pos - 3) % 2 = 0
 """
 
 
-# --- weak (rows-only) queries: non-SQL-expressible or approximate ------------------------
+# --- simhash + hamming LSH candidates (md5 nibbles — bit-identical cross-engine) ----
 
 def q_simhash_candidates(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sim = dedup.simhash(docs, k=2)
-    return dedup.simhash_candidates(sim).select("id_a", "id_b", "hamming")
+    return dedup.simhash_candidates(sim).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _simhash_oracle() -> str:
+    """Generated DuckDB twin of simhash(k=2) + chunk-16 Hamming LSH: bit i of
+    the fingerprint = majority vote of bit i%4 of md5 hex nibble i//4."""
+    def nib(j: int) -> str:
+        return f"(strpos('0123456789abcdef', substring(hx, {j + 1}, 1)) - 1)"
+
+    cnts = ",\n    ".join(
+        f"sum(({nib(i // 4)} >> {i % 4}) & 1) as cnt_{i}" for i in range(64)
+    )
+
+    def chunk(c: int) -> str:
+        return " + ".join(
+            f"(case when 2*cnt_{16 * c + b} > n_sh then {1 << b} else 0 end)"
+            for b in range(16)
+        )
+
+    return f"""
+with shingled2 as (
+  select doc_id as id, unnest(
+    case when len(words) >= 2 then
+      list_distinct([array_to_string(words[i:i+1], ' ') for i in range(1, len(words))])
+    else [array_to_string(words, ' ')] end
+  ) as shingle
+  from (
+    select doc_id,
+      string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as words
+    from documents
+  )
+),
+h as (select id, md5(shingle) as hx from shingled2),
+cnt as (
+  select id, count(*) as n_sh,
+    {cnts}
+  from h group by id
+),
+ch as (
+  select id,
+    {chunk(0)} as c0,
+    {chunk(1)} as c1,
+    {chunk(2)} as c2,
+    {chunk(3)} as c3
+  from cnt
+),
+melted as (
+  select id, unnest(['0:' || c0::varchar, '1:' || c1::varchar,
+                     '2:' || c2::varchar, '3:' || c3::varchar]) as ck
+  from ch
+),
+pairs as (
+  select distinct a.id as id_a, b.id as id_b
+  from melted a join melted b using (ck)
+  where a.id < b.id
+)
+select p.id_a, p.id_b,
+  cast(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
+     + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) as int) as hamming
+from pairs p join ch x on x.id = p.id_a join ch y on y.id = p.id_b
+"""
+
+
+O_SIMHASH_CANDIDATES = _simhash_oracle()
+
+
+# --- weak (rows-only) queries: non-SQL-expressible or approximate ------------------------
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -1042,6 +1110,7 @@ ORACLES.update({
     "embedding_topk": O_EMBEDDING_TOPK,
     "validation_audit": O_VALIDATION_AUDIT,
     "sequence_summary": O_SEQUENCE_SUMMARY,
+    "simhash_candidates": O_SIMHASH_CANDIDATES,
 })
 
 
@@ -1373,18 +1442,13 @@ join te using (conv_id, turn_idx)
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """Exact near-dup baseline — matrix path (broadcast corpus + GEMM blocks),
+    never a CartesianProduct node; the DuckDB all-pairs SQL is the oracle."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b", similarity.cosine(F.col("_va"), F.col("_vb")).alias("cos")
-    )
-    return scored.filter(F.col("cos") >= 0.35).select(
-        "id_a", "id_b", _r6(F.col("cos"), "cos")
-    )
+    out = similarity.near_dup_pairs(emb, threshold=0.35)
+    return out.select("id_a", "id_b", _r6(F.col("cos"), "cos"))
 
 
 O_EMBEDDING_NEAR_DUP = f"""
@@ -1447,3 +1511,70 @@ from c
 
 QUERIES["lang_id"] = q_lang_id
 ORACLES["lang_id"] = O_LANG_ID
+
+
+# --- IVF scale path: oracle (deterministic centroids are SQL-expressible) -----------
+
+_IVF_CTES = f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+c as (
+  select row_number() over (order by vec_id) as centroid_id, v as cv
+  from (select vec_id, v from e order by vec_id limit 8)
+),
+sc as (
+  select e.vec_id, e.v, c.centroid_id,
+    list_dot_product(e.v, c.cv)
+      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))
+         + {DIVISION_GUARD_EPS}) as cc
+  from e cross join c
+),
+asg as (
+  select vec_id, v, centroid_id from (
+    select *, row_number() over (partition by vec_id order by cc desc, centroid_id) as r
+    from sc
+  ) where r = 1
+)"""
+
+O_IVF_TOPK = f"""{_IVF_CTES},
+pairs as (
+  select a.vec_id as query_id, b.vec_id as neighbor_id,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))
+         + {DIVISION_GUARD_EPS}) as cos
+  from asg a join asg b using (centroid_id)
+  where a.vec_id <> b.vec_id
+)
+select query_id, neighbor_id, round(cos, 6) as cos, cast(rank as int) as rank
+from (
+  select *, row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+  from pairs
+) where rank <= 3
+"""
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Bucketed near-dup (the 100-TB plan): IVF same-cluster candidates via
+    equi join on centroid_id — approximate by design, exactly reproduced by
+    the oracle's identical deterministic bucketing."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = similarity.ivf_near_dup(emb, threshold=0.35, n_centroids=8)
+    return out.select("id_a", "id_b", _r6(F.col("cos"), "cos"))
+
+
+O_EMBEDDING_NEAR_DUP_LSH = f"""{_IVF_CTES},
+pairs as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))
+         + {DIVISION_GUARD_EPS}) as cos
+  from asg a join asg b using (centroid_id)
+  where a.vec_id < b.vec_id
+)
+select id_a, id_b, round(cos, 6) as cos from pairs where cos >= 0.35
+"""
+
+QUERIES["embedding_near_dup_lsh"] = q_embedding_near_dup_lsh
+ORACLES["embedding_near_dup_lsh"] = O_EMBEDDING_NEAR_DUP_LSH
+ORACLES["ivf_topk"] = O_IVF_TOPK
