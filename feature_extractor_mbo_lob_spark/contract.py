@@ -73,7 +73,18 @@ ROLLING_FEATURES = (
     "char_skew",        # population moment skew, 0 if n<3 or std<1e-10
     "char_hhi",         # sum((len_i/sum)^2) concentration
     "large_turn_ratio", # count(len > p90) / n
+    "flow_volatility",  # population std of net role flow over 10 equal
+                        # sub-windows of the frame; 0 unless the frame holds
+                        # >= 10 * FLOW_VOL_MIN_PER_SUB events (reference
+                        # feature 58, src/features/mbo_features/
+                        # flow_features.rs:86-146)
 )
+
+# Feature-58 constants (reference: N_SUBWINDOWS / MIN_EVENTS_PER_SUBWINDOW,
+# flow_features.rs:88-89; min-per-sub lowered 5 -> 2 because conversations
+# are far shorter than MBO event streams — documented deviation).
+FLOW_VOL_SUBWINDOWS = 10
+FLOW_VOL_MIN_PER_SUB = 2
 
 SIGNAL_FEATURES = (
     "net_role_flow",     # (user - assistant) / (user + assistant + eps), cumulative

@@ -32,13 +32,54 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-from ..contract import DIVISION_GUARD_EPS, MIN_DURATION_S, MIN_STD
+from ..contract import (
+    DIVISION_GUARD_EPS,
+    FLOW_VOL_MIN_PER_SUB,
+    FLOW_VOL_SUBWINDOWS,
+    MIN_DURATION_S,
+    MIN_STD,
+)
 from . import ordering
 
 
 def _sliding_sum(cum_col: Column, w, n: int) -> Column:
     """Trailing-n sum from a cumulative sum column: cum - cum[n rows back]."""
     return cum_col - F.coalesce(F.lag(cum_col, n).over(w), F.lit(0.0))
+
+
+def flow_volatility_expr(arr: Column, cnt: Column) -> Column:
+    """Feature 58 (reference: order_flow_volatility,
+    src/features/mbo_features/flow_features.rs:86-146): split the frame's
+    signed role stream (+1 user / -1 assistant / 0 other, in frame order)
+    into FLOW_VOL_SUBWINDOWS equal sub-windows (last one takes the
+    remainder), per-sub flow = sum(s)/sum(|s|) when any participant else 0,
+    result = population std of the sub flows; 0 unless the frame holds
+    >= SUBWINDOWS * MIN_PER_SUB events.
+
+    All float accumulation is sequential (HOF aggregate over a 10-element
+    array) so the vectorized kernel can reproduce it bit-for-bit.
+    """
+    nsub = FLOW_VOL_SUBWINDOWS
+    cnt_i = cnt.cast("int")
+    ssz = F.floor(cnt / nsub).cast("int")
+
+    def flow(i: int) -> Column:
+        start = F.lit(i) * ssz + 1  # slice() is 1-based
+        length = ssz if i < nsub - 1 else (cnt_i - F.lit(nsub - 1) * ssz)
+        seg = F.slice(arr, start, length)
+        su = F.aggregate(seg, F.lit(0.0), lambda a, v: a + v)
+        tot = F.aggregate(seg, F.lit(0.0), lambda a, v: a + F.abs(v))
+        return F.when(tot > 0, su / tot).otherwise(F.lit(0.0))
+
+    flows = F.array(*[flow(i) for i in range(nsub)])
+    mean = F.aggregate(flows, F.lit(0.0), lambda a, v: a + v) / F.lit(float(nsub))
+    var = (
+        F.aggregate(flows, F.lit(0.0), lambda a, v: a + (v - mean) * (v - mean))
+        / F.lit(float(nsub))
+    )
+    return F.when(
+        cnt >= F.lit(float(nsub * FLOW_VOL_MIN_PER_SUB)), F.sqrt(var)
+    ).otherwise(F.lit(0.0))
 
 
 def with_rolling_features(df: DataFrame, cfg: PipelineConfig,
@@ -63,11 +104,19 @@ def with_rolling_features(df: DataFrame, cfg: PipelineConfig,
 
     x = F.col("char_len")
 
+    # signed role stream for feature 58 (+1 user / -1 assistant / 0 other)
+    s_flow = (
+        F.when(F.col("role") == "user", F.lit(1.0))
+        .when(F.col("role") == "assistant", F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+
     # one cumulative pass feeds every window size (single Window exec —
     # all aggregates share the identical spec); bulk select keeps the
     # logical plan small (serial driver analysis is an Amdahl term)
     df = df.select(
         "*",
+        s_flow.alias("_s"),
         F.row_number().over(w).alias("_rn"),
         us.alias("_us"),
         F.first(us).over(cum).alias("_first_us"),
@@ -80,7 +129,7 @@ def with_rolling_features(df: DataFrame, cfg: PipelineConfig,
         F.sum("role_flip").over(cum).alias("_cf"),
     )
 
-    helper = ["_rn", "_us", "_first_us", "_cx", "_cx2", "_cx3", "_cu", "_ca", "_ct", "_cf"]
+    helper = ["_s", "_rn", "_us", "_first_us", "_cx", "_cx2", "_cx3", "_cu", "_ca", "_ct", "_cf"]
 
     for n in cfg.window_sizes:
         cnt = F.least(F.col("_rn"), F.lit(n)).cast("double")
@@ -109,6 +158,12 @@ def with_rolling_features(df: DataFrame, cfg: PipelineConfig,
         hhi = F.when(sum_x > 0, sum_x2 / (sum_x * sum_x)).otherwise(F.lit(0.0))
 
         sfx = f"_w{n}"
+        # frame-ordered signed role stream (materialized so the Window exec
+        # evaluates the collect exactly once, like _sarr below)
+        fr = ordering.trailing(cfg, n)
+        df = df.select("*", F.collect_list("_s").over(fr).alias("_farr"))
+        flow_vol = flow_volatility_expr(F.col("_farr"), cnt)
+
         sum_cols = [
             (cnt / dur).cast("double").alias("turn_rate" + sfx),
             (n_user / cnt).cast("double").alias("user_frac" + sfx),
@@ -120,12 +175,13 @@ def with_rolling_features(df: DataFrame, cfg: PipelineConfig,
             ((x - mean) / (std + F.lit(DIVISION_GUARD_EPS))).cast("double").alias("char_zscore" + sfx),
             skew.cast("double").alias("char_skew" + sfx),
             hhi.cast("double").alias("char_hhi" + sfx),
+            flow_vol.cast("double").alias("flow_volatility" + sfx),
         ]
 
         if not include_order_stats:
             # order stats supplied separately (operators/order_stats.py
             # pandas path); emit only the prefix-sum features here
-            df = df.select("*", *sum_cols)
+            df = df.select("*", *sum_cols).drop("_farr")
             continue
 
         # order statistics: the one genuinely frame-bound computation.
@@ -133,7 +189,6 @@ def with_rolling_features(df: DataFrame, cfg: PipelineConfig,
         # the Window exec evaluates it exactly once); all four percentiles
         # and the strictly-greater count derive from that single sorted
         # array (mirrors the reference's lazy sorted-cache, window.rs:170-187).
-        fr = ordering.trailing(cfg, n)
         df = df.select("*", F.array_sort(F.collect_list(x).over(fr)).alias("_sarr"))
 
         def pct(q: float) -> Column:
@@ -158,5 +213,5 @@ def with_rolling_features(df: DataFrame, cfg: PipelineConfig,
             pct(0.75).cast("double").alias("char_p75" + sfx),
             p90.cast("double").alias("char_p90" + sfx),
             large_ratio.cast("double").alias("large_turn_ratio" + sfx),
-        ).drop("_sarr")
+        ).drop("_sarr", "_farr")
     return df.drop(*helper)

@@ -1578,3 +1578,54 @@ select id_a, id_b, round(cos, 6) as cos from pairs where cos >= 0.35
 QUERIES["embedding_near_dup_lsh"] = q_embedding_near_dup_lsh
 ORACLES["embedding_near_dup_lsh"] = O_EMBEDDING_NEAR_DUP_LSH
 ORACLES["ivf_topk"] = O_IVF_TOPK
+
+
+# --- feature 58: order-flow volatility (std of net flow over 10 sub-windows) --------
+
+def q_flow_volatility(spark, sf_dir):
+    t = transcripts_from_events(spark, sf_dir)
+    cfg = PipelineConfig(window_sizes=(32,))
+    s = rolling.with_rolling_features(state.with_state_features(t, cfg), cfg)
+    return s.select("conv_id", "turn_idx", _r6(F.col("flow_volatility_w32"), "flow_vol"))
+
+
+def _flow_vol_oracle(w: int = 32, nsub: int = 10, min_per_sub: int = 2) -> str:
+    ssz = "(len(arr) // 10)"
+    seg = (
+        f"arr[(i*{ssz})+1 : case when i = {nsub - 1} then len(arr) "
+        f"else (i+1)*{ssz} end]"
+    )
+    return f"""{_W},
+t as (
+  select conv_id, turn_idx, ts,
+    case role when 'user' then 1.0 when 'assistant' then -1.0 else 0.0 end as s
+  from transcripts
+),
+fr as (
+  select conv_id, turn_idx,
+    list(s) over ({_OWIN} rows between {w - 1} preceding and current row) as arr
+  from t
+),
+fl as (
+  select conv_id, turn_idx, len(arr) as n,
+    list_transform(range(0, {nsub}), i -> (
+      case when list_sum(list_transform({seg}, x -> abs(x))) > 0
+        then list_sum({seg})
+             / list_sum(list_transform({seg}, x -> abs(x)))
+        else 0.0 end
+    )) as flows
+  from fr
+)
+select conv_id, turn_idx,
+  round(case when n >= {nsub * min_per_sub} then sqrt(
+    list_sum(list_transform(flows,
+      f -> (f - list_sum(flows)/{nsub}.0) * (f - list_sum(flows)/{nsub}.0))) / {nsub}.0
+  ) else 0.0 end, 6) as flow_vol
+from fl
+"""
+
+
+O_FLOW_VOLATILITY = _flow_vol_oracle()
+
+QUERIES["flow_volatility"] = q_flow_volatility
+ORACLES["flow_volatility"] = O_FLOW_VOLATILITY

@@ -92,3 +92,38 @@ def test_duration_floor_single_row():
     from feature_extractor_mbo_lob_spark.contract import MIN_DURATION_S
 
     assert MIN_DURATION_S == 1e-3
+
+
+def test_flow_volatility_golden(spark):
+    # 25 turns, window 25 -> n=25 >= 20 gate, ssz=2, last sub-window has 7
+    import math
+
+    from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+
+    roles = ["user" if i % 3 == 0 else ("assistant" if i % 3 == 1 else "tool")
+             for i in range(25)]
+    cfg = PipelineConfig(window_sizes=(25,))
+    df = spark.createDataFrame(
+        [("a", i, roles[i], "x" * (i + 1), None, T0 + dt.timedelta(seconds=i))
+         for i in range(25)],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    out = rolling.with_rolling_features(state.with_state_features(df, cfg), cfg)
+    got = {r.turn_idx: r.flow_volatility_w25 for r in out.collect()}
+
+    s = [1.0 if r == "user" else (-1.0 if r == "assistant" else 0.0) for r in roles]
+
+    def expected(sig):
+        n, nsub = len(sig), 10
+        ssz = n // nsub
+        flows = []
+        for i in range(nsub):
+            seg = sig[i * ssz: n if i == nsub - 1 else (i + 1) * ssz]
+            tot = sum(abs(x) for x in seg)
+            flows.append(sum(seg) / tot if tot > 0 else 0.0)
+        m = sum(flows) / nsub
+        return math.sqrt(sum((f - m) ** 2 for f in flows) / nsub)
+
+    assert abs(got[24] - expected(s)) < 1e-12
+    assert got[24] > 0.0
+    assert got[10] == 0.0  # frame of 11 < 20 events -> gated to 0
