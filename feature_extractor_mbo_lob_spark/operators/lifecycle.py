@@ -80,6 +80,109 @@ def episode_stats(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def episode_modifications(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """tool_episodes plus a ``mods`` column: the number of re-invocations of
+    the same tool while the episode was open (assistant turns with tool T in
+    the open interval (invoke_turn, result_turn)) — the transcript analog of
+    per-order modification counts (reference: completed_modifications,
+    src/features/mbo_features/order_tracker.rs + institutional_features.rs:55-63).
+
+    Computed without a range join: in the per-(conv, tool) ordered event
+    stream, cum_inv(result turn) counts invocations before the result, so
+    mods_k = cum_inv(r_k) - k for the k-th completed episode.
+    """
+    is_inv = (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    is_res = (F.col("role") == "tool") & F.col("tool").isNotNull()
+    evt = df.filter(is_inv | is_res)
+    wk = Window.partitionBy(cfg.key_col, "tool").orderBy(*cfg.order_cols)
+    cum = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    evt = evt.withColumn("_cum_inv", F.sum(is_inv.cast("long")).over(cum))
+
+    inv = evt.filter(is_inv).select(
+        F.col(cfg.key_col),
+        F.col("tool"),
+        F.row_number().over(wk).alias("episode_rank"),
+        F.col("turn_idx").alias("invoke_turn_idx"),
+        F.col(cfg.ts_col).alias("invoke_ts"),
+    )
+    res = evt.filter(is_res).select(
+        F.col(cfg.key_col),
+        F.col("tool"),
+        F.row_number().over(wk).alias("episode_rank"),
+        F.col("turn_idx").alias("result_turn_idx"),
+        F.col(cfg.ts_col).alias("result_ts"),
+        (F.col("_cum_inv") - F.row_number().over(wk)).cast("long").alias("mods"),
+    )
+    ep = inv.join(res, on=[cfg.key_col, "tool", "episode_rank"], how="left")
+    lat_us = F.unix_micros(F.col("result_ts").cast("timestamp")) - F.unix_micros(
+        F.col("invoke_ts").cast("timestamp")
+    )
+    return ep.select(
+        "*",
+        F.when(F.col("result_turn_idx").isNotNull(), lat_us).cast("long").alias("latency_us"),
+        F.col("result_turn_idx").isNotNull().cast("int").alias("completed"),
+    )
+
+
+def with_lifecycle_point_in_time(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Point-in-time lifecycle stats at EVERY turn (reference features 76-78,
+    81: modification score, iceberg proxy, average active-order age, average
+    time-to-first-fill — lifecycle_features.rs:29-80,
+    institutional_features.rs:55-71), computed with cumulative sums over the
+    stable conversation order; no per-row state, one extra broadcast-size
+    join of result-turn attributes.
+
+    Added columns (all double):
+    * active_episodes     — open invocations (starts - matched completions)
+    * active_age_mean_s   — mean age in seconds of open invocations, 0 if none
+      (sum of open invoke timestamps via cumsum(invoke_us) - cumsum(matched
+      invoke_us at result turns))
+    * ttf_result_mean_s   — running mean latency of completed episodes (81)
+    * mod_score           — running mean re-invocations per completed episode (76)
+    * iceberg_proxy       — completion_ratio_so_far * min(mod_score/10, 1) (77)
+    """
+    ep = episode_modifications(df, cfg).filter(F.col("completed") == 1).select(
+        F.col(cfg.key_col),
+        F.col("result_turn_idx").alias("turn_idx"),
+        F.unix_micros(F.col("invoke_ts").cast("timestamp")).alias("_m_inv_us"),
+        F.col("latency_us").alias("_m_lat_us"),
+        F.col("mods").alias("_m_mods"),
+    )
+    out = df.join(ep, on=[cfg.key_col, "turn_idx"], how="left")
+
+    cum = ordering.cumulative(cfg)
+    us = ordering.epoch_us(cfg.ts_col)
+    is_inv = ((F.col("role") == "assistant") & F.col("tool").isNotNull()).cast("long")
+    matched = F.col("_m_inv_us").isNotNull().cast("long")
+
+    n_started = F.sum(is_inv).over(cum)
+    n_done = F.sum(matched).over(cum)
+    n_open = n_started - n_done
+    open_sum_us = (
+        F.sum(is_inv * us).over(cum)
+        - F.sum(F.coalesce(F.col("_m_inv_us"), F.lit(0)).cast("long")).over(cum)
+    )
+    lat_sum = F.sum(F.coalesce(F.col("_m_lat_us"), F.lit(0)).cast("long")).over(cum)
+    mods_sum = F.sum(F.coalesce(F.col("_m_mods"), F.lit(0)).cast("long")).over(cum)
+
+    age = F.when(
+        n_open > 0, ((n_open * us - open_sum_us) / n_open) / F.lit(1e6)
+    ).otherwise(F.lit(0.0))
+    ttf = F.when(n_done > 0, (lat_sum / n_done) / F.lit(1e6)).otherwise(F.lit(0.0))
+    mod_score = F.when(n_done > 0, mods_sum / n_done).otherwise(F.lit(0.0))
+    ratio = F.when(n_started > 0, n_done / n_started).otherwise(F.lit(0.0))
+    iceberg = ratio * F.least(mod_score / 10.0, F.lit(1.0))
+
+    return out.select(
+        "*",
+        n_open.cast("double").alias("active_episodes"),
+        age.cast("double").alias("active_age_mean_s"),
+        ttf.cast("double").alias("ttf_result_mean_s"),
+        mod_score.cast("double").alias("mod_score"),
+        iceberg.cast("double").alias("iceberg_proxy"),
+    ).drop("_m_inv_us", "_m_lat_us", "_m_mods")
+
+
 def with_active_episode_count(df: DataFrame, cfg: PipelineConfig,
                               out: str = "active_episodes") -> DataFrame:
     """Point-in-time open-episode count at every turn: cumulative invocation

@@ -1629,3 +1629,85 @@ O_FLOW_VOLATILITY = _flow_vol_oracle()
 
 QUERIES["flow_volatility"] = q_flow_volatility
 ORACLES["flow_volatility"] = O_FLOW_VOLATILITY
+
+
+# --- lifecycle point-in-time stats (reference features 76-78, 81) -------------------
+
+def q_lifecycle_pit(spark, sf_dir):
+    out = lifecycle.with_lifecycle_point_in_time(_t(spark, sf_dir), CFG)
+    # age/ttf are ~1e6-second magnitudes: round(x, 6) is NOT cross-engine
+    # stable there (decimal rounding of the 7th significant digit differs),
+    # so canonicalize via floor(x*1e6 + 0.5) -> exact integer micro-units
+    # (identical IEEE ops on identical doubles on both engines)
+    def _ius(c, name):
+        return F.floor(c * 1e6 + 0.5).cast("long").alias(name)
+
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("active_episodes").cast("long").alias("active_eps"),
+        _ius(F.col("active_age_mean_s"), "active_age_mean_us"),
+        _ius(F.col("ttf_result_mean_s"), "ttf_result_mean_us"),
+        _r6(F.col("mod_score"), "mod_score"),
+        _r6(F.col("iceberg_proxy"), "iceberg_proxy"),
+    )
+
+
+O_LIFECYCLE_PIT = f"""{_W},
+evt as (
+  select conv_id, tool, turn_idx, ts,
+    case when role = 'assistant' then 1 else 0 end as is_inv
+  from transcripts
+  where tool is not null and role in ('assistant', 'tool')
+),
+r as (
+  select *,
+    sum(is_inv) over (partition by conv_id, tool order by turn_idx, ts
+                      rows between unbounded preceding and current row) as cum_inv,
+    row_number() over (partition by conv_id, tool, is_inv order by turn_idx, ts) as rnk
+  from evt
+),
+ep as (
+  select i.conv_id, res.result_turn_idx as turn_idx,
+    epoch_us(i.invoke_ts) as m_inv_us,
+    epoch_us(res.result_ts) - epoch_us(i.invoke_ts) as lat_us,
+    res.mods
+  from (select conv_id, tool, rnk as episode_rank,
+          turn_idx as invoke_turn_idx, ts as invoke_ts
+        from r where is_inv = 1) i
+  join (select conv_id, tool, rnk as episode_rank,
+          turn_idx as result_turn_idx, ts as result_ts,
+          cum_inv - rnk as mods
+        from r where is_inv = 0) res
+    using (conv_id, tool, episode_rank)
+),
+j as (
+  select t.conv_id, t.turn_idx, t.ts, t.role, t.tool,
+    ep.m_inv_us, ep.lat_us, ep.mods
+  from transcripts t
+  left join ep on ep.conv_id = t.conv_id and ep.turn_idx = t.turn_idx
+),
+c as (
+  select conv_id, turn_idx, epoch_us(ts) as us,
+    sum(case when role = 'assistant' and tool is not null then 1 else 0 end) over cum as n_started,
+    sum(case when m_inv_us is not null then 1 else 0 end) over cum as n_done,
+    sum(case when role = 'assistant' and tool is not null then epoch_us(ts) else 0 end) over cum as inv_us_sum,
+    sum(coalesce(m_inv_us, 0)) over cum as done_inv_us_sum,
+    sum(coalesce(lat_us, 0)) over cum as lat_sum,
+    sum(coalesce(mods, 0)) over cum as mods_sum
+  from j window cum as ({_CUM})
+)
+select conv_id, turn_idx,
+  cast(n_started - n_done as bigint) as active_eps,
+  cast(floor((case when n_started - n_done > 0
+    then (((n_started - n_done) * us - (inv_us_sum - done_inv_us_sum))
+          / (n_started - n_done)) / 1e6 else 0.0 end) * 1e6 + 0.5) as bigint) as active_age_mean_us,
+  cast(floor((case when n_done > 0 then (lat_sum / n_done) / 1e6 else 0.0 end) * 1e6 + 0.5) as bigint) as ttf_result_mean_us,
+  round(case when n_done > 0 then mods_sum / n_done else 0.0 end, 6) as mod_score,
+  round((case when n_started > 0 then n_done / n_started else 0.0 end)
+        * least((case when n_done > 0 then mods_sum / n_done else 0.0 end) / 10.0, 1.0),
+        6) as iceberg_proxy
+from c
+"""
+
+QUERIES["lifecycle_pit"] = q_lifecycle_pit
+ORACLES["lifecycle_pit"] = O_LIFECYCLE_PIT

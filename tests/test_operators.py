@@ -203,3 +203,40 @@ def test_horizon_aware_params():
     assert lb == 200 and st == 6
     lb, _ = sequence.horizon_aware_params(horizon=1000, max_lookback=512)
     assert lb == 512
+
+
+def test_lifecycle_point_in_time(turns):
+    out = lifecycle.with_lifecycle_point_in_time(turns, CFG)
+    got = {(r.conv_id, r.turn_idx): r for r in out.collect()}
+    # open-invocation age: t2@20 open since turn 3; t1@40 open at turn 5
+    assert got[("a", 4)].active_age_mean_s == 10.0    # (30-20)/1
+    assert got[("a", 5)].active_age_mean_s == 10.0    # (2*40-60)/2
+    assert got[("a", 6)].active_age_mean_s == 25.0    # only t2@20 open
+    # running mean latency over completed episodes
+    assert got[("a", 2)].ttf_result_mean_s == 2.0
+    assert got[("a", 6)].ttf_result_mean_s == 3.5
+    # no re-invocations while open -> mod_score 0 everywhere
+    assert got[("a", 6)].mod_score == 0.0
+    assert got[("a", 6)].iceberg_proxy == 0.0
+    assert got[("b", 0)].active_episodes == 0.0
+    assert got[("b", 0)].active_age_mean_s == 0.0
+
+
+def test_lifecycle_modifications(spark):
+    from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+
+    rows = [
+        ("c", 0, "assistant", "go", "t1", ts(0)),    # invoke #1
+        ("c", 1, "assistant", "retry", "t1", ts(5)), # invoke #2 while #1 open
+        ("c", 2, "tool", "res", "t1", ts(8)),        # result #1: 1 re-invocation
+        ("c", 3, "tool", "res", "t1", ts(9)),        # result #2: 0
+    ]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    ep = {r.episode_rank: r for r in
+          lifecycle.episode_modifications(df, CFG).collect()}
+    assert ep[1].mods == 1 and ep[2].mods == 0
+    out = {r.turn_idx: r for r in
+           lifecycle.with_lifecycle_point_in_time(df, CFG).collect()}
+    assert out[2].mod_score == 1.0          # 1 completed, 1 mod
+    assert out[3].mod_score == 0.5          # 2 completed, 1 mod
+    assert abs(out[3].iceberg_proxy - 1.0 * min(0.5 / 10, 1.0)) < 1e-12
