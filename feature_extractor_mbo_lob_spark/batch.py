@@ -53,6 +53,33 @@ def split_quarantine(df: DataFrame, cfg: PipelineConfig,
     return good, bad
 
 
+class JobHandle:
+    """Cooperative cancellation for a running batch job (reference:
+    CancellationToken + BatchProcessor::cancel, src/batch.rs:188-230).
+
+    Spark restatement: every action issued by the job runs under a
+    SparkContext job group; ``cancel()`` calls ``cancelJobGroup``, which
+    aborts all in-flight stages of the group — the cluster-native analog of
+    the reference's atomic cancel flag polled between files."""
+
+    def __init__(self, spark, group_id: str, description: str = ""):
+        self._sc = spark.sparkContext
+        self.group_id = group_id
+        self.description = description
+        self.cancelled = False
+
+    def activate(self) -> None:
+        # interruptOnCancel=True interrupts executor task threads
+        self._sc.setJobGroup(self.group_id, self.description, True)
+
+    def cancel(self) -> None:
+        self.cancelled = True
+        self._sc.cancelJobGroup(self.group_id)
+
+    def clear(self) -> None:
+        self._sc.setJobGroup("", "")
+
+
 def run_job(
     df: DataFrame,
     cfg: PipelineConfig,
@@ -60,18 +87,27 @@ def run_job(
     sink_fn,
     mode: str = "collect_errors",
     quarantine_path: str | None = None,
+    handle: JobHandle | None = None,
 ) -> RunMetrics:
     """Clean -> build -> sink with metrics; quarantined rows optionally
-    written to a side table (the bad-partition quarantine of SURVEY §3.3)."""
+    written to a side table (the bad-partition quarantine of SURVEY §3.3).
+    Pass a JobHandle to make the run cancellable from another thread
+    (handle.cancel() aborts the job group's in-flight stages)."""
     m = RunMetrics()
     t0 = time.time()
-    good, bad = split_quarantine(df, cfg, mode=mode)
-    m.rows_in = df.count()
-    m.rows_quarantined = bad.count()
-    if quarantine_path and m.rows_quarantined:
-        bad.write.mode("overwrite").parquet(quarantine_path)
-    out = build_fn(good, cfg)
-    m.rows_out = sink_fn(out)
+    if handle is not None:
+        handle.activate()
+    try:
+        good, bad = split_quarantine(df, cfg, mode=mode)
+        m.rows_in = df.count()
+        m.rows_quarantined = bad.count()
+        if quarantine_path and m.rows_quarantined:
+            bad.write.mode("overwrite").parquet(quarantine_path)
+        out = build_fn(good, cfg)
+        m.rows_out = sink_fn(out)
+    finally:
+        if handle is not None:
+            handle.clear()
     m.wall_sec = round(time.time() - t0, 3)
     m.throughput_rows_per_sec = round(m.rows_in / m.wall_sec, 1) if m.wall_sec else 0.0
     return m

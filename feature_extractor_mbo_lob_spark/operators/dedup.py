@@ -64,11 +64,28 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
     Intersections come from a self-equi-join on shingle (only co-occurring
-    docs ever meet); set sizes from a pre-aggregate."""
-    sh = shingle_table(df, id_col, text_col, k).cache()
+    docs ever meet); set sizes from a pre-aggregate.
+
+    ``max_doc_freq`` caps the self-join blowup at scale: a shingle shared by
+    d documents contributes O(d^2) join rows, so one stop-word-like shingle
+    in 1M docs is 10^12 pairs. With the cap, shingles with document
+    frequency > K are dropped BEFORE the join (Jaccard is then computed
+    over the retained shingle space — the standard near-dup approximation),
+    bounding join input per shingle at K^2. None = exact."""
+    sh = shingle_table(df, id_col, text_col, k)
+    if max_doc_freq is not None:
+        kept = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(kept, on="shingle")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.alias("a")

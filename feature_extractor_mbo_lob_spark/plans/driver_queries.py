@@ -1711,3 +1711,34 @@ from c
 
 QUERIES["lifecycle_pit"] = q_lifecycle_pit
 ORACLES["lifecycle_pit"] = O_LIFECYCLE_PIT
+
+
+# --- hot-shingle-capped Jaccard (the 100-TB form of the self-join) ------------------
+
+def q_ngram_jaccard_capped(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.2, max_doc_freq=10)
+    return pairs.select("id_a", "id_b", _r6(F.col("jaccard"), "jaccard"))
+
+
+O_NGRAM_JACCARD_CAPPED = f"""
+with {_SHINGLE_SQL},
+kept as (select shingle from shingled group by shingle having count(*) <= 10),
+sh2 as (select s.doc_id, s.shingle from shingled s join kept using (shingle)),
+sizes as (select doc_id, count(*) as n_sh from sh2 group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+  from sh2 a join sh2 b using (shingle)
+  where a.doc_id < b.doc_id
+  group by 1, 2
+)
+select id_a, id_b,
+  round(n_inter / cast(sa.n_sh + sb.n_sh - n_inter as double), 6) as jaccard
+from inter
+join sizes sa on sa.doc_id = id_a
+join sizes sb on sb.doc_id = id_b
+where n_inter / cast(sa.n_sh + sb.n_sh - n_inter as double) >= 0.2
+"""
+
+QUERIES["ngram_jaccard_capped"] = q_ngram_jaccard_capped
+ORACLES["ngram_jaccard_capped"] = O_NGRAM_JACCARD_CAPPED

@@ -169,3 +169,31 @@ def test_streaming_turn_rates(spark, turns):
     assert total == 4  # every 'a' turn lands in exactly one tumbling window
     tool_total = sum(r.tool_turns for r in rows)
     assert tool_total == 1
+
+
+def test_job_group_cancellation(spark):
+    """A background thread cancelling the job group aborts the in-flight
+    action (reference: BatchProcessor::cancel, src/batch.rs:188-230)."""
+    import threading
+    import time as _time
+
+    from pyspark.sql.functions import pandas_udf
+
+    from feature_extractor_mbo_lob_spark.batch import JobHandle
+
+    @pandas_udf("double")
+    def slow(v):
+        _time.sleep(30)
+        return v * 1.0
+
+    df = spark.range(0, 64, 1, 4).select(slow("id").alias("x"))
+    handle = JobHandle(spark, "cancel-test", "cancellation pytest")
+    t = threading.Timer(2.0, handle.cancel)
+    t.start()
+    handle.activate()
+    t0 = _time.time()
+    with pytest.raises(Exception):
+        df.count()
+    handle.clear()
+    assert handle.cancelled
+    assert _time.time() - t0 < 25  # aborted well before the 30s sleep chain
