@@ -80,6 +80,181 @@ def extract_media_features(df: DataFrame, batch_col: str = "payload") -> DataFra
     return df.mapInPandas(fn, schema=out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Real dependency-free codecs: WAV (RIFF/PCM16), PPM (P6), BMP (24bpp).
+# Generation formulas are frozen so the DuckDB oracle can predict every
+# decoded value in closed form (two-tone payloads: first half value A,
+# second half value B -> mean (A+B)/2, population std |A-B|/2, both exact).
+# ---------------------------------------------------------------------------
+
+def _wav_params(m: int):
+    a = m % 200 - 100
+    b = (m * 7) % 200 - 100
+    rate = 8000 + (m % 100)
+    n_samples = 64 + 2 * (m % 32)
+    return a, b, rate, n_samples
+
+
+def _ppm_params(m: int):
+    w = 2 * (1 + m % 8)
+    h = 1 + m % 8
+    pa = m % 256
+    pb = (m * 7) % 256
+    return w, h, pa, pb
+
+
+def _bmp_params(m: int):
+    w = 4 * (1 + m % 6)  # width % 4 == 0 -> no row padding
+    h = 1 + m % 8
+    pa = m % 256
+    pb = (m * 7) % 256
+    return w, h, pa, pb
+
+
+def _two_tone(count: int, lo, hi, dtype) -> np.ndarray:
+    arr = np.empty(count, dtype=dtype)
+    arr[: count // 2] = lo
+    arr[count // 2:] = hi
+    return arr
+
+
+def _encode_wav(m: int) -> bytes:
+    import struct
+
+    a, b, rate, n = _wav_params(m)
+    samples = _two_tone(n, a, b, np.int16)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)  # PCM16 mono
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def _encode_ppm(m: int) -> bytes:
+    w, h, pa, pb = _ppm_params(m)
+    header = f"P6\n{w} {h}\n255\n".encode()
+    return header + _two_tone(w * h * 3, pa, pb, np.uint8).tobytes()
+
+
+def _encode_bmp(m: int) -> bytes:
+    import struct
+
+    w, h, pa, pb = _bmp_params(m)
+    pixels = _two_tone(w * h * 3, pa, pb, np.uint8).tobytes()
+    offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def synth_media_real(spark, n: int = 200) -> DataFrame:
+    """Deterministic REAL media payloads (valid WAV/PPM/BMP files) —
+    kind = [wav, ppm, bmp][media_id % 3]. Generated in an Arrow-batched
+    mapInPandas; every byte is a pure function of media_id, so the decode
+    oracle predicts all stats in closed form."""
+    out_schema = "media_id long, fmt string, payload binary"
+    encoders = {0: ("wav", _encode_wav), 1: ("ppm", _encode_ppm), 2: ("bmp", _encode_bmp)}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            fmts, payloads = [], []
+            for m in ids:
+                fmt, enc = encoders[m % 3]
+                fmts.append(fmt)
+                payloads.append(enc(int(m)))
+            yield pd.DataFrame({"media_id": ids, "fmt": fmts, "payload": payloads})
+
+    return spark.range(n).mapInPandas(gen, schema=out_schema)
+
+
+def _decode_payload(fmt: str, payload: bytes):
+    """Parse one real media file; returns (width, height, channels,
+    sample_rate, n_units, mean, std) with NULLs as None. Pure numpy/struct."""
+    import struct
+
+    if fmt == "wav":
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos, channels, rate, bits, data = 12, None, None, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            clen = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+            body = payload[pos + 8:pos + 8 + clen]
+            if cid == b"fmt ":
+                _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + clen + (clen & 1)
+        if data is None or bits != 16:
+            raise ValueError("missing PCM16 data chunk")
+        arr = np.frombuffer(data, dtype=np.int16).astype(np.int64)
+        w = h = None
+        ch, sr, n_units = channels, rate, len(arr)
+    elif fmt == "ppm":
+        if payload[:2] != b"P6":
+            raise ValueError("not a P6 PPM")
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while payload[pos:pos + 1].isspace():
+                pos += 1
+            start = pos
+            while not payload[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, _maxval = fields
+        arr = np.frombuffer(payload[pos:pos + w * h * 3], dtype=np.uint8).astype(np.int64)
+        ch, sr, n_units = 3, None, w * h * 3
+    elif fmt == "bmp":
+        if payload[:2] != b"BM":
+            raise ValueError("not a BMP")
+        offset = struct.unpack("<I", payload[10:14])[0]
+        w = struct.unpack("<i", payload[18:22])[0]
+        h = struct.unpack("<i", payload[22:26])[0]
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        if bpp != 24 or (w * 3) % 4:
+            raise ValueError("only unpadded 24bpp BMP supported")
+        arr = np.frombuffer(payload[offset:offset + w * h * 3], dtype=np.uint8).astype(np.int64)
+        ch, sr, n_units = 3, None, w * h * 3
+    else:
+        raise ValueError(f"unknown media format {fmt}")
+
+    cnt = len(arr)
+    s = int(arr.sum())
+    s2 = int((arr * arr).sum())
+    mean = s / cnt
+    var = s2 / cnt - mean * mean
+    std = float(np.sqrt(max(var, 0.0)))
+    return w, h, ch, sr, n_units, mean, std
+
+
+def decode_media(df: DataFrame, fmt_col: str = "fmt",
+                 payload_col: str = "payload") -> DataFrame:
+    """Real decode stage: parses WAV/PPM/BMP headers + payload stats in pure
+    numpy inside mapInPandas (Arrow-batched; the payload column is pruned
+    from every stage that doesn't call this)."""
+    out_schema = (
+        "media_id long, fmt string, width int, height int, channels int, "
+        "sample_rate int, n_units long, val_mean double, val_std double"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(mid),) + tuple([fmt]) + _decode_payload(fmt, bytes(pl))
+                for mid, fmt, pl in zip(pdf["media_id"], pdf[fmt_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "width", "height", "channels",
+                         "sample_rate", "n_units", "val_mean", "val_std"],
+            )
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize stage — STUB: the plan (filter to images, Arrow batches,
     binary out) is real; the pixel work requires an image library."""

@@ -1055,14 +1055,43 @@ O_VOLUME_SAMPLER_EXACT = None  # rows-only: reset-on-fire differs from cumsum fo
 
 
 def q_media_features(spark, sf_dir):
+    """REAL byte work: generate valid WAV/PPM/BMP files deterministically,
+    parse headers + payload stats in pure numpy (multimodal.decode_media);
+    the oracle predicts every decoded value in closed form from media_id."""
     from .. import multimodal
 
-    media = multimodal.synth_media(spark, n=200, seed=42)
-    out = multimodal.extract_media_features(media)
+    media = multimodal.synth_media_real(spark, n=200)
+    out = multimodal.decode_media(media)
     return out.select(
-        "media_id", "kind",
-        _r6(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), "feat_sum"),
+        "media_id", "fmt", "width", "height", "channels", "sample_rate",
+        "n_units",
+        _r6(F.col("val_mean"), "val_mean"),
+        _r6(F.col("val_std"), "val_std"),
     )
+
+
+O_MEDIA_FEATURES = """
+with m as (select range as media_id from range(0, 200)),
+p as (
+  select media_id, media_id % 3 as k,
+    media_id % 200 - 100 as wa, (media_id * 7) % 200 - 100 as wb,
+    8000 + (media_id % 100) as rate, 64 + 2 * (media_id % 32) as nsamp,
+    2 * (1 + media_id % 8) as pw, 1 + media_id % 8 as ph,
+    4 * (1 + media_id % 6) as bw, 1 + media_id % 8 as bh,
+    media_id % 256 as pa, (media_id * 7) % 256 as pb
+  from m
+)
+select media_id,
+  case k when 0 then 'wav' when 1 then 'ppm' else 'bmp' end as fmt,
+  cast(case k when 0 then null when 1 then pw else bw end as int) as width,
+  cast(case k when 0 then null when 1 then ph else bh end as int) as height,
+  cast(case k when 0 then 1 else 3 end as int) as channels,
+  cast(case k when 0 then rate else null end as int) as sample_rate,
+  cast(case k when 0 then nsamp when 1 then pw * ph * 3 else bw * bh * 3 end as bigint) as n_units,
+  round(case k when 0 then (wa + wb) / 2.0 else (pa + pb) / 2.0 end, 6) as val_mean,
+  round(case k when 0 then abs(wa - wb) / 2.0 else abs(pa - pb) / 2.0 end, 6) as val_std
+from p
+"""
 
 
 QUERIES.update({
@@ -1111,6 +1140,7 @@ ORACLES.update({
     "validation_audit": O_VALIDATION_AUDIT,
     "sequence_summary": O_SEQUENCE_SUMMARY,
     "simhash_candidates": O_SIMHASH_CANDIDATES,
+    "media_features": O_MEDIA_FEATURES,
 })
 
 
@@ -1742,3 +1772,325 @@ where n_inter / cast(sa.n_sh + sb.n_sh - n_inter as double) >= 0.2
 
 QUERIES["ngram_jaccard_capped"] = q_ngram_jaccard_capped
 ORACLES["ngram_jaccard_capped"] = O_NGRAM_JACCARD_CAPPED
+
+
+# =============================================================================
+# Registry entries for previously test-only operators (VERDICT r1 item 7):
+# multiscale sequences, quantile/tlob_dynamic thresholds, DeepLOB M2,
+# opportunity conflict priorities, minhash LSH pairs, time regime,
+# row-wise global z-score.
+# =============================================================================
+
+def q_multiscale_sequences(spark, sf_dir):
+    from ..operators import sequence
+
+    t = _t(spark, sf_dir).withColumn("char_len", F.length("text").cast("double"))
+    seq = sequence.build_multiscale_sequences(t, CFG, ["char_len"], window=4, stride=2)
+    return seq.select(
+        "conv_id",
+        F.col("end_turn_idx").cast("long").alias("end_turn_idx"),
+        F.col("scale").cast("int").alias("scale"),
+        F.col("seq_len").cast("long").alias("seq_len"),
+        _r6(
+            F.aggregate("sequence", F.lit(0.0), lambda acc, v: acc + F.element_at(v, 1)),
+            "seq_char_sum",
+        ),
+    )
+
+
+def _multiscale_oracle() -> str:
+    def branch(d: int) -> str:
+        return f"""
+s{d} as (
+  select conv_id, turn_idx as end_turn_idx, {d} as scale,
+    row_number() over ({_OWIN}) - 1 as pos,
+    count(*) over fr as seq_len,
+    sum(char_len) over fr as seq_char_sum
+  from (select * from t0 where pos0 % {d} = 0)
+  window fr as ({_OWIN} rows between 3 preceding and current row)
+)"""
+
+    return f"""{_W},
+t0 as (
+  select conv_id, turn_idx, ts, cast(length(text) as double) as char_len,
+    row_number() over ({_OWIN}) - 1 as pos0
+  from transcripts
+),
+{",".join(branch(d) for d in (1, 2, 4))}
+select conv_id, end_turn_idx, cast(scale as int) as scale, seq_len,
+  round(seq_char_sum, 6) as seq_char_sum
+from (select * from s1 union all select * from s2 union all select * from s4)
+where pos >= 3 and (pos - 3) % 2 = 0
+"""
+
+
+O_MULTISCALE_SEQUENCES = _multiscale_oracle()
+
+
+def q_multi_horizon_quantile(spark, sf_dir):
+    lab = multi_horizon_labels(
+        _t(spark, sf_dir).withColumn("p", F.col("value")),
+        CFG, price_col="p", k=2, horizons=(5,), strategy="quantile", target_prop=0.33,
+    )
+    return lab.filter(F.col("label_h5").isNotNull()).select(
+        "conv_id", "turn_idx",
+        F.col("label_h5").cast("int").alias("label_h5"),
+        _r6(F.col("pct_change_h5"), "pct_h5"),
+    )
+
+
+O_MULTI_HORIZON_QUANTILE = f"""{_W},
+t as (select conv_id, turn_idx, ts, value as p from transcripts),
+l as (
+  select conv_id, turn_idx,
+    avg(p) over wm as wm, count(p) over wm as nm,
+    avg(p) over w5 as w5v, count(p) over w5 as n5
+  from t
+  window wm as ({_OWIN} rows between 2 preceding and current row),
+         w5 as ({_OWIN} rows between 3 following and 5 following)
+),
+pc as (
+  select conv_id, turn_idx,
+    case when nm = 3 and n5 = 3 and wm != 0 then (w5v - wm) / wm end as pct
+  from l
+),
+thr as (
+  select conv_id, turn_idx, pct,
+    quantile_cont(abs(pct), (1.0 - 2.0 * 0.33)) over (partition by conv_id) as th
+  from pc
+)
+select conv_id, turn_idx,
+  cast(case when pct > th then 1 when pct < -th then -1 else 0 end as int) as label_h5,
+  round(pct, 6) as pct_h5
+from thr where pct is not null
+"""
+
+
+def q_multi_horizon_dynamic(spark, sf_dir):
+    lab = multi_horizon_labels(
+        _t(spark, sf_dir).withColumn("p", F.col("value")),
+        CFG, price_col="p", k=2, horizons=(5,), strategy="tlob_dynamic", divisor=2.0,
+    )
+    return lab.filter(F.col("label_h5").isNotNull()).select(
+        "conv_id", "turn_idx",
+        F.col("label_h5").cast("int").alias("label_h5"),
+        _r6(F.col("pct_change_h5"), "pct_h5"),
+    )
+
+
+O_MULTI_HORIZON_DYNAMIC = f"""{_W},
+t as (select conv_id, turn_idx, ts, value as p from transcripts),
+l as (
+  select conv_id, turn_idx,
+    avg(p) over wm as wm, count(p) over wm as nm,
+    avg(p) over w5 as w5v, count(p) over w5 as n5
+  from t
+  window wm as ({_OWIN} rows between 2 preceding and current row),
+         w5 as ({_OWIN} rows between 3 following and 5 following)
+),
+pc as (
+  select conv_id, turn_idx,
+    case when nm = 3 and n5 = 3 and wm != 0 then (w5v - wm) / wm end as pct
+  from l
+),
+thr as (
+  select conv_id, turn_idx, pct,
+    avg(abs(pct)) over (partition by conv_id) / 2.0 as th
+  from pc
+)
+select conv_id, turn_idx,
+  cast(case when pct > th then 1 when pct < -th then -1 else 0 end as int) as label_h5,
+  round(pct, 6) as pct_h5
+from thr where pct is not null
+"""
+
+
+def q_deeplob_m2(spark, sf_dir):
+    lab = deeplob_labels(_t(spark, sf_dir).withColumn("p", F.col("value")),
+                         CFG, price_col="p", k=3, theta=0.01, method=2)
+    return lab.filter(F.col("dl_label").isNotNull()).select(
+        "conv_id", "turn_idx",
+        F.col("dl_label").cast("int").alias("label"),
+        _r6(F.col("dl_label_pct_change"), "pct_change"),
+    )
+
+
+O_DEEPLOB_M2 = f"""{_W},
+t as (select conv_id, turn_idx, ts, value as p from transcripts),
+l as (
+  select conv_id, turn_idx,
+    avg(p) over wp as m_plus, count(p) over wp as n_plus,
+    avg(p) over wb as m_minus, count(p) over wb as n_minus
+  from t
+  window wp as ({_OWIN} rows between 1 following and 3 following),
+         wb as ({_OWIN} rows between 2 preceding and current row)
+)
+select conv_id, turn_idx,
+  cast(case when (m_plus - m_minus) / m_minus > 0.01 then 1
+            when (m_plus - m_minus) / m_minus < -0.01 then -1 else 0 end as int) as label,
+  round((m_plus - m_minus) / m_minus, 6) as pct_change
+from l where n_plus = 3 and n_minus = 3 and m_minus != 0
+"""
+
+
+def q_opportunity_priorities(spark, sf_dir):
+    """All four conflict priorities side by side (larger_magnitude is the
+    already-green opportunity_labels query; up/down/ambiguous here)."""
+    t = _t(spark, sf_dir).withColumn("p", F.col("value"))
+    lab = opportunity_labels(t, CFG, price_col="p", h=5, up_threshold=0.5,
+                             down_threshold=0.3, conflict="up", out_prefix="o_up")
+    lab = opportunity_labels(lab, CFG, price_col="p", h=5, up_threshold=0.5,
+                             down_threshold=0.3, conflict="down", out_prefix="o_dn")
+    lab = opportunity_labels(lab, CFG, price_col="p", h=5, up_threshold=0.5,
+                             down_threshold=0.3, conflict="ambiguous", out_prefix="o_am")
+    return lab.filter(F.col("o_up_label").isNotNull()).select(
+        "conv_id", "turn_idx",
+        F.col("o_up_label").cast("int").alias("label_up"),
+        F.col("o_dn_label").cast("int").alias("label_down"),
+        F.col("o_am_label").cast("int").alias("label_ambiguous"),
+    )
+
+
+O_OPPORTUNITY_PRIORITIES = f"""{_W},
+t as (select conv_id, turn_idx, ts, value as p from transcripts),
+l as (
+  select conv_id, turn_idx, p,
+    max(p) over wf / p - 1.0 as up_ret,
+    min(p) over wf / p - 1.0 as down_ret,
+    count(p) over wf as nf
+  from t window wf as ({_OWIN} rows between 1 following and 5 following)
+)
+select conv_id, turn_idx,
+  cast(case when up_ret > 0.5 and down_ret < -0.3 then 1
+            when up_ret > 0.5 then 1 when down_ret < -0.3 then -1
+            else 0 end as int) as label_up,
+  cast(case when up_ret > 0.5 and down_ret < -0.3 then -1
+            when up_ret > 0.5 then 1 when down_ret < -0.3 then -1
+            else 0 end as int) as label_down,
+  cast(case when up_ret > 0.5 and down_ret < -0.3 then 2
+            when up_ret > 0.5 then 1 when down_ret < -0.3 then -1
+            else 0 end as int) as label_ambiguous
+from l where nf = 5 and p != 0
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+    return out.select("id_a", "id_b", F.col("n_bands").cast("long").alias("n_bands"))
+
+
+def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    sigs = ",\n    ".join(
+        f"min(md5('{s}|' || shingle)) as sig_{s}" for s in range(num_hashes)
+    )
+    band_keys = ",\n    ".join(
+        f"'{b}:' || md5(" + " || '#' || ".join(
+            f"sig_{b * rows + r}" for r in range(rows)
+        ) + f") as band_{b}"
+        for b in range(bands)
+    )
+    unnest = ", ".join(f"band_{b}" for b in range(bands))
+    return f"""
+with {_SHINGLE_SQL},
+sigs as (
+  select doc_id as id,
+    {sigs}
+  from shingled group by doc_id
+),
+banded as (
+  select id,
+    {band_keys}
+  from sigs
+),
+melted as (select id, unnest([{unnest}]) as band_key from banded)
+select a.id as id_a, b.id as id_b, cast(count(*) as bigint) as n_bands
+from melted a join melted b using (band_key)
+where a.id < b.id
+group by 1, 2
+"""
+
+
+O_MINHASH_LSH_PAIRS = _minhash_lsh_oracle()
+
+
+def q_time_regime(spark, sf_dir):
+    out = state.with_time_regime(_t(spark, sf_dir), CFG)
+    return out.select("conv_id", "turn_idx",
+                      F.col("time_regime").cast("int").alias("time_regime"))
+
+
+O_TIME_REGIME = f"""{_W}
+select conv_id, turn_idx,
+  cast(case when hour(ts) < 6 then 0 when hour(ts) < 12 then 1
+            when hour(ts) < 17 then 2 when hour(ts) < 21 then 3
+            else 4 end as int) as time_regime
+from transcripts
+"""
+
+
+def q_zscore_global(spark, sf_dir):
+    from .. import normalization as norm_mod
+
+    t = _t(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.array(
+            F.length("text").cast("double"),
+            F.col("value").cast("double"),
+            F.col("turn_idx").cast("double"),
+        ).alias("features"),
+    )
+    out = norm_mod.global_zscore_rowwise(t, "features", "zn")
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6(F.element_at("zn", 1), "z0"),
+        _r6(F.element_at("zn", 2), "z1"),
+        _r6(F.element_at("zn", 3), "z2"),
+    )
+
+
+O_ZSCORE_GLOBAL = f"""{_W},
+t as (
+  select conv_id, turn_idx,
+    [cast(length(text) as double), cast(value as double), cast(turn_idx as double)] as v
+  from transcripts
+),
+s as (
+  select conv_id, turn_idx, v,
+    list_sum(v) / 3.0 as mean
+  from t
+),
+z as (
+  select conv_id, turn_idx, v, mean,
+    sqrt(greatest(list_sum(list_transform(v, x -> (x - mean) * (x - mean))) / 3.0, 0.0)) as std
+  from s
+)
+select conv_id, turn_idx,
+  round((v[1] - mean) / (std + {DIVISION_GUARD_EPS}), 6) as z0,
+  round((v[2] - mean) / (std + {DIVISION_GUARD_EPS}), 6) as z1,
+  round((v[3] - mean) / (std + {DIVISION_GUARD_EPS}), 6) as z2
+from z
+"""
+
+
+QUERIES.update({
+    "multiscale_sequences": q_multiscale_sequences,
+    "multi_horizon_quantile": q_multi_horizon_quantile,
+    "multi_horizon_dynamic": q_multi_horizon_dynamic,
+    "deeplob_m2": q_deeplob_m2,
+    "opportunity_priorities": q_opportunity_priorities,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "time_regime": q_time_regime,
+    "zscore_global": q_zscore_global,
+})
+ORACLES.update({
+    "multiscale_sequences": O_MULTISCALE_SEQUENCES,
+    "multi_horizon_quantile": O_MULTI_HORIZON_QUANTILE,
+    "multi_horizon_dynamic": O_MULTI_HORIZON_DYNAMIC,
+    "deeplob_m2": O_DEEPLOB_M2,
+    "opportunity_priorities": O_OPPORTUNITY_PRIORITIES,
+    "minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
+    "time_regime": O_TIME_REGIME,
+    "zscore_global": O_ZSCORE_GLOBAL,
+})

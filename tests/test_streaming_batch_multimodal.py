@@ -186,6 +186,7 @@ def test_job_group_cancellation(spark):
         _time.sleep(30)
         return v * 1.0
 
+    # sum(x) forces the UDF column (count() would prune it away)
     df = spark.range(0, 64, 1, 4).select(slow("id").alias("x"))
     handle = JobHandle(spark, "cancel-test", "cancellation pytest")
     t = threading.Timer(2.0, handle.cancel)
@@ -193,7 +194,40 @@ def test_job_group_cancellation(spark):
     handle.activate()
     t0 = _time.time()
     with pytest.raises(Exception):
-        df.count()
+        df.agg(F.sum("x")).collect()
     handle.clear()
+    t.join()
     assert handle.cancelled
     assert _time.time() - t0 < 25  # aborted well before the 30s sleep chain
+
+
+def test_real_codecs_roundtrip(spark):
+    """The generated WAV parses with the stdlib wave module, and decode_media
+    recovers exactly the closed-form stats for all three formats."""
+    import io
+    import wave
+
+    from feature_extractor_mbo_lob_spark.multimodal import (
+        _encode_wav, _wav_params, decode_media, synth_media_real,
+    )
+
+    # stdlib cross-validation of the WAV container
+    m = 9  # 9 % 3 == 0 -> wav
+    a, b, rate, n = _wav_params(m)
+    with wave.open(io.BytesIO(_encode_wav(m))) as wf:
+        assert wf.getnchannels() == 1
+        assert wf.getframerate() == rate
+        assert wf.getnframes() == n
+        assert wf.getsampwidth() == 2
+
+    out = {r.media_id: r for r in decode_media(synth_media_real(spark, n=30)).collect()}
+    assert len(out) == 30
+    r = out[9]
+    assert r.fmt == "wav" and r.sample_rate == rate and r.n_units == n
+    assert r.val_mean == (a + b) / 2.0 and r.val_std == abs(a - b) / 2.0
+    r = out[10]  # ppm
+    assert r.fmt == "ppm" and r.width == 2 * (1 + 10 % 8) and r.channels == 3
+    assert r.val_mean == (10 % 256 + 70 % 256) / 2.0
+    r = out[11]  # bmp
+    assert r.fmt == "bmp" and r.width == 4 * (1 + 11 % 6)
+    assert r.n_units == r.width * r.height * 3
