@@ -96,6 +96,23 @@ class PipelineConfig:
     def from_json(cls, s: str) -> "PipelineConfig":
         return cls.from_dict(json.loads(s))
 
+    @classmethod
+    def from_toml(cls, s: str) -> "PipelineConfig":
+        """TOML twin of the JSON loader (reference: export_dataset.rs:178-180
+        loads the run config from TOML). Uses stdlib tomllib — no new deps."""
+        import tomllib
+
+        return cls.from_dict(tomllib.loads(s))
+
+    @classmethod
+    def from_file(cls, path: str) -> "PipelineConfig":
+        """Load by extension: .toml -> TOML, anything else -> JSON."""
+        with open(path, "rb") as f:
+            data = f.read()
+        if str(path).endswith(".toml"):
+            return cls.from_toml(data.decode())
+        return cls.from_json(data.decode())
+
     def config_hash(self) -> str:
         """Stable hash recorded in lineage manifests (reference:
         src/export_aligned/metadata.rs config hash)."""

@@ -255,18 +255,64 @@ def decode_media(df: DataFrame, fmt_col: str = "fmt",
     return df.mapInPandas(fn, schema=out_schema)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stage — STUB: the plan (filter to images, Arrow batches,
-    binary out) is real; the pixel work requires an image library."""
-    out_schema = "media_id long, payload binary, width int, height int"
+def _decode_pixels(fmt: str, payload: bytes):
+    """(h, w, 3) uint8 pixel array from a PPM/BMP payload (BMP rows are
+    stored bottom-up; flipped to top-down here)."""
+    import struct
+
+    if fmt == "ppm":
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while payload[pos:pos + 1].isspace():
+                pos += 1
+            start = pos
+            while not payload[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1
+        w, h, _ = fields
+        px = np.frombuffer(payload[pos:pos + w * h * 3], dtype=np.uint8)
+        return px.reshape(h, w, 3)
+    if fmt == "bmp":
+        offset = struct.unpack("<I", payload[10:14])[0]
+        w = struct.unpack("<i", payload[18:22])[0]
+        h = struct.unpack("<i", payload[22:26])[0]
+        px = np.frombuffer(payload[offset:offset + w * h * 3], dtype=np.uint8)
+        return px.reshape(h, w, 3)[::-1]  # bottom-up -> top-down
+    raise ValueError(f"not an image format: {fmt}")
+
+
+def _encode_ppm_pixels(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  fmt_col: str = "fmt", payload_col: str = "payload") -> DataFrame:
+    """Real image resize: nearest-neighbor resampling in pure numpy inside
+    mapInPandas (filter to image formats -> Arrow batches -> PPM out).
+    Nearest-neighbor index math is one fancy-index gather per image — no
+    per-pixel Python. Output payloads are P6 PPM at the target size."""
+    out_schema = "media_id long, fmt string, payload binary, width int, height int"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv — not available in this "
-            "container; plug the real resize into this mapInPandas body"
-        )
+        for pdf in batches:
+            ids, fmts, payloads = [], [], []
+            for mid, fmt, pl in zip(pdf["media_id"], pdf[fmt_col], pdf[payload_col]):
+                img = _decode_pixels(fmt, bytes(pl))
+                h0, w0, _ = img.shape
+                yi = (np.arange(height) * h0) // height
+                xi = (np.arange(width) * w0) // width
+                resized = img[yi][:, xi]
+                ids.append(int(mid))
+                fmts.append("ppm")
+                payloads.append(_encode_ppm_pixels(resized))
+            yield pd.DataFrame({
+                "media_id": ids, "fmt": fmts, "payload": payloads,
+                "width": width, "height": height,
+            })
 
-    return df.filter(F.col("kind") == "image").mapInPandas(fn, schema=out_schema)
+    return df.filter(F.col(fmt_col).isin("ppm", "bmp")).mapInPandas(fn, schema=out_schema)
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-from ..contract import DIVISION_GUARD_EPS, MIN_STD
+from ..contract import DIVISION_GUARD_EPS, FLOAT_CMP_EPS, MIN_STD
 from . import ordering
 
 
@@ -61,9 +61,30 @@ def with_volatility(df: DataFrame, cfg: PipelineConfig, price_col: str = "value"
     out_cols.append(F.coalesce(autocorr, F.lit(0.0)).cast("double").alias("ret_autocorr_fast"))
 
     df = df.select("*", *out_cols).drop("_r1")
-    return df.withColumn(
+    df = df.withColumn(
         "vol_ratio",
         (F.col("vol_fast") / (F.col("vol_slow") + F.lit(DIVISION_GUARD_EPS))).cast("double"),
+    )
+
+    # vol momentum: relative change of fast vol vs `momentum_lag` rows ago
+    # (reference: prev vs current snapshot fast vol,
+    # src/features/experimental/volatility.rs:265-270); 0 until warm
+    momentum_lag = 10
+    prev_vol = F.lag("vol_fast", momentum_lag).over(w)
+    df = df.withColumn(
+        "vol_momentum",
+        F.when(
+            prev_vol.isNotNull() & (prev_vol > F.lit(FLOAT_CMP_EPS)),
+            (F.col("vol_fast") - prev_vol) / prev_vol,
+        ).otherwise(F.lit(0.0)).cast("double"),
+    )
+    # vol of vol: sample std of the fast-vol history over a trailing frame
+    # (reference: vol_history.std(), volatility.rs:276-278)
+    vol_hist = 32
+    fr_hist = ordering.trailing(cfg, vol_hist)
+    return df.withColumn(
+        "vol_of_vol",
+        F.coalesce(F.stddev_samp("vol_fast").over(fr_hist), F.lit(0.0)).cast("double"),
     )
 
 

@@ -1049,9 +1049,29 @@ def q_volume_sampler_exact(spark, sf_dir):
     return out.filter(F.col("is_sample") == 1).select("conv_id", "turn_idx")
 
 
-# exact volume sampler with NO min-interval clause == cumsum form, so it
-# does have a SQL twin — reuse the cumsum oracle
-O_VOLUME_SAMPLER_EXACT = None  # rows-only: reset-on-fire differs from cumsum form
+# exact reset-on-fire sampler: sequential per conversation, but with
+# min_interval_s=0 the recurrence (acc += sz; fire & reset when acc >= T)
+# is a linear recursion — expressible as a DuckDB recursive CTE that
+# advances every conversation one row per iteration (depth = longest conv).
+O_VOLUME_SAMPLER_EXACT = f"""with recursive {ORACLE_TRANSCRIPTS_CTE},
+t as (
+  select conv_id, turn_idx, cast(length(text) as double) as sz,
+    row_number() over ({_OWIN}) as rn
+  from transcripts
+),
+walk as (
+  select conv_id, rn, turn_idx,
+    case when sz >= 200.0 then 0.0 else sz end as acc,
+    case when sz >= 200.0 then 1 else 0 end as fire
+  from t where rn = 1
+  union all
+  select t.conv_id, t.rn, t.turn_idx,
+    case when w.acc + t.sz >= 200.0 then 0.0 else w.acc + t.sz end,
+    case when w.acc + t.sz >= 200.0 then 1 else 0 end
+  from walk w join t on t.conv_id = w.conv_id and t.rn = w.rn + 1
+)
+select conv_id, turn_idx from walk where fire = 1
+"""
 
 
 def q_media_features(spark, sf_dir):
@@ -1141,6 +1161,7 @@ ORACLES.update({
     "sequence_summary": O_SEQUENCE_SUMMARY,
     "simhash_candidates": O_SIMHASH_CANDIDATES,
     "media_features": O_MEDIA_FEATURES,
+    "volume_sampler_exact": O_VOLUME_SAMPLER_EXACT,
 })
 
 
@@ -2072,6 +2093,134 @@ select conv_id, turn_idx,
   round((v[3] - mean) / (std + {DIVISION_GUARD_EPS}), 6) as z2
 from z
 """
+
+
+def q_vol_extended(spark, sf_dir):
+    """Experimental vol family completion: momentum + vol-of-vol
+    (reference: src/features/experimental/volatility.rs:265-278)."""
+    t = _t(spark, sf_dir)
+    out = vol_mod.with_volatility(t, CFG, price_col="value", fast=8, slow=32)
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6(F.col("vol_momentum"), "vol_momentum"),
+        _r6(F.col("vol_of_vol"), "vol_of_vol"),
+    )
+
+
+O_VOL_EXTENDED = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts, value as p from transcripts
+),
+r as (
+  select conv_id, turn_idx, ts,
+    case when lag(p) over w is not null and lag(p) over w > 0 and p > 0
+         then ln(p / lag(p) over w) else 0.0 end as lr
+  from t window w as ({_OWIN})
+),
+v as (
+  select conv_id, turn_idx, ts,
+    case when count(lr) over wf >= 3
+         then greatest(stddev_samp(lr) over wf, 1e-10) else 0.0 end as vol_fast
+  from r window wf as ({_OWIN} rows between 7 preceding and current row)
+),
+m as (
+  select conv_id, turn_idx,
+    lag(vol_fast, 10) over w as prev_vol,
+    vol_fast,
+    coalesce(stddev_samp(vol_fast) over wh, 0.0) as vov
+  from v
+  window w as ({_OWIN}),
+         wh as ({_OWIN} rows between 31 preceding and current row)
+)
+select conv_id, turn_idx,
+  round(case when prev_vol is not null and prev_vol > 1e-10
+        then (vol_fast - prev_vol) / prev_vol else 0.0 end, 6) as vol_momentum,
+  round(vov, 6) as vol_of_vol
+from m
+"""
+
+
+QUERIES["vol_extended"] = q_vol_extended
+ORACLES["vol_extended"] = O_VOL_EXTENDED
+
+
+# --- generic walk-the-book market impact (last §2.2 gap) ----------------------------
+
+_WTB_PS = [1.0 + 0.01 * i for i in range(4)]  # shared literals, both engines
+
+
+def q_walk_the_book(spark, sf_dir):
+    """Generic cumulative-fill walk over synthesized 4-level books
+    (reference: estimate_impact_internal, src/features/market_impact.rs:128-230).
+    Books are deterministic functions of (value, turn_idx) so the oracle
+    unrolls the same walk in closed form."""
+    from ..operators import book
+
+    t = _t(spark, sf_dir).filter(F.col("value") > 0).select(
+        "conv_id", "turn_idx",
+        F.array(*[F.col("value") * F.lit(p) for p in _WTB_PS]).alias("prices"),
+        F.array(*[
+            (1 + F.pmod(F.col("turn_idx") + i, F.lit(7))).cast("double") for i in range(4)
+        ]).alias("sizes"),
+        (5 + F.pmod(F.col("turn_idx"), F.lit(10))).alias("quantity"),
+    )
+    out = book.walk_the_book(t)
+    # value has 2 decimals and fills are integers, so vwap = cost/filled hits
+    # exact .5 ties at 6 decimals where Spark (HALF_UP) and DuckDB
+    # (half-even) round differently -> integerize via floor(x*1e6 + 0.5)
+    def _i6(c, name):
+        return F.floor(c * 1e6 + 0.5).cast("long").alias(name)
+
+    return out.select(
+        "conv_id", "turn_idx",
+        _i6(F.col("wtb_vwap"), "vwap_u"),
+        _i6(F.col("wtb_slippage_bps"), "slippage_bps_u"),
+        F.col("wtb_levels_consumed").alias("levels_consumed"),
+        _i6(F.col("wtb_fill_ratio"), "fill_ratio_u"),
+        F.col("wtb_can_fill").alias("can_fill"),
+    )
+
+
+O_WALK_THE_BOOK = f"""{_W},
+t as (
+  select conv_id, turn_idx, value as v,
+    cast(5 + turn_idx % 10 as double) as q,
+    cast(1 + (turn_idx + 0) % 7 as double) as s0,
+    cast(1 + (turn_idx + 1) % 7 as double) as s1,
+    cast(1 + (turn_idx + 2) % 7 as double) as s2,
+    cast(1 + (turn_idx + 3) % 7 as double) as s3
+  from transcripts where value > 0
+),
+w0 as (
+  select *, v * {_WTB_PS[0]!r} as p0, v * {_WTB_PS[1]!r} as p1,
+    v * {_WTB_PS[2]!r} as p2, v * {_WTB_PS[3]!r} as p3,
+    least(q, s0) as f0, q - least(q, s0) as r0
+  from t
+),
+w1 as (select *, least(r0, s1) as f1, r0 - least(r0, s1) as r1 from w0),
+w2 as (select *, least(r1, s2) as f2, r1 - least(r1, s2) as r2 from w1),
+w3 as (select *, least(r2, s3) as f3, r2 - least(r2, s3) as r3 from w2),
+fin as (
+  select conv_id, turn_idx, p0 as best,
+    p0 * f0 + p1 * f1 + p2 * f2 + p3 * f3 as cost,
+    f0 + f1 + f2 + f3 as filled, q, r3,
+    (case when q > 0 then 1 else 0 end) + (case when r0 > 0 then 1 else 0 end)
+    + (case when r1 > 0 then 1 else 0 end) + (case when r2 > 0 then 1 else 0 end) as lv
+  from w3
+)
+select conv_id, turn_idx,
+  cast(floor((case when filled > 0 then cost / filled else best end) * 1e6 + 0.5) as bigint) as vwap_u,
+  cast(floor((case when best > 0
+        then ((case when filled > 0 then cost / filled else best end) - best) / best * 10000.0
+        else 0.0 end) * 1e6 + 0.5) as bigint) as slippage_bps_u,
+  cast(lv as int) as levels_consumed,
+  cast(floor((case when q > 0 then filled / q else 1.0 end) * 1e6 + 0.5) as bigint) as fill_ratio_u,
+  cast(case when r3 <= 0 then 1 else 0 end as int) as can_fill
+from fin
+"""
+
+QUERIES["walk_the_book"] = q_walk_the_book
+ORACLES["walk_the_book"] = O_WALK_THE_BOOK
 
 
 QUERIES.update({

@@ -18,6 +18,8 @@ import pandas as pd
 from feature_extractor_mbo_lob_spark.config import PipelineConfig
 from feature_extractor_mbo_lob_spark.contract import (
     DIVISION_GUARD_EPS,
+    FLOW_VOL_MIN_PER_SUB,
+    FLOW_VOL_SUBWINDOWS,
     MIN_DURATION_S,
     MIN_STD,
     SCHEMA_VERSION,
@@ -123,6 +125,22 @@ def reference_features(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
                 row["char_skew" + sfx] = skew
                 row["char_hhi" + sfx] = hhi
                 row["large_turn_ratio" + sfx] = sum(x > p90 for x in fl) / cnt
+
+                # feature 58: std of net role flow over 10 equal sub-windows
+                sig = [1.0 if r == "user" else (-1.0 if r == "assistant" else 0.0)
+                       for r in fr]
+                nsub = FLOW_VOL_SUBWINDOWS
+                ssz = cnt // nsub
+                flows = []
+                for si in range(nsub):
+                    seg = sig[si * ssz: cnt if si == nsub - 1 else (si + 1) * ssz]
+                    tot = sum(abs(x) for x in seg)
+                    flows.append(sum(seg) / tot if tot > 0 else 0.0)
+                fmean = sum(flows) / nsub
+                fvar = sum((f - fmean) ** 2 for f in flows) / nsub
+                row["flow_volatility" + sfx] = (
+                    math.sqrt(fvar) if cnt >= nsub * FLOW_VOL_MIN_PER_SUB else 0.0
+                )
             out_rows.append(row)
     return pd.DataFrame(out_rows)
 

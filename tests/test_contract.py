@@ -36,3 +36,25 @@ def test_config_roundtrip_and_hash():
     assert c.config_hash() == c2.config_hash()
     assert c.config_hash() != PipelineConfig(window_sizes=(4, 16)).config_hash()
     assert c.feature_count() == contract.feature_count((4, 8))
+
+
+def test_toml_config_loading(tmp_path):
+    from feature_extractor_mbo_lob_spark.config import PipelineConfig
+
+    toml = """
+window_sizes = [4, 8]
+volume_target = 123.0
+[labels]
+horizon = 7
+horizons = [3, 7]
+threshold = 0.02
+"""
+    p = tmp_path / "run.toml"
+    p.write_text(toml)
+    cfg = PipelineConfig.from_file(str(p))
+    assert cfg.window_sizes == (4, 8)
+    assert cfg.volume_target == 123.0
+    assert cfg.labels.horizon == 7 and cfg.labels.horizons == (3, 7)
+    assert cfg.labels.threshold == 0.02
+    # JSON round-trip still agrees
+    assert PipelineConfig.from_json(cfg.to_json()) == cfg

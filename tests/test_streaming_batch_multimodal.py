@@ -147,10 +147,21 @@ def test_video_frame_sampling(spark):
     assert frames.count() >= vids
 
 
-def test_resize_is_stubbed(spark):
-    media = multimodal.synth_media(spark, n=5, seed=1)
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
-        multimodal.resize_images(media, 64, 64).collect()
+def test_resize_images_real(spark):
+    """Nearest-neighbor resize produces valid PPMs at the target size whose
+    pixel population is drawn from the source's two tones."""
+    media = multimodal.synth_media_real(spark, n=12)
+    resized = multimodal.resize_images(media, 6, 4)
+    rows = resized.collect()
+    n_images = media.filter(F.col("fmt").isin("ppm", "bmp")).count()
+    assert len(rows) == n_images > 0
+    from feature_extractor_mbo_lob_spark.multimodal import _decode_pixels, _ppm_params
+    for r in rows:
+        img = _decode_pixels("ppm", bytes(r.payload))
+        assert img.shape == (4, 6, 3)
+        m = r.media_id
+        pa, pb = m % 256, (m * 7) % 256
+        assert set(img.ravel().tolist()) <= {pa, pb}
 
 
 def test_streaming_turn_rates(spark, turns):
