@@ -115,15 +115,33 @@ def triple_barrier_labels(
     h = cfg.labels.max_holding if horizon is None else horizon
     mh = cfg.labels.min_hold if min_hold is None else min_hold
     order_cols = list(cfg.order_cols)
+    key = cfg.key_col
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", tb_label tinyint, tb_exit_offset int, tb_exit_return double"
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _label_group(pdf, price_col, order_cols, pt, sl, h, mh, timeout, frac)
+    # super-grouping: one Arrow batch per hash bucket of conversations, not
+    # per conversation — cuts the Python/Arrow round-trips by ~100x on many
+    # small keys (same trick as order_stats/vectorized_flagship); the kernel
+    # is applied per key segment inside the batch
+    nb = _n_buckets(df)
+    bucketed = df.withColumn("_tbb", F.pmod(F.xxhash64(key), F.lit(nb)).cast("int"))
 
-    return df.groupBy(cfg.key_col).applyInPandas(fn, schema=out_schema)
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_tbb"])
+        parts = [
+            _label_group(g, price_col, order_cols, pt, sl, h, mh, timeout, frac)
+            for _, g in pdf.groupby(key, sort=False)
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    return bucketed.groupBy("_tbb").applyInPandas(fn, schema=out_schema)
+
+
+def _n_buckets(df: DataFrame) -> int:
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(sp * 4, 64)
 
 
 def volatility_scaled_barriers(
@@ -195,8 +213,20 @@ def triple_barrier_labels_vol_scaled(
         f"{f.name} {f.dataType.simpleString()}" for f in scaled_df.schema.fields
     ) + ", tb_label tinyint, tb_exit_offset int, tb_exit_return double"
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        s = float(pdf["barrier_scale"].iloc[0]) if pdf["barrier_scale"].notna().any() else 1.0
-        return _label_group(pdf, price_col, order_cols, pt * s, sl * s, h, mh, timeout, frac)
+    key = cfg.key_col
+    nb = _n_buckets(scaled_df)
+    bucketed = scaled_df.withColumn(
+        "_tbb", F.pmod(F.xxhash64(key), F.lit(nb)).cast("int")
+    )
 
-    return scaled_df.groupBy(cfg.key_col).applyInPandas(fn, schema=out_schema)
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_tbb"])
+        parts = []
+        for _, g in pdf.groupby(key, sort=False):
+            s = float(g["barrier_scale"].iloc[0]) if g["barrier_scale"].notna().any() else 1.0
+            parts.append(
+                _label_group(g, price_col, order_cols, pt * s, sl * s, h, mh, timeout, frac)
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    return bucketed.groupBy("_tbb").applyInPandas(fn, schema=out_schema)

@@ -77,7 +77,7 @@ def volume_sample_flag_exact(
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema += f", {flag} int"
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         sizes = pdf[size_col].to_numpy()
         tss = pdf[ts].astype("int64").to_numpy() / 1e9  # ns -> s
@@ -96,7 +96,18 @@ def volume_sample_flag_exact(
         pdf[flag] = out
         return pdf
 
-    return df.groupBy(key).applyInPandas(fn, schema=schema)
+    # super-grouping: one Arrow batch per conversation bucket (not per key)
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    nb = max(sp * 4, 64)
+    bucketed = df.withColumn("_vsb", F.pmod(F.xxhash64(key), F.lit(nb)).cast("int"))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_vsb"])
+        return pd.concat(
+            [_replay(g) for _, g in pdf.groupby(key, sort=False)], ignore_index=True
+        )
+
+    return bucketed.groupBy("_vsb").applyInPandas(fn, schema=schema)
 
 
 def assign_sample_intervals(df: DataFrame, cfg: PipelineConfig,
