@@ -33,7 +33,18 @@ def _ship_package(spark: SparkSession) -> None:
     zip_path = os.path.join(_REPO, "dist", "engine.zip")
     import subprocess
 
-    if not os.path.exists(zip_path):
+    def _stale() -> bool:
+        if not os.path.exists(zip_path):
+            return True
+        zmt = os.path.getmtime(zip_path)
+        pkg = os.path.join(_REPO, "feature_extractor_mbo_lob_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py") and os.path.getmtime(os.path.join(root, f)) > zmt:
+                    return True
+        return False
+
+    if _stale():
         subprocess.run(
             [sys.executable, os.path.join(_REPO, "tools", "make_pyfiles.py")],
             check=True,

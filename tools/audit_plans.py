@@ -12,8 +12,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def summarize(name: str, df, notes: str) -> str:
+def summarize(name: str, df, notes: str, forbid: tuple[str, ...] = ()) -> str:
     plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in forbid:
+        assert node not in plan, f"{name}: forbidden node {node} in plan:\n{plan}"
     scans = [
         re.sub(r"Location: \S+", "", line.strip())[:200]
         for line in plan.splitlines()
@@ -100,6 +102,42 @@ def main() -> None:
         dedup.minhash_lsh_pairs(docs, k=3, num_hashes=8, bands=4),
         "Shuffles are O(total shingles) + O(band keys); pairs only form via "
         "the band-key equi join (never a cross join).",
+        forbid=("CartesianProduct",),
+    ))
+
+    from feature_extractor_mbo_lob_spark.operators import similarity
+
+    emb = t.select(
+        F.col("turn_idx").cast("long").alias("vec_id"),
+        F.array(*[
+            F.pmod(F.xxhash64("conv_id", F.lit(i)), F.lit(97)).cast("double")
+            for i in range(8)
+        ]).alias("embedding"),
+    ).limit(500)
+    emb.write.mode("overwrite").parquet("/tmp/plan_audit_emb.parquet")
+    emb = spark.read.parquet("/tmp/plan_audit_emb.parquet")
+    sections.append(summarize(
+        "embedding near-dup (exact, broadcast-GEMM path)",
+        similarity.near_dup_pairs(emb, threshold=0.35),
+        "The corpus rides a broadcast variable into mapInPandas GEMM blocks "
+        "— the executed plan has NO join node at all, never a "
+        "CartesianProduct.",
+        forbid=("CartesianProduct",),
+    ))
+    sections.append(summarize(
+        "embedding near-dup (IVF-bucketed scale path)",
+        similarity.ivf_near_dup(emb, threshold=0.35, n_centroids=4),
+        "Candidates come from the centroid_id equi-group; the only "
+        "broadcast is the tiny centroid table (BroadcastNestedLoopJoin over "
+        "K rows); per-cluster GEMM in applyInPandas.",
+        forbid=("CartesianProduct",),
+    ))
+    sections.append(summarize(
+        "simhash + hamming-LSH candidates",
+        dedup.simhash_candidates(dedup.simhash(docs, k=2)),
+        "17 aggregates (count + 16 packed nibble counters) build the "
+        "fingerprint; candidates via chunk-key equi join.",
+        forbid=("CartesianProduct",),
     ))
 
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
