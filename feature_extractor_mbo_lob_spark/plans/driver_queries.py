@@ -2223,6 +2223,84 @@ QUERIES["walk_the_book"] = q_walk_the_book
 ORACLES["walk_the_book"] = O_WALK_THE_BOOK
 
 
+# --- Structured Streaming stateful pipeline, oracle-checked --------------------------
+
+def q_streaming_state(spark, sf_dir):
+    """REAL streaming execution: transcripts replayed through readStream ->
+    applyInPandasWithState (cumulative counters + exact reset-on-fire volume
+    sampler) -> availableNow -> memory sink. Single-file source => one
+    micro-batch => deterministic in-order replay per conversation, so the
+    batch SQL oracle (cumulative sums + recursive-CTE sampler) matches
+    exactly. This is the §2.10 streaming-semantics row, oracle-checked."""
+    import hashlib
+    import uuid
+    from pathlib import Path as _P
+
+    from ..streaming import stream as strm
+
+    t = transcripts_from_events(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/stream_state_src_{tag}"
+    if not _P(path).exists():
+        t.coalesce(1).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(t.schema).parquet(path)
+    out = strm.streaming_cumulative_state(src, CFG)
+    qname = "qss_" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/stream_state_ckpt_{uuid.uuid4().hex[:12]}")
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(qname)
+    return res.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("turns_so_far").cast("long").alias("turns_so_far"),
+        F.col("user_turns_so_far").cast("long").alias("user_turns_so_far"),
+        F.col("tool_turns_so_far").cast("long").alias("tool_turns_so_far"),
+        _r6(F.col("chars_so_far"), "chars_so_far"),
+        F.col("is_sample").cast("long").alias("is_sample"),
+    )
+
+
+O_STREAMING_STATE = f"""with recursive {ORACLE_TRANSCRIPTS_CTE},
+t as (
+  select conv_id, turn_idx, ts, role, cast(length(text) as double) as sz,
+    row_number() over ({_OWIN}) as rn
+  from transcripts
+),
+walk as (
+  select conv_id, rn, turn_idx,
+    case when sz >= 200.0 then 0.0 else sz end as acc,
+    case when sz >= 200.0 then 1 else 0 end as fire
+  from t where rn = 1
+  union all
+  select t.conv_id, t.rn, t.turn_idx,
+    case when w.acc + t.sz >= 200.0 then 0.0 else w.acc + t.sz end,
+    case when w.acc + t.sz >= 200.0 then 1 else 0 end
+  from walk w join t on t.conv_id = w.conv_id and t.rn = w.rn + 1
+),
+c as (
+  select conv_id, turn_idx,
+    cast(count(*) over cum as bigint) as turns_so_far,
+    cast(sum(case when role = 'user' then 1 else 0 end) over cum as bigint) as user_turns_so_far,
+    cast(sum(case when role = 'tool' then 1 else 0 end) over cum as bigint) as tool_turns_so_far,
+    round(sum(sz) over cum, 6) as chars_so_far
+  from t window cum as ({_CUM})
+)
+select c.conv_id, cast(c.turn_idx as bigint) as turn_idx,
+  c.turns_so_far, c.user_turns_so_far, c.tool_turns_so_far, c.chars_so_far,
+  cast(w.fire as bigint) as is_sample
+from c join walk w using (conv_id, turn_idx)
+"""
+
+QUERIES["streaming_state"] = q_streaming_state
+ORACLES["streaming_state"] = O_STREAMING_STATE
+
+
 QUERIES.update({
     "multiscale_sequences": q_multiscale_sequences,
     "multi_horizon_quantile": q_multi_horizon_quantile,
