@@ -29,12 +29,56 @@ from ..config import PipelineConfig
 QS = (0.25, 0.50, 0.75, 0.90)
 
 
-def _stat_cols(window_sizes) -> list[str]:
+def _stat_cols(window_sizes, flow_vol: bool = False) -> list[str]:
     cols = []
     for w in window_sizes:
         cols += [f"char_p25_w{w}", f"char_p50_w{w}", f"char_p75_w{w}",
                  f"char_p90_w{w}", f"large_turn_ratio_w{w}"]
+        if flow_vol:
+            cols.append(f"flow_volatility_w{w}")
     return cols
+
+
+def flow_vol_from_sig(sig: np.ndarray, gstart: np.ndarray, w: int) -> np.ndarray:
+    """Feature 58 numpy kernel — std of net role flow over 10 equal
+    sub-windows of the trailing frame, via prefix-sum diffs with sequential
+    flow accumulation. SHARED by the vectorized flagship kernel and the
+    pandas order-stats stage so all paths are bit-identical to the HOF twin
+    (operators/rolling.flow_volatility_expr).
+
+    sig: +1 user / -1 assistant / 0 other per row (bucket-concatenated);
+    gstart: per-row absolute index of the row's conversation start."""
+    from ..contract import FLOW_VOL_MIN_PER_SUB, FLOW_VOL_SUBWINDOWS
+
+    nsub = FLOW_VOL_SUBWINDOWS
+    n = len(sig)
+    rows = np.arange(n)
+    cs_s = np.concatenate([[0.0], np.cumsum(sig)])
+    cs_a = np.concatenate([[0.0], np.cumsum(np.abs(sig))])
+    cnt = np.minimum(rows - gstart + 1, w).astype(np.float64)
+    lo = np.maximum(rows - w + 1, gstart)
+    n_t = cnt.astype(np.int64)
+    ssz = n_t // nsub
+    flows = []
+    for i in range(nsub):
+        st = lo + i * ssz
+        en = rows + 1 if i == nsub - 1 else lo + (i + 1) * ssz
+        su = cs_s[en] - cs_s[st]
+        tot = cs_a[en] - cs_a[st]
+        flows.append(np.divide(su, tot, out=np.zeros(n), where=tot > 0))
+    fmean = flows[0].copy()
+    for i in range(1, nsub):
+        fmean = fmean + flows[i]
+    fmean = fmean / float(nsub)
+    fvar = (flows[0] - fmean) * (flows[0] - fmean)
+    for i in range(1, nsub):
+        fvar = fvar + (flows[i] - fmean) * (flows[i] - fmean)
+    fvar = fvar / float(nsub)
+    return np.where(cnt >= float(nsub * FLOW_VOL_MIN_PER_SUB), np.sqrt(fvar), 0.0)
+
+
+def role_sig(roles: np.ndarray) -> np.ndarray:
+    return np.where(roles == "user", 1.0, np.where(roles == "assistant", -1.0, 0.0))
 
 
 def _group_order_stats(x: np.ndarray, w: int) -> dict[str, np.ndarray]:
@@ -116,8 +160,12 @@ def _bucket_order_stats(x_all: np.ndarray, starts: np.ndarray, ends: np.ndarray,
 
 def with_order_stats_pandas(df: DataFrame, cfg: PipelineConfig,
                             value_col: str = "char_len",
-                            n_buckets: int | None = None) -> DataFrame:
-    """Adds the 5 order-stat columns per configured window.
+                            n_buckets: int | None = None,
+                            flow_vol: bool = True) -> DataFrame:
+    """Adds the 5 order-stat columns per configured window, plus (by
+    default) feature 58 flow_volatility — it shares the same bucket pass,
+    costing one prefix-sum sweep instead of a separate JVM HOF stage (which
+    profiled ~25x slower on w=128 frames).
 
     Super-grouped: one Arrow batch per conversation-BUCKET (hash(conv) % P),
     with a per-conversation numpy loop inside — per-group Spark/pandas
@@ -130,8 +178,10 @@ def with_order_stats_pandas(df: DataFrame, cfg: PipelineConfig,
     order_cols = list(cfg.order_cols)
     windows = tuple(cfg.window_sizes)
     sort_cols = [cfg.key_col] + order_cols
+    if flow_vol and "role" not in df.columns:
+        raise ValueError("flow_vol=True requires the role column")
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    schema += ", " + ", ".join(f"{c} double" for c in _stat_cols(windows))
+    schema += ", " + ", ".join(f"{c} double" for c in _stat_cols(windows, flow_vol))
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
@@ -144,10 +194,16 @@ def with_order_stats_pandas(df: DataFrame, cfg: PipelineConfig,
             change[1:] = keys[1:] != keys[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(keys))
+        if flow_vol:
+            sizes = ends - starts
+            gstart = np.repeat(starts, sizes)
+            sig = role_sig(pdf["role"].to_numpy())
         for w in windows:
             stats = _bucket_order_stats(x_all, starts, ends, w)
             for name, arr in stats.items():
                 pdf[f"{name}_w{w}"] = arr
+            if flow_vol:
+                pdf[f"flow_volatility_w{w}"] = flow_vol_from_sig(sig, gstart, w)
         return pdf
 
     if n_buckets is None:

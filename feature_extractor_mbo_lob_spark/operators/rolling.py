@@ -158,12 +158,6 @@ def with_rolling_features(df: DataFrame, cfg: PipelineConfig,
         hhi = F.when(sum_x > 0, sum_x2 / (sum_x * sum_x)).otherwise(F.lit(0.0))
 
         sfx = f"_w{n}"
-        # frame-ordered signed role stream (materialized so the Window exec
-        # evaluates the collect exactly once, like _sarr below)
-        fr = ordering.trailing(cfg, n)
-        df = df.select("*", F.collect_list("_s").over(fr).alias("_farr"))
-        flow_vol = flow_volatility_expr(F.col("_farr"), cnt)
-
         sum_cols = [
             (cnt / dur).cast("double").alias("turn_rate" + sfx),
             (n_user / cnt).cast("double").alias("user_frac" + sfx),
@@ -175,20 +169,31 @@ def with_rolling_features(df: DataFrame, cfg: PipelineConfig,
             ((x - mean) / (std + F.lit(DIVISION_GUARD_EPS))).cast("double").alias("char_zscore" + sfx),
             skew.cast("double").alias("char_skew" + sfx),
             hhi.cast("double").alias("char_hhi" + sfx),
-            flow_vol.cast("double").alias("flow_volatility" + sfx),
         ]
 
         if not include_order_stats:
-            # order stats supplied separately (operators/order_stats.py
-            # pandas path); emit only the prefix-sum features here
-            df = df.select("*", *sum_cols).drop("_farr")
+            # frame-bound features (order stats AND feature-58 flow vol)
+            # supplied by the pandas order-stats stage; emit only the
+            # prefix-sum features here
+            df = df.select("*", *sum_cols)
             continue
 
-        # order statistics: the one genuinely frame-bound computation.
-        # ONE collect_list per frame, sorted once (a materialized helper so
-        # the Window exec evaluates it exactly once); all four percentiles
-        # and the strictly-greater count derive from that single sorted
-        # array (mirrors the reference's lazy sorted-cache, window.rs:170-187).
+        # frame-bound computations, all-JVM path. flow vol: frame-ordered
+        # signed role stream collected once, then slice + sequential HOF
+        # aggregates (bit-identical to the numpy kernel; ~25x slower at
+        # w=128 — the pandas stage is the throughput path).
+        fr = ordering.trailing(cfg, n)
+        df = df.select("*", F.collect_list("_s").over(fr).alias("_farr"))
+        sum_cols.append(
+            flow_volatility_expr(F.col("_farr"), cnt)
+            .cast("double").alias("flow_volatility" + sfx)
+        )
+
+        # order statistics: ONE collect_list per frame, sorted once (a
+        # materialized helper so the Window exec evaluates it exactly once);
+        # all four percentiles and the strictly-greater count derive from
+        # that single sorted array (mirrors the reference's lazy
+        # sorted-cache, window.rs:170-187).
         df = df.select("*", F.array_sort(F.collect_list(x).over(fr)).alias("_sarr"))
 
         def pct(q: float) -> Column:

@@ -1634,9 +1634,15 @@ ORACLES["ivf_topk"] = O_IVF_TOPK
 # --- feature 58: order-flow volatility (std of net flow over 10 sub-windows) --------
 
 def q_flow_volatility(spark, sf_dir):
+    """Feature 58 via the numpy bucket kernel (throughput path; the JVM HOF
+    twin rides the rolling_window native path and is tested bit-identical)."""
+    from ..operators import order_stats as os_mod
+
     t = transcripts_from_events(spark, sf_dir)
     cfg = PipelineConfig(window_sizes=(32,))
-    s = rolling.with_rolling_features(state.with_state_features(t, cfg), cfg)
+    lean = t.select("conv_id", "turn_idx", "ts", "role",
+                    F.coalesce(F.length("text"), F.lit(0)).cast("double").alias("char_len"))
+    s = os_mod.with_order_stats_pandas(lean, cfg, flow_vol=True)
     return s.select("conv_id", "turn_idx", _r6(F.col("flow_volatility_w32"), "flow_vol"))
 
 

@@ -29,14 +29,12 @@ from pyspark.sql import functions as F
 from ..config import PipelineConfig
 from ..contract import (
     DIVISION_GUARD_EPS,
-    FLOW_VOL_MIN_PER_SUB,
-    FLOW_VOL_SUBWINDOWS,
     MIN_DURATION_S,
     MIN_STD,
     SCHEMA_VERSION,
     feature_columns,
 )
-from ..operators.order_stats import _bucket_order_stats
+from ..operators.order_stats import _bucket_order_stats, flow_vol_from_sig
 
 
 def _segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -130,10 +128,9 @@ def _kernel(pdf: pd.DataFrame, cfg: PipelineConfig, price_from_char_len: bool) -
     flip[~first_row & same] = 1.0
     out["role_flip"] = flip
 
-    # signed role stream prefix sums for feature 58 (shared by all windows)
+    # signed role stream for feature 58 (shared kernel with the pandas
+    # order-stats stage — operators/order_stats.flow_vol_from_sig)
     s_sig = is_user - is_assistant
-    cs_s = np.concatenate([[0.0], np.cumsum(s_sig)])
-    cs_a = np.concatenate([[0.0], np.cumsum(np.abs(s_sig))])
 
     # --- rolling frames (matches operators/rolling.py prefix-sum algebra) ---
     for w in cfg.window_sizes:
@@ -172,31 +169,8 @@ def _kernel(pdf: pd.DataFrame, cfg: PipelineConfig, price_from_char_len: bool) -
         for name, arr in stats.items():
             out[f"{name}_w{w}"] = arr
 
-        # feature 58: std of net role flow over 10 equal sub-windows of the
-        # frame (flow_features.rs:86-146). Prefix-sum diffs per sub-window;
-        # all accumulation is sequential over the 10 flows so the HOF twin
-        # in operators/rolling.flow_volatility_expr is bit-identical.
-        nsub = FLOW_VOL_SUBWINDOWS
-        n_t = cnt.astype(np.int64)
-        ssz = n_t // nsub
-        flows = []
-        for i in range(nsub):
-            st = lo + i * ssz
-            en = rows + 1 if i == nsub - 1 else lo + (i + 1) * ssz
-            su = cs_s[en] - cs_s[st]
-            tot = cs_a[en] - cs_a[st]
-            flows.append(np.divide(su, tot, out=np.zeros(n), where=tot > 0))
-        fmean = flows[0].copy()
-        for i in range(1, nsub):
-            fmean = fmean + flows[i]
-        fmean = fmean / float(nsub)
-        fvar = (flows[0] - fmean) * (flows[0] - fmean)
-        for i in range(1, nsub):
-            fvar = fvar + (flows[i] - fmean) * (flows[i] - fmean)
-        fvar = fvar / float(nsub)
-        out["flow_volatility" + sfx] = np.where(
-            cnt >= float(nsub * FLOW_VOL_MIN_PER_SUB), np.sqrt(fvar), 0.0
-        )
+        # feature 58 (flow_features.rs:86-146) via the shared kernel
+        out["flow_volatility" + sfx] = flow_vol_from_sig(s_sig, gstart, w)
 
     # --- TLOB labels (matches labeling/tlob.py) ------------------------------
     p = x if price_from_char_len else pdf["_p"].to_numpy(dtype=np.float64)

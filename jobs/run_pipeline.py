@@ -66,13 +66,15 @@ def main() -> None:
     from feature_extractor_mbo_lob_spark import validation as val
     from pyspark.sql import functions as F
 
-    cfg = (
-        PipelineConfig.from_json(Path(args.config).read_text())
-        if args.config
-        else PipelineConfig()
-    )
+    # .json or .toml, by extension (reference: export_dataset.rs:178-180)
+    cfg = PipelineConfig.from_file(args.config) if args.config else PipelineConfig()
     spark = get_spark(app_name="fex-pipeline", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
+
+    from feature_extractor_mbo_lob_spark.batch import JobHandle
+
+    handle = JobHandle(spark, "fex-pipeline", "feature extraction run")
+    handle.activate()  # whole run is cancellable via cancelJobGroup
 
     t0 = time.time()
     if args.input_format == "events":
