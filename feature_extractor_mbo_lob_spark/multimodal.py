@@ -166,7 +166,10 @@ def synth_media_real(spark, n: int = 200) -> DataFrame:
                 payloads.append(enc(int(m)))
             yield pd.DataFrame({"media_id": ids, "fmt": fmts, "payload": payloads})
 
-    return spark.range(n).mapInPandas(gen, schema=out_schema)
+    # few fat partitions: per-partition Python-worker spin-up dominates tiny
+    # synthetic tables (scale n up -> partitions scale with it)
+    n_parts = max(2, min(8, n // 64))
+    return spark.range(0, n, 1, n_parts).mapInPandas(gen, schema=out_schema)
 
 
 def _decode_payload(fmt: str, payload: bytes):

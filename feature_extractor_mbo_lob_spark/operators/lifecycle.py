@@ -172,6 +172,13 @@ def with_lifecycle_point_in_time(df: DataFrame, cfg: PipelineConfig) -> DataFram
     mod_score = F.when(n_done > 0, mods_sum / n_done).otherwise(F.lit(0.0))
     ratio = F.when(n_started > 0, n_done / n_started).otherwise(F.lit(0.0))
     iceberg = ratio * F.least(mod_score / 10.0, F.lit(1.0))
+    # feature 82 analog (cancel_to_add_ratio, lifecycle_features.rs:89-105):
+    # results/invocations, 1.0 when no activity, capped at 10
+    r2i = (
+        F.when((n_started == 0) & (n_done == 0), F.lit(1.0))
+        .when(n_started == 0, F.lit(10.0))
+        .otherwise(F.least(n_done / n_started, F.lit(10.0)))
+    )
 
     return out.select(
         "*",
@@ -180,6 +187,7 @@ def with_lifecycle_point_in_time(df: DataFrame, cfg: PipelineConfig) -> DataFram
         ttf.cast("double").alias("ttf_result_mean_s"),
         mod_score.cast("double").alias("mod_score"),
         iceberg.cast("double").alias("iceberg_proxy"),
+        r2i.cast("double").alias("result_to_invoke_ratio"),
     ).drop("_m_inv_us", "_m_lat_us", "_m_mods")
 
 

@@ -115,3 +115,23 @@ def time_regime_col(cfg: PipelineConfig) -> Column:
 
 def with_time_regime(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df.withColumn("time_regime", time_regime_col(cfg))
+
+
+def with_seasonality(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Seasonality block (reference: src/features/experimental/
+    seasonality.rs:38-46, 91-150 — minutes since open / until close, session
+    progress, 30-min bucket over a fixed exchange session). Transcript
+    analog uses the UTC day as the 'session': minutes since/until midnight,
+    day progress, and the 48 half-hour buckets. Pure timestamp expressions,
+    zero leakage (the day length is known a priori, like the exchange
+    close)."""
+    us = ordering.epoch_us(cfg.ts_col)
+    sec_of_day = F.pmod(F.floor(us / F.lit(1_000_000)), F.lit(86400))
+    mins = sec_of_day / F.lit(60.0)
+    return df.select(
+        "*",
+        mins.cast("double").alias("mins_since_midnight"),
+        (F.lit(1440.0) - mins).cast("double").alias("mins_until_midnight"),
+        (sec_of_day / F.lit(86400.0)).cast("double").alias("day_progress"),
+        F.floor(mins / F.lit(30.0)).cast("int").alias("halfhour_bucket"),
+    )

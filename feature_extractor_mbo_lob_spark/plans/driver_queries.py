@@ -1706,6 +1706,7 @@ def q_lifecycle_pit(spark, sf_dir):
         _ius(F.col("ttf_result_mean_s"), "ttf_result_mean_us"),
         _r6(F.col("mod_score"), "mod_score"),
         _r6(F.col("iceberg_proxy"), "iceberg_proxy"),
+        _r6(F.col("result_to_invoke_ratio"), "result_to_invoke_ratio"),
     )
 
 
@@ -1762,7 +1763,10 @@ select conv_id, turn_idx,
   round(case when n_done > 0 then mods_sum / n_done else 0.0 end, 6) as mod_score,
   round((case when n_started > 0 then n_done / n_started else 0.0 end)
         * least((case when n_done > 0 then mods_sum / n_done else 0.0 end) / 10.0, 1.0),
-        6) as iceberg_proxy
+        6) as iceberg_proxy,
+  round(case when n_started = 0 and n_done = 0 then 1.0
+             when n_started = 0 then 10.0
+             else least(n_done / n_started, 10.0) end, 6) as result_to_invoke_ratio
 from c
 """
 
@@ -2305,6 +2309,39 @@ from c join walk w using (conv_id, turn_idx)
 
 QUERIES["streaming_state"] = q_streaming_state
 ORACLES["streaming_state"] = O_STREAMING_STATE
+
+
+# --- seasonality block (reference: experimental/seasonality.rs) ----------------------
+
+def q_seasonality(spark, sf_dir):
+    out = state.with_seasonality(_t(spark, sf_dir), CFG)
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6(F.col("mins_since_midnight"), "mins_since_midnight"),
+        _r6(F.col("mins_until_midnight"), "mins_until_midnight"),
+        # sod/86400 terminates at 7 decimals -> exact .5 ties at round(,6);
+        # integerize instead (see duckdb-oracle-float-pitfalls)
+        F.floor(F.col("day_progress") * 1e6 + 0.5).cast("long").alias("day_progress_u"),
+        F.col("halfhour_bucket").alias("halfhour_bucket"),
+    )
+
+
+O_SEASONALITY = f"""{_W},
+t as (
+  select conv_id, turn_idx,
+    cast(floor(epoch_us(ts) / 1000000) % 86400 as double) as sod
+  from transcripts
+)
+select conv_id, turn_idx,
+  round(sod / 60.0, 6) as mins_since_midnight,
+  round(1440.0 - sod / 60.0, 6) as mins_until_midnight,
+  cast(floor((sod / 86400.0) * 1e6 + 0.5) as bigint) as day_progress_u,
+  cast(floor((sod / 60.0) / 30.0) as int) as halfhour_bucket
+from t
+"""
+
+QUERIES["seasonality"] = q_seasonality
+ORACLES["seasonality"] = O_SEASONALITY
 
 
 QUERIES.update({

@@ -220,6 +220,9 @@ def test_lifecycle_point_in_time(turns):
     assert got[("a", 6)].iceberg_proxy == 0.0
     assert got[("b", 0)].active_episodes == 0.0
     assert got[("b", 0)].active_age_mean_s == 0.0
+    # feature 82 analog: no activity -> neutral 1.0; else done/started capped
+    assert got[("b", 0)].result_to_invoke_ratio == 1.0
+    assert got[("a", 6)].result_to_invoke_ratio == 2.0 / 3.0
 
 
 def test_lifecycle_modifications(spark):
