@@ -87,14 +87,19 @@ def _label_group(
         exit_off[:m] = np.where(valid, d, np.nan)
         exit_ret[:m] = np.where(valid, ret, np.nan)
 
-    pdf["tb_label"] = pd.array(
-        [None if np.isnan(v) else int(v) for v in label], dtype="Int8"
-    )
-    pdf["tb_exit_offset"] = pd.array(
-        [None if np.isnan(v) else int(v) for v in exit_off], dtype="Int32"
-    )
+    pdf["tb_label"] = _nullable_int(label, np.int8)
+    pdf["tb_exit_offset"] = _nullable_int(exit_off, np.int32)
     pdf["tb_exit_return"] = exit_ret
     return pdf
+
+
+def _nullable_int(vals: np.ndarray, dtype) -> pd.arrays.IntegerArray:
+    """float array with NaNs -> pandas nullable integer array, vectorized
+    (the per-element Python list comprehension was the UDAF's hot loop)."""
+    mask = np.isnan(vals)
+    return pd.arrays.IntegerArray(
+        np.where(mask, 0, vals).astype(dtype), mask
+    )
 
 
 def triple_barrier_labels(

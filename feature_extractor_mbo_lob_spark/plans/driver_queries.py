@@ -897,14 +897,15 @@ from ranked where rank <= 3
 # --- 28. validation audit --------------------------------------------------------------
 
 def q_validation_audit(spark, sf_dir):
+    """One aggregate, no construction-time collect — the returned DataFrame
+    recomputes the violation count from live input on every execution."""
     t = _t(spark, sf_dir)
-    from ..validation import monotonicity_violations
-
-    n_viol = monotonicity_violations(t, CFG)
-    return t.agg(
+    w = ordering.stable_window(CFG)
+    viol = (F.lag(CFG.ts_col).over(w) > F.col(CFG.ts_col)).cast("long")
+    return t.select("conv_id", viol.alias("_viol")).agg(
         F.count(F.lit(1)).alias("rows"),
         F.countDistinct("conv_id").alias("convs"),
-        F.lit(n_viol).cast("long").alias("ts_violations"),
+        F.coalesce(F.sum("_viol"), F.lit(0)).cast("long").alias("ts_violations"),
     )
 
 
@@ -2256,14 +2257,22 @@ def q_streaming_state(spark, sf_dir):
     src = spark.readStream.schema(t.schema).parquet(path)
     out = strm.streaming_cumulative_state(src, CFG)
     qname = "qss_" + uuid.uuid4().hex[:12]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"/tmp/stream_state_ckpt_{uuid.uuid4().hex[:12]}")
-        .start()
-    )
-    q.awaitTermination()
+    # the stateful shuffle fixes its partition count at checkpoint creation;
+    # 200/64 state-store partitions is pure per-partition overhead at these
+    # row counts — pin a small count for the duration of the stream
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"/tmp/stream_state_ckpt_{uuid.uuid4().hex[:12]}")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     res = spark.table(qname)
     return res.select(
         "conv_id",

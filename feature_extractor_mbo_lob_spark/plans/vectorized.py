@@ -203,8 +203,9 @@ def _kernel(pdf: pd.DataFrame, cfg: PipelineConfig, price_from_char_len: bool) -
     fcols = feature_columns(cfg.window_sizes)
     for c in fcols:
         res[c] = r6_np(out[c])
-    res["label"] = pd.array(
-        [None if np.isnan(v) else int(v) for v in label], dtype="Int8"
+    _mask = np.isnan(label)
+    res["label"] = pd.arrays.IntegerArray(
+        np.where(_mask, 0, label).astype(np.int8), _mask
     )
     res["label_pct_change"] = r6_np(l)
     return res[~np.isnan(l)].reset_index(drop=True)
