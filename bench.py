@@ -117,6 +117,12 @@ def main() -> None:
     q_times: dict[str, float] = {}
     if not args.skip_queries:
         for name, fn in QUERIES.items():
+            # drop cross-query residue (cached tables, finished broadcasts)
+            # and take a GC pause here instead of mid-measurement — the
+            # 59-query marathon otherwise lands random multi-second pauses
+            # on whichever query the collector picks
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             noop(fn(spark, sf_dir))
             q_times[name] = round(time.time() - t0, 3)

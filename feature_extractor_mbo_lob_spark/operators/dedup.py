@@ -78,13 +78,16 @@ def ngram_jaccard_pairs(
     bounding join input per shingle at K^2. None = exact."""
     sh = shingle_table(df, id_col, text_col, k)
     if max_doc_freq is not None:
-        kept = (
+        # the HOT set is tiny by construction (few shingles exceed K), so
+        # broadcast an anti-join on it rather than equi-joining the huge
+        # kept set
+        hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_doc_freq)
+            .filter(F.col("_df") > max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(kept, on="shingle")
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
     sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 

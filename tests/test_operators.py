@@ -243,3 +243,32 @@ def test_lifecycle_modifications(spark):
     assert out[2].mod_score == 1.0          # 1 completed, 1 mod
     assert out[3].mod_score == 0.5          # 2 completed, 1 mod
     assert abs(out[3].iceberg_proxy - 1.0 * min(0.5 / 10, 1.0)) < 1e-12
+
+
+def test_walk_the_book(spark):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.operators.book import walk_the_book
+
+    rows = [
+        # (prices, sizes, quantity)
+        ([10.0, 11.0, 12.0], [5.0, 5.0, 100.0], 8.0),   # fills 5@10 + 3@11
+        ([10.0, 11.0], [1.0, 1.0], 5.0),                # cannot fill
+        ([10.0, 11.0], [4.0, 4.0], 0.0),                # zero qty
+        ([0.0, 11.0], [9.0, 4.0], 2.0),                 # level 0 invalid
+    ]
+    df = spark.createDataFrame(rows, "prices array<double>, sizes array<double>, quantity double")
+    out = walk_the_book(df).collect()
+    r0 = out[0]
+    assert r0.wtb_best_price == 10.0
+    assert r0.wtb_filled_qty == 8.0 and r0.wtb_can_fill == 1
+    assert abs(r0.wtb_vwap - (5 * 10 + 3 * 11) / 8) < 1e-12
+    assert r0.wtb_levels_consumed == 2
+    r1_ = out[1]
+    assert r1_.wtb_can_fill == 0 and r1_.wtb_filled_qty == 2.0
+    assert abs(r1_.wtb_fill_ratio - 0.4) < 1e-12
+    r2_ = out[2]
+    assert r2_.wtb_vwap == 10.0 and r2_.wtb_fill_ratio == 1.0 and r2_.wtb_can_fill == 1
+    r3_ = out[3]
+    assert r3_.wtb_best_price == 11.0  # first VALID level
+    assert r3_.wtb_filled_qty == 2.0 and r3_.wtb_levels_consumed == 1
