@@ -2353,6 +2353,78 @@ QUERIES["seasonality"] = q_seasonality
 ORACLES["seasonality"] = O_SEASONALITY
 
 
+# --- streaming session_window vs SQL gap-sessionization oracle ------------------------
+
+def q_streaming_sessions(spark, sf_dir):
+    """Structured Streaming session_window aggregation replayed over the
+    transcript corpus (availableNow, memory sink). With a single micro-batch
+    every session closes at end-of-stream, so the batch gap-sessionization
+    SQL is the exact oracle. Session gap = CFG.session_gap_s (1800 s)."""
+    import hashlib
+    import uuid
+    from pathlib import Path as _P
+
+    from ..streaming import stream as strm
+
+    t = transcripts_from_events(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/stream_sess_src_{tag}"
+    if not _P(path).exists():
+        t.coalesce(1).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(t.schema).parquet(path)
+    out = strm.streaming_sessions(src, CFG, watermark="1 second")
+    qname = "qsw_" + uuid.uuid4().hex[:12]
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # complete mode: append would withhold each conversation's final
+        # session (its window end never falls behind the watermark at
+        # end-of-stream); complete emits the full merged state
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"/tmp/stream_sess_ckpt_{uuid.uuid4().hex[:12]}")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    res = spark.table(qname)
+    return res.select(
+        "conv_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("session_start_us"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("chars").cast("long").alias("chars"),
+    )
+
+
+O_STREAMING_SESSIONS = f"""{_W},
+t as (
+  select conv_id, ts, coalesce(length(text), 0) as chars,
+    case when lag(ts) over w is null
+           or epoch_us(ts) - epoch_us(lag(ts) over w) > 1800 * 1000000
+         then 1 else 0 end as is_start
+  from transcripts window w as (partition by conv_id order by ts, turn_idx)
+),
+s as (
+  select conv_id, ts, chars,
+    sum(is_start) over (partition by conv_id order by ts
+                        rows between unbounded preceding and current row) as sid
+  from t
+)
+select conv_id,
+  min(epoch_us(ts)) as session_start_us,
+  cast(count(*) as bigint) as n_turns,
+  cast(sum(chars) as bigint) as chars
+from s group by conv_id, sid
+"""
+
+QUERIES["streaming_sessions"] = q_streaming_sessions
+ORACLES["streaming_sessions"] = O_STREAMING_SESSIONS
+
+
 QUERIES.update({
     "multiscale_sequences": q_multiscale_sequences,
     "multi_horizon_quantile": q_multi_horizon_quantile,
