@@ -117,9 +117,14 @@ def build_features_skewed(df: DataFrame, cfg: PipelineConfig,
         us.alias("_row_us"),
     )
 
-    # rolling features: UNCHANGED operator, chunk-keyed — frames of real rows
-    # are exact because context rows are their true predecessors
-    rolled = rolling.with_rolling_features(base, ccfg)
+    # rolling features: UNCHANGED operators, chunk-keyed — frames of real
+    # rows are exact because context rows are their true predecessors.
+    # Frame-bound features (order stats + feature-58 flow vol) ride the
+    # pandas bucket stage keyed on the CHUNK key, so task size stays bounded.
+    from . import order_stats as os_mod
+
+    base = os_mod.with_order_stats_pandas(base, ccfg)
+    rolled = rolling.with_rolling_features(base, ccfg, include_order_stats=False)
 
     # --- carry-in for cumulative state --------------------------------------
     partials = (
