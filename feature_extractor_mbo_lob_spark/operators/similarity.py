@@ -289,6 +289,65 @@ def ivf_topk(
     return assigned.groupBy("centroid_id").applyInPandas(per_cluster, schema=schema)
 
 
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: h_j[d] from md5(seed|j|d) parity — the
+    same literals are embedded in the DuckDB oracle."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{seed}|{j}|{d}".encode()).hexdigest(), 16) % 2 == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def hyperplane_signs(
+    vec_col,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 7,
+):
+    """Random-hyperplane sign bucket (embedding SimHash): bit j of the
+    bucket = [dot(v, h_j) > 0]. Returns (bucket int column, planes)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for j, h in enumerate(planes):
+        hcol = F.array(*[F.lit(x) for x in h])
+        bucket = bucket + F.when(dot(vec_col, hcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int"), planes
+
+
+def hyperplane_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup: candidates share the full sign bucket
+    (equi join on an int key — 2^n_planes buckets). P[same bucket] =
+    (1 - theta/pi)^n_planes, so high-cosine pairs survive; approximate by
+    design, exactly reproducible (deterministic planes). The third scale
+    path next to the exact GEMM and IVF-bucketed variants."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    bucket, _ = hyperplane_signs(F.col(vec_col), dim, n_planes, seed)
+    tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
+                       bucket.alias("_b"))
+    a = tagged.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "_b")
+    b = tagged.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "_b")
+    pairs = a.join(b, on="_b").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def ivf_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -2425,6 +2425,48 @@ QUERIES["streaming_sessions"] = q_streaming_sessions
 ORACLES["streaming_sessions"] = O_STREAMING_SESSIONS
 
 
+# --- random-hyperplane LSH near-dup (third scale path; deterministic planes) ---------
+
+def q_embedding_near_dup_hp(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = similarity.hyperplane_near_dup(emb, threshold=0.35, n_planes=8, seed=7, dim=64)
+    return out.select("id_a", "id_b", _r6(F.col("cos"), "cos"))
+
+
+def _hp_near_dup_oracle(n_planes: int = 8, seed: int = 7, dim: int = 64) -> str:
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(case when list_dot_product(v, [{', '.join(repr(x) for x in h)}]) > 0 "
+        f"then {1 << j} else 0 end)"
+        for j, h in enumerate(planes)
+    )
+    return f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+b as (
+  select vec_id, v, {bucket} as bk
+  from e
+),
+pairs as (
+  select a.vec_id as id_a, c.vec_id as id_b,
+    list_dot_product(a.v, c.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))
+         + {DIVISION_GUARD_EPS}) as cos
+  from b a join b c on a.bk = c.bk and a.vec_id < c.vec_id
+)
+select id_a, id_b, round(cos, 6) as cos from pairs where cos >= 0.35
+"""
+
+
+O_EMBEDDING_NEAR_DUP_HP = _hp_near_dup_oracle()
+
+QUERIES["embedding_near_dup_hp"] = q_embedding_near_dup_hp
+ORACLES["embedding_near_dup_hp"] = O_EMBEDDING_NEAR_DUP_HP
+
+
 QUERIES.update({
     "multiscale_sequences": q_multiscale_sequences,
     "multi_horizon_quantile": q_multi_horizon_quantile,

@@ -120,3 +120,15 @@ def test_text_functions(spark):
                                 "id long, text string")
     fp2 = df2.select(tx.fingerprint("text").alias("fp")).collect()[0].fp
     assert fp2 == out[1].fp
+
+
+def test_hyperplane_near_dup(spark, vecs):
+    from feature_extractor_mbo_lob_spark.operators import similarity as sim
+
+    out = sim.hyperplane_near_dup(vecs, threshold=0.9, n_planes=4, dim=3)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    # identical vectors always share every sign bucket
+    assert (0, 2) in pairs
+    # deterministic: same result on a repartitioned input
+    again = sim.hyperplane_near_dup(vecs.repartition(5), threshold=0.9, n_planes=4, dim=3)
+    assert {(r.id_a, r.id_b) for r in again.collect()} == pairs
