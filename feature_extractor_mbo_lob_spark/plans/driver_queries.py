@@ -2467,6 +2467,59 @@ QUERIES["embedding_near_dup_hp"] = q_embedding_near_dup_hp
 ORACLES["embedding_near_dup_hp"] = O_EMBEDDING_NEAR_DUP_HP
 
 
+# --- forward as-of join (next-event lookup) ------------------------------------------
+
+def q_asof_join_forward(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    left = t.select("conv_id", "turn_idx", "ts")
+    right = (
+        t.filter(F.col("text").startswith("purchase"))
+        .select("conv_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    out = asof.asof_join(left, right, key="conv_id", ts="ts",
+                         value_cols=["purchase_value"], direction="forward")
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6(F.col("purchase_value_asof"), "next_purchase_value"),
+    )
+
+
+O_ASOF_JOIN_FORWARD = f"""{_W},
+l as (select conv_id, turn_idx, ts from transcripts),
+r as (select conv_id, ts, value as purchase_value from transcripts
+      where text like 'purchase%')
+select l.conv_id, l.turn_idx,
+  round(r.purchase_value, 6) as next_purchase_value
+from l asof left join r on l.conv_id = r.conv_id and l.ts <= r.ts
+"""
+
+QUERIES["asof_join_forward"] = q_asof_join_forward
+ORACLES["asof_join_forward"] = O_ASOF_JOIN_FORWARD
+
+
+# --- hash-key exact dedup (the 100-TB form: shuffle 16-byte digests, not documents) ---
+
+def q_dedup_exact_hash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.md5(dedup.normalize_text("text"))
+    return (
+        docs.groupBy(key.alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).cast("long").alias("n_copies"))
+    )
+
+
+O_DEDUP_EXACT_HASH = """
+select md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as text_hash,
+  min(doc_id) as keep_doc_id,
+  cast(count(*) as bigint) as n_copies
+from documents group by 1
+"""
+
+QUERIES["dedup_exact_hash"] = q_dedup_exact_hash
+ORACLES["dedup_exact_hash"] = O_DEDUP_EXACT_HASH
+
+
 QUERIES.update({
     "multiscale_sequences": q_multiscale_sequences,
     "multi_horizon_quantile": q_multi_horizon_quantile,
