@@ -220,3 +220,21 @@ def export_npy_sequences(
         meta["labels_dtype"] = "int8"
     (out / f"{tag}_metadata.json").write_text(json.dumps(meta, indent=1))
     return meta
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    key: str = "conv_id",
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a Spark bucketed+sorted table (the 100-TB storage layout:
+    two tables bucketed on the same key with the same bucket count join with
+    ZERO shuffle — the sequence↔label alignment of repeated training runs
+    becomes exchange-free). Table name may be db-qualified; create the db
+    with an explicit LOCATION to control the warehouse path."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

@@ -166,3 +166,27 @@ def test_npy_export_roundtrip(tmp_path, spark):
     assert labs.shape == (4,) and labs.dtype == np.int8
     assert meta["shape"] == [4, 4, 1]
     assert not np.isnan(seqs).any()
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on conv_id with equal bucket counts join with no
+    Exchange in the executed plan — the co-located layout for repeated
+    alignment joins at scale."""
+    from feature_extractor_mbo_lob_spark.export import write_bucketed_table
+
+    spark.sql(f"create database if not exists bwh location '{tmp_path}/wh'")
+    a = spark.range(0, 1000).selectExpr("cast(id % 50 as string) as conv_id", "id as x")
+    b = spark.range(0, 500).selectExpr("cast(id % 50 as string) as conv_id", "id as y")
+    write_bucketed_table(a, "bwh.feats", key="conv_id", n_buckets=8)
+    write_bucketed_table(b, "bwh.labels", key="conv_id", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = spark.table("bwh.feats").join(spark.table("bwh.labels"), "conv_id")
+        n = out.count()
+        assert n == 50 * 20 * 10  # 50 keys x (20 left rows x 10 right rows)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop database bwh cascade")
