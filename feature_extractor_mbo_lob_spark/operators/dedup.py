@@ -78,9 +78,10 @@ def ngram_jaccard_pairs(
     bounding join input per shingle at K^2. None = exact."""
     sh = shingle_table(df, id_col, text_col, k)
     if max_doc_freq is not None:
-        # the HOT set is tiny by construction (few shingles exceed K), so
-        # broadcast an anti-join on it rather than equi-joining the huge
-        # kept set
+        # cache the raw shingle table once (it feeds both the frequency agg
+        # and the filter); the HOT set is tiny by construction, so broadcast
+        # an anti-join on it rather than equi-joining the huge kept set
+        sh = sh.cache()
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
