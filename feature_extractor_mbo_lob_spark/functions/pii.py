@@ -1,0 +1,67 @@
+"""PII detection + redaction for training-data pipelines.
+
+Regex-based detectors for the three classic structured-PII shapes — email
+addresses, IPv4 addresses, NNN-NNN-NNNN phone numbers — plus a chained
+redactor that replaces each with a typed placeholder token.
+
+Pure JVM column expressions (`regexp_extract_all` / `regexp_replace`), so
+the operator is embarrassingly parallel: no shuffle, no UDF, scan-speed at
+100 TB. The patterns deliberately use only the regex subset on which Java's
+engine (Spark) and RE2 (DuckDB, for the oracle) agree — character classes,
+bounded repetition, alternation; no backreferences or lookaround.
+
+Reference analog: the validator's field-sanitization pass
+(src/validation.rs:156-330) generalized to content scrubbing; the
+LLM-pipeline brief's text-analysis requirement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+# redaction order matters: emails first (their local/domain parts contain
+# dots and digits that the other patterns could otherwise nibble at), then
+# IPs (dotted digits), then phones (dashed digits).
+_REDACTION_CHAIN = (
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (PHONE_RE, "<PHONE>"),
+)
+
+
+def _c(col) -> F.Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def pii_count(col, pattern: str) -> F.Column:
+    return F.size(F.regexp_extract_all(_c(col), F.lit(pattern), F.lit(0))).cast("long")
+
+
+def email_count(col) -> F.Column:
+    return pii_count(col, EMAIL_RE)
+
+
+def ipv4_count(col) -> F.Column:
+    return pii_count(col, IPV4_RE)
+
+
+def phone_count(col) -> F.Column:
+    return pii_count(col, PHONE_RE)
+
+
+def redact(col) -> F.Column:
+    """Replace every email/IPv4/phone occurrence with its placeholder."""
+    out = _c(col)
+    for pattern, token in _REDACTION_CHAIN:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def redaction_fingerprint(col) -> F.Column:
+    """md5 of the redacted text — byte-for-byte reproducible by any engine
+    applying the same chain, used by the oracle check."""
+    return F.md5(redact(col))

@@ -253,3 +253,55 @@ def simhash_candidates(sim: DataFrame, chunk_bits: int = 16) -> DataFrame:
     return pairs.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).drop("sh_a", "sh_b")
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assembly: connected components over an undirected
+    near-dup pair set via min-label propagation. Returns (id, cluster_id)
+    for every id that appears in `edges`; cluster_id is the smallest member
+    id, so representatives are deterministic.
+
+    Scale design: each iteration is one equi-join shuffle keyed by node id
+    plus a groupBy — the GraphX/Pregel CC recipe expressed in DataFrames.
+    Convergence is O(component diameter) iterations; near-dup components
+    are shallow (dup clusters, not social graphs), so this terminates in a
+    handful of rounds. `localCheckpoint` truncates lineage each round so
+    plans stay bounded. Reference analog: dedup cluster collapse is the
+    batch-export "merge duplicate sources" step (src/batch.rs:60-140)
+    generalized to fuzzy matches.
+    """
+    sym = edges.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    ).union(
+        edges.select(F.col(id_b).cast("long").alias("src"), F.col(id_a).cast("long").alias("dst"))
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))).alias("new_lbl"),
+            )
+        )
+        changed = (
+            new_labels.join(labels, "id")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.withColumnRenamed("new_lbl", "lbl").localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))

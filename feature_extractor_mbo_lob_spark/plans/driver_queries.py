@@ -2540,3 +2540,198 @@ ORACLES.update({
     "time_regime": O_TIME_REGIME,
     "zscore_global": O_ZSCORE_GLOBAL,
 })
+
+
+# --- training-data quality: repetition metrics, PII redaction, dedup clusters --------
+# (Gopher-rule repetition signals; regex PII scrub; CC over LSH pairs)
+
+from ..functions import pii as pii_fn  # noqa: E402
+from ..functions import repetition as rep  # noqa: E402
+
+
+def q_repetition_metrics(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = rep.repetition_metrics(docs)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        _r6(F.col("distinct_word_ratio"), "distinct_word_ratio"),
+        _r6(F.col("dup_2gram_frac"), "dup_2gram_frac"),
+        _r6(F.col("top_2gram_char_frac"), "top_2gram_char_frac"),
+    )
+
+
+O_REPETITION_METRICS = f"""
+with w as (
+  select doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as words,
+    length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as n_chars
+  from documents
+),
+grams as (
+  select doc_id,
+    unnest([array_to_string(words[i:i+1], ' ') for i in range(1, len(words))]) as gram
+  from w
+),
+gc as (select doc_id, gram, count(*) as cnt from grams group by 1, 2),
+agg as (
+  select doc_id,
+    sum(cnt) as total_grams,
+    sum(case when cnt > 1 then cnt else 0 end) as dup_occ,
+    max(cnt * length(gram)) as top_chars
+  from gc group by doc_id
+)
+select w.doc_id,
+  cast(len(words) as bigint) as n_words,
+  round(len(list_distinct(words)) / (len(words) + {DIVISION_GUARD_EPS}), 6) as distinct_word_ratio,
+  round(coalesce(dup_occ, 0) / (coalesce(total_grams, 0) + {DIVISION_GUARD_EPS}), 6) as dup_2gram_frac,
+  round(coalesce(top_chars, 0) / (n_chars + {DIVISION_GUARD_EPS}), 6) as top_2gram_char_frac
+from w left join agg using (doc_id)
+"""
+
+
+def q_word_runs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = rep.max_word_run(docs)
+    return out.select(F.col("id").alias("doc_id"), "max_word_run")
+
+
+O_WORD_RUNS = """
+with w as (
+  select doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as words
+  from documents
+),
+pos as (
+  select doc_id, unnest(range(1, len(words) + 1)) as pos, unnest(words) as word from w
+),
+chg as (
+  select doc_id, pos,
+    case when lag(word) over (partition by doc_id order by pos) is distinct from word
+         then 1 else 0 end as chg
+  from pos
+),
+grp as (
+  select doc_id, sum(chg) over (partition by doc_id order by pos
+    rows between unbounded preceding and current row) as g
+  from chg
+),
+runs as (select doc_id, g, count(*) as run_len from grp group by 1, 2)
+select doc_id, cast(max(run_len) as bigint) as max_word_run from runs group by doc_id
+"""
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over documents deterministically augmented with one email,
+    one IPv4, and one phone each (the synthetic corpus contains none, so the
+    augmentation — identical in the oracle — exercises the real regex path)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.1 call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-0199"),
+    )
+    d = docs.select("doc_id", aug.alias("t"))
+    return d.select(
+        "doc_id",
+        pii_fn.email_count("t").alias("n_emails"),
+        pii_fn.ipv4_count("t").alias("n_ips"),
+        pii_fn.phone_count("t").alias("n_phones"),
+        pii_fn.redaction_fingerprint("t").alias("redacted_fp"),
+    )
+
+
+O_PII_REDACTION = f"""
+with a as (
+  select doc_id,
+    text || ' contact user' || cast(doc_id as varchar)
+      || '@mail.example.com from 10.' || cast(doc_id % 200 as varchar)
+      || '.0.1 call 555-' || lpad(cast(doc_id % 1000 as varchar), 3, '0')
+      || '-0199' as t
+  from documents
+)
+select doc_id,
+  cast(len(regexp_extract_all(t, '{pii_fn.EMAIL_RE}')) as bigint) as n_emails,
+  cast(len(regexp_extract_all(t, '{pii_fn.IPV4_RE}')) as bigint) as n_ips,
+  cast(len(regexp_extract_all(t, '{pii_fn.PHONE_RE}')) as bigint) as n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      '{pii_fn.EMAIL_RE}', '<EMAIL>', 'g'),
+      '{pii_fn.IPV4_RE}', '<IP>', 'g'),
+      '{pii_fn.PHONE_RE}', '<PHONE>', 'g')) as redacted_fp
+from a
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster assembly: MinHash LSH candidate pairs -> connected
+    components (min-label propagation) -> (doc, cluster representative)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
+def _dedup_clusters_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    sigs = ",\n    ".join(
+        f"min(md5('{s}|' || shingle)) as sig_{s}" for s in range(num_hashes)
+    )
+    band_keys = ",\n    ".join(
+        f"'{b}:' || md5(" + " || '#' || ".join(
+            f"sig_{b * rows + r}" for r in range(rows)
+        ) + f") as band_{b}"
+        for b in range(bands)
+    )
+    unnest = ", ".join(f"band_{b}" for b in range(bands))
+    return f"""
+with recursive {_SHINGLE_SQL},
+sigs as (
+  select doc_id as id,
+    {sigs}
+  from shingled group by doc_id
+),
+banded as (
+  select id,
+    {band_keys}
+  from sigs
+),
+melted as (select id, unnest([{unnest}]) as band_key from banded),
+pairs as (
+  select distinct a.id as id_a, b.id as id_b
+  from melted a join melted b using (band_key)
+  where a.id < b.id
+),
+sym as (
+  select id_a as src, id_b as dst from pairs
+  union
+  select id_b as src, id_a as dst from pairs
+),
+reach(src, dst) as (
+  select src, dst from sym
+  union
+  select r.src, s.dst from reach r join sym s on r.dst = s.src
+)
+select src as doc_id, cast(least(src, min(dst)) as bigint) as cluster_id
+from reach group by src
+"""
+
+
+O_DEDUP_CLUSTERS = _dedup_clusters_oracle()
+
+
+QUERIES.update({
+    "repetition_metrics": q_repetition_metrics,
+    "word_runs": q_word_runs,
+    "pii_redaction": q_pii_redaction,
+    "dedup_clusters": q_dedup_clusters,
+})
+ORACLES.update({
+    "repetition_metrics": O_REPETITION_METRICS,
+    "word_runs": O_WORD_RUNS,
+    "pii_redaction": O_PII_REDACTION,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
+})

@@ -1,0 +1,84 @@
+"""Repetition metrics (Gopher-rule style), PII redaction, dedup clustering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_mbo_lob_spark.functions import pii, repetition as rep
+from feature_extractor_mbo_lob_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "spam spam spam spam spam"),                       # one word repeated
+        (1, "a b a b a b a b"),                                # repeated 2-gram
+        (2, "all distinct words here nothing repeats twice"),  # clean
+        (3, "x"),                                              # single word, no 2-grams
+        (4, "go go stop go go go end"),                        # max run 3
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_metrics(docs):
+    out = {r.id: r for r in rep.repetition_metrics(docs).collect()}
+    # doc 0: every 2-gram is "spam spam" (4 occurrences, all dups)
+    assert out[0].dup_2gram_frac == pytest.approx(1.0, abs=1e-6)
+    # char mass of "spam spam" = 4 occurrences * 9 chars / 24 normalized chars
+    assert out[0].top_2gram_char_frac == pytest.approx(36 / 24, abs=1e-6)
+    assert out[0].distinct_word_ratio == pytest.approx(1 / 5, abs=1e-6)
+    # doc 1: grams alternate "a b" (4x) and "b a" (3x) -> all 7 are dups
+    assert out[1].dup_2gram_frac == pytest.approx(1.0, abs=1e-6)
+    # doc 2: no repeated grams
+    assert out[2].dup_2gram_frac == pytest.approx(0.0, abs=1e-6)
+    # doc 3: no 2-grams at all -> fractions 0, not NULL/NaN
+    assert out[3].dup_2gram_frac == pytest.approx(0.0, abs=1e-6)
+    assert out[3].top_2gram_char_frac == pytest.approx(0.0, abs=1e-6)
+
+
+def test_max_word_run(docs):
+    out = {r.id: r.max_word_run for r in rep.max_word_run(docs).collect()}
+    assert out[0] == 5
+    assert out[1] == 1
+    assert out[3] == 1
+    assert out[4] == 3
+
+
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        (0, "mail me at jo.doe+x@sub.example.org or 192.168.0.1 tel 415-555-0134"),
+        (1, "no pii here at all"),
+        (2, "two mails a@b.io c@d.co one ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id",
+        pii.email_count("text").alias("ne"),
+        pii.ipv4_count("text").alias("ni"),
+        pii.phone_count("text").alias("np"),
+        pii.redact("text").alias("red"),
+    ).collect()}
+    assert (out[0].ne, out[0].ni, out[0].np) == (1, 1, 1)
+    assert out[0].red == "mail me at <EMAIL> or <IP> tel <PHONE>"
+    assert (out[1].ne, out[1].ni, out[1].np) == (0, 0, 0)
+    assert out[1].red == "no pii here at all"
+    assert (out[2].ne, out[2].ni) == (2, 1)
+    assert "<EMAIL>" in out[2].red and "<IP>" in out[2].red
+
+
+def test_connected_components_clusters(spark):
+    # two components {1,2,3,7} (chain) and {10,11}; 20 isolated via self-pair? no —
+    # isolated nodes don't appear in the edge set, by contract.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster_id for r in dedup.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    # a 12-node path needs several propagation rounds; verify convergence
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11, 0, -1)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster_id for r in dedup.connected_components(edges).collect()}
+    assert set(out.values()) == {1} and len(out) == 12
