@@ -49,13 +49,18 @@ def distinct_word_ratio(col) -> F.Column:
 
 
 def word_2grams(col) -> F.Column:
-    """Array of space-joined word 2-grams; [] when fewer than 2 words."""
+    """Array of space-joined word 2-grams; [] when fewer than 2 words.
+
+    Built as zip_with(words, words[2:], concat): the arguments are evaluated
+    once per row. (The tempting transform(sequence(1, n-1), i ->
+    element_at(w, i) ...) form re-evaluates the captured split/regex
+    expression PER ELEMENT — measured ~8x slower at sf0.1.) The final zip
+    element pairs the last word with null, concat nulls it, filter drops it.
+    """
     w = normalized_words(col)
-    idx = F.sequence(F.lit(1), F.size(w) - 1)
-    grams = F.transform(
-        idx, lambda i: F.concat(F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1))
-    )
-    return F.when(F.size(w) >= 2, grams).otherwise(F.array().cast("array<string>"))
+    shifted = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+    grams = F.zip_with(w, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(grams, lambda g: g.isNotNull())
 
 
 def gram_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -275,12 +275,16 @@ def connected_components(
     batch-export "merge duplicate sources" step (src/batch.rs:60-140)
     generalized to fuzzy matches.
     """
-    sym = edges.select(
+    # materialize the (possibly expensive) pair pipeline ONCE before fanning
+    # it into both union branches
+    e0 = edges.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    ).union(
-        edges.select(F.col(id_b).cast("long").alias("src"), F.col(id_a).cast("long").alias("dst"))
+    ).localCheckpoint(eager=True)
+    sym = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    sym = sym.distinct().localCheckpoint(eager=True)
     labels = sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
     for _ in range(max_iter):
         nbr = (
@@ -288,20 +292,19 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_min"))
         )
-        new_labels = (
+        # labels only decrease, so convergence == "no new_lbl < lbl"; check it
+        # on the checkpointed frame instead of re-joining old vs new
+        step = (
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
                 F.col("id"),
+                F.col("lbl"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nbr_min"), F.col("lbl"))).alias("new_lbl"),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels, "id")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.withColumnRenamed("new_lbl", "lbl").localCheckpoint(eager=True)
+        changed = step.filter(F.col("new_lbl") < F.col("lbl")).limit(1).count()
+        labels = step.select("id", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
     return labels.select("id", F.col("lbl").alias("cluster_id"))
