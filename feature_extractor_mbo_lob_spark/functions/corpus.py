@@ -1,0 +1,128 @@
+"""Corpus-level text statistics for training-data pipelines: vocabulary
+building (word frequency top-k), per-document TF-IDF top terms, URL/domain
+analysis, and deterministic hash sampling.
+
+Scale design:
+* vocabulary — explode words -> groupBy(word) with map-side partial
+  aggregation, so the shuffle is O(|vocab|), then a TakeOrdered top-k
+  (no global sort materialization);
+* TF-IDF — two keyed aggregations (term counts per doc, document frequency
+  per term) joined on the term; the df side is tiny (vocab-sized) and
+  broadcastable. Ranking uses integer-only ordering (tf desc, df asc,
+  word asc) so cross-engine float rounding can never reorder the top-k;
+  the float score is emitted as a value column only;
+* hash sampling — md5-bucket Bernoulli sampling: stateless, reproducible,
+  embarrassingly parallel, and exactly reproducible in any engine with md5.
+
+Reference analog: the export pipeline's symbol-frequency manifest
+(tools/export_dataset.rs) generalized to corpus statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..contract import DIVISION_GUARD_EPS
+from .repetition import normalized_words
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over the whole corpus."""
+    return (
+        df.select(F.explode(normalized_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Top-k corpus vocabulary by frequency; ties break lexicographically so
+    the result is fully deterministic."""
+    wc = word_counts(df, text_col)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return (
+        wc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("rank").cast("long").alias("rank"), "word", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k terms.
+
+    Ordering is (term count desc, document frequency asc, word asc) —
+    integers only, so any engine ranks identically; the smoothed TF-IDF
+    score ln(1 + N/df) * tf is emitted for consumers but never used to
+    rank (cross-engine float noise must not pick different rows).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
+    )
+    tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    # corpus size as a lazy 1-row broadcast, not a driver-side .count()
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    doc_len = tf.groupBy("id").agg(F.sum("cnt").alias("n_words"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(doc_len, "id")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            (F.col("cnt") / (F.col("n_words") + F.lit(DIVISION_GUARD_EPS)))
+            * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cnt").desc(), F.col("df").asc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "id",
+            F.col("rank").cast("long").alias("rank"),
+            "word",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("df").cast("long").alias("df"),
+            F.col("tfidf").cast("double").alias("tfidf"),
+        )
+    )
+
+
+URL_RE = r"https?://[a-zA-Z0-9.-]+(/[a-zA-Z0-9./_-]*)?"
+DOMAIN_RE = r"https?://([a-zA-Z0-9.-]+)"
+
+
+def url_count(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(URL_RE), F.lit(0))).cast("long")
+
+
+def domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(domain, n_docs, n_urls): how many docs reference each domain and how
+    often — the blocklist/allowlist primitive of web-corpus curation."""
+    c = F.col(text_col)
+    urls = df.select(
+        F.col("doc_id"),
+        F.explode(F.regexp_extract_all(c, F.lit(DOMAIN_RE), F.lit(1))).alias("domain"),
+    )
+    return urls.groupBy("domain").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+    )
+
+
+def hash_sample(
+    df: DataFrame, frac: float, id_col: str = "doc_id", buckets: int = 10_000
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose md5(id) bucket falls
+    below frac * buckets. Stateless and engine-reproducible (vs rand(seed),
+    whose stream is engine- and partitioning-specific)."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10).cast(
+        "long"
+    ) % buckets
+    return df.filter(bucket < int(frac * buckets))

@@ -135,3 +135,43 @@ def max_word_run(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         .groupBy("id")
         .agg(F.max("run_len").cast("long").alias("max_word_run"))
     )
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 80,
+    min_distinct_ratio: float = 0.35,
+    max_dup_2gram_frac: float = 0.10,
+    max_top_2gram_char_frac: float = 0.12,
+    max_run: int = 2,
+) -> DataFrame:
+    """Composite Gopher-rule document filter (Rae et al. 2021 Table A1
+    recast for this corpus): per-doc keep/drop decision with one flag per
+    violated rule. All comparisons are on IEEE-exact derived values
+    (integer ratios), so any engine reproduces the identical decision.
+
+    Defaults are calibrated to the synthetic corpus so both outcomes occur;
+    real deployments tune them per-corpus (they are plain parameters)."""
+    m = repetition_metrics(df, id_col, text_col)
+    r = max_word_run(df, id_col, text_col)
+    j = m.join(r, "id", "left")
+
+    def flag(c) -> F.Column:
+        return F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("int")
+
+    out = j.select(
+        "id",
+        flag((F.col("n_words") < min_words) | (F.col("n_words") > max_words)).alias("flag_words"),
+        flag(F.col("distinct_word_ratio") < min_distinct_ratio).alias("flag_distinct"),
+        flag(F.col("dup_2gram_frac") > max_dup_2gram_frac).alias("flag_dup"),
+        flag(F.col("top_2gram_char_frac") > max_top_2gram_char_frac).alias("flag_top"),
+        flag(F.coalesce(F.col("max_word_run"), F.lit(1)) > max_run).alias("flag_run"),
+    )
+    keep = (
+        (F.col("flag_words") + F.col("flag_distinct") + F.col("flag_dup")
+         + F.col("flag_top") + F.col("flag_run")) == 0
+    )
+    return out.withColumn("keep", flag(keep))

@@ -2735,3 +2735,189 @@ ORACLES.update({
     "pii_redaction": O_PII_REDACTION,
     "dedup_clusters": O_DEDUP_CLUSTERS,
 })
+
+
+# --- corpus statistics: vocabulary, TF-IDF, domains, hash sampling, quality filter ----
+
+from ..functions import corpus  # noqa: E402
+
+_WORDS_CTE = """
+w as (
+  select doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as words,
+    length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as n_chars
+  from documents
+)"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.vocab_topk(docs, k=100)
+
+
+O_VOCAB_TOPK = f"""
+with {_WORDS_CTE},
+wc as (select unnest(words) as word from w),
+c as (select word, count(*) as cnt from wc group by word),
+r as (select word, cnt, row_number() over (order by cnt desc, word asc) as rank from c)
+select cast(rank as bigint) as rank, word, cast(cnt as bigint) as cnt
+from r where rank <= 100
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.tf_idf_top_terms(docs, k=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "rank", "word", "cnt", "df", _r6(F.col("tfidf"), "tfidf")
+    )
+
+
+O_TFIDF_TOP_TERMS = f"""
+with {_WORDS_CTE},
+ww as (select doc_id, unnest(words) as word from w),
+tf as (select doc_id, word, count(*) as cnt from ww group by 1, 2),
+dfreq as (select word, count(*) as df from tf group by word),
+dl as (select doc_id, sum(cnt) as n_words from tf group by doc_id),
+n as (select cast(count(*) as double) as n_docs from documents),
+s as (
+  select doc_id, word, cnt, df,
+    (cnt / (n_words + {DIVISION_GUARD_EPS})) * ln(1.0 + n_docs / df) as tfidf,
+    row_number() over (partition by doc_id order by cnt desc, df asc, word asc) as rank
+  from tf join dfreq using (word) join dl using (doc_id) cross join n
+)
+select doc_id, cast(rank as bigint) as rank, word,
+  cast(cnt as bigint) as cnt, cast(df as bigint) as df, round(tfidf, 6) as tfidf
+from s where rank <= 3
+"""
+
+
+def q_domain_counts(spark, sf_dir):
+    """Domain frequency table over documents deterministically augmented
+    with one URL each (the synthetic corpus has none; the identical
+    augmentation in the oracle keeps the regex path honest)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+    )
+    d = docs.select("doc_id", aug.alias("text"))
+    out = corpus.domain_counts(d)
+    return out.select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+    )
+
+
+O_DOMAIN_COUNTS = f"""
+with a as (
+  select doc_id,
+    text || ' see https://site' || cast(doc_id % 7 as varchar)
+      || '.example.org/p/' || cast(doc_id as varchar) as text
+  from documents
+),
+u as (
+  select doc_id, unnest(regexp_extract_all(text, '{corpus.DOMAIN_RE}', 1)) as domain
+  from a
+)
+select domain, cast(count(distinct doc_id) as bigint) as n_docs,
+  cast(count(*) as bigint) as n_urls
+from u group by domain
+"""
+
+
+def q_hash_sample(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.hash_sample(docs, frac=0.25).select("doc_id", "n_chars")
+
+
+_NIBBLE = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+_HEX7 = " + ".join(
+    f"({_NIBBLE.format(i=i + 1)}) * {16 ** (6 - i)}" for i in range(7)
+)
+
+O_HASH_SAMPLE = f"""
+with h as (select doc_id, n_chars, md5(cast(doc_id as varchar)) as h from documents),
+v as (select doc_id, n_chars, ({_HEX7}) % 10000 as bucket from h)
+select doc_id, n_chars from v where bucket < 2500
+"""
+
+
+def q_gopher_filter(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = rep.gopher_filter(docs)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "flag_words", "flag_distinct", "flag_dup", "flag_top", "flag_run", "keep",
+    )
+
+
+O_GOPHER_FILTER = f"""
+with {_WORDS_CTE},
+grams as (
+  select doc_id,
+    unnest([array_to_string(words[i:i+1], ' ') for i in range(1, len(words))]) as gram
+  from w
+),
+gc as (select doc_id, gram, count(*) as cnt from grams group by 1, 2),
+agg as (
+  select doc_id, sum(cnt) as total_grams,
+    sum(case when cnt > 1 then cnt else 0 end) as dup_occ,
+    max(cnt * length(gram)) as top_chars
+  from gc group by doc_id
+),
+m as (
+  select w.doc_id, len(words) as n_words,
+    len(list_distinct(words)) / (len(words) + {DIVISION_GUARD_EPS}) as dwr,
+    coalesce(dup_occ, 0) / (coalesce(total_grams, 0) + {DIVISION_GUARD_EPS}) as dup_frac,
+    coalesce(top_chars, 0) / (n_chars + {DIVISION_GUARD_EPS}) as top_frac
+  from w left join agg using (doc_id)
+),
+pos as (select doc_id, unnest(range(1, len(words) + 1)) as pos, unnest(words) as word from w),
+chg as (
+  select doc_id, pos,
+    case when lag(word) over (partition by doc_id order by pos) is distinct from word
+         then 1 else 0 end as chg
+  from pos
+),
+grp as (
+  select doc_id, sum(chg) over (partition by doc_id order by pos
+    rows between unbounded preceding and current row) as g
+  from chg
+),
+mr as (
+  select doc_id, max(run_len) as max_word_run
+  from (select doc_id, g, count(*) as run_len from grp group by 1, 2) group by doc_id
+),
+f as (
+  select m.doc_id,
+    cast(case when n_words < 20 or n_words > 80 then 1 else 0 end as int) as flag_words,
+    cast(case when dwr < 0.35 then 1 else 0 end as int) as flag_distinct,
+    cast(case when dup_frac > 0.10 then 1 else 0 end as int) as flag_dup,
+    cast(case when top_frac > 0.12 then 1 else 0 end as int) as flag_top,
+    cast(case when coalesce(max_word_run, 1) > 2 then 1 else 0 end as int) as flag_run
+  from m left join mr using (doc_id)
+)
+select doc_id, flag_words, flag_distinct, flag_dup, flag_top, flag_run,
+  cast(case when flag_words + flag_distinct + flag_dup + flag_top + flag_run = 0
+       then 1 else 0 end as int) as keep
+from f
+"""
+
+
+QUERIES.update({
+    "vocab_topk": q_vocab_topk,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "domain_counts": q_domain_counts,
+    "hash_sample": q_hash_sample,
+    "gopher_filter": q_gopher_filter,
+})
+ORACLES.update({
+    "vocab_topk": O_VOCAB_TOPK,
+    "tfidf_top_terms": O_TFIDF_TOP_TERMS,
+    "domain_counts": O_DOMAIN_COUNTS,
+    "hash_sample": O_HASH_SAMPLE,
+    "gopher_filter": O_GOPHER_FILTER,
+})

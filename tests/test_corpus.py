@@ -1,0 +1,67 @@
+"""Corpus statistics: vocabulary, TF-IDF, domains, hash sampling, Gopher filter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_mbo_lob_spark.functions import corpus
+from feature_extractor_mbo_lob_spark.functions.repetition import gopher_filter
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "spark spark spark window join"),
+        (1, "spark window shuffle shuffle"),
+        (2, "join join unique"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_vocab_topk(docs):
+    out = corpus.vocab_topk(docs, k=3).collect()
+    assert [(r.rank, r.word, r.cnt) for r in out] == [
+        (1, "spark", 4), (2, "join", 3), (3, "shuffle", 2)
+    ]
+
+
+def test_tfidf_ranking(docs):
+    out = corpus.tf_idf_top_terms(docs, k=1).collect()
+    top = {r.id: r.word for r in out}
+    # doc 0: 'spark' dominates by count; doc 2: 'join' (cnt 2) beats 'unique' (cnt 1)
+    assert top[0] == "spark" and top[2] == "join"
+    scores = {r.id: r.tfidf for r in out}
+    assert all(s > 0 for s in scores.values())
+
+
+def test_domain_counts(spark):
+    rows = [
+        (0, "see https://a.example.org/x and https://b.example.net"),
+        (1, "again https://a.example.org/y only"),
+        (2, "no urls"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.domain: (r.n_docs, r.n_urls) for r in corpus.domain_counts(df).collect()}
+    assert out["a.example.org"] == (2, 2)
+    assert out["b.example.net"] == (1, 1)
+    assert len(out) == 2
+
+
+def test_hash_sample_deterministic(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r.doc_id for r in corpus.hash_sample(df, 0.25).collect())
+    b = sorted(r.doc_id for r in corpus.hash_sample(df.repartition(7), 0.25).collect())
+    assert a == b
+    assert 0.18 < len(a) / 2000 < 0.32  # Bernoulli at 25%
+
+
+def test_gopher_filter_flags(spark):
+    good = " ".join(f"w{i}" for i in range(30))          # 30 distinct words
+    spammy = "spam spam spam " * 10                       # runs + dup grams
+    short = "too short"
+    df = spark.createDataFrame(
+        [(0, good), (1, spammy.strip()), (2, short)], "doc_id long, text string"
+    )
+    out = {r.id: r for r in gopher_filter(df).collect()}
+    assert out[0].keep == 1 and out[0].flag_run == 0
+    assert out[1].keep == 0 and out[1].flag_run == 1 and out[1].flag_dup == 1
+    assert out[2].keep == 0 and out[2].flag_words == 1
