@@ -41,11 +41,21 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def word_shingles(col, k: int = 3) -> F.Column:
-    """Distinct k-word shingles of the normalized text (array<string>)."""
+    """Distinct k-word shingles of the normalized text (array<string>).
+
+    Built by folding zip_with over k-1 shifted slices of the words array:
+    every argument is evaluated once per row. (A transform(sequence, i ->
+    slice(words, i+1, k)) lambda re-evaluates the captured split/regex
+    PER ELEMENT — measured ~5x slower across the dedup family at sf0.1.)
+    Trailing zip positions pair with null, concat nulls them, filter drops
+    them, leaving exactly the n-k+1 shingles of the old form."""
     words = F.split(normalize_text(col), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    acc = words
+    for j in range(1, k):
+        shifted = F.slice(words, j + 1, F.greatest(n - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    sh = F.filter(acc, lambda g: g.isNotNull())
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", words))))
 
 
