@@ -150,15 +150,22 @@ def global_zscore_rowwise(df: DataFrame, vec_col: str = "features",
     """LOBench global z-score: mean/std across all features of ONE row's
     vector (reference: normalize_snapshot, normalization.rs:983-1021) —
     a pure array expression, no shuffle."""
-    n = F.size(vec_col).cast("double")
-    mean = F.aggregate(vec_col, F.lit(0.0), lambda acc, v: acc + v) / n
-    var = (
-        F.aggregate(vec_col, F.lit(0.0), lambda acc, v: acc + (v - mean) * (v - mean)) / n
-    )
-    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n = F.size(v).cast("double")
+    # capture-free formulation: HOF lambdas reference only their own
+    # arguments. Capturing `mean` inside the variance/transform lambdas
+    # re-evaluates the whole O(n) fold per element (HOFs are interpreted,
+    # no CSE across iterations) — O(n^3) per row at embedding widths. The
+    # sum/sum-of-squares form plus zip_with against an array_repeat'ed
+    # stats struct (argument position = evaluated once) is O(n).
+    s1 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    s2 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    mean = s1 / n
+    std = F.sqrt(F.greatest(s2 / n - mean * mean, F.lit(0.0)))
+    ms = F.array_repeat(F.struct(mean.alias("m"), std.alias("s")), F.size(v))
     return df.withColumn(
         out_col,
-        F.transform(vec_col, lambda v: (v - mean) / (std + F.lit(DIVISION_GUARD_EPS))),
+        F.zip_with(v, ms, lambda x, st: (x - st["m"]) / (st["s"] + F.lit(DIVISION_GUARD_EPS))),
     )
 
 

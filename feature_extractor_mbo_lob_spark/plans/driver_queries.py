@@ -2090,12 +2090,13 @@ t as (
 ),
 s as (
   select conv_id, turn_idx, v,
-    list_sum(v) / 3.0 as mean
+    list_sum(v) / 3.0 as mean,
+    list_sum(list_transform(v, x -> x * x)) / 3.0 as msq
   from t
 ),
 z as (
   select conv_id, turn_idx, v, mean,
-    sqrt(greatest(list_sum(list_transform(v, x -> (x - mean) * (x - mean))) / 3.0, 0.0)) as std
+    sqrt(greatest(msq - mean * mean, 0.0)) as std
   from s
 )
 select conv_id, turn_idx,
