@@ -126,3 +126,80 @@ def hash_sample(
         "long"
     ) % buckets
     return df.filter(bucket < int(frac * buckets))
+
+
+def pack_token_stream(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pretraining sample packing (GPT-style concat-and-chunk): documents
+    are concatenated in id order within deterministic shards and chunked
+    into fixed `budget`-token windows. Emits each document's stream offset
+    and the first/last window it lands in.
+
+    Scale design: the cumulative sum is per-shard (Window.partitionBy), so
+    there is no global sort — each shard is an independent training stream
+    and packs in parallel; shard count scales with the cluster."""
+    from .text import token_count_ws
+
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        token_count_ws(text_col).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    end = F.col("offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return t.select(
+        "id",
+        "shard",
+        "n_tokens",
+        F.col("offset").cast("long").alias("offset"),
+        F.floor(F.col("offset") / budget).cast("long").alias("bin_start"),
+        F.floor(end / budget).cast("long").alias("bin_end"),
+    )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.03,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its distinct k-word shingles that appear anywhere in the eval set.
+
+    Scale design: eval benchmarks are tiny next to a 100-TB train corpus,
+    so the eval shingle set is broadcast; the train side is one explode
+    plus one keyed aggregation — the corpus text itself is never shuffled.
+    """
+    from ..operators.dedup import shingle_table
+
+    ts = shingle_table(train, id_col, text_col, k)
+    es = shingle_table(eval_df, id_col, text_col, k).select("shingle").distinct()
+    tot = ts.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        ts.join(F.broadcast(es), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = tot.join(hit, "id", "left")
+    frac = F.coalesce(F.col("n_shared"), F.lit(0)).cast("double") / (
+        F.col("n_shingles").cast("double") + F.lit(DIVISION_GUARD_EPS)
+    )
+    return out.select(
+        "id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        frac.alias("overlap_frac"),
+        F.when(frac >= threshold, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("contaminated"),
+    )

@@ -2922,3 +2922,83 @@ ORACLES.update({
     "hash_sample": O_HASH_SAMPLE,
     "gopher_filter": O_GOPHER_FILTER,
 })
+
+
+# --- sample packing + benchmark decontamination --------------------------------------
+
+def q_pack_token_stream(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.pack_token_stream(docs, budget=512, n_shards=8)
+    return out.select(
+        F.col("id").alias("doc_id"), "shard", "n_tokens",
+        F.col("offset").alias("stream_offset"), "bin_start", "bin_end",
+    )
+
+
+O_PACK_TOKEN_STREAM = """
+with t as (
+  select doc_id, doc_id % 8 as shard,
+    cast(len(regexp_split_to_array(trim(text), '\\s+')) as bigint) as n_tokens
+  from documents
+),
+o as (
+  select doc_id, shard, n_tokens,
+    coalesce(sum(n_tokens) over (partition by shard order by doc_id
+      rows between unbounded preceding and 1 preceding), 0) as so
+  from t
+)
+select doc_id, cast(shard as bigint) as shard, n_tokens,
+  cast(so as bigint) as stream_offset,
+  cast(floor(so / 512) as bigint) as bin_start,
+  cast(floor((so + greatest(n_tokens, 1) - 1) / 512) as bigint) as bin_end
+from o
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Decontamination against a deterministic pseudo-eval set (every 50th
+    document) — at scale the eval side is a real benchmark table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    out = corpus.contamination_overlap(train, ev, k=3, threshold=0.03)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_shingles", "n_shared",
+        _r6(F.col("overlap_frac"), "overlap_frac"), "contaminated",
+    )
+
+
+_SHINGLE_EXPR = """unnest(case when len(words) >= 3 then
+      list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)])
+    else [array_to_string(words, ' ')] end)"""
+
+O_CONTAMINATION = f"""
+with ts as (
+  select doc_id, {_SHINGLE_EXPR} as shingle
+  from (select doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as words
+        from documents where doc_id % 50 != 0)
+),
+es as (
+  select distinct {_SHINGLE_EXPR} as shingle
+  from (select doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as words
+        from documents where doc_id % 50 = 0)
+),
+tot as (select doc_id, count(*) as n_shingles from ts group by doc_id),
+hit as (select ts.doc_id, count(*) as n_shared from ts join es using (shingle) group by ts.doc_id)
+select t.doc_id, cast(n_shingles as bigint) as n_shingles,
+  cast(coalesce(n_shared, 0) as bigint) as n_shared,
+  round(coalesce(n_shared, 0) / (n_shingles + {DIVISION_GUARD_EPS}), 6) as overlap_frac,
+  cast(case when coalesce(n_shared, 0) / (n_shingles + {DIVISION_GUARD_EPS}) >= 0.03
+       then 1 else 0 end as int) as contaminated
+from tot t left join hit using (doc_id)
+"""
+
+
+QUERIES.update({
+    "pack_token_stream": q_pack_token_stream,
+    "contamination": q_contamination,
+})
+ORACLES.update({
+    "pack_token_stream": O_PACK_TOKEN_STREAM,
+    "contamination": O_CONTAMINATION,
+})

@@ -65,3 +65,30 @@ def test_gopher_filter_flags(spark):
     assert out[0].keep == 1 and out[0].flag_run == 0
     assert out[1].keep == 0 and out[1].flag_run == 1 and out[1].flag_dup == 1
     assert out[2].keep == 0 and out[2].flag_words == 1
+
+
+def test_pack_token_stream(spark):
+    # one shard (n_shards=1), budget 10: docs of 4/5/3 tokens at offsets 0/4/9
+    rows = [(0, "a b c d"), (1, "e f g h i"), (2, "j k l")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in corpus.pack_token_stream(df, budget=10, n_shards=1).collect()}
+    assert (out[0].offset, out[0].bin_start, out[0].bin_end) == (0, 0, 0)
+    assert (out[1].offset, out[1].bin_start, out[1].bin_end) == (4, 0, 0)
+    # doc 2 starts at 9, ends at 11 -> straddles the bin boundary
+    assert (out[2].offset, out[2].bin_start, out[2].bin_end) == (9, 0, 1)
+
+
+def test_contamination_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),     # shares shingles with eval
+         (2, "totally different words only here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox runs")], "doc_id long, text string"
+    )
+    out = {r.id: r for r in corpus.contamination_overlap(train, ev, k=3, threshold=0.3).collect()}
+    # train 1 shingles: 4; shared: 'the quick brown', 'quick brown fox' -> 2/4
+    assert out[1].n_shared == 2 and out[1].overlap_frac == pytest.approx(0.5, abs=1e-6)
+    assert out[1].contaminated == 1
+    assert out[2].n_shared == 0 and out[2].contaminated == 0
