@@ -140,6 +140,46 @@ def main() -> None:
         forbid=("CartesianProduct",),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions import corpus, repetition as rep
+
+    sections.append(summarize(
+        "repetition metrics (Gopher signals)",
+        rep.repetition_metrics(docs),
+        "2-gram path is explode -> (id, gram) partial-agg -> per-doc agg: "
+        "two keyed exchanges, shuffle volume O(distinct grams). The "
+        "zip_with n-gram builder evaluates the words array once per row "
+        "(no per-element regex recapture).",
+        forbid=("CartesianProduct",),
+    ))
+
+    sections.append(summarize(
+        "sample packing (concat-and-chunk)",
+        corpus.pack_token_stream(docs, budget=128, n_shards=4),
+        "ONE exchange on the shard key + one per-shard window — no global "
+        "sort; shards pack independently so parallelism scales with the "
+        "cluster, not the corpus.",
+        forbid=("CartesianProduct",),
+    ))
+
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    sections.append(summarize(
+        "decontamination (broadcast eval shingles)",
+        corpus.contamination_overlap(docs.filter(F.col("doc_id") % 10 != 0), ev),
+        "The eval shingle set rides a broadcast; the train corpus is "
+        "exploded and aggregated by doc only — its text is never shuffled "
+        "whole.",
+        forbid=("CartesianProduct",),
+    ))
+
+    sections.append(summarize(
+        "TF-IDF top terms",
+        corpus.tf_idf_top_terms(docs, k=3),
+        "Document-frequency and corpus-size sides are broadcast; the only "
+        "big exchanges are the (id, word) partial aggregations and the "
+        "per-doc ranking window.",
+        forbid=("CartesianProduct",),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
