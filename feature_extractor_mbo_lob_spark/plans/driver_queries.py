@@ -3002,3 +3002,30 @@ ORACLES.update({
     "pack_token_stream": O_PACK_TOKEN_STREAM,
     "contamination": O_CONTAMINATION,
 })
+
+
+# --- backfill imputation (north-rule twin of ffill_impute) ----------------------------
+
+def q_bfill_impute(spark, sf_dir):
+    t = transcripts_from_events(spark, sf_dir)
+    sparse = t.withColumn(
+        "purchase_value",
+        F.when(F.col("text").startswith("purchase"), F.col("value")),
+    )
+    out = asof.bfill(sparse, CFG, ["purchase_value"])
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6(F.col("purchase_value_bfill"), "purchase_value_bfill"),
+    )
+
+
+O_BFILL_IMPUTE = f"""{_W}
+select conv_id, turn_idx,
+  round(first_value(case when text like 'purchase%' then value end ignore nulls)
+        over ({_OWIN} rows between current row and unbounded following), 6)
+    as purchase_value_bfill
+from transcripts
+"""
+
+QUERIES["bfill_impute"] = q_bfill_impute
+ORACLES["bfill_impute"] = O_BFILL_IMPUTE
