@@ -3029,3 +3029,58 @@ from transcripts
 
 QUERIES["bfill_impute"] = q_bfill_impute
 ORACLES["bfill_impute"] = O_BFILL_IMPUTE
+
+
+# --- end-to-end corpus curation: filter -> dedup -> pack ------------------------------
+
+def q_curation_pipeline(spark, sf_dir):
+    """The LLM-data capstone: Gopher-filter the corpus, drop exact
+    duplicates (keep the smallest doc_id per normalized-text hash), pack
+    the survivors into 512-token training streams, and report per-shard
+    corpus stats. Every stage is a first-class operator elsewhere in the
+    registry; this query proves they compose."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flags = rep.gopher_filter(docs).filter(F.col("keep") == 1)
+    kept = docs.join(flags.select(F.col("id").alias("doc_id")), "doc_id")
+    reps = (
+        kept.groupBy(F.md5(dedup.normalize_text("text")).alias("_k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = kept.join(reps, "doc_id")
+    packed = corpus.pack_token_stream(deduped, budget=512, n_shards=4)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max("bin_end") + 1).cast("long").alias("n_bins"),
+    )
+
+
+O_CURATION_PIPELINE = f"""
+with g as ({O_GOPHER_FILTER}),
+kept as (select d.* from documents d join g using (doc_id) where g.keep = 1),
+reps as (
+  select min(doc_id) as doc_id from kept
+  group by md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+),
+ded as (select kept.* from kept join reps using (doc_id)),
+t as (
+  select doc_id, doc_id % 4 as shard,
+    cast(len(regexp_split_to_array(trim(text), '\\s+')) as bigint) as n_tokens
+  from ded
+),
+o as (
+  select doc_id, shard, n_tokens,
+    coalesce(sum(n_tokens) over (partition by shard order by doc_id
+      rows between unbounded preceding and 1 preceding), 0) as so
+  from t
+)
+select cast(shard as bigint) as shard,
+  cast(count(*) as bigint) as n_docs,
+  cast(sum(n_tokens) as bigint) as total_tokens,
+  cast(max(floor((so + greatest(n_tokens, 1) - 1) / 512)) + 1 as bigint) as n_bins
+from o group by shard
+"""
+
+QUERIES["curation_pipeline"] = q_curation_pipeline
+ORACLES["curation_pipeline"] = O_CURATION_PIPELINE
