@@ -385,3 +385,39 @@ def ivf_near_dup(
         return pd.concat(frames, ignore_index=True)
 
     return assigned.groupBy("centroid_id").applyInPandas(per_cluster, schema=schema)
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd k-means over an embedding column.
+
+    Deterministic init (first-k-by-id, same as the IVF stand-in
+    centroids), then `iters` rounds of assign -> recompute. The centroid
+    update is posexplode(vec) -> per-(cluster, dim) avg -> re-assemble via
+    array_sort(collect_list(struct(i, m))) — two keyed partial-aggregated
+    shuffles, never a driver-side collect of vectors. Assignment broadcasts
+    the K-row centroid table (ivf_assign). localCheckpoint per round keeps
+    the plan bounded, exactly like connected_components.
+
+    Returns (assignments DataFrame (id, centroid_id), centroids DataFrame
+    (centroid_id, _cv)). The fixed deterministic iteration count makes the
+    whole computation expressible in SQL for the oracle gate.
+    """
+    cents = deterministic_centroids(df, id_col, vec_col, k)
+    for _ in range(iters):
+        asg = ivf_assign(df, cents, id_col, vec_col)
+        dims = asg.select("centroid_id", F.posexplode(vec_col).alias("i", "v"))
+        means = dims.groupBy("centroid_id", "i").agg(F.avg("v").alias("m"))
+        cents = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_s"))
+            .select("centroid_id", F.transform("_s", lambda s: s["m"]).alias("_cv"))
+            .localCheckpoint(eager=True)
+        )
+    out = ivf_assign(df, cents, id_col, vec_col).select(id_col, "centroid_id")
+    return out, cents

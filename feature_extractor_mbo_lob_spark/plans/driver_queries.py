@@ -3084,3 +3084,62 @@ from o group by shard
 
 QUERIES["curation_pipeline"] = q_curation_pipeline
 ORACLES["curation_pipeline"] = O_CURATION_PIPELINE
+
+
+# --- distributed Lloyd k-means over embeddings (iterative, fixed rounds) --------------
+
+def q_kmeans_clusters(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out, _cents = similarity.kmeans_lloyd(emb, k=4, iters=2)
+    return out.select("vec_id", F.col("centroid_id").cast("int").alias("cluster"))
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    parts = [f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+c0 as (
+  select row_number() over (order by vec_id) as centroid_id, v as cv
+  from (select vec_id, v from e order by vec_id limit {k})
+)"""]
+
+    def assign(idx: int, cent: str) -> str:
+        return f""",
+sc{idx} as (
+  select e.vec_id, e.v, c.centroid_id,
+    list_dot_product(e.v, c.cv)
+      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))
+         + {DIVISION_GUARD_EPS}) as cc
+  from e cross join {cent} c
+),
+asg{idx} as (
+  select vec_id, v, centroid_id from (
+    select *, row_number() over (partition by vec_id order by cc desc, centroid_id) as r
+    from sc{idx}
+  ) where r = 1
+)"""
+
+    def update(idx: int) -> str:
+        return f""",
+m{idx} as (
+  select centroid_id, unnest(v) as val, unnest(range(1, len(v) + 1)) as i from asg{idx}
+),
+mv{idx} as (select centroid_id, i, avg(val) as m from m{idx} group by 1, 2),
+c{idx} as (select centroid_id, array_agg(m order by i) as cv from mv{idx} group by centroid_id)"""
+
+    for it in range(1, iters + 1):
+        parts.append(assign(it, f"c{it - 1}"))
+        parts.append(update(it))
+    final = iters + 1
+    parts.append(assign(final, f"c{iters}"))
+    parts.append(f"""
+select vec_id, cast(centroid_id as int) as cluster from asg{final}
+""")
+    return "".join(parts)
+
+
+O_KMEANS_CLUSTERS = _kmeans_oracle()
+
+QUERIES["kmeans_clusters"] = q_kmeans_clusters
+ORACLES["kmeans_clusters"] = O_KMEANS_CLUSTERS

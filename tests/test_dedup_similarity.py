@@ -132,3 +132,23 @@ def test_hyperplane_near_dup(spark, vecs):
     # deterministic: same result on a repartitioned input
     again = sim.hyperplane_near_dup(vecs.repartition(5), threshold=0.9, n_planes=4, dim=3)
     assert {(r.id_a, r.id_b) for r in again.collect()} == pairs
+
+
+def test_kmeans_lloyd_partition_invariant(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    # 3 well-separated blobs in 8-d
+    centers = np.eye(3, 8) * 10.0
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append((i, (centers[c] + rng.randn(8) * 0.1).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a, _ = similarity.kmeans_lloyd(df, k=3, iters=2)
+    b, _ = similarity.kmeans_lloyd(df.repartition(7), k=3, iters=2)
+    am = {r.vec_id: r.centroid_id for r in a.collect()}
+    bm = {r.vec_id: r.centroid_id for r in b.collect()}
+    assert am == bm                      # deterministic under repartition
+    # blobs must be separated: same true blob -> same cluster
+    for i in range(90):
+        assert am[i] == am[i % 3], i
