@@ -3143,3 +3143,55 @@ O_KMEANS_CLUSTERS = _kmeans_oracle()
 
 QUERIES["kmeans_clusters"] = q_kmeans_clusters
 ORACLES["kmeans_clusters"] = O_KMEANS_CLUSTERS
+
+
+# --- streaming exact dedup (stateful streaming agg, availableNow replay) --------------
+
+def q_streaming_dedup(spark, sf_dir):
+    """REAL streaming execution of the LLM-data exact-dedup operator:
+    documents replayed through readStream -> stateful streaming aggregation
+    keyed on the normalized-text hash -> availableNow -> memory sink in
+    complete mode. The final state equals the batch answer, so the batch
+    SQL oracle matches exactly — streaming semantics for the dedup family,
+    not just the transcript operators."""
+    import hashlib
+    import uuid
+    from pathlib import Path as _P
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/stream_dedup_src_{tag}"
+    if not _P(path).exists():
+        docs.coalesce(1).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(docs.schema).parquet(path)
+    agg = src.groupBy(F.md5(dedup.normalize_text("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    qname = "qsd_" + uuid.uuid4().hex[:12]
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"/tmp/stream_dedup_ckpt_{uuid.uuid4().hex[:12]}")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return spark.table(qname).select("text_hash", "keep_doc_id", "n_copies")
+
+
+O_STREAMING_DEDUP = """
+select md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as text_hash,
+  min(doc_id) as keep_doc_id,
+  cast(count(*) as bigint) as n_copies
+from documents group by 1
+"""
+
+QUERIES["streaming_dedup"] = q_streaming_dedup
+ORACLES["streaming_dedup"] = O_STREAMING_DEDUP
