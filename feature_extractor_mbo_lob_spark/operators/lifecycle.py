@@ -205,3 +205,80 @@ def with_active_episode_count(df: DataFrame, cfg: PipelineConfig,
         ((F.col("role") == "tool") & F.col("tool").isNotNull()).cast("double")
     ).over(cum)
     return df.withColumn(out, F.greatest(starts - ends, F.lit(0.0)).cast("double"))
+
+
+def with_open_tool_queue(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Queue/depth feature analogs (reference features 68-73,
+    src/features/mbo_features/queue_features.rs): per-turn statistics over
+    the multiset of currently-open tool episodes —
+
+    * ``n_active_tools``: distinct tools with >=1 open episode (depth
+      levels occupied / depth_ticks analog);
+    * ``total_open``: open episodes across tools (queue size);
+    * ``open_tool_hhi``: concentration of open episodes across tools
+      (level_concentration analog);
+    * ``episodes_per_active_tool``: total_open / n_active_tools
+      (orders_per_level analog).
+
+    O(events) construction with NO dense turn x tool grid: per (conv,
+    tool) the clamped-at-zero open count obeys Skorokhod reflection —
+    clamped_before = raw_cumsum_before - min(0, running_min_before of
+    raw_cumsum) — so the pre-event open count `ob` is pure window algebra.
+    Each event then contributes exact integer deltas (an invoke moves the
+    per-tool count o -> o+1, changing sum-of-squares by 2o+1; an effective
+    result moves o -> o-1, changing it by -2o+1; results hitting an empty
+    queue are ignored, exactly like cancels for unknown orders in the
+    reference tracker). Cumulative sums of the deltas over the
+    conversation window yield the per-turn aggregates. Two shuffles total:
+    (conv, tool), then conv.
+    """
+    key, order = cfg.key_col, list(cfg.order_cols)
+    is_inv = (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    is_res = (F.col("role") == "tool") & F.col("tool").isNotNull()
+    sign = F.when(is_inv, 1).when(is_res, -1).otherwise(0)
+
+    wt = Window.partitionBy(key, "tool").orderBy(*order)
+    wt_cum = wt.rowsBetween(Window.unboundedPreceding, 0)
+    wt_bef = wt.rowsBetween(Window.unboundedPreceding, -1)
+
+    t = df.withColumn("_sgn", sign)
+    t = t.withColumn("_s", F.sum("_sgn").over(wt_cum))
+    t = t.withColumn(
+        "_m", F.coalesce(F.min(F.least(F.col("_s"), F.lit(0))).over(wt_bef), F.lit(0))
+    )
+    ob = (F.col("_s") - F.col("_sgn")) - F.col("_m")
+    t = t.withColumn("_ob", ob)
+    eff_res = (F.col("_sgn") == -1) & (F.col("_ob") > 0)
+    t = t.select(
+        "*",
+        F.when(F.col("_sgn") == 1, 1).when(eff_res, -1).otherwise(0).alias("_d_open"),
+        F.when(F.col("_sgn") == 1, 2 * F.col("_ob") + 1)
+        .when(eff_res, -2 * F.col("_ob") + 1)
+        .otherwise(0)
+        .alias("_d_ssq"),
+        F.when((F.col("_sgn") == 1) & (F.col("_ob") == 0), 1)
+        .when(eff_res & (F.col("_ob") == 1), -1)
+        .otherwise(0)
+        .alias("_d_nt"),
+    )
+    wc = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    t = t.select(
+        key,
+        "turn_idx",
+        F.sum("_d_open").over(wc).cast("long").alias("total_open"),
+        F.sum("_d_nt").over(wc).cast("long").alias("n_active_tools"),
+        F.sum("_d_ssq").over(wc).cast("long").alias("_ssq"),
+    )
+    hhi = F.when(
+        F.col("total_open") > 0,
+        F.col("_ssq").cast("double") / (F.col("total_open") * F.col("total_open")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    per_tool = F.when(
+        F.col("n_active_tools") > 0,
+        F.col("total_open").cast("double") / F.col("n_active_tools").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return t.select(
+        key, "turn_idx", "n_active_tools", "total_open",
+        hhi.alias("open_tool_hhi"),
+        per_tool.alias("episodes_per_active_tool"),
+    )

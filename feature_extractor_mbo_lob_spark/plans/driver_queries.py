@@ -3195,3 +3195,58 @@ from documents group by 1
 
 QUERIES["streaming_dedup"] = q_streaming_dedup
 ORACLES["streaming_dedup"] = O_STREAMING_DEDUP
+
+
+# --- queue/depth analogs: open-episode statistics across tools (features 68-73) -------
+
+def q_open_tool_queue(spark, sf_dir):
+    out = lifecycle.with_open_tool_queue(_t(spark, sf_dir), CFG)
+    return out.select(
+        "conv_id", "turn_idx", "n_active_tools", "total_open",
+        _r6(F.col("open_tool_hhi"), "open_tool_hhi"),
+        _r6(F.col("episodes_per_active_tool"), "episodes_per_active_tool"),
+    )
+
+
+O_OPEN_TOOL_QUEUE = f"""{_W},
+t1 as (
+  select conv_id, turn_idx, ts, tool,
+    case when role = 'assistant' and tool is not null then 1
+         when role = 'tool' and tool is not null then -1 else 0 end as sgn
+  from transcripts
+),
+t2 as (
+  select *, sum(sgn) over (partition by conv_id, tool order by turn_idx, ts
+    rows between unbounded preceding and current row) as s
+  from t1
+),
+t3 as (
+  select *, coalesce(min(least(s, 0)) over (partition by conv_id, tool
+    order by turn_idx, ts rows between unbounded preceding and 1 preceding), 0) as m
+  from t2
+),
+t4 as (select conv_id, turn_idx, ts, sgn, (s - sgn) - m as ob from t3),
+t5 as (
+  select conv_id, turn_idx, ts,
+    case when sgn = 1 then 1 when sgn = -1 and ob > 0 then -1 else 0 end as d_open,
+    case when sgn = 1 then 2 * ob + 1 when sgn = -1 and ob > 0 then -2 * ob + 1 else 0 end as d_ssq,
+    case when sgn = 1 and ob = 0 then 1 when sgn = -1 and ob = 1 then -1 else 0 end as d_nt
+  from t4
+),
+t6 as (
+  select conv_id, turn_idx,
+    cast(sum(d_open) over cum as bigint) as total_open,
+    cast(sum(d_nt) over cum as bigint) as n_active_tools,
+    cast(sum(d_ssq) over cum as bigint) as ssq
+  from t5 window cum as ({_CUM})
+)
+select conv_id, turn_idx, n_active_tools, total_open,
+  round(case when total_open > 0 then ssq / (total_open * total_open) else 0.0 end, 6)
+    as open_tool_hhi,
+  round(case when n_active_tools > 0 then total_open / n_active_tools else 0.0 end, 6)
+    as episodes_per_active_tool
+from t6
+"""
+
+QUERIES["open_tool_queue"] = q_open_tool_queue
+ORACLES["open_tool_queue"] = O_OPEN_TOOL_QUEUE

@@ -272,3 +272,36 @@ def test_walk_the_book(spark):
     r3_ = out[3]
     assert r3_.wtb_best_price == 11.0  # first VALID level
     assert r3_.wtb_filled_qty == 2.0 and r3_.wtb_levels_consumed == 1
+
+
+def test_open_tool_queue_matches_simulation(spark, transcripts, cfg):
+    """The reflection-based per-turn open-tool stats must equal a naive
+    stateful simulation (clamped per-tool counters) over every turn."""
+    from collections import defaultdict
+
+    from feature_extractor_mbo_lob_spark.operators import lifecycle
+
+    got = {
+        (r.conv_id, r.turn_idx): r
+        for r in lifecycle.with_open_tool_queue(transcripts, cfg).collect()
+    }
+    rows = sorted(
+        transcripts.select("conv_id", "turn_idx", "ts", "role", "tool").collect(),
+        key=lambda r: (r.conv_id, r.turn_idx, r.ts),
+    )
+    state = defaultdict(lambda: defaultdict(int))  # conv -> tool -> open
+    for r in rows:
+        open_c = state[r.conv_id]
+        if r.tool is not None:
+            if r.role == "assistant":
+                open_c[r.tool] += 1
+            elif r.role == "tool" and open_c[r.tool] > 0:
+                open_c[r.tool] -= 1
+        total = sum(open_c.values())
+        ntools = sum(1 for v in open_c.values() if v > 0)
+        ssq = sum(v * v for v in open_c.values())
+        g = got[(r.conv_id, r.turn_idx)]
+        assert g.total_open == total, (r.conv_id, r.turn_idx)
+        assert g.n_active_tools == ntools, (r.conv_id, r.turn_idx)
+        want_hhi = ssq / (total * total) if total > 0 else 0.0
+        assert abs(g.open_tool_hhi - want_hhi) < 1e-9, (r.conv_id, r.turn_idx)
