@@ -16,7 +16,7 @@ the baseline is a pure function of the first K samples).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
@@ -156,4 +156,45 @@ def tool_usage_hhi(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .alias("tool_hhi"),
         F.count(F.lit(1)).alias("n_tools"),
         F.sum("n").alias("n_tool_calls"),
+    )
+
+
+def with_institutional_rates(
+    df: DataFrame, cfg: PipelineConfig, window: int = 32, large_chars: int = 16
+) -> DataFrame:
+    """Institutional-detection analogs of reference features 74-75
+    (src/features/mbo_features/institutional_features.rs:30-52):
+
+    * ``large_turn_freq_per_s`` — large turns (char_len >= large_chars) per
+      second over the rolling frame (large_order_frequency analog);
+    * ``large_turn_imbalance`` — (user - assistant) large-turn char volume
+      over their sum within the frame (large_order_imbalance analog, with
+      user/assistant standing in for bid/ask).
+
+    One rolling frame over the canonical window spec — rides the same
+    single shuffle+sort as every other rolling feature.
+    """
+    from . import ordering
+
+    key, order = cfg.key_col, list(cfg.order_cols)
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(-(window - 1), 0)
+    big = F.length("text") >= large_chars
+    n_big = F.sum(big.cast("int")).over(w)
+    us = ordering.epoch_us(cfg.ts_col)
+    dur_s = (F.max(us).over(w) - F.min(us).over(w)).cast("double") / 1e6
+    user_vol = F.sum(
+        F.when(big & (F.col("role") == "user"), F.length("text")).otherwise(0)
+    ).over(w)
+    asst_vol = F.sum(
+        F.when(big & (F.col("role") == "assistant"), F.length("text")).otherwise(0)
+    ).over(w)
+    freq = F.when(dur_s > 0, n_big.cast("double") / dur_s).otherwise(F.lit(0.0))
+    tot = user_vol + asst_vol
+    imb = F.when(
+        tot > 0, (user_vol - asst_vol).cast("double") / tot.cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        key, "turn_idx",
+        freq.alias("large_turn_freq_per_s"),
+        imb.alias("large_turn_imbalance"),
     )

@@ -3250,3 +3250,41 @@ from t6
 
 QUERIES["open_tool_queue"] = q_open_tool_queue
 ORACLES["open_tool_queue"] = O_OPEN_TOOL_QUEUE
+
+
+# --- institutional rates (features 74-75 analogs) --------------------------------------
+
+def q_institutional_rates(spark, sf_dir):
+    from ..operators import volatility as vol_mod
+
+    out = vol_mod.with_institutional_rates(_t(spark, sf_dir), CFG)
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6(F.col("large_turn_freq_per_s"), "large_turn_freq_per_s"),
+        _r6(F.col("large_turn_imbalance"), "large_turn_imbalance"),
+    )
+
+
+O_INSTITUTIONAL_RATES = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts, role,
+    length(text) as n, length(text) >= 16 as big, epoch_us(ts) as us
+  from transcripts
+),
+f as (
+  select conv_id, turn_idx,
+    sum(case when big then 1 else 0 end) over w32 as n_big,
+    (max(us) over w32 - min(us) over w32) / 1e6 as dur_s,
+    sum(case when big and role = 'user' then n else 0 end) over w32 as uvol,
+    sum(case when big and role = 'assistant' then n else 0 end) over w32 as avol
+  from t window w32 as ({_OWIN} rows between 31 preceding and current row)
+)
+select conv_id, turn_idx,
+  round(case when dur_s > 0 then n_big / dur_s else 0.0 end, 6) as large_turn_freq_per_s,
+  round(case when uvol + avol > 0 then (uvol - avol) / (uvol + avol) else 0.0 end, 6)
+    as large_turn_imbalance
+from f
+"""
+
+QUERIES["institutional_rates"] = q_institutional_rates
+ORACLES["institutional_rates"] = O_INSTITUTIONAL_RATES
