@@ -3288,3 +3288,110 @@ from f
 
 QUERIES["institutional_rates"] = q_institutional_rates
 ORACLES["institutional_rates"] = O_INSTITUTIONAL_RATES
+
+
+# --- near-dedup corpus materialization + stratified sampling + source mix -------------
+
+def q_dedup_apply(spark, sf_dir):
+    """Materialize the near-deduplicated corpus decision: a document is kept
+    iff it is not in any near-dup cluster, or it is its cluster's
+    representative (smallest doc_id). Composes minhash LSH pairs ->
+    connected components -> broadcast join of the (tiny) cluster map back
+    onto the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+    cc = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    out = docs.join(F.broadcast(cc), "doc_id", "left")
+    kept = F.when(
+        F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")), 1
+    ).otherwise(0)
+    return out.select("doc_id", kept.cast("int").alias("kept"))
+
+
+def _dedup_apply_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    cc = _dedup_clusters_oracle(num_hashes, bands)
+    return f"""
+with cc as ({cc})
+select d.doc_id,
+  cast(case when cc.cluster_id is null or d.doc_id = cc.cluster_id
+       then 1 else 0 end as int) as kept
+from documents d left join cc on d.doc_id = cc.doc_id
+"""
+
+
+O_DEDUP_APPLY = _dedup_apply_oracle()
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language stratified deterministic sampling: high-resource
+    languages downsampled harder (the data-mixing primitive). Same md5
+    bucket as hash_sample with a per-stratum threshold."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+    ).cast("long") % 10000
+    thresh = (
+        F.when(F.col("lang") == "en", F.lit(2000))
+        .when(F.col("lang") == "zh", F.lit(5000))
+        .otherwise(F.lit(8000))
+    )
+    return (
+        docs.withColumn("_b", bucket)
+        .filter(F.col("_b") < thresh)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+
+
+O_STRATIFIED_SAMPLE = f"""
+with h as (select doc_id, lang, md5(cast(doc_id as varchar)) as h from documents),
+v as (select doc_id, lang, ({_HEX7}) % 10000 as bucket from h)
+select lang, cast(count(*) as bigint) as n_sampled
+from v
+where bucket < case when lang = 'en' then 2000 when lang = 'zh' then 5000 else 8000 end
+group by lang
+"""
+
+
+def q_source_mix(spark, sf_dir):
+    """Corpus composition report: documents and tokens per (source, lang)
+    with each cell's fraction of total tokens — the data-mixing dashboard."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(tx.token_count_ws("text")).cast("long").alias("n_tokens"),
+    )
+    total = cell.agg(F.sum("n_tokens").cast("double").alias("_tot"))
+    return (
+        cell.crossJoin(F.broadcast(total))
+        .select(
+            "source", "lang", "n_docs", "n_tokens",
+            _r6(F.col("n_tokens").cast("double") / (F.col("_tot") + F.lit(DIVISION_GUARD_EPS)),
+                "token_frac"),
+        )
+    )
+
+
+O_SOURCE_MIX = f"""
+with cell as (
+  select source, lang, cast(count(*) as bigint) as n_docs,
+    cast(sum(len(regexp_split_to_array(trim(text), '\\s+'))) as bigint) as n_tokens
+  from documents group by 1, 2
+),
+tot as (select cast(sum(n_tokens) as double) as t from cell)
+select source, lang, n_docs, n_tokens,
+  round(n_tokens / (t + {DIVISION_GUARD_EPS}), 6) as token_frac
+from cell cross join tot
+"""
+
+
+QUERIES.update({
+    "dedup_apply": q_dedup_apply,
+    "stratified_sample": q_stratified_sample,
+    "source_mix": q_source_mix,
+})
+ORACLES.update({
+    "dedup_apply": O_DEDUP_APPLY,
+    "stratified_sample": O_STRATIFIED_SAMPLE,
+    "source_mix": O_SOURCE_MIX,
+})

@@ -92,3 +92,19 @@ def test_contamination_overlap(spark):
     assert out[1].n_shared == 2 and out[1].overlap_frac == pytest.approx(0.5, abs=1e-6)
     assert out[1].contaminated == 1
     assert out[2].n_shared == 0 and out[2].contaminated == 0
+
+
+def test_stratified_and_source_mix_shapes(spark, docs):
+    # stratified sampling + source mix are registry-level compositions; the
+    # engine-level pieces they use (hash_sample bucket math, token counts)
+    # are covered elsewhere. Here: determinism + mass conservation.
+    from feature_extractor_mbo_lob_spark.functions.text import token_count_ws
+    from pyspark.sql import functions as F
+
+    d = docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s0"))
+    cell = d.groupBy("source", "lang").agg(
+        F.sum(token_count_ws("text")).alias("n_tokens")
+    )
+    total = cell.agg(F.sum("n_tokens")).first()[0]
+    per_doc = d.select(F.sum(token_count_ws("text"))).first()[0]
+    assert total == per_doc  # no tokens lost in the grouping
