@@ -3395,3 +3395,46 @@ ORACLES.update({
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "source_mix": O_SOURCE_MIX,
 })
+
+
+# --- semantic dedup clusters: CC over embedding near-dup pairs -------------------------
+
+def q_semantic_dedup_clusters(spark, sf_dir):
+    """SemDeDup-style semantic dedup: IVF-bucketed embedding near-dup pairs
+    -> connected components -> (vec_id, cluster representative)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = similarity.ivf_near_dup(emb, threshold=0.35, n_centroids=8)
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("vec_id"), F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
+O_SEMANTIC_DEDUP_CLUSTERS = f"""{_IVF_CTES.replace("with ", "with recursive ", 1)},
+pairs as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))
+         + {DIVISION_GUARD_EPS}) as cos
+  from asg a join asg b using (centroid_id)
+  where a.vec_id < b.vec_id
+),
+edges as (select id_a, id_b from pairs where cos >= 0.35),
+sym as (
+  select id_a as src, id_b as dst from edges
+  union
+  select id_b as src, id_a as dst from edges
+),
+reach(src, dst) as (
+  select src, dst from sym
+  union
+  select r.src, s.dst from reach r join sym s on r.dst = s.src
+)
+select src as vec_id, cast(least(src, min(dst)) as bigint) as cluster_id
+from reach group by src
+"""
+
+QUERIES["semantic_dedup_clusters"] = q_semantic_dedup_clusters
+ORACLES["semantic_dedup_clusters"] = O_SEMANTIC_DEDUP_CLUSTERS
