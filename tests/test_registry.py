@@ -1,0 +1,33 @@
+"""Registry integrity: every query has an oracle twin and every oracle is
+valid DuckDB SQL against the driver's table set (caught at test time, not
+driver time). JVM-free — pure DuckDB."""
+
+import duckdb
+import pytest
+
+from feature_extractor_mbo_lob_spark.plans.driver_queries import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def test_every_query_has_oracle():
+    assert set(QUERIES) == set(ORACLES), (
+        set(QUERIES) ^ set(ORACLES)
+    )
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"create view {t} as select * from '{SF}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_sql_is_valid_duckdb(con, name):
+    # EXPLAIN parses, binds and plans the query without executing it
+    con.sql("explain " + ORACLES[name])
