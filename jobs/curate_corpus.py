@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Corpus-curation entrypoint — the LLM-training-data spark-submit path.
+
+    spark-submit --master <cluster> --py-files dist/engine.zip \
+        jobs/curate_corpus.py \
+        --input /path/documents --output /path/curated \
+        --near-dup --sample-frac 0.5 --budget 2048 --shards 256
+
+Local smoke:
+
+    python jobs/curate_corpus.py --input /root/testdata/sf0.001 \
+        --output /tmp/curated --near-dup
+
+Funnel: Gopher quality filter -> exact dedup (hash representatives) ->
+optional MinHash-LSH near-dup clustering (keep cluster representative) ->
+optional deterministic hash sampling -> token-stream packing -> partitioned
+parquet by shard. Emits one JSON line with per-stage survivor counts so the
+yield of every stage is observable (the curation dashboard row).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="dir containing documents.parquet")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--near-dup", action="store_true",
+                    help="also drop MinHash-LSH near-duplicates (keep cluster rep)")
+    ap.add_argument("--sample-frac", type=float, default=None)
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark import get_spark
+    from feature_extractor_mbo_lob_spark.batch import JobHandle
+    from feature_extractor_mbo_lob_spark.functions import corpus
+    from feature_extractor_mbo_lob_spark.functions.repetition import gopher_filter
+    from feature_extractor_mbo_lob_spark.operators import dedup
+
+    spark = get_spark(app_name="fex-curate", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    handle = JobHandle(spark, "fex-curate", "corpus curation run")
+    handle.activate()
+
+    t0 = time.time()
+    path = args.input
+    if not path.endswith(".parquet"):
+        path = f"{path}/documents.parquet"
+    docs = spark.read.parquet(path)
+    funnel = {"input": docs.count()}
+
+    kept_ids = gopher_filter(docs).filter(F.col("keep") == 1).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = docs.join(kept_ids, "doc_id")
+    funnel["after_quality_filter"] = docs.count()
+
+    reps = (
+        docs.groupBy(F.md5(dedup.normalize_text("text")).alias("_k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(reps, "doc_id")
+    funnel["after_exact_dedup"] = docs.count()
+
+    if args.near_dup:
+        pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+        cc = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
+        docs = (
+            docs.join(F.broadcast(cc), "doc_id", "left")
+            .filter(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
+            .drop("cluster_id")
+        )
+        funnel["after_near_dedup"] = docs.count()
+
+    if args.sample_frac is not None:
+        docs = corpus.hash_sample(docs, args.sample_frac)
+        funnel["after_sampling"] = docs.count()
+
+    packed = corpus.pack_token_stream(docs, budget=args.budget, n_shards=args.shards)
+    out = docs.join(
+        packed.select(F.col("id").alias("doc_id"), "shard", "offset", "bin_start"),
+        "doc_id",
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
+    funnel["packed_tokens"] = packed.agg(F.sum("n_tokens")).first()[0]
+
+    wall = time.time() - t0
+    print(json.dumps({**funnel, "wall_sec": round(wall, 2), "output": args.output}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
