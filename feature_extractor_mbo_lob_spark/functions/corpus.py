@@ -38,13 +38,19 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
     """Top-k corpus vocabulary by frequency; ties break lexicographically so
-    the result is fully deterministic."""
+    the result is fully deterministic.
+
+    orderBy().limit(k) FIRST — Spark executes that as a distributed
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows);
+    the rank window then runs over only k rows. A bare global row_number
+    window would drag the whole vocabulary through one task at 100 TB."""
     wc = word_counts(df, text_col)
+    top = wc.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(k)
     w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
-    return (
-        wc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("rank").cast("long").alias("rank"), "word", F.col("cnt").cast("long").alias("cnt"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "word",
+        F.col("cnt").cast("long").alias("cnt"),
     )
 
 

@@ -3301,7 +3301,9 @@ def q_dedup_apply(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
     cc = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
-    out = docs.join(F.broadcast(cc), "doc_id", "left")
+    # no broadcast hint: the cluster map is only small when the dup rate is
+    # low — let AQE pick broadcast vs shuffle from the measured size
+    out = docs.join(cc, "doc_id", "left")
     kept = F.when(
         F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")), 1
     ).otherwise(0)

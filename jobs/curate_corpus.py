@@ -79,7 +79,7 @@ def main() -> None:
         pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
         cc = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
         docs = (
-            docs.join(F.broadcast(cc), "doc_id", "left")
+            docs.join(cc, "doc_id", "left")  # AQE picks broadcast when small
             .filter(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
             .drop("cluster_id")
         )
