@@ -7,10 +7,11 @@ Scale design:
   aggregation, so the shuffle is O(|vocab|), then a TakeOrdered top-k
   (no global sort materialization);
 * TF-IDF — two keyed aggregations (term counts per doc, document frequency
-  per term) joined on the term; the df side is tiny (vocab-sized) and
-  broadcastable. Ranking uses integer-only ordering (tf desc, df asc,
-  word asc) so cross-engine float rounding can never reorder the top-k;
-  the float score is emitted as a value column only;
+  per term) joined on the term; the df side is vocab-sized, so AQE decides
+  broadcast vs shuffle from its measured size. Ranking uses integer-only
+  ordering (tf desc, df asc, word asc) so cross-engine float rounding can
+  never reorder the top-k; the float score is emitted as a value column
+  only;
 * hash sampling — md5-bucket Bernoulli sampling: stateless, reproducible,
   embarrassingly parallel, and exactly reproducible in any engine with md5.
 
@@ -73,7 +74,9 @@ def tf_idf_top_terms(
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     doc_len = tf.groupBy("id").agg(F.sum("cnt").alias("n_words"))
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
+        # no broadcast hint on dfreq: it is |vocab|-sized, which is only
+        # small for clean corpora — AQE broadcasts it when it measures small
+        tf.join(dfreq, "word")
         .join(doc_len, "id")
         .crossJoin(F.broadcast(n))
         .withColumn(
