@@ -171,6 +171,18 @@ def main() -> None:
         forbid=("CartesianProduct",),
     ))
 
+    vocab_plan = corpus.vocab_topk(docs, k=50)
+    plan_str = vocab_plan._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan_str, "vocab top-k must be TakeOrdered, not a global window"
+    sections.append(summarize(
+        "vocabulary top-k",
+        vocab_plan,
+        "Word counts via partial-agg shuffle of O(|vocab|); the top-k is a "
+        "TakeOrderedAndProject (per-partition heaps, k-row driver merge) — "
+        "asserted in the plan; the rank window runs over k rows only.",
+        forbid=("CartesianProduct",),
+    ))
+
     sections.append(summarize(
         "TF-IDF top terms",
         corpus.tf_idf_top_terms(docs, k=3),
