@@ -179,14 +179,18 @@ def volatility_scaled_barriers(
         .agg(F.stddev_samp("_lr").alias("_vol"))
     )
     if vol_ref is None:
-        vol_ref = per_key.agg(F.percentile("_vol", F.lit(0.5)).alias("m")).collect()[0]["m"]
-    scaled = per_key.withColumn(
+        # lazy 1-row broadcast instead of a construction-time collect: the
+        # returned plan stays a pure function of the input DataFrame
+        ref = per_key.agg(F.percentile("_vol", F.lit(0.5)).alias("_vref"))
+        scaled = per_key.crossJoin(F.broadcast(ref))
+        ref_col = F.col("_vref")
+    else:
+        scaled = per_key
+        ref_col = F.lit(float(vol_ref))
+    scaled = scaled.withColumn(
         "barrier_scale",
-        F.least(
-            F.greatest(F.col("_vol") / F.lit(float(vol_ref)), F.lit(scale_floor)),
-            F.lit(scale_cap),
-        ),
-    ).drop("_vol")
+        F.least(F.greatest(F.col("_vol") / ref_col, F.lit(scale_floor)), F.lit(scale_cap)),
+    ).drop("_vol", "_vref")
     return df.join(F.broadcast(scaled), on=cfg.key_col, how="left"), vol_ref
 
 
