@@ -39,6 +39,25 @@ def _r6(c, name):
     return F.round(c, 6).alias(name)
 
 
+def _r6x(c, name):
+    """Boundary-exact 6-decimal canonicalization: floor(x*1e6 + 0.5)/1e6.
+
+    Spark's round() goes through BigDecimal.valueOf (shortest decimal
+    string) + HALF_UP, which disagrees with DuckDB's correct rounding when
+    the raw double sits a hair under a x.xxxxxx5 midpoint (observed for
+    return ratios at sf0.1: -0.51031249999999995 -> Spark -0.510313,
+    DuckDB -0.510312). This form is the SAME IEEE op sequence on both
+    engines (multiply, add, floor, divide on identical operands), so the
+    result is bit-identical by construction. SQL twin:
+    floor(x * 1000000.0 + 0.5) / 1000000.0 (see _R6X_SQL).
+    """
+    return (F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(name)
+
+
+def _r6x_sql(expr: str) -> str:
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
 # --- 1. cumulative point-in-time state -------------------------------------
 
 def q_state_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,8 +495,8 @@ def q_opportunity_labels(spark, sf_dir):
     return lab.filter(F.col("opp_label").isNotNull()).select(
         "conv_id", "turn_idx",
         F.col("opp_label").cast("int").alias("label"),
-        _r6(F.col("opp_up_ret"), "up_ret"),
-        _r6(F.col("opp_down_ret"), "down_ret"),
+        _r6x(F.col("opp_up_ret"), "up_ret"),
+        _r6x(F.col("opp_down_ret"), "down_ret"),
     )
 
 
@@ -496,8 +515,8 @@ select conv_id, turn_idx,
     when up_ret > 0.5 then 1
     when down_ret < -0.3 then -1
     else 0 end as int) as label,
-  round(up_ret, 6) as up_ret,
-  round(down_ret, 6) as down_ret
+  floor(up_ret * 1000000.0 + 0.5) / 1000000.0 as up_ret,
+  floor(down_ret * 1000000.0 + 0.5) / 1000000.0 as down_ret
 from l where nf = 5 and p != 0
 """
 
@@ -509,10 +528,10 @@ def q_magnitude_labels(spark, sf_dir):
                            CFG, price_col="p", h=5)
     return lab.filter(F.col("mag_point_return").isNotNull()).select(
         "conv_id", "turn_idx",
-        _r6(F.col("mag_point_return"), "point_return"),
-        _r6(F.col("mag_max_return"), "max_return"),
-        _r6(F.col("mag_min_return"), "min_return"),
-        _r6(F.col("mag_dominant_return"), "dominant_return"),
+        _r6x(F.col("mag_point_return"), "point_return"),
+        _r6x(F.col("mag_max_return"), "max_return"),
+        _r6x(F.col("mag_min_return"), "min_return"),
+        _r6x(F.col("mag_dominant_return"), "dominant_return"),
     )
 
 
@@ -529,10 +548,10 @@ l as (
          wf as ({_OWIN} rows between 1 following and 5 following)
 )
 select conv_id, turn_idx,
-  round((p_h - p) / p, 6) as point_return,
-  round(max_ret, 6)       as max_return,
-  round(min_ret, 6)       as min_return,
-  round(case when abs(max_ret) >= abs(min_ret) then max_ret else min_ret end, 6) as dominant_return
+  floor(((p_h - p) / p) * 1000000.0 + 0.5) / 1000000.0 as point_return,
+  floor(max_ret * 1000000.0 + 0.5) / 1000000.0 as max_return,
+  floor(min_ret * 1000000.0 + 0.5) / 1000000.0 as min_return,
+  floor((case when abs(max_ret) >= abs(min_ret) then max_ret else min_ret end) * 1000000.0 + 0.5) / 1000000.0 as dominant_return
 from l where nf = 5 and p != 0
 """
 
@@ -555,7 +574,7 @@ def q_triple_barrier(spark, sf_dir):
         "conv_id", "turn_idx",
         F.col("tb_label").cast("int").alias("tb_label"),
         F.col("tb_exit_offset").cast("int").alias("tb_exit_offset"),
-        _r6(F.col("tb_exit_return"), "tb_exit_return"),
+        _r6x(F.col("tb_exit_return"), "tb_exit_return"),
     )
 
 
@@ -587,7 +606,7 @@ te as (
 select b.conv_id, b.turn_idx,
   cast(coalesce(f.hit, 0) as int)                       as tb_label,
   cast(coalesce(f.d, {_TB_H}) as int)                   as tb_exit_offset,
-  round(coalesce(f.exit_p, te.p_h) / b.p - 1.0, 6)      as tb_exit_return
+  floor((coalesce(f.exit_p, te.p_h) / b.p - 1.0) * 1000000.0 + 0.5) / 1000000.0 as tb_exit_return
 from base b
 left join first_touch f using (conv_id, turn_idx)
 join te using (conv_id, turn_idx)
@@ -1442,7 +1461,7 @@ def q_triple_barrier_vol_scaled(spark, sf_dir):
         "conv_id", "turn_idx",
         F.col("tb_label").cast("int").alias("tb_label"),
         F.col("tb_exit_offset").cast("int").alias("tb_exit_offset"),
-        _r6(F.col("tb_exit_return"), "tb_exit_return"),
+        _r6x(F.col("tb_exit_return"), "tb_exit_return"),
     )
 
 
@@ -1486,7 +1505,7 @@ te as (
 select b.conv_id, b.turn_idx,
   cast(coalesce(f.hit, 0) as int)                  as tb_label,
   cast(coalesce(f.d, 5) as int)                    as tb_exit_offset,
-  round(coalesce(f.exit_p, te.p_h) / b.p - 1.0, 6) as tb_exit_return
+  floor((coalesce(f.exit_p, te.p_h) / b.p - 1.0) * 1000000.0 + 0.5) / 1000000.0 as tb_exit_return
 from base b
 left join first_touch f using (conv_id, turn_idx)
 join te using (conv_id, turn_idx)
