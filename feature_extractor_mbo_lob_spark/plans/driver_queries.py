@@ -317,38 +317,53 @@ from transcripts
 # --- 9. TPC-H Q1 (grouped aggregation over lineitem) -------------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 with exact integer-cent arithmetic: float sums of ~1e9 need
+    16 significant digits at round-6, beyond cross-engine summation-order
+    reproducibility (first bites at sf0.1). Prices/discounts/taxes are
+    2-decimal by construction, so every aggregate is an exact bigint sum
+    (order-independent, bit-identical on any engine); floats appear only in
+    the final display division."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("long")
+    ep = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    tax = F.round(F.col("l_tax") * 100, 0).cast("long")
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r6(F.sum("l_quantity"), "sum_qty"),
-            _r6(F.sum("l_extendedprice"), "sum_base_price"),
-            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "sum_disc_price"),
-            _r6(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))),
-                "sum_charge",
-            ),
-            _r6(F.avg("l_quantity"), "avg_qty"),
-            _r6(F.avg("l_extendedprice"), "avg_price"),
-            _r6(F.avg("l_discount"), "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty).cast("long").alias("sum_qty"),
+            _r6x(F.sum(ep).cast("double") / 100.0, "sum_base_price"),
+            _r6x(F.sum(ep * (100 - disc)).cast("double") / 1.0e4, "sum_disc_price"),
+            _r6x(F.sum(ep * (100 - disc) * (100 + tax)).cast("double") / 1.0e6, "sum_charge"),
+            _r6x(F.sum(qty).cast("double") / cnt, "avg_qty"),
+            _r6x(F.sum(ep).cast("double") / 100.0 / cnt, "avg_price"),
+            _r6x(F.sum(disc).cast("double") / 100.0 / cnt, "avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
 
 O_PRICING_SUMMARY = """
+with c as (
+  select l_returnflag, l_linestatus,
+    cast(l_quantity as bigint) as qty,
+    cast(round(l_extendedprice * 100, 0) as bigint) as ep,
+    cast(round(l_discount * 100, 0) as bigint) as disc,
+    cast(round(l_tax * 100, 0) as bigint) as tax
+  from lineitem where l_shipdate <= timestamp '1998-09-02'
+)
 select l_returnflag, l_linestatus,
-  round(sum(l_quantity), 6)                                   as sum_qty,
-  round(sum(l_extendedprice), 6)                              as sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 6)           as sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) as sum_charge,
-  round(avg(l_quantity), 6)                                   as avg_qty,
-  round(avg(l_extendedprice), 6)                              as avg_price,
-  round(avg(l_discount), 6)                                   as avg_disc,
-  count(*)                                                    as count_order
-from lineitem
-where l_shipdate <= timestamp '1998-09-02'
+  cast(sum(qty) as bigint) as sum_qty,
+  floor((cast(sum(ep) as double) / 100.0) * 1000000.0 + 0.5) / 1000000.0 as sum_base_price,
+  floor((cast(sum(ep * (100 - disc)) as double) / 1e4) * 1000000.0 + 0.5) / 1000000.0 as sum_disc_price,
+  floor((cast(sum(ep * (100 - disc) * (100 + tax)) as double) / 1e6) * 1000000.0 + 0.5) / 1000000.0 as sum_charge,
+  floor((cast(sum(qty) as double) / count(*)) * 1000000.0 + 0.5) / 1000000.0 as avg_qty,
+  floor((cast(sum(ep) as double) / 100.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 as avg_price,
+  floor((cast(sum(disc) as double) / 100.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 as avg_disc,
+  count(*) as count_order
+from c
 group by l_returnflag, l_linestatus
 """
 
