@@ -3474,3 +3474,118 @@ from reach group by src
 
 QUERIES["semantic_dedup_clusters"] = q_semantic_dedup_clusters
 ORACLES["semantic_dedup_clusters"] = O_SEMANTIC_DEDUP_CLUSTERS
+
+
+# --- TPC-H-style multi-way joins (Q3 shipping priority, Q5 local supplier) ------------
+# Join-strategy evidence: fact<->fact joins shuffle on their keys and AQE
+# picks broadcast for measured-small sides; only the FIXED-cardinality dims
+# (nation=25, region=5 rows at any SF) get an explicit broadcast hint —
+# customer/orders/lineitem all scale with the corpus, so hinting them would
+# be wrong at 100 TB. Money math is exact integer cents (see pricing_summary).
+
+def _rev_c4():
+    ep = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return ep * (100 - disc)
+
+
+def q_shipping_priority(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    j = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(_rev_c4()).cast("long").alias("revenue_c4")
+    )
+    top = agg.orderBy(
+        F.col("revenue_c4").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+    ).limit(10)
+    return top.select(
+        "l_orderkey",
+        _r6x(F.col("revenue_c4").cast("double") / 1.0e4, "revenue"),
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+    )
+
+
+O_SHIPPING_PRIORITY = """
+with j as (
+  select l.l_orderkey, o.o_orderdate,
+    sum(cast(round(l.l_extendedprice * 100, 0) as bigint)
+        * (100 - cast(round(l.l_discount * 100, 0) as bigint))) as revenue_c4
+  from customer c
+  join orders o on c.c_custkey = o.o_custkey
+  join lineitem l on o.o_orderkey = l.l_orderkey
+  where c.c_mktsegment = 'BUILDING'
+    and o.o_orderdate < timestamp '1998-03-15'
+    and l.l_shipdate > timestamp '1998-03-15'
+  group by 1, 2
+)
+select l_orderkey,
+  floor((cast(revenue_c4 as double) / 1e4) * 1000000.0 + 0.5) / 1000000.0 as revenue,
+  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') as o_orderdate
+from j
+order by revenue_c4 desc, o_orderdate asc, l_orderkey asc
+limit 10
+"""
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    j = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .join(supp, (li["l_suppkey"] == supp["s_suppkey"])
+              & (cust["c_nationkey"] == supp["s_nationkey"]))
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    agg = j.groupBy("n_name").agg(F.sum(_rev_c4()).cast("long").alias("revenue_c4"))
+    return agg.select(
+        "n_name", _r6x(F.col("revenue_c4").cast("double") / 1.0e4, "revenue")
+    )
+
+
+O_LOCAL_SUPPLIER_VOLUME = """
+select n.n_name,
+  floor((cast(sum(cast(round(l.l_extendedprice * 100, 0) as bigint)
+      * (100 - cast(round(l.l_discount * 100, 0) as bigint))) as double) / 1e4)
+      * 1000000.0 + 0.5) / 1000000.0 as revenue
+from customer c
+join orders o on c.c_custkey = o.o_custkey
+join lineitem l on o.o_orderkey = l.l_orderkey
+join supplier s on l.l_suppkey = s.s_suppkey and c.c_nationkey = s.s_nationkey
+join nation n on s.s_nationkey = n.n_nationkey
+join region r on n.n_regionkey = r.r_regionkey
+where r.r_name = 'ASIA'
+  and o.o_orderdate >= timestamp '1996-01-01'
+  and o.o_orderdate < timestamp '1997-01-01'
+group by n.n_name
+"""
+
+QUERIES.update({
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+})
+ORACLES.update({
+    "shipping_priority": O_SHIPPING_PRIORITY,
+    "local_supplier_volume": O_LOCAL_SUPPLIER_VOLUME,
+})
