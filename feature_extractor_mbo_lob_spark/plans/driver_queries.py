@@ -3589,3 +3589,53 @@ ORACLES.update({
     "shipping_priority": O_SHIPPING_PRIORITY,
     "local_supplier_volume": O_LOCAL_SUPPLIER_VOLUME,
 })
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 analog: revenue lost to returned items per customer+nation,
+    top 20. Same adaptive join policy as Q3/Q5 (only `nation` is hinted)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(_rev_c4()).cast("long").alias("revenue_c4")
+    )
+    top = agg.orderBy(F.col("revenue_c4").desc(), F.col("c_custkey").asc()).limit(20)
+    return top.select(
+        "c_custkey", "c_name", "n_name",
+        _r6x(F.col("revenue_c4").cast("double") / 1.0e4, "revenue"),
+    )
+
+
+O_RETURNED_ITEMS = """
+with j as (
+  select c.c_custkey, c.c_name, n.n_name,
+    sum(cast(round(l.l_extendedprice * 100, 0) as bigint)
+        * (100 - cast(round(l.l_discount * 100, 0) as bigint))) as revenue_c4
+  from customer c
+  join orders o on c.c_custkey = o.o_custkey
+  join lineitem l on o.o_orderkey = l.l_orderkey
+  join nation n on c.c_nationkey = n.n_nationkey
+  where l.l_returnflag = 'R'
+    and o.o_orderdate >= timestamp '1996-01-01'
+    and o.o_orderdate < timestamp '1996-07-01'
+  group by 1, 2, 3
+)
+select c_custkey, c_name, n_name,
+  floor((cast(revenue_c4 as double) / 1e4) * 1000000.0 + 0.5) / 1000000.0 as revenue
+from j order by revenue_c4 desc, c_custkey asc limit 20
+"""
+
+QUERIES["returned_items"] = q_returned_items
+ORACLES["returned_items"] = O_RETURNED_ITEMS
