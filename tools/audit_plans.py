@@ -192,6 +192,23 @@ def main() -> None:
         forbid=("CartesianProduct",),
     ))
 
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import (
+        q_shipping_priority,
+    )
+
+    q3 = q_shipping_priority(spark, "/root/testdata/sf0.001")
+    q3_plan = q3._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in q3_plan and "IsNotNull" in q3_plan, "Q3 scan must push filters"
+    sections.append(summarize(
+        "TPC-H Q3 multi-way join",
+        q3,
+        "customer/orders/lineitem filters reach the parquet scans "
+        "(PushedFilters asserted); fixed dims broadcast, scaling tables "
+        "AQE-decided; top-10 is TakeOrderedAndProject over the partial-"
+        "aggregated revenue.",
+        forbid=("CartesianProduct",),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
