@@ -76,9 +76,12 @@ def test_connected_components_clusters(spark):
 
 
 def test_connected_components_long_chain(spark):
-    # a 12-node path needs several propagation rounds; verify convergence
+    # a 200-node path: plain min-label propagation needs ~199 rounds, far
+    # over the max_iter=25 cap — only the pointer-doubling acceleration
+    # (O(log diameter) rounds) can converge. This test FAILS if the
+    # shortcut is removed.
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(11, 0, -1)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(199, 0, -1)], "id_a long, id_b long"
     )
     out = {r.id: r.cluster_id for r in dedup.connected_components(edges).collect()}
-    assert set(out.values()) == {1} and len(out) == 12
+    assert set(out.values()) == {1} and len(out) == 200
