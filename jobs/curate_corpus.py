@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--near-dup", action="store_true",
                     help="also drop MinHash-LSH near-duplicates (keep cluster rep)")
     ap.add_argument("--sample-frac", type=float, default=None)
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="replace emails/IPs/phones with typed placeholders")
+    ap.add_argument("--decontaminate", default=None, metavar="EVAL_PARQUET",
+                    help="drop docs whose 3-shingle overlap with this eval set >= 0.03")
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--master", default=None)
@@ -45,7 +49,7 @@ def main() -> None:
 
     from feature_extractor_mbo_lob_spark import get_spark
     from feature_extractor_mbo_lob_spark.batch import JobHandle
-    from feature_extractor_mbo_lob_spark.functions import corpus
+    from feature_extractor_mbo_lob_spark.functions import corpus, pii
     from feature_extractor_mbo_lob_spark.functions.repetition import gopher_filter
     from feature_extractor_mbo_lob_spark.operators import dedup
 
@@ -85,9 +89,22 @@ def main() -> None:
         )
         funnel["after_near_dedup"] = docs.count()
 
+    if args.decontaminate:
+        ev = spark.read.parquet(args.decontaminate)
+        contaminated = (
+            corpus.contamination_overlap(docs, ev, k=3, threshold=0.03)
+            .filter(F.col("contaminated") == 1)
+            .select(F.col("id").alias("doc_id"))
+        )
+        docs = docs.join(contaminated, "doc_id", "left_anti")
+        funnel["after_decontamination"] = docs.count()
+
     if args.sample_frac is not None:
         docs = corpus.hash_sample(docs, args.sample_frac)
         funnel["after_sampling"] = docs.count()
+
+    if args.redact_pii:
+        docs = docs.withColumn("text", pii.redact("text"))
 
     packed = corpus.pack_token_stream(docs, budget=args.budget, n_shards=args.shards)
     out = docs.join(
