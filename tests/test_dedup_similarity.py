@@ -152,3 +152,39 @@ def test_kmeans_lloyd_partition_invariant(spark):
     # blobs must be separated: same true blob -> same cluster
     for i in range(90):
         assert am[i] == am[i % 3], i
+
+
+def test_kmeans_lloyd_matches_naive_reference(spark):
+    """Exact cross-check vs a naive numpy Lloyd with the same deterministic
+    init, cosine assignment, (cos desc, centroid_id) tie-break, and
+    per-dim mean update."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(60, 6)
+    rows = [(i, X[i].tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got, _ = similarity.kmeans_lloyd(df, k=3, iters=2)
+    got = {r.vec_id: r.centroid_id for r in got.collect()}
+
+    eps = 1e-8
+
+    def assign(C):
+        out = np.empty(len(X), dtype=int)
+        for i, v in enumerate(X):
+            cos = np.array([
+                v @ c / (np.sqrt(v @ v) * np.sqrt(c @ c) + eps) for c in C
+            ])
+            # max cos, tie-break by smaller centroid index
+            out[i] = int(np.argmax(cos))
+        return out
+
+    C = X[:3].copy()  # first-k-by-id init
+    for _ in range(2):
+        a = assign(C)
+        for c in range(3):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    final = assign(C)
+    want = {i: int(final[i]) + 1 for i in range(60)}  # centroid_id is 1-based
+    assert got == want
