@@ -212,3 +212,35 @@ def contamination_overlap(
         frac.alias("overlap_frac"),
         F.when(frac >= threshold, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("contaminated"),
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Perplexity-style quality signal from a corpus unigram LM: per
+    document, the mean log-probability of its words under the corpus word
+    distribution (with add-one smoothing). Low scores flag gibberish /
+    out-of-distribution documents — the poor man's KenLM filter, two keyed
+    aggregations and one join, no model artifact.
+
+    All counts are exact integers; the only floats are ln() and the final
+    mean, computed with the identical expression in the SQL oracle."""
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = wc.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("n_vocab"),
+    )
+    # per (doc, word) counts keep the join input at distinct pairs
+    dw = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("k"))
+    scored = (
+        dw.join(wc, "word")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lp", F.log((F.col("cnt") + 1.0) / (F.col("n_total") + F.col("n_vocab"))))
+    )
+    return scored.groupBy("id").agg(
+        F.sum(F.col("k")).cast("long").alias("n_words"),
+        (F.sum(F.col("k") * F.col("lp")) / F.sum(F.col("k")).cast("double")).alias(
+            "mean_logprob"
+        ),
+    )

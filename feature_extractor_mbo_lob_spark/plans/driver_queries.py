@@ -3639,3 +3639,34 @@ from j order by revenue_c4 desc, c_custkey asc limit 20
 
 QUERIES["returned_items"] = q_returned_items
 ORACLES["returned_items"] = O_RETURNED_ITEMS
+
+
+# --- unigram LM quality score (perplexity-filter analog) -------------------------------
+
+def q_unigram_logprob(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.unigram_logprob(docs)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_words", _r6x(F.col("mean_logprob"), "mean_logprob")
+    )
+
+
+O_UNIGRAM_LOGPROB = f"""
+with {_WORDS_CTE},
+ww as (select doc_id, unnest(words) as word from w),
+wc as (select word, count(*) as cnt from ww group by word),
+tot as (select cast(sum(cnt) as double) as n_total, cast(count(*) as double) as n_vocab from wc),
+dw as (select doc_id, word, count(*) as k from ww group by 1, 2),
+s as (
+  select dw.doc_id, dw.k,
+    ln((wc.cnt + 1.0) / (tot.n_total + tot.n_vocab)) as lp
+  from dw join wc using (word) cross join tot
+)
+select doc_id,
+  cast(sum(k) as bigint) as n_words,
+  floor((sum(k * lp) / cast(sum(k) as double)) * 1000000.0 + 0.5) / 1000000.0 as mean_logprob
+from s group by doc_id
+"""
+
+QUERIES["unigram_logprob"] = q_unigram_logprob
+ORACLES["unigram_logprob"] = O_UNIGRAM_LOGPROB
