@@ -244,3 +244,25 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
             "mean_logprob"
         ),
     )
+
+
+def hashed_embedding(
+    df: DataFrame, dim: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Model-free document vectors via the hashing trick: each word maps to
+    md5-derived bucket in [0, dim); the document vector is the bucket-count
+    histogram (integer counts cast to double — exact on any engine; cosine
+    downstream is scale-invariant, so no normalization needed).
+
+    One explode + one keyed aggregation; feeds the similarity/kmeans family
+    so a corpus can be clustered with zero model artifacts."""
+    assert dim <= 16, "bucket = first md5 nibble; dim > 16 needs more nibbles"
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
+    )
+    bucket = F.conv(F.substring(F.md5("word"), 1, 1), 16, 10).cast("int") % dim
+    b = words.select("id", bucket.alias("b"))
+    vec = F.array(
+        *[F.sum(F.when(F.col("b") == i, 1).otherwise(0)).cast("double") for i in range(dim)]
+    )
+    return b.groupBy("id").agg(vec.alias("embedding"))

@@ -3130,9 +3130,13 @@ def q_kmeans_clusters(spark, sf_dir):
     return out.select("vec_id", F.col("centroid_id").cast("int").alias("cluster"))
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+_KMEANS_DEFAULT_SOURCE = "select vec_id, embedding::DOUBLE[] as v from embeddings"
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2, source: str = _KMEANS_DEFAULT_SOURCE,
+                   head: str = "with") -> str:
     parts = [f"""
-with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+{head} e as ({source}),
 c0 as (
   select row_number() over (order by vec_id) as centroid_id, v as cv
   from (select vec_id, v from e order by vec_id limit {k})
@@ -3670,3 +3674,47 @@ from s group by doc_id
 
 QUERIES["unigram_logprob"] = q_unigram_logprob
 ORACLES["unigram_logprob"] = O_UNIGRAM_LOGPROB
+
+
+# --- text clustering: kmeans over hashed embeddings (zero-model pipeline) --------------
+
+def q_text_clusters(spark, sf_dir):
+    """Cluster raw text with no model artifacts: hashing-trick vectors ->
+    distributed Lloyd k-means. Composes corpus.hashed_embedding with
+    similarity.kmeans_lloyd; the oracle regenerates the identical vectors
+    and iteration chain in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = corpus.hashed_embedding(docs, dim=16).withColumnRenamed("id", "vec_id")
+    out, _cents = similarity.kmeans_lloyd(emb, k=4, iters=2)
+    return out.select(
+        F.col("vec_id").alias("doc_id"), F.col("centroid_id").cast("int").alias("cluster")
+    )
+
+
+def _hashed_vec_source() -> str:
+    sums = ", ".join(
+        f"sum(case when b = {i} then 1 else 0 end)" for i in range(16)
+    )
+    return f"""
+  select doc_id as vec_id, [{sums}]::DOUBLE[] as v
+  from (
+    select doc_id,
+      (strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) % 16 as b
+    from (
+      select doc_id,
+        unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) as word
+      from documents
+    )
+  )
+  group by doc_id
+"""
+
+
+O_TEXT_CLUSTERS = _kmeans_oracle(
+    k=4, iters=2, source=_hashed_vec_source()
+).replace("as cluster from asg", "as cluster0 from asg") \
+ .replace("select vec_id, cast(centroid_id as int) as cluster0",
+          "select vec_id as doc_id, cast(centroid_id as int) as cluster")
+
+QUERIES["text_clusters"] = q_text_clusters
+ORACLES["text_clusters"] = O_TEXT_CLUSTERS
