@@ -238,3 +238,27 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    compress: bool = True,
+) -> dict:
+    """Training-corpus sink: shard-partitioned JSONL (optionally gzip), the
+    interchange format LLM training stacks ingest. Sharding is the same
+    deterministic pmod(id) used by pack_token_stream, so a shard is a
+    self-contained training stream; each shard directory is one task's
+    sequential write (no tiny-file explosion). Returns {rows, shards, path}.
+    """
+    from pyspark.sql import functions as F
+
+    sharded = df.withColumn("shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int"))
+    writer = sharded.repartition(n_shards, "shard").write.mode("overwrite")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.partitionBy("shard").json(out_dir)
+    n = df.count()
+    return {"rows": n, "shards": n_shards, "path": out_dir}

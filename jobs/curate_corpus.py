@@ -42,6 +42,8 @@ def main() -> None:
                     help="drop docs whose 3-shingle overlap with this eval set >= 0.03")
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+                    help="output format: parquet (analytics) or gzip JSONL (training ingest)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -111,7 +113,12 @@ def main() -> None:
         packed.select(F.col("id").alias("doc_id"), "shard", "offset", "bin_start"),
         "doc_id",
     )
-    out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
+    if args.format == "jsonl":
+        from feature_extractor_mbo_lob_spark.export import export_jsonl_shards
+
+        export_jsonl_shards(out, args.output, n_shards=args.shards)
+    else:
+        out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
     funnel["packed_tokens"] = packed.agg(F.sum("n_tokens")).first()[0]
 
     wall = time.time() - t0

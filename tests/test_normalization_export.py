@@ -190,3 +190,21 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("drop database bwh cascade")
+
+
+def test_export_jsonl_shards(spark, tmp_path):
+    from feature_extractor_mbo_lob_spark.export import export_jsonl_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(40)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "jsonl")
+    rep = export_jsonl_shards(docs, out, n_shards=4)
+    assert rep["rows"] == 40
+    back = spark.read.json(out)
+    assert back.count() == 40
+    # shard dirs exist and round-trip preserves content
+    got = {r.doc_id: r.text for r in back.collect()}
+    assert got[7] == "doc 7 text"
+    import glob
+    assert len(glob.glob(out + "/shard=*")) == 4
