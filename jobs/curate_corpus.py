@@ -44,6 +44,8 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
                     help="output format: parquet (analytics) or gzip JSONL (training ingest)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip output buckets whose lineage manifest matches config+input (parquet only)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -118,7 +120,29 @@ def main() -> None:
 
         export_jsonl_shards(out, args.output, n_shards=args.shards)
     else:
-        out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
+        # lineage-manifest export keyed by doc_id: re-running with --resume
+        # skips buckets whose manifest matches config + input + curation args
+        import hashlib
+
+        from feature_extractor_mbo_lob_spark import PipelineConfig
+        from feature_extractor_mbo_lob_spark.export import (
+            export_with_manifests,
+            input_fingerprint_for_path,
+        )
+
+        ccfg = PipelineConfig(key_col="doc_id")
+        arg_hash = hashlib.md5(json.dumps({
+            "near_dup": args.near_dup, "sample_frac": args.sample_frac,
+            "redact_pii": args.redact_pii, "decontaminate": args.decontaminate,
+            "budget": args.budget, "shards": args.shards,
+        }, sort_keys=True).encode()).hexdigest()[:12]
+        fp = input_fingerprint_for_path(spark, path) + ":" + arg_hash
+        report = export_with_manifests(
+            out.drop("shard"), ccfg, args.output, input_fingerprint=fp,
+            n_buckets=args.shards, resume=args.resume,
+        )
+        funnel["written_buckets"] = len(report["written_buckets"])
+        funnel["skipped_buckets"] = len(report["skipped_buckets"])
     funnel["packed_tokens"] = packed.agg(F.sum("n_tokens")).first()[0]
 
     wall = time.time() - t0
