@@ -3718,3 +3718,55 @@ O_TEXT_CLUSTERS = _kmeans_oracle(
 
 QUERIES["text_clusters"] = q_text_clusters
 ORACLES["text_clusters"] = O_TEXT_CLUSTERS
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 analog: share of revenue from 'ECONOMY'-type parts per
+    month. Conditional aggregation over the lineitem<->part equi join; part
+    scales with the corpus so the join strategy is AQE-decided. Exact
+    integer-cent numerators/denominators; the ratio is the only float."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    rev = _rev_c4()
+    agg = j.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month")).agg(
+        F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("promo_c4"),
+        F.sum(rev).cast("long").alias("total_c4"),
+    )
+    frac = F.when(
+        F.col("total_c4") > 0,
+        F.lit(100.0) * F.col("promo_c4").cast("double") / F.col("total_c4").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select("month", "promo_c4", "total_c4", _r6x(frac, "promo_pct"))
+
+
+O_PROMO_REVENUE = """
+with j as (
+  select strftime(l.l_shipdate, '%Y-%m') as month,
+    cast(round(l.l_extendedprice * 100, 0) as bigint)
+      * (100 - cast(round(l.l_discount * 100, 0) as bigint)) as rev,
+    p.p_type
+  from lineitem l join part p on l.l_partkey = p.p_partkey
+  where l.l_shipdate >= timestamp '1996-01-01'
+    and l.l_shipdate < timestamp '1997-01-01'
+),
+a as (
+  select month,
+    cast(sum(case when p_type = 'ECONOMY' then rev else 0 end) as bigint) as promo_c4,
+    cast(sum(rev) as bigint) as total_c4
+  from j group by month
+)
+select month, promo_c4, total_c4,
+  floor((case when total_c4 > 0
+         then 100.0 * cast(promo_c4 as double) / cast(total_c4 as double)
+         else 0.0 end) * 1000000.0 + 0.5) / 1000000.0 as promo_pct
+from a
+"""
+
+QUERIES["promo_revenue"] = q_promo_revenue
+ORACLES["promo_revenue"] = O_PROMO_REVENUE
