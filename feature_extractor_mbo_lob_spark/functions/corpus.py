@@ -266,3 +266,24 @@ def hashed_embedding(
         *[F.sum(F.when(F.col("b") == i, 1).otherwise(0)).cast("double") for i in range(dim)]
     )
     return b.groupBy("id").agg(vec.alias("embedding"))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fracs: dict,
+    strat_col: str = "lang",
+    default_frac: float = 1.0,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sampling — the data-mixing
+    primitive (downsample high-resource languages/sources, keep the rest).
+    Same md5 bucket as hash_sample with a per-stratum threshold, so the
+    same document keeps/drops consistently across runs and engines."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10).cast(
+        "long"
+    ) % buckets
+    thresh = F.lit(int(default_frac * buckets))
+    for key, frac in sorted(fracs.items()):
+        thresh = F.when(F.col(strat_col) == key, F.lit(int(frac * buckets))).otherwise(thresh)
+    return df.filter(bucket < thresh)

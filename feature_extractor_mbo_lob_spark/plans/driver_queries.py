@@ -3367,20 +3367,10 @@ def q_stratified_sample(spark, sf_dir):
     languages downsampled harder (the data-mixing primitive). Same md5
     bucket as hash_sample with a per-stratum threshold."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
-    ).cast("long") % 10000
-    thresh = (
-        F.when(F.col("lang") == "en", F.lit(2000))
-        .when(F.col("lang") == "zh", F.lit(5000))
-        .otherwise(F.lit(8000))
+    out = corpus.stratified_hash_sample(
+        docs, fracs={"en": 0.2, "zh": 0.5}, strat_col="lang", default_frac=0.8
     )
-    return (
-        docs.withColumn("_b", bucket)
-        .filter(F.col("_b") < thresh)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
-    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
 
 
 O_STRATIFIED_SAMPLE = f"""

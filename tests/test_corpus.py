@@ -108,3 +108,24 @@ def test_stratified_and_source_mix_shapes(spark, docs):
     total = cell.agg(F.sum("n_tokens")).first()[0]
     per_doc = d.select(F.sum(token_count_ws("text"))).first()[0]
     assert total == per_doc  # no tokens lost in the grouping
+
+
+def test_stratified_hash_sample(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "zh")
+        .otherwise("fr").alias("lang"),
+    )
+    out = corpus.stratified_hash_sample(df, {"en": 0.1, "zh": 0.5}, default_frac=0.9)
+    rates = {r.lang: r.n / 1000 for r in
+             out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.05 < rates["en"] < 0.16
+    assert 0.42 < rates["zh"] < 0.58
+    assert 0.84 < rates["fr"] < 0.96
+    # deterministic under repartition
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in corpus.stratified_hash_sample(
+        df.repartition(7), {"en": 0.1, "zh": 0.5}, default_frac=0.9).collect())
+    assert a == b
