@@ -287,3 +287,64 @@ def stratified_hash_sample(
     for key, frac in sorted(fracs.items()):
         thresh = F.when(F.col(strat_col) == key, F.lit(int(frac * buckets))).otherwise(thresh)
     return df.filter(bucket < thresh)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated bigram-LM quality score: per document, the mean
+    log[ lam * P(w_i | w_{i-1}) + (1-lam) * P(w_i) ] under corpus counts
+    with add-one smoothing — the standard cheap stand-in for a KenLM
+    perplexity filter, and strictly sharper than unigram_logprob on
+    repetitive or shuffled text.
+
+    Distributed form: corpus bigram counts ride the same explode ->
+    partial-agg shuffle as repetition's gram table; the per-doc score is
+    one join per table plus a keyed mean. Integer counts throughout; ln
+    and the mean are mirrored exactly in the SQL oracle."""
+    from .repetition import gram_counts
+
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
+    )
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("ucnt"))
+    tot = uni.agg(
+        F.sum("ucnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("n_vocab"),
+    )
+    # corpus bigram counts over all docs
+    bi = (
+        gram_counts(df, id_col, text_col)
+        .groupBy("gram")
+        .agg(F.sum("cnt").alias("bcnt"))
+    )
+    # per-doc bigram occurrences with their context word
+    dg = gram_counts(df, id_col, text_col).withColumn(
+        "w_prev", F.split("gram", " ")[0]
+    ).withColumn("w_cur", F.split("gram", " ")[1])
+    prev_uni = uni.select(F.col("word").alias("w_prev"), F.col("ucnt").alias("prev_cnt"))
+    cur_uni = uni.select(F.col("word").alias("w_cur"), F.col("ucnt").alias("cur_cnt"))
+    scored = (
+        dg.join(bi, "gram")
+        .join(prev_uni, "w_prev")
+        .join(cur_uni, "w_cur")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lp",
+            F.log(
+                F.lit(lam) * (F.col("bcnt") + 1.0)
+                / (F.col("prev_cnt") + F.col("n_vocab"))
+                + F.lit(1.0 - lam) * (F.col("cur_cnt") + 1.0)
+                / (F.col("n_total") + F.col("n_vocab"))
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        (F.sum(F.col("cnt") * F.col("lp")) / F.sum("cnt").cast("double")).alias(
+            "mean_logprob"
+        ),
+    )

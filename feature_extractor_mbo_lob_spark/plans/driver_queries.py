@@ -3760,3 +3760,46 @@ from a
 
 QUERIES["promo_revenue"] = q_promo_revenue
 ORACLES["promo_revenue"] = O_PROMO_REVENUE
+
+
+# --- interpolated bigram-LM quality score ----------------------------------------------
+
+def q_bigram_logprob(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.bigram_logprob(docs, lam=0.7)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_bigrams", _r6x(F.col("mean_logprob"), "mean_logprob")
+    )
+
+
+O_BIGRAM_LOGPROB = f"""
+with {_WORDS_CTE},
+ww as (select doc_id, unnest(words) as word from w),
+uni as (select word, count(*) as ucnt from ww group by word),
+tot as (select cast(sum(ucnt) as double) as n_total, cast(count(*) as double) as n_vocab from uni),
+grams as (
+  select doc_id,
+    unnest([array_to_string(words[i:i+1], ' ') for i in range(1, len(words))]) as gram
+  from w
+),
+dg as (select doc_id, gram, count(*) as cnt from grams group by 1, 2),
+bi as (select gram, sum(cnt) as bcnt from dg group by gram),
+s as (
+  select dg.doc_id, dg.cnt,
+    ln(0.7 * (bi.bcnt + 1.0) / (pu.ucnt + tot.n_vocab)
+       + (1.0 - 0.7) * (cu.ucnt + 1.0) / (tot.n_total + tot.n_vocab)) as lp
+  from dg
+  join bi using (gram)
+  join uni pu on pu.word = string_split(dg.gram, ' ')[1]
+  join uni cu on cu.word = string_split(dg.gram, ' ')[2]
+  cross join tot
+)
+select doc_id,
+  cast(sum(cnt) as bigint) as n_bigrams,
+  floor((sum(cnt * lp) / cast(sum(cnt) as double)) * 1000000.0 + 0.5) / 1000000.0
+    as mean_logprob
+from s group by doc_id
+"""
+
+QUERIES["bigram_logprob"] = q_bigram_logprob
+ORACLES["bigram_logprob"] = O_BIGRAM_LOGPROB
