@@ -3803,3 +3803,55 @@ from s group by doc_id
 
 QUERIES["bigram_logprob"] = q_bigram_logprob
 ORACLES["bigram_logprob"] = O_BIGRAM_LOGPROB
+
+
+# --- LSH quality evaluation: MinHash candidate recall vs true Jaccard ------------------
+
+def q_lsh_recall(spark, sf_dir):
+    """Pipeline-evaluation meta-operator: how good are the MinHash-LSH
+    candidates against ground-truth n-gram Jaccard pairs (threshold 0.2)?
+    Emits one row of corpus-level retrieval metrics — the number every
+    dedup-pipeline owner tunes bands/hashes against."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    true_pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.2).select(
+        "id_a", "id_b", F.lit(1).alias("t")
+    )
+    cand = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4).select(
+        "id_a", "id_b", F.lit(1).alias("c")
+    )
+    j = true_pairs.join(cand, ["id_a", "id_b"], "full")
+    return j.agg(
+        F.sum("t").cast("long").alias("n_true"),
+        F.sum("c").cast("long").alias("n_candidates"),
+        F.sum(F.col("t") * F.col("c")).cast("long").alias("n_hit"),
+        _r6x(
+            F.sum(F.col("t") * F.col("c")).cast("double")
+            / (F.sum("t").cast("double") + F.lit(DIVISION_GUARD_EPS)),
+            "recall",
+        ),
+        _r6x(
+            F.sum(F.col("t") * F.col("c")).cast("double")
+            / (F.sum("c").cast("double") + F.lit(DIVISION_GUARD_EPS)),
+            "precision",
+        ),
+    )
+
+
+O_LSH_RECALL = f"""
+with tq as ({O_NGRAM_JACCARD.replace("round(jaccard, 6) as jaccard", "jaccard")}),
+cq as ({_minhash_lsh_oracle()}),
+t as (select id_a, id_b, 1 as t from tq),
+c as (select id_a, id_b, 1 as c from cq),
+j as (select coalesce(t.id_a, c.id_a) as id_a, coalesce(t.id_b, c.id_b) as id_b, t.t, c.c
+      from t full join c on t.id_a = c.id_a and t.id_b = c.id_b)
+select
+  cast(sum(t) as bigint) as n_true,
+  cast(sum(c) as bigint) as n_candidates,
+  cast(sum(t * c) as bigint) as n_hit,
+  floor((sum(t * c) / (sum(t) + {DIVISION_GUARD_EPS})) * 1000000.0 + 0.5) / 1000000.0 as recall,
+  floor((sum(t * c) / (sum(c) + {DIVISION_GUARD_EPS})) * 1000000.0 + 0.5) / 1000000.0 as precision
+from j
+"""
+
+QUERIES["lsh_recall"] = q_lsh_recall
+ORACLES["lsh_recall"] = O_LSH_RECALL
