@@ -333,3 +333,46 @@ def connected_components(
             F.least(cur["lbl"], F.coalesce(F.col("_tl"), cur["lbl"])).alias("lbl"),
         )
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_lines(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                delim: str = "\n", max_doc_freq: int = 1) -> DataFrame:
+    """C4/RefinedWeb-style line-level dedup: drop every line whose normalized
+    form occurs in more than ``max_doc_freq`` distinct documents, then
+    reassemble each document from its surviving lines in original order.
+
+    Returns (id_col, n_lines, dropped_lines, text_kept).
+
+    Scale design: explode to (doc, line_no, line) — O(total lines), the same
+    cost class as the shingle ops above; line document-frequency is ONE hash
+    aggregation keyed on md5(line) (16-byte keys, never the line text, so
+    the shuffle carries fixed-width keys); the duplicated-key set is tiny
+    relative to the corpus (C4 measured <1%% of distinct lines), so the
+    left join back is AQE-broadcastable without forcing it. Reassembly is
+    one groupBy(doc) with an array_sort(collect_list(struct(line_no, ...)))
+    — deterministic regardless of shuffle order.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("line_no", "line"),
+    ).withColumn("_lk", F.md5(F.trim(F.lower(F.col("line")))))
+    dup_keys = (
+        lines.groupBy("_lk")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") > int(max_doc_freq))
+    )
+    marked = lines.join(dup_keys, "_lk", "left").withColumn(
+        "_dup", F.col("_df").isNotNull()
+    )
+    entries = F.array_sort(F.collect_list(F.struct("line_no", "line", "_dup")))
+    kept = F.filter(entries, lambda e: ~e["_dup"])
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("_dup").cast("int")).cast("long").alias("dropped_lines"),
+            F.array_join(
+                F.transform(kept, lambda e: e["line"]), delim
+            ).alias("text_kept"),
+        )
+    )

@@ -28,7 +28,7 @@ Float-parity choices (frozen in the contract):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
@@ -220,3 +220,49 @@ def with_rolling_features(df: DataFrame, cfg: PipelineConfig,
             large_ratio.cast("double").alias("large_turn_ratio" + sfx),
         ).drop("_sarr", "_farr")
     return df.drop(*helper)
+
+
+def with_time_windows(df: DataFrame, cfg: PipelineConfig,
+                      horizons_s: tuple[int, ...] = (86400, 604800)) -> DataFrame:
+    """Trailing wall-clock window features: turns / chars / tool share /
+    arrival rate over the last ``H`` seconds ending at the current turn's ts.
+
+    The count-based frames (`ordering.trailing`) answer "the last n turns";
+    these answer "the last H seconds" — the calendar-anchored burstiness and
+    inter-turn-latency statistics of the north rule's rolling-feature family
+    (reference analog: the time-sensitive FI-2010 block,
+    src/features/time_sensitive_features.rs via SURVEY §2.2, which derives
+    per-interval rates from wall-clock deltas rather than event counts).
+
+    Leakage: every frame is rangeBetween(-H*1e6, 0) over unix_micros(ts), so
+    no row with ts greater than the anchor can enter the frame; rows tying
+    the anchor's ts are RANGE peers and are included — the same peer rule
+    DuckDB applies, so the oracle matches bit-for-bit.
+
+    Scale: partitioning stays hash(cfg.key_col) — the same exchange every
+    other feature window uses — with one extra sort on the numeric ts key.
+    WindowExec advances both range bounds monotonically through a partition
+    (each row enters/leaves each frame once), so cost is O(n) per aggregate
+    and independent of H; no UDF, no extra shuffle, safe under AQE.
+    """
+    us = F.unix_micros(F.col(cfg.ts_col))
+    df = df.withColumn("_us", us)
+    out = df
+    tool_flag = F.when(F.col("role") == "tool", 1).otherwise(0)
+    chars = F.length(F.col("text")).cast("double")
+    for h in horizons_s:
+        fr = (
+            Window.partitionBy(cfg.key_col)
+            .orderBy(F.col("_us"))
+            .rangeBetween(-int(h) * 1_000_000, 0)
+        )
+        sfx = f"_{h}s"
+        n = F.count(F.lit(1)).over(fr)
+        out = out.select(
+            "*",
+            n.cast("long").alias("turns" + sfx),
+            F.sum(chars).over(fr).cast("double").alias("chars" + sfx),
+            (F.sum(tool_flag).over(fr).cast("double") / n).alias("tool_frac" + sfx),
+            (n.cast("double") / F.lit(float(h))).alias("turn_rate" + sfx),
+        )
+    return out.drop("_us")

@@ -3855,3 +3855,96 @@ from j
 
 QUERIES["lsh_recall"] = q_lsh_recall
 ORACLES["lsh_recall"] = O_LSH_RECALL
+
+
+# --- trailing wall-clock windows (rangeBetween over epoch micros) --------------
+
+def q_time_windows(spark, sf_dir):
+    """Trailing 1-day / 7-day wall-clock feature frames. RANGE peers (ts
+    ties) are included by both engines, so the oracle is exact."""
+    t = transcripts_from_events(spark, sf_dir)
+    out = rolling.with_time_windows(t, CFG, horizons_s=(86400, 604800))
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("turns_86400s").alias("turns_1d"),
+        _r6(F.col("chars_86400s"), "chars_1d"),
+        _r6x(F.col("tool_frac_86400s"), "tool_frac_1d"),
+        F.col("turns_604800s").alias("turns_7d"),
+        _r6(F.col("chars_604800s"), "chars_7d"),
+        _r6x(F.col("tool_frac_604800s"), "tool_frac_7d"),
+    )
+
+
+O_TIME_WINDOWS = f"""{_W}
+select conv_id, turn_idx,
+  cast(count(*) over f1 as bigint) as turns_1d,
+  round(sum(cast(length(text) as double)) over f1, 6) as chars_1d,
+  {_r6x_sql("cast(sum(case when role = 'tool' then 1 else 0 end) over f1 as double) / count(*) over f1")} as tool_frac_1d,
+  cast(count(*) over f7 as bigint) as turns_7d,
+  round(sum(cast(length(text) as double)) over f7, 6) as chars_7d,
+  {_r6x_sql("cast(sum(case when role = 'tool' then 1 else 0 end) over f7 as double) / count(*) over f7")} as tool_frac_7d
+from transcripts
+window
+  f1 as (partition by conv_id order by epoch_us(ts)
+         range between 86400000000 preceding and current row),
+  f7 as (partition by conv_id order by epoch_us(ts)
+         range between 604800000000 preceding and current row)
+"""
+
+QUERIES["time_windows"] = q_time_windows
+ORACLES["time_windows"] = O_TIME_WINDOWS
+
+
+# --- C4/RefinedWeb-style line-level dedup --------------------------------------
+
+def q_dedup_lines(spark, sf_dir):
+    """Documents regrouped into deterministic 10-word lines (the corpus has
+    no newlines), then line-dedup: drop lines occurring in >1 distinct doc,
+    reassemble survivors in order. The lining step is pure higher-order
+    array functions — no shuffle before the operator's own aggregations."""
+    from ..operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    lined = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda j: F.array_join(F.slice(words, j * 10 + 1, 10), " "),
+        ),
+        "\n",
+    )
+    src = docs.select("doc_id", lined.alias("text"))
+    out = dd.dedup_lines(src, max_doc_freq=1)
+    return out.select("doc_id", "n_lines", "dropped_lines", "text_kept")
+
+
+O_DEDUP_LINES = """
+with w as (
+  select doc_id, unnest(string_split(text, ' ')) as word,
+         generate_subscripts(string_split(text, ' '), 1) as i
+  from documents
+),
+l as (
+  select doc_id, cast((i - 1) // 10 as int) as line_no,
+         string_agg(word, ' ' order by i) as line
+  from w group by doc_id, (i - 1) // 10
+),
+d as (
+  select md5(trim(lower(line))) as lk, count(distinct doc_id) as ndocs
+  from l group by 1
+),
+m as (
+  select l.doc_id, l.line_no, l.line, coalesce(d.ndocs, 1) > 1 as is_dup
+  from l left join d on md5(trim(lower(l.line))) = d.lk
+)
+select doc_id,
+  cast(count(*) as bigint) as n_lines,
+  cast(sum(case when is_dup then 1 else 0 end) as bigint) as dropped_lines,
+  coalesce(string_agg(case when not is_dup then line end, chr(10) order by line_no), '') as text_kept
+from m
+group by doc_id
+"""
+
+QUERIES["dedup_lines"] = q_dedup_lines
+ORACLES["dedup_lines"] = O_DEDUP_LINES

@@ -188,3 +188,36 @@ def test_kmeans_lloyd_matches_naive_reference(spark):
     final = assign(C)
     want = {i: int(final[i]) + 1 for i in range(60)}  # centroid_id is 1-based
     assert got == want
+
+
+def test_dedup_lines(spark):
+    from feature_extractor_mbo_lob_spark.operators.dedup import dedup_lines
+
+    rows = [
+        ("d1", "alpha beta\nshared line one\ngamma delta"),
+        ("d2", "shared line one\nunique to d2\nSHARED LINE ONE"),  # case-insensitive match
+        ("d3", "totally unique\nalso unique"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+
+    # 'shared line one' appears in d1 and d2 (twice in d2, case-folded) -> dropped everywhere
+    assert out["d1"]["n_lines"] == 3 and out["d1"]["dropped_lines"] == 1
+    assert out["d1"]["text_kept"] == "alpha beta\ngamma delta"
+    assert out["d2"]["n_lines"] == 3 and out["d2"]["dropped_lines"] == 2
+    assert out["d2"]["text_kept"] == "unique to d2"
+    # untouched doc survives byte-identical
+    assert out["d3"]["dropped_lines"] == 0
+    assert out["d3"]["text_kept"] == rows[2][1]
+
+
+def test_dedup_lines_doc_freq_threshold(spark):
+    from feature_extractor_mbo_lob_spark.operators.dedup import dedup_lines
+
+    rows = [("a", "x\ny"), ("b", "x\nz"), ("c", "x\nw")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # df=3 for 'x': survives at max_doc_freq=3, dropped at 2
+    keep = {r["doc_id"]: r["dropped_lines"] for r in dedup_lines(df, max_doc_freq=3).collect()}
+    drop = {r["doc_id"]: r["dropped_lines"] for r in dedup_lines(df, max_doc_freq=2).collect()}
+    assert keep == {"a": 0, "b": 0, "c": 0}
+    assert drop == {"a": 1, "b": 1, "c": 1}

@@ -127,3 +127,53 @@ def test_flow_volatility_golden(spark):
     assert abs(got[24] - expected(s)) < 1e-12
     assert got[24] > 0.0
     assert got[10] == 0.0  # frame of 11 < 20 events -> gated to 0
+
+
+def test_time_windows_vs_bruteforce(spark, cfg, transcripts):
+    import pandas as pd
+
+    from feature_extractor_mbo_lob_spark.operators import rolling as rl
+
+    H = 3600  # 1h trailing, exercises partial frames on the synthetic spacing
+    out = rl.with_time_windows(transcripts, cfg, horizons_s=(H,)).select(
+        "conv_id", "turn_idx", f"turns_{H}s", f"chars_{H}s", f"tool_frac_{H}s"
+    ).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    raw = transcripts.select("conv_id", "turn_idx", "role", "text", "ts").toPandas()
+    raw["us"] = raw["ts"].astype("int64") // 1000  # ns -> us
+    rows = []
+    for conv, g in raw.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        for _, r in g.iterrows():
+            m = g[(g.us >= r.us - H * 1_000_000) & (g.us <= r.us)]
+            rows.append((conv, r.turn_idx, len(m),
+                         float(m.text.str.len().sum()),
+                         float((m.role == "tool").sum()) / len(m)))
+    exp = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "t", "c", "f"]) \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (out[f"turns_{H}s"].to_numpy() == exp.t.to_numpy()).all()
+    assert (out[f"chars_{H}s"].to_numpy() == exp.c.to_numpy()).all()
+    assert abs(out[f"tool_frac_{H}s"].to_numpy() - exp.f.to_numpy()).max() < 1e-12
+
+
+def test_time_windows_no_leakage(spark, cfg, transcripts):
+    """Shifting every FUTURE row's text must not change any feature row."""
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.operators import rolling as rl
+
+    cols = ["conv_id", "turn_idx", "turns_3600s", "chars_3600s"]
+    base = rl.with_time_windows(transcripts, cfg, horizons_s=(3600,))
+    # mutate text on the LAST turn of every conversation
+    w_last = F.max("turn_idx").over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("conv_id")
+    )
+    mut = transcripts.withColumn("_last", w_last).withColumn(
+        "text", F.when(F.col("turn_idx") == F.col("_last"), F.lit("XXXXXXXXXX")).otherwise(F.col("text"))
+    ).drop("_last")
+    mut_out = rl.with_time_windows(mut, cfg, horizons_s=(3600,))
+    a = base.filter(F.col("turn_idx") < 2).select(*cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    b = mut_out.filter(F.col("turn_idx") < 2).select(*cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    # rows at turn_idx < 2 never include a conversation's last turn here
+    # (every test conv has >= 5 turns), so features must be identical
+    assert a.equals(b)
