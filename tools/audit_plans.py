@@ -209,6 +209,35 @@ def main() -> None:
         forbid=("CartesianProduct",),
     ))
 
+    from feature_extractor_mbo_lob_spark.operators import rolling as rl
+
+    tw = rl.with_time_windows(t, CFG, horizons_s=(3600, 86400))
+    tw_plan = tw._jdf.queryExecution().executedPlan().toString()
+    assert tw_plan.count("Exchange") <= 1, "time windows must reuse one hash(conv_id) exchange"
+    sections.append(summarize(
+        "Trailing wall-clock windows (rangeBetween)",
+        tw,
+        "Both horizons share the single hash(conv_id) exchange and one sort "
+        "on unix_micros(ts) (asserted <=1 exchange); WindowExec advances "
+        "range bounds monotonically, so cost is O(n) per aggregate and "
+        "independent of the horizon width.",
+        forbid=("CartesianProduct",),
+    ))
+
+    lined = t.select(
+        F.col("conv_id").alias("doc_id"),
+        F.regexp_replace("text", " ", "\n").alias("text"),
+    )
+    sections.append(summarize(
+        "Line-level dedup (C4-style)",
+        dedup.dedup_lines(lined),
+        "Explode to (doc, line_no, line); document-frequency aggregates on "
+        "16-byte md5 keys; the dup-key join back is AQE-sized (tiny dup set "
+        "broadcasts at runtime); reassembly is one groupBy(doc) with an "
+        "order-insensitive array_sort(collect_list).",
+        forbid=("CartesianProduct",),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
