@@ -35,6 +35,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_asof",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row's values at the greatest
     right.ts <= left.ts (direction='backward', inclusive) or the smallest
@@ -42,6 +43,13 @@ def asof_join(
 
     Equivalent to DuckDB/pandas ASOF JOIN. Left rows keep all their columns;
     matched values arrive as {col}{suffix} (NULL when no match exists yet).
+
+    ``tolerance_s`` (pandas ``merge_asof(tolerance=...)`` parity): when set,
+    a match further than this many seconds from the left row's ts is
+    discarded — values become NULL, exactly as pandas does. Implemented by
+    also propagating the matched right ts through the same window and
+    gating the outputs afterwards, so the plan stays one shuffle + one sort
+    (no second join, no extra exchange).
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, ts)]
@@ -86,8 +94,22 @@ def asof_join(
     else:
         raise ValueError(f"unknown direction {direction}")
 
+    if tolerance_s is not None:
+        # carry the matched right ts alongside the values (right rows only)
+        u = u.withColumn("_rts", F.when(F.col("_side") == r_tag, F.col(ts)))
+
     for c in value_cols:
         u = u.withColumn(c + suffix, pick(c, ignorenulls=True).over(w))
+
+    if tolerance_s is not None:
+        mts = pick("_rts", ignorenulls=True).over(w)
+        l_us, r_us = ordering.epoch_us(ts), ordering.epoch_us(mts)
+        delta = (l_us - r_us) if direction == "backward" else (r_us - l_us)
+        ok = delta <= F.lit(int(tolerance_s * 1_000_000))
+        for c in value_cols:
+            u = u.withColumn(c + suffix, F.when(ok, F.col(c + suffix)))
+        u = u.drop("_rts")
+
     return u.filter(F.col("_side") == l_tag).drop("_side", *value_cols)
 
 

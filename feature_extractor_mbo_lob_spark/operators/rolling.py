@@ -245,8 +245,7 @@ def with_time_windows(df: DataFrame, cfg: PipelineConfig,
     (each row enters/leaves each frame once), so cost is O(n) per aggregate
     and independent of H; no UDF, no extra shuffle, safe under AQE.
     """
-    us = F.unix_micros(F.col(cfg.ts_col))
-    df = df.withColumn("_us", us)
+    df = df.withColumn("_us", ordering.epoch_us(cfg.ts_col))
     out = df
     tool_flag = F.when(F.col("role") == "tool", 1).otherwise(0)
     chars = F.length(F.col("text")).cast("double")

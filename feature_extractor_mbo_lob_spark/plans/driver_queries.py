@@ -3948,3 +3948,37 @@ group by doc_id
 
 QUERIES["dedup_lines"] = q_dedup_lines
 ORACLES["dedup_lines"] = O_DEDUP_LINES
+
+
+# --- as-of join with match tolerance (pandas merge_asof parity) ----------------
+
+def q_asof_join_tolerance(spark, sf_dir):
+    """Backward as-of join where matches older than 1 day are discarded —
+    pandas merge_asof(tolerance=...) semantics, one shuffle, no extra join."""
+    t = transcripts_from_events(spark, sf_dir)
+    left = t.select("conv_id", "turn_idx", "ts")
+    right = (
+        t.filter(F.col("text").startswith("purchase"))
+        .select("conv_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    out = asof.asof_join(left, right, key="conv_id", ts="ts",
+                         value_cols=["purchase_value"], direction="backward",
+                         tolerance_s=86400.0)
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6(F.col("purchase_value_asof"), "recent_purchase_value"),
+    )
+
+
+O_ASOF_JOIN_TOLERANCE = f"""{_W},
+l as (select conv_id, turn_idx, ts from transcripts),
+r as (select conv_id, ts, value as purchase_value from transcripts
+      where text like 'purchase%')
+select l.conv_id, l.turn_idx,
+  case when epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000
+       then round(r.purchase_value, 6) end as recent_purchase_value
+from l asof left join r on l.conv_id = r.conv_id and l.ts >= r.ts
+"""
+
+QUERIES["asof_join_tolerance"] = q_asof_join_tolerance
+ORACLES["asof_join_tolerance"] = O_ASOF_JOIN_TOLERANCE

@@ -62,6 +62,42 @@ def test_asof_forward(spark, turns):
     assert got[("a", 3)] is None
 
 
+def test_asof_tolerance_backward(spark, turns):
+    right = spark.createDataFrame(
+        [("a", ts(5), 1.0), ("a", ts(12), 2.0)],
+        "conv_id string, ts timestamp, v double",
+    )
+    out = asof.asof_join(turns, right, key="conv_id", ts="ts",
+                         value_cols=["v"], tolerance_s=10.0)
+    got = {(r.conv_id, r.turn_idx): r.v_asof for r in out.collect()}
+    assert got[("a", 1)] == 1.0           # ts 10, match at 5: delta 5 <= 10
+    assert got[("a", 2)] == 2.0           # equal ts: delta 0
+    assert got[("a", 3)] == 2.0           # ts 20, match at 12: delta 8
+    assert got[("a", 4)] is None          # ts 30, match at 12: delta 18 > 10
+    assert got[("a", 6)] is None          # ts 45: delta 33
+
+
+def test_asof_tolerance_matches_pandas(spark, turns):
+    import pandas as pd
+
+    right = spark.createDataFrame(
+        [("a", ts(5), 1.0), ("a", ts(12), 2.0), ("a", ts(45), 3.0)],
+        "conv_id string, ts timestamp, v double",
+    )
+    out = asof.asof_join(turns.select("conv_id", "turn_idx", "ts"), right,
+                         key="conv_id", ts="ts", value_cols=["v"],
+                         tolerance_s=7.0)
+    got = (out.toPandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    lp = (turns.select("conv_id", "turn_idx", "ts").toPandas()
+          .sort_values("ts").reset_index(drop=True))
+    rp = right.toPandas().sort_values("ts").reset_index(drop=True)
+    exp = pd.merge_asof(lp, rp, on="ts", by="conv_id",
+                        tolerance=pd.Timedelta(seconds=7))
+    exp = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["v_asof"].fillna(-1).tolist() == exp["v"].fillna(-1).tolist()
+
+
 def test_ffill_bfill(spark, turns):
     sparse = turns.withColumn(
         "x", F.when(F.col("role") == "tool", F.length("text").cast("double"))
