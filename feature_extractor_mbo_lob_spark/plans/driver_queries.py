@@ -3982,3 +3982,40 @@ from l asof left join r on l.conv_id = r.conv_id and l.ts >= r.ts
 
 QUERIES["asof_join_tolerance"] = q_asof_join_tolerance
 ORACLES["asof_join_tolerance"] = O_ASOF_JOIN_TOLERANCE
+
+
+# --- leakage-free cumulative target encoding ------------------------------------
+
+def q_target_encoding(spark, sf_dir):
+    """Expanding per-tool mean of `value` over strictly earlier rows under
+    the total order (ts, conv_id, turn_idx) — point-in-time target encoding
+    (integer-cent sums, so the expanding aggregate is order-independent)."""
+    from ..operators import encoding
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = encoding.cumulative_target_encoding(
+        t, "tool", "value", ("ts", "conv_id", "turn_idx")
+    )
+    return out.select(
+        "conv_id", "turn_idx", "tool",
+        F.col("tool_rows_before"),
+        _r6x(F.col("tool_te"), "tool_te"),
+    )
+
+
+O_TARGET_ENCODING = f"""{_W}
+select conv_id, turn_idx, tool,
+  cast(cnt as bigint) as tool_rows_before,
+  case when cnt > 0 then {_r6x_sql("s / (100.0 * cnt)")} end as tool_te
+from (
+  select conv_id, turn_idx, tool,
+    count(value) over wte as cnt,
+    sum(cast(round(value * 100, 0) as bigint)) over wte as s
+  from transcripts
+  window wte as (partition by tool order by ts, conv_id, turn_idx
+                 rows between unbounded preceding and 1 preceding)
+) q
+"""
+
+QUERIES["target_encoding"] = q_target_encoding
+ORACLES["target_encoding"] = O_TARGET_ENCODING

@@ -341,3 +341,64 @@ def test_open_tool_queue_matches_simulation(spark, transcripts, cfg):
         assert g.n_active_tools == ntools, (r.conv_id, r.turn_idx)
         want_hhi = ssq / (total * total) if total > 0 else 0.0
         assert abs(g.open_tool_hhi - want_hhi) < 1e-9, (r.conv_id, r.turn_idx)
+
+
+# --- cumulative target encoding -------------------------------------------------
+
+def test_target_encoding_vs_bruteforce(spark):
+    from feature_extractor_mbo_lob_spark.operators import encoding
+
+    rows = []
+    # hot category 'a' (20 rows), cold 'b', NULL category, NULL targets
+    for i in range(20):
+        rows.append(("c%02d" % i, i, "a", float(i) if i % 5 else None, ts(i)))
+    rows += [("cx", 0, "b", 10.0, ts(3)), ("cy", 1, "b", 20.0, ts(7)),
+             ("cz", 2, None, 5.0, ts(1)), ("cw", 3, None, 7.0, ts(9))]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string, value double, ts timestamp"
+    )
+    order = ("ts", "conv_id", "turn_idx")
+    naive = encoding.cumulative_target_encoding(df, "tool", "value", order)
+    chunk = encoding.cumulative_target_encoding_chunked(
+        df, "tool", "value", order, bucket_s=5
+    )
+    key = ["conv_id", "turn_idx"]
+    a = naive.toPandas().sort_values(key).reset_index(drop=True)
+    b = chunk.toPandas().sort_values(key).reset_index(drop=True)[a.columns]
+    assert a.equals(b), "chunked twin must be bit-identical"
+
+    # brute force on the hot category
+    import math
+    got = {r.turn_idx: (r.tool_rows_before, r.tool_te)
+           for r in naive.filter("tool = 'a'").collect()}
+    seen = []
+    for i in range(20):
+        exp_n = len(seen)
+        exp_te = sum(seen) / len(seen) if seen else None
+        n, te = got[i]
+        assert n == exp_n
+        if exp_te is None:
+            assert te is None
+        else:
+            assert math.isclose(te, exp_te, rel_tol=0, abs_tol=1e-12)
+        if i % 5:
+            seen.append(float(i))
+
+    # NULL category forms its own group in BOTH paths
+    got_null = {r.turn_idx: r.tool_rows_before
+                for r in naive.filter("tool is null").collect()}
+    assert got_null == {2: 0, 3: 1}
+
+
+def test_target_encoding_no_self_leak(spark):
+    """A category's first row must be NULL (its own target never leaks)."""
+    from feature_extractor_mbo_lob_spark.operators import encoding
+
+    df = spark.createDataFrame(
+        [("c", 0, "x", 99.0, ts(0))],
+        "conv_id string, turn_idx int, tool string, value double, ts timestamp",
+    )
+    r = encoding.cumulative_target_encoding(
+        df, "tool", "value", ("ts", "conv_id", "turn_idx")
+    ).collect()[0]
+    assert r.tool_rows_before == 0 and r.tool_te is None
