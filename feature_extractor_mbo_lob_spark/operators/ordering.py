@@ -71,3 +71,34 @@ def epoch_us(col: str | Column) -> Column:
     # parquet files often carry TIMESTAMP_NTZ; with the session pinned to UTC
     # this cast is exact and deterministic (unix_micros rejects NTZ directly)
     return F.unix_micros(c.cast("timestamp"))
+
+
+def with_lags(df: DataFrame, cfg: PipelineConfig, cols: list[str],
+              offsets: tuple[int, ...] = (1, 2, 4)) -> DataFrame:
+    """Lagged copies of ``cols`` under the stable order: ``{col}_lag{k}`` is
+    the value k turns earlier in the conversation (NULL inside the warmup).
+
+    The north rule's "lag/lead ... features computed with
+    Window.partitionBy(conv_id).orderBy(turn_idx, ts)" as a first-class
+    bundle. Every lag shares the one stable window spec, so all of them
+    collapse into the engine-wide single exchange + sort.
+    """
+    w = stable_window(cfg)
+    sel = [df["*"]]
+    for c in cols:
+        for k in offsets:
+            sel.append(F.lag(c, k).over(w).alias(f"{c}_lag{k}"))
+    return df.select(*sel)
+
+
+def with_leads(df: DataFrame, cfg: PipelineConfig, cols: list[str],
+               offsets: tuple[int, ...] = (1,)) -> DataFrame:
+    """Forward copies ``{col}_lead{k}`` — label-side ONLY (reads future
+    rows; the temporal-leakage test forbids these in any feature frame,
+    same contract as `forward`)."""
+    w = stable_window(cfg)
+    sel = [df["*"]]
+    for c in cols:
+        for k in offsets:
+            sel.append(F.lead(c, k).over(w).alias(f"{c}_lead{k}"))
+    return df.select(*sel)

@@ -4019,3 +4019,38 @@ from (
 
 QUERIES["target_encoding"] = q_target_encoding
 ORACLES["target_encoding"] = O_TARGET_ENCODING
+
+
+# --- lag/lead bundle -------------------------------------------------------------
+
+def q_lag_features(spark, sf_dir):
+    """Lagged value/char-length bundle (1, 2, 4 turns back) plus a 1-turn
+    lead on the label side — the north rule's lag/lead family; all frames
+    share the engine's single stable window."""
+    t = transcripts_from_events(spark, sf_dir)
+    t = t.withColumn("char_len", F.length("text").cast("double"))
+    out = ordering.with_lags(t, CFG, ["value", "char_len"], offsets=(1, 2, 4))
+    out = ordering.with_leads(out, CFG, ["value"], offsets=(1,))
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6(F.col("value_lag1"), "value_lag1"),
+        _r6(F.col("value_lag2"), "value_lag2"),
+        _r6(F.col("value_lag4"), "value_lag4"),
+        _r6(F.col("char_len_lag1"), "char_len_lag1"),
+        _r6(F.col("value_lead1"), "value_lead1"),
+    )
+
+
+O_LAG_FEATURES = f"""{_W}
+select conv_id, turn_idx,
+  round(lag(value, 1) over w, 6)  as value_lag1,
+  round(lag(value, 2) over w, 6)  as value_lag2,
+  round(lag(value, 4) over w, 6)  as value_lag4,
+  round(lag(cast(length(text) as double), 1) over w, 6) as char_len_lag1,
+  round(lead(value, 1) over w, 6) as value_lead1
+from transcripts
+window w as ({_OWIN})
+"""
+
+QUERIES["lag_features"] = q_lag_features
+ORACLES["lag_features"] = O_LAG_FEATURES

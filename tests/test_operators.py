@@ -402,3 +402,20 @@ def test_target_encoding_no_self_leak(spark):
         df, "tool", "value", ("ts", "conv_id", "turn_idx")
     ).collect()[0]
     assert r.tool_rows_before == 0 and r.tool_te is None
+
+
+def test_with_lags_leads(spark, turns):
+    from feature_extractor_mbo_lob_spark.operators import ordering as od
+
+    out = od.with_lags(turns, CFG, ["turn_idx"], offsets=(1, 2))
+    out = od.with_leads(out, CFG, ["turn_idx"], offsets=(1,))
+    a = {r.turn_idx: (r.turn_idx_lag1, r.turn_idx_lag2, r.turn_idx_lead1)
+         for r in out.filter("conv_id = 'a'").collect()}
+    assert a[0] == (None, None, 1)
+    assert a[2] == (1, 0, 3)
+    assert a[6] == (5, 4, None)
+    # every lag/lead shares ONE window exec: single exchange, single sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    import re
+    assert len(re.findall(r"\bSort \[", plan)) == 1
