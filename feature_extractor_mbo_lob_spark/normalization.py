@@ -177,3 +177,31 @@ def pct_change(col, ref):
 def bilinear(col, mid, k: float, tick: float):
     """TLOB bilinear (p - mid)/(k*tick) (reference: normalization.rs:405-452)."""
     return (F.col(col) - F.col(mid)) / F.lit(k * tick)
+
+
+def quantile_bin(df: DataFrame, col: str, k: int = 10,
+                 bin_col: str | None = None) -> DataFrame:
+    """Equal-frequency discretization into ``k`` bins (0..k-1).
+
+    Two-pass, like the export normalizer above: pass 1 computes the k-1
+    exact interpolated percentile cutpoints as ONE tiny aggregate row
+    (partial-aggregated map-side, no global sort — the ntile() alternative
+    would force the whole table through a single partition); pass 2
+    broadcasts that row and assigns bin = #cutpoints strictly below the
+    value, a pure JVM fold. Ties at a cutpoint all land in the lower bin,
+    which is the deterministic choice both engines agree on.
+    """
+    out = bin_col or f"{col}_bin"
+    qs = [i / k for i in range(1, k)]
+    cuts = df.agg(
+        F.percentile(col, F.array(*[F.lit(q) for q in qs])).alias("_cuts")
+    )
+    assigned = df.join(F.broadcast(cuts))
+    b = F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col(col) > c, 1).otherwise(0),
+    )
+    return assigned.withColumn(
+        out, F.when(F.col(col).isNotNull(), b).cast("int")
+    ).drop("_cuts")

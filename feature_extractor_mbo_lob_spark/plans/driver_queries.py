@@ -4054,3 +4054,44 @@ window w as ({_OWIN})
 
 QUERIES["lag_features"] = q_lag_features
 ORACLES["lag_features"] = O_LAG_FEATURES
+
+
+# --- equal-frequency quantile binning --------------------------------------------
+
+def q_quantile_bins(spark, sf_dir):
+    """Decile-bin `value` corpus-wide (exact interpolated cutpoints,
+    broadcast assignment) and report per-bin occupancy — the balanced-bin
+    property is visible in the oracle-checked counts."""
+    from ..normalization import quantile_bin
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = quantile_bin(t, "value", k=10)
+    return (
+        out.groupBy("value_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _r6(F.min("value"), "lo"),
+            _r6(F.max("value"), "hi"),
+        )
+        .orderBy("value_bin")
+    )
+
+
+O_QUANTILE_BINS = f"""{_W},
+c as (
+  select quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) as cuts
+  from transcripts
+),
+b as (
+  select t.value,
+    case when t.value is not null
+         then cast(len(list_filter(c.cuts, x -> t.value > x)) as int) end as value_bin
+  from transcripts t, c
+)
+select value_bin, cast(count(*) as bigint) as n,
+  round(min(value), 6) as lo, round(max(value), 6) as hi
+from b group by value_bin
+"""
+
+QUERIES["quantile_bins"] = q_quantile_bins
+ORACLES["quantile_bins"] = O_QUANTILE_BINS

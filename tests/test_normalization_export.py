@@ -208,3 +208,21 @@ def test_export_jsonl_shards(spark, tmp_path):
     assert got[7] == "doc 7 text"
     import glob
     assert len(glob.glob(out + "/shard=*")) == 4
+
+
+def test_quantile_bin_balanced(spark):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.normalization import quantile_bin
+
+    vals = [(float(i),) for i in range(1000)] + [(None,)]
+    df = spark.createDataFrame(vals, "x double")
+    out = quantile_bin(df, "x", k=10)
+    counts = {r.x_bin: r.n for r in
+              out.groupBy("x_bin").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts[None] == 1                      # null passes through
+    assert all(counts[b] == 100 for b in range(10))  # perfectly balanced
+    # monotone: higher value never gets a lower bin
+    rows = out.filter("x is not null").orderBy("x").collect()
+    bins = [r.x_bin for r in rows]
+    assert bins == sorted(bins)
