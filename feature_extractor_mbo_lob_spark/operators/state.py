@@ -21,7 +21,7 @@ executors do.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
@@ -135,3 +135,29 @@ def with_seasonality(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         (sec_of_day / F.lit(86400.0)).cast("double").alias("day_progress"),
         F.floor(mins / F.lit(30.0)).cast("int").alias("halfhour_bucket"),
     )
+
+
+def with_distinct_so_far(df: DataFrame, cfg: PipelineConfig,
+                         col: str = "tool",
+                         out_col: str | None = None) -> DataFrame:
+    """Exact running count of distinct non-null ``col`` values seen up to and
+    including the current turn (vocabulary-growth feature).
+
+    Rolling exact distinct needs the whole frame (collect_set is O(n*w));
+    the CUMULATIVE form is O(n): flag each (conv, value)'s first occurrence
+    with row_number()==1, then prefix-sum the flags under the stable order.
+    Two window specs (hash(conv_id, col) then hash(conv_id)) — the flag
+    window's exchange is the only extra cost, and both are plain shuffles
+    with no UDF. NULLs never count.
+    """
+    out = out_col or f"distinct_{col}_so_far"
+    wv = Window.partitionBy(cfg.key_col, col).orderBy(*cfg.order_cols)
+    first = (
+        F.when(F.col(col).isNotNull() & (F.row_number().over(wv) == 1), 1)
+        .otherwise(0)
+    )
+    df = df.withColumn("_first_occ", first)
+    cum = ordering.cumulative(cfg)
+    return df.withColumn(
+        out, F.sum("_first_occ").over(cum).cast("long")
+    ).drop("_first_occ")

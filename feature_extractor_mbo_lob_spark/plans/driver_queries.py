@@ -4095,3 +4095,31 @@ from b group by value_bin
 
 QUERIES["quantile_bins"] = q_quantile_bins
 ORACLES["quantile_bins"] = O_QUANTILE_BINS
+
+
+# --- cumulative distinct count (vocabulary growth) -------------------------------
+
+def q_distinct_tools(spark, sf_dir):
+    """Running count of distinct tools used so far per conversation —
+    first-occurrence flags + prefix sum (exact, O(n), no collect_set)."""
+    t = transcripts_from_events(spark, sf_dir)
+    out = state.with_distinct_so_far(t, CFG, col="tool")
+    return out.select("conv_id", "turn_idx", F.col("distinct_tool_so_far"))
+
+
+O_DISTINCT_TOOLS = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts,
+    case when tool is not null
+          and row_number() over (partition by conv_id, tool
+                                 order by turn_idx, ts) = 1
+         then 1 else 0 end as first_occ
+  from transcripts
+)
+select conv_id, turn_idx,
+  cast(sum(first_occ) over ({_CUM}) as bigint) as distinct_tool_so_far
+from t
+"""
+
+QUERIES["distinct_tools"] = q_distinct_tools
+ORACLES["distinct_tools"] = O_DISTINCT_TOOLS

@@ -83,3 +83,19 @@ def test_sessionization(tiny):
 
 def test_time_regime(tiny):
     assert tiny[("a", 0)].time_regime == 1.0  # 10:00 UTC -> bucket 1 (06-12)
+
+
+def test_distinct_so_far(spark, cfg, transcripts):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.operators import state as st
+
+    out = st.with_distinct_so_far(transcripts, cfg, col="tool")
+    pdf = out.select("conv_id", "turn_idx", "tool", "distinct_tool_so_far") \
+        .toPandas().sort_values(["conv_id", "turn_idx"])
+    for conv, g in pdf.groupby("conv_id"):
+        seen = set()
+        for _, r in g.iterrows():
+            if r.tool is not None:
+                seen.add(r.tool)
+            assert r.distinct_tool_so_far == len(seen), (conv, r.turn_idx)
