@@ -161,3 +161,26 @@ def with_distinct_so_far(df: DataFrame, cfg: PipelineConfig,
     return df.withColumn(
         out, F.sum("_first_occ").over(cum).cast("long")
     ).drop("_first_occ")
+
+
+def with_session_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Per-turn session-relative features on top of `with_sessions`:
+    ``turn_in_session`` (1-based) and ``secs_in_session``.
+
+    Both derive from the cumulative frame alone — position/timestamp of the
+    most recent session start via max-over-cum of start-flagged values — so
+    no second partitioning by (conv, session_id) is needed; everything stays
+    in the one hash(conv_id) window cascade.
+    """
+    df = with_sessions(df, cfg)
+    w = ordering.stable_window(cfg)
+    cum = ordering.cumulative(cfg)
+    us = ordering.epoch_us(cfg.ts_col)
+    rn = F.row_number().over(w)
+    start_rn = F.max(F.when(F.col("is_session_start") == 1.0, rn)).over(cum)
+    start_us = F.max(F.when(F.col("is_session_start") == 1.0, us)).over(cum)
+    return df.select(
+        "*",
+        (rn - start_rn + 1).cast("long").alias("turn_in_session"),
+        ((us - start_us) / 1e6).cast("double").alias("secs_in_session"),
+    )

@@ -4123,3 +4123,46 @@ from t
 
 QUERIES["distinct_tools"] = q_distinct_tools
 ORACLES["distinct_tools"] = O_DISTINCT_TOOLS
+
+
+# --- per-turn session features ---------------------------------------------------
+
+def q_session_features(spark, sf_dir):
+    """Gap-sessionization plus session-relative position/elapsed-time — all
+    from the single cumulative frame (no (conv, session_id) re-shuffle)."""
+    t = transcripts_from_events(spark, sf_dir)
+    out = state.with_session_features(t, CFG)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("turn_in_session"),
+        _r6(F.col("secs_in_session"), "secs_in_session"),
+    )
+
+
+O_SESSION_FEATURES = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts, epoch_us(ts) as eus,
+    case when lag(epoch_us(ts)) over ({_OWIN}) is null
+           or epoch_us(ts) - lag(epoch_us(ts)) over ({_OWIN}) > {int(CFG.session_gap_s * 1e6)}
+         then 1 else 0 end as is_start
+  from transcripts
+),
+s as (
+  select *,
+    sum(is_start) over ({_CUM}) as sid1,
+    max(case when is_start = 1 then rn0 end)
+      over ({_CUM}) as srn,
+    max(case when is_start = 1 then eus end)
+      over ({_CUM}) as sus
+  from (select *, row_number() over ({_OWIN}) as rn0 from t) q
+)
+select conv_id, turn_idx,
+  cast(sid1 - 1 as bigint) as session_id,
+  cast(rn0 - srn + 1 as bigint) as turn_in_session,
+  round((eus - sus) / 1e6, 6) as secs_in_session
+from s
+"""
+
+QUERIES["session_features"] = q_session_features
+ORACLES["session_features"] = O_SESSION_FEATURES

@@ -99,3 +99,28 @@ def test_distinct_so_far(spark, cfg, transcripts):
             if r.tool is not None:
                 seen.add(r.tool)
             assert r.distinct_tool_so_far == len(seen), (conv, r.turn_idx)
+
+
+def test_session_features(spark, cfg, transcripts):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.operators import state as st
+
+    out = st.with_session_features(transcripts, cfg)
+    pdf = out.select("conv_id", "turn_idx", "is_session_start", "session_id",
+                     "turn_in_session", "secs_in_session", "ts") \
+        .toPandas().sort_values(["conv_id", "turn_idx"])
+    for conv, g in pdf.groupby("conv_id"):
+        tis = 0
+        sid = -1
+        start_ts = None
+        for _, r in g.iterrows():
+            if r.is_session_start == 1.0:
+                sid += 1
+                tis = 1
+                start_ts = r.ts
+            else:
+                tis += 1
+            assert r.session_id == sid
+            assert r.turn_in_session == tis
+            assert abs(r.secs_in_session - (r.ts - start_ts).total_seconds()) < 1e-6
