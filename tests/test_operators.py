@@ -419,3 +419,47 @@ def test_with_lags_leads(spark, turns):
     assert plan.count("Exchange") == 1
     import re
     assert len(re.findall(r"\bSort \[", plan)) == 1
+
+
+def test_asof_randomized_vs_pandas(spark):
+    """Randomized (seeded) corpus: backward / forward / tolerance as-of all
+    match pandas merge_asof exactly, including duplicate right timestamps
+    (pandas picks the LAST right row at equal ts for backward — the
+    union-tag sort (_side right-before-left, last() over cum) does too."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 500, 200
+    keys = [f"k{i}" for i in range(8)]
+    lp = pd.DataFrame({
+        "conv_id": rng.choice(keys, n_l),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n_l) * 1_000_000_000),
+        "lid": np.arange(n_l),
+    })
+    rp = pd.DataFrame({
+        "conv_id": rng.choice(keys, n_r),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n_r) * 1_000_000_000),
+        "v": rng.normal(size=n_r).round(3),
+    })
+    # duplicate right timestamps on purpose
+    rp = pd.concat([rp, rp.head(20).assign(v=lambda d: d.v + 100)], ignore_index=True)
+    rp = rp.sort_values(["ts", "v"], kind="mergesort").reset_index(drop=True)
+
+    ldf = spark.createDataFrame(lp)
+    rdf = spark.createDataFrame(rp)
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 500.0):
+            got = asof.asof_join(ldf, rdf, key="conv_id", ts="ts",
+                                 value_cols=["v"], direction=direction,
+                                 tolerance_s=tol)
+            g = (got.select("lid", "v_asof").toPandas()
+                 .sort_values("lid").reset_index(drop=True))
+            kw = {"tolerance": pd.Timedelta(seconds=tol)} if tol else {}
+            exp = pd.merge_asof(
+                lp.sort_values("ts", kind="mergesort"), rp,
+                on="ts", by="conv_id", direction=direction, **kw
+            ).sort_values("lid").reset_index(drop=True)
+            assert g["v_asof"].fillna(-9e9).tolist() == \
+                exp["v"].fillna(-9e9).tolist(), (direction, tol)
