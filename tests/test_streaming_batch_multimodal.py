@@ -242,3 +242,54 @@ def test_real_codecs_roundtrip(spark):
     r = out[11]  # bmp
     assert r.fmt == "bmp" and r.width == 4 * (1 + 11 % 6)
     assert r.n_units == r.width * r.height * 3
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed count with a 5 s watermark across TWO
+    availableNow runs sharing one checkpoint: the watermark persists in the
+    checkpoint, so a row arriving in run 2 that is far behind it must be
+    dropped — the finalized [0,10) window is emitted exactly once with only
+    the on-time rows."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows_a = [
+        ("a", 0, "user", "x", None, ts(0)),
+        ("a", 1, "user", "y", None, ts(5)),
+        ("a", 2, "user", "flush1", None, ts(10_000)),
+    ]
+    rows_b = [
+        ("a", 3, "user", "LATE", None, ts(2)),         # behind watermark
+        ("a", 4, "user", "flush2", None, ts(20_000)),
+    ]
+    dfa = spark.createDataFrame(rows_a, schema=TRANSCRIPT_SCHEMA)
+    dfb = spark.createDataFrame(rows_b, schema=TRANSCRIPT_SCHEMA)
+
+    sink = str(tmp_path / "sink")
+
+    def run():
+        stream_in = spark.readStream.schema(dfa.schema).parquet(src)
+        out = (
+            stream_in.withWatermark("ts", "5 seconds")
+            .groupBy(F.window("ts", "10 seconds").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            out.writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return [(r.w.start, r.n) for r in spark.read.parquet(sink).collect()]
+
+    dfa.coalesce(1).write.mode("overwrite").parquet(src)
+    run()
+    dfb.coalesce(1).write.mode("append").parquet(src)
+    emitted = run()          # cumulative: file sink appends across both runs
+
+    zero_win = [n for (start, n) in emitted if start == ts(0)]
+    # the on-time window is emitted exactly once, with ONLY the 2 on-time
+    # rows — the checkpointed watermark dropped the late row in run 2, so it
+    # neither re-opened nor inflated the finalized window
+    assert zero_win == [2], emitted
+    # flush1's window finalizes once run 2 advances the watermark past it
+    assert emitted.count((ts(10_000), 1)) == 1, emitted
