@@ -348,3 +348,32 @@ def bigram_logprob(
             "mean_logprob"
         ),
     )
+
+
+def balance_classes(
+    df: DataFrame,
+    class_col: str,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic class rebalancing: downsample every class to the
+    minority class's size (in expectation) with the same md5-bucket
+    Bernoulli as `stratified_hash_sample`, but the per-class keep fraction
+    is COMPUTED from the data (min_count/count) instead of given.
+
+    Thresholds use pure integer math — (buckets * min) div count — so the
+    keep set is bit-reproducible across runs and engines. Plan: one
+    O(|classes|) aggregate, one 1-row min, one broadcast join; no collect,
+    no window, the big table is touched once.
+    """
+    cnts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("_n"))
+    mn = cnts.agg(F.min("_n").alias("_m"))
+    th = cnts.join(F.broadcast(mn)).select(
+        class_col,
+        F.expr(f"({int(buckets)} * _m) div _n").alias("_thresh"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
+        .cast("long") % buckets
+    )
+    return df.join(F.broadcast(th), class_col).filter(bucket < F.col("_thresh")).drop("_thresh")

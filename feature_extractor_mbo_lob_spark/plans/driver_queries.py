@@ -4166,3 +4166,41 @@ from s
 
 QUERIES["session_features"] = q_session_features
 ORACLES["session_features"] = O_SESSION_FEATURES
+
+
+# --- deterministic class rebalancing ---------------------------------------------
+
+def q_balance_classes(spark, sf_dir):
+    """Downsample every role to the minority role's count in expectation —
+    data-derived per-class thresholds in exact integer math, md5-bucket
+    keep rule (bit-reproducible across engines)."""
+    from ..functions.corpus import balance_classes
+
+    t = transcripts_from_events(spark, sf_dir).withColumn(
+        "row_id", F.concat_ws(":", "conv_id", "turn_idx")
+    )
+    out = balance_classes(t, "role", id_col="row_id")
+    return (
+        out.groupBy("role")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .orderBy("role")
+    )
+
+
+O_BALANCE_CLASSES = f"""{_W},
+c as (select role, count(*) as n from transcripts group by role),
+m as (select min(n) as mn from c),
+th as (select role, (10000 * m.mn) // c.n as thresh from c, m),
+v as (
+  select t.role, th.thresh,
+    md5(conv_id || ':' || cast(turn_idx as varchar)) as h
+  from transcripts t join th using (role)
+)
+select role, cast(count(*) as bigint) as n_kept
+from v
+where ({_HEX7}) % 10000 < thresh
+group by role
+"""
+
+QUERIES["balance_classes"] = q_balance_classes
+ORACLES["balance_classes"] = O_BALANCE_CLASSES

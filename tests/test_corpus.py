@@ -129,3 +129,23 @@ def test_stratified_hash_sample(spark):
     b = sorted(r.doc_id for r in corpus.stratified_hash_sample(
         df.repartition(7), {"en": 0.1, "zh": 0.5}, default_frac=0.9).collect())
     assert a == b
+
+
+def test_balance_classes(spark):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.functions.corpus import balance_classes
+
+    rows = [(f"id{i}", "major") for i in range(900)] + \
+           [(f"m{i}", "minor") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, cls string")
+    out = balance_classes(df, "cls", id_col="doc_id")
+    got = {r.cls: r.n for r in
+           out.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # minority kept whole (thresh == buckets); majority near the minority size
+    assert got["minor"] == 100
+    assert 70 <= got["major"] <= 130
+    # deterministic: same input -> identical keep set
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in balance_classes(df, "cls", id_col="doc_id").collect())
+    assert ids1 == ids2
