@@ -38,8 +38,9 @@ def asof_join(
     tolerance_s: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row's values at the greatest
-    right.ts <= left.ts (direction='backward', inclusive) or the smallest
-    right.ts >= left.ts ('forward'), per key.
+    right.ts <= left.ts (direction='backward', inclusive), the smallest
+    right.ts >= left.ts ('forward'), or whichever of the two is closer in
+    time ('nearest', backward wins exact-distance ties like pandas), per key.
 
     Equivalent to DuckDB/pandas ASOF JOIN. Left rows keep all their columns;
     matched values arrive as {col}{suffix} (NULL when no match exists yet).
@@ -49,14 +50,26 @@ def asof_join(
     discarded — values become NULL, exactly as pandas does. Implemented by
     also propagating the matched right ts through the same window and
     gating the outputs afterwards, so the plan stays one shuffle + one sort
-    (no second join, no extra exchange).
+    (no second join, no extra exchange). 'nearest' likewise: both frame
+    directions run over the SAME sorted partition, so it is still a single
+    shuffle.
+
+    Determinism note: results are deterministic when the right side is
+    unique per (key, ts) — with exact duplicates the within-peer pick is
+    sort-tie dependent (pandas has the same caveat via input order).
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, ts)]
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction}")
+
     # tag: right rows must sort BEFORE left rows at equal ts for backward
-    # (inclusive match), AFTER for forward
-    l_tag, r_tag = (1, 0) if direction == "backward" else (0, 1)
+    # (inclusive match), AFTER for forward. 'nearest' uses backward tags:
+    # an equal-ts right row lands in the backward frame with distance 0,
+    # which beats any forward candidate, so the forward frame never needs
+    # to see it.
+    l_tag, r_tag = (1, 0) if direction in ("backward", "nearest") else (0, 1)
 
     lhs = left.withColumn("_side", F.lit(l_tag))
     for c in value_cols:
@@ -77,39 +90,45 @@ def asof_join(
         rhs.select(*left_cols, "_side", *value_cols)
     )
 
-    if direction == "backward":
-        w = (
-            Window.partitionBy(key)
-            .orderBy(F.col(ts).asc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        pick = F.last
-    elif direction == "forward":
-        w = (
-            Window.partitionBy(key)
-            .orderBy(F.col(ts).asc(), F.col("_side").asc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        pick = F.first
-    else:
-        raise ValueError(f"unknown direction {direction}")
+    ordered = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col("_side").asc())
+    cum = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    if tolerance_s is not None:
+    need_rts = tolerance_s is not None or direction == "nearest"
+    if need_rts:
         # carry the matched right ts alongside the values (right rows only)
         u = u.withColumn("_rts", F.when(F.col("_side") == r_tag, F.col(ts)))
 
-    for c in value_cols:
-        u = u.withColumn(c + suffix, pick(c, ignorenulls=True).over(w))
+    tol_us = None if tolerance_s is None else F.lit(int(tolerance_s * 1_000_000))
 
-    if tolerance_s is not None:
-        mts = pick("_rts", ignorenulls=True).over(w)
-        l_us, r_us = ordering.epoch_us(ts), ordering.epoch_us(mts)
-        delta = (l_us - r_us) if direction == "backward" else (r_us - l_us)
-        ok = delta <= F.lit(int(tolerance_s * 1_000_000))
+    if direction == "nearest":
+        l_us = ordering.epoch_us(ts)
+        b_us = ordering.epoch_us(F.last("_rts", ignorenulls=True).over(cum))
+        f_us = ordering.epoch_us(F.first("_rts", ignorenulls=True).over(fwd))
+        bd, fd = l_us - b_us, f_us - l_us
+        use_b = f_us.isNull() | (b_us.isNotNull() & (bd <= fd))
         for c in value_cols:
-            u = u.withColumn(c + suffix, F.when(ok, F.col(c + suffix)))
-        u = u.drop("_rts")
+            bv = F.last(c, ignorenulls=True).over(cum)
+            fv = F.first(c, ignorenulls=True).over(fwd)
+            u = u.withColumn(c + suffix, F.when(use_b, bv).otherwise(fv))
+        if tol_us is not None:
+            ok = F.when(use_b, bd).otherwise(fd) <= tol_us
+            for c in value_cols:
+                u = u.withColumn(c + suffix, F.when(ok, F.col(c + suffix)))
+    else:
+        w, pick = (cum, F.last) if direction == "backward" else (fwd, F.first)
+        for c in value_cols:
+            u = u.withColumn(c + suffix, pick(c, ignorenulls=True).over(w))
+        if tol_us is not None:
+            mts = pick("_rts", ignorenulls=True).over(w)
+            l_us, r_us = ordering.epoch_us(ts), ordering.epoch_us(mts)
+            delta = (l_us - r_us) if direction == "backward" else (r_us - l_us)
+            ok = delta <= tol_us
+            for c in value_cols:
+                u = u.withColumn(c + suffix, F.when(ok, F.col(c + suffix)))
 
+    if need_rts:
+        u = u.drop("_rts")
     return u.filter(F.col("_side") == l_tag).drop("_side", *value_cols)
 
 

@@ -4204,3 +4204,48 @@ group by role
 
 QUERIES["balance_classes"] = q_balance_classes
 ORACLES["balance_classes"] = O_BALANCE_CLASSES
+
+
+# --- nearest-direction as-of join ------------------------------------------------
+
+def q_asof_join_nearest(spark, sf_dir):
+    """merge_asof(direction='nearest'): whichever purchase is closer in
+    time, before or after; backward wins exact ties. Single shuffle — both
+    frame directions run over one sorted partition."""
+    t = transcripts_from_events(spark, sf_dir)
+    left = t.select("conv_id", "turn_idx", "ts")
+    right = (
+        t.filter(F.col("text").startswith("purchase"))
+        .select("conv_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    out = asof.asof_join(left, right, key="conv_id", ts="ts",
+                         value_cols=["purchase_value"], direction="nearest")
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6(F.col("purchase_value_asof"), "nearest_purchase_value"),
+    )
+
+
+O_ASOF_JOIN_NEAREST = f"""{_W},
+l as (select conv_id, turn_idx, ts from transcripts),
+r as (select conv_id, ts, value as purchase_value from transcripts
+      where text like 'purchase%'),
+b as (
+  select l.conv_id, l.turn_idx, l.ts, r.ts as bts, r.purchase_value as bv
+  from l asof left join r on l.conv_id = r.conv_id and l.ts >= r.ts
+),
+f as (
+  select l.conv_id, l.turn_idx, r.ts as fts, r.purchase_value as fv
+  from l asof left join r on l.conv_id = r.conv_id and l.ts <= r.ts
+)
+select b.conv_id, b.turn_idx,
+  round(case when f.fts is null
+               or (b.bts is not null
+                   and epoch_us(b.ts) - epoch_us(b.bts)
+                       <= epoch_us(f.fts) - epoch_us(b.ts))
+             then b.bv else f.fv end, 6) as nearest_purchase_value
+from b join f using (conv_id, turn_idx)
+"""
+
+QUERIES["asof_join_nearest"] = q_asof_join_nearest
+ORACLES["asof_join_nearest"] = O_ASOF_JOIN_NEAREST

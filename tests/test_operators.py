@@ -449,7 +449,7 @@ def test_asof_randomized_vs_pandas(spark):
     ldf = spark.createDataFrame(lp)
     rdf = spark.createDataFrame(rp)
 
-    for direction in ("backward", "forward"):
+    for direction in ("backward", "forward", "nearest"):
         for tol in (None, 500.0):
             got = asof.asof_join(ldf, rdf, key="conv_id", ts="ts",
                                  value_cols=["v"], direction=direction,
