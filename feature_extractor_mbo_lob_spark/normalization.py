@@ -205,3 +205,29 @@ def quantile_bin(df: DataFrame, col: str, k: int = 10,
     return assigned.withColumn(
         out, F.when(F.col(col).isNotNull(), b).cast("int")
     ).drop("_cuts")
+
+
+def winsorize(df: DataFrame, cols: list[str], p_lo: float = 0.01,
+              p_hi: float = 0.99, out_suffix: str = "_w") -> DataFrame:
+    """Percentile clipping (winsorization): values below the p_lo / above
+    the p_hi exact interpolated percentile are clamped to it.
+
+    Same two-pass shape as `quantile_bin`: the cutpoints are one tiny
+    aggregate row broadcast back onto the table; the clamp itself is
+    greatest/least, pure JVM. Outlier-robust normalization for heavy-tailed
+    features without sorting the big table.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.percentile(c, F.lit(p_lo)).alias(f"_lo_{c}"),
+            F.percentile(c, F.lit(p_hi)).alias(f"_hi_{c}"),
+        ]
+    cuts = df.agg(*aggs)
+    out = df.join(F.broadcast(cuts))
+    for c in cols:
+        out = out.withColumn(
+            c + out_suffix,
+            F.least(F.greatest(F.col(c), F.col(f"_lo_{c}")), F.col(f"_hi_{c}")),
+        )
+    return out.drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])

@@ -265,3 +265,80 @@ def with_time_windows(df: DataFrame, cfg: PipelineConfig,
             (n.cast("double") / F.lit(float(h))).alias("turn_rate" + sfx),
         )
     return out.drop("_us")
+
+
+def with_rolling_corr(df: DataFrame, cfg: PipelineConfig, x: Column, y: Column,
+                      window: int, out_col: str = "roll_corr") -> DataFrame:
+    """Pearson correlation of two INTEGER-VALUED series over the trailing
+    count frame, from five exact integer frame sums (n, Sx, Sy, Sxx, Syy,
+    Sxy) — order-independent bigint arithmetic, so the float work is one
+    closed-form expression on identical operands in any engine.
+
+    NULL when the frame has <2 rows or either variance is 0. Callers must
+    integerize their inputs first (char counts are already integers; money
+    goes through the cent trick) — that is what makes the oracle exact.
+    Per-conversation frames keep every sum far below 2^63.
+    """
+    fr = ordering.trailing(cfg, window)
+    xi = x.cast("long")
+    yi = y.cast("long")
+    n = F.count(F.lit(1)).over(fr)
+    sx = F.sum(xi).over(fr)
+    sy = F.sum(yi).over(fr)
+    sxx = F.sum(xi * xi).over(fr)
+    syy = F.sum(yi * yi).over(fr)
+    sxy = F.sum(xi * yi).over(fr)
+    cov_n = (n * sxy - sx * sy).cast("double")
+    vx_n = (n * sxx - sx * sx).cast("double")
+    vy_n = (n * syy - sy * sy).cast("double")
+    corr = F.when(
+        (n >= 2) & (vx_n > 0) & (vy_n > 0),
+        cov_n / F.sqrt(vx_n * vy_n),
+    )
+    return df.withColumn(out_col, corr)
+
+
+def with_ewma(df: DataFrame, cfg: PipelineConfig, col: str,
+              alpha: float = 0.125, out_col: str | None = None) -> DataFrame:
+    """Exponentially-weighted moving average per conversation:
+    e_0 = x_0; e_i = alpha*x_i + (1-alpha)*e_{i-1}.
+
+    A true sequential recurrence — the honest mapping is the sanctioned
+    pandas UDAF (SURVEY §2.11), with the same hash-bucket super-grouping as
+    triple_barrier so many conversations ride one Arrow batch. The step is
+    literally `alpha*x + (1-alpha)*e` in float64, which a recursive-CTE
+    oracle reproduces bit-for-bit (same IEEE ops per step; the default
+    alpha=0.125 is a power of two, so the literals are exact). The
+    vectorized "(1-a)^i prefix" closed form is NOT used: it reassociates
+    the float math and breaks cross-engine parity.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out = out_col or f"{col}_ewma"
+    key = cfg.key_col
+    order_cols = list(cfg.order_cols)
+    a, b = float(alpha), 1.0 - float(alpha)
+
+    schema = StructType(df.schema.fields + [StructField(out, DoubleType())])
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    nb = max(sp * 4, 64)
+    bucketed = df.withColumn("_ewb", F.pmod(F.xxhash64(key), F.lit(nb)).cast("int"))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_ewb"])
+        parts = []
+        for _, g in pdf.groupby(key, sort=False):
+            g = g.sort_values(order_cols, kind="mergesort").copy()
+            x = g[col].to_numpy(dtype=np.float64)
+            e = np.empty_like(x)
+            if len(x):
+                e[0] = x[0]
+                for i in range(1, len(x)):
+                    e[i] = a * x[i] + b * e[i - 1]
+            g[out] = e
+            parts.append(g)
+        return pd.concat(parts, ignore_index=True)
+
+    return bucketed.groupBy("_ewb").applyInPandas(fn, schema=schema)

@@ -4249,3 +4249,100 @@ from b join f using (conv_id, turn_idx)
 
 QUERIES["asof_join_nearest"] = q_asof_join_nearest
 ORACLES["asof_join_nearest"] = O_ASOF_JOIN_NEAREST
+
+
+# --- winsorization ---------------------------------------------------------------
+
+def q_winsorize(spark, sf_dir):
+    """Percentile clipping of `value` at p01/p99 — two-pass cutpoints +
+    broadcast clamp (no global sort)."""
+    from ..normalization import winsorize
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = winsorize(t, ["value"], p_lo=0.01, p_hi=0.99)
+    return out.select("conv_id", "turn_idx", _r6x(F.col("value_w"), "value_w"))
+
+
+O_WINSORIZE = f"""{_W},
+c as (
+  select quantile_cont(value, 0.01) as lo, quantile_cont(value, 0.99) as hi
+  from transcripts
+)
+select conv_id, turn_idx,
+  {_r6x_sql("least(greatest(value, c.lo), c.hi)")} as value_w
+from transcripts, c
+"""
+
+QUERIES["winsorize"] = q_winsorize
+ORACLES["winsorize"] = O_WINSORIZE
+
+
+# --- rolling correlation (exact integer frame sums) ------------------------------
+
+def q_rolling_corr(spark, sf_dir):
+    """Pearson corr of turn length vs value-cents over the trailing 32
+    turns: five exact bigint frame sums, one closed-form float expression —
+    the same integer-exactness discipline as the rest of the rolling
+    family, so the oracle is bit-stable."""
+    t = transcripts_from_events(spark, sf_dir)
+    out = rolling.with_rolling_corr(
+        t, CFG,
+        x=F.length("text"),
+        y=F.round(F.col("value") * 100, 0),
+        window=32,
+    )
+    return out.select("conv_id", "turn_idx", _r6x(F.col("roll_corr"), "roll_corr"))
+
+
+O_ROLLING_CORR = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts,
+    cast(length(text) as bigint) as x,
+    cast(round(value * 100, 0) as bigint) as y
+  from transcripts
+),
+s as (
+  select conv_id, turn_idx,
+    count(*) over f as n, sum(x) over f as sx, sum(y) over f as sy,
+    sum(x*x) over f as sxx, sum(y*y) over f as syy, sum(x*y) over f as sxy
+  from t
+  window f as ({_OWIN} rows between 31 preceding and current row)
+)
+select conv_id, turn_idx,
+  case when n >= 2 and (n*sxx - sx*sx) > 0 and (n*syy - sy*sy) > 0
+       then {_r6x_sql("cast(n*sxy - sx*sy as double) / sqrt(cast(n*sxx - sx*sx as double) * cast(n*syy - sy*sy as double))")}
+  end as roll_corr
+from s
+"""
+
+QUERIES["rolling_corr"] = q_rolling_corr
+ORACLES["rolling_corr"] = O_ROLLING_CORR
+
+
+# --- EWMA (sequential recurrence, pandas UDAF + recursive-CTE oracle) ------------
+
+def q_ewma(spark, sf_dir):
+    """EWMA of `value` per conversation (alpha = 1/8). The per-step float
+    ops are identical in the kernel and the recursive CTE, so the hash is
+    exact despite the sequential recurrence."""
+    t = transcripts_from_events(spark, sf_dir)
+    out = rolling.with_ewma(t, CFG, "value", alpha=0.125)
+    return out.select("conv_id", "turn_idx", _r6x(F.col("value_ewma"), "value_ewma"))
+
+
+O_EWMA = f"""with recursive {ORACLE_TRANSCRIPTS_CTE},
+t as (
+  select conv_id, turn_idx, value as x, row_number() over ({_OWIN}) as rn
+  from transcripts
+),
+walk as (
+  select conv_id, rn, turn_idx, x as e from t where rn = 1
+  union all
+  select t.conv_id, t.rn, t.turn_idx, 0.125 * t.x + 0.875 * w.e
+  from walk w join t on t.conv_id = w.conv_id and t.rn = w.rn + 1
+)
+select conv_id, turn_idx, {_r6x_sql("e")} as value_ewma from walk
+"""
+
+QUERIES["ewma"] = q_ewma
+ORACLES["ewma"] = O_EWMA

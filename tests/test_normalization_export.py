@@ -226,3 +226,17 @@ def test_quantile_bin_balanced(spark):
     rows = out.filter("x is not null").orderBy("x").collect()
     bins = [r.x_bin for r in rows]
     assert bins == sorted(bins)
+
+
+def test_winsorize(spark):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.normalization import winsorize
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
+    out = winsorize(df, ["x"], p_lo=0.10, p_hi=0.90)
+    stats = out.agg(F.min("x_w"), F.max("x_w"), F.count(F.lit(1))).collect()[0]
+    assert stats[0] == 10.0 and stats[1] == 90.0 and stats[2] == 101
+    # interior values untouched
+    mid = out.filter("x = 50.0").collect()[0]
+    assert mid.x_w == 50.0

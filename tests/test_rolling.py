@@ -177,3 +177,45 @@ def test_time_windows_no_leakage(spark, cfg, transcripts):
     # rows at turn_idx < 2 never include a conversation's last turn here
     # (every test conv has >= 5 turns), so features must be identical
     assert a.equals(b)
+
+
+def test_rolling_corr_vs_numpy(spark, cfg, transcripts):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.operators import rolling as rl
+
+    W = 8
+    out = rl.with_rolling_corr(
+        transcripts, cfg, x=F.length("text"), y=F.col("turn_idx"), window=W
+    ).select("conv_id", "turn_idx", "roll_corr").toPandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    raw = transcripts.selectExpr("conv_id", "turn_idx", "length(text) as x") \
+        .toPandas().sort_values(["conv_id", "turn_idx"])
+    exp = {}
+    for conv, g in raw.groupby("conv_id"):
+        xs, ys = g.x.tolist(), g.turn_idx.tolist()
+        for i in range(len(xs)):
+            fx = np.array(xs[max(0, i - W + 1): i + 1], dtype=float)
+            fy = np.array(ys[max(0, i - W + 1): i + 1], dtype=float)
+            if len(fx) >= 2 and fx.std() > 0 and fy.std() > 0:
+                exp[(conv, ys[i])] = float(np.corrcoef(fx, fy)[0, 1])
+            else:
+                exp[(conv, ys[i])] = None
+    for _, r in out.iterrows():
+        e = exp[(r.conv_id, r.turn_idx)]
+        if e is None:
+            assert r.roll_corr is None or np.isnan(r.roll_corr)
+        else:
+            assert abs(r.roll_corr - e) < 1e-9
+
+
+def test_ewma_matches_pandas(spark, cfg, transcripts):
+    from feature_extractor_mbo_lob_spark.operators import rolling as rl
+
+    out = rl.with_ewma(transcripts, cfg, "turn_idx", alpha=0.25) \
+        .select("conv_id", "turn_idx", "turn_idx_ewma").toPandas() \
+        .sort_values(["conv_id", "turn_idx"])
+    for conv, g in out.groupby("conv_id"):
+        exp = g.turn_idx.astype(float).ewm(alpha=0.25, adjust=False).mean()
+        assert (abs(g.turn_idx_ewma.to_numpy() - exp.to_numpy()) < 1e-12).all()
