@@ -4346,3 +4346,40 @@ select conv_id, turn_idx, {_r6x_sql("e")} as value_ewma from walk
 
 QUERIES["ewma"] = q_ewma
 ORACLES["ewma"] = O_EWMA
+
+
+# --- multi-granularity rollup report ---------------------------------------------
+
+def q_source_rollup(spark, sf_dir):
+    """Token totals at (source, lang), per-source, and grand-total
+    granularity in ONE pass — Spark rollup() == SQL GROUP BY ROLLUP, a
+    partial-aggregable single shuffle (no union of three aggregations)."""
+    from ..functions import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(tx.token_count_ws("text")).cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            "n_docs", "n_tokens",
+        )
+    )
+
+
+O_SOURCE_ROLLUP = """
+select
+  coalesce(source, '<all>') as source,
+  coalesce(lang, '<all>') as lang,
+  cast(count(*) as bigint) as n_docs,
+  cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens
+from documents
+group by rollup (source, lang)
+"""
+
+QUERIES["source_rollup"] = q_source_rollup
+ORACLES["source_rollup"] = O_SOURCE_ROLLUP
