@@ -4383,3 +4383,36 @@ group by rollup (source, lang)
 
 QUERIES["source_rollup"] = q_source_rollup
 ORACLES["source_rollup"] = O_SOURCE_ROLLUP
+
+
+# --- pivoted role matrix ---------------------------------------------------------
+
+def q_role_pivot(spark, sf_dir):
+    """Per-conversation role-count matrix via pivot with EXPLICIT values
+    (no distinct-discovery driver job) — one partial-aggregable shuffle;
+    the oracle is the equivalent conditional aggregation."""
+    t = transcripts_from_events(spark, sf_dir)
+    return (
+        t.groupBy("conv_id")
+        .pivot("role", ["user", "assistant", "tool"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "conv_id",
+            F.coalesce(F.col("user"), F.lit(0)).cast("long").alias("n_user"),
+            F.coalesce(F.col("assistant"), F.lit(0)).cast("long").alias("n_assistant"),
+            F.coalesce(F.col("tool"), F.lit(0)).cast("long").alias("n_tool"),
+        )
+    )
+
+
+O_ROLE_PIVOT = f"""{_W}
+select conv_id,
+  cast(sum(case when role = 'user' then 1 else 0 end) as bigint) as n_user,
+  cast(sum(case when role = 'assistant' then 1 else 0 end) as bigint) as n_assistant,
+  cast(sum(case when role = 'tool' then 1 else 0 end) as bigint) as n_tool
+from transcripts
+group by conv_id
+"""
+
+QUERIES["role_pivot"] = q_role_pivot
+ORACLES["role_pivot"] = O_ROLE_PIVOT
