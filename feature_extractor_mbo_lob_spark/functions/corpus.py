@@ -369,11 +369,17 @@ def balance_classes(
     cnts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("_n"))
     mn = cnts.agg(F.min("_n").alias("_m"))
     th = cnts.join(F.broadcast(mn)).select(
-        class_col,
+        F.col(class_col).alias("_cc"),
         F.expr(f"({int(buckets)} * _m) div _n").alias("_thresh"),
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
         .cast("long") % buckets
     )
-    return df.join(F.broadcast(th), class_col).filter(bucket < F.col("_thresh")).drop("_thresh")
+    # eqNullSafe: a NULL class is a real stratum (groupBy counts it as one,
+    # so the join back must reach it too)
+    return (
+        df.join(F.broadcast(th), df[class_col].eqNullSafe(th["_cc"]))
+        .filter(bucket < F.col("_thresh"))
+        .drop("_cc", "_thresh")
+    )

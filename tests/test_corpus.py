@@ -149,3 +149,10 @@ def test_balance_classes(spark):
     ids1 = sorted(r.doc_id for r in out.collect())
     ids2 = sorted(r.doc_id for r in balance_classes(df, "cls", id_col="doc_id").collect())
     assert ids1 == ids2
+    # NULL class is a real stratum, not silently dropped
+    rows_n = rows + [(f"n{i}", None) for i in range(50)]
+    dfn = spark.createDataFrame(rows_n, "doc_id string, cls string")
+    outn = balance_classes(dfn, "cls", id_col="doc_id")
+    gotn = {r.cls: r.n for r in
+            outn.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert None in gotn and gotn[None] == 50  # minority now: kept whole
