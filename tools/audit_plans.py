@@ -238,6 +238,34 @@ def main() -> None:
         forbid=("CartesianProduct",),
     ))
 
+    near = asof.asof_join(
+        t.select("conv_id", "turn_idx", "ts"),
+        t.select("conv_id", "ts", F.length("text").alias("v")),
+        key="conv_id", ts="ts", value_cols=["v"], direction="nearest",
+    )
+    near_plan = near._jdf.queryExecution().executedPlan().toString()
+    assert near_plan.count("Window [") <= 2, "nearest must fuse frames into shared Window execs"
+    sections.append(summarize(
+        "Nearest as-of join",
+        near,
+        "Backward and forward candidate frames run over ONE sorted "
+        "partition — all window expressions fuse into a single Window exec "
+        "over the union (asserted), so 'nearest' costs the same single "
+        "shuffle as 'backward'.",
+        forbid=("CartesianProduct",),
+    ))
+
+    corr = rl.with_rolling_corr(
+        t, CFG, x=F.length("text"), y=F.col("turn_idx"), window=32
+    )
+    sections.append(summarize(
+        "Rolling correlation (integer frame sums)",
+        corr,
+        "Five bigint frame sums share the stable window spec (one exchange, "
+        "one sort); the float work is a single closed-form projection.",
+        forbid=("CartesianProduct",),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
