@@ -184,3 +184,30 @@ def with_session_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         (rn - start_rn + 1).cast("long").alias("turn_in_session"),
         ((us - start_us) / 1e6).cast("double").alias("secs_in_session"),
     )
+
+
+def with_cusum(df: DataFrame, cfg: PipelineConfig, col,
+               k: float, threshold: float,
+               out_prefix: str = "cusum") -> DataFrame:
+    """One-sided CUSUM drift statistic per conversation:
+    s_i = max(0, s_{i-1} + (x_i - k)), alarm when s_i >= threshold.
+
+    The max(0, .) reset looks like a sequential recurrence, but it is the
+    drawdown identity: s_i = C_i - min(0, min_{j<=i} C_j) with
+    C = cumsum(x - k) — a prefix sum and a prefix min, both O(n) in the one
+    stable window cascade, no UDF and no recursive walk (contrast with the
+    volume sampler, whose reset-to-zero-on-fire genuinely needs recursion
+    because the reset value feeds back into the threshold test).
+
+    With integer-valued x and k, every intermediate is an exact integer in
+    doubles, so the oracle is bit-stable.
+    """
+    cum = ordering.cumulative(cfg)
+    x = F.col(col) if isinstance(col, str) else col
+    df = df.withColumn("_cus", F.sum(x - F.lit(float(k))).over(cum))
+    s = F.col("_cus") - F.least(F.lit(0.0), F.min("_cus").over(cum))
+    return df.select(
+        "*",
+        s.cast("double").alias(f"{out_prefix}_stat"),
+        (s >= F.lit(float(threshold))).cast("int").alias(f"{out_prefix}_alarm"),
+    ).drop("_cus")

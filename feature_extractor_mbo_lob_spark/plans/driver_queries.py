@@ -4416,3 +4416,38 @@ group by conv_id
 
 QUERIES["role_pivot"] = q_role_pivot
 ORACLES["role_pivot"] = O_ROLE_PIVOT
+
+
+# --- CUSUM drift detection -------------------------------------------------------
+
+def q_cusum_drift(spark, sf_dir):
+    """CUSUM over turn length (k = 60 chars reference level, alarm at 500):
+    the max(0,.) reset via the drawdown identity — prefix sum + prefix min,
+    no recursion, exact integers throughout."""
+    t = transcripts_from_events(spark, sf_dir)
+    out = state.with_cusum(t, CFG, F.length("text").cast("double"),
+                           k=60.0, threshold=500.0)
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6(F.col("cusum_stat"), "cusum_stat"),
+        F.col("cusum_alarm"),
+    )
+
+
+O_CUSUM_DRIFT = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts,
+    cast(length(text) as double) - 60.0 as d
+  from transcripts
+),
+c as (
+  select conv_id, turn_idx, ts, sum(d) over ({_CUM}) as c from t
+)
+select conv_id, turn_idx,
+  round(c - least(0, min(c) over ({_CUM})), 6) as cusum_stat,
+  cast(c - least(0, min(c) over ({_CUM})) >= 500.0 as int) as cusum_alarm
+from c
+"""
+
+QUERIES["cusum_drift"] = q_cusum_drift
+ORACLES["cusum_drift"] = O_CUSUM_DRIFT

@@ -124,3 +124,22 @@ def test_session_features(spark, cfg, transcripts):
             assert r.session_id == sid
             assert r.turn_in_session == tis
             assert abs(r.secs_in_session - (r.ts - start_ts).total_seconds()) < 1e-6
+
+
+def test_cusum_matches_recurrence(spark, cfg, transcripts):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.operators import state as st
+
+    K, H = 40.0, 200.0
+    out = st.with_cusum(transcripts, cfg, F.length("text").cast("double"),
+                        k=K, threshold=H)
+    pdf = out.selectExpr("conv_id", "turn_idx", "length(text) as x",
+                         "cusum_stat", "cusum_alarm") \
+        .toPandas().sort_values(["conv_id", "turn_idx"])
+    for conv, g in pdf.groupby("conv_id"):
+        s = 0.0
+        for _, r in g.iterrows():
+            s = max(0.0, s + (float(r.x) - K))   # the textbook recurrence
+            assert abs(r.cusum_stat - s) < 1e-9, (conv, r.turn_idx)
+            assert r.cusum_alarm == int(s >= H)
