@@ -383,3 +383,40 @@ def balance_classes(
         .filter(bucket < F.col("_thresh"))
         .drop("_cc", "_thresh")
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k most frequent items per group as an ordered array column
+    (ties broken by item value for determinism).
+
+    One partial-aggregable count shuffle + one per-group array fold:
+    collect the (count, item) pairs per group, sort_array descending,
+    slice k. No rank window over the big table (a window would re-shuffle
+    every row; this aggregates counts first, so the array step sees only
+    distinct items). Item cardinality per group is assumed bounded (tools,
+    languages, domains) — for unbounded items use vocab_topk's TakeOrdered.
+    """
+    cnt = (
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(group_col, item_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    pair = F.struct(F.col("_n").alias("n"), F.col(item_col).alias("item"))
+    return (
+        cnt.groupBy(group_col)
+        .agg(
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list(pair))), 1, k
+            ).alias("_top")
+        )
+        .select(
+            group_col,
+            F.transform("_top", lambda s: s["item"]).alias("top_items"),
+            F.transform("_top", lambda s: s["n"].cast("long")).alias("top_counts"),
+        )
+    )

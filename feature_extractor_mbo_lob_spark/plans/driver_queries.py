@@ -4451,3 +4451,33 @@ from c
 
 QUERIES["cusum_drift"] = q_cusum_drift
 ORACLES["cusum_drift"] = O_CUSUM_DRIFT
+
+
+# --- per-group top-k items -------------------------------------------------------
+
+def q_top_tools(spark, sf_dir):
+    """Top-2 most used tools per conversation (ties broken by tool name
+    desc) — counts aggregate first, the array fold only ever sees distinct
+    items, no rank window over the big table."""
+    from ..functions.corpus import top_k_per_group
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = top_k_per_group(t, "conv_id", "tool", k=2)
+    return out.select("conv_id", "top_items", "top_counts")
+
+
+O_TOP_TOOLS = f"""{_W},
+c as (
+  select conv_id, tool, count(*) as n
+  from transcripts where tool is not null
+  group by conv_id, tool
+)
+select conv_id,
+  (list(tool order by n desc, tool desc))[1:2] as top_items,
+  (list(cast(n as bigint) order by n desc, tool desc))[1:2] as top_counts
+from c
+group by conv_id
+"""
+
+QUERIES["top_tools"] = q_top_tools
+ORACLES["top_tools"] = O_TOP_TOOLS

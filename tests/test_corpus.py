@@ -156,3 +156,17 @@ def test_balance_classes(spark):
     gotn = {r.cls: r.n for r in
             outn.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert None in gotn and gotn[None] == 50  # minority now: kept whole
+
+
+def test_top_k_per_group(spark):
+    from feature_extractor_mbo_lob_spark.functions.corpus import top_k_per_group
+
+    rows = [("g1", "a")] * 5 + [("g1", "b")] * 3 + [("g1", "c")] * 3 + \
+           [("g1", "d")] + [("g2", None)] * 4 + [("g2", "z")]
+    df = spark.createDataFrame(rows, "g string, item string")
+    got = {r.g: (r.top_items, r.top_counts)
+           for r in top_k_per_group(df, "g", "item", k=2).collect()}
+    # tie between b and c (3 each) -> item desc picks c
+    assert got["g1"] == (["a", "c"], [5, 3])
+    # nulls never count as items
+    assert got["g2"] == (["z"], [1])
