@@ -376,3 +376,30 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             ).alias("text_kept"),
         )
     )
+
+
+def edit_distance_verify(pairs: DataFrame, docs: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         max_ratio: float = 0.2) -> DataFrame:
+    """Verification stage after LSH candidate generation: exact Levenshtein
+    distance on the normalized texts of each candidate pair, plus the
+    length-normalized ratio and a verified flag (ratio <= max_ratio).
+
+    Scale design: edit distance is O(len_a * len_b) per pair — affordable
+    ONLY because the pair list is LSH-bucketed candidates, orders of
+    magnitude smaller than the corpus. Two equi joins attach the texts
+    (AQE broadcasts the tiny pair side); the corpus never self-joins and
+    never shuffles on text.
+    """
+    ta = docs.select(F.col(id_col).alias("id_a"), normalize_text(text_col).alias("_ta"))
+    tb = docs.select(F.col(id_col).alias("id_b"), normalize_text(text_col).alias("_tb"))
+    j = pairs.join(ta, "id_a").join(tb, "id_b")
+    d = F.levenshtein("_ta", "_tb")
+    glen = F.greatest(F.length("_ta"), F.length("_tb"))
+    ratio = d.cast("double") / glen
+    return j.select(
+        "id_a", "id_b",
+        d.cast("long").alias("edit_dist"),
+        ratio.alias("edit_ratio"),
+        (ratio <= F.lit(float(max_ratio))).cast("int").alias("verified"),
+    )

@@ -4481,3 +4481,52 @@ group by conv_id
 
 QUERIES["top_tools"] = q_top_tools
 ORACLES["top_tools"] = O_TOP_TOOLS
+
+
+# --- edit-distance verification of LSH candidates --------------------------------
+
+def q_edit_distance_pairs(spark, sf_dir):
+    """Fuzzy-dedup verification: exact Levenshtein over the LSH candidate
+    pairs only (never the corpus cross product); verified = normalized
+    ratio <= 0.2."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4) \
+        .select("id_a", "id_b")
+    out = dedup.edit_distance_verify(pairs, docs, max_ratio=0.2)
+    return out.select(
+        "id_a", "id_b",
+        F.col("edit_dist"),
+        _r6x(F.col("edit_ratio"), "edit_ratio"),
+        F.col("verified"),
+    )
+
+
+def _edit_distance_oracle() -> str:
+    """Reuses the LSH-pair generator: its final SELECT becomes a `pairs`
+    CTE, then texts join on and Levenshtein verifies."""
+    lsh = _minhash_lsh_oracle()
+    head, _, tail = lsh.rpartition("select a.id as id_a")
+    body = "select a.id as id_a" + tail
+    ratio = "cast(levenshtein(na.t, nb.t) as double) / greatest(length(na.t), length(nb.t))"
+    return (
+        head.rstrip().rstrip(",") + ",\n"
+        + "pairs as (\n" + body.strip() + "\n),\n"
+        + """norm as (
+  select doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') as t
+  from documents
+)
+select p.id_a, p.id_b,
+  cast(levenshtein(na.t, nb.t) as bigint) as edit_dist,
+  """ + _r6x_sql(ratio) + " as edit_ratio,\n"
+        + f"  cast({ratio} <= 0.2 as int) as verified\n"
+        + """from pairs p
+join norm na on na.doc_id = p.id_a
+join norm nb on nb.doc_id = p.id_b
+"""
+    )
+
+
+O_EDIT_DISTANCE_PAIRS = _edit_distance_oracle()
+
+QUERIES["edit_distance_pairs"] = q_edit_distance_pairs
+ORACLES["edit_distance_pairs"] = O_EDIT_DISTANCE_PAIRS

@@ -221,3 +221,21 @@ def test_dedup_lines_doc_freq_threshold(spark):
     drop = {r["doc_id"]: r["dropped_lines"] for r in dedup_lines(df, max_doc_freq=2).collect()}
     assert keep == {"a": 0, "b": 0, "c": 0}
     assert drop == {"a": 1, "b": 1, "c": 1}
+
+
+def test_edit_distance_verify(spark):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.operators.dedup import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox jumps"),
+         ("b", "the quick brown fox jumped"),     # 2 edits from a
+         ("c", "completely different text here")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("a", "c")], ["id_a", "id_b"])
+    got = {(r.id_a, r.id_b): r for r in edit_distance_verify(pairs, docs).collect()}
+    assert got[("a", "b")].edit_dist == 2
+    assert got[("a", "b")].verified == 1        # 2/26 well under 0.2
+    assert got[("a", "c")].verified == 0
