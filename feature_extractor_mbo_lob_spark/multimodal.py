@@ -331,3 +331,49 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return frames.withColumn(
         "frame_fingerprint", F.md5(F.concat_ws(":", "media_id", "frame_no"))
     )
+
+
+def repartition_by_bytes(df: DataFrame, target_bytes: int,
+                         id_col: str = "media_id",
+                         payload_col: str = "payload",
+                         isolate_top: int = 16) -> DataFrame:
+    """Size-balanced repartition for binary-payload stages: decode cost is
+    proportional to BYTES, not rows, so row-count partitioning starves some
+    tasks and drowns others.
+
+    Two-phase, no global sort: (1) one narrow aggregate gives total bytes,
+    and a TakeOrdered gives the `isolate_top` largest payloads (driver gets
+    K ids, never payloads); (2) each giant gets a DEDICATED bucket, the
+    rest hash into ceil(remaining/target) buckets — law of large numbers
+    balances the hashed mass once rows >> buckets, and the isolated heavy
+    tail can no longer blow a bucket past ~target + max_regular_payload.
+    This is the skew treatment the decode docstring promises (same
+    isolate-the-stragglers idea as operators/skew.py, applied to bytes).
+    """
+    b = F.octet_length(F.col(payload_col))
+    sized = df.withColumn("_bytes", b)
+
+    big = [
+        (r[0], r[1])
+        for r in sized.select(id_col, "_bytes")
+        .orderBy(F.col("_bytes").desc(), F.col(id_col))
+        .limit(int(isolate_top))
+        .collect()
+    ]
+    big_ids = [i for i, _ in big]
+    big_bytes = sum(n for _, n in big)
+    total = sized.agg(F.sum("_bytes")).collect()[0][0] or 0
+
+    n_regular = max(1, -(-(int(total) - int(big_bytes)) // int(target_bytes)))
+    mapping = F.when(F.col(id_col).isin(big_ids), F.lit(None)).otherwise(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_regular))
+    )
+    bucket = F.coalesce(
+        mapping,
+        # dedicated buckets n_regular..n_regular+K-1 for the giants
+        F.lit(n_regular)
+        + F.array_position(F.array(*[F.lit(i) for i in big_ids]), F.col(id_col))
+        - 1,
+    )
+    out = sized.withColumn("_sbucket", bucket.cast("int")).drop("_bytes")
+    return out.repartition(n_regular + len(big_ids), "_sbucket")

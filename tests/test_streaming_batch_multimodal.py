@@ -293,3 +293,25 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert zero_win == [2], emitted
     # flush1's window finalizes once run 2 advances the watermark past it
     assert emitted.count((ts(10_000), 1)) == 1, emitted
+
+
+def test_repartition_by_bytes_isolates_giants(spark):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark import multimodal
+
+    rows = [(i, bytes(100)) for i in range(400)] + [(999, bytes(200_000))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = multimodal.repartition_by_bytes(df, target_bytes=10_000, isolate_top=1)
+    per = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum(F.octet_length("payload")).alias("bytes"),
+             F.max("media_id").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    giant = [r for r in per if r.mx == 999]
+    assert len(giant) == 1 and giant[0].n == 1   # the giant rides alone
+    others = [r.bytes for r in per if r.mx != 999]
+    # regular buckets hold the hashed mass: 40KB over ceil(40KB/10KB)=4 buckets
+    assert others and max(others) < 25_000
