@@ -4530,3 +4530,54 @@ O_EDIT_DISTANCE_PAIRS = _edit_distance_oracle()
 
 QUERIES["edit_distance_pairs"] = q_edit_distance_pairs
 ORACLES["edit_distance_pairs"] = O_EDIT_DISTANCE_PAIRS
+
+
+# --- table profiling (data-quality summary) --------------------------------------
+
+def q_table_profile(spark, sf_dir):
+    """Per-column completeness/uniqueness/range profile of the transcript
+    table in one aggregation pass (long format)."""
+    from ..validation import profile_table
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = profile_table(t, ["conv_id", "turn_idx", "role", "tool", "value"])
+    return out.select(
+        F.col("column").alias("col_name"), "n_rows", "n_nulls", "n_distinct",
+        _r6(F.col("min_val"), "min_val"),
+        _r6(F.col("max_val"), "max_val"),
+    )
+
+
+O_TABLE_PROFILE = f"""{_W},
+base as (
+  select
+    count(*) as n_rows,
+    cast(sum(case when conv_id is null then 1 else 0 end) as bigint) as nu_conv,
+    count(distinct conv_id) as nd_conv,
+    cast(sum(case when turn_idx is null then 1 else 0 end) as bigint) as nu_ti,
+    count(distinct turn_idx) as nd_ti,
+    round(cast(min(turn_idx) as double), 6) as mn_ti,
+    round(cast(max(turn_idx) as double), 6) as mx_ti,
+    cast(sum(case when role is null then 1 else 0 end) as bigint) as nu_role,
+    count(distinct role) as nd_role,
+    cast(sum(case when tool is null then 1 else 0 end) as bigint) as nu_tool,
+    count(distinct tool) as nd_tool,
+    cast(sum(case when value is null then 1 else 0 end) as bigint) as nu_val,
+    count(distinct value) as nd_val,
+    round(min(value), 6) as mn_val,
+    round(max(value), 6) as mx_val
+  from transcripts
+)
+select u.* from base, lateral (
+  select * from (values
+    ('conv_id',  n_rows, nu_conv, nd_conv, cast(null as double), cast(null as double)),
+    ('turn_idx', n_rows, nu_ti,   nd_ti,   mn_ti,  mx_ti),
+    ('role',     n_rows, nu_role, nd_role, cast(null as double), cast(null as double)),
+    ('tool',     n_rows, nu_tool, nd_tool, cast(null as double), cast(null as double)),
+    ('value',    n_rows, nu_val,  nd_val,  mn_val, mx_val)
+  ) v(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)
+) u
+"""
+
+QUERIES["table_profile"] = q_table_profile
+ORACLES["table_profile"] = O_TABLE_PROFILE

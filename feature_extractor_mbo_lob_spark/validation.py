@@ -81,3 +81,48 @@ def audit_report(df: DataFrame, cfg: PipelineConfig, feature_cols: list[str]) ->
         "bad_value_columns": {c: n for c, n in bad.items() if n > 0},
         "monotonicity_violations": monotonicity_violations(df, cfg),
     }
+
+
+def profile_table(df, cols: list[str] | None = None):
+    """Deequ-style single-pass data profile: per column, the row count,
+    null count, distinct count, and numeric min/max — the completeness /
+    uniqueness summary a curation pipeline checks before training export.
+
+    One aggregation job; multiple COUNT(DISTINCT) columns go through
+    Spark's expand strategy (rows x distinct-cols), the standard exact
+    plan — swap in approx_count_distinct at 100 TB if exactness is not
+    required. min/max are computed on the NATIVE type (never a string
+    cast, whose lexicographic order would be wrong for numerics) and
+    emitted as double for numeric columns, NULL otherwise, so the output
+    schema is uniform long format: (column, n_rows, n_nulls, n_distinct,
+    min_val, max_val).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType
+
+    cols = cols or df.columns
+    numeric = {f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)}
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+        ]
+        if c in numeric:
+            aggs += [
+                F.min(F.col(c)).cast("double").alias(f"_min_{c}"),
+                F.max(F.col(c)).cast("double").alias(f"_max_{c}"),
+            ]
+    row = df.agg(*aggs)
+    pieces = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_rows").cast("long").alias("n_rows"),
+            F.col(f"_nulls_{c}").cast("long").alias("n_nulls"),
+            F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+            (F.col(f"_min_{c}") if c in numeric else F.lit(None).cast("double")).alias("min_val"),
+            (F.col(f"_max_{c}") if c in numeric else F.lit(None).cast("double")).alias("max_val"),
+        )
+        for c in cols
+    ])
+    return row.select(F.explode(pieces).alias("p")).select("p.*")

@@ -92,3 +92,19 @@ def test_fused_equals_join_strategy(transcripts):
     a = _collect_sorted(flagship_pipeline(transcripts, CFG, strategy="fused"))
     b = _collect_sorted(flagship_pipeline(transcripts, CFG, strategy="join"))
     assert a == b
+
+
+def test_profile_table(spark):
+    from feature_extractor_mbo_lob_spark.validation import profile_table
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 5.0), ("b", None, 7.5)],
+        "k string, i int, v double",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_nulls"] == 0
+    assert got["k"]["n_distinct"] == 2
+    assert got["i"]["n_nulls"] == 1 and got["i"]["n_distinct"] == 2
+    assert got["i"]["min_val"] == 1.0 and got["i"]["max_val"] == 2.0
+    assert got["v"]["min_val"] == 5.0 and got["v"]["max_val"] == 7.5
+    assert got["k"]["min_val"] is None   # non-numeric: no lexicographic trap
