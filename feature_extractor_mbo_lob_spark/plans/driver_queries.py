@@ -4581,3 +4581,78 @@ select u.* from base, lateral (
 
 QUERIES["table_profile"] = q_table_profile
 ORACLES["table_profile"] = O_TABLE_PROFILE
+
+
+# --- ANN quality meta-query: IVF recall vs brute-force truth ---------------------
+
+def q_ivf_recall(spark, sf_dir):
+    """Retrieval-quality metrics for the IVF scale path against the
+    brute-force top-3 ground truth — the recall@k number an ANN index is
+    tuned by. Same corpus-level full-outer-join construction as
+    lsh_recall."""
+    from ..operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    truth = sim.brute_force_topk(emb, k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("t")
+    )
+    cand = sim.ivf_topk(emb, k=3, n_centroids=8).select(
+        "query_id", "neighbor_id", F.lit(1).alias("c")
+    )
+    j = truth.join(cand, ["query_id", "neighbor_id"], "full")
+    hit = F.sum(F.col("t") * F.col("c")).cast("double")
+    return j.agg(
+        F.sum("t").cast("long").alias("n_true"),
+        F.sum("c").cast("long").alias("n_ivf"),
+        F.sum(F.col("t") * F.col("c")).cast("long").alias("n_hit"),
+        _r6x(hit / (F.sum("t").cast("double") + F.lit(DIVISION_GUARD_EPS)), "recall"),
+        _r6x(hit / (F.sum("c").cast("double") + F.lit(DIVISION_GUARD_EPS)), "precision"),
+    )
+
+
+O_IVF_RECALL = f"""{_IVF_CTES},
+ivf as (
+  select query_id, neighbor_id from (
+    select *, row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+    from (
+      select a.vec_id as query_id, b.vec_id as neighbor_id,
+        list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))
+             + {DIVISION_GUARD_EPS}) as cos
+      from asg a join asg b using (centroid_id)
+      where a.vec_id <> b.vec_id
+    )
+  ) where rank <= 3
+),
+brute as (
+  select query_id, neighbor_id from (
+    select *, row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+    from (
+      select a.vec_id as query_id, b.vec_id as neighbor_id,
+        list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))
+             + {DIVISION_GUARD_EPS}) as cos
+      from e a, e b where a.vec_id != b.vec_id
+    )
+  ) where rank <= 3
+),
+j as (
+  select coalesce(b.query_id, i.query_id) as qid,
+    case when b.query_id is not null then 1 end as t,
+    case when i.query_id is not null then 1 end as c
+  from brute b full outer join ivf i
+    on b.query_id = i.query_id and b.neighbor_id = i.neighbor_id
+)
+select
+  cast(sum(t) as bigint) as n_true,
+  cast(sum(c) as bigint) as n_ivf,
+  cast(sum(t * c) as bigint) as n_hit,
+  {_r6x_sql(f"cast(sum(t * c) as double) / (cast(sum(t) as double) + {DIVISION_GUARD_EPS})")} as recall,
+  {_r6x_sql(f"cast(sum(t * c) as double) / (cast(sum(c) as double) + {DIVISION_GUARD_EPS})")} as precision
+from j
+"""
+
+QUERIES["ivf_recall"] = q_ivf_recall
+ORACLES["ivf_recall"] = O_IVF_RECALL
