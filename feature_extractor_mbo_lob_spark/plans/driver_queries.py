@@ -4656,3 +4656,79 @@ from j
 
 QUERIES["ivf_recall"] = q_ivf_recall
 ORACLES["ivf_recall"] = O_IVF_RECALL
+
+
+# --- per-turn text integrity (input_hint invariant) ------------------------------
+
+def q_turn_text_integrity(spark, sf_dir):
+    """The BASELINE input-hint invariant, checked through the driver gate
+    itself: per-turn text survives the engine's source mapping byte-for-
+    byte under the stable order (md5 per (conv_id, turn_idx) must hash-
+    match the oracle's independent derivation from the raw events)."""
+    t = transcripts_from_events(spark, sf_dir)
+    return t.select(
+        "conv_id", "turn_idx",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+O_TURN_TEXT_INTEGRITY = f"""{_W}
+select conv_id, turn_idx,
+  md5(text) as text_md5,
+  cast(length(text) as bigint) as text_len
+from transcripts
+"""
+
+QUERIES["turn_text_integrity"] = q_turn_text_integrity
+ORACLES["turn_text_integrity"] = O_TURN_TEXT_INTEGRITY
+
+
+# --- PSI drift between chronological halves --------------------------------------
+
+def q_psi_drift(spark, sf_dir):
+    """Per-bin PSI terms for `value`, earlier half vs later half (bins from
+    the earlier side's exact decile cutpoints). Per-bin output keeps every
+    float a pure expression on exact integer counts — no cross-bin sum."""
+    from ..validation import psi_drift
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = psi_drift(t, "value", "ts", split_q=0.5, k=10)
+    return out.select(
+        "bin", "n_ref", "n_cur",
+        _r6x(F.col("p_ref"), "p_ref"),
+        _r6x(F.col("q_cur"), "q_cur"),
+        _r6x(F.col("psi_term"), "psi_term"),
+    )
+
+
+O_PSI_DRIFT = f"""{_W},
+tc as (select quantile_cont(epoch_us(ts), 0.5) as tcut from transcripts),
+d as (
+  select value, cast(epoch_us(ts) < tc.tcut as int) as ref
+  from transcripts, tc
+),
+c as (
+  select quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+    filter (ref = 1) as cuts
+  from d
+),
+binned as (
+  select cast(len(list_filter(c.cuts, x -> d.value > x)) as int) as bin, d.ref
+  from d, c where d.value is not null
+),
+per as (
+  select bin,
+    cast(sum(ref) as bigint) as n_ref,
+    cast(sum(1 - ref) as bigint) as n_cur
+  from binned group by bin
+)
+select bin, n_ref, n_cur,
+  {_r6x_sql("cast(n_ref as double) / sum(n_ref) over ()")} as p_ref,
+  {_r6x_sql("cast(n_cur as double) / sum(n_cur) over ()")} as q_cur,
+  {_r6x_sql(f"(cast(n_cur as double) / sum(n_cur) over () - cast(n_ref as double) / sum(n_ref) over ()) * ln((cast(n_cur as double) / sum(n_cur) over () + {DIVISION_GUARD_EPS}) / (cast(n_ref as double) / sum(n_ref) over () + {DIVISION_GUARD_EPS}))")} as psi_term
+from per
+"""
+
+QUERIES["psi_drift"] = q_psi_drift
+ORACLES["psi_drift"] = O_PSI_DRIFT

@@ -126,3 +126,56 @@ def profile_table(df, cols: list[str] | None = None):
         for c in cols
     ])
     return row.select(F.explode(pieces).alias("p")).select("p.*")
+
+
+def psi_drift(df, value_col: str, ts_col: str = "ts",
+              split_q: float = 0.5, k: int = 10):
+    """Population Stability Index between the chronologically earlier and
+    later parts of the data — the standard train-vs-serving drift metric.
+
+    Recipe (all declarative, two tiny aggregates + one broadcast):
+    * split at the split_q percentile of event time,
+    * k equal-frequency bins from the REFERENCE (earlier) side's exact
+      percentile cutpoints,
+    * per bin: p = reference fraction, q = current fraction,
+      contribution = (q - p) * ln((q + eps)/(p + eps)).
+
+    Output is one row PER BIN (bin, n_ref, n_cur, p_ref, q_cur, psi_term)
+    — deliberately NOT summed to a scalar inside the engine: a cross-bin
+    float sum has engine-dependent association order, while every per-bin
+    term is a pure expression on exact integer counts. Consumers sum the k
+    terms in a defined order.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from .contract import DIVISION_GUARD_EPS
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cut = df.agg(F.percentile(us, F.lit(split_q)).alias("_tcut"))
+    d = df.join(F.broadcast(cut)).withColumn("_ref", (us < F.col("_tcut")).cast("int"))
+
+    qs = [i / k for i in range(1, k)]
+    ref_val = F.when(F.col("_ref") == 1, F.col(value_col))
+    cuts = d.agg(F.percentile(ref_val, F.array(*[F.lit(x) for x in qs])).alias("_cuts"))
+    d = d.join(F.broadcast(cuts))
+    b = F.aggregate(
+        F.col("_cuts"), F.lit(0),
+        lambda acc, c: acc + F.when(F.col(value_col) > c, 1).otherwise(0),
+    )
+    d = d.withColumn("_bin", F.when(F.col(value_col).isNotNull(), b))
+
+    per = d.filter(F.col("_bin").isNotNull()).groupBy("_bin").agg(
+        F.sum("_ref").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("_ref")).cast("long").alias("n_cur"),
+    )
+    w = Window.partitionBy()  # k rows only — never the raw table
+    p = F.col("n_ref").cast("double") / F.sum("n_ref").over(w)
+    q = F.col("n_cur").cast("double") / F.sum("n_cur").over(w)
+    eps = F.lit(DIVISION_GUARD_EPS)
+    return per.select(
+        F.col("_bin").alias("bin"),
+        "n_ref", "n_cur",
+        p.alias("p_ref"),
+        q.alias("q_cur"),
+        ((q - p) * F.log((q + eps) / (p + eps))).alias("psi_term"),
+    )

@@ -108,3 +108,29 @@ def test_profile_table(spark):
     assert got["i"]["min_val"] == 1.0 and got["i"]["max_val"] == 2.0
     assert got["v"]["min_val"] == 5.0 and got["v"]["max_val"] == 7.5
     assert got["k"]["min_val"] is None   # non-numeric: no lexicographic trap
+
+
+def test_psi_drift_detects_shift(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.validation import psi_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+    # earlier half ~ N(0..100), later half shifted up by 80
+    rows = [("c", i, float(i % 100), t0 + dt.timedelta(seconds=i)) for i in range(500)]
+    rows += [("c", 500 + i, 80.0 + float(i % 100), t0 + dt.timedelta(seconds=500 + i))
+             for i in range(500)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, value double, ts timestamp")
+    out = psi_drift(df, "value", "ts", split_q=0.5, k=10).collect()
+    assert {r.bin for r in out} <= set(range(11))
+    total = sum(r.psi_term for r in sorted(out, key=lambda r: r.bin))
+    assert total > 0.25            # classic "significant shift" threshold
+    assert sum(r.n_ref for r in out) == 500 and sum(r.n_cur for r in out) == 500
+
+    # no-shift control: identical distributions -> tiny PSI
+    rows2 = [("c", i, float(i % 100), t0 + dt.timedelta(seconds=i)) for i in range(1000)]
+    df2 = spark.createDataFrame(rows2, "conv_id string, turn_idx int, value double, ts timestamp")
+    out2 = psi_drift(df2, "value", "ts", split_q=0.5, k=10).collect()
+    assert sum(r.psi_term for r in out2) < 0.1
