@@ -311,6 +311,11 @@ def with_ewma(df: DataFrame, cfg: PipelineConfig, col: str,
     alpha=0.125 is a power of two, so the literals are exact). The
     vectorized "(1-a)^i prefix" closed form is NOT used: it reassociates
     the float math and breaks cross-engine parity.
+
+    Also emits ``{out}_var``, the RiskMetrics EWM variance
+    v_i = (1-a) * (v_{i-1} + a * (x_i - e_{i-1})^2), v_0 = 0 — the
+    streaming volatility estimator companion (reference analog: the
+    experimental vol family).
     """
     import numpy as np
     import pandas as pd
@@ -321,7 +326,10 @@ def with_ewma(df: DataFrame, cfg: PipelineConfig, col: str,
     order_cols = list(cfg.order_cols)
     a, b = float(alpha), 1.0 - float(alpha)
 
-    schema = StructType(df.schema.fields + [StructField(out, DoubleType())])
+    schema = StructType(
+        df.schema.fields
+        + [StructField(out, DoubleType()), StructField(out + "_var", DoubleType())]
+    )
     sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     nb = max(sp * 4, 64)
     bucketed = df.withColumn("_ewb", F.pmod(F.xxhash64(key), F.lit(nb)).cast("int"))
@@ -333,11 +341,18 @@ def with_ewma(df: DataFrame, cfg: PipelineConfig, col: str,
             g = g.sort_values(order_cols, kind="mergesort").copy()
             x = g[col].to_numpy(dtype=np.float64)
             e = np.empty_like(x)
+            v = np.empty_like(x)
             if len(x):
                 e[0] = x[0]
+                v[0] = 0.0
                 for i in range(1, len(x)):
+                    # RiskMetrics EWM variance: the innovation is measured
+                    # against the PREVIOUS mean, then both decay by (1-a)
+                    d = x[i] - e[i - 1]
+                    v[i] = b * (v[i - 1] + a * d * d)
                     e[i] = a * x[i] + b * e[i - 1]
             g[out] = e
+            g[out + "_var"] = v
             parts.append(g)
         return pd.concat(parts, ignore_index=True)
 

@@ -4327,7 +4327,11 @@ def q_ewma(spark, sf_dir):
     exact despite the sequential recurrence."""
     t = transcripts_from_events(spark, sf_dir)
     out = rolling.with_ewma(t, CFG, "value", alpha=0.125)
-    return out.select("conv_id", "turn_idx", _r6x(F.col("value_ewma"), "value_ewma"))
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6x(F.col("value_ewma"), "value_ewma"),
+        _r6x(F.col("value_ewma_var"), "value_ewma_var"),
+    )
 
 
 O_EWMA = f"""with recursive {ORACLE_TRANSCRIPTS_CTE},
@@ -4336,12 +4340,18 @@ t as (
   from transcripts
 ),
 walk as (
-  select conv_id, rn, turn_idx, x as e from t where rn = 1
+  select conv_id, rn, turn_idx, x as e, cast(0.0 as double) as v
+  from t where rn = 1
   union all
-  select t.conv_id, t.rn, t.turn_idx, 0.125 * t.x + 0.875 * w.e
+  select t.conv_id, t.rn, t.turn_idx,
+    0.125 * t.x + 0.875 * w.e,
+    0.875 * (w.v + 0.125 * (t.x - w.e) * (t.x - w.e))
   from walk w join t on t.conv_id = w.conv_id and t.rn = w.rn + 1
 )
-select conv_id, turn_idx, {_r6x_sql("e")} as value_ewma from walk
+select conv_id, turn_idx,
+  {_r6x_sql("e")} as value_ewma,
+  {_r6x_sql("v")} as value_ewma_var
+from walk
 """
 
 QUERIES["ewma"] = q_ewma

@@ -219,3 +219,22 @@ def test_ewma_matches_pandas(spark, cfg, transcripts):
     for conv, g in out.groupby("conv_id"):
         exp = g.turn_idx.astype(float).ewm(alpha=0.25, adjust=False).mean()
         assert (abs(g.turn_idx_ewma.to_numpy() - exp.to_numpy()) < 1e-12).all()
+
+
+def test_ewm_var_matches_recurrence(spark, cfg, transcripts):
+    from feature_extractor_mbo_lob_spark.operators import rolling as rl
+
+    out = rl.with_ewma(transcripts, cfg, "turn_idx", alpha=0.25) \
+        .select("conv_id", "turn_idx", "turn_idx_ewma_var").toPandas() \
+        .sort_values(["conv_id", "turn_idx"])
+    for conv, g in out.groupby("conv_id"):
+        e = v = None
+        for _, r in g.iterrows():
+            x = float(r.turn_idx)
+            if e is None:
+                e, v = x, 0.0
+            else:
+                d = x - e
+                v = 0.75 * (v + 0.25 * d * d)
+                e = 0.25 * x + 0.75 * e
+            assert abs(r.turn_idx_ewma_var - v) < 1e-12
