@@ -262,3 +262,41 @@ def export_jsonl_shards(
     writer.partitionBy("shard").json(out_dir)
     n = df.count()
     return {"rows": n, "shards": n_shards, "path": out_dir}
+
+
+def render_conversations(df: DataFrame, cfg: PipelineConfig,
+                         sep: str = "\n") -> DataFrame:
+    """Flatten each conversation into one SFT-ready training string
+    ("role: text" per turn, stable order) plus turn/char counts — the
+    transcript-to-training-sample rendering step.
+
+    One groupBy(conv_id) with an order-insensitive
+    array_sort(collect_list(struct(order, payload))) — deterministic under
+    any shuffle order, no window, no UDF. The rendered string is bounded
+    by the conversation length (same cardinality the window cascade
+    already handles; mega-conversations go through operators/skew.py
+    first if they exceed the task bound).
+    """
+    line = F.concat_ws(": ", F.col("role"), F.coalesce(F.col("text"), F.lit("")))
+    entries = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx").alias("i"),
+                F.col(cfg.ts_col).alias("ts"),
+                line.alias("line"),
+            )
+        )
+    )
+    return (
+        df.groupBy(cfg.key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            entries.alias("_e"),
+        )
+        .select(
+            cfg.key_col,
+            "n_turns",
+            F.array_join(F.transform("_e", lambda e: e["line"]), sep).alias("rendered"),
+        )
+        .withColumn("n_chars", F.length("rendered").cast("long"))
+    )

@@ -97,3 +97,36 @@ def fingerprint(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normed = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.md5(normed)
+
+
+def chunk_documents(df, max_words: int = 128, stride: int = 96,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """RAG/pretraining chunking: sliding word windows of ``max_words`` with
+    ``stride`` (overlap = max_words - stride), final partial chunk kept.
+
+    Pure higher-order array expressions build every chunk from ONE split()
+    per row (no explode-then-regroup shuffle for the construction — the
+    only shuffle is whatever the consumer does next). Emits
+    (id, chunk_id, chunk_text, n_words).
+    """
+    from pyspark.sql import functions as F
+
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(max_words)) / F.lit(float(stride))).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.struct(
+            j.cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(words, j * stride + 1, max_words), " "
+            ).alias("chunk_text"),
+            F.least(n - j * stride, F.lit(max_words)).cast("long").alias("n_words"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("c"))
+        .select("id", "c.chunk_id", "c.chunk_text", "c.n_words")
+    )

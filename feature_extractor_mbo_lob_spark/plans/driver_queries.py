@@ -4742,3 +4742,75 @@ from per
 
 QUERIES["psi_drift"] = q_psi_drift
 ORACLES["psi_drift"] = O_PSI_DRIFT
+
+
+# --- SFT conversation rendering --------------------------------------------------
+
+def q_render_conversations(spark, sf_dir):
+    """Each conversation flattened to one 'role: text' training string in
+    stable order — groupBy + sorted collect, no window over raw rows."""
+    from ..export import render_conversations
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = render_conversations(t, CFG)
+    return out.select(
+        "conv_id", "n_turns",
+        F.md5(F.col("rendered")).alias("rendered_md5"),
+        "n_chars",
+    )
+
+
+O_RENDER_CONVERSATIONS = f"""{_W},
+r as (
+  select conv_id,
+    cast(count(*) as bigint) as n_turns,
+    string_agg(role || ': ' || coalesce(text, ''), chr(10)
+               order by turn_idx, ts) as rendered
+  from transcripts
+  group by conv_id
+)
+select conv_id, n_turns, md5(rendered) as rendered_md5,
+  cast(length(rendered) as bigint) as n_chars
+from r
+"""
+
+QUERIES["render_conversations"] = q_render_conversations
+ORACLES["render_conversations"] = O_RENDER_CONVERSATIONS
+
+
+# --- document chunking (RAG / pretraining windows) -------------------------------
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding 32-word chunks with stride 24 over every document — all
+    chunks built from one split() per row via higher-order functions."""
+    from ..functions.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, max_words=32, stride=24)
+    return out.select(
+        "id", "chunk_id",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        "n_words",
+    )
+
+
+O_CHUNK_DOCUMENTS = """
+with d as (
+  select doc_id as id, string_split(text, ' ') as words
+  from documents
+),
+c as (
+  select id, len(words) as n,
+    unnest(range(greatest(1,
+      cast(ceil((len(words) - 32) / 24.0) as int) + 1))) as j,
+    words
+  from d
+)
+select id, cast(j as int) as chunk_id,
+  md5(array_to_string(words[j*24 + 1 : j*24 + 32], ' ')) as chunk_md5,
+  cast(least(n - j*24, 32) as bigint) as n_words
+from c
+"""
+
+QUERIES["chunk_documents"] = q_chunk_documents
+ORACLES["chunk_documents"] = O_CHUNK_DOCUMENTS

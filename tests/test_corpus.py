@@ -170,3 +170,37 @@ def test_top_k_per_group(spark):
     assert got["g1"] == (["a", "c"], [5, 3])
     # nulls never count as items
     assert got["g2"] == (["z"], [1])
+
+
+def test_chunk_documents(spark):
+    from feature_extractor_mbo_lob_spark.functions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([("d", text), ("tiny", "a b")], ["doc_id", "text"])
+    got = {(r.id, r.chunk_id): (r.chunk_text, r.n_words)
+           for r in chunk_documents(df, max_words=4, stride=3).collect()}
+    # 10 words, window 4, stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    assert got[("d", 0)] == ("w0 w1 w2 w3", 4)
+    assert got[("d", 1)] == ("w3 w4 w5 w6", 4)
+    assert got[("d", 2)] == ("w6 w7 w8 w9", 4)
+    assert ("d", 3) not in got
+    # short doc: one partial chunk
+    assert got[("tiny", 0)] == ("a b", 2)
+
+
+def test_render_conversations(spark, docs):
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.config import PipelineConfig
+    from feature_extractor_mbo_lob_spark.export import render_conversations
+    from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 1, "assistant", "hi", None, t0 + dt.timedelta(seconds=1)),
+        ("c1", 0, "user", "hello", None, t0),      # out of order on purpose
+    ]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    r = render_conversations(df, PipelineConfig()).collect()[0]
+    assert r.rendered == "user: hello\nassistant: hi"
+    assert r.n_turns == 2 and r.n_chars == len(r.rendered)
