@@ -16,7 +16,7 @@ actually emitted).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
@@ -105,3 +105,38 @@ def horizon_aware_params(
     lookback = max(min_lookback, min(max_lookback, lookback))
     stride = max(1, lookback // target_len)
     return lookback, stride
+
+
+def context_window(df: DataFrame, cfg: PipelineConfig,
+                   token_budget: int = 256,
+                   token_col: Column | None = None) -> DataFrame:
+    """Token-budgeted context assembly: mark the largest SUFFIX of each
+    conversation whose total tokens fit the budget — the prompt-window
+    selection rule of transcript training/inference (most-recent turns
+    win; the newest turn is always kept even if it alone exceeds the
+    budget, matching truncate-left tokenizer behaviour).
+
+    Declarative: a reverse cumulative token sum (the stable window run
+    DESCENDING) compared to the budget — same single exchange as every
+    other per-conversation window, no UDF. Emits in_context (0/1) and
+    ctx_tokens (the running suffix total at each turn).
+    """
+    toks = token_col if token_col is not None else F.size(F.split(F.col("text"), " "))
+    rev = (
+        Window.partitionBy(cfg.key_col)
+        .orderBy(*[F.col(c).desc() for c in cfg.order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = df.withColumn("_toks", toks.cast("long"))
+    suffix = F.sum("_toks").over(rev)
+    first_in_suffix = F.row_number().over(
+        Window.partitionBy(cfg.key_col).orderBy(*[F.col(c).desc() for c in cfg.order_cols])
+    )
+    keep = (suffix <= F.lit(int(token_budget))) | (first_in_suffix == 1)
+    return (
+        df.select(
+            "*",
+            suffix.cast("long").alias("ctx_tokens"),
+            keep.cast("int").alias("in_context"),
+        ).drop("_toks")
+    )

@@ -4814,3 +4814,39 @@ from c
 
 QUERIES["chunk_documents"] = q_chunk_documents
 ORACLES["chunk_documents"] = O_CHUNK_DOCUMENTS
+
+
+# --- token-budgeted context window -----------------------------------------------
+
+def q_context_window(spark, sf_dir):
+    """Largest suffix of each conversation fitting a 256-token budget
+    (whitespace tokens); newest turn always kept — reverse cumulative sum
+    under the stable order, single exchange."""
+    from ..operators.sequence import context_window
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = context_window(t, CFG, token_budget=256)
+    return out.select("conv_id", "turn_idx", "ctx_tokens", "in_context")
+
+
+O_CONTEXT_WINDOW = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts,
+    cast(len(string_split(text, ' ')) as bigint) as toks
+  from transcripts
+),
+s as (
+  select conv_id, turn_idx,
+    sum(toks) over (partition by conv_id order by turn_idx desc, ts desc
+                    rows between unbounded preceding and current row) as ctx_tokens,
+    row_number() over (partition by conv_id order by turn_idx desc, ts desc) as rrn
+  from t
+)
+select conv_id, turn_idx,
+  cast(ctx_tokens as bigint) as ctx_tokens,
+  cast(ctx_tokens <= 256 or rrn = 1 as int) as in_context
+from s
+"""
+
+QUERIES["context_window"] = q_context_window
+ORACLES["context_window"] = O_CONTEXT_WINDOW

@@ -463,3 +463,32 @@ def test_asof_randomized_vs_pandas(spark):
             ).sort_values("lid").reset_index(drop=True)
             assert g["v_asof"].fillna(-9e9).tolist() == \
                 exp["v"].fillna(-9e9).tolist(), (direction, tol)
+
+
+def test_context_window(spark, turns):
+    from feature_extractor_mbo_lob_spark.operators.sequence import context_window
+
+    # conv 'a' word counts by turn: 2,1,2,1,1,1,2 (turn_idx 0..6)
+    out = context_window(turns, CFG, token_budget=4)
+    got = {(r.conv_id, r.turn_idx): (r.ctx_tokens, r.in_context)
+           for r in out.collect()}
+    # suffix sums from the end: t6=2, t5=3, t4=4, t3=5 ...
+    assert got[("a", 6)] == (2, 1)
+    assert got[("a", 5)] == (3, 1)
+    assert got[("a", 4)] == (4, 1)
+    assert got[("a", 3)][1] == 0          # 5 > 4: out of context
+    assert got[("a", 0)][1] == 0
+    assert got[("b", 0)][1] == 1          # newest turn always kept
+
+
+def test_context_window_oversized_tail(spark):
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.operators.sequence import context_window
+    from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("c", 0, "user", " ".join(["w"] * 50), None, t0)]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    r = context_window(df, CFG, token_budget=4).collect()[0]
+    assert r.in_context == 1              # lone oversized turn still kept
