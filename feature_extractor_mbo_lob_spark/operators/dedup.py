@@ -13,7 +13,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
@@ -402,4 +402,30 @@ def edit_distance_verify(pairs: DataFrame, docs: DataFrame,
         d.cast("long").alias("edit_dist"),
         ratio.alias("edit_ratio"),
         (ratio <= F.lit(float(max_ratio))).cast("int").alias("verified"),
+    )
+
+
+def novelty_scores(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct k-word shingles
+    that no EARLIER document (by id order) contains — the marginal-new-
+    content curve curation pipelines use to decide when a source is mined
+    out.
+
+    Point-in-time discipline applied to the corpus axis: a shingle's first
+    occurrence is row_number()==1 over (shingle) ordered by doc id, so
+    each doc is only credited for content no predecessor had. Cost is one
+    explode + one shingle-keyed window + one doc-keyed aggregation —
+    O(total shingles), same class as the MinHash path.
+    """
+    sh = shingle_table(df, id_col=id_col, text_col=text_col, k=k)  # id aliased to "id"
+    w = Window.partitionBy("shingle").orderBy("id")
+    first = (F.row_number().over(w) == 1).cast("int")
+    per = sh.withColumn("_new", first).groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("_new").cast("long").alias("n_novel"),
+    )
+    return per.select(
+        F.col("id").alias(id_col), "n_shingles", "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_shingles")).alias("novelty"),
     )

@@ -4850,3 +4850,39 @@ from s
 
 QUERIES["context_window"] = q_context_window
 ORACLES["context_window"] = O_CONTEXT_WINDOW
+
+
+# --- per-document novelty curve --------------------------------------------------
+
+def q_novelty_scores(spark, sf_dir):
+    """Marginal-new-content score per document: fraction of its distinct
+    3-shingles absent from every earlier doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.novelty_scores(docs, k=3)
+    return out.select(
+        "doc_id", "n_shingles", "n_novel",
+        _r6x(F.col("novelty"), "novelty"),
+    )
+
+
+O_NOVELTY_SCORES = f"""
+with {_SHINGLE_SQL},
+m as (
+  select doc_id, shingle,
+    case when row_number() over (partition by shingle order by doc_id) = 1
+         then 1 else 0 end as newf
+  from shingled
+),
+per as (
+  select doc_id,
+    cast(count(*) as bigint) as n_shingles,
+    cast(sum(newf) as bigint) as n_novel
+  from m group by doc_id
+)
+select doc_id, n_shingles, n_novel,
+  {_r6x_sql("cast(n_novel as double) / n_shingles")} as novelty
+from per
+"""
+
+QUERIES["novelty_scores"] = q_novelty_scores
+ORACLES["novelty_scores"] = O_NOVELTY_SCORES

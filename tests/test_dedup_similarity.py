@@ -239,3 +239,18 @@ def test_edit_distance_verify(spark):
     assert got[("a", "b")].edit_dist == 2
     assert got[("a", "b")].verified == 1        # 2/26 well under 0.2
     assert got[("a", "c")].verified == 0
+
+
+def test_novelty_scores(spark):
+    from feature_extractor_mbo_lob_spark.operators.dedup import novelty_scores
+
+    docs = spark.createDataFrame(
+        [("a", "one two three four"),          # all novel (first doc)
+         ("b", "one two three four"),          # exact repeat: zero novel
+         ("c", "one two three five")],         # shares "one two three"
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.n_shingles, r.n_novel) for r in novelty_scores(docs).collect()}
+    assert got["a"] == (2, 2)                  # shingles: "one two three", "two three four"
+    assert got["b"] == (2, 0)
+    assert got["c"] == (2, 1)                  # "two three five" is new
