@@ -4886,3 +4886,55 @@ from per
 
 QUERIES["novelty_scores"] = q_novelty_scores
 ORACLES["novelty_scores"] = O_NOVELTY_SCORES
+
+
+# --- response-latency stats (user -> assistant) ----------------------------------
+
+def q_response_latency(spark, sf_dir):
+    """Per-conversation reply-latency distribution: dt on turns where an
+    assistant turn directly follows a user turn (lag over the stable
+    order, then one aggregation). Exact integer microsecond sums; the
+    median is emitted in the doubled-integer form per the oracle-parity
+    convention."""
+    t = transcripts_from_events(spark, sf_dir)
+    w = ordering.stable_window(CFG)
+    us = ordering.epoch_us("ts")
+    d = t.select(
+        "conv_id",
+        F.lag("role").over(w).alias("_prev_role"),
+        (us - F.lag(us).over(w)).alias("_dt_us"),
+        F.col("role"),
+    ).filter((F.col("_prev_role") == "user") & (F.col("role") == "assistant"))
+    return (
+        d.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_replies"),
+            F.sum("_dt_us").cast("long").alias("total_reply_us"),
+            F.floor(F.percentile("_dt_us", F.lit(0.5)) * 2).cast("long").alias("median_reply_2us"),
+            F.max("_dt_us").cast("long").alias("max_reply_us"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+O_RESPONSE_LATENCY = f"""{_W},
+d as (
+  select conv_id,
+    lag(role) over w as prev_role, role,
+    epoch_us(ts) - lag(epoch_us(ts)) over w as dt_us
+  from transcripts
+  window w as ({_OWIN})
+)
+select conv_id,
+  cast(count(*) as bigint) as n_replies,
+  cast(sum(dt_us) as bigint) as total_reply_us,
+  cast(floor(quantile_cont(dt_us, 0.5) * 2) as bigint) as median_reply_2us,
+  cast(max(dt_us) as bigint) as max_reply_us
+from d
+where prev_role = 'user' and role = 'assistant'
+group by conv_id
+order by conv_id
+"""
+
+QUERIES["response_latency"] = q_response_latency
+ORACLES["response_latency"] = O_RESPONSE_LATENCY
