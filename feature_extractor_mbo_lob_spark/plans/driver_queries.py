@@ -4938,3 +4938,56 @@ order by conv_id
 
 QUERIES["response_latency"] = q_response_latency
 ORACLES["response_latency"] = O_RESPONSE_LATENCY
+
+
+# --- conversation-level feature table --------------------------------------------
+
+def q_conversation_features(spark, sf_dir):
+    """Entity-grain materialization: one row per conversation with the
+    summary bundle (turns, role mix, sessions, distinct tools, span,
+    chars) — the table a conversation-level model trains on. Single
+    aggregation after the same window pass the per-turn features use."""
+    t = transcripts_from_events(spark, sf_dir)
+    t = state.with_sessions(t, CFG)
+    us = ordering.epoch_us("ts")
+    return (
+        t.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum((F.col("role") == "user").cast("int")).cast("long").alias("n_user"),
+            F.sum((F.col("role") == "assistant").cast("int")).cast("long").alias("n_assistant"),
+            F.sum((F.col("role") == "tool").cast("int")).cast("long").alias("n_tool"),
+            F.sum("is_session_start").cast("long").alias("n_sessions"),
+            F.count_distinct("tool").cast("long").alias("n_distinct_tools"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            ((F.max(us) - F.min(us)) / F.lit(1_000_000)).cast("long").alias("span_s"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+O_CONVERSATION_FEATURES = f"""{_W},
+s as (
+  select conv_id, role, tool, text, ts,
+    case when lag(epoch_us(ts)) over ({_OWIN}) is null
+           or epoch_us(ts) - lag(epoch_us(ts)) over ({_OWIN})
+              > {int(CFG.session_gap_s * 1e6)}
+         then 1 else 0 end as is_start
+  from transcripts
+)
+select conv_id,
+  cast(count(*) as bigint) as n_turns,
+  cast(sum(case when role = 'user' then 1 else 0 end) as bigint) as n_user,
+  cast(sum(case when role = 'assistant' then 1 else 0 end) as bigint) as n_assistant,
+  cast(sum(case when role = 'tool' then 1 else 0 end) as bigint) as n_tool,
+  cast(sum(is_start) as bigint) as n_sessions,
+  cast(count(distinct tool) as bigint) as n_distinct_tools,
+  cast(sum(length(text)) as bigint) as total_chars,
+  cast((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 as bigint) as span_s
+from s
+group by conv_id
+order by conv_id
+"""
+
+QUERIES["conversation_features"] = q_conversation_features
+ORACLES["conversation_features"] = O_CONVERSATION_FEATURES
