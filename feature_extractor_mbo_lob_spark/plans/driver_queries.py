@@ -4991,3 +4991,65 @@ order by conv_id
 
 QUERIES["conversation_features"] = q_conversation_features
 ORACLES["conversation_features"] = O_CONVERSATION_FEATURES
+
+
+# --- rolling trend slope + role-mix entropy --------------------------------------
+
+def q_rolling_trend(spark, sf_dir):
+    """Two more frame statistics from exact integer sums over the trailing
+    32 turns: the least-squares slope of turn length against turn position
+    (trend detection), and the Shannon entropy of the role mix (dialogue
+    diversity). Every float is one closed-form expression on bigint frame
+    sums — the same bit-stability recipe as rolling_corr."""
+    t = transcripts_from_events(spark, sf_dir)
+    w = ordering.trailing(CFG, 32)
+    x = F.col("turn_idx").cast("long")
+    y = F.length("text").cast("long")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxx = F.sum(x * x).over(w)
+    sxy = F.sum(x * y).over(w)
+    den = (n * sxx - sx * sx).cast("double")
+    slope = F.when(den > 0, (n * sxy - sx * sy).cast("double") / den)
+
+    nu = F.sum((F.col("role") == "user").cast("int")).over(w)
+    na = F.sum((F.col("role") == "assistant").cast("int")).over(w)
+    nt = F.sum((F.col("role") == "tool").cast("int")).over(w)
+
+    def h(cnt):
+        p = cnt.cast("double") / n
+        return F.when(cnt > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+    entropy = h(nu) + h(na) + h(nt)
+    return t.select(
+        "conv_id", "turn_idx",
+        _r6x(slope, "char_trend_slope"),
+        _r6x(entropy, "role_entropy"),
+    )
+
+
+O_ROLLING_TREND = f"""{_W},
+s as (
+  select conv_id, turn_idx,
+    count(*) over f as n,
+    sum(cast(turn_idx as bigint)) over f as sx,
+    sum(cast(length(text) as bigint)) over f as sy,
+    sum(cast(turn_idx as bigint) * cast(turn_idx as bigint)) over f as sxx,
+    sum(cast(turn_idx as bigint) * cast(length(text) as bigint)) over f as sxy,
+    sum(case when role = 'user' then 1 else 0 end) over f as nu,
+    sum(case when role = 'assistant' then 1 else 0 end) over f as na,
+    sum(case when role = 'tool' then 1 else 0 end) over f as nt
+  from transcripts
+  window f as ({_OWIN} rows between 31 preceding and current row)
+)
+select conv_id, turn_idx,
+  case when (n*sxx - sx*sx) > 0
+       then {_r6x_sql("cast(n*sxy - sx*sy as double) / cast(n*sxx - sx*sx as double)")}
+  end as char_trend_slope,
+  {_r6x_sql("(case when nu > 0 then -(cast(nu as double)/n) * ln(cast(nu as double)/n) else 0.0 end) + (case when na > 0 then -(cast(na as double)/n) * ln(cast(na as double)/n) else 0.0 end) + (case when nt > 0 then -(cast(nt as double)/n) * ln(cast(nt as double)/n) else 0.0 end)")} as role_entropy
+from s
+"""
+
+QUERIES["rolling_trend"] = q_rolling_trend
+ORACLES["rolling_trend"] = O_ROLLING_TREND
