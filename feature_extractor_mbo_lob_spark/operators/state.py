@@ -211,3 +211,36 @@ def with_cusum(df: DataFrame, cfg: PipelineConfig, col,
         s.cast("double").alias(f"{out_prefix}_stat"),
         (s >= F.lit(float(threshold))).cast("int").alias(f"{out_prefix}_alarm"),
     ).drop("_cus")
+
+
+def with_streaks(df: DataFrame, cfg: PipelineConfig, col: str = "role",
+                 out_prefix: str | None = None) -> DataFrame:
+    """Gaps-and-islands: length (so far) and ordinal of the current run of
+    consecutive equal ``col`` values — e.g. how many times in a row the
+    same tool has been invoked (retry bursts), or the current same-role
+    streak.
+
+    Construction: group key = row_number under the stable order minus
+    row_number within (conv, value) — constant within a run, distinct
+    across runs (the classic islands identity; NULL values form their own
+    runs keyed by the value partition treating NULL as a group). Then the
+    position within (conv, group) is the streak length at each turn. Two
+    window specs over the same hash(conv_id)-compatible partitioning
+    ((conv) and (conv, col)) — one extra exchange, no UDF.
+    """
+    p = out_prefix or f"{col}_streak"
+    w_all = ordering.stable_window(cfg)
+    w_val = Window.partitionBy(cfg.key_col, col).orderBy(*cfg.order_cols)
+    grp = (F.row_number().over(w_all) - F.row_number().over(w_val)).alias("_grp")
+    df = df.withColumn("_grp", grp)
+    w_run = Window.partitionBy(cfg.key_col, col, "_grp").orderBy(*cfg.order_cols)
+    run_pos = F.row_number().over(w_run)
+    # ordinal of the run within the conversation: count of run STARTS so far
+    start = (run_pos == 1).cast("int")
+    df = df.withColumn("_rs", start)
+    run_ord = F.sum("_rs").over(ordering.cumulative(cfg))
+    return df.select(
+        "*",
+        run_pos.cast("long").alias(f"{p}_len"),
+        run_ord.cast("long").alias(f"{p}_ord"),
+    ).drop("_grp", "_rs")

@@ -5053,3 +5053,41 @@ from s
 
 QUERIES["rolling_trend"] = q_rolling_trend
 ORACLES["rolling_trend"] = O_ROLLING_TREND
+
+
+# --- consecutive-run streaks (gaps and islands) ----------------------------------
+
+def q_role_streaks(spark, sf_dir):
+    """Length-so-far and ordinal of the current consecutive same-role run
+    per turn — the gaps-and-islands identity (rn_all - rn_per_value), the
+    retry/burst detection primitive."""
+    t = transcripts_from_events(spark, sf_dir)
+    out = state.with_streaks(t, CFG, col="role")
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("role_streak_len"),
+        F.col("role_streak_ord"),
+    )
+
+
+O_ROLE_STREAKS = f"""{_W},
+g as (
+  select conv_id, turn_idx, ts, role,
+    row_number() over ({_OWIN})
+      - row_number() over (partition by conv_id, role order by turn_idx, ts) as grp
+  from transcripts
+),
+r as (
+  select conv_id, turn_idx, ts,
+    row_number() over (partition by conv_id, role, grp order by turn_idx, ts) as streak_len
+  from g
+)
+select conv_id, turn_idx,
+  cast(streak_len as bigint) as role_streak_len,
+  cast(sum(case when streak_len = 1 then 1 else 0 end)
+         over ({_CUM}) as bigint) as role_streak_ord
+from r
+"""
+
+QUERIES["role_streaks"] = q_role_streaks
+ORACLES["role_streaks"] = O_ROLE_STREAKS

@@ -143,3 +143,25 @@ def test_cusum_matches_recurrence(spark, cfg, transcripts):
             s = max(0.0, s + (float(r.x) - K))   # the textbook recurrence
             assert abs(r.cusum_stat - s) < 1e-9, (conv, r.turn_idx)
             assert r.cusum_alarm == int(s >= H)
+
+
+def test_streaks(spark, cfg, transcripts):
+    from feature_extractor_mbo_lob_spark.operators import state as st
+
+    out = st.with_streaks(transcripts, cfg, col="role")
+    pdf = out.select("conv_id", "turn_idx", "role",
+                     "role_streak_len", "role_streak_ord") \
+        .toPandas().sort_values(["conv_id", "turn_idx"])
+    for conv, g in pdf.groupby("conv_id"):
+        prev = None
+        length = 0
+        ordn = 0
+        for _, r in g.iterrows():
+            if r.role != prev:
+                ordn += 1
+                length = 1
+            else:
+                length += 1
+            prev = r.role
+            assert r.role_streak_len == length, (conv, r.turn_idx)
+            assert r.role_streak_ord == ordn, (conv, r.turn_idx)
