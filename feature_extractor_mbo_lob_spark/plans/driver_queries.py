@@ -5091,3 +5091,56 @@ from r
 
 QUERIES["role_streaks"] = q_role_streaks
 ORACLES["role_streaks"] = O_ROLE_STREAKS
+
+
+# --- per-tool latency leaderboard ------------------------------------------------
+
+def q_tool_leaderboard(spark, sf_dir):
+    """Ops-facing rollup of the lifecycle episodes BY TOOL (the per-conv
+    stats exist as episode_stats): invocation count, completion ratio, and
+    exact integer-microsecond latency sums/medians, sorted by volume."""
+    ep = lifecycle.tool_episodes(_t(spark, sf_dir), CFG)
+    lat_us = F.round(F.col("latency_s") * 1e6, 0).cast("long")
+    return (
+        ep.groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_invocations"),
+            F.sum("completed").cast("long").alias("n_completed"),
+            _r6x(F.sum("completed").cast("double") / F.count(F.lit(1)), "completion_ratio"),
+            F.sum(lat_us).cast("long").alias("total_latency_us"),
+            F.floor(F.percentile(lat_us, F.lit(0.5)) * 2).cast("long").alias("median_latency_2us"),
+        )
+        .orderBy(F.col("n_invocations").desc(), F.col("tool"))
+    )
+
+
+O_TOOL_LEADERBOARD = f"""{_W},
+inv as (
+  select conv_id, tool, ts as invoke_ts,
+    row_number() over (partition by conv_id, tool order by turn_idx, ts) as episode_rank
+  from transcripts where role = 'assistant' and tool is not null
+),
+res as (
+  select conv_id, tool, ts as result_ts,
+    row_number() over (partition by conv_id, tool order by turn_idx, ts) as episode_rank
+  from transcripts where role = 'tool' and tool is not null
+),
+ep as (
+  select i.tool,
+    case when r.result_ts is not null then 1 else 0 end as completed,
+    cast(round((epoch_us(r.result_ts) - epoch_us(i.invoke_ts)) / 1e6 * 1e6, 0) as bigint) as lat_us
+  from inv i left join res r using (conv_id, tool, episode_rank)
+)
+select tool,
+  cast(count(*) as bigint) as n_invocations,
+  cast(sum(completed) as bigint) as n_completed,
+  {_r6x_sql("cast(sum(completed) as double) / count(*)")} as completion_ratio,
+  cast(sum(lat_us) as bigint) as total_latency_us,
+  cast(floor(quantile_cont(lat_us, 0.5) * 2) as bigint) as median_latency_2us
+from ep
+group by tool
+order by n_invocations desc, tool
+"""
+
+QUERIES["tool_leaderboard"] = q_tool_leaderboard
+ORACLES["tool_leaderboard"] = O_TOOL_LEADERBOARD
