@@ -266,6 +266,31 @@ def main() -> None:
         forbid=("CartesianProduct",),
     ))
 
+    from feature_extractor_mbo_lob_spark.operators import state as st
+
+    stk = st.with_streaks(t, CFG, col="role")
+    sections.append(summarize(
+        "Streak features (gaps and islands)",
+        stk,
+        "Two window partitionings ((conv) and (conv, value)) plus the "
+        "run-position window — the only extra cost over the stable cascade "
+        "is the (conv, value) exchange; no UDF.",
+        forbid=("CartesianProduct",),
+    ))
+
+    cw = __import__(
+        "feature_extractor_mbo_lob_spark.operators.sequence", fromlist=["context_window"]
+    ).context_window(t, CFG, token_budget=64)
+    cw_plan = cw._jdf.queryExecution().executedPlan().toString()
+    assert cw_plan.count("Exchange") <= 1, "context window must stay on one exchange"
+    sections.append(summarize(
+        "Token-budgeted context window",
+        cw,
+        "Reverse cumulative token sum under the stable order — asserted "
+        "single exchange; truncate-left selection with no UDF.",
+        forbid=("CartesianProduct",),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
