@@ -5144,3 +5144,49 @@ order by n_invocations desc, tool
 
 QUERIES["tool_leaderboard"] = q_tool_leaderboard
 ORACLES["tool_leaderboard"] = O_TOOL_LEADERBOARD
+
+
+# --- per-source curation dashboard -----------------------------------------------
+
+def _gopher_as_cte() -> str:
+    """O_GOPHER_FILTER's final SELECT wrapped as a `gk` CTE (same surgery
+    as the edit-distance oracle)."""
+    head, _, tail = O_GOPHER_FILTER.rpartition("select doc_id, flag_words")
+    body = "select doc_id, flag_words" + tail
+    return head.rstrip().rstrip(",") + ",\ngk as (\n" + body.strip() + "\n)"
+
+
+def q_source_dashboard(spark, sf_dir):
+    """Curation dashboard: per (source, lang), document count, Gopher keep
+    rate, and mean length — the table a data-mixing owner reads before
+    setting sampling weights."""
+    from ..functions import repetition as rep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = rep.gopher_filter(docs).select(F.col("id").alias("doc_id"), "keep")
+    j = docs.join(g, "doc_id")
+    return (
+        j.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            _r6x(F.sum("keep").cast("double") / F.count(F.lit(1)), "keep_rate"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+O_SOURCE_DASHBOARD = f"""{_gopher_as_cte()}
+select d.source, d.lang,
+  cast(count(*) as bigint) as n_docs,
+  cast(sum(gk.keep) as bigint) as n_keep,
+  {_r6x_sql("cast(sum(gk.keep) as double) / count(*)")} as keep_rate,
+  cast(sum(length(d.text)) as bigint) as total_chars
+from documents d join gk using (doc_id)
+group by d.source, d.lang
+order by d.source, d.lang
+"""
+
+QUERIES["source_dashboard"] = q_source_dashboard
+ORACLES["source_dashboard"] = O_SOURCE_DASHBOARD
