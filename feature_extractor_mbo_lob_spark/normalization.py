@@ -231,3 +231,23 @@ def winsorize(df: DataFrame, cols: list[str], p_lo: float = 0.01,
             F.least(F.greatest(F.col(c), F.col(f"_lo_{c}")), F.col(f"_hi_{c}")),
         )
     return out.drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
+
+
+def robust_zscore(df: DataFrame, col: str, out_col: str | None = None,
+                  eps: float = 1e-9) -> DataFrame:
+    """Median/MAD scaling: (x - median) / (MAD + eps), the outlier-robust
+    z-score. Two sequential tiny aggregates (median, then the median of
+    |x - median|), each broadcast back — the big table is scanned twice but
+    never shuffled or sorted. Same exact interpolated percentile both
+    engines share.
+    """
+    out = out_col or f"{col}_rz"
+    med = df.agg(F.percentile(col, F.lit(0.5)).alias("_med"))
+    d = df.join(F.broadcast(med))
+    mad = d.agg(
+        F.percentile(F.abs(F.col(col) - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    d = d.join(F.broadcast(mad))
+    return d.withColumn(
+        out, (F.col(col) - F.col("_med")) / (F.col("_mad") + F.lit(float(eps)))
+    ).drop("_med", "_mad")

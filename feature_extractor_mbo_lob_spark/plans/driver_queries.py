@@ -5190,3 +5190,30 @@ order by d.source, d.lang
 
 QUERIES["source_dashboard"] = q_source_dashboard
 ORACLES["source_dashboard"] = O_SOURCE_DASHBOARD
+
+
+# --- robust z-score (median / MAD) -----------------------------------------------
+
+def q_robust_zscore(spark, sf_dir):
+    """Outlier-robust scaling of `value`: (x - median)/(MAD + eps), two
+    tiny sequential aggregates broadcast back — no sort of the big table."""
+    from ..normalization import robust_zscore
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = robust_zscore(t, "value")
+    return out.select("conv_id", "turn_idx", _r6x(F.col("value_rz"), "value_rz"))
+
+
+O_ROBUST_ZSCORE = f"""{_W},
+m as (select quantile_cont(value, 0.5) as med from transcripts),
+s as (
+  select quantile_cont(abs(value - m.med), 0.5) as mad, any_value(m.med) as med
+  from transcripts, m
+)
+select t.conv_id, t.turn_idx,
+  {_r6x_sql("(t.value - s.med) / (s.mad + 1e-09)")} as value_rz
+from transcripts t, s
+"""
+
+QUERIES["robust_zscore"] = q_robust_zscore
+ORACLES["robust_zscore"] = O_ROBUST_ZSCORE

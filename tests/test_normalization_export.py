@@ -240,3 +240,18 @@ def test_winsorize(spark):
     # interior values untouched
     mid = out.filter("x = 50.0").collect()[0]
     assert mid.x_w == 50.0
+
+
+def test_robust_zscore(spark):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.normalization import robust_zscore
+
+    # median 5, MAD 2 for 1..9 plus a wild outlier that must not move them
+    vals = [(float(i),) for i in range(1, 10)] + [(1e9,)]
+    df = spark.createDataFrame(vals, "x double")
+    out = {r.x: r.x_rz for r in robust_zscore(df, "x").collect()}
+    med, mad = 5.5, 2.5   # 10 values: median of 1..9,1e9 is 5.5; MAD 2.5
+    assert abs(out[5.0] - (5.0 - med) / (mad + 1e-9)) < 1e-9
+    assert abs(out[1.0] - (1.0 - med) / (mad + 1e-9)) < 1e-9
+    assert out[1e9] > 1e8  # outlier far out, scale unpolluted
