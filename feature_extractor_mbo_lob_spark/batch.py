@@ -137,3 +137,31 @@ def chronological_split(
         .when(us <= F.lit(c2), F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def group_hash_split(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    train: float = 0.7,
+    val: float = 0.15,
+    split_col: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Group-aware train/val/test split: EVERY turn of a conversation lands
+    in the same split (md5 bucket of the group key), the leakage-safe
+    alternative to `chronological_split` when conversations must not
+    straddle splits. Stateless, engine-reproducible, no shuffle — the
+    split is a pure row expression.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(cfg.key_col).cast("string")), 1, 7), 16, 10)
+        .cast("long") % buckets
+    )
+    t_hi = int(train * buckets)
+    v_hi = int((train + val) * buckets)
+    return df.withColumn(
+        split_col,
+        F.when(bucket < t_hi, F.lit("train"))
+        .when(bucket < v_hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

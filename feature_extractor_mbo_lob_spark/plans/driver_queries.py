@@ -5217,3 +5217,57 @@ from transcripts t, s
 
 QUERIES["robust_zscore"] = q_robust_zscore
 ORACLES["robust_zscore"] = O_ROBUST_ZSCORE
+
+
+# --- group-aware hash split ------------------------------------------------------
+
+def q_group_hash_split(spark, sf_dir):
+    """Conversation-hash train/val/test split: per-split conv and turn
+    counts plus the no-straddle proof (max distinct splits per conv must
+    be 1 — asserted IN the result so the oracle checks it too)."""
+    from ..batch import group_hash_split
+
+    t = transcripts_from_events(spark, sf_dir)
+    s = group_hash_split(t, CFG)
+    per_conv = s.groupBy("conv_id").agg(
+        F.count_distinct("split").alias("_ns"), F.first("split").alias("split")
+    )
+    return (
+        per_conv.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.max("_ns").cast("long").alias("max_splits_per_conv"),
+        )
+        .join(
+            s.groupBy("split").agg(F.count(F.lit(1)).cast("long").alias("n_turns")),
+            "split",
+        )
+        .select("split", "n_convs", "n_turns", "max_splits_per_conv")
+        .orderBy("split")
+    )
+
+
+O_GROUP_HASH_SPLIT = f"""{_W},
+b as (
+  select conv_id, md5(cast(conv_id as varchar)) as h from (
+    select distinct conv_id from transcripts
+  )
+),
+assigned as (
+  select t.conv_id,
+    case when ({_HEX7}) % 10000 < 7000 then 'train'
+         when ({_HEX7}) % 10000 < 8500 then 'val'
+         else 'test' end as split
+  from transcripts t join b using (conv_id)
+)
+select split,
+  cast(count(distinct conv_id) as bigint) as n_convs,
+  cast(count(*) as bigint) as n_turns,
+  cast(1 as bigint) as max_splits_per_conv
+from assigned
+group by split
+order by split
+"""
+
+QUERIES["group_hash_split"] = q_group_hash_split
+ORACLES["group_hash_split"] = O_GROUP_HASH_SPLIT

@@ -134,3 +134,33 @@ def test_psi_drift_detects_shift(spark):
     df2 = spark.createDataFrame(rows2, "conv_id string, turn_idx int, value double, ts timestamp")
     out2 = psi_drift(df2, "value", "ts", split_q=0.5, k=10).collect()
     assert sum(r.psi_term for r in out2) < 0.1
+
+
+def test_group_hash_split(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.batch import group_hash_split
+    from feature_extractor_mbo_lob_spark.config import PipelineConfig
+    from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(f"c{i}", j, "user", "x", None, t0 + dt.timedelta(seconds=j))
+            for i in range(200) for j in range(3)]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    s = group_hash_split(df, PipelineConfig())
+    # every conversation entirely inside ONE split
+    per = s.groupBy("conv_id").agg(F.count_distinct("split").alias("ns")).collect()
+    assert all(r.ns == 1 for r in per)
+    # fractions roughly honored over 200 groups
+    frac = {r.split: r.n for r in
+            s.select("conv_id", "split").distinct()
+            .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.55 < frac["train"] / 200 < 0.85
+    assert frac["train"] + frac.get("val", 0) + frac.get("test", 0) == 200
+    # deterministic across invocations
+    a = sorted((r.conv_id, r.split) for r in s.select("conv_id", "split").distinct().collect())
+    b = sorted((r.conv_id, r.split) for r in
+               group_hash_split(df, PipelineConfig()).select("conv_id", "split").distinct().collect())
+    assert a == b
