@@ -5271,3 +5271,32 @@ order by split
 
 QUERIES["group_hash_split"] = q_group_hash_split
 ORACLES["group_hash_split"] = O_GROUP_HASH_SPLIT
+
+
+# --- rolling exact distinct count ------------------------------------------------
+
+def q_rolling_distinct_tools(spark, sf_dir):
+    """Exact distinct tools over the trailing 32 turns. Unlike the
+    cumulative form (first-occurrence prefix sums, O(n)), a ROLLING exact
+    distinct genuinely needs the frame contents — collect_list over the
+    bounded frame is O(n*w) with w=32 fixed, the honest cost (documented
+    trade vs approx sketches at larger w)."""
+    t = transcripts_from_events(spark, sf_dir)
+    fr = ordering.trailing(CFG, 32)
+    d = F.size(F.array_distinct(F.collect_list("tool").over(fr)))
+    return t.select(
+        "conv_id", "turn_idx",
+        d.cast("long").alias("distinct_tools_w32"),
+    )
+
+
+O_ROLLING_DISTINCT_TOOLS = f"""{_W}
+select conv_id, turn_idx,
+  cast(coalesce(len(list_distinct(list(tool) filter (tool is not null)
+    over ({_OWIN} rows between 31 preceding and current row))), 0) as bigint)
+    as distinct_tools_w32
+from transcripts
+"""
+
+QUERIES["rolling_distinct_tools"] = q_rolling_distinct_tools
+ORACLES["rolling_distinct_tools"] = O_ROLLING_DISTINCT_TOOLS
