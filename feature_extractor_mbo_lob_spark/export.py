@@ -249,13 +249,16 @@ def export_jsonl_shards(
 ) -> dict:
     """Training-corpus sink: shard-partitioned JSONL (optionally gzip), the
     interchange format LLM training stacks ingest. Sharding is the same
-    deterministic pmod(id) used by pack_token_stream, so a shard is a
-    self-contained training stream; each shard directory is one task's
-    sequential write (no tiny-file explosion). Returns {rows, shards, path}.
+    deterministic md5-bucket used by pack_token_stream (any id type — string
+    ids are common in real corpora), so a shard is a self-contained training
+    stream; each shard directory is one task's sequential write (no
+    tiny-file explosion). Returns {rows, shards, path}.
     """
     from pyspark.sql import functions as F
 
-    sharded = df.withColumn("shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int"))
+    from .functions.corpus import md5_bucket
+
+    sharded = df.withColumn("shard", md5_bucket(id_col, n_shards).cast("int"))
     writer = sharded.repartition(n_shards, "shard").write.mode("overwrite")
     if compress:
         writer = writer.option("compression", "gzip")

@@ -28,6 +28,19 @@ from ..contract import DIVISION_GUARD_EPS
 from .repetition import normalized_words
 
 
+def md5_bucket(col, buckets: int):
+    """Deterministic bucket in [0, buckets) from md5 of the stringified id.
+    Works for ANY id type (string ids are common in real corpora — a numeric
+    pmod would yield NULL shards silently, or error under ANSI). Exactly
+    reproducible in any engine with md5: first 7 hex chars -> int % buckets
+    (DuckDB twin: driver_queries._HEX7)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % buckets
+    )
+
+
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) over the whole corpus."""
     return (
@@ -131,10 +144,7 @@ def hash_sample(
     """Deterministic Bernoulli sample: keep rows whose md5(id) bucket falls
     below frac * buckets. Stateless and engine-reproducible (vs rand(seed),
     whose stream is engine- and partitioning-specific)."""
-    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10).cast(
-        "long"
-    ) % buckets
-    return df.filter(bucket < int(frac * buckets))
+    return df.filter(md5_bucket(id_col, buckets) < int(frac * buckets))
 
 
 def pack_token_stream(
@@ -156,7 +166,7 @@ def pack_token_stream(
 
     t = df.select(
         F.col(id_col).alias("id"),
-        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        md5_bucket(id_col, n_shards).cast("long").alias("shard"),
         token_count_ws(text_col).alias("n_tokens"),
     )
     w = (

@@ -1,16 +1,21 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, decoded by REAL dependency-free codecs inside mapInPandas.
 
-The Spark-side machinery (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual media decode is STUBBED behind
-``NotImplementedError`` or a deterministic fake because the image/audio
-libraries are not in this container. Swapping in PIL/torchaudio is a local
-change inside the mapInPandas function — the distributed plan is unchanged.
+Decode is NOT stubbed: `decode_media` / `_decode_payload` parse RIFF/WAVE
+PCM16 audio, P6 PPM and 24bpp BMP images with pure numpy+struct and emit
+per-item dims/sample-rate/mean/std; `_decode_pixels` and
+`resize_images` operate on the actual pixel arrays. Only
+`extract_media_features` (the generic any-bytes embedding stage) uses a
+deterministic byte-hash stand-in, for formats that would need external
+libraries (JPEG/MP3/video) — swapping in PIL/torchaudio there is a local
+change inside one mapInPandas function; the distributed plan (schema,
+partitioning, Arrow batch shape) is unchanged.
 
 Scale notes: binary payloads ride in their own column so Parquet column
 pruning skips them unless a stage needs bytes; mapInPandas streams Arrow
 batches (bounded memory via spark.sql.execution.arrow.maxRecordsPerBatch);
-decode stages should repartition by size-balanced buckets, not row counts.
+decode stages repartition by size-balanced buckets (`repartition_by_bytes`),
+not row counts.
 """
 
 from __future__ import annotations

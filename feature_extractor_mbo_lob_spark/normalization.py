@@ -179,22 +179,39 @@ def bilinear(col, mid, k: float, tick: float):
     return (F.col(col) - F.col(mid)) / F.lit(k * tick)
 
 
+def _pctl(c, q, exact: bool, accuracy: int = 10_000):
+    """Percentile with an explicit scale/oracle switch.
+
+    exact=True -> F.percentile: exact interpolated percentile, bit-matching
+    DuckDB's quantile_cont — but its aggregation buffer materializes EVERY
+    value on one reducer, i.e. O(n) memory on a single task. That is the
+    oracle/test-SF twin, NOT the 100-TB path. exact=False ->
+    F.percentile_approx (GK sketch): bounded memory (~accuracy buckets),
+    mergeable map-side partials, rank error <= 1/accuracy — the scale path.
+    """
+    if exact:
+        return F.percentile(c, q)
+    return F.percentile_approx(c, q, F.lit(accuracy))
+
+
 def quantile_bin(df: DataFrame, col: str, k: int = 10,
-                 bin_col: str | None = None) -> DataFrame:
+                 bin_col: str | None = None, exact: bool = True) -> DataFrame:
     """Equal-frequency discretization into ``k`` bins (0..k-1).
 
     Two-pass, like the export normalizer above: pass 1 computes the k-1
-    exact interpolated percentile cutpoints as ONE tiny aggregate row
-    (partial-aggregated map-side, no global sort — the ntile() alternative
-    would force the whole table through a single partition); pass 2
-    broadcasts that row and assigns bin = #cutpoints strictly below the
-    value, a pure JVM fold. Ties at a cutpoint all land in the lower bin,
-    which is the deterministic choice both engines agree on.
+    percentile cutpoints as ONE tiny aggregate row; pass 2 broadcasts that
+    row and assigns bin = #cutpoints strictly below the value, a pure JVM
+    fold. Ties at a cutpoint all land in the lower bin, which is the
+    deterministic choice both engines agree on.
+
+    ``exact=True`` is the DuckDB-matching oracle twin (single-reducer O(n)
+    percentile buffer — test SFs only); pass ``exact=False`` for the
+    bounded-memory GK-sketch cutpoints at scale (see ``_pctl``).
     """
     out = bin_col or f"{col}_bin"
     qs = [i / k for i in range(1, k)]
     cuts = df.agg(
-        F.percentile(col, F.array(*[F.lit(q) for q in qs])).alias("_cuts")
+        _pctl(col, F.array(*[F.lit(q) for q in qs]), exact).alias("_cuts")
     )
     assigned = df.join(F.broadcast(cuts))
     b = F.aggregate(
@@ -208,20 +225,21 @@ def quantile_bin(df: DataFrame, col: str, k: int = 10,
 
 
 def winsorize(df: DataFrame, cols: list[str], p_lo: float = 0.01,
-              p_hi: float = 0.99, out_suffix: str = "_w") -> DataFrame:
+              p_hi: float = 0.99, out_suffix: str = "_w",
+              exact: bool = True) -> DataFrame:
     """Percentile clipping (winsorization): values below the p_lo / above
-    the p_hi exact interpolated percentile are clamped to it.
+    the p_hi percentile are clamped to it.
 
     Same two-pass shape as `quantile_bin`: the cutpoints are one tiny
     aggregate row broadcast back onto the table; the clamp itself is
-    greatest/least, pure JVM. Outlier-robust normalization for heavy-tailed
-    features without sorting the big table.
+    greatest/least, pure JVM. ``exact=False`` switches the cutpoint pass to
+    the bounded-memory GK sketch for the 100-TB path (see ``_pctl``).
     """
     aggs = []
     for c in cols:
         aggs += [
-            F.percentile(c, F.lit(p_lo)).alias(f"_lo_{c}"),
-            F.percentile(c, F.lit(p_hi)).alias(f"_hi_{c}"),
+            _pctl(c, F.lit(p_lo), exact).alias(f"_lo_{c}"),
+            _pctl(c, F.lit(p_hi), exact).alias(f"_hi_{c}"),
         ]
     cuts = df.agg(*aggs)
     out = df.join(F.broadcast(cuts))
@@ -234,18 +252,19 @@ def winsorize(df: DataFrame, cols: list[str], p_lo: float = 0.01,
 
 
 def robust_zscore(df: DataFrame, col: str, out_col: str | None = None,
-                  eps: float = 1e-9) -> DataFrame:
+                  eps: float = 1e-9, exact: bool = True) -> DataFrame:
     """Median/MAD scaling: (x - median) / (MAD + eps), the outlier-robust
     z-score. Two sequential tiny aggregates (median, then the median of
     |x - median|), each broadcast back — the big table is scanned twice but
-    never shuffled or sorted. Same exact interpolated percentile both
-    engines share.
+    never shuffled or sorted. ``exact=True`` is the oracle twin (exact
+    interpolated percentile, single-reducer buffer); ``exact=False`` uses
+    the GK sketch for bounded memory at scale (see ``_pctl``).
     """
     out = out_col or f"{col}_rz"
-    med = df.agg(F.percentile(col, F.lit(0.5)).alias("_med"))
+    med = df.agg(_pctl(col, F.lit(0.5), exact).alias("_med"))
     d = df.join(F.broadcast(med))
     mad = d.agg(
-        F.percentile(F.abs(F.col(col) - F.col("_med")), F.lit(0.5)).alias("_mad")
+        _pctl(F.abs(F.col(col) - F.col("_med")), F.lit(0.5), exact).alias("_mad")
     )
     d = d.join(F.broadcast(mad))
     return d.withColumn(

@@ -176,9 +176,16 @@ def minhash_lsh_pairs(
     )
 
 
-def _nibble_lane_lut() -> list[int]:
-    # packed lane value for hex nibble v: bit b of v contributes 1 << (16*b)
-    return [sum(((v >> b) & 1) << (16 * b) for b in range(4)) for v in range(16)]
+def _nibble_lane_lut(half: int) -> list[int]:
+    # packed 32-bit-lane value for hex nibble v: bits {0,1} (half=0) or
+    # {2,3} (half=1) of v land in lanes at shifts 0 and 32. Two longs per
+    # nibble instead of one 4x16-bit long: lanes hold counts up to 2^31-1
+    # shingles per doc (a >=65536-shingle book page overflowed 16-bit lanes
+    # into neighbors and silently corrupted the fingerprint).
+    return [
+        sum(((v >> (2 * half + b)) & 1) << (32 * b) for b in range(2))
+        for v in range(16)
+    ]
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -186,32 +193,39 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """64-bit SimHash over the first 16 hex nibbles of md5(shingle) —
     DuckDB-reproducible (same trick as MinHash's md5 permutations).
 
-    Single groupBy with 17 aggregates instead of 64: count(*) plus one
-    packed counter per nibble position, whose four 16-bit lanes count that
-    nibble's set bits across shingles (lanes cannot collide below 65 535
-    shingles per doc — far above any real document). Bit i of the
-    fingerprint is set iff count_i > n/2 (majority vote, identical to the
-    classic sum(±1) > 0 rule). Returns (id, c0..c3, simhash) where c0..c3
-    are the 16-bit fingerprint chunks (c0 = low bits) used by Hamming-LSH.
+    Single groupBy with 33 aggregates instead of 64: count(*) plus two
+    packed counters per nibble position, whose 32-bit lanes count that
+    nibble's set bits across shingles (exact up to 2^31-1 shingles per doc
+    — no document is ~10 GB of text, so lanes can never collide; 16-bit
+    lanes overflowed at 65 536 shingles, which book-length pages DO reach).
+    Bit i of the fingerprint is set iff count_i > n/2 (majority vote,
+    identical to the classic sum(±1) > 0 rule). Returns (id, c0..c3,
+    simhash) where c0..c3 are the 16-bit fingerprint chunks (c0 = low bits)
+    used by Hamming-LSH.
 
     Reference parity: simhash dedup per src pipeline docs; recall guarantee
     of the chunk LSH (hamming < n_chunks => some chunk equal) is preserved.
     """
     assert bits == 64, "simhash is fixed at 64 bits (16 md5 nibbles)"
     sh = shingle_table(df, id_col, text_col, k).withColumn("hx", F.md5("shingle"))
-    lut = F.array(*[F.lit(v) for v in _nibble_lane_lut()])
+    lut_lo = F.array(*[F.lit(v) for v in _nibble_lane_lut(0)])
+    lut_hi = F.array(*[F.lit(v) for v in _nibble_lane_lut(1)])
 
     def nib(j: int) -> F.Column:  # value 0..15 of hex char j (0-based)
         return F.conv(F.substring("hx", j + 1, 1), 16, 10).cast("int")
 
-    aggs = [F.count(F.lit(1)).alias("n_sh")] + [
-        F.sum(F.element_at(lut, nib(j) + 1)).alias(f"p{j}") for j in range(16)
-    ]
+    aggs = [F.count(F.lit(1)).alias("n_sh")]
+    for j in range(16):
+        aggs.append(F.sum(F.element_at(lut_lo, nib(j) + 1)).alias(f"pa{j}"))
+        aggs.append(F.sum(F.element_at(lut_hi, nib(j) + 1)).alias(f"pb{j}"))
     agg = sh.groupBy("id").agg(*aggs)
 
     def bit_cnt(i: int) -> F.Column:
-        # count of shingles with bit i set = lane i%4 of packed counter i//4
-        return F.shiftright(F.col(f"p{i // 4}"), 16 * (i % 4)).bitwiseAND(F.lit(0xFFFF))
+        # count of shingles with bit i set: bit i%4 of nibble i//4 lives in
+        # lane (i%4)%2 of packed counter pa (bits 0-1) or pb (bits 2-3)
+        j, b = i // 4, i % 4
+        col = f"pa{j}" if b < 2 else f"pb{j}"
+        return F.shiftright(F.col(col), 32 * (b % 2)).bitwiseAND(F.lit(0xFFFFFFFF))
 
     def chunk(c: int) -> F.Column:  # 16-bit chunk over fingerprint bits 16c..16c+15
         acc = F.lit(0).cast("long")

@@ -188,6 +188,13 @@ def with_lifecycle_point_in_time(df: DataFrame, cfg: PipelineConfig) -> DataFram
         mod_score.cast("double").alias("mod_score"),
         iceberg.cast("double").alias("iceberg_proxy"),
         r2i.cast("double").alias("result_to_invoke_ratio"),
+        # raw int64 state, exported so downstream canonicalization can stay
+        # in exact integer space (never float-round big-magnitude quotients)
+        n_started.cast("long").alias("pit_n_started"),
+        n_done.cast("long").alias("pit_n_done"),
+        (n_open * us - open_sum_us).cast("long").alias("pit_age_sum_us"),
+        lat_sum.cast("long").alias("pit_lat_sum_us"),
+        mods_sum.cast("long").alias("pit_mods_sum"),
     ).drop("_m_inv_us", "_m_lat_us", "_m_mods")
 
 

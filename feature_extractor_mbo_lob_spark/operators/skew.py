@@ -40,8 +40,10 @@ CHUNK_KEY = "_chunk_key"
 
 
 def add_chunks(df: DataFrame, cfg: PipelineConfig, chunk_turns: int,
-               back_context: int) -> DataFrame:
-    """Split conversations into chunks with back-context copies.
+               back_context: int, fwd_context: int = 0) -> DataFrame:
+    """Split conversations into chunks with back-context copies (and,
+    optionally, forward-context copies for forward-frame consumers like
+    TLOB label smoothers).
 
     Requires dense 0-based turn_idx per conversation (the transcript
     contract). Adds CHUNK_KEY and _ctx (1 on copied context rows).
@@ -63,27 +65,47 @@ def add_chunks(df: DataFrame, cfg: PipelineConfig, chunk_turns: int,
         .drop("_max_chunk")
     )
     out = real.unionByName(ctx)
+    if fwd_context > 0:
+        # first fwd_context turns of chunk k+1 copied into chunk k: forward
+        # frames (label smoothers reach h rows ahead) of real rows then see
+        # their true successors at the chunk boundary
+        fctx = (
+            df.withColumn("_chunk", chunk - 1)
+            .withColumn("_ctx", F.lit(1))
+            .filter(
+                (F.pmod(F.col("turn_idx"), F.lit(chunk_turns)) < fwd_context)
+                & (F.col("_chunk") >= 0)
+            )
+        )
+        out = out.unionByName(fctx)
     return out.withColumn(
         CHUNK_KEY, F.concat_ws("#", F.col(cfg.key_col), F.col("_chunk").cast("string"))
     )
 
 
 def build_features_skewed(df: DataFrame, cfg: PipelineConfig,
-                          chunk_turns: int | None = None) -> DataFrame:
+                          chunk_turns: int | None = None,
+                          with_labels: bool = False,
+                          price_col: str = "char_len") -> DataFrame:
     """Drop-in replacement for plans.build_features for skewed corpora:
     identical output columns and values, bounded per-task work.
 
-    chunk_turns defaults to cfg.skew_max_turns_per_task.
+    chunk_turns defaults to cfg.skew_max_turns_per_task. with_labels=True
+    additionally computes TLOB labels inside the same chunked cascade
+    (forward-context rows make the chunk-boundary label frames exact), so
+    the skewed flagship needs NO second pass or alignment join.
     """
     chunk_turns = chunk_turns or cfg.skew_max_turns_per_task
     wmax = max(cfg.window_sizes)
     # context depth = (frame length - 1) + 1 extra row so that lag-derived
     # per-row values (role_flip, dt) of every in-frame context row are exact
-    back_context = wmax
+    back_context = max(wmax, cfg.labels.smoothing_k)
+    fwd_context = cfg.labels.horizon if with_labels else 0
     if chunk_turns <= back_context:
         raise ValueError("chunk_turns must exceed the largest rolling window")
 
-    chunked = add_chunks(df, cfg, chunk_turns, back_context=back_context)
+    chunked = add_chunks(df, cfg, chunk_turns, back_context=back_context,
+                         fwd_context=fwd_context)
     ccfg = dataclasses.replace(cfg, key_col=CHUNK_KEY)
 
     w = ordering.stable_window(ccfg)
@@ -125,6 +147,14 @@ def build_features_skewed(df: DataFrame, cfg: PipelineConfig,
 
     base = os_mod.with_order_stats_pandas(base, ccfg)
     rolled = rolling.with_rolling_features(base, ccfg, include_order_stats=False)
+
+    if with_labels:
+        from ..labeling import tlob_labels
+
+        rolled = tlob_labels(
+            rolled, ccfg,
+            price_col=("char_len" if price_col == "char_len" else price_col),
+        )
 
     # --- carry-in for cumulative state --------------------------------------
     partials = (

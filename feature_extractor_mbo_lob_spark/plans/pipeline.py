@@ -92,11 +92,46 @@ def sample_anchors(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df.filter(F.pmod(F.col("_rn"), F.lit(cfg.sample_every_n)) == 0).drop("_rn")
 
 
+def max_conv_turns(df: DataFrame) -> int:
+    """Longest conversation in the corpus. turn_idx is dense 0-based per
+    conversation (transcript contract), so ONE map-side-combined max over a
+    single pruned int column answers it — no groupBy, no shuffle."""
+    row = df.agg(F.max("turn_idx")).first()
+    return int(row[0] or 0) + 1
+
+
+def flagship_skewed(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    price_col: str = "char_len",
+    chunk_turns: int | None = None,
+) -> DataFrame:
+    """Skew-safe flagship: identical rows to flagship_pipeline (tested), but
+    mega-conversations are chunked (operators/skew.py) so no single task
+    ever holds more than ~chunk_turns rows. Labels are computed INSIDE the
+    chunked cascade via forward-context rows — no second pass, no join."""
+    from ..operators.skew import build_features_skewed
+
+    out = build_features_skewed(
+        clean_input(df, cfg), cfg, chunk_turns=chunk_turns,
+        with_labels=True, price_col=price_col,
+    ).filter(F.col("label").isNotNull())
+    return out.select(
+        cfg.key_col,
+        "turn_idx",
+        cfg.ts_col,
+        *[r6(F.col(c)).alias(c) for c in cfg.feature_columns()],
+        "label",
+        r6(F.col("label_pct_change")).alias("label_pct_change"),
+    )
+
+
 def flagship_pipeline(
     df: DataFrame,
     cfg: PipelineConfig | None = None,
     price_col: str = "char_len",
     strategy: str = "fused",
+    auto_skew: bool = True,
 ) -> DataFrame:
     """The minimum-slice end-to-end query (SURVEY §7): features + TLOB
     labels on the per-turn scalar timeline, aligned per (conv_id, turn_idx).
@@ -114,8 +149,16 @@ def flagship_pipeline(
     (then: the as-of join operator).
 
     Both strategies produce identical rows (tested).
+
+    auto_skew=True (default) probes the longest conversation (one map-side
+    max over a pruned int column) and routes the whole corpus through
+    flagship_skewed when it exceeds cfg.skew_max_turns_per_task — a
+    10M-turn conversation otherwise becomes one straggler task that caps
+    cluster scaling (AQE cannot split Window execs).
     """
     cfg = cfg or PipelineConfig()
+    if auto_skew and max_conv_turns(df) > cfg.skew_max_turns_per_task:
+        return flagship_skewed(df, cfg, price_col=price_col)
     # narrow when the label timeline derives from char_len (output carries no
     # raw text, so the window sort never has to move it)
     feats = build_features(df, cfg, narrow=(price_col == "char_len"))

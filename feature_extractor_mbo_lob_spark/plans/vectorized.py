@@ -35,6 +35,7 @@ from ..contract import (
     feature_columns,
 )
 from ..operators.order_stats import _bucket_order_stats, flow_vol_from_sig
+from .pipeline import max_conv_turns
 
 
 def _segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -213,10 +214,44 @@ def _kernel(pdf: pd.DataFrame, cfg: PipelineConfig, price_from_char_len: bool) -
 
 def vectorized_flagship(df: DataFrame, cfg: PipelineConfig | None = None,
                         price_col: str = "char_len",
-                        n_buckets: int | None = None) -> DataFrame:
+                        n_buckets: int | None = None,
+                        auto_skew: bool = True) -> DataFrame:
     """Single-pass compiled twin of flagship_pipeline(strategy='fused').
-    Returns identical rows (tested)."""
+    Returns identical rows (tested).
+
+    auto_skew=True probes the longest conversation (one map-side max over a
+    pruned int column). If any conversation exceeds
+    cfg.skew_max_turns_per_task, those conversations' ids (a tiny list —
+    one groupBy row per conversation, filtered) are split out through the
+    chunked declarative path (plans.flagship_skewed, bit-identical rows)
+    and unioned back; everything else stays on this kernel. A mega
+    conversation otherwise lands whole in one Arrow bucket — an
+    unsplittable straggler + memory spike.
+    """
     cfg = cfg or PipelineConfig()
+    if auto_skew and max_conv_turns(df) > cfg.skew_max_turns_per_task:
+        from .pipeline import flagship_skewed
+
+        mega = [
+            r[0]
+            for r in df.groupBy(cfg.key_col)
+            .agg(F.max("turn_idx").alias("_m"))
+            .filter(F.col("_m") >= cfg.skew_max_turns_per_task)
+            .select(cfg.key_col)
+            .collect()
+        ]
+        rest = vectorized_flagship(
+            df.filter(~F.col(cfg.key_col).isin(mega)), cfg,
+            price_col=price_col, n_buckets=n_buckets, auto_skew=False,
+        )
+        skewed = flagship_skewed(
+            df.filter(F.col(cfg.key_col).isin(mega)), cfg, price_col=price_col
+        )
+        # align types to this kernel's output schema before the union
+        skewed = skewed.select(
+            *[F.col(f.name).cast(f.dataType) for f in rest.schema.fields]
+        )
+        return rest.unionByName(skewed)
     cols = [cfg.key_col, *cfg.order_cols, "role",
             F.coalesce(F.length("text"), F.lit(0)).cast("double").alias("char_len")]
     if price_col != "char_len":

@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # answer bare min/max/count aggregates from parquet footer stats —
+        # makes the flagship's skew probe (max(turn_idx)) metadata-only
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # Arrow transfer for every pandas UDF / applyInPandas
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

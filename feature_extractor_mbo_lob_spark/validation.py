@@ -129,14 +129,16 @@ def profile_table(df, cols: list[str] | None = None):
 
 
 def psi_drift(df, value_col: str, ts_col: str = "ts",
-              split_q: float = 0.5, k: int = 10):
+              split_q: float = 0.5, k: int = 10, exact: bool = True):
     """Population Stability Index between the chronologically earlier and
     later parts of the data — the standard train-vs-serving drift metric.
 
     Recipe (all declarative, two tiny aggregates + one broadcast):
     * split at the split_q percentile of event time,
-    * k equal-frequency bins from the REFERENCE (earlier) side's exact
-      percentile cutpoints,
+    * k equal-frequency bins from the REFERENCE (earlier) side's
+      percentile cutpoints (``exact=True``: exact interpolated percentile —
+      the DuckDB oracle twin, whose buffer is O(n) on one reducer, test SFs
+      only; ``exact=False``: bounded-memory GK sketch, the scale path),
     * per bin: p = reference fraction, q = current fraction,
       contribution = (q - p) * ln((q + eps)/(p + eps)).
 
@@ -150,13 +152,15 @@ def psi_drift(df, value_col: str, ts_col: str = "ts",
 
     from .contract import DIVISION_GUARD_EPS
 
+    from .normalization import _pctl
+
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    cut = df.agg(F.percentile(us, F.lit(split_q)).alias("_tcut"))
+    cut = df.agg(_pctl(us, F.lit(split_q), exact).alias("_tcut"))
     d = df.join(F.broadcast(cut)).withColumn("_ref", (us < F.col("_tcut")).cast("int"))
 
     qs = [i / k for i in range(1, k)]
     ref_val = F.when(F.col("_ref") == 1, F.col(value_col))
-    cuts = d.agg(F.percentile(ref_val, F.array(*[F.lit(x) for x in qs])).alias("_cuts"))
+    cuts = d.agg(_pctl(ref_val, F.array(*[F.lit(x) for x in qs]), exact).alias("_cuts"))
     d = d.join(F.broadcast(cuts))
     b = F.aggregate(
         F.col("_cuts"), F.lit(0),

@@ -62,6 +62,29 @@ def test_simhash_near_dups_close(docs):
     assert (0, 2) in cands and cands[(0, 2)] == 0
 
 
+def test_simhash_huge_doc_no_lane_overflow(spark):
+    # >=65536 distinct shingles overflowed the old 16-bit lanes; 32-bit
+    # lanes must match an exact per-bit Python recount
+    import hashlib
+
+    n = 70_000
+    text = " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = dedup.simhash(df, k=2).collect()[0]
+    words = text.split(" ")
+    shingles = {" ".join(words[i:i + 2]) for i in range(n - 1)}
+    cnt = [0] * 64
+    for s in shingles:
+        hx = hashlib.md5(s.encode()).hexdigest()
+        for i in range(64):
+            if (int(hx[i // 4], 16) >> (i % 4)) & 1:
+                cnt[i] += 1
+    want = sum((1 << i) for i in range(64) if 2 * cnt[i] > len(shingles))
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert row.simhash == want
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     # first two vectors double as IVF centroids (deterministic_centroids);

@@ -228,6 +228,32 @@ def test_quantile_bin_balanced(spark):
     assert bins == sorted(bins)
 
 
+def test_quantile_bin_approx_scale_path(spark):
+    # exact=False (GK sketch, bounded memory — the 100-TB path) must land
+    # within 1 rank of the exact cutpoints at accuracy=10000, n=1000
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.normalization import quantile_bin
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "x double")
+    out = quantile_bin(df, "x", k=10, exact=False)
+    counts = {r.x_bin: r.n for r in
+              out.groupBy("x_bin").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 1000
+    assert all(98 <= counts[b] <= 102 for b in range(10))
+
+
+def test_winsorize_approx_scale_path(spark):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.normalization import winsorize
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
+    out = winsorize(df, ["x"], p_lo=0.10, p_hi=0.90, exact=False)
+    stats = out.agg(F.min("x_w"), F.max("x_w")).collect()[0]
+    assert abs(stats[0] - 10.0) <= 1.0 and abs(stats[1] - 90.0) <= 1.0
+
+
 def test_winsorize(spark):
     from pyspark.sql import functions as F
 

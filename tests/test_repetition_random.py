@@ -82,11 +82,15 @@ def test_packing_random(spark, random_docs):
         key=lambda r: (r.shard, r.id),
     )
     # per shard: offsets are the exact prefix sums in id order; bins consistent
+    import hashlib
     from collections import defaultdict
+
+    def md5_shard(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16) % 4
 
     acc = defaultdict(int)
     for r in out:
-        assert r.shard == r.id % 4
+        assert r.shard == md5_shard(r.id)
         assert r.offset == acc[r.shard], (r.id,)
         assert r.bin_start == r.offset // 64
         assert r.bin_end == (r.offset + max(r.n_tokens, 1) - 1) // 64

@@ -67,3 +67,43 @@ def test_add_chunks_context_layout(spark):
 def test_chunk_size_must_exceed_window(corpus):
     with pytest.raises(ValueError, match="chunk_turns"):
         build_features_skewed(corpus, CFG, chunk_turns=8)
+
+
+def test_flagship_auto_skew_routing_identical(corpus):
+    """flagship_pipeline / vectorized_flagship with a skew threshold the mega
+    conversation exceeds must route through the chunked path and still
+    return bit-identical rows (labels included) to the unrouted plan."""
+    import dataclasses
+
+    from feature_extractor_mbo_lob_spark.plans import flagship_pipeline
+    from feature_extractor_mbo_lob_spark.plans.pipeline import flagship_skewed, max_conv_turns
+    from feature_extractor_mbo_lob_spark.plans.vectorized import vectorized_flagship
+
+    assert max_conv_turns(corpus) == 300
+    cfg = dataclasses.replace(CFG, skew_max_turns_per_task=50)
+
+    def grid(df):
+        cols = df.columns
+        return {(r["conv_id"], r["turn_idx"]): [r[c] for c in cols[2:]]
+                for r in df.collect()}
+
+    plain = grid(flagship_pipeline(corpus, CFG, auto_skew=False))
+    routed = grid(flagship_pipeline(corpus, cfg))            # probe trips
+    direct = grid(flagship_skewed(corpus, cfg))
+    vec = grid(vectorized_flagship(corpus, cfg))             # split+union path
+    assert plain == routed
+    assert plain == direct
+    assert plain == vec
+
+
+def test_add_chunks_forward_context(spark):
+    cfg = PipelineConfig(window_sizes=(4,))
+    df = synth_transcripts(spark, n_convs=1, min_turns=30, max_turns=30, seed=9)
+    ch = add_chunks(df, cfg, chunk_turns=10, back_context=3, fwd_context=2)
+    fwd = sorted(
+        (r["_chunk"], r.turn_idx)
+        for r in ch.filter((F.col("_ctx") == 1)
+                           & (F.pmod(F.col("turn_idx"), F.lit(10)) < 2)).collect()
+    )
+    # first 2 turns of chunks 1 and 2 copied back into chunks 0 and 1
+    assert fwd == [(0, 10), (0, 11), (1, 20), (1, 21)]
