@@ -222,6 +222,88 @@ def export_npy_sequences(
     return meta
 
 
+def export_npy_shards(
+    seq_df: DataFrame,
+    out_dir: str,
+    tag: str,
+    label_col: str | None = None,
+    n_shards: int = 64,
+    id_col: str = "conv_id",
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Distributed NPY tensor sink — the scale form of export_npy_sequences
+    (reference artifact: {day}_sequences.npy [N,T,F] f32 + {day}_labels.npy
+    [N] i8, src/export_aligned/npy_export.rs:36-116). Each md5-bucket shard
+    of conversations is written as {tag}_shard{k:05}_sequences.npy (+
+    _labels.npy) by ITS OWN executor task via applyInPandas — no driver
+    collect, no row cap; memory per task is one shard, which the caller
+    sizes via n_shards. A {tag}_shards_manifest.json records every shard's
+    rows and shape (the per-shard lineage the resume logic needs).
+
+    Rows inside a shard are sorted by sort_cols (default: id_col +
+    end_turn_idx when present) so shard contents are deterministic under
+    any shuffle order. out_dir must be shared storage on a real cluster
+    (executors write directly).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .functions.corpus import md5_bucket
+
+    if sort_cols is None:
+        sort_cols = [id_col] + (
+            ["end_turn_idx"] if "end_turn_idx" in seq_df.columns else []
+        )
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    sharded = seq_df.withColumn("_shard", md5_bucket(id_col, n_shards).cast("int"))
+    stats_schema = "shard int, rows long, t int, f int"
+
+    def write_shard(key, pdf):
+        shard = int(key[0])
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        # explicit [n][T][F] nesting — Arrow may hand back ragged object arrays
+        seqs = np.array(
+            [[list(vec) for vec in s] for s in pdf["sequence"]], dtype=np.float32
+        )
+        np.save(out / f"{tag}_shard{shard:05d}_sequences.npy", seqs)
+        if label_col:
+            np.save(
+                out / f"{tag}_shard{shard:05d}_labels.npy",
+                pdf[label_col].to_numpy(dtype=np.int8),
+            )
+        t = seqs.shape[1] if seqs.ndim == 3 else 0
+        f = seqs.shape[2] if seqs.ndim == 3 else 0
+        return pd.DataFrame(
+            [{"shard": shard, "rows": len(pdf), "t": t, "f": f}]
+        )
+
+    stats = sorted(
+        (r.shard, r.rows, r.t, r.f)
+        for r in sharded.groupBy("_shard").applyInPandas(
+            write_shard, schema=stats_schema
+        ).collect()  # n_shards tiny stat rows — NOT the tensor data
+    )
+    meta = {
+        "tag": tag,
+        "rows": int(sum(s[1] for s in stats)),
+        "n_shards_written": len(stats),
+        "t": max((s[2] for s in stats), default=0),
+        "f": max((s[3] for s in stats), default=0),
+        "dtype": "float32",
+        "labels": bool(label_col),
+        "shards": [
+            {"shard": s[0], "rows": s[1],
+             "file": f"{tag}_shard{s[0]:05d}_sequences.npy"}
+            for s in stats
+        ],
+        "written_at_unix": time.time(),
+    }
+    (out / f"{tag}_shards_manifest.json").write_text(json.dumps(meta, indent=1))
+    return meta
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

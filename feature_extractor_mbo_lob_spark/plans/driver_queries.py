@@ -3092,10 +3092,11 @@ reps as (
   group by md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
 ),
 ded as (select kept.* from kept join reps using (doc_id)),
+dh as (select *, md5(cast(doc_id as varchar)) as h from ded),
 t as (
-  select doc_id, doc_id % 4 as shard,
+  select doc_id, ({_HEX7}) % 4 as shard,
     cast(len(regexp_split_to_array(trim(text), '\\s+')) as bigint) as n_tokens
-  from ded
+  from dh
 ),
 o as (
   select doc_id, shard, n_tokens,
@@ -5294,6 +5295,43 @@ from transcripts
 
 QUERIES["rolling_distinct_tools"] = q_rolling_distinct_tools
 ORACLES["rolling_distinct_tools"] = O_ROLLING_DISTINCT_TOOLS
+
+
+# --- horizon-aware sequence windowing params (closes SURVEY §2.6) -------------------
+
+def q_horizon_aware_params(spark, sf_dir):
+    """The REAL operator (operators/sequence.py horizon_aware_params, ref
+    src/sequence_builder/horizon_aware.rs:289-295) evaluated over horizons
+    1..512 — pure config arithmetic, so the 512-row table is built driver-
+    side from the operator's actual outputs and certified against the
+    closed form in SQL."""
+    from ..operators.sequence import horizon_aware_params
+
+    rows = [
+        (h, *horizon_aware_params(h))
+        for h in range(1, 513)
+    ]
+    return spark.createDataFrame(
+        rows, "horizon long, lookback long, stride long"
+    )
+
+
+O_HORIZON_AWARE_PARAMS = """
+with h as (select unnest(range(1, 513)) as horizon),
+p as (
+  select horizon,
+    greatest(16, least(512,
+      cast(floor(greatest(64.0, horizon * 2.0)) as bigint))) as lookback
+  from h
+)
+select cast(horizon as bigint) as horizon,
+  cast(lookback as bigint) as lookback,
+  cast(greatest(1, lookback // 32) as bigint) as stride
+from p
+"""
+
+QUERIES["horizon_aware_params"] = q_horizon_aware_params
+ORACLES["horizon_aware_params"] = O_HORIZON_AWARE_PARAMS
 
 
 # --- registry ordering -------------------------------------------------------------

@@ -168,6 +168,50 @@ def test_npy_export_roundtrip(tmp_path, spark):
     assert not np.isnan(seqs).any()
 
 
+def test_npy_shards_distributed_over_1m_rows(tmp_path, spark):
+    """The distributed NPY shard sink (export_npy_shards) on a >1M-row
+    sequence table: no driver collect of tensor data, no 1M-row cap
+    (export_npy_sequences raises above its cap — this must not). Reloaded
+    shards must reproduce every value and be deterministically ordered."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.export import export_npy_shards
+
+    n = 1_200_000
+    seq = spark.range(n).select(
+        F.concat(F.lit("c"), (F.col("id") % 997).cast("string")).alias("conv_id"),
+        F.col("id").cast("int").alias("end_turn_idx"),
+        F.array(
+            F.array(F.col("id").cast("double"), F.lit(1.0)),
+            F.array(F.col("id").cast("double") + 0.5, F.lit(2.0)),
+        ).alias("sequence"),
+        (F.col("id") % 3 - 1).cast("tinyint").alias("lab"),
+    )
+    meta = export_npy_shards(seq, str(tmp_path), "big", label_col="lab",
+                             n_shards=16)
+    assert meta["rows"] == n and meta["t"] == 2 and meta["f"] == 2
+    total, checked = 0, False
+    for s in meta["shards"]:
+        arr = np.load(tmp_path / s["file"])
+        assert arr.dtype == np.float32 and arr.shape[1:] == (2, 2)
+        assert arr.shape[0] == s["rows"]
+        labs = np.load(tmp_path / s["file"].replace("_sequences", "_labels"))
+        assert labs.shape == (s["rows"],) and labs.dtype == np.int8
+        total += arr.shape[0]
+        if not checked:  # value spot-check: row content is id-derived
+            i = int(arr[0, 0, 0])
+            assert arr[0].tolist() == [[i, 1.0], [i + 0.5, 2.0]]
+            assert labs[0] == i % 3 - 1
+            checked = True
+    assert total == n
+    # determinism: re-export and compare one shard byte-for-byte
+    meta2 = export_npy_shards(seq, str(tmp_path / "again"), "big",
+                              label_col="lab", n_shards=16)
+    f0 = meta["shards"][0]["file"]
+    assert (tmp_path / f0).read_bytes() == (tmp_path / "again" / f0).read_bytes()
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Two tables bucketed on conv_id with equal bucket counts join with no
     Exchange in the executed plan — the co-located layout for repeated
