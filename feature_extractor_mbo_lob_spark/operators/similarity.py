@@ -249,11 +249,23 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 8,
     method: str = "matrix",
+    max_cluster_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: search only within the query's own cluster
     (nprobe=1). Returns (query_id, neighbor_id, cos, rank). Recall depends
     on clustering; the brute-force operator is the oracle. Matrix path runs
-    one GEMM per cluster group (applyInPandas on centroid_id)."""
+    one GEMM per cluster group (applyInPandas on centroid_id).
+
+    max_cluster_rows (matrix path): sub-shard skewed clusters — a hot
+    centroid otherwise lands its whole cluster in ONE task (the straggler
+    AQE cannot split, since the boundary is an applyInPandas group). Rows
+    of an oversize cluster are replicated into ceil(size/cap) sub-groups as
+    NEIGHBORS and hashed into exactly one as QUERIES, so each task computes
+    its query slice against the full cluster — results identical to the
+    unsharded plan (driver-certified: ivf_topk_sharded shares ivf_topk's
+    oracle), task work bounded by ~cap query rows. Trade: shuffle volume
+    for the skewed cluster multiplies by its sub-count; normal-size
+    clusters (_nsub=1) are untouched."""
     cents = deterministic_centroids(df, id_col, vec_col, n_centroids)
     assigned = ivf_assign(df, cents, id_col, vec_col)
     if method == "join":
@@ -272,6 +284,43 @@ def ivf_topk(
 
     id_type = dict(df.dtypes)[id_col]
     schema = f"query_id {id_type}, neighbor_id {id_type}, cos double, rank int"
+
+    if max_cluster_rows is not None:
+        sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_csz"))
+        tagged = assigned.join(F.broadcast(sizes), "centroid_id").withColumn(
+            "_nsub",
+            F.greatest(
+                F.ceil(F.col("_csz") / F.lit(max_cluster_rows)), F.lit(1)
+            ).cast("int"),
+        )
+        replicated = (
+            tagged.withColumn(
+                "_qsub",
+                F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("_nsub")).cast("int"),
+            )
+            .withColumn("_sub", F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)))
+            .withColumn("_isq", (F.col("_sub") == F.col("_qsub")).cast("int"))
+        )
+
+        def per_subcluster(pdf: pd.DataFrame) -> pd.DataFrame:
+            order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+            ids_ = pdf[id_col].to_numpy()[order]
+            M_ = _stack(pdf[vec_col].iloc[order])
+            n_ = np.sqrt((M_ * M_).sum(axis=1))
+            qidx = np.flatnonzero(pdf["_isq"].to_numpy()[order] == 1)
+            oq, on, oc, orank = [], [], [], []
+            for s in range(0, len(qidx), _BLOCK):
+                sel = qidx[s:s + _BLOCK]
+                S = _cos_block(M_[sel], M_, n_)
+                q, nb, c, r = _topk_rows(ids_, S, ids_[sel], k)
+                oq.extend(q); on.extend(nb); oc.extend(c); orank.extend(r)
+            return pd.DataFrame(
+                {"query_id": oq, "neighbor_id": on, "cos": oc, "rank": orank}
+            )
+
+        return replicated.groupBy("centroid_id", "_sub").applyInPandas(
+            per_subcluster, schema=schema
+        )
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")

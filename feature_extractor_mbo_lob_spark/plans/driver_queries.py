@@ -1666,6 +1666,23 @@ ORACLES["embedding_near_dup_lsh"] = O_EMBEDDING_NEAR_DUP_LSH
 ORACLES["ivf_topk"] = O_IVF_TOPK
 
 
+def q_ivf_topk_sharded(spark, sf_dir):
+    """The skew-safe IVF form: max_cluster_rows forces every cluster to be
+    query-sub-sharded (cap far below the cluster sizes at this sf), proving
+    the replicated-neighbor construction returns EXACTLY the unsharded
+    result — it shares ivf_topk's oracle verbatim."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.ivf_topk(
+        emb, k=3, n_centroids=8, max_cluster_rows=40
+    ).select("query_id", "neighbor_id", _r6(F.col("cos"), "cos"), "rank")
+
+
+QUERIES["ivf_topk_sharded"] = q_ivf_topk_sharded
+ORACLES["ivf_topk_sharded"] = O_IVF_TOPK
+
+
 # --- feature 58: order-flow volatility (std of net flow over 10 sub-windows) --------
 
 def q_flow_volatility(spark, sf_dir):

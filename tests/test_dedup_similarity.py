@@ -117,6 +117,28 @@ def test_ivf_topk_recall_on_separable_clusters(vecs):
         assert ivf[q] == bf[q]
 
 
+def test_ivf_topk_sharded_exactly_matches_unsharded(spark):
+    # 60 vectors in 2 separable clusters; cap=7 forces multi-sub-sharding.
+    # The replicated-neighbor sub-shard plan must return EXACTLY the
+    # unsharded result (same ids, cos, ranks), and every query exactly once.
+    import math
+
+    rows = [(i, [math.cos(0.01 * i), math.sin(0.01 * i), 0.0]) for i in range(30)]
+    rows += [(100 + i, [0.0, math.cos(0.01 * i), math.sin(0.01 * i)]) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plain = sorted(
+        map(tuple, similarity.ivf_topk(vecs, k=3, n_centroids=2).collect())
+    )
+    sharded = sorted(
+        map(tuple, similarity.ivf_topk(
+            vecs, k=3, n_centroids=2, max_cluster_rows=7).collect())
+    )
+    assert sharded == plain
+    # every query exactly once per rank — no duplicated or dropped queries
+    # from the replication (plain is the ground truth for the counts)
+    assert len(sharded) == len(plain) and len(sharded) > 100
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [(1, "The quick brown fox, and the lazy dog!"),

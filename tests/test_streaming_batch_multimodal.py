@@ -71,6 +71,25 @@ def test_streaming_sessions(spark, turns):
     assert by_turns == [2, 2]
 
 
+def test_session_window_exact_gap_boundary_merges(spark):
+    """Pins the boundary convention the streaming_sessions oracle relies on:
+    Spark session_window MERGES an event landing exactly gap seconds after
+    the previous one (new session only when diff > gap) — matching the
+    batch sessionizer's strict `> gap` rule. If a Spark upgrade flips this
+    to half-open windows, this test catches it before the oracle drifts."""
+    from pyspark.sql import functions as F
+
+    gap = int(CFG.session_gap_s)
+    rows = [("a", ts(0)), ("a", ts(gap)),        # exactly gap apart -> merge
+            ("b", ts(0)), ("b", ts(gap + 1))]    # one past gap -> split
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    out = df.groupBy(
+        "conv_id", F.session_window("ts", f"{gap} seconds")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    got = sorted((r.conv_id, r.n) for r in out.collect())
+    assert got == [("a", 2), ("b", 1), ("b", 1)]
+
+
 def test_streaming_cumulative_state_and_sampler(spark, turns):
     res = _run_stream(spark, turns, lambda s: strm.streaming_cumulative_state(s, CFG))
     rows = {(r.conv_id, r.turn_idx): r for r in res.collect()}
