@@ -93,9 +93,51 @@ def sample_anchors(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def max_conv_turns(df: DataFrame) -> int:
-    """Longest conversation in the corpus. turn_idx is dense 0-based per
-    conversation (transcript contract), so ONE map-side-combined max over a
-    single pruned int column answers it — no groupBy, no shuffle."""
+    """Longest conversation in the corpus — the auto-skew routing probe.
+    turn_idx is dense 0-based per conversation (transcript contract), so
+    max(turn_idx)+1 answers it without a groupBy.
+
+    Fast path: when df is backed by local parquet files (≤256 of them),
+    the max comes straight from the parquet FOOTER column statistics on
+    the driver — zero Spark jobs, ~1 ms/file. Footer stats bound the
+    UNFILTERED data, so for a filtered df this can only over-estimate —
+    which at worst routes through the (bit-identical) skew path, never the
+    reverse. Fallback: one map-side-combined max over the pruned int
+    column (v1 parquet scans don't support aggregate pushdown, so this
+    costs a ~0.15 s scan job on a 600K-row corpus)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    def _strip(f: str) -> str:
+        if f.startswith("file://"):
+            return f[7:]
+        if f.startswith("file:"):
+            return f[5:]
+        return f
+
+    local = [_strip(f) for f in files
+             if (f.startswith("file:") or f.startswith("/")) and f.endswith(".parquet")]
+    if files and len(local) == len(files) and len(local) <= 256:
+        try:
+            import pyarrow.parquet as pq
+
+            mx = -1
+            for f in local:
+                md = pq.ParquetFile(f).metadata
+                col = next(
+                    (i for i in range(md.num_columns)
+                     if md.schema.column(i).name == "turn_idx"), None)
+                if col is None:
+                    raise ValueError("no turn_idx column in footer")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col).statistics
+                    if st is None or st.max is None:
+                        raise ValueError("missing footer stats")
+                    mx = max(mx, int(st.max))
+            return mx + 1
+        except Exception:
+            pass
     row = df.agg(F.max("turn_idx")).first()
     return int(row[0] or 0) + 1
 

@@ -75,6 +75,20 @@ def main() -> None:
         "python stage, nothing else.",
     ))
 
+    from feature_extractor_mbo_lob_spark.plans.pipeline import flagship_skewed
+
+    sections.append(summarize(
+        "flagship skewed (chunked carry-in, auto-routed for mega-conversations)",
+        flagship_skewed(t, CFG, price_col="char_len", chunk_turns=500),
+        "The skew path the default entrypoints route to when any "
+        "conversation exceeds cfg.skew_max_turns_per_task: chunk-keyed "
+        "window cascade + tiny carry table broadcast back + labels computed "
+        "inside the same cascade via forward-context rows. Target: the "
+        "big-table exchanges stay O(1) (chunk repartition + the rolling "
+        "stage); the carry join is broadcast, never a shuffle of the table.",
+        forbid=("CartesianProduct",),
+    ))
+
     sections.append(summarize(
         "pushdown + pruning probe",
         build_features(t, CFG, narrow=True, order_stats="native")
@@ -133,10 +147,20 @@ def main() -> None:
         forbid=("CartesianProduct",),
     ))
     sections.append(summarize(
+        "IVF top-k, skewed-cluster sub-sharding",
+        similarity.ivf_topk(emb, k=3, n_centroids=4, max_cluster_rows=50),
+        "A hot centroid's cluster is split into query sub-shards with "
+        "replicated neighbors (explode over sequence(0, nsub-1)); each "
+        "applyInPandas task computes a bounded query slice against the full "
+        "cluster — exact results, no unsplittable straggler. Cluster sizes "
+        "come from a broadcast aggregate, never a window.",
+        forbid=("CartesianProduct",),
+    ))
+    sections.append(summarize(
         "simhash + hamming-LSH candidates",
         dedup.simhash_candidates(dedup.simhash(docs, k=2)),
-        "17 aggregates (count + 16 packed nibble counters) build the "
-        "fingerprint; candidates via chunk-key equi join.",
+        "33 aggregates (count + 32 packed 32-bit-lane nibble counters) build "
+        "the fingerprint; candidates via chunk-key equi join.",
         forbid=("CartesianProduct",),
     ))
 
