@@ -5380,7 +5380,7 @@ _CERTIFIED_FIRST = [
     # streaming / as-of variants / windows
     "streaming_sessions", "streaming_state", "asof_join_nearest",
     "asof_join_tolerance", "ewma", "time_windows", "group_hash_split",
-    "media_features", "time_sampler",
+    "media_features", "ivf_topk_sharded",
 ]
 
 
