@@ -132,6 +132,102 @@ def asof_join(
     return u.filter(F.col("_side") == l_tag).drop("_side", *value_cols)
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str] | None = None,
+    bucket_span_s: float = 86_400.0,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join for SKEWED keys — the north star's
+    "range-partitioned shuffle for the as-of merge".
+
+    `asof_join` windows over partitionBy(key): one key with a 10^9-row
+    timeline becomes ONE task (the straggler AQE cannot split a Window
+    exec). Here the timeline is split into fixed wall-clock buckets and the
+    shuffle key becomes (key, bucket) — every task is bounded by one
+    bucket's rows. Exactness is restored with carry-in, the same
+    construction as operators/skew.py:
+
+    1. a tiny per-(key, bucket) table takes each value column's right-side
+       value at its max event time within the bucket (`max_by`, null-aware),
+       over the bucket universe of BOTH sides;
+    2. an exclusive prefix (last-ignoring-nulls over earlier buckets) turns
+       it into the carry-in — "the last right value strictly before this
+       bucket";
+    3. the union-tag stream windows over (key, bucket) and coalesces with
+       the broadcast carry.
+
+    Output is EXACTLY asof_join(direction='backward') (unit-tested;
+    driver-certified: asof_join_range shares asof_join's oracle). Same
+    determinism caveat for duplicate right (key, ts) rows.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key, ts)]
+    span_us = int(bucket_span_s * 1_000_000)
+    us = ordering.epoch_us(ts)
+    bk = F.floor(us / F.lit(span_us)).cast("long")
+
+    lhs = left.withColumn("_side", F.lit(1))
+    for c in value_cols:
+        if c not in lhs.columns:
+            lhs = lhs.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    rhs = right.select(
+        F.col(key), F.col(ts), F.lit(0).alias("_side"),
+        *[F.col(c) for c in value_cols],
+    )
+    left_cols = [c for c in lhs.columns if c not in ("_side",) and c not in value_cols]
+    for c in left_cols:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(lhs.schema[c].dataType))
+    u = lhs.select(*left_cols, "_side", *value_cols).unionByName(
+        rhs.select(*left_cols, "_side", *value_cols)
+    ).withColumn("_bk", bk)
+
+    # 1. per-(key, bucket) last right values, over BOTH sides' bucket
+    #    universe (a left-only bucket still needs a carry row)
+    buckets = u.select(key, "_bk").distinct()
+    partials = (
+        u.filter(F.col("_side") == 0)
+        .groupBy(key, "_bk")
+        .agg(*[
+            F.max_by(c, F.when(F.col(c).isNotNull(), us)).alias(c)
+            for c in value_cols
+        ])
+    )
+    grid = buckets.join(partials, on=[key, "_bk"], how="left")
+    # 2. exclusive prefix over buckets -> carry-in (tiny table: one row per
+    #    (key, bucket) pair, NOT per event)
+    wprev = (
+        Window.partitionBy(key).orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = grid.select(
+        key, "_bk",
+        *[F.last(c, ignorenulls=True).over(wprev).alias(f"_cin_{c}")
+          for c in value_cols],
+    )
+
+    # 3. bounded windows on the salted (key, bucket) shuffle key
+    out = u.join(F.broadcast(carries), on=[key, "_bk"], how="left")
+    wbk = (
+        Window.partitionBy(key, "_bk")
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        out = out.withColumn(
+            c + suffix,
+            F.coalesce(F.last(c, ignorenulls=True).over(wbk), F.col(f"_cin_{c}")),
+        )
+    return (
+        out.filter(F.col("_side") == 1)
+        .drop("_side", "_bk", *value_cols, *[f"_cin_{c}" for c in value_cols])
+    )
+
+
 def ffill(df: DataFrame, cfg: PipelineConfig, cols: list[str],
           out_suffix: str = "_ffill") -> DataFrame:
     """Forward-fill: last non-null value at or before the current turn."""

@@ -5351,6 +5351,33 @@ QUERIES["horizon_aware_params"] = q_horizon_aware_params
 ORACLES["horizon_aware_params"] = O_HORIZON_AWARE_PARAMS
 
 
+# --- range-bucketed as-of join (the skewed-key form) ---------------------------------
+
+def q_asof_join_range(spark, sf_dir):
+    """asof_join_bucketed with a span small enough that the sf0.01 corpus
+    spans many buckets — certifies the carry-in construction against the
+    SAME DuckDB ASOF JOIN oracle as the plain operator (outputs must be
+    identical)."""
+    t = transcripts_from_events(spark, sf_dir)
+    left = t.select("conv_id", "turn_idx", "ts")
+    right = (
+        t.filter(F.col("text").startswith("purchase"))
+        .select("conv_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    out = asof.asof_join_bucketed(
+        left, right, key="conv_id", ts="ts",
+        value_cols=["purchase_value"], bucket_span_s=3600.0,
+    )
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6(F.col("purchase_value_asof"), "last_purchase_value"),
+    )
+
+
+QUERIES["asof_join_range"] = q_asof_join_range
+ORACLES["asof_join_range"] = O_ASOF_JOIN
+
+
 # --- registry ordering -------------------------------------------------------------
 # The external correctness gate certifies the FIRST 50 registry entries (round-2
 # driver window). Put the load-bearing set there: the flagship point-in-time /

@@ -492,3 +492,41 @@ def test_context_window_oversized_tail(spark):
     df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
     r = context_window(df, CFG, token_budget=4).collect()[0]
     assert r.in_context == 1              # lone oversized turn still kept
+
+
+def test_asof_bucketed_equals_plain(spark):
+    """The range-bucketed skew form must equal asof_join backward exactly,
+    including null right values (per-column last-ignoring-nulls), empty
+    buckets between right rows, and ts exactly on bucket edges."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 150
+    keys = [f"k{i}" for i in range(5)]
+    # second values land on exact multiples of the 100 s bucket span too
+    lp = pd.DataFrame({
+        "conv_id": rng.choice(keys, n_l),
+        "ts": pd.to_datetime(rng.integers(0, 5_000, n_l) * 1_000_000_000),
+        "lid": np.arange(n_l),
+    })
+    v = rng.normal(size=n_r).round(3)
+    v[rng.random(n_r) < 0.3] = np.nan          # nulls in the value column
+    w = rng.normal(size=n_r).round(3)
+    rp = pd.DataFrame({
+        "conv_id": rng.choice(keys, n_r),
+        "ts": pd.to_datetime(rng.integers(0, 5_000, n_r) * 1_000_000_000),
+        "v": v, "w": w,
+    })
+    ldf, rdf = spark.createDataFrame(lp), spark.createDataFrame(rp)
+
+    plain = asof.asof_join(ldf, rdf, key="conv_id", ts="ts",
+                           value_cols=["v", "w"], direction="backward")
+    buck = asof.asof_join_bucketed(ldf, rdf, key="conv_id", ts="ts",
+                                   value_cols=["v", "w"], bucket_span_s=100.0)
+    p = {r.lid: (r.v_asof, r.w_asof) for r in plain.collect()}
+    b = {r.lid: (r.v_asof, r.w_asof) for r in buck.collect()}
+    assert p.keys() == b.keys()
+    for lid in p:
+        for x, y in zip(p[lid], b[lid]):
+            assert (x is None and y is None) or x == y, (lid, p[lid], b[lid])
