@@ -110,6 +110,18 @@ def main() -> None:
         "explosion.",
     ))
 
+    sections.append(summarize(
+        "as-of join, range-bucketed (skewed-key form)",
+        asof.asof_join_bucketed(t.select("conv_id", "turn_idx", "ts"), labels,
+                                key="conv_id", ts="ts", value_cols=["v"],
+                                bucket_span_s=3600.0),
+        "The big-table shuffle key is (key, time-bucket) — bounded tasks "
+        "for a mega-key timeline. The carry table (one row per (key, "
+        "bucket)) is built from map-side-combined aggregates and joined "
+        "back BROADCAST; no window ever partitions by the bare key.",
+        forbid=("CartesianProduct",),
+    ))
+
     docs = t.select(F.col("turn_idx").cast("long").alias("doc_id"), "text").limit(200)
     sections.append(summarize(
         "minhash LSH candidate pairs",
