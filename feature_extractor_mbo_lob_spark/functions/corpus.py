@@ -430,3 +430,129 @@ def top_k_per_group(
             F.transform("_top", lambda s: s["n"].cast("long")).alias("top_counts"),
         )
     )
+
+
+def rarity_quality_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet-style per-language quality bucketing (head / middle / tail),
+    driven by an INTEGER rarity score so the bucket assignment is exact
+    and engine-independent.
+
+    Score: per-word corpus frequency summed over the document, scaled to
+    micro-units per word (``freq_sum * 1_000_000 div n_words``). Common
+    words -> high score -> "head"; rare/garbled text -> low score ->
+    "tail". CCNet uses an LM perplexity here; the corpus-frequency score
+    is the LM-free analog with the same bucketing mechanics and none of
+    the cross-engine float-ordering hazards.
+
+    ``exact=True`` assigns buckets by rank (``ntile``) inside each
+    language partition — the oracle-exact form, one window per language
+    (fine up to ~100M docs/lang). ``exact=False`` is the 100-TB path:
+    per-language approximate cutpoints from ``percentile_approx`` (a tiny
+    aggregate row, broadcast back) — same shape as
+    ``normalization.quantile_bin``'s scale note.
+    """
+    words = F.explode(normalized_words(text_col)).alias("word")
+    doc_words = df.select(F.col(id_col), F.col(group_col), words)
+    freq = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("_wf"))
+    scored = (
+        doc_words.join(freq, "word")
+        .groupBy(id_col, group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_wf").cast("long").alias("freq_sum"),
+        )
+        .withColumn(
+            # integer `div`, not floor(float-divide): exact at any magnitude
+            "rarity_score",
+            F.expr("(freq_sum * 1000000L) div n_words").cast("long"),
+        )
+    )
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("rarity_score").desc(), F.col(id_col)
+        )
+        return scored.withColumn("bucket", F.ntile(n_buckets).over(w).cast("int"))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.groupBy(group_col).agg(
+        F.percentile_approx(
+            F.col("rarity_score").cast("double"), qs, F.lit(10_000)
+        ).alias("_cuts")
+    )
+    # bucket 1 = highest scores (head), matching the exact form's ordering
+    return scored.join(F.broadcast(cuts), group_col).withColumn(
+        "bucket",
+        (
+            F.lit(n_buckets)
+            - F.aggregate(
+                "_cuts",
+                F.lit(0),
+                lambda acc, c: acc
+                + F.when(F.col("rarity_score") >= c, 1).otherwise(0),
+            )
+        ).cast("int"),
+    ).drop("_cuts")
+
+
+def mixture_plan(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Data-mixing plan: for each source, how many epochs (repeats) of its
+    tokens a training run needs to hit the target mixture.
+
+    ``weights`` maps source -> integer target weight (relative shares;
+    unlisted sources default to weight 1; ``None`` = uniform). The epoch
+    factor for source s is  (total_tokens * w_s / W) / tokens_s  — emitted
+    as an EXACT integer rational ``(epochs_num, epochs_den)`` plus its
+    integer floor ``full_epochs``, so the plan is reproducible bit-for-bit
+    in any engine; callers turn the fractional remainder into a hash-
+    sampled partial epoch (``hash_sample`` with rate num/den).
+
+    Two tiny aggregations (per-source token counts, then a single-row
+    total broadcast back); nothing here scales with corpus size except
+    the first count scan.
+    """
+    from .text import token_count_ws
+
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count_ws(text_col)).cast("long").alias("tokens"),
+    )
+    if weights:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        per = per.withColumn(
+            "weight", F.coalesce(wmap[F.col(source_col)], F.lit(1)).cast("long")
+        )
+    else:
+        per = per.withColumn("weight", F.lit(1).cast("long"))
+    tot = per.agg(
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        F.sum("weight").cast("long").alias("total_weight"),
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    num = F.col("total_tokens") * F.col("weight")
+    den = F.col("tokens") * F.col("total_weight")
+    return out.select(
+        source_col,
+        "n_docs",
+        "tokens",
+        "weight",
+        "total_tokens",
+        num.cast("long").alias("epochs_num"),
+        den.cast("long").alias("epochs_den"),
+    ).withColumn(
+        # integer `div`, not floor(float-divide): exact at any magnitude
+        "full_epochs",
+        F.expr("epochs_num div epochs_den").cast("long"),
+    )

@@ -443,3 +443,71 @@ def novelty_scores(df: DataFrame, id_col: str = "doc_id",
         F.col("id").alias(id_col), "n_shingles", "n_novel",
         (F.col("n_novel").cast("double") / F.col("n_shingles")).alias("novelty"),
     )
+
+
+def positional_ngrams(col, n: int = 8) -> F.Column:
+    """ALL word n-grams of the normalized text in position order (array
+    <string>, length max(0, n_words - n + 1)) — word_shingles without the
+    distinct, for span-level duplicate accounting where every occurrence
+    counts. Same zip_with fold (each input evaluated once per row); a doc
+    shorter than n words yields an empty array."""
+    words = F.split(normalize_text(col), " ")
+    nw = F.size(words)
+    acc = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(nw - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    sh = F.filter(acc, lambda g: g.isNotNull())
+    return F.when(nw >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicate-span accounting (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", the
+    ExactSubstr criterion at word granularity): for every position-level
+    word n-gram, count its occurrences across the WHOLE corpus (within-doc
+    repeats included); a position is duplicated if its n-gram occurs
+    >= min_count times. CORPUS-WIDE, unlike functions.repetition's Gopher
+    dup-2gram fraction, which looks only inside each document. Output per doc: total n-gram positions and
+    duplicated positions — both exact integers, so the duplicate fraction
+    ``dup_grams / n_grams`` is a driver-side rational.
+
+    Scale: n-grams are md5-hashed BEFORE the explode, so the corpus-count
+    shuffle and the count-back join move 32-byte digests, never text.
+    One partial-aggregable groupBy(gram) + one equi join back on gram; at
+    100 TB add the hot-gram cap exactly as ngram_jaccard_pairs does
+    (boilerplate grams are the skew) — here every gram row is (digest,
+    count), so even hot grams cost O(occurrences), not O(occurrences^2).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(positional_ngrams(text_col, n), lambda g: F.md5(g))
+        ).alias("gram"),
+    )
+    cnt = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_cnt"))
+    per = (
+        grams.join(cnt, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_cnt") >= min_count, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_grams"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
+        )
+    )

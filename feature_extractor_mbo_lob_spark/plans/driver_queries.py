@@ -5411,6 +5411,186 @@ _CERTIFIED_FIRST = [
 ]
 
 
+
+# --- web-corpus URL hygiene: canonicalization + URL-level dedup -----------------
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup over deterministic synthetic crawl URLs (four messy
+    variants per doc_id family: casing, default port, tracking params,
+    fragments, unordered query strings, trailing slash). Canonicalization
+    is a pure JVM expression (functions/web.py); the dedup shuffles only
+    canonical-URL digests. Variants 0/1 and 2/3 collapse pairwise."""
+    from ..functions import web
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.col("doc_id") % 4
+    page = (F.col("doc_id") % 40).cast("string")
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www."), F.col("source"),
+                                F.lit(".example.com/page/"), page))
+        .when(v == 1, F.concat(F.lit("HTTPS://WWW."), F.upper("source"),
+                               F.lit(".EXAMPLE.COM:443/page/"), page,
+                               F.lit("/?utm_source=feed&fbclid=xyz")))
+        .when(v == 2, F.concat(F.lit("http://"), F.col("source"),
+                               F.lit(".example.com/page/"), page,
+                               F.lit("?b=2&a=1#frag")))
+        .otherwise(F.concat(F.lit("http://"), F.col("source"),
+                            F.lit(".example.com:80/page/"), page,
+                            F.lit("?a=1&b=2&utm_campaign=x")))
+    )
+    src = docs.select("doc_id", url.alias("url"))
+    return web.url_dedup(src, url_col="url", id_col="doc_id")
+
+
+_TRACKING_SQL = "('utm_source','utm_medium','utm_campaign','utm_term','utm_content','gclid','fbclid','mc_cid','mc_eid','ref')"
+
+O_URL_DEDUP = f"""
+with u as (
+  select doc_id,
+    case when doc_id % 4 = 0 then 'https://www.' || source || '.example.com/page/' || cast(doc_id % 40 as varchar)
+         when doc_id % 4 = 1 then 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/page/' || cast(doc_id % 40 as varchar) || '/?utm_source=feed&fbclid=xyz'
+         when doc_id % 4 = 2 then 'http://' || source || '.example.com/page/' || cast(doc_id % 40 as varchar) || '?b=2&a=1#frag'
+         else 'http://' || source || '.example.com:80/page/' || cast(doc_id % 40 as varchar) || '?a=1&b=2&utm_campaign=x'
+    end as url
+  from documents
+),
+nf as (select doc_id, regexp_replace(trim(url), '#.*$', '') as nofrag from u),
+p as (
+  select doc_id,
+    lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) as scheme,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)', 1)),
+      ':(80|443)$', ''), '^www\\.', '') as host,
+    regexp_replace(coalesce(regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+(/[^?]*)?', 1), ''), '/+$', '') as path,
+    case when strpos(nofrag, '?') > 0 then substr(nofrag, strpos(nofrag, '?') + 1) else '' end as qs
+  from nf
+),
+c as (
+  select doc_id,
+    scheme || '://' || host || path || case when q2 = '' then '' else '?' || q2 end as canonical_url
+  from (
+    select doc_id, scheme, host, path,
+      coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        x -> x <> '' and lower(string_split(x, '=')[1]) not in {_TRACKING_SQL})), '&'), '') as q2
+    from p
+  )
+),
+k as (select canonical_url, min(doc_id) as keep_id from c group by 1)
+select c.doc_id, c.canonical_url, k.keep_id, c.doc_id = k.keep_id as kept
+from c join k using (canonical_url)
+"""
+
+QUERIES["url_dedup"] = q_url_dedup
+ORACLES["url_dedup"] = O_URL_DEDUP
+
+
+# --- duplicate n-gram span fraction (ExactSubstr criterion, word-level) ---------
+
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Per-doc duplicated-position accounting over word 3-grams (Lee et
+    al. 2022 ExactSubstr at word granularity): a position is duplicated
+    if its 3-gram occurs >= 2 times corpus-wide (within-doc repeats
+    count). Integer outputs only — the fraction is a driver-side
+    rational. Grams are md5-hashed before the explode, so both shuffles
+    move digests, never text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.dup_ngram_stats(docs, n=3, min_count=2)
+
+
+O_DUP_NGRAM_FRACTION = """
+with w as (
+  select doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as ws
+  from documents
+),
+g0 as (select doc_id, ws, len(ws) as nw from w),
+g as (select doc_id, unnest(range(1, nw - 1)) as i, ws from g0 where nw >= 3),
+gr as (select doc_id, md5(array_to_string(ws[i : i + 2], ' ')) as gram from g),
+c as (select gram, count(*) as cnt from gr group by 1),
+d as (
+  select gr.doc_id,
+    cast(count(*) as bigint) as n_grams,
+    cast(sum(case when c.cnt >= 2 then 1 else 0 end) as bigint) as dup_grams
+  from gr join c using (gram) group by 1
+)
+select documents.doc_id,
+  coalesce(d.n_grams, 0) as n_grams,
+  coalesce(d.dup_grams, 0) as dup_grams
+from documents left join d on documents.doc_id = d.doc_id
+"""
+
+QUERIES["dup_ngram_fraction"] = q_dup_ngram_fraction
+ORACLES["dup_ngram_fraction"] = O_DUP_NGRAM_FRACTION
+
+
+# --- CCNet-style quality buckets from integer word-rarity ----------------------
+
+def q_quality_buckets(spark, sf_dir):
+    """Head/middle/tail quality terciles per language from an integer
+    rarity score (corpus word frequency summed per doc, micro-units per
+    word). Rank-based ntile -> engine-independent bucket assignment; the
+    100-TB path swaps in percentile_approx cutpoints (exact=False)."""
+    from ..functions import corpus as cx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cx.rarity_quality_buckets(docs, n_buckets=3, exact=True)
+
+
+O_QUALITY_BUCKETS = """
+with w as (
+  select doc_id, lang,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) as word
+  from documents
+),
+f as (select word, count(*) as wf from w group by 1),
+s as (
+  select doc_id, lang, cast(count(*) as bigint) as n_words, cast(sum(wf) as bigint) as freq_sum
+  from w join f using (word) group by 1, 2
+),
+r as (select *, cast((freq_sum * 1000000) // n_words as bigint) as rarity_score from s)
+select doc_id, lang, n_words, freq_sum, rarity_score,
+  cast(ntile(3) over (partition by lang order by rarity_score desc, doc_id) as int) as bucket
+from r
+"""
+
+QUERIES["quality_buckets"] = q_quality_buckets
+ORACLES["quality_buckets"] = O_QUALITY_BUCKETS
+
+
+# --- data-mixing plan: per-source epoch factors as exact rationals --------------
+
+def q_mixture_plan(spark, sf_dir):
+    """Per-source epoch (repeat) factors to hit a target token mixture
+    (src0 weighted 3x, src1 2x, rest 1x) — emitted as exact integer
+    rationals (epochs_num/epochs_den) plus the integer floor. Two tiny
+    aggregations; nothing scales with corpus size past the count scan."""
+    from ..functions import corpus as cx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cx.mixture_plan(docs, weights={"src0": 3, "src1": 2})
+
+
+O_MIXTURE_PLAN = """
+with per as (
+  select source, cast(count(*) as bigint) as n_docs,
+    cast(sum(len(regexp_split_to_array(trim(text), '\\s+'))) as bigint) as tokens
+  from documents group by 1
+),
+w as (
+  select *, cast(case source when 'src0' then 3 when 'src1' then 2 else 1 end as bigint) as weight
+  from per
+),
+t as (select cast(sum(tokens) as bigint) as total_tokens, cast(sum(weight) as bigint) as total_weight from w)
+select source, n_docs, tokens, weight, t.total_tokens,
+  cast(t.total_tokens * weight as bigint) as epochs_num,
+  cast(tokens * t.total_weight as bigint) as epochs_den,
+  cast((t.total_tokens * weight) // (tokens * t.total_weight) as bigint) as full_epochs
+from w, t
+"""
+
+QUERIES["mixture_plan"] = q_mixture_plan
+ORACLES["mixture_plan"] = O_MIXTURE_PLAN
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
