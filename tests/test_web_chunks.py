@@ -127,3 +127,22 @@ class TestMixturePlan:
             assert r["epochs_den"] == r["tokens"] * wsum
             assert r["full_epochs"] == r["epochs_num"] // r["epochs_den"]
         assert out["src0"]["weight"] == 2 and out["src1"]["weight"] == 1
+
+
+class TestCanonicalizeIdempotent:
+    def test_idempotent_over_url_grid(self, spark):
+        """canonicalize(canonicalize(u)) == canonicalize(u) for a grid of
+        messy URLs — the fixed-point property every URL normalizer needs
+        (re-crawled canonical URLs must not drift)."""
+        schemes = ["http://", "HTTPS://"]
+        hosts = ["WWW.Ex.COM:443", "ex.com", "www.ex.com:80", "sub.ex.com"]
+        paths = ["", "/", "/A/b/", "/p"]
+        queries = ["", "?utm_source=x", "?b=2&a=1&ref=r", "?a=1#f", "#only"]
+        urls = [s + h + p + q for s in schemes for h in hosts for p in paths for q in queries]
+        df = spark.createDataFrame([(u,) for u in urls], ["url"])
+        once = web.canonicalize_url("url").alias("c1")
+        out = df.select(once).select(
+            F.col("c1"), web.canonicalize_url(F.col("c1")).alias("c2")
+        )
+        bad = out.filter(F.col("c1") != F.col("c2")).collect()
+        assert not bad, bad

@@ -327,6 +327,60 @@ def main() -> None:
         forbid=("CartesianProduct",),
     ))
 
+    # --- round-3 LLM-pipeline additions -----------------------------------
+    from feature_extractor_mbo_lob_spark.functions import web
+
+    urls = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://www.site"), (F.col("id") % 37).cast("string"),
+            F.lit(".example.com/p/"), (F.col("id") % 211).cast("string"),
+            F.lit("?utm_source=x&b=2&a=1"),
+        ).alias("url"),
+    )
+    ud = web.url_dedup(urls)
+    sections.append(summarize(
+        "URL canonicalization + dedup",
+        ud,
+        "Canonicalization is a zero-shuffle JVM expression fused into the "
+        "scan; the dedup is ONE keyed aggregation + an AQE-decided join "
+        "back on the canonical key (slim digest columns only). No UDF, no "
+        "cartesian.",
+        forbid=("CartesianProduct", "BatchEvalPython"),
+    ))
+
+    dg = dedup.dup_ngram_stats(
+        t.select(F.col("conv_id").alias("doc_id"), "text"), n=3
+    )
+    sections.append(summarize(
+        "Duplicate n-gram spans (ExactSubstr)",
+        dg,
+        "Positional 3-grams md5-hashed BEFORE the explode: the corpus-count "
+        "shuffle and the count-back join carry 32-byte digests, never text. "
+        "groupBy(gram) is partial-aggregable; the back-join is AQE-decided "
+        "(skewed boilerplate grams ride AQE skew-join at scale).",
+        forbid=("CartesianProduct", "BatchEvalPython"),
+    ))
+
+    # --- partition pruning probe -------------------------------------------
+    part = t.withColumn("dt", (F.col("turn_idx") % 5).cast("string"))
+    part.write.mode("overwrite").partitionBy("dt").parquet("/tmp/plan_audit_part.parquet")
+    pruned = spark.read.parquet("/tmp/plan_audit_part.parquet").filter(F.col("dt") == "3")
+    pruned_plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pruned_plan and "dt" in pruned_plan, pruned_plan
+    # the dt filter must be a partition filter, not a post-scan data filter
+    pf_line = next(l for l in pruned_plan.splitlines() if "PartitionFilters" in l)
+    assert "3" in pf_line, f"dt=3 not pushed into PartitionFilters: {pf_line}"
+    sections.append(summarize(
+        "Partition-pruned scan (hive-style dt partitions)",
+        pruned,
+        "Equality filter on the partition column lands in PartitionFilters "
+        "(asserted) — at 100 TB a date/hour-partitioned layout makes "
+        "time-sliced reads O(slice), not O(corpus). Directory listing cost "
+        "is metastore-bound, not data-bound.",
+        forbid=("CartesianProduct",),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
