@@ -556,3 +556,35 @@ def mixture_plan(
         "full_epochs",
         F.expr("epochs_num div epochs_den").cast("long"),
     )
+
+
+def apply_mixture(
+    df: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Materialize a ``mixture_plan``: each document appears
+    ``full_epochs`` times, plus one extra epoch for a deterministic
+    md5-bucket slice of the source sized to the fractional remainder
+    (rate = (epochs_num mod epochs_den)/epochs_den, realized at 1/10000
+    granularity — integer compare, engine-exact). Output one
+    (id, source, epoch) row per planned copy.
+
+    The plan is per-source (tiny) and broadcast; the epoch fan-out is a
+    per-row sequence explode — narrow, no shuffle. Downstream unions this
+    with the feature frame by id to physically build the training mix.
+    """
+    j = df.select(F.col(id_col), F.col(source_col)).join(
+        F.broadcast(plan.select(source_col, "epochs_num", "epochs_den")), source_col
+    )
+    full = F.expr("epochs_num div epochs_den")
+    rem = F.expr("epochs_num % epochs_den")
+    extra = (md5_bucket(id_col, 10_000) * F.col("epochs_den")) < (rem * F.lit(10_000))
+    n_rep = (full + extra.cast("long")).cast("long")
+    reps = F.when(
+        n_rep >= 1, F.sequence(F.lit(1).cast("long"), n_rep)
+    ).otherwise(F.array().cast("array<long>"))
+    return j.select(
+        id_col, source_col, F.explode(reps).alias("epoch")
+    )

@@ -511,3 +511,67 @@ def dup_ngram_stats(
             F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
         )
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (the second half of Lee et al. 2022): drop every
+    word position covered by at least one corpus-duplicated n-gram and
+    reassemble the surviving words in order. Symmetric removal — every
+    occurrence of a duplicated span goes, which is the conservative
+    variant used when dup spans are boilerplate (headers, licence blocks)
+    rather than content worth keeping once.
+
+    Plan: the same digest-only count shuffle as dup_ngram_stats, then the
+    duplicated START positions come back per doc as one array
+    (collect_list over dup starts only — bounded by dup density, not doc
+    length), and the coverage mask + reassembly is a pure JVM higher-order
+    expression over the words array. No Python stage, no text through any
+    shuffle.
+    """
+    words_col = F.split(normalize_text(text_col), " ")
+    base = df.select(F.col(id_col).alias("id"), words_col.alias("_ws"))
+    # positional grams from the words array (1-based start positions)
+    acc = F.col("_ws")
+    nw = F.size("_ws")
+    for j in range(1, n):
+        shifted = F.slice("_ws", j + 1, F.greatest(nw - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    pos_grams = F.when(nw >= n, F.filter(acc, lambda g: g.isNotNull())).otherwise(
+        F.array().cast("array<string>")
+    )
+    grams = base.select(
+        "id", F.posexplode(F.transform(pos_grams, lambda g: F.md5(g)))
+    ).select(
+        "id", (F.col("pos") + 1).cast("long").alias("start"), F.col("col").alias("gram")
+    )
+    cnt = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_cnt"))
+    dup_starts = (
+        grams.join(cnt, "gram")
+        .filter(F.col("_cnt") >= min_count)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("start")).alias("_dups"))
+    )
+    out = base.join(dup_starts, "id", "left").withColumn(
+        "_dups", F.coalesce("_dups", F.array().cast("array<long>"))
+    )
+    # position j (1-based) survives iff no dup start i covers it: i<=j<=i+n-1
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("_ws")),
+        lambda j: ~F.exists(
+            "_dups", lambda i: (i <= j) & (j <= i + F.lit(n - 1))
+        ),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.size("_ws").cast("long").alias("n_words"),
+        (F.size("_ws") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda j: F.element_at("_ws", j)), " "
+        ).alias("text_clean"),
+    )

@@ -5591,6 +5591,145 @@ QUERIES["mixture_plan"] = q_mixture_plan
 ORACLES["mixture_plan"] = O_MIXTURE_PLAN
 
 
+
+# --- ExactSubstr span REMOVAL (completes the Lee et al. loop) -------------------
+
+def q_dup_span_removal(spark, sf_dir):
+    """Remove every word position covered by a corpus-duplicated 3-gram
+    and reassemble the survivors — the removal half of ExactSubstr
+    (dup_ngram_fraction is the scoring half). Digest-only shuffles; the
+    coverage mask + reassembly is a JVM higher-order expression."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.remove_dup_spans(docs, n=3, min_count=2)
+
+
+O_DUP_SPAN_REMOVAL = """
+with w as (
+  select doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as ws
+  from documents
+),
+g0 as (select doc_id, ws, len(ws) as nw from w),
+g as (select doc_id, unnest(range(1, nw - 1)) as i, ws from g0 where nw >= 3),
+gr as (select doc_id, i, md5(array_to_string(ws[i : i + 2], ' ')) as gram from g),
+c as (select gram, count(*) as cnt from gr group by 1),
+d as (select gr.doc_id, gr.i from gr join c using (gram) where c.cnt >= 2),
+covd as (select distinct doc_id, i + x as j from d cross join (values (0), (1), (2)) v(x)),
+pos as (select doc_id, nw, ws, unnest(range(1, nw + 1)) as j from g0),
+kept as (
+  select p.doc_id, p.j, p.ws[p.j] as word
+  from pos p left join covd on covd.doc_id = p.doc_id and covd.j = p.j
+  where covd.j is null
+),
+agg as (
+  select doc_id, cast(count(*) as bigint) as n_kept,
+    coalesce(string_agg(word, ' ' order by j), '') as text_clean
+  from kept group by 1
+)
+select g0.doc_id, cast(g0.nw as bigint) as n_words,
+  cast(g0.nw - coalesce(a.n_kept, 0) as bigint) as n_removed,
+  coalesce(a.text_clean, '') as text_clean
+from g0 left join agg a using (doc_id)
+"""
+
+QUERIES["dup_span_removal"] = q_dup_span_removal
+ORACLES["dup_span_removal"] = O_DUP_SPAN_REMOVAL
+
+
+
+# --- count-min sketch: bounded-memory frequency estimation ----------------------
+
+def q_cms_word_counts(spark, sf_dir):
+    """Count-min sketch (d=4, w=256, md5 row hashes) over the corpus word
+    stream, point-queried for the 10 most frequent words against their
+    exact counts. est_cnt >= true_cnt always; the sketch shuffle is
+    O(partitions * d * w) -- independent of corpus size AND key
+    cardinality, the fixed-memory path for unbounded key spaces."""
+    from ..functions import sketch
+    from ..functions.repetition import normalized_words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(F.explode(normalized_words("text")).alias("word"))
+    cells = sketch.count_min_sketch(words, "word", depth=4, width=256)
+    true = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    top = true.orderBy(F.col("true_cnt").desc(), F.col("word")).limit(10)
+    est = sketch.cms_estimate(cells, top.select("word"), "word", depth=4, width=256)
+    return top.join(est, "word").select("word", "true_cnt", "est_cnt")
+
+
+O_CMS_WORD_COUNTS = """
+with wq as (
+  select unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) as word
+  from documents
+),
+t as (select word, cast(count(*) as bigint) as true_cnt from wq group by 1),
+cells as (
+  select 0 as r, ((strpos('0123456789abcdef', substr(md5('0|' || word), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('0|' || word), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('0|' || word), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('0|' || word), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('0|' || word), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('0|' || word), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('0|' || word), 7, 1)) - 1) * 1) % 256 as col, cast(count(*) as bigint) as cnt from wq group by 2
+  union all
+  select 1 as r, ((strpos('0123456789abcdef', substr(md5('1|' || word), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('1|' || word), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('1|' || word), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('1|' || word), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('1|' || word), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('1|' || word), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('1|' || word), 7, 1)) - 1) * 1) % 256 as col, cast(count(*) as bigint) as cnt from wq group by 2
+  union all
+  select 2 as r, ((strpos('0123456789abcdef', substr(md5('2|' || word), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('2|' || word), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('2|' || word), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('2|' || word), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('2|' || word), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('2|' || word), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('2|' || word), 7, 1)) - 1) * 1) % 256 as col, cast(count(*) as bigint) as cnt from wq group by 2
+  union all
+  select 3 as r, ((strpos('0123456789abcdef', substr(md5('3|' || word), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('3|' || word), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('3|' || word), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('3|' || word), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('3|' || word), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('3|' || word), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('3|' || word), 7, 1)) - 1) * 1) % 256 as col, cast(count(*) as bigint) as cnt from wq group by 2
+),
+top as (select word, true_cnt from t order by true_cnt desc, word limit 10)
+select top.word, top.true_cnt,
+  cast(least(
+    (select cnt from cells c where c.r = 0 and c.col = ((strpos('0123456789abcdef', substr(md5('0|' || top.word), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('0|' || top.word), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('0|' || top.word), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('0|' || top.word), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('0|' || top.word), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('0|' || top.word), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('0|' || top.word), 7, 1)) - 1) * 1) % 256),
+    (select cnt from cells c where c.r = 1 and c.col = ((strpos('0123456789abcdef', substr(md5('1|' || top.word), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('1|' || top.word), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('1|' || top.word), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('1|' || top.word), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('1|' || top.word), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('1|' || top.word), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('1|' || top.word), 7, 1)) - 1) * 1) % 256),
+    (select cnt from cells c where c.r = 2 and c.col = ((strpos('0123456789abcdef', substr(md5('2|' || top.word), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('2|' || top.word), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('2|' || top.word), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('2|' || top.word), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('2|' || top.word), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('2|' || top.word), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('2|' || top.word), 7, 1)) - 1) * 1) % 256),
+    (select cnt from cells c where c.r = 3 and c.col = ((strpos('0123456789abcdef', substr(md5('3|' || top.word), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('3|' || top.word), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('3|' || top.word), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('3|' || top.word), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('3|' || top.word), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('3|' || top.word), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('3|' || top.word), 7, 1)) - 1) * 1) % 256)
+  ) as bigint) as est_cnt
+from top
+"""
+
+QUERIES["cms_word_counts"] = q_cms_word_counts
+ORACLES["cms_word_counts"] = O_CMS_WORD_COUNTS
+
+
+
+# --- mixture materialization: plan -> per-epoch rows ---------------------------
+
+def q_mixture_apply(spark, sf_dir):
+    """Materialize the src0x3/src1x2 mixture plan: full epochs per doc
+    plus a deterministic md5-bucket slice for the fractional epoch.
+    Broadcast plan join + per-row sequence explode — no data-sized
+    shuffle."""
+    from ..functions import corpus as cx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = cx.mixture_plan(docs, weights={"src0": 3, "src1": 2})
+    return cx.apply_mixture(docs, plan)
+
+
+O_MIXTURE_APPLY = """
+with per as (
+  select source, cast(count(*) as bigint) as n_docs,
+    cast(sum(len(regexp_split_to_array(trim(text), '\\s+'))) as bigint) as tokens
+  from documents group by 1
+),
+w as (
+  select *, cast(case source when 'src0' then 3 when 'src1' then 2 else 1 end as bigint) as weight
+  from per
+),
+t as (select cast(sum(tokens) as bigint) as total_tokens, cast(sum(weight) as bigint) as total_weight from w),
+pl as (select source, t.total_tokens * weight as num, tokens * t.total_weight as den from w, t),
+d as (
+  select doc_id, documents.source, num, den, num // den as full_e, num % den as rem
+  from documents join pl using (source)
+),
+h as (select *, ((strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 7, 1)) - 1) * 1) % 10000 as bucket from d),
+n as (
+  select doc_id, source,
+    full_e + case when bucket * den < rem * 10000 then 1 else 0 end as n_rep
+  from h
+)
+select doc_id, source, cast(unnest(range(1, n_rep + 1)) as bigint) as epoch from n
+"""
+
+QUERIES["mixture_apply"] = q_mixture_apply
+ORACLES["mixture_apply"] = O_MIXTURE_APPLY
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -146,3 +146,84 @@ class TestCanonicalizeIdempotent:
         )
         bad = out.filter(F.col("c1") != F.col("c2")).collect()
         assert not bad, bad
+
+
+class TestRemoveDupSpans:
+    def test_removal_semantics(self, spark):
+        texts = {1: "a b c d e f", 2: "a b c x y z", 3: "p q r s t u", 4: "a b c d e f"}
+        df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in dd.remove_dup_spans(df, n=3).collect()}
+        # docs 1/4 are exact dups -> everything covered -> fully removed
+        assert out[1]["text_clean"] == "" and out[1]["n_removed"] == 6
+        assert out[4]["text_clean"] == ""
+        # doc 2 shares only the "a b c" span (positions 1-3)
+        assert out[2]["text_clean"] == "x y z" and out[2]["n_removed"] == 3
+        # doc 3 untouched
+        assert out[3]["text_clean"] == "p q r s t u" and out[3]["n_removed"] == 0
+
+    def test_short_doc_passthrough(self, spark):
+        df = spark.createDataFrame([(1, "just two")], ["doc_id", "text"])
+        r = dd.remove_dup_spans(df, n=3).collect()[0]
+        assert r["text_clean"] == "just two" and r["n_removed"] == 0
+
+
+class TestCountMinSketch:
+    def test_overestimates_never_under(self, spark):
+        from collections import Counter
+
+        from feature_extractor_mbo_lob_spark.functions import sketch
+
+        keys = ["a"] * 50 + ["b"] * 20 + [f"k{i}" for i in range(200)]
+        df = spark.createDataFrame([(k,) for k in keys], ["key"])
+        cells = sketch.count_min_sketch(df, "key", depth=4, width=64)
+        # sketch total mass per row == stream length
+        mass = {r["row_idx"]: 0 for r in cells.collect()}
+        for r in cells.collect():
+            mass[r["row_idx"]] += r["cnt"]
+        assert all(m == len(keys) for m in mass.values())
+        truth = Counter(keys)
+        uniq = spark.createDataFrame([(k,) for k in truth], ["key"])
+        est = {
+            r["key"]: r["est_cnt"]
+            for r in sketch.cms_estimate(cells, uniq, "key", depth=4, width=64).collect()
+        }
+        assert all(est[k] >= c for k, c in truth.items())
+        # heavy hitters estimated closely at this load factor
+        assert est["a"] - truth["a"] <= 10
+
+    def test_weighted(self, spark):
+        from feature_extractor_mbo_lob_spark.functions import sketch
+
+        df = spark.createDataFrame([("x", 5), ("x", 7), ("y", 1)], ["key", "wt"])
+        cells = sketch.count_min_sketch(df, "key", depth=2, width=16, weight_col="wt")
+        uniq = spark.createDataFrame([("x",), ("y",)], ["key"])
+        est = {
+            r["key"]: r["est_cnt"]
+            for r in sketch.cms_estimate(cells, uniq, "key", depth=2, width=16).collect()
+        }
+        assert est["x"] >= 12 and est["y"] >= 1
+
+
+class TestApplyMixture:
+    def test_epoch_counts_match_plan(self, spark):
+        rows = [(i, " ".join(["w"] * 10), f"src{i % 2}") for i in range(40)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        plan = cx.mixture_plan(df, weights={"src0": 3})
+        out = cx.apply_mixture(df, plan)
+        per_doc = {
+            r["doc_id"]: r["n"]
+            for r in out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        pl = {r["source"]: r for r in plan.collect()}
+        for d in range(40):
+            src = f"src{d % 2}"
+            full = pl[src]["epochs_num"] // pl[src]["epochs_den"]
+            assert per_doc.get(d, 0) in (full, full + 1)
+        # epochs are 1..n_rep with no gaps
+        eps = out.filter(F.col("doc_id") == 0).select("epoch").collect()
+        got = sorted(r["epoch"] for r in eps)
+        assert got == list(range(1, len(got) + 1))
+        # aggregate mixture moves toward the 3:1 target
+        n0 = out.filter(F.col("source") == "src0").count()
+        n1 = out.filter(F.col("source") == "src1").count()
+        assert n0 > n1
