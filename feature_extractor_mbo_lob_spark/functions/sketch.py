@@ -96,3 +96,32 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").cast("long").alias("est_cnt"))
     )
+
+
+def linear_counting(
+    df: DataFrame,
+    key_col: str = "key",
+    m: int = 4096,
+) -> DataFrame:
+    """Linear probabilistic counting (Whang et al. 1990): hash every key
+    into an m-slot bitmap; the distinct-count estimate is
+    ``-m * ln(empty_slots / m)``. One groupBy over at most m occupied
+    slots (map-side combine -> shuffle is O(partitions * m), independent
+    of cardinality), then a single-row aggregate.
+
+    Returns ONE row ``(m, occupied, empty)`` — all integers, so the
+    result is engine-exact; callers (or SQL consumers) apply the log
+    formula. Accurate while distinct << m; for unbounded cardinalities
+    chain sketches or use HLL (Spark's approx_count_distinct — not
+    oracle-reproducible, hence this deterministic form for the gate).
+    """
+    occ = (
+        df.select(_cms_bucket(key_col, 0, m).alias("slot"))
+        .groupBy("slot")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return occ.agg(
+        F.lit(m).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("empty"),
+    )

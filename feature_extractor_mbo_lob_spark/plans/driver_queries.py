@@ -5730,6 +5730,44 @@ QUERIES["mixture_apply"] = q_mixture_apply
 ORACLES["mixture_apply"] = O_MIXTURE_APPLY
 
 
+
+# --- linear probabilistic distinct counting ------------------------------------
+
+def q_distinct_sketch(spark, sf_dir):
+    """Linear counting bitmap over corpus words (m=4096) next to the
+    exact distinct count: (m, occupied, empty, distinct_true) — integers
+    only, engine-exact; consumers apply -m*ln(empty/m). The bitmap
+    shuffle is O(partitions * m), cardinality-independent."""
+    from ..functions import sketch
+    from ..functions.repetition import normalized_words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(F.explode(normalized_words("text")).alias("word"))
+    lc = sketch.linear_counting(words, "word", m=4096)
+    truth = words.agg(F.count_distinct("word").cast("long").alias("distinct_true"))
+    return lc.crossJoin(truth)
+
+
+O_DISTINCT_SKETCH = """
+with wq as (
+  select unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) as word
+  from documents
+),
+slots as (select distinct ((strpos('0123456789abcdef', substr(md5('0|' || word), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('0|' || word), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('0|' || word), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('0|' || word), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('0|' || word), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('0|' || word), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('0|' || word), 7, 1)) - 1) * 1) % 4096 as slot from wq),
+lc as (
+  select cast(4096 as bigint) as m,
+    cast(count(*) as bigint) as occupied,
+    cast(4096 - count(*) as bigint) as empty
+  from slots
+),
+t as (select cast(count(distinct word) as bigint) as distinct_true from wq)
+select m, occupied, empty, distinct_true from lc, t
+"""
+
+QUERIES["distinct_sketch"] = q_distinct_sketch
+ORACLES["distinct_sketch"] = O_DISTINCT_SKETCH
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -227,3 +227,54 @@ class TestApplyMixture:
         n0 = out.filter(F.col("source") == "src0").count()
         n1 = out.filter(F.col("source") == "src1").count()
         assert n0 > n1
+
+
+class TestLinearCounting:
+    def test_exact_when_sparse(self, spark):
+        import math
+
+        from feature_extractor_mbo_lob_spark.functions import sketch
+
+        keys = [f"k{i}" for i in range(300)] * 3  # 300 distinct, 900 rows
+        df = spark.createDataFrame([(k,) for k in keys], ["key"])
+        r = sketch.linear_counting(df, "key", m=4096).collect()[0]
+        assert r["m"] == 4096 and r["occupied"] + r["empty"] == 4096
+        est = -4096 * math.log(r["empty"] / 4096)
+        # load factor 300/4096 -> estimate within ~5% of truth
+        assert abs(est - 300) / 300 < 0.05
+
+
+class TestStreamingSketch:
+    def test_cms_cells_match_batch(self, spark):
+        """count_min_sketch is one algebraic groupBy, so it runs unchanged
+        as a streaming aggregation — cells from an availableNow replay in
+        complete mode must equal the batch cells exactly."""
+        import tempfile
+        import uuid
+
+        from feature_extractor_mbo_lob_spark.functions import sketch
+
+        keys = ["a"] * 30 + ["b"] * 11 + [f"k{i}" for i in range(50)]
+        df = spark.createDataFrame([(k,) for k in keys], ["key"])
+        batch = {
+            (r["row_idx"], r["col_idx"]): r["cnt"]
+            for r in sketch.count_min_sketch(df, "key", depth=3, width=32).collect()
+        }
+        src = tempfile.mkdtemp(prefix="cms_src")
+        df.write.mode("overwrite").parquet(src)
+        stream_in = spark.readStream.schema(df.schema).parquet(src)
+        out = sketch.count_min_sketch(stream_in, "key", depth=3, width=32)
+        name = "m" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (r["row_idx"], r["col_idx"]): r["cnt"]
+            for r in spark.table(name).collect()
+        }
+        assert streamed == batch
