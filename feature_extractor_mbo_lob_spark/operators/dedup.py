@@ -575,3 +575,73 @@ def remove_dup_spans(
             F.transform(kept, lambda j: F.element_at("_ws", j)), " "
         ).alias("text_clean"),
     )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental-ingestion dedup: flag each NEW document that exactly
+    matches (normalized md5) or near-matches (shares any MinHash LSH band
+    key with) the EXISTING corpus. The daily-batch path of a living
+    corpus — reprocessing the whole corpus per ingest is the thing a
+    100-TB pipeline cannot do.
+
+    Both probes are equi-joins keyed on digests: exact = left-semi on
+    md5(normalized text); near = left-semi on banded MinHash keys, with
+    the reference side's band keys computed once (in practice: persisted
+    by the previous run and read back — band keys are 32 bytes/doc/band).
+    Returns every new-side row with (exact_dup, near_dup) flags; filter
+    `NOT (exact_dup OR near_dup)` to admit.
+    """
+    fp = F.md5(normalize_text(text_col))
+    ref_fp = ref_df.select(fp.alias("_fp")).distinct()
+    new_fp = new_df.select(F.col(id_col).alias("id"), fp.alias("_fp"))
+    exact = (
+        new_fp.join(ref_fp, "_fp", "left_semi").select("id").withColumn(
+            "exact_dup", F.lit(True)
+        )
+    )
+
+    def band_keys(df):
+        rows = num_hashes // bands
+        sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+        cols = []
+        for b in range(bands):
+            parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+            cols.append(
+                F.concat(F.lit(f"{b}:"), F.md5(F.concat_ws("#", *parts))).alias(
+                    f"band_{b}"
+                )
+            )
+        banded = sigs.select("id", *cols)
+        return banded.select(
+            "id",
+            F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+                "band_key"
+            ),
+        )
+
+    ref_bands = band_keys(ref_df).select("band_key").distinct()
+    near = (
+        band_keys(new_df)
+        .join(ref_bands, "band_key", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(exact, "id", "left")
+        .join(near, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+        )
+    )

@@ -5768,6 +5768,75 @@ QUERIES["distinct_sketch"] = q_distinct_sketch
 ORACLES["distinct_sketch"] = O_DISTINCT_SKETCH
 
 
+
+# --- incremental-ingestion dedup: new batch vs existing corpus ------------------
+
+def q_dedup_incremental(spark, sf_dir):
+    """Flag each odd-doc_id (NEW) document that exactly or near-matches
+    the even-doc_id (EXISTING) half: exact = left-semi on md5(normalized
+    text); near = left-semi on MinHash LSH band keys (8 hashes, 4 bands).
+    The daily-ingest path — never reprocesses the reference corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.dedup_against(new, ref, num_hashes=8, bands=4)
+
+
+O_DEDUP_INCREMENTAL = f"""
+with {_SHINGLE_SQL},
+base as (select doc_id, doc_id % 2 = 0 as is_ref from documents),
+fp as (
+  select doc_id, doc_id % 2 = 0 as is_ref,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as fpv
+  from documents
+),
+reffp as (select distinct fpv from fp where is_ref),
+exact as (
+  select doc_id, true as exact_dup from fp
+  where not is_ref and fpv in (select fpv from reffp)
+),
+sigs as (
+  select doc_id as id,
+    min(md5('0|' || shingle)) as sig_0,
+    min(md5('1|' || shingle)) as sig_1,
+    min(md5('2|' || shingle)) as sig_2,
+    min(md5('3|' || shingle)) as sig_3,
+    min(md5('4|' || shingle)) as sig_4,
+    min(md5('5|' || shingle)) as sig_5,
+    min(md5('6|' || shingle)) as sig_6,
+    min(md5('7|' || shingle)) as sig_7
+  from shingled group by doc_id
+),
+banded as (
+  select id,
+    '0:' || md5(sig_0 || '#' || sig_1) as band_0,
+    '1:' || md5(sig_2 || '#' || sig_3) as band_1,
+    '2:' || md5(sig_4 || '#' || sig_5) as band_2,
+    '3:' || md5(sig_6 || '#' || sig_7) as band_3
+  from sigs
+),
+melted as (select id, unnest([band_0, band_1, band_2, band_3]) as band_key from banded),
+refb as (
+  select distinct band_key from melted m join base b on b.doc_id = m.id where b.is_ref
+),
+near as (
+  select distinct m.id as doc_id, true as near_dup
+  from melted m join base b on b.doc_id = m.id join refb using (band_key)
+  where not b.is_ref
+)
+select b.doc_id,
+  coalesce(e.exact_dup, false) as exact_dup,
+  coalesce(n.near_dup, false) as near_dup
+from base b
+left join exact e using (doc_id)
+left join near n using (doc_id)
+where not b.is_ref
+"""
+
+QUERIES["dedup_incremental"] = q_dedup_incremental
+ORACLES["dedup_incremental"] = O_DEDUP_INCREMENTAL
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

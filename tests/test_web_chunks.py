@@ -278,3 +278,22 @@ class TestStreamingSketch:
             for r in spark.table(name).collect()
         }
         assert streamed == batch
+
+
+class TestDedupAgainst:
+    def test_incremental_flags(self, spark):
+        ref = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog today"),
+             (2, "completely different reference content lives here now")],
+            ["doc_id", "text"],
+        )
+        new = spark.createDataFrame(
+            [(1, "The  quick brown fox jumps over the lazy dog today"),  # exact (normalized)
+             (3, "the quick brown fox jumps over the lazy dog tomorrow"),  # near
+             (5, "fresh unseen text with no overlap whatsoever at all")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in dd.dedup_against(new, ref, num_hashes=8, bands=4).collect()}
+        assert out[1]["exact_dup"] and out[1]["near_dup"]
+        assert not out[3]["exact_dup"] and out[3]["near_dup"]
+        assert not out[5]["exact_dup"] and not out[5]["near_dup"]
