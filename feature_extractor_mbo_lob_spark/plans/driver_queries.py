@@ -5837,6 +5837,36 @@ QUERIES["dedup_incremental"] = q_dedup_incremental
 ORACLES["dedup_incremental"] = O_DEDUP_INCREMENTAL
 
 
+
+# --- shuffle-key skew diagnostics ----------------------------------------------
+
+def q_key_skew_report(spark, sf_dir):
+    """Top-10 hottest conversations by turn count with integer ppm shares
+    — the pre-flight probe that decides whether a key needs the
+    operators/skew.py chunked path before any window/join on it."""
+    from .. import validation as val
+
+    t = transcripts_from_events(spark, sf_dir)
+    return val.key_skew_report(t, "conv_id", top_k=10)
+
+
+O_KEY_SKEW_REPORT = f"""
+{_W},
+cnt as (select cast(conv_id as varchar) as key, cast(count(*) as bigint) as cnt from transcripts group by 1),
+tot as (select cast(sum(cnt) as bigint) as total_rows, cast(count(*) as bigint) as n_keys from cnt),
+top as (
+  select key, cnt, row_number() over (order by cnt desc, key) as rank
+  from cnt order by cnt desc, key limit 10
+)
+select cast(rank as bigint) as rank, key, cnt, tot.total_rows, tot.n_keys,
+  cast((cnt * 1000000) // tot.total_rows as bigint) as share_ppm
+from top, tot
+"""
+
+QUERIES["key_skew_report"] = q_key_skew_report
+ORACLES["key_skew_report"] = O_KEY_SKEW_REPORT
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -8,7 +8,7 @@ the write path). A hard gate raises before anything is written.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .config import PipelineConfig
@@ -182,4 +182,39 @@ def psi_drift(df, value_col: str, ts_col: str = "ts",
         p.alias("p_ref"),
         q.alias("q_cur"),
         ((q - p) * F.log((q + eps) / (p + eps))).alias("psi_term"),
+    )
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Shuffle-key skew diagnostics: the top-k hottest keys with their row
+    counts and corpus share in ppm (integer micro-fractions — engine-exact),
+    plus each key's rank. The pre-flight check before any
+    groupBy/join/Window on ``key_col``: a key holding >> 1/tasks of the
+    rows is the straggler that motivates operators/skew.py chunking, AQE
+    skew-join, or salting.
+
+    One partial-aggregable count shuffle (O(distinct keys)), then a
+    TakeOrderedAndProject top-k — the hot-key table never materializes a
+    global sort. Ties break by key string so the report is deterministic.
+    """
+    cnt = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = cnt.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = cnt.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            "total_rows",
+            "n_keys",
+            F.expr("(cnt * 1000000) div total_rows").cast("long").alias("share_ppm"),
+        )
     )

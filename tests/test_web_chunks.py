@@ -297,3 +297,17 @@ class TestDedupAgainst:
         assert out[1]["exact_dup"] and out[1]["near_dup"]
         assert not out[3]["exact_dup"] and out[3]["near_dup"]
         assert not out[5]["exact_dup"] and not out[5]["near_dup"]
+
+
+class TestKeySkewReport:
+    def test_hot_key_surfaces_first(self, spark):
+        from feature_extractor_mbo_lob_spark import validation as val
+
+        rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+        df = spark.createDataFrame(rows, ["conv_id"])
+        out = val.key_skew_report(df, "conv_id", top_k=3).collect()
+        assert out[0]["key"] == "hot" and out[0]["rank"] == 1
+        assert out[0]["cnt"] == 90 and out[0]["total_rows"] == 100
+        assert out[0]["share_ppm"] == 900_000
+        assert out[0]["n_keys"] == 11
+        assert len(out) == 3
