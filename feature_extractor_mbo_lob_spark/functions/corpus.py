@@ -588,3 +588,38 @@ def apply_mixture(
     return j.select(
         id_col, source_col, F.explode(reps).alias("epoch")
     )
+
+
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: per doc_id, whether the document
+    was ``added``, ``removed``, ``changed``, or ``unchanged`` between two
+    corpus versions, judged by md5 of the normalized text. The audit step
+    between ingests — downstream incremental jobs (dedup_against,
+    feature refresh) process only the added+changed slice.
+
+    One full outer join keyed on the id; each side carries only
+    (id, 32-byte digest), so the shuffle is fingerprint-sized no matter
+    how wide the documents are.
+    """
+    from ..operators.dedup import normalize_text
+
+    def fp(df, name):
+        return df.select(
+            F.col(id_col).alias("id"), F.md5(normalize_text(text_col)).alias(name)
+        )
+
+    o = fp(old_df, "_old_fp")
+    n = fp(new_df, "_new_fp")
+    joined = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("_old_fp").isNull(), F.lit("added"))
+        .when(F.col("_new_fp").isNull(), F.lit("removed"))
+        .when(F.col("_old_fp") == F.col("_new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col("id").alias(id_col), status.alias("status"))

@@ -5867,6 +5867,46 @@ QUERIES["key_skew_report"] = q_key_skew_report
 ORACLES["key_skew_report"] = O_KEY_SKEW_REPORT
 
 
+
+# --- corpus snapshot diff ------------------------------------------------------
+
+def q_corpus_diff(spark, sf_dir):
+    """Diff two deterministic corpus versions: v_old = docs with
+    doc_id % 7 != 0 (plus doc_id % 5 == 0 docs with a marker suffix),
+    v_new = all docs unmodified. Yields all four statuses; only the
+    added+changed slice feeds incremental reprocessing."""
+    from ..functions import corpus as cx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" legacy marker"))
+        ).otherwise(F.col("text")),
+    )
+    return cx.corpus_diff(old, docs)
+
+
+O_CORPUS_DIFF = """
+with old as (
+  select doc_id,
+    case when doc_id % 5 = 0 then text || ' legacy marker' else text end as text
+  from documents where doc_id % 7 <> 0
+),
+ofp as (select doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as old_fp from old),
+nfp as (select doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as new_fp from documents)
+select coalesce(ofp.doc_id, nfp.doc_id) as doc_id,
+  case when ofp.doc_id is null then 'added'
+       when nfp.doc_id is null then 'removed'
+       when old_fp = new_fp then 'unchanged'
+       else 'changed' end as status
+from ofp full outer join nfp on ofp.doc_id = nfp.doc_id
+"""
+
+QUERIES["corpus_diff"] = q_corpus_diff
+ORACLES["corpus_diff"] = O_CORPUS_DIFF
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -311,3 +311,18 @@ class TestKeySkewReport:
         assert out[0]["share_ppm"] == 900_000
         assert out[0]["n_keys"] == 11
         assert len(out) == 3
+
+
+class TestCorpusDiff:
+    def test_all_four_statuses(self, spark):
+        old = spark.createDataFrame(
+            [(1, "same text"), (2, "will change"), (3, "going away")],
+            ["doc_id", "text"],
+        )
+        new = spark.createDataFrame(
+            [(1, "Same  TEXT"), (2, "has changed"), (4, "brand new")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["status"] for r in cx.corpus_diff(old, new).collect()}
+        # normalization makes casing/whitespace-only edits "unchanged"
+        assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -381,6 +381,50 @@ def main() -> None:
         forbid=("CartesianProduct",),
     ))
 
+    inc = dedup.dedup_against(
+        t.filter(F.col("conv_id").substr(-1, 1) == "1").select(
+            F.col("conv_id").alias("doc_id"), "text"
+        ),
+        t.filter(F.col("conv_id").substr(-1, 1) != "1").select(
+            F.col("conv_id").alias("doc_id"), "text"
+        ),
+        num_hashes=8,
+    )
+    sections.append(summarize(
+        "Incremental dedup (new batch vs reference corpus)",
+        inc,
+        "Both probes are left-semi equi joins on digests (md5 fingerprint, "
+        "MinHash band keys) — the reference corpus contributes only its "
+        "digest sets, never re-shuffled text; semi joins short-circuit at "
+        "first match. No cartesian, no UDF.",
+        forbid=("CartesianProduct", "BatchEvalPython"),
+    ))
+
+    from feature_extractor_mbo_lob_spark import validation as val
+    from feature_extractor_mbo_lob_spark.functions import sketch
+
+    sections.append(summarize(
+        "Key-skew report",
+        val.key_skew_report(t, "conv_id", top_k=10),
+        "One partial-aggregable count shuffle + TakeOrderedAndProject "
+        "top-k; the rank window runs over 10 rows. The per-key count table "
+        "never globally sorts.",
+        forbid=("CartesianProduct",),
+    ))
+
+    cms = sketch.count_min_sketch(
+        t.select(F.col("text").alias("key")), "key", depth=4, width=256
+    )
+    sections.append(summarize(
+        "Count-min sketch build",
+        cms,
+        "Per-row d-way cell scatter (narrow explode) then one groupBy over "
+        "at most d*w cell keys — after map-side combine each task emits "
+        "<= 1024 rows, so the shuffle is sketch-sized regardless of input "
+        "rows or key cardinality.",
+        forbid=("CartesianProduct", "BatchEvalPython"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
