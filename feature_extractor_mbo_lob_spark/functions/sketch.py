@@ -125,3 +125,65 @@ def linear_counting(
         F.count(F.lit(1)).cast("long").alias("occupied"),
         (F.lit(m) - F.count(F.lit(1))).cast("long").alias("empty"),
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str = "key",
+    num_hashes: int = 3,
+    num_bits: int = 1 << 20,
+) -> DataFrame:
+    """Build side of a broadcast Bloom filter: the distinct set bit
+    positions for every key, ``num_hashes`` md5-derived positions each
+    (seed i -> md5(f"{i}|" + key) first 7 hex chars mod num_bits).
+
+    Returns ``DataFrame[pos: long]`` — at most ``min(num_bits,
+    n_keys * num_hashes)`` rows. For a decontamination benchmark set
+    (thousands-to-millions of keys) this is kilobytes-to-megabytes:
+    small enough to broadcast, which is the whole point — the probe
+    side then needs NO shuffle at all (see bloom_probe). The bitmap is
+    engine-exact: any system with md5 rebuilds the identical bit set.
+    """
+    c = F.col(key_col).cast("string")
+    pos = F.explode(
+        F.array(*[_cms_bucket(c, i, num_bits) for i in range(num_hashes)])
+    ).alias("pos")
+    return df.select(pos).distinct()
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    num_hashes: int = 3,
+    num_bits: int = 1 << 20,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Probe a Bloom filter built by bloom_bits: adds boolean ``out_col``
+    = true iff ALL ``num_hashes`` positions of the key are set (possible
+    member — false positives at the usual Bloom rate, never false
+    negatives).
+
+    Plan shape: ``num_hashes`` broadcast-hash left joins against the tiny
+    bit table — the 100-TB probe stream is never shuffled, never sorted;
+    each row streams through k in-memory hash lookups. This is the
+    decontamination shape that replaces a full benchmark<->corpus equi
+    join when the benchmark set fits in a broadcast (it always does).
+    """
+    c = F.col(key_col).cast("string")
+    out = df
+    hit_cols = []
+    for i in range(num_hashes):
+        b = F.broadcast(
+            bits.select(
+                F.col("pos").alias(f"_bp{i}"), F.lit(1).alias(f"_hit{i}")
+            )
+        )
+        out = out.join(b, _cms_bucket(c, i, num_bits) == F.col(f"_bp{i}"), "left")
+        hit_cols.append(f"_hit{i}")
+    member = F.lit(True)
+    for h in hit_cols:
+        member = member & F.col(h).isNotNull()
+    return out.withColumn(out_col, member).drop(
+        *[f"_bp{i}" for i in range(num_hashes)], *hit_cols
+    )

@@ -5907,6 +5907,135 @@ QUERIES["corpus_diff"] = q_corpus_diff
 ORACLES["corpus_diff"] = O_CORPUS_DIFF
 
 
+# --- broadcast Bloom-filter decontamination probe -------------------------------
+
+def _hex7_of(expr: str) -> str:
+    """First 7 hex chars of md5-hex SQL expression ``expr`` as an integer
+    (DuckDB twin of functions/sketch._cms_bucket; same nibble chain as
+    _HEX7 but over an arbitrary expression)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    )
+
+
+def q_bloom_contamination(spark, sf_dir):
+    """Flag documents whose normalized-text fingerprint may be in a
+    benchmark set (docs with doc_id % 91 == 0) via a 256-bit / 3-hash
+    Bloom filter, alongside the exact answer so the false-positive rate
+    is observable. Plan: 3 broadcast joins against the tiny bit table +
+    1 broadcast join for the exact twin — the probe stream is never
+    shuffled. This is the 100-TB decontamination shape: the benchmark
+    bitmap always fits in a broadcast."""
+    from ..functions import sketch
+    from ..operators.dedup import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = F.md5(normalize_text("text"))
+    probe = docs.select("doc_id", fp.alias("fp"))
+    bench = docs.filter(F.col("doc_id") % 91 == 0).select(fp.alias("fp")).distinct()
+    bits = sketch.bloom_bits(bench, "fp", num_hashes=3, num_bits=256)
+    out = sketch.bloom_probe(probe, "fp", bits, num_hashes=3, num_bits=256)
+    exact = F.broadcast(bench.withColumn("_ex", F.lit(1)))
+    return (
+        out.join(exact, "fp", "left")
+        .select(
+            "doc_id",
+            "maybe_member",
+            F.col("_ex").isNotNull().alias("exact_member"),
+        )
+    )
+
+
+_BLOOM_POS = {
+    i: f"(({_hex7_of(f'''md5('{i}|' || fp)''')}) % 256)" for i in range(3)
+}
+
+O_BLOOM_CONTAMINATION = f"""
+with n as (
+  select doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as fp
+  from documents
+),
+bench as (select distinct fp from n where doc_id % 91 = 0),
+bits as (
+  select distinct pos from (
+    select {_BLOOM_POS[0]} as pos from bench
+    union all select {_BLOOM_POS[1]} from bench
+    union all select {_BLOOM_POS[2]} from bench
+  )
+)
+select doc_id,
+  ({_BLOOM_POS[0]} in (select pos from bits)
+   and {_BLOOM_POS[1]} in (select pos from bits)
+   and {_BLOOM_POS[2]} in (select pos from bits)) as maybe_member,
+  fp in (select fp from bench) as exact_member
+from n
+"""
+
+QUERIES["bloom_contamination"] = q_bloom_contamination
+ORACLES["bloom_contamination"] = O_BLOOM_CONTAMINATION
+
+
+# --- integer PageRank over the word-transition bucket graph ----------------------
+
+def q_word_graph_pagerank(spark, sf_dir):
+    """Weighted PageRank (3 iterations, damping 17/20) over the 16-node
+    consecutive-word bucket transition digraph, computed entirely in
+    int64 micro-units (floor division everywhere) so the result is
+    engine-exact. Edge extraction is one partial-aggregable groupBy whose
+    output is <= 256 rows regardless of corpus size; each iteration is
+    one join + one groupBy over that fixed-size edge table."""
+    from ..functions import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = graph.word_transition_edges(docs, buckets=16)
+    return graph.pagerank_int(edges, iterations=3)
+
+
+def _pagerank_oracle() -> str:
+    ba = f"(({_hex7_of('md5(a)')}) % 16)"
+    bb = f"(({_hex7_of('md5(b)')}) % 16)"
+    it = """,
+r{t} as (
+  select n.node,
+    (1000000 * 3) // (20 * (select nn from ncnt))
+      + (17 * coalesce(s.c_sum, 0)) // 20 as rank_micro
+  from nodes n left join (
+    select e.dst as node, sum((r.rank_micro * e.w) // o.out_w) as c_sum
+    from edges e
+    join r{p} r on r.node = e.src
+    join outw o on o.src = e.src
+    group by 1
+  ) s using (node)
+)"""
+    return f"""
+with d as (
+  select string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as w
+  from documents
+),
+tr as (
+  select unnest(w[1:len(w)-1]) as a, unnest(w[2:len(w)]) as b from d
+),
+eb as (
+  select printf('wb%02d', {ba}) as src,
+         printf('wb%02d', {bb}) as dst
+  from tr
+),
+edges as (select src, dst, cast(count(*) as bigint) as w from eb group by 1, 2),
+nodes as (select src as node from edges union select dst from edges),
+ncnt as (select count(*) as nn from nodes),
+outw as (select src, sum(w) as out_w from edges group by 1),
+r0 as (select node, 1000000 // (select nn from ncnt) as rank_micro from nodes)
+{it.format(t=1, p=0)}{it.format(t=2, p=1)}{it.format(t=3, p=2)}
+select node, cast(rank_micro as bigint) as rank_micro from r3
+"""
+
+
+QUERIES["word_graph_pagerank"] = q_word_graph_pagerank
+ORACLES["word_graph_pagerank"] = _pagerank_oracle()
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -326,3 +326,84 @@ class TestCorpusDiff:
         out = {r["doc_id"]: r["status"] for r in cx.corpus_diff(old, new).collect()}
         # normalization makes casing/whitespace-only edits "unchanged"
         assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def _md5pos(key: str, seed: int, m: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|{key}".encode()).hexdigest()
+    return int(h[:7], 16) % m
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_python_exact_fp(self, spark):
+        from feature_extractor_mbo_lob_spark.functions import sketch
+
+        bench_keys = ["alpha", "beta", "gamma"]
+        probe_keys = bench_keys + ["delta", "epsilon", "zeta", "eta"]
+        m, k = 64, 3
+        bench = spark.createDataFrame([(x,) for x in bench_keys], ["key"])
+        probe = spark.createDataFrame([(x,) for x in probe_keys], ["key"])
+        bits = sketch.bloom_bits(bench, "key", num_hashes=k, num_bits=m)
+        got = {
+            r["key"]: r["maybe_member"]
+            for r in sketch.bloom_probe(probe, "key", bits, k, m).collect()
+        }
+        bitset = {_md5pos(x, i, m) for x in bench_keys for i in range(k)}
+        for key in probe_keys:
+            expect = all(_md5pos(key, i, m) in bitset for i in range(k))
+            assert got[key] == expect, key
+        for key in bench_keys:  # never a false negative
+            assert got[key] is True
+
+
+class TestWordGraphPagerank:
+    def test_edges_from_known_text(self, spark):
+        from feature_extractor_mbo_lob_spark.functions import graph
+
+        docs = spark.createDataFrame(
+            [(1, "a b  A"), (2, "b")], ["doc_id", "text"]
+        )
+        edges = {
+            (r["src"], r["dst"]): r["w"]
+            for r in graph.word_transition_edges(docs, buckets=4).collect()
+        }
+        import hashlib
+
+        def bucket(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:7], 16) % 4
+
+        # "a b a" -> transitions (a,b), (b,a); doc 2 has none. Buckets may
+        # collide (they do at buckets=4: both 'a' and 'b' land in bucket 3),
+        # so derive the expectation from the transitions, not the words.
+        from collections import Counter
+
+        expect = Counter()
+        for s, d in [("a", "b"), ("b", "a")]:
+            expect[(f"wb{bucket(s):02d}", f"wb{bucket(d):02d}")] += 1
+        assert edges == dict(expect)
+
+    def test_integer_pagerank_matches_python_replica(self, spark):
+        from feature_extractor_mbo_lob_spark.functions import graph
+
+        raw = [("x", "y", 3), ("y", "x", 1), ("x", "z", 1), ("z", "x", 2)]
+        edges = spark.createDataFrame(raw, ["src", "dst", "w"])
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in graph.pagerank_int(edges, iterations=3).collect()
+        }
+
+        nodes = sorted({s for s, _, _ in raw} | {d for _, d, _ in raw})
+        n = len(nodes)
+        outw = {}
+        for s, _, w in raw:
+            outw[s] = outw.get(s, 0) + w
+        base = (1_000_000 * 3) // (20 * n)
+        r = {v: 1_000_000 // n for v in nodes}
+        for _ in range(3):
+            c = {v: 0 for v in nodes}
+            for s, d, w in raw:
+                c[d] += (r[s] * w) // outw[s]
+            r = {v: base + (17 * c[v]) // 20 for v in nodes}
+        assert got == r
+        assert all(isinstance(v, int) for v in got.values())
