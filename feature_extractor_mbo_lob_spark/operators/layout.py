@@ -1,0 +1,129 @@
+"""Physical data layout: Z-order (Morton) clustering for multi-column
+file skipping.
+
+At 100 TB, scan cost is dominated by which files/row-groups the planner
+can SKIP. Parquet keeps per-row-group min/max stats; a table sorted on
+one column prunes well on that column only. Interleaving the bits of
+several bucketized columns into one Morton code and range-partitioning +
+sorting on it gives every interleaved column locally narrow min/max
+ranges, so predicates on ANY of them prune files. This is the same
+layout trick Delta/Iceberg expose as ``OPTIMIZE ZORDER BY`` — here it is
+a plain DataFrame transform + writer, engine-owned end to end.
+
+Exactness: the bucket and interleave math is pure int64 — ``(x - min) *
+(2^bits - 1) DIV range`` then shift/or — so the Morton code is
+engine-exact and has a strong DuckDB oracle (same ``//``, ``<<``, ``&``
+ops). The only inputs are the global min/max per column, fetched as ONE
+tiny aggregate row and broadcast (no sort, no shuffle beyond the final
+range partitioner, which is the point of the operator).
+
+Scale shape: one O(1)-row agg pass, then a single repartitionByRange on
+the Morton code (sampled range boundaries — Spark's standard mechanism)
+with sortWithinPartitions before write. No skew risk: Morton codes are
+near-uniform when buckets are, and range partitioning handles residual
+skew by splitting dense code ranges. Reference analog: the extractor
+writes per-day sorted NPY/parquet (src/export_aligned/npy_export.rs);
+this generalizes that single-key layout to multi-key skipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _as_col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def with_zvalue(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    out_col: str = "zvalue",
+) -> DataFrame:
+    """Add an int64 Morton code interleaving ``bits`` bits of each column.
+
+    Each column (must cast losslessly to long) is bucketized to
+    ``[0, 2^bits)`` with integer-only math against its global min/max:
+    ``bucket = ((x - mn) * (2^bits - 1)) div greatest(mx - mn, 1)``.
+    Bit j of bucket i lands at position ``j * k + i`` of the code, so
+    ``k * bits`` must be <= 63. Nulls bucket to 0 (sort first — they
+    cluster together, which is what a scanner wants).
+
+    One tiny min/max aggregate row, broadcast-joined; the code itself is
+    a pure JVM shift/or expression chain inside whole-stage codegen.
+    """
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds int64")
+    top = (1 << bits) - 1
+
+    aggs = []
+    for c in cols:
+        lc = _as_col(c).cast("long")
+        aggs.append(F.min(lc).alias(f"_mn_{c}"))
+        aggs.append(F.max(lc).alias(f"_mx_{c}"))
+    stats = df.agg(*aggs)
+
+    out = df.join(F.broadcast(stats))
+    tmp = []
+    for c in cols:
+        lc = F.coalesce(_as_col(c).cast("long"), F.col(f"_mn_{c}"))
+        # numerator can reach range * top (~2^8 * ts-range); int64 `div`
+        # keeps the floor division exact where double math would not.
+        out = out.withColumn(f"_xm_{c}", (lc - F.col(f"_mn_{c}")) * F.lit(top))
+        out = out.withColumn(
+            f"_bk_{c}",
+            F.expr(f"_xm_{c} div greatest(_mx_{c} - _mn_{c}, 1L)"),
+        )
+        tmp += [f"_xm_{c}", f"_bk_{c}", f"_mn_{c}", f"_mx_{c}"]
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        bucket = F.col(f"_bk_{c}")
+        for j in range(bits):
+            bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, j * k + i))
+    return out.withColumn(out_col, z).drop(*tmp)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered by the Morton code of ``cols``.
+
+    repartitionByRange on the code (num_files output files, contiguous
+    code ranges) + sortWithinPartitions so row-group min/max stats are
+    tight on every interleaved column. The helper column is dropped
+    before write.
+    """
+    z = with_zvalue(df, cols, bits)
+    (
+        z.repartitionByRange(num_files, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .drop("zvalue")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_span_stats(path: str, col: str) -> list[tuple[int, int]]:
+    """Per-row-group (min, max) of ``col`` from parquet footer metadata —
+    the exact stats a scanner's pruning consults. Driver-side metadata
+    read only (footers, not data). Test/diagnostic helper."""
+    import pyarrow.parquet as pq
+
+    spans = []
+    ds = pq.ParquetDataset(path)
+    for frag in ds.fragments:
+        md = frag.metadata
+        names = md.schema.to_arrow_schema().names
+        ci = {n: i for i, n in enumerate(names)}
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci[col]).statistics
+            if st is not None and st.has_min_max:
+                spans.append((st.min, st.max))
+    return spans

@@ -6036,6 +6036,55 @@ QUERIES["word_graph_pagerank"] = q_word_graph_pagerank
 ORACLES["word_graph_pagerank"] = _pagerank_oracle()
 
 
+# --- Z-order (Morton) layout curve ----------------------------------------------
+
+def q_zorder_curve(spark, sf_dir):
+    """Morton code over (user_id, event time) for Z-order file clustering
+    — the multi-column file-skipping layout (Delta/Iceberg's OPTIMIZE
+    ZORDER BY, here a plain DataFrame transform; operators/layout.py).
+    Integer-only: one tiny min/max aggregate broadcast, then
+    ``((x-mn)*255) div range`` bucketing and a shift/or interleave chain,
+    all inside whole-stage codegen — engine-exact by construction."""
+    from ..operators import layout
+    from ..operators.ordering import epoch_us
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", epoch_us("ts").alias("ts_us"))
+    )
+    return layout.with_zvalue(ev, ["user_id", "ts_us"], bits=8).select(
+        "event_id", "zvalue"
+    )
+
+
+def _zorder_oracle() -> str:
+    def interleave(b: str, lane: int) -> str:
+        return " | ".join(
+            f"((({b} >> {j}) & 1) << {j * 2 + lane})" for j in range(8)
+        )
+
+    return f"""
+with s as (
+  select min(user_id) as mnu, max(user_id) as mxu,
+         min(epoch_us(ts)) as mnt, max(epoch_us(ts)) as mxt
+  from events
+),
+b as (
+  select event_id,
+    ((user_id - mnu) * 255) // greatest(mxu - mnu, 1) as bu,
+    ((epoch_us(ts) - mnt) * 255) // greatest(mxt - mnt, 1) as bt
+  from events, s
+)
+select event_id,
+  cast(({interleave('bu', 0)}) | ({interleave('bt', 1)}) as bigint) as zvalue
+from b
+"""
+
+
+QUERIES["zorder_curve"] = q_zorder_curve
+ORACLES["zorder_curve"] = _zorder_oracle()
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

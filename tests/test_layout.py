@@ -1,0 +1,95 @@
+"""Z-order layout: Morton-code exactness + file-skipping effectiveness."""
+
+import pytest
+
+from feature_extractor_mbo_lob_spark.operators import layout
+
+
+def _morton_py(rows, bits=8):
+    """Driver-independent python replica of with_zvalue for 2 columns."""
+    top = (1 << bits) - 1
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    mnx, mxx = min(xs), max(xs)
+    mny, mxy = min(ys), max(ys)
+    out = []
+    for x, y in rows:
+        bx = ((x - mnx) * top) // max(mxx - mnx, 1)
+        by = ((y - mny) * top) // max(mxy - mny, 1)
+        z = 0
+        for j in range(bits):
+            z |= ((bx >> j) & 1) << (j * 2)
+            z |= ((by >> j) & 1) << (j * 2 + 1)
+        out.append(z)
+    return out
+
+
+class TestZValue:
+    def test_matches_python_replica(self, spark):
+        rows = [(3, 100), (7, 250), (0, 0), (1000, 9999), (512, 4096)]
+        df = spark.createDataFrame(rows, ["a", "b"])
+        got = {
+            (r["a"], r["b"]): r["zvalue"]
+            for r in layout.with_zvalue(df, ["a", "b"]).collect()
+        }
+        want = dict(zip(rows, _morton_py(rows)))
+        assert got == want
+
+    def test_null_buckets_to_min(self, spark):
+        df = spark.createDataFrame(
+            [(0, 10), (None, 20), (100, 30)], "a: int, b: int"
+        )
+        out = {r["b"]: r["zvalue"] for r in layout.with_zvalue(df, ["a", "b"]).collect()}
+        # null a behaves exactly as a == min(a): same code as an explicit 0
+        df2 = spark.createDataFrame([(0, 20), (100, 30)], "a: int, b: int")
+        twin = {
+            r["b"]: r["zvalue"]
+            for r in layout.with_zvalue(
+                df2.union(spark.createDataFrame([(0, 10)], "a: int, b: int")),
+                ["a", "b"],
+            ).collect()
+        }
+        assert out[20] == twin[20]
+
+    def test_bits_overflow_guard(self, spark):
+        df = spark.createDataFrame([(1, 2)], ["a", "b"])
+        with pytest.raises(ValueError):
+            layout.with_zvalue(df, ["a", "b"], bits=32)
+
+
+class TestZOrderWrite:
+    def test_spans_narrower_than_single_key_sort(self, spark, tmp_path):
+        # A grid where x and y are independent: sorting by x alone leaves
+        # y spans at full width in every file; Z-order narrows BOTH.
+        n = 64
+        rows = [(i * n + j, i, j) for i in range(n) for j in range(n)]
+        df = spark.createDataFrame(rows, ["rid", "x", "y"]).cache()
+
+        zpath = str(tmp_path / "zorder")
+        xpath = str(tmp_path / "bysort")
+        layout.zorder_write(df, zpath, ["x", "y"], num_files=16)
+        (
+            df.repartitionByRange(16, "x")
+            .sortWithinPartitions("x")
+            .write.mode("overwrite")
+            .parquet(xpath)
+        )
+
+        def mean_span(path, col):
+            spans = layout.file_span_stats(path, col)
+            assert spans, path
+            return sum(hi - lo for lo, hi in spans) / len(spans)
+
+        # x-sorted layout: x prunes well but y is ~full-range everywhere
+        assert mean_span(xpath, "y") > 0.8 * (n - 1)
+        # z-order: both columns substantially narrowed
+        assert mean_span(zpath, "x") < 0.6 * (n - 1)
+        assert mean_span(zpath, "y") < 0.6 * (n - 1)
+
+        # round-trip: layout is a reordering, never a rewrite of values
+        back = spark.read.parquet(zpath)
+        assert back.count() == n * n
+        assert sorted(r["rid"] for r in back.select("rid").collect()) == sorted(
+            r[0] for r in rows
+        )
+        df.unpersist()
