@@ -110,6 +110,47 @@ def zorder_write(
     )
 
 
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    path: str,
+    keys: list[str],
+    buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) external parquet
+    table — Spark's hash-bucketing layout, the co-located-join primitive.
+
+    Two tables bucketed the same way (same keys, same ``buckets``) join
+    with ZERO Exchange on either side: each task reads matching bucket
+    files directly, so the 100-TB fact-to-fact join skips the shuffle
+    that normally dominates it. ``sort=True`` additionally pre-sorts
+    rows within each bucket on the keys, letting SortMergeJoin skip its
+    Sort too. This is the layout an as-of/enrichment pipeline writes
+    ONCE and amortizes over every downstream join at the same key.
+
+    Bucketing requires the table catalog (bucket metadata lives there),
+    hence saveAsTable with an explicit external ``path``.
+    """
+    w = df.write.mode("overwrite").option("path", path).bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.format("parquet").saveAsTable(table)
+
+
+def colocated_join(
+    spark, left_table: str, right_table: str, keys: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed catalog tables with a merge hint so
+    the planner uses the bucket layout (no Exchange; no Sort if the
+    tables were written with ``sort=True``). The caller should verify
+    the plan with ``"Exchange" not in df._jdf.queryExecution()...`` —
+    tests/test_layout.py does exactly that."""
+    lt = spark.table(left_table).hint("merge")
+    rt = spark.table(right_table)
+    return lt.join(rt, keys, how)
+
+
 def file_span_stats(path: str, col: str) -> list[tuple[int, int]]:
     """Per-row-group (min, max) of ``col`` from parquet footer metadata —
     the exact stats a scanner's pruning consults. Driver-side metadata

@@ -1,6 +1,7 @@
 """Z-order layout: Morton-code exactness + file-skipping effectiveness."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from feature_extractor_mbo_lob_spark.operators import layout
 
@@ -55,6 +56,44 @@ class TestZValue:
         df = spark.createDataFrame([(1, 2)], ["a", "b"])
         with pytest.raises(ValueError):
             layout.with_zvalue(df, ["a", "b"], bits=32)
+
+
+class TestBucketedJoin:
+    def test_colocated_join_has_no_exchange(self, spark, tmp_path):
+        left = spark.range(0, 5000).select(
+            (F.col("id") % 200).alias("k"), F.col("id").alias("v1")
+        )
+        right = spark.range(0, 2000).select(
+            (F.col("id") % 200).alias("k"), (F.col("id") * 3).alias("v2")
+        )
+        try:
+            layout.bucketed_write(left, "bkt_l", str(tmp_path / "l"), ["k"], 8)
+            layout.bucketed_write(right, "bkt_r", str(tmp_path / "r"), ["k"], 8)
+
+            j = layout.colocated_join(spark, "bkt_l", "bkt_r", ["k"])
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+
+            # the same join over plain (unbucketed) parquet DOES shuffle
+            left.write.mode("overwrite").parquet(str(tmp_path / "pl"))
+            right.write.mode("overwrite").parquet(str(tmp_path / "pr"))
+            pj = (
+                spark.read.parquet(str(tmp_path / "pl"))
+                .hint("merge")
+                .join(spark.read.parquet(str(tmp_path / "pr")), ["k"])
+            )
+            pplan = pj._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in pplan
+
+            # and the result is the same rows either way
+            assert j.count() == pj.count()
+            got = j.agg(F.sum(F.col("v1") * F.col("v2"))).first()[0]
+            want = pj.agg(F.sum(F.col("v1") * F.col("v2"))).first()[0]
+            assert got == want
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bkt_l")
+            spark.sql("DROP TABLE IF EXISTS bkt_r")
 
 
 class TestZOrderWrite:
