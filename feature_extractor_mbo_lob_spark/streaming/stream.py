@@ -152,6 +152,101 @@ def _cum_state_fn(volume_target: float):
     return fn
 
 
+# --- transformWithState (Spark 4 stateful API) --------------------------------
+
+TWS_OUTPUT_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", LongType()),
+    StructField("turns_so_far", LongType()),
+    StructField("dt_us", LongType()),
+    StructField("ewma_dt_us", DoubleType()),
+])
+
+
+def _latency_processor(alpha: float):
+    """Build the StatefulProcessor lazily so importing this module never
+    requires the streaming-v2 classes (they exist in pyspark>=4.0)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class ConvLatencyProcessor(StatefulProcessor):
+        """Per-conversation inter-turn latency EWMA via the Spark 4
+        transformWithState API: ValueState survives across micro-batches
+        (RocksDB-backed, changelog-checkpointed), so a restart resumes the
+        EWMA exactly where the previous run stopped. Streaming twin of the
+        batch dt/EWMA features (operators/volatility.py, rolling ewma);
+        reference analog: the per-instrument latency trackers inside the
+        pipeline state loop (src/pipeline.rs:606-736)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType([
+                StructField("last_us", LongType()),
+                StructField("turns", LongType()),
+                StructField("ewma_us", DoubleType()),
+            ])
+            self._st = handle.getValueState("conv_latency", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                last_us, turns, ewma = self._st.get()
+            else:
+                last_us, turns, ewma = None, 0, 0.0
+            for pdf in rows:
+                pdf = pdf.sort_values(["turn_idx"], kind="mergesort")
+                dts, ewmas, cum = [], [], []
+                for us in pdf["ts_us"]:
+                    us = int(us)
+                    dt = 0 if last_us is None else max(us - last_us, 0)
+                    turns += 1
+                    ewma = (1.0 - alpha) * ewma + alpha * float(dt)
+                    last_us = us
+                    dts.append(dt)
+                    ewmas.append(ewma)
+                    cum.append(turns)
+                yield pd.DataFrame({
+                    "conv_id": [key[0]] * len(pdf),
+                    "turn_idx": pdf["turn_idx"].astype("int64").to_list(),
+                    "turns_so_far": cum,
+                    "dt_us": dts,
+                    "ewma_dt_us": ewmas,
+                })
+            self._st.update((last_us, turns, float(ewma)))
+
+        def close(self) -> None:
+            pass
+
+    return ConvLatencyProcessor()
+
+
+def streaming_latency_state(
+    events: DataFrame, cfg: PipelineConfig, alpha: float = 0.125
+) -> DataFrame:
+    """Per-conversation turn latency EWMA as a transformWithState stream.
+
+    The Spark 4 stateful-v2 operator: typed ValueState per key, RocksDB
+    state store, exactly-once across restarts via the checkpoint. Within a
+    batch rows are processed in (turn_idx) order; cross-batch correctness
+    has the same in-order-per-key contract as streaming_cumulative_state.
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (transformWithState only runs there — the
+    caller/test sets it; get_spark leaves batch jobs on the default HDFS
+    provider) and the ``protobuf`` package (pyspark's state-server protocol
+    for this one API; absent in minimal installs, so the test
+    import-or-skips — applyInPandasWithState below is the dependency-free
+    stateful path and covers the same semantics).
+    """
+    ts_us = (F.unix_micros(F.col(cfg.ts_col).cast("timestamp"))).alias("ts_us")
+    return (
+        events.select(cfg.key_col, "turn_idx", ts_us)
+        .groupBy(cfg.key_col)
+        .transformWithStateInPandas(
+            _latency_processor(alpha),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+
+
 def streaming_cumulative_state(events: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Cumulative per-conversation counters + exact volume sampling as a
     stateful stream. NOTE: within-batch ordering is by (turn_idx, ts); cross-

@@ -263,6 +263,88 @@ def test_real_codecs_roundtrip(spark):
     assert r.n_units == r.width * r.height * 3
 
 
+def test_transform_with_state_latency_resumes(spark, tmp_path):
+    """transformWithState (Spark 4 stateful v2): per-conversation latency
+    EWMA over TWO availableNow runs sharing one checkpoint — the RocksDB
+    ValueState persists, so run 2 continues the EWMA exactly where run 1
+    stopped. Output equals a python replica over the full turn sequence.
+
+    SKIPPED where protobuf is unavailable: transformWithState's Python
+    state server speaks protobuf to the JVM (pyspark requires
+    google.protobuf for this one API; the rest of the engine does not)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    from feature_extractor_mbo_lob_spark.streaming.stream import (
+        streaming_latency_state,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    rows_a = [
+        ("a", 0, "user", "x", None, ts(0)),
+        ("a", 1, "assistant", "y", None, ts(10)),
+        ("a", 2, "user", "z", None, ts(40)),
+        ("b", 0, "user", "solo", None, ts(7)),
+    ]
+    rows_b = [
+        ("a", 3, "assistant", "w", None, ts(100)),
+        ("b", 1, "assistant", "r", None, ts(9)),
+    ]
+    dfa = spark.createDataFrame(rows_a, schema=TRANSCRIPT_SCHEMA)
+    dfb = spark.createDataFrame(rows_b, schema=TRANSCRIPT_SCHEMA)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def run():
+            stream_in = spark.readStream.schema(dfa.schema).parquet(src)
+            out = streaming_latency_state(stream_in, CFG, alpha=0.125)
+            q = (
+                out.writeStream.format("parquet").option("path", sink)
+                .outputMode("append").option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(180)
+
+        dfa.coalesce(1).write.mode("overwrite").parquet(src)
+        run()
+        dfb.coalesce(1).write.mode("append").parquet(src)
+        run()
+        got = {
+            (r.conv_id, r.turn_idx): (r.turns_so_far, r.dt_us, r.ewma_dt_us)
+            for r in spark.read.parquet(sink).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    # python replica over the full per-conversation sequences
+    seqs = {}
+    for cid, ti, _, _, _, t in sorted(rows_a + rows_b, key=lambda r: (r[0], r[1])):
+        seqs.setdefault(cid, []).append((ti, int(t.timestamp() * 1_000_000)))
+    want = {}
+    for cid, turns in seqs.items():
+        last, ew = None, 0.0
+        for n, (ti, us) in enumerate(turns, start=1):
+            dt = 0 if last is None else max(us - last, 0)
+            ew = 0.875 * ew + 0.125 * dt
+            last = us
+            want[(cid, ti)] = (n, dt, ew)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == want[k][1], k
+        assert abs(got[k][2] - want[k][2]) < 1e-6, k
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Append-mode windowed count with a 5 s watermark across TWO
     availableNow runs sharing one checkpoint: the watermark persists in the
