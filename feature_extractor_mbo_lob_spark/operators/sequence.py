@@ -140,3 +140,57 @@ def context_window(df: DataFrame, cfg: PipelineConfig,
             keep.cast("int").alias("in_context"),
         ).drop("_toks")
     )
+
+
+def funnel(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    steps: list[Column],
+    max_gap: int | None = None,
+) -> DataFrame:
+    """Ordered-step funnel per conversation (ClickHouse windowFunnel /
+    MATCH_RECOGNIZE analog): for predicates p1..pk, step i completes at
+    the FIRST turn satisfying p_i strictly after step i-1's turn (and,
+    with ``max_gap``, within ``max_gap`` turns of it). Emits one row per
+    conversation: step{i}_turn (null once the funnel stalls) and
+    funnel_depth = number of completed steps.
+
+    Declarative chain of unordered per-conversation windows — min(case
+    when ...) over (partition by conv). Every window shares the SAME
+    partitioning and needs no orderBy, so Catalyst plans ONE hash
+    exchange regardless of k (plan-checked: funnel adds exactly one
+    Exchange and one partition-key-only Sort — WindowExec's clustering
+    sort, no ordering column — beyond the source); the per-step
+    dependency is expression-level (step i references step i-1's
+    column), not an extra shuffle. 100-TB shape: cost identical to one
+    groupBy(conv).
+
+    Reference analog: the lifecycle tracker's ordered state transitions
+    (add -> modify -> fill) at src/features/order_lifecycle.rs — here
+    generalized to arbitrary predicates.
+    """
+    w = Window.partitionBy(cfg.key_col)
+    ti = F.col("turn_idx")
+    out = df
+    prev: Column | None = None
+    cols = []
+    for i, p in enumerate(steps, start=1):
+        if prev is None:
+            cond = p
+        else:
+            cond = p & prev.isNotNull() & (ti > prev)
+            if max_gap is not None:
+                cond = cond & (ti <= prev + max_gap)
+        out = out.withColumn(
+            f"step{i}_turn", F.min(F.when(cond, ti)).over(w)
+        )
+        prev = F.col(f"step{i}_turn")
+        cols.append(f"step{i}_turn")
+    depth = sum((F.col(c).isNotNull().cast("int") for c in cols), F.lit(0))
+    return (
+        out.groupBy(cfg.key_col)
+        .agg(
+            *[F.first(c).alias(c) for c in cols],
+            F.first(depth).alias("funnel_depth"),
+        )
+    )

@@ -6085,6 +6085,66 @@ QUERIES["zorder_curve"] = q_zorder_curve
 ORACLES["zorder_curve"] = _zorder_oracle()
 
 
+# --- ordered-step funnel ---------------------------------------------------------
+
+def q_funnel(spark, sf_dir):
+    """3-step ordered funnel (user -> assistant -> tool result, each step
+    within 6 turns of the previous) per conversation — ClickHouse
+    windowFunnel / MATCH_RECOGNIZE analog via chained min-case windows
+    that all share ONE unordered hash partition (operators/sequence.funnel;
+    single exchange, zero sorts, no UDF)."""
+    from ..operators.sequence import funnel
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = funnel(
+        t,
+        CFG,
+        steps=[
+            F.col("role") == "user",
+            F.col("role") == "assistant",
+            F.col("role") == "tool",
+        ],
+        max_gap=6,
+    )
+    return out.select(
+        "conv_id", "step1_turn", "step2_turn", "step3_turn", "funnel_depth"
+    )
+
+
+O_FUNNEL = f"""{_W},
+s1 as (
+  select conv_id,
+    min(turn_idx) filter (where role = 'user') as step1_turn
+  from transcripts group by 1
+),
+s2 as (
+  select t.conv_id,
+    min(t.turn_idx) filter (
+      where t.role = 'assistant'
+        and t.turn_idx > s1.step1_turn
+        and t.turn_idx <= s1.step1_turn + 6
+    ) as step2_turn
+  from transcripts t join s1 using (conv_id) group by 1
+),
+s3 as (
+  select t.conv_id,
+    min(t.turn_idx) filter (
+      where t.role = 'tool'
+        and t.turn_idx > s2.step2_turn
+        and t.turn_idx <= s2.step2_turn + 6
+    ) as step3_turn
+  from transcripts t join s2 using (conv_id) group by 1
+)
+select s1.conv_id, step1_turn, step2_turn, step3_turn,
+  cast((step1_turn is not null)::int + (step2_turn is not null)::int
+       + (step3_turn is not null)::int as int) as funnel_depth
+from s1 join s2 using (conv_id) join s3 using (conv_id)
+"""
+
+QUERIES["funnel"] = q_funnel
+ORACLES["funnel"] = O_FUNNEL
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

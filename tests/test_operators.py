@@ -530,3 +530,56 @@ def test_asof_bucketed_equals_plain(spark):
     for lid in p:
         for x, y in zip(p[lid], b[lid]):
             assert (x is None and y is None) or x == y, (lid, p[lid], b[lid])
+
+
+# --- ordered-step funnel ------------------------------------------------------
+
+def test_funnel_order_gap_and_stall(spark, turns):
+    from feature_extractor_mbo_lob_spark.operators.sequence import funnel
+
+    out = {
+        r.conv_id: (r.step1_turn, r.step2_turn, r.step3_turn, r.funnel_depth)
+        for r in funnel(
+            turns,
+            CFG,
+            steps=[
+                F.col("role") == "user",
+                F.col("role") == "assistant",
+                F.col("role") == "tool",
+            ],
+            max_gap=2,
+        ).collect()
+    }
+    # a: user@0 -> assistant@1 (<=0+2) -> tool@2 (<=1+2)
+    assert out["a"] == (0, 1, 2, 3)
+    # b: user@0, then nothing -> funnel stalls at depth 1
+    assert out["b"] == (0, None, None, 1)
+
+
+def test_funnel_gap_violation_stalls(spark):
+    from feature_extractor_mbo_lob_spark.operators.sequence import funnel
+
+    rows = [
+        # assistant appears BEFORE the first user turn (must not count),
+        # and the next assistant is 3 turns after user with max_gap=2.
+        ("c", 0, "assistant", "early", None, ts(0)),
+        ("c", 1, "user", "start", None, ts(5)),
+        ("c", 2, "tool", "noise", "t1", ts(6)),
+        ("c", 3, "tool", "noise", "t1", ts(7)),
+        ("c", 4, "assistant", "late", None, ts(8)),
+    ]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    r = funnel(
+        df,
+        CFG,
+        steps=[F.col("role") == "user", F.col("role") == "assistant"],
+        max_gap=2,
+    ).first()
+    assert (r.step1_turn, r.step2_turn, r.funnel_depth) == (1, None, 1)
+    # without the gap cap the same funnel completes at turn 4
+    r2 = funnel(
+        df,
+        CFG,
+        steps=[F.col("role") == "user", F.col("role") == "assistant"],
+    ).first()
+    assert (r2.step1_turn, r2.step2_turn, r2.funnel_depth) == (1, 4, 2)
