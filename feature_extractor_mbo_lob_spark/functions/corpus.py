@@ -623,3 +623,54 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(F.col("id").alias(id_col), status.alias("status"))
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    unit_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity period,
+    counted per period offset — the activity/engagement rollup every
+    usage-analytics pipeline runs over event logs (here: conversation
+    turns by user).
+
+    Returns ``DataFrame[cohort: date, offset: int, active_users: long]``
+    where cohort is the start of the user's first ``unit_days`` period
+    and offset counts periods since it (0 = the cohort period itself).
+
+    All-integer date arithmetic (datediff // unit) — engine-exact. Scale
+    shape: one partial-aggregable min() per user (shuffle on user),
+    a same-key join back (no second shuffle of the big side under AQE —
+    both sides are already hashed on user), one distinct on (user,
+    offset) and a final count per (cohort, offset) whose result is at
+    most users x periods but in practice cohort-matrix-sized. No window,
+    no sort anywhere.
+    """
+    u = F.col(user_col)
+    d = F.to_date(F.col(ts_col).cast("timestamp"))
+    firsts = df.groupBy(u.alias("_u")).agg(F.min(d).alias("_first_day"))
+    epoch = F.lit("1970-01-01").cast("date")
+    cohort_start = F.date_add(
+        epoch,
+        (
+            F.floor(F.datediff(F.col("_first_day"), epoch) / unit_days)
+            * unit_days
+        ).cast("int"),
+    )
+    joined = df.select(u.alias("_u"), d.alias("_day")).join(firsts, "_u")
+    per_user = (
+        joined.select(
+            "_u",
+            cohort_start.alias("cohort"),
+            F.floor(
+                F.datediff(F.col("_day"), cohort_start) / unit_days
+            ).cast("int").alias("offset"),
+        )
+        .distinct()
+    )
+    return (
+        per_user.groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )

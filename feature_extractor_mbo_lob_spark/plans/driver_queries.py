@@ -6145,6 +6145,48 @@ QUERIES["funnel"] = q_funnel
 ORACLES["funnel"] = O_FUNNEL
 
 
+# --- cohort retention matrix -----------------------------------------------------
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over the events log: users bucketed by
+    first-activity week, active-user counts per week offset. All-integer
+    date arithmetic; one user-keyed shuffle + a cohort-matrix-sized
+    aggregate (functions/corpus.cohort_retention)."""
+    from ..functions.corpus import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, "user_id", "ts", unit_days=7).select(
+        F.col("cohort").cast("string").alias("cohort"),
+        F.col("offset").alias("week_offset"),
+        "active_users",
+    )
+
+
+O_COHORT_RETENTION = """
+with f as (
+  select user_id, min(cast(ts as date)) as first_day
+  from events group by 1
+),
+c as (
+  select user_id,
+    date '1970-01-01'
+      + cast((datediff('day', date '1970-01-01', first_day) // 7) * 7 as int) as cohort
+  from f
+),
+pu as (
+  select distinct e.user_id, c.cohort,
+    datediff('day', c.cohort, cast(e.ts as date)) // 7 as wk_off
+  from events e join c using (user_id)
+)
+select cast(cohort as varchar) as cohort, cast(wk_off as int) as week_offset,
+  cast(count(*) as bigint) as active_users
+from pu group by 1, 2
+"""
+
+QUERIES["cohort_retention"] = q_cohort_retention
+ORACLES["cohort_retention"] = O_COHORT_RETENTION
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

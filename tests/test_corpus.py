@@ -204,3 +204,32 @@ def test_render_conversations(spark, docs):
     r = render_conversations(df, PipelineConfig()).collect()[0]
     assert r.rendered == "user: hello\nassistant: hi"
     assert r.n_turns == 2 and r.n_chars == len(r.rendered)
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as dt
+
+    def t(day):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(days=day)
+
+    rows = [
+        # user 1: first day 0 (cohort week 0), active weeks 0 and 2
+        (1, t(0)), (1, t(1)), (1, t(15)),
+        # user 2: first day 8 (cohort week 1), active weeks 1 only
+        (2, t(8)), (2, t(9)),
+        # user 3: first day 3 (cohort week 0), active weeks 0 and 1
+        (3, t(3)), (3, t(8)),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
+    got = {
+        (str(r.cohort), r.offset): r.active_users
+        for r in corpus.cohort_retention(df).collect()
+    }
+    # user 3's offsets are relative to the week-0 cohort START (day 0):
+    # day 3 -> offset 0, day 8 -> offset 1
+    assert got == {
+        ("1970-01-01", 0): 2,   # users 1 and 3
+        ("1970-01-01", 1): 1,   # user 3
+        ("1970-01-01", 2): 1,   # user 1
+        ("1970-01-08", 0): 1,   # user 2 (days 8 and 9 dedup to one week)
+    }
