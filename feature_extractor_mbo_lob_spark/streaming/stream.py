@@ -261,3 +261,37 @@ def streaming_cumulative_state(events: DataFrame, cfg: PipelineConfig) -> DataFr
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming dedup -----------------------------------------------------------
+
+def streaming_dedup(
+    events: DataFrame,
+    cfg: PipelineConfig,
+    watermark: str = "30 minutes",
+    fp_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Exactly-once turn dedup for at-least-once transcript feeds.
+
+    ``dropDuplicatesWithinWatermark`` keys on a content fingerprint and
+    keeps state only within the event-time watermark — bounded state at
+    any corpus rate, unlike a plain dropDuplicates whose state grows
+    forever. The fingerprint is md5 over the key columns + text (32-byte
+    state per in-flight key), so retransmitted turns with identical
+    content dedup while genuine edits (different text) pass through.
+
+    This is the streaming twin of the batch exact-dedup stage
+    (operators/dedup.exact_dedup): same fingerprint recipe, windowed
+    retention instead of a corpus-wide groupBy.
+    """
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in fp_cols], F.col("text")
+        )
+    )
+    return (
+        events.withColumn("_fp", fp)
+        .withWatermark(cfg.ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )

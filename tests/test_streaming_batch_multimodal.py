@@ -416,3 +416,52 @@ def test_repartition_by_bytes_isolates_giants(spark):
     others = [r.bytes for r in per if r.mx != 999]
     # regular buckets hold the hashed mass: 40KB over ceil(40KB/10KB)=4 buckets
     assert others and max(others) < 25_000
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over TWO availableNow runs sharing a
+    checkpoint: in-batch duplicates collapse, and a retransmission of an
+    already-seen turn in run 2 (still within the watermark) is dropped,
+    while a genuine edit (same key, different text) passes through."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    rows_a = [
+        ("a", 0, "user", "x", None, ts(0)),
+        ("a", 0, "user", "x", None, ts(0)),      # in-batch duplicate
+        ("a", 1, "assistant", "y", None, ts(10)),
+    ]
+    rows_b = [
+        ("a", 0, "user", "x", None, ts(0)),      # retransmission -> dropped
+        ("a", 1, "assistant", "y EDITED", None, ts(10)),  # edit -> kept
+        ("a", 2, "user", "z", None, ts(20)),
+    ]
+    dfa = spark.createDataFrame(rows_a, schema=TRANSCRIPT_SCHEMA)
+    dfb = spark.createDataFrame(rows_b, schema=TRANSCRIPT_SCHEMA)
+
+    def run():
+        stream_in = spark.readStream.schema(dfa.schema).parquet(src)
+        out = strm.streaming_dedup(stream_in, CFG, watermark="1 hour")
+        q = (
+            out.writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    dfa.coalesce(1).write.mode("overwrite").parquet(src)
+    run()
+    dfb.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [
+        ("a", 0, "x"),
+        ("a", 1, "y"),
+        ("a", 1, "y EDITED"),
+        ("a", 2, "z"),
+    ]
