@@ -674,3 +674,91 @@ def cohort_retention(
         per_user.groupBy("cohort", "offset")
         .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 8,
+    bucket_bounds: tuple[int, ...] = (16, 64, 256),
+    n_shards: int = 4,
+) -> DataFrame:
+    """Padding-efficient training-batch assembly: group documents into
+    length buckets, then form fixed-size batches inside (bucket, shard)
+    in deterministic md5 order. Sequence models pad every batch row to
+    the batch max; batching similar lengths together is the standard
+    dynamic-batching trick that cuts padding waste severalfold.
+
+    Emits (id, tokens, bucket, shard, batch_idx) — batch identity is
+    (bucket, shard, batch_idx). Deterministic: bucket is a pure token
+    threshold fold, shard and intra-shard order are md5 of the id, so
+    assignment is independent of partitioning and cluster size.
+
+    Scale shape: the only shuffle is the (bucket, shard) window; shards
+    split each length bucket so no single window partition holds a whole
+    bucket of a 100-TB corpus — raise n_shards with corpus size (the
+    per-partition row target, not the cluster, decides it). Last batch
+    per (bucket, shard) may be short; callers drop or merge them.
+    """
+    from pyspark.sql import Window
+
+    from .text import token_count_ws
+
+    toks = token_count_ws(F.col(text_col)).alias("tokens")
+    bucket = sum(
+        (F.col("tokens") > b).cast("int") for b in bucket_bounds
+    ).alias("bucket")
+    shard = md5_bucket(id_col, n_shards).alias("shard")
+    base = df.select(F.col(id_col), toks).select(
+        id_col, "tokens", bucket, shard,
+        F.md5(F.col(id_col).cast("string")).alias("_ord"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("_ord", id_col)
+    return base.select(
+        id_col, "tokens", "bucket", "shard",
+        ((F.row_number().over(w) - 1) / batch_size).cast("int").alias("batch_idx"),
+    )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document gets ``k`` pseudo-random partner documents, chosen by
+    hashing (seed, id) to a bucket and taking that bucket's
+    representative (min id). Self-pairs are dropped.
+
+    Emits (id, neg_rank, neg_id). Fully deterministic — partition- and
+    cluster-size-independent — so the pair set is reproducible across
+    runs and engines (the property random.sample would destroy).
+
+    Scale shape: the representative table is ONE n_buckets-row aggregate
+    (partial-aggregable min), broadcast to k slim hash-joins against the
+    corpus — the 100-TB side is never shuffled. For harder negatives,
+    feed a clustered id (e.g. kmeans/IVF cluster reps) as the bucket
+    table instead; the plan shape is identical.
+    """
+    reps = F.broadcast(
+        df.groupBy(md5_bucket(id_col, n_buckets).alias("_b"))
+        .agg(F.min(id_col).alias("neg_id"))
+    )
+    pairs = None
+    for i in range(k):
+        b_i = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col(id_col).cast("string"))),
+                    1, 7,
+                ),
+                16, 10,
+            ).cast("long") % n_buckets
+        )
+        p = df.select(
+            F.col(id_col), F.lit(i).alias("neg_rank"), b_i.alias("_b")
+        ).join(reps, "_b").drop("_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.filter(F.col(id_col) != F.col("neg_id"))

@@ -6187,6 +6187,132 @@ QUERIES["cohort_retention"] = q_cohort_retention
 ORACLES["cohort_retention"] = O_COHORT_RETENTION
 
 
+# --- length-bucketed dynamic batching --------------------------------------------
+
+def q_length_batches(spark, sf_dir):
+    """Padding-efficient batch assembly: token-length buckets x md5
+    shards, fixed-size batches in deterministic md5 order
+    (functions/corpus.length_bucketed_batches). The (bucket, shard)
+    sharding keeps every window partition bounded at corpus scale."""
+    from ..functions.corpus import length_bucketed_batches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_bucketed_batches(
+        docs, batch_size=8, bucket_bounds=(16, 64, 256), n_shards=4
+    )
+
+
+O_LENGTH_BATCHES = f"""
+with t as (
+  select doc_id,
+    len(regexp_split_to_array(trim(text), '\\s+')) as tokens,
+    md5(cast(doc_id as varchar)) as h
+  from documents
+),
+b as (
+  select doc_id, cast(tokens as bigint) as tokens,
+    cast((tokens > 16)::int + (tokens > 64)::int + (tokens > 256)::int as int) as bucket,
+    cast(({_HEX7}) % 4 as int) as shard,
+    h as ord
+  from t
+)
+select doc_id, tokens, bucket, shard,
+  cast((row_number() over (partition by bucket, shard order by ord, doc_id) - 1) // 8
+       as int) as batch_idx
+from b
+"""
+
+QUERIES["length_batches"] = q_length_batches
+ORACLES["length_batches"] = O_LENGTH_BATCHES
+
+
+# --- cross-split leakage report --------------------------------------------------
+
+def q_split_leakage(spark, sf_dir):
+    """Train/val/test contamination: documents split by md5 doc-id bucket
+    (70/15/15), fingerprinted by normalized text; report counts distinct
+    fingerprints shared by each split pair (validation.split_leakage_report
+    — digest-only shuffles, |splits|^2-row output)."""
+    from ..operators.dedup import normalize_text
+    from ..validation import split_leakage_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 10_000
+    )
+    tagged = docs.select(
+        F.md5(normalize_text("text")).alias("fp"),
+        F.when(bucket < 7000, "train")
+        .when(bucket < 8500, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return split_leakage_report(tagged)
+
+
+O_SPLIT_LEAKAGE = f"""
+with h as (
+  select md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as fp,
+         md5(cast(doc_id as varchar)) as h
+  from documents
+),
+t as (
+  select fp,
+    case when ({_HEX7}) % 10000 < 7000 then 'train'
+         when ({_HEX7}) % 10000 < 8500 then 'val'
+         else 'test' end as split
+  from h
+),
+d as (select distinct fp, split from t)
+select a.split as split_a, b.split as split_b,
+  cast(count(distinct a.fp) as bigint) as shared_fps
+from d a join d b on a.fp = b.fp and a.split < b.split
+group by 1, 2
+"""
+
+QUERIES["split_leakage"] = q_split_leakage
+ORACLES["split_leakage"] = O_SPLIT_LEAKAGE
+
+
+# --- contrastive negative sampling -----------------------------------------------
+
+def q_contrastive_negatives(spark, sf_dir):
+    """Deterministic k=3 negative sampling over 32 hash buckets
+    (functions/corpus.contrastive_negatives): tiny representative table
+    broadcast, corpus side never shuffled."""
+    from ..functions.corpus import contrastive_negatives
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contrastive_negatives(docs, "doc_id", k=3, n_buckets=32)
+
+
+def _contrastive_oracle() -> str:
+    seed_b = {
+        i: f"(({_hex7_of(f'''md5('{i}|' || cast(doc_id as varchar))''')}) % 32)"
+        for i in range(3)
+    }
+    probes = "\nunion all\n".join(
+        f"select doc_id, {i} as neg_rank, {seed_b[i]} as b from documents"
+        for i in range(3)
+    )
+    return f"""
+with reps as (
+  select ({_HEX7}) % 32 as b, min(doc_id) as neg_id
+  from (select doc_id, md5(cast(doc_id as varchar)) as h from documents)
+  group by 1
+),
+p as ({probes})
+select p.doc_id, cast(p.neg_rank as int) as neg_rank, r.neg_id
+from p join reps r using (b)
+where p.doc_id <> r.neg_id
+"""
+
+
+QUERIES["contrastive_negatives"] = q_contrastive_negatives
+ORACLES["contrastive_negatives"] = _contrastive_oracle()
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -218,3 +218,29 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
             F.expr("(cnt * 1000000) div total_rows").cast("long").alias("share_ppm"),
         )
     )
+
+
+def split_leakage_report(
+    df, split_col: str = "split", fp_col: str = "fp"
+) -> "DataFrame":
+    """Cross-split contamination report: content fingerprints appearing in
+    MORE than one train/val/test split. A near-duplicate that lands in
+    train and test inflates eval — this is the check a split pipeline
+    runs after group_hash_split/chronological_split, on the same
+    normalized-text fingerprint the dedup stage uses.
+
+    Returns one row per unordered split pair (split_a < split_b) with
+    ``shared_fps`` = distinct fingerprints present in both. All shuffles
+    carry (fingerprint digest, split) pairs only — 32 bytes + a tag per
+    distinct content, never documents; the pair join runs on the
+    deduplicated digest set and the output is at most |splits|^2 rows.
+    """
+    d = df.select(fp_col, split_col).distinct()
+    a = d.select(F.col(fp_col).alias("_fp"), F.col(split_col).alias("split_a"))
+    b = d.select(F.col(fp_col).alias("_fp"), F.col(split_col).alias("split_b"))
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count_distinct("_fp").cast("long").alias("shared_fps"))
+    )
