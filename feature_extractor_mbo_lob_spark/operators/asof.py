@@ -247,3 +247,58 @@ def bfill(df: DataFrame, cfg: PipelineConfig, cols: list[str],
     for c in cols:
         df = df.withColumn(c + out_suffix, F.first(c, ignorenulls=True).over(w))
     return df
+
+
+def scd2_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    attr_cols: list[str] | None = None,
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Point-in-time enrichment against a slowly-changing dimension
+    (SCD type 2): each fact row gets the dimension version whose
+    ``[valid_from, valid_to)`` interval contains its timestamp — the
+    feature-store join that guarantees zero temporal leakage (a fact can
+    never see a dimension version that starts after it).
+
+    Built ON the as-of machinery: backward as-of on valid_from (greatest
+    version start <= fact ts), then a null-out gate for facts past the
+    matched version's valid_to (a retired key). ONE shuffle + ONE sort,
+    same as asof_join — never the ts-range theta-join a naive
+    ``BETWEEN`` predicate would plan (a theta join at 10^12 facts is a
+    cartesian blow-up; this stays merge-shaped). Current versions use an
+    open valid_to (NULL = +inf).
+
+    Reference analog: alignment of snapshots to the day's instrument
+    metadata (src/export_aligned); standard Kimball SCD2 semantics.
+    """
+    attrs = attr_cols or [
+        c for c in dim.columns if c not in (key, valid_from, valid_to)
+    ]
+    # Open-ended current versions carry valid_to = NULL; the as-of value
+    # propagation is last-IGNORING-nulls, which would skip that NULL and
+    # surface the PREVIOUS version's end instead — so encode open-ended as
+    # a far-future sentinel before the merge.
+    far_future = F.lit("9999-01-01").cast("timestamp")
+    right = dim.select(
+        F.col(key),
+        F.col(valid_from).alias(ts),
+        F.coalesce(F.col(valid_to), far_future).alias("_vt"),
+        *[F.col(c) for c in attrs],
+    )
+    out = asof_join(
+        facts, right, key=key, ts=ts,
+        value_cols=attrs + ["_vt"], direction="backward", suffix=suffix,
+    )
+    vt = F.col(f"_vt{suffix}")
+    in_window = F.col(ts) < vt
+    cleaned = [
+        F.when(in_window, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+        for c in attrs
+    ]
+    keep = [c for c in out.columns if not c.startswith("_vt") and not c.endswith(suffix)]
+    return out.select(*keep, *cleaned)

@@ -6313,6 +6313,61 @@ QUERIES["contrastive_negatives"] = q_contrastive_negatives
 ORACLES["contrastive_negatives"] = _contrastive_oracle()
 
 
+# --- SCD2 point-in-time enrichment -----------------------------------------------
+
+def q_scd2_enrich(spark, sf_dir):
+    """Point-in-time join against a slowly-changing dimension built from
+    the events log (per-user daily activity versions, valid_from/valid_to
+    chained by lead()): every event is enriched with the dimension version
+    valid AT its timestamp — zero temporal leakage by construction
+    (operators/asof.scd2_enrich: as-of merge shape, ONE shuffle + sort,
+    never a ts-range theta join). Oracle uses the equivalent interval-
+    containment join."""
+    from pyspark.sql import Window
+
+    from ..operators.asof import scd2_enrich
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = (
+        ev.groupBy("user_id", day.alias("valid_from"))
+        .agg(F.count(F.lit(1)).cast("long").alias("day_events"))
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+    )
+    out = scd2_enrich(ev, dim, key="user_id", ts="ts")
+    return out.select(
+        "event_id", "user_id", F.col("day_events_dim").alias("day_events")
+    )
+
+
+O_SCD2_ENRICH = """
+with e as (
+  select event_id, user_id, cast(ts as timestamp) as ts from events
+),
+v as (
+  select user_id, date_trunc('day', ts) as valid_from,
+         cast(count(*) as bigint) as day_events
+  from e group by 1, 2
+),
+dim as (
+  select user_id, valid_from, day_events,
+         lead(valid_from) over (partition by user_id order by valid_from) as valid_to
+  from v
+)
+select e.event_id, e.user_id, d.day_events
+from e join dim d
+  on e.user_id = d.user_id
+ and e.ts >= d.valid_from
+ and (d.valid_to is null or e.ts < d.valid_to)
+"""
+
+QUERIES["scd2_enrich"] = q_scd2_enrich
+ORACLES["scd2_enrich"] = O_SCD2_ENRICH
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

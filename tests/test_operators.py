@@ -583,3 +583,36 @@ def test_funnel_gap_violation_stalls(spark):
         steps=[F.col("role") == "user", F.col("role") == "assistant"],
     ).first()
     assert (r2.step1_turn, r2.step2_turn, r2.funnel_depth) == (1, 4, 2)
+
+
+# --- SCD2 point-in-time enrichment --------------------------------------------
+
+def test_scd2_enrich_versions_and_retirement(spark):
+    from feature_extractor_mbo_lob_spark.operators.asof import scd2_enrich
+
+    dim = spark.createDataFrame(
+        [
+            # user u1: tier a for [0, 100), tier b for [100, 200), RETIRED at 200
+            ("u1", ts(0), ts(100), "a"),
+            ("u1", ts(100), ts(200), "b"),
+            # user u2: single open-ended version
+            ("u2", ts(50), None, "z"),
+        ],
+        "k: string, valid_from: timestamp, valid_to: timestamp, tier: string",
+    )
+    facts = spark.createDataFrame(
+        [
+            ("u1", 1, ts(10)),    # -> a
+            ("u1", 2, ts(100)),   # boundary: valid_from inclusive -> b
+            ("u1", 3, ts(199)),   # -> b
+            ("u1", 4, ts(250)),   # after retirement -> NULL
+            ("u2", 5, ts(60)),    # open-ended current version -> z
+            ("u2", 6, ts(40)),    # before first version -> NULL
+        ],
+        "k: string, fact_id: int, ts: timestamp",
+    )
+    got = {
+        r.fact_id: r.tier_dim
+        for r in scd2_enrich(facts, dim, key="k").collect()
+    }
+    assert got == {1: "a", 2: "b", 3: "b", 4: None, 5: "z", 6: None}
