@@ -6241,8 +6241,15 @@ def q_split_leakage(spark, sf_dir):
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
         .cast("long") % 10_000
     )
+    # fingerprint on the 6-word normalized prefix (the cheap near-dup key a
+    # leakage scan uses) rather than the full text, so shared content is
+    # actually observable at test SFs — full-text md5 yields an empty (and
+    # therefore vacuous) report on this corpus
+    prefix_fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(normalize_text("text"), " "), 1, 6))
+    )
     tagged = docs.select(
-        F.md5(normalize_text("text")).alias("fp"),
+        prefix_fp.alias("fp"),
         F.when(bucket < 7000, "train")
         .when(bucket < 8500, "val")
         .otherwise("test")
@@ -6253,7 +6260,9 @@ def q_split_leakage(spark, sf_dir):
 
 O_SPLIT_LEAKAGE = f"""
 with h as (
-  select md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as fp,
+  select md5(array_to_string(
+           (string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))[1:6],
+           ' ')) as fp,
          md5(cast(doc_id as varchar)) as h
   from documents
 ),
