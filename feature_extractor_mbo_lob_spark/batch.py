@@ -165,3 +165,23 @@ def group_hash_split(
         .when(bucket < v_hi, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def group_kfold(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    k: int = 5,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Group-aware k-fold assignment: every turn of a conversation lands
+    in the same fold (md5 bucket of the group key mod k) — the
+    cross-validation counterpart of group_hash_split, with the same
+    no-straddle guarantee and the same zero-shuffle pure-row-expression
+    plan. Stateless and engine-reproducible; fold balance follows the
+    hash's uniformity (exact at corpus scale, approximate at toy sizes).
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(cfg.key_col).cast("string")), 1, 7), 16, 10)
+        .cast("long") % k
+    )
+    return df.withColumn(fold_col, bucket.cast("int"))

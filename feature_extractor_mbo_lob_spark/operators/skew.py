@@ -224,3 +224,35 @@ def build_features_skewed(df: DataFrame, cfg: PipelineConfig,
         "_chunk", "_ctx", CHUNK_KEY, "_row_us"
     ]
     return out.drop(*[c for c in drop if c in out.columns])
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    row_col: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join: hot-key rows of the BIG left side are spread
+    across ``n_salt`` tasks by salting the join key; the small right side
+    is replicated once per salt value. Same rows as the plain join (the
+    salt is derived, joined on, then dropped) — tested against it.
+
+    AQE's skew-join split handles most cases at runtime; explicit salting
+    is the deterministic fallback when one key dominates a shuffle (the
+    north rule's mega-conversation case) or when AQE is off (streaming
+    micro-batches, some managed runtimes). The left's salt comes from
+    xxhash64 of ``row_col`` (any column unique-ish per row — event id,
+    turn idx), so placement is deterministic, not random.
+
+    Cost: right side x n_salt rows (keep it the broadcast-small side);
+    the big side is shuffled once on (key, salt) with the hot key now in
+    n_salt partitions instead of one.
+    """
+    salts = F.array(*[F.lit(i) for i in range(n_salt)])
+    l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(row_col)), F.lit(n_salt)).cast("int")
+    )
+    r = right.withColumn("_salt", F.explode(salts))
+    return l.join(r, [key, "_salt"], how).drop("_salt")

@@ -6377,6 +6377,76 @@ QUERIES["scd2_enrich"] = q_scd2_enrich
 ORACLES["scd2_enrich"] = O_SCD2_ENRICH
 
 
+# --- salted skew-safe join -------------------------------------------------------
+
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted equi join (operators/skew.salted_join): events
+    (big, hot user keys) joined to per-user event counts (small dim,
+    replicated x4) on (user_id, salt). The oracle is the PLAIN join —
+    salting must not change a single row."""
+    from ..operators.skew import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("user_events")
+    )
+    out = salted_join(ev, dim, key="user_id", row_col="event_id", n_salt=4)
+    return out.select("event_id", "user_id", "event_type", "user_events")
+
+
+O_SALTED_JOIN = """
+with dim as (
+  select user_id, cast(count(*) as bigint) as user_events
+  from events group by 1
+)
+select e.event_id, e.user_id, e.event_type, d.user_events
+from events e join dim d using (user_id)
+"""
+
+QUERIES["salted_join"] = q_salted_join
+ORACLES["salted_join"] = O_SALTED_JOIN
+
+
+# --- group-aware k-fold ----------------------------------------------------------
+
+def q_group_kfold(spark, sf_dir):
+    """5-fold group-aware CV assignment (batch.group_kfold): per-fold conv
+    and turn counts plus the no-straddle proof (max distinct folds per
+    conv == 1, asserted in-result like group_hash_split)."""
+    from ..batch import group_kfold
+
+    t = transcripts_from_events(spark, sf_dir)
+    s = group_kfold(t, CFG, k=5)
+    per_conv = s.groupBy("conv_id").agg(
+        F.count_distinct("fold").alias("_nf"),
+        F.first("fold").alias("fold"),
+        F.count(F.lit(1)).alias("_turns"),
+    )
+    return per_conv.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("_turns").cast("long").alias("n_turns"),
+        F.max("_nf").cast("long").alias("max_folds_per_conv"),
+    )
+
+
+O_GROUP_KFOLD = f"""{_W},
+h as (
+  select conv_id, md5(conv_id) as h, count(*) as n_turns
+  from transcripts group by 1
+),
+f as (select conv_id, n_turns, cast(({_HEX7}) % 5 as int) as fold from h)
+select fold, cast(count(*) as bigint) as n_convs,
+  cast(sum(n_turns) as bigint) as n_turns,
+  cast(1 as bigint) as max_folds_per_conv
+from f group by 1
+"""
+
+QUERIES["group_kfold"] = q_group_kfold
+ORACLES["group_kfold"] = O_GROUP_KFOLD
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
