@@ -461,6 +461,59 @@ def main() -> None:
     spark.sql("DROP TABLE IF EXISTS audit_bkt_l")
     spark.sql("DROP TABLE IF EXISTS audit_bkt_r")
 
+    from feature_extractor_mbo_lob_spark.operators.sequence import funnel as fnl
+
+    fq = fnl(
+        t, CFG,
+        steps=[F.col("role") == "user", F.col("role") == "assistant",
+               F.col("role") == "tool"],
+        max_gap=6,
+    )
+    sections.append(summarize(
+        "Ordered-step funnel (3 steps)",
+        fq,
+        "All per-step min-case windows share ONE unordered conv partition: "
+        "one exchange + one partition-key clustering sort regardless of "
+        "step count; the step dependency is expression-level.",
+        forbid=("CartesianProduct", "BatchEvalPython"),
+    ))
+
+    from pyspark.sql import Window
+
+    from feature_extractor_mbo_lob_spark.operators.asof import scd2_enrich as s2
+
+    dimv = (
+        t.groupBy("conv_id", F.date_trunc("day", "ts").alias("valid_from"))
+        .agg(F.count(F.lit(1)).alias("day_turns"))
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("conv_id").orderBy("valid_from")
+            ),
+        )
+    )
+    sections.append(summarize(
+        "SCD2 point-in-time enrichment",
+        s2(t.select("conv_id", "turn_idx", "ts"), dimv, key="conv_id"),
+        "Interval-containment semantics planned as an as-of MERGE (union-tag "
+        "window), never a ts-range theta join: the fact table shuffles once "
+        "on the key; no BroadcastNestedLoopJoin/CartesianProduct possible.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop"),
+    ))
+
+    from feature_extractor_mbo_lob_spark.operators.skew import salted_join as sj
+
+    dim_small = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    sections.append(summarize(
+        "Salted skew-safe join",
+        sj(t.select("conv_id", "turn_idx"), dim_small, "conv_id", "turn_idx", 4),
+        "The hot key's rows land in 4 shuffle partitions instead of 1; the "
+        "small side is exploded x4 before its (broadcast or shuffled) side "
+        "of the join. Deterministic xxhash salt — results equal the plain "
+        "join (oracle-checked).",
+        forbid=("CartesianProduct",),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
