@@ -6447,6 +6447,58 @@ QUERIES["group_kfold"] = q_group_kfold
 ORACLES["group_kfold"] = O_GROUP_KFOLD
 
 
+# --- CDC merge-apply -------------------------------------------------------------
+
+def q_cdc_apply(spark, sf_dir):
+    """Lakehouse MERGE semantics (operators/cdc.apply_cdc): a per-user
+    snapshot built from non-multiple-of-3 events is folded with a change
+    stream (events with event_id % 3 == 0; op=D on 'error' events, else
+    upsert; seq = event_id). One union + one keyed max-seq window — no
+    join. Latest change wins; deletes drop the key."""
+    from ..operators.cdc import apply_cdc
+    from ..operators.ordering import epoch_us
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = (
+        ev.filter(F.col("event_id") % 3 != 0)
+        .groupBy("user_id")
+        .agg(F.max(epoch_us("ts")).alias("attr_us"))
+    )
+    changes = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        epoch_us("ts").alias("attr_us"),
+    )
+    return apply_cdc(base, changes, key="user_id")
+
+
+O_CDC_APPLY = """
+with base as (
+  select user_id, cast(-1 as bigint) as seq, 'I' as op,
+         max(epoch_us(ts)) as attr_us
+  from events where event_id % 3 <> 0 group by user_id
+),
+chg as (
+  select user_id, cast(event_id as bigint) as seq,
+         case when event_type = 'error' then 'D' else 'U' end as op,
+         epoch_us(ts) as attr_us
+  from events where event_id % 3 = 0
+),
+layered as (select * from base union all select * from chg),
+latest as (
+  select *, row_number() over (
+    partition by user_id order by seq desc, op desc, attr_us desc
+  ) as rn
+  from layered
+)
+select user_id, attr_us from latest where rn = 1 and op <> 'D'
+"""
+
+QUERIES["cdc_apply"] = q_cdc_apply
+ORACLES["cdc_apply"] = O_CDC_APPLY
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -616,3 +616,37 @@ def test_scd2_enrich_versions_and_retirement(spark):
         for r in scd2_enrich(facts, dim, key="k").collect()
     }
     assert got == {1: "a", 2: "b", 3: "b", 4: None, 5: "z", 6: None}
+
+
+# --- CDC merge-apply ----------------------------------------------------------
+
+def test_apply_cdc_upsert_delete_insert(spark):
+    from feature_extractor_mbo_lob_spark.operators.cdc import apply_cdc
+
+    snap = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 30)], "k: string, v: long"
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", 1, "U", 11),   # update a
+            ("a", 5, "U", 12),   # later update wins
+            ("b", 2, "D", 0),    # delete b
+            ("d", 3, "I", 40),   # brand-new key
+            ("e", 4, "I", 50),   # insert then delete -> gone
+            ("e", 6, "D", 0),
+        ],
+        "k: string, seq: long, op: string, v: long",
+    )
+    got = {r.k: r.v for r in apply_cdc(snap, changes, key="k").collect()}
+    assert got == {"a": 12, "c": 30, "d": 40}
+
+
+def test_apply_cdc_missing_attr_raises(spark):
+    from feature_extractor_mbo_lob_spark.operators.cdc import apply_cdc
+
+    snap = spark.createDataFrame([("a", 1)], "k: string, v: long")
+    changes = spark.createDataFrame(
+        [("a", 1, "U", 2, "x")], "k: string, seq: long, op: string, v: long, extra: string"
+    )
+    with pytest.raises(ValueError, match="extra"):
+        apply_cdc(snap, changes, key="k")
