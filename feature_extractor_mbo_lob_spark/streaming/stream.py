@@ -295,3 +295,54 @@ def streaming_dedup(
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )
+
+
+# --- stream-stream interval join ------------------------------------------------
+
+def streaming_tool_pairing(
+    invokes: DataFrame,
+    results: DataFrame,
+    cfg: PipelineConfig,
+    max_wait_s: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each tool invocation with the
+    tool results arriving on a second stream within ``max_wait_s`` —
+    the live twin of the batch lifecycle pairing (operators/lifecycle).
+
+    Both sides carry watermarks and the join condition time-bounds the
+    match (result ts in [invoke ts, invoke ts + max_wait_s]), which is
+    what lets Spark expire buffered state: without the bound a
+    stream-stream join would buffer both streams forever. Inner join, so
+    matches emit as soon as both sides arrive; state for unmatched rows
+    drops once the watermark passes their bound.
+
+    Emits (conv_id, tool, invoke_ts, result_ts, latency_us).
+    """
+    i = (
+        invokes.select(
+            F.col(cfg.key_col).alias("i_conv"),
+            F.col("tool").alias("i_tool"),
+            F.col(cfg.ts_col).alias("i_ts"),
+        ).withWatermark("i_ts", watermark)
+    )
+    r = (
+        results.select(
+            F.col(cfg.key_col).alias("r_conv"),
+            F.col("tool").alias("r_tool"),
+            F.col(cfg.ts_col).alias("r_ts"),
+        ).withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("i_conv") == F.col("r_conv"))
+        & (F.col("i_tool") == F.col("r_tool"))
+        & (F.col("r_ts") >= F.col("i_ts"))
+        & (F.col("r_ts") <= F.col("i_ts") + F.expr(f"INTERVAL {max_wait_s} SECONDS"))
+    )
+    return i.join(r, cond, "inner").select(
+        F.col("i_conv").alias("conv_id"),
+        F.col("i_tool").alias("tool"),
+        F.col("i_ts").alias("invoke_ts"),
+        F.col("r_ts").alias("result_ts"),
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("i_ts"))).alias("latency_us"),
+    )

@@ -465,3 +465,47 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         ("a", 1, "y EDITED"),
         ("a", 2, "z"),
     ]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream tool pairing: inner interval join with watermarks on
+    both streams — results within the wait window pair up, results outside
+    it (or for other tools) don't."""
+    src_i = str(tmp_path / "invokes")
+    src_r = str(tmp_path / "results")
+
+    invokes = spark.createDataFrame(
+        [
+            ("a", 1, "assistant", "call", "t1", ts(0)),
+            ("a", 3, "assistant", "call", "t2", ts(100)),
+            ("b", 0, "assistant", "call", "t1", ts(50)),
+        ],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    results = spark.createDataFrame(
+        [
+            ("a", 2, "tool", "ok", "t1", ts(30)),      # pairs with a/t1@0
+            ("a", 4, "tool", "ok", "t2", ts(800)),     # outside 600 s wait
+            ("b", 1, "tool", "ok", "t1", ts(55)),      # pairs with b/t1@50
+            ("b", 2, "tool", "ok", "t9", ts(60)),      # tool mismatch
+        ],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    invokes.coalesce(1).write.mode("overwrite").parquet(src_i)
+    results.coalesce(1).write.mode("overwrite").parquet(src_r)
+
+    si = spark.readStream.schema(invokes.schema).parquet(src_i)
+    sr = spark.readStream.schema(results.schema).parquet(src_r)
+    out = strm.streaming_tool_pairing(si, sr, CFG, max_wait_s=600)
+
+    import uuid
+    name = "ssj" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.conv_id, r.tool, r.latency_us) for r in spark.table(name).collect()
+    )
+    assert got == [("a", "t1", 30_000_000), ("b", "t1", 5_000_000)]
