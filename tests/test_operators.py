@@ -650,3 +650,93 @@ def test_apply_cdc_missing_attr_raises(spark):
     )
     with pytest.raises(ValueError, match="extra"):
         apply_cdc(snap, changes, key="k")
+
+
+# --- randomized batch replicas (one Spark job, many random groups) ------------
+
+def test_funnel_random_batch_matches_python(spark):
+    """200 random conversations through funnel in ONE job, vs a per-conv
+    python replica of the ordered-step-with-gap spec."""
+    import random
+
+    from feature_extractor_mbo_lob_spark.operators.sequence import funnel
+
+    rng = random.Random(7)
+    rows, expect = [], {}
+    roles = ["user", "assistant", "tool"]
+    for c in range(200):
+        cid = f"c{c}"
+        n = rng.randint(1, 12)
+        seq = [rng.choice(roles) for _ in range(n)]
+        gap = rng.choice([1, 2, 4])
+        for i, role in enumerate(seq):
+            rows.append((cid, i, role, "x", None, ts(i)))
+        # python replica
+        steps = ["user", "assistant", "tool"]
+        got, prev = [], None
+        for p in steps:
+            hit = None
+            for i, role in enumerate(seq):
+                if role != p:
+                    continue
+                if prev is None:
+                    hit = i
+                    break
+                if i > prev and i <= prev + gap:
+                    hit = i
+                    break
+            got.append(hit)
+            if hit is None:
+                prev = None
+                break
+            prev = hit
+        while len(got) < 3:
+            got.append(None)
+        expect[cid] = (got[0], got[1], got[2], sum(g is not None for g in got), gap)
+
+    # group convs by gap so each funnel() call uses one max_gap
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    for gap in (1, 2, 4):
+        cids = [c for c, e in expect.items() if e[4] == gap]
+        sub = df.filter(F.col("conv_id").isin(cids))
+        out = {
+            r.conv_id: (r.step1_turn, r.step2_turn, r.step3_turn, r.funnel_depth)
+            for r in funnel(
+                sub, CFG,
+                steps=[F.col("role") == p for p in ("user", "assistant", "tool")],
+                max_gap=gap,
+            ).collect()
+        }
+        for cid in cids:
+            assert out[cid] == expect[cid][:4], (cid, out[cid], expect[cid])
+
+
+def test_apply_cdc_random_batch_matches_python(spark):
+    import random
+
+    from feature_extractor_mbo_lob_spark.operators.cdc import apply_cdc
+
+    rng = random.Random(11)
+    keys = [f"k{i}" for i in range(60)]
+    snap_rows = [(k, rng.randint(0, 999)) for k in keys if rng.random() < 0.7]
+    chg_rows = []
+    seq = 0
+    for _ in range(300):
+        k = rng.choice(keys)
+        op = rng.choice(["U", "U", "U", "I", "D"])
+        chg_rows.append((k, seq, op, rng.randint(0, 999)))
+        seq += 1
+    snap = spark.createDataFrame(snap_rows, "k: string, v: long")
+    chg = spark.createDataFrame(chg_rows, "k: string, seq: long, op: string, v: long")
+    got = {r.k: r.v for r in apply_cdc(snap, chg, key="k").collect()}
+
+    state = {k: v for k, v in snap_rows}
+    last = {}
+    for k, s, op, v in chg_rows:
+        last[k] = (s, op, v)
+    for k, (s, op, v) in last.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
