@@ -645,3 +645,53 @@ def dedup_against(
             F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/MOSS): hash every positional
+    k-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's MINIMUM — any shared run of >= w+k-1 words between two
+    documents is then guaranteed to share a fingerprint, which is the
+    local-fingerprinting guarantee full-document hashing can't give.
+
+    Pure JVM per row: the positional-gram fold (zip_with shifts), a
+    transform to md5-derived int hashes, then a second shift-and-least
+    fold for the windowed minimum — no explode until the final distinct
+    (id, fp) emission, no shuffle before it. Min-per-window (not
+    rightmost-min positions) keeps the spec total-order-only, so the
+    DuckDB oracle is an exact windowed min.
+
+    Docs with fewer than w grams contribute min-of-all-hashes; docs with
+    no k-gram at all (< k words) fall back to the whole-text hash, so
+    every document carries >= 1 fingerprint.
+    """
+    grams = positional_ngrams(text_col, n=k)
+
+    def h7(g):
+        return F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long")
+
+    h = F.transform(grams, h7)
+    n_g = F.size(h)
+    acc = h
+    for j in range(1, w):
+        shifted = F.concat(
+            F.array_repeat(F.lit(None).cast("long"), j),
+            F.slice(h, 1, F.greatest(n_g - j, F.lit(0))),
+        )
+        acc = F.zip_with(acc, shifted, lambda a, b: F.least(a, b))
+    sel = F.slice(acc, w, F.greatest(n_g - w + 1, F.lit(0)))
+    fps = (
+        F.when(n_g >= w, sel)
+        .when(n_g > 0, F.array(F.array_min(h)))
+        .otherwise(F.array(h7(normalize_text(text_col))))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(fps)).alias("fp"),
+    )

@@ -6499,6 +6499,75 @@ QUERIES["cdc_apply"] = q_cdc_apply
 ORACLES["cdc_apply"] = O_CDC_APPLY
 
 
+# --- winnowing fingerprints ------------------------------------------------------
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) local fingerprints: 3-gram hashes, window-of-4
+    minima (operators/dedup.winnow_fingerprints — all array HOFs, no
+    shuffle before the final distinct). Shared >= 6-word runs between
+    docs are guaranteed to share a fingerprint."""
+    from ..operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.winnow_fingerprints(docs, k=3, w=4).select(
+        F.col("id").alias("doc_id"), "fp"
+    )
+
+
+_WINNOW_GRAM_H = _hex7_of("md5(array_to_string(ws[i : i + 2], ' '))")
+_WINNOW_TEXT_H = _hex7_of(
+    "md5(regexp_replace(lower(trim(d.text)), '" + "\\s+" + "', ' ', 'g'))"
+)
+
+O_WINNOW = f"""
+with wds as (
+  select doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as ws
+  from documents
+),
+g0 as (select doc_id, ws, len(ws) as nw from wds),
+g as (
+  select doc_id, unnest(range(1, nw - 1)) as i, ws
+  from g0 where nw >= 3
+),
+gr as (
+  select doc_id, i,
+    ({_WINNOW_GRAM_H}) as h
+  from g
+),
+cnt as (select doc_id, count(*) as n_g from gr group by 1),
+win as (
+  select gr.doc_id, gr.i,
+    min(h) over (partition by gr.doc_id order by gr.i
+                 rows between 3 preceding and current row) as mh
+  from gr
+),
+long_docs as (
+  select distinct w.doc_id, w.mh as fp
+  from win w join cnt using (doc_id)
+  where cnt.n_g >= 4 and w.i >= 4
+),
+short_docs as (
+  select gr.doc_id, min(h) as fp
+  from gr join cnt using (doc_id)
+  where cnt.n_g between 1 and 3
+  group by gr.doc_id
+),
+no_grams as (
+  select d.doc_id,
+    ({_WINNOW_TEXT_H}) as fp
+  from documents d left join cnt on d.doc_id = cnt.doc_id
+  where cnt.doc_id is null
+)
+select doc_id, cast(fp as bigint) as fp from long_docs
+union all select doc_id, cast(fp as bigint) from short_docs
+union all select doc_id, cast(fp as bigint) from no_grams
+"""
+
+QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
+ORACLES["winnow_fingerprints"] = O_WINNOW
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -299,3 +299,35 @@ def test_novelty_scores(spark):
     assert got["a"] == (2, 2)                  # shingles: "one two three", "two three four"
     assert got["b"] == (2, 0)
     assert got["c"] == (2, 1)                  # "two three five" is new
+
+
+class TestWinnowing:
+    def test_shared_run_guarantee_and_locality(self, spark):
+        """Winnowing guarantee: docs sharing a run of >= w+k-1 = 6 words
+        share at least one fingerprint; fully distinct docs don't."""
+        from feature_extractor_mbo_lob_spark.operators.dedup import winnow_fingerprints
+
+        shared = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} completely different ending text"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        fps = winnow_fingerprints(df, k=3, w=4).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.id, set()).add(r.fp)
+        assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+        assert not (by_doc[1] & by_doc[3])
+        assert not (by_doc[2] & by_doc[3])
+
+    def test_short_and_empty_docs_have_fingerprints(self, spark):
+        from feature_extractor_mbo_lob_spark.operators.dedup import winnow_fingerprints
+
+        rows = [(1, "one two"), (2, "a b c d"), (3, "x")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = winnow_fingerprints(df, k=3, w=4).groupBy("id").count().collect()
+        got = {r.id: r["count"] for r in out}
+        assert set(got) == {1, 2, 3}
+        assert all(v >= 1 for v in got.values())
