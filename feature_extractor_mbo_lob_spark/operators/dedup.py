@@ -695,3 +695,38 @@ def winnow_fingerprints(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(fps)).alias("fp"),
     )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-dup / plagiarism candidates from shared winnowing fingerprints:
+    pairs of documents sharing >= ``min_shared`` local fingerprints, with
+    the shared count (the MOSS report's match strength).
+
+    Scale shape identical to the MinHash band join: an equi self-join on
+    the fingerprint value (8-byte ints, never text), partial-aggregable
+    count per pair. ``max_fp_freq`` drops boilerplate fingerprints shared
+    by more than that many docs before the join — the same hot-shingle cap
+    that keeps the ngram-Jaccard self-join from quadratic blow-up on
+    template text.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    if max_fp_freq is not None:
+        freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+        fps = fps.join(freq.filter(F.col("_n") <= max_fp_freq), "fp").drop("_n")
+    a = fps.select(F.col("fp"), F.col("id").alias("id_a"))
+    b = fps.select(F.col("fp"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -6568,6 +6568,34 @@ QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 ORACLES["winnow_fingerprints"] = O_WINNOW
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Near-dup candidates from shared winnowing fingerprints (>= 2
+    shared, hot-fp cap 1000): integer-digest equi self-join + pair
+    count, the MOSS match report."""
+    from ..operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.winnow_candidate_pairs(docs, k=3, w=4, min_shared=2)
+
+
+O_WINNOW_PAIRS = f"""
+with fps as ({O_WINNOW.strip()}),
+d as (select distinct doc_id, fp from fps),
+f as (
+  select d.* from d
+  join (select fp from d group by fp having count(*) <= 1000) ok using (fp)
+)
+select a.doc_id as id_a, b.doc_id as id_b,
+  cast(count(*) as bigint) as shared_fps
+from f a join f b on a.fp = b.fp and a.doc_id < b.doc_id
+group by 1, 2
+having count(*) >= 2
+"""
+
+QUERIES["winnow_pairs"] = q_winnow_pairs
+ORACLES["winnow_pairs"] = O_WINNOW_PAIRS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
