@@ -325,3 +325,22 @@ def test_robust_zscore(spark):
     assert abs(out[5.0] - (5.0 - med) / (mad + 1e-9)) < 1e-9
     assert abs(out[1.0] - (1.0 - med) / (mad + 1e-9)) < 1e-9
     assert out[1e9] > 1e8  # outlier far out, scale unpolluted
+
+
+def test_percentile_approx_rank_error_bound(spark):
+    """The scale path's GK sketch (percentile_approx, accuracy=a) must land
+    within rank error 1/a of the exact percentile — the bound the
+    quantile_bin/winsorize docstrings rely on when exact=False."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n, acc = 20_000, 100
+    vals = np.random.RandomState(3).permutation(n).tolist()
+    df = spark.createDataFrame([(int(v),) for v in vals], "x: long")
+    qs = [0.1, 0.5, 0.9]
+    row = df.agg(
+        F.percentile_approx("x", F.array(*[F.lit(q) for q in qs]), F.lit(acc)).alias("a"),
+    ).first()
+    for q, got in zip(qs, row["a"]):
+        # values are exactly their rank here, so rank error reads directly
+        assert abs(got - q * (n - 1)) <= n / acc + 1, (q, got)
