@@ -98,13 +98,34 @@ def run_job(
     if handle is not None:
         handle.activate()
     try:
+        # rows_in/rows_quarantined ride Observations on the quarantine
+        # write's single pass — at 100 TB an extra count() is an extra
+        # full scan, so metrics must piggyback on work already running.
+        from pyspark.sql import Observation
+
+        obs_bad = Observation("quarantine")
         good, bad = split_quarantine(df, cfg, mode=mode)
-        m.rows_in = df.count()
-        m.rows_quarantined = bad.count()
-        if quarantine_path and m.rows_quarantined:
+        bad = bad.observe(obs_bad, F.count(F.lit(1)).alias("n"))
+        if quarantine_path:
             bad.write.mode("overwrite").parquet(quarantine_path)
-        out = build_fn(good, cfg)
-        m.rows_out = sink_fn(out)
+            m.rows_quarantined = obs_bad.get["n"]
+        else:
+            m.rows_quarantined = bad.count()
+        obs_in = Observation("input")
+        obs_out = Observation("sink")
+        good = good.observe(obs_in, F.count(F.lit(1)).alias("n"))
+        out = build_fn(good, cfg).observe(obs_out, F.count(F.lit(1)).alias("n"))
+        sunk = sink_fn(out)
+        try:
+            # both observations fire on the sink's single pass: obs_in sits
+            # on the cleaned input subtree inside the sink plan, obs_out on
+            # the built frame — no extra count() scans anywhere
+            m.rows_out = obs_out.get["n"]
+            m.rows_in = obs_in.get["n"] + m.rows_quarantined
+        except Exception:
+            # sink_fn ran no action over the observed frame (dry run)
+            m.rows_out = sunk if isinstance(sunk, int) else 0
+            m.rows_in = df.count()
     finally:
         if handle is not None:
             handle.clear()

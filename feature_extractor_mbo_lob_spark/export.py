@@ -385,3 +385,38 @@ def render_conversations(df: DataFrame, cfg: PipelineConfig,
         )
         .withColumn("n_chars", F.length("rendered").cast("long"))
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files — the maintenance pass every
+    streaming/incremental sink needs (thousands of micro-batch files
+    kill scan throughput and driver listing time at 100 TB; Iceberg
+    calls this rewrite_data_files).
+
+    File count comes from actual on-disk bytes (driver-side listing of
+    the source footprint, no data read); the rewrite is one job —
+    repartitionByRange over ``sort_cols`` (keeps/restores clustering,
+    enabling min/max pruning) or a plain round-robin repartition.
+    Returns the number of output files requested.
+    """
+    import math
+    from pathlib import Path as _Path
+
+    total = sum(
+        p.stat().st_size for p in _Path(src).rglob("*.parquet") if p.is_file()
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dst)
+    return n_files

@@ -509,3 +509,30 @@ def test_stream_stream_interval_join(spark, tmp_path):
         (r.conv_id, r.tool, r.latency_us) for r in spark.table(name).collect()
     )
     assert got == [("a", "t1", 30_000_000), ("b", "t1", 5_000_000)]
+
+
+def test_compact_parquet_targets_file_count(spark, tmp_path):
+    from feature_extractor_mbo_lob_spark.export import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    rows = [("c%d" % (i % 50), i, "user", "word " * 20, None, ts(i)) for i in range(5000)]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    df.repartition(64).write.mode("overwrite").parquet(src)  # 64 tiny files
+
+    import pathlib
+    n_src = len(list(pathlib.Path(src).glob("*.parquet")))
+    assert n_src >= 32
+
+    total = sum(p.stat().st_size for p in pathlib.Path(src).rglob("*.parquet"))
+    n_req = compact_parquet(spark, src, dst, target_file_bytes=total // 4 + 1,
+                            sort_cols=["conv_id", "turn_idx"])
+    n_dst = len(list(pathlib.Path(dst).glob("*.parquet")))
+    assert n_req == 4
+    assert n_dst <= 5  # repartitionByRange may leave an empty slice unwritten
+    back = spark.read.parquet(dst)
+    assert back.count() == 5000
+    # clustering restored: conv_id min/max spans are narrow per file
+    from feature_extractor_mbo_lob_spark.operators.layout import file_span_stats
+    spans = file_span_stats(dst, "conv_id")
+    assert all(lo <= hi for lo, hi in spans) and len(spans) >= n_dst
