@@ -5,3 +5,4 @@ from .transcripts import (  # noqa: F401
     synth_transcripts,
     transcripts_from_events,
 )
+from .jsonl import read_jsonl, CORRUPT_COL  # noqa: F401

@@ -47,3 +47,28 @@ def test_mega_convs_add_skew(spark):
     df = synth_transcripts(spark, n_convs=5, n_mega_convs=1, mega_turns=500, seed=1)
     counts = {r.conv_id: r["cnt"] for r in df.groupBy("conv_id").count().withColumnRenamed("count", "cnt").collect()}
     assert counts["c5"] == 500
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from feature_extractor_mbo_lob_spark.sources import read_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "fine"}\n'
+        'this line is not json at all\n'
+        '{"doc_id": 3, "text": "trailing ok"}\n'
+        '{"doc_id": 4, "text": truncated...\n'
+    )
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    good, bad = read_jsonl(spark, str(p), schema)
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2, 3]
+    raws = [r.raw_line for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("not json" in r for r in raws)
+    assert good.columns == ["doc_id", "text"]
