@@ -536,3 +536,34 @@ def test_compact_parquet_targets_file_count(spark, tmp_path):
     from feature_extractor_mbo_lob_spark.operators.layout import file_span_stats
     spans = file_span_stats(dst, "conv_id")
     assert all(lo <= hi for lo, hi in spans) and len(spans) >= n_dst
+
+
+def test_audio_spectral_features_match_numpy(spark):
+    """Spectral features equal a direct numpy computation over the same
+    decoded PCM; non-wav rows pass through with NULLs."""
+    import numpy as np
+
+    from feature_extractor_mbo_lob_spark.multimodal import (
+        _pcm16_samples, audio_spectral_features, synth_media_real,
+    )
+
+    media = synth_media_real(spark, n=9)
+    rows = {r.media_id: r for r in audio_spectral_features(media).collect()}
+    src = {r.media_id: (r.fmt, bytes(r.payload)) for r in media.collect()}
+    assert set(rows) == set(src)
+    n_wav = 0
+    for mid, (fmt, pl) in src.items():
+        got = rows[mid]
+        if fmt != "wav":
+            assert got.rms is None and got.spectral_centroid_hz is None
+            continue
+        n_wav += 1
+        x, rate = _pcm16_samples(pl)
+        assert abs(got.rms - float(np.sqrt(np.mean(x * x)))) < 1e-9
+        mag = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+        want_c = float((freqs * mag).sum() / mag.sum())
+        assert abs(got.spectral_centroid_hz - want_c) < 1e-6
+        assert 0.0 <= got.zcr <= 1.0
+        assert got.rolloff_hz >= 0.0
+    assert n_wav >= 2
