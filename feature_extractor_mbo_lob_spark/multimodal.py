@@ -455,3 +455,55 @@ def audio_spectral_features(
             )
 
     return df.mapInPandas(fn, schema=out_schema)
+
+
+def image_dhash(
+    df: DataFrame,
+    hash_size: int = 8,
+    fmt_col: str = "fmt",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) of image payloads: grayscale ->
+    nearest-neighbor downscale to (hash_size+1, hash_size) -> horizontal
+    gradient sign bits packed into an int64. Near-identical images land
+    within a few Hamming bits, so image-level near-dup detection reuses
+    the SimHash chunk-key LSH machinery unchanged (operators/dedup
+    .simhash_candidates over the packed value).
+
+    Pure numpy inside mapInPandas; non-image rows pass through with NULL.
+    hash_size=8 gives the standard 64-bit fingerprint.
+    """
+    if hash_size * hash_size > 64:
+        raise ValueError("dHash must fit in int64")
+    out_schema = "media_id long, dhash long, fmt string"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, fmt, pl in zip(pdf["media_id"], pdf[fmt_col], pdf[payload_col]):
+                if fmt not in ("ppm", "bmp"):
+                    rows.append((int(mid), None, fmt))
+                    continue
+                img = _decode_pixels(fmt, bytes(pl))
+                # integer luma (ITU-R 601-ish, pure int math: 299/587/114)
+                gray = (
+                    299 * img[:, :, 0].astype(np.int64)
+                    + 587 * img[:, :, 1].astype(np.int64)
+                    + 114 * img[:, :, 2].astype(np.int64)
+                )
+                h, w = gray.shape
+                ys = (np.arange(hash_size) * h) // hash_size
+                xs = (np.arange(hash_size + 1) * w) // (hash_size + 1)
+                small = gray[np.ix_(ys, xs)]
+                bits = (small[:, 1:] > small[:, :-1]).ravel()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # keep int64-signed-safe: 64 bits with top bit possible ->
+                # wrap to signed
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                rows.append((int(mid), val, fmt))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash", "fmt"])
+
+    return df.mapInPandas(fn, schema=out_schema)

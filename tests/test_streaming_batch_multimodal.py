@@ -567,3 +567,37 @@ def test_audio_spectral_features_match_numpy(spark):
         assert 0.0 <= got.zcr <= 1.0
         assert got.rolloff_hz >= 0.0
     assert n_wav >= 2
+
+
+def test_image_dhash_similarity_and_stability(spark):
+    """dHash: identical images hash identically; a lightly-perturbed image
+    stays within a few Hamming bits; a different image is far."""
+    import numpy as np
+
+    from feature_extractor_mbo_lob_spark.multimodal import (
+        _encode_ppm_pixels, image_dhash,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 255, size=(32, 32, 3)).astype(np.uint8)
+    near = base.copy()
+    near[:2, :2] = 255 - near[:2, :2]          # tiny local edit
+    far = rng.randint(0, 255, size=(32, 32, 3)).astype(np.uint8)
+
+    rows = [
+        (0, "ppm", bytearray(_encode_ppm_pixels(base))),
+        (1, "ppm", bytearray(_encode_ppm_pixels(base))),
+        (2, "ppm", bytearray(_encode_ppm_pixels(near))),
+        (3, "ppm", bytearray(_encode_ppm_pixels(far))),
+        (4, "wav", bytearray(b"RIFF")),
+    ]
+    df = spark.createDataFrame(rows, "media_id: long, fmt: string, payload: binary")
+    got = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert got[0] == got[1]
+    assert ham(got[0], got[2]) <= 8
+    assert ham(got[0], got[3]) >= 16
+    assert got[4] is None
