@@ -6596,6 +6596,64 @@ QUERIES["winnow_pairs"] = q_winnow_pairs
 ORACLES["winnow_pairs"] = O_WINNOW_PAIRS
 
 
+def q_winnow_clusters(spark, sf_dir):
+    """Local-fingerprint dup clusters: winnowing candidate pairs ->
+    min-label connected components — the third clustering family
+    (alongside MinHash-LSH and embedding near-dup) over the same CC
+    machinery."""
+    from ..operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.winnow_candidate_pairs(docs, k=3, w=4, min_shared=2).select(
+        F.col("id_a"), F.col("id_b")
+    )
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _winnow_clusters_oracle() -> str:
+    body = O_WINNOW.strip()
+    assert body.startswith("with")
+    body = body[len("with"):]
+    cut = body.rindex("select doc_id, cast(fp as bigint) as fp from long_docs")
+    ctes, final_select = body[:cut].rstrip(), body[cut:]
+    assert ctes.endswith(")")
+    return f"""
+with recursive {ctes},
+fps as ({final_select}),
+d as (select distinct doc_id, fp from fps),
+f as (
+  select d.* from d
+  join (select fp from d group by fp having count(*) <= 1000) ok using (fp)
+),
+pairs as (
+  select a.doc_id as id_a, b.doc_id as id_b
+  from f a join f b on a.fp = b.fp and a.doc_id < b.doc_id
+  group by 1, 2
+  having count(*) >= 2
+),
+sym as (
+  select id_a as src, id_b as dst from pairs
+  union
+  select id_b as src, id_a as dst from pairs
+),
+reach(src, dst) as (
+  select src, dst from sym
+  union
+  select r.src, s.dst from reach r join sym s on r.dst = s.src
+)
+select src as doc_id, cast(least(src, min(dst)) as bigint) as cluster_id
+from reach group by src
+"""
+
+
+QUERIES["winnow_clusters"] = q_winnow_clusters
+ORACLES["winnow_clusters"] = _winnow_clusters_oracle()
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
