@@ -132,3 +132,21 @@ class TestZOrderWrite:
             r[0] for r in rows
         )
         df.unpersist()
+
+
+class TestZValueRandom:
+    def test_random_batch_matches_replica(self, spark):
+        import random
+
+        rng = random.Random(13)
+        rows = [
+            (rng.randint(-50_000, 50_000), rng.randint(0, 3_000_000_000))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "a: long, b: long")
+        got = {
+            (r["a"], r["b"]): r["zvalue"]
+            for r in layout.with_zvalue(df, ["a", "b"]).collect()
+        }
+        want = dict(zip(rows, _morton_py(rows)))
+        assert got == want
