@@ -167,8 +167,16 @@ def input_fingerprint_for_path(spark: SparkSession, path: str) -> str:
 
     p = Path(path)
     h = hashlib.sha256()
-    if p.exists():
-        for f in sorted(p.rglob("*.parquet")):
+    if p.is_file():
+        st = p.stat()
+        h.update(f"{p.name}:{st.st_size}:{int(st.st_mtime)}".encode())
+    elif p.exists():
+        # data files of any format (parquet dirs, jsonl shards, ...)
+        files = sorted(
+            f for f in p.rglob("*")
+            if f.is_file() and not f.name.startswith(("_", "."))
+        )
+        for f in files:
             st = f.stat()
             h.update(f"{f.name}:{st.st_size}:{int(st.st_mtime)}".encode())
     else:

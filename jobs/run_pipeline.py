@@ -41,7 +41,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--input-format", default="parquet",
-                    choices=["parquet", "iceberg", "events"])
+                    choices=["parquet", "iceberg", "events", "jsonl"])
+    ap.add_argument("--quarantine", default=None,
+                    help="path for corrupt JSONL lines (jsonl input only)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--config", default=None, help="PipelineConfig JSON file")
     ap.add_argument("--buckets", type=int, default=64)
@@ -79,6 +81,12 @@ def main() -> None:
     t0 = time.time()
     if args.input_format == "events":
         df = transcripts_from_events(spark, args.input)
+    elif args.input_format == "jsonl":
+        from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA, read_jsonl
+
+        df, bad = read_jsonl(spark, args.input, TRANSCRIPT_SCHEMA)
+        if args.quarantine:
+            bad.write.mode("overwrite").text(args.quarantine)
     else:
         df = read_transcripts(spark, args.input, fmt=args.input_format)
 
