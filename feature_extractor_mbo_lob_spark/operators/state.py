@@ -244,3 +244,37 @@ def with_streaks(df: DataFrame, cfg: PipelineConfig, col: str = "role",
         run_pos.cast("long").alias(f"{p}_len"),
         run_ord.cast("long").alias(f"{p}_ord"),
     ).drop("_grp", "_rs")
+
+
+def recency_weighted_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    half_life_s: float = 86_400.0,
+) -> DataFrame:
+    """Recency-weighted activity score per key at the corpus's max
+    timestamp T: sum over events of 0.5^((T - t)/half_life) — the
+    exponential-decay engagement feature recommendation/priority systems
+    keep per entity, computed in ONE pass instead of a stateful scan.
+
+    Decay exponents derive from integer microsecond differences against
+    a single broadcast max-T aggregate, so the float work is one pow +
+    sum per row — partial-aggregable, shuffle carries one double per
+    key. Emits n_events alongside as the exact integer anchor.
+    """
+    from .ordering import epoch_us
+
+    us = epoch_us(ts_col)
+    t_max = df.agg(F.max(us).alias("_tmax"))
+    half_us = F.lit(half_life_s * 1e6)
+    return (
+        df.select(F.col(key_col), us.alias("_us"))
+        .join(F.broadcast(t_max))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.pow(F.lit(0.5), (F.col("_tmax") - F.col("_us")) / half_us)
+            ).alias("recency_score"),
+        )
+    )

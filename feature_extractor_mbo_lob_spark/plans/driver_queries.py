@@ -6654,6 +6654,69 @@ QUERIES["winnow_clusters"] = q_winnow_clusters
 ORACLES["winnow_clusters"] = _winnow_clusters_oracle()
 
 
+# --- recency-weighted activity ---------------------------------------------------
+
+def q_recency_scores(spark, sf_dir):
+    """Per-user exponential-decay engagement score at corpus max-T
+    (half-life 1 day): one pow+sum pass, broadcast max-T anchor
+    (operators/state.recency_weighted_counts)."""
+    from ..operators.state import recency_weighted_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = recency_weighted_counts(ev, "user_id", "ts", half_life_s=86_400.0)
+    return out.select(
+        "user_id", "n_events", _r6x(F.col("recency_score"), "recency_score")
+    )
+
+
+O_RECENCY_SCORES = f"""
+with m as (select max(epoch_us(ts)) as tmax from events)
+select user_id,
+  cast(count(*) as bigint) as n_events,
+  {_r6x_sql("sum(power(0.5, (m.tmax - epoch_us(ts)) / 86400000000.0))")} as recency_score
+from events, m
+group by user_id
+"""
+
+QUERIES["recency_scores"] = q_recency_scores
+ORACLES["recency_scores"] = O_RECENCY_SCORES
+
+
+# --- GROUPING SETS report --------------------------------------------------------
+
+def q_grouping_sets(spark, sf_dir):
+    """Multi-grain aggregate in one pass via GROUPING SETS ((type, lang-
+    analog), (type), (lang), ()) over events — Spark SQL surface parity
+    with the warehouse idiom (rollup/pivot siblings already covered)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("ev_gs")
+    return spark.sql("""
+        select event_type,
+               cast(user_id % 5 as int) as user_band,
+               cast(count(*) as long) as n,
+               cast(grouping(event_type) as int) as g_type,
+               cast(grouping(user_id % 5) as int) as g_band
+        from ev_gs
+        group by grouping sets ((event_type, user_id % 5), (event_type),
+                                (user_id % 5), ())
+    """)
+
+
+O_GROUPING_SETS = """
+select event_type,
+       cast(user_id % 5 as int) as user_band,
+       cast(count(*) as bigint) as n,
+       cast(grouping(event_type) as int) as g_type,
+       cast(grouping(user_id % 5) as int) as g_band
+from events
+group by grouping sets ((event_type, user_id % 5), (event_type),
+                        (user_id % 5), ())
+"""
+
+QUERIES["grouping_sets"] = q_grouping_sets
+ORACLES["grouping_sets"] = O_GROUPING_SETS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
