@@ -130,3 +130,59 @@ def chunk_documents(df, max_words: int = 128, stride: int = 96,
         df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("c"))
         .select("id", "c.chunk_id", "c.chunk_text", "c.n_words")
     )
+
+
+def cdc_chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+):
+    """Content-defined chunking: a chunk boundary falls AFTER word i
+    whenever md5(word_i) % divisor == 0, so boundaries move with content
+    (insert a word early in a document and only the chunk containing the
+    edit changes) — the property fixed-size chunking lacks and the reason
+    dedup storage systems (FastCDC et al.) chunk this way. Average chunk
+    length = ``divisor`` words.
+
+    Emits (id, chunk_idx, n_words, chunk_md5) — the digest, not the
+    text, so downstream chunk-level dedup shuffles 32-byte keys.
+    Exploded-words plan: one doc-keyed window for the running boundary
+    count, one groupBy for reassembly; everything before the window is
+    whole-stage codegen.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from ..operators.dedup import normalize_text
+
+    words = F.split(normalize_text(text_col), " ")
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words).alias("pos", "word"),
+    )
+    h = F.conv(F.substring(F.md5("word"), 1, 7), 16, 10).cast("long")
+    bd = (F.pmod(h, F.lit(divisor)) == 0).cast("long")
+    prev = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tagged = g.select(
+        "id", "pos", "word",
+        F.coalesce(F.sum(bd).over(prev), F.lit(0)).alias("chunk_idx"),
+    )
+    return (
+        tagged.groupBy("id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "word"))
+                        ),
+                        lambda s: s["word"],
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+    )

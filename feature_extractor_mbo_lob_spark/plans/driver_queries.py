@@ -6717,6 +6717,88 @@ QUERIES["grouping_sets"] = q_grouping_sets
 ORACLES["grouping_sets"] = O_GROUPING_SETS
 
 
+# --- tool co-usage graph ---------------------------------------------------------
+
+def q_tool_cousage(spark, sf_dir):
+    """Tool co-usage edge list: unordered tool pairs used within the same
+    conversation, weighted by co-occurring conversations — the bipartite
+    (conv x tool) projection every tool-recommendation / workflow-mining
+    pass starts from. Distinct (conv, tool) first, so the self-join is
+    over the slim deduplicated relation; output is O(|tools|^2)."""
+    t = transcripts_from_events(spark, sf_dir)
+    d = t.filter(F.col("tool").isNotNull()).select("conv_id", "tool").distinct()
+    a = d.select("conv_id", F.col("tool").alias("tool_a"))
+    b = d.select("conv_id", F.col("tool").alias("tool_b"))
+    return (
+        a.join(b, "conv_id")
+        .filter(F.col("tool_a") < F.col("tool_b"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("convs"))
+    )
+
+
+O_TOOL_COUSAGE = f"""{_W},
+d as (
+  select distinct conv_id, tool from transcripts where tool is not null
+)
+select a.tool as tool_a, b.tool as tool_b,
+  cast(count(*) as bigint) as convs
+from d a join d b on a.conv_id = b.conv_id and a.tool < b.tool
+group by 1, 2
+"""
+
+QUERIES["tool_cousage"] = q_tool_cousage
+ORACLES["tool_cousage"] = O_TOOL_COUSAGE
+
+
+# --- content-defined chunking ----------------------------------------------------
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (FastCDC-style boundaries at
+    md5(word) % 8 == 0): chunk index, word count and chunk digest per
+    document — boundaries move WITH content, so an edit only changes the
+    chunk containing it (functions/text.cdc_chunk_documents)."""
+    from ..functions.text import cdc_chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cdc_chunk_documents(docs, divisor=8).select(
+        F.col("id").alias("doc_id"), "chunk_idx", "n_words", "chunk_md5"
+    )
+
+
+_CDC_WORD_H = _hex7_of("md5(word)")
+
+O_CDC_CHUNKS = f"""
+with wds as (
+  select doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as ws
+  from documents
+),
+g as (
+  select doc_id, unnest(range(1, len(ws) + 1)) as pos, ws from wds
+),
+t as (
+  select doc_id, pos, ws[pos] as word,
+    case when ({_CDC_WORD_H}) % 8 = 0 then 1 else 0 end as bd
+  from g
+),
+c as (
+  select doc_id, pos, word,
+    coalesce(sum(bd) over (partition by doc_id order by pos
+                           rows between unbounded preceding and 1 preceding), 0)
+      as chunk_idx
+  from t
+)
+select doc_id, cast(chunk_idx as bigint) as chunk_idx,
+  cast(count(*) as bigint) as n_words,
+  md5(string_agg(word, ' ' order by pos)) as chunk_md5
+from c group by 1, 2
+"""
+
+QUERIES["cdc_chunks"] = q_cdc_chunks
+ORACLES["cdc_chunks"] = O_CDC_CHUNKS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

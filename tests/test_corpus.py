@@ -233,3 +233,23 @@ def test_cohort_retention_matrix(spark):
         ("1970-01-01", 2): 1,   # user 1
         ("1970-01-08", 0): 1,   # user 2 (days 8 and 9 dedup to one week)
     }
+
+
+def test_cdc_chunking_edit_locality(spark):
+    """Content-defined boundaries: inserting a word near the start changes
+    only the chunk containing the edit — later chunk digests are stable.
+    A fixed-size chunker would shift every subsequent chunk."""
+    from feature_extractor_mbo_lob_spark.functions.text import cdc_chunk_documents
+
+    base_words = [f"w{i}" for i in range(120)]
+    edited = base_words[:3] + ["INSERTED"] + base_words[3:]
+    df = spark.createDataFrame(
+        [(1, " ".join(base_words)), (2, " ".join(edited))], ["doc_id", "text"]
+    )
+    out = cdc_chunk_documents(df, divisor=8).collect()
+    d1 = {r.chunk_md5 for r in out if r.id == 1}
+    d2 = {r.chunk_md5 for r in out if r.id == 2}
+    shared = d1 & d2
+    # all but the edited chunk's digests survive the insertion
+    assert len(shared) >= len(d1) - 2, (len(d1), len(d2), len(shared))
+    assert d1 != d2
