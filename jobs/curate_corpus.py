@@ -33,8 +33,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="dir containing documents.parquet")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--near-dup", action="store_true",
-                    help="also drop MinHash-LSH near-duplicates (keep cluster rep)")
+    ap.add_argument("--near-dup", nargs="?", const="minhash", default=None,
+                    choices=["minhash", "winnow"],
+                    help="also drop near-duplicates (keep cluster rep): "
+                         "minhash = MinHash-LSH shingle similarity (default), "
+                         "winnow = shared winnowing fingerprints (MOSS-style "
+                         "local matches — catches long shared runs)")
     ap.add_argument("--sample-frac", type=float, default=None)
     ap.add_argument("--redact-pii", action="store_true",
                     help="replace emails/IPs/phones with typed placeholders")
@@ -84,7 +88,10 @@ def main() -> None:
     funnel["after_exact_dedup"] = docs.count()
 
     if args.near_dup:
-        pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+        if args.near_dup == "winnow":
+            pairs = dedup.winnow_candidate_pairs(docs, k=3, w=4, min_shared=2)
+        else:
+            pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
         cc = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
         docs = (
             docs.join(cc, "doc_id", "left")  # AQE picks broadcast when small
