@@ -65,3 +65,35 @@ def redaction_fingerprint(col) -> F.Column:
     """md5 of the redacted text — byte-for-byte reproducible by any engine
     applying the same chain, used by the oracle check."""
     return F.md5(redact(col))
+
+
+def k_anonymize(
+    df,
+    quasi_cols: list[str],
+    k: int = 5,
+    sentinel: str = "*",
+):
+    """k-anonymity suppression over quasi-identifier columns: any
+    combination of ``quasi_cols`` values shared by fewer than ``k`` rows
+    is replaced by ``sentinel`` in every one of those columns, so no
+    released row's quasi-identifier tuple isolates fewer than k
+    individuals — the release-gate governance pass that runs after PII
+    redaction (redaction removes direct identifiers; this kills rare
+    combinations of indirect ones).
+
+    One partial-aggregable count over the quasi tuple + one AQE-decided
+    join back on it; the suppression itself is a pure row expression.
+    Quasi columns must be strings (cast beforehand); other columns pass
+    through untouched.
+    """
+    from pyspark.sql import functions as F
+
+    counts = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("_qn"))
+    )
+    out = df.join(counts, quasi_cols, "left")
+    rare = F.col("_qn") < k
+    for c in quasi_cols:
+        out = out.withColumn(c, F.when(rare, F.lit(sentinel)).otherwise(F.col(c)))
+    return out.drop("_qn")

@@ -6799,6 +6799,39 @@ QUERIES["cdc_chunks"] = q_cdc_chunks
 ORACLES["cdc_chunks"] = O_CDC_CHUNKS
 
 
+# --- k-anonymity suppression -----------------------------------------------------
+
+def q_k_anonymize(spark, sf_dir):
+    """k-anonymity release gate (k=5) over the (lang, source) quasi-
+    identifier pair of the documents table: rare combinations suppressed
+    to '*' in both columns (functions/pii.k_anonymize); output counts by
+    released tuple prove no group < 5 survives un-suppressed."""
+    from ..functions.pii import k_anonymize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    anon = k_anonymize(docs, ["lang", "source"], k=5)
+    return anon.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+O_K_ANONYMIZE = """
+with c as (
+  select lang, source, count(*) as qn from documents group by 1, 2
+),
+a as (
+  select case when c.qn < 5 then '*' else d.lang end as lang,
+         case when c.qn < 5 then '*' else d.source end as source
+  from documents d join c using (lang, source)
+)
+select lang, source, cast(count(*) as bigint) as n_docs
+from a group by 1, 2
+"""
+
+QUERIES["k_anonymize"] = q_k_anonymize
+ORACLES["k_anonymize"] = O_K_ANONYMIZE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
