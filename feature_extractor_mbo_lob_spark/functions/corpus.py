@@ -762,3 +762,83 @@ def contrastive_negatives(
         ).join(reps, "_b").drop("_b")
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.filter(F.col(id_col) != F.col("neg_id"))
+
+
+def span_corruption_targets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_divisor: int = 5,
+) -> DataFrame:
+    """T5-style span corruption, deterministically: word positions whose
+    md5(doc_id|pos) bucket hits 0 mod ``mask_divisor`` are masked
+    (expected mask rate 1/divisor); contiguous masked runs collapse to
+    one sentinel. Emits per document the corrupted-input digest, the
+    target-sequence digest (sentinels + masked spans, T5's decoder
+    target), the masked-word count and the sentinel count — digests so
+    the shuffle never carries reassembled text.
+
+    Hash-seeded masking (not RNG) means the SAME spans mask on every
+    run, every engine, every partitioning — reproducible pretraining
+    data. Plan: exploded words + lag window for run starts + one
+    groupBy reassembly, all doc-keyed (single exchange).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import normalize_text
+
+    words = F.split(normalize_text(text_col), " ")
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words).alias("pos", "word"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit("|"), F.col("pos").cast("string"))),
+            1, 7,
+        ), 16, 10,
+    ).cast("long")
+    g = g.withColumn("_m", (F.pmod(h, F.lit(mask_divisor)) == 0).cast("int"))
+    w = Window.partitionBy("id").orderBy("pos")
+    # two steps: lag-window first, THEN the running sum — Spark rejects a
+    # window function nested inside another window's aggregate expression
+    g = g.withColumn(
+        "_rs",
+        ((F.col("_m") == 1)
+         & (F.coalesce(F.lag("_m").over(w), F.lit(0)) == 0)).cast("int"),
+    )
+    g = g.withColumn("_sid", F.sum("_rs").over(w))
+    run_start = F.col("_rs") == 1
+    # corrupted input: unmasked words as-is; each masked run contributes
+    # its sentinel exactly once (at the run start)
+    in_tok = F.when(F.col("_m") == 0, F.col("word")).when(
+        run_start, F.concat(F.lit("<X"), F.col("_sid").cast("string"), F.lit(">"))
+    )
+    tgt_tok = F.when(
+        F.col("_m") == 1,
+        F.when(
+            run_start,
+            F.concat(F.lit("<X"), F.col("_sid").cast("string"), F.lit("> "), F.col("word")),
+        ).otherwise(F.col("word")),
+    )
+    agg = g.groupBy("id").agg(
+        F.md5(F.concat_ws(" ", F.filter(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", in_tok.alias("t")))),
+                lambda s: s["t"],
+            ), lambda x: x.isNotNull(),
+        ))).alias("input_md5"),
+        F.md5(F.concat_ws(" ", F.filter(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", tgt_tok.alias("t")))),
+                lambda s: s["t"],
+            ), lambda x: x.isNotNull(),
+        ))).alias("target_md5"),
+        F.sum("_m").cast("long").alias("n_masked"),
+        F.max("_sid").cast("long").alias("n_sentinels"),
+    )
+    # a document with nothing masked has NO target sequence — emit NULL,
+    # not md5("") (also what SQL string_agg over zero rows yields)
+    return agg.withColumn(
+        "target_md5", F.when(F.col("n_masked") > 0, F.col("target_md5"))
+    )

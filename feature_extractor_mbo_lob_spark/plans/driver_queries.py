@@ -6832,6 +6832,68 @@ QUERIES["k_anonymize"] = q_k_anonymize
 ORACLES["k_anonymize"] = O_K_ANONYMIZE
 
 
+# --- span-corruption pretraining targets -----------------------------------------
+
+def q_span_corruption(spark, sf_dir):
+    """T5-style span corruption with hash-seeded (reproducible) masking:
+    corrupted-input and decoder-target digests per document
+    (functions/corpus.span_corruption_targets, mask rate 1/5)."""
+    from ..functions.corpus import span_corruption_targets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_corruption_targets(docs).select(
+        F.col("id").alias("doc_id"), "input_md5", "target_md5",
+        "n_masked", "n_sentinels",
+    )
+
+
+_SPAN_POS_H = _hex7_of("md5(cast(doc_id as varchar) || '|' || cast(pos - 1 as varchar))")
+
+O_SPAN_CORRUPTION = f"""
+with wds as (
+  select doc_id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as ws
+  from documents
+),
+g as (
+  select doc_id, unnest(range(1, len(ws) + 1)) as pos, ws from wds
+),
+m as (
+  select doc_id, pos, ws[pos] as word,
+    case when ({_SPAN_POS_H}) % 5 = 0 then 1 else 0 end as mk
+  from g
+),
+r as (
+  select *, case when mk = 1 and coalesce(
+      lag(mk) over (partition by doc_id order by pos), 0) = 0
+    then 1 else 0 end as rs
+  from m
+),
+sid as (
+  select *, sum(rs) over (partition by doc_id order by pos
+                          rows between unbounded preceding and current row) as s
+  from r
+),
+tok as (
+  select doc_id, pos, mk, s,
+    case when mk = 0 then word
+         when rs = 1 then '<X' || cast(s as varchar) || '>' end as in_tok,
+    case when mk = 1 and rs = 1 then '<X' || cast(s as varchar) || '> ' || word
+         when mk = 1 then word end as tgt_tok
+  from sid
+)
+select doc_id,
+  md5(string_agg(in_tok, ' ' order by pos) filter (where in_tok is not null)) as input_md5,
+  md5(string_agg(tgt_tok, ' ' order by pos) filter (where tgt_tok is not null)) as target_md5,
+  cast(sum(mk) as bigint) as n_masked,
+  cast(max(s) as bigint) as n_sentinels
+from tok group by 1
+"""
+
+QUERIES["span_corruption"] = q_span_corruption
+ORACLES["span_corruption"] = O_SPAN_CORRUPTION
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
