@@ -72,3 +72,21 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
     assert len(raws) == 2
     assert any("not json" in r for r in raws)
     assert good.columns == ["doc_id", "text"]
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Corpus dumps drift: a later shard adds a column. mergeSchema reads
+    the union schema with NULLs for the old shard — the engine's ingest
+    contract for evolving corpora (explicit, never silent retyping)."""
+    p = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id: long, text: string")
+    v1.write.mode("overwrite").parquet(p + "/batch=1")
+    v2 = spark.createDataFrame(
+        [(3, "c", "en")], "doc_id: long, text: string, lang: string"
+    )
+    v2.write.mode("overwrite").parquet(p + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"doc_id", "text", "lang", "batch"}
+    rows = {r.doc_id: r.lang for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}
