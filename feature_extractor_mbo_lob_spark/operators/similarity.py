@@ -470,3 +470,31 @@ def kmeans_lloyd(
         )
     out = ivf_assign(df, cents, id_col, vec_col).select(id_col, "centroid_id")
     return out, cents
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_q8",
+) -> DataFrame:
+    """Symmetric int8 vector quantization: per-vector scale = max|x|,
+    q_i = floor(x_i * 127 / scale + 0.5) clamped to [-127, 127] — 4x
+    smaller embedding storage (the difference between an ANN corpus
+    fitting executor memory or not at 10^9+ vectors), with the exact
+    per-vector scale kept alongside for dequantization / asymmetric
+    scoring.
+
+    Pure JVM array HOFs; engine-exact by the repo's canonicalization
+    rule (floor(x + 0.5) is the same IEEE op sequence everywhere,
+    unlike round()). Zero vectors quantize to all-zero with scale 0.
+    """
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(mx > 0, F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x * 127.0 / mx + 0.5).cast("int")),
+        ),
+    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn(out_col, q).withColumn(f"{out_col}_scale", mx)

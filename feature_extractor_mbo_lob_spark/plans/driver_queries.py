@@ -6894,6 +6894,53 @@ QUERIES["span_corruption"] = q_span_corruption
 ORACLES["span_corruption"] = O_SPAN_CORRUPTION
 
 
+# --- int8 embedding quantization -------------------------------------------------
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 embedding quantization (4x storage cut for ANN
+    corpora): per-vector max-abs scale, floor(x*127/scale + 0.5) lanes
+    (operators/similarity.quantize_embeddings_int8). Emitted as vec_id,
+    lane index, quantized value + r6x scale — integer lanes make the
+    oracle exact."""
+    from ..operators.similarity import quantize_embeddings_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = quantize_embeddings_int8(emb)
+    return q.select(
+        "vec_id",
+        F.posexplode("embedding_q8").alias("lane", "q"),
+        _r6x(F.col("embedding_q8_scale"), "scale"),
+    )
+
+
+O_QUANTIZE_EMBEDDINGS = f"""
+with e as (
+  select vec_id, embedding from embeddings
+),
+s as (
+  select vec_id, embedding,
+    (select max(abs(cast(u.x as double))) from unnest(embedding) as u(x)) as mx
+  from e
+),
+x as (
+  select vec_id, mx, cast(unnest(embedding) as double) as v,
+    generate_subscripts(embedding, 1) - 1 as lane
+  from s
+)
+select vec_id, cast(lane as int) as lane,
+  cast(case when mx > 0
+    then greatest(-127, least(127, floor(v * 127.0 / mx + 0.5)))
+    else 0 end as int) as q,
+  {_r6x_sql("mx")} as scale
+from x
+"""
+
+QUERIES["quantize_embeddings"] = q_quantize_embeddings
+ORACLES["quantize_embeddings"] = O_QUANTIZE_EMBEDDINGS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
