@@ -331,3 +331,49 @@ class TestWinnowing:
         got = {r.id: r["count"] for r in out}
         assert set(got) == {1, 2, 3}
         assert all(v >= 1 for v in got.values())
+
+
+class TestQuantizedANN:
+    def test_int8_topk_recall_vs_exact(self, spark):
+        """Brute-force top-3 over int8-quantized vectors recovers >= 0.85
+        of the exact float neighbors (the storage-for-recall trade the
+        quantizer exists for), and dequantized values stay within one
+        scale step of the originals."""
+        import numpy as np
+
+        from feature_extractor_mbo_lob_spark.operators import similarity
+
+        emb = (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        )
+        exact = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in similarity.brute_force_topk(emb, k=3).collect()
+        }
+
+        q = similarity.quantize_embeddings_int8(emb)
+        rows = q.select("vec_id", "embedding", "embedding_q8", "embedding_q8_scale").collect()
+        # dequantization error bound: |x - q*scale/127| <= scale/254 + eps
+        for r in rows[:20]:
+            x = np.array(r.embedding)
+            deq = np.array(r.embedding_q8) * r.embedding_q8_scale / 127.0
+            assert np.max(np.abs(x - deq)) <= r.embedding_q8_scale / 254.0 + 1e-9
+
+        qemb = q.select(
+            "vec_id",
+            F.transform(
+                "embedding_q8", lambda v: v.cast("double")
+            ).alias("embedding"),
+        )
+        approx = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in similarity.brute_force_topk(qemb, k=3).collect()
+        }
+        keys = set(exact)
+        hits = sum(
+            1 for k in keys
+            if approx.get(k) == exact[k]
+            or approx.get(k) in {exact.get((k[0], j)) for j in (1, 2, 3)}
+        )
+        assert hits / len(keys) >= 0.85, hits / len(keys)
