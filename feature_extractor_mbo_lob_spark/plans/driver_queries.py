@@ -6941,6 +6941,92 @@ QUERIES["quantize_embeddings"] = q_quantize_embeddings
 ORACLES["quantize_embeddings"] = O_QUANTIZE_EMBEDDINGS
 
 
+# --- feature-label correlation report --------------------------------------------
+
+def q_feature_label_corr(spark, sf_dir):
+    """Screening report: Pearson correlation of three integer features
+    (char_len, is_user, turn_idx) against the 'next turn invokes a tool'
+    label, computed from six int64 sums per feature (one aggregate, no
+    corr() builtin — the closed form over integer sums is engine-exact
+    until the final _r6x'd quotient). The pre-training feature-screen
+    every label pipeline runs before committing GPU time."""
+    from pyspark.sql import Window
+
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = t.select(
+        F.length("text").cast("long").alias("char_len"),
+        (F.col("role") == "user").cast("long").alias("is_user"),
+        F.col("turn_idx").cast("long").alias("ti"),
+        F.lead(F.col("tool").isNotNull().cast("long")).over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+
+    feats = {"char_len": "char_len", "is_user": "is_user", "turn_idx": "ti"}
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy")]
+    for name, c in feats.items():
+        aggs += [
+            F.sum(c).alias(f"sx_{name}"),
+            F.sum(F.col(c) * F.col(c)).alias(f"sxx_{name}"),
+            F.sum(F.col(c) * F.col("y")).alias(f"sxy_{name}"),
+        ]
+    row = base.agg(*aggs)
+    outs = []
+    for name in feats:
+        n, sx, sy = F.col("n"), F.col(f"sx_{name}"), F.col("sy")
+        num = n * F.col(f"sxy_{name}") - sx * sy
+        den = F.sqrt(
+            (n * F.col(f"sxx_{name}") - sx * sx).cast("double")
+            * (n * F.col("syy") - sy * sy).cast("double")
+        )
+        outs.append(
+            F.struct(
+                F.lit(name).alias("feature"),
+                _r6x(num.cast("double") / (den + F.lit(DIVISION_GUARD_EPS)), "corr"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*outs)).alias("s"))
+        .select("s.feature", "s.corr")
+    )
+
+
+def _flc_oracle() -> str:
+    feats = {"char_len": "length(text)", "is_user": "(role = 'user')::int",
+             "turn_idx": "turn_idx"}
+    arms = []
+    for name, expr in feats.items():
+        corr = _r6x_sql(
+            f"(n * sxy_{name} - sx_{name} * sy) / "
+            f"(sqrt(cast(n * sxx_{name} - sx_{name} * sx_{name} as double) "
+            f"* cast(n * syy - sy * sy as double)) + {DIVISION_GUARD_EPS})"
+        )
+        arms.append(f"select '{name}' as feature, {corr} as corr from s")
+    sums = ",\n    ".join(
+        f"sum({e}) as sx_{n}, sum(({e}) * ({e})) as sxx_{n}, sum(({e}) * y) as sxy_{n}"
+        for n, e in feats.items()
+    )
+    return f"""{_W},
+b as (
+  select length(text) as char_len, (role = 'user')::int as is_user, turn_idx,
+    text, role,
+    lead((tool is not null)::int) over (partition by conv_id order by turn_idx) as y
+  from transcripts
+),
+f as (select * from b where y is not null),
+s as (
+  select cast(count(*) as bigint) as n, sum(y) as sy, sum(y * y) as syy,
+    {sums}
+  from f
+)
+{" union all ".join(arms)}
+"""
+
+
+QUERIES["feature_label_corr"] = q_feature_label_corr
+ORACLES["feature_label_corr"] = _flc_oracle()
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
