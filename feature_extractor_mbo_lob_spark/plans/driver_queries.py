@@ -7027,6 +7027,82 @@ QUERIES["feature_label_corr"] = q_feature_label_corr
 ORACLES["feature_label_corr"] = _flc_oracle()
 
 
+# --- source-pair KL divergence ---------------------------------------------------
+
+def q_source_kl(spark, sf_dir):
+    """KL divergence between per-source unigram distributions (add-one
+    smoothing over the union vocabulary) — the mixture diagnostic that
+    tells you how far each source's language is from the others before
+    setting sampling weights. One word-count shuffle (partial-agg), a
+    V-row self-join per source pair, integer counts until the final
+    _r6x'd log-sum."""
+    from ..operators.dedup import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "source", F.explode(F.split(normalize_text("text"), " ")).alias("w")
+    )
+    cnt = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab_v = words.select("w").distinct().count()
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+
+    # dense (source x union-vocab) smoothed table via cross of sources
+    # with the vocab-side counts (left join fills absent words with c=0)
+    vocab = words.select("w").distinct()
+    sources = tot
+    dense = (
+        sources.crossJoin(vocab)
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source", "w", "n", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    a = dense.select(
+        F.col("source").alias("src_a"), "w",
+        ((F.col("c") + 1).cast("double") / (F.col("n") + vocab_v)).alias("pa"),
+    )
+    b = dense.select(
+        F.col("source").alias("src_b"), "w",
+        ((F.col("c") + 1).cast("double") / (F.col("n") + vocab_v)).alias("pb"),
+    )
+    return (
+        a.join(b, "w")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(_r6x(F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))), "kl"))
+    )
+
+
+O_SOURCE_KL = f"""
+with wds as (
+  select source,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) as w
+  from documents
+),
+cnt as (select source, w, count(*) as c from wds group by 1, 2),
+vv as (select count(distinct w) as v from wds),
+tot as (select source, sum(c) as n from cnt group by 1),
+vocab as (select distinct w from wds),
+dense as (
+  select t.source, vb.w, t.n, coalesce(c.c, 0) as c
+  from tot t cross join vocab vb
+  left join cnt c on c.source = t.source and c.w = vb.w
+),
+p as (
+  select source, w,
+    cast(c + 1 as double) / (n + (select v from vv)) as pr
+  from dense
+)
+select a.source as src_a, b.source as src_b,
+  {_r6x_sql("sum(a.pr * ln(a.pr / b.pr))")} as kl
+from p a join p b on a.w = b.w and a.source <> b.source
+group by 1, 2
+"""
+
+QUERIES["source_kl"] = q_source_kl
+ORACLES["source_kl"] = O_SOURCE_KL
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
