@@ -7103,6 +7103,48 @@ QUERIES["source_kl"] = q_source_kl
 ORACLES["source_kl"] = O_SOURCE_KL
 
 
+# --- vocabulary richness report --------------------------------------------------
+
+def q_vocab_richness(spark, sf_dir):
+    """Per-source vocabulary richness: token count, distinct vocabulary,
+    hapax legomena (words occurring once — the Heaps'-law tail that
+    dominates tokenizer vocab decisions), and the largest word's count.
+    Pure integer outputs from one word-count shuffle."""
+    from ..operators.dedup import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cnt = (
+        docs.select("source", F.explode(F.split(normalize_text("text"), " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.max("c").cast("long").alias("top_word_count"),
+    )
+
+
+O_VOCAB_RICHNESS = """
+with wds as (
+  select source,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) as w
+  from documents
+),
+cnt as (select source, w, count(*) as c from wds group by 1, 2)
+select source,
+  cast(sum(c) as bigint) as n_tokens,
+  cast(count(*) as bigint) as n_vocab,
+  cast(sum((c = 1)::int) as bigint) as n_hapax,
+  cast(max(c) as bigint) as top_word_count
+from cnt group by 1
+"""
+
+QUERIES["vocab_richness"] = q_vocab_richness
+ORACLES["vocab_richness"] = O_VOCAB_RICHNESS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
