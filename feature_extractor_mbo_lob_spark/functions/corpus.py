@@ -842,3 +842,84 @@ def span_corruption_targets(
     return agg.withColumn(
         "target_md5", F.when(F.col("n_masked") > 0, F.col("target_md5"))
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed small query-term
+    set (the retrieval scorer behind corpus search / RAG-index triage;
+    complements tf_idf_top_terms, which ranks terms within a doc).
+
+    idf(t)   = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))   (the +1 form,
+               always positive, as in Lucene)
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: the one full-corpus pass is the doc-length aggregate
+    (explode -> per-doc count); the term side filters exploded words to
+    the query set BEFORE its shuffle, so tf traffic is O(matching words),
+    not O(corpus). N/avgdl/df_t all reduce to two broadcastable 1-row
+    aggregates, and the score is a fixed-order closed-form expression
+    over integer tf/dl/df columns — per-doc work is pure projection.
+
+    Determinism: every aggregate the score reads is an integer count, so
+    the floating-point expression evaluates over identical operands in an
+    identical order on any engine; only ln() is engine-libm (canonicalize
+    with round-6 downstream).
+    """
+    terms = list(query_terms)
+    idx = range(len(terms))
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
+    )
+    dl = words.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        words.filter(F.col("word").isin(terms))
+        .groupBy("id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("word") == terms[i], 1).otherwise(0))
+                .cast("long")
+                .alias(f"tf_{i}")
+                for i in idx
+            ]
+        )
+    )
+    cs = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("len_total"),
+    )
+    dfreq = tf.agg(
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}") for i in idx]
+    )
+    scored = tf.join(dl, "id").crossJoin(F.broadcast(cs)).crossJoin(F.broadcast(dfreq))
+    avgdl = F.col("len_total").cast("double") / F.col("n_docs").cast("double")
+    score = F.lit(0.0)
+    for i in idx:
+        tfc = F.col(f"tf_{i}").cast("double")
+        dfc = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        )
+        score = score + idf * tfc * F.lit(k1 + 1.0) / (
+            tfc
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+        )
+    n_matched = F.lit(0)
+    tf_total = F.lit(0)
+    for i in idx:
+        n_matched = n_matched + (F.col(f"tf_{i}") > 0).cast("long")
+        tf_total = tf_total + F.col(f"tf_{i}")
+    return scored.select(
+        "id",
+        F.col("dl").cast("long").alias("dl"),
+        tf_total.cast("long").alias("tf_total"),
+        n_matched.cast("long").alias("n_matched"),
+        score.alias("bm25"),
+    )

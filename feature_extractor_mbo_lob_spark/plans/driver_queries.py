@@ -7145,6 +7145,67 @@ QUERIES["vocab_richness"] = q_vocab_richness
 ORACLES["vocab_richness"] = O_VOCAB_RICHNESS
 
 
+# --- BM25 retrieval scoring -------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "window", "scan")
+
+
+def q_bm25_scores(spark, sf_dir):
+    """Okapi BM25 relevance of every document to a fixed 4-term query —
+    the retrieval scorer behind corpus search / RAG-index triage. Integer
+    tf/dl/df feed a fixed-order closed-form score (only ln is engine-libm;
+    _r6x canonicalized). Matched docs only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.bm25_scores(docs, _BM25_TERMS, k1=1.2, b=0.75)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "dl",
+        "tf_total",
+        "n_matched",
+        _r6x(F.col("bm25"), "bm25"),
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = _BM25_TERMS
+    idx = range(len(terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ",\n    ".join(
+        f"sum(case when word = '{terms[i]}' then 1 else 0 end) as tf_{i}" for i in idx
+    )
+    df_cols = ", ".join(f"sum((tf_{i} > 0)::int) as df_{i}" for i in idx)
+    score = " + ".join(
+        f"ln(1.0 + (cast(n_docs as double) - cast(df_{i} as double) + 0.5) "
+        f"/ (cast(df_{i} as double) + 0.5)) * cast(tf_{i} as double) * 2.2 "
+        f"/ (cast(tf_{i} as double) + 1.2 * (0.25 + 0.75 * cast(dl as double) "
+        f"/ (cast(len_total as double) / cast(n_docs as double))))"
+        for i in idx
+    )
+    matched = " + ".join(f"(tf_{i} > 0)::int" for i in idx)
+    tft = " + ".join(f"tf_{i}" for i in idx)
+    return f"""
+with {_WORDS_CTE},
+ww as (select doc_id, unnest(words) as word from w),
+dl as (select doc_id, count(*) as dl from ww group by doc_id),
+tf as (
+  select doc_id,
+    {tf_cols}
+  from ww where word in ({in_list}) group by doc_id
+),
+cs as (select cast(count(*) as bigint) as n_docs, cast(sum(dl) as bigint) as len_total from dl),
+dfq as (select {df_cols} from tf)
+select tf.doc_id, cast(dl as bigint) as dl,
+  cast({tft} as bigint) as tf_total,
+  cast({matched} as bigint) as n_matched,
+  {_r6x_sql(score)} as bm25
+from tf join dl using (doc_id) cross join cs cross join dfq
+"""
+
+
+QUERIES["bm25_scores"] = q_bm25_scores
+ORACLES["bm25_scores"] = _bm25_oracle()
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -253,3 +253,37 @@ def test_cdc_chunking_edit_locality(spark):
     # all but the edited chunk's digests survive the insertion
     assert len(shared) >= len(d1) - 2, (len(d1), len(d2), len(shared))
     assert d1 != d2
+
+
+def test_bm25_matches_naive(spark):
+    rows = [
+        (0, "spark spark window join merge"),
+        (1, "window window window shuffle sort"),
+        (2, "join sort agg filter"),        # no query term
+        (3, "spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "window"]
+    out = {r.id: r for r in corpus.bm25_scores(df, terms, k1=1.2, b=0.75).collect()}
+
+    # naive reference
+    import math
+    docs = {i: t.split() for i, t in rows}
+    N = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / N
+    dfreq = {t: sum(1 for w in docs.values() if t in w) for t in terms}
+    for i, w in docs.items():
+        exp = 0.0
+        for t in terms:
+            tf = w.count(t)
+            idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            exp += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(w) / avgdl))
+        if all(t not in w for t in terms):
+            assert i not in out          # unmatched docs are dropped
+        else:
+            r = out[i]
+            assert abs(r.bm25 - exp) < 1e-9
+            assert r.dl == len(w)
+            assert r.n_matched == sum(1 for t in terms if t in w)
+    # doc 3 (short, contains rare-ish term) outranks doc 2 absent entirely
+    assert out[0].bm25 > out[3].bm25 > 0
