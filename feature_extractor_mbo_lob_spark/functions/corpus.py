@@ -923,3 +923,74 @@ def bm25_scores(
         n_matched.cast("long").alias("n_matched"),
         score.alias("bm25"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations (adjacent word pairs) ranked by corpus frequency,
+    scored with pointwise mutual information — the standard phrase-mining
+    signal (word2vec-phrases, tokenizer merge candidates).
+
+    pmi(a,b) = ln( (c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni)) )
+
+    Ranking is (bigram count desc, gram asc) — pure integers, so every
+    engine selects and orders the identical k rows; PMI itself is emitted
+    for consumers from a closed-form expression over integer counts
+    (canonicalize round-6 downstream; only ln is engine-libm).
+
+    Scale shape: bigram + unigram counts are two explode -> partial-agg
+    shuffles (|distinct grams| traffic); min_count prunes the long tail
+    BEFORE the global top-k, which runs as TakeOrderedAndProject
+    (per-partition heaps, k rows to the driver-side merge — never a full
+    sort); the unigram joins see only k rows on the probe side.
+    """
+    from .repetition import gram_counts
+
+    bi_all = (
+        gram_counts(df, id_col, text_col)
+        .groupBy("gram")
+        .agg(F.sum("cnt").alias("c_ab"))
+    )
+    # N_bi counts ALL bigram occurrences (PMI must not depend on min_count)
+    n_bi = bi_all.agg(F.sum("c_ab").cast("long").alias("n_bi"))
+    bi = bi_all.filter(F.col("c_ab") >= min_count)
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
+    )
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
+    n_uni = uni.agg(F.sum("c_w").cast("long").alias("n_uni"))
+    top = bi.orderBy(F.col("c_ab").desc(), F.col("gram").asc()).limit(k)
+    top = top.withColumn("w_a", F.split("gram", " ")[0]).withColumn(
+        "w_b", F.split("gram", " ")[1]
+    )
+    ua = uni.select(F.col("word").alias("w_a"), F.col("c_w").alias("c_a"))
+    ub = uni.select(F.col("word").alias("w_b"), F.col("c_w").alias("c_b"))
+    # broadcast the k-row side both times; the |vocab| unigram table
+    # streams through the broadcast-hash join without ever shuffling wide
+    j = (
+        F.broadcast(top).join(ua, "w_a")
+        .join(ub, "w_b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    w = Window.orderBy(F.col("c_ab").desc(), F.col("gram").asc())
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.col("n_bi").cast("double"))
+        / (
+            (F.col("c_a").cast("double") / F.col("n_uni").cast("double"))
+            * (F.col("c_b").cast("double") / F.col("n_uni").cast("double"))
+        )
+    )
+    return j.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "gram",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        pmi.alias("pmi"),
+    )

@@ -7206,6 +7206,56 @@ QUERIES["bm25_scores"] = q_bm25_scores
 ORACLES["bm25_scores"] = _bm25_oracle()
 
 
+# --- PMI collocations -------------------------------------------------------------
+
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 adjacent-pair collocations by corpus frequency with PMI —
+    phrase-mining / tokenizer-merge candidates. Integer rank keys pick
+    identical rows on every engine; PMI closed-form from integer counts,
+    _r6x canonicalized."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.pmi_collocations(docs, min_count=5, k=20)
+    return out.select(
+        "rank", "gram", "c_ab", "c_a", "c_b", _r6x(F.col("pmi"), "pmi")
+    )
+
+
+O_PMI_COLLOCATIONS = f"""
+with {_WORDS_CTE},
+ww as (select doc_id, unnest(words) as word from w),
+uni as (select word, count(*) as c_w from ww group by word),
+nu as (select cast(sum(c_w) as bigint) as n_uni from uni),
+grams as (
+  select doc_id,
+    unnest([array_to_string(words[i:i+1], ' ') for i in range(1, len(words))]) as gram
+  from w
+),
+bi_all as (select gram, count(*) as c_ab from grams group by gram),
+nb as (select cast(sum(c_ab) as bigint) as n_bi from bi_all),
+bi as (select gram, c_ab from bi_all where c_ab >= 5),
+top as (
+  select gram, c_ab, row_number() over (order by c_ab desc, gram asc) as rank
+  from bi qualify rank <= 20
+)
+select cast(rank as bigint) as rank, gram,
+  cast(c_ab as bigint) as c_ab,
+  cast(ua.c_w as bigint) as c_a,
+  cast(ub.c_w as bigint) as c_b,
+  {_r6x_sql(
+      "ln((cast(c_ab as double) / cast(n_bi as double)) "
+      "/ ((cast(ua.c_w as double) / cast(n_uni as double)) "
+      "* (cast(ub.c_w as double) / cast(n_uni as double))))"
+  )} as pmi
+from top
+join uni ua on ua.word = string_split(top.gram, ' ')[1]
+join uni ub on ub.word = string_split(top.gram, ' ')[2]
+cross join nu cross join nb
+"""
+
+QUERIES["pmi_collocations"] = q_pmi_collocations
+ORACLES["pmi_collocations"] = O_PMI_COLLOCATIONS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

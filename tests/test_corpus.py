@@ -287,3 +287,34 @@ def test_bm25_matches_naive(spark):
             assert r.n_matched == sum(1 for t in terms if t in w)
     # doc 3 (short, contains rare-ish term) outranks doc 2 absent entirely
     assert out[0].bm25 > out[3].bm25 > 0
+
+
+def test_pmi_collocations(spark):
+    # "new york" always adjacent (high PMI); "the cat"/"the dog" share a
+    # frequent left word (lower PMI). min_count prunes singletons.
+    rows = []
+    for i in range(6):
+        rows.append((i, "new york is big and the cat sat"))
+    for i in range(6, 12):
+        rows.append((i, "the dog ran to new york again"))
+    for i in range(12, 18):
+        rows.append((i, "the table holds the lamp"))  # 'the' without 'cat'
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.pmi_collocations(df, min_count=5, k=10).collect()
+    by_gram = {r.gram: r for r in out}
+    assert "new york" in by_gram
+    ny = by_gram["new york"]
+    assert ny.c_ab == 12 and ny.c_a == 12 and ny.c_b == 12
+    # ranks are 1..n, unique, ordered by count desc then gram
+    ranks = [r.rank for r in sorted(out, key=lambda r: r.rank)]
+    assert ranks == list(range(1, len(out) + 1))
+    # perfectly-coupled pair has higher PMI than 'the cat' (the appears 12x)
+    assert ny.pmi > by_gram["the cat"].pmi
+    # every surviving gram met min_count
+    assert all(r.c_ab >= 5 for r in out)
+
+    import math
+    n_uni = sum(len(t.split()) for _, t in rows)
+    n_bi = sum(len(t.split()) - 1 for _, t in rows)
+    exp = math.log((12 / n_bi) / ((12 / n_uni) * (12 / n_uni)))
+    assert abs(ny.pmi - exp) < 1e-9
