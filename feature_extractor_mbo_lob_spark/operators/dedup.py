@@ -739,3 +739,47 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    strong_bands: int = 2,
+) -> DataFrame:
+    """Source-pair contamination matrix: how much near-duplicate mass
+    connects each (source, source) cell, from any candidate-pair frame
+    (MinHash-LSH, winnowing, simhash) with ``id_a``/``id_b`` columns.
+
+    The first question a corpus owner asks after a dedup sweep is not
+    "which pairs" but "WHICH SOURCES are copying each other" — crawl
+    mirrors, cross-posted forums, dataset re-releases. Emits per
+    unordered source pair: candidate-pair count, strong-pair count
+    (>= ``strong_bands`` band collisions when the pair frame carries
+    ``n_bands``; otherwise equal to n_pairs), and total band mass.
+
+    Scale shape: two id-keyed equi joins decorate the bounded pair set
+    with sources (the big doc->source side never self-joins), then one
+    tiny groupBy over |sources|^2 cells. Orientation is normalized with
+    least/greatest so (a,b) and (b,a) land in one cell. All-integer
+    output.
+    """
+    has_bands = "n_bands" in pairs.columns
+    nb = F.col("n_bands") if has_bands else F.lit(1)
+    strong = (nb >= strong_bands) if has_bands else F.lit(True)
+    src = docs.select(F.col(id_col), F.col(source_col))
+    a = src.select(F.col(id_col).alias("id_a"), F.col(source_col).alias("_src_a"))
+    b = src.select(F.col(id_col).alias("id_b"), F.col(source_col).alias("_src_b"))
+    m = pairs.join(a, "id_a").join(b, "id_b")
+    return (
+        m.groupBy(
+            F.least("_src_a", "_src_b").alias("src_x"),
+            F.greatest("_src_a", "_src_b").alias("src_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(strong.cast("long")).cast("long").alias("n_strong"),
+            F.sum(nb).cast("long").alias("band_mass"),
+        )
+    )

@@ -7256,6 +7256,34 @@ QUERIES["pmi_collocations"] = q_pmi_collocations
 ORACLES["pmi_collocations"] = O_PMI_COLLOCATIONS
 
 
+# --- cross-source contamination matrix --------------------------------------------
+
+def q_source_overlap(spark, sf_dir):
+    """Which sources near-duplicate each other: MinHash-LSH candidate
+    pairs decorated with each side's source, folded into an unordered
+    source-pair matrix. All-integer cells."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+    return dedup.cross_source_overlap(docs, pairs, strong_bands=2)
+
+
+O_SOURCE_OVERLAP = f"""
+with cq as ({_minhash_lsh_oracle()})
+select least(sa.source, sb.source) as src_x,
+  greatest(sa.source, sb.source) as src_y,
+  cast(count(*) as bigint) as n_pairs,
+  cast(sum((cq.n_bands >= 2)::int) as bigint) as n_strong,
+  cast(sum(cq.n_bands) as bigint) as band_mass
+from cq
+join documents sa on sa.doc_id = cq.id_a
+join documents sb on sb.doc_id = cq.id_b
+group by 1, 2
+"""
+
+QUERIES["source_overlap"] = q_source_overlap
+ORACLES["source_overlap"] = O_SOURCE_OVERLAP
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

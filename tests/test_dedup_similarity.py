@@ -377,3 +377,28 @@ class TestQuantizedANN:
             or approx.get(k) in {exact.get((k[0], j)) for j in (1, 2, 3)}
         )
         assert hits / len(keys) >= 0.85, hits / len(keys)
+
+
+def test_cross_source_overlap(spark):
+    from feature_extractor_mbo_lob_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "c")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1, 4), (0, 2, 2), (1, 2, 1), (2, 3, 3)],
+        "id_a long, id_b long, n_bands long",
+    )
+    out = {(r.src_x, r.src_y): r for r in dedup.cross_source_overlap(docs, pairs).collect()}
+    assert out[("a", "a")].n_pairs == 1 and out[("a", "a")].band_mass == 4
+    ab = out[("a", "b")]
+    assert ab.n_pairs == 2 and ab.n_strong == 1 and ab.band_mass == 3
+    assert out[("b", "c")].n_pairs == 1
+    # orientation-normalized: no ('b','a') cell
+    assert ("b", "a") not in out
+
+    # pair frames without n_bands degrade gracefully (every pair 'strong')
+    p2 = pairs.drop("n_bands")
+    out2 = {(r.src_x, r.src_y): r for r in dedup.cross_source_overlap(docs, p2).collect()}
+    assert out2[("a", "b")].n_pairs == 2 and out2[("a", "b")].n_strong == 2
