@@ -498,3 +498,94 @@ def quantize_embeddings_int8(
         ),
     )).otherwise(F.transform(v, lambda x: F.lit(0)))
     return df.withColumn(out_col, q).withColumn(f"{out_col}_scale", mx)
+
+
+def label_separability(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Embedding-space class separability: for every unordered label pair,
+    the squared centroid distance, each side's within-class mean squared
+    scatter, and the Fisher-style ratio dist2 / (msd_a + msd_b) — the
+    report that says whether labels are linearly separable BEFORE anyone
+    trains a probe on 100 TB of embeddings.
+
+    Exactness strategy (the cross-engine float discipline): lanes are
+    quantized once to integers (floor(v*scale + 0.5)); everything until
+    the final quotients is integer sums —
+
+      S_l[d]  = sum of lane d over label l        (int64)
+      S2_l    = sum of squared lanes              (int64)
+      SS_l    = sum_d S_l[d]^2                    (decimal: > 64 bits)
+      D2_ab   = sum_d (S_a[d]*n_b - S_b[d]*n_a)^2 (decimal)
+
+    msd_l = (S2_l - SS_l/n)/n / scale^2 and dist2 = D2/(n_a*n_b)^2/scale^2
+    are then fixed-order double expressions over exact operands, so any
+    engine computes bit-identical values. Decimal lanes make the integer
+    sums order-free (no float-summation nondeterminism at any width).
+
+    Scale shape: one explode -> (label, lane) partial-agg shuffle over
+    |labels|*dim rows, one |labels|-row aggregate, and a lane-keyed join
+    of two |labels|*dim frames — nothing grows with corpus size after the
+    first map-side combine.
+    """
+    lanes = emb.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("lane", "v"),
+    ).withColumn("s", F.floor(F.col("v") * F.lit(scale) + F.lit(0.5)).cast("long"))
+    per = lanes.groupBy("lbl", "lane").agg(
+        F.sum("s").alias("ssum"), F.sum(F.col("s") * F.col("s")).alias("s2"),
+    )
+    dec = lambda c: c.cast("decimal(18,0)")
+    stats = per.groupBy("lbl").agg(
+        F.sum(dec(F.col("ssum")) * dec(F.col("ssum"))).alias("ss"),
+        F.sum("s2").alias("s2"),
+    )
+    n = emb.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    side = F.broadcast(stats.join(n, "lbl"))
+    msd = (
+        (F.col("s2").cast("double") - F.col("ss").cast("double") / F.col("n").cast("double"))
+        / F.col("n").cast("double") / F.lit(scale * scale)
+    )
+    side = side.withColumn("msd", msd)
+
+    a = per.select(F.col("lbl").alias("la"), "lane", F.col("ssum").alias("sa"))
+    b = per.select(F.col("lbl").alias("lb"), "lane", F.col("ssum").alias("sb"))
+    na = n.select(F.col("lbl").alias("la"), F.col("n").alias("na"))
+    nb = n.select(F.col("lbl").alias("lb"), F.col("n").alias("nb"))
+    diff = dec(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+    d2 = (
+        a.join(b, "lane")
+        .filter(F.col("la") < F.col("lb"))
+        .join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .groupBy("la", "lb", "na", "nb")
+        .agg(F.sum(diff * diff).alias("d2i"))
+    )
+    dist2 = (
+        F.col("d2i").cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        / F.lit(scale * scale)
+    )
+    sa_side = side.select(F.col("lbl").alias("la"), F.col("msd").alias("msd_a"))
+    sb_side = side.select(F.col("lbl").alias("lb"), F.col("msd").alias("msd_b"))
+    out = (
+        d2.join(F.broadcast(sa_side), "la")
+        .join(F.broadcast(sb_side), "lb")
+        .withColumn("dist2", dist2)
+    )
+    return out.select(
+        F.col("la").alias("label_a"),
+        F.col("lb").alias("label_b"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "dist2",
+        "msd_a",
+        "msd_b",
+        (F.col("dist2") / (F.col("msd_a") + F.col("msd_b"))).alias("fisher"),
+    )

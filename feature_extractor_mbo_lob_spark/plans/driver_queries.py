@@ -7284,6 +7284,86 @@ QUERIES["source_overlap"] = q_source_overlap
 ORACLES["source_overlap"] = O_SOURCE_OVERLAP
 
 
+# --- embedding label separability --------------------------------------------------
+
+def q_label_separability(spark, sf_dir):
+    """Fisher-style class-separability report over the embeddings table:
+    per unordered label pair, squared centroid distance, each side's
+    within-class scatter, and their ratio — all from integer lane sums
+    (decimal-exact), final quotients _r6x'd."""
+    from ..operators.similarity import label_separability
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = label_separability(emb)
+    return out.select(
+        F.col("label_a").cast("long").alias("label_a"),
+        F.col("label_b").cast("long").alias("label_b"),
+        "n_a",
+        "n_b",
+        _r6x(F.col("dist2"), "dist2"),
+        _r6x(F.col("msd_a"), "msd_a"),
+        _r6x(F.col("msd_b"), "msd_b"),
+        _r6x(F.col("fisher"), "fisher"),
+    )
+
+
+O_LABEL_SEPARABILITY = f"""
+with lanes as (
+  select label,
+    generate_subscripts(embedding, 1) - 1 as lane,
+    cast(floor(cast(unnest(embedding) as double) * 1000000.0 + 0.5) as bigint) as s
+  from embeddings
+),
+per as (
+  select label, lane, cast(sum(s) as bigint) as ssum,
+    cast(sum(s * s) as bigint) as s2
+  from lanes group by 1, 2
+),
+st as (
+  select label,
+    sum(cast(ssum as hugeint) * cast(ssum as hugeint)) as ss,
+    cast(sum(s2) as bigint) as s2t
+  from per group by 1
+),
+nn as (select label, cast(count(*) as bigint) as n from embeddings group by 1),
+m as (
+  select st.label,
+    (cast(s2t as double) - cast(ss as double) / cast(n as double))
+      / cast(n as double) / 1000000000000.0 as msd
+  from st join nn using (label)
+),
+pd as (
+  select a.label as la, b.label as lb, na.n as na, nb.n as nb,
+    sum(cast(a.ssum * nb.n - b.ssum * na.n as hugeint)
+        * cast(a.ssum * nb.n - b.ssum * na.n as hugeint)) as d2i
+  from per a
+  join per b on a.lane = b.lane and a.label < b.label
+  join nn na on na.label = a.label
+  join nn nb on nb.label = b.label
+  group by 1, 2, 3, 4
+),
+f as (
+  select la, lb, na, nb,
+    cast(d2i as double) / (cast(na as double) * cast(nb as double))
+      / (cast(na as double) * cast(nb as double)) / 1000000000000.0 as dist2,
+    ma.msd as msd_a, mb.msd as msd_b
+  from pd
+  join m ma on ma.label = pd.la
+  join m mb on mb.label = pd.lb
+)
+select cast(la as bigint) as label_a, cast(lb as bigint) as label_b,
+  na as n_a, nb as n_b,
+  {_r6x_sql("dist2")} as dist2,
+  {_r6x_sql("msd_a")} as msd_a,
+  {_r6x_sql("msd_b")} as msd_b,
+  {_r6x_sql("dist2 / (msd_a + msd_b)")} as fisher
+from f
+"""
+
+QUERIES["label_separability"] = q_label_separability
+ORACLES["label_separability"] = O_LABEL_SEPARABILITY
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -402,3 +402,33 @@ def test_cross_source_overlap(spark):
     p2 = pairs.drop("n_bands")
     out2 = {(r.src_x, r.src_y): r for r in dedup.cross_source_overlap(docs, p2).collect()}
     assert out2[("a", "b")].n_pairs == 2 and out2[("a", "b")].n_strong == 2
+
+
+def test_label_separability_matches_numpy(spark):
+    import numpy as np
+
+    from feature_extractor_mbo_lob_spark.operators.similarity import label_separability
+
+    rng = np.random.RandomState(7)
+    centers = {0: np.array([1.0, 0.0, 0.0]), 1: np.array([-1.0, 0.5, 0.0])}
+    rows, vecs = [], {0: [], 1: []}
+    vid = 0
+    for lbl, c in centers.items():
+        for _ in range(40):
+            v = c + rng.normal(0, 0.05, 3)
+            vecs[lbl].append(v)
+            rows.append((vid, [float(x) for x in v], lbl))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    out = label_separability(emb).collect()
+    assert len(out) == 1
+    r = out[0]
+    # numpy reference on the quantized lanes (the operator's declared space)
+    q = {l: np.floor(np.array(v) * 1e6 + 0.5) for l, v in vecs.items()}
+    cent = {l: a.mean(axis=0) for l, a in q.items()}
+    msd = {l: ((a - cent[l]) ** 2).sum(axis=1).mean() / 1e12 for l, a in q.items()}
+    dist2 = ((cent[0] - cent[1]) ** 2).sum() / 1e12
+    assert abs(r.dist2 - dist2) < 1e-6
+    assert abs(r.msd_a - msd[0]) < 1e-6 and abs(r.msd_b - msd[1]) < 1e-6
+    # well-separated clusters: fisher ratio must be large
+    assert r.fisher > 50
