@@ -994,3 +994,75 @@ def pmi_collocations(
         F.col("c_b").cast("long").alias("c_b"),
         pmi.alias("pmi"),
     )
+
+
+def diversified_top_k(
+    df: DataFrame,
+    order_cols,
+    k: int = 20,
+    per_group_cap: int = 3,
+    group_col: str = "source",
+) -> DataFrame:
+    """Diversity-constrained top-k: global best ``k`` rows under a hard
+    per-group cap (at most ``per_group_cap`` rows per ``group_col``) —
+    the search-result / RAG-context diversification rule ("no source may
+    monopolize the context window").
+
+    ``order_cols`` is a list of (column, 'asc'|'desc') pairs; make the
+    ranking key integer-valued plus a unique id tiebreak so every engine
+    selects identical rows.
+
+    Scale shape: the per-group cap is one group-partitioned row_number
+    (shuffle by group key, partial nothing — but each group's window
+    state is O(1)); survivors (<= cap * |groups| rows) then take the
+    global top-k as TakeOrderedAndProject, never a full sort.
+    """
+    ordering = [
+        F.col(c).desc() if d.lower().startswith("d") else F.col(c).asc()
+        for c, d in order_cols
+    ]
+    wg = Window.partitionBy(group_col).orderBy(*ordering)
+    capped = (
+        df.withColumn("_gr", F.row_number().over(wg))
+        .filter(F.col("_gr") <= per_group_cap)
+        .drop("_gr")
+    )
+    top = capped.orderBy(*ordering).limit(k)
+    w = Window.orderBy(*ordering)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def curriculum_stages(
+    df: DataFrame,
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-based curriculum assignment: documents are ranked by token
+    count (shortest first — the standard easy-to-hard schedule for
+    seq2seq pretraining) and dealt into ``n_stages`` equal-depth stages
+    via ntile. Emits per-stage totals: doc count, token min/max/total —
+    the schedule table a trainer consumes to size each phase.
+
+    Determinism: the ntile ordering key is (token count, id) — pure
+    integers, so stage boundaries are identical on every engine.
+
+    Scale shape: ntile is one global sort — acceptable because its input
+    is the (id, n_tokens) projection, two columns, not documents; the
+    stage summary then partial-aggregates to ``n_stages`` rows. For a
+    true 100-TB corpus swap the exact ntile for percentile_approx
+    cutpoints on n_tokens (the engine's quantile_bin pattern) — exact
+    equal-depth staging is the oracle-grade twin.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.size(normalized_words(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("n_tokens").asc(), F.col("id").asc())
+    staged = toks.withColumn("stage", F.ntile(n_stages).over(w).cast("long"))
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("tok_min"),
+        F.max("n_tokens").cast("long").alias("tok_max"),
+        F.sum("n_tokens").cast("long").alias("tok_total"),
+    )

@@ -7364,6 +7364,80 @@ QUERIES["label_separability"] = q_label_separability
 ORACLES["label_separability"] = O_LABEL_SEPARABILITY
 
 
+# --- diversity-constrained top-k retrieval ----------------------------------------
+
+def q_diversified_topk(spark, sf_dir):
+    """RAG-context diversification: global top-20 BM25-matched docs under
+    a hard 3-per-source cap. Integer ranking key (tf_total desc, doc_id
+    asc) selects identical rows on every engine; bm25 rides as a value
+    column."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = corpus.bm25_scores(docs, _BM25_TERMS, k1=1.2, b=0.75).select(
+        F.col("id").alias("doc_id"), "tf_total", "n_matched", "bm25"
+    )
+    j = scored.join(docs.select("doc_id", "source"), "doc_id")
+    out = corpus.diversified_top_k(
+        j, [("tf_total", "desc"), ("doc_id", "asc")], k=20, per_group_cap=3,
+        group_col="source",
+    )
+    return out.select(
+        "rank", "doc_id", "source",
+        F.col("tf_total").cast("long").alias("tf_total"),
+        _r6x(F.col("bm25"), "bm25"),
+    )
+
+
+O_DIVERSIFIED_TOPK = f"""
+with bq as ({_bm25_oracle()}),
+j as (
+  select bq.doc_id, d.source, bq.tf_total, bq.bm25,
+    row_number() over (partition by d.source order by bq.tf_total desc, bq.doc_id asc) as gr
+  from bq join documents d using (doc_id)
+),
+c as (select * from j where gr <= 3),
+t as (
+  select doc_id, source, tf_total, bm25,
+    row_number() over (order by tf_total desc, doc_id asc) as rank
+  from c qualify rank <= 20
+)
+select cast(rank as bigint) as rank, doc_id, source,
+  cast(tf_total as bigint) as tf_total, bm25
+from t
+"""
+
+QUERIES["diversified_topk"] = q_diversified_topk
+ORACLES["diversified_topk"] = O_DIVERSIFIED_TOPK
+
+
+# --- length-based curriculum staging ----------------------------------------------
+
+def q_curriculum_stages(spark, sf_dir):
+    """Easy-to-hard curriculum schedule: equal-depth ntile stages over
+    (token count, doc_id), per-stage doc/token totals. All-integer."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.curriculum_stages(docs, n_stages=4)
+
+
+O_CURRICULUM_STAGES = f"""
+with {_WORDS_CTE},
+toks as (select doc_id as id, len(words) as n_tokens from w),
+st as (
+  select id, n_tokens,
+    ntile(4) over (order by n_tokens asc, id asc) as stage
+  from toks
+)
+select cast(stage as bigint) as stage,
+  cast(count(*) as bigint) as n_docs,
+  cast(min(n_tokens) as bigint) as tok_min,
+  cast(max(n_tokens) as bigint) as tok_max,
+  cast(sum(n_tokens) as bigint) as tok_total
+from st group by 1
+"""
+
+QUERIES["curriculum_stages"] = q_curriculum_stages
+ORACLES["curriculum_stages"] = O_CURRICULUM_STAGES
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -318,3 +318,32 @@ def test_pmi_collocations(spark):
     n_bi = sum(len(t.split()) - 1 for _, t in rows)
     exp = math.log((12 / n_bi) / ((12 / n_uni) * (12 / n_uni)))
     assert abs(ny.pmi - exp) < 1e-9
+
+
+def test_diversified_top_k_cap(spark):
+    rows = [(i, "s%d" % (i % 2), 100 - i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = corpus.diversified_top_k(
+        df, [("score", "desc"), ("doc_id", "asc")], k=5, per_group_cap=2,
+        group_col="source",
+    ).collect()
+    assert len(out) == 5 - 1  # 2 sources x cap 2 = only 4 rows survive
+    per_src = {}
+    for r in out:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    assert all(v <= 2 for v in per_src.values())
+    # global order respected: best scores first
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.doc_id for r in ranked] == [0, 1, 2, 3]
+
+
+def test_curriculum_stages_equal_depth(spark):
+    rows = [(i, "w " * (i + 1)) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.stage: r for r in corpus.curriculum_stages(df, n_stages=4).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert all(out[s].n_docs == 2 for s in out)
+    # shortest docs in stage 1, monotone stage boundaries
+    assert out[1].tok_max <= out[2].tok_min
+    assert out[3].tok_max <= out[4].tok_min
+    assert out[1].tok_min == 1 and out[4].tok_max == 8
