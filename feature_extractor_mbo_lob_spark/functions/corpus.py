@@ -1066,3 +1066,49 @@ def curriculum_stages(
         F.max("n_tokens").cast("long").alias("tok_max"),
         F.sum("n_tokens").cast("long").alias("tok_total"),
     )
+
+
+def zipf_fit(df: DataFrame, n_terms: int = 100, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit over the top-``n_terms`` vocabulary: OLS slope and
+    intercept of ln(count) on ln(rank). Natural text sits near slope -1;
+    a flat slope flags synthetic/templated corpora, a cliff flags
+    boilerplate — the one-row sanity report before trusting token
+    statistics.
+
+    Determinism: ln(rank)/ln(count) are quantized to integer nanos
+    (floor(ln(v)*1e9 + 0.5)) BEFORE summation, so the OLS sums are exact
+    decimal integers in any summation order (float sums over a groupBy
+    are order-nondeterministic across engines; integer sums are not).
+    The closed-form slope/intercept then evaluate in a fixed operand
+    order over exact values.
+
+    Scale shape: everything downstream of the vocab top-k (TakeOrdered,
+    |vocab| shuffle) touches only ``n_terms`` rows.
+    """
+    top = vocab_topk(df, k=n_terms, text_col=text_col)
+    q = top.select(
+        F.floor(F.log(F.col("rank").cast("double")) * F.lit(1e9) + F.lit(0.5))
+        .cast("long").alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * F.lit(1e9) + F.lit(0.5))
+        .cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(20,0)")
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    # sums are in nano-log units: slope is scale-free, intercept needs /1e9
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        F.col("n").alias("n_terms"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / nd / F.lit(1e9)).alias("intercept"),
+    )

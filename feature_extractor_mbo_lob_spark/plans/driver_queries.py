@@ -7438,6 +7438,52 @@ QUERIES["curriculum_stages"] = q_curriculum_stages
 ORACLES["curriculum_stages"] = O_CURRICULUM_STAGES
 
 
+# --- Zipf's-law fit ----------------------------------------------------------------
+
+def q_zipf_fit(spark, sf_dir):
+    """One-row Zipf diagnostic: OLS slope/intercept of ln(cnt) on
+    ln(rank) over the top-100 vocabulary, from integer nano-log sums."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.zipf_fit(docs, n_terms=100)
+    return out.select(
+        "n_terms", _r6x(F.col("slope"), "slope"), _r6x(F.col("intercept"), "intercept")
+    )
+
+
+_ZIPF_SLOPE = (
+    "(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))"
+    " / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+)
+
+O_ZIPF_FIT = f"""
+with {_WORDS_CTE},
+wc as (select unnest(words) as word from w),
+c as (select word, count(*) as cnt from wc group by word),
+r as (select word, cnt, row_number() over (order by cnt desc, word asc) as rank from c),
+t as (select rank, cnt from r where rank <= 100),
+q as (
+  select
+    cast(floor(ln(cast(rank as double)) * 1000000000.0 + 0.5) as bigint) as x,
+    cast(floor(ln(cast(cnt as double)) * 1000000000.0 + 0.5) as bigint) as y
+  from t
+),
+s as (
+  select cast(count(*) as bigint) as n,
+    cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+    sum(cast(x as hugeint) * cast(x as hugeint)) as sxx,
+    sum(cast(x as hugeint) * cast(y as hugeint)) as sxy
+  from q
+)
+select n as n_terms,
+  {_r6x_sql(_ZIPF_SLOPE)} as slope,
+  {_r6x_sql(f"(cast(sy as double) - ({_ZIPF_SLOPE}) * cast(sx as double)) / cast(n as double) / 1000000000.0")} as intercept
+from s
+"""
+
+QUERIES["zipf_fit"] = q_zipf_fit
+ORACLES["zipf_fit"] = O_ZIPF_FIT
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

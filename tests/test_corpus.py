@@ -347,3 +347,17 @@ def test_curriculum_stages_equal_depth(spark):
     assert out[1].tok_max <= out[2].tok_min
     assert out[3].tok_max <= out[4].tok_min
     assert out[1].tok_min == 1 and out[4].tok_max == 8
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    # synthetic corpus with an exact power law: word i appears floor(1000/i)
+    # times -> ln cnt ~ -1 * ln rank + ln 1000
+    import math
+    words = []
+    for i in range(1, 51):
+        words += [f"w{i:03d}"] * (1000 // i)
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    r = corpus.zipf_fit(df, n_terms=50).collect()[0]
+    assert r.n_terms == 50
+    assert -1.05 < r.slope < -0.95
+    assert abs(r.intercept - math.log(1000)) < 0.1
