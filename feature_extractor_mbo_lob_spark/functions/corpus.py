@@ -1112,3 +1112,61 @@ def zipf_fit(df: DataFrame, n_terms: int = 100, text_col: str = "text") -> DataF
         slope.alias("slope"),
         ((sy - slope * sx) / nd / F.lit(1e9)).alias("intercept"),
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> "list[tuple[int, str, str, str, int]]":
+    """Distributed BPE tokenizer training: learn the first ``n_merges``
+    byte-pair merge rules over the corpus, greedy-highest-frequency each
+    round (Sennrich et al.) — returns [(merge_idx, left, right, merged,
+    weight), ...].
+
+    Distribution shape (the part that matters at 100 TB): the corpus is
+    collapsed ONCE to the (word, freq) vocabulary — every subsequent
+    round runs on |vocab| rows, not corpus rows. Each round is one
+    explode -> weighted pair count (map-side combined), a TakeOrdered(1)
+    for the winning pair, and a per-row string replace to apply it. The
+    only driver state is the merge table itself (k rows — the learned
+    model), exactly like the k-means centroid loop.
+
+    Token sequences are bracket-framed strings ("<h><e><l><l><o><$>"):
+    `replace(s, '<a><b>', '<ab>')` is then EXACTLY greedy left-to-right
+    non-overlapping pair merging (adjacent matches share no characters),
+    with identical semantics in any engine's plain `replace`. `$` marks
+    end-of-word; the vocabulary is restricted to /^[a-z]+$/ so frame
+    characters can never collide with token text.
+    """
+    wc = word_counts(df, text_col).filter(F.col("word").rlike("^[a-z]+$"))
+    cur = wc.select(
+        F.concat(
+            F.lit("<"), F.array_join(F.split("word", ""), "><"), F.lit("><$>")
+        ).alias("s"),
+        F.col("cnt").alias("freq"),
+    ).localCheckpoint(eager=True)
+
+    rules = []
+    for i in range(n_merges):
+        toks = F.split(F.expr("substring(s, 2, length(s)-2)"), "><")
+        shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+        pair = F.zip_with(toks, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+        pairs = (
+            cur.select(F.explode(F.filter(pair, lambda p: p.isNotNull())).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("w"))
+        )
+        top = pairs.orderBy(F.col("w").desc(), F.col("pair").asc()).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0].pair.split(" ")
+        merged = a + b
+        rules.append((i, a, b, merged, int(top[0].w)))
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.col("s"), F.lit(f"<{a}><{b}>"), F.lit(f"<{merged}>")
+            ),
+        ).localCheckpoint(eager=True)
+    return rules

@@ -7484,6 +7484,62 @@ QUERIES["zipf_fit"] = q_zipf_fit
 ORACLES["zipf_fit"] = O_ZIPF_FIT
 
 
+# --- BPE tokenizer merge mining ----------------------------------------------------
+
+def q_bpe_merges(spark, sf_dir):
+    """First 6 BPE merge rules learned over the corpus vocabulary —
+    greedy-highest-weight each round, pair-asc tiebreak. The merge table
+    IS the learned model (driver-held k rows, like k-means centroids);
+    all counting is distributed on the (word,freq) vocab."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = corpus.bpe_merges(docs, n_merges=6)
+    return spark.createDataFrame(
+        rules, "merge_idx long, tok_a string, tok_b string, merged string, weight long"
+    )
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    parts = [f"""with {_WORDS_CTE},
+wc0 as (select unnest(words) as word from w),
+wc as (
+  select word, count(*) as cnt from wc0
+  where regexp_matches(word, '^[a-z]+$') group by word
+),
+v0 as (
+  select '<' || array_to_string(string_split(word, ''), '><') || '><$>' as s,
+    cnt as freq
+  from wc
+)"""]
+    for i in range(n_merges):
+        parts.append(f"""
+tk{i} as (select string_split(s[2:len(s)-1], '><') as toks, freq from v{i}),
+pr{i} as (
+  select unnest([toks[j] || ' ' || toks[j+1] for j in range(1, len(toks))]) as pair,
+    freq
+  from tk{i}
+),
+pc{i} as (select pair, sum(freq) as w from pr{i} group by pair),
+m{i} as (
+  select pair, w,
+    string_split(pair, ' ')[1] as a, string_split(pair, ' ')[2] as b
+  from pc{i} order by w desc, pair asc limit 1
+),
+v{i + 1} as (
+  select replace(s, '<' || a || '><' || b || '>', '<' || a || b || '>') as s, freq
+  from v{i}, m{i}
+)""")
+    arms = " union all ".join(
+        f"select cast({i} as bigint) as merge_idx, a as tok_a, b as tok_b, "
+        f"a || b as merged, cast(w as bigint) as weight from m{i}"
+        for i in range(n_merges)
+    )
+    return ",".join(parts) + "\n" + arms
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
+ORACLES["bpe_merges"] = _bpe_oracle()
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

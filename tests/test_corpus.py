@@ -361,3 +361,21 @@ def test_zipf_fit_recovers_power_law(spark):
     assert r.n_terms == 50
     assert -1.05 < r.slope < -0.95
     assert abs(r.intercept - math.log(1000)) < 0.1
+
+
+def test_bpe_merges_greedy_semantics(spark):
+    # 'aaab' x10, 'ab' x5: pair counts round 1: (a,a)=20, (a,b)=15, (b,$)=15,
+    # tie (a b) vs (b $) broken pair-asc -> round 1 merges (a,a)
+    df = spark.createDataFrame(
+        [(0, " ".join(["aaab"] * 10 + ["ab"] * 5))], "doc_id long, text string"
+    )
+    rules = corpus.bpe_merges(df, n_merges=3)
+    assert rules[0][1:4] == ("a", "a", "aa")
+    assert rules[0][4] == 20   # greedy within 'aaa': one non-overlapping match
+    # after merge 1: 'aaab' -> <aa><a><b>, 'ab' -> <a><b>
+    # round 2 pairs: (aa,a)=10, (a,b)=15, (b,$)=15 -> tie pair-asc: 'a b'
+    assert rules[1][1:4] == ("a", "b", "ab")
+    assert rules[1][4] == 15
+    # round 3: 'aaab'-><aa><ab>, 'ab'-><ab>: (aa,ab)=10, (ab,$)=15
+    assert rules[2][1:4] == ("ab", "$", "ab$")
+    assert rules[2][4] == 15
