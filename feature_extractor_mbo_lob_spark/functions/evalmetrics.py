@@ -1,0 +1,317 @@
+"""Model-evaluation and distribution-diagnostic metrics as distributed
+aggregates: AUC, confusion/F1, calibration (ECE), two-sample KS,
+Gini concentration, Shannon entropy.
+
+These are the metrics a training-data pipeline computes over *scored*
+corpora (quality classifiers, contamination probes, reward-model outputs)
+before a mixture decision. Every one is expressed as groupBy + window
+aggregation over value-collapsed frames — the heavy reduction happens
+map-side on the raw rows; the windowed/ordered part only ever touches the
+collapsed frame (distinct scores / distinct values / k bins), which is
+bounded by value cardinality, not corpus size.
+
+Determinism contract (same as the rest of the registry): all sums feeding
+a ratio are exact integers (longs or decimal(38,0)); each float is produced
+by ONE fixed-operand-order expression; ln() is quantized to integer nanos
+before any summation (the zipf_fit trick, corpus.py:1071).
+
+Reference analog: the reference validates its extracted features against
+golden stats (tests/golden in nagarx/feature-extractor-MBO-LOB); these
+operators generalize that gate to classifier-quality and drift checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_D38 = "decimal(38,0)"
+
+
+def _x6(c):
+    """Boundary-exact 6-decimal canonicalization (see plans.driver_queries._r6x)."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def binary_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC-AUC via the tie-aware Mann-Whitney rank-sum.
+
+    Collapses to one row per DISTINCT score first (map-side combine), so
+    the ordered cumulative pass runs over |distinct scores| rows — for a
+    quantized classifier score that is thousands of rows at any corpus
+    size. Ties get the average rank exactly: a block of ``cnt`` ties
+    starting after ``cum_before`` rows has rank sum
+    ``cnt * (2*cum_before + cnt + 1) / 2``; we keep the doubled sum so all
+    arithmetic stays integral (decimal(38,0) — rank*count products overflow
+    int64 beyond ~3e9 rows). AUC = (R_pos - n1(n1+1)/2) / (n1*n0).
+
+    Returns one row: (n_pos, n_neg, auc).
+    """
+    lbl = F.col(label_col).cast("int")
+    g = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(lbl).alias("pos"),
+    )
+    w = (
+        Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    dec = lambda c: c.cast(_D38)
+    two_r_pos = dec(F.col("pos")) * (
+        F.lit(2) * dec(cum_before) + dec(F.col("cnt")) + F.lit(1)
+    )
+    agg = g.select(two_r_pos.alias("tr"), "cnt", "pos").agg(
+        F.sum("tr").alias("two_r_pos"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+    )
+    n1 = F.col("n_pos").cast(_D38)
+    n0 = F.col("n_neg").cast(_D38)
+    auc = (
+        (F.col("two_r_pos") - n1 * (n1 + F.lit(1))).cast("double")
+        / (F.lit(2) * n1 * n0).cast("double")
+    )
+    return agg.select("n_pos", "n_neg", _x6(auc).alias("auc"))
+
+
+def confusion_report(
+    df: DataFrame, score_col: str, label_col: str, threshold
+) -> DataFrame:
+    """Thresholded binary-classification confusion counts + derived rates,
+    one aggregate pass (fully map-side combinable), one output row:
+    (tp, fp, fn, tn, accuracy, precision, recall, f1). f1 uses the
+    2tp/(2tp+fp+fn) form — single division over exact integers.
+    """
+    pred = (F.col(score_col) >= F.lit(threshold)).cast("int")
+    lbl = F.col(label_col).cast("int")
+    agg = df.agg(
+        F.sum(pred * lbl).cast("long").alias("tp"),
+        F.sum(pred * (1 - lbl)).cast("long").alias("fp"),
+        F.sum((1 - pred) * lbl).cast("long").alias("fn"),
+        F.sum((1 - pred) * (1 - lbl)).cast("long").alias("tn"),
+    )
+    d = lambda name: F.col(name).cast("double")
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        _x6((d("tp") + d("tn")) / (d("tp") + d("fp") + d("fn") + d("tn"))).alias("accuracy"),
+        _x6(d("tp") / (d("tp") + d("fp"))).alias("precision"),
+        _x6(d("tp") / (d("tp") + d("fn"))).alias("recall"),
+        _x6(F.lit(2.0) * d("tp") / (F.lit(2.0) * d("tp") + d("fp") + d("fn"))).alias("f1"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_num_col: str,
+    prob_den: int,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a RATIONAL probability score
+    ``prob = prob_num / prob_den`` (keeping the numerator integral makes
+    binning and the mean-confidence sum exact — float probabilities bin
+    nondeterministically at edges).
+
+    bin = min(floor(prob * n_bins), n_bins-1), computed on integers as
+    min(prob_num * n_bins / prob_den, n_bins-1). Per bin: row count, mean
+    confidence, empirical accuracy, |gap|. One groupBy over n_bins keys.
+    """
+    num = F.col(prob_num_col).cast("long")
+    b = F.least(
+        F.floor(num * F.lit(n_bins) / F.lit(prob_den)).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    lbl = F.col(label_col).cast("int")
+    g = (
+        df.select(b.alias("bin"), num.alias("num"), lbl.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("num").cast("long").alias("num_sum"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    conf = F.col("num_sum").cast("double") / (
+        F.col("n").cast("double") * F.lit(float(prob_den))
+    )
+    acc = F.col("pos").cast("double") / F.col("n").cast("double")
+    return g.select(
+        "bin", "n",
+        _x6(conf).alias("conf"),
+        _x6(acc).alias("acc"),
+        _x6(F.abs(conf - acc)).alias("abs_gap"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    prob_num_col: str,
+    prob_den: int,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """One-row ECE = sum_b (n_b/N) * |acc_b - conf_b|.
+
+    The per-bin gap |pos/n - num_sum/(n*den)| is a rational with exact
+    integer numerator |pos*den - num_sum| over denominator n*den, so
+    ECE = sum_b n_b/N * gap_b = (1/(N*den)) * sum_b |pos_b*den - num_sum_b|
+    — the entire statistic is ONE integer sum divided once at the end.
+    """
+    num = F.col(prob_num_col).cast("long")
+    b = F.least(
+        F.floor(num * F.lit(n_bins) / F.lit(prob_den)).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    lbl = F.col(label_col).cast("long")
+    g = (
+        df.select(b.alias("bin"), num.alias("num"), lbl.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("num").cast("long").alias("num_sum"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    gap_num = F.abs(
+        F.col("pos").cast(_D38) * F.lit(prob_den) - F.col("num_sum").cast(_D38)
+    )
+    out = g.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum(gap_num).alias("gsum"),
+    )
+    ece = F.col("gsum").cast("double") / (
+        F.col("n_rows").cast("double") * F.lit(float(prob_den))
+    )
+    return out.select("n_rows", "n_bins_used", _x6(ece).alias("ece"))
+
+
+def ks_two_sample(
+    df: DataFrame, value_col: str, group_col: str, group_a, group_b
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D statistic between the
+    ``value_col`` distributions of two groups.
+
+    D = max_v |F_a(v) - F_b(v)|. Collapse to one row per distinct value
+    with per-group counts (map-side combine), cumulative-sum both counts
+    over the value order, and take the max of the CROSS-MULTIPLIED gap
+    |cum_a*n_b - cum_b*n_a| — exact integers (decimal(38,0); the product
+    overflows int64 at ~3e9 x 3e9 rows), one division at the end:
+    D = max_gap / (n_a * n_b). The ordered pass runs over |distinct
+    values| rows only.
+
+    Returns one row: (n_a, n_b, d_stat).
+    """
+    gc = F.col(group_col)
+    base = df.where(gc.isin([group_a, group_b])).select(
+        F.col(value_col).alias("v"),
+        (gc == F.lit(group_a)).cast("long").alias("ia"),
+        (gc == F.lit(group_b)).cast("long").alias("ib"),
+    )
+    g = base.groupBy("v").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    dec = lambda name: F.col(name).cast(_D38)
+    # totals via the same cumulative frame's last row would need another
+    # pass; cheaper: window-total columns (unbounded both sides)
+    wt = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = cum.select(
+        "cum_a", "cum_b",
+        F.max("cum_a").over(wt).alias("n_a"),
+        F.max("cum_b").over(wt).alias("n_b"),
+    )
+    gap = F.abs(dec("cum_a") * dec("n_b") - dec("cum_b") * dec("n_a"))
+    agg = tot.select(gap.alias("gap"), "n_a", "n_b").agg(
+        F.max("gap").alias("max_gap"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+    )
+    d_stat = F.col("max_gap").cast("double") / (
+        F.col("n_a").cast(_D38) * F.col("n_b").cast(_D38)
+    ).cast("double")
+    return agg.select("n_a", "n_b", _x6(d_stat).alias("d_stat"))
+
+
+def gini_by_group(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Gini concentration coefficient of an integer ``value_col`` per
+    group: G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x sorted
+    ascending and i the 1-based rank.
+
+    Tie-order free: within a block of equal x the factor x is constant, so
+    sum(i*x) over the block is x * sum(i) regardless of which tied row
+    gets which rank — row_number() with ANY tiebreak yields the same sum.
+    Products go through decimal(38,0) (rank ~ n overflows i64*value).
+    The per-group sort is the standard Window.partitionBy shuffle — skew
+    in group sizes is the caller's salting problem, same as every other
+    per-entity window in this engine.
+
+    Returns one row per group: (group, n, total, gini).
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    i = F.row_number().over(w).cast(_D38)
+    x = F.col(value_col).cast(_D38)
+    g = (
+        df.select(F.col(group_col).alias("grp"), (i * x).alias("ix"), x.alias("x"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("s"),
+            F.sum("ix").alias("s1"),
+        )
+    )
+    n = F.col("n").cast(_D38)
+    gini = (
+        (F.lit(2) * F.col("s1") - (n + F.lit(1)) * F.col("s")).cast("double")
+        / (n * F.col("s")).cast("double")
+    )
+    return g.select(
+        "grp", "n",
+        F.col("s").cast("long").alias("total"),
+        _x6(gini).alias("gini"),
+    )
+
+
+def entropy_by_group(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """Shannon entropy (nats) of the ``key_col`` distribution within each
+    group: H = ln(N) - (1/N) * sum_k cnt_k * ln(cnt_k).
+
+    ln() is taken on exact integer counts and quantized to integer nanos
+    BEFORE the weighted sum (zipf_fit trick) so the reduction is an exact
+    decimal integer in any order; the closing expression is one fixed
+    operand sequence. Two groupBys: (group, key) then (group) — both
+    map-side combinable; no windows, no sorts.
+
+    Returns one row per group: (group, n, k_distinct, entropy).
+    """
+    kc = (
+        df.groupBy(F.col(group_col).alias("grp"), F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nlog = F.floor(
+        F.log(F.col("cnt").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast(_D38)
+    g = kc.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_distinct"),
+        F.sum(F.col("cnt").cast(_D38) * nlog).alias("wl"),
+    )
+    n_d = F.col("n").cast("double")
+    ent = (
+        F.floor(F.log(n_d) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+        - F.col("wl").cast("double") / n_d / F.lit(1e9)
+    )
+    return g.select("grp", "n", "k_distinct", _x6(ent).alias("entropy"))

@@ -7540,6 +7540,228 @@ QUERIES["bpe_merges"] = q_bpe_merges
 ORACLES["bpe_merges"] = _bpe_oracle()
 
 
+# --- evaluation-metric family: AUC / confusion / calibration / KS / Gini / entropy --
+
+from ..functions import evalmetrics
+
+
+def _scored_docs(spark, sf_dir):
+    """Deterministic scored corpus: score = n_chars, label drawn with
+    P(y=1) increasing in length via a fixed integer hash — the synthetic
+    stand-in for a quality-classifier score column."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lbl = (
+        (F.col("doc_id") * F.lit(2654435761)) % 1000
+        < F.least(F.col("n_chars"), F.lit(999))
+    ).cast("int")
+    return docs.select(F.col("n_chars").alias("s"), lbl.alias("y"))
+
+
+_SCORED_DOCS_SQL = """select n_chars as s,
+  case when (doc_id * 2654435761) % 1000 < least(n_chars, 999) then 1 else 0 end as y
+from documents"""
+
+
+def q_auc_score(spark, sf_dir):
+    """Exact tie-aware Mann-Whitney ROC-AUC of the length-correlated
+    label vs the length score. Distinct-score collapse first, so the
+    ordered pass is O(|distinct scores|)."""
+    return evalmetrics.binary_auc(_scored_docs(spark, sf_dir), "s", "y")
+
+
+O_AUC_SCORE = f"""
+with sc as ({_SCORED_DOCS_SQL}),
+g as (select s, count(*) as cnt, sum(y) as pos from sc group by s),
+c as (select cnt, pos,
+  coalesce(sum(cnt) over (order by s rows between unbounded preceding and 1 preceding), 0) as cb
+ from g),
+a as (select
+  sum(cast(pos as hugeint) * (2 * cast(cb as hugeint) + cnt + 1)) as tr,
+  cast(sum(pos) as bigint) as n1,
+  cast(sum(cnt) - sum(pos) as bigint) as n0
+ from c)
+select n1 as n_pos, n0 as n_neg,
+  {_r6x_sql("cast(tr - cast(n1 as hugeint) * (n1 + 1) as double) / cast(2 * cast(n1 as hugeint) * n0 as double)")} as auc
+from a
+"""
+
+QUERIES["auc_score"] = q_auc_score
+ORACLES["auc_score"] = O_AUC_SCORE
+
+
+def q_confusion_metrics(spark, sf_dir):
+    """Thresholded confusion counts + accuracy/precision/recall/F1 in one
+    map-side-combinable aggregate (threshold = 128 chars)."""
+    return evalmetrics.confusion_report(_scored_docs(spark, sf_dir), "s", "y", 128)
+
+
+O_CONFUSION_METRICS = f"""
+with sc as ({_SCORED_DOCS_SQL}),
+a as (select
+  cast(sum(case when s >= 128 and y = 1 then 1 else 0 end) as bigint) as tp,
+  cast(sum(case when s >= 128 and y = 0 then 1 else 0 end) as bigint) as fp,
+  cast(sum(case when s < 128 and y = 1 then 1 else 0 end) as bigint) as fn,
+  cast(sum(case when s < 128 and y = 0 then 1 else 0 end) as bigint) as tn
+ from sc)
+select tp, fp, fn, tn,
+  {_r6x_sql("(cast(tp as double) + cast(tn as double)) / (cast(tp as double) + cast(fp as double) + cast(fn as double) + cast(tn as double))")} as accuracy,
+  {_r6x_sql("cast(tp as double) / (cast(tp as double) + cast(fp as double))")} as precision,
+  {_r6x_sql("cast(tp as double) / (cast(tp as double) + cast(fn as double))")} as recall,
+  {_r6x_sql("2.0 * cast(tp as double) / (2.0 * cast(tp as double) + cast(fp as double) + cast(fn as double))")} as f1
+from a
+"""
+
+QUERIES["confusion_metrics"] = q_confusion_metrics
+ORACLES["confusion_metrics"] = O_CONFUSION_METRICS
+
+
+def _calib_docs(spark, sf_dir):
+    """Rational probability score pnum/999 with a label drawn at exactly
+    that rate by a second independent integer hash — a perfectly
+    calibrated synthetic classifier, so bin gaps measure only estimator
+    noise."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    num = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    y = ((F.col("doc_id") * 97 + 13) % 999 < num).cast("int")
+    return docs.select(num.alias("pnum"), y.alias("y"))
+
+
+_CALIB_DOCS_SQL = """select (doc_id * 2654435761) % 1000 as pnum,
+  case when (doc_id * 97 + 13) % 999 < (doc_id * 2654435761) % 1000 then 1 else 0 end as y
+from documents"""
+
+_CALIB_BIN_SQL = "least(cast(floor(pnum * 10 / 999) as bigint), 9)"
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins (10) for the rational-probability score:
+    per-bin count, mean confidence, empirical accuracy, |gap|. Integer
+    binning — no float-edge nondeterminism."""
+    return evalmetrics.calibration_bins(_calib_docs(spark, sf_dir), "pnum", 999, "y", 10)
+
+
+O_CALIBRATION_BINS = f"""
+with c as ({_CALIB_DOCS_SQL}),
+g as (select {_CALIB_BIN_SQL} as bin,
+  cast(count(*) as bigint) as n,
+  cast(sum(pnum) as bigint) as num_sum,
+  cast(sum(y) as bigint) as pos
+ from c group by 1)
+select bin, n,
+  {_r6x_sql("cast(num_sum as double) / (cast(n as double) * 999.0)")} as conf,
+  {_r6x_sql("cast(pos as double) / cast(n as double)")} as acc,
+  {_r6x_sql("abs(cast(num_sum as double) / (cast(n as double) * 999.0) - cast(pos as double) / cast(n as double))")} as abs_gap
+from g
+"""
+
+QUERIES["calibration_bins"] = q_calibration_bins
+ORACLES["calibration_bins"] = O_CALIBRATION_BINS
+
+
+def q_calibration_ece(spark, sf_dir):
+    """One-row expected calibration error: the whole statistic reduces to
+    a single exact-integer sum |pos*den - num_sum| over bins, divided
+    once (see evalmetrics.expected_calibration_error)."""
+    return evalmetrics.expected_calibration_error(
+        _calib_docs(spark, sf_dir), "pnum", 999, "y", 10
+    )
+
+
+O_CALIBRATION_ECE = f"""
+with c as ({_CALIB_DOCS_SQL}),
+g as (select {_CALIB_BIN_SQL} as bin, count(*) as n, sum(pnum) as num_sum, sum(y) as pos
+ from c group by 1),
+a as (select cast(sum(n) as bigint) as n_rows, cast(count(*) as bigint) as n_bins_used,
+  sum(abs(cast(pos as hugeint) * 999 - cast(num_sum as hugeint))) as gsum
+ from g)
+select n_rows, n_bins_used,
+  {_r6x_sql("cast(gsum as double) / (cast(n_rows as double) * 999.0)")} as ece
+from a
+"""
+
+QUERIES["calibration_ece"] = q_calibration_ece
+ORACLES["calibration_ece"] = O_CALIBRATION_ECE
+
+
+def q_ks_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov D between the en and es
+    doc-length distributions — integer cross-multiplied ECDF gap, one
+    division at the end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return evalmetrics.ks_two_sample(docs, "n_chars", "lang", "en", "es")
+
+
+O_KS_TEST = f"""
+with b as (select n_chars as v,
+  case when lang = 'en' then 1 else 0 end as ia,
+  case when lang = 'es' then 1 else 0 end as ib
+ from documents where lang in ('en', 'es')),
+g as (select v, sum(ia) as ca, sum(ib) as cb from b group by v),
+c as (select
+  sum(ca) over (order by v rows between unbounded preceding and current row) as cum_a,
+  sum(cb) over (order by v rows between unbounded preceding and current row) as cum_b
+ from g),
+t as (select cum_a, cum_b, max(cum_a) over () as n_a, max(cum_b) over () as n_b from c),
+a as (select
+  max(abs(cast(cum_a as hugeint) * n_b - cast(cum_b as hugeint) * n_a)) as mg,
+  cast(max(n_a) as bigint) as n_a, cast(max(n_b) as bigint) as n_b
+ from t)
+select n_a, n_b,
+  {_r6x_sql("cast(mg as double) / cast(cast(n_a as hugeint) * n_b as double)")} as d_stat
+from a
+"""
+
+QUERIES["ks_test"] = q_ks_test
+ORACLES["ks_test"] = O_KS_TEST
+
+
+def q_gini_lengths(spark, sf_dir):
+    """Per-source Gini concentration of doc lengths — rank-weighted sum
+    form, tie-order free (equal values make the rank weights fungible)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = evalmetrics.gini_by_group(docs, "n_chars", "source")
+    return out.select(F.col("grp").alias("source"), "n", "total", "gini")
+
+
+O_GINI_LENGTHS = f"""
+with r as (select source as grp, n_chars as x,
+  row_number() over (partition by source order by n_chars asc) as i
+ from documents),
+g as (select grp, cast(count(*) as bigint) as n,
+  sum(cast(x as hugeint)) as s, sum(cast(i as hugeint) * x) as s1
+ from r group by grp)
+select grp as source, n, cast(s as bigint) as total,
+  {_r6x_sql("cast(2 * s1 - (cast(n as hugeint) + 1) * s as double) / cast(cast(n as hugeint) * s as double)")} as gini
+from g
+"""
+
+QUERIES["gini_lengths"] = q_gini_lengths
+ORACLES["gini_lengths"] = O_GINI_LENGTHS
+
+
+def q_entropy_report(spark, sf_dir):
+    """Per-source Shannon entropy (nats) of the language mix — nano-log
+    integer weighted sums, two map-side-combinable groupBys, no sorts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = evalmetrics.entropy_by_group(docs, "lang", "source")
+    return out.select(F.col("grp").alias("source"), "n", "k_distinct", "entropy")
+
+
+O_ENTROPY_REPORT = f"""
+with kc as (select source as grp, lang as k, count(*) as cnt
+ from documents group by 1, 2),
+g as (select grp, cast(sum(cnt) as bigint) as n, cast(count(*) as bigint) as k_distinct,
+  sum(cast(cnt as hugeint) * cast(floor(ln(cast(cnt as double)) * 1000000000.0 + 0.5) as hugeint)) as wl
+ from kc group by grp)
+select grp as source, n, k_distinct,
+  {_r6x_sql("floor(ln(cast(n as double)) * 1000000000.0 + 0.5) / 1000000000.0 - cast(wl as double) / cast(n as double) / 1000000000.0")} as entropy
+from g
+"""
+
+QUERIES["entropy_report"] = q_entropy_report
+ORACLES["entropy_report"] = O_ENTROPY_REPORT
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

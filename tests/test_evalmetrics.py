@@ -1,0 +1,137 @@
+"""Hand-computed expectations for the evaluation-metric family."""
+
+import math
+
+import pytest
+
+from feature_extractor_mbo_lob_spark.functions import evalmetrics as em
+
+
+def test_auc_perfect_separation(spark):
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, y int"
+    )
+    r = em.binary_auc(df, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 1.0)
+
+
+def test_auc_ties_average_rank(spark):
+    # scores {1,1,2,2}, one positive at each score -> AUC = 0.5
+    df = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0), (2, 1)], "s int, y int"
+    )
+    r = em.binary_auc(df, "s", "y").collect()[0]
+    assert r.auc == 0.5
+
+
+def test_auc_matches_pairwise_definition(spark):
+    # AUC = P(score_pos > score_neg) + 0.5 * P(equal), brute-forced
+    rows = [((i * 7) % 13, 1 if (i * 5) % 3 == 0 else 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "s int, y int")
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    expected = wins / (len(pos) * len(neg))
+    r = em.binary_auc(df, "s", "y").collect()[0]
+    # result is canonicalized to 6 decimals
+    assert abs(r.auc - expected) < 1e-6
+
+
+def test_confusion_report(spark):
+    df = spark.createDataFrame(
+        [(10, 1), (10, 0), (1, 1), (1, 0), (1, 0)], "s int, y int"
+    )
+    r = em.confusion_report(df, "s", "y", 5).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (1, 1, 1, 2)
+    assert r.accuracy == 0.6
+    assert r.precision == 0.5
+    assert r.recall == 0.5
+    assert r.f1 == 0.5
+
+
+def test_calibration_perfectly_calibrated_bin(spark):
+    # bin 0: probs 0/10 .. handcrafted: prob_num/den with den=10
+    # two rows at num=2 (p=0.2), one positive -> conf 0.2, acc 0.5
+    df = spark.createDataFrame([(2, 0), (2, 1)], "pnum int, y int")
+    r = em.calibration_bins(df, "pnum", 10, "y", n_bins=5).collect()
+    assert len(r) == 1
+    b = r[0]
+    assert b.bin == 1  # floor(2*5/10) = 1
+    assert b.n == 2 and b.conf == 0.2 and b.acc == 0.5
+    assert abs(b.abs_gap - 0.3) < 1e-9
+
+
+def test_ece_single_sum_form(spark):
+    # bins: num=1 (p=.1) y=0 ; num=9 (p=.9) y=1 -> gaps .1 and .1,
+    # ECE = (1/2)*(0.1+0.1) = 0.1
+    df = spark.createDataFrame([(1, 0), (9, 1)], "pnum int, y int")
+    r = em.expected_calibration_error(df, "pnum", 10, "y", n_bins=10).collect()[0]
+    assert r.n_rows == 2 and r.n_bins_used == 2
+    assert abs(r.ece - 0.1) < 1e-9
+
+
+def test_ks_identical_distributions(spark):
+    rows = [(v, g) for v in (1, 2, 3, 4) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "v int, g string")
+    r = em.ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.d_stat) == (4, 4, 0.0)
+
+
+def test_ks_disjoint_distributions(spark):
+    rows = [(v, "a") for v in (1, 2, 3)] + [(v, "b") for v in (10, 11)]
+    df = spark.createDataFrame(rows, "v int, g string")
+    r = em.ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert r.d_stat == 1.0
+
+
+def test_ks_known_value(spark):
+    # a = {1,2,3,4}, b = {3,4,5,6}: max ECDF gap = 0.5 at v=2
+    rows = [(v, "a") for v in (1, 2, 3, 4)] + [(v, "b") for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "v int, g string")
+    r = em.ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert r.d_stat == 0.5
+
+
+def test_gini_equal_values_zero(spark):
+    df = spark.createDataFrame([(5, "g")] * 4, "x int, g string")
+    r = em.gini_by_group(df, "x", "g").collect()[0]
+    assert (r.n, r.total, r.gini) == (4, 20, 0.0)
+
+
+def test_gini_single_holder(spark):
+    # one non-zero among n=4 -> G = (n-1)/n = 0.75
+    df = spark.createDataFrame([(0, "g"), (0, "g"), (0, "g"), (8, "g")], "x int, g string")
+    r = em.gini_by_group(df, "x", "g").collect()[0]
+    assert r.gini == 0.75
+
+
+def test_gini_hand_value(spark):
+    # x = [1,2,3,4]: G = (2*(1+4+9+16) - 5*10) / (4*10) = (60-50)/40 = 0.25
+    df = spark.createDataFrame([(i, "g") for i in (1, 2, 3, 4)], "x int, g string")
+    r = em.gini_by_group(df, "x", "g").collect()[0]
+    assert r.gini == 0.25
+
+
+def test_entropy_uniform(spark):
+    df = spark.createDataFrame(
+        [(k, "g") for k in ("a", "b", "c", "d") for _ in range(3)], "k string, g string"
+    )
+    r = em.entropy_by_group(df, "k", "g").collect()[0]
+    assert r.n == 12 and r.k_distinct == 4
+    assert abs(r.entropy - math.log(4)) < 1e-6
+
+
+def test_entropy_degenerate_zero(spark):
+    df = spark.createDataFrame([("a", "g")] * 5, "k string, g string")
+    r = em.entropy_by_group(df, "k", "g").collect()[0]
+    assert r.k_distinct == 1 and r.entropy == 0.0
+
+
+def test_entropy_hand_value(spark):
+    # counts 1,3 -> H = ln(4) - (1*ln1 + 3*ln3)/4
+    df = spark.createDataFrame(
+        [("a", "g")] + [("b", "g")] * 3, "k string, g string"
+    )
+    r = em.entropy_by_group(df, "k", "g").collect()[0]
+    expected = math.log(4) - 3 * math.log(3) / 4
+    assert abs(r.entropy - expected) < 1e-6
