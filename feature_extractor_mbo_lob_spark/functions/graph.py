@@ -138,3 +138,68 @@ def pagerank_int(
             )
         )
     return ranks
+
+
+def triangle_stats(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected edge list (canonical ``a < b`` expected; deduplicated here).
+
+    Distributed shape: the classic two-join wedge closure. Enumerate
+    ordered wedges a<b<c by joining e(a,b) with e(b,c) on the middle
+    node, then close against e(a,c). Each triangle is found exactly once
+    (its vertices in sorted order), then exploded to credit all three
+    corners. Both joins shuffle on a single node id; for skewed degree
+    distributions the standard mitigation is degree-ordered orientation
+    (orient each edge low-degree -> high-degree), which bounds wedge
+    fan-out by sqrt(|E|) — with lexicographic orientation the shape is
+    identical, so the swap is a one-line change left documented rather
+    than hard-coded (the oracle must mirror whichever orientation runs).
+
+    Returns one row per node: (node, degree, triangles, clustering) where
+    clustering = 2*t / (d*(d-1)), 0 for degree < 2 — integer-fed, one
+    division.
+    """
+    e = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+    )
+    d = F.col("degree").cast("double")
+    t = F.col("triangles").cast("double")
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.floor(
+            (F.lit(2.0) * t / (d * (d - F.lit(1.0)))) * F.lit(1e6) + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
+    return out.select("node", "degree", "triangles", cc.alias("clustering"))

@@ -7540,6 +7540,71 @@ QUERIES["bpe_merges"] = q_bpe_merges
 ORACLES["bpe_merges"] = _bpe_oracle()
 
 
+# --- graph analytics: triangle counting + clustering coefficients ------------------
+
+def q_graph_triangles(spark, sf_dir):
+    """Per-tool triangle count and local clustering coefficient on the
+    tool co-usage graph (wedge-closure two-join enumeration, each
+    triangle found once in vertex-sorted order; functions/graph.py)."""
+    from ..functions import graph
+
+    t = transcripts_from_events(spark, sf_dir)
+    d = t.filter(F.col("tool").isNotNull()).select("conv_id", "tool").distinct()
+    a = d.select("conv_id", F.col("tool").alias("a"))
+    b = d.select("conv_id", F.col("tool").alias("b"))
+    edges = (
+        a.join(b, "conv_id")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    out = graph.triangle_stats(edges)
+    return out.select(
+        F.col("node").alias("tool"), "degree", "triangles", "clustering"
+    )
+
+
+O_GRAPH_TRIANGLES = f"""{_W},
+d as (
+  select distinct conv_id, tool from transcripts where tool is not null
+),
+e as (
+  select distinct a.tool as a, b.tool as b
+  from d a join d b on a.conv_id = b.conv_id and a.tool < b.tool
+),
+tri as (
+  select e1.a as x, e1.b as y, e2.b as z
+  from e e1
+  join e e2 on e1.b = e2.a
+  join e e3 on e1.a = e3.a and e2.b = e3.b
+),
+pn as (
+  select node, cast(count(*) as bigint) as triangles
+  from (
+    select x as node from tri
+    union all select y from tri
+    union all select z from tri
+  ) group by node
+),
+deg as (
+  select node, cast(count(*) as bigint) as degree
+  from (select a as node from e union all select b from e)
+  group by node
+)
+select deg.node as tool, deg.degree,
+  cast(coalesce(pn.triangles, 0) as bigint) as triangles,
+  case when deg.degree >= 2 then
+    floor((2.0 * cast(coalesce(pn.triangles, 0) as double)
+           / (cast(deg.degree as double) * (cast(deg.degree as double) - 1.0)))
+          * 1000000.0 + 0.5) / 1000000.0
+  else 0.0 end as clustering
+from deg left join pn using (node)
+"""
+
+QUERIES["graph_triangles"] = q_graph_triangles
+ORACLES["graph_triangles"] = O_GRAPH_TRIANGLES
+
+
 # --- evaluation-metric family: AUC / confusion / calibration / KS / Gini / entropy --
 
 from ..functions import evalmetrics
