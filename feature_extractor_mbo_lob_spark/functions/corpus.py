@@ -1170,3 +1170,58 @@ def bpe_merges(
             ),
         ).localCheckpoint(eager=True)
     return rules
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    line_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-group boilerplate-line report (CCNet-style template detection):
+    a line (fixed ``line_words``-word segment, same convention as
+    dedup_lines) is boilerplate within its group when it occurs in
+    >= ``min_docs`` DISTINCT documents of that group — navigation chrome,
+    cookie banners, footer text.
+
+    Distributed shape: lines explode from pure array expressions (no
+    pre-shuffle), aggregate on (group, line_md5) with map-side combine —
+    the heavy reduction — then collapse to one row per group. Only line
+    DIGESTS shuffle, never line text.
+
+    Returns per group: (group, distinct_lines, boilerplate_lines,
+    occurrences, boilerplate_occurrences, boilerplate_frac).
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    nl = F.ceil(F.size(words) / F.lit(float(line_words))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda j: F.array_join(F.slice(words, j * line_words + 1, line_words), " "),
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.explode(lines).alias("line"),
+    )
+    g = ex.groupBy("grp", F.md5(F.col("line")).alias("lk")).agg(
+        F.countDistinct("id").alias("ndocs"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    boiler = (F.col("ndocs") >= min_docs).cast("long")
+    out = g.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_lines"),
+        F.sum(boiler).cast("long").alias("boilerplate_lines"),
+        F.sum("occ").cast("long").alias("occurrences"),
+        F.sum(boiler * F.col("occ")).cast("long").alias("boilerplate_occurrences"),
+    )
+    frac = (
+        F.col("boilerplate_occurrences").cast("double")
+        / F.col("occurrences").cast("double")
+    )
+    return out.select(
+        "grp", "distinct_lines", "boilerplate_lines",
+        "occurrences", "boilerplate_occurrences",
+        (F.floor(frac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("boilerplate_frac"),
+    )

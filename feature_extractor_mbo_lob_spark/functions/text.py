@@ -186,3 +186,49 @@ def cdc_chunk_documents(
             ).alias("chunk_md5"),
         )
     )
+
+
+def readability(df, id_col: str = "doc_id", text_col: str = "text",
+                words_per_sentence: int = 10):
+    """Flesch reading-ease per document with a deterministic heuristic
+    syllable counter: syllables(word) = max(1, vowel-run count). The
+    corpus carries no sentence punctuation, so sentences are fixed
+    ``words_per_sentence``-word segments (the same convention the line
+    operators use, plans/driver_queries.py dedup_lines).
+
+    All counting is JVM higher-order expressions over the split array —
+    one narrow projection, no shuffle, no UDF: vowel runs cannot span a
+    space, so the text-wide run count equals the per-word sum; words with
+    zero vowels are counted once more to apply the max(1, ...) floor.
+
+    FRE = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words),
+    evaluated in that fixed operand order over exact integer counts.
+    """
+    t = F.lower(F.col(text_col))
+    words = F.split(t, " ")
+    n_words = F.size(words).cast("long")
+    n_sent = F.ceil(n_words / F.lit(float(words_per_sentence))).cast("long")
+    vruns = F.expr(f"size(regexp_extract_all(lower({text_col}), '[aeiou]+', 0))")
+    novowel = F.size(F.filter(words, lambda x: ~x.rlike("[aeiou]")))
+    n_syll = (vruns + novowel).cast("long")
+    w_d = F.col("n_words").cast("double")
+    s_d = F.col("n_sentences").cast("double")
+    sy_d = F.col("n_syllables").cast("double")
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w_d / s_d)
+        - F.lit(84.6) * (sy_d / w_d)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+        )
+        .where(F.col("n_words") > 0)
+        .select(
+            "id", "n_words", "n_sentences", "n_syllables",
+            (F.floor(fre * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("flesch"),
+        )
+    )

@@ -7540,6 +7540,93 @@ QUERIES["bpe_merges"] = q_bpe_merges
 ORACLES["bpe_merges"] = _bpe_oracle()
 
 
+# --- readability scoring ------------------------------------------------------------
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease per document — heuristic vowel-run syllables,
+    fixed 10-word sentences, all-JVM array expressions (functions/text.py
+    readability)."""
+    from ..functions import text as textfn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textfn.readability(docs, "doc_id", "text", words_per_sentence=10)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_words", "n_sentences", "n_syllables", "flesch"
+    )
+
+
+O_READABILITY = f"""
+with b as (
+  select doc_id, lower(text) as t, string_split(lower(text), ' ') as ws
+  from documents
+),
+c as (
+  select doc_id,
+    cast(len(ws) as bigint) as n_words,
+    cast(ceil(len(ws) / 10.0) as bigint) as n_sentences,
+    cast(len(regexp_extract_all(t, '[aeiou]+'))
+         + len(list_filter(ws, x -> not regexp_matches(x, '[aeiou]'))) as bigint)
+      as n_syllables
+  from b
+)
+select doc_id, n_words, n_sentences, n_syllables,
+  {_r6x_sql("206.835 - 1.015 * (cast(n_words as double) / cast(n_sentences as double)) - 84.6 * (cast(n_syllables as double) / cast(n_words as double))")} as flesch
+from c where n_words > 0
+"""
+
+QUERIES["readability"] = q_readability
+ORACLES["readability"] = O_READABILITY
+
+
+# --- boilerplate-line detection -------------------------------------------------------
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Per-source boilerplate report: 10-word lines occurring in >= 2
+    distinct docs of the same source (template chrome), counted by
+    distinct lines and by occurrences — only line digests shuffle
+    (functions/corpus.boilerplate_stats)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.boilerplate_stats(docs, "doc_id", "text", "source", 10, 2)
+    return out.select(
+        F.col("grp").alias("source"),
+        "distinct_lines", "boilerplate_lines",
+        "occurrences", "boilerplate_occurrences", "boilerplate_frac",
+    )
+
+
+O_BOILERPLATE_LINES = f"""
+with w as (
+  select doc_id, source, unnest(string_split(lower(text), ' ')) as word,
+         generate_subscripts(string_split(lower(text), ' '), 1) as i
+  from documents
+),
+l as (
+  select doc_id, source, string_agg(word, ' ' order by i) as line
+  from w group by doc_id, source, (i - 1) // 10
+),
+g as (
+  select source as grp, md5(line) as lk,
+    count(distinct doc_id) as ndocs, count(*) as occ
+  from l group by 1, 2
+),
+a as (
+  select grp,
+    cast(count(*) as bigint) as distinct_lines,
+    cast(sum(case when ndocs >= 2 then 1 else 0 end) as bigint) as boilerplate_lines,
+    cast(sum(occ) as bigint) as occurrences,
+    cast(sum(case when ndocs >= 2 then occ else 0 end) as bigint) as boilerplate_occurrences
+  from g group by grp
+)
+select grp as source, distinct_lines, boilerplate_lines, occurrences,
+  boilerplate_occurrences,
+  {_r6x_sql("cast(boilerplate_occurrences as double) / cast(occurrences as double)")} as boilerplate_frac
+from a
+"""
+
+QUERIES["boilerplate_lines"] = q_boilerplate_lines
+ORACLES["boilerplate_lines"] = O_BOILERPLATE_LINES
+
+
 # --- graph analytics: triangle counting + clustering coefficients ------------------
 
 def q_graph_triangles(spark, sf_dir):
