@@ -1,0 +1,120 @@
+"""Ranking-quality metrics over retrieval results: nDCG@k, AP@k, MRR.
+
+The evaluation loop for any ANN / retrieval index in this engine
+(operators/similarity.py brute-force, IVF, LSH): given a ranked
+result list per query and the ground-truth relevant-set size, score the
+ranking. Everything reduces to one window pass (cumulative hits, ordered
+by rank within query — partitioned, bounded by k rows per query) plus one
+groupBy(query) aggregate; totals join in by query id.
+
+Determinism: the log2 discount weights 1/log2(i+1) are baked as INTEGER
+nano constants computed once in Python (both the Spark plan and any SQL
+oracle embed the same literals — no cross-engine transcendental calls at
+all), so DCG and IDCG are exact integer sums. AP's precision@i terms are
+nano-quantized rationals (cum_hits/i with i <= k — floor boundary cannot
+misround because the quantization step 1e-9 dwarfs the division ulp).
+Reciprocal rank likewise. One double division per metric at the end.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _x6(c):
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def dcg_weights_nano(k: int) -> list[int]:
+    """floor(1e9 / log2(i+1) + 0.5) for i = 1..k — the shared constants."""
+    return [int(math.floor(1e9 / math.log2(i + 1) + 0.5)) for i in range(1, k + 1)]
+
+
+def dcg_prefix_nano(k: int) -> list[int]:
+    """Prefix sums of the nano weights: ideal DCG with m relevant = P[m]."""
+    w = dcg_weights_nano(k)
+    out, acc = [], 0
+    for v in w:
+        acc += v
+        out.append(acc)
+    return out
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    totals: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    total_col: str = "n_rel_total",
+) -> DataFrame:
+    """Score a ranked retrieval frame.
+
+    ranked: one row per (query, rank<=k candidate) with binary ``rel``.
+    totals: one row per query with the ground-truth relevant count
+    (``n_rel_total``) — used for the IDCG and AP normalizers, so a query
+    that COULD have had m < k relevant hits is not penalized for the
+    impossible tail.
+
+    Returns per query: (query_id, hits, n_rel_total, ndcg, ap, rr);
+    all three metrics are 0.0 when the query has no relevant docs at all.
+    """
+    W = dcg_weights_nano(k)
+    P = dcg_prefix_nano(k)
+    warr = F.array(*[F.lit(w) for w in W])
+    parr = F.array(*[F.lit(p) for p in P])
+
+    q = F.col(query_col)
+    rnk = F.col(rank_col).cast("int")
+    rel = F.col(rel_col).cast("long")
+
+    cumw = (
+        Window.partitionBy(query_col)
+        .orderBy(rnk)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = ranked.where(rnk <= k).select(
+        q.alias("qid"),
+        rnk.alias("rnk"),
+        rel.alias("rel"),
+        F.sum(rel).over(cumw).alias("cum_hits"),
+    )
+    ap_term = F.col("rel") * F.floor(
+        F.lit(1e9) * F.col("cum_hits") / F.col("rnk") + F.lit(0.5)
+    ).cast("long")
+    per = base.groupBy("qid").agg(
+        F.sum("rel").cast("long").alias("hits"),
+        F.sum(F.col("rel") * F.element_at(warr, F.col("rnk"))).cast("long").alias("dcg_nano"),
+        F.sum(ap_term).cast("long").alias("ap_nano"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rank"),
+    )
+    t = totals.select(
+        F.col(query_col).alias("qid"), F.col(total_col).cast("long").alias("n_rel_total")
+    )
+    j = per.join(t, "qid")
+    m = F.least(F.col("n_rel_total"), F.lit(k)).cast("int")
+    idcg = F.element_at(parr, m)
+    ndcg = F.when(
+        F.col("n_rel_total") > 0,
+        F.col("dcg_nano").cast("double") / idcg.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ap = F.when(
+        F.col("n_rel_total") > 0,
+        F.col("ap_nano").cast("double") / (m.cast("double") * F.lit(1e9)),
+    ).otherwise(F.lit(0.0))
+    rr = F.coalesce(
+        F.floor(F.lit(1e9) / F.col("first_rank") + F.lit(0.5)) / F.lit(1e9),
+        F.lit(0.0),
+    )
+    return j.select(
+        F.col("qid").alias(query_col),
+        "hits",
+        "n_rel_total",
+        _x6(ndcg).alias("ndcg"),
+        _x6(ap).alias("ap"),
+        _x6(rr).alias("rr"),
+    )

@@ -7540,6 +7540,95 @@ QUERIES["bpe_merges"] = q_bpe_merges
 ORACLES["bpe_merges"] = _bpe_oracle()
 
 
+# --- retrieval-quality evaluation: nDCG@10 / AP@10 / MRR ----------------------------
+
+def q_retrieval_eval(spark, sf_dir):
+    """Label-relevance retrieval scorecard: every 20th vector queries the
+    exact cosine top-10 (operators/similarity.brute_force_topk), a hit is
+    a same-label neighbor, and functions/ranking.retrieval_metrics scores
+    nDCG@10 / AP@10 / MRR per query with integer-nano discount weights
+    shared verbatim with the oracle."""
+    from ..functions import ranking
+    from ..operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    top = similarity.brute_force_topk(
+        emb.select("vec_id", "embedding"), k=10,
+        query=queries.select("vec_id", "embedding"),
+    )
+    qlab = queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
+    nlab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl"))
+    ranked = (
+        top.join(F.broadcast(qlab), "query_id")
+        .join(F.broadcast(nlab), "neighbor_id")
+        .select(
+            "query_id", "rank",
+            (F.col("ql") == F.col("nl")).cast("int").alias("rel"),
+        )
+    )
+    lc = emb.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+    totals = queries.join(F.broadcast(lc), "label").select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("c") - 1).cast("long").alias("n_rel_total"),
+    )
+    return ranking.retrieval_metrics(ranked, totals, k=10)
+
+
+def _retrieval_eval_oracle() -> str:
+    from ..functions.ranking import dcg_prefix_nano, dcg_weights_nano
+
+    W = dcg_weights_nano(10)
+    P = dcg_prefix_nano(10)
+    whens_w = " ".join(f"when {i + 1} then {w}" for i, w in enumerate(W))
+    whens_p = " ".join(f"when {i + 1} then {p}" for i, p in enumerate(P))
+    return f"""
+with e as (select vec_id, embedding::DOUBLE[] as v, label from embeddings),
+q as (select * from e where vec_id % 20 = 0),
+pairs as (
+  select q.vec_id as query_id, b.vec_id as neighbor_id,
+    list_dot_product(q.v, b.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v)) + {DIVISION_GUARD_EPS}) as cos,
+    case when q.label = b.label then 1 else 0 end as rel
+  from q, e b where b.vec_id != q.vec_id
+),
+ranked as (
+  select query_id, rel,
+    row_number() over (partition by query_id order by cos desc, neighbor_id) as rnk
+  from pairs
+),
+r as (select * from ranked where rnk <= 10),
+cum as (
+  select query_id, rnk, rel,
+    sum(rel) over (partition by query_id order by rnk) as cum_hits
+  from r
+),
+per as (
+  select query_id,
+    cast(sum(rel) as bigint) as hits,
+    cast(sum(rel * (case rnk {whens_w} end)) as bigint) as dcg_nano,
+    cast(sum(rel * cast(floor(1000000000.0 * cum_hits / rnk + 0.5) as bigint)) as bigint) as ap_nano,
+    min(case when rel = 1 then rnk end) as first_rank
+  from cum group by 1
+),
+tot as (
+  select q.vec_id as query_id, cast(lc.c - 1 as bigint) as n_rel_total
+  from q join (select label, count(*) as c from e group by label) lc using (label)
+)
+select per.query_id, per.hits, tot.n_rel_total,
+  {_r6x_sql(f"case when n_rel_total > 0 then cast(dcg_nano as double) / cast((case least(n_rel_total, 10) {whens_p} end) as double) else 0.0 end")} as ndcg,
+  {_r6x_sql("case when n_rel_total > 0 then cast(ap_nano as double) / (cast(least(n_rel_total, 10) as double) * 1000000000.0) else 0.0 end")} as ap,
+  {_r6x_sql("coalesce(floor(1000000000.0 / first_rank + 0.5) / 1000000000.0, 0.0)")} as rr
+from per join tot using (query_id)
+"""
+
+
+QUERIES["retrieval_eval"] = q_retrieval_eval
+ORACLES["retrieval_eval"] = _retrieval_eval_oracle()
+
+
 # --- readability scoring ------------------------------------------------------------
 
 def q_readability(spark, sf_dir):
