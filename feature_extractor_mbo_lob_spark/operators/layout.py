@@ -28,7 +28,7 @@ this generalizes that single-key layout to multi-key skipping.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _as_col(c: str | Column) -> Column:
@@ -168,3 +168,84 @@ def file_span_stats(path: str, col: str) -> list[tuple[int, int]]:
             if st is not None and st.has_min_max:
                 spans.append((st.min, st.max))
     return spans
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    partition_col: str = "partition",
+    file_col: str = "file_id",
+    size_col: str = "size_bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction plan over a file manifest (the shape of
+    Iceberg's ``files`` metadata table: partition, file id, byte size) —
+    the maintenance pass that keeps a 100-TB table's scan parallelism
+    healthy after streaming/CDC ingest sprays small files.
+
+    Greedy in-order bin packing per partition: files in stable file-id
+    order, bin = exclusive-prefix-size DIV target — each output group
+    closes once its cumulative size reaches the target, so every bin
+    except the partition's last is >= target minus one file. Exact
+    integer division; the only window runs inside each partition in
+    manifest order (no global sort). A manifest is O(file count), i.e.
+    millions of rows for a 100-TB table — trivially window-able.
+
+    Returns one row per (partition, bin): file count, total bytes, the
+    file-id span, and whether the bin actually merges anything.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    binned = manifest.select(
+        F.col(partition_col).alias("part"),
+        F.col(file_col).alias("fid"),
+        F.col(size_col).alias("sz"),
+        cum_before.alias("cb"),
+    ).select(
+        "part", "fid", "sz",
+        # exact integer division (DIV), not float floor
+        F.expr(f"cb div {int(target_bytes)}").cast("long").alias("bin"),
+    )
+    return (
+        binned.groupBy("part", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("sz").cast("long").alias("total_bytes"),
+            F.min("fid").alias("first_file"),
+            F.max("fid").alias("last_file"),
+        )
+        .withColumn("merges", (F.col("n_files") > 1).cast("boolean"))
+    )
+
+
+def file_skipping_report(
+    file_stats: DataFrame,
+    min_col: str = "min_v",
+    max_col: str = "max_v",
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Zone-map pruning effectiveness for a range predicate [lo, hi]:
+    given per-file column (min, max) — parquet footer / Iceberg manifest
+    stats — a file is skippable iff its span lies entirely outside the
+    predicate. One aggregate row: total files/bytes of metadata scanned is
+    O(files), zero data reads, the exact computation a table format's
+    planner does at prune time.
+
+    Returns (n_files, n_skippable, n_scanned, scan_frac).
+    """
+    skip = (F.col(max_col) < F.lit(lo)) | (F.col(min_col) > F.lit(hi))
+    agg = file_stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(skip.cast("long")).cast("long").alias("n_skippable"),
+    )
+    scanned = F.col("n_files") - F.col("n_skippable")
+    frac = scanned.cast("double") / F.col("n_files").cast("double")
+    return agg.select(
+        "n_files", "n_skippable",
+        scanned.cast("long").alias("n_scanned"),
+        (F.floor(frac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("scan_frac"),
+    )

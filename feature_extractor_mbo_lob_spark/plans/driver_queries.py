@@ -7540,6 +7540,85 @@ QUERIES["bpe_merges"] = q_bpe_merges
 ORACLES["bpe_merges"] = _bpe_oracle()
 
 
+# --- table-maintenance planning: compaction bins + zone-map pruning -----------------
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction plan over a synthetic manifest (file per doc,
+    partition = source, size = n_chars; target bin 2000 bytes) — greedy
+    in-order bin packing via exclusive-prefix-size DIV target
+    (operators/layout.compaction_plan)."""
+    from ..operators import layout
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    manifest = docs.select(
+        F.col("source").alias("partition"),
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("size_bytes"),
+    )
+    out = layout.compaction_plan(
+        manifest, "partition", "file_id", "size_bytes", target_bytes=2000
+    )
+    return out.select(
+        F.col("part").alias("partition"), "bin", "n_files", "total_bytes",
+        "first_file", "last_file", "merges",
+    )
+
+
+O_COMPACTION_PLAN = """
+with m as (
+  select source as part, doc_id as fid, n_chars as sz,
+    coalesce(sum(n_chars) over (partition by source order by doc_id
+      rows between unbounded preceding and 1 preceding), 0) as cb
+  from documents
+),
+b as (select part, fid, sz, cb // 2000 as bin from m)
+select part as partition, cast(bin as bigint) as bin,
+  cast(count(*) as bigint) as n_files,
+  cast(sum(sz) as bigint) as total_bytes,
+  min(fid) as first_file, max(fid) as last_file,
+  count(*) > 1 as merges
+from b group by 1, 2
+"""
+
+QUERIES["compaction_plan"] = q_compaction_plan
+ORACLES["compaction_plan"] = O_COMPACTION_PLAN
+
+
+def q_file_skipping(spark, sf_dir):
+    """Zone-map pruning effectiveness: events bucketed into 100-row
+    'files', per-file (min, max) of value from stats only, then the exact
+    planner prune for predicate value in [120, 200]
+    (operators/layout.file_skipping_report)."""
+    from ..operators import layout
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stats = (
+        ev.groupBy(F.expr("event_id div 100").cast("long").alias("file_id"))
+        .agg(F.min("value").alias("min_v"), F.max("value").alias("max_v"))
+    )
+    return layout.file_skipping_report(stats, "min_v", "max_v", lo=120.0, hi=200.0)
+
+
+O_FILE_SKIPPING = """
+with s as (
+  select event_id // 100 as file_id, min(value) as min_v, max(value) as max_v
+  from events group by 1
+),
+a as (
+  select cast(count(*) as bigint) as n_files,
+    cast(sum(case when max_v < 120.0 or min_v > 200.0 then 1 else 0 end) as bigint) as n_skippable
+  from s
+)
+select n_files, n_skippable,
+  cast(n_files - n_skippable as bigint) as n_scanned,
+  floor((cast(n_files - n_skippable as double) / cast(n_files as double)) * 1000000.0 + 0.5) / 1000000.0 as scan_frac
+from a
+"""
+
+QUERIES["file_skipping"] = q_file_skipping
+ORACLES["file_skipping"] = O_FILE_SKIPPING
+
+
 # --- retrieval-quality evaluation: nDCG@10 / AP@10 / MRR ----------------------------
 
 def q_retrieval_eval(spark, sf_dir):

@@ -150,3 +150,38 @@ class TestZValueRandom:
         }
         want = dict(zip(rows, _morton_py(rows)))
         assert got == want
+
+
+def test_compaction_plan_bins(spark):
+    from feature_extractor_mbo_lob_spark.operators.layout import compaction_plan
+
+    # partition p: sizes 600,600,600,600 target 1000 ->
+    # prefix-before: 0,600,1200,1800 -> bins 0,0,1,1
+    rows = [("p", i, 600) for i in range(4)]
+    df = spark.createDataFrame(rows, "partition string, file_id int, size_bytes int")
+    out = {(r.part, r.bin): r for r in compaction_plan(df, target_bytes=1000).collect()}
+    assert out[("p", 0)].n_files == 2 and out[("p", 0)].total_bytes == 1200
+    assert out[("p", 1)].n_files == 2
+    assert out[("p", 0)].first_file == 0 and out[("p", 0)].last_file == 1
+    assert out[("p", 0)].merges
+
+
+def test_compaction_plan_partition_isolated(spark):
+    from feature_extractor_mbo_lob_spark.operators.layout import compaction_plan
+
+    rows = [("a", 1, 10), ("b", 2, 10)]
+    df = spark.createDataFrame(rows, "partition string, file_id int, size_bytes int")
+    out = compaction_plan(df, target_bytes=1000).collect()
+    assert len(out) == 2  # prefixes do not leak across partitions
+    assert all(r.bin == 0 and not r.merges for r in out)
+
+
+def test_file_skipping_report(spark):
+    from feature_extractor_mbo_lob_spark.operators.layout import file_skipping_report
+
+    # spans: [0,10] skip (max<20), [30,40] keep, [90,99] skip (min>50), [15,25] keep
+    rows = [(1, 0.0, 10.0), (2, 30.0, 40.0), (3, 90.0, 99.0), (4, 15.0, 25.0)]
+    df = spark.createDataFrame(rows, "file_id int, min_v double, max_v double")
+    r = file_skipping_report(df, lo=20.0, hi=50.0).collect()[0]
+    assert (r.n_files, r.n_skippable, r.n_scanned) == (4, 2, 2)
+    assert r.scan_frac == 0.5
