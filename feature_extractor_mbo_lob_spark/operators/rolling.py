@@ -357,3 +357,66 @@ def with_ewma(df: DataFrame, cfg: PipelineConfig, col: str,
         return pd.concat(parts, ignore_index=True)
 
     return bucketed.groupBy("_ewb").applyInPandas(fn, schema=schema)
+
+
+def with_holt(df: DataFrame, cfg: PipelineConfig, col: str,
+              alpha: float = 0.25, beta: float = 0.125,
+              out_prefix: str | None = None) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) per
+    conversation:
+
+        l_0 = x_0,                b_0 = 0
+        l_i = a*x_i + (1-a)*(l_{i-1} + b_{i-1})
+        b_i = g*(l_i - l_{i-1}) + (1-g)*b_{i-1}
+
+    The trend-aware sibling of with_ewma, and like it a true sequential
+    recurrence: the sanctioned mapping is the hash-bucket-super-grouped
+    pandas UDAF (many conversations per Arrow batch; one shuffle on the
+    bucket key). The per-step float expressions are written in ONE fixed
+    operand order that the recursive-CTE oracle repeats verbatim, and the
+    default alpha/beta are powers of two, so every step is bit-identical
+    cross-engine. The closed-form matrix-power unrolling is deliberately
+    NOT used — it reassociates the float math (same reasoning as
+    with_ewma above).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    pre = out_prefix or f"{col}_holt"
+    key = cfg.key_col
+    order_cols = list(cfg.order_cols)
+    a, g_ = float(alpha), float(beta)
+    ca, cg = 1.0 - a, 1.0 - g_
+
+    schema = StructType(
+        df.schema.fields
+        + [StructField(pre + "_level", DoubleType()),
+           StructField(pre + "_trend", DoubleType())]
+    )
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    nb = max(sp * 4, 64)
+    bucketed = df.withColumn("_hwb", F.pmod(F.xxhash64(key), F.lit(nb)).cast("int"))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_hwb"])
+        parts = []
+        for _, grp in pdf.groupby(key, sort=False):
+            grp = grp.sort_values(order_cols, kind="mergesort").copy()
+            x = grp[col].to_numpy(dtype=np.float64)
+            lvl = np.empty_like(x)
+            trd = np.empty_like(x)
+            if len(x):
+                l, b = x[0], 0.0
+                lvl[0], trd[0] = l, b
+                for i in range(1, len(x)):
+                    l_new = a * x[i] + ca * (l + b)
+                    b = g_ * (l_new - l) + cg * b
+                    l = l_new
+                    lvl[i], trd[i] = l, b
+            grp[pre + "_level"] = lvl
+            grp[pre + "_trend"] = trd
+            parts.append(grp)
+        return pd.concat(parts, ignore_index=True)
+
+    return bucketed.groupBy("_hwb").applyInPandas(fn, schema=schema)

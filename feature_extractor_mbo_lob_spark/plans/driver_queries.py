@@ -7540,6 +7540,48 @@ QUERIES["bpe_merges"] = q_bpe_merges
 ORACLES["bpe_merges"] = _bpe_oracle()
 
 
+# --- Holt double-exponential smoothing (level + trend) -------------------------------
+
+def q_holt_smoothing(spark, sf_dir):
+    """Holt level+trend smoothing of `value` per conversation
+    (alpha = 1/4, beta = 1/8; operators/rolling.with_holt). The one-step
+    forecast level+trend is emitted as its own column — one extra fixed
+    expression on both sides."""
+    t = transcripts_from_events(spark, sf_dir)
+    out = rolling.with_holt(t, CFG, "value", alpha=0.25, beta=0.125)
+    return out.select(
+        "conv_id", "turn_idx",
+        _r6x(F.col("value_holt_level"), "level"),
+        _r6x(F.col("value_holt_trend"), "trend"),
+        _r6x(F.col("value_holt_level") + F.col("value_holt_trend"), "forecast"),
+    )
+
+
+O_HOLT_SMOOTHING = f"""with recursive {ORACLE_TRANSCRIPTS_CTE},
+t as (
+  select conv_id, turn_idx, value as x, row_number() over ({_OWIN}) as rn
+  from transcripts
+),
+walk as (
+  select conv_id, rn, turn_idx, x as l, cast(0.0 as double) as b
+  from t where rn = 1
+  union all
+  select t.conv_id, t.rn, t.turn_idx,
+    0.25 * t.x + 0.75 * (w.l + w.b),
+    0.125 * ((0.25 * t.x + 0.75 * (w.l + w.b)) - w.l) + 0.875 * w.b
+  from walk w join t on t.conv_id = w.conv_id and t.rn = w.rn + 1
+)
+select conv_id, turn_idx,
+  {_r6x_sql("l")} as level,
+  {_r6x_sql("b")} as trend,
+  {_r6x_sql("l + b")} as forecast
+from walk
+"""
+
+QUERIES["holt_smoothing"] = q_holt_smoothing
+ORACLES["holt_smoothing"] = O_HOLT_SMOOTHING
+
+
 # --- table-maintenance planning: compaction bins + zone-map pruning -----------------
 
 def q_compaction_plan(spark, sf_dir):

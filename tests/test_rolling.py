@@ -238,3 +238,37 @@ def test_ewm_var_matches_recurrence(spark, cfg, transcripts):
                 v = 0.75 * (v + 0.25 * d * d)
                 e = 0.25 * x + 0.75 * e
             assert abs(r.turn_idx_ewma_var - v) < 1e-12
+
+
+def test_holt_matches_reference_recurrence(spark, cfg, transcripts):
+    import pyspark.sql.functions as F
+    from feature_extractor_mbo_lob_spark.operators.rolling import with_holt
+
+    src = transcripts.withColumn("value", F.length("text").cast("double"))
+    out = with_holt(src, cfg, "value", alpha=0.25, beta=0.125)
+    rows = out.select("conv_id", "turn_idx", "value",
+                      "value_holt_level", "value_holt_trend").collect()
+    by_conv = {}
+    for r in sorted(rows, key=lambda r: (r.conv_id, r.turn_idx)):
+        by_conv.setdefault(r.conv_id, []).append(r)
+    for conv, rs in by_conv.items():
+        l, b = rs[0].value, 0.0
+        assert rs[0].value_holt_level == l and rs[0].value_holt_trend == 0.0
+        for r in rs[1:]:
+            l_new = 0.25 * r.value + 0.75 * (l + b)
+            b = 0.125 * (l_new - l) + 0.875 * b
+            l = l_new
+            assert r.value_holt_level == l  # bit-exact, same op order
+            assert r.value_holt_trend == b
+
+
+def test_holt_constant_series_converges_to_level(spark, cfg):
+    import pyspark.sql.functions as F
+    from feature_extractor_mbo_lob_spark.operators.rolling import with_holt
+    from feature_extractor_mbo_lob_spark.sources import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=2, min_turns=10, max_turns=10, seed=7)
+    t = t.withColumn("value", F.lit(5.0))
+    out = with_holt(t, cfg, "value").collect()
+    for r in out:
+        assert r.value_holt_level == 5.0 and r.value_holt_trend == 0.0
