@@ -1225,3 +1225,36 @@ def boilerplate_stats(
         "occurrences", "boilerplate_occurrences",
         (F.floor(frac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("boilerplate_frac"),
     )
+
+
+def signed_hashed_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", dim: int = 64
+) -> DataFrame:
+    """Sparse signed hashing-trick features (Weinberger et al. 2009): each
+    word hashes to a bucket in [0, dim) AND to a +-1 sign from an
+    independent keyed md5, so colliding words cancel in expectation instead
+    of biasing the bucket upward — the property that lets hashed features
+    stand in for a vocabulary at any corpus size with a FIXED schema.
+
+    Output is the sparse triplet form (id, idx, weight != 0) — at web
+    scale the dense histogram (hashed_embedding above) explodes storage
+    for large dim; triplets shuffle only non-zero cells. One explode + one
+    (id, idx) groupBy, integer weights, engine-exact md5 hashing.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
+    )
+    idx = (
+        F.conv(F.substring(F.md5("word"), 1, 7), 16, 10).cast("long") % dim
+    )
+    sign = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("s|"), F.col("word"))), 1, 7), 16, 10)
+        .cast("long") % 2
+    ) * 2 - 1
+    g = (
+        words.select("id", idx.alias("idx"), sign.alias("sgn"))
+        .groupBy("id", "idx")
+        .agg(F.sum("sgn").cast("long").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+    return g

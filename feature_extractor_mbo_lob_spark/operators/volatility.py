@@ -198,3 +198,59 @@ def with_institutional_rates(
         freq.alias("large_turn_freq_per_s"),
         imb.alias("large_turn_imbalance"),
     )
+
+
+def acf_exact(df: DataFrame, cfg: PipelineConfig, col: str = "value",
+              lags: tuple = (1, 2, 3), scale: int = 100) -> DataFrame:
+    """Whole-series autocorrelation at multiple lags per conversation,
+    exactly: ACF(k) = Pearson(x_{1..n-k}, x_{1+k..n}).
+
+    Unlike ret_autocorr_fast above (windowed float F.corr — the streaming
+    estimate), this is the exact full-series diagnostic: the input is
+    quantized to integers (floor(x*scale + 0.5) — same double ops on any
+    engine reading the same parquet), all six Pearson sums are exact
+    decimal integers in any reduction order, and the closing expression is
+    one fixed operand sequence with integer-condition zero-variance
+    guards. One window pass produces ALL lags (one lead() per lag over
+    the same sort), then the lag pairs stack and reduce by (conv, lag).
+
+    Returns (conv_id, lag, n_pairs, acf); acf = 0.0 where either side of
+    a lag pairing is constant (undefined correlation).
+    """
+    w = ordering.stable_window(cfg)
+    key = cfg.key_col
+    xi = F.floor(F.col(col) * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    leads = [F.lead(xi, int(k)).over(w).alias(f"_b{k}") for k in lags]
+    base = df.select(F.col(key), xi.alias("_a"), *leads)
+    stacked = base.select(
+        key,
+        F.col("_a"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(int(k)).alias("lag"), F.col(f"_b{k}").alias("b"))
+                for k in lags
+            ])
+        ).alias("p"),
+    ).select(
+        key, F.col("p.lag").alias("lag"), F.col("_a").alias("a"), F.col("p.b").alias("b")
+    ).where(F.col("b").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    g = stacked.groupBy(key, "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(dec("a") * dec("b")).alias("sab"),
+        F.sum(dec("a") * dec("a")).alias("saa"),
+        F.sum(dec("b") * dec("b")).alias("sbb"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    va = n * F.col("saa") - dec("sa") * dec("sa")
+    vb = n * F.col("sbb") - dec("sb") * dec("sb")
+    num = (n * F.col("sab") - dec("sa") * dec("sb")).cast("double")
+    den = F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))
+    acf = F.when((va > 0) & (vb > 0), num / den).otherwise(F.lit(0.0))
+    return g.select(
+        key, F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        (F.floor(acf * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("acf"),
+    )

@@ -7540,6 +7540,80 @@ QUERIES["bpe_merges"] = q_bpe_merges
 ORACLES["bpe_merges"] = _bpe_oracle()
 
 
+# --- signed hashing-trick features ---------------------------------------------------
+
+def q_hashed_features(spark, sf_dir):
+    """Sparse signed hashing-trick features, dim 64: word -> md5 bucket,
+    independent md5 sign (+/-1) so collisions cancel; only non-zero
+    (doc, idx, weight) triplets survive (functions/corpus.
+    signed_hashed_features)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.signed_hashed_features(docs, "doc_id", "text", dim=64)
+    return out.select(F.col("id").alias("doc_id"), "idx", "weight")
+
+
+O_HASHED_FEATURES = f"""
+with {_WORDS_CTE},
+wx as (select doc_id, unnest(words) as word from w),
+t as (
+  select doc_id,
+    ({_hex7_of("md5(word)")}) % 64 as idx,
+    (({_hex7_of("md5('s|' || word)")}) % 2) * 2 - 1 as sgn
+  from wx
+)
+select doc_id, cast(idx as bigint) as idx, cast(sum(sgn) as bigint) as weight
+from t group by 1, 2 having sum(sgn) != 0
+"""
+
+QUERIES["hashed_features"] = q_hashed_features
+ORACLES["hashed_features"] = O_HASHED_FEATURES
+
+
+# --- exact multi-lag autocorrelation --------------------------------------------------
+
+def q_acf_features(spark, sf_dir):
+    """Whole-series ACF at lags 1-3 of `value` per conversation — integer
+    centi-quantized Pearson from exact decimal sums, one window pass for
+    all lags (operators/volatility.acf_exact)."""
+    t = transcripts_from_events(spark, sf_dir)
+    return vol_mod.acf_exact(t, CFG, "value", lags=(1, 2, 3), scale=100)
+
+
+_ACF_NUM = "cast(n2 * sab - sa * sb as double)"
+_ACF_DEN = "sqrt(cast(n2 * saa - sa * sa as double)) * sqrt(cast(n2 * sbb - sb * sb as double))"
+
+O_ACF_FEATURES = f"""{_W},
+t as (
+  select conv_id, cast(floor(value * 100.0 + 0.5) as bigint) as a,
+    lead(cast(floor(value * 100.0 + 0.5) as bigint), 1) over ({_OWIN}) as b1,
+    lead(cast(floor(value * 100.0 + 0.5) as bigint), 2) over ({_OWIN}) as b2,
+    lead(cast(floor(value * 100.0 + 0.5) as bigint), 3) over ({_OWIN}) as b3
+  from transcripts
+),
+s as (
+  select conv_id, 1 as lag, a, b1 as b from t where b1 is not null
+  union all select conv_id, 2, a, b2 from t where b2 is not null
+  union all select conv_id, 3, a, b3 from t where b3 is not null
+),
+g as (
+  select conv_id, lag,
+    cast(count(*) as bigint) as n,
+    sum(cast(a as hugeint)) as sa, sum(cast(b as hugeint)) as sb,
+    sum(cast(a as hugeint) * cast(b as hugeint)) as sab,
+    sum(cast(a as hugeint) * cast(a as hugeint)) as saa,
+    sum(cast(b as hugeint) * cast(b as hugeint)) as sbb
+  from s group by 1, 2
+),
+f as (select conv_id, lag, n, sa, sb, sab, saa, sbb, cast(n as hugeint) as n2 from g)
+select conv_id, cast(lag as int) as lag, n as n_pairs,
+  {_r6x_sql(f"case when n2 * saa - sa * sa > 0 and n2 * sbb - sb * sb > 0 then ({_ACF_NUM}) / ({_ACF_DEN}) else 0.0 end")} as acf
+from f
+"""
+
+QUERIES["acf_features"] = q_acf_features
+ORACLES["acf_features"] = O_ACF_FEATURES
+
+
 # --- Holt double-exponential smoothing (level + trend) -------------------------------
 
 def q_holt_smoothing(spark, sf_dir):

@@ -379,3 +379,30 @@ def test_bpe_merges_greedy_semantics(spark):
     # round 3: 'aaab'-><aa><ab>, 'ab'-><ab>: (aa,ab)=10, (ab,$)=15
     assert rules[2][1:4] == ("ab", "$", "ab$")
     assert rules[2][4] == 15
+
+
+def test_signed_hashed_features_cancellation(spark):
+    """Sign structure: a word appearing twice contributes +-2; weight-0
+    cells (exact collisions with opposite signs) are dropped."""
+    from feature_extractor_mbo_lob_spark.functions.corpus import signed_hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "")], "doc_id long, text string"
+    )
+    rows = signed_hashed_features(df, dim=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    w1 = sorted(abs(r.weight) for r in by_doc[1])
+    assert w1 == [1, 2]  # beta once, alpha twice (same bucket, same sign)
+    assert all(r.weight != 0 for r in rows)
+    assert all(0 <= r.idx < 64 for r in rows)
+
+
+def test_signed_hashed_features_deterministic(spark):
+    from feature_extractor_mbo_lob_spark.functions.corpus import signed_hashed_features
+
+    df = spark.createDataFrame([(7, "x y z x")], "doc_id long, text string")
+    a = sorted(map(tuple, signed_hashed_features(df).collect()))
+    b = sorted(map(tuple, signed_hashed_features(df).collect()))
+    assert a == b

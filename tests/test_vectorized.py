@@ -33,3 +33,39 @@ def test_vectorized_partition_independence(spark):
     a = _rows(vectorized_flagship(t, CFG))
     b = _rows(vectorized_flagship(t.repartition(13), CFG))
     assert a == b
+
+
+def test_acf_exact_known_series(spark, cfg):
+    """Perfect linear series: ACF(k) = 1 at every lag (exact Pearson)."""
+    import pyspark.sql.functions as F
+    from feature_extractor_mbo_lob_spark.operators.volatility import acf_exact
+    from feature_extractor_mbo_lob_spark.sources import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=1, min_turns=12, max_turns=12, seed=3)
+    t = t.withColumn("value", F.col("turn_idx").cast("double") * 2.0 + 1.0)
+    out = {r.lag: r for r in acf_exact(t, cfg, "value", lags=(1, 2)).collect()}
+    assert out[1].acf == 1.0 and out[2].acf == 1.0
+    assert out[1].n_pairs == 11 and out[2].n_pairs == 10
+
+
+def test_acf_exact_constant_series_guard(spark, cfg):
+    import pyspark.sql.functions as F
+    from feature_extractor_mbo_lob_spark.operators.volatility import acf_exact
+    from feature_extractor_mbo_lob_spark.sources import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=1, min_turns=8, max_turns=8, seed=3)
+    t = t.withColumn("value", F.lit(4.25))
+    out = acf_exact(t, cfg, "value", lags=(1,)).collect()
+    assert out[0].acf == 0.0  # zero variance -> guarded
+
+
+def test_acf_exact_alternating_series(spark, cfg):
+    """x = +1,-1,+1,... -> ACF(1) = -1, ACF(2) = +1."""
+    import pyspark.sql.functions as F
+    from feature_extractor_mbo_lob_spark.operators.volatility import acf_exact
+    from feature_extractor_mbo_lob_spark.sources import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=1, min_turns=10, max_turns=10, seed=3)
+    t = t.withColumn("value", F.when(F.col("turn_idx") % 2 == 0, 1.0).otherwise(-1.0))
+    out = {r.lag: r for r in acf_exact(t, cfg, "value", lags=(1, 2)).collect()}
+    assert out[1].acf == -1.0 and out[2].acf == 1.0
