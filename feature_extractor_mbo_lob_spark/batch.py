@@ -15,7 +15,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .config import PipelineConfig
@@ -206,3 +206,47 @@ def group_kfold(
         .cast("long") % k
     )
     return df.withColumn(fold_col, bucket.cast("int"))
+
+
+def purged_split(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    test_frac_num: int = 1,
+    test_frac_den: int = 5,
+    embargo_turns: int = 3,
+    split_col: str = "split",
+) -> DataFrame:
+    """Purged chronological split WITH EMBARGO, per conversation (the
+    walk-forward CV hygiene of Lopez de Prado's purged k-fold, adapted to
+    per-entity series): the last ``test_frac`` of each conversation's
+    turns is test, the ``embargo_turns`` immediately before it are
+    EXCLUDED from training (label horizons / rolling windows computed at
+    train time would otherwise peek into test rows — the exact temporal
+    leak the north rule forbids), and everything earlier is train.
+
+    Pure integer rank arithmetic against the stable turn order —
+    test iff i > n - ceil(n*num/den), i.e. den*i > den*n - n*num via
+    cross-multiplication, no float thresholds, no data-dependent scalar
+    collection, one per-conversation window (the engine's standard
+    shuffle shape).
+    """
+    w = (
+        Window.partitionBy(cfg.key_col)
+        .orderBy(*[F.col(c) for c in cfg.order_cols])
+    )
+    i = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(
+        Window.partitionBy(cfg.key_col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    tagged = df.withColumn("_i", i.cast("long")).withColumn("_n", n.cast("long"))
+    # n_test = ceil(n*num/den) via exact integer DIV; t0 = n - n_test
+    num, den, emb = int(test_frac_num), int(test_frac_den), int(embargo_turns)
+    t0 = F.expr(f"_n - ((_n * {num} + {den} - 1) div {den})")
+    split = (
+        F.when(F.col("_i") > t0, F.lit("test"))
+        .when(F.col("_i") > t0 - emb, F.lit("embargo"))
+        .otherwise(F.lit("train"))
+    )
+    return tagged.withColumn(split_col, split).drop("_i", "_n")

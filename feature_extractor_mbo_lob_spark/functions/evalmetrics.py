@@ -315,3 +315,48 @@ def entropy_by_group(
         - F.col("wl").cast("double") / n_d / F.lit(1e9)
     )
     return g.select("grp", "n", "k_distinct", _x6(ent).alias("entropy"))
+
+
+def cohens_kappa(df: DataFrame, pred_col: str, label_col: str) -> DataFrame:
+    """Cohen's kappa between a binary prediction and a binary label:
+    chance-corrected agreement kappa = (p_o - p_e) / (1 - p_e).
+
+    Entirely integer-fed: with confusion counts (tp, fp, fn, tn) and
+    n = their sum, kappa = (n*(tp+tn) - (pp*pl + np*nl)) /
+    (n^2 - (pp*pl + np*nl)) where pp/np are predicted-positive/negative
+    totals and pl/nl the label totals — one map-side-combinable aggregate,
+    decimal(38,0) products, a single double division.
+
+    Returns one row: (n, po, pe, kappa). kappa = 0.0 at the degenerate
+    p_e = 1 (both raters constant).
+    """
+    p = F.col(pred_col).cast("long")
+    y = F.col(label_col).cast("long")
+    agg = df.agg(
+        F.sum(p * y).cast("long").alias("tp"),
+        F.sum(p * (1 - y)).cast("long").alias("fp"),
+        F.sum((1 - p) * y).cast("long").alias("fn"),
+        F.sum((1 - p) * (1 - y)).cast("long").alias("tn"),
+    )
+    dec = lambda name: F.col(name).cast(_D38)
+    n = dec("tp") + dec("fp") + dec("fn") + dec("tn")
+    pe_num = (dec("tp") + dec("fp")) * (dec("tp") + dec("fn")) + (
+        dec("fn") + dec("tn")
+    ) * (dec("fp") + dec("tn"))
+    po_num = n * (dec("tp") + dec("tn"))
+    with_sums = agg.select(
+        n.cast("long").alias("n"),
+        po_num.alias("_po_num"),
+        pe_num.alias("_pe_num"),
+        (n * n).alias("_n2"),
+    )
+    po = F.col("_po_num").cast("double") / F.col("_n2").cast("double")
+    pe = F.col("_pe_num").cast("double") / F.col("_n2").cast("double")
+    kappa = F.when(
+        F.col("_n2") != F.col("_pe_num"),
+        (F.col("_po_num") - F.col("_pe_num")).cast("double")
+        / (F.col("_n2") - F.col("_pe_num")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return with_sums.select(
+        "n", _x6(po).alias("po"), _x6(pe).alias("pe"), _x6(kappa).alias("kappa")
+    )

@@ -8198,6 +8198,77 @@ QUERIES["entropy_report"] = q_entropy_report
 ORACLES["entropy_report"] = O_ENTROPY_REPORT
 
 
+# --- purged chronological split with embargo -----------------------------------------
+
+def q_purged_split(spark, sf_dir):
+    """Per-conversation purged walk-forward split: last 1/5 of turns =
+    test, the 3 turns before = embargo (excluded — rolling features
+    computed at train time would peek into test), rest = train. Exact
+    integer DIV rank arithmetic (batch.purged_split)."""
+    from .. import batch
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = batch.purged_split(t, CFG, test_frac_num=1, test_frac_den=5, embargo_turns=3)
+    return out.select("conv_id", "turn_idx", "split")
+
+
+O_PURGED_SPLIT = f"""{_W},
+t as (
+  select conv_id, turn_idx,
+    row_number() over ({_OWIN}) as i,
+    count(*) over (partition by conv_id) as n
+  from transcripts
+)
+select conv_id, turn_idx,
+  case when i > n - ((n * 1 + 5 - 1) // 5) then 'test'
+       when i > n - ((n * 1 + 5 - 1) // 5) - 3 then 'embargo'
+       else 'train' end as split
+from t
+"""
+
+QUERIES["purged_split"] = q_purged_split
+ORACLES["purged_split"] = O_PURGED_SPLIT
+
+
+# --- Cohen's kappa --------------------------------------------------------------------
+
+def q_cohens_kappa(spark, sf_dir):
+    """Chance-corrected agreement between the length-threshold classifier
+    and the hash-drawn label — integer-fed po/pe, one aggregate
+    (functions/evalmetrics.cohens_kappa)."""
+    d = _scored_docs(spark, sf_dir).select(
+        (F.col("s") >= 128).cast("int").alias("p"), "y"
+    )
+    return evalmetrics.cohens_kappa(d, "p", "y")
+
+
+O_COHENS_KAPPA = f"""
+with sc as ({_SCORED_DOCS_SQL}),
+c as (select case when s >= 128 then 1 else 0 end as p, y from sc),
+a as (select
+  cast(sum(p * y) as hugeint) as tp,
+  cast(sum(p * (1 - y)) as hugeint) as fp,
+  cast(sum((1 - p) * y) as hugeint) as fn,
+  cast(sum((1 - p) * (1 - y)) as hugeint) as tn
+ from c),
+s2 as (select
+  tp + fp + fn + tn as n,
+  (tp + fp + fn + tn) * (tp + tn) as po_num,
+  (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) as pe_num,
+  (tp + fp + fn + tn) * (tp + fp + fn + tn) as n2
+ from a)
+select cast(n as bigint) as n,
+  {_r6x_sql("cast(po_num as double) / cast(n2 as double)")} as po,
+  {_r6x_sql("cast(pe_num as double) / cast(n2 as double)")} as pe,
+  {_r6x_sql("case when n2 != pe_num then cast(po_num - pe_num as double) / cast(n2 - pe_num as double) else 0.0 end")} as kappa
+from s2
+"""
+
+QUERIES["cohens_kappa"] = q_cohens_kappa
+ORACLES["cohens_kappa"] = O_COHENS_KAPPA
+
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

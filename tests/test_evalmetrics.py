@@ -135,3 +135,31 @@ def test_entropy_hand_value(spark):
     r = em.entropy_by_group(df, "k", "g").collect()[0]
     expected = math.log(4) - 3 * math.log(3) / 4
     assert abs(r.entropy - expected) < 1e-6
+
+
+def test_cohens_kappa_perfect_agreement(spark):
+    from feature_extractor_mbo_lob_spark.functions import evalmetrics as em2
+
+    df = spark.createDataFrame([(1, 1), (0, 0), (1, 1), (0, 0)], "p int, y int")
+    r = em2.cohens_kappa(df, "p", "y").collect()[0]
+    assert r.kappa == 1.0 and r.po == 1.0
+
+
+def test_cohens_kappa_hand_value(spark):
+    from feature_extractor_mbo_lob_spark.functions import evalmetrics as em2
+
+    # classic 2x2: tp=20, fp=5, fn=10, tn=15, n=50
+    # po = 35/50 = 0.7; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    rows = ([(1, 1)] * 20 + [(1, 0)] * 5 + [(0, 1)] * 10 + [(0, 0)] * 15)
+    df = spark.createDataFrame(rows, "p int, y int")
+    r = em2.cohens_kappa(df, "p", "y").collect()[0]
+    assert (r.n, r.po, r.pe) == (50, 0.7, 0.5)
+    assert abs(r.kappa - 0.4) < 1e-9
+
+
+def test_cohens_kappa_degenerate_constant(spark):
+    from feature_extractor_mbo_lob_spark.functions import evalmetrics as em2
+
+    df = spark.createDataFrame([(1, 1), (1, 1)], "p int, y int")
+    r = em2.cohens_kappa(df, "p", "y").collect()[0]
+    assert r.kappa == 0.0  # pe = 1 guard

@@ -164,3 +164,20 @@ def test_group_hash_split(spark):
     b = sorted((r.conv_id, r.split) for r in
                group_hash_split(df, PipelineConfig()).select("conv_id", "split").distinct().collect())
     assert a == b
+
+
+def test_purged_split_counts_and_order(spark, cfg, transcripts):
+    """Test block is the chronological tail; embargo strictly between."""
+    from feature_extractor_mbo_lob_spark.batch import purged_split
+
+    out = purged_split(transcripts, cfg, 1, 5, 3).collect()
+    by_conv = {}
+    for r in sorted(out, key=lambda r: (r.conv_id, r.turn_idx)):
+        by_conv.setdefault(r.conv_id, []).append(r.split)
+    for conv, splits in by_conv.items():
+        n = len(splits)
+        n_test = -(-n // 5)  # ceil
+        n_emb = min(3, n - n_test)
+        assert splits[n - n_test:] == ["test"] * n_test
+        assert splits[n - n_test - n_emb: n - n_test] == ["embargo"] * n_emb
+        assert all(s == "train" for s in splits[: n - n_test - n_emb])
