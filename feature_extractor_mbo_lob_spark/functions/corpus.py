@@ -1258,3 +1258,72 @@ def signed_hashed_features(
         .where(F.col("weight") != 0)
     )
     return g
+
+
+def chi2_feature_selection(
+    df: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_k: int = 100,
+) -> DataFrame:
+    """Chi-squared word-label association over the top-``vocab_k``
+    vocabulary — the classic supervised feature-selection screen (which
+    words are evidence FOR a language/source/label before training a
+    classifier on hashed features).
+
+    Presence-based 2x2 per (word, label): a = label docs containing the
+    word, b = other docs containing it, c/d their complements;
+    chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)).
+
+    Distributed shape: per-doc DISTINCT words explode once and semi-join
+    the broadcast top-k vocab, so the association table is at most
+    vocab_k * |labels| rows no matter the corpus; zero-presence cells are
+    restored by a crossJoin of the two tiny dimension frames. All counts
+    and products are exact decimal(38,0) integers (N*(ad-bc)^2 fits 38
+    digits to ~1e9 docs; past that the exactness contract would switch to
+    doubles), one guarded division per row.
+    """
+    top = vocab_topk(df, k=vocab_k, text_col=text_col).select("word")
+    pres = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("lbl"),
+            F.explode(F.array_distinct(normalized_words(text_col))).alias("word"),
+        )
+        .join(F.broadcast(top), "word")
+        .distinct()
+    )
+    a_cnt = pres.groupBy("word", "lbl").agg(F.count(F.lit(1)).alias("a"))
+    w_cnt = pres.groupBy("word").agg(F.countDistinct("id").alias("w_docs"))
+    l_cnt = df.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count(F.lit(1)).alias("l_docs")
+    )
+    n_tot = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    grid = (
+        top.crossJoin(F.broadcast(l_cnt))
+        .join(F.broadcast(w_cnt), "word")
+        .join(F.broadcast(a_cnt), ["word", "lbl"], "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "word", "lbl",
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a"),
+            "w_docs", "l_docs", "n_docs",
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    a = dec(F.col("a"))
+    b = dec(F.col("w_docs")) - a
+    c = dec(F.col("l_docs")) - a
+    n = dec(F.col("n_docs"))
+    d = n - a - b - c
+    det = a * d - b * c
+    num = (n * det * det).cast("double")
+    den_i = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = F.when(den_i > 0, num / den_i.cast("double")).otherwise(F.lit(0.0))
+    return grid.select(
+        "word",
+        F.col("lbl").alias("label"),
+        F.col("a").alias("n_docs_with"),
+        (F.floor(chi2 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("chi2"),
+    )

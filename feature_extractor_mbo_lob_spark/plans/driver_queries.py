@@ -8198,6 +8198,58 @@ QUERIES["entropy_report"] = q_entropy_report
 ORACLES["entropy_report"] = O_ENTROPY_REPORT
 
 
+# --- chi-squared feature selection ----------------------------------------------------
+
+def q_chi2_features(spark, sf_dir):
+    """Word-language chi-squared association screen over the top-100
+    vocabulary: presence-based 2x2 per (word, lang), exact decimal
+    integer products, zero cells restored by a tiny dimension crossJoin
+    (functions/corpus.chi2_feature_selection)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.chi2_feature_selection(docs, "lang", "doc_id", "text", vocab_k=100)
+
+
+O_CHI2_FEATURES = f"""
+with norm as (
+  select doc_id, lang,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as words
+  from documents
+),
+topv as (
+  select word from (
+    select word, count(*) as cnt
+    from (select unnest(words) as word from norm)
+    group by word order by cnt desc, word asc limit 100
+  )
+),
+wd as (select doc_id, lang, unnest(list_distinct(words)) as word from norm),
+pres as (select wd.doc_id, wd.lang as lbl, wd.word from wd join topv using (word)),
+a_cnt as (select word, lbl, count(*) as a from pres group by 1, 2),
+w_cnt as (select word, count(distinct doc_id) as w_docs from pres group by 1),
+l_cnt as (select lang as lbl, count(*) as l_docs from documents group by 1),
+n_tot as (select count(*) as n_docs from documents),
+cells as (
+  select t.word, l.lbl,
+    cast(coalesce(a.a, 0) as hugeint) as a,
+    cast(w.w_docs as hugeint) - cast(coalesce(a.a, 0) as hugeint) as b,
+    cast(l.l_docs as hugeint) - cast(coalesce(a.a, 0) as hugeint) as c,
+    cast(n.n_docs as hugeint) as n
+  from topv t
+  cross join l_cnt l
+  join w_cnt w on w.word = t.word
+  left join a_cnt a on a.word = t.word and a.lbl = l.lbl
+  cross join n_tot n
+),
+full_cells as (select word, lbl, a, b, c, n - a - b - c as d, n from cells)
+select word, lbl as label, cast(a as bigint) as n_docs_with,
+  {_r6x_sql("case when (a + b) * (c + d) * (a + c) * (b + d) > 0 then cast(n * (a * d - b * c) * (a * d - b * c) as double) / cast((a + b) * (c + d) * (a + c) * (b + d) as double) else 0.0 end")} as chi2
+from full_cells
+"""
+
+QUERIES["chi2_features"] = q_chi2_features
+ORACLES["chi2_features"] = O_CHI2_FEATURES
+
+
 # --- purged chronological split with embargo -----------------------------------------
 
 def q_purged_split(spark, sf_dir):

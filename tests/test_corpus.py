@@ -406,3 +406,22 @@ def test_signed_hashed_features_deterministic(spark):
     a = sorted(map(tuple, signed_hashed_features(df).collect()))
     b = sorted(map(tuple, signed_hashed_features(df).collect()))
     assert a == b
+
+
+def test_chi2_feature_selection_hand_2x2(spark):
+    """word 'xx' only in label-A docs: a=2,b=0,c=0,d=2,N=4 ->
+    chi2 = 4*(2*2)^2/(2*2*2*2) = 4.0; 'yy' (everywhere) -> degenerate 0."""
+    from feature_extractor_mbo_lob_spark.functions.corpus import chi2_feature_selection
+
+    rows = [
+        (1, "xx yy", "A"), (2, "xx yy", "A"),
+        (3, "yy zz", "B"), (4, "yy zz", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r.word, r.label): r for r in
+           chi2_feature_selection(df, vocab_k=10).collect()}
+    assert out[("xx", "A")].chi2 == 4.0 and out[("xx", "A")].n_docs_with == 2
+    assert out[("xx", "B")].chi2 == 4.0 and out[("xx", "B")].n_docs_with == 0
+    assert out[("yy", "A")].chi2 == 0.0  # present in every doc -> c+d = 0
+    assert out[("zz", "B")].chi2 == 4.0
+    assert len(out) == 6  # 3 words x 2 labels
