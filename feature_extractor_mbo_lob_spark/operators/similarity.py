@@ -589,3 +589,44 @@ def label_separability(
         "msd_b",
         (F.col("dist2") / (F.col("msd_a") + F.col("msd_b"))).alias("fisher"),
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 1,
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: the vector splits into ``m`` contiguous
+    subvectors; each subspace learns its own k-centroid codebook
+    (kmeans_lloyd above — spherical/cosine variant, matching this engine's
+    cosine ANN metric) and every vector is encoded as its nearest-centroid
+    id per subspace. m codebooks of k centroids compress a float vector to
+    m small ints — the memory step that makes billion-vector ANN feasible
+    (IVF-PQ); the asymmetric-distance scan is a lookup-table sum over
+    these codes.
+
+    Shape: m independent codebook fits over narrow slice projections
+    (each is the documented kmeans shape: broadcast k-row centroid table,
+    keyed partial-agg updates), then an m-way id-keyed join of the code
+    columns — co-partitioned on id after the first shuffle. Deterministic
+    first-k-by-id init per subspace, fixed iteration count, so the whole
+    encoding is SQL-expressible for the oracle gate.
+    """
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    d = dim // m
+    out = None
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * d + 1, d).alias(vec_col),
+        )
+        asg, _cents = kmeans_lloyd(sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        asg = asg.select(
+            id_col, F.col("centroid_id").cast("int").alias(f"code_{s}")
+        )
+        out = asg if out is None else out.join(asg, id_col)
+    return out

@@ -8198,6 +8198,44 @@ QUERIES["entropy_report"] = q_entropy_report
 ORACLES["entropy_report"] = O_ENTROPY_REPORT
 
 
+# --- product-quantization codes --------------------------------------------------------
+
+def q_pq_codes(spark, sf_dir):
+    """Product quantization: 16-dim embeddings -> 4 subspaces x 4-centroid
+    codebooks (spherical kmeans, 1 Lloyd round, deterministic init);
+    output is the (vec_id, code_0..code_3) compressed encoding
+    (operators/similarity.pq_codes)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.pq_codes(emb, m=4, k=4, iters=1, dim=16)
+
+
+def _pq_oracle(m: int = 4, k: int = 4, iters: int = 1, dim: int = 16) -> str:
+    d = dim // m
+    subs = []
+    for s in range(m):
+        source = (
+            f"select vec_id, (embedding::DOUBLE[])[{s * d + 1}:{(s + 1) * d}] as v "
+            "from embeddings"
+        )
+        inner = _kmeans_oracle(k=k, iters=iters, source=source, head="with")
+        inner = inner.replace(
+            "select vec_id, cast(centroid_id as int) as cluster",
+            f"select vec_id, cast(centroid_id as int) as code_{s}",
+        )
+        subs.append(f"q{s} as (\n{inner}\n)")
+    joins = "\n".join(f"join q{s} using (vec_id)" for s in range(1, m))
+    cols = ", ".join(f"code_{s}" for s in range(m))
+    # each subspace keeps its own (scoped) WITH inside its CTE body
+    derived = ",\n".join(subs)
+    return f"with {derived}\nselect vec_id, {cols} from q0\n{joins}"
+
+
+QUERIES["pq_codes"] = q_pq_codes
+ORACLES["pq_codes"] = _pq_oracle()
+
+
 # --- chi-squared feature selection ----------------------------------------------------
 
 def q_chi2_features(spark, sf_dir):

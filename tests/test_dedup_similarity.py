@@ -432,3 +432,38 @@ def test_label_separability_matches_numpy(spark):
     assert abs(r.msd_a - msd[0]) < 1e-6 and abs(r.msd_b - msd[1]) < 1e-6
     # well-separated clusters: fisher ratio must be large
     assert r.fisher > 50
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """Every vector gets one code per subspace in [1, k]; encoding is
+    deterministic across runs; equal vectors share codes."""
+    import pyspark.sql.functions as F
+    from feature_extractor_mbo_lob_spark.operators.similarity import pq_codes
+
+    rows = [(i, [float((i * 7 + d * 3) % 5 - 2) for d in range(8)]) for i in range(20)]
+    rows.append((100, rows[0][1]))  # duplicate vector, different id
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in pq_codes(df, m=2, k=3, iters=1, dim=8).collect()}
+    assert len(out) == 21
+    for r in out.values():
+        assert 1 <= r.code_0 <= 3 and 1 <= r.code_1 <= 3
+    assert (out[100].code_0, out[100].code_1) == (out[0].code_0, out[0].code_1)
+    out2 = {r.vec_id: r for r in pq_codes(df, m=2, k=3, iters=1, dim=8).collect()}
+    assert all((out[i].code_0, out[i].code_1) == (out2[i].code_0, out2[i].code_1)
+               for i in out)
+
+
+def test_pq_codes_separates_obvious_clusters(spark):
+    """Two well-separated directions per subspace land in different codes."""
+    from feature_extractor_mbo_lob_spark.operators.similarity import pq_codes
+
+    a = [1.0, 0.0, 1.0, 0.0]
+    b = [0.0, 1.0, 0.0, 1.0]
+    # interleave ids so the first-k-by-id init sees one seed per cluster
+    rows = [(2 * i, a + a) for i in range(5)] + [(2 * i + 1, b + b) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in pq_codes(df, m=2, k=2, iters=1, dim=8).collect()}
+    assert out[0].code_0 != out[1].code_0
+    assert out[0].code_1 != out[1].code_1
+    assert all(out[2 * i].code_0 == out[0].code_0 for i in range(5))
+    assert all(out[2 * i + 1].code_0 == out[1].code_0 for i in range(5))
