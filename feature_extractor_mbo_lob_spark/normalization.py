@@ -270,3 +270,49 @@ def robust_zscore(df: DataFrame, col: str, out_col: str | None = None,
     return d.withColumn(
         out, (F.col(col) - F.col("_med")) / (F.col("_mad") + F.lit(float(eps)))
     ).drop("_med", "_mad")
+
+
+def mad_outliers_by_group(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    k: float = 3.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-GROUP robust outlier flags: |x - median_g| > k * MAD_g, the
+    entity-level anomaly screen (robust_zscore above is the global/table
+    variant; this one gives every conversation its own location/scale, so
+    a uniformly chatty conversation does not drown out a quiet one's
+    spikes).
+
+    Exactness: x quantizes to integers once (floor(x*scale + 0.5), same
+    doubles both engines); per-group medians interpolate between two
+    integers — every op is exact in float64, so Spark's percentile and
+    DuckDB's quantile_cont agree bit-for-bit. Two grouped aggregates
+    (median, then MAD on the residuals), each joined back on the group
+    key — co-partitioned after the first shuffle, no global sort.
+
+    Returns df columns (group, x_int, med, mad, is_outlier). mad = 0
+    groups flag nothing (degenerate scale).
+    """
+    xi = F.floor(F.col(col) * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    base = df.withColumn("_xi", xi)
+    med = base.groupBy(group_col).agg(
+        F.percentile(F.col("_xi"), F.lit(0.5)).alias("_med")
+    )
+    d = base.join(med, group_col)
+    mad = d.groupBy(group_col).agg(
+        F.percentile(F.abs(F.col("_xi") - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    d = d.join(mad, group_col)
+    flag = (F.col("_mad") > 0) & (
+        F.abs(F.col("_xi") - F.col("_med")) > F.lit(float(k)) * F.col("_mad")
+    )
+    return d.select(
+        F.col(group_col),
+        F.col("_xi").alias("x_int"),
+        F.col("_med").alias("med"),
+        F.col("_mad").alias("mad"),
+        flag.alias("is_outlier"),
+        *[c for c in df.columns if c not in (group_col, col)],
+    )

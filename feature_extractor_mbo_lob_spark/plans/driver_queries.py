@@ -8198,6 +8198,44 @@ QUERIES["entropy_report"] = q_entropy_report
 ORACLES["entropy_report"] = O_ENTROPY_REPORT
 
 
+# --- per-conversation MAD outlier flags ------------------------------------------------
+
+def q_mad_outliers(spark, sf_dir):
+    """Per-conversation robust outlier flags on `value`:
+    |x - median| > 3 * MAD with exact per-group medians over integer
+    cents (normalization.mad_outliers_by_group)."""
+    from .. import normalization
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = normalization.mad_outliers_by_group(
+        t.select("conv_id", "turn_idx", "value"), "value", "conv_id", k=3.0, scale=100
+    )
+    return out.select(
+        "conv_id", "turn_idx", "x_int",
+        _r6x(F.col("med"), "med"), _r6x(F.col("mad"), "mad"), "is_outlier",
+    )
+
+
+O_MAD_OUTLIERS = f"""{_W},
+b as (
+  select conv_id, turn_idx,
+    cast(floor(value * 100.0 + 0.5) as bigint) as xi
+  from transcripts
+),
+m as (select conv_id, quantile_cont(xi, 0.5) as med from b group by 1),
+d as (select b.conv_id, b.turn_idx, b.xi, m.med from b join m using (conv_id)),
+md as (select conv_id, quantile_cont(abs(xi - med), 0.5) as mad from d group by 1)
+select d.conv_id, d.turn_idx, d.xi as x_int,
+  {_r6x_sql("d.med")} as med,
+  {_r6x_sql("md.mad")} as mad,
+  md.mad > 0 and abs(d.xi - d.med) > 3.0 * md.mad as is_outlier
+from d join md using (conv_id)
+"""
+
+QUERIES["mad_outliers"] = q_mad_outliers
+ORACLES["mad_outliers"] = O_MAD_OUTLIERS
+
+
 # --- product-quantization codes --------------------------------------------------------
 
 def q_pq_codes(spark, sf_dir):

@@ -344,3 +344,32 @@ def test_percentile_approx_rank_error_bound(spark):
     for q, got in zip(qs, row["a"]):
         # values are exactly their rank here, so rank error reads directly
         assert abs(got - q * (n - 1)) <= n / acc + 1, (q, got)
+
+
+def test_mad_outliers_by_group_hand_case(spark):
+    """Group g: x = 1..7 plus a 100 spike: med/MAD from the 8 values."""
+    from feature_extractor_mbo_lob_spark.normalization import mad_outliers_by_group
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "grp string, i int, x double"
+    )
+    out = {r.i: r for r in mad_outliers_by_group(df, "x", "grp", k=3.0, scale=1).collect()}
+    # sorted cents: 1..7,100 -> median = (4+5)/2 = 4.5
+    assert out[0].med == 4.5
+    # residuals |x-4.5|: 3.5,2.5,1.5,.5,.5,1.5,2.5,95.5 -> median = 2.0
+    assert out[0].mad == 2.0
+    flagged = [i for i, r in out.items() if r.is_outlier]
+    assert flagged == [7]  # only the spike exceeds 4.5 +- 6.0
+
+
+def test_mad_outliers_degenerate_constant_group(spark):
+    from feature_extractor_mbo_lob_spark.normalization import mad_outliers_by_group
+
+    df = spark.createDataFrame(
+        [("g", i, 5.0) for i in range(4)] + [("g", 9, 5.01)],
+        "grp string, i int, x double",
+    )
+    out = mad_outliers_by_group(df, "x", "grp", scale=1).collect()
+    # scale=1 quantizes 5.01 -> 5; MAD = 0 -> nothing flagged
+    assert not any(r.is_outlier for r in out)
