@@ -8198,6 +8198,53 @@ QUERIES["entropy_report"] = q_entropy_report
 ORACLES["entropy_report"] = O_ENTROPY_REPORT
 
 
+# --- incremental aggregate-state maintenance -------------------------------------------
+
+def q_incremental_rollup(spark, sf_dir):
+    """Materialized-view maintenance: 90% of events form the standing
+    per-user aggregate state, the other 10% arrive as a delta batch and
+    MERGE in (full-outer coalesce-arithmetic on the commutative monoid
+    (cnt, sum, min, max)) — never rescanning history
+    (operators/cdc.partial_aggregate / merge_partial_aggregates)."""
+    from ..operators import cdc
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    state = cdc.partial_aggregate(ev.where(F.col("event_id") % 10 != 0), "user_id", "cents")
+    delta = cdc.partial_aggregate(ev.where(F.col("event_id") % 10 == 0), "user_id", "cents")
+    out = cdc.merge_partial_aggregates(state, delta)
+    return out.select(F.col("key").alias("user_id"), "cnt", "sum_v", "min_v", "max_v")
+
+
+O_INCREMENTAL_ROLLUP = """
+with ev as (
+  select event_id, user_id, cast(floor(value * 100.0 + 0.5) as bigint) as cents
+  from events
+),
+s as (
+  select user_id as key, count(*) as cnt, sum(cents) as sum_v,
+    min(cents) as min_v, max(cents) as max_v
+  from ev where event_id % 10 != 0 group by 1
+),
+d as (
+  select user_id as key, count(*) as cnt, sum(cents) as sum_v,
+    min(cents) as min_v, max(cents) as max_v
+  from ev where event_id % 10 = 0 group by 1
+)
+select coalesce(s.key, d.key) as user_id,
+  cast(coalesce(s.cnt, 0) + coalesce(d.cnt, 0) as bigint) as cnt,
+  cast(coalesce(s.sum_v, 0) + coalesce(d.sum_v, 0) as bigint) as sum_v,
+  cast(least(coalesce(s.min_v, d.min_v), coalesce(d.min_v, s.min_v)) as bigint) as min_v,
+  cast(greatest(coalesce(s.max_v, d.max_v), coalesce(d.max_v, s.max_v)) as bigint) as max_v
+from s full outer join d on s.key = d.key
+"""
+
+QUERIES["incremental_rollup"] = q_incremental_rollup
+ORACLES["incremental_rollup"] = O_INCREMENTAL_ROLLUP
+
+
 # --- per-conversation MAD outlier flags ------------------------------------------------
 
 def q_mad_outliers(spark, sf_dir):

@@ -740,3 +740,37 @@ def test_apply_cdc_random_batch_matches_python(spark):
         else:
             state[k] = v
     assert got == state
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    """Merge(state, delta) must be bit-identical to the from-scratch
+    aggregate — the materialized-view maintenance invariant."""
+    import pyspark.sql.functions as F
+    from feature_extractor_mbo_lob_spark.operators import cdc
+
+    rows = [(i, f"u{i % 7}", (i * 13) % 50 - 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, v long")
+    state = cdc.partial_aggregate(df.where(F.col("event_id") % 10 != 0), "user_id", "v")
+    delta = cdc.partial_aggregate(df.where(F.col("event_id") % 10 == 0), "user_id", "v")
+    merged = {r.key: r for r in cdc.merge_partial_aggregates(state, delta).collect()}
+    full = {r.key: r for r in cdc.partial_aggregate(df, "user_id", "v").collect()}
+    assert set(merged) == set(full)
+    for k in full:
+        assert (merged[k].cnt, merged[k].sum_v, merged[k].min_v, merged[k].max_v) == (
+            full[k].cnt, full[k].sum_v, full[k].min_v, full[k].max_v)
+
+
+def test_incremental_rollup_delta_only_key(spark):
+    """A key present only in the delta batch (or only in state) survives
+    the full-outer merge with its own values."""
+    from feature_extractor_mbo_lob_spark.operators import cdc
+
+    state = spark.createDataFrame(
+        [("a", 2, 10, 3, 7)], "key string, cnt long, sum_v long, min_v long, max_v long"
+    )
+    delta = spark.createDataFrame(
+        [("b", 1, 5, 5, 5)], "key string, cnt long, sum_v long, min_v long, max_v long"
+    )
+    out = {r.key: r for r in cdc.merge_partial_aggregates(state, delta).collect()}
+    assert (out["a"].cnt, out["a"].min_v, out["a"].max_v) == (2, 3, 7)
+    assert (out["b"].cnt, out["b"].sum_v) == (1, 5)
