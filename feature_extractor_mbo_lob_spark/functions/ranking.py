@@ -118,3 +118,50 @@ def retrieval_metrics(
         _x6(ap).alias("ap"),
         _x6(rr).alias("rr"),
     )
+
+
+def reciprocal_rank_fusion(
+    rankings: list,
+    k_const: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Hybrid-retrieval fusion (Cormack et al. RRF): given N ranked lists
+    per query (e.g. BM25 lexical + embedding cosine), score every
+    candidate by sum over lists of 1/(k + rank) and re-rank.
+
+    The per-list contribution 1/(k+rank) is quantized to integer nanos
+    (rank and k are integers, the quantization step dwarfs division ulp),
+    so the fused score is an exact integer sum — order-free across lists
+    and engines; ties break on doc id. Shape: unionAll of the input
+    rankings (no join fan-out), one (query, doc) groupBy, then a
+    bounded-per-query rank window.
+
+    Returns (query_id, doc_id, rrf_nano, fused_rank), optionally truncated
+    to ``top_k`` fused results per query.
+    """
+    contrib = F.floor(
+        F.lit(1e9) / (F.lit(int(k_const)) + F.col(rank_col).cast("double")) + F.lit(0.5)
+    ).cast("long")
+    parts = [
+        r.select(
+            F.col(query_col).alias("qid"),
+            F.col(doc_col).alias("did"),
+            contrib.alias("c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    fused = u.groupBy("qid", "did").agg(F.sum("c").cast("long").alias("rrf_nano"))
+    w = Window.partitionBy("qid").orderBy(F.col("rrf_nano").desc(), F.col("did").asc())
+    out = fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+    if top_k is not None:
+        out = out.where(F.col("fused_rank") <= top_k)
+    return out.select(
+        F.col("qid").alias(query_col), F.col("did").alias(doc_col),
+        "rrf_nano", "fused_rank",
+    )

@@ -8198,6 +8198,103 @@ QUERIES["entropy_report"] = q_entropy_report
 ORACLES["entropy_report"] = O_ENTROPY_REPORT
 
 
+# --- reciprocal-rank fusion of exact + quantized retrieval -----------------------------
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval fusion: exact-cosine top-10 and int8-quantized
+    cosine top-10 per query fuse by reciprocal rank (1/(60+rank), integer
+    nanos) — the standard two-retriever merge, here doubling as a
+    quantization-error recovery pass (functions/ranking.
+    reciprocal_rank_fusion). Quantized scoring is all-integer (q lanes),
+    so its ranking is engine-exact by construction."""
+    from pyspark.sql import Window
+
+    from ..functions import ranking
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    exact = similarity.brute_force_topk(
+        emb, k=10, query=queries.select("vec_id", "embedding")
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+
+    q8 = similarity.quantize_embeddings_int8(emb).select(
+        "vec_id",
+        F.transform(F.col("embedding_q8"), lambda x: x.cast("double")).alias("qv"),
+    )
+    qq = q8.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    pairs = q8.select(F.col("vec_id").alias("doc_id"), F.col("qv").alias("nv")).crossJoin(
+        F.broadcast(qq)
+    ).where(F.col("doc_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id", "doc_id", similarity.cosine(F.col("qa"), F.col("nv")).alias("cos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("doc_id"))
+    quant = (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    return ranking.reciprocal_rank_fusion([exact, quant], k_const=60, top_k=10)
+
+
+O_RRF_FUSION = f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+p1 as (
+  select q.vec_id as query_id, b.vec_id as doc_id,
+    list_dot_product(q.v, b.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v)) + {DIVISION_GUARD_EPS}) as cos
+  from e q, e b where q.vec_id % 20 = 0 and b.vec_id != q.vec_id
+),
+r1 as (
+  select query_id, doc_id,
+    row_number() over (partition by query_id order by cos desc, doc_id) as rnk
+  from p1
+),
+qe as (
+  select vec_id,
+    list_transform(v, x -> cast(case when mx > 0
+      then greatest(-127.0, least(127.0, floor(x * 127.0 / mx + 0.5)))
+      else 0.0 end as double)) as qv
+  from (select vec_id, v, (select max(abs(u.x)) from unnest(v) as u(x)) as mx from e)
+),
+p2 as (
+  select q.vec_id as query_id, b.vec_id as doc_id,
+    list_dot_product(q.qv, b.qv)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.qv, b.qv)) + {DIVISION_GUARD_EPS}) as cos
+  from qe q, qe b where q.vec_id % 20 = 0 and b.vec_id != q.vec_id
+),
+r2 as (
+  select query_id, doc_id,
+    row_number() over (partition by query_id order by cos desc, doc_id) as rnk
+  from p2
+),
+u as (
+  select query_id, doc_id,
+    cast(floor(1000000000.0 / (60 + rnk) + 0.5) as bigint) as c
+  from r1 where rnk <= 10
+  union all
+  select query_id, doc_id,
+    cast(floor(1000000000.0 / (60 + rnk) + 0.5) as bigint) as c
+  from r2 where rnk <= 10
+),
+f as (select query_id, doc_id, cast(sum(c) as bigint) as rrf_nano from u group by 1, 2),
+fr as (
+  select query_id, doc_id, rrf_nano,
+    row_number() over (partition by query_id order by rrf_nano desc, doc_id) as fused_rank
+  from f
+)
+select query_id, doc_id, rrf_nano, cast(fused_rank as int) as fused_rank
+from fr where fused_rank <= 10
+"""
+
+QUERIES["rrf_fusion"] = q_rrf_fusion
+ORACLES["rrf_fusion"] = O_RRF_FUSION
+
+
 # --- incremental aggregate-state maintenance -------------------------------------------
 
 def q_incremental_rollup(spark, sf_dir):
