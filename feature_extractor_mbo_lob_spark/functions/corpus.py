@@ -1327,3 +1327,147 @@ def chi2_feature_selection(
         F.col("a").alias("n_docs_with"),
         (F.floor(chi2 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("chi2"),
     )
+
+
+def heaps_fit(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heaps'-law fit V(n) = K * n^beta over the corpus read in document-id
+    order: OLS slope (beta) and intercept (ln K) of ln(cumulative vocab) on
+    ln(cumulative tokens), sampled at every document boundary. Natural text
+    sits near beta 0.4-0.6; beta near 1 flags unbounded vocabularies (ids,
+    hashes), beta near 0 flags templated/duplicated corpora — the companion
+    diagnostic to zipf_fit before trusting tokenizer budgets.
+
+    Determinism: the (n, V) points are exact integers (token cumsum, count
+    of first word occurrences); ln values are quantized to integer nanos
+    before the OLS sums, which are therefore exact decimals in any
+    summation order (the zipf_fit rule).
+
+    Scale shape: two word-keyed aggregations (per-doc token counts,
+    per-word first doc) shrink the data to one row per document before the
+    single unpartitioned cumsum window; at 100-TB corpora the boundary
+    stream is |docs| tiny rows (two longs each), and sampling every k-th
+    boundary bounds it further without changing the fit materially.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
+    )
+    toks = words.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("toks"))
+    firsts = words.groupBy("word").agg(F.min("id").alias("id"))
+    news = firsts.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("newv"))
+    per_doc = toks.join(news, "id", "left").select(
+        "id", "toks", F.coalesce(F.col("newv"), F.lit(0)).cast("long").alias("newv")
+    )
+    cum = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    pts = per_doc.select(
+        F.sum("toks").over(cum).alias("n_cum"), F.sum("newv").over(cum).alias("v_cum")
+    ).where((F.col("n_cum") > 0) & (F.col("v_cum") > 0))
+    q = pts.select(
+        F.floor(F.log(F.col("n_cum").cast("double")) * F.lit(1e9) + F.lit(0.5))
+        .cast("long").alias("x"),
+        F.floor(F.log(F.col("v_cum").cast("double")) * F.lit(1e9) + F.lit(0.5))
+        .cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(20,0)")
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    beta = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        F.col("n").alias("n_points"),
+        beta.alias("beta"),
+        ((sy - beta * sx) / nd / F.lit(1e9)).alias("ln_k"),
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold_pct: int = 30,
+    max_df_frac: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs sparse TF-IDF cosine similarity via an inverted-index
+    self-join (the Bayardo et al. all-pairs shape): document vectors are
+    (term -> tf * idf) restricted to terms with df >= 2 and df <=
+    ``max_df_frac`` * |corpus|; pairs materialize ONLY through shared
+    informative terms, so the hot head of the vocabulary (the
+    quadratic-blowup terms that carry no signal — at the default cap,
+    anything in more than 10% of all documents) never generates
+    candidates — the same df-cap move as ngram_jaccard_capped, which is
+    what makes the self-join feasible at 100 TB. The cap is a fraction,
+    not an absolute count, so the operator keeps the same selectivity as
+    the corpus grows.
+
+    Determinism: idf is quantized to integer millis (floor(ln(1 + N/df)
+    * 1e3 + 0.5)); weights, dot products, and squared norms are then exact
+    integers, and the threshold test runs entirely in integer space by
+    cross-multiplying dot^2 * 10^4 >= pct^2 * |a|^2 * |b|^2 — no float
+    ever decides pair membership. The reported cosine is a fixed-order
+    quotient of those exact integers.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
+    )
+    tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfreq = (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .where(
+            (F.col("df") >= 2)
+            & (F.col("df").cast("double") <= F.lit(float(max_df_frac)) * F.col("n_docs"))
+        )
+        .select("word", "df")
+    )
+    wts = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id", "word",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.lit(1.0) + F.col("n_docs") / F.col("df").cast("double"))
+                    * F.lit(1e3)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(20,0)")
+    norms = wts.groupBy("id").agg(F.sum(dec("w") * dec("w")).alias("nrm2"))
+    a, b = wts.alias("a"), wts.alias("b")
+    dots = (
+        a.join(b, "word")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.w").cast("decimal(20,0)") * F.col("b.w").cast("decimal(20,0)")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm2").alias("na2"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm2").alias("nb2"))
+    pct = F.lit(int(threshold_pct)).cast("decimal(20,0)")
+    out = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(
+            F.col("dot") * F.col("dot") * F.lit(10000).cast("decimal(20,0)")
+            >= pct * pct * F.col("na2") * F.col("nb2")
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return out.select(
+        "id_a", "id_b",
+        (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cosine"),
+    )

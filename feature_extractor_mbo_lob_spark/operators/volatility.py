@@ -254,3 +254,37 @@ def acf_exact(df: DataFrame, cfg: PipelineConfig, col: str = "value",
         F.col("n").alias("n_pairs"),
         (F.floor(acf * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("acf"),
     )
+
+
+def fano_burstiness(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Burstiness profile per key: integer moment sums of the per-bucket
+    event counts (buckets = fixed ``bucket_s`` windows that contain at
+    least one event). Fano factor = variance/mean of the counts — ~1 for
+    a Poisson arrival process, >>1 for bursty keys (scripted traffic,
+    batch replays), <1 for pacemaker-regular keys; the standard arrival
+    diagnostic next to the vol family (ref analog: the activity-regime
+    stats of feature_engine/experimental_volatility.rs).
+
+    Output stays in integer space (n_buckets, cnt_sum, cnt_sumsq) so any
+    engine reproduces it bit-exactly; Fano = (sumsq*n - sum^2) / (n*sum)
+    is recoverable exactly from the three sums. Shape: two keyed
+    aggregations with map-side partials — shuffle O(active buckets) then
+    O(keys); no window, no sort.
+    """
+    us = F.lit(int(bucket_s) * 1_000_000)
+    bucketed = df.select(
+        F.col(key_col).alias("k"),
+        (ordering.epoch_us(F.col(ts_col)) - (ordering.epoch_us(F.col(ts_col)) % us)).alias("b"),
+    )
+    counts = bucketed.groupBy("k", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dec = lambda c: F.col(c).cast("decimal(20,0)")
+    return counts.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("cnt_sum"),
+        F.sum(dec("c") * dec("c")).cast("long").alias("cnt_sumsq"),
+    ).select(F.col("k").alias(key_col), "n_buckets", "cnt_sum", "cnt_sumsq")

@@ -8540,6 +8540,231 @@ QUERIES["cohens_kappa"] = q_cohens_kappa
 ORACLES["cohens_kappa"] = O_COHENS_KAPPA
 
 
+# --- Heaps'-law vocabulary-growth fit ---------------------------------------------------
+
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law fit V(n) = K*n^beta over doc-id-ordered cumulative
+    (tokens, vocab) boundary points — companion diagnostic to zipf_fit
+    (functions/corpus.heaps_fit; integer nano-log OLS sums)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.heaps_fit(docs)
+    return out.select(
+        "n_points", _r6x(F.col("beta"), "beta"), _r6x(F.col("ln_k"), "ln_k")
+    )
+
+
+_HEAPS_BETA = (
+    "(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))"
+    " / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))"
+)
+
+O_HEAPS_FIT = f"""
+with {_WORDS_CTE},
+wx as (select doc_id, unnest(words) as word from w),
+tok as (select doc_id, count(*) as toks from wx group by 1),
+fo as (select min(doc_id) as doc_id from wx group by word),
+nw as (select doc_id, count(*) as newv from fo group by 1),
+c as (
+  select sum(t.toks) over (order by t.doc_id) as n_cum,
+         sum(coalesce(nv.newv, 0)) over (order by t.doc_id) as v_cum
+  from tok t left join nw nv using (doc_id)
+),
+q as (
+  select cast(floor(ln(cast(n_cum as double)) * 1000000000.0 + 0.5) as bigint) as x,
+         cast(floor(ln(cast(v_cum as double)) * 1000000000.0 + 0.5) as bigint) as y
+  from c where n_cum > 0 and v_cum > 0
+),
+s as (
+  select cast(count(*) as bigint) as n,
+    cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+    sum(cast(x as hugeint) * cast(x as hugeint)) as sxx,
+    sum(cast(x as hugeint) * cast(y as hugeint)) as sxy
+  from q
+)
+select n as n_points,
+  {_r6x_sql(_HEAPS_BETA)} as beta,
+  {_r6x_sql(f"(cast(sy as double) - ({_HEAPS_BETA}) * cast(sx as double)) / cast(n as double) / 1000000000.0")} as ln_k
+from s
+"""
+
+QUERIES["heaps_fit"] = q_heaps_fit
+ORACLES["heaps_fit"] = O_HEAPS_FIT
+
+
+# --- inverted-index all-pairs TF-IDF cosine ---------------------------------------------
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """All-pairs sparse TF-IDF cosine over an inverted-index self-join
+    with a fractional hot-term df cap (functions/corpus.
+    tfidf_cosine_pairs) — the Bayardo all-pairs shape; pair membership
+    decided by an all-integer cross-multiplied threshold, never by a
+    float."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.tfidf_cosine_pairs(docs, threshold_pct=30, max_df_frac=0.1)
+
+
+O_TFIDF_COSINE_PAIRS = f"""
+with {_WORDS_CTE},
+wx as (select doc_id as id, unnest(words) as word from w),
+tf as (select id, word, cast(count(*) as bigint) as tf from wx group by 1, 2),
+nn as (select cast(count(*) as double) as n_docs from documents),
+dfq as (
+  select word, cast(count(*) as bigint) as df from tf
+  group by 1
+  having count(*) >= 2
+     and cast(count(*) as double) <= 0.1 * (select n_docs from nn)
+),
+wt as (
+  select tf.id, tf.word,
+    tf.tf * cast(floor(ln(1.0 + (select n_docs from nn) / cast(dfq.df as double))
+                       * 1000.0 + 0.5) as bigint) as wgt
+  from tf join dfq using (word)
+),
+nrm as (select id, sum(cast(wgt as hugeint) * cast(wgt as hugeint)) as nrm2 from wt group by 1),
+dots as (
+  select a.id as id_a, b.id as id_b,
+    sum(cast(a.wgt as hugeint) * cast(b.wgt as hugeint)) as dot
+  from wt a join wt b using (word) where a.id < b.id group by 1, 2
+),
+f as (
+  select d.id_a, d.id_b, d.dot, na.nrm2 as na2, nb.nrm2 as nb2
+  from dots d
+  join nrm na on na.id = d.id_a
+  join nrm nb on nb.id = d.id_b
+  where d.dot * d.dot * 10000 >= 900 * na.nrm2 * nb.nrm2
+)
+select id_a, id_b,
+  floor(cast(dot as double) / (sqrt(cast(na2 as double)) * sqrt(cast(nb2 as double)))
+        * 1000000.0 + 0.5) / 1000000.0 as cosine
+from f
+"""
+
+QUERIES["tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
+ORACLES["tfidf_cosine_pairs"] = O_TFIDF_COSINE_PAIRS
+
+
+# --- per-user arrival burstiness (Fano moments) -----------------------------------------
+
+def q_event_burstiness(spark, sf_dir):
+    """Per-user Fano-factor moment sums over hourly arrival buckets
+    (operators/volatility.fano_burstiness) — all-integer output; Fano =
+    (sumsq*n - sum^2)/(n*sum) recoverable exactly."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return vol_mod.fano_burstiness(ev, key_col="user_id", ts_col="ts", bucket_s=3600)
+
+
+O_EVENT_BURSTINESS = """
+with b as (
+  select user_id, epoch_us(ts) - (epoch_us(ts) % 3600000000) as b
+  from events
+),
+c as (select user_id, b, cast(count(*) as bigint) as c from b group by 1, 2)
+select user_id,
+  cast(count(*) as bigint) as n_buckets,
+  cast(sum(c) as bigint) as cnt_sum,
+  cast(sum(cast(c as hugeint) * cast(c as hugeint)) as bigint) as cnt_sumsq
+from c group by user_id
+"""
+
+QUERIES["event_burstiness"] = q_event_burstiness
+ORACLES["event_burstiness"] = O_EVENT_BURSTINESS
+
+
+# --- TPC-H Q4 analog: semi-join order-priority check ------------------------------------
+
+def q_late_shipment_orders(spark, sf_dir):
+    """Orders with at least one line shipped > 60 days after the order
+    date, counted per priority — TPC-H Q4's EXISTS shape as a LEFT SEMI
+    join (lineitem never fans out the orders side; Catalyst pushes the
+    date arithmetic into the join condition). Integer-count output."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+O_LATE_SHIPMENT_ORDERS = """
+select o.o_orderpriority, cast(count(*) as bigint) as order_count
+from orders o
+where exists (
+  select 1 from lineitem l
+  where l.l_orderkey = o.o_orderkey
+    and l.l_shipdate > o.o_orderdate + interval 60 day
+)
+group by o.o_orderpriority
+"""
+
+QUERIES["late_shipment_orders"] = q_late_shipment_orders
+ORACLES["late_shipment_orders"] = O_LATE_SHIPMENT_ORDERS
+
+
+# --- TPC-H Q22 analog: anti-join sales opportunity --------------------------------------
+
+def q_sales_opportunity(spark, sf_dir):
+    """Customers with above-average positive balance and no RECENT
+    orders (none since 2000-01-01), rolled up per nation — TPC-H Q22's
+    NOT EXISTS as a LEFT ANTI join plus a 1-row broadcast for the global
+    average. The date filter pushes into the anti side's parquet scan;
+    the above-average predicate is the exact integer cross-multiplication
+    bal_cents * n_pos > sum_pos_cents (no float average ever decides
+    row membership)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_c"),
+    )
+    stats = cust.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").cast("long").alias("pos_sum"),
+        F.count(F.lit(1)).cast("long").alias("pos_n"),
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    eligible = (
+        cust.crossJoin(F.broadcast(stats))
+        .where(F.col("bal_c") * F.col("pos_n") > F.col("pos_sum"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+    )
+    return eligible.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.sum("bal_c").cast("long").alias("totacctbal_c"),
+    )
+
+
+O_SALES_OPPORTUNITY = """
+with c as (
+  select c_custkey, c_nationkey, cast(round(c_acctbal * 100, 0) as bigint) as bal_c
+  from customer
+),
+s as (
+  select cast(sum(bal_c) as bigint) as pos_sum, cast(count(*) as bigint) as pos_n
+  from c where bal_c > 0
+),
+el as (
+  select c.* from c, s
+  where c.bal_c * s.pos_n > s.pos_sum
+    and not exists (
+      select 1 from orders o
+      where o.o_custkey = c.c_custkey
+        and o.o_orderdate >= timestamp '2000-01-01'
+    )
+)
+select c_nationkey, cast(count(*) as bigint) as numcust,
+  cast(sum(bal_c) as bigint) as totacctbal_c
+from el group by c_nationkey
+"""
+
+QUERIES["sales_opportunity"] = q_sales_opportunity
+ORACLES["sales_opportunity"] = O_SALES_OPPORTUNITY
+
 
 def _reorder_registry() -> None:
     global QUERIES, ORACLES

@@ -425,3 +425,39 @@ def test_chi2_feature_selection_hand_2x2(spark):
     assert out[("yy", "A")].chi2 == 0.0  # present in every doc -> c+d = 0
     assert out[("zz", "B")].chi2 == 4.0
     assert len(out) == 6  # 3 words x 2 labels
+
+
+def test_heaps_fit_recovers_growth_exponent(spark):
+    # V(n) = n^0.5 exactly at doc boundaries: doc d contributes
+    # (2d+1) tokens of which (1) is new vocab... build directly:
+    # after doc d (1-based), n = d^2 tokens and V = d words.
+    import math
+    rows = []
+    for d in range(1, 41):
+        # 2d-1 tokens: one brand-new word + 2d-2 repeats of word w000
+        toks = [f"w{d:03d}"] + ["w001"] * (2 * d - 2)
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = corpus.heaps_fit(df).collect()[0]
+    assert r.n_points == 40
+    # V = sqrt(n) -> beta 0.5, K = 1 -> ln_k 0 (small bias from early points)
+    assert 0.45 < r.beta < 0.55
+    assert abs(r.ln_k) < 0.25
+
+
+def test_tfidf_cosine_pairs_identical_docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, "epsilon zeta eta theta"),
+        (3, "alpha beta unrelated words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.cosine for r in
+           corpus.tfidf_cosine_pairs(df, threshold_pct=30, max_df_frac=1.0).collect()}
+    # identical docs -> cosine 1 on their shared informative terms
+    assert out[(0, 1)] == pytest.approx(1.0, abs=1e-6)
+    # partial overlap present but lower
+    assert (0, 3) in out and out[(0, 3)] < out[(0, 1)]
+    # disjoint docs never pair (no shared term -> no candidate)
+    assert not any(2 in p for p in out)

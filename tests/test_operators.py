@@ -774,3 +774,26 @@ def test_incremental_rollup_delta_only_key(spark):
     out = {r.key: r for r in cdc.merge_partial_aggregates(state, delta).collect()}
     assert (out["a"].cnt, out["a"].min_v, out["a"].max_v) == (2, 3, 7)
     assert (out["b"].cnt, out["b"].sum_v) == (1, 5)
+
+
+def test_fano_burstiness_moments(spark):
+    from datetime import datetime
+    from feature_extractor_mbo_lob_spark.operators.volatility import fano_burstiness
+
+    # user 1: 3 events in one hour bucket + 1 in another -> counts [3, 1]
+    # user 2: 2 events in 2 distinct buckets -> counts [1, 1] (Fano 0)
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0)),
+        (1, datetime(2024, 1, 1, 10, 20)),
+        (1, datetime(2024, 1, 1, 10, 59)),
+        (1, datetime(2024, 1, 1, 12, 0)),
+        (2, datetime(2024, 1, 1, 10, 5)),
+        (2, datetime(2024, 1, 1, 13, 5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.user_id: r for r in fano_burstiness(df).collect()}
+    assert (out[1].n_buckets, out[1].cnt_sum, out[1].cnt_sumsq) == (2, 4, 10)
+    assert (out[2].n_buckets, out[2].cnt_sum, out[2].cnt_sumsq) == (2, 2, 2)
+    # Fano = (n*sumsq - sum^2) / (n*sum): user1 = (20-16)/8 = 0.5
+    n, s, ss = out[1].n_buckets, out[1].cnt_sum, out[1].cnt_sumsq
+    assert (n * ss - s * s) / (n * s) == pytest.approx(0.5)
