@@ -194,3 +194,32 @@ def funnel(
             F.first(depth).alias("funnel_depth"),
         )
     )
+
+
+def path_ngrams(
+    df: DataFrame,
+    key_col: str = "user_id",
+    step_col: str = "event_type",
+    order_cols: tuple = ("ts", "event_id"),
+    n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent length-``n`` step sequences (default trigrams)
+    over per-key ordered event streams — sequential-pattern mining lite:
+    the dominant navigation/usage paths across all users (funnel's
+    unsupervised cousin: funnel checks ONE given path, this surfaces the
+    paths worth checking).
+
+    Counts are integers and ties break lexicographically on the path, so
+    top-k is engine-exact. Shape: one window partitioned by key (leads
+    are computed inside each user's partition — no cross-user grams),
+    groupBy(path) with map-side partials, TakeOrdered(k).
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    steps = [F.col(step_col)] + [F.lead(step_col, i).over(w) for i in range(1, n)]
+    grams = df.select(F.concat_ws(">", *steps).alias("path"), steps[-1].alias("_last"))
+    grams = grams.where(F.col("_last").isNotNull())
+    counts = grams.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("path").asc()).limit(top_k)
+    wr = Window.orderBy(F.col("cnt").desc(), F.col("path").asc())
+    return top.select(F.row_number().over(wr).cast("long").alias("rank"), "path", "cnt")

@@ -630,3 +630,122 @@ def pq_codes(
         )
         out = asg if out is None else out.join(asg, id_col)
     return out
+
+
+def embedding_covariance(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact upper-triangular covariance sufficient statistics of the
+    embedding matrix: per lane pair (i <= j) the integer sums
+    (n, s_i, s_j, s_ij) over micro-quantized lanes q = floor(x*1e6 + 0.5),
+    plus cov_ij = (n*s_ij - s_i*s_j) / n^2 / 1e12 back in original units.
+
+    This is the "reduce 100 TB to a d*d sufficient statistic" PCA stage:
+    every product is an exact decimal integer (order-free), the d(d+1)/2
+    result rows are tiny, and eigen-decomposition happens downstream on
+    the driver (pca_top_component). Shape: one posexplode, one id-keyed
+    self-join that fans out d^2 per row with map-side partial aggregation
+    into (i, j) cells — shuffle O(d^2), never O(rows).
+    """
+    lanes = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    ).select(
+        "id", "i", F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("q")
+    )
+    a = lanes.select("id", F.col("i").alias("i"), F.col("q").alias("qa"))
+    b = lanes.select("id", F.col("i").alias("j"), F.col("q").alias("qb"))
+    dec = lambda c: F.col(c).cast("decimal(20,0)")
+    cells = (
+        a.join(b, "id")
+        .where(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qa").cast("long").alias("s_i"),
+            F.sum("qb").cast("long").alias("s_j"),
+            F.sum(dec("qa") * dec("qb")).alias("s_ij"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    cov = (
+        (F.col("n").cast("decimal(20,0)") * F.col("s_ij")
+         - F.col("s_i").cast("decimal(20,0)") * F.col("s_j").cast("decimal(20,0)"))
+        .cast("double") / (nd * nd) / F.lit(1e12)
+    )
+    return cells.select(
+        "i", "j", "n", "s_i", "s_j",
+        F.col("s_ij").cast("decimal(38,0)").cast("string").alias("s_ij"),
+        (F.floor(cov * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cov"),
+    )
+
+
+def pca_top_component(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple:
+    """Top principal component of the embedding cloud: the distributed
+    stage reduces the data to the exact d*d covariance sufficient
+    statistic (embedding_covariance), which is then eigen-decomposed on
+    the driver — d*d is tiny regardless of corpus size, so this is the
+    scale-correct PCA split (statistics distributed, eigensolve local).
+
+    Returns (eigvec: list[float] with sign fixed so the largest-|.|
+    component is positive, explained_variance_ratio: float).
+    """
+    rows = embedding_covariance(df, id_col, vec_col).collect()
+    d = max(r.j for r in rows) + 1
+    C = np.zeros((d, d))
+    for r in rows:
+        n = float(r.n)
+        c = (n * float(r.s_ij) - float(r.s_i) * float(r.s_j)) / (n * n) / 1e12
+        C[r.i, r.j] = c
+        C[r.j, r.i] = c
+    vals, vecs = np.linalg.eigh(C)
+    v = vecs[:, -1]
+    v = v if v[np.argmax(np.abs(v))] >= 0 else -v
+    ratio = float(vals[-1] / max(vals.sum(), 1e-300))
+    return v.tolist(), ratio
+
+
+def knn_label_agreement(
+    df: DataFrame,
+    k: int = 5,
+    sample_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise audit: for a deterministic 1/``sample_mod`` sample of
+    labeled vectors, how many of the k exact-cosine nearest neighbors
+    share the query's label. A point whose neighborhood out-votes its
+    label (n_agree*2 < k) is a mislabel candidate — the cleanlab-style
+    consistency screen a labeled training set needs before the labels
+    feed a loss.
+
+    Output is all-integer (n_agree of k) plus the boolean flag, so the
+    audit is engine-exact given the neighbor sets. Shape: reuses
+    brute_force_topk on the sampled query block (swap in ivf_topk at
+    corpus scale — same contract), one broadcast-size label join back.
+    """
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    queries = base.where(F.col("vec_id") % sample_mod == 0)
+    nn = brute_force_topk(base, id_col="vec_id", vec_col="embedding", k=k, query=queries)
+    lbl = df.select(F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl"))
+    out = (
+        nn.join(lbl.withColumnRenamed("_id", "query_id").withColumnRenamed("_lbl", "q_label"), "query_id")
+        .join(lbl.withColumnRenamed("_id", "neighbor_id").withColumnRenamed("_lbl", "n_label"), "neighbor_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum(F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0))
+            .cast("long").alias("n_agree"),
+        )
+    )
+    return out.select(
+        "query_id", F.col("q_label").cast("long").alias("label"),
+        "n_neighbors", "n_agree",
+        (F.col("n_agree") * 2 < F.col("n_neighbors")).alias("noise_flag"),
+    )

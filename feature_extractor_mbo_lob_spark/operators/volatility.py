@@ -288,3 +288,53 @@ def fano_burstiness(
         F.sum("c").cast("long").alias("cnt_sum"),
         F.sum(dec("c") * dec("c")).cast("long").alias("cnt_sumsq"),
     ).select(F.col("k").alias(key_col), "n_buckets", "cnt_sum", "cnt_sumsq")
+
+
+def theil_sen_pacing(
+    df: DataFrame, cfg: PipelineConfig, ts_col: str = "ts"
+) -> DataFrame:
+    """Robust conversation pacing: the Theil-Sen estimator of µs-per-turn
+    over (turn_idx, epoch_us) — the exact lower median of all pairwise
+    slopes (ts_j - ts_i) div (j - i), i < j. Unlike the mean inter-turn
+    gap, one pathological stall (a user who walked away) cannot drag it;
+    the median pairwise slope has a 29% breakdown point — the robust twin
+    of the dt-family volatility features.
+
+    All arithmetic is integer: slopes are exact integer division of
+    non-negative µs deltas, and the median is the order statistic at
+    row (n+1) DIV 2, so any engine reproduces it bit-exactly. Shape: a
+    per-conversation bounded self-join (T^2/2 pairs inside one hash
+    partition — cap T via skew chunking for mega-conversations), then
+    one window rank over the pair set.
+    """
+    t = df.select(
+        F.col(cfg.key_col).alias("conv_id"),
+        F.col("turn_idx").cast("long").alias("ti"),
+        ordering.epoch_us(F.col(ts_col)).alias("us"),
+    )
+    a = t.select("conv_id", F.col("ti").alias("ti_a"), F.col("us").alias("us_a"))
+    b = t.select("conv_id", F.col("ti").alias("ti_b"), F.col("us").alias("us_b"))
+    pairs = (
+        a.join(b, "conv_id")
+        .where(F.col("ti_a") < F.col("ti_b"))
+        .select(
+            "conv_id",
+            # exact FLOOR division (matches SQL's `//` even for a negative
+            # numerator, which truncating `div` would not): pmod is always
+            # non-negative, so (dy - pmod(dy, dx)) is the largest multiple
+            # of dx <= dy, and the final divide is exact in int64 range.
+            F.expr("cast((us_b - us_a - pmod(us_b - us_a, ti_b - ti_a)) / (ti_b - ti_a) as long)")
+            .alias("slope_us"),
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.col("slope_us").asc())
+    ranked = pairs.select(
+        "conv_id", "slope_us",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id")).alias("n_pairs"),
+    )
+    return ranked.where(F.expr("_rn = (n_pairs + 1) div 2")).select(
+        "conv_id",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("slope_us").alias("med_slope_us"),
+    )

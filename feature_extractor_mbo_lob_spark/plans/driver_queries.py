@@ -8766,6 +8766,147 @@ QUERIES["sales_opportunity"] = q_sales_opportunity
 ORACLES["sales_opportunity"] = O_SALES_OPPORTUNITY
 
 
+# --- Theil-Sen robust pacing ------------------------------------------------------------
+
+def q_theil_sen_pacing(spark, sf_dir):
+    """Robust µs-per-turn pacing per conversation: exact lower median of
+    all pairwise (ts_j-ts_i) div (j-i) slopes (operators/volatility.
+    theil_sen_pacing) — all-integer Theil-Sen."""
+    return vol_mod.theil_sen_pacing(_t(spark, sf_dir), CFG)
+
+
+O_THEIL_SEN_PACING = f"""{_W},
+t as (select conv_id, cast(turn_idx as bigint) as ti, epoch_us(ts) as us from transcripts),
+p as (
+  select a.conv_id, (b.us - a.us) // (b.ti - a.ti) as slope_us
+  from t a join t b on a.conv_id = b.conv_id and a.ti < b.ti
+),
+r as (
+  select conv_id, slope_us,
+    row_number() over (partition by conv_id order by slope_us asc) as rn,
+    count(*) over (partition by conv_id) as n_pairs
+  from p
+)
+select conv_id, cast(n_pairs as bigint) as n_pairs, slope_us as med_slope_us
+from r where rn = (n_pairs + 1) // 2
+"""
+
+QUERIES["theil_sen_pacing"] = q_theil_sen_pacing
+ORACLES["theil_sen_pacing"] = O_THEIL_SEN_PACING
+
+
+# --- k-NN label-noise audit -------------------------------------------------------------
+
+def q_knn_label_noise(spark, sf_dir):
+    """Label-noise screen: neighborhood label agreement over exact
+    cosine k-NN for a deterministic 1/10 sample (operators/similarity.
+    knn_label_agreement) — integer votes, cleanlab-style flag."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.knn_label_agreement(emb, k=5, sample_mod=10)
+
+
+O_KNN_LABEL_NOISE = f"""
+with e as (select vec_id, embedding::DOUBLE[] as v, label from embeddings),
+p as (
+  select q.vec_id as query_id, b.vec_id as neighbor_id, q.label as q_label,
+    b.label as n_label,
+    list_dot_product(q.v, b.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v)) + {DIVISION_GUARD_EPS}) as cos
+  from e q, e b where q.vec_id % 10 = 0 and b.vec_id != q.vec_id
+),
+r as (
+  select *, row_number() over (partition by query_id order by cos desc, neighbor_id) as rnk
+  from p
+),
+g as (
+  select query_id, cast(q_label as bigint) as label,
+    cast(count(*) as bigint) as n_neighbors,
+    cast(sum(case when n_label = q_label then 1 else 0 end) as bigint) as n_agree
+  from r where rnk <= 5 group by 1, 2
+)
+select query_id, label, n_neighbors, n_agree,
+  (n_agree * 2 < n_neighbors) as noise_flag
+from g
+"""
+
+QUERIES["knn_label_noise"] = q_knn_label_noise
+ORACLES["knn_label_noise"] = O_KNN_LABEL_NOISE
+
+
+# --- top-k event path trigrams ----------------------------------------------------------
+
+def q_event_path_trigrams(spark, sf_dir):
+    """Dominant per-user 3-step event paths (operators/sequence.
+    path_ngrams) — sequential-pattern mining lite; integer counts,
+    lexicographic tie-break."""
+    from ..operators import sequence
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sequence.path_ngrams(
+        ev, key_col="user_id", step_col="event_type",
+        order_cols=("ts", "event_id"), n=3, top_k=20,
+    )
+
+
+O_EVENT_PATH_TRIGRAMS = """
+with s as (
+  select user_id, event_type,
+    lead(event_type, 1) over w as s2,
+    lead(event_type, 2) over w as s3
+  from events
+  window w as (partition by user_id order by ts asc, event_id asc)
+),
+g as (
+  select event_type || '>' || s2 || '>' || s3 as path, cast(count(*) as bigint) as cnt
+  from s where s3 is not null and s2 is not null
+  group by 1
+),
+t as (select path, cnt, row_number() over (order by cnt desc, path asc) as rank from g)
+select cast(rank as bigint) as rank, path, cnt from t where rank <= 20
+"""
+
+QUERIES["event_path_trigrams"] = q_event_path_trigrams
+ORACLES["event_path_trigrams"] = O_EVENT_PATH_TRIGRAMS
+
+
+# --- exact embedding covariance sufficient statistic ------------------------------------
+
+def q_embedding_covariance(spark, sf_dir):
+    """Upper-triangular covariance sufficient statistics over
+    micro-quantized embedding lanes (operators/similarity.
+    embedding_covariance) — the distributed stage of PCA; every sum an
+    exact decimal integer."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_covariance(emb)
+
+
+O_EMBEDDING_COVARIANCE = """
+with l as (
+  select vec_id,
+    generate_subscripts(embedding, 1) - 1 as i,
+    cast(floor(cast(unnest(embedding) as double) * 1000000.0 + 0.5) as bigint) as q
+  from embeddings
+),
+c as (
+  select a.i as i, b.i as j,
+    cast(count(*) as bigint) as n,
+    cast(sum(a.q) as bigint) as s_i,
+    cast(sum(b.q) as bigint) as s_j,
+    sum(cast(a.q as hugeint) * cast(b.q as hugeint)) as s_ij
+  from l a join l b on a.vec_id = b.vec_id and a.i <= b.i
+  group by 1, 2
+)
+select i, j, n, s_i, s_j, cast(s_ij as varchar) as s_ij,
+  floor(cast(cast(n as hugeint) * s_ij - cast(s_i as hugeint) * cast(s_j as hugeint) as double)
+        / (cast(n as double) * cast(n as double)) / 1000000000000.0
+        * 1000000.0 + 0.5) / 1000000.0 as cov
+from c
+"""
+
+QUERIES["embedding_covariance"] = q_embedding_covariance
+ORACLES["embedding_covariance"] = O_EMBEDDING_COVARIANCE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -797,3 +797,79 @@ def test_fano_burstiness_moments(spark):
     # Fano = (n*sumsq - sum^2) / (n*sum): user1 = (20-16)/8 = 0.5
     n, s, ss = out[1].n_buckets, out[1].cnt_sum, out[1].cnt_sumsq
     assert (n * ss - s * s) / (n * s) == pytest.approx(0.5)
+
+
+def test_theil_sen_pacing_hand(spark):
+    from datetime import datetime, timedelta
+    from feature_extractor_mbo_lob_spark.operators.volatility import theil_sen_pacing
+
+    base = datetime(2024, 1, 1)
+    # turns at t=0s, 10s, 20s, 1000s: the stall inflates the mean gap
+    # (333s) but Theil-Sen stays near the typical 10s pace.
+    rows = [("c1", i, base + timedelta(seconds=s)) for i, s in
+            enumerate([0, 10, 20, 1000])]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    out = theil_sen_pacing(df, PipelineConfig()).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_pairs == 6
+    # pairwise slopes (us/turn): 10s,10s,10s(0-1,1-2 adj? compute):
+    # (0,1)=10s, (0,2)=10s, (0,3)=333.33s, (1,2)=10s, (1,3)=495s, (2,3)=980s
+    # sorted: [10,10,10,333.3,495,980] -> lower median (pos 3) = 10s
+    assert r.med_slope_us == 10_000_000
+
+
+def test_path_ngrams_counts(spark):
+    from datetime import datetime, timedelta
+    from feature_extractor_mbo_lob_spark.operators.sequence import path_ngrams
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # user 1: a b c a b c  -> trigrams a>b>c, b>c>a, c>a>b, a>b>c
+    for i, e in enumerate("abcabc"):
+        rows.append((1, i, base + timedelta(seconds=i), e))
+    # user 2: a b c        -> a>b>c
+    for i, e in enumerate("abc"):
+        rows.append((2, i, base + timedelta(seconds=i), e))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    out = {r.path: (r.rank, r.cnt) for r in path_ngrams(df, top_k=10).collect()}
+    assert out["a>b>c"] == (1, 3)
+    assert out["b>c>a"][1] == 1 and out["c>a>b"][1] == 1
+    assert len(out) == 3   # no cross-user grams
+
+
+def test_knn_label_agreement_flags_outlier(spark):
+    from feature_extractor_mbo_lob_spark.operators.similarity import knn_label_agreement
+
+    # two tight clusters; vec 0 sits in cluster A but carries label 9
+    rows = []
+    for i in range(12):
+        a = 1.0 + 0.01 * i
+        lbl = 9 if i == 0 else 0
+        rows.append((i, [a, 0.1 * i * 0.001], lbl))
+    for i in range(12, 24):
+        rows.append((i, [0.001 * i, 1.0 + 0.01 * i], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    out = {r.query_id: r for r in knn_label_agreement(df, k=5, sample_mod=10).collect()}
+    assert out[0].n_agree == 0 and bool(out[0].noise_flag) is True
+    assert out[10].n_agree == 5 and bool(out[10].noise_flag) is False
+    assert out[20].n_agree == 5 and bool(out[20].noise_flag) is False
+
+
+def test_pca_top_component_matches_numpy(spark):
+    import numpy as np
+    from feature_extractor_mbo_lob_spark.operators.similarity import pca_top_component
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: dominant axis along (1, 2, 0)/sqrt(5)
+    t = rng.randn(200, 1) * 5.0
+    noise = rng.randn(200, 3) * 0.3
+    X = t @ np.array([[1.0, 2.0, 0.0]]) / np.sqrt(5.0) + noise
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(200)], "vec_id long, embedding array<double>"
+    )
+    v, ratio = pca_top_component(df)
+    vn = np.array(v)
+    ref = np.array([1.0, 2.0, 0.0]) / np.sqrt(5.0)
+    assert abs(abs(float(vn @ ref)) - 1.0) < 0.01
+    assert ratio > 0.9
