@@ -1471,3 +1471,35 @@ def tfidf_cosine_pairs(
         "id_a", "id_b",
         (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cosine"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws a uniform U from the md5 of its id and
+    ranks by ln(U)/w — the top-k rows are an exact weight-proportional
+    sample. Stateless and embarrassingly parallel like hash_sample, but
+    weight-aware: a 10x-longer document is 10x as likely to be kept — the
+    standard size-biased corpus subsample.
+
+    Determinism: U = (md5_52bits + 0.5) / 2^52 is exact in both engines;
+    the key is quantized to integer nanos before ranking and ties break
+    on id, so the sample set is engine-exact. Top-k is TakeOrdered
+    (per-partition heaps), never a global sort.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key = F.floor(F.log(u) / w * F.lit(1e9)).cast("long")
+    ranked = df.select(F.col(id_col).alias("id"), key.alias("es_key_nano"))
+    top = ranked.orderBy(F.col("es_key_nano").desc(), F.col("id").asc()).limit(k)
+    wr = Window.orderBy(F.col("es_key_nano").desc(), F.col("id").asc())
+    return top.select(
+        F.row_number().over(wr).cast("long").alias("rank"), "id", "es_key_nano"
+    )

@@ -316,3 +316,85 @@ def mad_outliers_by_group(
         flag.alias("is_outlier"),
         *[c for c in df.columns if c not in (group_col, col)],
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    y_expr,
+    max_turns: int | None = None,
+) -> DataFrame:
+    """Per-conversation isotonic (monotone non-decreasing) regression of a
+    0/1 indicator on turn order — pool-adjacent-violators, the standard
+    monotone trend extractor / probability calibrator. Applied to e.g.
+    y = is-tool-turn it answers "does tool usage monotonically ramp within
+    a conversation, and at what fitted rate per turn".
+
+    Output is the EXACT fitted value as a reduced fraction
+    (iso_num/iso_den): PAV block means are rationals (block sum / block
+    length), so reducing by gcd makes the answer engine-unique — the
+    minimax characterization iso_i = max_{j<=i} min_{k>=i} mean(y[j..k])
+    yields the identical reduced fraction in any engine, which is the
+    oracle twin (an O(T^3) check per conversation; PAV itself is O(T)).
+
+    Shape: one Arrow batch per hash bucket of conversations (the
+    triple_barrier super-grouping trick), an O(T) numpy stack per
+    conversation inside the batch.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    key = cfg.key_col
+    order_cols = list(cfg.order_cols)
+    base = df.select(
+        F.col(key), *[F.col(c) for c in order_cols if c != key],
+        F.col("turn_idx").cast("long").alias("_ti"),
+        y_expr.cast("long").alias("_y"),
+    )
+    if max_turns is not None:
+        base = base.where(F.col("_ti") < max_turns)
+    nb = max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")) * 4, 64)
+    bucketed = base.withColumn("_ib", F.pmod(F.xxhash64(key), F.lit(nb)).cast("int"))
+
+    def _pav(y: np.ndarray):
+        # blocks of (sum, len); merge while decreasing
+        sums, lens = [], []
+        for v in y:
+            s, l = int(v), 1
+            while sums and sums[-1] * l >= s * lens[-1]:
+                # previous mean >= current mean (cross-multiplied) -> pool
+                ps, pl = sums.pop(), lens.pop()
+                # strict violation OR equality: pooling equal means is a
+                # no-op for values but normalizes the block structure
+                s, l = ps + s, pl + l
+            sums.append(s)
+            lens.append(l)
+        num = np.empty(len(y), dtype=np.int64)
+        den = np.empty(len(y), dtype=np.int64)
+        i = 0
+        for s, l in zip(sums, lens):
+            g = math.gcd(s, l) or 1
+            num[i:i + l] = s // g
+            den[i:i + l] = l // g
+            i += l
+        return num, den
+
+    sort_cols = ["_ti"] + [c for c in order_cols if c != key and c != "turn_idx"]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in pdf.groupby(key, sort=False):
+            g = g.sort_values(sort_cols, kind="mergesort")
+            num, den = _pav(g["_y"].to_numpy())
+            outs.append(pd.DataFrame({
+                "conv_id": g[key].to_numpy(),
+                "turn_idx": g["_ti"].to_numpy(),
+                "iso_num": num,
+                "iso_den": den,
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    schema = "conv_id string, turn_idx long, iso_num long, iso_den long"
+    return bucketed.groupBy("_ib").applyInPandas(fn, schema=schema)

@@ -783,3 +783,46 @@ def cross_source_overlap(
             F.sum(nb).cast("long").alias("band_mass"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo merge/purge): order
+    the corpus by a normalized sort key and emit only pairs within
+    ``window`` ranks of each other — O(n*window) candidates instead of
+    O(n^2), the classic entity-resolution complement to LSH (catches
+    near-dups whose prefixes agree even when shingle sets drift).
+
+    Each candidate carries rank_gap and a same_text exact-match flag so a
+    verifier (edit_distance_pairs) can prioritize. Deterministic: the
+    sort key is (normalized text, id), integers elsewhere. Scale note:
+    the rank here is one global row_number for oracle exactness; the
+    100-TB form is repartitionByRange on the key + per-partition ranks
+    with a (window-1)-row boundary overlap shipped to the next partition
+    (same carry trick as operators/skew chunking).
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(text_col).alias("_key"),
+        F.md5(normalize_text(text_col)).alias("_dig"),
+    )
+    w = Window.orderBy(F.col("_key").asc(), F.col("id").asc())
+    r = keyed.select("id", "_dig", F.row_number().over(w).cast("long").alias("rnk"))
+    a = r.select(F.col("id").alias("id_a"), F.col("_dig").alias("dig_a"), F.col("rnk").alias("rnk_a"))
+    b = r.select(F.col("id").alias("id_b"), F.col("_dig").alias("dig_b"), F.col("rnk").alias("rnk_b"))
+    # equi-join on the exploded rank offset (1..window), never a non-equi
+    # range join: each offset is one hash-join key, so the candidate set
+    # builds in O(n*window) with zero nested-loop stages
+    offs = a.withColumn("_off", F.explode(F.array(*[F.lit(i) for i in range(1, window + 1)])))
+    pairs = offs.withColumn("_target", F.col("rnk_a") + F.col("_off")).join(
+        b, F.col("_target") == F.col("rnk_b")
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.col("_off").cast("long").alias("rank_gap"),
+        (F.col("dig_a") == F.col("dig_b")).alias("same_text"),
+    )

@@ -8907,6 +8907,144 @@ QUERIES["embedding_covariance"] = q_embedding_covariance
 ORACLES["embedding_covariance"] = O_EMBEDDING_COVARIANCE
 
 
+# --- Efraimidis-Spirakis weighted sampling ----------------------------------------------
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weight-proportional sample without replacement
+    (functions/corpus.weighted_sample): rank by nano-quantized ln(U)/w,
+    U from md5(id) — the size-biased corpus subsample."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.weighted_sample(docs, k=50, weight_col="n_chars")
+
+
+_NIB_ES = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+_HEX13 = " + ".join(f"({_NIB_ES.format(i=i + 1)}) * {16 ** (12 - i)}" for i in range(13))
+
+O_WEIGHTED_SAMPLE = f"""
+with h as (
+  select doc_id as id, greatest(cast(n_chars as double), 1.0) as w,
+    md5(cast(doc_id as varchar)) as h
+  from documents
+),
+k as (
+  select id,
+    cast(floor(ln((cast(({_HEX13}) as double) + 0.5) / {float(1 << 52)!r})
+               / w * 1000000000.0) as bigint) as es_key_nano
+  from h
+),
+t as (
+  select id, es_key_nano,
+    row_number() over (order by es_key_nano desc, id asc) as rank
+  from k
+)
+select cast(rank as bigint) as rank, id, es_key_nano from t where rank <= 50
+"""
+
+QUERIES["weighted_sample"] = q_weighted_sample
+ORACLES["weighted_sample"] = O_WEIGHTED_SAMPLE
+
+
+# --- sorted-neighborhood blocking -------------------------------------------------------
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood candidate pairs (operators/dedup.
+    sorted_neighborhood_pairs): normalized-key sort order, exploded-offset
+    equi-join within 3 ranks, exact-match flag for the verifier."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.sorted_neighborhood_pairs(docs, window=3)
+
+
+O_SORTED_NEIGHBORHOOD = """
+with kx as (
+  select doc_id as id,
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') as k,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as dig
+  from documents
+),
+r as (select id, dig, row_number() over (order by k asc, id asc) as rnk from kx),
+o as (select unnest([1, 2, 3]) as off)
+select a.id as id_a, b.id as id_b,
+  cast(o.off as bigint) as rank_gap,
+  (a.dig = b.dig) as same_text
+from r a
+cross join o
+join r b on b.rnk = a.rnk + o.off
+"""
+
+QUERIES["sorted_neighborhood"] = q_sorted_neighborhood
+ORACLES["sorted_neighborhood"] = O_SORTED_NEIGHBORHOOD
+
+
+# --- isotonic (PAV) monotone trend fit --------------------------------------------------
+
+def q_isotonic_tool_rate(spark, sf_dir):
+    """Per-conversation isotonic regression of the is-tool-turn indicator
+    on turn order (normalization.isotonic_fit, O(T) PAV in Arrow
+    batches), over a deterministic 10% conversation sample and the first
+    32 turns. The oracle is the independent O(T^3) minimax
+    characterization iso_i = max_{j<=i} min_{k>=i} mean(y[j..k]) — two
+    genuinely different algorithms agreeing is the correctness proof."""
+    t = _t(spark, sf_dir).where(F.col("conv_id").like("%0"))
+    out = norm.isotonic_fit(
+        t, CFG, y_expr=F.expr("case when tool is not null then 1 else 0 end"),
+        max_turns=32,
+    )
+    return out.select(
+        "conv_id", "turn_idx", "iso_num", "iso_den",
+        _r6x(F.col("iso_num").cast("double") / F.col("iso_den").cast("double"), "iso"),
+    )
+
+
+O_ISOTONIC_TOOL_RATE = f"""{_W},
+t0 as (
+  select conv_id, turn_idx, ts,
+    case when tool is not null then 1 else 0 end as y
+  from transcripts where turn_idx < 32 and conv_id like '%0'
+),
+r as (
+  select conv_id, turn_idx, y,
+    row_number() over ({_OWIN}) as i,
+    sum(y) over ({_CUM}) as p
+  from t0
+),
+tri as (
+  select m.conv_id, m.i, m.turn_idx, j.i as j,
+    cast(k.p - (j.p - j.y) as double) / cast(k.i - j.i + 1 as double) as mean_jk,
+    k.p - (j.p - j.y) as num_jk,
+    k.i - j.i + 1 as den_jk
+  from r m
+  join r j on j.conv_id = m.conv_id and j.i <= m.i
+  join r k on k.conv_id = m.conv_id and k.i >= m.i
+),
+lvl1 as (
+  -- pack (num, den) into one value so a tie in mean_jk can never mix the
+  -- numerator of one (j,k) with the denominator of another; den <= 32 < 100
+  select conv_id, i, turn_idx, j,
+    min(mean_jk) as minv,
+    arg_min(num_jk * 100 + den_jk, mean_jk) as pk1
+  from tri group by 1, 2, 3, 4
+),
+lvl2 as (
+  select conv_id, i, turn_idx,
+    max(minv) as iso_d,
+    arg_max(pk1, minv) as pk2
+  from lvl1 group by 1, 2, 3
+),
+unpacked as (
+  select conv_id, i, turn_idx, pk2 // 100 as num2, pk2 % 100 as den2
+  from lvl2
+)
+select conv_id, turn_idx,
+  cast(num2 // greatest(gcd(num2, den2), 1) as bigint) as iso_num,
+  cast(den2 // greatest(gcd(num2, den2), 1) as bigint) as iso_den,
+  floor(cast(num2 as double) / cast(den2 as double) * 1000000.0 + 0.5) / 1000000.0 as iso
+from unpacked
+"""
+
+QUERIES["isotonic_tool_rate"] = q_isotonic_tool_rate
+ORACLES["isotonic_tool_rate"] = O_ISOTONIC_TOOL_RATE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

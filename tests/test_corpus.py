@@ -461,3 +461,19 @@ def test_tfidf_cosine_pairs_identical_docs(spark):
     assert (0, 3) in out and out[(0, 3)] < out[(0, 1)]
     # disjoint docs never pair (no shared term -> no candidate)
     assert not any(2 in p for p in out)
+
+
+def test_weighted_sample_size_bias(spark):
+    # two weight classes; the heavy class should dominate the sample
+    rows = [(i, "x", 1000 if i < 50 else 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = corpus.weighted_sample(df, k=50, weight_col="n_chars").collect()
+    assert len(out) == 50
+    assert [r.rank for r in out] == list(range(1, 51))
+    heavy = sum(1 for r in out if r.id < 50)
+    # heavy docs are 100x likelier per unit; 50 heavy vs 450 light ->
+    # expected heavy share ~= 50*100/(50*100+450) ~ 0.92
+    assert heavy >= 30
+    # deterministic: second run identical
+    again = corpus.weighted_sample(df, k=50, weight_col="n_chars").collect()
+    assert [r.id for r in again] == [r.id for r in out]

@@ -467,3 +467,23 @@ def test_pq_codes_separates_obvious_clusters(spark):
     assert out[0].code_1 != out[1].code_1
     assert all(out[2 * i].code_0 == out[0].code_0 for i in range(5))
     assert all(out[2 * i + 1].code_0 == out[1].code_0 for i in range(5))
+
+
+def test_sorted_neighborhood_pairs(spark):
+    from feature_extractor_mbo_lob_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (0, "alpha doc one"),
+        (1, "alpha doc one"),        # exact dup of 0 (adjacent after sort)
+        (2, "alpha doc two"),
+        (3, "zzz unrelated"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): (r.rank_gap, r.same_text)
+           for r in sorted_neighborhood_pairs(df, window=2).collect()}
+    # sort order: 0, 1, 2, 3 -> gaps 1 and 2 only
+    assert out[(0, 1)] == (1, True)
+    assert out[(1, 2)] == (1, False)
+    assert out[(0, 2)] == (2, False)
+    assert (0, 3) not in out                   # gap 3 > window
+    assert len(out) == 5

@@ -373,3 +373,46 @@ def test_mad_outliers_degenerate_constant_group(spark):
     out = mad_outliers_by_group(df, "x", "grp", scale=1).collect()
     # scale=1 quantizes 5.01 -> 5; MAD = 0 -> nothing flagged
     assert not any(r.is_outlier for r in out)
+
+
+def test_isotonic_fit_pav_hand(spark):
+    from pyspark.sql import functions as F
+    from feature_extractor_mbo_lob_spark import normalization as norm
+    from feature_extractor_mbo_lob_spark.config import PipelineConfig
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    # y = [1, 0, 0, 1]: PAV pools the leading violation into [1/3,1/3,1/3,1]
+    rows = [("c", i, base + _dt.timedelta(seconds=i), y)
+            for i, y in enumerate([1, 0, 0, 1])]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp, y int")
+    out = norm.isotonic_fit(df, PipelineConfig(), y_expr=F.col("y"))
+    got = {r.turn_idx: (r.iso_num, r.iso_den) for r in out.collect()}
+    assert got == {0: (1, 3), 1: (1, 3), 2: (1, 3), 3: (1, 1)}
+
+
+def test_isotonic_fit_monotone_and_mean_preserving(spark):
+    from pyspark.sql import functions as F
+    from feature_extractor_mbo_lob_spark import normalization as norm
+    from feature_extractor_mbo_lob_spark.config import PipelineConfig
+    import datetime as _dt
+
+    import random
+    rng = random.Random(3)
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    ys = {}
+    for c in range(5):
+        yy = [rng.randint(0, 1) for _ in range(17)]
+        ys[f"c{c}"] = yy
+        rows += [(f"c{c}", i, base + _dt.timedelta(seconds=i), y) for i, y in enumerate(yy)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp, y int")
+    out = norm.isotonic_fit(df, PipelineConfig(), y_expr=F.col("y")).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.conv_id, []).append((r.turn_idx, r.iso_num / r.iso_den))
+    for c, vals in per.items():
+        vals.sort()
+        seq = [v for _, v in vals]
+        assert all(a <= b + 1e-12 for a, b in zip(seq, seq[1:]))      # monotone
+        assert abs(sum(seq) - sum(ys[c])) < 1e-9                       # mean-preserving
