@@ -187,3 +187,136 @@ def bloom_probe(
     return out.withColumn(out_col, member).drop(
         *[f"_bp{i}" for i in range(num_hashes)], *hit_cols
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str = "key",
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007), engine-exact.
+
+    Spark's own approx_count_distinct is an HLL too, but its xxhash64
+    seeding is private to the JVM — no oracle can reproduce it. This form
+    derives both the register index and the rank from the md5 hex digest
+    with only substring / regexp / CASE arithmetic, so any engine with md5
+    rebuilds the identical 2^p register vector (the DuckDB twin does).
+
+    Layout: register index = first p bits (p % 4 == 0 so it is whole hex
+    nibbles); rank = 1 + number of leading zero bits in the NEXT 60 bits
+    (15 hex chars), capped at 61. Leading zeros are counted without any
+    hex->int conversion: the run of '0' nibbles via regexp, plus a 16-way
+    CASE on the first non-zero nibble — identical string ops both engines.
+
+    Scale shape: one groupBy over at most 2^p register keys with map-side
+    combine — the shuffle is O(partitions * 2^p) regardless of input
+    cardinality, and registers merge across corpora by element-wise MAX
+    (the mergeability that makes HLL the standard distributed sketch).
+    Output (register, max_rank) is all-integer, so the driver hash is
+    engine-exact; callers apply the harmonic-mean estimate (hll_estimate).
+    """
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError("p must be a multiple of 4 in [4, 16]")
+    reg_chars = p // 4
+    h = F.md5(F.col(key_col).cast("string"))
+    idx = F.conv(F.substring(h, 1, reg_chars), 16, 10).cast("long")
+    suffix = F.substring(h, reg_chars + 1, 15)
+    lz_nibbles = F.length(F.regexp_extract(suffix, "^(0*)", 1))
+    first_nz = suffix.substr(lz_nibbles + 1, F.lit(1))
+    nib_lz = (
+        F.when(first_nz == "1", 3)
+        .when(first_nz.isin("2", "3"), 2)
+        .when(first_nz.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rank = F.when(lz_nibbles == 15, F.lit(61)).otherwise(
+        lz_nibbles * 4 + nib_lz + 1
+    )
+    return (
+        df.select(idx.alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").cast("int").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> float:
+    """Distinct-count estimate from an hll_registers frame (driver-side:
+    the frame is at most 2^p rows — sketch-sized by construction).
+    Standard HLL bias-corrected harmonic mean with the small-range
+    linear-counting correction; relative error ~= 1.04 / sqrt(2^p)."""
+    import math
+
+    m = 1 << p
+    rows = registers.collect()
+    zeros = m - len(rows)
+    s = zeros * 1.0 + sum(2.0 ** -r["max_rank"] for r in rows)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / s
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def hdr_histogram(
+    df: DataFrame,
+    value_col: str,
+    sub_buckets: int = 16,
+) -> DataFrame:
+    """HDR-histogram bucketing (base-2 octaves x linear sub-buckets) for
+    positive integer measurements (latencies in us, byte sizes, token
+    counts). Bucket identity is PURE integer arithmetic — octave =
+    bit-length of the value (length of its binary string, identical in
+    Spark and DuckDB), sub-bucket = linear split of the octave by integer
+    division — so the histogram is engine-exact, unlike float-log DDSketch
+    buckets where a 1-ulp log() difference flips an edge value.
+
+    Guarantees: any value is recoverable from its bucket with relative
+    error <= 1/sub_buckets (bucket width = octave_lo / sub_buckets), and
+    histograms merge by summing counts per (octave, sub) — the mergeable
+    fixed-size quantile state a 100-TB latency report needs. Shuffle is
+    O(partitions * 64 * sub_buckets) after map-side combine.
+
+    Rows with value < 1 are counted separately in the (0, 0) bucket so the
+    histogram is total. Emits (octave, sub, lo, cnt): lo = inclusive lower
+    bound of the octave (0 for the underflow bucket).
+    """
+    s = int(sub_buckets)
+    v = F.col(value_col).cast("long")
+    octave = F.when(v >= 1, F.length(F.bin(v))).otherwise(F.lit(0))
+    lo = F.when(v >= 1, F.expr(f"shiftleft(1L, length(bin(cast({value_col} as bigint))) - 1)")).otherwise(F.lit(0))
+    # integer division: (v - lo) < lo, so (v - lo) * s < lo * s — no overflow below 2^57
+    sub = F.when(v >= 1, F.expr(
+        f"((cast({value_col} as bigint) - shiftleft(1L, length(bin(cast({value_col} as bigint))) - 1)) * {s}) "
+        f"div shiftleft(1L, length(bin(cast({value_col} as bigint))) - 1)"
+    )).otherwise(F.lit(0))
+    return (
+        df.select(
+            octave.cast("int").alias("octave"),
+            sub.cast("int").alias("sub"),
+            lo.cast("long").alias("lo"),
+        )
+        .groupBy("octave", "sub", "lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hdr_quantiles(hist: DataFrame, qs: list[float], sub_buckets: int = 16) -> dict:
+    """Quantile estimates from an hdr_histogram frame (driver-side: the
+    frame is at most 64 * sub_buckets rows). Returns {q: estimate} using
+    the bucket midpoint; relative error <= 1/(2*sub_buckets) by the
+    bucket-width guarantee."""
+    s = int(sub_buckets)
+    rows = sorted(hist.collect(), key=lambda r: (r["octave"], r["sub"]))
+    total = sum(r["cnt"] for r in rows)
+    out = {}
+    for q in qs:
+        target = q * total
+        run = 0
+        for r in rows:
+            run += r["cnt"]
+            if run >= target:
+                # exact bucket interval: [lo + sub*lo/s, lo + (sub+1)*lo/s)
+                width = r["lo"] / s
+                out[q] = float(r["lo"] + (r["sub"] + 0.5) * width) if r["lo"] else 0.0
+                break
+    return out

@@ -9045,6 +9045,117 @@ QUERIES["isotonic_tool_rate"] = q_isotonic_tool_rate
 ORACLES["isotonic_tool_rate"] = O_ISOTONIC_TOOL_RATE
 
 
+# --- HyperLogLog register vector: mergeable distinct-count sketch ---------------
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog register vector (p=8, 256 registers) over corpus words
+    next to the exact distinct count. Registers are (index, max_rank)
+    integers derived purely from md5 hex nibbles (functions/sketch.py
+    hll_registers), so any engine rebuilds them bit-identically — unlike
+    approx_count_distinct whose JVM-private hashing has no oracle. The
+    register groupBy shuffles O(partitions * 256) rows regardless of input
+    cardinality, and register vectors from disjoint corpora merge by
+    element-wise MAX — the property that makes HLL the standard 100-TB
+    distinct-count sketch. Consumers apply hll_estimate (harmonic mean)."""
+    from ..functions import sketch
+    from ..functions.repetition import normalized_words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(F.explode(normalized_words("text")).alias("word"))
+    regs = sketch.hll_registers(words, "word", p=8)
+    truth = words.agg(F.count_distinct("word").cast("long").alias("distinct_true"))
+    return regs.crossJoin(truth)
+
+
+O_HLL_DISTINCT = """
+with wq as (
+  select unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) as word
+  from documents
+),
+dw as (select distinct word from wq),
+h as (select md5(cast(word as varchar)) as hx from dw),
+r as (
+  select
+    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) as register,
+    length(regexp_extract(substr(hx, 3, 15), '^(0*)', 1)) as lz,
+    substr(substr(hx, 3, 15), length(regexp_extract(substr(hx, 3, 15), '^(0*)', 1)) + 1, 1) as fnz
+  from h
+),
+rr as (
+  select register,
+    case when lz = 15 then 61
+         else lz * 4
+              + (case when fnz = '1' then 3
+                      when fnz in ('2', '3') then 2
+                      when fnz in ('4', '5', '6', '7') then 1
+                      else 0 end)
+              + 1 end as rank
+  from r
+),
+t as (select cast(count(*) as bigint) as distinct_true from dw)
+select cast(register as bigint) as register,
+       cast(max(rank) as int) as max_rank,
+       t.distinct_true as distinct_true
+from rr, t
+group by register, t.distinct_true
+"""
+
+QUERIES["hll_distinct"] = q_hll_distinct
+ORACLES["hll_distinct"] = O_HLL_DISTINCT
+
+
+# --- HDR histogram: engine-exact mergeable latency quantile state ---------------
+
+def q_hdr_latency_hist(spark, sf_dir):
+    """HDR histogram (base-2 octave x 16 linear sub-buckets) of inter-turn
+    latency in microseconds. Bucket identity is pure integer arithmetic
+    (functions/sketch.py hdr_histogram) — octave = length(bin(v)), lo =
+    1 << (octave-1), sub = (v - lo) * 16 div lo — so the histogram is
+    engine-exact where float-log DDSketch buckets flip on 1-ulp log()
+    differences. Histograms merge by summing counts per bucket: the
+    fixed-size (<= 64*16 rows) mergeable quantile state a 100-TB latency
+    report needs; relative error of any recovered value <= 1/16."""
+    from ..functions import sketch
+    from ..sources.transcripts import transcripts_from_events
+    from pyspark.sql import Window
+
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    lat = (
+        t.withColumn("_us", F.unix_micros("ts"))
+        .withColumn("dt_us", F.col("_us") - F.lag("_us").over(w))
+        .filter(F.col("dt_us").isNotNull())
+    )
+    return sketch.hdr_histogram(lat, "dt_us", sub_buckets=16)
+
+
+O_HDR_LATENCY_HIST = f"""{_W},
+lat as (
+  select epoch_us(ts) - lag(epoch_us(ts)) over (
+    partition by conv_id order by turn_idx, ts) as v
+  from transcripts
+),
+lv as (select v from lat where v is not null),
+b as (
+  select
+    case when v >= 1 then length(bin(v)) else 0 end as octave,
+    case when v >= 1
+         then ((v - (1::bigint << (length(bin(v)) - 1))) * 16)
+              // (1::bigint << (length(bin(v)) - 1))
+         else 0 end as sub,
+    case when v >= 1 then (1::bigint << (length(bin(v)) - 1)) else 0 end as lo
+  from lv
+)
+select cast(octave as int) as octave, cast(sub as int) as sub,
+       cast(lo as bigint) as lo, cast(count(*) as bigint) as cnt
+from b group by 1, 2, 3
+"""
+
+QUERIES["hdr_latency_hist"] = q_hdr_latency_hist
+ORACLES["hdr_latency_hist"] = O_HDR_LATENCY_HIST
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -204,6 +204,90 @@ class TestCountMinSketch:
         assert est["x"] >= 12 and est["y"] >= 1
 
 
+class TestHyperLogLog:
+    def test_estimate_within_error_bound(self, spark):
+        from feature_extractor_mbo_lob_spark.functions import sketch
+
+        n = 5000
+        df = spark.range(n).select(F.concat(F.lit("key"), F.col("id")).alias("k"))
+        regs = sketch.hll_registers(df, "k", p=8)
+        est = sketch.hll_estimate(regs, p=8)
+        # std error 1.04/sqrt(256) ~= 6.5%; allow 4 sigma
+        assert abs(est - n) / n < 0.26
+
+    def test_registers_merge_by_max(self, spark):
+        from feature_extractor_mbo_lob_spark.functions import sketch
+
+        a = spark.range(0, 800).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        b = spark.range(400, 1200).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        ra, rb = sketch.hll_registers(a, "k"), sketch.hll_registers(b, "k")
+        merged = (
+            ra.unionByName(rb)
+            .groupBy("register")
+            .agg(F.max("max_rank").cast("int").alias("max_rank"))
+        )
+        direct = sketch.hll_registers(a.unionByName(b), "k")
+        got = {(r["register"], r["max_rank"]) for r in merged.collect()}
+        want = {(r["register"], r["max_rank"]) for r in direct.collect()}
+        assert got == want
+
+    def test_small_range_linear_counting(self, spark):
+        from feature_extractor_mbo_lob_spark.functions import sketch
+
+        df = spark.range(30).select(F.concat(F.lit("v"), F.col("id")).alias("k"))
+        est = sketch.hll_estimate(sketch.hll_registers(df, "k"), p=8)
+        assert abs(est - 30) < 8
+
+    def test_p_validation(self, spark):
+        import pytest as _pt
+
+        from feature_extractor_mbo_lob_spark.functions import sketch
+
+        df = spark.range(1).select(F.col("id").cast("string").alias("k"))
+        with _pt.raises(ValueError):
+            sketch.hll_registers(df, "k", p=7)
+
+
+class TestHdrHistogram:
+    def test_bucket_recovery_error_bound(self, spark):
+        from feature_extractor_mbo_lob_spark.functions import sketch
+
+        vals = [1, 2, 3, 15, 16, 17, 100, 1000, 65535, 65536, 10**9]
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        hist = sketch.hdr_histogram(df, "v", sub_buckets=16)
+        rows = hist.collect()
+        assert sum(r["cnt"] for r in rows) == len(vals)
+        for r in rows:
+            # exact bucket interval: [lo + sub*lo/16, lo + (sub+1)*lo/16)
+            b_lo = r["lo"] + r["sub"] * r["lo"] / 16
+            b_hi = r["lo"] + (r["sub"] + 1) * r["lo"] / 16
+            assert any(b_lo <= v < b_hi or (v < 1 and r["lo"] == 0) for v in vals)
+            # relative bucket width <= 1/16
+            if r["lo"] >= 1:
+                assert (b_hi - b_lo) / b_lo <= 1 / 16 + 1e-9
+
+    def test_underflow_bucket(self, spark):
+        from feature_extractor_mbo_lob_spark.functions import sketch
+
+        df = spark.createDataFrame([(0,), (0,), (5,)], ["v"])
+        rows = {(r["octave"], r["sub"], r["lo"]): r["cnt"] for r in
+                sketch.hdr_histogram(df, "v").collect()}
+        assert rows[(0, 0, 0)] == 2
+
+    def test_quantiles_close_to_exact(self, spark):
+        import numpy as np
+
+        from feature_extractor_mbo_lob_spark.functions import sketch
+
+        vals = [int(x) for x in np.geomspace(10, 1_000_000, 500)]
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        hist = sketch.hdr_histogram(df, "v", sub_buckets=16)
+        qs = sketch.hdr_quantiles(hist, [0.5, 0.9, 0.99], sub_buckets=16)
+        for q, est in qs.items():
+            exact = float(np.quantile(vals, q, method="lower"))
+            assert abs(est - exact) / exact < 0.1, (q, est, exact)
+
+
 class TestApplyMixture:
     def test_epoch_counts_match_plan(self, spark):
         rows = [(i, " ".join(["w"] * 10), f"src{i % 2}") for i in range(40)]
