@@ -223,3 +223,57 @@ def path_ngrams(
     top = counts.orderBy(F.col("cnt").desc(), F.col("path").asc()).limit(top_k)
     wr = Window.orderBy(F.col("cnt").desc(), F.col("path").asc())
     return top.select(F.row_number().over(wr).cast("long").alias("rank"), "path", "cnt")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    bucket (default: epoch week), counted in every later bucket they
+    return in. Output (cohort_bucket, bucket_offset, n_active,
+    retention_ppm) where retention_ppm is an exact integer
+    parts-per-million of the cohort's size — no float ratios, so the
+    matrix is engine-exact.
+
+    Buckets are pure integer floor-division of epoch micros (no calendar
+    / timezone functions, which differ across engines). Shape: dedup to
+    (user, bucket) pairs with one groupBy, a min-over-user aggregate for
+    the cohort (map-side combined), one broadcast-size join on user is
+    avoided entirely by carrying the cohort via a window MIN — total two
+    shuffles on user/cohort keys, rows out = O(#buckets^2), constant at
+    any data scale.
+    """
+    ub = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.unix_micros(F.col(ts_col)).alias("_us"),
+        )
+        .select(
+            "_u",
+            F.expr(f"_us div {int(bucket_us)}").cast("long").alias("_b"),
+        )
+        .groupBy("_u", "_b")
+        .agg(F.count(F.lit(1)).alias("_n_events"))
+    )
+    w = Window.partitionBy("_u")
+    ub = ub.withColumn("_cohort", F.min("_b").over(w))
+    grid = ub.groupBy("_cohort", (F.col("_b") - F.col("_cohort")).alias("bucket_offset")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    size = grid.filter(F.col("bucket_offset") == 0).select(
+        F.col("_cohort").alias("_c0"), F.col("n_active").alias("_cohort_size")
+    )
+    return (
+        grid.join(F.broadcast(size), grid["_cohort"] == size["_c0"])
+        .select(
+            F.col("_cohort").alias("cohort_bucket"),
+            "bucket_offset",
+            "n_active",
+            F.expr("(n_active * 1000000) div _cohort_size")
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+    )

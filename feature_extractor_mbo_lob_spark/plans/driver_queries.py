@@ -9156,6 +9156,332 @@ QUERIES["hdr_latency_hist"] = q_hdr_latency_hist
 ORACLES["hdr_latency_hist"] = O_HDR_LATENCY_HIST
 
 
+# --- bucket-grid interval joins --------------------------------------------------
+
+def q_interval_point_join(spark, sf_dir):
+    """Cross-conversation point-in-interval range join via the bucket-grid
+    equi-join (operators/interval.py): which session windows (any conv,
+    padded +600 s) contain each turn's timestamp. OSS Spark would plan
+    the raw inequality join as BroadcastNestedLoopJoin — the grid turns
+    it into a shuffled equi-join, exact after re-filtering, each match
+    emitted once because a point owns exactly one bucket. Oracle runs the
+    naive inequality join (DuckDB IEJoin)."""
+    from ..operators import interval as ivops
+
+    t = transcripts_from_events(spark, sf_dir)
+    ivs = ivops.session_intervals(
+        t, gap_us=1_800_000_000, pad_us=600_000_000
+    ).select(
+        F.col("conv_id").alias("i_conv"), "session_id", "start_us", "end_us"
+    )
+    pts = t.select(
+        F.col("conv_id").alias("p_conv"),
+        "turn_idx",
+        F.unix_micros("ts").alias("eus"),
+    )
+    joined = ivops.point_in_interval_join(
+        pts, ivs, point_col="eus", start_col="start_us", end_col="end_us",
+        bucket_width=900_000_000,
+    )
+    return (
+        joined.groupBy("p_conv", "turn_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_containing"),
+            F.sum(
+                F.when(F.col("i_conv") != F.col("p_conv"), 1).otherwise(0)
+            ).cast("long").alias("n_foreign"),
+        )
+        .select(
+            F.col("p_conv").alias("conv_id"), "turn_idx",
+            "n_containing", "n_foreign",
+        )
+    )
+
+
+O_INTERVAL_POINT_JOIN = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts, epoch_us(ts) as eus,
+    case when lag(epoch_us(ts)) over ({_OWIN}) is null
+           or epoch_us(ts) - lag(epoch_us(ts)) over ({_OWIN}) > 1800000000
+         then 1 else 0 end as is_start
+  from transcripts
+),
+s as (select *, sum(is_start) over ({_CUM}) - 1 as sid from t),
+iv as (
+  select conv_id as i_conv, sid, min(eus) as start_us,
+         max(eus) + 600000000 as end_us
+  from s group by conv_id, sid
+),
+p as (select conv_id as p_conv, turn_idx, eus from t)
+select p_conv as conv_id, turn_idx,
+  cast(count(*) as bigint) as n_containing,
+  cast(sum(case when i_conv <> p_conv then 1 else 0 end) as bigint) as n_foreign
+from p join iv on iv.start_us <= p.eus and p.eus < iv.end_us
+group by p_conv, turn_idx
+"""
+
+QUERIES["interval_point_join"] = q_interval_point_join
+ORACLES["interval_point_join"] = O_INTERVAL_POINT_JOIN
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join between two md5-disjoint session
+    populations, deduped structurally by the owner-bucket rule (the pair
+    is emitted only from greatest(floor(l_start/b), floor(r_start/b)) —
+    provably inside both explosion ranges), then aggregated to per-left
+    overlap counts and EXACT integer overlap micros. The naive form is
+    O(|L|*|R|) in Spark; the grid join's cost is O(L + R + matches)."""
+    from ..functions.corpus import md5_bucket
+    from ..operators import interval as ivops
+
+    t = transcripts_from_events(spark, sf_dir)
+    s = ivops.session_intervals(t, 1_800_000_000, 600_000_000).withColumn(
+        "_mb", md5_bucket("conv_id", 4)
+    )
+    left = s.filter(F.col("_mb") == 0).select(
+        F.col("conv_id").alias("l_conv"),
+        F.col("session_id").alias("l_sid"),
+        F.col("start_us").alias("l_start_us"),
+        F.col("end_us").alias("l_end_us"),
+    )
+    right = s.filter(F.col("_mb") == 1).select(
+        F.col("start_us").alias("r_start_us"),
+        F.col("end_us").alias("r_end_us"),
+    )
+    pairs = ivops.interval_overlap_join(left, right, bucket_width=900_000_000)
+    return (
+        pairs.groupBy("l_conv", "l_sid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+            F.sum(
+                F.least("l_end_us", "r_end_us")
+                - F.greatest("l_start_us", "r_start_us")
+            ).cast("long").alias("overlap_us"),
+        )
+        .select(
+            F.col("l_conv").alias("conv_id"),
+            F.col("l_sid").cast("long").alias("session_id"),
+            "n_overlaps", "overlap_us",
+        )
+    )
+
+
+O_INTERVAL_OVERLAP = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts, epoch_us(ts) as eus,
+    case when lag(epoch_us(ts)) over ({_OWIN}) is null
+           or epoch_us(ts) - lag(epoch_us(ts)) over ({_OWIN}) > 1800000000
+         then 1 else 0 end as is_start
+  from transcripts
+),
+s as (select *, sum(is_start) over ({_CUM}) - 1 as sid from t),
+iv0 as (
+  select conv_id, sid, min(eus) as start_us, max(eus) + 600000000 as end_us,
+         md5(conv_id) as h
+  from s group by conv_id, sid
+),
+iv as (select conv_id, sid, start_us, end_us, ({_HEX7}) % 4 as mb from iv0),
+l as (select conv_id as l_conv, sid as l_sid, start_us as l_s, end_us as l_e
+      from iv where mb = 0),
+r as (select start_us as r_s, end_us as r_e from iv where mb = 1)
+select l_conv as conv_id, cast(l_sid as bigint) as session_id,
+  cast(count(*) as bigint) as n_overlaps,
+  cast(sum(least(l_e, r_e) - greatest(l_s, r_s)) as bigint) as overlap_us
+from l join r on l_s < r_e and r_s < l_e
+group by l_conv, l_sid
+"""
+
+QUERIES["interval_overlap"] = q_interval_overlap
+ORACLES["interval_overlap"] = O_INTERVAL_OVERLAP
+
+
+# --- Fellegi-Sunter record linkage ------------------------------------------------
+
+def q_record_linkage(spark, sf_dir):
+    """Blocked probabilistic linkage (operators/linkage.py) between the
+    customer table and a deterministically-perturbed copy of itself
+    (nation flipped for custkey%11, segment for %5, balance +12.34 for
+    %7; id space offset by 10M). Blocking key = last two name chars (a
+    real quasi-identifier: 100 blocks, genuine non-match pairs inside
+    each); per-field log-odds weights are integer nanos so the pair
+    score is a bigint — engine-exact. Only pairs >= the clerical-review
+    threshold survive the join stage."""
+    from ..operators.linkage import FieldWeight, fellegi_sunter
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    base = c.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").cast("long").alias("a_nation"),
+        F.col("c_mktsegment").alias("a_seg"),
+        cents.alias("a_bal"),
+    ).withColumn("a_block", F.substring("a_name", -2, 2))
+    dirty = c.select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.when(
+            F.col("c_custkey") % 11 == 0,
+            (F.col("c_nationkey").cast("long") + 1) % 25,
+        ).otherwise(F.col("c_nationkey").cast("long")).alias("b_nation"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("SYNTH"))
+        .otherwise(F.col("c_mktsegment")).alias("b_seg"),
+        (
+            cents + F.when(F.col("c_custkey") % 7 == 0, 1234).otherwise(0)
+        ).alias("b_bal"),
+    ).withColumn("b_block", F.substring("b_name", -2, 2))
+    fields = [
+        FieldWeight("name", "a_name", "b_name", 11_000_000_000, -9_000_000_000),
+        FieldWeight("nation", "a_nation", "b_nation", 1_800_000_000, -2_500_000_000),
+        FieldWeight("seg", "a_seg", "b_seg", 1_200_000_000, -1_000_000_000),
+        FieldWeight("bal", "a_bal", "b_bal", 6_000_000_000, -500_000_000),
+    ]
+    out = fellegi_sunter(
+        base, dirty, "a_block", "b_block", fields,
+        t_link_nanos=12_000_000_000, t_possible_nanos=2_000_000_000,
+    )
+    return out.select("a_key", "b_key", "score_nanos", "decision")
+
+
+O_RECORD_LINKAGE = """
+with a as (
+  select c_custkey as a_key, c_name as a_name,
+         cast(c_nationkey as bigint) as a_nation, c_mktsegment as a_seg,
+         cast(floor(c_acctbal * 100 + 0.5) as bigint) as a_bal,
+         substr(c_name, length(c_name) - 1, 2) as a_block
+  from customer
+),
+b as (
+  select c_custkey + 10000000 as b_key, c_name as b_name,
+         case when c_custkey % 11 = 0
+              then (cast(c_nationkey as bigint) + 1) % 25
+              else cast(c_nationkey as bigint) end as b_nation,
+         case when c_custkey % 5 = 0 then 'SYNTH' else c_mktsegment end as b_seg,
+         cast(floor(c_acctbal * 100 + 0.5) as bigint)
+           + case when c_custkey % 7 = 0 then 1234 else 0 end as b_bal,
+         substr(c_name, length(c_name) - 1, 2) as b_block
+  from customer
+),
+p as (
+  select a_key, b_key,
+    (case when a_name = b_name then 11000000000 else -9000000000 end)
+    + (case when a_nation = b_nation then 1800000000 else -2500000000 end)
+    + (case when a_seg = b_seg then 1200000000 else -1000000000 end)
+    + (case when a_bal = b_bal then 6000000000 else -500000000 end) as score_nanos
+  from a join b on a_block = b_block
+)
+select a_key, cast(b_key as bigint) as b_key,
+  cast(score_nanos as bigint) as score_nanos,
+  case when score_nanos >= 12000000000 then 'link' else 'possible' end as decision
+from p where score_nanos >= 2000000000
+"""
+
+QUERIES["record_linkage"] = q_record_linkage
+ORACLES["record_linkage"] = O_RECORD_LINKAGE
+
+
+# --- exact distributed OLS fit + broadcast predict ---------------------------------
+
+def q_ols_fit_predict(spark, sf_dir):
+    """Two-regressor OLS trained by integer normal equations (nine int64
+    sums, one aggregate row) and solved by Cramer determinants in
+    decimal(38,0) — the coefficients are exact rationals D_i/D identical
+    in any engine (DuckDB twin: HUGEINT). Scoring broadcasts the single
+    moments row back over the scan; the ONLY float op is the final
+    num/den division, canonicalized _r6x. Predicts doc n_chars from
+    (word count, distinct word count)."""
+    from ..functions.linear import ols2_fit_predict
+    from ..functions.repetition import normalized_words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("y"),
+        F.size(normalized_words("text")).cast("long").alias("x1"),
+        F.size(F.array_distinct(normalized_words("text"))).cast("long").alias("x2"),
+    )
+    out = ols2_fit_predict(feats, "y", "x1", "x2")
+    return out.select(
+        "doc_id", "y", "x1", "x2",
+        _r6x(F.col("yhat_num").cast("double") / F.col("det_d").cast("double"), "yhat"),
+    )
+
+
+O_OLS_FIT_PREDICT = r"""
+with f as (
+  select doc_id, cast(n_chars as bigint) as y,
+    cast(length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) as bigint) as x1,
+    cast(length(list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) as bigint) as x2
+  from documents
+),
+m as (
+  select cast(count(*) as hugeint) as n,
+    cast(sum(x1) as hugeint) as sx1, cast(sum(x2) as hugeint) as sx2,
+    cast(sum(x1*x1) as hugeint) as sx11, cast(sum(x1*x2) as hugeint) as sx12,
+    cast(sum(x2*x2) as hugeint) as sx22,
+    cast(sum(y) as hugeint) as sy, cast(sum(x1*y) as hugeint) as sx1y,
+    cast(sum(x2*y) as hugeint) as sx2y
+  from f
+),
+d as (
+  select
+    n*(sx11*sx22 - sx12*sx12) - sx1*(sx1*sx22 - sx12*sx2)
+      + sx2*(sx1*sx12 - sx11*sx2) as det_d,
+    sy*(sx11*sx22 - sx12*sx12) - sx1*(sx1y*sx22 - sx12*sx2y)
+      + sx2*(sx1y*sx12 - sx11*sx2y) as det_0,
+    n*(sx1y*sx22 - sx12*sx2y) - sy*(sx1*sx22 - sx12*sx2)
+      + sx2*(sx1*sx2y - sx1y*sx2) as det_1,
+    n*(sx11*sx2y - sx1y*sx12) - sx1*(sx1*sx2y - sx1y*sx2)
+      + sy*(sx1*sx12 - sx11*sx2) as det_2
+  from m
+)
+select doc_id, y, x1, x2,
+  floor(cast(det_0 + det_1*x1 + det_2*x2 as double) / cast(det_d as double)
+        * 1000000.0 + 0.5) / 1000000.0 as yhat
+from f, d
+"""
+
+QUERIES["ols_fit_predict"] = q_ols_fit_predict
+ORACLES["ols_fit_predict"] = O_OLS_FIT_PREDICT
+
+
+# --- cohort retention matrix --------------------------------------------------------
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over the events table: users bucketed by
+    first-activity epoch week, counted in every week they return.
+    Buckets are integer floor-division of epoch micros (no calendar
+    functions — those differ across engines/timezones); retention is
+    exact integer ppm of cohort size. Output is O(weeks^2) rows at any
+    data scale (operators/sequence.cohort_retention)."""
+    from ..operators.sequence import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return cohort_retention(ev, "user_id", "ts")
+
+
+O_COHORT_RETENTION = """
+with ub as (
+  select user_id as u, epoch_us(ts) // 604800000000 as b
+  from events group by 1, 2
+),
+c as (select *, min(b) over (partition by u) as cohort from ub),
+g as (select cohort, b - cohort as off, cast(count(*) as bigint) as n_active
+      from c group by 1, 2),
+s as (select cohort as c0, n_active as csize from g where off = 0)
+select cast(cohort as bigint) as cohort_bucket,
+       cast(off as bigint) as bucket_offset,
+       n_active,
+       cast((n_active * 1000000) // csize as bigint) as retention_ppm
+from g join s on g.cohort = s.c0
+"""
+
+QUERIES["cohort_retention"] = q_cohort_retention
+ORACLES["cohort_retention"] = O_COHORT_RETENTION
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
