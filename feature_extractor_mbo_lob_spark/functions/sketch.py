@@ -193,6 +193,7 @@ def hll_registers(
     df: DataFrame,
     key_col: str = "key",
     p: int = 8,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """HyperLogLog registers (Flajolet et al. 2007), engine-exact.
 
@@ -214,6 +215,9 @@ def hll_registers(
     (the mergeability that makes HLL the standard distributed sketch).
     Output (register, max_rank) is all-integer, so the driver hash is
     engine-exact; callers apply the harmonic-mean estimate (hll_estimate).
+    With group_cols the same sketch is kept per group (shuffle
+    O(partitions * groups * 2^p)) — the per-dimension distinct-count
+    rollup shape.
     """
     if p % 4 != 0 or not 4 <= p <= 16:
         raise ValueError("p must be a multiple of 4 in [4, 16]")
@@ -232,9 +236,10 @@ def hll_registers(
     rank = F.when(lz_nibbles == 15, F.lit(61)).otherwise(
         lz_nibbles * 4 + nib_lz + 1
     )
+    keep = [F.col(c) for c in group_cols]
     return (
-        df.select(idx.alias("register"), rank.alias("rank"))
-        .groupBy("register")
+        df.select(*keep, idx.alias("register"), rank.alias("rank"))
+        .groupBy(*group_cols, "register")
         .agg(F.max("rank").cast("int").alias("max_rank"))
     )
 

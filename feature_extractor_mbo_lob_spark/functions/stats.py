@@ -1,0 +1,138 @@
+"""Distributed statistical inference primitives: deterministic Poisson
+bootstrap and two-proportion A/B z-test.
+
+Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+Data Streams", Google 2012): the classical n-out-of-n bootstrap cannot
+be computed distributed (sampling WITH replacement needs global row
+indexing), but for large n the multinomial resample weights converge to
+iid Poisson(1), which are embarrassingly parallel — each row draws its
+own weight per replicate with no coordination. Here the draw is
+DETERMINISTIC: u = md5(id:replicate) mod 1e6 (an exact integer ppm
+uniform any engine reproduces bit-identically) pushed through the exact
+integer inverse CDF of Poisson(1), so replicate aggregates are pure
+int64 sums — the whole bootstrap is engine-exact, and a re-run of a
+100-TB job yields byte-identical confidence intervals.
+
+Shape at scale: rows explode x R (replicates), but the per-replicate
+aggregates are map-side combined — the shuffle carries R rows per
+partition, and the final frame is R rows total. R=32-128 replicates is
+the published sweet spot for percentile CIs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Exact-integer ppm inverse CDF of Poisson(1): cumulative thresholds
+# floor(P(X <= k) * 1e6). Weight = first k whose threshold exceeds the
+# uniform ppm draw; capped at 6 (P(X > 6) < 1e-4).
+_POIS1_CUM_PPM = []
+_c = 0.0
+for _k in range(6):
+    _c += math.exp(-1.0) / math.factorial(_k)
+    _POIS1_CUM_PPM.append(int(math.floor(_c * 1_000_000)))
+# [367879, 735758, 919698, 981011, 996340, 999405]
+
+
+def _u_ppm(id_col, rep_col):
+    """Uniform integer in [0, 1e6) from md5(id:replicate) — the same first-7-
+    hex-chars construction as functions/corpus.md5_bucket (DuckDB twin:
+    driver_queries._HEX7 % 1000000)."""
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), rep_col.cast("string")))
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % 1_000_000
+
+
+def poisson_weight(id_col: str, rep_col) -> F.Column:
+    """Deterministic Poisson(1) weight for (row id, replicate index)."""
+    u = _u_ppm(id_col, rep_col)
+    w = F.lit(6)
+    for k in range(len(_POIS1_CUM_PPM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CUM_PPM[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_replicates: int = 32,
+) -> DataFrame:
+    """R bootstrap-replicate means of an integer value column, all exact:
+    output (replicate, w_sum, wy_sum) int64 plus mean = wy_sum/w_sum as a
+    double. Percentile CIs come from ordering the R means. Requires
+    integer-valued value_col (cast internally)."""
+    rep = F.explode(F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))).alias(
+        "replicate"
+    )
+    y = F.col(value_col).cast("long")
+    e = df.select(F.col(id_col), y.alias("_y")).select(
+        "*", rep
+    ).withColumn("_w", poisson_weight(id_col, F.col("replicate")))
+    return (
+        e.groupBy("replicate")
+        .agg(
+            F.sum("_w").cast("long").alias("w_sum"),
+            F.sum(F.col("_w") * F.col("_y")).cast("long").alias("wy_sum"),
+        )
+    )
+
+
+def ab_proportions_ztest(
+    df: DataFrame,
+    unit_col: str,
+    success_col,
+    n_arms: int = 2,
+) -> DataFrame:
+    """Two-proportion z-test over md5-randomized arms.
+
+    Units are assigned to arms by md5 bucket of the unit id (the exact
+    deterministic randomization a real experiment framework uses — no
+    rand() anywhere), a unit converts if ANY of its rows satisfies
+    success_col. The contingency cells are exact integers; the z
+    statistic is a fixed-order float expression over those four ints, so
+    it is bit-identical across engines. One groupBy(unit) + one 2-row
+    aggregate — a full-scan-plus-tiny-state shape at any scale.
+
+    Returns one row: n_a, conv_a, n_b, conv_b (bigint) and z (double,
+    caller canonicalizes).
+    """
+    from .corpus import md5_bucket
+
+    per_unit = (
+        df.select(
+            F.col(unit_col).alias("_u"),
+            F.when(success_col, 1).otherwise(0).alias("_s"),
+        )
+        .groupBy("_u")
+        .agg(F.max("_s").alias("_conv"))
+        .withColumn("_arm", md5_bucket("_u", n_arms))
+    )
+    cells = per_unit.agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 0, F.col("_conv")).otherwise(0))
+        .cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("_arm") == 1, F.col("_conv")).otherwise(0))
+        .cast("long").alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    total = F.col("n_a") + F.col("n_b")
+    convs = F.col("conv_a") + F.col("conv_b")
+    p = convs / total
+    se = F.sqrt(
+        p * (F.lit(1.0) - p)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    # degenerate designs (all-convert / none-convert / an empty arm) have
+    # zero pooled variance: z is undefined -> NULL, not an ANSI divide error.
+    # The guard condition implies se > 0, so every division is conditional.
+    ok = (
+        (F.col("n_a") > 0) & (F.col("n_b") > 0)
+        & (convs > 0) & (convs < total)
+    )
+    z = F.when(ok, (p_a - p_b) / se)
+    return cells.withColumn("z", z)

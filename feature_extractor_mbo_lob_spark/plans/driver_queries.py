@@ -9482,6 +9482,175 @@ QUERIES["cohort_retention"] = q_cohort_retention
 ORACLES["cohort_retention"] = O_COHORT_RETENTION
 
 
+# --- deterministic Poisson bootstrap ------------------------------------------------
+
+def q_poisson_bootstrap(spark, sf_dir):
+    """32 Poisson-bootstrap replicate means of doc length — the only
+    bootstrap that distributes (no global row indexing), made
+    DETERMINISTIC: per-(doc, replicate) weights come from md5 ppm draws
+    through the exact integer Poisson(1) inverse CDF
+    (functions/stats.py), so every replicate aggregate is an int64 sum
+    and the confidence interval is byte-identical on re-run. Shuffle
+    carries 32 rows per partition regardless of corpus size."""
+    from ..functions.stats import poisson_bootstrap_mean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = poisson_bootstrap_mean(docs, "doc_id", "n_chars", n_replicates=32)
+    return out.select(
+        F.col("replicate").cast("long").alias("replicate"),
+        "w_sum", "wy_sum",
+        _r6x(F.col("wy_sum").cast("double") / F.col("w_sum").cast("double"),
+             "mean_chars"),
+    )
+
+
+O_POISSON_BOOTSTRAP = f"""
+with reps as (select cast(range as bigint) as replicate from range(32)),
+e as (
+  select reps.replicate, d.n_chars,
+    md5(cast(d.doc_id as varchar) || ':' || cast(reps.replicate as varchar)) as h
+  from documents d, reps
+),
+u as (select replicate, n_chars, ({_HEX7}) % 1000000 as up from e),
+w as (
+  select replicate, n_chars,
+    case when up < 367879 then 0 when up < 735758 then 1
+         when up < 919698 then 2 when up < 981011 then 3
+         when up < 996340 then 4 when up < 999405 then 5
+         else 6 end as w
+  from u
+)
+select replicate,
+  cast(sum(w) as bigint) as w_sum,
+  cast(sum(w * n_chars) as bigint) as wy_sum,
+  floor(cast(sum(w * n_chars) as double) / cast(sum(w) as double)
+        * 1000000.0 + 0.5) / 1000000.0 as mean_chars
+from w group by replicate
+"""
+
+QUERIES["poisson_bootstrap"] = q_poisson_bootstrap
+ORACLES["poisson_bootstrap"] = O_POISSON_BOOTSTRAP
+
+
+# --- two-proportion A/B z-test --------------------------------------------------------
+
+def q_ab_ztest(spark, sf_dir):
+    """A/B conversion test with md5-deterministic arm assignment (the
+    randomization a real experiment framework applies — no rand()):
+    per-user conversion flags, exact integer contingency cells, and the
+    pooled two-proportion z statistic as a fixed-order float expression
+    over those four ints (functions/stats.py). One groupBy(user) + one
+    2-cell aggregate at any scale."""
+    from ..functions.stats import ab_proportions_ztest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ab_proportions_ztest(
+        ev, "user_id",
+        (F.col("event_type") == "purchase") & (F.col("value") > 150.0),
+    )
+    return out.select(
+        "n_a", "conv_a", "n_b", "conv_b", _r6x(F.col("z"), "z")
+    )
+
+
+O_AB_ZTEST = f"""
+with pu as (
+  select user_id as uid,
+    max(case when event_type = 'purchase' and value > 150.0 then 1 else 0 end) as conv
+  from events group by user_id
+),
+hx as (select conv, md5(cast(uid as varchar)) as h from pu),
+arm as (select conv, ({_HEX7}) % 2 as a from hx),
+c as (
+  select
+    cast(sum(case when a = 0 then 1 else 0 end) as bigint) as n_a,
+    cast(sum(case when a = 0 then conv else 0 end) as bigint) as conv_a,
+    cast(sum(case when a = 1 then 1 else 0 end) as bigint) as n_b,
+    cast(sum(case when a = 1 then conv else 0 end) as bigint) as conv_b
+  from arm
+)
+select n_a, conv_a, n_b, conv_b,
+  floor(
+    ((cast(conv_a as double) / cast(n_a as double)
+      - cast(conv_b as double) / cast(n_b as double))
+     / sqrt(
+         (cast(conv_a + conv_b as double) / cast(n_a + n_b as double))
+         * (1.0 - cast(conv_a + conv_b as double) / cast(n_a + n_b as double))
+         * (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))
+       )) * 1000000.0 + 0.5) / 1000000.0 as z
+from c
+"""
+
+QUERIES["ab_ztest"] = q_ab_ztest
+ORACLES["ab_ztest"] = O_AB_ZTEST
+
+
+# --- per-source HLL rollup -------------------------------------------------------------
+
+def q_hll_by_source(spark, sf_dir):
+    """Grouped HyperLogLog: one register vector per document source —
+    the per-dimension distinct-count rollup (shuffle O(partitions *
+    sources * 256)), with the exact per-source distinct alongside.
+    Register vectors of different sources merge by element-wise MAX to
+    give the union's sketch without rescanning — the property a
+    source-level dashboard needs at 100 TB."""
+    from ..functions import sketch
+    from ..functions.repetition import normalized_words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "source", F.explode(normalized_words("text")).alias("word")
+    )
+    regs = sketch.hll_registers(words, "word", p=8, group_cols=("source",))
+    truth = words.groupBy("source").agg(
+        F.count_distinct("word").cast("long").alias("distinct_true")
+    )
+    return regs.join(truth, "source").select(
+        "source",
+        F.col("register").cast("long").alias("register"),
+        "max_rank", "distinct_true",
+    )
+
+
+O_HLL_BY_SOURCE = r"""
+with wq as (
+  select source,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) as word
+  from documents
+),
+dw as (select distinct source, word from wq),
+h as (select source, md5(cast(word as varchar)) as hx from dw),
+r as (
+  select source,
+    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) as register,
+    length(regexp_extract(substr(hx, 3, 15), '^(0*)', 1)) as lz,
+    substr(substr(hx, 3, 15), length(regexp_extract(substr(hx, 3, 15), '^(0*)', 1)) + 1, 1) as fnz
+  from h
+),
+rr as (
+  select source, register,
+    case when lz = 15 then 61
+         else lz * 4
+              + (case when fnz = '1' then 3
+                      when fnz in ('2', '3') then 2
+                      when fnz in ('4', '5', '6', '7') then 1
+                      else 0 end)
+              + 1 end as rank
+  from r
+),
+t as (select source, cast(count(distinct word) as bigint) as distinct_true
+      from dw group by source)
+select rr.source, cast(rr.register as bigint) as register,
+       cast(max(rr.rank) as int) as max_rank, t.distinct_true
+from rr join t on rr.source = t.source
+group by rr.source, rr.register, t.distinct_true
+"""
+
+QUERIES["hll_by_source"] = q_hll_by_source
+ORACLES["hll_by_source"] = O_HLL_BY_SOURCE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -1,0 +1,85 @@
+"""Tests for deterministic Poisson bootstrap, A/B z-test, grouped HLL."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_mbo_lob_spark.functions import sketch
+from feature_extractor_mbo_lob_spark.functions.stats import (
+    _POIS1_CUM_PPM,
+    ab_proportions_ztest,
+    poisson_bootstrap_mean,
+)
+
+
+def test_poisson_thresholds_are_the_exact_integer_cdf():
+    c = 0.0
+    for k, t in enumerate(_POIS1_CUM_PPM):
+        c += math.exp(-1.0) / math.factorial(k)
+        assert t == int(math.floor(c * 1_000_000))
+    assert _POIS1_CUM_PPM == [367879, 735758, 919698, 981011, 996340, 999405]
+
+
+def test_poisson_bootstrap_replicates_deterministic_and_plausible(spark):
+    df = spark.createDataFrame(
+        [(i, 100 + (i % 7)) for i in range(400)], "id long, y long"
+    )
+    out = poisson_bootstrap_mean(df, "id", "y", n_replicates=16)
+    rows = {r.replicate: (r.w_sum, r.wy_sum) for r in out.collect()}
+    assert len(rows) == 16
+    # weights average ~1 -> each replicate's total weight near n
+    for w_sum, wy_sum in rows.values():
+        assert 300 < w_sum < 500
+        mean = wy_sum / w_sum
+        assert 100 <= mean <= 107
+    # re-run is byte-identical (no rand() anywhere)
+    rows2 = {r.replicate: (r.w_sum, r.wy_sum) for r in
+             poisson_bootstrap_mean(df, "id", "y", n_replicates=16).collect()}
+    assert rows == rows2
+
+
+def test_ab_ztest_cells_and_statistic(spark):
+    # 40 units, conversion iff unit id < 10 — arms are md5-split, so
+    # recompute the expected cells with the same bucket rule
+    from feature_extractor_mbo_lob_spark.functions.corpus import md5_bucket
+
+    df = spark.createDataFrame([(u,) for u in range(40)], "uid long")
+    arms = {r.uid: r.arm for r in df.select("uid", md5_bucket("uid", 2).alias("arm")).collect()}
+    events = spark.createDataFrame(
+        [(u, "buy" if u < 10 else "view") for u in range(40)],
+        "uid long, etype string",
+    )
+    out = ab_proportions_ztest(events, "uid", F.col("etype") == "buy").collect()[0]
+    n_a = sum(1 for a in arms.values() if a == 0)
+    conv_a = sum(1 for u, a in arms.items() if a == 0 and u < 10)
+    n_b = 40 - n_a
+    conv_b = 10 - conv_a
+    assert (out.n_a, out.conv_a, out.n_b, out.conv_b) == (n_a, conv_a, n_b, conv_b)
+    p_a, p_b, p = conv_a / n_a, conv_b / n_b, 10 / 40
+    se = math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+    assert out.z == pytest.approx((p_a - p_b) / se, rel=1e-12)
+
+
+def test_ab_ztest_degenerate_is_null_not_error(spark):
+    events = spark.createDataFrame([(u, "buy") for u in range(20)], "uid long, etype string")
+    out = ab_proportions_ztest(events, "uid", F.col("etype") == "buy").collect()[0]
+    assert out.conv_a == out.n_a and out.conv_b == out.n_b
+    assert out.z is None
+
+
+def test_grouped_hll_matches_per_group_ungrouped(spark):
+    df = spark.createDataFrame(
+        [(g, f"{g}-{i % (20 * (g + 1))}") for g in range(3) for i in range(200)],
+        "g int, key string",
+    )
+    grouped = sketch.hll_registers(df, "key", p=8, group_cols=("g",))
+    for g in range(3):
+        solo = sketch.hll_registers(df.filter(F.col("g") == g), "key", p=8)
+        a = {(r.register, r.max_rank) for r in grouped.filter(F.col("g") == g)
+             .select("register", "max_rank").collect()}
+        b = {(r.register, r.max_rank) for r in solo.collect()}
+        assert a == b
+        est = sketch.hll_estimate(solo, p=8)
+        true = 20 * (g + 1)
+        assert abs(est - true) / true < 0.35

@@ -536,6 +536,48 @@ def main() -> None:
         forbid=("CartesianProduct", "BatchEvalPython"),
     ))
 
+    from feature_extractor_mbo_lob_spark.operators import interval as ivops
+
+    sess = ivops.session_intervals(t, gap_us=600_000_000, pad_us=600_000_000)
+    ivs = sess.select(
+        F.col("conv_id").alias("i_conv"), "session_id", "start_us", "end_us"
+    )
+    pts = t.select(
+        F.col("conv_id").alias("p_conv"), "turn_idx",
+        F.unix_micros("ts").alias("eus"),
+    )
+    sections.append(summarize(
+        "Bucket-grid point-in-interval join",
+        ivops.point_in_interval_join(
+            pts, ivs, point_col="eus", bucket_width=900_000_000
+        ),
+        "The inequality join OSS Spark would plan as BroadcastNestedLoopJoin "
+        "becomes a plain shuffled equi-join on the grid bucket (intervals "
+        "exploded to the buckets they span, points hashed to exactly one); "
+        "the exact predicate re-filters after the join, so results equal the "
+        "naive form (oracle-checked) at O(points + intervals*span/bucket).",
+        forbid=("CartesianProduct", "BroadcastNestedLoop"),
+    ))
+    left_iv = sess.select(
+        F.col("conv_id").alias("l_conv"),
+        F.col("session_id").alias("l_sid"),
+        F.col("start_us").alias("l_start_us"),
+        F.col("end_us").alias("l_end_us"),
+    )
+    right_iv = sess.select(
+        F.col("start_us").alias("r_start_us"), F.col("end_us").alias("r_end_us")
+    )
+    sections.append(summarize(
+        "Bucket-grid interval-overlap join",
+        ivops.interval_overlap_join(left_iv, right_iv, bucket_width=900_000_000),
+        "Both interval sets exploded onto the grid; each truly-overlapping "
+        "pair is emitted exactly once by the owner-bucket rule "
+        "(greatest(floor(l_start/b), floor(r_start/b)) — provably inside "
+        "both explosion ranges), so there is NO distinct/dedup shuffle "
+        "after the equi-join.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
