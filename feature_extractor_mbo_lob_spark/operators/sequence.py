@@ -277,3 +277,72 @@ def cohort_retention(
             .alias("retention_ppm"),
         )
     )
+
+
+def topic_boundaries(
+    transcripts: DataFrame,
+    k: int = 2,
+    boundary_ppm: int = 150_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextTiling-style topic segmentation: for every candidate boundary
+    i (between turn i-1 and turn i of a conversation), the Jaccard
+    similarity of the DISTINCT word sets of the k turns before vs the k
+    turns after; a low-similarity valley marks a topic shift.
+
+    Instead of materializing per-window word sets (quadratic in k and
+    impossible to shuffle at scale), each (conv, turn, word) row is
+    exploded onto the <= 2k boundaries whose windows contain the turn
+    (offset explode — same shape as sorted-neighborhood blocking), then
+    ONE groupBy(conv, boundary, word) computes side-presence flags and
+    ONE groupBy(conv, boundary) folds them into |L|, |R|, |L∩R|. The
+    Jaccard is an exact integer ppm (B*1e6 div (L+R-B)), so the
+    segmentation is engine-exact. Shuffle cost O(words * k).
+
+    Edge boundaries with an empty side are dropped (both windows must
+    have at least one word). Output: conv_id, boundary_idx, n_left,
+    n_right, n_both, jaccard_ppm, is_boundary.
+    """
+    from ..functions.repetition import normalized_words
+
+    words = (
+        transcripts.select(
+            "conv_id", "turn_idx",
+            F.explode(normalized_words(text_col)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    off_right = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_off")
+    off_left = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("_off")
+    left = words.select("conv_id", "turn_idx", "word", off_left).select(
+        "conv_id", "word",
+        (F.col("turn_idx") + F.col("_off")).alias("boundary_idx"),
+        F.lit(1).alias("_l"), F.lit(0).alias("_r"),
+    )
+    right = words.select("conv_id", "turn_idx", "word", off_right).select(
+        "conv_id", "word",
+        (F.col("turn_idx") - F.col("_off")).alias("boundary_idx"),
+        F.lit(0).alias("_l"), F.lit(1).alias("_r"),
+    )
+    presence = (
+        left.unionByName(right)
+        .groupBy("conv_id", "boundary_idx", "word")
+        .agg(F.max("_l").alias("in_l"), F.max("_r").alias("in_r"))
+    )
+    agg = presence.groupBy("conv_id", "boundary_idx").agg(
+        F.sum("in_l").cast("long").alias("n_left"),
+        F.sum("in_r").cast("long").alias("n_right"),
+        F.sum(F.col("in_l") * F.col("in_r")).cast("long").alias("n_both"),
+    )
+    return (
+        agg.filter((F.col("n_left") > 0) & (F.col("n_right") > 0))
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("(n_both * 1000000) div (n_left + n_right - n_both)"),
+        )
+        .withColumn(
+            "is_boundary",
+            (F.col("jaccard_ppm") < F.lit(int(boundary_ppm))).cast("int"),
+        )
+    )

@@ -9651,6 +9651,105 @@ QUERIES["hll_by_source"] = q_hll_by_source
 ORACLES["hll_by_source"] = O_HLL_BY_SOURCE
 
 
+# --- Benford data-quality profile -----------------------------------------------------
+
+def q_benford(spark, sf_dir):
+    """Benford's-law forensic scan of order totals (validation.py
+    benford_profile): per leading digit of the cent amount, observed
+    count and exact integer ppm deviation from log10(1+1/d). No float
+    log anywhere — the Benford expectations are fixed integer literals,
+    the leading digit is a decimal-string substring, and observed shares
+    are integer division, so the profile is engine-exact. One <=9-key
+    groupBy with map-side combine at any scale."""
+    from ..validation import benford_profile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return benford_profile(orders, cents).orderBy("digit")
+
+
+O_BENFORD = """
+with c as (
+  select cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents from orders
+),
+d as (
+  select cast(substr(cast(cents as varchar), 1, 1) as int) as digit
+  from c where cents > 0
+),
+g as (select digit, cast(count(*) as bigint) as n_obs from d group by digit),
+t as (select sum(n_obs) as total from g),
+e as (
+  select digit, n_obs,
+    cast((n_obs * 1000000) // total as bigint) as obs_ppm,
+    cast(case digit
+      when 1 then 301029 when 2 then 176091 when 3 then 124938
+      when 4 then 96910 when 5 then 79181 when 6 then 66946
+      when 7 then 57991 when 8 then 51152 when 9 then 45757 end as bigint)
+      as benford_ppm
+  from g, t
+)
+select digit, n_obs, obs_ppm, benford_ppm,
+  cast(obs_ppm - benford_ppm as bigint) as excess_ppm
+from e
+"""
+
+QUERIES["benford"] = q_benford
+ORACLES["benford"] = O_BENFORD
+
+
+# --- TextTiling topic segmentation ------------------------------------------------------
+
+def q_topic_boundaries(spark, sf_dir):
+    """Topic-shift detection inside conversations: Jaccard similarity of
+    the distinct word sets of the 2 turns before vs the 2 turns after
+    each candidate boundary, via the offset-explode equi-join shape (no
+    per-window set materialization) — operators/sequence.py
+    topic_boundaries. Exact integer ppm Jaccard; shuffle O(words * k)."""
+    from ..operators.sequence import topic_boundaries
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = topic_boundaries(t, k=2, boundary_ppm=150_000)
+    return out.select(
+        "conv_id",
+        F.col("boundary_idx").cast("int").alias("boundary_idx"),
+        "n_left", "n_right", "n_both", "jaccard_ppm", "is_boundary",
+    )
+
+
+O_TOPIC_BOUNDARIES = f"""{_W},
+wq as (
+  select conv_id, turn_idx,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) as word
+  from transcripts
+),
+w0 as (select distinct conv_id, turn_idx, word from wq where word <> ''),
+offl as (select cast(range as int) as off from range(1, 3)),
+offr as (select cast(range as int) as off from range(0, 2)),
+l as (select conv_id, word, turn_idx + off as b, 1 as il, 0 as ir from w0, offl),
+r as (select conv_id, word, turn_idx - off as b, 0 as il, 1 as ir from w0, offr),
+u as (select * from l union all select * from r),
+pres as (
+  select conv_id, b, word, max(il) as il, max(ir) as ir
+  from u group by conv_id, b, word
+),
+agg as (
+  select conv_id, b,
+    sum(il) as nl, sum(ir) as nr, sum(il * ir) as nb
+  from pres group by conv_id, b
+)
+select conv_id, cast(b as int) as boundary_idx,
+  cast(nl as bigint) as n_left, cast(nr as bigint) as n_right,
+  cast(nb as bigint) as n_both,
+  cast((nb * 1000000) // (nl + nr - nb) as bigint) as jaccard_ppm,
+  cast(case when (nb * 1000000) // (nl + nr - nb) < 150000
+       then 1 else 0 end as int) as is_boundary
+from agg where nl > 0 and nr > 0
+"""
+
+QUERIES["topic_boundaries"] = q_topic_boundaries
+ORACLES["topic_boundaries"] = O_TOPIC_BOUNDARIES
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

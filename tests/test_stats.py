@@ -83,3 +83,44 @@ def test_grouped_hll_matches_per_group_ungrouped(spark):
         est = sketch.hll_estimate(solo, p=8)
         true = 20 * (g + 1)
         assert abs(est - true) / true < 0.35
+
+
+def test_benford_profile_integer_exact(spark):
+    from feature_extractor_mbo_lob_spark.validation import benford_profile
+
+    # 1000 rows with a known leading-digit histogram: digit d appears d*20 times
+    rows = []
+    rid = 0
+    for d in range(1, 10):
+        for i in range(d * 20):
+            rows.append((rid, d * 1000 + i)) ; rid += 1
+    df = spark.createDataFrame(rows, "id long, cents long")
+    out = {r.digit: r for r in benford_profile(df, "cents").collect()}
+    total = sum(d * 20 for d in range(1, 10))
+    assert set(out) == set(range(1, 10))
+    for d in range(1, 10):
+        assert out[d].n_obs == d * 20
+        assert out[d].obs_ppm == (d * 20 * 1_000_000) // total
+        assert out[d].excess_ppm == out[d].obs_ppm - out[d].benford_ppm
+    assert out[1].benford_ppm == 301029 and out[9].benford_ppm == 45757
+    # zero/negative amounts are excluded
+    df2 = df.union(spark.createDataFrame([(9999, 0), (10000, -5)], "id long, cents long"))
+    assert benford_profile(df2, "cents").agg({"n_obs": "sum"}).collect()[0][0] == total
+
+
+def test_topic_boundaries_detects_vocabulary_shift(spark):
+    from feature_extractor_mbo_lob_spark.operators.sequence import topic_boundaries
+
+    # one conversation: 4 turns about apples, then 4 about databases
+    turns = ["apple pie tart", "apple cider", "apple orchard pie", "apple jam",
+             "database index scan", "database shard", "database index", "database vacuum"]
+    rows = [("c1", i, txt) for i, txt in enumerate(turns)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r.boundary_idx: r for r in topic_boundaries(df, k=2).collect()}
+    # boundary at turn 4 separates disjoint vocabularies -> jaccard 0
+    assert out[4].n_both == 0 and out[4].jaccard_ppm == 0 and out[4].is_boundary == 1
+    # a mid-topic boundary shares 'apple' -> jaccard > 0
+    assert out[2].n_both >= 1 and out[2].jaccard_ppm > 0
+    # windows: boundary 4 left = turns 2,3 words; right = turns 4,5 words
+    assert out[4].n_left == len({"apple", "orchard", "pie", "jam"})
+    assert out[4].n_right == len({"database", "index", "scan", "shard"})
