@@ -5401,9 +5401,14 @@ _CERTIFIED_FIRST = [
     "minhash_signatures", "minhash_lsh_pairs", "simhash_candidates",
     "ngram_jaccard_capped", "dedup_lines", "embedding_topk", "ivf_topk",
     "embedding_near_dup_lsh", "kmeans_clusters", "gopher_filter",
-    "contamination", "pack_token_stream", "hash_sample",
-    "stratified_sample", "source_mix", "curation_pipeline",
+    "contamination", "pack_token_stream",
+    "stratified_sample", "curation_pipeline",
     "lang_id", "text_quality",
+    # range join + linkage (north-rule point-in-time family extensions;
+    # displaced hash_sample/source_mix stay green in the full sweep and
+    # their md5-bucket mechanics remain certified via stratified_sample,
+    # group_hash_split and curation_pipeline)
+    "interval_point_join", "record_linkage",
     # streaming / as-of variants / windows
     "streaming_sessions", "streaming_state", "asof_join_nearest",
     "asof_join_tolerance", "ewma", "time_windows", "group_hash_split",
