@@ -1503,3 +1503,83 @@ def weighted_sample(
     return top.select(
         F.row_number().over(wr).cast("long").alias("rank"), "id", "es_key_nano"
     )
+
+
+def mi_feature_screen(
+    df: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_k: int = 100,
+) -> DataFrame:
+    """Mutual information I(word-presence; label) per top-``vocab_k`` word —
+    chi2_feature_selection's information-theoretic twin (sklearn
+    ``mutual_info_classif`` on binary presence). Ranks words by how much
+    knowing "document contains w" tells you about the label; unlike chi2 it
+    is additive across labels, so the output is ONE row per word.
+
+    I(w;L) = sum over presence p in {1,0} and labels l of
+    (n_pl/N) * ln(N * n_pl / (n_p * n_l)). We emit the exact integer
+    numerator ``mi_num_nanos`` = sum of n_pl * nanoln(N*n_pl/(n_p*n_l))
+    plus ``n_docs``; MI in nats = mi_num_nanos / n_docs / 1e9. Per-cell
+    logs quantize to int64 nanos BEFORE the sum (the zipf_fit rule), so
+    the aggregation is order-free exact; the log argument is built from
+    decimal(38,0) products cast to double — the identical IEEE op sequence
+    DuckDB performs on hugeint products.
+
+    Distributed shape: identical to chi2 — distinct-presence explode
+    semi-joined to the broadcast top-k vocab, tiny crossJoin grid to
+    restore zero cells, then one groupBy over vocab_k * |labels| rows.
+    Zero cells contribute 0 (the 0*ln 0 limit).
+    """
+    top = vocab_topk(df, k=vocab_k, text_col=text_col).select("word")
+    pres = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("lbl"),
+            F.explode(F.array_distinct(normalized_words(text_col))).alias("word"),
+        )
+        .join(F.broadcast(top), "word")
+        .distinct()
+    )
+    a_cnt = pres.groupBy("word", "lbl").agg(F.count(F.lit(1)).alias("a"))
+    w_cnt = pres.groupBy("word").agg(F.countDistinct("id").alias("w_docs"))
+    l_cnt = df.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count(F.lit(1)).alias("l_docs")
+    )
+    n_tot = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    grid = (
+        top.crossJoin(F.broadcast(l_cnt))
+        .join(F.broadcast(w_cnt), "word")
+        .join(F.broadcast(a_cnt), ["word", "lbl"], "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "word", "lbl",
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a"),
+            "w_docs", "l_docs", "n_docs",
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+
+    def term(n, n_p):
+        # n = joint cell count, n_p = presence-margin count; nanoln of
+        # (N*n)/(n_p*n_l) weighted by n. Guarded: zero cells contribute 0.
+        ratio = (dec(F.col("n_docs")) * dec(n)).cast("double") / (
+            dec(n_p) * dec(F.col("l_docs"))
+        ).cast("double")
+        nanoln = F.floor(F.log(ratio) * F.lit(1e9) + F.lit(0.5)).cast("long")
+        return F.when(n > 0, n.cast("long") * nanoln).otherwise(F.lit(0))
+
+    a = F.col("a")
+    cell = term(a, F.col("w_docs")) + term(
+        F.col("l_docs") - a, F.col("n_docs") - F.col("w_docs")
+    )
+    return (
+        grid.withColumn("_t", cell)
+        .groupBy("word")
+        .agg(
+            F.first("w_docs").cast("long").alias("n_docs_with"),
+            F.first("n_docs").cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("mi_num_nanos"),
+        )
+    )

@@ -302,3 +302,45 @@ def scd2_enrich(
     ]
     keep = [c for c in out.columns if not c.startswith("_vt") and not c.endswith(suffix)]
     return out.select(*keep, *cleaned)
+
+
+def pit_training_set(
+    spine: DataFrame,
+    timelines: list[tuple[DataFrame, float | None]],
+    key: str = "conv_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Feature-store historical retrieval (Feast ``get_historical_features``
+    shape): a label/anchor SPINE of (key, ts, ...) rows is enriched from K
+    independent feature TIMELINES, each by a point-in-time backward as-of
+    join with its own staleness TTL (``tolerance_s``) — a feature older
+    than its TTL at the anchor instant surfaces as NULL, exactly the
+    online-store expiry semantics.
+
+    ``timelines`` is a list of ``(timeline_df, tolerance_s)``; each
+    timeline carries (key, ts, <feature cols>) and its feature columns
+    keep their names on the output spine. Temporal-leakage contract: only
+    rows with timeline.ts <= spine.ts can ever contribute (inclusive
+    boundary, the asof_join backward rule).
+
+    Scale shape: K independent union-tag merges, each ONE shuffle + ONE
+    sort on the same key — no per-row probe structures, no theta joins.
+    At 10^12 anchors prefer ordering timelines widest-first so the spine
+    grows its nullable columns before the narrow merges; for skewed keys
+    swap the inner call to asof_join_bucketed (identical semantics).
+
+    Timelines should be unique per (key, ts) — pre-aggregate upstream —
+    the standard as-of determinism caveat.
+    """
+    out = spine
+    for tdf, tol in timelines:
+        vals = [c for c in tdf.columns if c not in (key, ts)]
+        out = asof_join(
+            out, tdf, key=key, ts=ts, value_cols=vals,
+            direction="backward", suffix="__pit", tolerance_s=tol,
+        )
+        keep = [c for c in out.columns if not c.endswith("__pit")]
+        out = out.select(
+            *keep, *[F.col(c + "__pit").alias(c) for c in vals]
+        )
+    return out

@@ -278,3 +278,64 @@ def recency_weighted_counts(
             ).alias("recency_score"),
         )
     )
+
+
+def markov_role_loglik(
+    df: DataFrame, cfg: PipelineConfig, smoothing: int = 1
+) -> DataFrame:
+    """Per-conversation log-likelihood of the role path under the
+    corpus-level first-order Markov model with Laplace(+k) smoothing —
+    the sequence-anomaly score a transcript pipeline uses to flag
+    conversations whose turn structure is improbable (e.g. tool->tool
+    storms, user monologues) relative to the corpus.
+
+    p(q|p) = (n_pq + k) / (n_p + k*R) from global transition counts
+    (R = distinct observed roles); each conversation scores
+    ll = sum over its transitions of ln p(q|p).
+
+    Engine-exactness: per-edge logs quantize to int64 nanos before any
+    sum (the zipf_fit rule), so ``ll_nanos`` is an exact integer
+    aggregate; the ratio is built with one cast-to-double per operand —
+    the same IEEE sequence on both engines.
+
+    Scale shape: ONE shuffle builds the transitions (the lag window on
+    conv_id); the model is a <= R^2-row aggregate broadcast back onto the
+    edge stream, then one groupBy(conv_id). The model table never grows
+    with corpus size, so this is 100-TB-safe by construction.
+    """
+    w = ordering.stable_window(cfg)
+    tr = (
+        df.select(
+            F.col(cfg.key_col),
+            F.lag("role").over(w).alias("prev"),
+            F.col("role"),
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    counts = tr.groupBy("prev", "role").agg(F.count(F.lit(1)).alias("n_pq"))
+    row_tot = tr.groupBy("prev").agg(F.count(F.lit(1)).alias("n_p"))
+    n_roles = tr.agg(F.countDistinct("role").alias("n_roles"))
+    k = F.lit(int(smoothing))
+    model = (
+        counts.join(row_tot, "prev")
+        .crossJoin(F.broadcast(n_roles))
+        .select(
+            "prev", "role",
+            F.floor(
+                F.log(
+                    (F.col("n_pq") + k).cast("double")
+                    / (F.col("n_p") + k * F.col("n_roles")).cast("double")
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("long").alias("ll_nanos_edge"),
+        )
+    )
+    return (
+        tr.join(F.broadcast(model), ["prev", "role"])
+        .groupBy(cfg.key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum("ll_nanos_edge").cast("long").alias("ll_nanos"),
+        )
+    )

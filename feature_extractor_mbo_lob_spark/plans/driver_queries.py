@@ -9755,6 +9755,219 @@ QUERIES["topic_boundaries"] = q_topic_boundaries
 ORACLES["topic_boundaries"] = O_TOPIC_BOUNDARIES
 
 
+
+
+# --- feature-store point-in-time training-set assembly ------------------------------
+
+def q_pit_training_set(spark, sf_dir):
+    """Feast-style historical feature retrieval (operators/asof.py
+    pit_training_set): a label spine (every assistant turn) enriched from
+    TWO independent feature timelines by backward as-of joins with
+    per-timeline staleness TTLs — tool-activity value (TTL 3600 s) and
+    last user-message length (TTL 900 s). A feature older than its TTL at
+    the anchor instant is NULL (online-store expiry semantics); only
+    timeline rows at or before the anchor can contribute (zero temporal
+    leakage by construction)."""
+    t = _t(spark, sf_dir)
+    spine = t.filter(F.col("role") == "assistant").select("conv_id", "turn_idx", "ts")
+    f1 = (
+        t.filter(F.col("role") == "tool")
+        .groupBy("conv_id", "ts")
+        .agg(F.max(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("tool_cents"))
+    )
+    f2 = (
+        t.filter(F.col("role") == "user")
+        .groupBy("conv_id", "ts")
+        .agg(F.max(F.char_length("text")).cast("long").alias("user_chars"))
+    )
+    out = asof.pit_training_set(spine, [(f1, 3600.0), (f2, 900.0)])
+    return out.select("conv_id", "turn_idx", "tool_cents", "user_chars")
+
+
+O_PIT_TRAINING_SET = f"""{_W},
+s as (select conv_id, turn_idx, ts from transcripts where role = 'assistant'),
+f1 as (
+  select conv_id, ts, max(cast(floor(value * 100 + 0.5) as bigint)) as tool_cents
+  from transcripts where role = 'tool' group by 1, 2
+),
+f2 as (
+  select conv_id, ts, max(cast(length(text) as bigint)) as user_chars
+  from transcripts where role = 'user' group by 1, 2
+),
+j1 as (
+  select s.conv_id, s.turn_idx, s.ts,
+    case when epoch_us(s.ts) - epoch_us(f1.ts) <= 3600000000
+         then f1.tool_cents end as tool_cents
+  from s asof left join f1 on s.conv_id = f1.conv_id and s.ts >= f1.ts
+)
+select j1.conv_id, j1.turn_idx, j1.tool_cents,
+  case when epoch_us(j1.ts) - epoch_us(f2.ts) <= 900000000
+       then f2.user_chars end as user_chars
+from j1 asof left join f2 on j1.conv_id = f2.conv_id and j1.ts >= f2.ts
+"""
+
+QUERIES["pit_training_set"] = q_pit_training_set
+ORACLES["pit_training_set"] = O_PIT_TRAINING_SET
+
+
+# --- Kaplan-Meier survival over tool-episode durations ------------------------------
+
+def q_kaplan_meier(spark, sf_dir):
+    """Right-censored Kaplan-Meier risk table over tool-episode durations
+    (operators/survival.py): completed episodes are events at their FIFO
+    latency, still-open invocations are censored at the conversation's
+    last turn. Durations bucket to whole minutes by exact integer
+    floor-division; output is the estimator's full sufficient statistics
+    (t, n_risk, d, c) — all int64, no float ever crosses engines."""
+    from ..operators import survival
+
+    t = _t(spark, sf_dir)
+    d = survival.episode_durations(t, CFG, granularity_s=60)
+    return survival.km_risk_table(d, "dur_s", "event")
+
+
+O_KAPLAN_MEIER = f"""{_W},
+evt as (
+  select conv_id, tool, turn_idx, ts,
+    case when role = 'assistant' then 1 else 0 end as is_inv
+  from transcripts
+  where tool is not null and role in ('assistant', 'tool')
+),
+r as (
+  select *,
+    row_number() over (partition by conv_id, tool, is_inv order by turn_idx, ts) as rnk
+  from evt
+),
+inv as (select conv_id, tool, rnk, ts as invoke_ts from r where is_inv = 1),
+res as (select conv_id, tool, rnk, ts as result_ts from r where is_inv = 0),
+ce as (select conv_id, max(epoch_us(ts)) as end_us from transcripts group by 1),
+ep as (
+  select greatest(
+      case when res.result_ts is not null
+           then epoch_us(res.result_ts) - epoch_us(i.invoke_ts)
+           else ce.end_us - epoch_us(i.invoke_ts) end, 0) as dur_us,
+    case when res.result_ts is not null then 1 else 0 end as event
+  from inv i
+  left join res on res.conv_id = i.conv_id and res.tool = i.tool and res.rnk = i.rnk
+  join ce on ce.conv_id = i.conv_id
+),
+a as (
+  select dur_us // 60000000 as t_s,
+    sum(event) as d_events, sum(1 - event) as c_censored
+  from ep group by 1
+)
+select cast(t_s as bigint) as t_s,
+  cast(sum(d_events + c_censored)
+       over (order by t_s desc rows between unbounded preceding and current row)
+       as bigint) as n_risk,
+  cast(d_events as bigint) as d_events,
+  cast(c_censored as bigint) as c_censored
+from a
+"""
+
+QUERIES["kaplan_meier"] = q_kaplan_meier
+ORACLES["kaplan_meier"] = O_KAPLAN_MEIER
+
+
+# --- mutual-information feature screen ----------------------------------------------
+
+def q_mi_features(spark, sf_dir):
+    """Binary-presence mutual information I(word; lang) per top-100 word
+    (functions/corpus.mi_feature_screen) — chi2_features' additive twin.
+    Emits the exact integer numerator (sum of count * nano-ln ratio) plus
+    n_docs; MI in nats = mi_num_nanos / n_docs / 1e9."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.mi_feature_screen(docs, "lang", "doc_id", "text", vocab_k=100)
+
+
+O_MI_FEATURES = f"""
+with norm as (
+  select doc_id, lang,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as words
+  from documents
+),
+topv as (
+  select word from (
+    select word, count(*) as cnt
+    from (select unnest(words) as word from norm)
+    group by word order by cnt desc, word asc limit 100
+  )
+),
+wd as (select doc_id, lang, unnest(list_distinct(words)) as word from norm),
+pres as (select wd.doc_id, wd.lang as lbl, wd.word from wd join topv using (word)),
+a_cnt as (select word, lbl, count(*) as a from pres group by 1, 2),
+w_cnt as (select word, count(distinct doc_id) as w_docs from pres group by 1),
+l_cnt as (select lang as lbl, count(*) as l_docs from documents group by 1),
+n_tot as (select count(*) as n_docs from documents),
+cells as (
+  select t.word, l.lbl,
+    cast(coalesce(a.a, 0) as hugeint) as a,
+    cast(w.w_docs as hugeint) as w_docs,
+    cast(l.l_docs as hugeint) as l_docs,
+    cast(n.n_docs as hugeint) as n_docs
+  from topv t
+  cross join l_cnt l
+  join w_cnt w on w.word = t.word
+  left join a_cnt a on a.word = t.word and a.lbl = l.lbl
+  cross join n_tot n
+),
+terms as (
+  select word, w_docs, n_docs,
+    (case when a > 0
+      then cast(a as bigint) * cast(floor(ln(cast(n_docs * a as double)
+             / cast(w_docs * l_docs as double)) * 1000000000.0 + 0.5) as bigint)
+      else 0 end)
+    + (case when l_docs - a > 0
+      then cast(l_docs - a as bigint) * cast(floor(ln(cast(n_docs * (l_docs - a) as double)
+             / cast((n_docs - w_docs) * l_docs as double)) * 1000000000.0 + 0.5) as bigint)
+      else 0 end) as t
+  from cells
+)
+select word,
+  cast(max(w_docs) as bigint) as n_docs_with,
+  cast(max(n_docs) as bigint) as n_docs,
+  cast(sum(t) as bigint) as mi_num_nanos
+from terms group by word
+"""
+
+QUERIES["mi_features"] = q_mi_features
+ORACLES["mi_features"] = O_MI_FEATURES
+
+
+# --- Markov role-path log-likelihood ------------------------------------------------
+
+def q_markov_loglik(spark, sf_dir):
+    """Per-conversation log-likelihood of the role path under the
+    corpus-level Laplace-smoothed first-order Markov model
+    (operators/state.markov_role_loglik) — the sequence-anomaly score.
+    Per-edge logs quantize to int64 nanos before the sum, so ll_nanos is
+    an exact integer aggregate."""
+    out = state.markov_role_loglik(_t(spark, sf_dir), CFG)
+    return out.select("conv_id", "n_transitions", "ll_nanos")
+
+
+O_MARKOV_LOGLIK = f"""{_W},
+tr as (select conv_id, lag(role) over ({_OWIN}) as prev, role from transcripts),
+e as (select conv_id, prev, role from tr where prev is not null),
+c as (select prev, role, count(*) as n_pq from e group by 1, 2),
+rt as (select prev, count(*) as n_p from e group by 1),
+nr as (select count(distinct role) as n_roles from e),
+m as (
+  select c.prev, c.role,
+    cast(floor(ln(cast(c.n_pq + 1 as double) / cast(rt.n_p + nr.n_roles as double))
+         * 1000000000.0 + 0.5) as bigint) as ll_nanos_edge
+  from c join rt using (prev) cross join nr
+)
+select e.conv_id, cast(count(*) as bigint) as n_transitions,
+  cast(sum(m.ll_nanos_edge) as bigint) as ll_nanos
+from e join m on e.prev = m.prev and e.role = m.role
+group by 1
+"""
+
+QUERIES["markov_loglik"] = q_markov_loglik
+ORACLES["markov_loglik"] = O_MARKOV_LOGLIK
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

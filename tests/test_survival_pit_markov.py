@@ -1,0 +1,141 @@
+"""Unit tests for the round-3 late families: Kaplan-Meier survival,
+feature-store PIT assembly, Markov role-path log-likelihood, and the
+mutual-information feature screen — semantics checked against tiny
+hand-computable cases and naive recomputations, independent of the
+DuckDB oracle gate."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_mbo_lob_spark import PipelineConfig
+from feature_extractor_mbo_lob_spark.functions.corpus import mi_feature_screen
+from feature_extractor_mbo_lob_spark.operators.asof import pit_training_set
+from feature_extractor_mbo_lob_spark.operators.state import markov_role_loglik
+from feature_extractor_mbo_lob_spark.operators.survival import (
+    episode_durations,
+    km_risk_table,
+)
+
+
+def _ts(s):
+    return F.lit(s).cast("timestamp")
+
+
+def test_km_risk_table_hand_case(spark):
+    # durations: events at 2, 2, 5; censored at 3, 5
+    rows = [(2, 1), (2, 1), (3, 0), (5, 1), (5, 0)]
+    df = spark.createDataFrame(rows, "dur_s long, event long")
+    out = {
+        r["t_s"]: r
+        for r in km_risk_table(df, "dur_s", "event").collect()
+    }
+    assert set(out) == {2, 3, 5}
+    assert (out[2]["n_risk"], out[2]["d_events"], out[2]["c_censored"]) == (5, 2, 0)
+    assert (out[3]["n_risk"], out[3]["d_events"], out[3]["c_censored"]) == (3, 0, 1)
+    assert (out[5]["n_risk"], out[5]["d_events"], out[5]["c_censored"]) == (2, 1, 1)
+    # KM invariant: n_risk at the smallest time == total subjects
+    assert out[2]["n_risk"] == len(rows)
+
+
+def test_km_risk_table_stratified(spark):
+    rows = [("a", 1, 1), ("a", 4, 0), ("b", 1, 1)]
+    df = spark.createDataFrame(rows, "g string, dur_s long, event long")
+    out = km_risk_table(df, "dur_s", "event", group_cols=["g"]).collect()
+    by = {(r["g"], r["t_s"]): r["n_risk"] for r in out}
+    assert by[("a", 1)] == 2 and by[("a", 4)] == 1 and by[("b", 1)] == 1
+
+
+def test_episode_durations_censoring(spark, cfg):
+    # one conv: invoke t0 (completed at t0+10s), invoke t20 (never completed,
+    # conv ends at t30 -> censored with duration 10s)
+    rows = [
+        ("c1", 0, "assistant", "x", "t1", "2024-01-01 00:00:00"),
+        ("c1", 1, "tool", "y", "t1", "2024-01-01 00:00:10"),
+        ("c1", 2, "assistant", "x", "t1", "2024-01-01 00:00:20"),
+        ("c1", 3, "user", "z", None, "2024-01-01 00:00:30"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = episode_durations(df, cfg, granularity_s=1).collect()
+    got = sorted((r["dur_s"], r["event"]) for r in out)
+    assert got == [(10, 0), (10, 1)]
+
+
+def test_pit_training_set_ttl_and_leakage(spark):
+    spine = spark.createDataFrame(
+        [("c", 0, "2024-01-01 00:10:00"), ("c", 1, "2024-01-01 02:00:00")],
+        "conv_id string, turn_idx int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    f1 = spark.createDataFrame(
+        [("c", "2024-01-01 00:05:00", 7), ("c", "2024-01-01 03:00:00", 9)],
+        "conv_id string, ts string, v long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["turn_idx"]: r["v"]
+        for r in pit_training_set(spine, [(f1, 1800.0)]).collect()
+    }
+    # anchor 0: feature 5 min old, inside TTL -> 7.  anchor 1: the only past
+    # feature is 115 min old (> 30 min TTL) -> NULL; the 03:00 future row
+    # must NEVER leak backward.
+    assert out[0] == 7
+    assert out[1] is None
+
+
+def test_markov_loglik_matches_naive(spark, transcripts, cfg):
+    out = {r["conv_id"]: r for r in markov_role_loglik(transcripts, cfg).collect()}
+    rows = sorted(
+        transcripts.select("conv_id", "turn_idx", "ts", "role").collect(),
+        key=lambda r: (r["conv_id"], r["turn_idx"], r["ts"]),
+    )
+    edges = []
+    prev = {}
+    for r in rows:
+        if r["conv_id"] in prev:
+            edges.append((prev[r["conv_id"]], r["role"]))
+        prev[r["conv_id"]] = r["role"]
+    from collections import Counter
+
+    n_pq = Counter(edges)
+    n_p = Counter(p for p, _ in edges)
+    n_roles = len({q for _, q in edges})
+    nano = {
+        (p, q): math.floor(
+            math.log((c + 1) / (n_p[p] + n_roles)) * 1e9 + 0.5
+        )
+        for (p, q), c in n_pq.items()
+    }
+    expect = {}
+    prev = {}
+    for r in rows:
+        cid = r["conv_id"]
+        if cid in prev:
+            n, s = expect.get(cid, (0, 0))
+            expect[cid] = (n + 1, s + nano[(prev[cid], r["role"])])
+        prev[cid] = r["role"]
+    for cid, (n, s) in expect.items():
+        assert out[cid]["n_transitions"] == n
+        assert out[cid]["ll_nanos"] == s
+
+
+def test_mi_features_nonnegative_and_consistent(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", "en"),
+            (1, "alpha beta", "en"),
+            (2, "gamma delta", "fr"),
+            (3, "gamma delta", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["word"]: r for r in mi_feature_screen(docs, vocab_k=10).collect()}
+    # perfectly label-separating words: I = ln 2 nats exactly
+    for w in ("alpha", "gamma"):
+        mi = out[w]["mi_num_nanos"] / out[w]["n_docs"] / 1e9
+        assert mi == pytest.approx(math.log(2), abs=1e-6)
+    assert out["alpha"]["n_docs_with"] == 2
+    # MI of the presence indicator is bounded by label entropy (ln 2 here)
+    for r in out.values():
+        assert r["mi_num_nanos"] / r["n_docs"] / 1e9 <= math.log(2) + 1e-9
