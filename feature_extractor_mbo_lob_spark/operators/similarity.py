@@ -749,3 +749,45 @@ def knn_label_agreement(
         "n_neighbors", "n_agree",
         (F.col("n_agree") * 2 < F.col("n_neighbors")).alias("noise_flag"),
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    seed: int = 11,
+    dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with deterministic
+    ±1 sign matrices (Achlioptas 2001: sign projections satisfy the JL
+    lemma with the same distortion bounds as Gaussians) — the cheap
+    dim-reduce a 100-TB pipeline runs before ANN indexing or clustering
+    when PCA's covariance pass is too expensive.
+
+    Output is LONG (vec_id, j, proj_micro): lanes micro-quantize via
+    floor(x*1e6 + 0.5) and each projection is an exact int64 signed sum —
+    engine-exact in any evaluation order (sums of ints), unlike a float
+    GEMM. One narrow map stage per row; no shuffle, no UDF (JVM
+    zip_with/aggregate higher-order functions).
+    """
+    planes = hyperplanes(dim, out_dim, seed)
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    projs = []
+    for j, h in enumerate(planes):
+        hcol = F.array(*[F.lit(int(x)).cast("long") for x in h])
+        signed = F.zip_with(q, hcol, lambda a, s: a * s)
+        projs.append(
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+                    "proj_micro"
+                ),
+            )
+        )
+    return emb.select(
+        F.col(id_col), F.explode(F.array(*projs)).alias("p")
+    ).select(id_col, F.col("p.j").alias("j"), F.col("p.proj_micro").alias("proj_micro"))

@@ -5409,9 +5409,12 @@ _CERTIFIED_FIRST = [
     # their md5-bucket mechanics remain certified via stratified_sample,
     # group_hash_split and curation_pipeline)
     "interval_point_join", "record_linkage",
-    # streaming / as-of variants / windows
+    # streaming / as-of variants / windows.  pit_training_set is the
+    # north-rule feature-store assembly (multi-timeline backward as-of with
+    # per-timeline staleness TTLs) — it certifies asof tolerance mechanics,
+    # so the displaced asof_join_tolerance stays green in the full sweep.
     "streaming_sessions", "streaming_state", "asof_join_nearest",
-    "asof_join_tolerance", "ewma", "time_windows", "group_hash_split",
+    "pit_training_set", "ewma", "time_windows", "group_hash_split",
     "media_features", "ivf_topk_sharded",
 ]
 
@@ -9966,6 +9969,144 @@ group by 1
 
 QUERIES["markov_loglik"] = q_markov_loglik
 ORACLES["markov_loglik"] = O_MARKOV_LOGLIK
+
+
+
+
+# --- DBSCAN density clustering over embeddings ---------------------------------------
+
+def q_dbscan_embeddings(spark, sf_dir):
+    """Candidate-graph DBSCAN (operators/density.py): hyperplane-LSH
+    buckets generate neighbor candidates (same construction as
+    embedding_near_dup_hp — bucket equi-join, never all-pairs), the exact
+    INTEGER micro-quantized squared L2 distance keeps true eps-neighbors,
+    then density rules: core (>= min_pts incl. self), clusters = connected
+    components of the core graph (min-label), borders take their smallest
+    core neighbor's cluster, noise = -1. Every clustering decision is
+    integer-derived — no float crosses engines."""
+    from ..operators import density
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return density.dbscan_embeddings(
+        emb, eps_micro=1_300_000, min_pts=3, n_planes=8, seed=7, dim=64
+    )
+
+
+def _dbscan_oracle(eps_micro: int = 1_300_000, min_pts: int = 3,
+                   n_planes: int = 8, seed: int = 7, dim: int = 64) -> str:
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(case when list_dot_product(v, [{', '.join(repr(x) for x in h)}]) > 0 "
+        f"then {1 << j} else 0 end)"
+        for j, h in enumerate(planes)
+    )
+    return f"""
+with recursive
+e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+l as (select vec_id, generate_subscripts(v, 1) - 1 as i,
+      cast(floor(unnest(v) * 1000000.0 + 0.5) as bigint) as q from e),
+b as (select vec_id, {bucket} as bk from e),
+cand as (select a.vec_id as ia, c.vec_id as ib
+         from b a join b c on a.bk = c.bk and a.vec_id < c.vec_id),
+pd as (
+  select ia, ib from (
+    select ia, ib, sum((x.q - y.q) * (x.q - y.q)) as d2
+    from cand
+    join l x on x.vec_id = ia
+    join l y on y.vec_id = ib and y.i = x.i
+    group by 1, 2)
+  where d2 <= cast({eps_micro} as bigint) * cast({eps_micro} as bigint)
+),
+sym as (select ia as src, ib as dst from pd union all select ib, ia from pd),
+deg as (select src, count(*) as deg from sym group by 1),
+core as (select src as id from deg where deg + 1 >= {min_pts}),
+ce as (select src, dst from sym
+       where src in (select id from core) and dst in (select id from core)),
+reach(src, dst) as (
+  select src, dst from ce
+  union
+  select r.src, s.dst from reach r join ce s on r.dst = s.src
+),
+cl as (select src as id, least(src, min(dst)) as cluster_id from reach group by src),
+core_lbl as (select c.id, coalesce(cl.cluster_id, c.id) as cluster_id
+             from core c left join cl using (id)),
+border as (
+  select s.src as id, min(k.cluster_id) as cluster_id
+  from sym s join core_lbl k on k.id = s.dst
+  where s.src not in (select id from core)
+  group by 1
+),
+lbl as (
+  select id, cluster_id, 1 as is_core from core_lbl
+  union all
+  select id, cluster_id, 0 as is_core from border
+)
+select e.vec_id,
+  cast(coalesce(lbl.is_core, 0) as int) as is_core,
+  cast(coalesce(lbl.cluster_id, -1) as bigint) as cluster_id
+from e left join lbl on lbl.id = e.vec_id
+"""
+
+
+O_DBSCAN_EMBEDDINGS = _dbscan_oracle()
+
+QUERIES["dbscan_embeddings"] = q_dbscan_embeddings
+ORACLES["dbscan_embeddings"] = O_DBSCAN_EMBEDDINGS
+
+
+
+
+# --- Johnson-Lindenstrauss random projection -----------------------------------------
+
+def q_random_projection(spark, sf_dir):
+    """Deterministic ±1 JL projection 64 -> 8 dims
+    (operators/similarity.random_projection): per-lane micro-quantization
+    then exact int64 signed sums via JVM zip_with/aggregate — the
+    shuffle-free dim-reduce before ANN indexing. Engine-exact integers."""
+    from ..operators.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return random_projection(emb, out_dim=8, seed=11, dim=64)
+
+
+def _random_projection_oracle(out_dim: int = 8, seed: int = 11, dim: int = 64) -> str:
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, out_dim, seed)
+    rows = ",\n  ".join(
+        f"({j}, [{', '.join(str(int(x)) for x in h)}])" for j, h in enumerate(planes)
+    )
+    return f"""
+with e as (
+  select vec_id,
+    list_transform(embedding::DOUBLE[],
+                   x -> cast(floor(x * 1000000.0 + 0.5) as bigint)) as q
+  from embeddings
+),
+p(j, h) as (values
+  {rows}
+),
+lanes as (
+  select e.vec_id, p.j,
+    generate_subscripts(e.q, 1) as i,
+    unnest(e.q) as qv
+  from e cross join p
+),
+signed as (
+  select l.vec_id, l.j, l.qv * p.h[l.i] as s
+  from lanes l join p on p.j = l.j
+)
+select vec_id, cast(j as int) as j, cast(sum(s) as bigint) as proj_micro
+from signed group by 1, 2
+"""
+
+
+O_RANDOM_PROJECTION = _random_projection_oracle()
+
+QUERIES["random_projection"] = q_random_projection
+ORACLES["random_projection"] = O_RANDOM_PROJECTION
 
 
 def _reorder_registry() -> None:

@@ -139,3 +139,61 @@ def test_mi_features_nonnegative_and_consistent(spark):
     # MI of the presence indicator is bounded by label entropy (ln 2 here)
     for r in out.values():
         assert r["mi_num_nanos"] / r["n_docs"] / 1e9 <= math.log(2) + 1e-9
+
+
+def test_dbscan_from_pairs_hand_case(spark):
+    from feature_extractor_mbo_lob_spark.operators.density import dbscan_from_pairs
+
+    # chain 1-2-3-4 (2,3 are cores at min_pts=3), 5 borders on nothing,
+    # 6 isolated noise; 10-11-12 triangle: all cores, one cluster
+    pts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6, 10, 11, 12)], "vec_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)], "id_a long, id_b long"
+    )
+    out = {r["vec_id"]: r for r in dbscan_from_pairs(pts, pairs, min_pts=3).collect()}
+    # 2 and 3 have degree 2 -> core; 1 and 4 degree 1 -> border of cluster 2
+    assert out[2]["is_core"] == 1 and out[3]["is_core"] == 1
+    assert out[2]["cluster_id"] == 2 and out[3]["cluster_id"] == 2
+    assert out[1]["is_core"] == 0 and out[1]["cluster_id"] == 2
+    assert out[4]["is_core"] == 0 and out[4]["cluster_id"] == 2
+    # triangle: everyone core, cluster = min id 10
+    for i in (10, 11, 12):
+        assert out[i]["is_core"] == 1 and out[i]["cluster_id"] == 10
+    # isolated points: noise
+    assert out[5]["cluster_id"] == -1 and out[6]["cluster_id"] == -1
+
+
+def test_dbscan_core_singleton_cluster(spark):
+    from feature_extractor_mbo_lob_spark.operators.density import dbscan_from_pairs
+
+    # star: center 0 with 3 border leaves; only 0 is core (deg 3), leaves
+    # deg 1 -> border; core has NO core neighbor -> singleton cluster id 0
+    pts = spark.createDataFrame([(i,) for i in range(4)], "vec_id long")
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
+    out = {r["vec_id"]: r for r in dbscan_from_pairs(pts, pairs, min_pts=4).collect()}
+    assert out[0]["is_core"] == 1 and out[0]["cluster_id"] == 0
+    for i in (1, 2, 3):
+        assert out[i]["is_core"] == 0 and out[i]["cluster_id"] == 0
+
+
+def test_random_projection_exact_vs_numpy(spark):
+    import numpy as np
+
+    from feature_extractor_mbo_lob_spark.operators.similarity import (
+        hyperplanes,
+        random_projection,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(20, 16)).astype("float64")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    out = random_projection(emb, out_dim=4, seed=11, dim=16).collect()
+    H = np.array(hyperplanes(16, 4, 11))  # [4, 16] of +-1
+    Q = np.floor(vecs * 1e6 + 0.5).astype("int64")
+    expect = Q @ H.T.astype("int64")  # [20, 4]
+    for r in out:
+        assert r["proj_micro"] == expect[r["vec_id"], r["j"]]
+    assert len(out) == 80

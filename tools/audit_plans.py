@@ -578,6 +578,41 @@ def main() -> None:
         forbid=("CartesianProduct", "BroadcastNestedLoop"),
     ))
 
+    spine = t.filter(F.col("role") == "assistant").select("conv_id", "turn_idx", "ts")
+    f1 = (
+        t.filter(F.col("role") == "tool")
+        .groupBy("conv_id", "ts")
+        .agg(F.max(F.char_length("text")).cast("long").alias("f_tool"))
+    )
+    f2 = (
+        t.filter(F.col("role") == "user")
+        .groupBy("conv_id", "ts")
+        .agg(F.max(F.char_length("text")).cast("long").alias("f_user"))
+    )
+    sections.append(summarize(
+        "Feature-store PIT training-set assembly (2 timelines + TTLs)",
+        asof.pit_training_set(spine, [(f1, 3600.0), (f2, 900.0)]),
+        "K=2 independent union-tag as-of merges: one exchange + one sort per "
+        "timeline on the same conv_id key, never a theta/range join — the "
+        "Feast get_historical_features shape that stays merge-shaped at "
+        "10^12 anchors. TTL gating is expression-level over the same sorted "
+        "partition (no extra exchange).",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"),
+    ))
+
+    from feature_extractor_mbo_lob_spark.operators import survival as surv
+
+    km = surv.km_risk_table(surv.episode_durations(t, CFG, granularity_s=60))
+    sections.append(summarize(
+        "Kaplan-Meier risk table (censored episode durations)",
+        km,
+        "Episode pairing rides the lifecycle rank windows (per conv,tool); "
+        "durations collapse via ONE groupBy to <= max-distinct-bucket rows, "
+        "and the n_risk reverse cumsum windows over that tiny aggregate — "
+        "the only unpartitioned stage never sees row-level data.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
