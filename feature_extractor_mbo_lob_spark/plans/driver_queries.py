@@ -10109,6 +10109,74 @@ QUERIES["random_projection"] = q_random_projection
 ORACLES["random_projection"] = O_RANDOM_PROJECTION
 
 
+
+
+# --- streaming point-in-time enrichment (online feature store) -----------------------
+
+def q_streaming_pit(spark, sf_dir):
+    """REAL streaming execution of the feature-store PIT join
+    (streaming/stream.streaming_pit_enrich): the tagged anchor+feature
+    union replayed through readStream -> applyInPandasWithState (state =
+    last feature value per conversation, TTL 3600 s) -> availableNow ->
+    memory sink. Single-file source => one in-order micro-batch, so the
+    DuckDB ASOF JOIN oracle matches exactly."""
+    import hashlib
+    import uuid
+    from pathlib import Path as _P
+
+    from ..streaming import stream as strm
+
+    t = _t(spark, sf_dir)
+    tagged = t.filter(F.col("role").isin("assistant", "tool")).select(
+        "conv_id",
+        "ts",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.when(F.col("role") == "assistant", F.lit(1)).otherwise(F.lit(0)).alias("side"),
+        F.when(
+            F.col("role") == "tool",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).alias("fval"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/stream_pit_src_{tag}"
+    if not _P(path).exists():
+        tagged.coalesce(1).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(tagged.schema).parquet(path)
+    out = strm.streaming_pit_enrich(src, CFG, ttl_s=3600.0, value_col="fval")
+    qname = "qsp_" + uuid.uuid4().hex[:12]
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"/tmp/stream_pit_ckpt_{uuid.uuid4().hex[:12]}")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return spark.table(qname).select(
+        "conv_id", "turn_idx", F.col("fval").alias("tool_cents")
+    )
+
+
+O_STREAMING_PIT = f"""{_W},
+s as (select conv_id, cast(turn_idx as bigint) as turn_idx, ts
+      from transcripts where role = 'assistant'),
+f as (select conv_id, ts, max(cast(floor(value * 100 + 0.5) as bigint)) as tool_cents
+      from transcripts where role = 'tool' group by 1, 2)
+select s.conv_id, s.turn_idx,
+  case when epoch_us(s.ts) - epoch_us(f.ts) <= 3600000000
+       then f.tool_cents end as tool_cents
+from s asof left join f on s.conv_id = f.conv_id and s.ts >= f.ts
+"""
+
+QUERIES["streaming_pit"] = q_streaming_pit
+ORACLES["streaming_pit"] = O_STREAMING_PIT
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

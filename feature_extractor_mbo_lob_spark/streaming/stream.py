@@ -346,3 +346,74 @@ def streaming_tool_pairing(
         F.col("r_ts").alias("result_ts"),
         (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("i_ts"))).alias("latency_us"),
     )
+
+
+def streaming_pit_enrich(
+    tagged: DataFrame,
+    cfg: PipelineConfig,
+    ttl_s: float = 3600.0,
+    value_col: str = "fval",
+) -> DataFrame:
+    """Streaming twin of operators/asof.pit_training_set for ONE timeline:
+    a tagged union stream (side=0 feature rows carrying ``value_col``,
+    side=1 anchor rows) keyed by conv_id flows through
+    applyInPandasWithState; state is just (last feature ts, last value) —
+    O(1) per key, the online feature store in miniature. Every anchor row
+    emits the latest feature at-or-before it, NULLed once older than
+    ``ttl_s`` (staleness expiry), never a future value (zero temporal
+    leakage — the backward-inclusive as-of rule).
+
+    Ordering contract: rows are sorted (ts, side) inside each micro-batch
+    and state carries across batches, so replay order is exact when
+    batches respect event time (single-file availableNow replay, or a
+    watermark-disciplined source); a late feature row CANNOT retro-fill
+    anchors already emitted — the documented streaming deviation from the
+    batch join (same caveat as every online store).
+    """
+    ttl_us = int(ttl_s * 1_000_000)
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", LongType()),
+            StructField(value_col, LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_us", LongType()), StructField("last_val", LongType())]
+    )
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.exists:
+            last_us, last_val = state.get
+        else:
+            last_us, last_val = None, None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # feature rows (side 0) sort BEFORE anchors at equal ts: inclusive
+        batch = batch.sort_values(["ts", "side"], kind="mergesort")
+        out_conv, out_turn, out_val = [], [], []
+        for ts, side, turn_idx, val in zip(
+            batch["ts"], batch["side"], batch["turn_idx"], batch[value_col]
+        ):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if side == 0:
+                last_us, last_val = us, (None if pd.isna(val) else int(val))
+            else:
+                fresh = last_us is not None and us - last_us <= ttl_us
+                out_conv.append(conv_id)
+                out_turn.append(int(turn_idx))
+                out_val.append(last_val if fresh else None)
+        if last_us is not None:
+            state.update((last_us, last_val if last_val is not None else None))
+        yield pd.DataFrame(
+            {"conv_id": out_conv, "turn_idx": out_turn, value_col: out_val}
+        )
+
+    return tagged.groupBy(cfg.key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -197,3 +197,56 @@ def test_random_projection_exact_vs_numpy(spark):
     for r in out:
         assert r["proj_micro"] == expect[r["vec_id"], r["j"]]
     assert len(out) == 80
+
+
+def test_streaming_pit_state_carries_across_batches(spark, tmp_path):
+    """streaming_pit_enrich: a feature row ingested in batch 1 must enrich
+    an anchor arriving in batch 2 (state persistence), TTL expiry must
+    NULL a stale feature, and a future feature must never leak backward."""
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark import PipelineConfig
+    from feature_extractor_mbo_lob_spark.streaming.stream import streaming_pit_enrich
+
+    cfg = PipelineConfig()
+    schema = "conv_id string, ts string, turn_idx long, side int, fval long"
+    src = str(tmp_path / "pit_src")
+    cast = lambda df: df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # batch 1: feature at t=0s (val 7); anchor at t=60s (fresh -> 7)
+    b1 = cast(spark.createDataFrame(
+        [("c", "2024-01-01 00:00:00", 0, 0, 7), ("c", "2024-01-01 00:01:00", 1, 1, None)],
+        schema,
+    ))
+    # batch 2 (separate file): anchor at t=120s (still fresh -> 7),
+    # anchor at t=2h (stale beyond 3600s TTL -> NULL),
+    # feature val 9 AFTER that anchor (must not leak)
+    b2 = cast(spark.createDataFrame(
+        [
+            ("c", "2024-01-01 00:02:00", 2, 1, None),
+            ("c", "2024-01-01 02:00:00", 3, 1, None),
+            ("c", "2024-01-01 03:00:00", 4, 0, 9),
+        ],
+        schema,
+    ))
+    b1.coalesce(1).write.parquet(src + "/f=1")
+    b2.coalesce(1).write.parquet(src + "/f=2")
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = streaming_pit_enrich(stream, cfg, ttl_s=3600.0, value_col="fval")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pit_carry_test")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["turn_idx"]: r["fval"] for r in spark.table("pit_carry_test").collect()}
+    assert got[1] == 7        # same-batch enrichment
+    assert got[2] == 7        # state carried into batch 2
+    assert got[3] is None     # TTL expired
+    assert 4 not in got       # feature rows emit nothing
