@@ -9988,7 +9988,8 @@ def q_dbscan_embeddings(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return density.dbscan_embeddings(
-        emb, eps_micro=1_300_000, min_pts=3, n_planes=8, seed=7, dim=64
+        emb, eps_micro=1_300_000, min_pts=3, n_bands=1, planes_per_band=8,
+        seed=7, dim=64
     )
 
 
@@ -10175,6 +10176,116 @@ from s asof left join f on s.conv_id = f.conv_id and s.ts >= f.ts
 
 QUERIES["streaming_pit"] = q_streaming_pit
 ORACLES["streaming_pit"] = O_STREAMING_PIT
+
+
+
+
+# --- DBSCAN candidate-graph neighbor recall ------------------------------------------
+
+def q_dbscan_recall(spark, sf_dir):
+    """The DBSCAN candidate-graph TUNING TABLE
+    (operators/density.neighbor_recall): on a deterministic md5 vertex
+    sample (1/2 of points), neighbor-pair recall of TWO candidate
+    generators — the cheap single 8-plane band and the amplified 16x4
+    banding — vs brute-force exact eps-pairs. On this deliberately
+    near-uniform synthetic corpus the row QUANTIFIES the dial: single-band
+    sign-LSH recall at wide eps is poor by math (p^8), banding buys it
+    back at candidate-volume cost. Same role as ivf_recall / lsh_recall;
+    all-integer one-row output."""
+    from ..operators import density
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return density.neighbor_recall(
+        emb, eps_micro=1_300_000, seed=7, dim=64, sample_buckets=2
+    )
+
+
+def _dbscan_recall_oracle(eps_micro: int = 1_300_000, seed: int = 7,
+                          dim: int = 64, sample_buckets: int = 2) -> str:
+    from ..operators.similarity import hyperplanes
+
+    def bucket_expr(n_planes, s):
+        planes = hyperplanes(dim, n_planes, s)
+        return " + ".join(
+            f"(case when list_dot_product(v, [{', '.join(repr(x) for x in h)}]) > 0 "
+            f"then {1 << j} else 0 end)"
+            for j, h in enumerate(planes)
+        )
+
+    # single operating point: one 8-plane band (seed+0) — identical to the
+    # production dbscan_embeddings default
+    single = bucket_expr(8, seed)
+    # amplified operating point: 16 bands x 4 planes, seeds seed..seed+15
+    banded_selects = "\n  union all\n".join(
+        f"  select vec_id, {k} as band, ({bucket_expr(4, seed + k)}) as bk from e"
+        for k in range(16)
+    )
+    lim = f"cast({eps_micro} as bigint) * cast({eps_micro} as bigint)"
+    return f"""
+with e0 as (
+  select vec_id, embedding::DOUBLE[] as v,
+    md5(cast(vec_id as varchar)) as h
+  from embeddings
+),
+e as (select vec_id, v from e0 where ({_HEX7}) % {sample_buckets} = 0),
+l as (select vec_id, generate_subscripts(v, 1) - 1 as i,
+      cast(floor(unnest(v) * 1000000.0 + 0.5) as bigint) as q from e),
+pd as (
+  select a.vec_id as ia, c.vec_id as ib,
+    (select sum((x.q - y.q) * (x.q - y.q))
+     from l x join l y on y.i = x.i
+     where x.vec_id = a.vec_id and y.vec_id = c.vec_id) as d2
+  from e a join e c on a.vec_id < c.vec_id
+),
+exact as (select ia, ib from pd where d2 <= {lim}),
+bs as (select vec_id, ({single}) as bk from e),
+single_pairs as (
+  select cand.ia, cand.ib from (
+    select a.vec_id as ia, c.vec_id as ib
+    from bs a join bs c on a.bk = c.bk and a.vec_id < c.vec_id
+  ) cand join exact using (ia, ib)
+),
+melted as (
+{banded_selects}
+),
+banded_pairs as (
+  select cand.ia, cand.ib from (
+    select distinct a.vec_id as ia, c.vec_id as ib
+    from melted a join melted c
+      on a.band = c.band and a.bk = c.bk and a.vec_id < c.vec_id
+  ) cand join exact using (ia, ib)
+),
+j as (
+  select coalesce(x.ia, s.ia, b.ia) as ia,
+    case when x.ia is not null then 1 else 0 end as e_flag,
+    case when s.ia is not null then 1 else 0 end as s_flag,
+    case when b.ia is not null then 1 else 0 end as b_flag
+  from exact x
+  full outer join single_pairs s on x.ia = s.ia and x.ib = s.ib
+  full outer join banded_pairs b on coalesce(x.ia, s.ia) = b.ia
+                                and coalesce(x.ib, s.ib) = b.ib
+),
+agg as (
+  select cast(sum(e_flag) as bigint) as n_exact,
+    cast(sum(s_flag) as bigint) as n_single,
+    cast(sum(b_flag) as bigint) as n_banded,
+    cast(sum(case when e_flag = 1 and s_flag = 1 then 1 else 0 end) as bigint) as inter_single,
+    cast(sum(case when e_flag = 1 and b_flag = 1 then 1 else 0 end) as bigint) as inter_banded
+  from j
+)
+select n_exact, n_single, n_banded, inter_single, inter_banded,
+  cast(case when n_exact > 0 then inter_single * 1000000 // n_exact
+       else 1000000 end as bigint) as recall_single_ppm,
+  cast(case when n_exact > 0 then inter_banded * 1000000 // n_exact
+       else 1000000 end as bigint) as recall_banded_ppm
+from agg
+"""
+
+
+O_DBSCAN_RECALL = _dbscan_recall_oracle()
+
+QUERIES["dbscan_recall"] = q_dbscan_recall
+ORACLES["dbscan_recall"] = O_DBSCAN_RECALL
 
 
 def _reorder_registry() -> None:

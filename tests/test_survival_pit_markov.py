@@ -250,3 +250,19 @@ def test_streaming_pit_state_carries_across_batches(spark, tmp_path):
     assert got[2] == 7        # state carried into batch 2
     assert got[3] is None     # TTL expired
     assert 4 not in got       # feature rows emit nothing
+
+
+def test_banded_lsh_dominates_single_band(spark):
+    """OR-of-ANDs amplification: the 16x4 banded candidate graph must
+    recover at least every pair the single 8-plane band recovers, and the
+    tuning-table recalls must reflect that ordering."""
+    from feature_extractor_mbo_lob_spark.operators.density import neighbor_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r = neighbor_recall(emb, eps_micro=1_300_000, sample_buckets=2).first()
+    assert r["n_exact"] > 0
+    assert r["recall_banded_ppm"] >= r["recall_single_ppm"]
+    assert r["inter_single"] == r["n_single"]  # LSH pairs are exact-filtered
+    assert r["inter_banded"] == r["n_banded"]
+    # amplification must be material on near-uniform vectors
+    assert r["recall_banded_ppm"] >= 500_000
