@@ -600,6 +600,18 @@ def main() -> None:
         forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"),
     ))
 
+    from feature_extractor_mbo_lob_spark.operators import density
+
+    sections.append(summarize(
+        "DBSCAN over banded-LSH candidate graph",
+        density.dbscan_embeddings(emb, dim=8),
+        "Candidates from the (band, bucket) equi-join — NEVER all-pairs "
+        "(asserted); the exact integer eps predicate runs on candidates "
+        "only; degrees/core/CC/border are id-keyed equi-joins + the "
+        "pointer-doubling CC rounds.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"),
+    ))
+
     from feature_extractor_mbo_lob_spark.operators import survival as surv
 
     km = surv.km_risk_table(surv.episode_durations(t, CFG, granularity_s=60))
