@@ -1583,3 +1583,69 @@ def mi_feature_screen(
             F.sum("_t").cast("long").alias("mi_num_nanos"),
         )
     )
+
+
+def sft_pairs(
+    df: DataFrame,
+    min_context_turns: int = 1,
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Training-example extraction: one (context, response) pair per
+    ``response_role`` turn with at least ``min_context_turns`` preceding
+    turns — the transcript -> SFT-dataset step of a curation pipeline.
+
+    Emits per pair: a deterministic ``pair_id`` (md5 of conv_id:turn_idx,
+    the dedup/join key), the context size in turns and characters, how many
+    of the context turns are user turns (prompt-heaviness), and the
+    response length. The pair TEXT itself is not materialized here — a
+    downstream packer joins back on (conv_id, turn_idx) ranges, so this
+    stage shuffles counters only.
+
+    Point-in-time safety: every context statistic is a cumulative window
+    ending at the PREVIOUS turn (rowsBetween(unboundedPreceding, -1)) —
+    nothing at or after the response turn leaks in.
+    """
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx", "ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enriched = df.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "role",
+        F.coalesce(F.length("text"), F.lit(0)).alias("_len"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.count("*").over(w_prev).cast("long").alias("context_turns"),
+        F.coalesce(F.sum("_len").over(w_prev), F.lit(0))
+        .cast("long")
+        .alias("context_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).over(w_prev),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("context_user_turns"),
+        F.col("_len").cast("long").alias("response_chars"),
+    )
+    return (
+        enriched.filter(
+            (F.col("role") == response_role)
+            & (F.col("context_turns") >= F.lit(int(min_context_turns)))
+        )
+        .select(
+            F.md5(F.concat_ws(":", "conv_id", "turn_idx")).alias("pair_id"),
+            "conv_id",
+            "turn_idx",
+            "context_turns",
+            "context_chars",
+            "context_user_turns",
+            "response_chars",
+        )
+    )

@@ -232,3 +232,54 @@ def readability(df, id_col: str = "doc_id", text_col: str = "text",
             (F.floor(fre * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("flesch"),
         )
     )
+
+
+def pattern_flag(col, patterns: tuple[str, ...]) -> Column:
+    """True when lower(text) contains any of the literal substrings.
+
+    The curation use is refusal / canned-response detection over assistant
+    turns ("i cannot", "i'm sorry, but", ...) so refusals can be filtered
+    or down-weighted before SFT. Literal `contains` (not regex) so the
+    DuckDB oracle twin (instr(lower(text), p) > 0) is engine-exact.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(F.coalesce(c, F.lit("")))
+    flag = F.lit(False)
+    for p in patterns:
+        flag = flag | low.contains(p.lower())
+    return flag
+
+
+def flag_rates(
+    df,
+    patterns: tuple[str, ...],
+    role: str | None = None,
+    group_col: str = "conv_id",
+    text_col: str = "text",
+):
+    """Per-conversation flagged-turn statistics for a substring pattern
+    list: turns scanned, turns flagged, flag rate, and the first flagged
+    turn index (the truncation point if the policy is 'cut at first
+    refusal'). ``role`` restricts scanning to that role's turns.
+
+    One grouped aggregate — digests-only shuffle, no text leaves the scan
+    stage. 100-TB shape: identical.
+    """
+    base = df
+    if role is not None:
+        base = base.filter(F.col("role") == role)
+    flagged = pattern_flag(text_col, patterns)
+    return base.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(flagged.cast("int")).cast("long").alias("n_flagged"),
+        (
+            F.floor(
+                F.sum(flagged.cast("int")).cast("double")
+                / F.count("*").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("flag_rate"),
+        F.min(F.when(flagged, F.col("turn_idx"))).cast("int").alias("first_flag_turn"),
+    )

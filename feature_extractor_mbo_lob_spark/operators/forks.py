@@ -1,0 +1,144 @@
+"""Conversation prefix-fork detection: find conversations that share an
+identical (role, text) turn prefix — the transcript-native form of rollout
+dedup. Agent-training corpora are full of branched sampling (many rollouts
+regenerated from one prompt prefix); training on every branch over-weights
+the shared prefix, so a curation pipeline needs to FIND the fork points and
+keep one representative per shared prefix.
+
+Construction (all JVM-side, one window sort per conversation):
+
+1. ``turn_digest`` = md5 of the (role, text) pair — 32 hex chars per turn,
+   so everything downstream shuffles fixed-width digests, never text.
+2. ``prefix_digest`` = md5 of the concatenated turn digests over the
+   cumulative stable-order frame. Rows within a window frame arrive in the
+   frame's ORDER BY order, so ``concat_ws('', collect_list(...))`` is the
+   deterministic running fingerprint of the whole prefix — equal prefixes
+   (as (role, text) sequences) get equal digests, and md5 collisions are
+   the only false-merge source (2^-64 birthday at corpus scale).
+3. Fork groups: group by (prefix_len, prefix_digest); a group with >= 2
+   conversations is a fork — every member shares the same first
+   ``prefix_len`` turns verbatim.
+
+Scale shape: the cumulative digest is the SAME partitionBy(conv_id) sort
+every other per-conversation operator rides (one shuffle, reused); the
+fork group-by shuffles (int, 32-byte digest) pairs only. Memory per row is
+bounded by prefix length x 32 bytes inside the collect_list frame — for
+mega-conversations route through operators/skew first or cap ``max_depth``
+(forks in practice live in the first few turns; depth-capping both bounds
+the frame and drops the uninteresting deep tail).
+
+Reference analog: the reference dedups identical event streams at ingest
+(src/pipeline.rs dedup pass); transcript prefix forks are the
+conversation-shaped generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+
+
+def _stable_window(cfg: PipelineConfig):
+    return Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+
+
+def with_prefix_digests(
+    df: DataFrame, cfg: PipelineConfig, max_depth: int | None = None
+) -> DataFrame:
+    """Add ``turn_digest`` and the running ``prefix_digest`` per turn.
+
+    ``max_depth`` (optional) keeps only turns with turn_idx < max_depth —
+    bounding the collect_list frame for skew safety when only shallow fork
+    points are wanted.
+    """
+    base = df
+    if max_depth is not None:
+        base = base.filter(F.col("turn_idx") < F.lit(int(max_depth)))
+    w = (
+        _stable_window(cfg)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    turn_digest = F.md5(
+        F.concat_ws("\x1f", F.col("role"), F.coalesce(F.col("text"), F.lit("")))
+    )
+    return base.withColumn("turn_digest", turn_digest).withColumn(
+        "prefix_digest",
+        F.md5(F.concat_ws("", F.collect_list("turn_digest").over(w))),
+    )
+
+
+def fork_groups(
+    df: DataFrame, cfg: PipelineConfig, max_depth: int | None = None
+) -> DataFrame:
+    """Shared-prefix groups: one row per (prefix_len, prefix_digest) held by
+    >= 2 conversations, with the member count and the minimum conv_id as the
+    canonical representative (the keeper under keep-first dedup)."""
+    p = with_prefix_digests(df, cfg, max_depth=max_depth)
+    return (
+        p.groupBy(
+            (F.col("turn_idx") + 1).cast("int").alias("prefix_len"),
+            F.col("prefix_digest"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.min("conv_id").alias("keep_conv_id"),
+        )
+        .filter(F.col("n_convs") >= 2)
+    )
+
+
+def fork_depth_profile(
+    df: DataFrame, cfg: PipelineConfig, max_depth: int | None = None
+) -> DataFrame:
+    """Per prefix depth: how many distinct prefixes exist, how many
+    conversations reach that depth, and how many of them sit inside a fork
+    (share their full prefix with another conversation). The fork-rate
+    curve by depth is the tuning view for choosing a dedup depth cap."""
+    p = with_prefix_digests(df, cfg, max_depth=max_depth)
+    g = p.groupBy(
+        (F.col("turn_idx") + 1).cast("int").alias("prefix_len"),
+        F.col("prefix_digest"),
+    ).agg(F.count("*").cast("long").alias("n_convs"))
+    return (
+        g.groupBy("prefix_len")
+        .agg(
+            F.count("*").cast("long").alias("n_prefixes"),
+            F.sum("n_convs").cast("long").alias("n_convs"),
+            F.sum(
+                F.when(F.col("n_convs") >= 2, F.col("n_convs")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_forked_convs"),
+        )
+    )
+
+
+def fork_dedup_keep(
+    df: DataFrame, cfg: PipelineConfig, depth: int
+) -> DataFrame:
+    """Keep-one-per-fork at a fixed prefix depth: conversations whose
+    full depth-``depth`` prefix is shared keep only the minimum conv_id;
+    conversations shorter than ``depth`` or with a unique prefix all
+    survive. Returns (conv_id, keep) — join back to filter the corpus."""
+    p = with_prefix_digests(df, cfg, max_depth=depth)
+    at_depth = p.filter(F.col("turn_idx") == F.lit(int(depth) - 1)).select(
+        "conv_id", "prefix_digest"
+    )
+    ranked = at_depth.withColumn(
+        "keep",
+        (
+            F.row_number().over(
+                Window.partitionBy("prefix_digest").orderBy("conv_id")
+            )
+            == 1
+        ),
+    ).select("conv_id", "keep")
+    short = (
+        df.groupBy("conv_id")
+        .agg(F.max("turn_idx").alias("mx"))
+        .filter(F.col("mx") < F.lit(int(depth) - 1))
+        .select("conv_id", F.lit(True).alias("keep"))
+    )
+    return ranked.unionByName(short)

@@ -289,3 +289,56 @@ def with_open_tool_queue(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         hhi.alias("open_tool_hhi"),
         per_tool.alias("episodes_per_active_tool"),
     )
+
+
+def tool_retry_stats(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Per-conversation tool-retry trajectory features: how often the agent
+    re-invokes the SAME tool on consecutive tool turns (the retry/flail
+    signature), per conversation.
+
+    * ``n_tool_calls`` — tool turns (tool is not null);
+    * ``n_retries`` — tool turns whose previous tool turn (in stable order,
+      within the conversation) used the same tool;
+    * ``retry_rate`` — n_retries / n_tool_calls;
+    * ``max_retry_streak`` — longest consecutive same-tool run (a streak of
+      k same-tool calls counts k-1 retries, so this is the worst flail).
+
+    One window over tool turns only (same conv-keyed sort every lifecycle
+    operator shares) + one grouped aggregate. Conversations with zero tool
+    calls are absent (nothing to measure).
+
+    Reference analog: order-modification counting in
+    src/features/lifecycle_features.rs (re-submission of the same order id).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    tools = df.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "ts", "tool"
+    )
+    t = tools.withColumn(
+        "is_retry", (F.col("tool") == F.lag("tool").over(w)).cast("int")
+    ).withColumn(
+        # gaps-and-islands: new group whenever the tool changes
+        "grp",
+        F.sum(
+            F.when(F.coalesce(F.col("is_retry"), F.lit(0)) == 0, 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    streaks = t.groupBy("conv_id", "grp").agg(F.count("*").alias("run_len"))
+    per_conv_streak = streaks.groupBy("conv_id").agg(
+        F.max("run_len").cast("long").alias("max_retry_streak")
+    )
+    per_conv = t.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_tool_calls"),
+        F.sum(F.coalesce(F.col("is_retry"), F.lit(0))).cast("long").alias("n_retries"),
+    )
+    out = per_conv.join(per_conv_streak, "conv_id")
+    return out.withColumn(
+        "retry_rate",
+        F.floor(
+            F.col("n_retries").cast("double")
+            / F.col("n_tool_calls").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    )

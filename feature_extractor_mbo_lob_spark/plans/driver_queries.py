@@ -10288,6 +10288,206 @@ QUERIES["dbscan_recall"] = q_dbscan_recall
 ORACLES["dbscan_recall"] = O_DBSCAN_RECALL
 
 
+# --- conversation prefix forks (rollout dedup) -----------------------------------
+
+def q_prefix_forks(spark, sf_dir):
+    """Fork-rate-by-depth profile of shared (role, text) turn prefixes —
+    the branched-rollout dedup tuning view (operators/forks.py). Depth
+    capped at 8 (fork points live in the shallow prefix; the cap also
+    bounds the cumulative-digest frame for skew safety)."""
+    from ..operators import forks
+
+    t = transcripts_from_events(spark, sf_dir)
+    return forks.fork_depth_profile(t, CFG, max_depth=8).select(
+        "prefix_len",
+        "n_prefixes",
+        "n_convs",
+        "n_forked_convs",
+    )
+
+
+O_PREFIX_FORKS = f"""{_W},
+p as (
+  select conv_id, turn_idx,
+    md5(string_agg(md5(concat(role, chr(31), coalesce(text, ''))), '')
+        over ({_CUM})) as prefix_digest
+  from transcripts
+  where turn_idx < 8
+),
+g as (
+  select turn_idx + 1 as prefix_len, prefix_digest, count(*) as n_convs
+  from p group by 1, 2
+)
+select cast(prefix_len as int) as prefix_len,
+  cast(count(*) as bigint) as n_prefixes,
+  cast(sum(n_convs) as bigint) as n_convs,
+  cast(sum(case when n_convs >= 2 then n_convs else 0 end) as bigint) as n_forked_convs
+from g group by 1
+"""
+
+QUERIES["prefix_forks"] = q_prefix_forks
+ORACLES["prefix_forks"] = O_PREFIX_FORKS
+
+
+def q_fork_groups(spark, sf_dir):
+    """The fork groups themselves at depth <= 4: every (prefix_len,
+    prefix_digest) shared by >= 2 conversations, with the keep-first
+    representative (operators/forks.fork_groups)."""
+    from ..operators import forks
+
+    t = transcripts_from_events(spark, sf_dir)
+    return forks.fork_groups(t, CFG, max_depth=4).select(
+        "prefix_len", "prefix_digest", "n_convs", "keep_conv_id"
+    )
+
+
+O_FORK_GROUPS = f"""{_W},
+p as (
+  select conv_id, turn_idx,
+    md5(string_agg(md5(concat(role, chr(31), coalesce(text, ''))), '')
+        over ({_CUM})) as prefix_digest
+  from transcripts
+  where turn_idx < 4
+)
+select cast(turn_idx + 1 as int) as prefix_len, prefix_digest,
+  cast(count(*) as bigint) as n_convs,
+  min(conv_id) as keep_conv_id
+from p
+group by 1, 2
+having count(*) >= 2
+"""
+
+QUERIES["fork_groups"] = q_fork_groups
+ORACLES["fork_groups"] = O_FORK_GROUPS
+
+
+# --- refusal / canned-response flag rates -----------------------------------------
+
+_REFUSAL_PATTERNS = ("error", "cancel")
+
+
+def q_refusal_rates(spark, sf_dir):
+    """Per-conversation flagged-turn stats for a literal substring pattern
+    list (functions/text.flag_rates) — the refusal-filtering primitive of
+    an SFT curation pipeline (patterns would be "i cannot" / "i'm sorry,
+    but" on real assistant turns; event keywords on this synth corpus)."""
+    from ..functions import text as tx
+
+    t = transcripts_from_events(spark, sf_dir)
+    return tx.flag_rates(t, _REFUSAL_PATTERNS).select(
+        "conv_id", "n_turns", "n_flagged", "flag_rate", "first_flag_turn"
+    )
+
+
+O_REFUSAL_RATES = f"""{_W},
+f as (
+  select conv_id, turn_idx,
+    case when instr(lower(coalesce(text, '')), 'error') > 0
+           or instr(lower(coalesce(text, '')), 'cancel') > 0
+         then 1 else 0 end as flagged
+  from transcripts
+)
+select conv_id,
+  cast(count(*) as bigint) as n_turns,
+  cast(sum(flagged) as bigint) as n_flagged,
+  {_r6x_sql("cast(sum(flagged) as double) / cast(count(*) as double)")} as flag_rate,
+  cast(min(case when flagged = 1 then turn_idx end) as int) as first_flag_turn
+from f group by conv_id
+"""
+
+QUERIES["refusal_rates"] = q_refusal_rates
+ORACLES["refusal_rates"] = O_REFUSAL_RATES
+
+
+# --- tool retry trajectories ------------------------------------------------------
+
+def q_tool_retry(spark, sf_dir):
+    """Per-conversation same-tool retry trajectory features
+    (operators/lifecycle.tool_retry_stats): retry count/rate and the
+    longest consecutive same-tool run."""
+    from ..operators import lifecycle
+
+    t = transcripts_from_events(spark, sf_dir)
+    return lifecycle.tool_retry_stats(t, CFG).select(
+        "conv_id", "n_tool_calls", "n_retries", "retry_rate", "max_retry_streak"
+    )
+
+
+O_TOOL_RETRY = f"""{_W},
+tt as (
+  select conv_id, turn_idx, ts, tool,
+    case when tool = lag(tool) over ({_OWIN}) then 1 else 0 end as is_retry
+  from transcripts where tool is not null
+),
+g as (
+  select conv_id, turn_idx, is_retry,
+    sum(case when is_retry = 0 then 1 else 0 end) over ({_CUM}) as grp
+  from tt
+),
+runs as (
+  select conv_id, grp, count(*) as run_len from g group by 1, 2
+),
+per_conv as (
+  select conv_id, cast(count(*) as bigint) as n_tool_calls,
+    cast(sum(is_retry) as bigint) as n_retries
+  from g group by conv_id
+),
+streak as (
+  select conv_id, cast(max(run_len) as bigint) as max_retry_streak
+  from runs group by conv_id
+)
+select p.conv_id, p.n_tool_calls, p.n_retries,
+  {_r6x_sql("cast(p.n_retries as double) / cast(p.n_tool_calls as double)")} as retry_rate,
+  s.max_retry_streak
+from per_conv p join streak s on p.conv_id = s.conv_id
+"""
+
+QUERIES["tool_retry"] = q_tool_retry
+ORACLES["tool_retry"] = O_TOOL_RETRY
+
+
+# --- SFT pair extraction ----------------------------------------------------------
+
+def q_sft_pairs(spark, sf_dir):
+    """(context, response) training-pair extraction for assistant turns
+    (functions/corpus.sft_pairs): pair ids + point-in-time context stats
+    (every context window ends at the PREVIOUS turn — leakage-safe by
+    construction)."""
+    from ..functions import corpus as cp
+
+    t = transcripts_from_events(spark, sf_dir)
+    return cp.sft_pairs(t, min_context_turns=1).select(
+        "pair_id",
+        "conv_id",
+        "turn_idx",
+        "context_turns",
+        "context_chars",
+        "context_user_turns",
+        "response_chars",
+    )
+
+
+O_SFT_PAIRS = f"""{_W},
+e as (
+  select conv_id, turn_idx, role,
+    cast(count(*) over pv as bigint) as context_turns,
+    cast(coalesce(sum(length(coalesce(text, ''))) over pv, 0) as bigint) as context_chars,
+    cast(coalesce(sum(case when role = 'user' then 1 else 0 end) over pv, 0) as bigint) as context_user_turns,
+    cast(length(coalesce(text, '')) as bigint) as response_chars
+  from transcripts
+  window pv as ({_OWIN} rows between unbounded preceding and 1 preceding)
+)
+select md5(concat(conv_id, ':', cast(turn_idx as varchar))) as pair_id,
+  conv_id, turn_idx, context_turns, context_chars, context_user_turns,
+  response_chars
+from e
+where role = 'assistant' and context_turns >= 1
+"""
+
+QUERIES["sft_pairs"] = q_sft_pairs
+ORACLES["sft_pairs"] = O_SFT_PAIRS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

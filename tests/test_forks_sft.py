@@ -1,0 +1,133 @@
+"""Semantic tests for the rollout-curation family: prefix-fork detection,
+refusal flag rates, tool-retry trajectories, SFT pair extraction."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_mbo_lob_spark import PipelineConfig
+from feature_extractor_mbo_lob_spark.functions import corpus as cp
+from feature_extractor_mbo_lob_spark.functions import text as tx
+from feature_extractor_mbo_lob_spark.operators import forks, lifecycle
+from feature_extractor_mbo_lob_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+CFG = PipelineConfig()
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(i):
+    return T0 + dt.timedelta(minutes=i)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def forked(spark):
+    # a/b share a 2-turn prefix then diverge; c is unique; d is a full copy
+    # of a's first 2 turns only (shorter conv).
+    rows = []
+    for cid, texts in [
+        ("a", ["hi", "hello", "branch-a"]),
+        ("b", ["hi", "hello", "branch-b"]),
+        ("c", ["different", "hello", "branch-c"]),
+        ("d", ["hi", "hello"]),
+    ]:
+        for i, t in enumerate(texts):
+            role = "user" if i % 2 == 0 else "assistant"
+            rows.append((cid, i, role, t, None, _ts(i)))
+    return _mk(spark, rows)
+
+
+def test_fork_groups_detects_shared_prefix(forked):
+    g = forks.fork_groups(forked, CFG).orderBy("prefix_len").collect()
+    # depth-1 prefix "hi" shared by a,b,d; depth-2 by a,b,d; depth-3 none
+    by_len = {r.prefix_len: r for r in g}
+    assert set(by_len) == {1, 2}
+    assert by_len[1].n_convs == 3 and by_len[1].keep_conv_id == "a"
+    assert by_len[2].n_convs == 3
+    # digests differ between depths
+    assert by_len[1].prefix_digest != by_len[2].prefix_digest
+
+
+def test_fork_depth_profile_counts(forked):
+    prof = {r.prefix_len: r for r in forks.fork_depth_profile(forked, CFG).collect()}
+    # depth 1: prefixes {hi(x3), different(x1)} -> 2 prefixes, 4 convs, 3 forked
+    assert prof[1].n_prefixes == 2 and prof[1].n_convs == 4
+    assert prof[1].n_forked_convs == 3
+    # depth 3: a,b,c reach it, all unique
+    assert prof[3].n_prefixes == 3 and prof[3].n_forked_convs == 0
+
+
+def test_fork_dedup_keep(forked):
+    keep = {r.conv_id: r.keep for r in forks.fork_dedup_keep(forked, CFG, depth=2).collect()}
+    # at depth 2, {a,b,d} share; min conv_id 'a' kept; c unique -> kept
+    assert keep == {"a": True, "b": False, "c": True, "d": False}
+
+
+def test_fork_role_matters(spark):
+    # same text, different role at turn 0 -> NOT a fork (digest covers role)
+    rows = [
+        ("x", 0, "user", "same", None, _ts(0)),
+        ("y", 0, "assistant", "same", None, _ts(0)),
+    ]
+    df = _mk(spark, rows)
+    assert forks.fork_groups(df, CFG).count() == 0
+
+
+def test_flag_rates(spark):
+    rows = [
+        ("c1", 0, "user", "please do X", None, _ts(0)),
+        ("c1", 1, "assistant", "I cannot help with that", None, _ts(1)),
+        ("c1", 2, "assistant", "ok fine", None, _ts(2)),
+        ("c2", 0, "assistant", "sure thing", None, _ts(0)),
+    ]
+    df = _mk(spark, rows)
+    out = {
+        r.conv_id: r
+        for r in tx.flag_rates(df, ("i cannot", "i'm sorry")).collect()
+    }
+    assert out["c1"].n_flagged == 1 and out["c1"].first_flag_turn == 1
+    assert abs(out["c1"].flag_rate - round(1 / 3, 6)) < 2e-6
+    assert out["c2"].n_flagged == 0 and out["c2"].first_flag_turn is None
+    # role-restricted scan drops the user turn from the denominator
+    out_a = {r.conv_id: r for r in tx.flag_rates(df, ("i cannot",), role="assistant").collect()}
+    assert out_a["c1"].n_turns == 2
+
+
+def test_tool_retry_stats(spark):
+    # conv r: tools t1 t1 t1 t2 t1 -> 5 calls, 2 retries, max streak 3
+    rows = []
+    for i, tool in enumerate(["t1", "t1", "t1", "t2", "t1"]):
+        rows.append(("r", i, "tool", "call", tool, _ts(i)))
+    rows.append(("r", 5, "assistant", "done", None, _ts(5)))  # ignored
+    rows.append(("z", 0, "user", "no tools", None, _ts(0)))  # absent from output
+    df = _mk(spark, rows)
+    out = lifecycle.tool_retry_stats(df, CFG).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_tool_calls, r.n_retries, r.max_retry_streak) == (5, 2, 3)
+    assert abs(r.retry_rate - 0.4) < 1e-9
+
+
+def test_sft_pairs_point_in_time(spark):
+    rows = [
+        ("s", 0, "user", "aaaa", None, _ts(0)),          # 4 chars
+        ("s", 1, "assistant", "bbbbbb", None, _ts(1)),    # pair: ctx=1 turn/4 chars
+        ("s", 2, "user", "cc", None, _ts(2)),
+        ("s", 3, "assistant", "ddd", None, _ts(3)),       # pair: ctx=3 turns/12 chars
+        ("t", 0, "assistant", "no context", None, _ts(0)),  # filtered: 0 ctx turns
+    ]
+    df = _mk(spark, rows)
+    out = {(r.conv_id, r.turn_idx): r for r in cp.sft_pairs(df).collect()}
+    assert set(out) == {("s", 1), ("s", 3)}
+    p1, p3 = out[("s", 1)], out[("s", 3)]
+    # context stats NEVER include the response turn itself
+    assert (p1.context_turns, p1.context_chars, p1.context_user_turns) == (1, 4, 1)
+    assert p1.response_chars == 6
+    assert (p3.context_turns, p3.context_chars, p3.context_user_turns) == (3, 12, 2)
+    # deterministic id
+    assert p1.pair_id == out[("s", 1)].pair_id and len(p1.pair_id) == 32
