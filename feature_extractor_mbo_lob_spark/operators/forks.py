@@ -142,3 +142,66 @@ def fork_dedup_keep(
         .select("conv_id", F.lit(True).alias("keep"))
     )
     return ranked.unionByName(short)
+
+
+def dpo_pairs(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    depth: int = 1,
+    value_col: str = "value",
+) -> DataFrame:
+    """Preference-pair construction from forked rollouts: conversations that
+    share the same ``depth``-turn prefix are alternative continuations of
+    one prompt; rank them by an outcome score and pair the best against
+    each sibling — the transcript-native DPO/RLHF dataset builder.
+
+    Scoring is EXACT integer cents (floor(value*100+0.5) summed over the
+    continuation turns, turn_idx >= depth), so ranking and margins are
+    order-independent and engine-exact; ties break on conv_id for
+    determinism. Output: one row per (chosen, rejected) sibling pair with
+    both scores and the margin.
+
+    Plan shape: the prefix digest rides the shared conv-keyed window sort;
+    scores are one grouped aggregate; ranking shuffles (digest, conv_id,
+    score) triples only; the chosen-vs-rest pairing is an equi join on
+    prefix_digest. Nothing quadratic — a fork group of k rollouts emits
+    k-1 rows via the rank-1 broadcast within the group, never k^2.
+    """
+    p = with_prefix_digests(df, cfg, max_depth=depth)
+    at_depth = p.filter(F.col("turn_idx") == F.lit(int(depth) - 1)).select(
+        "conv_id", "prefix_digest"
+    )
+    cont = (
+        df.filter(F.col("turn_idx") >= F.lit(int(depth)))
+        .groupBy("conv_id")
+        .agg(
+            F.sum(F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)))
+            .cast("long")
+            .alias("score_cents"),
+            F.count("*").cast("long").alias("cont_turns"),
+        )
+    )
+    members = at_depth.join(cont, "conv_id")
+    w = Window.partitionBy("prefix_digest").orderBy(
+        F.col("score_cents").desc(), F.col("conv_id")
+    )
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    chosen = ranked.filter(F.col("rk") == 1).select(
+        "prefix_digest",
+        F.col("conv_id").alias("chosen_conv_id"),
+        F.col("score_cents").alias("chosen_score_cents"),
+    )
+    rejected = ranked.filter(F.col("rk") > 1).select(
+        "prefix_digest",
+        F.col("conv_id").alias("rejected_conv_id"),
+        F.col("score_cents").alias("rejected_score_cents"),
+    )
+    return (
+        chosen.join(rejected, "prefix_digest")
+        .withColumn(
+            "margin_cents",
+            (F.col("chosen_score_cents") - F.col("rejected_score_cents")).cast(
+                "long"
+            ),
+        )
+    )

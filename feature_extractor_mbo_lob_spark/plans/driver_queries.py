@@ -10488,6 +10488,56 @@ QUERIES["sft_pairs"] = q_sft_pairs
 ORACLES["sft_pairs"] = O_SFT_PAIRS
 
 
+# --- DPO preference pairs from forked rollouts ------------------------------------
+
+def q_dpo_pairs(spark, sf_dir):
+    """Preference-pair dataset from fork groups (operators/forks.dpo_pairs):
+    rollouts sharing the depth-1 prefix, ranked by exact integer-cents
+    continuation score, best paired against each sibling."""
+    from ..operators import forks
+
+    t = transcripts_from_events(spark, sf_dir)
+    return forks.dpo_pairs(t, CFG, depth=1).select(
+        "prefix_digest",
+        "chosen_conv_id",
+        "chosen_score_cents",
+        "rejected_conv_id",
+        "rejected_score_cents",
+        "margin_cents",
+    )
+
+
+O_DPO_PAIRS = f"""{_W},
+p as (
+  select conv_id,
+    md5(md5(concat(role, chr(31), coalesce(text, '')))) as prefix_digest
+  from transcripts where turn_idx = 0
+),
+cont as (
+  select conv_id,
+    cast(sum(floor(value * 100.0 + 0.5)) as bigint) as score_cents
+  from transcripts where turn_idx >= 1 group by conv_id
+),
+m as (
+  select p.conv_id, p.prefix_digest, c.score_cents,
+    row_number() over (partition by p.prefix_digest
+                       order by c.score_cents desc, p.conv_id) as rk
+  from p join cont c on p.conv_id = c.conv_id
+)
+select w.prefix_digest,
+  w.conv_id as chosen_conv_id,
+  w.score_cents as chosen_score_cents,
+  l.conv_id as rejected_conv_id,
+  l.score_cents as rejected_score_cents,
+  cast(w.score_cents - l.score_cents as bigint) as margin_cents
+from m w join m l on w.prefix_digest = l.prefix_digest
+where w.rk = 1 and l.rk > 1
+"""
+
+QUERIES["dpo_pairs"] = q_dpo_pairs
+ORACLES["dpo_pairs"] = O_DPO_PAIRS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -131,3 +131,27 @@ def test_sft_pairs_point_in_time(spark):
     assert (p3.context_turns, p3.context_chars, p3.context_user_turns) == (3, 12, 2)
     # deterministic id
     assert p1.pair_id == out[("s", 1)].pair_id and len(p1.pair_id) == 32
+
+
+def test_dpo_pairs(spark):
+    # fork at depth 1: p,q,r share turn-0 "hi"; scores: p=3.00, q=5.00, r=1.00
+    rows = [
+        ("p", 0, "user", "hi", None, _ts(0), 0.0),
+        ("p", 1, "assistant", "ans-p", None, _ts(1), 3.00),
+        ("q", 0, "user", "hi", None, _ts(0), 0.0),
+        ("q", 1, "assistant", "ans-q", None, _ts(1), 5.00),
+        ("r", 0, "user", "hi", None, _ts(0), 0.0),
+        ("r", 1, "assistant", "ans-r", None, _ts(1), 1.00),
+        ("u", 0, "user", "unique", None, _ts(0), 0.0),
+        ("u", 1, "assistant", "ans-u", None, _ts(1), 9.0),
+    ]
+    from pyspark.sql import types as T
+    schema = T.StructType(
+        TRANSCRIPT_SCHEMA.fields + [T.StructField("value", T.DoubleType(), True)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = forks.dpo_pairs(df, CFG, depth=1).collect()
+    # q is chosen; pairs (q,p) and (q,r); u's group has 1 member -> no pairs
+    assert len(out) == 2
+    pairs = {(r.chosen_conv_id, r.rejected_conv_id): r.margin_cents for r in out}
+    assert pairs == {("q", "p"): 200, ("q", "r"): 400}
