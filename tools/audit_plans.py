@@ -625,6 +625,43 @@ def main() -> None:
         forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions import corpus as cp
+    from feature_extractor_mbo_lob_spark.operators import forks
+
+    tv = t.withColumn("value", F.char_length("text").cast("double"))
+    sections.append(summarize(
+        "Prefix-fork groups (rollout dedup, depth<=4)",
+        forks.fork_groups(t, CFG, max_depth=4),
+        "Per-turn md5 digests ride the ONE conv-keyed window sort every "
+        "per-conversation operator shares; the cumulative prefix digest is "
+        "a frame-ordered collect_list fold (depth-capped, so the frame is "
+        "<= 4 x 32 bytes); the fork group-by shuffles (int, digest) pairs "
+        "only — text never leaves the scan stage.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "DPO preference pairs from forked rollouts (depth=1)",
+        forks.dpo_pairs(tv, CFG, depth=1),
+        "Exact integer-cents continuation scores via one grouped aggregate; "
+        "rank-within-fork is a window over (digest, conv, score) triples; "
+        "chosen-vs-siblings is an equi join on prefix_digest (k-1 rows per "
+        "k-way fork, never k^2). All JVM: zero python stages.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "SFT pair extraction (point-in-time context stats)",
+        cp.sft_pairs(t),
+        "Cumulative windows ending at the PREVIOUS row (unboundedPreceding, "
+        "-1) on the shared conv-keyed sort — leakage-safe by frame "
+        "construction; output shuffles pair ids + counters, no text.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
