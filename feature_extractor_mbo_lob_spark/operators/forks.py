@@ -163,9 +163,10 @@ def dpo_pairs(
 
     Plan shape: the prefix digest rides the shared conv-keyed window sort;
     scores are one grouped aggregate; ranking shuffles (digest, conv_id,
-    score) triples only; the chosen-vs-rest pairing is an equi join on
-    prefix_digest. Nothing quadratic — a fork group of k rollouts emits
-    k-1 rows via the rank-1 broadcast within the group, never k^2.
+    score) triples only; the rank-1 (chosen) row is broadcast to its
+    siblings by a first_value over the SAME ordered window — no self-join,
+    one exchange on prefix_digest. A fork group of k rollouts emits k-1
+    rows, never k^2.
     """
     p = with_prefix_digests(df, cfg, max_depth=depth)
     at_depth = p.filter(F.col("turn_idx") == F.lit(int(depth) - 1)).select(
@@ -185,23 +186,20 @@ def dpo_pairs(
     w = Window.partitionBy("prefix_digest").orderBy(
         F.col("score_cents").desc(), F.col("conv_id")
     )
-    ranked = members.withColumn("rk", F.row_number().over(w))
-    chosen = ranked.filter(F.col("rk") == 1).select(
-        "prefix_digest",
-        F.col("conv_id").alias("chosen_conv_id"),
-        F.col("score_cents").alias("chosen_score_cents"),
-    )
-    rejected = ranked.filter(F.col("rk") > 1).select(
-        "prefix_digest",
-        F.col("conv_id").alias("rejected_conv_id"),
-        F.col("score_cents").alias("rejected_score_cents"),
-    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        chosen.join(rejected, "prefix_digest")
-        .withColumn(
-            "margin_cents",
-            (F.col("chosen_score_cents") - F.col("rejected_score_cents")).cast(
-                "long"
-            ),
+        members.withColumn("rk", F.row_number().over(w))
+        .withColumn("chosen_conv_id", F.first("conv_id").over(wcum))
+        .withColumn("chosen_score_cents", F.first("score_cents").over(wcum))
+        .filter(F.col("rk") > 1)
+        .select(
+            "prefix_digest",
+            "chosen_conv_id",
+            "chosen_score_cents",
+            F.col("conv_id").alias("rejected_conv_id"),
+            F.col("score_cents").alias("rejected_score_cents"),
+            (F.col("chosen_score_cents") - F.col("score_cents"))
+            .cast("long")
+            .alias("margin_cents"),
         )
     )

@@ -5396,13 +5396,18 @@ _CERTIFIED_FIRST = [
     "validation_audit", "sequence_label_align", "export_normalize",
     "train_val_test_split", "zscore_cumulative", "volatility",
     "flow_volatility",
-    # LLM data pipeline
+    # LLM data pipeline.  minhash_signatures (a sub-step of the certified
+    # minhash_lsh_pairs path) and stratified_sample / group_hash_split
+    # (md5-bucket mechanics already certified via train_val_test_split +
+    # curation_pipeline) ceded their slots to the rollout-curation family
+    # (prefix forks / SFT pairs / DPO pairs) — all three displaced queries
+    # stay green in the full check_oracle sweeps.
     "dedup_exact", "dedup_clusters", "dedup_apply",
-    "minhash_signatures", "minhash_lsh_pairs", "simhash_candidates",
+    "prefix_forks", "minhash_lsh_pairs", "simhash_candidates",
     "ngram_jaccard_capped", "dedup_lines", "embedding_topk", "ivf_topk",
     "embedding_near_dup_lsh", "kmeans_clusters", "gopher_filter",
     "contamination", "pack_token_stream",
-    "stratified_sample", "curation_pipeline",
+    "sft_pairs", "curation_pipeline",
     "lang_id", "text_quality",
     # range join + linkage (north-rule point-in-time family extensions;
     # displaced hash_sample/source_mix stay green in the full sweep and
@@ -5414,7 +5419,7 @@ _CERTIFIED_FIRST = [
     # per-timeline staleness TTLs) — it certifies asof tolerance mechanics,
     # so the displaced asof_join_tolerance stays green in the full sweep.
     "streaming_sessions", "streaming_state", "asof_join_nearest",
-    "pit_training_set", "ewma", "time_windows", "group_hash_split",
+    "pit_training_set", "ewma", "time_windows", "dpo_pairs",
     "media_features", "ivf_topk_sharded",
 ]
 

@@ -645,9 +645,10 @@ def main() -> None:
         "DPO preference pairs from forked rollouts (depth=1)",
         forks.dpo_pairs(tv, CFG, depth=1),
         "Exact integer-cents continuation scores via one grouped aggregate; "
-        "rank-within-fork is a window over (digest, conv, score) triples; "
-        "chosen-vs-siblings is an equi join on prefix_digest (k-1 rows per "
-        "k-way fork, never k^2). All JVM: zero python stages.",
+        "rank-within-fork is a window over (digest, conv, score) triples and "
+        "the chosen row reaches its siblings via first_value over the SAME "
+        "ordered window — no self-join (k-1 rows per k-way fork, never "
+        "k^2). All JVM: zero python stages.",
         forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
