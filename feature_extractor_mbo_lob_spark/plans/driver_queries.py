@@ -10543,6 +10543,87 @@ QUERIES["dpo_pairs"] = q_dpo_pairs
 ORACLES["dpo_pairs"] = O_DPO_PAIRS
 
 
+# --- training-set construction capstone -------------------------------------------
+
+def q_training_set_pipeline(spark, sf_dir):
+    """The SFT capstone (jobs/build_training_sets.py as one declarative
+    plan): fork-dedup the rollouts (keep-first at depth 2), drop
+    refusal-heavy conversations (flag_rate > 0.5), extract point-in-time
+    SFT pairs, split conversation-atomically, and report per-split pair
+    counts + context/response volume. Proves the rollout-curation family
+    composes."""
+    from ..batch import group_hash_split
+    from ..functions import corpus as cp
+    from ..functions import text as tx
+    from ..operators import forks
+
+    t = transcripts_from_events(spark, sf_dir)
+    keep = forks.fork_dedup_keep(t, CFG, depth=2)
+    t = t.join(keep.filter(F.col("keep")).select("conv_id"), "conv_id")
+    rates = tx.flag_rates(t, _REFUSAL_PATTERNS)
+    t = t.join(
+        rates.filter(F.col("flag_rate") <= 0.5).select("conv_id"), "conv_id"
+    )
+    pairs = group_hash_split(cp.sft_pairs(t, min_context_turns=1), CFG)
+    return pairs.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("context_chars").cast("long").alias("total_context_chars"),
+        F.sum("response_chars").cast("long").alias("total_response_chars"),
+    )
+
+
+O_TRAINING_SET_PIPELINE = f"""{_W},
+p2 as (
+  select conv_id, turn_idx,
+    md5(string_agg(md5(concat(role, chr(31), coalesce(text, ''))), '')
+        over ({_CUM})) as prefix_digest
+  from transcripts where turn_idx < 2
+),
+keepers as (
+  select conv_id from (
+    select conv_id, row_number() over (partition by prefix_digest
+                                       order by conv_id) as rk
+    from p2 where turn_idx = 1
+  ) where rk = 1
+  union all
+  select conv_id from transcripts group by conv_id having max(turn_idx) < 1
+),
+t1 as (select t.* from transcripts t join keepers using (conv_id)),
+fr as (
+  select conv_id,
+    {_r6x_sql("cast(sum(case when instr(lower(coalesce(text, '')), 'error') > 0 or instr(lower(coalesce(text, '')), 'cancel') > 0 then 1 else 0 end) as double) / cast(count(*) as double)")} as flag_rate
+  from t1 group by conv_id
+),
+t2 as (select t1.* from t1 join fr using (conv_id) where fr.flag_rate <= 0.5),
+e as (
+  select conv_id, turn_idx, role,
+    cast(count(*) over pv as bigint) as context_turns,
+    cast(coalesce(sum(length(coalesce(text, ''))) over pv, 0) as bigint) as context_chars,
+    cast(length(coalesce(text, '')) as bigint) as response_chars
+  from t2
+  window pv as ({_OWIN} rows between unbounded preceding and 1 preceding)
+),
+pairs as (
+  select * from e where role = 'assistant' and context_turns >= 1
+),
+b as (
+  select conv_id, md5(cast(conv_id as varchar)) as h
+  from (select distinct conv_id from pairs)
+)
+select case when ({_HEX7}) % 10000 < 7000 then 'train'
+            when ({_HEX7}) % 10000 < 8500 then 'val'
+            else 'test' end as split,
+  cast(count(*) as bigint) as n_pairs,
+  cast(sum(p.context_chars) as bigint) as total_context_chars,
+  cast(sum(p.response_chars) as bigint) as total_response_chars
+from pairs p join b using (conv_id)
+group by 1
+"""
+
+QUERIES["training_set_pipeline"] = q_training_set_pipeline
+ORACLES["training_set_pipeline"] = O_TRAINING_SET_PIPELINE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
