@@ -826,3 +826,39 @@ def sorted_neighborhood_pairs(
         F.col("_off").cast("long").alias("rank_gap"),
         (F.col("dig_a") == F.col("dig_b")).alias("same_text"),
     )
+
+
+def canned_responses(
+    df: DataFrame,
+    min_uses: int = 3,
+    role: str = "assistant",
+) -> DataFrame:
+    """Template / canned-response detection across conversations: group
+    ``role`` turns by the md5 of their normalized text and keep groups
+    reused >= min_uses times. Boilerplate assistant responses ("I
+    understand, let me...") dominate gradient signal if left in an SFT
+    set at full multiplicity — this is the response-level twin of
+    document exact-dedup.
+
+    Output per template: use count, distinct conversations, normalized
+    length, and the minimum conv_id occurrence as the canonical keeper.
+    One grouped aggregate over digests.
+    """
+    base = df.filter(F.col("role") == role)
+    h = F.md5(normalize_text("text"))
+    return (
+        base.select(
+            h.alias("template_hash"),
+            F.length(normalize_text("text")).alias("_len"),
+            "conv_id",
+            "turn_idx",
+        )
+        .groupBy("template_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_uses"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.min("_len").cast("long").alias("template_len"),
+            F.min("conv_id").alias("keep_conv_id"),
+        )
+        .filter(F.col("n_uses") >= F.lit(int(min_uses)))
+    )

@@ -339,3 +339,42 @@ def markov_role_loglik(
             F.sum("ll_nanos_edge").cast("long").alias("ll_nanos"),
         )
     )
+
+
+def loop_stats(df: DataFrame, cfg: PipelineConfig, max_period: int = 3) -> DataFrame:
+    """Agent-loop detection: per conversation, the longest run of turns
+    whose (role, text) digest equals the digest ``k`` turns back, for each
+    period k = 1..max_period — the stuck-agent signature (repeating the
+    same tool call / response cycle). A run of length r at period k means
+    the last r turns replayed the k-turn cycle; ``loop_flag`` marks
+    conversations with at least two full periods (run >= 2k for some k).
+
+    One conv-keyed window sort (shared with every per-conversation
+    operator), lag comparisons on 32-char digests, gaps-and-islands run
+    lengths, one grouped aggregate. No text comparison after the digest
+    projection — scale shape is digests only.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = df.withColumn(
+        "_d",
+        F.md5(F.concat_ws("\x1f", F.col("role"), F.coalesce(F.col("text"), F.lit("")))),
+    )
+    aggs = [F.count("*").cast("long").alias("n_turns")]
+    flag = F.lit(False)
+    for k in range(1, max_period + 1):
+        eq = F.when(F.col("_d") == F.lag("_d", k).over(w), 1).otherwise(0)
+        d = d.withColumn(f"_eq{k}", eq).withColumn(
+            f"_grp{k}", F.sum(1 - F.col(f"_eq{k}")).over(cum)
+        )
+        aggs.append(F.max(f"_run{k}").cast("long").alias(f"max_run_p{k}"))
+        flag = flag | (F.col(f"max_run_p{k}") >= F.lit(2 * k))
+    # run length of consecutive eq=1 inside each island
+    for k in range(1, max_period + 1):
+        wk = Window.partitionBy("conv_id", f"_grp{k}").orderBy("turn_idx", "ts")
+        d = d.withColumn(
+            f"_run{k}",
+            F.when(F.col(f"_eq{k}") == 1, F.row_number().over(wk) - 1).otherwise(0),
+        )
+    out = d.groupBy("conv_id").agg(*aggs)
+    return out.withColumn("loop_flag", flag)

@@ -10624,6 +10624,92 @@ QUERIES["training_set_pipeline"] = q_training_set_pipeline
 ORACLES["training_set_pipeline"] = O_TRAINING_SET_PIPELINE
 
 
+# --- agent-loop detection ----------------------------------------------------------
+
+def q_loop_detection(spark, sf_dir):
+    """Stuck-agent loop detection (operators/state.loop_stats): longest
+    period-k digest-replay run per conversation, k=1..3, plus the
+    two-full-periods loop flag."""
+    t = transcripts_from_events(spark, sf_dir)
+    return state.loop_stats(t, CFG, max_period=3).select(
+        "conv_id", "n_turns", "max_run_p1", "max_run_p2", "max_run_p3",
+        F.col("loop_flag").cast("int").alias("loop_flag"),
+    )
+
+
+O_LOOP_DETECTION = f"""{_W},
+d as (
+  select conv_id, turn_idx, ts,
+    md5(concat(role, chr(31), coalesce(text, ''))) as dg
+  from transcripts
+),
+e as (
+  select conv_id, turn_idx, ts,
+    case when dg = lag(dg, 1) over ({_OWIN}) then 1 else 0 end as eq1,
+    case when dg = lag(dg, 2) over ({_OWIN}) then 1 else 0 end as eq2,
+    case when dg = lag(dg, 3) over ({_OWIN}) then 1 else 0 end as eq3
+  from d
+),
+g as (
+  select conv_id, turn_idx, ts, eq1, eq2, eq3,
+    sum(1 - eq1) over ({_CUM}) as g1,
+    sum(1 - eq2) over ({_CUM}) as g2,
+    sum(1 - eq3) over ({_CUM}) as g3
+  from e
+),
+r as (
+  select conv_id, eq1, eq2, eq3,
+    case when eq1 = 1 then row_number() over (partition by conv_id, g1 order by turn_idx, ts) - 1 else 0 end as r1,
+    case when eq2 = 1 then row_number() over (partition by conv_id, g2 order by turn_idx, ts) - 1 else 0 end as r2,
+    case when eq3 = 1 then row_number() over (partition by conv_id, g3 order by turn_idx, ts) - 1 else 0 end as r3
+  from g
+)
+select conv_id,
+  cast(count(*) as bigint) as n_turns,
+  cast(max(r1) as bigint) as max_run_p1,
+  cast(max(r2) as bigint) as max_run_p2,
+  cast(max(r3) as bigint) as max_run_p3,
+  cast(case when max(r1) >= 2 or max(r2) >= 4 or max(r3) >= 6
+       then 1 else 0 end as int) as loop_flag
+from r group by conv_id
+"""
+
+QUERIES["loop_detection"] = q_loop_detection
+ORACLES["loop_detection"] = O_LOOP_DETECTION
+
+
+# --- canned-response templates ------------------------------------------------------
+
+def q_canned_responses(spark, sf_dir):
+    """Cross-conversation template detection (operators/dedup.
+    canned_responses): assistant-turn normalized-text hash groups reused
+    >= 3 times."""
+    t = transcripts_from_events(spark, sf_dir)
+    return dedup.canned_responses(t, min_uses=3).select(
+        "template_hash", "n_uses", "n_convs", "template_len", "keep_conv_id"
+    )
+
+
+O_CANNED_RESPONSES = f"""{_W},
+a as (
+  select conv_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as template_hash,
+    length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as tl
+  from transcripts where role = 'assistant'
+)
+select template_hash,
+  cast(count(*) as bigint) as n_uses,
+  cast(count(distinct conv_id) as bigint) as n_convs,
+  cast(min(tl) as bigint) as template_len,
+  min(conv_id) as keep_conv_id
+from a group by template_hash
+having count(*) >= 3
+"""
+
+QUERIES["canned_responses"] = q_canned_responses
+ORACLES["canned_responses"] = O_CANNED_RESPONSES
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

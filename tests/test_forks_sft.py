@@ -155,3 +155,46 @@ def test_dpo_pairs(spark):
     assert len(out) == 2
     pairs = {(r.chosen_conv_id, r.rejected_conv_id): r.margin_cents for r in out}
     assert pairs == {("q", "p"): 200, ("q", "r"): 400}
+
+
+def test_loop_stats(spark):
+    from feature_extractor_mbo_lob_spark.operators import state as st
+    # conv L: A B A B A B  -> period-2 loop, eq2 run of 4
+    rows = [("L", i, "tool", t, None, _ts(i)) for i, t in
+            enumerate(["A", "B", "A", "B", "A", "B"])]
+    # conv S: X X X -> period-1 loop, eq1 run of 2
+    rows += [("S", i, "tool", "X", None, _ts(i)) for i in range(3)]
+    # conv N: all distinct -> no loops
+    rows += [("N", i, "tool", f"u{i}", None, _ts(i)) for i in range(4)]
+    df = _mk(spark, rows)
+    out = {r.conv_id: r for r in st.loop_stats(df, CFG).collect()}
+    assert out["L"].max_run_p2 == 4 and out["L"].loop_flag
+    assert out["S"].max_run_p1 == 2 and out["S"].loop_flag
+    assert out["N"].max_run_p1 == 0 and out["N"].max_run_p2 == 0
+    assert not out["N"].loop_flag
+
+
+def test_loop_stats_interrupted_run(spark):
+    from feature_extractor_mbo_lob_spark.operators import state as st
+    # X X Y X X -> two separate period-1 runs of 1 each, never 2 -> no flag
+    rows = [("I", i, "tool", t, None, _ts(i)) for i, t in
+            enumerate(["X", "X", "Y", "X", "X"])]
+    out = st.loop_stats(_mk(spark, rows), CFG).collect()[0]
+    assert out.max_run_p1 == 1 and not out.loop_flag
+
+
+def test_canned_responses(spark):
+    from feature_extractor_mbo_lob_spark.operators import dedup as dd
+    rows = []
+    # template "ok  done" normalized == "ok done", used 3x across 2 convs
+    rows.append(("c1", 0, "assistant", "ok  done", None, _ts(0)))
+    rows.append(("c1", 1, "assistant", "OK DONE", None, _ts(1)))
+    rows.append(("c2", 0, "assistant", " ok done ", None, _ts(0)))
+    # below threshold
+    rows.append(("c2", 1, "assistant", "rare", None, _ts(1)))
+    # non-assistant ignored
+    rows.append(("c3", 0, "user", "ok done", None, _ts(0)))
+    out = dd.canned_responses(_mk(spark, rows), min_uses=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_uses, r.n_convs, r.template_len, r.keep_conv_id) == (3, 2, 7, "c1")
