@@ -198,3 +198,65 @@ def test_canned_responses(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_uses, r.n_convs, r.template_len, r.keep_conv_id) == (3, 2, 7, "c1")
+
+
+def _naive_loop_stats(turns, max_period=3):
+    """Per-conv naive replica: turns = list of digest-comparable tokens."""
+    out = {}
+    for k in range(1, max_period + 1):
+        best = run = 0
+        for i in range(len(turns)):
+            if i >= k and turns[i] == turns[i - k]:
+                run += 1
+                best = max(best, run)
+            else:
+                run = 0
+        out[k] = best
+    return out
+
+
+def test_loop_stats_randomized_vs_naive(spark):
+    import random
+
+    from feature_extractor_mbo_lob_spark.operators import state as st
+
+    rng = random.Random(1234)
+    rows, expect = [], {}
+    for c in range(40):
+        cid = f"c{c:02d}"
+        n = rng.randint(1, 30)
+        toks = [rng.choice("ABC") for _ in range(n)]
+        rows += [(cid, i, "tool", t, None, _ts(i)) for i, t in enumerate(toks)]
+        expect[cid] = _naive_loop_stats(toks)
+    out = {r.conv_id: r for r in st.loop_stats(_mk(spark, rows), CFG).collect()}
+    assert set(out) == set(expect)
+    for cid, e in expect.items():
+        got = (out[cid].max_run_p1, out[cid].max_run_p2, out[cid].max_run_p3)
+        assert got == (e[1], e[2], e[3]), (cid, got, e)
+
+
+def test_fork_profile_randomized_vs_naive(spark):
+    import random
+    from collections import Counter
+
+    rng = random.Random(99)
+    rows, convs = [], {}
+    for c in range(30):
+        cid = f"c{c:02d}"
+        n = rng.randint(1, 6)
+        toks = [rng.choice("xy") for _ in range(n)]
+        convs[cid] = toks
+        rows += [(cid, i, "user", t, None, _ts(i)) for i, t in enumerate(toks)]
+    out = {r.prefix_len: r for r in forks.fork_depth_profile(_mk(spark, rows), CFG).collect()}
+    max_len = max(len(t) for t in convs.values())
+    for depth in range(1, max_len + 1):
+        prefixes = Counter(
+            tuple(t[:depth]) for t in convs.values() if len(t) >= depth
+        )
+        if not prefixes:
+            assert depth not in out
+            continue
+        r = out[depth]
+        assert r.n_prefixes == len(prefixes)
+        assert r.n_convs == sum(prefixes.values())
+        assert r.n_forked_convs == sum(v for v in prefixes.values() if v >= 2)

@@ -663,6 +663,28 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.operators import dedup as dd
+    from feature_extractor_mbo_lob_spark.operators import state as st
+
+    sections.append(summarize(
+        "Agent-loop detection (period-k digest replays, k=1..3)",
+        st.loop_stats(t, CFG, max_period=3),
+        "One conv-keyed sort shared by all lag/run windows; comparisons on "
+        "32-char digests (text never re-read after the projection); "
+        "run lengths via gaps-and-islands; one grouped aggregate.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Canned-response templates (cross-conversation)",
+        dd.canned_responses(t, min_uses=3),
+        "Role filter at the scan; ONE grouped aggregate keyed by the "
+        "normalized-text md5 — shuffles digests + counters only.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
