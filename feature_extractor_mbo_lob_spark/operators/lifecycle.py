@@ -342,3 +342,52 @@ def tool_retry_stats(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         )
         / F.lit(1e6),
     )
+
+
+def tool_attribution(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Conversation-value attribution across the tools a conversation used
+    — first-touch, last-touch, and linear attribution, the standard
+    credit-assignment triple.
+
+    Per conversation: total value in exact integer cents; the first and
+    last tool turns (stable order) get full credit under first/last touch;
+    linear credit splits `conv_cents * n_tool_turns(tool) div n_tool_turns`
+    with integer division (remainders dropped identically on both
+    engines). Output per tool: the three credited sums.
+
+    Two grouped aggregates + one window over tool turns — digests/counters
+    shuffle only. Ref analog: per-venue fill attribution in the
+    reference's execution reports (src/features/signals).
+    """
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    conv_val = df.groupBy("conv_id").agg(
+        F.sum(cents).cast("long").alias("conv_cents")
+    )
+    tools = df.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "ts", "tool"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    wd = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").desc(), F.col("ts").desc()
+    )
+    marked = tools.withColumn("rk_a", F.row_number().over(w)).withColumn(
+        "rk_d", F.row_number().over(wd)
+    )
+    per_conv_tool = marked.groupBy("conv_id", "tool").agg(
+        F.count("*").cast("long").alias("n_tt"),
+        F.max((F.col("rk_a") == 1).cast("int")).alias("is_first"),
+        F.max((F.col("rk_d") == 1).cast("int")).alias("is_last"),
+    )
+    totals = marked.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_tt_total")
+    )
+    j = per_conv_tool.join(totals, "conv_id").join(conv_val, "conv_id")
+    return j.groupBy("tool").agg(
+        F.sum(F.col("is_first") * F.col("conv_cents")).cast("long")
+        .alias("first_touch_cents"),
+        F.sum(F.col("is_last") * F.col("conv_cents")).cast("long")
+        .alias("last_touch_cents"),
+        F.sum(F.expr("conv_cents * n_tt div n_tt_total")).cast("long")
+        .alias("linear_cents"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )

@@ -10710,6 +10710,107 @@ QUERIES["canned_responses"] = q_canned_responses
 ORACLES["canned_responses"] = O_CANNED_RESPONSES
 
 
+# --- conversation-value attribution -------------------------------------------------
+
+def q_tool_attribution(spark, sf_dir):
+    """First/last/linear-touch value attribution per tool
+    (operators/lifecycle.tool_attribution) — exact integer cents, integer
+    `div` for the linear split."""
+    from ..operators import lifecycle
+
+    t = transcripts_from_events(spark, sf_dir)
+    return lifecycle.tool_attribution(t, CFG).select(
+        "tool", "first_touch_cents", "last_touch_cents", "linear_cents",
+        "n_convs",
+    )
+
+
+O_TOOL_ATTRIBUTION = f"""{_W},
+cv as (
+  select conv_id,
+    cast(sum(floor(value * 100.0 + 0.5)) as bigint) as conv_cents
+  from transcripts group by conv_id
+),
+tt as (
+  select conv_id, tool,
+    row_number() over ({_OWIN}) as rk_a,
+    row_number() over (partition by conv_id order by turn_idx desc, ts desc) as rk_d
+  from transcripts where tool is not null
+),
+pct as (
+  select conv_id, tool,
+    cast(count(*) as bigint) as n_tt,
+    max(case when rk_a = 1 then 1 else 0 end) as is_first,
+    max(case when rk_d = 1 then 1 else 0 end) as is_last
+  from tt group by conv_id, tool
+),
+tot as (select conv_id, cast(count(*) as bigint) as n_tt_total from tt group by conv_id)
+select p.tool,
+  cast(sum(p.is_first * c.conv_cents) as bigint) as first_touch_cents,
+  cast(sum(p.is_last * c.conv_cents) as bigint) as last_touch_cents,
+  cast(sum(c.conv_cents * p.n_tt // t.n_tt_total) as bigint) as linear_cents,
+  cast(count(distinct p.conv_id) as bigint) as n_convs
+from pct p join tot t on p.conv_id = t.conv_id
+join cv c on p.conv_id = c.conv_id
+group by p.tool
+"""
+
+QUERIES["tool_attribution"] = q_tool_attribution
+ORACLES["tool_attribution"] = O_TOOL_ATTRIBUTION
+
+
+# --- conversation abandonment labels -------------------------------------------------
+
+def q_abandonment_labels(spark, sf_dir):
+    """Conversation-outcome labels: a conversation whose LAST turn is a
+    user turn was abandoned mid-exchange (nobody answered). Per conv:
+    turn count, last role, abandoned flag, exact duration in micros."""
+    from pyspark.sql import Window
+
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").desc(), F.col("ts").desc()
+    )
+    lastr = t.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    ).select("conv_id", F.col("role").alias("last_role"))
+    agg = t.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        (
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+            - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).cast("long").alias("duration_us"),
+    )
+    return agg.join(lastr, "conv_id").select(
+        "conv_id", "n_turns", "last_role",
+        (F.col("last_role") == "user").cast("int").alias("abandoned"),
+        "duration_us",
+    )
+
+
+O_ABANDONMENT_LABELS = f"""{_W},
+lr as (
+  select conv_id, role as last_role from (
+    select conv_id, role,
+      row_number() over (partition by conv_id order by turn_idx desc, ts desc) as rk
+    from transcripts
+  ) where rk = 1
+),
+a as (
+  select conv_id, cast(count(*) as bigint) as n_turns,
+    cast(max(epoch_us(ts)) - min(epoch_us(ts)) as bigint) as duration_us
+  from transcripts group by conv_id
+)
+select a.conv_id, a.n_turns, lr.last_role,
+  cast(case when lr.last_role = 'user' then 1 else 0 end as int) as abandoned,
+  a.duration_us
+from a join lr on a.conv_id = lr.conv_id
+"""
+
+QUERIES["abandonment_labels"] = q_abandonment_labels
+ORACLES["abandonment_labels"] = O_ABANDONMENT_LABELS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

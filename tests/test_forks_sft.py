@@ -260,3 +260,30 @@ def test_fork_profile_randomized_vs_naive(spark):
         assert r.n_prefixes == len(prefixes)
         assert r.n_convs == sum(prefixes.values())
         assert r.n_forked_convs == sum(v for v in prefixes.values() if v >= 2)
+
+
+def test_tool_attribution(spark):
+    from pyspark.sql import types as T
+
+    from feature_extractor_mbo_lob_spark.operators import lifecycle
+
+    schema = T.StructType(
+        TRANSCRIPT_SCHEMA.fields + [T.StructField("value", T.DoubleType(), True)]
+    )
+    # conv v: value 10.00 total; tool turns: t1, t2, t1 -> first=t1 last=t1
+    rows = [
+        ("v", 0, "user", "q", None, _ts(0), 4.00),
+        ("v", 1, "tool", "c", "t1", _ts(1), 2.00),
+        ("v", 2, "tool", "c", "t2", _ts(2), 3.00),
+        ("v", 3, "tool", "c", "t1", _ts(3), 1.00),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = {r.tool: r for r in lifecycle.tool_attribution(df, CFG).collect()}
+    # conv_cents = 1000; t1: first+last, 2/3 linear = 666; t2: 1/3 = 333
+    assert out["t1"].first_touch_cents == 1000
+    assert out["t1"].last_touch_cents == 1000
+    assert out["t1"].linear_cents == 666
+    assert out["t2"].first_touch_cents == 0
+    assert out["t2"].last_touch_cents == 0
+    assert out["t2"].linear_cents == 333
+    assert out["t1"].n_convs == 1 and out["t2"].n_convs == 1
