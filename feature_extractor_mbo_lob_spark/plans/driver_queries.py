@@ -10811,6 +10811,51 @@ QUERIES["abandonment_labels"] = q_abandonment_labels
 ORACLES["abandonment_labels"] = O_ABANDONMENT_LABELS
 
 
+# --- ordered tool-pair sequence mining ----------------------------------------------
+
+def q_tool_ordering_pairs(spark, sf_dir):
+    """Sequential-pattern mining (PrefixSpan's 2-sequence core): for every
+    ordered tool pair (a, b), in how many conversations does a's FIRST use
+    precede b's first use. Collapses each conversation to its <= |tools|
+    first-use rows (one grouped aggregate) before the pair join — the
+    self-join runs on the tiny distinct-tool set, never on turns."""
+    t = transcripts_from_events(spark, sf_dir)
+    firsts = (
+        t.filter(F.col("tool").isNotNull())
+        .groupBy("conv_id", "tool")
+        .agg(F.min("turn_idx").alias("first_turn"))
+    )
+    a = firsts.select(
+        "conv_id", F.col("tool").alias("tool_a"), F.col("first_turn").alias("fa")
+    )
+    b = firsts.select(
+        "conv_id", F.col("tool").alias("tool_b"), F.col("first_turn").alias("fb")
+    )
+    return (
+        a.join(b, "conv_id")
+        .filter(F.col("fa") < F.col("fb"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count("*").cast("long").alias("n_convs"))
+    )
+
+
+O_TOOL_ORDERING_PAIRS = f"""{_W},
+firsts as (
+  select conv_id, tool, min(turn_idx) as first_turn
+  from transcripts where tool is not null
+  group by conv_id, tool
+)
+select a.tool as tool_a, b.tool as tool_b,
+  cast(count(*) as bigint) as n_convs
+from firsts a join firsts b
+  on a.conv_id = b.conv_id and a.first_turn < b.first_turn
+group by a.tool, b.tool
+"""
+
+QUERIES["tool_ordering_pairs"] = q_tool_ordering_pairs
+ORACLES["tool_ordering_pairs"] = O_TOOL_ORDERING_PAIRS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
