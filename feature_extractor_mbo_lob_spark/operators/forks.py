@@ -38,10 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-
-
-def _stable_window(cfg: PipelineConfig):
-    return Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+from .ordering import stable_window as _stable_window
 
 
 def with_prefix_digests(
@@ -53,9 +50,10 @@ def with_prefix_digests(
     bounding the collect_list frame for skew safety when only shallow fork
     points are wanted.
     """
+    idx = cfg.order_cols[0]
     base = df
     if max_depth is not None:
-        base = base.filter(F.col("turn_idx") < F.lit(int(max_depth)))
+        base = base.filter(F.col(idx) < F.lit(int(max_depth)))
     w = (
         _stable_window(cfg)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -78,12 +76,12 @@ def fork_groups(
     p = with_prefix_digests(df, cfg, max_depth=max_depth)
     return (
         p.groupBy(
-            (F.col("turn_idx") + 1).cast("int").alias("prefix_len"),
+            (F.col(cfg.order_cols[0]) + 1).cast("int").alias("prefix_len"),
             F.col("prefix_digest"),
         )
         .agg(
             F.count("*").cast("long").alias("n_convs"),
-            F.min("conv_id").alias("keep_conv_id"),
+            F.min(cfg.key_col).alias("keep_conv_id"),
         )
         .filter(F.col("n_convs") >= 2)
     )
@@ -98,7 +96,7 @@ def fork_depth_profile(
     curve by depth is the tuning view for choosing a dedup depth cap."""
     p = with_prefix_digests(df, cfg, max_depth=max_depth)
     g = p.groupBy(
-        (F.col("turn_idx") + 1).cast("int").alias("prefix_len"),
+        (F.col(cfg.order_cols[0]) + 1).cast("int").alias("prefix_len"),
         F.col("prefix_digest"),
     ).agg(F.count("*").cast("long").alias("n_convs"))
     return (
@@ -122,26 +120,31 @@ def fork_dedup_keep(
     full depth-``depth`` prefix is shared keep only the minimum conv_id;
     conversations shorter than ``depth`` or with a unique prefix all
     survive. Returns (conv_id, keep) — join back to filter the corpus."""
+    key = cfg.key_col
     p = with_prefix_digests(df, cfg, max_depth=depth)
-    at_depth = p.filter(F.col("turn_idx") == F.lit(int(depth) - 1)).select(
-        "conv_id", "prefix_digest"
-    )
+    at_depth = p.filter(
+        F.col(cfg.order_cols[0]) == F.lit(int(depth) - 1)
+    ).select(key, "prefix_digest")
     ranked = at_depth.withColumn(
         "keep",
         (
             F.row_number().over(
-                Window.partitionBy("prefix_digest").orderBy("conv_id")
+                Window.partitionBy("prefix_digest").orderBy(key)
             )
             == 1
         ),
-    ).select("conv_id", "keep")
-    short = (
-        df.groupBy("conv_id")
-        .agg(F.max("turn_idx").alias("mx"))
-        .filter(F.col("mx") < F.lit(int(depth) - 1))
-        .select("conv_id", F.lit(True).alias("keep"))
+    ).select(key, "keep")
+    # every conversation WITHOUT a row exactly at depth-1 (shorter than
+    # depth, or a sparse turn_idx with a gap there) has no rankable prefix
+    # and survives — anti-join, not a max() predicate, so gapped index
+    # sequences are kept too
+    rest = (
+        df.select(key)
+        .distinct()
+        .join(at_depth.select(key), key, "left_anti")
+        .select(key, F.lit(True).alias("keep"))
     )
-    return ranked.unionByName(short)
+    return ranked.unionByName(rest)
 
 
 def dpo_pairs(
@@ -168,13 +171,14 @@ def dpo_pairs(
     one exchange on prefix_digest. A fork group of k rollouts emits k-1
     rows, never k^2.
     """
+    key = cfg.key_col
     p = with_prefix_digests(df, cfg, max_depth=depth)
-    at_depth = p.filter(F.col("turn_idx") == F.lit(int(depth) - 1)).select(
-        "conv_id", "prefix_digest"
-    )
+    at_depth = p.filter(
+        F.col(cfg.order_cols[0]) == F.lit(int(depth) - 1)
+    ).select(key, "prefix_digest")
     cont = (
-        df.filter(F.col("turn_idx") >= F.lit(int(depth)))
-        .groupBy("conv_id")
+        df.filter(F.col(cfg.order_cols[0]) >= F.lit(int(depth)))
+        .groupBy(key)
         .agg(
             F.sum(F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)))
             .cast("long")
@@ -182,21 +186,21 @@ def dpo_pairs(
             F.count("*").cast("long").alias("cont_turns"),
         )
     )
-    members = at_depth.join(cont, "conv_id")
+    members = at_depth.join(cont, key)
     w = Window.partitionBy("prefix_digest").orderBy(
-        F.col("score_cents").desc(), F.col("conv_id")
+        F.col("score_cents").desc(), F.col(key)
     )
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         members.withColumn("rk", F.row_number().over(w))
-        .withColumn("chosen_conv_id", F.first("conv_id").over(wcum))
+        .withColumn("chosen_conv_id", F.first(key).over(wcum))
         .withColumn("chosen_score_cents", F.first("score_cents").over(wcum))
         .filter(F.col("rk") > 1)
         .select(
             "prefix_digest",
             "chosen_conv_id",
             "chosen_score_cents",
-            F.col("conv_id").alias("rejected_conv_id"),
+            F.col(key).alias("rejected_conv_id"),
             F.col("score_cents").alias("rejected_score_cents"),
             (F.col("chosen_score_cents") - F.col("score_cents"))
             .cast("long")

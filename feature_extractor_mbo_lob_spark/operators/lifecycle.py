@@ -310,9 +310,10 @@ def tool_retry_stats(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     Reference analog: order-modification counting in
     src/features/lifecycle_features.rs (re-submission of the same order id).
     """
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    key = cfg.key_col
+    w = Window.partitionBy(key).orderBy(*cfg.order_cols)
     tools = df.filter(F.col("tool").isNotNull()).select(
-        "conv_id", "turn_idx", "ts", "tool"
+        key, *cfg.order_cols, "tool"
     )
     t = tools.withColumn(
         "is_retry", (F.col("tool") == F.lag("tool").over(w)).cast("int")
@@ -323,15 +324,15 @@ def tool_retry_stats(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
             F.when(F.coalesce(F.col("is_retry"), F.lit(0)) == 0, 1).otherwise(0)
         ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
-    streaks = t.groupBy("conv_id", "grp").agg(F.count("*").alias("run_len"))
-    per_conv_streak = streaks.groupBy("conv_id").agg(
+    streaks = t.groupBy(key, "grp").agg(F.count("*").alias("run_len"))
+    per_conv_streak = streaks.groupBy(key).agg(
         F.max("run_len").cast("long").alias("max_retry_streak")
     )
-    per_conv = t.groupBy("conv_id").agg(
+    per_conv = t.groupBy(key).agg(
         F.count("*").cast("long").alias("n_tool_calls"),
         F.sum(F.coalesce(F.col("is_retry"), F.lit(0))).cast("long").alias("n_retries"),
     )
-    out = per_conv.join(per_conv_streak, "conv_id")
+    out = per_conv.join(per_conv_streak, key)
     return out.withColumn(
         "retry_rate",
         F.floor(
@@ -359,29 +360,29 @@ def tool_attribution(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     shuffle only. Ref analog: per-venue fill attribution in the
     reference's execution reports (src/features/signals).
     """
+    key = cfg.key_col
     cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
-    conv_val = df.groupBy("conv_id").agg(
+    conv_val = df.groupBy(key).agg(
         F.sum(cents).cast("long").alias("conv_cents")
     )
     tools = df.filter(F.col("tool").isNotNull()).select(
-        "conv_id", "turn_idx", "ts", "tool"
+        key, *cfg.order_cols, "tool"
     )
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
-    wd = Window.partitionBy("conv_id").orderBy(
-        F.col("turn_idx").desc(), F.col("ts").desc()
-    )
+    w = Window.partitionBy(key).orderBy(*cfg.order_cols)
+    # is_last derives from rk_a == max(rk_a) over the key partition — the
+    # ascending sort is reused, no second (descending) window sort
     marked = tools.withColumn("rk_a", F.row_number().over(w)).withColumn(
-        "rk_d", F.row_number().over(wd)
+        "rk_last", F.max("rk_a").over(Window.partitionBy(key))
     )
-    per_conv_tool = marked.groupBy("conv_id", "tool").agg(
+    per_conv_tool = marked.groupBy(key, "tool").agg(
         F.count("*").cast("long").alias("n_tt"),
         F.max((F.col("rk_a") == 1).cast("int")).alias("is_first"),
-        F.max((F.col("rk_d") == 1).cast("int")).alias("is_last"),
+        F.max((F.col("rk_a") == F.col("rk_last")).cast("int")).alias("is_last"),
     )
-    totals = marked.groupBy("conv_id").agg(
+    totals = marked.groupBy(key).agg(
         F.count("*").cast("long").alias("n_tt_total")
     )
-    j = per_conv_tool.join(totals, "conv_id").join(conv_val, "conv_id")
+    j = per_conv_tool.join(totals, key).join(conv_val, key)
     return j.groupBy("tool").agg(
         F.sum(F.col("is_first") * F.col("conv_cents")).cast("long")
         .alias("first_touch_cents"),
@@ -389,5 +390,5 @@ def tool_attribution(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .alias("last_touch_cents"),
         F.sum(F.expr("conv_cents * n_tt div n_tt_total")).cast("long")
         .alias("linear_cents"),
-        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.countDistinct(key).cast("long").alias("n_convs"),
     )

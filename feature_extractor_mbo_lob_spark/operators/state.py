@@ -354,7 +354,8 @@ def loop_stats(df: DataFrame, cfg: PipelineConfig, max_period: int = 3) -> DataF
     lengths, one grouped aggregate. No text comparison after the digest
     projection — scale shape is digests only.
     """
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    key = cfg.key_col
+    w = ordering.stable_window(cfg)
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d = df.withColumn(
         "_d",
@@ -371,10 +372,10 @@ def loop_stats(df: DataFrame, cfg: PipelineConfig, max_period: int = 3) -> DataF
         flag = flag | (F.col(f"max_run_p{k}") >= F.lit(2 * k))
     # run length of consecutive eq=1 inside each island
     for k in range(1, max_period + 1):
-        wk = Window.partitionBy("conv_id", f"_grp{k}").orderBy("turn_idx", "ts")
+        wk = Window.partitionBy(key, f"_grp{k}").orderBy(*cfg.order_cols)
         d = d.withColumn(
             f"_run{k}",
             F.when(F.col(f"_eq{k}") == 1, F.row_number().over(wk) - 1).otherwise(0),
         )
-    out = d.groupBy("conv_id").agg(*aggs)
+    out = d.groupBy(key).agg(*aggs)
     return out.withColumn("loop_flag", flag)

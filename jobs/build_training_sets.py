@@ -75,7 +75,10 @@ def main() -> None:
 
     cfg = PipelineConfig()
     t0 = time.time()
-    t = transcripts_from_events(spark, args.input)
+    # the funnel triggers several actions (counts + two sinks); persist the
+    # transcript mapping and each filtered stage so the scan/sort chains run
+    # once, not once per counter
+    t = transcripts_from_events(spark, args.input).persist()
     funnel = {"input_turns": t.count(),
               "input_convs": t.select("conv_id").distinct().count()}
 
@@ -88,13 +91,13 @@ def main() -> None:
 
     # 1. fork dedup (keep one rollout per shared prefix)
     keep = forks.fork_dedup_keep(t, cfg, depth=args.fork_depth)
-    t = t.join(keep.filter(F.col("keep")).select("conv_id"), "conv_id")
+    t = t.join(keep.filter(F.col("keep")).select("conv_id"), "conv_id").persist()
     funnel["convs_after_fork_dedup"] = t.select("conv_id").distinct().count()
 
     # 2. refusal-rate filter (drop refusal-heavy conversations whole)
     rates = tx.flag_rates(t, REFUSAL_PATTERNS)
     ok = rates.filter(F.col("flag_rate") <= args.max_flag_rate).select("conv_id")
-    t = t.join(ok, "conv_id")
+    t = t.join(ok, "conv_id").persist()
     funnel["convs_after_refusal_filter"] = t.select("conv_id").distinct().count()
 
     # 3. SFT pairs + conversation-atomic split + manifest export

@@ -129,8 +129,10 @@ def test_sft_pairs_point_in_time(spark):
     assert (p1.context_turns, p1.context_chars, p1.context_user_turns) == (1, 4, 1)
     assert p1.response_chars == 6
     assert (p3.context_turns, p3.context_chars, p3.context_user_turns) == (3, 12, 2)
-    # deterministic id
-    assert p1.pair_id == out[("s", 1)].pair_id and len(p1.pair_id) == 32
+    # deterministic id: md5 of "conv_id:turn_idx", independently computed
+    import hashlib
+
+    assert p1.pair_id == hashlib.md5(b"s:1").hexdigest()
 
 
 def test_dpo_pairs(spark):
@@ -287,3 +289,17 @@ def test_tool_attribution(spark):
     assert out["t2"].last_touch_cents == 0
     assert out["t2"].linear_cents == 333
     assert out["t1"].n_convs == 1 and out["t2"].n_convs == 1
+
+
+def test_fork_dedup_keep_gapped_turn_idx(spark):
+    # conv "g" has turns at idx {0, 2} (gap at 1): no row at depth-1 for
+    # depth=2 -> must SURVIVE, not vanish from the keep map
+    rows = [
+        ("g", 0, "user", "hi", None, _ts(0)),
+        ("g", 2, "assistant", "late", None, _ts(2)),
+        ("h", 0, "user", "hi", None, _ts(0)),
+        ("h", 1, "assistant", "x", None, _ts(1)),
+    ]
+    df = _mk(spark, rows)
+    keep = {r.conv_id: r.keep for r in forks.fork_dedup_keep(df, CFG, depth=2).collect()}
+    assert keep == {"g": True, "h": True}
