@@ -862,3 +862,68 @@ def canned_responses(
         )
         .filter(F.col("n_uses") >= F.lit(int(min_uses)))
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold_ppm: int = 500_000,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle-set CONTAINMENT (Broder), the
+    quote/subset detector Jaccard misses. A short doc fully quoted inside a
+    long one has tiny Jaccard (union is large) but containment_ab =
+    |A∩B|/|A| ≈ 1 — exactly the snippet-reuse / boilerplate-inclusion case
+    a curation pipeline wants to catch.
+
+    Same join shape as ngram_jaccard_pairs (shingle self-equi-join, sizes
+    from a pre-aggregate, optional hot-shingle cap); scores are exact
+    integer ppm (n_inter * 1e6 // n_side) so the oracle hash is
+    engine-exact. Keeps pairs where either direction >= threshold_ppm.
+    """
+    sh = shingle_table(df, id_col, text_col, k)
+    if max_doc_freq is not None:
+        sh = sh.cache()
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    sh = sh.cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
+        .withColumn(
+            "containment_ab_ppm",
+            F.expr("n_inter * 1000000 div n_a").cast("long"),
+        )
+        .withColumn(
+            "containment_ba_ppm",
+            F.expr("n_inter * 1000000 div n_b").cast("long"),
+        )
+        .filter(
+            (F.col("containment_ab_ppm") >= threshold_ppm)
+            | (F.col("containment_ba_ppm") >= threshold_ppm)
+        )
+        .select("id_a", "id_b", "containment_ab_ppm", "containment_ba_ppm")
+    )
+    return out

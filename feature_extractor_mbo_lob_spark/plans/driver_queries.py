@@ -10856,6 +10856,41 @@ QUERIES["tool_ordering_pairs"] = q_tool_ordering_pairs
 ORACLES["tool_ordering_pairs"] = O_TOOL_ORDERING_PAIRS
 
 
+# --- n-gram containment (asymmetric near-dup) ----------------------------------------
+
+def q_ngram_containment(spark, sf_dir):
+    """Broder containment pairs (operators/dedup.ngram_containment_pairs):
+    the quote/subset detector — exact integer-ppm scores, either direction
+    >= 0.3."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_containment_pairs(docs, k=3, threshold_ppm=300_000).select(
+        "id_a", "id_b", "containment_ab_ppm", "containment_ba_ppm"
+    )
+
+
+O_NGRAM_CONTAINMENT = f"""
+with {_SHINGLE_SQL},
+sizes as (select doc_id, count(*) as n_sh from shingled group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+  from shingled a join shingled b using (shingle)
+  where a.doc_id < b.doc_id
+  group by 1, 2
+)
+select id_a, id_b,
+  cast(n_inter * 1000000 // sa.n_sh as bigint) as containment_ab_ppm,
+  cast(n_inter * 1000000 // sb.n_sh as bigint) as containment_ba_ppm
+from inter
+join sizes sa on sa.doc_id = id_a
+join sizes sb on sb.doc_id = id_b
+where n_inter * 1000000 // sa.n_sh >= 300000
+   or n_inter * 1000000 // sb.n_sh >= 300000
+"""
+
+QUERIES["ngram_containment"] = q_ngram_containment
+ORACLES["ngram_containment"] = O_NGRAM_CONTAINMENT
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
