@@ -10891,6 +10891,61 @@ QUERIES["ngram_containment"] = q_ngram_containment
 ORACLES["ngram_containment"] = O_NGRAM_CONTAINMENT
 
 
+# --- streaming SFT pair extraction ---------------------------------------------------
+
+def q_streaming_sft(spark, sf_dir):
+    """REAL streaming execution of SFT pair extraction
+    (streaming/stream.streaming_sft_pairs): transcripts replayed through
+    readStream -> applyInPandasWithState (state = three context counters
+    per conversation) -> availableNow -> memory sink. Single-file source
+    => in-order micro-batch, so the batch PIT-window oracle matches
+    exactly; pair ids added post-sink (pure md5 projection)."""
+    import hashlib
+    import uuid
+    from pathlib import Path as _P
+
+    from ..streaming import stream as strm
+
+    t = transcripts_from_events(spark, sf_dir).select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "ts", "role", "text",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/stream_sft_src_{tag}"
+    if not _P(path).exists():
+        t.coalesce(1).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(t.schema).parquet(path)
+    out = strm.streaming_sft_pairs(src, CFG, min_context_turns=1)
+    qname = "qss_" + uuid.uuid4().hex[:12]
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"/tmp/stream_sft_ckpt_{uuid.uuid4().hex[:12]}")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return spark.table(qname).select(
+        F.md5(F.concat_ws(":", "conv_id", "turn_idx")).alias("pair_id"),
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "context_turns", "context_chars", "context_user_turns",
+        "response_chars",
+    )
+
+
+# identical output contract to the batch operator -> same oracle
+O_STREAMING_SFT = O_SFT_PAIRS
+
+QUERIES["streaming_sft"] = q_streaming_sft
+ORACLES["streaming_sft"] = O_STREAMING_SFT
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

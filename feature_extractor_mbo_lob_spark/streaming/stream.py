@@ -417,3 +417,81 @@ def streaming_pit_enrich(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming SFT pair extraction ------------------------------------------------
+
+SFT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", LongType()),
+        StructField("context_turns", LongType()),
+        StructField("context_chars", LongType()),
+        StructField("context_user_turns", LongType()),
+        StructField("response_chars", LongType()),
+    ]
+)
+
+SFT_STATE_SCHEMA = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("n_chars", LongType()),
+        StructField("n_user", LongType()),
+    ]
+)
+
+
+def streaming_sft_pairs(
+    events: DataFrame,
+    cfg: PipelineConfig,
+    min_context_turns: int = 1,
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Streaming twin of functions/corpus.sft_pairs: ONLINE training-pair
+    extraction as transcripts arrive. State per conversation is three
+    counters (turns/chars/user-turns seen so far) — O(1) per key; each
+    ``response_role`` turn with enough context emits its pair row in the
+    micro-batch it arrives in.
+
+    Point-in-time safety holds by update order: the pair is emitted from
+    the PRE-update counters (context strictly before the response turn) —
+    the same (unboundedPreceding, -1) frame the batch operator uses, so a
+    single-file availableNow replay matches the batch output exactly.
+    Within-batch ordering is (turn_idx, ts) per key; cross-batch
+    correctness needs in-order delivery per key (same contract as
+    streaming_cumulative_state).
+    """
+    min_ctx = int(min_context_turns)
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        n_turns, n_chars, n_user = state.get if state.exists else (0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["turn_idx", "ts"], kind="mergesort")
+        out = {k: [] for k in ("turn_idx", "context_turns", "context_chars",
+                               "context_user_turns", "response_chars")}
+        for turn_idx, role, text in zip(batch["turn_idx"], batch["role"], batch["text"]):
+            tlen = 0 if pd.isna(text) else len(text)
+            if role == response_role and n_turns >= min_ctx:
+                out["turn_idx"].append(int(turn_idx))
+                out["context_turns"].append(n_turns)
+                out["context_chars"].append(n_chars)
+                out["context_user_turns"].append(n_user)
+                out["response_chars"].append(tlen)
+            n_turns += 1
+            n_chars += tlen
+            n_user += 1 if role == "user" else 0
+        state.update((n_turns, n_chars, n_user))
+        yield pd.DataFrame({"conv_id": [conv_id] * len(out["turn_idx"]), **out})
+
+    return (
+        events.select(cfg.key_col, "turn_idx", cfg.ts_col, "role", "text")
+        .groupBy(cfg.key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SFT_OUTPUT_SCHEMA,
+            stateStructType=SFT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

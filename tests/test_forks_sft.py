@@ -303,3 +303,47 @@ def test_fork_dedup_keep_gapped_turn_idx(spark):
     df = _mk(spark, rows)
     keep = {r.conv_id: r.keep for r in forks.fork_dedup_keep(df, CFG, depth=2).collect()}
     assert keep == {"g": True, "h": True}
+
+
+def test_streaming_sft_state_carries_across_batches(spark, tmp_path):
+    """streaming_sft_pairs: context counters accumulated in batch 1 must
+    feed pairs emitted for turns arriving in batch 2, with PIT semantics
+    (context excludes the response turn itself)."""
+    from feature_extractor_mbo_lob_spark.streaming.stream import streaming_sft_pairs
+
+    schema = "conv_id string, turn_idx long, ts string, role string, text string"
+    cast = lambda df: df.withColumn("ts", F.col("ts").cast("timestamp"))
+    b1 = cast(spark.createDataFrame(
+        [("c", 0, "2024-01-01 00:00:00", "user", "aaaa"),
+         ("c", 1, "2024-01-01 00:01:00", "assistant", "bb")],
+        schema,
+    ))
+    b2 = cast(spark.createDataFrame(
+        [("c", 2, "2024-01-01 00:02:00", "user", "ccc"),
+         ("c", 3, "2024-01-01 00:03:00", "assistant", "dddddd")],
+        schema,
+    ))
+    src = str(tmp_path / "sft_src")
+    b1.coalesce(1).write.parquet(src + "/f=1")
+    b2.coalesce(1).write.parquet(src + "/f=2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = streaming_sft_pairs(stream, PipelineConfig(), min_context_turns=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sft_carry_test")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["turn_idx"]: r for r in spark.table("sft_carry_test").collect()}
+    assert set(got) == {1, 3}
+    # batch-1 pair: 1 context turn, 4 chars, 1 user turn
+    assert (got[1].context_turns, got[1].context_chars, got[1].context_user_turns) == (1, 4, 1)
+    # batch-2 pair: counters carried (3 turns = aaaa+bb+ccc = 9 chars, 2 user)
+    assert (got[3].context_turns, got[3].context_chars, got[3].context_user_turns) == (3, 9, 2)
+    assert got[3].response_chars == 6
