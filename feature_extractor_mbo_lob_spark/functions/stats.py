@@ -136,3 +136,23 @@ def ab_proportions_ztest(
     )
     z = F.when(ok, (p_a - p_b) / se)
     return cells.withColumn("z", z)
+
+
+def wilson_interval(n_col, k_col, z: float = 1.96):
+    """Wilson score interval (lo, hi) for a binomial rate k/n — the
+    small-sample-honest CI a leaderboard should show instead of the naive
+    rate (a 2/2 tool should NOT outrank a 98/100 one).
+
+    Fixed-order float expression over two exact integer aggregates: both
+    engines evaluate the identical IEEE op sequence on identical operands
+    (divide, multiply, sqrt), so results are bit-identical —
+    the same canonicalization argument as ab_proportions_ztest.
+    """
+    n = (F.col(n_col) if isinstance(n_col, str) else n_col).cast("double")
+    k = (F.col(k_col) if isinstance(k_col, str) else k_col).cast("double")
+    p = k / n
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    rad = F.lit(z) * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+    return (center - rad) / denom, (center + rad) / denom

@@ -10946,6 +10946,59 @@ QUERIES["streaming_sft"] = q_streaming_sft
 ORACLES["streaming_sft"] = O_STREAMING_SFT
 
 
+# --- Wilson-scored tool success leaderboard -------------------------------------------
+
+def q_tool_success_wilson(spark, sf_dir):
+    """Per-tool success rate with Wilson 95% bounds
+    (functions/stats.wilson_interval): success = the tool turn's text is
+    not an error event. Exact integer (n, k) aggregates; the interval is a
+    fixed-order float expression — rank by wilson_lo, not the naive rate."""
+    from ..functions.stats import wilson_interval
+
+    t = transcripts_from_events(spark, sf_dir)
+    agg = (
+        t.filter(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.count("*").cast("long").alias("n_calls"),
+            F.sum(
+                (~F.col("text").startswith("error")).cast("int")
+            ).cast("long").alias("n_success"),
+        )
+    )
+    lo, hi = wilson_interval("n_calls", "n_success")
+    return agg.select(
+        "tool", "n_calls", "n_success",
+        F.expr("n_success * 1000000 div n_calls").cast("long").alias("rate_ppm"),
+        _r6x(lo, "wilson_lo"),
+        _r6x(hi, "wilson_hi"),
+    )
+
+
+O_TOOL_SUCCESS_WILSON = f"""{_W},
+a as (
+  select tool,
+    cast(count(*) as bigint) as n_calls,
+    cast(sum(case when text like 'error%' then 0 else 1 end) as bigint) as n_success
+  from transcripts where tool is not null group by tool
+),
+w as (
+  select tool, n_calls, n_success,
+    cast(n_success as double) / cast(n_calls as double) as p,
+    cast(n_calls as double) as n
+  from a
+)
+select tool, n_calls, n_success,
+  cast(n_success * 1000000 // n_calls as bigint) as rate_ppm,
+  {_r6x_sql("((p + 3.8415999999999997 / (2.0 * n)) - 1.96 * sqrt(p * (1.0 - p) / n + 3.8415999999999997 / (4.0 * n * n))) / (1.0 + 3.8415999999999997 / n)")} as wilson_lo,
+  {_r6x_sql("((p + 3.8415999999999997 / (2.0 * n)) + 1.96 * sqrt(p * (1.0 - p) / n + 3.8415999999999997 / (4.0 * n * n))) / (1.0 + 3.8415999999999997 / n)")} as wilson_hi
+from w
+"""
+
+QUERIES["tool_success_wilson"] = q_tool_success_wilson
+ORACLES["tool_success_wilson"] = O_TOOL_SUCCESS_WILSON
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
