@@ -10999,6 +10999,70 @@ QUERIES["tool_success_wilson"] = q_tool_success_wilson
 ORACLES["tool_success_wilson"] = O_TOOL_SUCCESS_WILSON
 
 
+# --- daily reply-latency SLA rollup ----------------------------------------------------
+
+def q_daily_sla(spark, sf_dir):
+    """Ops-dashboard rollup: per calendar day, user->assistant reply
+    latencies as EXPLICIT order statistics (value at rank ceil(q*n) of the
+    sorted integer-microsecond multiset — quantile_disc semantics spelled
+    out as rank arithmetic so both engines compute the identical integer),
+    plus volume and max."""
+    from pyspark.sql import Window
+
+    t = transcripts_from_events(spark, sf_dir)
+    w = ordering.stable_window(CFG)
+    us = ordering.epoch_us("ts")
+    d = t.select(
+        F.to_date("ts").alias("day"),
+        F.lag("role").over(w).alias("_prev_role"),
+        (us - F.lag(us).over(w)).alias("_dt_us"),
+        "role",
+    ).filter((F.col("_prev_role") == "user") & (F.col("role") == "assistant"))
+    wd = Window.partitionBy("day").orderBy("_dt_us")
+    ranked = d.select(
+        "day",
+        F.col("_dt_us"),
+        F.row_number().over(wd).alias("_rk"),
+        F.count("*").over(Window.partitionBy("day")).alias("_n"),
+    )
+    return ranked.groupBy("day").agg(
+        F.max("_n").cast("long").alias("n_replies"),
+        F.max(
+            F.when(F.col("_rk") == F.ceil(F.col("_n") * 0.5), F.col("_dt_us"))
+        ).cast("long").alias("p50_us"),
+        F.max(
+            F.when(F.col("_rk") == F.ceil(F.col("_n") * 0.95), F.col("_dt_us"))
+        ).cast("long").alias("p95_us"),
+        F.max("_dt_us").cast("long").alias("max_us"),
+    )
+
+
+O_DAILY_SLA = f"""{_W},
+d as (
+  select cast(ts as date) as day, role,
+    lag(role) over ({_OWIN}) as prev_role,
+    (epoch_us(ts) - lag(epoch_us(ts)) over ({_OWIN})) as dt_us
+  from transcripts
+),
+f as (select day, dt_us from d where prev_role = 'user' and role = 'assistant'),
+r as (
+  select day, dt_us,
+    row_number() over (partition by day order by dt_us) as rk,
+    count(*) over (partition by day) as n
+  from f
+)
+select day,
+  cast(max(n) as bigint) as n_replies,
+  cast(max(case when rk = ceil(n * 0.5) then dt_us end) as bigint) as p50_us,
+  cast(max(case when rk = ceil(n * 0.95) then dt_us end) as bigint) as p95_us,
+  cast(max(dt_us) as bigint) as max_us
+from r group by day
+"""
+
+QUERIES["daily_sla"] = q_daily_sla
+ORACLES["daily_sla"] = O_DAILY_SLA
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
