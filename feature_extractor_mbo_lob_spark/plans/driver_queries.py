@@ -11063,6 +11063,138 @@ QUERIES["daily_sla"] = q_daily_sla
 ORACLES["daily_sla"] = O_DAILY_SLA
 
 
+# --- PIT feature-staleness diagnostics ------------------------------------------------
+
+def q_pit_staleness(spark, sf_dir):
+    """Feature-store freshness monitoring: for every anchor (assistant
+    turn), the AGE of the backward as-of matched feature row from each of
+    two timelines; rolled up per timeline as match coverage + explicit
+    rank-arithmetic age percentiles (integer micros). The operational twin
+    of pit_training_set — what TTL should be is read off this table."""
+    from pyspark.sql import Window
+
+    t = transcripts_from_events(spark, sf_dir)
+    spine = t.filter(F.col("role") == "assistant").select("conv_id", "ts")
+    outs = []
+    for name, role in (("tool_activity", "tool"), ("user_message", "user")):
+        tl = (
+            t.filter(F.col("role") == role)
+            .groupBy("conv_id", "ts")
+            .agg(F.max(ordering.epoch_us("ts")).alias("f_us"))
+        )
+        j = asof.asof_join(spine, tl, key="conv_id", ts="ts", value_cols=["f_us"])
+        aged = j.select(
+            F.lit(name).alias("timeline"),
+            (ordering.epoch_us("ts") - F.col("f_us_asof")).alias("age_us"),
+        )
+        wd = Window.partitionBy("timeline").orderBy("age_us")
+        ranked = aged.filter(F.col("age_us").isNotNull()).select(
+            "timeline", "age_us",
+            F.row_number().over(wd).alias("rk"),
+            F.count("*").over(Window.partitionBy("timeline")).alias("n"),
+        )
+        roll = ranked.groupBy("timeline").agg(
+            F.max("n").cast("long").alias("n_matched"),
+            F.max(
+                F.when(F.col("rk") == F.ceil(F.col("n") * 0.5), F.col("age_us"))
+            ).cast("long").alias("p50_age_us"),
+            F.max(
+                F.when(F.col("rk") == F.ceil(F.col("n") * 0.95), F.col("age_us"))
+            ).cast("long").alias("p95_age_us"),
+            F.max("age_us").cast("long").alias("max_age_us"),
+        )
+        n_anchor = aged.groupBy("timeline").agg(
+            F.count("*").cast("long").alias("n_anchors")
+        )
+        outs.append(n_anchor.join(roll, "timeline"))
+    return outs[0].unionByName(outs[1]).select(
+        "timeline", "n_anchors", "n_matched",
+        "p50_age_us", "p95_age_us", "max_age_us",
+    )
+
+
+O_PIT_STALENESS = f"""{_W},
+s as (select conv_id, ts from transcripts where role = 'assistant'),
+tl_tool as (
+  select conv_id, ts, max(epoch_us(ts)) as f_us
+  from transcripts where role = 'tool' group by 1, 2
+),
+tl_user as (
+  select conv_id, ts, max(epoch_us(ts)) as f_us
+  from transcripts where role = 'user' group by 1, 2
+),
+aged as (
+  select 'tool_activity' as timeline, epoch_us(s.ts) - t.f_us as age_us
+  from s asof left join tl_tool t on s.conv_id = t.conv_id and s.ts >= t.ts
+  union all
+  select 'user_message' as timeline, epoch_us(s.ts) - t.f_us as age_us
+  from s asof left join tl_user t on s.conv_id = t.conv_id and s.ts >= t.ts
+),
+anchors as (select timeline, cast(count(*) as bigint) as n_anchors from aged group by timeline),
+r as (
+  select timeline, age_us,
+    row_number() over (partition by timeline order by age_us) as rk,
+    count(*) over (partition by timeline) as n
+  from aged where age_us is not null
+),
+roll as (
+  select timeline,
+    cast(max(n) as bigint) as n_matched,
+    cast(max(case when rk = ceil(n * 0.5) then age_us end) as bigint) as p50_age_us,
+    cast(max(case when rk = ceil(n * 0.95) then age_us end) as bigint) as p95_age_us,
+    cast(max(age_us) as bigint) as max_age_us
+  from r group by timeline
+)
+select a.timeline, a.n_anchors, roll.n_matched, roll.p50_age_us,
+  roll.p95_age_us, roll.max_age_us
+from anchors a join roll on a.timeline = roll.timeline
+"""
+
+QUERIES["pit_staleness"] = q_pit_staleness
+ORACLES["pit_staleness"] = O_PIT_STALENESS
+
+
+# --- right-to-be-forgotten purge audit --------------------------------------------------
+
+def q_tombstone_purge(spark, sf_dir):
+    """Compliance cascade: a deterministic 5% tombstone set of
+    conversations (md5 bucket < 500/10000 — standing in for a deletion
+    request table) anti-joined out of the corpus, with the audit counts a
+    deletion job must report."""
+    t = transcripts_from_events(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("conv_id")), 1, 7), 16, 10).cast("long")
+        % 10000
+    )
+    flagged = t.withColumn("_dead", (bucket < 500).cast("int"))
+    return flagged.agg(
+        F.countDistinct(F.when(F.col("_dead") == 1, F.col("conv_id")))
+        .cast("long").alias("n_tombstoned_convs"),
+        F.sum("_dead").cast("long").alias("n_purged_turns"),
+        F.countDistinct(F.when(F.col("_dead") == 0, F.col("conv_id")))
+        .cast("long").alias("n_kept_convs"),
+        F.sum(1 - F.col("_dead")).cast("long").alias("n_kept_turns"),
+    )
+
+
+O_TOMBSTONE_PURGE = f"""{_W},
+b as (
+  select conv_id, md5(conv_id) as h,
+    case when ({_HEX7}) % 10000 < 500 then 1 else 0 end as dead
+  from transcripts
+)
+select
+  cast(count(distinct case when dead = 1 then conv_id end) as bigint) as n_tombstoned_convs,
+  cast(sum(dead) as bigint) as n_purged_turns,
+  cast(count(distinct case when dead = 0 then conv_id end) as bigint) as n_kept_convs,
+  cast(sum(1 - dead) as bigint) as n_kept_turns
+from b
+"""
+
+QUERIES["tombstone_purge"] = q_tombstone_purge
+ORACLES["tombstone_purge"] = O_TOMBSTONE_PURGE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
