@@ -347,3 +347,47 @@ def test_streaming_sft_state_carries_across_batches(spark, tmp_path):
     # batch-2 pair: counters carried (3 turns = aaaa+bb+ccc = 9 chars, 2 user)
     assert (got[3].context_turns, got[3].context_chars, got[3].context_user_turns) == (3, 9, 2)
     assert got[3].response_chars == 6
+
+
+def test_idempotent_sink_skips_replayed_batches(spark, tmp_path):
+    """Exactly-once foreachBatch sink: a second availableNow run over the
+    same checkpoint adds only NEW data, and a manually replayed
+    (batch_id, df) pair is skipped by the commit marker."""
+    from feature_extractor_mbo_lob_spark.streaming.sink import (
+        idempotent_parquet_sink,
+        make_idempotent_batch_writer,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "conv_id string, turn_idx long, ts string, role string, text string"
+    cast = lambda df: df.withColumn("ts", F.col("ts").cast("timestamp"))
+    b1 = cast(spark.createDataFrame(
+        [("c", 0, "2024-01-01 00:00:00", "user", "a")], schema))
+    b1.coalesce(1).write.parquet(src + "/f=1")
+
+    def run():
+        stream = spark.readStream.schema(b1.schema).parquet(src + "/*")
+        q = (
+            idempotent_parquet_sink(stream, out, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert spark.read.parquet(out + "/batch_id=*").count() == 1
+
+    # second run, same checkpoint, one new file -> exactly one new row
+    b2 = cast(spark.createDataFrame(
+        [("c", 1, "2024-01-01 00:01:00", "assistant", "b")], schema))
+    b2.coalesce(1).write.parquet(src + "/f=2")
+    run()
+    assert spark.read.parquet(out + "/batch_id=*").count() == 2
+
+    # simulate the crash-replay: re-deliver an already-committed batch id
+    writer = make_idempotent_batch_writer(out)
+    writer(b1.withColumn("text", F.lit("DUPLICATE")), 0)
+    rows = spark.read.parquet(out + "/batch_id=*").collect()
+    assert len(rows) == 2 and not any(r.text == "DUPLICATE" for r in rows)
