@@ -11195,6 +11195,135 @@ QUERIES["tombstone_purge"] = q_tombstone_purge
 ORACLES["tombstone_purge"] = O_TOMBSTONE_PURGE
 
 
+# --- daily active / new conversations ---------------------------------------------------
+
+def q_daily_actives(spark, sf_dir):
+    """Engagement rollup: per calendar day, active conversations, NEW
+    conversations (first-ever day), returning = active - new, and turn
+    volume. Two grouped aggregates (per-conv first day, then per day) —
+    no window over the full corpus."""
+    t = transcripts_from_events(spark, sf_dir)
+    days = t.select(F.to_date("ts").alias("day"), "conv_id")
+    first_day = days.groupBy("conv_id").agg(F.min("day").alias("first_day"))
+    per_day = days.groupBy("day").agg(
+        F.countDistinct("conv_id").cast("long").alias("active_convs"),
+        F.count("*").cast("long").alias("n_turns"),
+    )
+    new_per_day = first_day.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("new_convs")
+    )
+    return (
+        per_day.join(new_per_day, "day", "left")
+        .select(
+            "day", "active_convs", "n_turns",
+            F.coalesce("new_convs", F.lit(0)).cast("long").alias("new_convs"),
+            (F.col("active_convs") - F.coalesce("new_convs", F.lit(0)))
+            .cast("long").alias("returning_convs"),
+        )
+    )
+
+
+O_DAILY_ACTIVES = f"""{_W},
+d as (select cast(ts as date) as day, conv_id from transcripts),
+fd as (select conv_id, min(day) as first_day from d group by conv_id),
+pd as (
+  select day, cast(count(distinct conv_id) as bigint) as active_convs,
+    cast(count(*) as bigint) as n_turns
+  from d group by day
+),
+nd as (select first_day as day, cast(count(*) as bigint) as new_convs from fd group by 1)
+select pd.day, pd.active_convs, pd.n_turns,
+  cast(coalesce(nd.new_convs, 0) as bigint) as new_convs,
+  cast(pd.active_convs - coalesce(nd.new_convs, 0) as bigint) as returning_convs
+from pd left join nd on pd.day = nd.day
+"""
+
+QUERIES["daily_actives"] = q_daily_actives
+ORACLES["daily_actives"] = O_DAILY_ACTIVES
+
+
+# --- embedding-table data-quality audit --------------------------------------------------
+
+def q_embedding_audit(spark, sf_dir):
+    """ANN-input gate: vector count, dimension consistency, NaN/zero
+    vectors, and norm percentiles (exact micro-quantized integers).
+    Percentiles come from a cumulative count over the DISTINCT-norm
+    aggregate (k-th order statistic = smallest value whose cumulative
+    count reaches ceil(q*n)) — the only unpartitioned window runs over
+    that collapsed aggregate, never row-level data (the kaplan_meier /
+    hdr_latency_hist scale pattern). Runs BEFORE any similarity family —
+    a corrupt embedding column silently poisons every downstream index."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = emb.select(
+        F.size("v").alias("dim"),
+        F.exists("v", lambda x: x.isNaN()).cast("int").alias("has_nan"),
+        F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x).alias("sq"),
+    ).withColumn(
+        "norm_micro", F.floor(F.sqrt(F.col("sq")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.countDistinct("dim").cast("long").alias("n_dims"),
+        F.sum("has_nan").cast("long").alias("n_nan_vectors"),
+        F.sum((F.col("norm_micro") == 0).cast("int")).cast("long").alias("n_zero_vectors"),
+    )
+    g = base.groupBy("norm_micro").agg(F.count("*").alias("cnt"))
+    wc = Window.orderBy("norm_micro").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        "norm_micro",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    pcts = cum.agg(
+        F.min(F.when(F.col("cum") >= F.ceil(F.col("n") * 0.5), F.col("norm_micro")))
+        .cast("long").alias("p50_norm_micro"),
+        F.min(F.when(F.col("cum") >= F.ceil(F.col("n") * 0.95), F.col("norm_micro")))
+        .cast("long").alias("p95_norm_micro"),
+    )
+    return stats.crossJoin(pcts)
+
+
+O_EMBEDDING_AUDIT = """
+with e as (
+  select vec_id, embedding::DOUBLE[] as v from embeddings
+),
+b as (
+  select vec_id, len(v) as dim,
+    case when exists (select 1 from unnest(v) as u(x) where isnan(x)) then 1 else 0 end as has_nan,
+    cast(floor(sqrt(list_dot_product(v, v)) * 1000000.0 + 0.5) as bigint) as norm_micro
+  from e
+),
+stats as (
+  select cast(count(*) as bigint) as n_vectors,
+    cast(count(distinct dim) as bigint) as n_dims,
+    cast(sum(has_nan) as bigint) as n_nan_vectors,
+    cast(sum(case when norm_micro = 0 then 1 else 0 end) as bigint) as n_zero_vectors
+  from b
+),
+g as (select norm_micro, count(*) as cnt from b group by norm_micro),
+c as (
+  select norm_micro,
+    sum(cnt) over (order by norm_micro rows between unbounded preceding and current row) as cum,
+    sum(cnt) over () as n
+  from g
+),
+p as (
+  select
+    cast(min(case when cum >= ceil(n * 0.5) then norm_micro end) as bigint) as p50_norm_micro,
+    cast(min(case when cum >= ceil(n * 0.95) then norm_micro end) as bigint) as p95_norm_micro
+  from c
+)
+select stats.*, p.* from stats, p
+"""
+
+QUERIES["embedding_audit"] = q_embedding_audit
+ORACLES["embedding_audit"] = O_EMBEDDING_AUDIT
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]
