@@ -685,6 +685,19 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.operators import lifecycle as lc
+
+    tv2 = t.withColumn("value", F.char_length("text").cast("double"))
+    sections.append(summarize(
+        "Tool value attribution (first/last/linear touch)",
+        lc.tool_attribution(tv2, CFG),
+        "ONE ascending window sort (is_last = rk == max(rk) over the key "
+        "partition — no second descending sort); exact integer cents; "
+        "linear split by integer div; joins are key-equi on conv_id.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
