@@ -105,29 +105,23 @@ def dbscan_from_pairs(
     )
 
 
-def banded_neighbor_pairs(
+def banded_candidate_pairs(
     e: DataFrame,
-    eps_micro: int,
     n_bands: int = 16,
     planes_per_band: int = 4,
     seed: int = 7,
     dim: int = 64,
 ) -> DataFrame:
-    """True eps-neighbor pairs from BANDED hyperplane LSH: band k hashes
-    every vector with its own ``planes_per_band`` hyperplanes
-    (seed + k); a pair is a candidate if ANY band agrees — the classic
-    OR-of-ANDs LSH amplification (exactly the minhash banding trick, on
-    the sign hash). For agreement probability p per plane, candidate
-    recall is 1-(1-p^r)^b: at cosine 0.35 (p = 0.61), a single 8-plane
-    band catches 2% of true pairs; 16 bands x 4 planes catch 91%
-    (dbscan_recall measures this exactly). Candidates then pass the EXACT
-    integer quantized-distance predicate, so precision is 1.0 — banding
-    only affects recall.
+    """CANDIDATE pairs (id_a < id_b, deduped) from banded hyperplane LSH:
+    band k hashes every vector with its own ``planes_per_band``
+    hyperplanes (seed + k); a pair is a candidate if ANY band agrees —
+    the classic OR-of-ANDs LSH amplification (exactly the minhash banding
+    trick, on the sign hash). For agreement probability p per plane,
+    candidate recall is 1-(1-p^r)^b.
 
     ``e`` carries (id, v). Scale shape: one melted (id, band, bucket)
-    frame, one equi-join on (band, bucket), a pair-key dedup groupBy, and
-    one id-keyed join to fetch vectors for the exact check — ids shuffle,
-    vectors ride equi-joins, no CartesianProduct ever."""
+    frame, one equi-join on (band, bucket), a pair-key dedup groupBy —
+    ids shuffle, no CartesianProduct ever."""
     from .similarity import hyperplane_signs
 
     bands = []
@@ -141,12 +135,35 @@ def banded_neighbor_pairs(
     melted = e.select(
         "id", F.explode(F.array(*bands)).alias("m")
     ).select("id", F.col("m.band").alias("band"), F.col("m.bk").alias("bk"))
-    cand = (
+    return (
         melted.alias("a")
         .join(melted.alias("c"), ["band", "bk"])
         .filter(F.col("a.id") < F.col("c.id"))
         .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
         .distinct()
+    )
+
+
+def banded_neighbor_pairs(
+    e: DataFrame,
+    eps_micro: int,
+    n_bands: int = 16,
+    planes_per_band: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """True eps-neighbor pairs from banded hyperplane LSH: the
+    ``banded_candidate_pairs`` graph filtered by the EXACT integer
+    quantized-distance predicate, so precision is 1.0 — banding only
+    affects recall (at cosine 0.35, p = 0.61 per plane: a single 8-plane
+    band catches 2% of true pairs; 16 bands x 4 planes catch 91% —
+    dbscan_recall measures this exactly).
+
+    Scale shape: the candidate bucket join plus one id-keyed join to
+    fetch vectors for the exact check — vectors ride equi-joins, no
+    CartesianProduct ever."""
+    cand = banded_candidate_pairs(
+        e, n_bands=n_bands, planes_per_band=planes_per_band, seed=seed, dim=dim
     )
     va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
@@ -159,6 +176,69 @@ def banded_neighbor_pairs(
         )
         .select("id_a", "id_b")
     )
+
+
+def exact_eps_pairs(e: DataFrame, eps_micro: int, method: str = "gemm") -> DataFrame:
+    """ALL true eps-neighbor pairs (id_a < id_b) by brute force — the
+    sampled-truth baseline behind ``neighbor_recall``. Quadratic IN THE
+    INPUT, so callers pass a bounded sample (the meter's cost is set by
+    the sample size, independent of corpus size), never the corpus.
+
+    ``method="gemm"``: collect the (sampled) quantized matrix as a
+    broadcast index (the similarity.py brute-force pattern) and evaluate
+    the integer squared L2 distance blockwise with one float64 BLAS GEMM
+    per Arrow batch inside ``mapInPandas``. BIT-EXACT equivalence with the
+    int64 HOF sum: lanes quantize to |q| <= ~1e6, so every lane product
+    (<= ~1e12), every GEMM partial sum (<= ~6.4e13 at dim 64), and the
+    final d2 (<= ~2.6e14) is an integer below 2^53 — exactly
+    representable in float64, so BLAS blocking/FMA order cannot change
+    the result.
+
+    ``method="join"``: the fully declarative crossJoin + zip_with twin
+    (no driver collect), kept as the reference plan and for corpora too
+    wide to broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    lim = int(eps_micro) * int(eps_micro)
+    if method == "join":
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        c = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        return (
+            a.crossJoin(c)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(quantized_sq_dist(F.col("va"), F.col("vb")) <= F.lit(lim))
+            .select("id_a", "id_b")
+        )
+
+    rows = e.select("id", "v").collect()
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.floor(
+        np.array([list(r[1]) for r in rows], dtype=np.float64) * 1e6 + 0.5
+    )
+    msq = (M * M).sum(axis=1)
+    spark = e.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_m = spark.sparkContext.broadcast(M)
+    b_msq = spark.sparkContext.broadcast(msq)
+
+    def gen(batches):
+        ids_all, X, xsq = b_ids.value, b_m.value, b_msq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf["id"].to_numpy(dtype=np.int64)
+            Q = np.floor(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                * 1e6 + 0.5
+            )
+            d2 = (Q * Q).sum(axis=1)[:, None] + xsq[None, :] - 2.0 * (Q @ X.T)
+            mask = (d2 <= lim) & (qids[:, None] < ids_all[None, :])
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame({"id_a": qids[ai], "id_b": ids_all[bi]})
+
+    return e.mapInPandas(gen, schema="id_a long, id_b long")
 
 
 def dbscan_embeddings(
@@ -224,8 +304,11 @@ def neighbor_recall(
     all-integer row.
 
     Scale: brute-force truth is quadratic IN THE SAMPLE only (its cost is
-    set by sample_buckets, independent of corpus size); both LSH sides are
-    production bucket joins."""
+    set by sample_buckets, independent of corpus size) and evaluated as
+    one GEMM (exact_eps_pairs); both LSH sides are production bucket
+    joins, and because the exact-filtered LSH pair set IS candidates ∩
+    truth, the meter needs no per-candidate distance pass at all — the
+    two intersections are plain pair-key joins."""
     from ..functions.corpus import md5_bucket
 
     e = emb.select(
@@ -233,22 +316,15 @@ def neighbor_recall(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).filter(md5_bucket("id", sample_buckets) == 0)
 
-    lim = F.lit(int(eps_micro) * int(eps_micro))
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    c = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    exact = (
-        a.crossJoin(c)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(quantized_sq_dist(F.col("va"), F.col("vb")) <= lim)
-        .select("id_a", "id_b")
-    )
+    exact = exact_eps_pairs(e, eps_micro)
 
-    single = banded_neighbor_pairs(
-        e, eps_micro, n_bands=1, planes_per_band=8, seed=seed, dim=dim
-    )
-    banded = banded_neighbor_pairs(
-        e, eps_micro, n_bands=16, planes_per_band=4, seed=seed, dim=dim
-    )
+    keys = ["id_a", "id_b"]
+    single = banded_candidate_pairs(
+        e, n_bands=1, planes_per_band=8, seed=seed, dim=dim
+    ).join(exact, keys)
+    banded = banded_candidate_pairs(
+        e, n_bands=16, planes_per_band=4, seed=seed, dim=dim
+    ).join(exact, keys)
 
     j = (
         exact.withColumn("_e", F.lit(1))
