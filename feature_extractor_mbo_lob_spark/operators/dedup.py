@@ -927,3 +927,99 @@ def ngram_containment_pairs(
         .select("id_a", "id_b", "containment_ab_ppm", "containment_ba_ppm")
     )
     return out
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_pct: int = 60,
+) -> DataFrame:
+    """EXACT set-similarity join (PPJoin-style prefix filtering): every
+    pair of documents whose word-set Jaccard >= threshold_pct/100, with no
+    false negatives — the exact complement to the probabilistic MinHash /
+    SimHash families (whose recall dbscan_recall-style meters must
+    measure; this operator's recall is 1.0 by construction).
+
+    Prefix-filter lemma (lossless): sort every document's distinct-word
+    set by one GLOBAL total order (corpus frequency asc, word asc — rarest
+    first, the candidate-minimizing order; correctness holds for ANY total
+    order). J(A,B) >= t implies |A∩B| >= ceil(t·|A|) and >= ceil(t·|B|)
+    (since J <= |A∩B|/max(|A|,|B|)), and the smallest common token w.r.t.
+    the global order must sit within the first |D| - ceil(t·|D|) + 1
+    tokens of BOTH documents — so the per-document prefixes of that length
+    share a token for every true pair. Candidates additionally pass the
+    length filter 100·min(m_a,m_b) >= pct·max(m_a,m_b).
+
+    All decisions are integer: ceil(t·m) = (pct·m + 99) div 100 and the
+    final check is 100·inter >= pct·(m_a + m_b − inter); jaccard_ppm is an
+    integer floor quotient — nothing float crosses engines.
+
+    Scale shape: one vocab-sized frequency groupBy (the (cnt, word) tuple
+    IS the total order — no global dense rank, so no single-task window),
+    one per-document sort (window within doc), a prefix-token equi
+    self-join (postings on RARE tokens only — the point of the frequency
+    order), and one
+    candidate-keyed join back to the distinct-token arrays for the exact
+    array_intersect verify. Never a CartesianProduct; candidate volume is
+    governed by the rare-token postings, the standard web-scale behavior
+    of PPJoin (Xiao et al., WWW'08 — public algorithm).
+    """
+    from ..functions.repetition import normalized_words
+
+    pct = int(threshold_pct)
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(normalized_words(text_col))).alias("word"),
+    )
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tl = tok.join(freq, "word")
+    # the global total order is the (cnt, word) tuple itself — no dense
+    # global rank (which would be a single-task window) is ever needed;
+    # the only sort is per-document
+    wd = Window.partitionBy("id")
+    tl = tl.select(
+        "id", "word",
+        F.row_number().over(wd.orderBy(F.asc("cnt"), F.asc("word"))).alias("pos"),
+        F.count(F.lit(1)).over(wd).alias("m"),
+    )
+    # prefix length = m - ceil(pct*m/100) + 1
+    pre = tl.filter(
+        F.col("pos") <= F.col("m") - F.expr(f"({pct} * m + 99) div 100") + 1
+    ).select("id", "word", "m")
+
+    cand = (
+        pre.alias("a")
+        .join(pre.alias("b"), "word")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            F.lit(100) * F.least(F.col("a.m"), F.col("b.m"))
+            >= F.lit(pct) * F.greatest(F.col("a.m"), F.col("b.m"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(normalized_words(text_col)).alias("tw"),
+    )
+    out = (
+        cand.join(
+            toks.select(F.col("id").alias("id_a"), F.col("tw").alias("ta")), "id_a"
+        )
+        .join(
+            toks.select(F.col("id").alias("id_b"), F.col("tw").alias("tb")), "id_b"
+        )
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")).cast("long"))
+        .withColumn(
+            "union_sz",
+            (F.size("ta") + F.size("tb")).cast("long") - F.col("inter"),
+        )
+        .filter(F.lit(100) * F.col("inter") >= F.lit(pct) * F.col("union_sz"))
+        .select(
+            "id_a", "id_b", "inter", "union_sz",
+            F.expr("inter * 1000000 div union_sz").cast("long").alias("jaccard_ppm"),
+        )
+    )
+    return out

@@ -420,3 +420,49 @@ def with_holt(df: DataFrame, cfg: PipelineConfig, col: str,
         return pd.concat(parts, ignore_index=True)
 
     return bucketed.groupBy("_hwb").applyInPandas(fn, schema=schema)
+
+
+def with_trailing_rank(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    col=None,
+    window_sizes: tuple[int, ...] = (8, 32, 128),
+) -> DataFrame:
+    """Trailing percentile-rank of the CURRENT turn's value within its own
+    last-w history — the leakage-safe "how unusual is this turn vs its
+    recent past" feature (rank features are scale-free and drift-robust;
+    computing them against the TRAILING window is what keeps them
+    point-in-time correct — a global or centered rank reads the future).
+
+    Exact integer semantics (no interpolation, engine-identical):
+        n        = rows in the trailing window (w-1 preceding .. current)
+        cnt_le   = window values <= current value (the current row counts
+                   itself, so cnt_le >= 1; ties all count — the weak rank)
+        rank_ppm = (cnt_le - 1) * 1e6 div (n - 1)    [0 when n = 1]
+    0 ppm = strict window minimum, 1e6 ppm = weak window maximum.
+
+    Plan shape: every window size shares ONE partition-sort (same spec as
+    the rolling family); each rank is a collect_list frame plus a JVM
+    higher-order filter/size and an integer div — no Python stage. Per-row
+    cost is O(w), the native order-stats class; a bulk-throughput twin
+    belongs in the vectorized kernel via the identical sliding comparison.
+    """
+    x = (col if col is not None else F.length("text")).cast("long")
+    w = Window.partitionBy(cfg.key_col).orderBy(*cfg.order_cols)
+    d = df.withColumn("_rrv", x)
+    wv_cols = [
+        F.collect_list("_rrv").over(w.rowsBetween(-(ws - 1), 0)).alias(f"_wv{ws}")
+        for ws in window_sizes
+    ]
+    d = d.select("*", *wv_cols)
+    rank_exprs = [
+        F.expr(
+            f"case when size(_wv{ws}) > 1 then "
+            f"(size(filter(_wv{ws}, v -> v <= _rrv)) - 1) * 1000000 "
+            f"div (size(_wv{ws}) - 1) else 0 end"
+        ).cast("long").alias(f"rank_ppm_w{ws}")
+        for ws in window_sizes
+    ]
+    return d.select(
+        *[c for c in df.columns], *rank_exprs
+    )

@@ -379,3 +379,60 @@ def loop_stats(df: DataFrame, cfg: PipelineConfig, max_period: int = 3) -> DataF
         )
     out = d.groupBy(key).agg(*aggs)
     return out.withColumn("loop_flag", flag)
+
+
+def conv_changepoint(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    col=None,
+) -> DataFrame:
+    """Single most-likely level-shift point per conversation — the CUSUM
+    changepoint estimator, kept ENTIRELY in integers.
+
+    The classic statistic argmax_k |S_k − (k/n)·S_n| (how far the running
+    sum strays from the uniform-pacing line) is scaled by n so no division
+    ever happens: stat_k = |n·S_k − k·S_n| for k = 1..n−1 (k = left-segment
+    length). Ties break to the SMALLEST k; conversations with fewer than 2
+    turns are dropped. Magnitude bound: n·S_k <= n²·max(x) — int64-safe to
+    ~3e9-turn conversations at x <= 1e3 (far beyond any real transcript;
+    the skew router chunks long before that).
+
+    Emits (conv_id, cp_k, cp_stat, n_turns): cp_k is the left-segment
+    length, i.e. the change happens ENTERING turn_idx = cp_k.
+
+    Scale shape: one per-conversation window cascade (cumsum + total share
+    one partition spec) and one groupBy argmax via max(struct(stat, −k)) —
+    a single shuffle each, no global sort, no iteration. Companion to
+    with_cusum (the streaming alarm): the alarm says "drifting", this
+    says WHERE the level shifted (ref analog: regime boundaries in
+    src/features/time_regime.rs).
+    """
+    x = (col if col is not None else F.length("text")).cast("long")
+    key = cfg.key_col
+    w = Window.partitionBy(key).orderBy(*cfg.order_cols)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy(key)
+    d = df.select(
+        F.col(key),
+        F.row_number().over(w).alias("_k"),
+        F.sum(x).over(cum).alias("_sk"),
+        F.sum(x).over(tot).alias("_sn"),
+        F.count(F.lit(1)).over(tot).alias("_n"),
+    ).filter((F.col("_k") < F.col("_n")) & (F.col("_n") >= 2))
+    stat = F.abs(F.col("_n") * F.col("_sk") - F.col("_k") * F.col("_sn"))
+    best = (
+        d.select(
+            key,
+            F.struct(
+                stat.alias("s"), (-F.col("_k")).alias("nk"), F.col("_n").alias("n")
+            ).alias("_c"),
+        )
+        .groupBy(key)
+        .agg(F.max("_c").alias("_c"))
+    )
+    return best.select(
+        key,
+        (-F.col("_c.nk")).cast("long").alias("cp_k"),
+        F.col("_c.s").cast("long").alias("cp_stat"),
+        F.col("_c.n").cast("long").alias("n_turns"),
+    )

@@ -11324,6 +11324,145 @@ QUERIES["embedding_audit"] = q_embedding_audit
 ORACLES["embedding_audit"] = O_EMBEDDING_AUDIT
 
 
+# --- exact set-similarity join (PPJoin prefix filter) -------------------------------
+
+def q_ppjoin_pairs(spark, sf_dir):
+    """EXACT Jaccard >= 0.8 similarity join via lossless prefix filtering
+    (operators/dedup.ppjoin_pairs): the deterministic complement to the
+    probabilistic MinHash/SimHash candidate generators — recall 1.0 by the
+    prefix-filter lemma, precision 1.0 by the exact integer verify. The
+    oracle is pure SEMANTICS (all co-occurring pairs, exact Jaccard) — it
+    never mirrors the algorithm, so it independently proves losslessness.
+    Run on a deterministic md5 quarter-sample of docs: the synthetic
+    corpus is template-heavy (7.1M true pairs at tau=0.6, sf0.1), and a
+    similarity JOIN's output is quadratic in cluster sizes by nature — the
+    sample bounds the certified result the way neighbor_recall bounds its
+    truth set, while the operator itself stays full-corpus."""
+    from ..functions.corpus import md5_bucket
+    from ..operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        md5_bucket("doc_id", 4) == 0
+    )
+    return dedup.ppjoin_pairs(docs, threshold_pct=80)
+
+
+O_PPJOIN_PAIRS = f"""
+with docs0 as (
+  select *, md5(cast(doc_id as varchar)) as h from documents
+),
+documents_s as (select * exclude (h) from docs0 where ({_HEX7}) % 4 = 0),
+{_WORDS_CTE.replace("from documents", "from documents_s")},
+tok as (select distinct doc_id, unnest(words) as word from w),
+m as (select doc_id, count(*) as m from tok group by 1),
+co as (select a.doc_id as id_a, b.doc_id as id_b,
+         cast(count(*) as bigint) as inter
+       from tok a join tok b on a.word = b.word and a.doc_id < b.doc_id
+       group by 1, 2),
+j as (select id_a, id_b, inter,
+        cast(ma.m + mb.m - inter as bigint) as union_sz
+      from co
+      join m ma on ma.doc_id = co.id_a
+      join m mb on mb.doc_id = co.id_b)
+select id_a, id_b, inter, union_sz,
+  cast(inter * 1000000 // union_sz as bigint) as jaccard_ppm
+from j where 100 * inter >= 80 * union_sz
+"""
+
+QUERIES["ppjoin_pairs"] = q_ppjoin_pairs
+ORACLES["ppjoin_pairs"] = O_PPJOIN_PAIRS
+
+
+# --- trailing percentile rank (PIT rank feature) -------------------------------------
+
+def q_rolling_rank(spark, sf_dir):
+    """Leakage-safe trailing percentile-rank of each turn's length within
+    its own last-8/32/128 history (operators/rolling.with_trailing_rank):
+    weak rank, exact integer ppm — (cnt_le − 1)·1e6 div (n − 1), 0 for a
+    1-row window. The rank-feature family every PIT training set wants,
+    with the same single partition-sort as the rolling block."""
+    from ..operators.rolling import with_trailing_rank
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = with_trailing_rank(t, CFG)
+    return out.select(
+        "conv_id", "turn_idx", "rank_ppm_w8", "rank_ppm_w32", "rank_ppm_w128"
+    )
+
+
+def _rolling_rank_oracle(window_sizes=(8, 32, 128)) -> str:
+    win = "partition by conv_id order by turn_idx, ts"
+    lists = ",\n    ".join(
+        f"list(x) over ({win} rows between {ws - 1} preceding and current row)"
+        f" as w{ws}"
+        for ws in window_sizes
+    )
+    ranks = ",\n  ".join(
+        f"cast(case when len(w{ws}) > 1 then"
+        f" (len(list_filter(w{ws}, v -> v <= x)) - 1) * 1000000"
+        f" // (len(w{ws}) - 1) else 0 end as bigint) as rank_ppm_w{ws}"
+        for ws in window_sizes
+    )
+    return f"""{_W},
+t as (select conv_id, turn_idx, ts, cast(length(text) as bigint) as x
+      from transcripts),
+v as (
+  select conv_id, turn_idx, x,
+    {lists}
+  from t
+)
+select conv_id, turn_idx,
+  {ranks}
+from v
+"""
+
+
+O_ROLLING_RANK = _rolling_rank_oracle()
+
+QUERIES["rolling_rank"] = q_rolling_rank
+ORACLES["rolling_rank"] = O_ROLLING_RANK
+
+
+# --- CUSUM changepoint locator --------------------------------------------------------
+
+def q_changepoint(spark, sf_dir):
+    """Per-conversation level-shift locator (operators/state.conv_changepoint):
+    argmax_k |n·S_k − k·S_n| over turn lengths, k = left-segment length,
+    ties to the smallest k — the division-free CUSUM changepoint. One
+    window cascade + one struct-argmax groupBy; companion to cusum_drift
+    (the running alarm says "drifting"; this says WHERE)."""
+    from ..operators.state import conv_changepoint
+
+    t = transcripts_from_events(spark, sf_dir)
+    return conv_changepoint(t, CFG)
+
+
+O_CHANGEPOINT = f"""{_W},
+t as (select conv_id, turn_idx, ts, cast(length(text) as bigint) as x
+      from transcripts),
+c as (
+  select conv_id,
+    row_number() over (partition by conv_id order by turn_idx, ts) as k,
+    sum(x) over (partition by conv_id order by turn_idx, ts
+                 rows between unbounded preceding and current row) as sk,
+    sum(x) over (partition by conv_id) as sn,
+    count(*) over (partition by conv_id) as n
+  from t
+),
+s as (select conv_id, k, abs(n * sk - k * sn) as stat, n
+      from c where k < n and n >= 2),
+r as (select conv_id, k, stat, n,
+        row_number() over (partition by conv_id order by stat desc, k asc) as rk
+      from s)
+select conv_id, cast(k as bigint) as cp_k, cast(stat as bigint) as cp_stat,
+  cast(n as bigint) as n_turns
+from r where rk = 1
+"""
+
+QUERIES["changepoint"] = q_changepoint
+ORACLES["changepoint"] = O_CHANGEPOINT
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -1,0 +1,205 @@
+"""Round-3 late additions: exact PPJoin similarity join, trailing
+percentile-rank PIT feature, CUSUM changepoint locator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_mbo_lob_spark import PipelineConfig
+from feature_extractor_mbo_lob_spark.operators.dedup import ppjoin_pairs
+from feature_extractor_mbo_lob_spark.operators.rolling import with_trailing_rank
+from feature_extractor_mbo_lob_spark.operators.state import conv_changepoint
+
+
+# --------------------------------------------------------------------------
+# ppjoin: losslessness vs brute force
+# --------------------------------------------------------------------------
+
+def _brute_force_pairs(spark, docs, pct):
+    """All Jaccard >= pct/100 pairs via the quadratic co-occurrence join —
+    the semantics, with no filtering cleverness to share bugs with."""
+    from feature_extractor_mbo_lob_spark.functions.repetition import (
+        normalized_words,
+    )
+
+    tok = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(normalized_words("text"))).alias("word"),
+    )
+    m = tok.groupBy("id").agg(F.count(F.lit(1)).alias("m"))
+    co = (
+        tok.alias("a")
+        .join(tok.alias("b"), "word")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    j = (
+        co.join(m.withColumnRenamed("id", "id_a").withColumnRenamed("m", "ma"), "id_a")
+        .join(m.withColumnRenamed("id", "id_b").withColumnRenamed("m", "mb"), "id_b")
+        .withColumn("union_sz", (F.col("ma") + F.col("mb") - F.col("inter")).cast("long"))
+        .filter(F.lit(100) * F.col("inter") >= F.lit(pct) * F.col("union_sz"))
+    )
+    return {
+        (r["id_a"], r["id_b"], r["inter"], r["union_sz"])
+        for r in j.select("id_a", "id_b", "inter", "union_sz").collect()
+    }
+
+
+@pytest.mark.parametrize("pct", [60, 90])
+def test_ppjoin_lossless_vs_brute_force(spark, pct):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["inter"], r["union_sz"])
+        for r in ppjoin_pairs(docs, threshold_pct=pct).collect()
+    }
+    want = _brute_force_pairs(spark, docs, pct)
+    assert got == want
+    assert len(got) > 0  # the corpus is template-heavy; emptiness = broken
+
+
+def test_ppjoin_handcrafted_semantics(spark):
+    rows = [
+        (1, "a b c d e"),          # vs 2: inter 4, union 6 -> 0.667
+        (2, "a b c d x"),
+        (3, "a b c d e"),          # identical to 1 -> J = 1.0
+        (4, "z y"),                # no qualifying partner
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["union_sz"], r["jaccard_ppm"])
+        for r in ppjoin_pairs(docs, threshold_pct=60).collect()
+    }
+    assert got[(1, 3)] == (5, 5, 1_000_000)
+    assert got[(1, 2)] == (4, 6, 666_666)
+    assert got[(2, 3)] == (4, 6, 666_666)
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+    # tau = 0.7 kills the 0.667 pairs but keeps the exact dup
+    got70 = {
+        (r["id_a"], r["id_b"]) for r in ppjoin_pairs(docs, threshold_pct=70).collect()
+    }
+    assert got70 == {(1, 3)}
+
+
+# --------------------------------------------------------------------------
+# trailing rank
+# --------------------------------------------------------------------------
+
+def test_trailing_rank_exact_semantics(spark):
+    # one conversation, values engineered for known ranks at w=4
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10, 20, 20, 5, 30]
+    rows = [
+        ("c1", i, "user", "x" * v, None, t0 + dt.timedelta(seconds=i))
+        for i, v in enumerate(vals)
+    ]
+    from feature_extractor_mbo_lob_spark.sources.transcripts import (
+        TRANSCRIPT_SCHEMA,
+    )
+
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    cfg = PipelineConfig()
+    out = with_trailing_rank(df, cfg, window_sizes=(4,))
+    got = {
+        r["turn_idx"]: r["rank_ppm_w4"]
+        for r in out.select("turn_idx", "rank_ppm_w4").collect()
+    }
+    # turn 0: window [10]            n=1 -> 0
+    # turn 1: [10,20]    cnt_le=2 -> (2-1)*1e6 div 1 = 1_000_000
+    # turn 2: [10,20,20] cnt_le=3 -> (3-1)*1e6 div 2 = 1_000_000 (weak max)
+    # turn 3: [10,20,20,5] cnt_le=1 -> 0 (strict min)
+    # turn 4: [20,20,5,30] cnt_le=4 -> 1_000_000
+    assert got == {0: 0, 1: 1_000_000, 2: 1_000_000, 3: 0, 4: 1_000_000}
+
+
+def test_trailing_rank_is_pit_safe(spark, transcripts, cfg):
+    """Appending future turns must not change any existing turn's rank."""
+    out_full = with_trailing_rank(transcripts, cfg, window_sizes=(8,))
+    cut = transcripts.filter(F.col("turn_idx") <= 10)
+    out_cut = with_trailing_rank(cut, cfg, window_sizes=(8,))
+    full = {
+        (r["conv_id"], r["turn_idx"]): r["rank_ppm_w8"]
+        for r in out_full.filter(F.col("turn_idx") <= 10).collect()
+    }
+    cutv = {
+        (r["conv_id"], r["turn_idx"]): r["rank_ppm_w8"]
+        for r in out_cut.collect()
+    }
+    assert full == cutv
+
+
+# --------------------------------------------------------------------------
+# changepoint
+# --------------------------------------------------------------------------
+
+def _naive_changepoint(xs):
+    n = len(xs)
+    sn = sum(xs)
+    best = None
+    for k in range(1, n):
+        sk = sum(xs[:k])
+        stat = abs(n * sk - k * sn)
+        if best is None or stat > best[1]:
+            best = (k, stat)
+    return best
+
+
+def test_changepoint_level_shift(spark):
+    from feature_extractor_mbo_lob_spark.sources.transcripts import (
+        TRANSCRIPT_SCHEMA,
+    )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # 6 short turns then 6 long turns: the shift enters at k = 6
+    vals = [10] * 6 + [100] * 6
+    rows = [
+        ("c1", i, "user", "x" * v, None, t0 + dt.timedelta(seconds=i))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    r = conv_changepoint(df, PipelineConfig()).first()
+    k, stat = _naive_changepoint(vals)
+    assert (r["cp_k"], r["cp_stat"], r["n_turns"]) == (k, stat, 12)
+    assert r["cp_k"] == 6
+
+
+def test_changepoint_matches_naive_on_corpus(spark, transcripts, cfg):
+    got = {
+        r["conv_id"]: (r["cp_k"], r["cp_stat"], r["n_turns"])
+        for r in conv_changepoint(transcripts, cfg).collect()
+    }
+    pdf = (
+        transcripts.select("conv_id", "turn_idx", "ts", F.length("text").alias("x"))
+        .orderBy("conv_id", "turn_idx", "ts")
+        .toPandas()
+    )
+    for conv, grp in pdf.groupby("conv_id"):
+        xs = list(grp["x"])
+        if len(xs) < 2:
+            assert conv not in got
+            continue
+        k, stat = _naive_changepoint(xs)
+        assert got[conv] == (k, stat, len(xs)), conv
+
+
+def test_changepoint_tie_takes_smallest_k(spark):
+    from feature_extractor_mbo_lob_spark.sources.transcripts import (
+        TRANSCRIPT_SCHEMA,
+    )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # constant series: every k has stat 0 -> smallest k = 1 wins
+    rows = [
+        ("c1", i, "user", "xxxx", None, t0 + dt.timedelta(seconds=i))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    r = conv_changepoint(df, PipelineConfig()).first()
+    assert (r["cp_k"], r["cp_stat"]) == (1, 0)
