@@ -1649,3 +1649,66 @@ def sft_pairs(
             "response_chars",
         )
     )
+
+
+def association_rules(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    item_col: str = "tool",
+    min_pair_groups: int = 1,
+) -> DataFrame:
+    """Market-basket association rules over (group, item) pairs — the
+    2-itemset core of Apriori/FP-growth, which is all most data-curation
+    questions need ("when tool a appears, how often does b?"). For every
+    DIRECTED pair (a, b), a != b, over the distinct item sets per group:
+
+        n_a            groups containing a
+        n_ab           groups containing both a and b
+        support_ppm    n_ab * 1e6 div N          (N = groups with any item)
+        confidence_ppm n_ab * 1e6 div n_a        (P(b | a))
+        lift_ppm       n_ab * N * 1e6 div (n_a * n_b)   (1e6 = independent)
+
+    All integer floor quotients — engine-exact. Scale shape: one distinct
+    (group, item) projection, one item-count aggregate, and a pair join
+    keyed by group that runs on each group's <= |items| distinct rows
+    (never on raw turns) followed by a pair-count aggregate — the same
+    bounded self-join discipline as tool_ordering_pairs. int64 bound:
+    n_ab * N * 1e6 needs N * n_ab < 9e12, i.e. fine to ~3e6 groups; past
+    that, compute lift on the (n_ab, n_a, n_b, N) columns downstream.
+    """
+    gi = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).filter(F.col("item").isNotNull()).distinct()
+    n_tot = gi.select("g").distinct().count()
+    cnt = gi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = gi.select("g", F.col("item").alias("item_a"))
+    b = gi.select("g", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_pair_groups))
+    )
+    out = (
+        pairs.join(
+            cnt.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a")),
+            "item_a",
+        )
+        .join(
+            cnt.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b")),
+            "item_b",
+        )
+        .withColumn("n_groups", F.lit(int(n_tot)).cast("long"))
+    )
+    return out.select(
+        "item_a", "item_b",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "n_groups",
+        F.expr("n_ab * 1000000 div n_groups").cast("long").alias("support_ppm"),
+        F.expr("n_ab * 1000000 div n_a").cast("long").alias("confidence_ppm"),
+        F.expr("n_ab * n_groups * 1000000 div (n_a * n_b)")
+        .cast("long").alias("lift_ppm"),
+    )

@@ -791,3 +791,86 @@ def random_projection(
     return emb.select(
         F.col(id_col), F.explode(F.array(*projs)).alias("p")
     ).select(id_col, F.col("p.j").alias("j"), F.col("p.proj_micro").alias("proj_micro"))
+
+
+def source_centroid_drift(
+    emb: DataFrame,
+    docs: DataFrame,
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    group_col: str = "source",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between document groups (sources, crawls,
+    time slices): per-group centroid in exact micro-units, then every
+    group pair's squared centroid L2 distance — the "did crawl N+1 move
+    the distribution" / "does source X live in its own region" audit a
+    multi-source corpus runs before mixing.
+
+    Engine-exact integers end to end: lanes micro-quantize (floor(x*1e6
+    + 0.5), int64 sums), each centroid lane is the TRUNCATED quotient
+    s div n — lane sums can be negative, and MEASURED on this container
+    both engines truncate toward zero (Spark `div` by definition; DuckDB
+    `//` gives -7 // 2 = -3, i.e. truncation too, despite floor-division
+    folklore — do not "fix" either side to floor). The pair distance is
+    an int64 sum of squared lane diffs (lanes <= 1e6 so d2 <=
+    dim * 4e12 — comfortable). No float crosses engines.
+
+    Scale shape: one equi join emb->docs on id, one posexplode + groupBy
+    (group, lane) for the lane sums (shuffle O(groups * dim), never
+    O(rows * dim) past the map-side combine), a groups*dim -> groups
+    array_agg, and a tiny centroid self-join (groups², groups is small
+    by definition). Lane order is pinned by sorting on lane index inside
+    a struct collect + array_sort — never collect_list order."""
+    j = emb.alias("e").join(
+        docs.select(F.col(doc_id_col).alias("_did"), F.col(group_col).alias("grp")),
+        F.col(f"e.{id_col}") == F.col("_did"),
+    )
+    lanes = j.select(
+        "grp",
+        F.posexplode(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"),
+            )
+        ).alias("lane", "q"),
+    )
+    sums = lanes.groupBy("grp", "lane").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = (
+        sums.select(
+            "grp", "n",
+            F.struct(
+                "lane", F.expr("s div n").cast("long").alias("c")
+            ).alias("lc"),
+        )
+        .groupBy("grp", "n")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("lc")), lambda st: st["c"]
+            ).alias("centroid")
+        )
+    )
+    a = cent.select(
+        F.col("grp").alias("group_a"), F.col("n").alias("n_a"),
+        F.col("centroid").alias("ca"),
+    )
+    b = cent.select(
+        F.col("grp").alias("group_b"), F.col("n").alias("n_b"),
+        F.col("centroid").alias("cb"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a", "group_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            d2.alias("centroid_d2_micro2"),
+        )
+    )

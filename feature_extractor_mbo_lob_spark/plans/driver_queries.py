@@ -11463,6 +11463,84 @@ QUERIES["changepoint"] = q_changepoint
 ORACLES["changepoint"] = O_CHANGEPOINT
 
 
+# --- association rules (market-basket 2-itemsets) ------------------------------------
+
+def q_tool_rules(spark, sf_dir):
+    """Market-basket association rules over per-conversation tool sets
+    (functions/corpus.association_rules — the 2-itemset Apriori core):
+    directed (a, b) support/confidence/lift in exact integer ppm. The
+    curation read: lift >> 1e6 = tools that travel together (bundle
+    their few-shot examples), confidence asymmetry = which tool is the
+    gateway. Complements tool_ordering_pairs (sequence) and tool_cousage
+    (counts) with the normalized rule measures."""
+    from ..functions.corpus import association_rules
+
+    t = transcripts_from_events(spark, sf_dir)
+    return association_rules(t, group_col="conv_id", item_col="tool")
+
+
+O_TOOL_RULES = f"""{_W},
+gi as (select distinct conv_id, tool from transcripts where tool is not null),
+nt as (select count(distinct conv_id) as n_groups from gi),
+cnt as (select tool, count(*) as n_item from gi group by 1),
+p as (select a.tool as item_a, b.tool as item_b, cast(count(*) as bigint) as n_ab
+      from gi a join gi b on a.conv_id = b.conv_id and a.tool <> b.tool
+      group by 1, 2)
+select item_a, item_b, n_ab,
+  cast(ca.n_item as bigint) as n_a,
+  cast(cb.n_item as bigint) as n_b,
+  cast(nt.n_groups as bigint) as n_groups,
+  cast(n_ab * 1000000 // nt.n_groups as bigint) as support_ppm,
+  cast(n_ab * 1000000 // ca.n_item as bigint) as confidence_ppm,
+  cast(n_ab * nt.n_groups * 1000000 // (ca.n_item * cb.n_item) as bigint)
+    as lift_ppm
+from p
+join cnt ca on ca.tool = p.item_a
+join cnt cb on cb.tool = p.item_b, nt
+"""
+
+QUERIES["tool_rules"] = q_tool_rules
+ORACLES["tool_rules"] = O_TOOL_RULES
+
+
+# --- embedding drift between sources --------------------------------------------------
+
+def q_embedding_drift(spark, sf_dir):
+    """Per-source embedding centroid drift (operators/similarity.
+    source_centroid_drift): exact integer micro-unit centroids (floor-div
+    corrected for negative lane sums) and pairwise squared centroid L2 —
+    the 'did this source/crawl move the distribution' audit run before
+    mixing corpora. Lane sums shuffle O(groups * dim), never O(rows)."""
+    from ..operators.similarity import source_centroid_drift
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_centroid_drift(emb, docs)
+
+
+O_EMBEDDING_DRIFT = """
+with e as (
+  select d.source as grp, generate_subscripts(em.v, 1) - 1 as lane,
+         cast(floor(unnest(em.v) * 1000000.0 + 0.5) as bigint) as q
+  from (select vec_id, embedding::DOUBLE[] as v from embeddings) em
+  join documents d on d.doc_id = em.vec_id
+),
+s as (select grp, lane, sum(q) as s, count(*) as n from e group by 1, 2),
+c as (select grp, lane, s // n as c, n from s),
+p as (select a.grp as group_a, b.grp as group_b,
+        max(a.n) as n_a, max(b.n) as n_b,
+        sum((a.c - b.c) * (a.c - b.c)) as d2
+      from c a join c b on a.lane = b.lane and a.grp < b.grp
+      group by 1, 2)
+select group_a, group_b, cast(n_a as bigint) as n_a, cast(n_b as bigint) as n_b,
+  cast(d2 as bigint) as centroid_d2_micro2
+from p
+"""
+
+QUERIES["embedding_drift"] = q_embedding_drift
+ORACLES["embedding_drift"] = O_EMBEDDING_DRIFT
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -203,3 +203,81 @@ def test_changepoint_tie_takes_smallest_k(spark):
     df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
     r = conv_changepoint(df, PipelineConfig()).first()
     assert (r["cp_k"], r["cp_stat"]) == (1, 0)
+
+
+# --------------------------------------------------------------------------
+# association rules
+# --------------------------------------------------------------------------
+
+def test_association_rules_handcrafted(spark):
+    from feature_extractor_mbo_lob_spark.functions.corpus import association_rules
+
+    rows = [
+        ("c1", "a"), ("c1", "b"),
+        ("c2", "a"), ("c2", "b"),
+        ("c3", "a"),
+        ("c4", "b"), ("c4", "a"),   # duplicate-free after distinct
+        ("c4", "b"),
+        ("c5", "c"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, tool string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(df).collect()
+    }
+    r = got[("a", "b")]
+    # N=5 groups; n_a=4, n_b=3, n_ab=3
+    assert (r["n_ab"], r["n_a"], r["n_b"], r["n_groups"]) == (3, 4, 3, 5)
+    assert r["support_ppm"] == 3 * 1_000_000 // 5
+    assert r["confidence_ppm"] == 3 * 1_000_000 // 4
+    assert r["lift_ppm"] == 3 * 5 * 1_000_000 // (4 * 3)
+    # reverse direction: confidence differs, lift is symmetric
+    rb = got[("b", "a")]
+    assert rb["confidence_ppm"] == 1_000_000
+    assert rb["lift_ppm"] == r["lift_ppm"]
+    # c co-occurs with nothing
+    assert ("c", "a") not in got and ("a", "c") not in got
+
+
+# --------------------------------------------------------------------------
+# embedding source drift
+# --------------------------------------------------------------------------
+
+def test_source_centroid_drift_naive_replica(spark):
+    import numpy as np
+    from feature_extractor_mbo_lob_spark.operators.similarity import (
+        source_centroid_drift,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["group_a"], r["group_b"]): (r["n_a"], r["n_b"], r["centroid_d2_micro2"])
+        for r in source_centroid_drift(emb, docs).collect()
+    }
+
+    epdf = emb.select("vec_id", "embedding").toPandas()
+    dpdf = docs.select("doc_id", "source").toPandas()
+    src = dict(zip(dpdf["doc_id"], dpdf["source"]))
+    groups = {}
+    for vid, v in zip(epdf["vec_id"], epdf["embedding"]):
+        g = src.get(vid)
+        if g is None:
+            continue
+        q = np.floor(np.asarray(v, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+        groups.setdefault(g, []).append(q)
+    cent = {}
+    for g, qs in groups.items():
+        s = np.sum(np.stack(qs), axis=0)
+        n = len(qs)
+        # truncation toward zero (both engines' div semantics)
+        c = (np.sign(s) * (np.abs(s) // n)).astype(np.int64)
+        cent[g] = (c, n)
+    names = sorted(cent)
+    want = {}
+    for i, ga in enumerate(names):
+        for gb in names[i + 1:]:
+            ca, na = cent[ga]
+            cb, nb = cent[gb]
+            want[(ga, gb)] = (na, nb, int(((ca - cb) ** 2).sum()))
+    assert got == want
