@@ -398,3 +398,69 @@ def isotonic_fit(
 
     schema = "conv_id string, turn_idx long, iso_num long, iso_den long"
     return bucketed.groupBy("_ib").applyInPandas(fn, schema=schema)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-group quantile normalization (the bioinformatics batch-effect
+    harmonizer, applied to corpus features): map each group's k-th order
+    statistic onto the POOLED distribution's same-quantile value, so every
+    group's feature distribution becomes the pooled one — the principled
+    way to mix per-crawl/per-source features whose scales drift.
+
+    Exact rank arithmetic, no interpolation, engine-identical:
+        rank_i  = row_number within (group, order by value, id)  [ties pinned]
+        n_g     = group size,  N = total rows
+        rt_i    = ceil(rank_i * N / n_g) = (rank_i*N + n_g − 1) div n_g
+        mapped  = the rt_i-th smallest value of the POOLED multiset
+    The pooled order statistic is looked up against per-distinct-value
+    cumulative counts — a groupBy(value) + a distinct-value-sized window
+    (the embedding_audit pattern: the only global sort is over DISTINCT
+    values, whose cardinality is feature-bounded, never a row-level sort)
+    — then a broadcast range join [prev_cum+1, cum] resolves each rt.
+
+    int64 bound: rank*N needs N² < 9e18 → fine to ~3e9 rows; shard or
+    switch the multiply to decimal(38) beyond.
+
+    Returns (id, group, value, value_qnorm).
+    """
+    v = F.col(value_col).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp"), v.alias("val")
+    )
+    n_total = base.count()
+
+    wg = Window.partitionBy("grp").orderBy("val", "id")
+    ranked = base.select(
+        "id", "grp", "val",
+        F.row_number().over(wg).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("ng"),
+    ).withColumn(
+        "rt",
+        F.expr(f"(rk * {n_total}L + ng - 1) div ng").cast("long"),
+    )
+
+    wv = Window.orderBy("tval")
+    vals = (
+        base.groupBy(F.col("val").alias("tval"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "tval",
+            F.sum("cnt").over(wv).alias("cum"),
+            (F.sum("cnt").over(wv) - F.col("cnt")).alias("cum_prev"),
+        )
+    )
+    mapped = ranked.join(
+        F.broadcast(vals),
+        (F.col("rt") > F.col("cum_prev")) & (F.col("rt") <= F.col("cum")),
+    )
+    return mapped.select(
+        F.col("id").alias(id_col),
+        F.col("grp").alias(group_col),
+        F.col("val").alias(value_col),
+        F.col("tval").cast("long").alias(f"{value_col}_qnorm"),
+    )

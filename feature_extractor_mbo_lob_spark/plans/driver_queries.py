@@ -11541,6 +11541,46 @@ QUERIES["embedding_drift"] = q_embedding_drift
 ORACLES["embedding_drift"] = O_EMBEDDING_DRIFT
 
 
+# --- cross-source quantile normalization ---------------------------------------------
+
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-source quantile normalization of n_chars
+    (normalization.quantile_normalize): each source's k-th order statistic
+    maps onto the pooled distribution's same-quantile value — the
+    batch-effect harmonizer for mixing per-crawl feature scales. Exact
+    rank arithmetic (ceil via (rk·N + ng − 1) div ng), pooled order
+    statistics resolved against distinct-value cumulative counts (the
+    embedding_audit pattern: the only global sort is over distinct
+    values) + a broadcast range join."""
+    from ..normalization import quantile_normalize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quantile_normalize(docs, "n_chars")
+
+
+O_QUANTILE_NORMALIZE = """
+with b as (select doc_id as id, source as grp, cast(n_chars as bigint) as val
+           from documents),
+nt as (select count(*) as n from b),
+r as (select id, grp, val,
+        row_number() over (partition by grp order by val, id) as rk,
+        count(*) over (partition by grp) as ng
+      from b),
+rt as (select id, grp, val, (rk * nt.n + ng - 1) // ng as rt from r, nt),
+v as (select val as tval, count(*) as cnt from b group by 1),
+c as (select tval,
+        sum(cnt) over (order by tval) as cum,
+        sum(cnt) over (order by tval) - cnt as cum_prev
+      from v)
+select rt.id as doc_id, rt.grp as source, rt.val as n_chars,
+  cast(c.tval as bigint) as n_chars_qnorm
+from rt join c on rt.rt > c.cum_prev and rt.rt <= c.cum
+"""
+
+QUERIES["quantile_normalize"] = q_quantile_normalize
+ORACLES["quantile_normalize"] = O_QUANTILE_NORMALIZE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -281,3 +281,38 @@ def test_source_centroid_drift_naive_replica(spark):
             cb, nb = cent[gb]
             want[(ga, gb)] = (na, nb, int(((ca - cb) ** 2).sum()))
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# quantile normalization
+# --------------------------------------------------------------------------
+
+def test_quantile_normalize_naive_replica(spark):
+    import math
+
+    from feature_extractor_mbo_lob_spark.normalization import quantile_normalize
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: (r["source"], r["n_chars"], r["n_chars_qnorm"])
+        for r in quantile_normalize(docs, "n_chars").collect()
+    }
+    pdf = docs.select("doc_id", "source", "n_chars").toPandas()
+    pooled = sorted(pdf["n_chars"])
+    N = len(pooled)
+    want = {}
+    for _, grp in pdf.groupby("source"):
+        rows = sorted(zip(grp["n_chars"], grp["doc_id"]))
+        ng = len(rows)
+        for rk, (val, did) in enumerate(rows, start=1):
+            rt = (rk * N + ng - 1) // ng
+            want[did] = (int(val), int(pooled[rt - 1]))
+    assert len(got) == len(want)
+    for did, (src, val, qn) in got.items():
+        assert (val, qn) == want[did], did
+    # invariants: every group's top rank maps to the global max; the
+    # pooled max is reproduced in every group
+    gmax = max(pooled)
+    for _, grp in pdf.groupby("source"):
+        top_doc = grp.sort_values(["n_chars", "doc_id"]).iloc[-1]["doc_id"]
+        assert got[top_doc][2] == gmax
