@@ -874,3 +874,70 @@ def source_centroid_drift(
             d2.alias("centroid_d2_micro2"),
         )
     )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) selection — THE coreset baseline
+    for training-data selection: pick the smallest-id point, then k−1
+    times the point FARTHEST from everything chosen so far (2-approx of
+    the optimal k-center cover; Gonzalez 1985, public algorithm). The
+    emitted radius curve (each pick's distance to the previous centers)
+    is the coverage diagnostic a curation pipeline reads to choose k.
+
+    Engine-exact: lanes micro-quantize (floor(x*1e6 + 0.5) int64), d2 is
+    the exact int64 squared L2, argmax ties break to the smallest id —
+    every pick is integer-determined.
+
+    Scale shape per round: ONE map over the corpus computing d2 to the
+    single newest center (a broadcast literal — 64 int64s), folded into
+    the running min via least(), then one struct-argmax aggregate. k
+    rounds = k linear passes, no pairwise join anywhere; the only driver
+    materialization is the 1-row argmax per round (k rows total). The
+    running min column rides a localCheckpoint so plans stay bounded.
+
+    Returns (step, vec_id, radius_d2) — step 1..k in pick order;
+    radius_d2 is the pick's min-distance to prior centers (0 for step 1).
+    """
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    base = emb.select(F.col(id_col).cast("long").alias("id"), q.alias("q"))
+    base = base.localCheckpoint(eager=True)
+
+    first = base.select(F.min("id").alias("id")).first()["id"]
+    center_vec = base.filter(F.col("id") == first).first()["q"]
+    picks = [(1, first, 0)]
+
+    def d2_to(vec):
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in vec])
+        return F.aggregate(
+            F.zip_with("q", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cur = base.select("id", "q", d2_to(center_vec).alias("mind2"))
+    for step in range(2, int(k) + 1):
+        cur = cur.localCheckpoint(eager=True)
+        top = (
+            cur.select(F.max(F.struct(F.col("mind2"), (-F.col("id")).alias("nid"))).alias("m"))
+            .select(F.col("m.mind2").alias("d2"), (-F.col("m.nid")).alias("id"))
+            .first()
+        )
+        picks.append((step, top["id"], top["d2"]))
+        center_vec = base.filter(F.col("id") == top["id"]).first()["q"]
+        cur = cur.select(
+            "id", "q", F.least("mind2", d2_to(center_vec)).alias("mind2")
+        )
+
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(int(s), int(i), int(d)) for s, i, d in picks],
+        "step long, vec_id long, radius_d2 long",
+    )

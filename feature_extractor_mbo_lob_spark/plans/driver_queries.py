@@ -11581,6 +11581,58 @@ QUERIES["quantile_normalize"] = q_quantile_normalize
 ORACLES["quantile_normalize"] = O_QUANTILE_NORMALIZE
 
 
+# --- greedy k-center selection (coreset) ----------------------------------------------
+
+def q_kcenter(spark, sf_dir):
+    """Greedy k-center / farthest-point data selection
+    (operators/similarity.kcenter_select, Gonzalez 2-approx): 5 picks over
+    the embedding table with the radius (coverage) curve. Every pick is
+    integer-determined (exact micro-quantized d2, smallest-id ties); the
+    oracle unrolls the same greedy loop as chained CTEs — an iterative
+    algorithm certified end-to-end, like the CC family."""
+    from ..operators.similarity import kcenter_select
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kcenter_select(emb, k=5)
+
+
+def _kcenter_oracle(k: int = 5) -> str:
+    parts = ["""
+l as (
+  select vec_id as id, generate_subscripts(v, 1) as i,
+         cast(floor(unnest(v) * 1000000.0 + 0.5) as bigint) as x
+  from (select vec_id, embedding::DOUBLE[] as v from embeddings)
+),
+ids as (select distinct id from l),
+c1 as (select min(id) as id from ids),
+cl1 as (select l.i, l.x from l join c1 on l.id = c1.id),
+m1 as (select l.id, sum((l.x - cl1.x) * (l.x - cl1.x)) as mind2
+       from l join cl1 on cl1.i = l.i group by l.id)"""]
+    for s in range(2, k + 1):
+        prev = f"m{s - 1}"
+        parts.append(f""",
+p{s} as (select id, mind2 from {prev} order by mind2 desc, id asc limit 1),
+cl{s} as (select l.i, l.x from l join p{s} on l.id = p{s}.id),
+d{s} as (select l.id, sum((l.x - cl{s}.x) * (l.x - cl{s}.x)) as d2
+         from l join cl{s} on cl{s}.i = l.i group by l.id),
+m{s} as (select {prev}.id, least({prev}.mind2, d{s}.d2) as mind2
+         from {prev} join d{s} on d{s}.id = {prev}.id)""")
+    unions = [
+        "select 1 as step, c1.id as vec_id, cast(0 as bigint) as radius_d2 from c1"
+    ]
+    for s in range(2, k + 1):
+        unions.append(
+            f"select {s}, p{s}.id, cast(p{s}.mind2 as bigint) from p{s}"
+        )
+    return "with " + "".join(parts) + "\n" + "\nunion all\n".join(unions)
+
+
+O_KCENTER = _kcenter_oracle()
+
+QUERIES["kcenter_select"] = q_kcenter
+ORACLES["kcenter_select"] = O_KCENTER
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -316,3 +316,39 @@ def test_quantile_normalize_naive_replica(spark):
     for _, grp in pdf.groupby("source"):
         top_doc = grp.sort_values(["n_chars", "doc_id"]).iloc[-1]["doc_id"]
         assert got[top_doc][2] == gmax
+
+
+# --------------------------------------------------------------------------
+# greedy k-center
+# --------------------------------------------------------------------------
+
+def test_kcenter_matches_naive_greedy(spark):
+    import numpy as np
+    from feature_extractor_mbo_lob_spark.operators.similarity import kcenter_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [
+        (r["step"], r["vec_id"], r["radius_d2"])
+        for r in kcenter_select(emb, k=5).orderBy("step").collect()
+    ]
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    Q = np.floor(
+        np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])[order]
+        * 1e6 + 0.5
+    ).astype(np.int64)
+    chosen = [0]  # index of min id
+    mind2 = ((Q - Q[0]) ** 2).sum(axis=1)
+    want = [(1, int(ids[0]), 0)]
+    for step in range(2, 6):
+        # argmax with smallest-id tie (ids sorted asc, so first argmax wins)
+        j = int(np.argmax(mind2))
+        want.append((step, int(ids[j]), int(mind2[j])))
+        mind2 = np.minimum(mind2, ((Q - Q[j]) ** 2).sum(axis=1))
+    assert got == want
+    # radii must be non-increasing from step 2 on (greedy invariant)
+    radii = [r for s, _, r in got if s >= 2]
+    assert radii == sorted(radii, reverse=True)
