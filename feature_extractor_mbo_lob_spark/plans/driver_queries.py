@@ -5420,7 +5420,12 @@ _CERTIFIED_FIRST = [
     # so the displaced asof_join_tolerance stays green in the full sweep.
     "streaming_sessions", "streaming_state", "asof_join_nearest",
     "pit_training_set", "ewma", "time_windows", "dpo_pairs",
-    "media_features", "ivf_topk_sharded",
+    # rolling_rank is the north-rule PIT rank feature (trailing
+    # percentile-rank of the current turn vs its own history); it takes
+    # the slot of ivf_topk_sharded, whose skew-subsharding variant stays
+    # green in the full sweep while the IVF family remains certified via
+    # ivf_topk.
+    "media_features", "rolling_rank",
 ]
 
 
