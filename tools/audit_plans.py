@@ -698,6 +698,55 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sections.append(summarize(
+        "PPJoin exact similarity join (lossless prefix filter)",
+        dd.ppjoin_pairs(docs, threshold_pct=80),
+        "Candidate generation is a prefix-token equi self-join (postings "
+        "on RARE tokens — the frequency-tuple order needs no global rank "
+        "window); the verify joins candidate ids back to distinct-token "
+        "arrays. No all-pairs node anywhere; zero Python stages.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    from feature_extractor_mbo_lob_spark.normalization import quantile_normalize
+
+    sections.append(summarize(
+        "Cross-source quantile normalization",
+        quantile_normalize(docs, "n_chars"),
+        "Rank arithmetic per source (one partitioned window); the only "
+        "global sort is over DISTINCT values (feature-cardinality-bounded); "
+        "pooled order statistics resolve via a BROADCAST range join — the "
+        "BroadcastNestedLoop below is that intended broadcast range "
+        "lookup against the tiny distinct-value table, never a data-sized "
+        "cartesian.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    from feature_extractor_mbo_lob_spark.operators import rolling as rl
+
+    sections.append(summarize(
+        "Trailing percentile rank (PIT rank features, w=8/32/128)",
+        rl.with_trailing_rank(t, CFG),
+        "All three window sizes share ONE conv-keyed sort; ranks are JVM "
+        "higher-order filter/size over collect_list frames plus integer "
+        "div — zero Python stages, zero joins.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "CUSUM changepoint locator",
+        st.conv_changepoint(t, CFG),
+        "One window cascade (cumsum + totals share the conv partition "
+        "spec) and one struct-argmax grouped aggregate — two exchanges "
+        "total, all integers.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
