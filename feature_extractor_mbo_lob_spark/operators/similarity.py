@@ -910,6 +910,8 @@ def kcenter_select(
     base = emb.select(F.col(id_col).cast("long").alias("id"), q.alias("q"))
     base = base.localCheckpoint(eager=True)
 
+    # k > n would re-pick covered points (their min-distance is 0) — clamp
+    k = min(int(k), base.count())
     first = base.select(F.min("id").alias("id")).first()["id"]
     center_vec = base.filter(F.col("id") == first).first()["q"]
     picks = [(1, first, 0)]

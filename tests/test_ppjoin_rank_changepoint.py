@@ -352,3 +352,14 @@ def test_kcenter_matches_naive_greedy(spark):
     # radii must be non-increasing from step 2 on (greedy invariant)
     radii = [r for s, _, r in got if s >= 2]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_k_exceeding_corpus_clamps(spark):
+    from feature_extractor_mbo_lob_spark.operators.similarity import kcenter_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id < 3"
+    )
+    rows = kcenter_select(emb, k=10).collect()
+    assert len(rows) == 3
+    assert len({r["vec_id"] for r in rows}) == 3  # no duplicate picks
