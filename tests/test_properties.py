@@ -161,3 +161,61 @@ def test_order_stats_percentiles_match_naive(xs, w):
             hi = min(lo + 1, m - 1)
             want = frame[lo] + frac * (frame[hi] - frame[lo])
             assert abs(got[key][i] - want) < 1e-9 * max(1.0, abs(want))
+
+
+# --------------------------------------------------------------------------
+# PPJoin prefix-filter lemma (the math operators/dedup.ppjoin_pairs rests on)
+# --------------------------------------------------------------------------
+
+@given(
+    st.data(),
+    st.integers(min_value=50, max_value=95),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_lemma(data, pct):
+    """For ANY global total order and any two sets with Jaccard >= pct/100,
+    the per-set prefixes of length m - ceil(pct*m/100) + 1 (sorted by that
+    order) must share a token — the losslessness guarantee ppjoin_pairs'
+    candidate join depends on."""
+    universe = list(range(30))
+    order = data.draw(st.permutations(universe))
+    rank = {t: i for i, t in enumerate(order)}
+    a = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=20))
+    b = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=20))
+    inter = len(a & b)
+    union = len(a | b)
+    if 100 * inter < pct * union:
+        return  # not a qualifying pair; lemma says nothing
+    def prefix(s):
+        m = len(s)
+        alpha = (pct * m + 99) // 100  # ceil(pct*m/100)
+        p = m - alpha + 1
+        return set(sorted(s, key=lambda t: rank[t])[:p])
+    assert prefix(a) & prefix(b), (sorted(a), sorted(b), pct)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=2, max_size=60)
+)
+@settings(max_examples=200, deadline=None)
+def test_changepoint_statistic_properties(xs):
+    """The division-free CUSUM statistic |n*Sk - k*Sn| (operators/state.
+    conv_changepoint) equals n*(n-k)*k times nothing fancier than the
+    mean-gap: it must be 0 for constant series at every k, symmetric under
+    reversal (the argmax k maps to n - k'), and the argmax of the naive
+    float form |Sk - (k/n)*Sn| at the same k."""
+    n = len(xs)
+    sn = sum(xs)
+    stats = [abs(n * sum(xs[:k]) - k * sn) for k in range(1, n)]
+    if len(set(xs)) == 1:
+        assert all(s == 0 for s in stats)
+    # scaled form agrees with the float CUSUM statistic argmax set
+    float_stats = [abs(sum(xs[:k]) - k * sn / n) for k in range(1, n)]
+    best_int = {k for k, s in enumerate(stats) if s == max(stats)}
+    best_float = {k for k, s in enumerate(float_stats)
+                  if abs(s - max(float_stats)) < 1e-9}
+    assert best_int == best_float
+    # reversal symmetry of the statistic sequence
+    ys = xs[::-1]
+    rstats = [abs(n * sum(ys[:k]) - k * sn) for k in range(1, n)]
+    assert stats == rstats[::-1]
