@@ -61,3 +61,31 @@ def test_spark_submit_pyfiles_roundtrip(tmp_path):
     # resume: manifests match config + input fingerprint -> nothing recomputed
     second = submit()
     assert second["written_buckets"] == 0 and second["skipped_buckets"] == 2
+
+
+def test_profile_corpus_job_cli(tmp_path):
+    """jobs/profile_corpus.py end-to-end: one-command data-quality report."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out = tmp_path / "report.json"
+    proc = subprocess.run(
+        [sys.executable, str(repo / "jobs" / "profile_corpus.py"),
+         "--input", "/root/testdata/sf0.001", "--out", str(out)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(out.read_text())
+    assert rep["volume"]["docs"] == 500
+    assert rep["volume"]["sources"] == 20
+    assert set(rep["volume"]["by_lang"]) == {"de", "en", "es", "fr", "zh"}
+    assert rep["duplication"]["distinct_texts"] <= 500
+    assert 0 < rep["quality"]["gopher_pass_ppm"] < 1_000_000
+    assert rep["drift"]["max_source_centroid_d2_micro2"] >= \
+        rep["drift"]["min_source_centroid_d2_micro2"] > 0
+    # stdout's last line is the same JSON document (driver contract)
+    last = proc.stdout.strip().splitlines()[-1]
+    assert json.loads(last)["volume"]["docs"] == 500
