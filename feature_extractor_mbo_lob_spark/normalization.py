@@ -428,9 +428,13 @@ def quantile_normalize(
 
     Returns (id, group, value, value_qnorm).
     """
-    v = F.col(value_col).cast("long")
+    # NO cast: ranks only need an orderable type and the output value is a
+    # passthrough of pooled values — casting floats to long would silently
+    # truncate the feature being normalized.
     base = df.select(
-        F.col(id_col).alias("id"), F.col(group_col).alias("grp"), v.alias("val")
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("val"),
     )
     n_total = base.count()
 
@@ -462,5 +466,5 @@ def quantile_normalize(
         F.col("id").alias(id_col),
         F.col("grp").alias(group_col),
         F.col("val").alias(value_col),
-        F.col("tval").cast("long").alias(f"{value_col}_qnorm"),
+        F.col("tval").alias(f"{value_col}_qnorm"),
     )

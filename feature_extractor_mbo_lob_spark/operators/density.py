@@ -35,13 +35,34 @@ from .dedup import connected_components
 NOISE = -1
 
 
+def micro_quantize(v) -> F.Column:
+    """Per-lane micro-quantization of a float-array column:
+    floor(x*1e6 + 0.5) as int64 — THE engine-exact lane representation
+    every integer-distance operator in this repo shares (change it here
+    and the DuckDB oracles' floor(x*1000000.0+0.5) twins together)."""
+    col = F.col(v) if isinstance(v, str) else v
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    )
+
+
+def int_sq_dist(qa, qb) -> F.Column:
+    """Exact int64 squared L2 distance between two ALREADY-quantized
+    int64-array columns (NULL if the arrays' lengths differ — zip_with
+    would otherwise null-pad and silently yield NULL through the sum)."""
+    d = F.zip_with(qa, qb, lambda x, y: (x - y) * (x - y))
+    s = F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.when(F.size(qa) == F.size(qb), s)
+
+
 def quantized_sq_dist(a, b) -> F.Column:
     """Exact integer squared L2 distance between two float-array columns
     after per-lane micro-quantization (floor(x*1e6 + 0.5)): lanes in
     [-1, 1] quantize to |q| <= 1e6, so a 64-lane squared sum is < 2.6e14
     — comfortably int64, and bit-identical on any engine."""
-    q = lambda v: F.transform(v, lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"))
-    d = F.zip_with(q(a), q(b), lambda x, y: (x - y) * (x - y))
+    d = F.zip_with(
+        micro_quantize(a), micro_quantize(b), lambda x, y: (x - y) * (x - y)
+    )
     return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
@@ -178,11 +199,20 @@ def banded_neighbor_pairs(
     )
 
 
-def exact_eps_pairs(e: DataFrame, eps_micro: int, method: str = "gemm") -> DataFrame:
+def exact_eps_pairs(
+    e: DataFrame,
+    eps_micro: int,
+    method: str = "gemm",
+    max_broadcast_rows: int = 1_000_000,
+) -> DataFrame:
     """ALL true eps-neighbor pairs (id_a < id_b) by brute force — the
     sampled-truth baseline behind ``neighbor_recall``. Quadratic IN THE
     INPUT, so callers pass a bounded sample (the meter's cost is set by
     the sample size, independent of corpus size), never the corpus.
+    The gemm path materializes the sample on the driver as the broadcast
+    index, so it FAILS FAST (clear error, not a silent OOM) past
+    ``max_broadcast_rows`` — at that size use a larger ``sample_buckets``
+    in the caller or ``method="join"`` (fully distributed).
 
     ``method="gemm"``: collect the (sampled) quantized matrix as a
     broadcast index (the similarity.py brute-force pattern) and evaluate
@@ -211,7 +241,16 @@ def exact_eps_pairs(e: DataFrame, eps_micro: int, method: str = "gemm") -> DataF
             .select("id_a", "id_b")
         )
 
+    n_sample = e.count()
+    if n_sample > max_broadcast_rows:
+        raise ValueError(
+            f"exact_eps_pairs gemm path: sample has {n_sample} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}; raise the caller's "
+            "sample_buckets or use method='join' (distributed)."
+        )
     rows = e.select("id", "v").collect()
+    if not rows:
+        return e.sparkSession.createDataFrame([], "id_a long, id_b long")
     rows.sort(key=lambda r: r[0])
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.floor(

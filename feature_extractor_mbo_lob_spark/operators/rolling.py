@@ -447,7 +447,9 @@ def with_trailing_rank(
     cost is O(w), the native order-stats class; a bulk-throughput twin
     belongs in the vectorized kernel via the identical sliding comparison.
     """
-    x = (col if col is not None else F.length("text")).cast("long")
+    if col is None:
+        col = F.length("text")
+    x = (F.col(col) if isinstance(col, str) else col).cast("long")
     w = Window.partitionBy(cfg.key_col).orderBy(*cfg.order_cols)
     d = df.withColumn("_rrv", x)
     wv_cols = [
@@ -455,9 +457,13 @@ def with_trailing_rank(
         for ws in window_sizes
     ]
     d = d.select("*", *wv_cols)
+    # collect_list drops NULLs, so the frame is the NON-NULL trailing
+    # history; a NULL current value has no defined rank -> NULL out
+    # (ranks of non-null rows are unaffected).
     rank_exprs = [
         F.expr(
-            f"case when size(_wv{ws}) > 1 then "
+            f"case when _rrv is null then null "
+            f"when size(_wv{ws}) > 1 then "
             f"(size(filter(_wv{ws}, v -> v <= _rrv)) - 1) * 1000000 "
             f"div (size(_wv{ws}) - 1) else 0 end"
         ).cast("long").alias(f"rank_ppm_w{ws}")

@@ -821,7 +821,15 @@ def source_centroid_drift(
     O(rows * dim) past the map-side combine), a groups*dim -> groups
     array_agg, and a tiny centroid self-join (groups², groups is small
     by definition). Lane order is pinned by sorting on lane index inside
-    a struct collect + array_sort — never collect_list order."""
+    a struct collect + array_sort — never collect_list order. Dirty-data
+    honesty: with ragged vector dims inside a group, each lane keeps its
+    OWN count n (one centroid row per group regardless — grouping is by
+    grp alone, never by a count that would split it), n_a reports the
+    deepest lane, and a cross-group dim mismatch yields a NULL
+    centroid_d2_micro2 (int_sq_dist's length guard) instead of a
+    silently null-padded sum."""
+    from .density import int_sq_dist, micro_quantize
+
     j = emb.alias("e").join(
         docs.select(F.col(doc_id_col).alias("_did"), F.col(group_col).alias("grp")),
         F.col(f"e.{id_col}") == F.col("_did"),
@@ -829,10 +837,7 @@ def source_centroid_drift(
     lanes = j.select(
         "grp",
         F.posexplode(
-            F.transform(
-                F.col(vec_col).cast("array<double>"),
-                lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"),
-            )
+            micro_quantize(F.col(vec_col).cast("array<double>"))
         ).alias("lane", "q"),
     )
     sums = lanes.groupBy("grp", "lane").agg(
@@ -845,11 +850,12 @@ def source_centroid_drift(
                 "lane", F.expr("s div n").cast("long").alias("c")
             ).alias("lc"),
         )
-        .groupBy("grp", "n")
+        .groupBy("grp")
         .agg(
+            F.max("n").alias("n"),
             F.transform(
                 F.array_sort(F.collect_list("lc")), lambda st: st["c"]
-            ).alias("centroid")
+            ).alias("centroid"),
         )
     )
     a = cent.select(
@@ -860,18 +866,13 @@ def source_centroid_drift(
         F.col("grp").alias("group_b"), F.col("n").alias("n_b"),
         F.col("centroid").alias("cb"),
     )
-    d2 = F.aggregate(
-        F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     return (
         a.join(b, F.col("group_a") < F.col("group_b"))
         .select(
             "group_a", "group_b",
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
-            d2.alias("centroid_d2_micro2"),
+            int_sq_dist(F.col("ca"), F.col("cb")).alias("centroid_d2_micro2"),
         )
     )
 
@@ -903,15 +904,17 @@ def kcenter_select(
     Returns (step, vec_id, radius_d2) — step 1..k in pick order;
     radius_d2 is the pick's min-distance to prior centers (0 for step 1).
     """
-    q = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"),
-    )
+    from .density import micro_quantize
+
+    spark = emb.sparkSession
+    q = micro_quantize(F.col(vec_col).cast("array<double>"))
     base = emb.select(F.col(id_col).cast("long").alias("id"), q.alias("q"))
     base = base.localCheckpoint(eager=True)
 
     # k > n would re-pick covered points (their min-distance is 0) — clamp
     k = min(int(k), base.count())
+    if k <= 0:
+        return spark.createDataFrame([], "step long, vec_id long, radius_d2 long")
     first = base.select(F.min("id").alias("id")).first()["id"]
     center_vec = base.filter(F.col("id") == first).first()["q"]
     picks = [(1, first, 0)]
@@ -938,7 +941,6 @@ def kcenter_select(
             "id", "q", F.least("mind2", d2_to(center_vec)).alias("mind2")
         )
 
-    spark = emb.sparkSession
     return spark.createDataFrame(
         [(int(s), int(i), int(d)) for s, i, d in picks],
         "step long, vec_id long, radius_d2 long",

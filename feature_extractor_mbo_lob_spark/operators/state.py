@@ -407,7 +407,9 @@ def conv_changepoint(
     says WHERE the level shifted (ref analog: regime boundaries in
     src/features/time_regime.rs).
     """
-    x = (col if col is not None else F.length("text")).cast("long")
+    if col is None:
+        col = F.length("text")
+    x = (F.col(col) if isinstance(col, str) else col).cast("long")
     key = cfg.key_col
     w = Window.partitionBy(key).orderBy(*cfg.order_cols)
     cum = w.rowsBetween(Window.unboundedPreceding, 0)

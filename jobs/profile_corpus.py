@@ -70,7 +70,9 @@ def main() -> None:
         F.countDistinct("source").alias("sources"),
         F.countDistinct("lang").alias("langs"),
     ).first()
-    report["volume"] = {k: int(vol[k]) for k in ("docs", "chars", "sources", "langs")}
+    report["volume"] = {
+        k: int(vol[k] or 0) for k in ("docs", "chars", "sources", "langs")
+    }
     report["volume"]["by_source"] = {
         r["source"]: r["n"]
         for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -122,9 +124,12 @@ def main() -> None:
             F.max("centroid_d2_micro2").alias("max_d2"),
             F.min("centroid_d2_micro2").alias("min_d2"),
         ).first()
+        # single-source corpora have no cross-group pairs -> NULL aggregates
         report["drift"] = {
-            "max_source_centroid_d2_micro2": int(drift["max_d2"]),
-            "min_source_centroid_d2_micro2": int(drift["min_d2"]),
+            "max_source_centroid_d2_micro2":
+                None if drift["max_d2"] is None else int(drift["max_d2"]),
+            "min_source_centroid_d2_micro2":
+                None if drift["min_d2"] is None else int(drift["min_d2"]),
         }
 
     report["wall_sec"] = round(time.time() - t0, 2)

@@ -363,3 +363,115 @@ def test_kcenter_k_exceeding_corpus_clamps(spark):
     rows = kcenter_select(emb, k=10).collect()
     assert len(rows) == 3
     assert len({r["vec_id"] for r in rows}) == 3  # no duplicate picks
+
+
+# --------------------------------------------------------------------------
+# review-hardening regressions
+# --------------------------------------------------------------------------
+
+def test_trailing_rank_null_values_and_string_col(spark):
+    """NULL values get NULL ranks (not negative ppm); string col names
+    resolve via F.col like the sibling operators."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.sources.transcripts import (
+        TRANSCRIPT_SCHEMA,
+    )
+    from pyspark.sql import types as T
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", "aaaa", None, t0),
+        ("c1", 1, "user", None, None, t0 + dt.timedelta(seconds=1)),
+        ("c1", 2, "user", "aaaaaaaa", None, t0 + dt.timedelta(seconds=2)),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).withColumn(
+        "xlen", F.length("text")
+    )
+    out = with_trailing_rank(df, PipelineConfig(), col="xlen", window_sizes=(4,))
+    got = {r["turn_idx"]: r["rank_ppm_w4"] for r in out.collect()}
+    assert got[0] == 0            # first row, 1-element window
+    assert got[1] is None         # NULL value -> NULL rank, never negative
+    assert got[2] == 1_000_000    # max among non-null history {4, 8}
+
+
+def test_changepoint_accepts_string_col(spark, transcripts, cfg):
+    a = conv_changepoint(transcripts, cfg).collect()
+    b = conv_changepoint(
+        transcripts.withColumn("xlen", F.length("text")), cfg, col="xlen"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kcenter_empty_input(spark):
+    from feature_extractor_mbo_lob_spark.operators.similarity import kcenter_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id < 0"
+    )
+    assert kcenter_select(emb, k=5).count() == 0
+
+
+def test_exact_eps_pairs_empty_and_cap(spark):
+    import pytest as pt
+
+    from feature_extractor_mbo_lob_spark.operators.density import exact_eps_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = emb.selectExpr("cast(vec_id as long) as id",
+                       "cast(embedding as array<double>) as v")
+    assert exact_eps_pairs(e.filter("id < 0"), 1_300_000).count() == 0
+    with pt.raises(ValueError, match="max_broadcast_rows"):
+        exact_eps_pairs(e, 1_300_000, max_broadcast_rows=10).count()
+
+
+def test_quantile_normalize_float_passthrough(spark):
+    """Float features must NOT be truncated: values pass through exactly."""
+    from feature_extractor_mbo_lob_spark.normalization import quantile_normalize
+
+    rows = [(i, f"s{i % 2}", 0.1 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, x double")
+    out = {r["doc_id"]: (r["x"], r["x_qnorm"])
+           for r in quantile_normalize(df, "x").collect()}
+    xs = sorted(0.1 * i for i in range(10))
+    assert out[9][0] == 0.9 and out[9][1] == xs[-1]   # not truncated to 0
+    assert all(isinstance(v[1], float) for v in out.values())
+
+
+def test_source_drift_single_source_and_profile_job_guard(spark):
+    """One source -> zero pair rows (and profile job reports None, not a
+    TypeError)."""
+    from feature_extractor_mbo_lob_spark.operators.similarity import (
+        source_centroid_drift,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").withColumn(
+        "source", F.lit("only")
+    )
+    assert source_centroid_drift(emb, docs).count() == 0
+
+
+def test_source_drift_ragged_dims_yield_null_not_duplicates(spark):
+    """A ragged-dimension vector must not split its group into duplicate
+    pair rows; a cross-group dim mismatch surfaces as NULL d2."""
+    from feature_extractor_mbo_lob_spark.operators.similarity import (
+        source_centroid_drift,
+    )
+
+    rows = [
+        (0, [1.0, 2.0], "a"), (1, [2.0, 3.0], "a"),
+        (2, [1.0], "a"),                      # ragged inside group a
+        (3, [5.0, 6.0], "b"),
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+    )
+    docs = spark.createDataFrame(
+        [(i, s) for i, _, s in rows], "doc_id long, source string"
+    )
+    out = source_centroid_drift(emb, docs).collect()
+    assert len(out) == 1                      # exactly one (a, b) row
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert r["centroid_d2_micro2"] is not None  # same max dim -> computable
