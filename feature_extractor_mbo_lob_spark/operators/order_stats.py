@@ -214,3 +214,23 @@ def with_order_stats_pandas(df: DataFrame, cfg: PipelineConfig,
     )
     out_schema = "_osb int, " + schema
     return bucketed.groupBy("_osb").applyInPandas(fn, schema=out_schema).drop("_osb")
+
+
+def trailing_rank_kernel(x: np.ndarray, w: int) -> np.ndarray:
+    """Vectorized twin of rolling.with_trailing_rank for one ordered series:
+    rank_ppm = (cnt_le − 1) * 1e6 div (m − 1) over the trailing w-frame
+    (m = effective frame size; 0 when m == 1). Same +inf left-pad trick as
+    _group_order_stats — pads are never <= a finite current value, so the
+    count needs no pad correction. Bit-identical to the JVM formulation
+    (pure integer comparisons and floor division; the float64 round-trip
+    is exact for |x| < 2^53). One sliding_window_view + one comparison —
+    no sort, no Python loop."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    xf = x.astype(np.float64)
+    padded = np.concatenate([np.full(w - 1, np.inf), xf])
+    sw = np.lib.stride_tricks.sliding_window_view(padded, w)  # (n, w)
+    cnt_le = (sw <= xf[:, None]).sum(axis=1).astype(np.int64)
+    m = np.minimum(np.arange(n) + 1, w).astype(np.int64)
+    return np.where(m > 1, (cnt_le - 1) * 1_000_000 // np.maximum(m - 1, 1), 0)

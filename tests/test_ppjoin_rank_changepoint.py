@@ -475,3 +475,26 @@ def test_source_drift_ragged_dims_yield_null_not_duplicates(spark):
     r = out[0]
     assert (r["group_a"], r["group_b"]) == ("a", "b")
     assert r["centroid_d2_micro2"] is not None  # same max dim -> computable
+
+
+def test_trailing_rank_kernel_matches_spark_path(spark, transcripts, cfg):
+    """The numpy throughput twin is bit-identical to the JVM HOF path."""
+    import numpy as np
+
+    from feature_extractor_mbo_lob_spark.operators.order_stats import (
+        trailing_rank_kernel,
+    )
+
+    out = with_trailing_rank(transcripts, cfg, window_sizes=(8, 32))
+    pdf = (
+        out.select("conv_id", "turn_idx", "ts", F.length("text").alias("x"),
+                   "rank_ppm_w8", "rank_ppm_w32")
+        .orderBy("conv_id", "turn_idx", "ts")
+        .toPandas()
+    )
+    for _, g in pdf.groupby("conv_id"):
+        xs = g["x"].to_numpy(dtype=np.int64)
+        for w in (8, 32):
+            want = trailing_rank_kernel(xs, w)
+            got = g[f"rank_ppm_w{w}"].to_numpy(dtype=np.int64)
+            assert (want == got).all()

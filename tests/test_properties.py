@@ -219,3 +219,23 @@ def test_changepoint_statistic_properties(xs):
     ys = xs[::-1]
     rstats = [abs(n * sum(ys[:k]) - k * sn) for k in range(1, n)]
     assert stats == rstats[::-1]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=80),
+    st.sampled_from([2, 4, 8, 32]),
+)
+@settings(max_examples=200, deadline=None)
+def test_trailing_rank_kernel_matches_naive(xs, w):
+    import numpy as np
+
+    from feature_extractor_mbo_lob_spark.operators.order_stats import (
+        trailing_rank_kernel,
+    )
+
+    got = trailing_rank_kernel(np.array(xs, dtype=np.int64), w)
+    for i, v in enumerate(xs):
+        win = xs[max(0, i - w + 1): i + 1]
+        cnt_le = sum(1 for u in win if u <= v)
+        want = 0 if len(win) == 1 else (cnt_le - 1) * 1_000_000 // (len(win) - 1)
+        assert got[i] == want
