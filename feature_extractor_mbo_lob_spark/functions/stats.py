@@ -156,3 +156,104 @@ def wilson_interval(n_col, k_col, z: float = 1.96):
     center = p + z2 / (F.lit(2.0) * n)
     rad = F.lit(z) * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
     return (center - rad) / denom, (center + rad) / denom
+
+
+def sprt_constants(
+    p0_ppm: int = 300_000,
+    p1_ppm: int = 400_000,
+    alpha_ppm: int = 50_000,
+    beta_ppm: int = 50_000,
+) -> dict[str, int]:
+    """Wald SPRT integer-nano constants, computed ONCE in driver Python and
+    injected as literals into BOTH engines (the literal IS the
+    canonicalization — no engine libm ever runs):
+
+        succ  = round(ln(p1/p0) * 1e9)          per-conversion LLR step
+        fail  = round(ln((1-p1)/(1-p0)) * 1e9)  per-non-conversion step
+        upper = round(ln((1-beta)/alpha) * 1e9) accept-H1 boundary
+        lower = round(ln(beta/(1-alpha)) * 1e9) accept-H0 boundary
+    """
+    p0, p1 = p0_ppm / 1e6, p1_ppm / 1e6
+    a, b = alpha_ppm / 1e6, beta_ppm / 1e6
+    return {
+        "succ": round(math.log(p1 / p0) * 1e9),
+        "fail": round(math.log((1 - p1) / (1 - p0)) * 1e9),
+        "upper": round(math.log((1 - b) / a) * 1e9),
+        "lower": round(math.log(b / (1 - a)) * 1e9),
+    }
+
+
+def ab_sprt(
+    ev: DataFrame,
+    user_col: str,
+    conv_predicate,
+    p0_ppm: int = 300_000,
+    p1_ppm: int = 400_000,
+    alpha_ppm: int = 50_000,
+    beta_ppm: int = 50_000,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per experiment arm — the
+    decision rule an experimentation framework runs ONLINE so it can stop
+    an A/B test the moment the evidence is sufficient (vs ab_ztest's
+    fixed-horizon analysis of the same md5-randomized arms).
+
+    Units are md5-arm-assigned users ordered by their deterministic stream
+    order (first event ts, tie user id). The cumulative log-likelihood
+    ratio of H1: p = p1 vs H0: p = p0 after n users with k conversions is
+    k·succ + (n−k)·fail in exact int64 nano units (the constants are
+    driver-Python literals — sprt_constants — identical in any engine);
+    the first crossing of [lower, upper] decides.
+
+    Returns one row per arm: (arm, n_users, n_conv, llr_final_nano,
+    decision 'h1'/'h0'/'continue', n_at_decision, llr_at_decision_nano —
+    the last two NULL while the test is still running).
+
+    Scale shape: one groupBy(user) + one arm-keyed window cumsum + one
+    struct-argmin aggregate — the same two shuffles at any corpus size.
+    """
+    from .corpus import md5_bucket
+
+    C = sprt_constants(p0_ppm, p1_ppm, alpha_ppm, beta_ppm)
+    pu = (
+        ev.groupBy(F.col(user_col).alias("uid"))
+        .agg(
+            F.max(F.when(conv_predicate, 1).otherwise(0)).alias("conv"),
+            F.min("ts").alias("ts0"),
+        )
+        .withColumn("arm", md5_bucket("uid", 2).cast("int"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("arm").orderBy("ts0", "uid")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = pu.select(
+        "arm", "conv",
+        F.row_number().over(w).alias("n"),
+        F.sum("conv").over(cum).alias("k"),
+    ).withColumn(
+        "llr",
+        (F.col("k") * F.lit(C["succ"])
+         + (F.col("n") - F.col("k")) * F.lit(C["fail"])).cast("long"),
+    )
+    crossed = F.when(
+        (F.col("llr") >= C["upper"]) | (F.col("llr") <= C["lower"]),
+        F.struct("n", "llr"),
+    )
+    agg = d.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_conv"),
+        F.min(crossed).alias("_dec"),
+        F.max(F.struct("n", "llr")).alias("_last"),
+    )
+    return agg.select(
+        "arm",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_conv").cast("long").alias("n_conv"),
+        F.col("_last.llr").cast("long").alias("llr_final_nano"),
+        F.when(F.col("_dec").isNull(), F.lit("continue"))
+        .when(F.col("_dec.llr") >= C["upper"], F.lit("h1"))
+        .otherwise(F.lit("h0"))
+        .alias("decision"),
+        F.col("_dec.n").cast("long").alias("n_at_decision"),
+        F.col("_dec.llr").cast("long").alias("llr_at_decision_nano"),
+    )

@@ -11638,6 +11638,80 @@ QUERIES["kcenter_select"] = q_kcenter
 ORACLES["kcenter_select"] = O_KCENTER
 
 
+# --- sequential A/B test (Wald SPRT) ---------------------------------------------------
+
+def q_ab_sprt(spark, sf_dir):
+    """Wald SPRT per md5-randomized arm (functions/stats.ab_sprt): the
+    ONLINE stopping rule an experiment framework pairs with ab_ztest's
+    fixed-horizon analysis. All LLR arithmetic is int64 nano units built
+    from driver-Python literal constants (sprt_constants) — the literal IS
+    the canonicalization, no engine libm runs. Same conversion predicate
+    and arm hash as ab_ztest."""
+    from ..functions.stats import ab_sprt
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ab_sprt(
+        ev, "user_id",
+        (F.col("event_type") == "purchase") & (F.col("value") > 150.0),
+    )
+
+
+def _ab_sprt_oracle() -> str:
+    from ..functions.stats import sprt_constants
+
+    C = sprt_constants()
+    return f"""
+with pu as (
+  select user_id as uid,
+    max(case when event_type = 'purchase' and value > 150.0 then 1 else 0 end) as conv,
+    min(ts) as ts0
+  from events group by user_id
+),
+hx as (select uid, conv, ts0, md5(cast(uid as varchar)) as h from pu),
+arm as (select uid, conv, ts0, cast(({_HEX7}) % 2 as int) as arm from hx),
+c as (
+  select arm, conv,
+    row_number() over (partition by arm order by ts0, uid) as n,
+    sum(conv) over (partition by arm order by ts0, uid
+                    rows between unbounded preceding and current row) as k
+  from arm
+),
+l as (
+  select arm, conv, n,
+    cast(k * {C["succ"]} + (n - k) * {C["fail"]} as bigint) as llr
+  from c
+),
+dec as (
+  select arm, min(n) as dn
+  from l where llr >= {C["upper"]} or llr <= {C["lower"]}
+  group by arm
+),
+last as (
+  select arm, cast(count(*) as bigint) as n_users,
+    cast(sum(conv) as bigint) as n_conv,
+    cast(sum(conv) * {C["succ"]} + (count(*) - sum(conv)) * {C["fail"]} as bigint)
+      as llr_final_nano
+  from l group by arm
+),
+dl as (
+  select l.arm, dec.dn, l.llr as dllr
+  from dec join l on l.arm = dec.arm and l.n = dec.dn
+)
+select last.arm, last.n_users, last.n_conv, last.llr_final_nano,
+  case when dl.dn is null then 'continue'
+       when dl.dllr >= {C["upper"]} then 'h1' else 'h0' end as decision,
+  cast(dl.dn as bigint) as n_at_decision,
+  cast(dl.dllr as bigint) as llr_at_decision_nano
+from last left join dl on dl.arm = last.arm
+"""
+
+
+O_AB_SPRT = _ab_sprt_oracle()
+
+QUERIES["ab_sprt"] = q_ab_sprt
+ORACLES["ab_sprt"] = O_AB_SPRT
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

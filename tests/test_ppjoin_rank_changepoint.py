@@ -498,3 +498,49 @@ def test_trailing_rank_kernel_matches_spark_path(spark, transcripts, cfg):
             want = trailing_rank_kernel(xs, w)
             got = g[f"rank_ppm_w{w}"].to_numpy(dtype=np.int64)
             assert (want == got).all()
+
+
+# --------------------------------------------------------------------------
+# Wald SPRT
+# --------------------------------------------------------------------------
+
+def test_ab_sprt_naive_replica_and_wald_semantics(spark):
+    import hashlib
+
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        ab_sprt,
+        sprt_constants,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {r["arm"]: r.asDict() for r in ab_sprt(
+        ev, "user_id",
+        (F.col("event_type") == "purchase") & (F.col("value") > 150.0),
+    ).collect()}
+
+    pdf = ev.toPandas()
+    pdf["conv"] = ((pdf["event_type"] == "purchase") & (pdf["value"] > 150.0))
+    users = pdf.groupby("user_id").agg(conv=("conv", "max"), ts0=("ts", "min"))
+    C = sprt_constants()
+    arms = {0: [], 1: []}
+    for uid, row in users.iterrows():
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:7], 16) % 2
+        arms[h].append((row["ts0"], uid, int(row["conv"])))
+    for arm, rows in arms.items():
+        rows.sort()
+        k = 0
+        dec = None
+        for n, (_, _, c) in enumerate(rows, start=1):
+            k += c
+            llr = k * C["succ"] + (n - k) * C["fail"]
+            if dec is None and (llr >= C["upper"] or llr <= C["lower"]):
+                dec = ("h1" if llr >= C["upper"] else "h0", n, llr)
+        g = got[arm]
+        assert g["n_users"] == len(rows)
+        assert g["n_conv"] == sum(r[2] for r in rows)
+        assert g["llr_final_nano"] == k * C["succ"] + (len(rows) - k) * C["fail"]
+        if dec is None:
+            assert g["decision"] == "continue" and g["n_at_decision"] is None
+        else:
+            assert (g["decision"], g["n_at_decision"],
+                    g["llr_at_decision_nano"]) == dec
