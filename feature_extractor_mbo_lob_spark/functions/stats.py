@@ -257,3 +257,88 @@ def ab_sprt(
         F.col("_dec.n").cast("long").alias("n_at_decision"),
         F.col("_dec.llr").cast("long").alias("llr_at_decision_nano"),
     )
+
+
+def cuped_adjusted_effect(
+    ev: DataFrame,
+    user_col: str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — public method) for
+    the md5-randomized A/B arms: the post-period per-user metric Y is
+    adjusted by the PRE-period covariate X (same metric before the
+    experiment midpoint), theta = cov(X,Y)/var(X) pooled across arms, and
+    the treatment effect is re-estimated on Y − theta·X. Pre-period
+    behavior is unaffected by treatment, so the adjustment removes
+    between-user variance without biasing the effect.
+
+    Determinism: the pre/post cutoff is the integer midpoint of the
+    observed time range ((min_us + max_us) div 2 — no literal, no clock);
+    per-user sums are exact integer cents; theta and the effects are
+    fixed-order float expressions over those exact ints with _r6x-style
+    boundary canonicalization left to the caller. One row out:
+    (n_a, n_b, sx_a, sx_b, sy_a, sy_b, theta, effect_raw_cents,
+    effect_cuped_cents).
+
+    Scale shape: one groupBy(user) + one global 1-row aggregate — two
+    shuffles at any size (the min/max cutoff rides the same first pass
+    via a window-free twin aggregate and a crossJoin of two 1-row frames).
+    """
+    from ..operators.ordering import epoch_us
+
+    from .corpus import md5_bucket
+
+    us = epoch_us(ts_col)
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    base = ev.select(
+        F.col(user_col).alias("uid"), us.alias("_us"), cents.alias("_c")
+    )
+    rng = base.agg(
+        F.min("_us").alias("lo"), F.max("_us").alias("hi")
+    ).select(F.expr("(lo + hi) div 2").alias("cut"))
+
+    pu = (
+        base.crossJoin(F.broadcast(rng))
+        .groupBy("uid")
+        .agg(
+            F.sum(F.when(F.col("_us") < F.col("cut"), F.col("_c")).otherwise(0))
+            .alias("x"),
+            F.sum(F.when(F.col("_us") >= F.col("cut"), F.col("_c")).otherwise(0))
+            .alias("y"),
+        )
+        .withColumn("arm", md5_bucket("uid", 2).cast("int"))
+    )
+    g = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).alias("sx_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias("sy_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).alias("sx_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias("sy_b"),
+    )
+    # fixed-order float algebra over exact int64 aggregates (the ab_ztest
+    # precedent): identical operand sequence on both engines
+    D = lambda c: F.col(c).cast("double")
+    theta = (
+        (D("n") * D("sxy") - D("sx") * D("sy"))
+        / (D("n") * D("sxx") - D("sx") * D("sx"))
+    )
+    mean = lambda s, n: D(s) / D(n)
+    eff_raw = mean("sy_b", "n_b") - mean("sy_a", "n_a")
+    eff_cuped = (
+        (mean("sy_b", "n_b") - theta * mean("sx_b", "n_b"))
+        - (mean("sy_a", "n_a") - theta * mean("sx_a", "n_a"))
+    )
+    longs = ["n_a", "n_b", "sx_a", "sx_b", "sy_a", "sy_b"]
+    return g.select(
+        *[F.col(c).cast("long").alias(c) for c in longs],
+        theta.alias("theta"),
+        eff_raw.alias("effect_raw_cents"),
+        eff_cuped.alias("effect_cuped_cents"),
+    )

@@ -11712,6 +11712,68 @@ QUERIES["ab_sprt"] = q_ab_sprt
 ORACLES["ab_sprt"] = O_AB_SPRT
 
 
+# --- CUPED variance-reduced A/B effect -------------------------------------------------
+
+def q_cuped(spark, sf_dir):
+    """CUPED-adjusted treatment effect (functions/stats.
+    cuped_adjusted_effect): pre-period covariate from the integer-midpoint
+    time split, exact integer-cent sums, theta and effects as fixed-order
+    float algebra over those ints, _r6x boundary canonicalization on the
+    three floats. The third leg of the experimentation family
+    (ab_ztest fixed-horizon, ab_sprt sequential, cuped variance-reduced)."""
+    from ..functions.stats import cuped_adjusted_effect
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = cuped_adjusted_effect(ev, "user_id")
+    keep = ["n_a", "n_b", "sx_a", "sx_b", "sy_a", "sy_b"]
+    return out.select(
+        *keep,
+        _r6x(F.col("theta"), "theta"),
+        _r6x(F.col("effect_raw_cents"), "effect_raw_cents"),
+        _r6x(F.col("effect_cuped_cents"), "effect_cuped_cents"),
+    )
+
+
+O_CUPED = f"""
+with b as (
+  select user_id as uid, epoch_us(ts) as us,
+    cast(floor(value * 100.0 + 0.5) as bigint) as c
+  from events
+),
+rng as (select (min(us) + max(us)) // 2 as cut from b),
+pu as (
+  select uid,
+    cast(sum(case when us < rng.cut then c else 0 end) as bigint) as x,
+    cast(sum(case when us >= rng.cut then c else 0 end) as bigint) as y
+  from b, rng group by uid
+),
+arm as (
+  select x, y, cast(({_HEX7}) % 2 as int) as a
+  from (select x, y, md5(cast(uid as varchar)) as h from pu)
+),
+g as (
+  select cast(count(*) as bigint) as n,
+    cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+    cast(sum(x * x) as bigint) as sxx, cast(sum(x * y) as bigint) as sxy,
+    cast(sum(case when a = 0 then 1 else 0 end) as bigint) as n_a,
+    cast(sum(case when a = 0 then x else 0 end) as bigint) as sx_a,
+    cast(sum(case when a = 0 then y else 0 end) as bigint) as sy_a,
+    cast(sum(case when a = 1 then 1 else 0 end) as bigint) as n_b,
+    cast(sum(case when a = 1 then x else 0 end) as bigint) as sx_b,
+    cast(sum(case when a = 1 then y else 0 end) as bigint) as sy_b
+  from arm
+)
+select n_a, n_b, sx_a, sx_b, sy_a, sy_b,
+  {_r6x_sql("(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))")} as theta,
+  {_r6x_sql("cast(sy_b as double) / cast(n_b as double) - cast(sy_a as double) / cast(n_a as double)")} as effect_raw_cents,
+  {_r6x_sql("(cast(sy_b as double) / cast(n_b as double) - ((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))) * (cast(sx_b as double) / cast(n_b as double))) - (cast(sy_a as double) / cast(n_a as double) - ((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))) * (cast(sx_a as double) / cast(n_a as double)))")} as effect_cuped_cents
+from g
+"""
+
+QUERIES["cuped"] = q_cuped
+ORACLES["cuped"] = O_CUPED
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -544,3 +544,49 @@ def test_ab_sprt_naive_replica_and_wald_semantics(spark):
         else:
             assert (g["decision"], g["n_at_decision"],
                     g["llr_at_decision_nano"]) == dec
+
+
+def test_cuped_reduces_variance_and_preserves_effect_shape(spark):
+    """CUPED sanity on the driver corpus: theta is finite; the adjusted
+    effect equals the raw effect minus theta times the pre-period arm
+    imbalance (algebraic identity), verified against a pandas replica."""
+    import hashlib
+
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        cuped_adjusted_effect,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    r = cuped_adjusted_effect(ev, "user_id").first()
+
+    pdf = ev.toPandas()
+    us = pdf["ts"].astype("int64") // 1000  # ns -> us
+    cut = (int(us.min()) + int(us.max())) // 2
+    pdf["c"] = (pdf["value"] * 100.0 + 0.5).apply(lambda v: int(v // 1))
+    pdf["x"] = pdf["c"].where(us < cut, 0)
+    pdf["y"] = pdf["c"].where(us >= cut, 0)
+    users = pdf.groupby("user_id")[["x", "y"]].sum()
+    users["arm"] = [
+        int(hashlib.md5(str(u).encode()).hexdigest()[:7], 16) % 2
+        for u in users.index
+    ]
+    n = len(users)
+    sx, sy = int(users["x"].sum()), int(users["y"].sum())
+    sxx = int((users["x"] ** 2).sum())
+    sxy = int((users["x"] * users["y"]).sum())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a, b = users[users["arm"] == 0], users[users["arm"] == 1]
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert (r["sx_a"], r["sy_a"]) == (int(a["x"].sum()), int(a["y"].sum()))
+    assert abs(r["theta"] - theta) < 1e-6
+    eff_raw = b["y"].mean() - a["y"].mean()
+    eff_cuped = (b["y"].mean() - theta * b["x"].mean()) - (
+        a["y"].mean() - theta * a["x"].mean()
+    )
+    assert abs(r["effect_raw_cents"] - eff_raw) < 1e-4
+    assert abs(r["effect_cuped_cents"] - eff_cuped) < 1e-4
+    # algebraic identity: adj = raw - theta * (mean_x_b - mean_x_a)
+    assert abs(
+        r["effect_cuped_cents"]
+        - (r["effect_raw_cents"] - theta * (b["x"].mean() - a["x"].mean()))
+    ) < 1e-4
