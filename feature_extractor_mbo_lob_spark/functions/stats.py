@@ -342,3 +342,162 @@ def cuped_adjusted_effect(
         eff_raw.alias("effect_raw_cents"),
         eff_cuped.alias("effect_cuped_cents"),
     )
+
+
+def mann_whitney_u(
+    ev: DataFrame,
+    unit_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the two md5-randomized
+    arms on the per-user integer-cent metric — the NONPARAMETRIC leg of
+    the experimentation family (ab_ztest assumes normal proportions,
+    cuped assumes linear covariates; MW-U assumes nothing about the
+    metric's shape, which heavy-tailed spend metrics violate).
+
+    Everything stays in exact int64: midranks with ties are half-integers,
+    so the engine carries DOUBLED rank sums (2x midrank = min_rank +
+    max_rank is always integer). Outputs one row of exact integers —
+    n_a, n_b, r2_sum_a (2x arm-A rank sum), u2_a (2x U_A), and the
+    tie-correction term sum(t^3 - t) — from which any caller derives the
+    z statistic; no float ever crosses an engine boundary.
+
+    Scale shape: groupBy(user) -> groupBy(DISTINCT metric value) -> a
+    window over the distinct-value frame only (bounded by metric
+    cardinality, not corpus size — the same distinct-value cumulative
+    order-statistics trick as the SLA rollup) -> 1-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    from .corpus import md5_bucket
+
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    pu = (
+        ev.select(F.col(unit_col).alias("uid"), cents.alias("_c"))
+        .groupBy("uid")
+        .agg(F.sum("_c").alias("c"))
+        .withColumn("arm", md5_bucket("uid", 2).cast("int"))
+    )
+    g = pu.groupBy("c").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("cnt_a"),
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.select(
+        "cnt", "cnt_a",
+        (F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt"))
+         + F.col("cnt") + F.lit(1)).alias("two_midrank"),
+    )
+    out = r.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("n_b"),
+        F.sum(F.col("cnt_a") * F.col("two_midrank")).cast("long")
+        .alias("r2_sum_a"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long").alias("tie_term"),
+    )
+    return out.withColumn(
+        "u2_a",
+        (F.col("r2_sum_a") - F.col("n_a") * (F.col("n_a") + F.lit(1)))
+        .cast("long"),
+    )
+
+
+def mann_kendall_trend(ev: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Mann-Kendall trend test over the daily event-count series — the
+    standard nonparametric monotone-trend detector for data-quality
+    monitoring (is ingest volume drifting?). S = sum over day pairs i<j
+    of sign(c_j - c_i), plus the exact tie-correction sum t(t-1)(2t+5)
+    over days sharing a count — all int64, variance/z left to the caller.
+
+    Scale shape: one groupBy(day) collapses the corpus to <= a few
+    thousand rows; the pair join runs on that tiny frame (days^2 pairs of
+    a bounded series, NOT corpus^2) — the classic reduce-then-quadratic
+    pattern that is flat at any corpus size.
+    """
+    d = (
+        ev.select(F.to_date(F.col(ts_col)).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day"))
+    sgn = (
+        F.when(F.col("b.cnt") > F.col("a.cnt"), 1)
+        .when(F.col("b.cnt") < F.col("a.cnt"), -1)
+        .otherwise(0)
+    )
+    s = pairs.agg(
+        F.sum(sgn).cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    ties = (
+        d.groupBy("cnt").agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_counts"),
+            F.sum(
+                F.col("t") * (F.col("t") - F.lit(1))
+                * (F.lit(2) * F.col("t") + F.lit(5))
+            ).cast("long").alias("tie_term"),
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return s.crossJoin(ties).crossJoin(n)
+
+
+def stratified_ab_audit(
+    ev: DataFrame,
+    unit_col: str,
+    stratum_col: str,
+    conv_predicate,
+) -> DataFrame:
+    """Per-stratum 2x2 contingency audit of the md5-randomized arms —
+    the Cochran-Mantel-Haenszel table builder plus an integer-exact
+    Simpson's-paradox detector. Within each stratum a unit converts if
+    ANY of its rows satisfies the predicate; arm-B-vs-A direction is
+    decided by the int64 cross-product sign(conv_b*n_a - conv_a*n_b)
+    (rate comparison without division), the overall direction by the same
+    sign on the summed cells, and simpson_flag marks strata whose
+    direction OPPOSES a non-null overall direction — the aggregation
+    reversal audit every experiment review needs. All columns are exact
+    integers/booleans; the CMH statistic is fixed float algebra over the
+    emitted cells, left to the caller.
+
+    Scale shape: one groupBy(stratum, unit) then one groupBy(stratum);
+    the cross join broadcasts a single summary row.
+    """
+    from .corpus import md5_bucket
+
+    per = (
+        ev.select(
+            F.col(stratum_col).alias("stratum"),
+            F.col(unit_col).alias("_u"),
+            F.when(conv_predicate, 1).otherwise(0).alias("_s"),
+        )
+        .groupBy("stratum", "_u")
+        .agg(F.max("_s").alias("conv"))
+        .withColumn("arm", md5_bucket("_u", 2).cast("int"))
+    )
+    cells = per.groupBy("stratum").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long").alias("conv_b"),
+    )
+    xp = F.col("conv_b") * F.col("n_a") - F.col("conv_a") * F.col("n_b")
+    sgn = (
+        F.when(xp > 0, 1).when(xp < 0, -1).otherwise(0)
+    ).cast("int")
+    cells = cells.withColumn("stratum_sign", sgn)
+    tot = cells.agg(
+        F.sum("n_a").alias("n_a"), F.sum("conv_a").alias("conv_a"),
+        F.sum("n_b").alias("n_b"), F.sum("conv_b").alias("conv_b"),
+    ).select(sgn.alias("overall_sign"))
+    out = cells.crossJoin(F.broadcast(tot))
+    return out.withColumn(
+        "simpson_flag",
+        (F.col("overall_sign") != 0) & (F.col("stratum_sign") != 0)
+        & (F.col("stratum_sign") != F.col("overall_sign")),
+    )

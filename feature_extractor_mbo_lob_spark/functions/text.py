@@ -283,3 +283,68 @@ def flag_rates(
         ).alias("flag_rate"),
         F.min(F.when(flagged, F.col("turn_idx"))).cast("int").alias("first_flag_turn"),
     )
+
+
+def rake_keywords(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple = LANG_STOPWORDS["en"],
+    top_k: int = 20,
+):
+    """RAKE keyword extraction (Rose et al. 2010 — public method) with
+    integer-exact scoring. Candidate phrases are maximal runs of
+    non-stopword tokens; each word scores deg(w)/freq(w) where freq is
+    its corpus occurrence count and deg the summed length of phrases
+    containing it; a phrase scores the sum of its word scores. The
+    per-word ratio is carried as integer ppm via int64 floor division
+    ((deg * 1e6) div freq) so phrase scores are exact int64 on any
+    engine — no float crosses the oracle boundary.
+
+    Returns the global top_k phrases: (phrase, n_words, n_occurrences,
+    score_ppm), ordered score desc then phrase asc.
+
+    Scale shape: tokenize -> per-(doc, phrase) window count -> two
+    word-keyed aggregations (freq/deg are map-side combinable) -> one
+    phrase aggregation -> bounded top-k. All shuffles are keyed on words
+    or phrases (bounded vocabulary), never on documents^2.
+    """
+    from pyspark.sql import Window
+
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    ).withColumn("_stop", F.array_contains(sw, F.col("word")))
+    wp = Window.partitionBy("_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tok = tok.withColumn(
+        "phrase_id", F.sum(F.col("_stop").cast("int")).over(wp)
+    ).filter(~F.col("_stop") & (F.col("word") != ""))
+    plen_w = Window.partitionBy("_id", "phrase_id")
+    tok = tok.withColumn("plen", F.count(F.lit(1)).over(plen_w))
+    wstats = tok.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    ).withColumn(
+        "score_ppm", F.expr("(deg * 1000000) div freq").cast("long")
+    )
+    scored = tok.join(wstats.select("word", "score_ppm"), "word")
+    inst = scored.groupBy("_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s.word,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("score_ppm").cast("long").alias("score_ppm"),
+    )
+    agg = inst.groupBy("phrase").agg(
+        F.max("n_words").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("score_ppm").cast("long").alias("score_ppm"),
+    )
+    return agg.orderBy(F.desc("score_ppm"), F.asc("phrase")).limit(top_k)

@@ -11774,6 +11774,251 @@ QUERIES["cuped"] = q_cuped
 ORACLES["cuped"] = O_CUPED
 
 
+# --- statistical-audit family: nonparametric tests + privacy gates ---------------------
+
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U between md5 arms on per-user spend cents
+    (functions/stats.mann_whitney_u): doubled rank sums keep tie midranks
+    in exact int64 — the nonparametric leg of the experimentation family.
+    Distinct-value rank arithmetic: the window runs over the distinct
+    metric values only, never the corpus."""
+    from ..functions.stats import mann_whitney_u
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mann_whitney_u(ev, "user_id")
+
+
+O_MANN_WHITNEY = f"""
+with pu as (
+  select user_id as uid,
+    cast(sum(cast(floor(value * 100.0 + 0.5) as bigint)) as bigint) as c
+  from events group by user_id
+),
+arm as (
+  select c, cast(({_HEX7}) % 2 as int) as arm
+  from (select c, md5(cast(uid as varchar)) as h from pu)
+),
+g as (
+  select c, count(*) as cnt,
+    sum(case when arm = 0 then 1 else 0 end) as cnt_a
+  from arm group by c
+),
+r as (
+  select cnt, cnt_a,
+    2 * (sum(cnt) over (order by c rows between unbounded preceding and current row) - cnt)
+      + cnt + 1 as two_midrank
+  from g
+),
+f as (
+  select cast(sum(cnt_a) as bigint) as n_a,
+    cast(sum(cnt - cnt_a) as bigint) as n_b,
+    cast(sum(cnt_a * two_midrank) as bigint) as r2_sum_a,
+    cast(sum(cnt * cnt * cnt - cnt) as bigint) as tie_term
+  from r
+)
+select n_a, n_b, r2_sum_a, tie_term,
+  cast(r2_sum_a - n_a * (n_a + 1) as bigint) as u2_a
+from f
+"""
+
+QUERIES["mann_whitney"] = q_mann_whitney
+ORACLES["mann_whitney"] = O_MANN_WHITNEY
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend statistic over the daily event-count
+    series (functions/stats.mann_kendall_trend): integer S over day pairs
+    plus the exact tie-correction term — the data-quality drift detector.
+    Reduce-then-quadratic: the pair join runs on the tiny day frame."""
+    from ..functions.stats import mann_kendall_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mann_kendall_trend(ev)
+
+
+O_MANN_KENDALL = """
+with d as (
+  select cast(ts as date) as day, count(*) as cnt from events group by day
+),
+s as (
+  select cast(sum(case when b.cnt > a.cnt then 1 when b.cnt < a.cnt then -1 else 0 end) as bigint) as s_stat,
+    cast(count(*) as bigint) as n_pairs
+  from d a join d b on a.day < b.day
+),
+t as (
+  select cast(count(*) as bigint) as n_distinct_counts,
+    cast(sum(t * (t - 1) * (2 * t + 5)) as bigint) as tie_term
+  from (select cnt, count(*) as t from d group by cnt)
+),
+n as (select cast(count(*) as bigint) as n_days from d)
+select s.s_stat, s.n_pairs, t.n_distinct_counts, t.tie_term, n.n_days
+from s, t, n
+"""
+
+QUERIES["mann_kendall"] = q_mann_kendall
+ORACLES["mann_kendall"] = O_MANN_KENDALL
+
+
+def q_ab_strata(spark, sf_dir):
+    """Per-week CMH 2x2 table + integer-exact Simpson's-paradox audit of
+    the md5 arms (functions/stats.stratified_ab_audit): direction by int64
+    cross-product sign, never a rate division. Same conversion predicate
+    and arm hash as ab_ztest/ab_sprt; stratum = week-of-month
+    ((dayofmonth-1) div 7), exact on both engines."""
+    from ..functions.stats import stratified_ab_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "strat_week", F.expr("(dayofmonth(ts) - 1) div 7").cast("int")
+    )
+    out = stratified_ab_audit(
+        ev, "user_id", "strat_week",
+        (F.col("event_type") == "purchase") & (F.col("value") > 150.0),
+    )
+    return out.withColumnRenamed("stratum", "strat_week")
+
+
+O_AB_STRATA = f"""
+with per as (
+  select cast((day(ts) - 1) // 7 as int) as strat_week, user_id as uid,
+    max(case when event_type = 'purchase' and value > 150.0 then 1 else 0 end) as conv
+  from events group by strat_week, uid
+),
+arm as (
+  select strat_week, conv, cast(({_HEX7}) % 2 as int) as arm
+  from (select strat_week, conv, md5(cast(uid as varchar)) as h from per)
+),
+cells as (
+  select strat_week,
+    cast(sum(case when arm = 0 then 1 else 0 end) as bigint) as n_a,
+    cast(sum(case when arm = 0 then conv else 0 end) as bigint) as conv_a,
+    cast(sum(case when arm = 1 then 1 else 0 end) as bigint) as n_b,
+    cast(sum(case when arm = 1 then conv else 0 end) as bigint) as conv_b
+  from arm group by strat_week
+),
+c2 as (
+  select *,
+    cast(case when conv_b * n_a - conv_a * n_b > 0 then 1
+              when conv_b * n_a - conv_a * n_b < 0 then -1 else 0 end as int)
+      as stratum_sign
+  from cells
+),
+tot as (
+  select cast(case when sum(conv_b) * sum(n_a) - sum(conv_a) * sum(n_b) > 0 then 1
+                   when sum(conv_b) * sum(n_a) - sum(conv_a) * sum(n_b) < 0 then -1
+                   else 0 end as int) as overall_sign
+  from cells
+)
+select c2.strat_week, c2.n_a, c2.conv_a, c2.n_b, c2.conv_b, c2.stratum_sign,
+  tot.overall_sign,
+  (tot.overall_sign <> 0 and c2.stratum_sign <> 0
+   and c2.stratum_sign <> tot.overall_sign) as simpson_flag
+from c2, tot
+"""
+
+QUERIES["ab_strata"] = q_ab_strata
+ORACLES["ab_strata"] = O_AB_STRATA
+
+
+def q_kanonymity(spark, sf_dir):
+    """k-anonymity / l-diversity release gate over the (event_type, day)
+    quasi-identifier with user_id as the sensitive attribute
+    (functions/privacy.k_anonymity_audit): exact int64 exposure summary —
+    the privacy review a corpus export runs next to PII redaction."""
+    from ..functions.privacy import k_anonymity_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    return k_anonymity_audit(
+        ev, ["event_type", "day"], "user_id", k_threshold=10, l_threshold=3
+    )
+
+
+O_KANONYMITY = """
+with cls as (
+  select event_type, cast(ts as date) as day,
+    cast(count(*) as bigint) as k,
+    cast(count(distinct user_id) as bigint) as l
+  from events group by event_type, day
+)
+select cast(count(*) as bigint) as n_classes,
+  cast(min(k) as bigint) as min_k,
+  cast(min(l) as bigint) as min_l,
+  cast(sum(case when k < 10 then k else 0 end) as bigint) as rows_below_k,
+  cast(sum(case when k < 10 then 1 else 0 end) as bigint) as classes_below_k,
+  cast(sum(case when l < 3 then 1 else 0 end) as bigint) as classes_below_l,
+  cast(sum(k) as bigint) as n_rows
+from cls
+"""
+
+QUERIES["kanonymity"] = q_kanonymity
+ORACLES["kanonymity"] = O_KANONYMITY
+
+
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction over documents (functions/text.
+    rake_keywords): stopword-delimited candidate phrases, integer-ppm
+    word scores ((deg*1e6) div freq), exact int64 phrase scores, global
+    top-20. All shuffles keyed on bounded vocabulary, never documents^2."""
+    from ..functions.text import rake_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rake_keywords(docs, top_k=20)
+
+
+O_RAKE = """
+with w as (select doc_id, string_split(text, ' ') as words from documents),
+tok0 as (
+  select doc_id, unnest(range(1, len(words) + 1)) as pos, unnest(words) as word
+  from w
+),
+tok1 as (
+  select doc_id, pos, word,
+    (case when word in ('the','a','of','and','to','in','is','that')
+      then 1 else 0 end) as stop
+  from tok0
+),
+tok2 as (
+  select doc_id, pos, word, stop,
+    sum(stop) over (partition by doc_id order by pos
+                    rows between unbounded preceding and current row) as phrase_id
+  from tok1
+),
+tok as (
+  select doc_id, pos, word, phrase_id from tok2 where stop = 0 and word <> ''
+),
+tokl as (
+  select doc_id, pos, word, phrase_id,
+    count(*) over (partition by doc_id, phrase_id) as plen
+  from tok
+),
+ws as (
+  select word, cast(count(*) as bigint) as freq, cast(sum(plen) as bigint) as deg
+  from tokl group by word
+),
+ws2 as (select word, cast((deg * 1000000) // freq as bigint) as score_ppm from ws),
+inst as (
+  select tokl.doc_id, tokl.phrase_id,
+    string_agg(tokl.word, ' ' order by tokl.pos) as phrase,
+    cast(count(*) as bigint) as n_words,
+    cast(sum(ws2.score_ppm) as bigint) as score_ppm
+  from tokl join ws2 on ws2.word = tokl.word
+  group by tokl.doc_id, tokl.phrase_id
+),
+agg as (
+  select phrase, cast(max(n_words) as bigint) as n_words,
+    cast(count(*) as bigint) as n_occurrences,
+    cast(max(score_ppm) as bigint) as score_ppm
+  from inst group by phrase
+)
+select phrase, n_words, n_occurrences, score_ppm
+from agg order by score_ppm desc, phrase asc limit 20
+"""
+
+QUERIES["rake_keywords"] = q_rake_keywords
+ORACLES["rake_keywords"] = O_RAKE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -1,0 +1,177 @@
+"""Tests for the statistical-audit family: Mann-Whitney U, Mann-Kendall
+trend, stratified A/B (CMH/Simpson) audit, k-anonymity gate, RAKE."""
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from feature_extractor_mbo_lob_spark.functions.privacy import k_anonymity_audit
+from feature_extractor_mbo_lob_spark.functions.stats import (
+    mann_kendall_trend,
+    mann_whitney_u,
+    stratified_ab_audit,
+)
+from feature_extractor_mbo_lob_spark.functions.text import rake_keywords
+
+
+def _arms(spark, uids):
+    from feature_extractor_mbo_lob_spark.functions.corpus import md5_bucket
+
+    df = spark.createDataFrame([(u,) for u in uids], "uid long")
+    return {r.uid: r.arm for r in
+            df.select("uid", md5_bucket("uid", 2).alias("arm")).collect()}
+
+
+def test_mann_whitney_matches_naive_midranks(spark):
+    import datetime
+
+    # per-user single event; values engineered with ties
+    vals = {u: [3.0, 5.0, 5.0, 7.0, 9.0, 5.0, 3.0, 11.0][u % 8] for u in range(40)}
+    ts = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(u, ts, vals[u]) for u in range(40)], "user_id long, ts timestamp, value double"
+    )
+    out = mann_whitney_u(ev, "user_id").collect()[0]
+
+    arms = _arms(spark, range(40))
+    cents = {u: round(vals[u] * 100) for u in range(40)}
+    # naive midranks (doubled): sort all, 2*midrank = min_rank + max_rank
+    allv = sorted(cents.values())
+    first = {}
+    for i, v in enumerate(allv, 1):
+        first.setdefault(v, i)
+    cnt = Counter(allv)
+    two_mid = {v: 2 * first[v] + cnt[v] - 1 for v in cnt}
+    n_a = sum(1 for u in range(40) if arms[u] == 0)
+    r2_a = sum(two_mid[cents[u]] for u in range(40) if arms[u] == 0)
+    tie = sum(c ** 3 - c for c in cnt.values())
+    assert out.n_a == n_a
+    assert out.n_b == 40 - n_a
+    assert out.r2_sum_a == r2_a
+    assert out.u2_a == r2_a - n_a * (n_a + 1)
+    assert out.tie_term == tie
+
+
+def test_mann_kendall_monotone_and_ties(spark):
+    import datetime
+
+    # day d gets d+1 events for d in 0..5, then two tied days with 3 events
+    rows = []
+    for d in range(6):
+        for i in range(d + 1):
+            rows.append((datetime.datetime(2024, 1, 1 + d, 12, 0, i),))
+    for d in (6, 7):
+        for i in range(3):
+            rows.append((datetime.datetime(2024, 1, 1 + d, 12, 0, i),))
+    ev = spark.createDataFrame(rows, "ts timestamp")
+    out = mann_kendall_trend(ev).collect()[0]
+    counts = [1, 2, 3, 4, 5, 6, 3, 3]
+    s = sum(
+        (1 if counts[j] > counts[i] else -1 if counts[j] < counts[i] else 0)
+        for i in range(8) for j in range(i + 1, 8)
+    )
+    t = Counter(counts)
+    assert out.n_days == 8
+    assert out.n_pairs == 28
+    assert out.s_stat == s
+    assert out.tie_term == sum(c * (c - 1) * (2 * c + 5) for c in t.values())
+    assert out.n_distinct_counts == len(t)
+
+
+def test_stratified_audit_matches_naive_and_flags_reversal(spark):
+    import datetime
+
+    # conv iff value > 10; strata 'x' and 'y'
+    arms = _arms(spark, range(60))
+    rows = []
+    for u in range(60):
+        for s in ("x", "y"):
+            v = 20.0 if (u + len(s)) % 3 == 0 else 1.0
+            rows.append((u, s, datetime.datetime(2024, 1, 1), v))
+    ev = spark.createDataFrame(rows, "user_id long, stratum string, ts timestamp, value double")
+    out = {r.stratum: r for r in
+           stratified_ab_audit(ev, "user_id", "stratum", F.col("value") > 10.0).collect()}
+
+    naive = defaultdict(lambda: [0, 0, 0, 0])  # n_a, conv_a, n_b, conv_b
+    for u in range(60):
+        for s in ("x", "y"):
+            conv = 1 if (u + len(s)) % 3 == 0 else 0
+            c = naive[s]
+            if arms[u] == 0:
+                c[0] += 1
+                c[1] += conv
+            else:
+                c[2] += 1
+                c[3] += conv
+    tot = [sum(naive[s][i] for s in naive) for i in range(4)]
+    o_xp = tot[3] * tot[0] - tot[1] * tot[2]
+    o_sign = 1 if o_xp > 0 else -1 if o_xp < 0 else 0
+    for s in ("x", "y"):
+        n_a, conv_a, n_b, conv_b = naive[s]
+        xp = conv_b * n_a - conv_a * n_b
+        sign = 1 if xp > 0 else -1 if xp < 0 else 0
+        r = out[s]
+        assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (n_a, conv_a, n_b, conv_b)
+        assert r.stratum_sign == sign
+        assert r.overall_sign == o_sign
+        assert r.simpson_flag == (o_sign != 0 and sign != 0 and sign != o_sign)
+
+
+def test_k_anonymity_audit_exact(spark):
+    # classes: (a,1)x12 users 0..3 repeating, (a,2)x3 single user, (b,1)x1
+    rows = (
+        [("a", 1, u % 4) for u in range(12)]
+        + [("a", 2, 7)] * 3
+        + [("b", 1, 9)]
+    )
+    df = spark.createDataFrame(rows, "qa string, qb int, sens long")
+    out = k_anonymity_audit(df, ["qa", "qb"], "sens",
+                            k_threshold=10, l_threshold=3).collect()[0]
+    assert out.n_classes == 3
+    assert out.min_k == 1
+    assert out.min_l == 1
+    assert out.rows_below_k == 4      # the k=3 and k=1 classes
+    assert out.classes_below_k == 2
+    assert out.classes_below_l == 2   # l=1 and l=1 (the k=12 class has l=4)
+    assert out.n_rows == 16
+
+
+def test_rake_matches_naive_reference(spark):
+    docs = [
+        (0, "deep learning of the neural network and deep learning"),
+        (1, "neural network in a gradient descent"),
+        (2, "gradient descent is that gradient descent"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r.phrase, r.n_words, r.n_occurrences, r.score_ppm)
+           for r in rake_keywords(df, top_k=10).collect()]
+
+    stop = {"the", "a", "of", "and", "to", "in", "is", "that"}
+    phrases = []
+    for _, text in docs:
+        cur = []
+        for w in text.split(" "):
+            if w in stop or w == "":
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(tuple(cur))
+    freq, deg = Counter(), Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    score = {w: (deg[w] * 1_000_000) // freq[w] for w in freq}
+    by_phrase = {}
+    occ = Counter(" ".join(p) for p in phrases)
+    for p in phrases:
+        by_phrase[" ".join(p)] = (len(p), occ[" ".join(p)],
+                                  sum(score[w] for w in p))
+    want = sorted(
+        ((k, v[0], v[1], v[2]) for k, v in by_phrase.items()),
+        key=lambda t: (-t[3], t[0]),
+    )[:10]
+    assert got == want
