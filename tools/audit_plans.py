@@ -747,6 +747,48 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        mann_whitney_u, stratified_ab_audit,
+    )
+    from feature_extractor_mbo_lob_spark.functions.text import rake_keywords
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sections.append(summarize(
+        "Mann-Whitney U (distinct-value rank arithmetic)",
+        mann_whitney_u(ev, "user_id"),
+        "groupBy(user) -> groupBy(DISTINCT metric value) -> a window over "
+        "the distinct-value frame only (metric-cardinality-bounded, never "
+        "the corpus) -> 1-row aggregate. Doubled midranks keep ties in "
+        "exact int64; zero Python stages.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Stratified A/B audit (CMH cells + Simpson detector)",
+        stratified_ab_audit(
+            ev.withColumn("wk", F.expr("(dayofmonth(ts) - 1) div 7")),
+            "user_id", "wk",
+            (F.col("event_type") == "purchase") & (F.col("value") > 150.0),
+        ),
+        "Two keyed aggregations (stratum,unit) -> (stratum), then a "
+        "BROADCAST cross join of the single overall-sign row. Direction "
+        "via int64 cross-product signs — no division anywhere.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "RAKE keyword extraction (integer-ppm scores)",
+        rake_keywords(docs, top_k=20),
+        "Tokenize -> per-(doc,phrase) window count -> word-keyed freq/deg "
+        "aggregation (map-side combinable) -> phrase aggregation -> "
+        "bounded top-k (TakeOrderedAndProject). Shuffles keyed on words/"
+        "phrases (bounded vocabulary); zero Python stages.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
