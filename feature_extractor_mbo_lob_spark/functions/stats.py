@@ -501,3 +501,173 @@ def stratified_ab_audit(
         (F.col("overall_sign") != 0) & (F.col("stratum_sign") != 0)
         & (F.col("stratum_sign") != F.col("overall_sign")),
     )
+
+
+def quantile_treatment_effects(
+    ev: DataFrame,
+    unit_col: str,
+    value_col: str = "value",
+    qs: tuple = (25, 50, 75),
+) -> DataFrame:
+    """Quantile treatment effects between the md5 arms: the per-arm exact
+    order statistics of the per-user integer-cent metric and their B-A
+    differences — where in the distribution an experiment moved spend,
+    which a mean (ab_ztest/cuped) cannot show. Type-1 (lower) quantiles:
+    k = (n-1)*q div 100 + 1, value = smallest c whose per-arm cumulative
+    count reaches k — all exact int64, no interpolation ambiguity.
+
+    Scale shape: groupBy(user) -> groupBy(arm, DISTINCT value) -> window
+    over the per-arm distinct-value frame (metric-cardinality-bounded) ->
+    one pivot row. Same distinct-value rank arithmetic as mann_whitney_u.
+    """
+    from pyspark.sql import Window
+
+    from .corpus import md5_bucket
+
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    pu = (
+        ev.select(F.col(unit_col).alias("uid"), cents.alias("_c"))
+        .groupBy("uid")
+        .agg(F.sum("_c").alias("c"))
+        .withColumn("arm", md5_bucket("uid", 2).cast("int"))
+    )
+    g = pu.groupBy("arm", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("arm").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = g.select(
+        "arm", "c", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy("arm").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    aggs = [
+        F.max(F.when(F.col("arm") == a, F.col("n"))).cast("long").alias(f"n_{t}")
+        for a, t in ((0, "a"), (1, "b"))
+    ]
+    for q in qs:
+        k = F.expr(f"((n - 1) * {int(q)}) div 100").cast("long") + 1
+        hit = (F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k)
+        for a, t in ((0, "a"), (1, "b")):
+            aggs.append(
+                F.min(F.when((F.col("arm") == a) & hit, F.col("c")))
+                .cast("long").alias(f"p{q}_{t}")
+            )
+    out = r.agg(*aggs)
+    for q in qs:
+        out = out.withColumn(
+            f"qte{q}", (F.col(f"p{q}_b") - F.col(f"p{q}_a")).cast("long")
+        )
+    return out
+
+
+def post_stratified_effect(
+    ev: DataFrame,
+    unit_col: str,
+    stratum_col: str,
+    conv_predicate,
+) -> DataFrame:
+    """Post-stratified (direct-standardization / IPW-equivalent) treatment
+    effect over the md5 arms: each stratum's B-A conversion-rate gap is
+    weighted by the stratum's share of units — the bias-corrected overall
+    effect when arm balance differs by stratum (the fix for the Simpson
+    reversals stratified_ab_audit detects).
+
+    Determinism: each stratum's term enters as EXACT int64 micro-units via
+    matched floor division ((n_s * 1e6 * conv) div n_arm) BEFORE the
+    cross-stratum sum, so no float is ever summed in engine-dependent
+    order. One row out: n_units, n_strata, effect_num_micro (int64; the
+    effect rate is effect_num_micro / (1e6 * n_units), left to the caller).
+
+    Scale shape: groupBy(stratum, unit) -> groupBy(stratum) -> 1-row sum.
+    """
+    from .corpus import md5_bucket
+
+    per = (
+        ev.select(
+            F.col(stratum_col).alias("stratum"),
+            F.col(unit_col).alias("_u"),
+            F.when(conv_predicate, 1).otherwise(0).alias("_s"),
+        )
+        .groupBy("stratum", "_u")
+        .agg(F.max("_s").alias("conv"))
+        .withColumn("arm", md5_bucket("_u", 2).cast("int"))
+    )
+    cells = per.groupBy("stratum").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    n_s = F.col("n_a") + F.col("n_b")
+    term = (
+        F.expr("(( (n_a + n_b) * 1000000 * conv_b ) div n_b)")
+        - F.expr("(( (n_a + n_b) * 1000000 * conv_a ) div n_a)")
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    t = cells.select(
+        n_s.alias("n_s"),
+        F.when(ok, term).otherwise(F.lit(0)).cast("long").alias("term_micro"),
+        F.when(ok, n_s).otherwise(F.lit(0)).cast("long").alias("n_used"),
+    )
+    return t.agg(
+        F.sum("n_s").cast("long").alias("n_units"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("n_used").cast("long").alias("n_units_used"),
+        F.sum("term_micro").cast("long").alias("effect_num_micro"),
+    )
+
+
+def mcnemar_paired(
+    ev: DataFrame,
+    unit_col: str,
+    conv_predicate,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """McNemar's paired test on within-user pre/post conversion flips
+    across the integer-midpoint time split (the cuped cutoff): did the
+    SAME users convert after but not before (n01) more than the reverse
+    (n10)? The right test when each unit is its own control. Exact int64
+    cells n00/n01/n10/n11 plus the chi-square pieces as integers
+    (num = (n01-n10)^2, den = n01+n10) — the statistic num/den is left to
+    the caller, nothing float crosses engines.
+
+    Scale shape: one groupBy(user) + one 1-row aggregate (the midpoint
+    rides a broadcast 1-row frame) — two shuffles at any size.
+    """
+    from ..operators.ordering import epoch_us
+
+    us = epoch_us(ts_col)
+    base = ev.select(
+        F.col(unit_col).alias("uid"), us.alias("_us"),
+        F.when(conv_predicate, 1).otherwise(0).alias("_s"),
+    )
+    rng = base.agg(F.min("_us").alias("lo"), F.max("_us").alias("hi")).select(
+        F.expr("(lo + hi) div 2").alias("cut")
+    )
+    pu = (
+        base.crossJoin(F.broadcast(rng))
+        .groupBy("uid")
+        .agg(
+            F.max(F.when(F.col("_us") < F.col("cut"), F.col("_s")).otherwise(0))
+            .alias("pre"),
+            F.max(F.when(F.col("_us") >= F.col("cut"), F.col("_s")).otherwise(0))
+            .alias("post"),
+        )
+    )
+    cell = lambda p, q, name: (
+        F.sum(F.when((F.col("pre") == p) & (F.col("post") == q), 1).otherwise(0))
+        .cast("long").alias(name)
+    )
+    out = pu.agg(
+        cell(0, 0, "n00"), cell(0, 1, "n01"), cell(1, 0, "n10"), cell(1, 1, "n11")
+    )
+    return out.select(
+        "*",
+        ((F.col("n01") - F.col("n10")) * (F.col("n01") - F.col("n10")))
+        .cast("long").alias("chi2_num"),
+        (F.col("n01") + F.col("n10")).cast("long").alias("chi2_den"),
+    )

@@ -12019,6 +12019,163 @@ QUERIES["rake_keywords"] = q_rake_keywords
 ORACLES["rake_keywords"] = O_RAKE
 
 
+def q_qte(spark, sf_dir):
+    """Quantile treatment effects between md5 arms (functions/stats.
+    quantile_treatment_effects): exact type-1 order statistics of per-user
+    cents via per-arm distinct-value rank arithmetic; B-A differences at
+    p25/p50/p75. All int64 — no interpolation, no float."""
+    from ..functions.stats import quantile_treatment_effects
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return quantile_treatment_effects(ev, "user_id")
+
+
+O_QTE = f"""
+with pu as (
+  select user_id as uid,
+    cast(sum(cast(floor(value * 100.0 + 0.5) as bigint)) as bigint) as c
+  from events group by user_id
+),
+arm as (
+  select c, cast(({_HEX7}) % 2 as int) as arm
+  from (select c, md5(cast(uid as varchar)) as h from pu)
+),
+g as (select arm, c, count(*) as cnt from arm group by arm, c),
+r as (
+  select arm, c, cnt,
+    sum(cnt) over (partition by arm order by c rows between unbounded preceding and current row) as cum,
+    sum(cnt) over (partition by arm) as n
+  from g
+),
+k as (
+  select arm, c, cnt, cum, n,
+    ((n - 1) * 25) // 100 + 1 as k25,
+    ((n - 1) * 50) // 100 + 1 as k50,
+    ((n - 1) * 75) // 100 + 1 as k75
+  from r
+)
+select
+  cast(max(case when arm = 0 then n end) as bigint) as n_a,
+  cast(max(case when arm = 1 then n end) as bigint) as n_b,
+  cast(min(case when arm = 0 and cum >= k25 and cum - cnt < k25 then c end) as bigint) as p25_a,
+  cast(min(case when arm = 1 and cum >= k25 and cum - cnt < k25 then c end) as bigint) as p25_b,
+  cast(min(case when arm = 0 and cum >= k50 and cum - cnt < k50 then c end) as bigint) as p50_a,
+  cast(min(case when arm = 1 and cum >= k50 and cum - cnt < k50 then c end) as bigint) as p50_b,
+  cast(min(case when arm = 0 and cum >= k75 and cum - cnt < k75 then c end) as bigint) as p75_a,
+  cast(min(case when arm = 1 and cum >= k75 and cum - cnt < k75 then c end) as bigint) as p75_b,
+  cast(min(case when arm = 1 and cum >= k25 and cum - cnt < k25 then c end)
+     - min(case when arm = 0 and cum >= k25 and cum - cnt < k25 then c end) as bigint) as qte25,
+  cast(min(case when arm = 1 and cum >= k50 and cum - cnt < k50 then c end)
+     - min(case when arm = 0 and cum >= k50 and cum - cnt < k50 then c end) as bigint) as qte50,
+  cast(min(case when arm = 1 and cum >= k75 and cum - cnt < k75 then c end)
+     - min(case when arm = 0 and cum >= k75 and cum - cnt < k75 then c end) as bigint) as qte75
+from k
+"""
+
+QUERIES["qte"] = q_qte
+ORACLES["qte"] = O_QTE
+
+
+def q_post_stratified(spark, sf_dir):
+    """Post-stratified treatment effect across week-of-month strata
+    (functions/stats.post_stratified_effect): each stratum's rate gap
+    enters as exact int64 micro-units via matched floor division BEFORE
+    the cross-stratum sum — the bias-corrected companion to ab_strata's
+    Simpson detector. Same predicate and arm hash as ab_ztest/ab_sprt."""
+    from ..functions.stats import post_stratified_effect
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "strat_week", F.expr("(dayofmonth(ts) - 1) div 7").cast("int")
+    )
+    return post_stratified_effect(
+        ev, "user_id", "strat_week",
+        (F.col("event_type") == "purchase") & (F.col("value") > 150.0),
+    )
+
+
+O_POST_STRATIFIED = f"""
+with per as (
+  select cast((day(ts) - 1) // 7 as int) as strat_week, user_id as uid,
+    max(case when event_type = 'purchase' and value > 150.0 then 1 else 0 end) as conv
+  from events group by strat_week, uid
+),
+arm as (
+  select strat_week, conv, cast(({_HEX7}) % 2 as int) as arm
+  from (select strat_week, conv, md5(cast(uid as varchar)) as h from per)
+),
+cells as (
+  select strat_week,
+    sum(case when arm = 0 then 1 else 0 end) as n_a,
+    sum(case when arm = 0 then conv else 0 end) as conv_a,
+    sum(case when arm = 1 then 1 else 0 end) as n_b,
+    sum(case when arm = 1 then conv else 0 end) as conv_b
+  from arm group by strat_week
+),
+t as (
+  select n_a + n_b as n_s,
+    case when n_a > 0 and n_b > 0 then
+      cast((((n_a + n_b) * 1000000 * conv_b) // n_b) as bigint)
+      - cast((((n_a + n_b) * 1000000 * conv_a) // n_a) as bigint)
+    else 0 end as term_micro,
+    case when n_a > 0 and n_b > 0 then n_a + n_b else 0 end as n_used
+  from cells
+)
+select cast(sum(n_s) as bigint) as n_units,
+  cast(count(*) as bigint) as n_strata,
+  cast(sum(n_used) as bigint) as n_units_used,
+  cast(sum(term_micro) as bigint) as effect_num_micro
+from t
+"""
+
+QUERIES["post_stratified"] = q_post_stratified
+ORACLES["post_stratified"] = O_POST_STRATIFIED
+
+
+def q_mcnemar(spark, sf_dir):
+    """McNemar's paired pre/post conversion test across the integer-
+    midpoint time split (functions/stats.mcnemar_paired): exact int64
+    flip cells n00/n01/n10/n11 plus integer chi-square pieces — the
+    within-user companion to the between-arm tests."""
+    from ..functions.stats import mcnemar_paired
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mcnemar_paired(
+        ev, "user_id",
+        (F.col("event_type") == "purchase") & (F.col("value") > 150.0),
+    )
+
+
+O_MCNEMAR = """
+with b as (
+  select user_id as uid, epoch_us(ts) as us,
+    case when event_type = 'purchase' and value > 150.0 then 1 else 0 end as s
+  from events
+),
+rng as (select (min(us) + max(us)) // 2 as cut from b),
+pu as (
+  select uid,
+    max(case when us < rng.cut then s else 0 end) as pre,
+    max(case when us >= rng.cut then s else 0 end) as post
+  from b, rng group by uid
+),
+cells as (
+  select
+    cast(sum(case when pre = 0 and post = 0 then 1 else 0 end) as bigint) as n00,
+    cast(sum(case when pre = 0 and post = 1 then 1 else 0 end) as bigint) as n01,
+    cast(sum(case when pre = 1 and post = 0 then 1 else 0 end) as bigint) as n10,
+    cast(sum(case when pre = 1 and post = 1 then 1 else 0 end) as bigint) as n11
+  from pu
+)
+select n00, n01, n10, n11,
+  cast((n01 - n10) * (n01 - n10) as bigint) as chi2_num,
+  cast(n01 + n10 as bigint) as chi2_den
+from cells
+"""
+
+QUERIES["mcnemar"] = q_mcnemar
+ORACLES["mcnemar"] = O_MCNEMAR
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -175,3 +175,99 @@ def test_rake_matches_naive_reference(spark):
         key=lambda t: (-t[3], t[0]),
     )[:10]
     assert got == want
+
+
+def test_qte_matches_naive_order_statistics(spark):
+    import datetime
+
+    vals = {u: float((u * 7) % 23 + 1) for u in range(50)}
+    ts = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(u, ts, vals[u]) for u in range(50)],
+        "user_id long, ts timestamp, value double",
+    )
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        quantile_treatment_effects,
+    )
+
+    out = quantile_treatment_effects(ev, "user_id").collect()[0]
+    arms = _arms(spark, range(50))
+    per_arm = {0: [], 1: []}
+    for u in range(50):
+        per_arm[arms[u]].append(round(vals[u] * 100))
+    for a, tag in ((0, "a"), (1, "b")):
+        xs = sorted(per_arm[a])
+        n = len(xs)
+        assert getattr(out, f"n_{tag}") == n
+        for q in (25, 50, 75):
+            k = (n - 1) * q // 100 + 1
+            assert getattr(out, f"p{q}_{tag}") == xs[k - 1], (a, q)
+    for q in (25, 50, 75):
+        assert getattr(out, f"qte{q}") == (
+            getattr(out, f"p{q}_b") - getattr(out, f"p{q}_a")
+        )
+
+
+def test_post_stratified_effect_exact_micro_units(spark):
+    import datetime
+
+    arms = _arms(spark, range(40))
+    rows = []
+    conv_of = {}
+    for u in range(40):
+        for s in ("p", "q"):
+            conv = 1 if (u + ord(s)) % 4 == 0 else 0
+            conv_of[(s, u)] = conv
+            rows.append((u, s, datetime.datetime(2024, 1, 1), 200.0 if conv else 1.0))
+    ev = spark.createDataFrame(
+        rows, "user_id long, stratum string, ts timestamp, value double"
+    )
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        post_stratified_effect,
+    )
+
+    out = post_stratified_effect(
+        ev, "user_id", "stratum", F.col("value") > 10.0
+    ).collect()[0]
+    num = 0
+    n_units = 0
+    used = 0
+    for s in ("p", "q"):
+        n_a = sum(1 for u in range(40) if arms[u] == 0)
+        n_b = 40 - n_a
+        c_a = sum(conv_of[(s, u)] for u in range(40) if arms[u] == 0)
+        c_b = sum(conv_of[(s, u)] for u in range(40) if arms[u] == 1)
+        n_s = n_a + n_b
+        n_units += n_s
+        if n_a > 0 and n_b > 0:
+            used += n_s
+            num += (n_s * 1_000_000 * c_b) // n_b - (n_s * 1_000_000 * c_a) // n_a
+    assert out.n_units == n_units
+    assert out.n_strata == 2
+    assert out.n_units_used == used
+    assert out.effect_num_micro == num
+
+
+def test_mcnemar_cells_exact(spark):
+    import datetime
+
+    # 20 users; pre window is Jan 1-15, post Jan 16-31 (midpoint split).
+    # pre conv iff u%4==0, post conv iff u%3==0
+    rows = []
+    for u in range(20):
+        rows.append((u, datetime.datetime(2024, 1, 1),
+                     200.0 if u % 4 == 0 else 1.0))
+        rows.append((u, datetime.datetime(2024, 1, 31),
+                     200.0 if u % 3 == 0 else 1.0))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    from feature_extractor_mbo_lob_spark.functions.stats import mcnemar_paired
+
+    out = mcnemar_paired(ev, "user_id", F.col("value") > 10.0).collect()[0]
+    cells = Counter(
+        (1 if u % 4 == 0 else 0, 1 if u % 3 == 0 else 0) for u in range(20)
+    )
+    assert (out.n00, out.n01, out.n10, out.n11) == (
+        cells[(0, 0)], cells[(0, 1)], cells[(1, 0)], cells[(1, 1)]
+    )
+    assert out.chi2_num == (out.n01 - out.n10) ** 2
+    assert out.chi2_den == out.n01 + out.n10
