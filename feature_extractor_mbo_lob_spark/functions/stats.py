@@ -671,3 +671,32 @@ def mcnemar_paired(
         .cast("long").alias("chi2_num"),
         (F.col("n01") + F.col("n10")).cast("long").alias("chi2_den"),
     )
+
+
+def srm_check(ev: DataFrame, unit_col: str, n_arms: int = 2) -> DataFrame:
+    """Sample-ratio-mismatch check — the first gate every experiment
+    platform runs: do the md5 arms actually split units evenly? One row
+    per arm with the exact unit count, plus the integer chi-square pieces
+    against the uniform expectation folded in (chi2 = sum over arms of
+    (n_arms*n_i - N)^2 / (n_arms*N), left to the caller as exact int64
+    numerator terms). A broken randomizer or a filter applied after arm
+    assignment shows up here before any effect estimate is trusted.
+
+    Scale shape: one groupBy(unit) + one n_arms-row aggregate.
+    """
+    from .corpus import md5_bucket
+
+    per = (
+        ev.select(F.col(unit_col).alias("_u"))
+        .distinct()
+        .withColumn("arm", md5_bucket("_u", n_arms).cast("int"))
+    )
+    cells = per.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n_units"))
+    tot = cells.agg(F.sum("n_units").cast("long").alias("n_total"))
+    out = cells.crossJoin(F.broadcast(tot))
+    dev = F.lit(int(n_arms)) * F.col("n_units") - F.col("n_total")
+    return out.select(
+        "arm", "n_units", "n_total",
+        (dev * dev).cast("long").alias("chi2_num_term"),
+        (F.lit(int(n_arms)) * F.col("n_total")).cast("long").alias("chi2_den"),
+    )

@@ -12176,6 +12176,35 @@ QUERIES["mcnemar"] = q_mcnemar
 ORACLES["mcnemar"] = O_MCNEMAR
 
 
+def q_srm(spark, sf_dir):
+    """Sample-ratio-mismatch gate (functions/stats.srm_check): exact unit
+    counts per md5 arm plus integer chi-square pieces against the uniform
+    split — the first sanity check before trusting any effect estimate."""
+    from ..functions.stats import srm_check
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return srm_check(ev, "user_id")
+
+
+O_SRM = f"""
+with pu as (select distinct user_id as uid from events),
+arm as (
+  select cast(({_HEX7}) % 2 as int) as arm
+  from (select md5(cast(uid as varchar)) as h from pu)
+),
+cells as (select arm, cast(count(*) as bigint) as n_units from arm group by arm),
+tot as (select cast(sum(n_units) as bigint) as n_total from cells)
+select cells.arm, cells.n_units, tot.n_total,
+  cast((2 * cells.n_units - tot.n_total) * (2 * cells.n_units - tot.n_total)
+    as bigint) as chi2_num_term,
+  cast(2 * tot.n_total as bigint) as chi2_den
+from cells, tot
+"""
+
+QUERIES["srm_check"] = q_srm
+ORACLES["srm_check"] = O_SRM
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

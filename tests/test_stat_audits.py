@@ -271,3 +271,49 @@ def test_mcnemar_cells_exact(spark):
     )
     assert out.chi2_num == (out.n01 - out.n10) ** 2
     assert out.chi2_den == out.n01 + out.n10
+
+
+def test_srm_check_counts_and_chi2_pieces(spark):
+    import datetime
+
+    ev = spark.createDataFrame(
+        [(u, datetime.datetime(2024, 1, 1), 1.0) for u in range(30) for _ in range(2)],
+        "user_id long, ts timestamp, value double",
+    )
+    from feature_extractor_mbo_lob_spark.functions.stats import srm_check
+
+    rows = {r.arm: r for r in srm_check(ev, "user_id").collect()}
+    arms = _arms(spark, range(30))
+    n0 = sum(1 for a in arms.values() if a == 0)
+    assert rows[0].n_units == n0
+    assert rows[1].n_units == 30 - n0
+    for a in (0, 1):
+        assert rows[a].n_total == 30
+        assert rows[a].chi2_num_term == (2 * rows[a].n_units - 30) ** 2
+        assert rows[a].chi2_den == 60
+
+
+def test_experiment_report_job_cli(tmp_path):
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out = tmp_path / "report.json"
+    r = subprocess.run(
+        [sys.executable, str(repo / "jobs" / "experiment_report.py"),
+         "--input", "/root/testdata/sf0.001", "--out", str(out)],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    rep = json.loads(out.read_text())
+    for section in ("srm", "ztest", "sprt", "cuped", "mann_whitney",
+                    "qte", "strata", "post_strat", "mcnemar"):
+        assert section in rep, section
+    assert rep["srm"]["pass"] is True
+    assert rep["ztest"]["n_a"] == rep["mann_whitney"]["n_a"]
+    assert rep["strata"]["n_strata"] == 5
+    # stdout's last JSON line matches the file (driver-parsable contract)
+    last = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    assert json.loads(last) == rep
