@@ -12205,6 +12205,62 @@ QUERIES["srm_check"] = q_srm
 ORACLES["srm_check"] = O_SRM
 
 
+def q_streaming_sprt(spark, sf_dir):
+    """REAL streaming execution of the Wald SPRT monitor
+    (streaming/stream.streaming_sprt): per-user first-touch rows replayed
+    through readStream -> per-arm applyInPandasWithState LLR accumulator ->
+    availableNow -> memory sink. Single-file source => one in-order
+    micro-batch, so the batch ab_sprt oracle (O_AB_SPRT) matches exactly;
+    the cross-batch decision-freeze path is pytest-covered."""
+    import hashlib
+    import uuid
+    from pathlib import Path as _P
+
+    from ..functions.corpus import md5_bucket
+    from ..streaming import stream as strm
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    conv = (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
+    pu = (
+        ev.groupBy(F.col("user_id").alias("uid"))
+        .agg(
+            F.max(F.when(conv, 1).otherwise(0)).cast("int").alias("conv"),
+            F.min("ts").alias("ts0"),
+        )
+        .select(
+            md5_bucket("uid", 2).cast("int").alias("arm"),
+            F.col("uid").cast("long").alias("uid"),
+            "conv",
+            F.unix_micros(F.col("ts0").cast("timestamp")).alias("ts0_us"),
+        )
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/stream_sprt_src_{tag}"
+    if not _P(path).exists():
+        pu.coalesce(1).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(pu.schema).parquet(path)
+    out = strm.streaming_sprt(src)
+    qname = "qss_" + uuid.uuid4().hex[:12]
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"/tmp/stream_sprt_ckpt_{uuid.uuid4().hex[:12]}")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return spark.table(qname)
+
+
+QUERIES["streaming_sprt"] = q_streaming_sprt
+ORACLES["streaming_sprt"] = O_AB_SPRT
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

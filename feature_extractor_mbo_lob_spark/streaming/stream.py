@@ -495,3 +495,86 @@ def streaming_sft_pairs(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming sequential experiment monitor (SPRT) ----------------------------
+
+SPRT_OUTPUT_SCHEMA = StructType([
+    StructField("arm", LongType()),
+    StructField("n_users", LongType()),
+    StructField("n_conv", LongType()),
+    StructField("llr_final_nano", LongType()),
+    StructField("decision", StringType()),
+    StructField("n_at_decision", LongType()),
+    StructField("llr_at_decision_nano", LongType()),
+])
+
+
+def _sprt_state_fn(consts: dict):
+    """Per-arm SPRT accumulator: replays the exact int64 nano-unit LLR walk
+    of functions/stats.ab_sprt as streaming group state. A decision, once
+    crossed, is FROZEN in state (sequential tests must not un-decide), so
+    late micro-batches only advance the running totals."""
+    succ, fail = consts["succ"], consts["fail"]
+    upper, lower = consts["upper"], consts["lower"]
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, k, dn, dllr = state.get
+        else:
+            n, k, dn, dllr = 0, 0, None, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts0_us", "uid"], kind="mergesort")
+            for conv in pdf["conv"]:
+                n += 1
+                k += int(conv)
+                llr = k * succ + (n - k) * fail
+                if dn is None and (llr >= upper or llr <= lower):
+                    dn, dllr = n, llr
+        llr_final = k * succ + (n - k) * fail
+        decision = (
+            "continue" if dn is None
+            else ("h1" if dllr >= upper else "h0")
+        )
+        yield pd.DataFrame({
+            "arm": [int(key[0])],
+            "n_users": [n],
+            "n_conv": [k],
+            "llr_final_nano": [llr_final],
+            "decision": [decision],
+            "n_at_decision": pd.array([dn], dtype="Int64"),
+            "llr_at_decision_nano": pd.array([dllr], dtype="Int64"),
+        })
+        state.update((n, k, dn, dllr))
+
+    return fn
+
+
+def streaming_sprt(
+    per_user: DataFrame,
+    p0_ppm: int = 300_000,
+    p1_ppm: int = 400_000,
+    alpha_ppm: int = 50_000,
+    beta_ppm: int = 50_000,
+) -> DataFrame:
+    """ONLINE Wald SPRT — the way an experimentation platform actually runs
+    the sequential test: a stream of per-user first-touch rows
+    (arm:int, uid:long, conv:int, ts0_us:long) drives a per-arm
+    applyInPandasWithState accumulator that emits a decision snapshot per
+    micro-batch (running totals, final LLR, h1/h0/continue, and the frozen
+    first-crossing point). Bit-identical to the batch ab_sprt on the same
+    rows delivered in ts0 order (the int64 nano LLR constants are the same
+    driver-Python literals — functions/stats.sprt_constants).
+
+    State per arm is four ints — bounded forever, any corpus rate.
+    """
+    from ..functions.stats import sprt_constants
+
+    consts = sprt_constants(p0_ppm, p1_ppm, alpha_ppm, beta_ppm)
+    return per_user.groupBy("arm").applyInPandasWithState(
+        _sprt_state_fn(consts),
+        outputStructType=SPRT_OUTPUT_SCHEMA,
+        stateStructType="n long, k long, dn long, dllr long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -317,3 +317,93 @@ def test_experiment_report_job_cli(tmp_path):
     # stdout's last JSON line matches the file (driver-parsable contract)
     last = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
     assert json.loads(last) == rep
+
+
+def test_streaming_sprt_cross_batch_matches_batch_and_freezes_decision(
+    spark, tmp_path
+):
+    """Two availableNow runs over a growing source dir sharing one
+    checkpoint: the second run only sees the late file, state carries the
+    early users, and the final snapshot equals the batch ab_sprt on the
+    full set. A decision crossed in run 1 must stay frozen in run 2."""
+    import datetime
+
+    from feature_extractor_mbo_lob_spark.functions.corpus import md5_bucket
+    from feature_extractor_mbo_lob_spark.functions.stats import ab_sprt
+    from feature_extractor_mbo_lob_spark.streaming.stream import streaming_sprt
+
+    # all arm-0 users convert early -> h1 crossing within the first file
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(400):
+        early = u < 200
+        ts = base + datetime.timedelta(minutes=u)
+        conv = 1 if (early and u % 2 == 0) or (not early and u % 11 == 0) else 0
+        rows.append((u, ts, 200.0 if conv else 1.0, "purchase" if conv else "view"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_type string"
+    )
+    pred = (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
+    pu = (
+        ev.groupBy(F.col("user_id").alias("uid"))
+        .agg(
+            F.max(F.when(pred, 1).otherwise(0)).cast("int").alias("conv"),
+            F.min("ts").alias("ts0"),
+        )
+        .select(
+            md5_bucket("uid", 2).cast("int").alias("arm"),
+            F.col("uid").cast("long").alias("uid"),
+            "conv",
+            F.unix_micros(F.col("ts0").cast("timestamp")).alias("ts0_us"),
+        )
+    )
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    pu.filter("uid < 200").coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(pu.schema).parquet(str(src))
+        q = (
+            streaming_sprt(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        # latest snapshot per arm = the one with the largest n_users
+        rows = spark.read.parquet(sink).collect()
+        best = {}
+        for r in rows:
+            if r.arm not in best or r.n_users > best[r.arm].n_users:
+                best[r.arm] = r
+        return best
+
+    first = run()
+    batch_first = {
+        r.arm: r
+        for r in ab_sprt(ev.filter("user_id < 200"), "user_id", pred).collect()
+    }
+    for a in first:
+        assert (first[a].n_users, first[a].n_conv, first[a].decision) == (
+            batch_first[a].n_users, batch_first[a].n_conv, batch_first[a].decision
+        )
+
+    pu.filter("uid >= 200").coalesce(1).write.mode("append").parquet(str(src))
+    second = run()
+    batch_all = {r.arm: r for r in ab_sprt(ev, "user_id", pred).collect()}
+    for a in batch_all:
+        s, b = second[a], batch_all[a]
+        assert (s.n_users, s.n_conv, s.llr_final_nano) == (
+            b.n_users, b.n_conv, b.llr_final_nano
+        )
+        # decisions reached in run 1 stay frozen even though run 2's
+        # full-set replay order differs from the streaming arrival order
+        if first[a].decision != "continue":
+            assert (s.decision, s.n_at_decision) == (
+                first[a].decision, first[a].n_at_decision
+            )
+    assert any(first[a].decision != "continue" for a in first)
