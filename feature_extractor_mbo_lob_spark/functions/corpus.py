@@ -1712,3 +1712,57 @@ def association_rules(
         F.expr("n_ab * n_groups * 1000000 div (n_a * n_b)")
         .cast("long").alias("lift_ppm"),
     )
+
+
+def perplexity_prune(
+    df: DataFrame,
+    lo_num: int = 1,
+    lo_den: int = 4,
+    hi_num: int = 3,
+    hi_den: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-band data pruning (Marion et al. 2023, "When Less is
+    More"): score every document with the corpus unigram LM
+    (unigram_logprob) and KEEP only the middle band of the perplexity
+    distribution — the published result is that dropping both the
+    easiest (lowest-perplexity: boilerplate, duplicates) and hardest
+    (highest-perplexity: gibberish, OCR noise) documents beats random
+    pruning at equal token budget.
+
+    Band selection is integer-exact: the float mean_logprob is quantized
+    once to int64 micro-units (the _r6x floor form, identical IEEE op
+    sequence on both engines), then ranked by (score_micro, id) and kept
+    iff floor(n*lo) < rank <= floor(n*hi) with rational lo/hi — no float
+    comparison decides membership, so the oracle matches hash-exactly.
+
+    Scale shape: the rank here is a single global sort, fine for the
+    oracle twin and for per-shard pruning; at 100 TB the selection runs
+    per hash-shard (rank within md5-bucket shards is statistically
+    identical for i.i.d. scores) or via two approx_percentile cutpoints
+    and a filter — same kept set up to boundary ties, no global sort.
+
+    Returns all docs with ``kept`` flag so downstream can audit the cut:
+    ``DataFrame[id, n_words, score_micro: long, rnk: long, kept: int]``.
+    """
+    scored = unigram_logprob(df, id_col=id_col, text_col=text_col)
+    micro = scored.select(
+        "id",
+        "n_words",
+        F.floor(F.col("mean_logprob") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("score_micro"),
+    )
+    n = micro.count()
+    w = Window.orderBy("score_micro", "id")
+    lo_cut = (n * lo_num) // lo_den
+    hi_cut = (n * hi_num) // hi_den
+    return (
+        micro.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "kept",
+            ((F.col("rnk") > F.lit(lo_cut)) & (F.col("rnk") <= F.lit(hi_cut)))
+            .cast("int"),
+        )
+    )

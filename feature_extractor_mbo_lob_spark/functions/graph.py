@@ -203,3 +203,98 @@ def triangle_stats(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         / F.lit(1e6),
     ).otherwise(F.lit(0.0))
     return out.select("node", "degree", "triangles", cc.alias("clustering"))
+
+
+def turn_similarity_edges(
+    t: DataFrame, min_shared: int = 1, max_word_turn_df: int | None = None
+) -> DataFrame:
+    """Within-conversation turn-similarity edge list for TextRank: an
+    undirected edge (both directions emitted) between two turns of the SAME
+    conversation, weighted by the count of distinct normalized words they
+    share (Mihalcea & Tarau 2004's overlap weight, un-normalized so it
+    stays integer-exact).
+
+    Distributed shape: explode -> distinct, then a self-equi-join keyed on
+    (conv_id, word) — never a cross join; Catalyst shuffles both sides on
+    the composite key, so pair generation is local to each (conv, word)
+    group. Pairs per word are bounded by turns-per-conversation^2, and a
+    mega-conversation is exactly the skew the optional ``max_word_turn_df``
+    cap bounds: words appearing in more than that many turns of one
+    conversation (stopwords of that conv) are dropped before the join, the
+    same hot-key cap ngram_jaccard_capped applies to shingles.
+
+    Returns ``DataFrame[src: string, dst: string, w: long]`` with node ids
+    ``conv_id#turn_idx``.
+    """
+    from .repetition import normalized_words
+
+    words = (
+        t.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(normalized_words("text")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    if max_word_turn_df is not None:
+        df_cap = (
+            words.groupBy("conv_id", "word")
+            .agg(F.count(F.lit(1)).alias("tdf"))
+            .where(F.col("tdf") <= max_word_turn_df)
+            .select("conv_id", "word")
+        )
+        words = words.join(df_cap, ["conv_id", "word"])
+    a, b = words.alias("a"), words.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.turn_idx") < F.col("b.turn_idx")),
+        )
+        .groupBy(
+            F.col("a.conv_id").alias("conv_id"),
+            F.col("a.turn_idx").alias("ta"),
+            F.col("b.turn_idx").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .where(F.col("w") >= min_shared)
+    )
+    node = lambda c, ti: F.concat_ws("#", F.col(c), F.col(ti).cast("string"))
+    fwd = pairs.select(node("conv_id", "ta").alias("src"), node("conv_id", "tb").alias("dst"), "w")
+    rev = pairs.select(node("conv_id", "tb").alias("src"), node("conv_id", "ta").alias("dst"), "w")
+    return fwd.unionAll(rev)
+
+
+def textrank_turns(t: DataFrame, iterations: int = 2, min_shared: int = 1) -> DataFrame:
+    """TextRank key-turn extraction (Mihalcea & Tarau, EMNLP 2004): run
+    integer micro-unit PageRank over the within-conversation
+    turn-similarity graph and rank each conversation's turns by centrality
+    — the classic extractive-summarization signal, here used to pick the
+    load-bearing turns of a transcript for curation / SFT mining.
+
+    Semantics: turns with no similarity edge to any sibling turn are
+    unranked (absent), per the original paper's connected-graph setup. The
+    PageRank base constant uses the GLOBAL node count (pagerank_int's
+    contract); conversations are disjoint components so relative order
+    within a conversation — the signal — is unaffected.
+
+    Everything is int64 (shared-word counts, micro-unit ranks, floor
+    division), so the DuckDB oracle unrolls the same ``iterations`` and
+    matches hash-exactly; ``pos`` breaks rank ties by turn_idx.
+
+    Returns ``DataFrame[conv_id, turn_idx, rank_micro: long, pos: int]``.
+    """
+    from pyspark.sql.window import Window
+
+    edges = turn_similarity_edges(t, min_shared=min_shared)
+    ranks = pagerank_int(edges, iterations=iterations)
+    split = F.split(F.col("node"), "#")
+    out = ranks.select(
+        split.getItem(0).alias("conv_id"),
+        split.getItem(1).cast("int").alias("turn_idx"),
+        F.col("rank_micro"),
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.col("rank_micro").desc(), "turn_idx")
+    return out.withColumn("pos", F.row_number().over(w).cast("int"))

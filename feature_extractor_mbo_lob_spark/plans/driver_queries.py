@@ -12261,6 +12261,119 @@ QUERIES["streaming_sprt"] = q_streaming_sprt
 ORACLES["streaming_sprt"] = O_AB_SPRT
 
 
+# --- perplexity-band pruning (Marion et al. 2023) ---------------------------
+
+def q_perplexity_prune(spark, sf_dir):
+    """Middle-band perplexity pruning over the corpus unigram LM: keep
+    docs between the 25th and 75th score percentile; membership decided
+    by integer rank on micro-unit-quantized scores (engine-exact)."""
+    from ..functions import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.perplexity_prune(docs)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_words", "score_micro", "rnk", "kept"
+    )
+
+
+O_PERPLEXITY_PRUNE = f"""
+with {_WORDS_CTE},
+ww as (select doc_id, unnest(words) as word from w),
+wc as (select word, count(*) as cnt from ww group by word),
+tot as (select cast(sum(cnt) as double) as n_total, cast(count(*) as double) as n_vocab from wc),
+dw as (select doc_id, word, count(*) as k from ww group by 1, 2),
+s as (
+  select dw.doc_id, dw.k,
+    ln((wc.cnt + 1.0) / (tot.n_total + tot.n_vocab)) as lp
+  from dw join wc using (word) cross join tot
+),
+sc as (
+  select doc_id,
+    cast(sum(k) as bigint) as n_words,
+    cast(floor((sum(k * lp) / cast(sum(k) as double)) * 1000000.0 + 0.5) as bigint) as score_micro
+  from s group by doc_id
+),
+rk as (
+  select *, cast(row_number() over (order by score_micro, doc_id) as bigint) as rnk,
+    count(*) over () as n
+  from sc
+)
+select doc_id, n_words, score_micro, rnk,
+  cast(case when rnk > (n * 1) // 4 and rnk <= (n * 3) // 4 then 1 else 0 end as int) as kept
+from rk
+"""
+
+QUERIES["perplexity_prune"] = q_perplexity_prune
+ORACLES["perplexity_prune"] = O_PERPLEXITY_PRUNE
+
+
+# --- TextRank key-turn centrality (Mihalcea & Tarau 2004) -------------------
+
+def q_textrank_turns(spark, sf_dir):
+    """Integer micro-unit PageRank over the within-conversation
+    turn-similarity graph (shared distinct normalized words); per-conv
+    centrality order `pos` is the key-turn signal. All-int64 arithmetic
+    -> the oracle unrolls the same 2 iterations and matches hash-exactly."""
+    from ..functions import graph
+
+    t = transcripts_from_events(spark, sf_dir)
+    return graph.textrank_turns(t, iterations=2)
+
+
+def _textrank_oracle() -> str:
+    it = """,
+r{t} as (
+  select n.node,
+    (1000000 * 3) // (20 * (select nn from ncnt))
+      + (17 * coalesce(s.c_sum, 0)) // 20 as rank_micro
+  from nodes n left join (
+    select e.dst as node, sum((r.rank_micro * e.w) // o.out_w) as c_sum
+    from edges e
+    join r{p} r on r.node = e.src
+    join outw o on o.src = e.src
+    group by 1
+  ) s using (node)
+)"""
+    return f"""{_W},
+tw as (
+  select distinct conv_id, turn_idx,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) as word
+  from transcripts
+),
+twc as (select * from tw where word <> ''),
+pairs as (
+  select a.conv_id, a.turn_idx as ta, b.turn_idx as tb,
+    cast(count(*) as bigint) as w
+  from twc a join twc b
+    on a.conv_id = b.conv_id and a.word = b.word and a.turn_idx < b.turn_idx
+  group by 1, 2, 3
+),
+edges as (
+  select conv_id || '#' || ta as src, conv_id || '#' || tb as dst, w from pairs
+  union all
+  select conv_id || '#' || tb as src, conv_id || '#' || ta as dst, w from pairs
+),
+nodes as (select src as node from edges union select dst from edges),
+ncnt as (select count(*) as nn from nodes),
+outw as (select src, sum(w) as out_w from edges group by 1),
+r0 as (select node, 1000000 // (select nn from ncnt) as rank_micro from nodes)
+{it.format(t=1, p=0)}{it.format(t=2, p=1)}
+select
+  string_split(node, '#')[1] as conv_id,
+  cast(string_split(node, '#')[2] as int) as turn_idx,
+  cast(rank_micro as bigint) as rank_micro,
+  cast(row_number() over (
+    partition by string_split(node, '#')[1]
+    order by rank_micro desc, cast(string_split(node, '#')[2] as int)
+  ) as int) as pos
+from r2
+"""
+
+
+QUERIES["textrank_turns"] = q_textrank_turns
+ORACLES["textrank_turns"] = _textrank_oracle()
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -477,3 +477,34 @@ def test_weighted_sample_size_bias(spark):
     # deterministic: second run identical
     again = corpus.weighted_sample(df, k=50, weight_col="n_chars").collect()
     assert [r.id for r in again] == [r.id for r in out]
+
+
+def test_perplexity_prune_middle_band(spark):
+    # 8 docs: two boilerplate dups (common words, high logprob), one
+    # gibberish (all-unique rare words, low logprob), rest mid-range
+    rows = [
+        (0, "the the the the the the"),
+        (1, "the the the the the the"),
+        (2, "qzx wvu jkl mno pqr stu"),
+        (3, "the quick brown fox jumps"),
+        (4, "the lazy dog sleeps well"),
+        (5, "quick brown dog runs far"),
+        (6, "fox jumps over lazy dog"),
+        (7, "the quick dog jumps well"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in corpus.perplexity_prune(df).collect()}
+    assert len(out) == 8
+    # n=8, lo=1/4, hi=3/4 -> keep ranks 3..6 (4 docs)
+    assert sum(r.kept for r in out.values()) == 4
+    # ranks are a permutation of 1..8
+    assert sorted(r.rnk for r in out.values()) == list(range(1, 9))
+    # the gibberish doc has the lowest score (rank 1) and is pruned
+    assert out[2].rnk == 1 and out[2].kept == 0
+    # the boilerplate dups have the two highest scores and are pruned
+    assert {out[0].rnk, out[1].rnk} == {7, 8}
+    assert out[0].kept == 0 and out[1].kept == 0
+    # mid-range docs are kept
+    assert out[3].kept == 1 or out[3].rnk in (1, 2, 7, 8) is False
+    kept_ids = {i for i, r in out.items() if r.kept}
+    assert kept_ids <= {3, 4, 5, 6, 7} and len(kept_ids) == 4

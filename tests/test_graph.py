@@ -38,3 +38,62 @@ def test_unordered_and_duplicate_edges_ignored(spark):
     # (b,a) violates canonical order -> dropped; dup (a,b) deduped
     out = _stats(spark, [("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"), ("b", "c")])
     assert out["a"].degree == 2 and out["a"].triangles == 1
+
+
+def _transcripts(spark, rows):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (c, i, "user", txt, None, t0 + datetime.timedelta(seconds=i))
+        for (c, i, txt) in rows
+    ]
+    return spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def test_turn_similarity_edges_weights(spark):
+    t = _transcripts(spark, [
+        ("c1", 0, "alpha beta gamma"),
+        ("c1", 1, "alpha beta delta"),
+        ("c1", 2, "epsilon zeta"),
+        ("c2", 0, "alpha beta"),   # different conv: never pairs with c1
+        ("c2", 1, "alpha beta"),
+    ])
+    edges = {(r.src, r.dst): r.w for r in graph.turn_similarity_edges(t).collect()}
+    # c1 turns 0-1 share {alpha, beta} -> weight 2, both directions
+    assert edges[("c1#0", "c1#1")] == 2 and edges[("c1#1", "c1#0")] == 2
+    # c1 turn 2 shares nothing -> no edges
+    assert not any("c1#2" in k for pair in edges for k in pair)
+    # cross-conversation pairs never exist
+    assert not any(a.startswith("c1") and b.startswith("c2") for a, b in edges)
+    assert edges[("c2#0", "c2#1")] == 2
+
+
+def test_textrank_turns_centrality_order(spark):
+    # star graph inside one conv: turn 0 shares a word with every other
+    # turn; the satellites share nothing with each other -> turn 0 is
+    # the most central turn
+    t = _transcripts(spark, [
+        ("c1", 0, "hub one two three"),
+        ("c1", 1, "one apple"),
+        ("c1", 2, "two banana"),
+        ("c1", 3, "three cherry"),
+    ])
+    out = {r.turn_idx: r for r in graph.textrank_turns(t, iterations=2).collect()}
+    assert out[0].pos == 1
+    assert out[0].rank_micro > max(out[i].rank_micro for i in (1, 2, 3))
+    # satellites are symmetric -> equal ranks, pos ties broken by turn_idx
+    assert out[1].rank_micro == out[2].rank_micro == out[3].rank_micro
+    assert [out[i].pos for i in (1, 2, 3)] == [2, 3, 4]
+
+
+def test_textrank_isolated_turns_absent(spark):
+    t = _transcripts(spark, [
+        ("c1", 0, "alpha beta"),
+        ("c1", 1, "alpha gamma"),
+        ("c1", 2, "zzz"),
+    ])
+    out = graph.textrank_turns(t).collect()
+    assert sorted(r.turn_idx for r in out) == [0, 1]
