@@ -33,9 +33,11 @@ def md5_bucket(col, buckets: int):
     Works for ANY id type (string ids are common in real corpora — a numeric
     pmod would yield NULL shards silently, or error under ANSI). Exactly
     reproducible in any engine with md5: first 7 hex chars -> int % buckets
-    (DuckDB twin: driver_queries._HEX7)."""
+    (DuckDB twin: driver_queries._HEX7). Accepts a column name or a
+    Column expression."""
+    c = col if isinstance(col, F.Column) else F.col(col)
     return (
-        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 7), 16, 10)
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 7), 16, 10)
         .cast("long")
         % buckets
     )

@@ -298,3 +298,90 @@ def textrank_turns(t: DataFrame, iterations: int = 2, min_shared: int = 1) -> Da
     )
     w = Window.partitionBy("conv_id").orderBy(F.col("rank_micro").desc(), "turn_idx")
     return out.withColumn("pos", F.row_number().over(w).cast("int"))
+
+
+def hits_int(
+    edges: DataFrame, iterations: int = 3, scale: int = 1_000_000
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) in integer
+    micro-units — the link-analysis complement to pagerank_int for
+    crawl-frontier scoring (a good HUB links to many good authorities;
+    a good AUTHORITY is linked from many good hubs).
+
+    Update per round, all int64:
+        a'(v) = sum_{u->v} w(u,v) * h(u);  a(v) = a'(v)*scale DIV sum(a')
+        h'(u) = sum_{u->v} w(u,v) * a(v);  h(u) = h'(u)*scale DIV sum(h')
+    L1 normalization by floor division keeps every score in [0, scale]
+    and is engine-exact; mass lost to floor() is deterministic spec.
+    The normalizing sum is a 1-row aggregate joined back via crossJoin
+    (broadcast) — no driver action inside the loop. raw*scale can pass
+    int64 (raw ~ total_edge_weight * scale), so the normalization step
+    runs in decimal(38,0): Spark's `div` on decimal is exact integral
+    division and bit-matches DuckDB hugeint `//` (tested).
+
+    Scale shape: like pagerank_int, each iteration is two join+groupBy
+    passes over the aggregated edge list; for bucket graphs the edge
+    table is O(buckets^2) regardless of corpus size.
+
+    Returns ``DataFrame[node, hub_micro: long, auth_micro: long]``.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_micro"),
+            F.lit(0).cast("long").alias("auth_micro"),
+        )
+    init = scale // n
+    hubs = nodes.withColumn("h", F.lit(init).cast("long"))
+    auths = nodes.withColumn("a", F.lit(init).cast("long"))
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(hubs, edges["src"] == hubs["node"])
+            .select(F.col("dst").alias("node"), (F.col("w") * F.col("h")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
+        auths = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                F.expr(
+                    f"cast((cast(coalesce(raw, 0) as decimal(38,0)) * {scale})"
+                    " div greatest(tot, 1) as bigint)"
+                ).alias("a"),
+            )
+        )
+        h_raw = (
+            edges.join(auths, edges["dst"] == auths["node"])
+            .select(F.col("src").alias("node"), (F.col("w") * F.col("a")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
+        hubs = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                F.expr(
+                    f"cast((cast(coalesce(raw, 0) as decimal(38,0)) * {scale})"
+                    " div greatest(tot, 1) as bigint)"
+                ).alias("h"),
+            )
+        )
+    return (
+        hubs.join(auths, "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_micro"),
+            F.col("a").alias("auth_micro"),
+        )
+    )

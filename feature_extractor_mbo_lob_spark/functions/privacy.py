@@ -60,3 +60,60 @@ def k_anonymity_audit(
         .cast("long").alias("classes_below_l"),
         F.sum("k").cast("long").alias("n_rows"),
     )
+
+
+def randomized_response(
+    df: DataFrame,
+    bit_col: str,
+    id_col: str = "user_id",
+    group_col: str | None = None,
+    salt: str = "rr",
+) -> DataFrame:
+    """Warner randomized response (JASA 1965) — the classic local-DP
+    release for a sensitive binary attribute, fully deterministic here
+    via keyed md5 coins so the mechanism is replayable and oracle-exact.
+
+    Each unit reports its TRUE bit with probability 2/3, else a fair
+    coin: coin1 = md5(id||salt1) mod 3 (0 => lie), coin2 = md5(id||salt2)
+    mod 2. The reported sum is then debiased: E[sum_r] = (2/3)T + n/6,
+    so T_hat = (6*sum_r - n) / 4, clamped at 0 before the floor division
+    (negative operands floor differently across engines). The released
+    row carries only (n, sum_reports, est_true, est_rate_ppm) — the
+    per-unit reports never leave the aggregation, which is the entire
+    point of the mechanism: the collector itself only ever sees noisy
+    bits (epsilon = ln 5 local DP: P[report=1|b=1]/P[report=1|b=0] =
+    (5/6)/(1/6)).
+
+    Scale shape: one partial-aggregable groupBy over ``group_col`` (or a
+    global 1-row aggregate) — map-side combine does all the work; no
+    joins, no sort, no skew exposure.
+
+    Returns ``DataFrame[group?, n: long, sum_reports: long,
+    est_true: long, est_rate_ppm: long]``.
+    """
+    from .corpus import md5_bucket
+
+    sid = F.col(id_col).cast("string")
+    truth = F.col(bit_col).cast("int")
+    lie = md5_bucket(F.concat(sid, F.lit(f":{salt}1")), 3) == 0
+    coin = md5_bucket(F.concat(sid, F.lit(f":{salt}2")), 2).cast("int")
+    report = F.when(lie, coin).otherwise(truth)
+    base = df.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        report.alias("_r"),
+    )
+    keys = [group_col] if group_col else []
+    agg = (base.groupBy(*keys) if keys else base.groupBy()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_r").cast("long").alias("sum_reports"),
+    )
+    est = F.expr("greatest(6 * sum_reports - n, 0) div 4")
+    return agg.select(
+        *keys,
+        "n",
+        "sum_reports",
+        est.cast("long").alias("est_true"),
+        F.expr("(greatest(6 * sum_reports - n, 0) * 250000) div n")
+        .cast("long")
+        .alias("est_rate_ppm"),
+    )

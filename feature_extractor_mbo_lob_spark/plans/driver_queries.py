@@ -11955,6 +11955,44 @@ QUERIES["kanonymity"] = q_kanonymity
 ORACLES["kanonymity"] = O_KANONYMITY
 
 
+def q_randomized_response(spark, sf_dir):
+    """Warner randomized-response release per source (functions/privacy.
+    randomized_response): each doc reports `lang = 'en'` truthfully with
+    p=2/3 else a fair coin — both coins keyed md5, so the local-DP
+    mechanism is replayable and engine-exact. Debiased estimate stays in
+    int64 (clamped before the floor division). One partial-aggregable
+    groupBy; no joins."""
+    from ..functions.privacy import randomized_response
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "is_en", (F.col("lang") == "en").cast("int")
+    )
+    return randomized_response(docs, "is_en", id_col="doc_id", group_col="source")
+
+
+O_RANDOMIZED_RESPONSE = f"""
+with r as (
+  select source,
+    case when (({_hex7_of("md5(cast(doc_id as varchar) || ':rr1')")}) % 3) = 0
+         then cast((({_hex7_of("md5(cast(doc_id as varchar) || ':rr2')")}) % 2) as int)
+         else cast(lang = 'en' as int) end as rep
+  from documents
+),
+agg as (
+  select source, cast(count(*) as bigint) as n,
+         cast(sum(rep) as bigint) as sum_reports
+  from r group by source
+)
+select source, n, sum_reports,
+  cast(greatest(6 * sum_reports - n, 0) // 4 as bigint) as est_true,
+  cast((greatest(6 * sum_reports - n, 0) * 250000) // n as bigint) as est_rate_ppm
+from agg
+"""
+
+QUERIES["randomized_response"] = q_randomized_response
+ORACLES["randomized_response"] = O_RANDOMIZED_RESPONSE
+
+
 def q_rake_keywords(spark, sf_dir):
     """RAKE keyword extraction over documents (functions/text.
     rake_keywords): stopword-delimited candidate phrases, integer-ppm
@@ -12372,6 +12410,71 @@ from r2
 
 QUERIES["textrank_turns"] = q_textrank_turns
 ORACLES["textrank_turns"] = _textrank_oracle()
+
+
+# --- HITS hubs & authorities (Kleinberg 1999) --------------------------------
+
+def q_hits_scores(spark, sf_dir):
+    """HITS over the word-bucket transition digraph: int64 micro-unit
+    hub/authority scores with exact decimal(38,0) L1 normalization per
+    round — bit-matches the DuckDB hugeint oracle for 3 unrolled
+    iterations."""
+    from ..functions import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = graph.word_transition_edges(docs, buckets=16)
+    return graph.hits_int(edges, iterations=3)
+
+
+def _hits_oracle() -> str:
+    ba = f"(({_hex7_of('md5(a)')}) % 16)"
+    bb = f"(({_hex7_of('md5(b)')}) % 16)"
+    it = """,
+ar{t} as (
+  select e.dst as node, sum(cast(e.w as hugeint) * h.h) as raw
+  from edges e join h{p} h on h.node = e.src group by 1
+),
+a{t} as (
+  select n.node,
+    cast(coalesce(r.raw, 0) * 1000000
+         // greatest((select sum(raw) from ar{t}), 1) as bigint) as a
+  from nodes n left join ar{t} r using (node)
+),
+hr{t} as (
+  select e.src as node, sum(cast(e.w as hugeint) * a.a) as raw
+  from edges e join a{t} a on a.node = e.dst group by 1
+),
+h{t} as (
+  select n.node,
+    cast(coalesce(r.raw, 0) * 1000000
+         // greatest((select sum(raw) from hr{t}), 1) as bigint) as h
+  from nodes n left join hr{t} r using (node)
+)"""
+    return f"""
+with d as (
+  select string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as w
+  from documents
+),
+tr as (
+  select unnest(w[1:len(w)-1]) as a, unnest(w[2:len(w)]) as b from d
+),
+eb as (
+  select printf('wb%02d', {ba}) as src,
+         printf('wb%02d', {bb}) as dst
+  from tr
+),
+edges as (select src, dst, cast(count(*) as bigint) as w from eb group by 1, 2),
+nodes as (select src as node from edges union select dst from edges),
+ncnt as (select count(*) as nn from nodes),
+h0 as (select node, cast(1000000 // (select nn from ncnt) as bigint) as h from nodes)
+{it.format(t=1, p=0)}{it.format(t=2, p=1)}{it.format(t=3, p=2)}
+select h3.node, h3.h as hub_micro, a3.a as auth_micro
+from h3 join a3 using (node)
+"""
+
+
+QUERIES["hits_scores"] = q_hits_scores
+ORACLES["hits_scores"] = _hits_oracle()
 
 
 def _reorder_registry() -> None:

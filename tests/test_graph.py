@@ -97,3 +97,48 @@ def test_textrank_isolated_turns_absent(spark):
     ])
     out = graph.textrank_turns(t).collect()
     assert sorted(r.turn_idx for r in out) == [0, 1]
+
+
+def _hits_naive(edges, iterations=3, scale=1_000_000):
+    # exact integer replica of graph.hits_int: floor-div L1 normalization
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(nodes)
+    h = {v: scale // n for v in nodes}
+    a = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        raw = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            raw[v] += w * h[u]
+        tot = max(sum(raw.values()), 1)
+        a = {v: raw[v] * scale // tot for v in nodes}
+        raw = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            raw[u] += w * a[v]
+        tot = max(sum(raw.values()), 1)
+        h = {v: raw[v] * scale // tot for v in nodes}
+    return h, a
+
+
+def test_hits_int_matches_integer_naive(spark):
+    edges = [
+        ("h1", "a1", 1), ("h1", "a2", 2), ("h1", "a3", 1),
+        ("h2", "a1", 3), ("a1", "a2", 1),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    out = {r.node: (r.hub_micro, r.auth_micro)
+           for r in graph.hits_int(df, iterations=3).collect()}
+    h, a = _hits_naive(edges)
+    assert out == {v: (h[v], a[v]) for v in h}
+    # h2 carries the heaviest edge into the strongest authority (a1);
+    # a2/a3 have no out-edges -> hub 0
+    assert out["h2"][0] == max(v[0] for v in out.values())
+    assert out["a1"][1] == max(v[1] for v in out.values())
+    assert out["a2"][0] == 0 and out["a3"][0] == 0
+    # L1 mass bounded by scale on both sides of the floor division
+    assert sum(v[0] for v in out.values()) <= 1_000_000
+    assert sum(v[1] for v in out.values()) <= 1_000_000
+
+
+def test_hits_int_empty_graph(spark):
+    df = spark.createDataFrame([], "src string, dst string, w long")
+    assert graph.hits_int(df).collect() == []

@@ -407,3 +407,47 @@ def test_streaming_sprt_cross_batch_matches_batch_and_freezes_decision(
                 first[a].decision, first[a].n_at_decision
             )
     assert any(first[a].decision != "continue" for a in first)
+
+
+def test_randomized_response_exact_replica(spark):
+    import hashlib
+
+    from feature_extractor_mbo_lob_spark.functions.privacy import (
+        randomized_response,
+    )
+
+    def bucket(s, m):
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16) % m
+
+    rows = [(u, u % 3 == 0, "g%d" % (u % 2)) for u in range(200)]
+    df = spark.createDataFrame(rows, "user_id long, bit boolean, grp string")
+    out = {r.grp: r for r in randomized_response(
+        df, "bit", id_col="user_id", group_col="grp").collect()}
+
+    for g in ("g0", "g1"):
+        units = [(u, b) for u, b, gg in rows if gg == g]
+        reps = []
+        for u, b in units:
+            lie = bucket(f"{u}:rr1", 3) == 0
+            coin = bucket(f"{u}:rr2", 2)
+            reps.append(coin if lie else int(b))
+        n, s = len(units), sum(reps)
+        r = out[g]
+        assert (r.n, r.sum_reports) == (n, s)
+        assert r.est_true == max(6 * s - n, 0) // 4
+        assert r.est_rate_ppm == max(6 * s - n, 0) * 250000 // n
+    # debiased estimate should land near the true 1/3 rate on 100 units
+    truth = sum(1 for u, b, g in rows if g == "g0" and b)
+    assert abs(out["g0"].est_true - truth) <= 15
+
+
+def test_randomized_response_global_no_group(spark):
+    from feature_extractor_mbo_lob_spark.functions.privacy import (
+        randomized_response,
+    )
+
+    df = spark.createDataFrame(
+        [(i, True) for i in range(60)], "user_id long, bit boolean")
+    r = randomized_response(df, "bit", id_col="user_id").collect()[0]
+    assert r.n == 60 and 0 <= r.sum_reports <= 60
+    assert r.est_true == max(6 * r.sum_reports - 60, 0) // 4
