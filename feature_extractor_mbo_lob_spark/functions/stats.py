@@ -700,3 +700,63 @@ def srm_check(ev: DataFrame, unit_col: str, n_arms: int = 2) -> DataFrame:
         (dev * dev).cast("long").alias("chi2_num_term"),
         (F.lit(int(n_arms)) * F.col("n_total")).cast("long").alias("chi2_den"),
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Spearman rank correlation with tie-averaged ranks kept EXACT in
+    integers. Doubled midranks rx2 = 2*avg_rank = 2*rank_min + ties - 1
+    are int64, so 4*d^2 = (rx2 - ry2)^2 is exact, and with
+    D = n(n^2 - 1):   rho = 1 - 6*sum(d^2)/D = (2D - 3*S4/2)/D
+    where S4 = sum((rx2 - ry2)^2). The released score is the SHIFTED
+    nonneg quotient  rho_plus1_micro = (4D - 3*S4)*scale div (2D)
+    (= scale*(rho + 1), in [0, 2*scale]) — shifting before the floor
+    division keeps the operand nonnegative, where Spark's truncating
+    `div` and DuckDB's flooring `//` agree; the quotient runs in
+    decimal(38,0)/hugeint because scale*4D ~ 4e6*n^3 passes int64 at
+    n ~ 1300.
+
+    Scale shape: two rank windows per group + one partial-aggregable
+    groupBy. Rank a GROUPED or already-aggregated frame (e.g. one row
+    per conversation); an ungrouped call ranks in a single task — for
+    corpus-sized frames pass group_col or pre-quantize x/y to integer
+    buckets.
+
+    Returns ``DataFrame[group?, n: long, sum_d2x4: long,
+    rho_plus1_micro: long]`` (rho_plus1_micro null when n < 2).
+    """
+    from pyspark.sql import Window
+
+    keys = [group_col] if group_col else []
+    wx = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(x_col)
+    wy = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(y_col)
+    cx = Window.partitionBy(*(keys + [x_col]))
+    cy = Window.partitionBy(*(keys + [y_col]))
+    t = (
+        df.select(*keys, x_col, y_col)
+        .withColumn(
+            "_rx2",
+            (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1).cast("long"),
+        )
+        .withColumn(
+            "_ry2",
+            (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1).cast("long"),
+        )
+    )
+    d = F.col("_rx2") - F.col("_ry2")
+    agg = (t.groupBy(*keys) if keys else t.groupBy()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d * d).cast("long").alias("sum_d2x4"),
+    )
+    big_d = "(cast(n as decimal(38,0)) * n * n - n)"
+    rho = F.expr(
+        f"case when n >= 2 then cast((({big_d} * 4 -"
+        f" cast(sum_d2x4 as decimal(38,0)) * 3) * {scale})"
+        f" div ({big_d} * 2) as bigint) end"
+    )
+    return agg.select(*keys, "n", "sum_d2x4", rho.alias("rho_plus1_micro"))

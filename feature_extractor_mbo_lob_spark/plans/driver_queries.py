@@ -12477,6 +12477,202 @@ QUERIES["hits_scores"] = q_hits_scores
 ORACLES["hits_scores"] = _hits_oracle()
 
 
+# --- streaming sliding-window turn rates -------------------------------------
+
+def q_streaming_rates(spark, sf_dir):
+    """Structured Streaming sliding time-window rates (streaming/stream.
+    streaming_turn_rates: window 5 min, slide 1 min) replayed availableNow
+    over the corpus, complete-mode memory sink. The batch oracle unnests
+    each event into its exactly window/slide = 5 covering windows
+    (epoch-aligned starts, [start, end) membership) — Spark's F.window
+    assignment rule, reproduced in SQL."""
+    import hashlib
+    import uuid
+    from pathlib import Path as _P
+
+    from ..streaming import stream as strm
+
+    t = transcripts_from_events(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/stream_rates_src_{tag}"
+    if not _P(path).exists():
+        t.coalesce(1).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(t.schema).parquet(path)
+    out = strm.streaming_turn_rates(
+        src, CFG, window="5 minutes", slide="1 minute", watermark="1 second"
+    )
+    qname = "qsr_" + uuid.uuid4().hex[:12]
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"/tmp/stream_rates_ckpt_{uuid.uuid4().hex[:12]}")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    res = spark.table(qname)
+    return res.select(
+        "conv_id",
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias("window_start_us"),
+        F.col("turns").cast("long").alias("turns"),
+        F.col("tool_turns").cast("long").alias("tool_turns"),
+    )
+
+
+O_STREAMING_RATES = f"""{_W},
+e as (
+  select conv_id, epoch_us(ts) as t,
+    cast(role = 'tool' as int) as is_tool
+  from transcripts
+),
+wins as (
+  select conv_id,
+    ((t // 60000000) - k) * 60000000 as window_start_us,
+    is_tool
+  from e, (select unnest([0, 1, 2, 3, 4]) as k)
+)
+select conv_id, window_start_us,
+  cast(count(*) as bigint) as turns,
+  cast(sum(is_tool) as bigint) as tool_turns
+from wins group by 1, 2
+"""
+
+QUERIES["streaming_rates"] = q_streaming_rates
+ORACLES["streaming_rates"] = O_STREAMING_RATES
+
+
+# --- Spearman rank correlation (exact tie-averaged ranks) --------------------
+
+def q_spearman(spark, sf_dir):
+    """Spearman rho between conversation length (turns) and char volume
+    across conversations (functions/stats.spearman_rho): doubled-midrank
+    integers, shifted nonneg quotient in decimal(38,0) — engine-exact
+    against the hugeint oracle."""
+    from ..functions.stats import spearman_rho
+
+    t = _t(spark, sf_dir)
+    conv = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).cast("long").alias("chars"),
+    )
+    return spearman_rho(conv, "n_turns", "chars")
+
+
+O_SPEARMAN = f"""{_W},
+conv as (
+  select conv_id, cast(count(*) as bigint) as n_turns,
+    cast(sum(coalesce(length(text), 0)) as bigint) as chars
+  from transcripts group by conv_id
+),
+r as (
+  select
+    2 * rank() over (order by n_turns)
+      + count(*) over (partition by n_turns) - 1 as rx2,
+    2 * rank() over (order by chars)
+      + count(*) over (partition by chars) - 1 as ry2
+  from conv
+),
+agg as (
+  select cast(count(*) as bigint) as n,
+    cast(sum((rx2 - ry2) * (rx2 - ry2)) as bigint) as sum_d2x4
+  from r
+)
+select n, sum_d2x4,
+  case when n >= 2 then cast(
+    ((cast(n as hugeint) * n * n - n) * 4 - cast(sum_d2x4 as hugeint) * 3)
+    * 1000000 // ((cast(n as hugeint) * n * n - n) * 2) as bigint) end
+    as rho_plus1_micro
+from agg
+"""
+
+QUERIES["spearman"] = q_spearman
+ORACLES["spearman"] = O_SPEARMAN
+
+
+# --- BLEU sufficient statistics over LSH candidate pairs --------------------
+
+def q_bleu_pairs(spark, sf_dir):
+    """Clipped modified-precision BLEU components (Papineni 2002) for each
+    minhash-LSH candidate pair (operators/dedup.bleu_components): int64
+    m1..m4 / c1..c4 / lengths — paraphrase-grade near-dup triage where
+    distinct-shingle Jaccard is too coarse. Gram counts built only for ids
+    in the pair set (leftsemi); the match join fans out by shared grams,
+    never corpus^2."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4) \
+        .select("id_a", "id_b")
+    return dedup.bleu_components(pairs, docs, max_n=4)
+
+
+def _bleu_pairs_oracle() -> str:
+    """LSH-pair head (same generator as edit_distance_pairs), then exact
+    per-order clipped gram matching in SQL."""
+    lsh = _minhash_lsh_oracle()
+    head, _, tail = lsh.rpartition("select a.id as id_a")
+    body = "select a.id as id_a" + tail
+    return (
+        head.rstrip().rstrip(",") + ",\n"
+        + "pairs as (\n" + body.strip() + "\n),\n"
+        + """pids as (
+  select distinct id from (
+    select id_a as id from pairs union all select id_b from pairs
+  )
+),
+nw as (
+  select doc_id as id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as w
+  from documents join pids on pids.id = documents.doc_id
+),
+wl as (select id, cast(len(w) as bigint) as wl from nw),
+grams as (
+  select id, t.n,
+    unnest([array_to_string(w[i:i+t.n-1], ' ')
+            for i in range(1, len(w) - t.n + 2)]) as gram
+  from nw, (select unnest([1, 2, 3, 4]) as n) t
+  where len(w) >= t.n
+),
+cnt as (select id, n, gram, cast(count(*) as bigint) as c
+        from grams group by 1, 2, 3),
+m as (
+  select p.id_a, p.id_b, a.n, sum(least(a.c, b.c)) as m
+  from pairs p
+  join cnt a on a.id = p.id_a
+  join cnt b on b.id = p.id_b and b.n = a.n and b.gram = a.gram
+  group by 1, 2, 3
+),
+mm as (
+  select id_a, id_b,
+    cast(coalesce(sum(case when n = 1 then m end), 0) as bigint) as m1,
+    cast(coalesce(sum(case when n = 2 then m end), 0) as bigint) as m2,
+    cast(coalesce(sum(case when n = 3 then m end), 0) as bigint) as m3,
+    cast(coalesce(sum(case when n = 4 then m end), 0) as bigint) as m4
+  from m group by 1, 2
+)
+select p.id_a, p.id_b, la.wl as ref_len, lb.wl as cand_len,
+  coalesce(mm.m1, 0) as m1, coalesce(mm.m2, 0) as m2,
+  coalesce(mm.m3, 0) as m3, coalesce(mm.m4, 0) as m4,
+  greatest(lb.wl, 0) as c1,
+  greatest(lb.wl - 1, 0) as c2,
+  greatest(lb.wl - 2, 0) as c3,
+  greatest(lb.wl - 3, 0) as c4
+from pairs p
+join wl la on la.id = p.id_a
+join wl lb on lb.id = p.id_b
+left join mm on mm.id_a = p.id_a and mm.id_b = p.id_b
+"""
+    )
+
+
+QUERIES["bleu_pairs"] = q_bleu_pairs
+ORACLES["bleu_pairs"] = _bleu_pairs_oracle()
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

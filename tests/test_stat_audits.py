@@ -451,3 +451,73 @@ def test_randomized_response_global_no_group(spark):
     r = randomized_response(df, "bit", id_col="user_id").collect()[0]
     assert r.n == 60 and 0 <= r.sum_reports <= 60
     assert r.est_true == max(6 * r.sum_reports - 60, 0) // 4
+
+
+def test_spearman_rho_exact_and_ties(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import spearman_rho
+
+    # perfect monotone -> rho = 1 -> rho_plus1_micro = 2_000_000
+    df = spark.createDataFrame([(i, i * 10) for i in range(7)], "x long, y long")
+    r = spearman_rho(df, "x", "y").collect()[0]
+    assert (r.n, r.sum_d2x4, r.rho_plus1_micro) == (7, 0, 2_000_000)
+
+    # perfect reverse -> rho = -1 -> 0
+    df = spark.createDataFrame([(i, -i) for i in range(7)], "x long, y long")
+    r = spearman_rho(df, "x", "y").collect()[0]
+    assert r.rho_plus1_micro == 0
+
+    # tie-averaged midranks vs a hand computation:
+    # x = [1,2,2,3], y = [10,30,20,40]
+    # rank_x avg = [1, 2.5, 2.5, 4]; rank_y = [1, 3, 2, 4]
+    # d = [0, -.5, .5, 0]; sum d^2 = 0.5 -> sum_d2x4 = 2
+    # rho = 1 - 6*0.5/(4*15) = 0.95 -> plus1 = 1_950_000
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (2, 20), (3, 40)], "x long, y long")
+    r = spearman_rho(df, "x", "y").collect()[0]
+    assert (r.n, r.sum_d2x4, r.rho_plus1_micro) == (4, 2, 1_950_000)
+
+    # grouped path + n < 2 guard
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("a", 3, 1), ("b", 9, 9)],
+        "g string, x long, y long")
+    out = {r.g: r for r in spearman_rho(df, "x", "y", group_col="g").collect()}
+    assert out["b"].rho_plus1_micro is None and out["b"].n == 1
+    assert out["a"].n == 3
+
+
+def _naive_bleu_counts(ref, cand, max_n=4):
+    from collections import Counter
+
+    rw, cw = ref.split(), cand.split()
+    out = {}
+    for n in range(1, max_n + 1):
+        rg = Counter(tuple(rw[i:i + n]) for i in range(len(rw) - n + 1))
+        cg = Counter(tuple(cw[i:i + n]) for i in range(len(cw) - n + 1))
+        out[n] = (sum(min(c, rg[g]) for g, c in cg.items()),
+                  max(len(cw) - n + 1, 0))
+    return out
+
+
+def test_bleu_components_matches_naive(spark):
+    from feature_extractor_mbo_lob_spark.operators.dedup import bleu_components
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat the cat sat on a mat"),
+        (3, "completely different words here"),
+        (4, "the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r for r in bleu_components(pairs, df).collect()}
+    texts = dict(docs)
+    for (a, b), r in got.items():
+        naive = _naive_bleu_counts(texts[a], texts[b])
+        assert r.ref_len == len(texts[a].split())
+        assert r.cand_len == len(texts[b].split())
+        for n in range(1, 5):
+            m, c = naive[n]
+            assert (getattr(r, f"m{n}"), getattr(r, f"c{n}")) == (m, c), (a, b, n)
+    # clipping: cand's "the"x2 matches ref's 2; "cat"x2 clips to ref's 1
+    assert got[(1, 2)].m1 == 2 + 1 + 1 + 1 + 1  # the, cat(clip), sat, on, mat
