@@ -348,3 +348,69 @@ def rake_keywords(
         F.max("score_ppm").cast("long").alias("score_ppm"),
     )
     return agg.orderBy(F.desc("score_ppm"), F.asc("phrase")).limit(top_k)
+
+
+# keyword lexicon for the code-detection heuristic (lowercased word hits)
+CODE_KEYWORDS = (
+    "def", "return", "import", "class", "function", "var", "const",
+    "void", "int", "include", "printf", "lambda", "public", "static",
+)
+
+
+def code_features(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_threshold_ppm: int = 300_000,
+) -> "DataFrame":
+    """Code-vs-prose detection heuristic — the standard corpus-curation
+    gate (Gopher / RefinedWeb pipelines route code-looking pages away
+    from the prose filters). Per document, all exact integers:
+
+      n_lines            lines (split on \\n)
+      indented_lines     lines starting with 4 spaces or a tab
+      punct_end_lines    lines whose rtrimmed last char is ; { or }
+      kw_hits            occurrences of CODE_KEYWORDS as alnum-split words
+      sym_ppm            {}()[];=<> chars per text char (ppm, floor div)
+      code_score_ppm     (indented + punct_end) lines per line (ppm)
+      is_code            score >= threshold OR (kw_hits >= 3 AND
+                         sym_ppm >= 20000)
+
+    All JVM lambda/regex built-ins over the line array — one narrow
+    projection, no shuffle, no UDFs; trivially 100-TB-safe.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    indented = F.filter(
+        lines,
+        lambda l: (F.substring(l, 1, 4) == "    ") | (F.substring(l, 1, 1) == "\t"),
+    )
+    punct_end = F.filter(
+        lines,
+        lambda l: F.substring(F.rtrim(l), -1, 1).isin(";", "{", "}"),
+    )
+    words = F.split(F.regexp_replace(F.lower(t), "[^a-z0-9]+", " "), " ")
+    kw = F.filter(words, lambda w: w.isin(*CODE_KEYWORDS))
+    sym_removed = F.regexp_replace(t, "[{}();=<>\\[\\]]", "")
+    out = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(indented).cast("long").alias("indented_lines"),
+        F.size(punct_end).cast("long").alias("punct_end_lines"),
+        F.size(kw).cast("long").alias("kw_hits"),
+        (F.length(t) - F.length(sym_removed)).cast("long").alias("sym_chars"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+    sym_ppm = F.expr("sym_chars * 1000000 div greatest(n_chars, 1)")
+    score = F.expr(
+        "(indented_lines + punct_end_lines) * 1000000 div greatest(n_lines, 1)"
+    )
+    return out.select(
+        id_col, "n_lines", "indented_lines", "punct_end_lines", "kw_hits",
+        sym_ppm.cast("long").alias("sym_ppm"),
+        score.cast("long").alias("code_score_ppm"),
+        (
+            (score >= score_threshold_ppm)
+            | ((F.col("kw_hits") >= 3) & (sym_ppm >= 20_000))
+        ).alias("is_code"),
+    )

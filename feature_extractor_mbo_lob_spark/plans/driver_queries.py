@@ -12477,6 +12477,62 @@ QUERIES["hits_scores"] = q_hits_scores
 ORACLES["hits_scores"] = _hits_oracle()
 
 
+# --- code-vs-prose detection gate ---------------------------------------------
+
+def q_code_detect(spark, sf_dir):
+    """Code-detection curation gate over documents (functions/text.
+    code_features): exact integer line/keyword/symbol statistics + ppm
+    score + routing flag. One narrow projection, no shuffle."""
+    from ..functions.text import code_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return code_features(docs)
+
+
+O_CODE_DETECT = """
+with t as (
+  select doc_id, coalesce(text, '') as t from documents
+),
+s as (
+  select doc_id,
+    string_split(t, chr(10)) as lines,
+    list_filter(string_split(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g'), ' '),
+      w -> list_contains(['def', 'return', 'import', 'class', 'function',
+                          'var', 'const', 'void', 'int', 'include',
+                          'printf', 'lambda', 'public', 'static'], w)) as kw,
+    cast(length(t) - length(regexp_replace(t, '[{}();=<>\\[\\]]', '', 'g')) as bigint)
+      as sym_chars,
+    cast(length(t) as bigint) as n_chars
+  from t
+),
+c as (
+  select doc_id,
+    cast(len(lines) as bigint) as n_lines,
+    cast(len(list_filter(lines,
+      l -> substr(l, 1, 4) = '    ' or substr(l, 1, 1) = chr(9))) as bigint)
+      as indented_lines,
+    cast(len(list_filter(lines,
+      l -> substr(rtrim(l), -1, 1) in (';', '{', '}'))) as bigint)
+      as punct_end_lines,
+    cast(len(kw) as bigint) as kw_hits,
+    sym_chars, n_chars
+  from s
+)
+select doc_id, n_lines, indented_lines, punct_end_lines, kw_hits,
+  cast(sym_chars * 1000000 // greatest(n_chars, 1) as bigint) as sym_ppm,
+  cast((indented_lines + punct_end_lines) * 1000000 // greatest(n_lines, 1)
+       as bigint) as code_score_ppm,
+  ((indented_lines + punct_end_lines) * 1000000 // greatest(n_lines, 1)
+     >= 300000
+   or (kw_hits >= 3
+       and sym_chars * 1000000 // greatest(n_chars, 1) >= 20000)) as is_code
+from c
+"""
+
+QUERIES["code_detect"] = q_code_detect
+ORACLES["code_detect"] = O_CODE_DETECT
+
+
 # --- streaming sliding-window turn rates -------------------------------------
 
 def q_streaming_rates(spark, sf_dir):

@@ -487,3 +487,36 @@ def test_sorted_neighborhood_pairs(spark):
     assert out[(0, 2)] == (2, False)
     assert (0, 3) not in out                   # gap 3 > window
     assert len(out) == 5
+
+
+def test_code_features_routes_code_vs_prose(spark):
+    from feature_extractor_mbo_lob_spark.functions.text import code_features
+
+    code = (
+        "def add(a, b):\n"
+        "    return a + b\n"
+        "\n"
+        "class Foo:\n"
+        "    def run(self):\n"
+        "        x = [1, 2];\n"
+        "        return x\n"
+    )
+    prose = ("The quick brown fox jumps over the lazy dog. "
+             "It was a bright cold day in April.")
+    df = spark.createDataFrame(
+        [(1, code), (2, prose), (3, None)], "doc_id long, text string")
+    out = {r.doc_id: r for r in code_features(df).collect()}
+
+    c = out[1]
+    # trailing \n splits into 8 lines; 4 are 4-space indented; one ends ';'
+    assert c.n_lines == 8 and c.indented_lines == 4 and c.punct_end_lines == 1
+    # def x2, return x2, class x1 = 5 keyword hits
+    assert c.kw_hits == 5
+    assert c.is_code
+
+    p = out[2]
+    assert p.n_lines == 1 and p.indented_lines == 0 and p.kw_hits == 0
+    assert not p.is_code
+    # null text -> one empty line, zero everything, score 0
+    z = out[3]
+    assert (z.n_lines, z.kw_hits, z.code_score_ppm, z.is_code) == (1, 0, 0, False)
