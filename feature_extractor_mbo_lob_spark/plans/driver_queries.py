@@ -3374,6 +3374,48 @@ from documents d left join cc on d.doc_id = cc.doc_id
 O_DEDUP_APPLY = _dedup_apply_oracle()
 
 
+def q_dup_weights(spark, sf_dir):
+    """SOFT dedup: loss weight = 1e6 div near-dup cluster size instead of
+    dropping members (the modern alternative to hard dedup — keeps every
+    document, a cluster contributes one document's worth of gradient in
+    total). Same LSH -> connected-components map as dedup_apply; weight
+    1_000_000 for singletons/unclustered."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+    cc = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    lbl = cc.join(sizes, "cluster_id")
+    out = docs.join(lbl, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("csize"), F.lit(1)).cast("long").alias("cluster_size"),
+        F.expr("1000000 div coalesce(csize, 1)").cast("long").alias("weight_ppm"),
+    )
+
+
+def _dup_weights_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    cc = _dedup_clusters_oracle(num_hashes, bands)
+    return f"""
+with cc as ({cc}),
+sz as (select cluster_id, cast(count(*) as bigint) as csize
+       from cc group by cluster_id)
+select d.doc_id,
+  cast(coalesce(sz.csize, 1) as bigint) as cluster_size,
+  cast(1000000 // coalesce(sz.csize, 1) as bigint) as weight_ppm
+from documents d
+left join cc on cc.doc_id = d.doc_id
+left join sz on sz.cluster_id = cc.cluster_id
+"""
+
+
+O_DUP_WEIGHTS = _dup_weights_oracle()
+
+QUERIES["dup_weights"] = q_dup_weights
+ORACLES["dup_weights"] = O_DUP_WEIGHTS
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-language stratified deterministic sampling: high-resource
     languages downsampled harder (the data-mixing primitive). Same md5

@@ -789,6 +789,81 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.graph import (
+        hits_int, word_transition_edges,
+    )
+    from feature_extractor_mbo_lob_spark.functions.privacy import (
+        randomized_response,
+    )
+    from feature_extractor_mbo_lob_spark.functions.stats import spearman_rho
+    from feature_extractor_mbo_lob_spark.functions.text import code_features
+    from feature_extractor_mbo_lob_spark.operators.dedup import (
+        bleu_components, minhash_lsh_pairs,
+    )
+
+    sections.append(summarize(
+        "Code-vs-prose detection gate",
+        code_features(docs),
+        "ONE narrow projection — line/keyword/symbol statistics are all "
+        "JVM lambda/regex built-ins over the split arrays; zero exchanges, "
+        "zero Python stages. The cheapest possible shape: scan -> project.",
+        forbid=("Exchange", "CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    lsh_pairs = minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4) \
+        .select("id_a", "id_b")
+    sections.append(summarize(
+        "BLEU pair statistics (clipped modified precision)",
+        bleu_components(lsh_pairs, docs),
+        "Gram counts built ONLY for ids in the pair set (leftsemi prune), "
+        "one groupBy on (id, n, gram); the match join fans each pair out "
+        "by its shared grams — bounded by LSH candidates, never corpus^2. "
+        "All int64, zero Python stages.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    conv = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).cast("long").alias("chars"),
+    )
+    sections.append(summarize(
+        "Spearman rho (exact tie-averaged ranks)",
+        spearman_rho(conv, "n_turns", "chars"),
+        "Ranks run on the CONVERSATION-level aggregate (corpus >> convs); "
+        "doubled midranks keep ties integer, final quotient in "
+        "decimal(38,0). Ungrouped rank is single-task by nature — group "
+        "or pre-quantize for corpus-sized frames (docstring rule).",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    edges = word_transition_edges(docs, buckets=8)
+    sections.append(summarize(
+        "HITS hubs/authorities (3 iterations, integer L1)",
+        hits_int(edges, iterations=3),
+        "Each iteration: two join+groupBy passes over the AGGREGATED "
+        "bucket-graph edge list (O(buckets^2) rows regardless of corpus "
+        "size) + a broadcast 1-row normalizer. Exact decimal(38,0) floor "
+        "division; zero Python stages.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Randomized response (local-DP release)",
+        randomized_response(
+            ev.withColumn("bit", (F.col("value") > 100.0).cast("int")),
+            "bit", id_col="user_id", group_col="event_type",
+        ),
+        "One partial-aggregable groupBy — the md5 coins and the report "
+        "are per-row projections, map-side combine does all the work; "
+        "per-unit reports never leave the aggregation.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
