@@ -438,3 +438,55 @@ def conv_changepoint(
         F.col("_c.s").cast("long").alias("cp_stat"),
         F.col("_c.n").cast("long").alias("n_turns"),
     )
+
+
+def merge_consecutive_turns(df: DataFrame, cfg: PipelineConfig,
+                            sep: str = "\n") -> DataFrame:
+    """SFT transcript normalization: collapse every run of CONSECUTIVE
+    same-role turns into one merged turn (the standard dialog cleanup
+    before pair extraction — retry bursts, streamed chunks, and tool
+    spam become single turns).
+
+    Per merged run: re-indexed ``turn_idx`` (0-based run ordinal under
+    the stable order), ``role``, ``text`` = run texts joined by ``sep``
+    in stable (turn_idx, ts) order (empty/all-null runs -> NULL),
+    ``tool`` = first turn's tool, ``ts`` = first ts, ``ts_end`` = last
+    ts, ``n_merged``, ``chars`` (sum of member text lengths).
+
+    Construction: the gaps-and-islands key (rn_all - rn_per_role, same
+    identity as with_streaks) then ONE groupBy — the run members are
+    carried as a sorted struct array (collect_list + array_sort, exact
+    because (turn_idx, ts) is a total order within a conversation), so
+    text assembly is a JVM transform/concat, no second window pass and
+    no UDF. Shuffles only on (conv, role, run) — conversation-bounded.
+    """
+    w_all = ordering.stable_window(cfg)
+    w_val = Window.partitionBy(cfg.key_col, "role").orderBy(*cfg.order_cols)
+    t = df.withColumn(
+        "_grp", F.row_number().over(w_all) - F.row_number().over(w_val)
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in cfg.order_cols],
+                                F.col("text"), F.col("tool")))
+    )
+    agg = t.groupBy(cfg.key_col, "role", "_grp").agg(
+        F.min(F.struct(*[F.col(c) for c in cfg.order_cols])).alias("_first"),
+        F.min(cfg.ts_col).alias("ts"),
+        F.max(cfg.ts_col).alias("ts_end"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).cast("long").alias("chars"),
+        arr.alias("_arr"),
+    )
+    texts = F.filter(
+        F.transform("_arr", lambda s: s["text"]), lambda x: x.isNotNull()
+    )
+    joined = F.array_join(texts, sep)
+    w_runs = Window.partitionBy(cfg.key_col).orderBy("_first")
+    return agg.select(
+        cfg.key_col,
+        (F.row_number().over(w_runs) - 1).cast("int").alias("turn_idx"),
+        "role",
+        F.when(joined == "", F.lit(None)).otherwise(joined).alias("text"),
+        F.element_at("_arr", 1)["tool"].alias("tool"),
+        "ts", "ts_end", "n_merged", "chars",
+    )

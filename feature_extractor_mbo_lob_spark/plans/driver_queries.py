@@ -12519,6 +12519,53 @@ QUERIES["hits_scores"] = q_hits_scores
 ORACLES["hits_scores"] = _hits_oracle()
 
 
+# --- consecutive same-role turn merge (SFT dialog normalization) --------------
+
+def q_merge_turns(spark, sf_dir):
+    """Collapse runs of consecutive same-role turns into single merged
+    turns (operators/state.merge_consecutive_turns): gaps-and-islands key
+    + ONE groupBy with a sorted struct array — text assembly is JVM
+    transform/concat, no UDF, shuffles bounded by conversations."""
+    t = _t(spark, sf_dir)
+    out = state.merge_consecutive_turns(t, CFG)
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_end").cast("timestamp")).alias("ts_end_us"),
+        "n_merged", "chars",
+    )
+
+
+O_MERGE_TURNS = f"""{_W},
+g as (
+  select conv_id, turn_idx, ts, role, text, tool,
+    row_number() over ({_OWIN})
+      - row_number() over (partition by conv_id, role order by turn_idx, ts)
+      as grp
+  from transcripts
+),
+r as (
+  select conv_id, role, grp,
+    min(turn_idx) as first_ti,
+    min(epoch_us(ts)) as ts_us,
+    max(epoch_us(ts)) as ts_end_us,
+    cast(count(*) as bigint) as n_merged,
+    cast(sum(coalesce(length(text), 0)) as bigint) as chars,
+    nullif(string_agg(text, chr(10) order by turn_idx, ts), '') as text,
+    first(tool order by turn_idx, ts) as tool
+  from g group by conv_id, role, grp
+)
+select conv_id,
+  cast(row_number() over (partition by conv_id order by first_ti, ts_us) - 1
+       as int) as turn_idx,
+  role, text, tool, ts_us, ts_end_us, n_merged, chars
+from r
+"""
+
+QUERIES["merge_turns"] = q_merge_turns
+ORACLES["merge_turns"] = O_MERGE_TURNS
+
+
 # --- code-vs-prose detection gate ---------------------------------------------
 
 def q_code_detect(spark, sf_dir):

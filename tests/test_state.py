@@ -165,3 +165,41 @@ def test_streaks(spark, cfg, transcripts):
             prev = r.role
             assert r.role_streak_len == length, (conv, r.turn_idx)
             assert r.role_streak_ord == ordn, (conv, r.turn_idx)
+
+
+def test_merge_consecutive_turns(spark):
+    from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+
+    rows = [
+        # conv a: user,user,assistant,user -> 3 merged turns
+        ("a", 0, "user", "first", None, 0),
+        ("a", 1, "user", "second", None, 10),
+        ("a", 2, "assistant", "reply", "search", 20),
+        ("a", 3, "user", "done", None, 30),
+        # conv b: assistant run with a NULL text in the middle; tool on
+        # the FIRST member only
+        ("b", 0, "assistant", "x", "calc", 0),
+        ("b", 1, "assistant", None, None, 5),
+        ("b", 2, "assistant", "y", None, 9),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, t, tl, T0 + dt.timedelta(seconds=off))
+         for (c, i, r, t, tl, off) in rows],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    cfg = PipelineConfig()
+    out = {(r.conv_id, r.turn_idx): r
+           for r in state.merge_consecutive_turns(df, cfg).collect()}
+
+    assert len([k for k in out if k[0] == "a"]) == 3
+    a0 = out[("a", 0)]
+    assert a0.role == "user" and a0.text == "first\nsecond" and a0.n_merged == 2
+    assert a0.chars == len("first") + len("second")
+    assert a0.ts == T0 and a0.ts_end == T0 + dt.timedelta(seconds=10)
+    assert out[("a", 1)].text == "reply" and out[("a", 1)].tool == "search"
+    assert out[("a", 2)].text == "done"
+
+    b0 = out[("b", 0)]
+    # null member skipped in the join, counted in n_merged; first tool kept
+    assert b0.text == "x\ny" and b0.n_merged == 3 and b0.tool == "calc"
+    assert b0.ts_end == T0 + dt.timedelta(seconds=9)
