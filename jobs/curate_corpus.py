@@ -39,6 +39,13 @@ def main() -> None:
                          "minhash = MinHash-LSH shingle similarity (default), "
                          "winnow = shared winnowing fingerprints (MOSS-style "
                          "local matches — catches long shared runs)")
+    ap.add_argument("--soft-dedup", action="store_true",
+                    help="with --near-dup: keep ALL cluster members and "
+                         "attach weight_ppm = 1e6 div cluster size instead "
+                         "of dropping (loss-weighting form of dedup)")
+    ap.add_argument("--route-code", action="store_true",
+                    help="drop code-detected documents from the prose "
+                         "funnel (line/keyword/symbol heuristic gate)")
     ap.add_argument("--sample-frac", type=float, default=None)
     ap.add_argument("--redact-pii", action="store_true",
                     help="replace emails/IPs/phones with typed placeholders")
@@ -79,6 +86,13 @@ def main() -> None:
     docs = docs.join(kept_ids, "doc_id")
     funnel["after_quality_filter"] = docs.count()
 
+    if args.route_code:
+        from feature_extractor_mbo_lob_spark.functions.text import code_features
+
+        prose_ids = code_features(docs).filter(~F.col("is_code")).select("doc_id")
+        docs = docs.join(prose_ids, "doc_id")
+        funnel["after_code_routing"] = docs.count()
+
     reps = (
         docs.groupBy(F.md5(dedup.normalize_text("text")).alias("_k"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -93,12 +107,27 @@ def main() -> None:
         else:
             pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
         cc = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
-        docs = (
-            docs.join(cc, "doc_id", "left")  # AQE picks broadcast when small
-            .filter(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
-            .drop("cluster_id")
-        )
-        funnel["after_near_dedup"] = docs.count()
+        if args.soft_dedup:
+            # loss-weighting form: keep every member, a cluster contributes
+            # one document's worth of gradient in total
+            sizes = cc.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).cast("long").alias("_csize")
+            )
+            lbl = cc.join(sizes, "cluster_id").select("doc_id", "_csize")
+            docs = docs.join(lbl, "doc_id", "left").withColumn(
+                "weight_ppm",
+                F.expr("1000000 div coalesce(_csize, 1)").cast("long"),
+            ).drop("_csize")
+            funnel["weighted_members"] = docs.filter(
+                F.col("weight_ppm") < 1_000_000
+            ).count()
+        else:
+            docs = (
+                docs.join(cc, "doc_id", "left")  # AQE picks broadcast when small
+                .filter(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
+                .drop("cluster_id")
+            )
+            funnel["after_near_dedup"] = docs.count()
 
     if args.decontaminate:
         ev = spark.read.parquet(args.decontaminate)
@@ -142,6 +171,7 @@ def main() -> None:
             "near_dup": args.near_dup, "sample_frac": args.sample_frac,
             "redact_pii": args.redact_pii, "decontaminate": args.decontaminate,
             "budget": args.budget, "shards": args.shards,
+            "soft_dedup": args.soft_dedup, "route_code": args.route_code,
         }, sort_keys=True).encode()).hexdigest()[:12]
         fp = input_fingerprint_for_path(spark, path) + ":" + arg_hash
         report = export_with_manifests(
