@@ -760,3 +760,69 @@ def spearman_rho(
         f" div ({big_d} * 2) as bigint) end"
     )
     return agg.select(*keys, "n", "sum_d2x4", rho.alias("rho_plus1_micro"))
+
+
+def diff_in_differences(
+    ev: DataFrame,
+    user_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    cutover_day: int = 16,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Difference-in-differences over a deterministic md5 A/B split and a
+    calendar cutover: the panel-data effect estimate
+        DiD = (mean_B_post - mean_B_pre) - (mean_A_post - mean_A_pre)
+    on per-user-period spend kept as exact integer cents. Cell means are
+    released as micro-cents by matched floor division (s * 1e6 div n),
+    and the DiD is the signed sum of those four integers — no float
+    crosses engines; the raw (n, sum) per cell ride along so any CI
+    convention can be folded client-side.
+
+    Units are (user, period): a user's pre and post spends are separate
+    panel observations aggregated once — one groupBy(user, period) then
+    one 4-cell aggregate; two partial-aggregable shuffles at any scale.
+
+    Returns one row: ``[n_{a,b}x{pre,post}, sum_*_cents,
+    mean_*_micro, did_micro]`` (all long).
+    """
+    from .corpus import md5_bucket
+
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    base = ev.select(
+        F.col(user_col).alias("uid"),
+        (F.dayofmonth(F.col(ts_col).cast("timestamp")) >= cutover_day)
+        .cast("int").alias("post"),
+        cents.alias("_c"),
+    )
+    per = base.groupBy("uid", "post").agg(F.sum("_c").alias("c"))
+    per = per.withColumn("arm", md5_bucket(F.col("uid"), 2))
+    cell = per.groupBy("arm", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    wide = cell.groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum(F.when((F.col("arm") == a) & (F.col("post") == p),
+                             F.col(m))), F.lit(0)
+            ).cast("long").alias(f"{m_name}_{'b' if a else 'a'}_{'post' if p else 'pre'}")
+            for m, m_name in (("n", "n"), ("s", "sum"))
+            for a in (0, 1)
+            for p in (0, 1)
+        ]
+    )
+    def mean(tag):
+        return F.expr(
+            f"sum_{tag} * {scale} div greatest(n_{tag}, 1)"
+        ).cast("long").alias(f"mean_{tag}_micro")
+
+    means = wide.select(
+        "*",
+        mean("a_pre"), mean("a_post"), mean("b_pre"), mean("b_post"),
+    )
+    did = (
+        (F.col("mean_b_post_micro") - F.col("mean_b_pre_micro"))
+        - (F.col("mean_a_post_micro") - F.col("mean_a_pre_micro"))
+    ).cast("long").alias("did_micro")
+    return means.select("*", did)

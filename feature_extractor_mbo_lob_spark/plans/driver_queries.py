@@ -12519,6 +12519,69 @@ QUERIES["hits_scores"] = q_hits_scores
 ORACLES["hits_scores"] = _hits_oracle()
 
 
+# --- difference-in-differences (md5 arms x calendar cutover) ------------------
+
+def q_diff_in_diff(spark, sf_dir):
+    """Panel DiD over events (functions/stats.diff_in_differences): per
+    (user, pre/post-day-16) spend cells in exact integer cents, cell
+    means as micro-cents via matched floor division, DiD = signed sum of
+    the four released integers. Two partial-aggregable shuffles."""
+    from ..functions.stats import diff_in_differences
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return diff_in_differences(ev, "user_id", cutover_day=16)
+
+
+O_DIFF_IN_DIFF = f"""
+with per as (
+  select user_id as uid,
+    case when day(ts) >= 16 then 1 else 0 end as post,
+    sum(cast(floor(value * 100.0 + 0.5) as bigint)) as c
+  from events group by 1, 2
+),
+hx as (select post, c, md5(cast(uid as varchar)) as h from per),
+cell as (
+  select ({_HEX7}) % 2 as arm, post,
+    cast(count(*) as bigint) as n, cast(sum(c) as bigint) as s
+  from hx group by 1, 2
+),
+wide as (
+  select
+    coalesce(sum(case when arm = 0 and post = 0 then n end), 0) as n_a_pre,
+    coalesce(sum(case when arm = 0 and post = 1 then n end), 0) as n_a_post,
+    coalesce(sum(case when arm = 1 and post = 0 then n end), 0) as n_b_pre,
+    coalesce(sum(case when arm = 1 and post = 1 then n end), 0) as n_b_post,
+    coalesce(sum(case when arm = 0 and post = 0 then s end), 0) as sum_a_pre,
+    coalesce(sum(case when arm = 0 and post = 1 then s end), 0) as sum_a_post,
+    coalesce(sum(case when arm = 1 and post = 0 then s end), 0) as sum_b_pre,
+    coalesce(sum(case when arm = 1 and post = 1 then s end), 0) as sum_b_post
+  from cell
+),
+m as (
+  select *,
+    sum_a_pre * 1000000 // greatest(n_a_pre, 1) as mean_a_pre_micro,
+    sum_a_post * 1000000 // greatest(n_a_post, 1) as mean_a_post_micro,
+    sum_b_pre * 1000000 // greatest(n_b_pre, 1) as mean_b_pre_micro,
+    sum_b_post * 1000000 // greatest(n_b_post, 1) as mean_b_post_micro
+  from wide
+)
+select cast(n_a_pre as bigint) as n_a_pre, cast(n_a_post as bigint) as n_a_post,
+  cast(n_b_pre as bigint) as n_b_pre, cast(n_b_post as bigint) as n_b_post,
+  cast(sum_a_pre as bigint) as sum_a_pre, cast(sum_a_post as bigint) as sum_a_post,
+  cast(sum_b_pre as bigint) as sum_b_pre, cast(sum_b_post as bigint) as sum_b_post,
+  cast(mean_a_pre_micro as bigint) as mean_a_pre_micro,
+  cast(mean_a_post_micro as bigint) as mean_a_post_micro,
+  cast(mean_b_pre_micro as bigint) as mean_b_pre_micro,
+  cast(mean_b_post_micro as bigint) as mean_b_post_micro,
+  cast((mean_b_post_micro - mean_b_pre_micro)
+       - (mean_a_post_micro - mean_a_pre_micro) as bigint) as did_micro
+from m
+"""
+
+QUERIES["diff_in_diff"] = q_diff_in_diff
+ORACLES["diff_in_diff"] = O_DIFF_IN_DIFF
+
+
 # --- consecutive same-role turn merge (SFT dialog normalization) --------------
 
 def q_merge_turns(spark, sf_dir):

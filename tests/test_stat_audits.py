@@ -521,3 +521,33 @@ def test_bleu_components_matches_naive(spark):
             assert (getattr(r, f"m{n}"), getattr(r, f"c{n}")) == (m, c), (a, b, n)
     # clipping: cand's "the"x2 matches ref's 2; "cat"x2 clips to ref's 1
     assert got[(1, 2)].m1 == 2 + 1 + 1 + 1 + 1  # the, cat(clip), sat, on, mat
+
+
+def test_diff_in_differences_exact_cells(spark):
+    import datetime as _dt
+    import hashlib
+
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        diff_in_differences,
+    )
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:7], 16) % 2
+
+    rows = []
+    for u in range(40):
+        # pre spend 10.00, post spend 10.00 + 5.00 lift for arm B
+        rows.append((u, _dt.datetime(2024, 1, 5), 10.0))
+        rows.append((u, _dt.datetime(2024, 1, 20),
+                     10.0 + (5.0 if arm(u) == 1 else 0.0)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = diff_in_differences(ev, "user_id", cutover_day=16).collect()[0]
+
+    nb = sum(1 for u in range(40) if arm(u) == 1)
+    na = 40 - nb
+    assert (r.n_a_pre, r.n_a_post, r.n_b_pre, r.n_b_post) == (na, na, nb, nb)
+    assert r.sum_a_pre == na * 1000 and r.sum_b_post == nb * 1500
+    assert r.mean_a_pre_micro == 1000 * 1_000_000
+    assert r.mean_b_post_micro == 1500 * 1_000_000
+    # the parallel-trends effect is exactly the 5.00 lift (500 cents)
+    assert r.did_micro == 500 * 1_000_000
