@@ -826,3 +826,59 @@ def diff_in_differences(
         - (F.col("mean_a_post_micro") - F.col("mean_a_pre_micro"))
     ).cast("long").alias("did_micro")
     return means.select("*", did)
+
+
+def krippendorff_alpha_binary(
+    df: DataFrame,
+    unit_col: str,
+    bit_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Krippendorff's alpha (binary/nominal, Krippendorff 2004) — the
+    reliability gate for repeated binary measurements of the same unit
+    (annotator agreement on labels, response consistency of a user):
+        alpha = 1 - Do/De,
+        Do = (1/n) * sum_u 2*x_u*(m_u - x_u)/(m_u - 1),
+        De = 2*P0*P1 / (n*(n - 1)),
+    with m_u ratings (x_u ones) per unit, n = sum m_u over units with
+    m_u >= 2, P1 = sum x_u, P0 = n - P1.
+
+    Integer spec: the only per-unit division is quantized ONCE as
+        o_num = sum_u (x_u*(m_u - x_u) * scale div (m_u - 1))
+    (floor per unit — deterministic, engine-exact), then
+        alpha_ppm = scale - ((n - 1) * o_num div (P0 * P1))
+    in decimal(38,0)/hugeint. The subtraction is exact, and the single
+    floor division runs on NONNEGATIVE operands where Spark's truncating
+    `div` and DuckDB's flooring `//` agree — alpha_ppm may be negative
+    (worse than chance) but is never produced by a negative division.
+    Degenerate margins (P0*P1 = 0: everyone agrees on one value) release
+    alpha_ppm = scale.
+
+    Scale shape: one partial-aggregable groupBy(unit) + one 1-row
+    aggregate — two shuffles at any size.
+
+    Returns one row:
+    ``[n_units: long, n: long, p1: long, o_num: long, alpha_ppm: long]``.
+    """
+    per = (
+        df.select(F.col(unit_col).alias("u"), F.col(bit_col).cast("int").alias("b"))
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("b").cast("long").alias("x"),
+        )
+        .filter(F.col("m") >= 2)
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("p1"),
+        F.sum(F.expr(f"(x * (m - x) * {scale}) div (m - 1)"))
+        .cast("long").alias("o_num"),
+    )
+    alpha = F.expr(
+        f"case when (n - p1) * p1 = 0 then cast({scale} as bigint) else "
+        f"cast({scale} - cast((n - 1) as decimal(38,0)) * o_num"
+        f" div (cast((n - p1) as decimal(38,0)) * p1) as bigint) end"
+    )
+    return agg.select("n_units", "n", "p1", "o_num", alpha.alias("alpha_ppm"))

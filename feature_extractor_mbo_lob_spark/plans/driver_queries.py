@@ -12519,6 +12519,46 @@ QUERIES["hits_scores"] = q_hits_scores
 ORACLES["hits_scores"] = _hits_oracle()
 
 
+# --- Krippendorff alpha (binary reliability) ----------------------------------
+
+def q_krippendorff(spark, sf_dir):
+    """Binary Krippendorff alpha over repeated per-user measurements
+    (functions/stats.krippendorff_alpha_binary): bit = value > 100 per
+    event, units = users with >= 2 events. One per-unit floor-quantized
+    division, final quotient in decimal(38,0)/hugeint on nonneg operands."""
+    from ..functions.stats import krippendorff_alpha_binary
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "bit", (F.col("value") > 100.0).cast("int")
+    )
+    return krippendorff_alpha_binary(ev, "user_id", "bit")
+
+
+O_KRIPPENDORFF = """
+with per as (
+  select user_id as u, cast(count(*) as bigint) as m,
+    cast(sum(case when value > 100.0 then 1 else 0 end) as bigint) as x
+  from events group by user_id
+),
+f as (select * from per where m >= 2),
+agg as (
+  select cast(count(*) as bigint) as n_units,
+    cast(sum(m) as bigint) as n,
+    cast(sum(x) as bigint) as p1,
+    cast(sum((x * (m - x) * 1000000) // (m - 1)) as bigint) as o_num
+  from f
+)
+select n_units, n, p1, o_num,
+  case when (n - p1) * p1 = 0 then cast(1000000 as bigint)
+       else cast(1000000 - cast(n - 1 as hugeint) * o_num
+                 // (cast(n - p1 as hugeint) * p1) as bigint) end as alpha_ppm
+from agg
+"""
+
+QUERIES["krippendorff"] = q_krippendorff
+ORACLES["krippendorff"] = O_KRIPPENDORFF
+
+
 # --- difference-in-differences (md5 arms x calendar cutover) ------------------
 
 def q_diff_in_diff(spark, sf_dir):

@@ -551,3 +551,34 @@ def test_diff_in_differences_exact_cells(spark):
     assert r.mean_b_post_micro == 1500 * 1_000_000
     # the parallel-trends effect is exactly the 5.00 lift (500 cents)
     assert r.did_micro == 500 * 1_000_000
+
+
+def test_krippendorff_alpha_binary_hand_computed(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        krippendorff_alpha_binary,
+    )
+
+    # u1 [1,1], u2 [0,0,0], u3 [1,0], u4 [1] (dropped: m < 2)
+    rows = [("u1", 1), ("u1", 1), ("u2", 0), ("u2", 0), ("u2", 0),
+            ("u3", 1), ("u3", 0), ("u4", 1)]
+    df = spark.createDataFrame(rows, "unit string, bit int")
+    r = krippendorff_alpha_binary(df, "unit", "bit").collect()[0]
+    # n=7, P1=3, P0=4; Do = (2*1*1/1)/7 = 2/7; De = 2*4*3/(7*6) = 4/7
+    # alpha = 1 - (2/7)/(4/7) = 0.5
+    assert (r.n_units, r.n, r.p1, r.o_num) == (3, 7, 3, 1_000_000)
+    assert r.alpha_ppm == 500_000
+
+    # perfect agreement on a mixed margin -> alpha = 1
+    rows = [("a", 1), ("a", 1), ("b", 0), ("b", 0)]
+    r = krippendorff_alpha_binary(
+        spark.createDataFrame(rows, "unit string, bit int"), "unit", "bit"
+    ).collect()[0]
+    assert r.alpha_ppm == 1_000_000 and r.o_num == 0
+
+    # systematic disagreement -> negative alpha (released exactly)
+    rows = [("a", 1), ("a", 0), ("b", 1), ("b", 0)]
+    r = krippendorff_alpha_binary(
+        spark.createDataFrame(rows, "unit string, bit int"), "unit", "bit"
+    ).collect()[0]
+    # n=4, P0=P1=2, o_num=2e6; alpha = 1e6 - 3*2e6 div 4 = -500000
+    assert r.alpha_ppm == -500_000
