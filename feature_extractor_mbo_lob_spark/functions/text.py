@@ -414,3 +414,58 @@ def code_features(
             | ((F.col("kw_hits") >= 3) & (sym_ppm >= 20_000))
         ).alias("is_code"),
     )
+
+
+# default category -> wordlist lexicon for lexicon_hits (tiny, illustrative;
+# real deployments pass their own — the operator is lexicon-agnostic)
+DEFAULT_LEXICON = {
+    "profanity": ("damn", "hell", "crap"),
+    "violence": ("kill", "attack", "destroy", "fight"),
+    "selfharm": ("suicide", "selfharm"),
+}
+
+
+def lexicon_hits(
+    df,
+    lexicon: dict[str, tuple[str, ...]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Blocklist/safety lexicon scorer — the wordlist-category gate a
+    curation pipeline runs next to PII regex and Gopher statistics. Per
+    document and category: exact count of alnum-split word occurrences
+    in that category's list, plus total words and a ppm rate for the
+    union of all categories.
+
+    One narrow projection (split + JVM filter lambdas per category, the
+    lists live in the plan as literals — broadcast-free, shuffle-free);
+    case-insensitive exact word match, no substring false positives
+    ("hello" never hits "hell").
+
+    Returns ``DataFrame[id, n_words, <cat>_hits..., any_hits,
+    hit_rate_ppm, flagged]``.
+    """
+    lex = lexicon or DEFAULT_LEXICON
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.regexp_replace(F.lower(t), "[^a-z0-9]+", " "), " ")
+    nw = F.size(F.filter(words, lambda w: w != ""))
+    cols = [
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+    ]
+    hit_exprs = []
+    for cat, terms in lex.items():
+        c = F.size(F.filter(words, lambda w: w.isin(*terms))).cast("long")
+        cols.append(c.alias(f"{cat}_hits"))
+        hit_exprs.append(F.col(f"{cat}_hits"))
+    out = df.select(*cols)
+    any_hits = sum(hit_exprs[1:], hit_exprs[0])
+    return out.select(
+        "*",
+        any_hits.cast("long").alias("any_hits"),
+    ).select(
+        "*",
+        F.expr("any_hits * 1000000 div greatest(n_words, 1)")
+        .cast("long").alias("hit_rate_ppm"),
+        (F.col("any_hits") > 0).alias("flagged"),
+    )

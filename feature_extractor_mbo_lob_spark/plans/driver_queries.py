@@ -12519,6 +12519,52 @@ QUERIES["hits_scores"] = q_hits_scores
 ORACLES["hits_scores"] = _hits_oracle()
 
 
+# --- blocklist/safety lexicon scorer -------------------------------------------
+
+def q_lexicon_hits(spark, sf_dir):
+    """Wordlist-category safety gate over documents (functions/text.
+    lexicon_hits, DEFAULT_LEXICON): exact per-category word-hit counts,
+    union rate in ppm, flag. Shuffle-free projection; the lists are plan
+    literals."""
+    from ..functions.text import lexicon_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lexicon_hits(docs)
+
+
+def _lexicon_oracle() -> str:
+    from ..functions.text import DEFAULT_LEXICON
+
+    cat_cols = ",\n    ".join(
+        "cast(len(list_filter(w, x -> list_contains(["
+        + ", ".join(f"'{t}'" for t in terms)
+        + f"], x))) as bigint) as {cat}_hits"
+        for cat, terms in DEFAULT_LEXICON.items()
+    )
+    any_sum = " + ".join(f"{cat}_hits" for cat in DEFAULT_LEXICON)
+    return f"""
+with s as (
+  select doc_id,
+    list_filter(string_split(regexp_replace(lower(coalesce(text, '')),
+      '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') as w
+  from documents
+),
+c as (
+  select doc_id, cast(len(w) as bigint) as n_words,
+    {cat_cols}
+  from s
+)
+select *, cast({any_sum} as bigint) as any_hits,
+  cast(({any_sum}) * 1000000 // greatest(n_words, 1) as bigint) as hit_rate_ppm,
+  ({any_sum}) > 0 as flagged
+from c
+"""
+
+
+QUERIES["lexicon_hits"] = q_lexicon_hits
+ORACLES["lexicon_hits"] = _lexicon_oracle()
+
+
 # --- Krippendorff alpha (binary reliability) ----------------------------------
 
 def q_krippendorff(spark, sf_dir):

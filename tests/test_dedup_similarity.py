@@ -520,3 +520,31 @@ def test_code_features_routes_code_vs_prose(spark):
     # null text -> one empty line, zero everything, score 0
     z = out[3]
     assert (z.n_lines, z.kw_hits, z.code_score_ppm, z.is_code) == (1, 0, 0, False)
+
+
+def test_lexicon_hits_word_boundaries(spark):
+    from feature_extractor_mbo_lob_spark.functions.text import lexicon_hits
+
+    docs = [
+        (1, "What the hell, this damn thing will kill us all"),
+        (2, "hello shell unkillable"),      # substrings must NOT hit
+        (3, None),
+        (4, "Kill KILL kill!"),             # case-insensitive, multiplicity
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in lexicon_hits(df).collect()}
+
+    r1 = out[1]
+    assert r1.profanity_hits == 2 and r1.violence_hits == 1
+    assert r1.any_hits == 3 and r1.flagged
+    assert r1.n_words == 10
+    assert r1.hit_rate_ppm == 3 * 1_000_000 // 10
+
+    r2 = out[2]
+    assert r2.any_hits == 0 and not r2.flagged
+
+    r3 = out[3]
+    assert (r3.n_words, r3.any_hits, r3.hit_rate_ppm, r3.flagged) == (0, 0, 0, False)
+
+    r4 = out[4]
+    assert r4.violence_hits == 3 and r4.flagged
