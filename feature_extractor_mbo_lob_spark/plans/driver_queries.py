@@ -12519,6 +12519,111 @@ QUERIES["hits_scores"] = q_hits_scores
 ORACLES["hits_scores"] = _hits_oracle()
 
 
+# --- Self-BLEU corpus diversity (ring-pair proxy) -------------------------------
+
+def q_self_bleu(spark, sf_dir):
+    """Corpus diversity meter: Self-BLEU (Zhu et al. 2018) on a
+    deterministic md5 quarter-sample, RING-PAIR proxy (each sampled doc
+    scored against the next sampled doc_id — O(sample) pairs instead of
+    the quadratic all-pairs form; the proxy is unbiased for ordering
+    corpora by diversity and is the 100-TB shape). Corpus-level modified
+    precisions p_n = sum(m_n)*1e6 div sum(c_n) — BLEU's own aggregation
+    rule, exact int64 end to end. High p_n = homogeneous corpus."""
+    from ..functions.corpus import md5_bucket
+
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sample = docs.filter(md5_bucket("doc_id", 4) == 0)
+    w = Window.orderBy("doc_id")
+    pairs = (
+        sample.select("doc_id")
+        .withColumn("id_b", F.lead("doc_id").over(w))
+        .filter(F.col("id_b").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), "id_b")
+    )
+    comp = dedup.bleu_components(pairs, docs, max_n=4)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")]
+    for n in range(1, 5):
+        aggs.append(F.sum(f"m{n}").cast("long").alias(f"m{n}_sum"))
+        aggs.append(F.sum(f"c{n}").cast("long").alias(f"c{n}_sum"))
+    out = comp.agg(*aggs)
+    pcols = [
+        F.expr(f"m{n}_sum * 1000000 div greatest(c{n}_sum, 1)")
+        .cast("long").alias(f"p{n}_ppm")
+        for n in range(1, 5)
+    ]
+    return out.select("*", *pcols)
+
+
+def _self_bleu_oracle() -> str:
+    b = f"(({_HEX7}) % 4)"
+    return f"""
+with hx as (select doc_id, text, md5(cast(doc_id as varchar)) as h from documents),
+samp as (select doc_id, text from hx where {b} = 0),
+pairs as (
+  select doc_id as id_a, lead(doc_id) over (order by doc_id) as id_b
+  from samp qualify id_b is not null
+),
+pids as (
+  select distinct id from (
+    select id_a as id from pairs union all select id_b from pairs
+  )
+),
+nw as (
+  select doc_id as id,
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as w
+  from documents join pids on pids.id = documents.doc_id
+),
+wl as (select id, cast(len(w) as bigint) as wl from nw),
+grams as (
+  select id, t.n,
+    unnest([array_to_string(w[i:i+t.n-1], ' ')
+            for i in range(1, len(w) - t.n + 2)]) as gram
+  from nw, (select unnest([1, 2, 3, 4]) as n) t
+  where len(w) >= t.n
+),
+cnt as (select id, n, gram, cast(count(*) as bigint) as c
+        from grams group by 1, 2, 3),
+m as (
+  select p.id_a, p.id_b, a.n, sum(least(a.c, b.c)) as m
+  from pairs p
+  join cnt a on a.id = p.id_a
+  join cnt b on b.id = p.id_b and b.n = a.n and b.gram = a.gram
+  group by 1, 2, 3
+),
+per as (
+  select p.id_a, p.id_b, lb.wl as cand_len,
+    coalesce(sum(case when n = 1 then m end), 0) as m1,
+    coalesce(sum(case when n = 2 then m end), 0) as m2,
+    coalesce(sum(case when n = 3 then m end), 0) as m3,
+    coalesce(sum(case when n = 4 then m end), 0) as m4
+  from pairs p
+  join wl lb on lb.id = p.id_b
+  left join m on m.id_a = p.id_a and m.id_b = p.id_b
+  group by 1, 2, 3
+),
+agg as (
+  select cast(count(*) as bigint) as n_pairs,
+    cast(sum(m1) as bigint) as m1_sum, cast(sum(greatest(cand_len, 0)) as bigint) as c1_sum,
+    cast(sum(m2) as bigint) as m2_sum, cast(sum(greatest(cand_len - 1, 0)) as bigint) as c2_sum,
+    cast(sum(m3) as bigint) as m3_sum, cast(sum(greatest(cand_len - 2, 0)) as bigint) as c3_sum,
+    cast(sum(m4) as bigint) as m4_sum, cast(sum(greatest(cand_len - 3, 0)) as bigint) as c4_sum
+  from per
+)
+select *,
+  cast(m1_sum * 1000000 // greatest(c1_sum, 1) as bigint) as p1_ppm,
+  cast(m2_sum * 1000000 // greatest(c2_sum, 1) as bigint) as p2_ppm,
+  cast(m3_sum * 1000000 // greatest(c3_sum, 1) as bigint) as p3_ppm,
+  cast(m4_sum * 1000000 // greatest(c4_sum, 1) as bigint) as p4_ppm
+from agg
+"""
+
+
+QUERIES["self_bleu"] = q_self_bleu
+ORACLES["self_bleu"] = _self_bleu_oracle()
+
+
 # --- blocklist/safety lexicon scorer -------------------------------------------
 
 def q_lexicon_hits(spark, sf_dir):
