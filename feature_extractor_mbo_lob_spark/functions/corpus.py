@@ -1768,3 +1768,49 @@ def perplexity_prune(
             .cast("int"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source mixing at T = 2 (alpha = 1/2) — the
+    multilingual-pretraining rebalance (Conneau & Lample 2019; mBERT's
+    exponent-smoothed sampling): sampling weight w_s = isqrt(tokens_s),
+    so high-resource sources are down-weighted toward sqrt of their mass
+    and the long tail is boosted.
+
+    alpha = 1/2 is the one exponent with an ENGINE-EXACT integer form:
+    IEEE-754 sqrt is correctly rounded, so floor(sqrt(n)) is exact for
+    n < 2^52 on any engine (a per-source token count, far below that) —
+    no libm drift, unlike arbitrary n^alpha. Released columns: tokens,
+    isqrt weight, mix_ppm = w*1e6 div W, and the boost vs proportional
+    (ppm ratio of the two shares), all int64.
+
+    Two tiny aggregations + one broadcast 1-row total — nothing scales
+    with corpus size except the first count scan.
+    """
+    from .text import token_count_ws
+
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count_ws(text_col)).cast("long").alias("tokens"),
+    ).withColumn("w", F.floor(F.sqrt(F.col("tokens"))).cast("long"))
+    tot = per.agg(
+        F.sum("tokens").cast("long").alias("tot_tokens"),
+        F.sum("w").cast("long").alias("tot_w"),
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    mix = F.expr(f"w * {scale} div greatest(tot_w, 1)")
+    prop = F.expr(f"tokens * {scale} div greatest(tot_tokens, 1)")
+    return out.select(
+        source_col, "n_docs", "tokens", "w",
+        mix.cast("long").alias("mix_ppm"),
+        prop.cast("long").alias("prop_ppm"),
+        F.expr(
+            f"(w * {scale} div greatest(tot_w, 1)) * {scale}"
+            f" div greatest(tokens * {scale} div greatest(tot_tokens, 1), 1)"
+        ).cast("long").alias("boost_ppm"),
+    )

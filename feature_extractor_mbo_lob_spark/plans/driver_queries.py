@@ -12519,6 +12519,41 @@ QUERIES["hits_scores"] = q_hits_scores
 ORACLES["hits_scores"] = _hits_oracle()
 
 
+# --- temperature-scaled source mixing (alpha = 1/2) -----------------------------
+
+def q_temperature_mix(spark, sf_dir):
+    """T=2 source rebalance (functions/corpus.temperature_mix): isqrt
+    token weights — the one exponent with an engine-exact integer form
+    (IEEE sqrt is correctly rounded; floor exact below 2^52). Emits mix
+    vs proportional shares and the boost ratio, all int64."""
+    from ..functions.corpus import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mix(docs)
+
+
+O_TEMPERATURE_MIX = """
+with per as (
+  select source, cast(count(*) as bigint) as n_docs,
+    cast(sum(len(regexp_split_to_array(trim(text), '\\s+'))) as bigint) as tokens
+  from documents group by source
+),
+w as (select *, cast(floor(sqrt(tokens)) as bigint) as w from per),
+tot as (select cast(sum(tokens) as bigint) as tot_tokens,
+               cast(sum(w) as bigint) as tot_w from w)
+select source, n_docs, tokens, w,
+  cast(w * 1000000 // greatest(tot_w, 1) as bigint) as mix_ppm,
+  cast(tokens * 1000000 // greatest(tot_tokens, 1) as bigint) as prop_ppm,
+  cast((w * 1000000 // greatest(tot_w, 1)) * 1000000
+       // greatest(tokens * 1000000 // greatest(tot_tokens, 1), 1) as bigint)
+    as boost_ppm
+from w cross join tot
+"""
+
+QUERIES["temperature_mix"] = q_temperature_mix
+ORACLES["temperature_mix"] = O_TEMPERATURE_MIX
+
+
 # --- Self-BLEU corpus diversity (ring-pair proxy) -------------------------------
 
 def q_self_bleu(spark, sf_dir):

@@ -508,3 +508,25 @@ def test_perplexity_prune_middle_band(spark):
     assert out[3].kept == 1 or out[3].rnk in (1, 2, 7, 8) is False
     kept_ids = {i for i, r in out.items() if r.kept}
     assert kept_ids <= {3, 4, 5, 6, 7} and len(kept_ids) == 4
+
+
+def test_temperature_mix_isqrt_rebalance(spark):
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.corpus import temperature_mix
+
+    # big: 10000 one-token docs; small: 100 one-token docs
+    rows = [("big", "x")] * 200 + [("small", "x")] * 50
+    # give 'big' longer docs so token mass differs from doc count
+    rows = [("big", "a b c d e")] * 200 + [("small", "a b")] * 50
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r for r in temperature_mix(df).collect()}
+
+    tb, ts = 200 * 5, 50 * 2
+    wb, ws = math.isqrt(tb), math.isqrt(ts)
+    assert out["big"].tokens == tb and out["small"].tokens == ts
+    assert out["big"].w == wb and out["small"].w == ws
+    assert out["big"].mix_ppm == wb * 1_000_000 // (wb + ws)
+    assert out["small"].mix_ppm == ws * 1_000_000 // (wb + ws)
+    # temperature smoothing boosts the tail and damps the head
+    assert out["small"].boost_ppm > 1_000_000 > out["big"].boost_ppm
