@@ -12519,6 +12519,58 @@ QUERIES["hits_scores"] = q_hits_scores
 ORACLES["hits_scores"] = _hits_oracle()
 
 
+# --- event-time lateness audit (watermark tuning) -------------------------------
+
+def q_lateness_audit(spark, sf_dir):
+    """Watermark-tuning meter (validation.lateness_audit): per-conversation
+    running-max event-time regressions under the stable replay order —
+    exact count/max/p50/p95/p99 of lateness in microseconds, the numbers
+    that pick a withWatermark delay. One canonical window + a
+    distinct-value rank pass."""
+    from ..validation import lateness_audit
+
+    t = _t(spark, sf_dir)
+    return lateness_audit(t, CFG)
+
+
+O_LATENESS_AUDIT = f"""{_W},
+t as (
+  select epoch_us(ts) as us,
+    max(epoch_us(ts)) over
+      ({_OWIN} rows between unbounded preceding and 1 preceding) as run_max
+  from transcripts
+),
+l as (
+  select case when run_max > us then run_max - us else 0 end as late_us from t
+),
+tot as (
+  select cast(count(*) as bigint) as n_events,
+    cast(sum(case when late_us > 0 then 1 else 0 end) as bigint) as n_late,
+    cast(max(late_us) as bigint) as max_lateness_us
+  from l
+),
+dv as (select late_us, count(*) as c from l where late_us > 0 group by 1),
+cum as (
+  select late_us,
+    sum(c) over (order by late_us
+                 rows between unbounded preceding and current row) as cum
+  from dv
+)
+select t.n_events, t.n_late, t.max_lateness_us,
+  cast(coalesce((select min(late_us) from cum
+                 where cum * 100 >= t.n_late * 50), 0) as bigint) as p50_lateness_us,
+  cast(coalesce((select min(late_us) from cum
+                 where cum * 100 >= t.n_late * 95), 0) as bigint) as p95_lateness_us,
+  cast(coalesce((select min(late_us) from cum
+                 where cum * 100 >= t.n_late * 99), 0) as bigint) as p99_lateness_us,
+  t.max_lateness_us as suggested_watermark_us
+from tot t
+"""
+
+QUERIES["lateness_audit"] = q_lateness_audit
+ORACLES["lateness_audit"] = O_LATENESS_AUDIT
+
+
 # --- temperature-scaled source mixing (alpha = 1/2) -----------------------------
 
 def q_temperature_mix(spark, sf_dir):

@@ -283,3 +283,74 @@ def benford_profile(df: DataFrame, cents_col) -> DataFrame:
         .withColumn("excess_ppm", F.col("obs_ppm") - F.col("benford_ppm"))
         .select("digit", "n_obs", "obs_ppm", "benford_ppm", "excess_ppm")
     )
+
+
+def lateness_audit(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Watermark-tuning meter: how disordered are event-time arrivals when
+    replayed in the stable (turn_idx, ts) order? For each conversation the
+    ARRIVAL order is turn_idx; an event is LATE if its ts is behind the
+    running event-time maximum of its conversation — exactly the condition
+    under which Structured Streaming would drop it for a given watermark
+    delay. Released per corpus (one row, all int64):
+
+      n_events, n_late              late = ts < running max(ts) so far
+      max_lateness_us               worst running-max regression
+      p50/p95/p99_lateness_us       exact type-1 order statistics of the
+                                    nonzero lateness distribution
+      suggested_watermark_us        = max_lateness_us (the delay that
+                                    would have dropped nothing)
+
+    This is the number a real pipeline reads before setting
+    ``withWatermark`` — too small drops data, too large holds state.
+    Shape: one window over the conv sort (same canonical spec as every
+    feature) + a distinct-value rank pass bounded by distinct lateness
+    values, never the corpus.
+    """
+    us = ordering.epoch_us(cfg.ts_col)
+    w = ordering.stable_window(cfg).rowsBetween(Window.unboundedPreceding, -1)
+    t = df.select(
+        us.alias("_us"),
+        F.max(us).over(w).alias("_run_max"),
+    ).select(
+        (F.when(F.col("_run_max") > F.col("_us"),
+                F.col("_run_max") - F.col("_us")).otherwise(0)).alias("late_us")
+    )
+    late = t.filter(F.col("late_us") > 0)
+    # exact type-1 percentiles via distinct-value rank arithmetic (the same
+    # trick as qte): cumulative count per distinct lateness value
+    dv = late.groupBy("late_us").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("late_us").rowsBetween(Window.unboundedPreceding, 0)
+    dv = dv.withColumn("cum", F.sum("c").over(wv))
+    totals = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("long")).cast("long").alias("n_late"),
+        F.max("late_us").cast("long").alias("max_lateness_us"),
+    )
+
+    def pctl(p):
+        # smallest distinct value whose cumulative count >= ceil(p*n/100)
+        # (type-1 / lower order statistic)
+        return F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("n_late") * p, F.col("late_us")
+            )
+        ).cast("long").alias(f"p{p}_lateness_us")
+
+    joined = dv.crossJoin(F.broadcast(totals))
+    pick = joined.groupBy("n_events", "n_late", "max_lateness_us").agg(
+        pctl(50), pctl(95), pctl(99)
+    )
+    # an all-on-time corpus leaves dv empty -> pick has no rows; the zero
+    # branch supplies the single row instead (exactly one of the two unions
+    # is ever non-empty)
+    zero = totals.filter(F.col("n_late") == 0).select(
+        "n_events", "n_late",
+        F.coalesce(F.col("max_lateness_us"), F.lit(0)).alias("max_lateness_us"),
+        *[F.lit(0).cast("long").alias(f"p{p}_lateness_us") for p in (50, 95, 99)],
+    )
+    out = pick.unionByName(zero)
+    return out.select(
+        "n_events", "n_late", "max_lateness_us",
+        "p50_lateness_us", "p95_lateness_us", "p99_lateness_us",
+        F.col("max_lateness_us").alias("suggested_watermark_us"),
+    )

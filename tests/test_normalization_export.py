@@ -416,3 +416,41 @@ def test_isotonic_fit_monotone_and_mean_preserving(spark):
         seq = [v for _, v in vals]
         assert all(a <= b + 1e-12 for a, b in zip(seq, seq[1:]))      # monotone
         assert abs(sum(seq) - sum(ys[c])) < 1e-9                       # mean-preserving
+
+
+def test_lateness_audit_engineered_disorder(spark):
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.config import PipelineConfig
+    from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # conv a, arrival order = turn_idx; turn 2 is 7s behind the running
+        # max (10), turn 3 is 3s behind (10)
+        ("a", 0, "user", "x", None, at(0)),
+        ("a", 1, "user", "x", None, at(10)),
+        ("a", 2, "user", "x", None, at(3)),
+        ("a", 3, "user", "x", None, at(7)),
+        ("a", 4, "user", "x", None, at(20)),
+        # conv b fully ordered
+        ("b", 0, "user", "x", None, at(0)),
+        ("b", 1, "user", "x", None, at(5)),
+    ]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    r = val.lateness_audit(df, PipelineConfig()).collect()[0]
+    assert r.n_events == 7 and r.n_late == 2
+    assert r.max_lateness_us == 7_000_000
+    assert r.suggested_watermark_us == 7_000_000
+    # lateness distribution {3s, 7s}: p50 -> 3s, p95/p99 -> 7s
+    assert r.p50_lateness_us == 3_000_000
+    assert r.p95_lateness_us == 7_000_000 and r.p99_lateness_us == 7_000_000
+
+    # fully ordered corpus -> the zero row
+    ordered = spark.createDataFrame(rows[5:], schema=TRANSCRIPT_SCHEMA)
+    z = val.lateness_audit(ordered, PipelineConfig()).collect()[0]
+    assert (z.n_late, z.max_lateness_us, z.p99_lateness_us) == (0, 0, 0)
