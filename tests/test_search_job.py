@@ -1,0 +1,70 @@
+"""CLI proof for jobs/search_corpus.py: the persisted ANN index round-trips
+(build -> cluster-partitioned store + manifest -> query), and with
+nprobe = k (probe everything) the hits EQUAL exact brute-force cosine
+top-k — the index changes the access path, never the math."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run(mode, extra):
+    r = subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "search_corpus.py"), mode, *extra],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    metrics = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    return json.loads(metrics[-1])
+
+
+def test_ann_index_build_query_exact_at_full_probe(tmp_path):
+    import duckdb
+
+    idx = tmp_path / "idx"
+    out = tmp_path / "hits"
+    b = _run("build", ("--input", "/root/testdata/sf0.001",
+                       "--index", str(idx), "--k", "4"))
+    assert b["n_vectors"] == 500 and b["dim"] == 64
+    assert (idx / "manifest.json").exists()
+    parts = list((idx / "vectors.parquet").glob("centroid_id=*"))
+    assert len(parts) == 4  # cluster-partitioned store (pruning unit)
+
+    n_q, topk = 25, 3
+    q = _run("query", ("--index", str(idx),
+                       "--queries", "/root/testdata/sf0.001/embeddings.parquet",
+                       "--topk", str(topk), "--nprobe", "4",
+                       "--limit", str(n_q), "--out", str(out)))
+    assert q["n_hits"] == n_q * topk
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "select vec_id, embedding from "
+        "'/root/testdata/sf0.001/embeddings.parquet' order by vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn[:n_q] @ Mn.T
+
+    got = con.execute(
+        f"select query_id, neighbor_id, rank from parquet_scan('{out}/*.parquet') "
+        "order by query_id, rank"
+    ).fetchall()
+    by_q = {}
+    for qid, nid, rank in got:
+        by_q.setdefault(qid, []).append(nid)
+    for i in range(n_q):
+        qid = ids[i]
+        s = S[i].copy()
+        s[i] = -np.inf  # exclude self
+        order = np.lexsort((ids, -s))  # cos desc, vec_id asc tiebreak
+        expect = [int(ids[j]) for j in order[:topk]]
+        assert by_q[qid] == expect, qid
