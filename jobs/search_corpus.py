@@ -8,6 +8,12 @@ oracle-checkable one-shot).
     spark-submit --py-files dist/engine.zip jobs/search_corpus.py build \
         --input /path/embeddings --index /path/index --k 64 --iters 2
 
+    # update: assign NEW vectors to the existing centroids and append to
+    # the partitioned store (no recluster; ids already present are skipped,
+    # so re-runs are idempotent) — the daily-increment path
+    spark-submit ... jobs/search_corpus.py update \
+        --index /path/index --input /path/new_embeddings.parquet
+
     # query: nearest clusters via the tiny centroid table, scan ONLY those
     # partitions (partition pruning does the file skipping), exact cosine
     # top-k inside the probed clusters
@@ -82,6 +88,40 @@ def _build(args) -> None:
     spark.stop()
 
 
+def _update(args) -> None:
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark import get_spark
+    from feature_extractor_mbo_lob_spark.operators.similarity import ivf_assign
+
+    spark = get_spark(app_name="fex-ann-update", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.time()
+    idx = Path(args.index)
+    manifest = json.loads((idx / "manifest.json").read_text())
+    centroids = spark.read.parquet(str(idx / "centroids.parquet"))
+    new = spark.read.parquet(args.input)
+    # drop ids already in the store (idempotent re-run)
+    store_ids = spark.read.parquet(str(idx / "vectors.parquet")).select("vec_id")
+    new = new.join(store_ids, "vec_id", "left_anti")
+    assigned = ivf_assign(new, centroids)
+    n_new = assigned.count()
+    (
+        assigned.select("vec_id", "embedding", "centroid_id")
+        .repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(str(idx / "vectors.parquet"))
+    )
+    manifest["n_vectors"] = int(manifest["n_vectors"] + n_new)
+    manifest["last_update_wall_sec"] = round(time.time() - t0, 2)
+    (idx / "manifest.json").write_text(json.dumps(manifest))
+    print(json.dumps({"mode": "update", "n_new": int(n_new),
+                      "n_vectors": manifest["n_vectors"],
+                      "wall_sec": manifest["last_update_wall_sec"]}))
+    spark.stop()
+
+
 def _query(args) -> None:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -153,6 +193,12 @@ def main() -> None:
     b.add_argument("--k", type=int, default=16)
     b.add_argument("--iters", type=int, default=2)
     b.add_argument("--master", default=None)
+    u = sub.add_parser("update")
+    u.add_argument("--index", required=True)
+    u.add_argument("--input", required=True,
+                   help="parquet with NEW (vec_id, embedding) rows; ids "
+                        "already in the store are skipped (idempotent)")
+    u.add_argument("--master", default=None)
     qp = sub.add_parser("query")
     qp.add_argument("--index", required=True)
     qp.add_argument("--queries", required=True, help="parquet with (vec_id, embedding)")
@@ -162,7 +208,7 @@ def main() -> None:
     qp.add_argument("--out", default=None)
     qp.add_argument("--master", default=None)
     args = ap.parse_args()
-    (_build if args.mode == "build" else _query)(args)
+    {"build": _build, "update": _update, "query": _query}[args.mode](args)
 
 
 if __name__ == "__main__":
