@@ -203,3 +203,49 @@ def test_merge_consecutive_turns(spark):
     # null member skipped in the join, counted in n_merged; first tool kept
     assert b0.text == "x\ny" and b0.n_merged == 3 and b0.tool == "calc"
     assert b0.ts_end == T0 + dt.timedelta(seconds=9)
+
+
+def test_merge_consecutive_turns_randomized_vs_naive(spark):
+    import random
+
+    from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(6):
+        n = rng.randint(1, 25)
+        for i in range(n):
+            role = rng.choice(["user", "assistant", "tool"])
+            text = rng.choice([None, "", "t%d" % i, "x" * rng.randint(1, 5)])
+            tool = rng.choice([None, "calc", "web"])
+            rows.append((f"c{c}", i, role, text, tool,
+                         T0 + dt.timedelta(seconds=i * 3)))
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    got = {(r.conv_id, r.turn_idx): r
+           for r in state.merge_consecutive_turns(df, PipelineConfig()).collect()}
+
+    # naive per-conversation merger
+    by_conv = {}
+    for (c, i, role, text, tool, ts) in rows:
+        by_conv.setdefault(c, []).append((i, role, text, tool, ts))
+    n_runs_total = 0
+    for c, turns in by_conv.items():
+        turns.sort()
+        runs = []
+        for t in turns:
+            if runs and runs[-1][0][1] == t[1]:
+                runs[-1].append(t)
+            else:
+                runs.append([t])
+        n_runs_total += len(runs)
+        for k, run in enumerate(runs):
+            r = got[(c, k)]
+            assert r.role == run[0][1]
+            texts = [t[2] for t in run if t[2] is not None]
+            joined = "\n".join(texts)
+            assert r.text == (joined if joined != "" else None)
+            assert r.tool == run[0][3]
+            assert r.n_merged == len(run)
+            assert r.chars == sum(len(t[2] or "") for t in run)
+            assert r.ts == run[0][4] and r.ts_end == run[-1][4]
+    assert len(got) == n_runs_total
