@@ -51,6 +51,12 @@ def main() -> None:
                     help="replace emails/IPs/phones with typed placeholders")
     ap.add_argument("--decontaminate", default=None, metavar="EVAL_PARQUET",
                     help="drop docs whose 3-shingle overlap with this eval set >= 0.03")
+    ap.add_argument("--against", default=None, metavar="REF_PARQUET",
+                    help="incremental ingest: drop docs that exactly match "
+                         "(normalized md5) or share any MinHash band with "
+                         "this EXISTING corpus (operators/dedup.dedup_against "
+                         "— digest-keyed joins, the reference corpus is "
+                         "never rescanned beyond its fingerprints)")
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
@@ -129,6 +135,15 @@ def main() -> None:
             )
             funnel["after_near_dedup"] = docs.count()
 
+    if args.against:
+        ref = spark.read.parquet(args.against)
+        flags = dedup.dedup_against(docs, ref)
+        dup_ids = flags.filter(
+            F.col("exact_dup") | F.col("near_dup")
+        ).select("doc_id")
+        docs = docs.join(dup_ids, "doc_id", "left_anti")
+        funnel["after_against_dedup"] = docs.count()
+
     if args.decontaminate:
         ev = spark.read.parquet(args.decontaminate)
         contaminated = (
@@ -172,6 +187,7 @@ def main() -> None:
             "redact_pii": args.redact_pii, "decontaminate": args.decontaminate,
             "budget": args.budget, "shards": args.shards,
             "soft_dedup": args.soft_dedup, "route_code": args.route_code,
+            "against": args.against,
         }, sort_keys=True).encode()).hexdigest()[:12]
         fp = input_fingerprint_for_path(spark, path) + ":" + arg_hash
         report = export_with_manifests(

@@ -56,3 +56,29 @@ def test_curate_hard_dedup_still_drops(tmp_path):
     m = _run(out, ("--near-dup",))
     assert m["after_near_dedup"] <= m["after_exact_dedup"]
     assert "weighted_members" not in m
+
+
+def test_curate_against_existing_corpus(tmp_path):
+    import duckdb
+
+    con = duckdb.connect()
+    # reference corpus = half of the docs -> every surviving doc in the
+    # funnel that exactly matches a ref doc must be dropped
+    ref = tmp_path / "ref.parquet"
+    con.execute(
+        f"copy (select * from '/root/testdata/sf0.001/documents.parquet' "
+        f"where doc_id % 2 = 0) to '{ref}' (format parquet)"
+    )
+    out = tmp_path / "inc"
+    m = _run(out, ("--against", str(ref)))
+    assert "after_against_dedup" in m
+    assert m["after_against_dedup"] < m["after_exact_dedup"]
+
+    # no survivor may exactly match the reference (normalized md5)
+    surv = con.execute(
+        f"""select count(*) from parquet_scan('{out}/**/*.parquet', hive_partitioning=true) s
+        join parquet_scan('{ref}') r
+          on md5(regexp_replace(lower(trim(s.text)), '\\s+', ' ', 'g'))
+           = md5(regexp_replace(lower(trim(r.text)), '\\s+', ' ', 'g'))"""
+    ).fetchone()[0]
+    assert surv == 0
