@@ -235,14 +235,16 @@ def turn_similarity_edges(
     """
     from .repetition import normalized_words
 
+    # per-turn word dedup happens ROW-LOCAL (array_distinct before the
+    # explode) — the distinct() this replaces was a full shuffle of the
+    # exploded table, the single most expensive stage of the old plan
     words = (
         t.select(
             "conv_id",
             "turn_idx",
-            F.explode(normalized_words("text")).alias("word"),
+            F.explode(F.array_distinct(normalized_words("text"))).alias("word"),
         )
         .where(F.col("word") != "")
-        .distinct()
     )
     if max_word_turn_df is not None:
         df_cap = (
@@ -285,7 +287,12 @@ def turn_similarity_edges(
     return fwd.unionAll(rev)
 
 
-def textrank_turns(t: DataFrame, iterations: int = 2, min_shared: int = 1) -> DataFrame:
+def textrank_turns(
+    t: DataFrame,
+    iterations: int = 2,
+    min_shared: int = 1,
+    max_word_turn_df: int | None = None,
+) -> DataFrame:
     """TextRank key-turn extraction (Mihalcea & Tarau, EMNLP 2004): run
     integer micro-unit PageRank over the within-conversation
     turn-similarity graph and rank each conversation's turns by centrality
@@ -306,7 +313,9 @@ def textrank_turns(t: DataFrame, iterations: int = 2, min_shared: int = 1) -> Da
     """
     from pyspark.sql.window import Window
 
-    edges = turn_similarity_edges(t, min_shared=min_shared)
+    edges = turn_similarity_edges(
+        t, min_shared=min_shared, max_word_turn_df=max_word_turn_df
+    )
     ranks = pagerank_int(edges, iterations=iterations)
     split = F.split(F.col("node"), "#")
     out = ranks.select(
