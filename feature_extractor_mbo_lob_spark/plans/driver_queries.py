@@ -5451,23 +5451,24 @@ _CERTIFIED_FIRST = [
     "contamination", "pack_token_stream",
     "sft_pairs", "curation_pipeline",
     "lang_id", "text_quality",
-    # range join + linkage (north-rule point-in-time family extensions;
-    # displaced hash_sample/source_mix stay green in the full sweep and
-    # their md5-bucket mechanics remain certified via stratified_sample,
-    # group_hash_split and curation_pipeline)
-    "interval_point_join", "record_linkage",
+    # range join + dialog normalization.  merge_turns is THE
+    # transcripts-native cleanup op (consecutive same-role runs -> one
+    # merged turn) — it takes record_linkage's slot; Fellegi-Sunter
+    # linkage stays green in the full sweep and blocked-join mechanics
+    # remain certified via interval_point_join + sorted-neighborhood tests.
+    "interval_point_join", "merge_turns",
     # streaming / as-of variants / windows.  pit_training_set is the
     # north-rule feature-store assembly (multi-timeline backward as-of with
     # per-timeline staleness TTLs) — it certifies asof tolerance mechanics,
     # so the displaced asof_join_tolerance stays green in the full sweep.
     "streaming_sessions", "streaming_state", "asof_join_nearest",
     "pit_training_set", "ewma", "time_windows", "dpo_pairs",
-    # rolling_rank is the north-rule PIT rank feature (trailing
-    # percentile-rank of the current turn vs its own history); it takes
-    # the slot of ivf_topk_sharded, whose skew-subsharding variant stays
-    # green in the full sweep while the IVF family remains certified via
-    # ivf_topk.
-    "media_features", "rolling_rank",
+    # dup_weights is the soft-dedup production form (loss weight = 1e6
+    # div near-dup cluster size — keep every member, one document's worth
+    # of gradient per cluster); it takes rolling_rank's slot, whose
+    # trailing-percentile-rank mechanics stay green in the full sweep and
+    # whose window family remains certified via rolling_window + ewma.
+    "media_features", "dup_weights",
 ]
 
 
