@@ -10591,6 +10591,98 @@ QUERIES["dpo_pairs"] = q_dpo_pairs
 ORACLES["dpo_pairs"] = O_DPO_PAIRS
 
 
+# --- DPO length-bias audit ---------------------------------------------------------
+
+def q_dpo_length_bias(spark, sf_dir):
+    """Length-bias audit of the preference data (the AlpacaEval-style
+    check): among DPO pairs, how often is the CHOSEN continuation also
+    the LONGER one, by margin quartile — a rate near 1.0 means the reward
+    signal is confounded with verbosity and length-controlled training is
+    needed. ntile over the unique (margin, ids) total order keeps the
+    bucketing engine-exact; rates in ppm by floor division."""
+    from pyspark.sql.window import Window
+
+    from ..operators import forks
+
+    t = transcripts_from_events(spark, sf_dir)
+    pairs = forks.dpo_pairs(t, CFG, depth=1)
+    chars = (
+        t.filter(F.col("turn_idx") >= 1)
+        .groupBy("conv_id")
+        .agg(F.sum(F.coalesce(F.length("text"), F.lit(0)))
+             .cast("long").alias("chars"))
+    )
+    j = (
+        pairs.join(chars.withColumnRenamed("conv_id", "chosen_conv_id")
+                   .withColumnRenamed("chars", "chosen_chars"), "chosen_conv_id")
+        .join(chars.withColumnRenamed("conv_id", "rejected_conv_id")
+              .withColumnRenamed("chars", "rejected_chars"), "rejected_conv_id")
+    )
+    w = Window.orderBy("margin_cents", "chosen_conv_id", "rejected_conv_id")
+    j = j.withColumn("margin_q", F.ntile(4).over(w))
+    return (
+        j.groupBy("margin_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("chosen_chars") > F.col("rejected_chars")).cast("long"))
+            .cast("long").alias("n_chosen_longer"),
+            F.min("margin_cents").cast("long").alias("margin_lo_cents"),
+            F.max("margin_cents").cast("long").alias("margin_hi_cents"),
+        )
+        .select(
+            F.col("margin_q").cast("int").alias("margin_q"),
+            "n_pairs", "n_chosen_longer", "margin_lo_cents", "margin_hi_cents",
+            F.expr("n_chosen_longer * 1000000 div n_pairs")
+            .cast("long").alias("longer_rate_ppm"),
+        )
+    )
+
+
+O_DPO_LENGTH_BIAS = f"""{_W},
+p as (
+  select conv_id,
+    md5(md5(concat(role, chr(31), coalesce(text, '')))) as prefix_digest
+  from transcripts where turn_idx = 0
+),
+cont as (
+  select conv_id,
+    cast(sum(floor(value * 100.0 + 0.5)) as bigint) as score_cents,
+    cast(sum(coalesce(length(text), 0)) as bigint) as chars
+  from transcripts where turn_idx >= 1 group by conv_id
+),
+m as (
+  select p.conv_id, p.prefix_digest, c.score_cents, c.chars,
+    row_number() over (partition by p.prefix_digest
+                       order by c.score_cents desc, p.conv_id) as rk
+  from p join cont c on p.conv_id = c.conv_id
+),
+pr as (
+  select w.conv_id as chosen_conv_id, l.conv_id as rejected_conv_id,
+    cast(w.score_cents - l.score_cents as bigint) as margin_cents,
+    w.chars as chosen_chars, l.chars as rejected_chars
+  from m w join m l on w.prefix_digest = l.prefix_digest
+  where w.rk = 1 and l.rk > 1
+),
+q as (
+  select *, ntile(4) over (order by margin_cents, chosen_conv_id,
+                           rejected_conv_id) as margin_q
+  from pr
+)
+select cast(margin_q as int) as margin_q,
+  cast(count(*) as bigint) as n_pairs,
+  cast(sum(case when chosen_chars > rejected_chars then 1 else 0 end)
+       as bigint) as n_chosen_longer,
+  cast(min(margin_cents) as bigint) as margin_lo_cents,
+  cast(max(margin_cents) as bigint) as margin_hi_cents,
+  cast(sum(case when chosen_chars > rejected_chars then 1 else 0 end)
+       * 1000000 // count(*) as bigint) as longer_rate_ppm
+from q group by margin_q
+"""
+
+QUERIES["dpo_length_bias"] = q_dpo_length_bias
+ORACLES["dpo_length_bias"] = O_DPO_LENGTH_BIAS
+
+
 # --- training-set construction capstone -------------------------------------------
 
 def q_training_set_pipeline(spark, sf_dir):
