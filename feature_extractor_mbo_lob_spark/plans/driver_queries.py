@@ -10591,6 +10591,71 @@ QUERIES["dpo_pairs"] = q_dpo_pairs
 ORACLES["dpo_pairs"] = O_DPO_PAIRS
 
 
+# --- peak concurrency (interval sweep) ----------------------------------------------
+
+def q_peak_concurrency(spark, sf_dir):
+    """Capacity analytics: maximum number of SIMULTANEOUSLY open
+    conversations, by the classic +1/-1 boundary sweep — each conversation
+    is the interval [min ts, max ts]; sort all boundaries (ends before
+    starts at ties: a conversation ending exactly when another starts does
+    NOT overlap it — the half-open convention) and take the running-sum
+    max. Exact int64; one row: peak, its first timestamp, totals.
+
+    Shape: per-conv interval aggregate, then a single global ordered
+    running sum over 2 rows/conversation — the sweep frame is
+    conversations-sized, never turns-sized."""
+    t = _t(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    from ..operators.ordering import epoch_us
+
+    iv = t.groupBy("conv_id").agg(
+        F.min(epoch_us("ts")).alias("s"), F.max(epoch_us("ts")).alias("e")
+    )
+    b = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.orderBy("t", "d")  # d=-1 sorts before +1 at equal t
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = b.withColumn("c", F.sum("d").over(w))
+    mx = run.agg(F.max("c").alias("peak"))
+    return run.crossJoin(F.broadcast(mx)).agg(
+        F.max("peak").cast("long").alias("peak_concurrency"),
+        F.min(F.when(F.col("c") == F.col("peak"), F.col("t")))
+        .cast("long").alias("peak_first_ts_us"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_conversations"),
+    )
+
+
+O_PEAK_CONCURRENCY = f"""{_W},
+iv as (
+  select conv_id, min(epoch_us(ts)) as s, max(epoch_us(ts)) as e
+  from transcripts group by conv_id
+),
+b as (
+  select s as t, 1 as d from iv
+  union all
+  select e as t, -1 as d from iv
+),
+run as (
+  select t, sum(d) over (order by t, d
+    rows between unbounded preceding and current row) as c
+  from b
+),
+mx as (select max(c) as peak from run)
+select cast(mx.peak as bigint) as peak_concurrency,
+  cast((select min(t) from run where c = mx.peak) as bigint)
+    as peak_first_ts_us,
+  cast((select count(*) / 2 from b) as bigint) as n_conversations
+from mx
+"""
+
+QUERIES["peak_concurrency"] = q_peak_concurrency
+ORACLES["peak_concurrency"] = O_PEAK_CONCURRENCY
+
+
 # --- DPO length-bias audit ---------------------------------------------------------
 
 def q_dpo_length_bias(spark, sf_dir):
