@@ -864,6 +864,80 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.corpus import temperature_mix
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        diff_in_differences, krippendorff_alpha_binary,
+    )
+    from feature_extractor_mbo_lob_spark.functions.text import lexicon_hits
+    from feature_extractor_mbo_lob_spark.operators.state import (
+        merge_consecutive_turns,
+    )
+    from feature_extractor_mbo_lob_spark.validation import lateness_audit
+
+    sections.append(summarize(
+        "Dialog turn merge (consecutive same-role runs)",
+        merge_consecutive_turns(t, CFG),
+        "Gaps-and-islands key (two row_numbers over the canonical conv "
+        "sort) + ONE groupBy carrying a sorted struct array; text "
+        "assembly is JVM transform/array_join. Shuffles keyed on "
+        "(conv, role, run) — conversation-bounded, zero Python stages.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Lateness audit (watermark tuning)",
+        lateness_audit(t, CFG),
+        "One canonical conv-sort window (running event-time max) + a "
+        "distinct-value rank pass bounded by DISTINCT lateness values — "
+        "the percentile stage never touches the corpus. All int64.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Difference-in-differences (md5 arms x cutover)",
+        diff_in_differences(ev, "user_id"),
+        "Two partial-aggregable shuffles: groupBy(user, period) then one "
+        "4-cell conditional aggregate; means released as micro-cents by "
+        "matched floor division — no float crosses engines.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Krippendorff alpha (binary reliability)",
+        krippendorff_alpha_binary(
+            ev.withColumn("bit", (F.col("value") > 100.0).cast("int")),
+            "user_id", "bit",
+        ),
+        "groupBy(unit) -> one 1-row aggregate; the single per-unit floor "
+        "division is quantized once, the final quotient runs in "
+        "decimal(38,0) on nonnegative operands.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Safety lexicon gate",
+        lexicon_hits(docs),
+        "Shuffle-free: one narrow projection, category wordlists live in "
+        "the plan as literals, word-boundary exact matching via JVM "
+        "filter lambdas over the split array.",
+        forbid=("Exchange", "CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Temperature source mixing (isqrt weights)",
+        temperature_mix(docs),
+        "Two tiny aggregations + one broadcast 1-row total; isqrt is the "
+        "one exponent with an engine-exact integer form (IEEE sqrt "
+        "correctly rounded below 2^52).",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
