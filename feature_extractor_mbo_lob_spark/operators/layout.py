@@ -249,3 +249,64 @@ def file_skipping_report(
         scanned.cast("long").alias("n_scanned"),
         (F.floor(frac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("scan_frac"),
     )
+
+
+def clustering_depth(
+    stats: DataFrame,
+    file_col: str = "file_id",
+    min_col: str = "min_v",
+    max_col: str = "max_v",
+) -> DataFrame:
+    """Clustering/overlap-depth meter over a file manifest of per-file
+    [min, max] key ranges — the read-amplification number OPTIMIZE/Z-order
+    exists to reduce: for each file, how many OTHER files' ranges overlap
+    it (a range query touching this file must also read those). Perfectly
+    clustered = depth 0 everywhere; fully interleaved = n-1.
+
+    Exact O(n log n) order-statistics construction, NEVER the O(n^2)
+    interval self-join: with sorted boundaries,
+        overlap_i = |{j : min_j <= max_i}| - |{j : max_j < min_i}| - 1.
+    Both counts come from ONE boundary sweep each (union the boundary
+    with the probe points, running count of boundary rows under a total
+    order where ties resolve to the inclusive/exclusive side needed).
+    Scale shape: two global sorts of 2n boundary rows — manifest-sized,
+    never data-sized.
+
+    Returns ``DataFrame[file_id, overlap_depth: long]``.
+    """
+    f = F.col(file_col)
+    # pass 1: starts_le(max_i) — count of mins <= each file's max.
+    # boundary rows (kind 0) sort BEFORE probe rows (kind 1) at equal
+    # value, so a min equal to the probed max IS counted (inclusive).
+    b1 = stats.select(F.col(min_col).alias("v"), F.lit(0).alias("k"),
+                      F.lit(None).cast("long").alias("fid"))
+    q1 = stats.select(F.col(max_col).alias("v"), F.lit(1).alias("k"),
+                      f.cast("long").alias("fid"))
+    w = Window.orderBy("v", "k").rowsBetween(Window.unboundedPreceding, 0)
+    s1 = (
+        b1.unionAll(q1)
+        .withColumn("c", F.sum((F.col("k") == 0).cast("long")).over(w))
+        .filter(F.col("k") == 1)
+        .select("fid", F.col("c").alias("starts_le"))
+    )
+    # pass 2: ends_lt(min_i) — count of maxes strictly < each file's min.
+    # probe rows (kind 0) sort BEFORE boundary rows (kind 1) at equal
+    # value, so a max equal to the probed min is NOT counted (strict).
+    b2 = stats.select(F.col(max_col).alias("v"), F.lit(1).alias("k"),
+                      F.lit(None).cast("long").alias("fid"))
+    q2 = stats.select(F.col(min_col).alias("v"), F.lit(0).alias("k"),
+                      f.cast("long").alias("fid"))
+    s2 = (
+        b2.unionAll(q2)
+        .withColumn("c", F.sum((F.col("k") == 1).cast("long")).over(w))
+        .filter(F.col("k") == 0)
+        .select(F.col("fid").alias("fid2"), F.col("c").alias("ends_lt"))
+    )
+    return (
+        s1.join(s2, s1["fid"] == s2["fid2"])
+        .select(
+            F.col("fid").alias(file_col),
+            (F.col("starts_le") - F.col("ends_lt") - 1)
+            .cast("long").alias("overlap_depth"),
+        )
+    )

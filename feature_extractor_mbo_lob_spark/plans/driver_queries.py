@@ -10591,6 +10591,45 @@ QUERIES["dpo_pairs"] = q_dpo_pairs
 ORACLES["dpo_pairs"] = O_DPO_PAIRS
 
 
+# --- clustering overlap depth (lakehouse layout meter) -------------------------------
+
+def q_clustering_depth(spark, sf_dir):
+    """Read-amplification meter for file layout (operators/layout.
+    clustering_depth): per synthetic file (events bucketed by
+    event_id div 100, zone-map [min,max] of value), how many OTHER files'
+    ranges overlap it. Exact O(n log n) boundary sweeps (two sorted
+    running counts over manifest-sized frames) — the oracle cross-checks
+    with the independent quadratic join, so the sweep algebra itself is
+    what's verified."""
+    from ..operators import layout
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stats = (
+        ev.groupBy(F.expr("event_id div 100").cast("long").alias("file_id"))
+        .agg(F.min("value").alias("min_v"), F.max("value").alias("max_v"))
+    )
+    return layout.clustering_depth(stats)
+
+
+O_CLUSTERING_DEPTH = """
+with stats as (
+  select event_id // 100 as file_id,
+    min(value) as min_v, max(value) as max_v
+  from events group by 1
+)
+select cast(a.file_id as bigint) as file_id,
+  cast(count(b.file_id) as bigint) as overlap_depth
+from stats a
+left join stats b
+  on b.file_id <> a.file_id
+ and b.min_v <= a.max_v and b.max_v >= a.min_v
+group by a.file_id
+"""
+
+QUERIES["clustering_depth"] = q_clustering_depth
+ORACLES["clustering_depth"] = O_CLUSTERING_DEPTH
+
+
 # --- peak concurrency (interval sweep) ----------------------------------------------
 
 def q_peak_concurrency(spark, sf_dir):

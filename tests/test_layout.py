@@ -185,3 +185,20 @@ def test_file_skipping_report(spark):
     r = file_skipping_report(df, lo=20.0, hi=50.0).collect()[0]
     assert (r.n_files, r.n_skippable, r.n_scanned) == (4, 2, 2)
     assert r.scan_frac == 0.5
+
+
+def test_clustering_depth_hand_cases(spark):
+    from feature_extractor_mbo_lob_spark.operators.layout import clustering_depth
+
+    # f0 [0,10], f1 [5,15] (overlaps f0,f2), f2 [15,20] (touches f1 at 15
+    # -> inclusive overlap), f3 [100,110] disjoint, f4 [0,200] covers all
+    rows = [(0, 0.0, 10.0), (1, 5.0, 15.0), (2, 15.0, 20.0),
+            (3, 100.0, 110.0), (4, 0.0, 200.0)]
+    df = spark.createDataFrame(rows, "file_id long, min_v double, max_v double")
+    out = {r.file_id: r.overlap_depth for r in clustering_depth(df).collect()}
+    assert out == {0: 2, 1: 3, 2: 2, 3: 1, 4: 4}
+
+    # perfectly clustered (disjoint ranges) -> depth 0 everywhere
+    rows = [(i, float(i * 10), float(i * 10 + 5)) for i in range(6)]
+    df = spark.createDataFrame(rows, "file_id long, min_v double, max_v double")
+    assert all(r.overlap_depth == 0 for r in clustering_depth(df).collect())
