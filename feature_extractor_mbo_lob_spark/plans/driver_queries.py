@@ -10591,6 +10591,87 @@ QUERIES["dpo_pairs"] = q_dpo_pairs
 ORACLES["dpo_pairs"] = O_DPO_PAIRS
 
 
+# --- corpus-level MinHash: source-vs-source similarity --------------------------------
+
+def q_source_minhash_sim(spark, sf_dir):
+    """Corpus-vs-corpus similarity in ONE aggregation pass: per-source
+    MinHash signature (min of md5('p|'||shingle) over the source's whole
+    shingle set, 16 permutations — the same md5-permutation trick as
+    document MinHash, lifted to source granularity), then the pairwise
+    matching-coordinate fraction estimates the SOURCE-level shingle
+    Jaccard. The 'which sources mirror each other' dashboard at 100 TB:
+    the shuffle carries 16 strings per source, and the pair join runs on
+    the n_sources-row signature frame, never documents."""
+    from ..operators.dedup import word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "source", F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+    sig = sh.groupBy("source").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("shingle"))))
+            .alias(f"sig_{p}")
+            for p in range(16)
+        ]
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    match = sum(
+        (F.col(f"a.sig_{p}") == F.col(f"b.sig_{p}")).cast("long")
+        for p in range(16)
+    )
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            match.alias("n_match"),
+        )
+        .select(
+            "source_a", "source_b", "n_match",
+            F.expr("n_match * 1000000 div 16").cast("long")
+            .alias("est_jaccard_ppm"),
+        )
+    )
+
+
+def _source_minhash_oracle() -> str:
+    sigs = ",\n    ".join(
+        f"min(md5('{p}|' || shingle)) as sig_{p}" for p in range(16)
+    )
+    match = " + ".join(
+        f"case when a.sig_{p} = b.sig_{p} then 1 else 0 end" for p in range(16)
+    )
+    return f"""
+with sh as (
+  select source, unnest(
+    case when len(words) >= 3 then
+      list_distinct([array_to_string(words[i:i+2], ' ')
+                     for i in range(1, len(words) - 1)])
+    else [array_to_string(words, ' ')] end
+  ) as shingle
+  from (
+    select source,
+      string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as words
+    from documents
+  )
+),
+sig as (
+  select source,
+    {sigs}
+  from sh group by source
+)
+select a.source as source_a, b.source as source_b,
+  cast({match} as bigint) as n_match,
+  cast(({match}) * 1000000 // 16 as bigint) as est_jaccard_ppm
+from sig a join sig b on a.source < b.source
+"""
+
+
+QUERIES["source_minhash_sim"] = q_source_minhash_sim
+ORACLES["source_minhash_sim"] = _source_minhash_oracle()
+
+
 # --- clustering overlap depth (lakehouse layout meter) -------------------------------
 
 def q_clustering_depth(spark, sf_dir):
