@@ -378,7 +378,14 @@ def hits_int(
     for _ in range(iterations):
         a_raw = (
             edges.join(hubs, edges["src"] == hubs["node"])
-            .select(F.col("dst").alias("node"), (F.col("w") * F.col("h")).alias("c"))
+            # w*h and its sum in decimal(38,0): h reaches `scale` (1e6) and
+            # total edge weight is unbounded at corpus scale, so an int64
+            # sum wraps (non-ANSI) past ~9.2e12 total weight — the DuckDB
+            # oracle sums in hugeint, so the whole path must be wide.
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("w").cast("decimal(38,0)") * F.col("h")).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("raw"))
         )
@@ -396,7 +403,10 @@ def hits_int(
         )
         h_raw = (
             edges.join(auths, edges["dst"] == auths["node"])
-            .select(F.col("src").alias("node"), (F.col("w") * F.col("a")).alias("c"))
+            .select(
+                F.col("src").alias("node"),
+                (F.col("w").cast("decimal(38,0)") * F.col("a")).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("raw"))
         )

@@ -769,6 +769,7 @@ def diff_in_differences(
     value_col: str = "value",
     cutover_day: int = 16,
     scale: int = 1_000_000,
+    cutover_ts: str | None = None,
 ) -> DataFrame:
     """Difference-in-differences over a deterministic md5 A/B split and a
     calendar cutover: the panel-data effect estimate
@@ -789,10 +790,17 @@ def diff_in_differences(
     from .corpus import md5_bucket
 
     cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    # cutover_ts (a full timestamp literal) is the general panel split;
+    # cutover_day compares day-of-month only and is therefore valid ONLY
+    # for single-calendar-month panels (every month's days >= cutover_day
+    # would land in 'post' on multi-month inputs).
+    if cutover_ts is not None:
+        post = F.col(ts_col).cast("timestamp") >= F.lit(cutover_ts).cast("timestamp")
+    else:
+        post = F.dayofmonth(F.col(ts_col).cast("timestamp")) >= cutover_day
     base = ev.select(
         F.col(user_col).alias("uid"),
-        (F.dayofmonth(F.col(ts_col).cast("timestamp")) >= cutover_day)
-        .cast("int").alias("post"),
+        post.cast("int").alias("post"),
         cents.alias("_c"),
     )
     per = base.groupBy("uid", "post").agg(F.sum("_c").alias("c"))

@@ -445,7 +445,9 @@ def lexicon_hits(
     Returns ``DataFrame[id, n_words, <cat>_hits..., any_hits,
     hit_rate_ppm, flagged]``.
     """
-    lex = lexicon or DEFAULT_LEXICON
+    # `is None` — an explicitly passed EMPTY lexicon means "score nothing",
+    # it must not silently fall back to the built-in lists
+    lex = DEFAULT_LEXICON if lexicon is None else lexicon
     t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.regexp_replace(F.lower(t), "[^a-z0-9]+", " "), " ")
     nw = F.size(F.filter(words, lambda w: w != ""))
@@ -459,7 +461,9 @@ def lexicon_hits(
         cols.append(c.alias(f"{cat}_hits"))
         hit_exprs.append(F.col(f"{cat}_hits"))
     out = df.select(*cols)
-    any_hits = sum(hit_exprs[1:], hit_exprs[0])
+    any_hits = (
+        sum(hit_exprs[1:], hit_exprs[0]) if hit_exprs else F.lit(0)
+    )
     return out.select(
         "*",
         any_hits.cast("long").alias("any_hits"),

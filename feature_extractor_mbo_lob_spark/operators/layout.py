@@ -275,13 +275,17 @@ def clustering_depth(
     Returns ``DataFrame[file_id, overlap_depth: long]``.
     """
     f = F.col(file_col)
+    # carry the file id in its ORIGINAL type: casting string/uuid ids to
+    # long yields NULL, the fid == fid2 join then matches nothing and the
+    # operator would silently return an empty frame
+    fid_type = dict(stats.dtypes)[file_col]
     # pass 1: starts_le(max_i) — count of mins <= each file's max.
     # boundary rows (kind 0) sort BEFORE probe rows (kind 1) at equal
     # value, so a min equal to the probed max IS counted (inclusive).
     b1 = stats.select(F.col(min_col).alias("v"), F.lit(0).alias("k"),
-                      F.lit(None).cast("long").alias("fid"))
+                      F.lit(None).cast(fid_type).alias("fid"))
     q1 = stats.select(F.col(max_col).alias("v"), F.lit(1).alias("k"),
-                      f.cast("long").alias("fid"))
+                      f.alias("fid"))
     w = Window.orderBy("v", "k").rowsBetween(Window.unboundedPreceding, 0)
     s1 = (
         b1.unionAll(q1)
@@ -293,9 +297,9 @@ def clustering_depth(
     # probe rows (kind 0) sort BEFORE boundary rows (kind 1) at equal
     # value, so a max equal to the probed min is NOT counted (strict).
     b2 = stats.select(F.col(max_col).alias("v"), F.lit(1).alias("k"),
-                      F.lit(None).cast("long").alias("fid"))
+                      F.lit(None).cast(fid_type).alias("fid"))
     q2 = stats.select(F.col(min_col).alias("v"), F.lit(0).alias("k"),
-                      f.cast("long").alias("fid"))
+                      f.alias("fid"))
     s2 = (
         b2.unionAll(q2)
         .withColumn("c", F.sum((F.col("k") == 1).cast("long")).over(w))

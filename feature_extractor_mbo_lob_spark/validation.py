@@ -321,10 +321,14 @@ def lateness_audit(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     dv = late.groupBy("late_us").agg(F.count(F.lit(1)).alias("c"))
     wv = Window.orderBy("late_us").rowsBetween(Window.unboundedPreceding, 0)
     dv = dv.withColumn("cum", F.sum("c").over(wv))
+    # coalesce the sum/max: over an EMPTY input they are NULL, which would
+    # drop the zero-branch row below (n_late == 0 filter) and violate the
+    # one-row contract
     totals = t.agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum((F.col("late_us") > 0).cast("long")).cast("long").alias("n_late"),
-        F.max("late_us").cast("long").alias("max_lateness_us"),
+        F.coalesce(F.sum((F.col("late_us") > 0).cast("long")), F.lit(0))
+        .cast("long").alias("n_late"),
+        F.coalesce(F.max("late_us"), F.lit(0)).cast("long").alias("max_lateness_us"),
     )
 
     def pctl(p):

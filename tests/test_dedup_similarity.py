@@ -548,3 +548,20 @@ def test_lexicon_hits_word_boundaries(spark):
 
     r4 = out[4]
     assert r4.violence_hits == 3 and r4.flagged
+
+
+def test_lexicon_hits_explicit_empty_lexicon(spark):
+    """ADVICE r3: an explicitly passed empty lexicon scores nothing (it must
+    NOT fall back to the built-in lists, and must not crash)."""
+    from feature_extractor_mbo_lob_spark.functions.text import lexicon_hits
+
+    df = spark.createDataFrame(
+        [(1, "damn this kill list"), (2, "clean text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lexicon_hits(df, lexicon={}).collect()}
+    assert all(r.any_hits == 0 and not r.flagged for r in out.values())
+    assert out[1].n_words == 4
+    # None still means the default lexicon
+    dflt = {r.doc_id: r for r in lexicon_hits(df, lexicon=None).collect()}
+    assert dflt[1].any_hits > 0

@@ -142,3 +142,19 @@ def test_hits_int_matches_integer_naive(spark):
 def test_hits_int_empty_graph(spark):
     df = spark.createDataFrame([], "src string, dst string, w long")
     assert graph.hits_int(df).collect() == []
+
+
+def test_hits_int_huge_weights_no_int64_wrap(spark):
+    """ADVICE r3: raw hub/authority mass must be summed in decimal(38,0) —
+    with edge weights ~1e13 and scores up to 1e6 the int64 sum wraps
+    (non-ANSI) and silently diverges from the arbitrary-precision naive."""
+    edges = [
+        ("h1", "a1", 10**13), ("h2", "a1", 10**13), ("h3", "a1", 10**13),
+        ("h1", "a2", 7), ("a2", "a3", 1),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    out = {r.node: (r.hub_micro, r.auth_micro)
+           for r in graph.hits_int(df, iterations=2).collect()}
+    h, a = _hits_naive(edges, iterations=2)
+    assert out == {v: (h[v], a[v]) for v in h}
+    assert all(v[0] >= 0 and v[1] >= 0 for v in out.values())

@@ -202,3 +202,16 @@ def test_clustering_depth_hand_cases(spark):
     rows = [(i, float(i * 10), float(i * 10 + 5)) for i in range(6)]
     df = spark.createDataFrame(rows, "file_id long, min_v double, max_v double")
     assert all(r.overlap_depth == 0 for r in clustering_depth(df).collect())
+
+
+def test_clustering_depth_string_file_ids(spark):
+    """ADVICE r3: string/uuid file ids must survive (the old long cast made
+    the self-join match nothing -> silent empty frame)."""
+    from feature_extractor_mbo_lob_spark.operators.layout import clustering_depth
+
+    rows = [("f-a", 0.0, 10.0), ("f-b", 5.0, 15.0), ("f-c", 15.0, 20.0),
+            ("f-d", 100.0, 110.0), ("f-e", 0.0, 200.0)]
+    df = spark.createDataFrame(rows, "file_id string, min_v double, max_v double")
+    out = {r.file_id: r.overlap_depth for r in clustering_depth(df).collect()}
+    assert out == {"f-a": 2, "f-b": 3, "f-c": 2, "f-d": 1, "f-e": 4}
+    assert dict(clustering_depth(df).dtypes)["file_id"] == "string"

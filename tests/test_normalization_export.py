@@ -454,3 +454,17 @@ def test_lateness_audit_engineered_disorder(spark):
     ordered = spark.createDataFrame(rows[5:], schema=TRANSCRIPT_SCHEMA)
     z = val.lateness_audit(ordered, PipelineConfig()).collect()[0]
     assert (z.n_late, z.max_lateness_us, z.p99_lateness_us) == (0, 0, 0)
+
+
+def test_lateness_audit_empty_input_one_row(spark):
+    """ADVICE r3: an empty corpus still returns the documented single row
+    (all zeros) — the NULL n_late used to drop both union branches."""
+    from feature_extractor_mbo_lob_spark.config import PipelineConfig
+    from feature_extractor_mbo_lob_spark.sources import TRANSCRIPT_SCHEMA
+
+    df = spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
+    rows = val.lateness_audit(df, PipelineConfig()).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_events, r.n_late, r.max_lateness_us) == (0, 0, 0)
+    assert (r.p50_lateness_us, r.p99_lateness_us, r.suggested_watermark_us) == (0, 0, 0)

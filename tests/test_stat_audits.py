@@ -582,3 +582,40 @@ def test_krippendorff_alpha_binary_hand_computed(spark):
     ).collect()[0]
     # n=4, P0=P1=2, o_num=2e6; alpha = 1e6 - 3*2e6 div 4 = -500000
     assert r.alpha_ppm == -500_000
+
+
+def test_diff_in_differences_cutover_ts_multi_month(spark):
+    """ADVICE r3: dayofmonth-only cutover misclassifies multi-month panels
+    (every month's days >= 16 would land 'post'); cutover_ts splits on the
+    full timestamp."""
+    import datetime as _dt
+    import hashlib
+
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        diff_in_differences,
+    )
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:7], 16) % 2
+
+    rows = []
+    for u in range(40):
+        # pre period spans TWO months (Jan 20 would break dayofmonth>=16);
+        # cutover is Feb 15, post carries the 5.00 arm-B lift
+        rows.append((u, _dt.datetime(2024, 1, 20), 10.0))
+        rows.append((u, _dt.datetime(2024, 2, 20),
+                     10.0 + (5.0 if arm(u) == 1 else 0.0)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = diff_in_differences(
+        ev, "user_id", cutover_ts="2024-02-15 00:00:00"
+    ).collect()[0]
+
+    nb = sum(1 for u in range(40) if arm(u) == 1)
+    na = 40 - nb
+    assert (r.n_a_pre, r.n_a_post, r.n_b_pre, r.n_b_post) == (na, na, nb, nb)
+    assert r.did_micro == 500 * 1_000_000
+
+    # the dayofmonth path on the same data is the documented failure mode:
+    # BOTH rows (day 20 >= 16) land post -> no pre cells at all
+    bad = diff_in_differences(ev, "user_id", cutover_day=16).collect()[0]
+    assert bad.n_a_pre == 0 and bad.n_b_pre == 0
