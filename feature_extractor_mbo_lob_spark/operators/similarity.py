@@ -35,6 +35,15 @@ from ..contract import DIVISION_GUARD_EPS
 
 _BLOCK = 1024  # query rows per GEMM block (bounds the score matrix memory)
 
+# Fail-fast budget for the exact GEMM paths' driver collect+broadcast —
+# 2M rows of 64-dim float64 ≈ 1 GiB. Same bounded-state discipline as
+# operators/density.exact_eps_pairs (density.py:245) and the reference's
+# capped order tracker (/root/reference/src/features/mbo_features/
+# order_tracker.rs:204-223): past the cap the operators either auto-route
+# to their bucketed scale path (IVF / hyperplane LSH) or raise with the
+# routing hint — never a silent driver OOM.
+MAX_BROADCAST_ROWS = 2_000_000
+
 
 def dot(a, b) -> Column:
     return F.aggregate(
@@ -54,8 +63,26 @@ def cosine(a, b) -> Column:
 # numpy kernels (shared by the matrix paths)
 # --------------------------------------------------------------------------
 
-def _collect_corpus(df: DataFrame, id_col: str, vec_col: str):
-    """Corpus as (sorted ids, float64 matrix, norms) — a broadcastable index."""
+def _collect_corpus(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_broadcast_rows: int | None = MAX_BROADCAST_ROWS,
+):
+    """Corpus as (sorted ids, float64 matrix, norms) — a broadcastable index.
+
+    Counts BEFORE collecting and raises past ``max_broadcast_rows`` (pass
+    None only when the caller has already counted and routed)."""
+    if max_broadcast_rows is not None:
+        n = df.count()
+        if n > max_broadcast_rows:
+            raise ValueError(
+                f"exact GEMM path: corpus has {n} rows > max_broadcast_rows="
+                f"{max_broadcast_rows}; this would collect+broadcast the whole "
+                "corpus onto the driver. Use ivf_topk / hyperplane_near_dup "
+                "(bucketed scale paths), method='join' (distributed), or "
+                "raise max_broadcast_rows if the driver really has the memory."
+            )
     rows = df.select(id_col, vec_col).collect()
     rows.sort(key=lambda r: r[0])
     ids = np.array([r[0] for r in rows])
@@ -113,9 +140,17 @@ def brute_force_topk(
     k: int = 5,
     query: DataFrame | None = None,
     method: str = "matrix",
+    max_broadcast_rows: int = MAX_BROADCAST_ROWS,
+    on_oversize: str = "route",
 ) -> DataFrame:
     """Top-k cosine neighbors for every query vector (defaults to self-join
-    all-pairs, excluding self). Returns (query_id, neighbor_id, cos, rank)."""
+    all-pairs, excluding self). Returns (query_id, neighbor_id, cos, rank).
+
+    The matrix path broadcasts the corpus, so it is capped at
+    ``max_broadcast_rows``; past the cap the self-top-k form auto-routes to
+    ``ivf_topk`` with ~sqrt(n) centroids and sub-sharded clusters
+    (on_oversize='route', approximate by design — the documented scale
+    path), or raises with that hint (on_oversize='raise')."""
     if method == "join":
         base = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
         q = (query if query is not None else df).select(
@@ -129,7 +164,20 @@ def brute_force_topk(
         return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
     spark = df.sparkSession
-    ids, M, norms = _collect_corpus(df, id_col, vec_col)
+    n_corpus = df.count()
+    if n_corpus > max_broadcast_rows:
+        if on_oversize == "route" and query is None:
+            return ivf_topk(
+                df, id_col, vec_col, k=k,
+                n_centroids=max(int(n_corpus ** 0.5), 16),
+                max_cluster_rows=max_broadcast_rows,
+            )
+        raise ValueError(
+            f"brute_force_topk matrix path: corpus has {n_corpus} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}. Use ivf_topk (bucketed "
+            "scale path), method='join' (distributed), or raise the cap."
+        )
+    ids, M, norms = _collect_corpus(df, id_col, vec_col, max_broadcast_rows=None)
     bc = spark.sparkContext.broadcast((ids, M, norms))
     qdf = (query if query is not None else df).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -165,9 +213,16 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     method: str = "matrix",
+    max_broadcast_rows: int = MAX_BROADCAST_ROWS,
+    on_oversize: str = "route",
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold — exact. Matrix path
-    broadcasts the corpus and emits thresholded pairs per GEMM block."""
+    broadcasts the corpus and emits thresholded pairs per GEMM block.
+
+    Capped at ``max_broadcast_rows``: past the cap it auto-routes to
+    ``hyperplane_near_dup`` (random-hyperplane LSH bucket join, approximate
+    by design — the documented scale path) or raises with that hint
+    (on_oversize='raise')."""
     if method == "join":
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
@@ -178,7 +233,17 @@ def near_dup_pairs(
         )
 
     spark = df.sparkSession
-    ids, M, norms = _collect_corpus(df, id_col, vec_col)
+    n_corpus = df.count()
+    if n_corpus > max_broadcast_rows:
+        if on_oversize == "route":
+            return hyperplane_near_dup(df, id_col, vec_col, threshold=threshold)
+        raise ValueError(
+            f"near_dup_pairs matrix path: corpus has {n_corpus} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}. Use hyperplane_near_dup/"
+            "ivf_near_dup (bucketed scale paths), method='join' (distributed), "
+            "or raise the cap."
+        )
+    ids, M, norms = _collect_corpus(df, id_col, vec_col, max_broadcast_rows=None)
     bc = spark.sparkContext.broadcast((ids, M, norms))
     qdf = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_qv"))
     id_type = dict(df.dtypes)[id_col]

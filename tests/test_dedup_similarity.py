@@ -565,3 +565,58 @@ def test_lexicon_hits_explicit_empty_lexicon(spark):
     # None still means the default lexicon
     dflt = {r.doc_id: r for r in lexicon_hits(df, lexicon=None).collect()}
     assert dflt[1].any_hits > 0
+
+
+def test_collect_corpus_fail_fast_cap(vecs):
+    """VERDICT r3 #1: the GEMM broadcast paths fail fast past the broadcast
+    budget instead of silently collecting the corpus onto the driver."""
+    import pytest
+
+    from feature_extractor_mbo_lob_spark.operators.similarity import (
+        _collect_corpus,
+    )
+
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        _collect_corpus(vecs, "vec_id", "embedding", max_broadcast_rows=3)
+    ids, M, norms = _collect_corpus(
+        vecs, "vec_id", "embedding", max_broadcast_rows=5
+    )
+    assert len(ids) == 5 and M.shape == (5, 3)
+
+    with pytest.raises(ValueError, match="ivf_topk"):
+        similarity.brute_force_topk(
+            vecs, k=1, max_broadcast_rows=3, on_oversize="raise"
+        )
+    with pytest.raises(ValueError, match="hyperplane_near_dup"):
+        similarity.near_dup_pairs(
+            vecs, threshold=0.3, max_broadcast_rows=3, on_oversize="raise"
+        )
+
+
+def test_brute_force_topk_auto_routes_to_ivf_past_cap(vecs):
+    """Oversized corpus: the entrypoint auto-routes to the IVF bucketed
+    path (cluster-capped) rather than broadcasting — results match the
+    direct ivf_topk call with the same routing parameters."""
+    routed = similarity.brute_force_topk(vecs, k=1, max_broadcast_rows=3)
+    direct = similarity.ivf_topk(
+        vecs, k=1, n_centroids=16, max_cluster_rows=3
+    )
+    assert routed.columns == ["query_id", "neighbor_id", "cos", "rank"]
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(tuple, routed.collect()), key=lambda t: t[:2]) == \
+        sorted(map(tuple, direct.collect()), key=lambda t: t[:2])
+    # a query+corpus form cannot re-route (ivf_topk is self-join only)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        similarity.brute_force_topk(
+            vecs, k=1, query=vecs.limit(2), max_broadcast_rows=3
+        ).collect()
+
+
+def test_near_dup_pairs_auto_routes_to_lsh_past_cap(vecs):
+    routed = similarity.near_dup_pairs(vecs, threshold=0.3, max_broadcast_rows=3)
+    direct = similarity.hyperplane_near_dup(vecs, threshold=0.3)
+    assert routed.columns == ["id_a", "id_b", "cos"]
+    assert sorted(map(tuple, routed.collect())) == \
+        sorted(map(tuple, direct.collect()))
