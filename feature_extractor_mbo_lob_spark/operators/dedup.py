@@ -148,10 +148,29 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: docs sharing any band
     key (md5 of the band's signature slice) are candidates. Returns distinct
-    (id_a < id_b) candidate pairs with the number of matching bands."""
+    (id_a < id_b) candidate pairs with the number of matching bands.
+
+    ``max_band_size`` is the hot-band cap (VERDICT r3 #2) — without it a
+    corpus with m identical/near-identical documents (the normal case that
+    motivates dedup!) lands all m in one band bucket and the self-join
+    explodes to m^2 candidate pairs in ONE task. The capped form is a
+    two-tier plan, deterministic and oracle-mirrorable:
+
+      1. exact-bucket star collapse: documents whose FULL band vector is
+         identical (m^2-pair groups in the naive join) are grouped; each
+         group emits only the O(m) star edges (min-id representative ->
+         member, n_bands = bands, the exact count the naive join would
+         give every intra-group pair). Connectivity (what dedup clustering
+         consumes) is preserved; the m^2 blowup is gone.
+      2. banded join over REPRESENTATIVES only (identical band vectors are
+         redundant in an equi-join), with residual band buckets larger
+         than max_band_size dropped entirely — the same lossy hot-key
+         discipline as ngram_jaccard_pairs' max_doc_freq.
+    """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
     band_cols = []
@@ -159,21 +178,59 @@ def minhash_lsh_pairs(
         parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
         band_cols.append(F.md5(F.concat_ws("#", *parts)).alias(f"band_{b}"))
     banded = sigs.select("id", *band_cols)
-    melted = banded.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(bands)
-            ])
-        ).alias("band_key"),
+
+    def melt(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "id",
+            F.explode(
+                F.array(*[
+                    F.concat(F.lit(f"{b}:"), F.col(f"band_{b}"))
+                    for b in range(bands)
+                ])
+            ).alias("band_key"),
+        )
+
+    if max_band_size is None:
+        melted = melt(banded)
+        a, b_ = melted.alias("a"), melted.alias("b")
+        return (
+            a.join(b_, on="band_key")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_bands"))
+        )
+
+    # tier 1: star-collapse identical band vectors (digest-sized shuffle)
+    gkey = F.md5(F.concat_ws("#", *[F.col(f"band_{b}") for b in range(bands)]))
+    keyed = banded.withColumn("_g", gkey)
+    reps = keyed.groupBy("_g").agg(F.min("id").alias("_rep"))
+    with_rep = keyed.join(reps, "_g")
+    star = with_rep.filter(F.col("id") != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.lit(bands).cast("long").alias("n_bands"),
     )
+    # tier 2: banded join over representatives, hot bands dropped
+    melted = melt(
+        with_rep.filter(F.col("id") == F.col("_rep")).select("id", *[
+            f"band_{b}" for b in range(bands)
+        ])
+    )
+    hot = (
+        melted.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_band_size)
+        .select("band_key")
+    )
+    melted = melted.join(F.broadcast(hot), on="band_key", how="left_anti")
     a, b_ = melted.alias("a"), melted.alias("b")
-    return (
+    pairs = (
         a.join(b_, on="band_key")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
     )
+    return pairs.unionByName(star)
 
 
 def _nibble_lane_lut(half: int) -> list[int]:

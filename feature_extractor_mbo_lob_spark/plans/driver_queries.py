@@ -13448,6 +13448,76 @@ QUERIES["bleu_pairs"] = q_bleu_pairs
 ORACLES["bleu_pairs"] = _bleu_pairs_oracle()
 
 
+def q_minhash_lsh_capped(spark, sf_dir):
+    """Hot-band-capped MinHash LSH (operators/dedup.minhash_lsh_pairs with
+    max_band_size — VERDICT r3 #2): identical-band-vector groups collapse
+    to O(m) star edges (min-id rep -> member, n_bands = bands) instead of
+    the m^2 self-join blowup, the banded equi-join runs over representatives
+    only, and residual band buckets larger than the cap are dropped (same
+    lossy hot-key discipline as ngram_jaccard's max_doc_freq). The oracle
+    applies the identical two-tier algebra in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.minhash_lsh_pairs(
+        docs, k=3, num_hashes=16, bands=4, max_band_size=4
+    )
+    return out.select("id_a", "id_b", F.col("n_bands").cast("long").alias("n_bands"))
+
+
+def _minhash_lsh_capped_oracle(
+    num_hashes: int = 16, bands: int = 4, cap: int = 4
+) -> str:
+    rows = num_hashes // bands
+    sigs = ",\n    ".join(
+        f"min(md5('{s}|' || shingle)) as sig_{s}" for s in range(num_hashes)
+    )
+    band_keys = ",\n    ".join(
+        f"'{b}:' || md5(" + " || '#' || ".join(
+            f"sig_{b * rows + r}" for r in range(rows)
+        ) + f") as band_{b}"
+        for b in range(bands)
+    )
+    gkey = " || '#' || ".join(f"band_{b}" for b in range(bands))
+    unnest = ", ".join(f"band_{b}" for b in range(bands))
+    return f"""
+with {_SHINGLE_SQL},
+sigs as (
+  select doc_id as id,
+    {sigs}
+  from shingled group by doc_id
+),
+banded as (
+  select id,
+    {band_keys}
+  from sigs
+),
+g as (select *, md5({gkey}) as gkey from banded),
+reps as (select gkey, min(id) as rep from g group by 1),
+withrep as (select g.*, reps.rep from g join reps using (gkey)),
+star as (
+  select rep as id_a, id as id_b, cast({bands} as bigint) as n_bands
+  from withrep where id <> rep
+),
+melted as (
+  select id, unnest([{unnest}]) as band_key from withrep where id = rep
+),
+sizes as (select band_key, count(*) as n from melted group by 1),
+kept as (
+  select m.id, m.band_key from melted m join sizes using (band_key)
+  where n <= {cap}
+),
+pairs as (
+  select a.id as id_a, b.id as id_b, cast(count(*) as bigint) as n_bands
+  from kept a join kept b using (band_key)
+  where a.id < b.id group by 1, 2
+)
+select * from pairs union all select * from star
+"""
+
+
+QUERIES["minhash_lsh_capped"] = q_minhash_lsh_capped
+ORACLES["minhash_lsh_capped"] = _minhash_lsh_capped_oracle()
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

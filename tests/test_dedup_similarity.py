@@ -620,3 +620,40 @@ def test_near_dup_pairs_auto_routes_to_lsh_past_cap(vecs):
     assert routed.columns == ["id_a", "id_b", "cos"]
     assert sorted(map(tuple, routed.collect())) == \
         sorted(map(tuple, direct.collect()))
+
+
+def test_minhash_lsh_capped_skew_10k_identical_docs(spark):
+    """VERDICT r3 #2: 10K identical documents put all 10K in one band
+    bucket — the naive join would build ~5e7 pairs in one task. The capped
+    form emits the O(m) star instead and still finishes fast."""
+    import time
+
+    n_dup = 10_000
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(n_dup)]
+    rows += [(100_000 + i, f"unique document number {i} about topic {i * 7}")
+             for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    t0 = time.time()
+    out = dedup.minhash_lsh_pairs(df, k=3, num_hashes=16, bands=4,
+                                  max_band_size=64)
+    stars = out.filter(F.col("id_a") == 0)
+    n_star = stars.count()
+    wall = time.time() - t0
+    # the dup group collapses to exactly n-1 star edges from the min id
+    assert n_star == n_dup - 1
+    assert out.filter((F.col("id_a") < 100_000) & (F.col("id_b") < 100_000)
+                      & (F.col("id_a") != 0)).count() == 0
+    assert wall < 120, f"hot-band skew straggler: {wall:.1f}s"
+
+
+def test_minhash_lsh_capped_preserves_clusters(docs):
+    """Star collapse + rep-only banding preserve connected components: any
+    doc sharing a band with a collapsed member shares it with the rep too."""
+    uncapped = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4)
+    capped = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4,
+                                     max_band_size=1_000_000)
+    cu = {r.id: r.cluster_id
+          for r in dedup.connected_components(uncapped).collect()}
+    cc = {r.id: r.cluster_id
+          for r in dedup.connected_components(capped).collect()}
+    assert cu == cc
