@@ -5421,54 +5421,36 @@ ORACLES["asof_join_range"] = O_ASOF_JOIN
 
 
 # --- registry ordering -------------------------------------------------------------
-# The external correctness gate certifies the FIRST 50 registry entries (round-2
-# driver window). Put the load-bearing set there: the flagship point-in-time /
-# as-of / windowed feature family plus the LLM-data-pipeline operators a 100-TB
-# user actually runs (dedup clustering+apply, MinHash/SimHash LSH, IVF ANN,
-# k-means, Gopher filter, contamination, packing, sampling, sessionization,
-# as-of variants). The remaining entries keep their original relative order and
-# stay covered by tools/check_oracle.py full sweeps (BASELINE.md).
+# The external correctness gate certifies the FIRST ~50 registry entries each
+# round; the window is ROTATED every round so driver certification accumulates
+# across the whole registry. The remaining entries keep their original relative
+# order and stay covered by tools/check_oracle.py full sweeps (BASELINE.md).
 
 _CERTIFIED_FIRST = [
-    # flagship feature engine
-    "state_cumulative", "rolling_window", "session_stats",
-    "event_sampler_interval", "volume_sampler", "tlob_labels",
-    "asof_join", "ffill_impute", "lifecycle_pit", "triple_barrier",
-    "multi_horizon_labels", "lifecycle_episodes", "episode_stats",
-    "validation_audit", "sequence_label_align", "export_normalize",
-    "train_val_test_split", "zscore_cumulative", "volatility",
-    "flow_volatility",
-    # LLM data pipeline.  minhash_signatures (a sub-step of the certified
-    # minhash_lsh_pairs path) and stratified_sample / group_hash_split
-    # (md5-bucket mechanics already certified via train_val_test_split +
-    # curation_pipeline) ceded their slots to the rollout-curation family
-    # (prefix forks / SFT pairs / DPO pairs) — all three displaced queries
-    # stay green in the full check_oracle sweeps.
-    "dedup_exact", "dedup_clusters", "dedup_apply",
-    "prefix_forks", "minhash_lsh_pairs", "simhash_candidates",
-    "ngram_jaccard_capped", "dedup_lines", "embedding_topk", "ivf_topk",
-    "embedding_near_dup_lsh", "kmeans_clusters", "gopher_filter",
-    "contamination", "pack_token_stream",
-    "sft_pairs", "curation_pipeline",
-    "lang_id", "text_quality",
-    # range join + dialog normalization.  merge_turns is THE
-    # transcripts-native cleanup op (consecutive same-role runs -> one
-    # merged turn) — it takes record_linkage's slot; Fellegi-Sunter
-    # linkage stays green in the full sweep and blocked-join mechanics
-    # remain certified via interval_point_join + sorted-neighborhood tests.
-    "interval_point_join", "merge_turns",
-    # streaming / as-of variants / windows.  pit_training_set is the
-    # north-rule feature-store assembly (multi-timeline backward as-of with
-    # per-timeline staleness TTLs) — it certifies asof tolerance mechanics,
-    # so the displaced asof_join_tolerance stays green in the full sweep.
-    "streaming_sessions", "streaming_state", "asof_join_nearest",
-    "pit_training_set", "ewma", "time_windows", "dpo_pairs",
-    # dup_weights is the soft-dedup production form (loss weight = 1e6
-    # div near-dup cluster size — keep every member, one document's worth
-    # of gradient per cluster); it takes rolling_rank's slot, whose
-    # trailing-percentile-rank mechanics stay green in the full sweep and
-    # whose window family remains certified via rolling_window + ewma.
-    "media_features", "dup_weights",
+    # Round-4 ROTATION (VERDICT r3 item 5): the driver certifies the first
+    # ~50 registry entries each round; rounds 1-3 certified 70 distinct
+    # queries, so this round's window keeps the flagship row 1 and fills
+    # the rest with 49 never-driver-certified entries (in their original
+    # registry order, plus the new minhash_lsh_capped) — turning the
+    # builder's self-administered 3-SF sweep into driver certification
+    # over time. Everything previously certified stays green in the full
+    # tools/check_oracle.py sweeps (BASELINE.md).
+    "state_cumulative",
+    "minhash_lsh_capped",
+    "ivf_topk_sharded", "seasonality", "embedding_near_dup_hp",
+    "asof_join_forward", "dedup_exact_hash", "multiscale_sequences",
+    "multi_horizon_quantile", "multi_horizon_dynamic", "deeplob_m2",
+    "opportunity_priorities", "time_regime", "zscore_global",
+    "repetition_metrics", "word_runs", "pii_redaction", "vocab_topk",
+    "tfidf_top_terms", "domain_counts", "hash_sample", "bfill_impute",
+    "streaming_dedup", "open_tool_queue", "institutional_rates",
+    "stratified_sample", "source_mix", "semantic_dedup_clusters",
+    "shipping_priority", "local_supplier_volume", "returned_items",
+    "unigram_logprob", "text_clusters", "promo_revenue", "bigram_logprob",
+    "lsh_recall", "asof_join_tolerance", "target_encoding", "lag_features",
+    "quantile_bins", "distinct_tools", "session_features",
+    "balance_classes", "winsorize", "rolling_corr", "source_rollup",
+    "role_pivot", "cusum_drift", "top_tools", "edit_distance_pairs",
 ]
 
 
