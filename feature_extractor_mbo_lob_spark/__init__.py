@@ -13,4 +13,5 @@ volume-sampler replay). See SURVEY.md for the full operator mapping.
 """
 
 from .config import LabelConfig, PipelineConfig  # noqa: F401
+from .presets import PRESETS, Preset, config_from_preset, get_preset  # noqa: F401
 from .session import get_spark  # noqa: F401

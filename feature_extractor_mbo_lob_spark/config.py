@@ -82,6 +82,18 @@ class PipelineConfig:
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "PipelineConfig":
         d = dict(d)
+        # named schema preset (reference: src/schema/presets.rs:13-64):
+        # `preset = "full"` in TOML/JSON seeds window/sequence/horizon
+        # fields from the validated preset registry; any explicit keys in
+        # the same document override the preset's values below.
+        preset_name = d.pop("preset", None)
+        if preset_name is not None:
+            from .presets import get_preset
+
+            base = get_preset(preset_name).build_config()
+            merged = dataclasses.asdict(base)
+            merged.update(d)
+            d = merged
         if "labels" in d and isinstance(d["labels"], dict):
             lab = dict(d["labels"])
             if "horizons" in lab:

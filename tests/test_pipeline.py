@@ -181,3 +181,17 @@ def test_purged_split_counts_and_order(spark, cfg, transcripts):
         assert splits[n - n_test:] == ["test"] * n_test
         assert splits[n - n_test - n_emb: n - n_test] == ["embargo"] * n_emb
         assert all(s == "train" for s in splits[: n - n_test - n_emb])
+
+
+def test_flagship_runs_from_named_preset(transcripts):
+    """VERDICT r3 item 6: the flagship pipeline runs from a named preset and
+    the produced frame satisfies the preset's validated width."""
+    from feature_extractor_mbo_lob_spark import config_from_preset, contract
+    from feature_extractor_mbo_lob_spark.plans import flagship_pipeline
+
+    cfg = config_from_preset("deeplob")
+    out = flagship_pipeline(transcripts, cfg)
+    contract.validate_feature_frame(out.columns, cfg.window_sizes)
+    feats = set(cfg.feature_columns())
+    assert len(feats) == 47 and feats <= set(out.columns)
+    assert out.count() > 0
