@@ -381,8 +381,57 @@ def textrank_turns(
     return pairs.groupBy("conv_id").applyInPandas(per_conv, schema)
 
 
+def _hits_int_local(edges: DataFrame, iterations: int, scale: int) -> DataFrame:
+    """Single-task HITS over a bounded aggregated edge list: all rows of
+    the (already size-checked) edge table flow through one mapInPandas
+    partition and the iteration runs in Python arbitrary-precision ints —
+    the exact hugeint/decimal(38,0) arithmetic of the distributed path
+    (same floor divisions, same greatest(tot, 1) guard), never a float."""
+    import pandas as pd
+
+    node_t = dict(edges.dtypes)["src"]
+    schema = f"node {node_t}, hub_micro long, auth_micro long"
+
+    def run(batches):
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        src = pdf["src"].tolist()
+        dst = pdf["dst"].tolist()
+        w = [int(x) for x in pdf["w"].tolist()]
+        nodes = sorted(set(src) | set(dst))
+        n = len(nodes)
+        init = scale // n
+        h = {v: init for v in nodes}
+        a = {v: init for v in nodes}
+        for _ in range(iterations):
+            raw = {}
+            for s, d, ww in zip(src, dst, w):
+                raw[d] = raw.get(d, 0) + ww * h[s]
+            tot = max(sum(raw.values()), 1)
+            a = {v: (raw.get(v, 0) * scale) // tot for v in nodes}
+            raw = {}
+            for s, d, ww in zip(src, dst, w):
+                raw[s] = raw.get(s, 0) + ww * a[d]
+            tot = max(sum(raw.values()), 1)
+            h = {v: (raw.get(v, 0) * scale) // tot for v in nodes}
+        yield pd.DataFrame(
+            {
+                "node": nodes,
+                "hub_micro": [h[v] for v in nodes],
+                "auth_micro": [a[v] for v in nodes],
+            }
+        )
+
+    return edges.coalesce(1).mapInPandas(run, schema)
+
+
 def hits_int(
-    edges: DataFrame, iterations: int = 3, scale: int = 1_000_000
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    max_local_edges: int = 200_000,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg, JACM 1999) in integer
     micro-units — the link-analysis complement to pagerank_int for
@@ -411,9 +460,20 @@ def hits_int(
     only linearly in iterations, and eager per-round materialization
     measurably hurts large node sets (turn-level graphs).
 
+    Bounded fast path: an aggregated edge list within ``max_local_edges``
+    (every bucket graph — O(buckets^2) rows by construction) runs the whole
+    iteration in ONE single-task mapInPandas stage using Python
+    arbitrary-precision integers, which implement the hugeint contract
+    exactly; 3 iterations over a 256-row bucket graph otherwise cost ~20
+    fixed-overhead shuffle stages. Past the cap the generic distributed
+    join loop below runs unchanged (turn-level / web-scale graphs).
+
     Returns ``DataFrame[node, hub_micro: long, auth_micro: long]``.
     """
     edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    if n_edges <= max_local_edges:
+        return _hits_int_local(edges, iterations, scale)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

@@ -158,3 +158,20 @@ def test_hits_int_huge_weights_no_int64_wrap(spark):
     h, a = _hits_naive(edges, iterations=2)
     assert out == {v: (h[v], a[v]) for v in h}
     assert all(v[0] >= 0 and v[1] >= 0 for v in out.values())
+
+
+def test_hits_int_distributed_path_matches_local(spark):
+    """The bounded single-task fast path and the generic distributed join
+    loop are the same arithmetic: forcing the distributed path
+    (max_local_edges=0) reproduces the local path bit-for-bit."""
+    edges = [
+        ("h1", "a1", 1), ("h1", "a2", 2), ("h2", "a1", 3),
+        ("a1", "a2", 1), ("a2", "h1", 5),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    local = {r.node: (r.hub_micro, r.auth_micro)
+             for r in graph.hits_int(df, iterations=3).collect()}
+    dist = {r.node: (r.hub_micro, r.auth_micro)
+            for r in graph.hits_int(df, iterations=3,
+                                    max_local_edges=0).collect()}
+    assert local == dist
