@@ -149,6 +149,53 @@ def hash_sample(
     return df.filter(md5_bucket(id_col, buckets) < int(frac * buckets))
 
 
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    group_col: str | None = "source",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Deterministic weighted bottom-k sample per group: probability-
+    proportional-to-size order sampling (Sunter 1977 / sequential Poisson,
+    Ohlsson 1998) with an integer priority key
+
+        priority = (md5_int(id) * scale) div max(weight, 1)
+
+    so heavier rows get systematically smaller keys and the k smallest
+    keys per group form the sample. Stateless and engine-reproducible —
+    the same md5-derived uniform the hash_sample family uses (never
+    rand(seed), whose stream is engine/partition specific), and the
+    floor-division is exact int64 (md5 7-hex prefix < 2^28, scale 1e6 ->
+    product < 2^48).
+
+    Ties (identical priority) break on the id itself, making the sample a
+    total function of the data. One shuffle: the per-group window. At
+    100 TB the window partitions by group (sources are O(100s)), so for
+    very few groups pre-aggregation salting applies; the registered query
+    uses per-source groups which bound partition width at corpus/sources.
+    """
+    from pyspark.sql.window import Window
+
+    priority = F.expr(
+        f"(cast(conv(substring(md5(cast({id_col} as string)), 1, 7), 16, 10)"
+        f" as bigint) * {int(scale)})"
+        f" div greatest(cast({weight_col} as bigint), 1)"
+    )
+    groups = [group_col] if group_col else []
+    win = Window.partitionBy(*groups).orderBy(
+        F.col("_priority"), F.col(id_col)
+    )
+    out = (
+        df.withColumn("_priority", priority.cast("long"))
+        .withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= int(k))
+        .drop("_rk")
+    )
+    return out.withColumnRenamed("_priority", "priority_fp")
+
+
 def pack_token_stream(
     df: DataFrame,
     budget: int = 512,

@@ -544,3 +544,64 @@ def hits_int(
             F.col("a").alias("auth_micro"),
         )
     )
+
+
+def link_prediction_scores(
+    df: DataFrame,
+    node_col: str = "tool",
+    ctx_col: str = "conv_id",
+    scale: int = 10**6,
+    max_ctx_degree: int = 64,
+) -> DataFrame:
+    """Bipartite link-prediction scores between ``node_col`` values that
+    co-occur in the same ``ctx_col`` context: common-neighbor count plus
+    the Resource-Allocation index (Zhou, Lu & Zhang 2009) — the standard
+    pair of local similarity predictors. RA down-weights promiscuous
+    contexts: RA(a,b) = sum over shared contexts of 1/deg(ctx).
+
+    The reference's institutional co-occurrence analytics stop at
+    per-window counts (src/features/experimental/institutional_v2.rs:49-61);
+    this is the pairwise-graph extension a recommendation/routing layer
+    needs ("which tools predict each other").
+
+    Engine-exactness: RA terms are FIXED-POINT integers ``scale div deg``
+    (deg <= max_ctx_degree so the per-term error is the documented
+    quantization, and sums are exact int64 — a pair would need ~9e12
+    shared contexts to wrap).
+
+    Scale shape: contexts are deduped to (ctx, node) once, context degree
+    rides along from a groupBy of the SAME deduped relation, and contexts
+    above ``max_ctx_degree`` distinct nodes are dropped BEFORE the
+    within-context pair expansion (the TextRank stopword-cap lesson:
+    quadratic fan-out must be bounded by construction, and the oracle
+    mirrors the cap). Pair fan-out is therefore <= max_ctx_degree^2 per
+    context; the joins shuffle on the context key, the final aggregate on
+    the (a, b) pair.
+    """
+    nodes = (
+        df.where(F.col(node_col).isNotNull())
+        .select(F.col(ctx_col).alias("_ctx"), F.col(node_col).alias("_node"))
+        .distinct()
+    )
+    deg = nodes.groupBy("_ctx").agg(F.count(F.lit(1)).alias("_deg"))
+    bounded = nodes.join(
+        deg.where((F.col("_deg") >= 2) & (F.col("_deg") <= int(max_ctx_degree))),
+        "_ctx",
+    )
+    a, b = bounded.alias("la"), bounded.alias("lb")
+    pairs = a.join(
+        b,
+        (F.col("la._ctx") == F.col("lb._ctx"))
+        & (F.col("la._node") < F.col("lb._node")),
+    ).select(
+        F.col("la._node").alias("node_a"),
+        F.col("lb._node").alias("node_b"),
+        F.expr(f"cast({int(scale)} as bigint) div la._deg").alias("_ra_fp"),
+    )
+    return (
+        pairs.groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_ctx"),
+            F.sum("_ra_fp").cast("long").alias("ra_fp"),
+        )
+    )

@@ -890,3 +890,72 @@ def krippendorff_alpha_binary(
         f" div (cast((n - p1) as decimal(38,0)) * p1) as bigint) end"
     )
     return agg.select("n_units", "n", "p1", "o_num", alpha.alias("alpha_ppm"))
+
+
+def seasonal_decompose_int(
+    counts: DataFrame,
+    idx_col: str = "hr",
+    y_col: str = "y",
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method behind statsmodels ``seasonal_decompose``) in EXACT integer
+    arithmetic, for an even ``period``.
+
+    Input: one row per observed index (``idx_col`` integer, e.g. hours
+    since epoch) with an integer measure ``y_col``. The series is
+    densified first — missing indices between the global min and max
+    participate as zeros, so the centered windows see the true calendar
+    spacing, not the observation gaps.
+
+    The standard 2x`period` centered MA at index t is
+        ( y[t-p/2]/2 + sum(y[t-p/2+1 .. t+p/2-1]) + y[t+p/2]/2 ) / period.
+    Multiplying by 2*period clears both denominators:
+        trend_2p = 2 * sum(y[t-p/2 .. t+p/2]) - y[t-p/2] - y[t+p/2]
+    which is an exact int64. The detrended value scales the observation
+    by the same factor, detr_2p = 2*period*y - trend_2p, and the seasonal
+    index per phase is reported as its exact integer sufficient
+    statistics (sum + count) — the round-2 lesson: never ship a float
+    division across engines when the integers suffice.
+
+    Scale shape: ONE groupBy collapses the raw table to at most
+    (max-min+1) index rows — a decade of hours is <90K rows — and every
+    window here runs over that collapsed aggregate (the km_risk_table
+    precedent), so the unpartitioned orderBy window is bounded by the
+    calendar, not the data volume. Final output: ``period`` rows.
+    """
+    half = period // 2
+    agg = counts.groupBy(F.col(idx_col).cast("long").alias("_i")).agg(
+        F.sum(F.col(y_col).cast("long")).alias("_y")
+    )
+    rng = agg.agg(
+        F.min("_i").alias("_lo"), F.max("_i").alias("_hi")
+    )
+    dense = (
+        rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_i"))
+        .join(agg, "_i", "left")
+        .select("_i", F.coalesce("_y", F.lit(0)).alias("_y"))
+    )
+    from pyspark.sql.window import Window
+
+    w_sum = Window.orderBy("_i").rowsBetween(-half, half)
+    w = Window.orderBy("_i")
+    trend = (
+        F.lit(2) * F.sum("_y").over(w_sum)
+        - F.lag("_y", half).over(w)
+        - F.lead("_y", half).over(w)
+    )
+    d = dense.select(
+        "_i",
+        "_y",
+        trend.alias("_trend_2p"),
+    ).where(F.col("_trend_2p").isNotNull())
+    detr = F.lit(2 * period) * F.col("_y") - F.col("_trend_2p")
+    return (
+        d.select(F.pmod(F.col("_i"), F.lit(period)).alias("phase"), detr.alias("_d"))
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum("_d").cast("long").alias("seasonal_sum_2p"),
+        )
+    )

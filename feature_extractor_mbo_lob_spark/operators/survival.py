@@ -105,3 +105,57 @@ def episode_durations(
         dur_bucket.alias("dur_s"),
         F.col("completed").cast("long").alias("event"),
     )
+
+
+def nelson_aalen_table(
+    risk_table: DataFrame,
+    scale: int = 10**9,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard table from a KM risk table
+    (``km_risk_table`` output): per event time t the hazard increment is
+    d/n, and H(t) = sum of increments over event times <= t. The reference
+    only reports mean/percentile fill latencies over completed episodes
+    (src/features/lifecycle_features.rs:29-80); the NA estimator is the
+    censoring-correct cumulative-risk counterpart, standard alongside
+    Kaplan-Meier (Aalen 1978; lifelines ``NelsonAalenFitter``).
+
+    Engine-exactness: hazard increments are FIXED-POINT integers —
+    ``(d * scale) div n`` computed in decimal(38,0) so the product can
+    never wrap int64 (the HITS round-4 lesson: widen BEFORE the
+    arithmetic, not after), matching DuckDB's hugeint ``//`` bit for bit.
+    ``h_cum_fp`` is the running sum of increments (ascending t), and
+    ``var_cum_fp`` the same for the Poisson variance proxy
+    ``(d * scale) div (n * n)``. All outputs int64; true H(t) =
+    h_cum_fp / scale recoverable exactly by any consumer.
+
+    Scale shape: input is the already-collapsed risk table (<= distinct
+    durations rows), so the two windows here run over a tiny aggregate —
+    no row-level shuffle is added on top of km_risk_table's single one.
+    """
+    groups = group_cols or []
+    inc = F.expr(f"cast(d_events as decimal(38,0)) * {int(scale)} div n_risk")
+    var_inc = F.expr(
+        f"cast(d_events as decimal(38,0)) * {int(scale)}"
+        " div (cast(n_risk as decimal(38,0)) * n_risk)"
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("t_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return risk_table.select(
+        *groups,
+        "t_s",
+        "n_risk",
+        "d_events",
+        inc.cast("long").alias("h_inc_fp"),
+        var_inc.cast("long").alias("var_inc_fp"),
+    ).select(
+        *groups,
+        "t_s",
+        "n_risk",
+        "d_events",
+        F.sum("h_inc_fp").over(w).alias("h_cum_fp"),
+        F.sum("var_inc_fp").over(w).alias("var_cum_fp"),
+    )

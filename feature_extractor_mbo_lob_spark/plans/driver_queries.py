@@ -2890,6 +2890,41 @@ select doc_id, n_chars from v where bucket < 2500
 """
 
 
+def q_priority_sample(spark, sf_dir):
+    """Weighted PPS order sample (Sunter/sequential-Poisson, integer
+    priorities): per source, the k documents with the smallest
+    ``md5_uniform * scale div weight`` keys (functions/corpus.py
+    priority_sample). Deterministic, engine-reproducible, one window
+    shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.priority_sample(
+        docs, k=50, weight_col="n_chars", id_col="doc_id", group_col="source"
+    )
+    return out.select("doc_id", "source", "n_chars", "priority_fp")
+
+
+O_PRIORITY_SAMPLE = f"""
+with h as (
+  select doc_id, source, n_chars,
+    md5(cast(doc_id as varchar)) as h
+  from documents
+),
+p as (
+  select doc_id, source, n_chars,
+    (cast(({_HEX7}) as hugeint) * 1000000)
+      // greatest(cast(n_chars as bigint), 1) as priority_fp
+  from h
+),
+r as (
+  select *, row_number() over (
+    partition by source order by priority_fp, doc_id) as rk
+  from p
+)
+select doc_id, source, n_chars, cast(priority_fp as bigint) as priority_fp
+from r where rk <= 50
+"""
+
+
 def q_gopher_filter(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = rep.gopher_filter(docs)
@@ -2957,6 +2992,7 @@ QUERIES.update({
     "tfidf_top_terms": q_tfidf_top_terms,
     "domain_counts": q_domain_counts,
     "hash_sample": q_hash_sample,
+    "priority_sample": q_priority_sample,
     "gopher_filter": q_gopher_filter,
 })
 ORACLES.update({
@@ -2964,6 +3000,7 @@ ORACLES.update({
     "tfidf_top_terms": O_TFIDF_TOP_TERMS,
     "domain_counts": O_DOMAIN_COUNTS,
     "hash_sample": O_HASH_SAMPLE,
+    "priority_sample": O_PRIORITY_SAMPLE,
     "gopher_filter": O_GOPHER_FILTER,
 })
 
@@ -7657,6 +7694,55 @@ QUERIES["acf_features"] = q_acf_features
 ORACLES["acf_features"] = O_ACF_FEATURES
 
 
+# --- classical seasonal decomposition (integer 2xP moving average) -------------------
+
+def q_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of the hourly event-count series
+    (functions/stats.seasonal_decompose_int): densified calendar hours,
+    exact-integer 2x24 centered moving-average trend, per-phase seasonal
+    sufficient statistics (sum + count of the 48x-scaled detrended
+    values). 24 output rows, all int64."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..functions import stats as stats_fn
+
+    hr = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+    hours = ev.select(hr.alias("hr")).groupBy("hr").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    return stats_fn.seasonal_decompose_int(hours, "hr", "y", period=24)
+
+
+O_SEASONAL_DECOMPOSE = """
+with c as (
+  select epoch_us(ts) // 3600000000 as hr, cast(count(*) as bigint) as y
+  from events group by 1
+),
+idx as (
+  select unnest(generate_series((select min(hr) from c),
+                                (select max(hr) from c))) as i
+),
+dense as (
+  select idx.i, coalesce(c.y, 0) as y
+  from idx left join c on c.hr = idx.i
+),
+t as (
+  select i, y,
+    2 * sum(y) over (order by i rows between 12 preceding and 12 following)
+      - lag(y, 12) over (order by i)
+      - lead(y, 12) over (order by i) as trend_2p
+  from dense
+)
+select cast(i % 24 as bigint) as phase,
+  cast(count(*) as bigint) as n_obs,
+  cast(sum(48 * y - trend_2p) as bigint) as seasonal_sum_2p
+from t where trend_2p is not null
+group by 1
+"""
+
+QUERIES["seasonal_decompose"] = q_seasonal_decompose
+ORACLES["seasonal_decompose"] = O_SEASONAL_DECOMPOSE
+
+
 # --- Holt double-exponential smoothing (level + trend) -------------------------------
 
 def q_holt_smoothing(spark, sf_dir):
@@ -8017,6 +8103,54 @@ from deg left join pn using (node)
 
 QUERIES["graph_triangles"] = q_graph_triangles
 ORACLES["graph_triangles"] = O_GRAPH_TRIANGLES
+
+
+# --- bipartite link prediction: common neighbors + Resource Allocation ---------------
+
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbor count + fixed-point Resource-Allocation index per
+    co-used tool pair over the conversation-tool bipartite graph
+    (functions/graph.py link_prediction_scores): contexts above the
+    degree cap are dropped BEFORE the pair expansion (bounded quadratic
+    fan-out), RA terms are exact int64 ``scale div deg``."""
+    from ..functions import graph
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = graph.link_prediction_scores(
+        t, node_col="tool", ctx_col="conv_id", scale=10**6, max_ctx_degree=64
+    )
+    return out.select(
+        F.col("node_a").alias("tool_a"),
+        F.col("node_b").alias("tool_b"),
+        "common_ctx",
+        "ra_fp",
+    )
+
+
+O_LINK_PREDICTION = f"""{_W},
+d as (
+  select distinct conv_id, tool from transcripts where tool is not null
+),
+deg as (
+  select conv_id, count(*) as dg from d group by conv_id
+),
+b as (
+  select d.conv_id, d.tool, deg.dg
+  from d join deg using (conv_id)
+  where deg.dg between 2 and 64
+),
+p as (
+  select x.tool as tool_a, y.tool as tool_b, x.dg
+  from b x join b y on x.conv_id = y.conv_id and x.tool < y.tool
+)
+select tool_a, tool_b,
+  cast(count(*) as bigint) as common_ctx,
+  cast(sum(1000000 // dg) as bigint) as ra_fp
+from p group by tool_a, tool_b
+"""
+
+QUERIES["link_prediction"] = q_link_prediction
+ORACLES["link_prediction"] = O_LINK_PREDICTION
 
 
 # --- evaluation-metric family: AUC / confusion / calibration / KS / Gini / entropy --
@@ -9905,6 +10039,55 @@ from a
 
 QUERIES["kaplan_meier"] = q_kaplan_meier
 ORACLES["kaplan_meier"] = O_KAPLAN_MEIER
+
+
+# --- Nelson-Aalen cumulative hazard over the same risk table -------------------------
+
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative-hazard table (operators/survival.py
+    nelson_aalen_table) over the Kaplan-Meier risk table: fixed-point
+    integer hazard increments (d * 1e9) div n computed in decimal(38,0)
+    (never wraps int64), running-summed ascending t, plus the Poisson
+    variance proxy (d * 1e9) div n^2. All int64 — no float crosses
+    engines; H(t) = h_cum_fp / 1e9 exactly recoverable."""
+    from ..operators import survival
+
+    t = _t(spark, sf_dir)
+    d = survival.episode_durations(t, CFG, granularity_s=60)
+    rt = survival.km_risk_table(d, "dur_s", "event")
+    return survival.nelson_aalen_table(rt)
+
+
+_KM_RISK_CTES = O_KAPLAN_MEIER[: O_KAPLAN_MEIER.rindex("select")].rstrip().rstrip(
+    ","
+) + """,
+rt as (
+  select cast(t_s as bigint) as t_s,
+    cast(sum(d_events + c_censored)
+         over (order by t_s desc rows between unbounded preceding and current row)
+         as bigint) as n_risk,
+    cast(d_events as bigint) as d_events
+  from a
+)"""
+
+O_NELSON_AALEN = _KM_RISK_CTES + """,
+na as (
+  select t_s, n_risk, d_events,
+    (cast(d_events as hugeint) * 1000000000) // n_risk as h_inc_fp,
+    (cast(d_events as hugeint) * 1000000000)
+      // (cast(n_risk as hugeint) * n_risk) as var_inc_fp
+  from rt
+)
+select t_s, n_risk, d_events,
+  cast(sum(h_inc_fp) over (order by t_s
+       rows between unbounded preceding and current row) as bigint) as h_cum_fp,
+  cast(sum(var_inc_fp) over (order by t_s
+       rows between unbounded preceding and current row) as bigint) as var_cum_fp
+from na
+"""
+
+QUERIES["nelson_aalen"] = q_nelson_aalen
+ORACLES["nelson_aalen"] = O_NELSON_AALEN
 
 
 # --- mutual-information feature screen ----------------------------------------------

@@ -530,3 +530,34 @@ def test_temperature_mix_isqrt_rebalance(spark):
     assert out["small"].mix_ppm == ws * 1_000_000 // (wb + ws)
     # temperature smoothing boosts the tail and damps the head
     assert out["small"].boost_ppm > 1_000_000 > out["big"].boost_ppm
+
+
+def test_priority_sample_matches_reference(spark):
+    import hashlib
+
+    from feature_extractor_mbo_lob_spark.functions.corpus import priority_sample
+
+    rows = [(i, "s%d" % (i % 2), 10 + (i * 7) % 90) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = priority_sample(
+        df, k=5, weight_col="n_chars", id_col="doc_id", group_col="source"
+    ).collect()
+
+    def prio(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16)
+        return (h * 10**6) // max(w, 1)
+
+    expect = {}
+    for i, s, w in rows:
+        expect.setdefault(s, []).append((prio(i, w), i))
+    keep = set()
+    for s, lst in expect.items():
+        for p, i in sorted(lst)[:5]:
+            keep.add(i)
+    got = {r["doc_id"] for r in out}
+    assert got == keep
+    assert len(out) == 10
+    # priority column is the exact integer key
+    for r in out:
+        w = 10 + (r["doc_id"] * 7) % 90
+        assert r["priority_fp"] == prio(r["doc_id"], w)

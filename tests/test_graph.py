@@ -175,3 +175,42 @@ def test_hits_int_distributed_path_matches_local(spark):
             for r in graph.hits_int(df, iterations=3,
                                     max_local_edges=0).collect()}
     assert local == dist
+
+
+def test_link_prediction_hand_case(spark):
+    from feature_extractor_mbo_lob_spark.functions.graph import link_prediction_scores
+
+    # ctx c1 has tools {a, b, c} (deg 3); c2 has {a, b} (deg 2);
+    # c3 has {a} (deg 1, dropped); duplicate rows must not double-count.
+    rows = [
+        ("c1", "a"), ("c1", "b"), ("c1", "c"), ("c1", "a"),
+        ("c2", "a"), ("c2", "b"),
+        ("c3", "a"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, tool string")
+    out = {
+        (r["node_a"], r["node_b"]): r
+        for r in link_prediction_scores(
+            df, node_col="tool", ctx_col="conv_id", scale=10**6
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab["common_ctx"] == 2
+    assert ab["ra_fp"] == 10**6 // 3 + 10**6 // 2  # one deg-3 + one deg-2 ctx
+    assert out[("a", "c")]["ra_fp"] == 10**6 // 3
+    assert out[("b", "c")]["common_ctx"] == 1
+
+
+def test_link_prediction_degree_cap(spark):
+    from feature_extractor_mbo_lob_spark.functions.graph import link_prediction_scores
+
+    # a hub context with 5 tools is dropped entirely at cap 4
+    rows = [("hub", f"t{i}") for i in range(5)] + [("c", "t0"), ("c", "t1")]
+    df = spark.createDataFrame(rows, "conv_id string, tool string")
+    out = link_prediction_scores(
+        df, node_col="tool", ctx_col="conv_id", max_ctx_degree=4
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["node_a"], out[0]["node_b"]) == ("t0", "t1")
+    assert out[0]["ra_fp"] == 10**6 // 2

@@ -124,3 +124,41 @@ def test_topic_boundaries_detects_vocabulary_shift(spark):
     # windows: boundary 4 left = turns 2,3 words; right = turns 4,5 words
     assert out[4].n_left == len({"apple", "orchard", "pie", "jam"})
     assert out[4].n_right == len({"database", "index", "scan", "shard"})
+
+
+def test_seasonal_decompose_int_matches_naive(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import seasonal_decompose_int
+
+    # 5 days of hourly data with a known diurnal shape + trend + gaps
+    period = 24
+    rows = []
+    for h in range(120):
+        if h % 17 == 3:  # punch gaps: densify must restore them as zeros
+            continue
+        rows.append((1000 + h, (h % 24) * 3 + h // 10))
+    df = spark.createDataFrame(rows, "hr long, y long")
+    out = {
+        r["phase"]: (r["n_obs"], r["seasonal_sum_2p"])
+        for r in seasonal_decompose_int(df, "hr", "y", period=period).collect()
+    }
+
+    # naive reference on the dense series
+    lo = min(h for h, _ in rows)
+    hi = max(h for h, _ in rows)
+    dense = {h: 0 for h in range(lo, hi + 1)}
+    for h, y in rows:
+        dense[h] = y
+    idx = sorted(dense)
+    expect = {}
+    half = period // 2
+    for pos, h in enumerate(idx):
+        if pos < half or pos + half >= len(idx):
+            continue
+        window = [dense[idx[pos + o]] for o in range(-half, half + 1)]
+        trend_2p = 2 * sum(window) - window[0] - window[-1]
+        d = 2 * period * dense[h] - trend_2p
+        n, s = expect.get(h % period, (0, 0))
+        expect[h % period] = (n + 1, s + d)
+    assert out == expect
+    # a full-coverage series yields every phase
+    assert set(out) == set(range(period))

@@ -266,3 +266,41 @@ def test_banded_lsh_dominates_single_band(spark):
     assert r["inter_banded"] == r["n_banded"]
     # amplification must be material on near-uniform vectors
     assert r["recall_banded_ppm"] >= 500_000
+
+
+def test_nelson_aalen_hand_case(spark):
+    from feature_extractor_mbo_lob_spark.operators.survival import nelson_aalen_table
+
+    # events at 2, 2, 5; censored at 3, 5 (same fixture as the KM case)
+    rows = [(2, 1), (2, 1), (3, 0), (5, 1), (5, 0)]
+    df = spark.createDataFrame(rows, "dur_s long, event long")
+    rt = km_risk_table(df, "dur_s", "event")
+    out = {r["t_s"]: r for r in nelson_aalen_table(rt, scale=10**9).collect()}
+    S = 10**9
+    # t=2: d=2, n=5 -> inc = 2S//5; var = 2S//25
+    assert out[2]["h_cum_fp"] == 2 * S // 5
+    assert out[2]["var_cum_fp"] == 2 * S // 25
+    # t=3: censoring only, hazard unchanged
+    assert out[3]["h_cum_fp"] == out[2]["h_cum_fp"]
+    # t=5: d=1, n=2 -> + S//2; var + S//4
+    assert out[5]["h_cum_fp"] == 2 * S // 5 + S // 2
+    assert out[5]["var_cum_fp"] == 2 * S // 25 + S // 4
+    # monotone nondecreasing in t
+    ts = sorted(out)
+    assert all(
+        out[a]["h_cum_fp"] <= out[b]["h_cum_fp"] for a, b in zip(ts, ts[1:])
+    )
+
+
+def test_nelson_aalen_wide_counts_no_wrap(spark):
+    """d * scale beyond int64: decimal(38,0) widening must keep the
+    increment exact (the HITS round-4 lesson)."""
+    from feature_extractor_mbo_lob_spark.operators.survival import nelson_aalen_table
+
+    d = 10_000_000_000  # 1e10 events at one time: d * 1e9 = 1e19 > int64 max
+    rt = spark.createDataFrame(
+        [(1, d, d, 0)], "t_s long, n_risk long, d_events long, c_censored long"
+    )
+    out = nelson_aalen_table(rt, scale=10**9).collect()[0]
+    assert out["h_cum_fp"] == 10**9  # d == n -> hazard exactly 1.0
+    assert out["var_cum_fp"] == 0  # 1e9 // 1e10 == 0
