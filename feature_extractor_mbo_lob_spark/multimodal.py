@@ -507,3 +507,144 @@ def image_dhash(
             yield pd.DataFrame(rows, columns=["media_id", "dhash", "fmt"])
 
     return df.mapInPandas(fn, schema=out_schema)
+
+
+def _wav_pcm16(payload: bytes) -> np.ndarray:
+    """PCM16 sample array (int64) from a RIFF/WAVE payload — the chunk walk
+    `_decode_payload` does, factored for stages that need the raw samples."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, bits, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        clen = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            bits = struct.unpack("<HHIIHH", body[:16])[5]
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if data is None or bits != 16:
+        raise ValueError("missing PCM16 data chunk")
+    return np.frombuffer(data, dtype=np.int16).astype(np.int64)
+
+
+def _phash_bands(fmt: str, payload: bytes, grid: int = 8) -> list[int]:
+    """64-bit average-hash perceptual fingerprint of one media payload,
+    returned as four 16-bit band integers (the LSH band structure the
+    near-dup join keys on — and no int64 sign-bit hazards at bit 63).
+
+    Images (PPM/BMP): decode to top-down pixels, integer grayscale
+    (r+g+b)//3, nearest-neighbor grid sample at (gy*h)//grid, (gx*w)//grid,
+    threshold at the integer mean of the grid. Audio (WAV): the same
+    construction over grid*grid nearest-neighbor samples of the PCM16
+    waveform shifted to nonnegative (+32768), so the integer mean uses
+    truncating division identically in every engine. Every step is exact
+    integer arithmetic — the DuckDB oracle reproduces the hash bit for bit
+    in closed form from media_id (q_phash_media_pairs).
+    """
+    if fmt in ("ppm", "bmp"):
+        img = _decode_pixels(fmt, payload).astype(np.int64)
+        gray = img.sum(axis=2) // 3
+        h, w = gray.shape
+        ys = (np.arange(grid) * h) // grid
+        xs = (np.arange(grid) * w) // grid
+        vals = gray[np.ix_(ys, xs)].ravel()
+    elif fmt == "wav":
+        samples = _wav_pcm16(payload) + 32768
+        n = len(samples)
+        idx = (np.arange(grid * grid) * n) // (grid * grid)
+        vals = samples[idx]
+    else:
+        raise ValueError(f"unknown media format {fmt}")
+    mean = int(vals.sum()) // vals.size
+    bits = (vals > mean).astype(np.int64)
+    weights = 1 << np.arange(16, dtype=np.int64)
+    return [int((bits[b * 16:(b + 1) * 16] * weights).sum()) for b in range(4)]
+
+
+def phash_fingerprints(df: DataFrame, fmt_col: str = "fmt",
+                       payload_col: str = "payload", grid: int = 8) -> DataFrame:
+    """Perceptual-hash fingerprint stage: (media_id, fmt, band0..band3
+    int) via Arrow-batched mapInPandas over the binary payload column.
+    Parquet column pruning keeps payload bytes out of every stage that
+    doesn't call this."""
+    out_schema = "media_id long, fmt string, band0 int, band1 int, band2 int, band3 int"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(mid), fmt, *_phash_bands(fmt, bytes(pl), grid))
+                for mid, fmt, pl in zip(
+                    pdf["media_id"], pdf[fmt_col], pdf[payload_col]
+                )
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "band0", "band1", "band2", "band3"],
+            )
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
+def phash_near_dup(fp: DataFrame, max_hamming: int = 6,
+                   max_band_bucket: int = 100_000) -> DataFrame:
+    """Banded near-duplicate join over phash fingerprints: candidates are
+    pairs (same fmt) agreeing EXACTLY on at least one of the four 16-bit
+    bands, verified by the exact Hamming distance
+    sum(bit_count(xor(band_i_a, band_i_b))). Pigeonhole over 4 bands
+    guarantees full recall for distance <= 3; above that, banding is the
+    standard LSH recall/candidate-volume trade (the oracle mirrors the
+    same candidate rule, so verification is exact either way).
+
+    Scale: the self-equi-join shuffles on (fmt, band_no, band_val) digests
+    only; ``max_band_bucket`` drops degenerate band buckets past the cap
+    (the MinHash hot-band lesson, operators/dedup.py — at corpus scale
+    route oversize buckets through exact-dup grouping first; the cap here
+    keeps the worst case bounded and LOUD rather than a straggler task).
+    """
+    melted = fp.select(
+        "media_id", "fmt", "band0", "band1", "band2", "band3",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("bno"), F.col(f"band{i}").alias("bval"))
+                for i in range(4)
+            ])
+        ).alias("bk"),
+    ).select("media_id", "fmt", "band0", "band1", "band2", "band3",
+             F.col("bk.bno").alias("bno"), F.col("bk.bval").alias("bval"))
+    counts = melted.groupBy("fmt", "bno", "bval").agg(
+        F.count(F.lit(1)).alias("_bucket_n")
+    )
+    bounded = melted.join(
+        counts.where(F.col("_bucket_n") <= int(max_band_bucket)),
+        ["fmt", "bno", "bval"],
+    )
+    a, b = bounded.alias("pa"), bounded.alias("pb")
+    cand = (
+        a.join(
+            b,
+            (F.col("pa.fmt") == F.col("pb.fmt"))
+            & (F.col("pa.bno") == F.col("pb.bno"))
+            & (F.col("pa.bval") == F.col("pb.bval"))
+            & (F.col("pa.media_id") < F.col("pb.media_id")),
+        )
+        .select(
+            F.col("pa.media_id").alias("id_a"),
+            F.col("pb.media_id").alias("id_b"),
+            F.col("pa.fmt").alias("fmt"),
+            *[F.col(f"pa.band{i}").alias(f"a{i}") for i in range(4)],
+            *[F.col(f"pb.band{i}").alias(f"b{i}") for i in range(4)],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")).cast("long"))
+        for i in range(4)
+    )
+    return (
+        cand.select("id_a", "id_b", "fmt", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= int(max_hamming))
+    )

@@ -1200,6 +1200,98 @@ ORACLES.update({
 })
 
 
+# --- perceptual-hash near-duplicates over real media bytes ---------------------------
+
+def q_phash_media_pairs(spark, sf_dir):
+    """Perceptual near-dup detection over REAL media bytes: decode valid
+    WAV/PPM/BMP payloads, 64-bit integer average-hash (8x8 grayscale /
+    waveform grid, mean threshold) emitted as four 16-bit LSH bands, then
+    the banded same-fmt self-join verified by exact Hamming distance
+    (multimodal.phash_fingerprints + phash_near_dup). Every hash bit is
+    exact integer arithmetic, so the oracle reproduces fingerprints AND
+    pairs in closed form from media_id."""
+    from .. import multimodal
+
+    media = multimodal.synth_media_real(spark, n=200)
+    fp = multimodal.phash_fingerprints(media)
+    return multimodal.phash_near_dup(fp, max_hamming=6)
+
+
+O_PHASH_MEDIA_PAIRS = """
+with m as (select range as media_id from range(0, 200)),
+par as (
+  select media_id, media_id % 3 as k,
+    media_id % 200 - 100 as wa, (media_id * 7) % 200 - 100 as wb,
+    64 + 2 * (media_id % 32) as nsamp,
+    case media_id % 3 when 1 then 2 * (1 + media_id % 8)
+                      else 4 * (1 + media_id % 6) end as iw,
+    1 + media_id % 8 as ih,
+    media_id % 256 as pa, (media_id * 7) % 256 as pb
+  from m
+),
+g as (select range as j from range(0, 64)),
+vg as (
+  select p.*, g.j,
+    ((g.j // 8) * p.ih) // 8 as py,
+    ((g.j % 8) * p.iw) // 8 as px,
+    (3 * p.iw * p.ih) // 2 as half
+  from par p cross join g
+),
+vg2 as (
+  select *, case when k = 2 then ih - 1 - py else py end as yy from vg
+),
+v as (
+  select media_id, j,
+    case when k = 0 then
+      (case when (j * nsamp) // 64 < nsamp // 2 then wa else wb end) + 32768
+    else
+      ((case when 3 * (yy * iw + px) < half then pa else pb end)
+       + (case when 3 * (yy * iw + px) + 1 < half then pa else pb end)
+       + (case when 3 * (yy * iw + px) + 2 < half then pa else pb end)) // 3
+    end as val
+  from vg2
+),
+mn as (select media_id, sum(val) // 64 as mean from v group by 1),
+bits as (
+  select v.media_id, v.j,
+    case when v.val > mn.mean then 1 else 0 end as bit
+  from v join mn using (media_id)
+),
+fp as (
+  select media_id,
+    sum(case when j // 16 = 0 and bit = 1 then 1 << (j % 16) else 0 end) as band0,
+    sum(case when j // 16 = 1 and bit = 1 then 1 << (j % 16) else 0 end) as band1,
+    sum(case when j // 16 = 2 and bit = 1 then 1 << (j % 16) else 0 end) as band2,
+    sum(case when j // 16 = 3 and bit = 1 then 1 << (j % 16) else 0 end) as band3
+  from bits group by 1
+),
+fpk as (
+  select fp.*,
+    case media_id % 3 when 0 then 'wav' when 1 then 'ppm' else 'bmp' end as fmt
+  from fp
+),
+cand as (
+  select distinct a.media_id as id_a, b.media_id as id_b, a.fmt
+  from fpk a join fpk b
+    on a.fmt = b.fmt and a.media_id < b.media_id
+   and (a.band0 = b.band0 or a.band1 = b.band1
+        or a.band2 = b.band2 or a.band3 = b.band3)
+)
+select c.id_a, c.id_b, c.fmt,
+  cast(bit_count(xor(fa.band0, fb.band0)) + bit_count(xor(fa.band1, fb.band1))
+     + bit_count(xor(fa.band2, fb.band2)) + bit_count(xor(fa.band3, fb.band3))
+    as bigint) as hamming
+from cand c
+join fpk fa on fa.media_id = c.id_a
+join fpk fb on fb.media_id = c.id_b
+where bit_count(xor(fa.band0, fb.band0)) + bit_count(xor(fa.band1, fb.band1))
+    + bit_count(xor(fa.band2, fb.band2)) + bit_count(xor(fa.band3, fb.band3)) <= 6
+"""
+
+QUERIES["phash_media_pairs"] = q_phash_media_pairs
+ORACLES["phash_media_pairs"] = O_PHASH_MEDIA_PAIRS
+
+
 # =============================================================================
 # Batch 3: volatility family, adaptive sampling, transition flows,
 # sequence-label alignment, export normalization, rolling-session z-score

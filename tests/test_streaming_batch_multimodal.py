@@ -601,3 +601,63 @@ def test_image_dhash_similarity_and_stability(spark):
     assert ham(got[0], got[2]) <= 8
     assert ham(got[0], got[3]) >= 16
     assert got[4] is None
+
+
+def test_phash_bands_wav_closed_form():
+    import numpy as np
+
+    from feature_extractor_mbo_lob_spark import multimodal as mm
+
+    # wav media 3: a = -97 < b = -79 -> first 32 grid samples below the
+    # mean (bits 0), last 32 above (bits 1)
+    bands = mm._phash_bands("wav", mm._encode_wav(3))
+    assert bands == [0, 0, 65535, 65535]
+    # media 0 has a == b == -100: flat waveform -> all bits zero
+    assert mm._phash_bands("wav", mm._encode_wav(0)) == [0, 0, 0, 0]
+
+
+def test_phash_bands_image_matches_naive():
+    import numpy as np
+
+    from feature_extractor_mbo_lob_spark import multimodal as mm
+
+    for m in (1, 2, 4, 5, 7, 8, 100, 101):
+        fmt = {1: "ppm", 2: "bmp"}[m % 3] if m % 3 else None
+        if fmt is None:
+            continue
+        payload = (mm._encode_ppm if fmt == "ppm" else mm._encode_bmp)(m)
+        img = mm._decode_pixels(fmt, payload).astype(np.int64)
+        gray = img.sum(axis=2) // 3
+        h, w = gray.shape
+        vals = [gray[(gy * h) // 8][(gx * w) // 8] for gy in range(8) for gx in range(8)]
+        mean = sum(int(v) for v in vals) // 64
+        bits = [1 if v > mean else 0 for v in vals]
+        expect = [
+            sum(bits[b * 16 + i] << i for i in range(16)) for b in range(4)
+        ]
+        assert mm._phash_bands(fmt, payload) == expect, m
+
+
+def test_phash_near_dup_exact_zero_distance(spark):
+    from feature_extractor_mbo_lob_spark import multimodal as mm
+
+    media = mm.synth_media_real(spark, n=60)
+    fp = mm.phash_fingerprints(media)
+    out = mm.phash_near_dup(fp, max_hamming=0).collect()
+    # zero-distance pairs must have identical band vectors
+    by_id = {r["media_id"]: r for r in fp.collect()}
+    assert out, "two-tone synthetic media must contain exact phash dups"
+    for r in out:
+        a, b = by_id[r["id_a"]], by_id[r["id_b"]]
+        assert a["fmt"] == b["fmt"] == r["fmt"]
+        assert all(a[f"band{i}"] == b[f"band{i}"] for i in range(4))
+        assert r["hamming"] == 0
+
+
+def test_phash_near_dup_band_bucket_cap(spark):
+    from feature_extractor_mbo_lob_spark import multimodal as mm
+
+    media = mm.synth_media_real(spark, n=60)
+    fp = mm.phash_fingerprints(media)
+    # a cap of 1 drops every shared band bucket -> no candidates at all
+    assert mm.phash_near_dup(fp, max_hamming=64, max_band_bucket=1).count() == 0
