@@ -959,3 +959,72 @@ def seasonal_decompose_int(
             F.sum("_d").cast("long").alias("seasonal_sum_2p"),
         )
     )
+
+
+def propensity_match(
+    units: DataFrame,
+    id_col: str,
+    score_col: str,
+    treat_col: str,
+    outcome_col: str,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """1-nearest-neighbor propensity-score matching WITH replacement
+    (Rosenbaum & Rubin 1983; the ATT workhorse): each treated unit is
+    matched to the control whose integer score is closest, within its
+    stratum. Returns one row per treated unit with the matched control's
+    id/score/outcome and the ATT term (y_t - y_c).
+
+    Determinism contract: controls collapse to ONE representative per
+    distinct (stratum, score) — the minimum id, carrying that unit's
+    outcome via min_by — so the nearest-match is a total function of the
+    data (a raw multi-control tie would be pick-order dependent; the
+    reference's FIFO pairing rule is the same move,
+    src/features/lifecycle_features.rs:29-80). Equal-distance ties prefer
+    the control at the LOWER score (asof 'nearest' backward-wins).
+
+    Distributed shape: one groupBy collapses controls, then the match
+    reuses operators.asof.asof_join(direction='nearest') — a single
+    union + per-stratum sort, NO pairwise score join. Strata bound the
+    sort width at scale; omit ``stratum_col`` only when the unit table is
+    already aggregate-sized.
+    """
+    from ..operators.asof import asof_join
+
+    s = stratum_col or "_stratum"
+    base = units if stratum_col else units.withColumn(s, F.lit(0))
+    treated = base.where(F.col(treat_col).cast("int") == 1).select(
+        F.col(id_col).alias("unit_id"),
+        F.col(s).alias("stratum"),
+        F.col(score_col).cast("long").alias("score"),
+        F.col(outcome_col).cast("long").alias("y_t"),
+    )
+    controls = (
+        base.where(F.col(treat_col).cast("int") == 0)
+        .groupBy(F.col(s).alias("stratum"), F.col(score_col).cast("long").alias("score"))
+        .agg(
+            F.min(id_col).alias("control_id"),
+            F.expr(f"min_by(cast({outcome_col} as long), {id_col})").alias("y_c"),
+            F.count(F.lit(1)).cast("long").alias("n_ctl_at_score"),
+        )
+        .withColumn("control_score", F.col("score"))
+    )
+    out = asof_join(
+        treated,
+        controls,
+        key="stratum",
+        ts="score",
+        value_cols=["control_id", "y_c", "n_ctl_at_score", "control_score"],
+        direction="nearest",
+    )
+    return out.select(
+        "unit_id",
+        "stratum",
+        "score",
+        F.col("control_id_asof").alias("control_id"),
+        F.col("control_score_asof").alias("control_score"),
+        F.col("n_ctl_at_score_asof").alias("n_ctl_at_score"),
+        "y_t",
+        F.col("y_c_asof").alias("y_c"),
+        (F.col("y_t") - F.col("y_c_asof")).alias("att_term"),
+    )

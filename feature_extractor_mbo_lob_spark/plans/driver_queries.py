@@ -7835,6 +7835,83 @@ QUERIES["seasonal_decompose"] = q_seasonal_decompose
 ORACLES["seasonal_decompose"] = O_SEASONAL_DECOMPOSE
 
 
+# --- propensity-score matching (ATT, nearest-neighbor with replacement) --------------
+
+def q_propensity_match(spark, sf_dir):
+    """1-NN propensity matching with replacement (functions/stats.py
+    propensity_match): treated = conversations that invoked any tool,
+    score = total text length (integer confounder proxy), outcome =
+    turn count, stratified by start day-of-week. Controls collapse to a
+    min-id representative per (stratum, score); the match reuses the
+    asof 'nearest' single-sort plan — no pairwise score join."""
+    from ..functions import stats as stats_fn
+
+    t = _t(spark, sf_dir)
+    units = t.groupBy("conv_id").agg(
+        F.max(F.col("tool").isNotNull().cast("int")).alias("treated"),
+        F.sum(F.length("text")).cast("long").alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.expr(
+            "(unix_micros(cast(min(ts) as timestamp)) div 86400000000) % 7"
+        ).alias("dow"),
+    )
+    return stats_fn.propensity_match(
+        units, "conv_id", "score", "treated", "n_turns", stratum_col="dow"
+    )
+
+
+O_PROPENSITY_MATCH = f"""{_W},
+u as (
+  select conv_id,
+    max(case when tool is not null then 1 else 0 end) as treated,
+    cast(sum(length(text)) as bigint) as score,
+    cast(count(*) as bigint) as n_turns,
+    (epoch_us(min(ts)) // 86400000000) % 7 as dow
+  from transcripts group by conv_id
+),
+ctl as (
+  select dow as stratum, score,
+    min(conv_id) as control_id,
+    arg_min(n_turns, conv_id) as y_c,
+    cast(count(*) as bigint) as n_ctl_at_score
+  from u where treated = 0 group by 1, 2
+),
+tr as (
+  select conv_id as unit_id, dow as stratum, score, n_turns as y_t
+  from u where treated = 1
+),
+b as (
+  select tr.unit_id, tr.stratum, tr.score, tr.y_t,
+    c.score as bs, c.control_id as bid, c.y_c as byc, c.n_ctl_at_score as bn
+  from tr asof left join ctl c
+    on tr.stratum = c.stratum and tr.score >= c.score
+),
+f as (
+  select tr.unit_id,
+    c.score as fs, c.control_id as fid, c.y_c as fyc, c.n_ctl_at_score as fn
+  from tr asof left join ctl c
+    on tr.stratum = c.stratum and tr.score <= c.score
+),
+j as (
+  select b.*, f.fs, f.fid, f.fyc, f.fn,
+    (f.fs is null or (b.bs is not null and b.score - b.bs <= f.fs - b.score))
+      as useb
+  from b join f using (unit_id)
+)
+select unit_id, cast(stratum as bigint) as stratum, score,
+  case when useb then bid else fid end as control_id,
+  case when useb then bs else fs end as control_score,
+  case when useb then bn else fn end as n_ctl_at_score,
+  y_t,
+  case when useb then byc else fyc end as y_c,
+  y_t - case when useb then byc else fyc end as att_term
+from j
+"""
+
+QUERIES["propensity_match"] = q_propensity_match
+ORACLES["propensity_match"] = O_PROPENSITY_MATCH
+
+
 # --- Holt double-exponential smoothing (level + trend) -------------------------------
 
 def q_holt_smoothing(spark, sf_dir):

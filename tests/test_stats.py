@@ -162,3 +162,50 @@ def test_seasonal_decompose_int_matches_naive(spark):
     assert out == expect
     # a full-coverage series yields every phase
     assert set(out) == set(range(period))
+
+
+def test_propensity_match_hand_case(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import propensity_match
+
+    rows = [
+        # (id, stratum, score, treated, outcome)
+        ("t1", 0, 10, 1, 100),   # controls at 8 and 12: tie -> lower score wins
+        ("t2", 0, 99, 1, 50),    # nearest is 95 (dist 4) vs 12 (dist 87)
+        ("t3", 1, 10, 1, 7),     # other stratum: only c5 eligible
+        ("c1", 0, 8, 0, 80),
+        ("c2", 0, 12, 0, 60),
+        ("c3", 0, 12, 0, 61),    # same score as c2 -> min-id rep is c2
+        ("c4", 0, 95, 0, 40),
+        ("c5", 1, 500, 0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, st int, score long, treated int, y long"
+    )
+    out = {
+        r["unit_id"]: r
+        for r in propensity_match(
+            df, "id", "score", "treated", "y", stratum_col="st"
+        ).collect()
+    }
+    assert set(out) == {"t1", "t2", "t3"}
+    t1 = out["t1"]
+    assert (t1["control_id"], t1["control_score"]) == ("c1", 8)  # backward tie-win
+    assert t1["att_term"] == 100 - 80
+    t2 = out["t2"]
+    assert (t2["control_id"], t2["y_c"], t2["n_ctl_at_score"]) == ("c4", 40, 1)
+    t3 = out["t3"]
+    assert (t3["control_id"], t3["control_score"], t3["att_term"]) == ("c5", 500, 6)
+    # duplicate-score controls collapse to the min-id representative
+    assert all(r["control_id"] != "c3" for r in out.values())
+
+
+def test_propensity_match_no_controls_in_stratum(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import propensity_match
+
+    rows = [("t1", 0, 10, 1, 5), ("c1", 1, 10, 0, 3)]
+    df = spark.createDataFrame(
+        rows, "id string, st int, score long, treated int, y long"
+    )
+    out = propensity_match(df, "id", "score", "treated", "y", stratum_col="st").collect()
+    assert len(out) == 1 and out[0]["control_id"] is None
+    assert out[0]["att_term"] is None
