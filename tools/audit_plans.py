@@ -841,12 +841,23 @@ def main() -> None:
 
     edges = word_transition_edges(docs, buckets=8)
     sections.append(summarize(
-        "HITS hubs/authorities (3 iterations, integer L1)",
+        "HITS hubs/authorities (bounded fast path, single task)",
         hits_int(edges, iterations=3),
-        "Each iteration: two join+groupBy passes over the AGGREGATED "
-        "bucket-graph edge list (O(buckets^2) rows regardless of corpus "
-        "size) + a broadcast 1-row normalizer. Exact decimal(38,0) floor "
-        "division; zero Python stages.",
+        "The aggregated bucket graph is O(buckets^2) rows by construction, "
+        "under max_local_edges — ALL iterations run in ONE coalesce(1) "
+        "mapInPandas stage with Python arbitrary-precision ints (the "
+        "hugeint contract exactly). One task total; no per-iteration "
+        "join/shuffle ladder.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas"),
+    ))
+
+    sections.append(summarize(
+        "HITS hubs/authorities (distributed path, 3 iterations)",
+        hits_int(edges, iterations=3, max_local_edges=0),
+        "Past the bound: each iteration is two join+groupBy passes over "
+        "the AGGREGATED edge list + a broadcast 1-row normalizer. Exact "
+        "decimal(38,0) floor division; zero Python stages on this path.",
         forbid=("CartesianProduct", "BatchEvalPython",
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
@@ -935,6 +946,96 @@ def main() -> None:
         "one exponent with an engine-exact integer form (IEEE sqrt "
         "correctly rounded below 2^52).",
         forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    from feature_extractor_mbo_lob_spark.functions.graph import link_prediction_scores
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        propensity_match,
+        seasonal_decompose_int,
+    )
+    from feature_extractor_mbo_lob_spark.functions.corpus import priority_sample
+    from feature_extractor_mbo_lob_spark import multimodal as mm
+    from feature_extractor_mbo_lob_spark.operators import survival as surv2
+
+    sections.append(summarize(
+        "Nelson-Aalen cumulative hazard",
+        surv2.nelson_aalen_table(
+            surv2.km_risk_table(surv2.episode_durations(t, CFG, granularity_s=60))
+        ),
+        "Adds ZERO shuffles on top of km_risk_table: both fixed-point "
+        "running sums ride one window over the already-collapsed risk "
+        "table; increments widen to decimal(38,0) before the division.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Bipartite link prediction (common neighbors + RA)",
+        link_prediction_scores(t, node_col="tool", ctx_col="conv_id"),
+        "Dedup to (ctx, node), degree from the SAME relation, cap filter "
+        "BEFORE the within-ctx pair expansion (fan-out <= cap^2 per ctx), "
+        "then one pair-keyed aggregate. All shuffles are key-hashed; no "
+        "pairwise cross join ever forms.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    docs_w = t.select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        F.col("conv_id").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    sections.append(summarize(
+        "Weighted PPS priority sample",
+        priority_sample(docs_w, k=5, weight_col="n_chars", id_col="doc_id",
+                        group_col="source"),
+        "Stateless md5 priorities computed in the scan projection; ONE "
+        "window shuffle (partition by group) and nothing else.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    hours = t.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("hr")
+    ).groupBy("hr").agg(F.count(F.lit(1)).alias("y"))
+    sections.append(summarize(
+        "Seasonal decomposition (integer 2x24 MA)",
+        seasonal_decompose_int(hours, "hr", "y", period=24),
+        "groupBy collapses to calendar-bounded hour rows FIRST; the "
+        "densify + unpartitioned window run over that aggregate only "
+        "(km_risk_table precedent), then a 24-row phase aggregate.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    fp = mm.phash_fingerprints(mm.synth_media_real(spark, n=64))
+    sections.append(summarize(
+        "Perceptual-hash near-dup (banded Hamming join)",
+        mm.phash_near_dup(fp),
+        "Fingerprints are ONE Arrow stage over pruned (id, fmt, payload); "
+        "the candidate join shuffles 16-bit band digests only, bucket-"
+        "capped, and the Hamming verify is JVM bit_count — no python in "
+        "the join, no cross join.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython"),
+    ))
+
+    units = t.groupBy("conv_id").agg(
+        F.max(F.col("tool").isNotNull().cast("int")).alias("treated"),
+        F.sum(F.length("text")).cast("long").alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.expr(
+            "(unix_micros(cast(min(ts) as timestamp)) div 86400000000) % 7"
+        ).alias("dow"),
+    )
+    sections.append(summarize(
+        "Propensity matching (asof-nearest, stratified)",
+        propensity_match(units, "conv_id", "score", "treated", "n_turns",
+                         stratum_col="dow"),
+        "Controls collapse per (stratum, score) first; the match is the "
+        "union-tag asof plan — one per-stratum sort, NO pairwise score "
+        "join, no python.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
