@@ -1873,3 +1873,64 @@ def temperature_mix(
             f" div greatest(tokens * {scale} div greatest(tot_tokens, 1), 1)"
         ).cast("long").alias("boost_ppm"),
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_col: str = "is_target",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every document by how target-like its word distribution is,
+
+        logw(doc) = sum_w k_w * ( ln p_t(w) - ln p_s(w) )
+
+    with add-one-smoothed unigram models p_t / p_s estimated from the
+    target (``target_col`` = 1) and source (= 0) corpus slices over the
+    POOLED vocabulary. Downstream, Gumbel-top-k / priority sampling on
+    these weights selects the source subset that matches the target
+    domain — the published recipe for pretraining-data selection.
+
+    Engine-exactness follows unigram_logprob: all counts are exact
+    integers from one conditional-sum aggregation; the only floats are
+    ln() over identical integer ratios and the per-doc weighted sum,
+    expressed identically in the SQL oracle (canonicalize round-6
+    downstream).
+
+    Scale shape: words explode once; ONE groupBy(word) with conditional
+    sums builds both models in the same pass (|vocab| shuffle rows); the
+    per-(doc, word) frame joins the vocab table on word and collapses
+    back to one row per doc. Two keyed shuffles + one broadcast of the
+    4-number totals — no model artifact, no driver materialization.
+    """
+    tgt = F.col(target_col).cast("long")
+    words = df.select(
+        F.col(id_col).alias("id"),
+        tgt.alias("_t"),
+        F.explode(normalized_words(text_col)).alias("word"),
+    )
+    wc = words.groupBy("word").agg(
+        F.sum("_t").alias("c_t"),
+        F.sum(F.lit(1) - F.col("_t")).alias("c_s"),
+    )
+    tot = wc.agg(
+        F.sum("c_t").cast("double").alias("n_t"),
+        F.sum("c_s").cast("double").alias("n_s"),
+        F.count(F.lit(1)).cast("double").alias("n_vocab"),
+    )
+    dw = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("k"))
+    scored = (
+        dw.join(wc, "word")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lr",
+            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + F.col("n_vocab")))
+            - F.log((F.col("c_s") + 1.0) / (F.col("n_s") + F.col("n_vocab"))),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.sum("k").cast("long").alias("n_words"),
+        F.sum(F.col("k") * F.col("lr")).alias("log_weight"),
+    )

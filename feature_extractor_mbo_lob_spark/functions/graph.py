@@ -605,3 +605,107 @@ def link_prediction_scores(
             F.sum("_ra_fp").cast("long").alias("ra_fp"),
         )
     )
+
+
+def word_adjacency_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Undirected word-adjacency edge list: canonical (least, greatest)
+    consecutive-word pairs over the normalized corpus, self-pairs
+    dropped, pruned to pairs seen >= ``min_count`` times. Pure JVM
+    (split + slice + arrays_zip + explode) into one partial-aggregable
+    groupBy; output is |co-occurring vocab pairs| rows — bounded by the
+    pruned vocabulary, never by corpus size (the TextRank word-df
+    lesson).
+
+    Returns ``DataFrame[a: string, b: string, w: long]`` with a < b.
+    """
+    base = df.select(F.split(normalize_text(text_col), " ").alias("_w"))
+    k = F.greatest(F.size(F.col("_w")) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(F.col("_w"), 1, k).alias("x"),
+        F.slice(F.col("_w"), 2, k).alias("y"),
+    )
+    return (
+        base.select(F.explode(pairs).alias("p"))
+        .select(
+            F.least("p.x", "p.y").alias("a"),
+            F.greatest("p.x", "p.y").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .filter(F.col("w") >= int(min_count))
+    )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Fixed-round k-core peel (Seidman 1983; Batagelj & Zaversnik 2003)
+    over an undirected edge list: round r removes every node whose degree
+    within the current surviving subgraph is < k, then recomputes
+    degrees. ``rounds`` is fixed and unrolled — the graph-curation
+    analog of the repo's bounded-iteration rule (pagerank_int,
+    hits_int): deterministic plan depth, no convergence-dependent
+    lineage. With enough rounds this converges to the exact k-core;
+    the per-node ``peel_round`` (1-indexed removal round, 0 = survived
+    all rounds) is itself the useful curation signal — a coreness-style
+    centrality used to keep well-connected vocabulary / drop stragglers.
+
+    Engine-exactness: pure integer degree counts and set membership —
+    any engine reproduces every row bit-identically.
+
+    Scale shape: the edge list localCheckpoints ONCE (never per round —
+    the graph-iteration lineage rule); each round is two left-semi joins
+    (hash-partitioned on the node key) plus one partial-aggregable
+    degree count over the shrinking edge set. No cross join, no Python.
+    """
+    from functools import reduce
+
+    e = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint(eager=True)
+
+    def degrees(ed: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
+        inc = ed.select(F.col("a").alias("node")).union(
+            ed.select(F.col("b").alias("node"))
+        )
+        d = inc.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        if nodes is None:
+            return d
+        return nodes.join(d, "node", "left").select(
+            "node", F.coalesce("deg", F.lit(0)).cast("long").alias("deg")
+        )
+
+    deg0 = degrees(e).localCheckpoint(eager=True)
+    surv = deg0
+    cur_e = e
+    peeled_frames = []
+    for r in range(1, int(rounds) + 1):
+        peeled_frames.append(
+            surv.filter(F.col("deg") < k).select(
+                "node", F.lit(r).cast("int").alias("peel_round")
+            )
+        )
+        keep = surv.filter(F.col("deg") >= k).select("node")
+        cur_e = cur_e.join(
+            keep.withColumnRenamed("node", "a"), "a", "leftsemi"
+        ).join(keep.withColumnRenamed("node", "b"), "b", "leftsemi")
+        surv = degrees(cur_e, keep)
+    peeled = reduce(DataFrame.union, peeled_frames)
+    return (
+        deg0.select("node", F.col("deg").alias("deg0"))
+        .join(peeled, "node", "left")
+        .select(
+            "node",
+            "deg0",
+            F.coalesce("peel_round", F.lit(0)).cast("int").alias("peel_round"),
+        )
+    )

@@ -1028,3 +1028,154 @@ def propensity_match(
         F.col("y_c_asof").alias("y_c"),
         (F.col("y_t") - F.col("y_c_asof")).alias("att_term"),
     )
+
+
+def bradley_terry(
+    pair_wins: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    w_col: str = "w",
+    iterations: int = 3,
+    scale: int = 10**6,
+    max_local_pairs: int = 100_000,
+) -> DataFrame:
+    """Bradley-Terry preference-strength fit (Bradley & Terry 1952) via
+    the MM algorithm (Hunter, Annals of Statistics 2004) — the standard
+    model behind pairwise-preference leaderboards and RLHF reward-data
+    audits: P(i beats j) = p_i / (p_i + p_j), with the minorize-maximize
+    update  p_i' = W_i / sum_j n_ij / (p_i + p_j).
+
+    Input is the AGGREGATED pairwise win-count table (winner, loser, w) —
+    O(players^2) rows regardless of how many raw comparisons produced it;
+    building that table is the distributed heavy lifting and belongs to
+    the caller (one groupBy).
+
+    Engine-exactness: the update runs in scaled integers — every player
+    starts at ``scale``; each round computes per-pair terms
+    ``(n_ij * scale) div max(p_i + p_j, 1)`` and then
+    ``p_i' = (W_i * scale^2) div max(denom_i, 1)`` with floor division
+    throughout, so a DuckDB hugeint twin reproduces every bit. No
+    normalization (BT is scale-invariant; the floor spec above IS the
+    contract).
+
+    Scale shape (the HITS round-4 lesson, graph.py:430): a pair table
+    within ``max_local_pairs`` runs all iterations in ONE single-task
+    mapInPandas stage on Python arbitrary-precision ints; past the bound
+    the same arithmetic runs as per-iteration decimal(38,0) join+groupBy
+    passes over the aggregated pairs — identical output by construction.
+    """
+    import pandas as pd
+
+    pw = pair_wins.groupBy(
+        F.col(winner_col).alias("pl_w"), F.col(loser_col).alias("pl_l")
+    ).agg(F.sum(F.col(w_col)).cast("long").alias("w"))
+    pw = pw.localCheckpoint(eager=True)
+    s = int(scale)
+
+    if pw.count() <= max_local_pairs:
+        pl_t = dict(pw.dtypes)["pl_w"]
+        schema = f"pl {pl_t}, wins long, n_matches long, p_micro long"
+
+        def run(batches):
+            frames = [b for b in batches if len(b)]
+            if not frames:
+                return
+            pdf = pd.concat(frames, ignore_index=True)
+            wins: dict = {}
+            npair: dict = {}
+            for a, b, w in zip(pdf["pl_w"], pdf["pl_l"], pdf["w"]):
+                w = int(w)
+                wins[a] = wins.get(a, 0) + w
+                wins.setdefault(b, 0)
+                key = (a, b) if a < b else (b, a)
+                npair[key] = npair.get(key, 0) + w
+            players = sorted(wins)
+            p = {v: s for v in players}
+            for _ in range(iterations):
+                denom = {v: 0 for v in players}
+                for (i, j), n in npair.items():
+                    t = (n * s) // max(p[i] + p[j], 1)
+                    denom[i] += t
+                    denom[j] += t
+                p = {
+                    v: (wins[v] * s * s) // max(denom[v], 1) for v in players
+                }
+            nm = {v: 0 for v in players}
+            for (i, j), n in npair.items():
+                nm[i] += n
+                nm[j] += n
+            yield pd.DataFrame(
+                {
+                    "pl": players,
+                    "wins": [wins[v] for v in players],
+                    "n_matches": [nm[v] for v in players],
+                    "p_micro": [p[v] for v in players],
+                }
+            )
+
+        return pw.coalesce(1).mapInPandas(run, schema)
+
+    # distributed twin: identical floor arithmetic in decimal(38,0)
+    np_ = (
+        pw.select(
+            F.least("pl_w", "pl_l").alias("i"),
+            F.greatest("pl_w", "pl_l").alias("j"),
+            "w",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    players = (
+        np_.select(F.col("i").alias("pl"))
+        .union(np_.select(F.col("j").alias("pl")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    wins = pw.groupBy(F.col("pl_w").alias("pl")).agg(F.sum("w").alias("wins"))
+    nm = (
+        np_.select(F.col("i").alias("pl"), "n")
+        .union(np_.select(F.col("j").alias("pl"), "n"))
+        .groupBy("pl")
+        .agg(F.sum("n").alias("n_matches"))
+    )
+    p = players.select("pl", F.lit(s).cast("long").alias("p"))
+    for _ in range(iterations):
+        pi = p.select(F.col("pl").alias("i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("pl").alias("j"), F.col("p").alias("p_j"))
+        t = np_.join(pi, "i").join(pj, "j").select(
+            "i",
+            "j",
+            F.expr(
+                f"cast(n as decimal(38,0)) * {s}"
+                " div greatest(p_i + p_j, 1)"
+            ).alias("t"),
+        )
+        denom = (
+            t.select(F.col("i").alias("pl"), "t")
+            .union(t.select(F.col("j").alias("pl"), "t"))
+            .groupBy("pl")
+            .agg(F.sum("t").alias("denom"))
+        )
+        p = (
+            players.join(wins, "pl", "left")
+            .join(denom, "pl", "left")
+            .select(
+                "pl",
+                F.expr(
+                    f"cast(coalesce(wins, 0) as decimal(38,0)) * {s} * {s}"
+                    " div greatest(coalesce(denom, 1), 1)"
+                ).cast("long").alias("p"),
+            )
+        )
+    return (
+        players.join(wins, "pl", "left")
+        .join(nm, "pl", "left")
+        .join(p, "pl")
+        .select(
+            "pl",
+            F.coalesce(F.col("wins"), F.lit(0)).cast("long").alias("wins"),
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+            F.col("p").alias("p_micro"),
+        )
+    )

@@ -159,3 +159,85 @@ def nelson_aalen_table(
         F.sum("h_inc_fp").over(w).alias("h_cum_fp"),
         F.sum("var_inc_fp").over(w).alias("var_cum_fp"),
     )
+
+
+def logrank_test(
+    durations: DataFrame,
+    duration_col: str = "dur_s",
+    event_col: str = "event",
+    group_col: str = "grp",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966; Peto & Peto 1972 — the
+    standard censoring-correct comparison of two survival curves;
+    lifelines ``logrank_test`` computes the same statistic). The reference
+    compares tool latencies only via completed-episode means
+    (src/features/lifecycle_features.rs:29-80); the log-rank test is the
+    censoring-correct "is tool family A slower than B" answer.
+
+    ``group_col`` must be 0/1. At every distinct duration t (pooled over
+    both groups) with d_t total events: with n_t subjects at risk and
+    n1_t of them in group 1,
+
+        E1 += d_t * n1_t / n_t
+        V  += d_t * (n1_t/n_t) * (n2_t/n_t) * (n_t - d_t) / (n_t - 1)
+        chi2 = (O1 - E1)^2 / V     (~ chi^2 with 1 dof)
+
+    Engine-exactness: E1 and V accumulate as FIXED-POINT integers —
+    ``(d * n1 * scale) div n`` and ``(d * n1 * n2 * (n-d) * scale) div
+    (n * n * (n-1))`` in decimal(38,0) (hugeint twin), so the sums are
+    order-free int64. Only the final chi2 is a float, computed from two
+    already-summed int64s with one identical op sequence on both engines
+    (boundary-exact canonicalization is the caller's job).
+
+    Scale shape: ONE groupBy collapses all episodes to <= distinct
+    durations rows (conditional sums fold both groups in the same pass);
+    one window over that tiny aggregate computes the at-risk counts; a
+    1-row global aggregate finishes. No join, no per-group second pass.
+    """
+    ev = F.col(event_col).cast("long")
+    g1 = F.col(group_col).cast("long")
+    agg = durations.groupBy(F.col(duration_col).cast("long").alias("t_s")).agg(
+        F.sum(ev).alias("d"),
+        F.sum(F.lit(1) - ev).alias("c"),
+        F.sum(ev * g1).alias("d1"),
+        F.sum((F.lit(1) - ev) * g1).alias("c1"),
+    )
+    w = (
+        Window.orderBy(F.col("t_s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = agg.select(
+        "t_s",
+        "d",
+        "d1",
+        F.sum(F.col("d") + F.col("c")).over(w).alias("n"),
+        F.sum(F.col("d1") + F.col("c1")).over(w).alias("n1"),
+    ).filter(F.col("d") > 0)
+    s = int(scale)
+    e1_inc = F.expr(
+        f"cast(d as decimal(38,0)) * n1 * {s} div n"
+    )
+    v_inc = F.expr(
+        "case when n > 1 then "
+        f"cast(d as decimal(38,0)) * n1 * (n - n1) * (n - d) * {s}"
+        " div (cast(n as decimal(38,0)) * n * (n - 1)) else 0 end"
+    )
+    tot = risk.select(
+        "d",
+        "d1",
+        e1_inc.cast("long").alias("e1_fp"),
+        v_inc.cast("long").alias("v_fp"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(F.col("d") - F.col("d1")).cast("long").alias("o2"),
+        F.sum("e1_fp").cast("long").alias("e1_cum_fp"),
+        F.sum("v_fp").cast("long").alias("v_cum_fp"),
+    )
+    num = (F.col("o1") * F.lit(s) - F.col("e1_cum_fp")).cast("double")
+    den = F.col("v_cum_fp").cast("double") * F.lit(float(s))
+    chi2 = F.when(F.col("v_cum_fp") > 0, num * num / den).otherwise(F.lit(0.0))
+    return tot.select(
+        "n_times", "o1", "o2", "e1_cum_fp", "v_cum_fp", chi2.alias("chi2_raw")
+    )

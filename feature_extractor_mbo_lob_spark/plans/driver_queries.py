@@ -13852,6 +13852,324 @@ QUERIES["minhash_lsh_capped"] = q_minhash_lsh_capped
 ORACLES["minhash_lsh_capped"] = _minhash_lsh_capped_oracle()
 
 
+# --- two-sample log-rank test over censored tool-episode durations ------------------
+
+def q_logrank_test(spark, sf_dir):
+    """Log-rank test (operators/survival.logrank_test) comparing the
+    censoring-correct survival curves of even- vs odd-numbered tools:
+    O/E/V accumulate as decimal(38,0) fixed-point integers (hugeint twin),
+    only the final chi2 is a float computed from two already-summed int64s
+    with one identical IEEE op sequence on both engines."""
+    from ..operators import survival
+
+    t = _t(spark, sf_dir)
+    d = survival.episode_durations(t, CFG, granularity_s=60)
+    d = d.withColumn(
+        "grp", (F.substring("tool", 2, 1).cast("int") % 2).cast("long")
+    )
+    out = survival.logrank_test(d, "dur_s", "event", "grp")
+    return out.select(
+        "n_times", "o1", "o2", "e1_cum_fp", "v_cum_fp",
+        _r6x(F.col("chi2_raw"), "chi2"),
+    )
+
+
+_LOGRANK_CHI2 = (
+    "case when v_cum_fp > 0 then"
+    " (cast(o1 * 1000000000 - e1_cum_fp as double)"
+    "  * cast(o1 * 1000000000 - e1_cum_fp as double))"
+    " / (cast(v_cum_fp as double) * 1000000000.0) else 0.0 end"
+)
+
+O_LOGRANK_TEST = f"""{_W},
+evt as (
+  select conv_id, tool, turn_idx, ts,
+    case when role = 'assistant' then 1 else 0 end as is_inv
+  from transcripts
+  where tool is not null and role in ('assistant', 'tool')
+),
+r as (
+  select *,
+    row_number() over (partition by conv_id, tool, is_inv order by turn_idx, ts) as rnk
+  from evt
+),
+inv as (select conv_id, tool, rnk, ts as invoke_ts from r where is_inv = 1),
+res as (select conv_id, tool, rnk, ts as result_ts from r where is_inv = 0),
+ce as (select conv_id, max(epoch_us(ts)) as end_us from transcripts group by 1),
+ep as (
+  select i.tool,
+    greatest(
+      case when res.result_ts is not null
+           then epoch_us(res.result_ts) - epoch_us(i.invoke_ts)
+           else ce.end_us - epoch_us(i.invoke_ts) end, 0) as dur_us,
+    case when res.result_ts is not null then 1 else 0 end as event
+  from inv i
+  left join res on res.conv_id = i.conv_id and res.tool = i.tool and res.rnk = i.rnk
+  join ce on ce.conv_id = i.conv_id
+),
+dd as (
+  select dur_us // 60000000 as t_s, event,
+    cast(substr(tool, 2, 1) as int) % 2 as grp
+  from ep
+),
+a as (
+  select t_s, sum(event) as d, sum(1 - event) as c,
+    sum(event * grp) as d1, sum((1 - event) * grp) as c1
+  from dd group by 1
+),
+rk as (
+  select t_s, d, d1,
+    sum(d + c) over (order by t_s desc
+      rows between unbounded preceding and current row) as n,
+    sum(d1 + c1) over (order by t_s desc
+      rows between unbounded preceding and current row) as n1
+  from a
+),
+inc as (
+  select d, d1,
+    (cast(d as hugeint) * n1 * 1000000000) // n as e1_fp,
+    case when n > 1 then
+      (cast(d as hugeint) * n1 * (n - n1) * (n - d) * 1000000000)
+        // (cast(n as hugeint) * n * (n - 1)) else 0 end as v_fp
+  from rk where d > 0
+),
+tot as (
+  select cast(count(*) as bigint) as n_times,
+    cast(sum(d1) as bigint) as o1,
+    cast(sum(d - d1) as bigint) as o2,
+    cast(sum(e1_fp) as bigint) as e1_cum_fp,
+    cast(sum(v_fp) as bigint) as v_cum_fp
+  from inc
+)
+select n_times, o1, o2, e1_cum_fp, v_cum_fp,
+  {_r6x_sql(_LOGRANK_CHI2)} as chi2
+from tot
+"""
+
+QUERIES["logrank_test"] = q_logrank_test
+ORACLES["logrank_test"] = O_LOGRANK_TEST
+
+
+# --- Bradley-Terry preference-strength fit over tool "matches" ----------------------
+
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry MM fit (functions/stats.bradley_terry) over pairwise
+    tool matches: within each conversation every tool pair plays one
+    match, won by the tool with the larger exact cents total; the
+    aggregated win counts feed 3 scaled-integer MM iterations (bounded
+    single-task fast path; decimal(38,0) distributed twin) — the
+    leaderboard fit behind RLHF preference-data audits."""
+    from ..functions import stats as st
+
+    t = _t(spark, sf_dir)
+    ct = (
+        t.filter(F.col("tool").isNotNull())
+        .groupBy("conv_id", "tool")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .alias("cents")
+        )
+    )
+    a = ct.select(
+        "conv_id", F.col("tool").alias("t_a"), F.col("cents").alias("c_a")
+    )
+    b = ct.select(
+        "conv_id", F.col("tool").alias("t_b"), F.col("cents").alias("c_b")
+    )
+    m = (
+        a.join(b, "conv_id")
+        .filter(F.col("t_a") < F.col("t_b"))
+        .filter(F.col("c_a") != F.col("c_b"))
+    )
+    pc = m.select(
+        F.when(F.col("c_a") > F.col("c_b"), F.col("t_a"))
+        .otherwise(F.col("t_b")).alias("winner"),
+        F.when(F.col("c_a") > F.col("c_b"), F.col("t_b"))
+        .otherwise(F.col("t_a")).alias("loser"),
+    ).groupBy("winner", "loser").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    return st.bradley_terry(pc, iterations=3)
+
+
+def _bradley_terry_oracle() -> str:
+    it = """,
+d{t} as (
+  select pl, sum(t) as denom from (
+    select np.i as pl,
+      (cast(np.n as hugeint) * 1000000) // greatest(pi.p + pj.p, 1) as t
+    from np join p{p} pi on pi.pl = np.i join p{p} pj on pj.pl = np.j
+    union all
+    select np.j as pl,
+      (cast(np.n as hugeint) * 1000000) // greatest(pi.p + pj.p, 1) as t
+    from np join p{p} pi on pi.pl = np.i join p{p} pj on pj.pl = np.j
+  ) group by 1
+),
+p{t} as (
+  select pl.pl,
+    (cast(coalesce(wi.wins, 0) as hugeint) * 1000000 * 1000000)
+      // greatest(coalesce(d{t}.denom, 1), 1) as p
+  from players pl
+  left join wi on wi.pl = pl.pl
+  left join d{t} on d{t}.pl = pl.pl
+)"""
+    return f"""{_W},
+ct as (
+  select conv_id, tool, sum(cast(floor(value * 100 + 0.5) as bigint)) as cents
+  from transcripts where tool is not null group by 1, 2
+),
+m as (
+  select case when a.cents > b.cents then a.tool else b.tool end as winner,
+         case when a.cents > b.cents then b.tool else a.tool end as loser
+  from ct a join ct b on a.conv_id = b.conv_id and a.tool < b.tool
+  where a.cents <> b.cents
+),
+pc as (select winner, loser, cast(count(*) as bigint) as w from m group by 1, 2),
+np as (
+  select least(winner, loser) as i, greatest(winner, loser) as j,
+    sum(w) as n
+  from pc group by 1, 2
+),
+players as (select i as pl from np union select j as pl from np),
+wi as (select winner as pl, sum(w) as wins from pc group by 1),
+nm as (
+  select pl, sum(n) as n_matches from (
+    select i as pl, n from np union all select j as pl, n from np
+  ) group by 1
+),
+p0 as (select pl, cast(1000000 as hugeint) as p from players)
+{it.format(t=1, p=0)}{it.format(t=2, p=1)}{it.format(t=3, p=2)}
+select pl.pl,
+  cast(coalesce(wi.wins, 0) as bigint) as wins,
+  cast(coalesce(nm.n_matches, 0) as bigint) as n_matches,
+  cast(p3.p as bigint) as p_micro
+from players pl
+left join wi on wi.pl = pl.pl
+left join nm on nm.pl = pl.pl
+join p3 on p3.pl = pl.pl
+"""
+
+
+QUERIES["bradley_terry"] = q_bradley_terry
+ORACLES["bradley_terry"] = _bradley_terry_oracle()
+
+
+# --- DSIR importance log-weights (target-domain data selection) ----------------------
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance resampling log-weights (functions/corpus.
+    dsir_log_weights, Xie et al. NeurIPS 2023): every document scored by
+    sum_w k_w * (ln p_en(w) - ln p_other(w)) under add-one-smoothed
+    unigram models of the English vs non-English corpus slices over the
+    pooled vocabulary — the published pretraining data-selection recipe,
+    here with exact integer counts and the identical ln expression on
+    both engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "is_target", (F.col("lang") == "en").cast("int")
+    )
+    out = corpus.dsir_log_weights(docs)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        _r6x(F.col("log_weight"), "log_weight"),
+    )
+
+
+O_DSIR_WEIGHTS = f"""
+with {_WORDS_CTE},
+ww as (select doc_id, unnest(words) as word from w),
+tgt as (
+  select doc_id, case when lang = 'en' then 1 else 0 end as t from documents
+),
+wt as (select ww.doc_id, word, t from ww join tgt using (doc_id)),
+wc as (select word, sum(t) as c_t, sum(1 - t) as c_s from wt group by word),
+tot as (
+  select cast(sum(c_t) as double) as n_t,
+    cast(sum(c_s) as double) as n_s,
+    cast(count(*) as double) as n_vocab
+  from wc
+),
+dw as (select doc_id, word, count(*) as k from ww group by 1, 2),
+s as (
+  select dw.doc_id, dw.k,
+    ln((wc.c_t + 1.0) / (tot.n_t + tot.n_vocab))
+      - ln((wc.c_s + 1.0) / (tot.n_s + tot.n_vocab)) as lr
+  from dw join wc using (word) cross join tot
+)
+select doc_id,
+  cast(sum(k) as bigint) as n_words,
+  floor(sum(k * lr) * 1000000.0 + 0.5) / 1000000.0 as log_weight
+from s group by doc_id
+"""
+
+QUERIES["dsir_weights"] = q_dsir_weights
+ORACLES["dsir_weights"] = O_DSIR_WEIGHTS
+
+
+# --- fixed-round k-core peel over the word-adjacency graph ---------------------------
+
+def q_kcore_peel(spark, sf_dir):
+    """3-round k-core peel (functions/graph.kcore_peel, k=3) over the
+    pruned word-adjacency graph (canonical consecutive-word pairs seen
+    >= 3 times): per word, its initial degree and the 1-indexed round it
+    was peeled (0 = in the surviving core) — the coreness-style
+    vocabulary-curation signal, exact integer set arithmetic on both
+    engines."""
+    from ..functions import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = graph.word_adjacency_edges(docs, min_count=3)
+    return graph.kcore_peel(edges, k=3, rounds=3)
+
+
+def _kcore_oracle(k: int = 3, min_count: int = 3) -> str:
+    rnd = """,
+e{t} as (
+  select a, b from e{p}
+  where a in (select node from s{t}) and b in (select node from s{t})
+),
+deg{t} as (
+  select s{t}.node, cast(coalesce(c.deg, 0) as bigint) as deg
+  from s{t} left join (
+    select node, count(*) as deg from (
+      select a as node from e{t} union all select b from e{t}
+    ) group by 1
+  ) c using (node)
+),
+s{n} as (select node from deg{t} where deg >= {k})"""
+    return f"""
+with d as (
+  select string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as w
+  from documents
+),
+tr as (
+  select unnest(w[1:len(w)-1]) as x, unnest(w[2:len(w)]) as y from d
+),
+e0 as (
+  select least(x, y) as a, greatest(x, y) as b, count(*) as w
+  from tr where x <> y group by 1, 2
+),
+e as (select a, b from e0 where w >= {min_count}),
+deg0 as (
+  select node, cast(count(*) as bigint) as deg from (
+    select a as node from e union all select b from e
+  ) group by 1
+),
+s1 as (select node from deg0 where deg >= {k})
+{rnd.format(t=1, p='', n=2, k=k)}
+{rnd.format(t=2, p=1, n=3, k=k)}
+select deg0.node, deg0.deg as deg0,
+  cast(case
+    when deg0.node not in (select node from s1) then 1
+    when deg0.node not in (select node from s2) then 2
+    when deg0.node not in (select node from s3) then 3
+    else 0 end as int) as peel_round
+from deg0
+"""
+
+
+QUERIES["kcore_peel"] = q_kcore_peel
+ORACLES["kcore_peel"] = _kcore_oracle()
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -561,3 +561,25 @@ def test_priority_sample_matches_reference(spark):
     for r in out:
         w = 10 + (r["doc_id"] * 7) % 90
         assert r["priority_fp"] == prio(r["doc_id"], w)
+
+
+# --- DSIR importance log-weights -----------------------------------------------------
+
+
+def test_dsir_log_weights_direction_and_counts(spark):
+    from feature_extractor_mbo_lob_spark.functions.corpus import dsir_log_weights
+
+    rows = [
+        (0, "wiki words wiki words wiki", 1),
+        (1, "wiki words wiki facts", 1),
+        (2, "spam junk spam junk spam", 0),
+        (3, "spam junk noise", 0),
+        (4, "wiki words", 0),        # source doc that LOOKS like target
+        (5, "spam junk", 1),         # target doc that LOOKS like source
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_target int")
+    out = {r.id: r for r in dsir_log_weights(df).collect()}
+    assert out[0].n_words == 5 and out[4].n_words == 2
+    # target-vocabulary docs score higher than source-vocabulary docs
+    assert out[4].log_weight > 0 > out[5].log_weight
+    assert out[0].log_weight > out[2].log_weight

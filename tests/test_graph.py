@@ -214,3 +214,29 @@ def test_link_prediction_degree_cap(spark):
     assert len(out) == 1
     assert (out[0]["node_a"], out[0]["node_b"]) == ("t0", "t1")
     assert out[0]["ra_fp"] == 10**6 // 2
+
+
+# --- k-core peel ---------------------------------------------------------------------
+
+
+def _kcore_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a string, b string")
+
+
+def test_kcore_peel_triangle_with_pendant(spark):
+    from feature_extractor_mbo_lob_spark.functions.graph import kcore_peel
+
+    e = _kcore_edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")])
+    out = {r.node: r for r in kcore_peel(e, k=2, rounds=3).collect()}
+    assert out["a"].deg0 == 3 and out["d"].deg0 == 1
+    assert out["d"].peel_round == 1
+    assert all(out[n].peel_round == 0 for n in ("a", "b", "c"))
+
+
+def test_kcore_peel_cascade(spark):
+    from feature_extractor_mbo_lob_spark.functions.graph import kcore_peel
+
+    # k=3: b, c, d fall in round 1; a (degree then 0) falls in round 2
+    e = _kcore_edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")])
+    out = {r.node: r.peel_round for r in kcore_peel(e, k=3, rounds=3).collect()}
+    assert out == {"a": 2, "b": 1, "c": 1, "d": 1}

@@ -209,3 +209,34 @@ def test_propensity_match_no_controls_in_stratum(spark):
     out = propensity_match(df, "id", "score", "treated", "y", stratum_col="st").collect()
     assert len(out) == 1 and out[0]["control_id"] is None
     assert out[0]["att_term"] is None
+
+
+# --- Bradley-Terry -------------------------------------------------------------------
+
+
+def _bt_pairs(spark):
+    rows = [
+        ("A", "B", 9), ("B", "A", 1),
+        ("B", "C", 9), ("C", "B", 1),
+        ("A", "C", 9), ("C", "A", 1),
+    ]
+    return spark.createDataFrame(rows, "winner string, loser string, w long")
+
+
+def test_bradley_terry_dominance_order(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import bradley_terry
+
+    out = {r.pl: r for r in bradley_terry(_bt_pairs(spark)).collect()}
+    assert set(out) == {"A", "B", "C"}
+    assert out["A"].wins == 18 and out["B"].wins == 10 and out["C"].wins == 2
+    assert all(r.n_matches == 20 for r in out.values())
+    assert out["A"].p_micro > out["B"].p_micro > out["C"].p_micro > 0
+
+
+def test_bradley_terry_local_equals_distributed(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import bradley_terry
+
+    pc = _bt_pairs(spark)
+    local = sorted(map(tuple, bradley_terry(pc).collect()))
+    dist = sorted(map(tuple, bradley_terry(pc, max_local_pairs=0).collect()))
+    assert local == dist

@@ -304,3 +304,51 @@ def test_nelson_aalen_wide_counts_no_wrap(spark):
     out = nelson_aalen_table(rt, scale=10**9).collect()[0]
     assert out["h_cum_fp"] == 10**9  # d == n -> hazard exactly 1.0
     assert out["var_cum_fp"] == 0  # 1e9 // 1e10 == 0
+
+
+# --- log-rank test -------------------------------------------------------------------
+
+
+def _naive_logrank_chi2(obs):
+    """Independent float log-rank: obs = [(t, event, grp)]."""
+    times = sorted({t for t, e, g in obs if e == 1})
+    o1 = e1 = v = 0.0
+    for t in times:
+        at_risk = [(e, g) for tt, e, g in obs if tt >= t]
+        n = len(at_risk)
+        n1 = sum(g for _, g in at_risk)
+        d = sum(e for tt, e, g in obs if tt == t and e == 1)
+        d1 = sum(e * g for tt, e, g in obs if tt == t and e == 1)
+        o1 += d1
+        e1 += d * n1 / n
+        if n > 1:
+            v += d * n1 * (n - n1) * (n - d) / (n * n * (n - 1))
+    return (o1 - e1) ** 2 / v if v > 0 else 0.0
+
+
+def test_logrank_matches_naive_float_reference(spark):
+    from feature_extractor_mbo_lob_spark.operators.survival import logrank_test
+
+    obs = [
+        (1, 1, 0), (2, 1, 0), (3, 1, 0), (4, 0, 0), (7, 1, 0),
+        (2, 1, 1), (3, 0, 1), (5, 1, 1), (6, 1, 1), (8, 0, 1),
+    ]
+    df = spark.createDataFrame(obs, "dur_s long, event long, grp long")
+    r = logrank_test(df, "dur_s", "event", "grp").collect()[0]
+    assert r.o1 == sum(e * g for _, e, g in obs)
+    assert r.o2 == sum(e * (1 - g) for _, e, g in obs)
+    naive = _naive_logrank_chi2(obs)
+    # fixed-point floors introduce <=1e-9 per accumulated term
+    assert abs(r.chi2_raw - naive) < 1e-6
+
+
+def test_logrank_symmetric_groups_near_zero(spark):
+    from feature_extractor_mbo_lob_spark.operators.survival import logrank_test
+
+    # identical duration/event multisets in both groups
+    base = [(1, 1), (2, 1), (3, 0), (5, 1), (9, 0)]
+    obs = [(t, e, g) for t, e in base for g in (0, 1)]
+    df = spark.createDataFrame(obs, "dur_s long, event long, grp long")
+    r = logrank_test(df, "dur_s", "event", "grp").collect()[0]
+    assert r.o1 == r.o2
+    assert r.chi2_raw < 1e-9
