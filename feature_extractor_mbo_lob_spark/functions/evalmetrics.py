@@ -360,3 +360,52 @@ def cohens_kappa(df: DataFrame, pred_col: str, label_col: str) -> DataFrame:
     return with_sums.select(
         "n", _x6(po).alias("po"), _x6(pe).alias("pe"), _x6(kappa).alias("kappa")
     )
+
+
+def segmentation_pk(
+    df: DataFrame,
+    k: int,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    pred_col: str = "pred_b",
+    ref_col: str = "ref_b",
+) -> DataFrame:
+    """Pk segmentation-quality metric (Beeferman, Berger & Lafferty,
+    Machine Learning 1999): slide a window of width ``k`` positions over
+    every sequence and count how often the predicted segmentation and the
+    reference disagree about whether positions i and i+k lie in the same
+    segment. The standard scorer for topic segmentation (NLTK ``pk``) —
+    here it grades ``topic_boundaries`` against any reference boundary
+    column.
+
+    Engine-exactness: segment ids are integer boundary cumsums, the
+    window comparison is pure boolean algebra, and the final rate is one
+    identical IEEE division of two exact int64 counts.
+
+    Scale shape: two per-key window cascades SHARING one (key, order)
+    sort — cumsum then lead(k) — and a 1-row global aggregate. One
+    shuffle total, no join.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = df.select(
+        key_col,
+        order_col,
+        F.sum(F.col(pred_col).cast("long")).over(wc).alias("seg_p"),
+        F.sum(F.col(ref_col).cast("long")).over(wc).alias("seg_r"),
+    )
+    led = seg.select(
+        (F.col("seg_p") == F.lead("seg_p", k).over(w)).alias("same_p"),
+        (F.col("seg_r") == F.lead("seg_r", k).over(w)).alias("same_r"),
+    ).filter(F.col("same_p").isNotNull())
+    out = led.agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(
+            F.when(F.col("same_p") != F.col("same_r"), 1).otherwise(0)
+        ).cast("long").alias("n_disagree"),
+    )
+    pk = F.when(
+        F.col("n_windows") > 0,
+        F.col("n_disagree").cast("double") / F.col("n_windows").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select("n_windows", "n_disagree", pk.alias("pk_raw"))

@@ -1179,3 +1179,66 @@ def bradley_terry(
             F.col("p").alias("p_micro"),
         )
     )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    score_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954; Armitage 1955): is a
+    binary outcome rate monotonically associated with an ORDERED integer
+    score (dose, decile, position bucket)? The missing piece between the
+    two-sample z-test (ab_ztest) and the rank correlations (spearman,
+    mann_kendall): it tests proportions across ordered groups with one
+    degree of freedom.
+
+    With per-score cells (n_i trials, r_i successes), score w_i, totals
+    N, X and moments T = sum w_i r_i, S1 = sum w_i n_i, S2 = sum w_i^2 n_i:
+
+        z^2 = (T*N - X*S1)^2 * (N - 1)
+              / ( X * (N - X) * (N*S2 - S1^2) )
+
+    Everything up to the final quotient is EXACT integer arithmetic in
+    decimal(38,0) (hugeint twin); the quotient is one identical IEEE
+    division of two already-exact big integers on both engines.
+
+    Scale shape: one partial-aggregable groupBy(score) collapses the
+    corpus to the cell frame, then a 1-row moment aggregate — the same
+    two-shuffle shape as kanonymity; no sort, no join.
+    """
+    s = F.col("_g")
+    cells = df.select(
+        F.col(score_col).cast("long").alias("_g"),
+        F.col(flag_col).cast("long").alias("_x"),
+    ).groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("_x").alias("r_i"),
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_i").cast("long").alias("n_total"),
+        F.sum("r_i").cast("long").alias("x_total"),
+        F.sum(s * F.col("r_i")).cast("long").alias("t_stat"),
+        F.sum(s * F.col("n_i")).cast("long").alias("s1"),
+        F.sum(s * s * F.col("n_i")).cast("long").alias("s2"),
+    )
+    num = F.expr(
+        "cast(t_stat as decimal(38,0)) * n_total"
+        " - cast(x_total as decimal(38,0)) * s1"
+    )
+    den = F.expr(
+        "cast(x_total as decimal(38,0)) * (n_total - x_total)"
+        " * (cast(n_total as decimal(38,0)) * s2"
+        "    - cast(s1 as decimal(38,0)) * s1)"
+    )
+    out = tot.withColumn("_num", num).withColumn("_den", den)
+    z2 = F.when(
+        F.col("_den") > 0,
+        (F.col("_num") * F.col("_num") * (F.col("n_total") - 1)).cast("double")
+        / F.col("_den").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n_groups", "n_total", "x_total", "t_stat", "s1", "s2",
+        z2.alias("z2_raw"),
+    )

@@ -14170,6 +14170,149 @@ QUERIES["kcore_peel"] = q_kcore_peel
 ORACLES["kcore_peel"] = _kcore_oracle()
 
 
+# --- Cochran-Armitage trend test (error rate across value deciles) -------------------
+
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test (functions/stats.
+    cochran_armitage_trend): does the error rate trend with the order
+    value band (exact cents div 2500, capped at score 9)? All moments
+    are exact decimal(38,0) integers; the z^2 statistic is one identical
+    IEEE division of two already-exact big integers on both engines."""
+    from ..functions.stats import cochran_armitage_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    scored = ev.select(
+        F.expr(
+            "least(cast(floor(value * 100 + 0.5) as bigint) div 2500, 9)"
+        ).alias("band"),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    out = cochran_armitage_trend(scored, "band", "is_err")
+    return out.select(
+        "n_groups", "n_total", "x_total", "t_stat", "s1", "s2",
+        _r6x(F.col("z2_raw"), "z2"),
+    )
+
+
+_CA_Z2 = (
+    "case when cast(x_total as hugeint) * (n_total - x_total)"
+    " * (cast(n_total as hugeint) * s2 - cast(s1 as hugeint) * s1) > 0 then"
+    " cast((cast(t_stat as hugeint) * n_total - cast(x_total as hugeint) * s1)"
+    "      * (cast(t_stat as hugeint) * n_total - cast(x_total as hugeint) * s1)"
+    "      * (n_total - 1) as double)"
+    " / cast(cast(x_total as hugeint) * (n_total - x_total)"
+    "        * (cast(n_total as hugeint) * s2 - cast(s1 as hugeint) * s1)"
+    "        as double)"
+    " else 0.0 end"
+)
+
+O_COCHRAN_ARMITAGE = f"""
+with cells as (
+  select least(cast(floor(value * 100 + 0.5) as bigint) // 2500, 9) as g,
+    cast(count(*) as bigint) as n_i,
+    cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as r_i
+  from events group by 1
+),
+tot as (
+  select cast(count(*) as bigint) as n_groups,
+    cast(sum(n_i) as bigint) as n_total,
+    cast(sum(r_i) as bigint) as x_total,
+    cast(sum(g * r_i) as bigint) as t_stat,
+    cast(sum(g * n_i) as bigint) as s1,
+    cast(sum(g * g * n_i) as bigint) as s2
+  from cells
+)
+select n_groups, n_total, x_total, t_stat, s1, s2,
+  {_r6x_sql(_CA_Z2)} as z2
+from tot
+"""
+
+QUERIES["cochran_armitage"] = q_cochran_armitage
+ORACLES["cochran_armitage"] = O_COCHRAN_ARMITAGE
+
+
+# --- Pk segmentation quality: topic boundaries vs role-switch reference --------------
+
+def q_segmentation_pk(spark, sf_dir):
+    """Pk segmentation metric (functions/evalmetrics.segmentation_pk,
+    Beeferman et al. 1999) grading the TextTiling topic boundaries
+    against the role-switch reference segmentation, window k=3: exact
+    integer window counts, one IEEE division for the rate."""
+    from pyspark.sql import Window
+    from ..functions.evalmetrics import segmentation_pk
+    from ..operators.sequence import topic_boundaries
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = t.select(
+        "conv_id", "turn_idx",
+        F.when(
+            F.lag("role").over(w).isNotNull()
+            & (F.col("role") != F.lag("role").over(w)),
+            1,
+        ).otherwise(0).alias("ref_b"),
+    )
+    tb = topic_boundaries(t, k=2, boundary_ppm=150_000).select(
+        "conv_id",
+        F.col("boundary_idx").cast("int").alias("turn_idx"),
+        F.col("is_boundary").alias("pred_b0"),
+    )
+    pr = base.join(tb, ["conv_id", "turn_idx"], "left").withColumn(
+        "pred_b", F.coalesce("pred_b0", F.lit(0))
+    )
+    out = segmentation_pk(pr, k=3)
+    return out.select(
+        "n_windows", "n_disagree", _r6x(F.col("pk_raw"), "pk")
+    )
+
+
+_TB_CTES = O_TOPIC_BOUNDARIES[: O_TOPIC_BOUNDARIES.rindex("select")].rstrip().rstrip(",")
+_TB_FINAL = O_TOPIC_BOUNDARIES[O_TOPIC_BOUNDARIES.rindex("select"):]
+
+O_SEGMENTATION_PK = _TB_CTES + f""",
+tb as (
+{_TB_FINAL}),
+pt as (
+  select t.conv_id, t.turn_idx, t.role,
+    coalesce(tb.is_boundary, 0) as pred_b
+  from transcripts t left join tb
+    on tb.conv_id = t.conv_id and tb.boundary_idx = t.turn_idx
+),
+pr as (
+  select conv_id, turn_idx, pred_b,
+    case when lag(role) over (partition by conv_id order by turn_idx) is not null
+          and role <> lag(role) over (partition by conv_id order by turn_idx)
+         then 1 else 0 end as ref_b
+  from pt
+),
+sg as (
+  select conv_id, turn_idx,
+    sum(pred_b) over (partition by conv_id order by turn_idx
+      rows between unbounded preceding and current row) as seg_p,
+    sum(ref_b) over (partition by conv_id order by turn_idx
+      rows between unbounded preceding and current row) as seg_r
+  from pr
+),
+ld as (
+  select conv_id,
+    seg_p = lead(seg_p, 3) over (partition by conv_id order by turn_idx) as same_p,
+    seg_r = lead(seg_r, 3) over (partition by conv_id order by turn_idx) as same_r
+  from sg
+),
+pkagg as (
+  select cast(count(*) as bigint) as n_windows,
+    cast(sum(case when same_p <> same_r then 1 else 0 end) as bigint) as n_disagree
+  from ld where same_p is not null
+)
+select n_windows, n_disagree,
+  {_r6x_sql("case when n_windows > 0 then cast(n_disagree as double) / cast(n_windows as double) else 0.0 end")} as pk
+from pkagg
+"""
+
+QUERIES["segmentation_pk"] = q_segmentation_pk
+ORACLES["segmentation_pk"] = O_SEGMENTATION_PK
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -163,3 +163,33 @@ def test_cohens_kappa_degenerate_constant(spark):
     df = spark.createDataFrame([(1, 1), (1, 1)], "p int, y int")
     r = em2.cohens_kappa(df, "p", "y").collect()[0]
     assert r.kappa == 0.0  # pe = 1 guard
+
+
+# --- Pk segmentation metric ----------------------------------------------------------
+
+
+def _pk_frame(spark, pred, ref):
+    rows = [("c", i, p, r) for i, (p, r) in enumerate(zip(pred, ref))]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, pred_b int, ref_b int"
+    )
+
+
+def test_segmentation_pk_perfect_prediction_is_zero(spark):
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import segmentation_pk
+
+    ref = [0, 0, 0, 0, 0, 1, 0, 0, 0, 0]
+    out = segmentation_pk(_pk_frame(spark, ref, ref), k=2).collect()[0]
+    assert out.n_windows == 8
+    assert out.n_disagree == 0 and out.pk_raw == 0.0
+
+
+def test_segmentation_pk_missed_boundary_counts_straddling_windows(spark):
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import segmentation_pk
+
+    ref = [0, 0, 0, 0, 0, 1, 0, 0, 0, 0]
+    pred = [0] * 10
+    out = segmentation_pk(_pk_frame(spark, pred, ref), k=2).collect()[0]
+    # windows (3,5) and (4,6) straddle the reference boundary at 5
+    assert out.n_windows == 8 and out.n_disagree == 2
+    assert abs(out.pk_raw - 0.25) < 1e-12

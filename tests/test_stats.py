@@ -240,3 +240,38 @@ def test_bradley_terry_local_equals_distributed(spark):
     local = sorted(map(tuple, bradley_terry(pc).collect()))
     dist = sorted(map(tuple, bradley_terry(pc, max_local_pairs=0).collect()))
     assert local == dist
+
+
+# --- Cochran-Armitage ----------------------------------------------------------------
+
+
+def test_cochran_armitage_matches_naive_float(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import cochran_armitage_trend
+
+    # dose-dependent rates: 1/10, 3/10, 5/10, 8/10
+    rows = []
+    for g, r in enumerate((1, 3, 5, 8)):
+        rows += [(g, 1)] * r + [(g, 0)] * (10 - r)
+    df = spark.createDataFrame(rows, "band long, is_err int")
+    out = cochran_armitage_trend(df, "band", "is_err").collect()[0]
+    assert out.n_groups == 4 and out.n_total == 40 and out.x_total == 17
+    n_i = [10] * 4
+    r_i = [1, 3, 5, 8]
+    N, X = 40, 17
+    T = sum(g * r for g, r in enumerate(r_i))
+    S1 = sum(g * n for g, n in enumerate(n_i))
+    S2 = sum(g * g * n for g, n in enumerate(n_i))
+    naive = (T * N - X * S1) ** 2 * (N - 1) / (X * (N - X) * (N * S2 - S1 * S1))
+    assert abs(out.z2_raw - naive) < 1e-12
+    assert out.z2_raw > 6.0  # strong trend
+
+
+def test_cochran_armitage_flat_rates_near_zero(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import cochran_armitage_trend
+
+    rows = []
+    for g in range(4):
+        rows += [(g, 1)] * 5 + [(g, 0)] * 5
+    df = spark.createDataFrame(rows, "band long, is_err int")
+    out = cochran_armitage_trend(df, "band", "is_err").collect()[0]
+    assert out.z2_raw < 1e-12
