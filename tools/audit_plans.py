@@ -1039,6 +1039,110 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.graph import (
+        kcore_peel,
+        word_adjacency_edges,
+    )
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        bradley_terry,
+        cochran_armitage_trend,
+    )
+    from feature_extractor_mbo_lob_spark.functions.corpus import dsir_log_weights
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import segmentation_pk
+
+    dur = surv2.episode_durations(t, CFG, granularity_s=60).withColumn(
+        "grp", (F.substring("tool", 2, 1).cast("int") % 2).cast("long")
+    )
+    sections.append(summarize(
+        "Two-sample log-rank test",
+        surv2.logrank_test(dur, "dur_s", "event", "grp"),
+        "ONE groupBy collapses all episodes to distinct-duration rows "
+        "(conditional sums fold both groups in the same pass); one window "
+        "over that tiny aggregate + a 1-row moment aggregate. Fixed-point "
+        "O/E/V in decimal(38,0); no join, no python.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    bt_pairs = t.filter(F.col("tool").isNotNull()).groupBy("conv_id").agg(
+        F.min("tool").alias("winner"), F.max("tool").alias("loser"),
+        F.count(F.lit(1)).cast("long").alias("w"),
+    ).filter(F.col("winner") != F.col("loser"))
+    sections.append(summarize(
+        "Bradley-Terry MM fit (bounded fast path, single task)",
+        bradley_terry(bt_pairs),
+        "Input is the AGGREGATED O(players^2) win table; within "
+        "max_local_pairs ALL MM iterations run in one coalesce(1) "
+        "mapInPandas stage on Python arbitrary-precision ints (the "
+        "hugeint contract). The HITS round-4 pattern.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Bradley-Terry MM fit (distributed decimal path)",
+        bradley_terry(bt_pairs, max_local_pairs=0),
+        "Past the bound: per iteration, two hash joins of the pair table "
+        "to the current strengths + one union groupBy — identical "
+        "decimal(38,0) floor arithmetic, zero Python stages.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    docs_ds = docs.withColumn("is_target", (F.col("doc_id") % 2 == 0).cast("int"))
+    sections.append(summarize(
+        "DSIR importance log-weights",
+        dsir_log_weights(docs_ds, "is_target"),
+        "Words explode once; ONE groupBy(word) builds BOTH smoothed "
+        "models via conditional sums; the (doc, word) frame joins the "
+        "vocab table and collapses per doc. The 4-number totals ride a "
+        "broadcast (the intended 1-row BroadcastNestedLoop, same shape "
+        "as unigram_logprob).",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "k-core peel (3 fixed rounds)",
+        kcore_peel(word_adjacency_edges(docs, min_count=2), k=3, rounds=3),
+        "Edges localCheckpoint ONCE (the graph-iteration lineage rule); "
+        "each round is two left-semi hash joins over the shrinking edge "
+        "set + one partial-aggregable degree count. Fixed unrolled depth "
+        "— no convergence-dependent lineage, no python.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    ca = t.select(
+        (F.col("turn_idx") % 8).cast("long").alias("band"),
+        F.col("tool").isNotNull().cast("int").alias("is_err"),
+    )
+    sections.append(summarize(
+        "Cochran-Armitage trend test",
+        cochran_armitage_trend(ca, "band", "is_err"),
+        "groupBy(score) collapses the corpus to the cell frame, then a "
+        "1-row decimal(38,0) moment aggregate — the kanonymity two-"
+        "shuffle shape; the z^2 quotient is one IEEE division of two "
+        "exact integers.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    pk_in = t.select(
+        "conv_id", "turn_idx",
+        (F.col("turn_idx") % 7 == 0).cast("int").alias("pred_b"),
+        (F.col("turn_idx") % 5 == 0).cast("int").alias("ref_b"),
+    )
+    sections.append(summarize(
+        "Pk segmentation metric",
+        segmentation_pk(pk_in, k=3),
+        "Two per-conversation window cascades (boundary cumsum, then "
+        "lead-k comparison) SHARE one (conv, turn) sort — one exchange "
+        "total — then a 1-row global aggregate. No join, no python.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
