@@ -1010,3 +1010,59 @@ def kcenter_select(
         [(int(s), int(i), int(d)) for s, i, d in picks],
         "step long, vec_id long, radius_d2 long",
     )
+
+
+def embedding_outliers(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector outlier score: diagonal-Mahalanobis distance to the
+    corpus centroid, sum_i (x_i - mu_i)^2 / var_i — the standard cheap
+    embedding-space anomaly gate (whitened distance with a diagonal
+    covariance; full-matrix Mahalanobis needs the eigen step that lives
+    downstream of embedding_covariance).
+
+    Engine-exactness: lanes micro-quantize to q = floor(x*1e6 + 0.5) and
+    the n^2 factors CANCEL —
+
+        (q - s/n)^2 / ((n*s2 - s^2)/n^2)  =  (n*q - s)^2 / (n*s2 - s^2)
+
+    so each lane term is a ratio of exact integers, emitted as the
+    fixed-point ``((n*q - s)^2 * 1e6) div (n*s2 - s^2)`` in decimal(38,0)
+    (hugeint twin) and SUMMED AS INTEGERS over lanes — order-free, never
+    an engine-ordered float sum. Zero-variance lanes contribute 0.
+
+    Scale shape: one posexplode + one groupBy(lane) producing the d-row
+    moment table, broadcast back onto the lane rows, then one
+    partial-aggregable groupBy(id). Shuffle O(rows * d) digests with
+    map-side combine; no self-join, no driver collect.
+    """
+    lanes = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    ).select(
+        "id", "i",
+        F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("q"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(20,0)")
+    stats = lanes.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(dec("q") * dec("q")).cast("decimal(38,0)").alias("s2"),
+    )
+    term = F.expr(
+        "case when cast(n as decimal(38,0)) * s2"
+        "        - cast(s as decimal(38,0)) * s > 0 then"
+        " (cast(n as decimal(38,0)) * q - s)"
+        " * (cast(n as decimal(38,0)) * q - s) * 1000000"
+        " div (cast(n as decimal(38,0)) * s2 - cast(s as decimal(38,0)) * s)"
+        " else 0 end"
+    )
+    return (
+        lanes.join(F.broadcast(stats), "i")
+        .select("id", term.cast("decimal(38,0)").alias("t_fp"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lanes"),
+            F.sum("t_fp").cast("long").alias("score_fp"),
+        )
+    )

@@ -14313,6 +14313,50 @@ QUERIES["segmentation_pk"] = q_segmentation_pk
 ORACLES["segmentation_pk"] = O_SEGMENTATION_PK
 
 
+# --- diagonal-Mahalanobis embedding outlier scores -----------------------------------
+
+def q_embedding_outliers(spark, sf_dir):
+    """Per-vector diagonal-Mahalanobis outlier score (operators/
+    similarity.embedding_outliers): micro-quantized lanes, the n^2
+    cancellation makes every lane term a ratio of exact integers —
+    fixed-point (n*q - s)^2 * 1e6 div (n*s2 - s^2) in decimal(38,0),
+    summed as integers over lanes. The cheap embedding-space anomaly
+    gate next to the covariance/PCA stage."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_outliers(emb).select(
+        F.col("id").alias("vec_id"), "n_lanes", "score_fp"
+    )
+
+
+O_EMBEDDING_OUTLIERS = """
+with l as (
+  select vec_id,
+    generate_subscripts(embedding, 1) - 1 as i,
+    cast(floor(cast(unnest(embedding) as double) * 1000000.0 + 0.5) as bigint) as q
+  from embeddings
+),
+st as (
+  select i, cast(count(*) as bigint) as n, cast(sum(q) as bigint) as s,
+    sum(cast(q as hugeint) * q) as s2
+  from l group by 1
+),
+t as (
+  select l.vec_id,
+    case when cast(n as hugeint) * s2 - cast(s as hugeint) * s > 0 then
+      (cast(n as hugeint) * q - s) * (cast(n as hugeint) * q - s) * 1000000
+        // (cast(n as hugeint) * s2 - cast(s as hugeint) * s)
+    else 0 end as t_fp
+  from l join st using (i)
+)
+select vec_id, cast(count(*) as bigint) as n_lanes,
+  cast(sum(t_fp) as bigint) as score_fp
+from t group by 1
+"""
+
+QUERIES["embedding_outliers"] = q_embedding_outliers
+ORACLES["embedding_outliers"] = O_EMBEDDING_OUTLIERS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -657,3 +657,30 @@ def test_minhash_lsh_capped_preserves_clusters(docs):
     cc = {r.id: r.cluster_id
           for r in dedup.connected_components(capped).collect()}
     assert cu == cc
+
+
+# --- embedding outlier scores ----------------------------------------------------------
+
+
+def test_embedding_outliers_matches_naive_and_flags_outlier(spark):
+    import numpy as np
+    from feature_extractor_mbo_lob_spark.operators.similarity import embedding_outliers
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(0.0, 0.05, size=(30, 4))
+    vecs[29] = [2.0, -2.0, 2.0, -2.0]  # gross outlier
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.id: r for r in embedding_outliers(df).collect()}
+    assert all(r.n_lanes == 4 for r in out.values())
+
+    # naive float diagonal Mahalanobis on the SAME micro-quantized lanes
+    q = np.floor(vecs * 1e6 + 0.5)
+    n = q.shape[0]
+    s = q.sum(axis=0)
+    s2 = (q * q).sum(axis=0)
+    naive = (((n * q - s) ** 2) / (n * s2 - s * s)).sum(axis=1)
+    for i in range(30):
+        assert abs(out[i].score_fp / 1e6 - naive[i]) < 5e-6
+    assert out[29].score_fp == max(r.score_fp for r in out.values())
+    assert out[29].score_fp > 10 * sorted(r.score_fp for r in out.values())[-2]
