@@ -1242,3 +1242,120 @@ def cochran_armitage_trend(
         "n_groups", "n_total", "x_total", "t_stat", "s1", "s2",
         z2.alias("z2_raw"),
     )
+
+
+def wilcoxon_signed_rank(
+    pairs: DataFrame,
+    d_col: str = "d",
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) over per-unit integer
+    paired differences — the PAIRED leg of the experimentation family
+    (mcnemar handles paired binaries; mann_whitney_u handles unpaired
+    metrics; this handles paired continuous metrics, e.g. pre/post spend
+    of the same user).
+
+    Convention: zero differences drop (the classic Wilcoxon reduction);
+    |d| ranks carry ties as DOUBLED midranks (2x midrank = min_rank +
+    max_rank, always integer — the mann_whitney_u trick). Outputs one
+    row of exact integers: n_pairs, w2_pos (2x positive-rank sum),
+    e2 = n(n+1)/2 (2x its null expectation), tie_term = sum(t^3 - t),
+    and the z^2 statistic
+
+        z^2 = (w2_pos - e2)^2 * 12 / (2n(n+1)(2n+1) - tie_term)
+
+    as ONE IEEE division of two exact decimal(38,0) integers (Var(2W+) =
+    n(n+1)(2n+1)/6 - tie_term/12, multiplied through).
+
+    Scale shape: groupBy(DISTINCT |d|) -> a window over the distinct-
+    value frame only -> 1-row aggregate; bounded by metric cardinality,
+    never corpus size.
+    """
+    from pyspark.sql import Window
+
+    dd = pairs.select(F.col(d_col).cast("long").alias("d")).filter(
+        F.col("d") != 0
+    )
+    g = dd.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("cnt_pos"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.select(
+        "cnt", "cnt_pos",
+        (F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt"))
+         + F.col("cnt") + F.lit(1)).alias("two_midrank"),
+    )
+    f = r.agg(
+        F.sum("cnt").cast("long").alias("n_pairs"),
+        F.sum(F.col("cnt_pos") * F.col("two_midrank")).cast("long")
+        .alias("w2_pos"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long").alias("tie_term"),
+    ).withColumn(
+        "e2", F.expr("n_pairs * (n_pairs + 1) div 2").cast("long")
+    )
+    num = F.expr(
+        "cast(w2_pos - e2 as decimal(38,0))"
+        " * (w2_pos - e2) * 12"
+    )
+    den = F.expr(
+        "cast(2 as decimal(38,0)) * n_pairs * (n_pairs + 1)"
+        " * (2 * n_pairs + 1) - tie_term"
+    )
+    z2 = F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    return f.select(
+        "n_pairs", "w2_pos", "e2", "tie_term", z2.alias("z2_raw")
+    )
+
+
+def kruskal_wallis(
+    obs: DataFrame,
+    group_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis rank test sufficient statistics (Kruskal & Wallis
+    1952) — the k-group extension of mann_whitney_u: pooled doubled
+    midranks over the distinct metric values, per-group counts and
+    doubled rank sums, plus the global tie term. Output is one exact-
+    integer row per group (grp, n_g, r2_sum, n_total, tie_term); the H
+    statistic H = [12/(N(N+1)) * sum R_g^2/n_g - 3(N+1)] / (1 -
+    tie_term/(N^3-N)) is derivable by any consumer — the house rule:
+    never ship a cross-engine float when the integers suffice.
+
+    Scale shape: groupBy(value, group) -> groupBy(DISTINCT value) for
+    the rank window (bounded by metric cardinality) -> per-group
+    aggregate + a broadcast 1-row total.
+    """
+    from pyspark.sql import Window
+
+    o = obs.select(
+        F.col(group_col).alias("grp"),
+        F.col(metric_col).cast("long").alias("c"),
+    )
+    gc = o.groupBy("c", "grp").agg(F.count(F.lit(1)).alias("cnt_g"))
+    tot = o.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    ranks = tot.select(
+        "c",
+        (F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt"))
+         + F.col("cnt") + F.lit(1)).alias("two_midrank"),
+    )
+    per_group = (
+        gc.join(ranks, "c")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt_g").cast("long").alias("n_g"),
+            F.sum(F.col("cnt_g") * F.col("two_midrank")).cast("long")
+            .alias("r2_sum"),
+        )
+    )
+    totals = tot.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long").alias("tie_term"),
+    )
+    return per_group.crossJoin(F.broadcast(totals)).select(
+        "grp", "n_g", "r2_sum", "n_total", "tie_term"
+    )

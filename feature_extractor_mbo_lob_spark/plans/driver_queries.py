@@ -14357,6 +14357,143 @@ QUERIES["embedding_outliers"] = q_embedding_outliers
 ORACLES["embedding_outliers"] = O_EMBEDDING_OUTLIERS
 
 
+# --- Wilcoxon signed-rank: paired pre/post spend per user ----------------------------
+
+def q_wilcoxon_signed(spark, sf_dir):
+    """Wilcoxon signed-rank test (functions/stats.wilcoxon_signed_rank)
+    on per-user pre/post spend cents around the global integer-midpoint
+    timestamp (the mcnemar split, continuous-metric version): doubled
+    midranks keep ties exact int64; z^2 is one IEEE division of two
+    exact decimal(38,0) integers."""
+    from ..functions.stats import wilcoxon_signed_rank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.select(
+        F.col("user_id").alias("uid"),
+        ordering.epoch_us("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    rng = b.agg(F.expr("(min(us) + max(us)) div 2").alias("cut"))
+    pu = b.crossJoin(F.broadcast(rng)).groupBy("uid").agg(
+        F.sum(F.when(F.col("us") < F.col("cut"), F.col("c")).otherwise(0))
+        .alias("pre"),
+        F.sum(F.when(F.col("us") >= F.col("cut"), F.col("c")).otherwise(0))
+        .alias("post"),
+    )
+    out = wilcoxon_signed_rank(
+        pu.select((F.col("post") - F.col("pre")).alias("d"))
+    )
+    return out.select(
+        "n_pairs", "w2_pos", "e2", "tie_term", _r6x(F.col("z2_raw"), "z2")
+    )
+
+
+_WSR_Z2 = (
+    "case when cast(2 as hugeint) * n_pairs * (n_pairs + 1)"
+    " * (2 * n_pairs + 1) - tie_term > 0 then"
+    " cast(cast(w2_pos - e2 as hugeint) * (w2_pos - e2) * 12 as double)"
+    " / cast(cast(2 as hugeint) * n_pairs * (n_pairs + 1)"
+    "        * (2 * n_pairs + 1) - tie_term as double)"
+    " else 0.0 end"
+)
+
+O_WILCOXON_SIGNED = f"""
+with b as (
+  select user_id as uid, epoch_us(ts) as us,
+    cast(floor(value * 100 + 0.5) as bigint) as c
+  from events
+),
+rng as (select (min(us) + max(us)) // 2 as cut from b),
+pu as (
+  select uid,
+    sum(case when us < rng.cut then c else 0 end) as pre,
+    sum(case when us >= rng.cut then c else 0 end) as post
+  from b, rng group by uid
+),
+dd as (select post - pre as d from pu where post - pre <> 0),
+g as (
+  select abs(d) as ad, count(*) as cnt,
+    sum(case when d > 0 then 1 else 0 end) as cnt_pos
+  from dd group by 1
+),
+r as (
+  select cnt, cnt_pos,
+    2 * (sum(cnt) over (order by ad
+      rows between unbounded preceding and current row) - cnt)
+      + cnt + 1 as two_midrank
+  from g
+),
+f as (
+  select cast(sum(cnt) as bigint) as n_pairs,
+    cast(sum(cnt_pos * two_midrank) as bigint) as w2_pos,
+    cast(sum(cnt * cnt * cnt - cnt) as bigint) as tie_term
+  from r
+),
+ff as (
+  select n_pairs, w2_pos,
+    cast(n_pairs * (n_pairs + 1) // 2 as bigint) as e2, tie_term
+  from f
+)
+select n_pairs, w2_pos, e2, tie_term,
+  {_r6x_sql(_WSR_Z2)} as z2
+from ff
+"""
+
+QUERIES["wilcoxon_signed"] = q_wilcoxon_signed
+ORACLES["wilcoxon_signed"] = O_WILCOXON_SIGNED
+
+
+# --- Kruskal-Wallis sufficient statistics across event types -------------------------
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis k-group rank statistics (functions/stats.
+    kruskal_wallis) over per-(user, event_type) spend cents: pooled
+    doubled midranks, per-group counts and doubled rank sums, global tie
+    term — all exact int64, the H statistic derivable by any consumer."""
+    from ..functions.stats import kruskal_wallis
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    obs = ev.groupBy(
+        F.col("user_id").alias("uid"), F.col("event_type").alias("grp")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .alias("c")
+    )
+    return kruskal_wallis(obs, "grp", "c")
+
+
+O_KRUSKAL_WALLIS = """
+with obs as (
+  select user_id as uid, event_type as grp,
+    sum(cast(floor(value * 100 + 0.5) as bigint)) as c
+  from events group by 1, 2
+),
+gc as (select c, grp, count(*) as cnt_g from obs group by 1, 2),
+tot as (select c, count(*) as cnt from obs group by 1),
+ranks as (
+  select c,
+    2 * (sum(cnt) over (order by c
+      rows between unbounded preceding and current row) - cnt)
+      + cnt + 1 as two_midrank
+  from tot
+),
+pg as (
+  select grp, cast(sum(cnt_g) as bigint) as n_g,
+    cast(sum(cnt_g * two_midrank) as bigint) as r2_sum
+  from gc join ranks using (c) group by grp
+),
+t as (
+  select cast(sum(cnt) as bigint) as n_total,
+    cast(sum(cnt * cnt * cnt - cnt) as bigint) as tie_term
+  from tot
+)
+select grp, n_g, r2_sum, n_total, tie_term from pg, t
+"""
+
+QUERIES["kruskal_wallis"] = q_kruskal_wallis
+ORACLES["kruskal_wallis"] = O_KRUSKAL_WALLIS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -275,3 +275,64 @@ def test_cochran_armitage_flat_rates_near_zero(spark):
     df = spark.createDataFrame(rows, "band long, is_err int")
     out = cochran_armitage_trend(df, "band", "is_err").collect()[0]
     assert out.z2_raw < 1e-12
+
+
+# --- Wilcoxon signed-rank ------------------------------------------------------------
+
+
+def test_wilcoxon_signed_rank_matches_naive(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import wilcoxon_signed_rank
+
+    ds = [3, -1, 2, 2, -2, 5, 0, 4, -3, 1]  # zero drops; ties in |d|
+    df = spark.createDataFrame([(d,) for d in ds], "d long")
+    r = wilcoxon_signed_rank(df).collect()[0]
+
+    nz = [d for d in ds if d != 0]
+    n = len(nz)
+    ranked = sorted(nz, key=lambda d: abs(d))
+    # midranks with ties (as floats), doubled at the end
+    import collections
+    cnt = collections.Counter(abs(d) for d in nz)
+    start, mid = 1, {}
+    for ad in sorted(cnt):
+        t = cnt[ad]
+        mid[ad] = start + (t - 1) / 2.0
+        start += t
+    w_pos = sum(mid[abs(d)] for d in nz if d > 0)
+    tie = sum(t ** 3 - t for t in cnt.values())
+    assert r.n_pairs == n
+    assert r.w2_pos == int(2 * w_pos)
+    assert r.e2 == n * (n + 1) // 2
+    assert r.tie_term == tie
+    var2 = n * (n + 1) * (2 * n + 1) / 6.0 - tie / 12.0  # Var(2W+)
+    naive_z2 = (2 * w_pos - n * (n + 1) / 2.0) ** 2 / var2
+    assert abs(r.z2_raw - naive_z2) < 1e-9
+
+
+# --- Kruskal-Wallis ------------------------------------------------------------------
+
+
+def test_kruskal_wallis_statistics_and_h(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import kruskal_wallis
+
+    rows = [("a", 1), ("a", 2), ("a", 2), ("b", 2), ("b", 5), ("c", 7), ("c", 9)]
+    df = spark.createDataFrame(rows, "grp string, c long")
+    out = {r.grp: r for r in kruskal_wallis(df, "grp", "c").collect()}
+    # pooled doubled midranks: 1->2, 2->{2,3,4}->6, 5->10, 7->12, 9->14
+    assert out["a"].r2_sum == 2 + 6 + 6 and out["a"].n_g == 3
+    assert out["b"].r2_sum == 6 + 10 and out["b"].n_g == 2
+    assert out["c"].r2_sum == 12 + 14 and out["c"].n_g == 2
+    N = out["a"].n_total
+    tie = out["a"].tie_term
+    assert N == 7 and tie == 3 ** 3 - 3
+    # derive H from the integers and compare to a naive float computation
+    h = 12.0 / (N * (N + 1)) * sum(
+        (r.r2_sum / 2.0) ** 2 / r.n_g for r in out.values()
+    ) - 3 * (N + 1)
+    h_corr = h / (1 - tie / float(N ** 3 - N))
+    ranks = {1: 1.0, 2: 3.0, 5: 5.0, 7: 6.0, 9: 7.0}
+    groups = {"a": [1, 2, 2], "b": [2, 5], "c": [7, 9]}
+    h_naive = 12.0 / (N * (N + 1)) * sum(
+        sum(ranks[c] for c in v) ** 2 / len(v) for v in groups.values()
+    ) - 3 * (N + 1)
+    assert abs(h_corr * (1 - tie / float(N ** 3 - N)) - h_naive) < 1e-9
