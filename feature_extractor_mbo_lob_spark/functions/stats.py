@@ -1359,3 +1359,71 @@ def kruskal_wallis(
     return per_group.crossJoin(F.broadcast(totals)).select(
         "grp", "n_g", "r2_sum", "n_total", "tie_term"
     )
+
+
+def cross_correlation(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lagged cross-correlation sufficient statistics between two integer
+    series on a shared integer time grid: for every lag L in [0, max_lag]
+    pair x(t) with y(t + L) and emit the exact integer moments (n, sx,
+    sy, sxy, sxx, syy) plus the signed squared correlation
+
+        r2_signed = sign(num) * num^2 / (varx_n * vary_n),
+        num = n*sxy - sx*sy,  varx_n = n*sxx - sx^2,  vary_n = n*syy - sy^2
+
+    — the lead/lag detector (does x lead y?) completing acf_features
+    (autocorrelation) with the cross-series form. sqrt never crosses an
+    engine: r^2 is ONE IEEE division of exact decimal(38,0) integers,
+    and |r| = sqrt(|r2_signed|) is recoverable by any consumer.
+
+    Scale shape: the caller's series frame is already calendar-bounded
+    (days/hours, never events); each lag is one equi-join on the shifted
+    key via a (max_lag+1)-row explode, then one partial-aggregable
+    groupBy(lag).
+    """
+    base = series.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    lags = base.select(
+        "t", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(int(max_lag)))).alias("lag"),
+    ).select("lag", (F.col("t") + F.col("lag")).alias("t2"), "x")
+    ys = base.select(F.col("t").alias("t2"), "y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = (
+        lags.join(ys, "t2")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sxy"),
+            F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("sxx"),
+            F.sum(dec("y") * dec("y")).cast("decimal(38,0)").alias("syy"),
+        )
+    )
+    num = F.expr("cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy")
+    vx = F.expr("cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx")
+    vy = F.expr("cast(n as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy")
+    withm = m.withColumn("_num", num).withColumn("_vx", vx).withColumn("_vy", vy)
+    r2 = F.when(
+        (F.col("_vx") > 0) & (F.col("_vy") > 0),
+        F.signum(F.col("_num").cast("double"))
+        * (F.col("_num") * F.col("_num")).cast("double")
+        / (F.col("_vx") * F.col("_vy")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return withm.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n", "sx", "sy",
+        F.col("sxy").cast("long").alias("sxy"),
+        F.col("sxx").cast("long").alias("sxx"),
+        F.col("syy").cast("long").alias("syy"),
+        r2.alias("r2_signed_raw"),
+    )

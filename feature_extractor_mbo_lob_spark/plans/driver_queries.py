@@ -14494,6 +14494,73 @@ QUERIES["kruskal_wallis"] = q_kruskal_wallis
 ORACLES["kruskal_wallis"] = O_KRUSKAL_WALLIS
 
 
+# --- lagged cross-correlation: daily purchases vs errors -----------------------------
+
+def q_cross_correlation(spark, sf_dir):
+    """Lead/lag detector (functions/stats.cross_correlation): exact
+    integer moments of daily purchase counts vs error counts at lags
+    0..7; sqrt never crosses engines — the signed r^2 is one IEEE
+    division of exact decimal(38,0) integers."""
+    from ..functions.stats import cross_correlation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long").alias("x"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("long").alias("y"),
+    )
+    out = cross_correlation(daily, "d", "x", "y", max_lag=7)
+    return out.select(
+        "lag", "n", "sx", "sy", "sxy", "sxx", "syy",
+        _r6x(F.col("r2_signed_raw"), "r2_signed"),
+    )
+
+
+_CCF_R2 = (
+    "case when cast(n as hugeint) * sxx - cast(sx as hugeint) * sx > 0"
+    " and cast(n as hugeint) * syy - cast(sy as hugeint) * sy > 0 then"
+    " (case when cast(n as hugeint) * sxy - cast(sx as hugeint) * sy > 0 then 1.0"
+    "       when cast(n as hugeint) * sxy - cast(sx as hugeint) * sy < 0 then -1.0"
+    "       else 0.0 end)"
+    " * cast((cast(n as hugeint) * sxy - cast(sx as hugeint) * sy)"
+    "        * (cast(n as hugeint) * sxy - cast(sx as hugeint) * sy) as double)"
+    " / cast((cast(n as hugeint) * sxx - cast(sx as hugeint) * sx)"
+    "        * (cast(n as hugeint) * syy - cast(sy as hugeint) * sy) as double)"
+    " else 0.0 end"
+)
+
+O_CROSS_CORRELATION = f"""
+with daily as (
+  select epoch_us(ts) // 86400000000 as t,
+    cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as x,
+    cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as y
+  from events group by 1
+),
+lg as (select cast(range as bigint) as lag from range(0, 8)),
+j as (
+  select l.lag, a.x, b.y
+  from daily a cross join lg l join daily b on b.t = a.t + l.lag
+),
+m as (
+  select lag, cast(count(*) as bigint) as n,
+    cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+    cast(sum(cast(x as hugeint) * y) as bigint) as sxy,
+    cast(sum(cast(x as hugeint) * x) as bigint) as sxx,
+    cast(sum(cast(y as hugeint) * y) as bigint) as syy
+  from j group by 1
+)
+select cast(lag as int) as lag, n, sx, sy, sxy, sxx, syy,
+  {_r6x_sql(_CCF_R2)} as r2_signed
+from m
+"""
+
+QUERIES["cross_correlation"] = q_cross_correlation
+ORACLES["cross_correlation"] = O_CROSS_CORRELATION
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -336,3 +336,26 @@ def test_kruskal_wallis_statistics_and_h(spark):
         sum(ranks[c] for c in v) ** 2 / len(v) for v in groups.values()
     ) - 3 * (N + 1)
     assert abs(h_corr * (1 - tie / float(N ** 3 - N)) - h_naive) < 1e-9
+
+
+# --- lagged cross-correlation ----------------------------------------------------------
+
+
+def test_cross_correlation_matches_numpy(spark):
+    import numpy as np
+    from feature_extractor_mbo_lob_spark.functions.stats import cross_correlation
+
+    x = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    # y lags x by exactly 2 -> strong correlation at lag 2
+    y = [0, 0] + x[:-2]
+    rows = [(t, x[t], y[t]) for t in range(10)]
+    df = spark.createDataFrame(rows, "t long, x long, y long")
+    out = {r.lag: r for r in cross_correlation(df, "t", "x", "y", max_lag=3).collect()}
+    assert out[0].n == 10 and out[3].n == 7
+    for lag in range(4):
+        xa = np.array(x[: 10 - lag], dtype=float)
+        ya = np.array(y[lag:], dtype=float)
+        r = np.corrcoef(xa, ya)[0, 1]
+        naive = np.sign(r) * r * r
+        assert abs(out[lag].r2_signed_raw - naive) < 1e-9
+    assert abs(out[2].r2_signed_raw - 1.0) < 1e-12  # exact lag-2 alignment
