@@ -1143,6 +1143,68 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.operators.similarity import (
+        embedding_outliers,
+    )
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        cross_correlation,
+        kruskal_wallis,
+        wilcoxon_signed_rank,
+    )
+
+    sections.append(summarize(
+        "Embedding outlier scores (diagonal Mahalanobis)",
+        embedding_outliers(emb),
+        "One posexplode + one groupBy(lane) -> d-row moment table, "
+        "BROADCAST back onto the lane rows, one partial-aggregable "
+        "groupBy(id). Fixed-point decimal terms summed as integers — "
+        "never an engine-ordered float sum; no self-join, no collect.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    wpairs = t.groupBy("conv_id").agg(
+        (F.sum(F.when(F.col("role") == "user", F.length("text")).otherwise(0))
+         - F.sum(F.when(F.col("role") == "assistant", F.length("text"))
+                 .otherwise(0))).alias("d")
+    )
+    sections.append(summarize(
+        "Wilcoxon signed-rank test",
+        wilcoxon_signed_rank(wpairs),
+        "groupBy(DISTINCT |d|) then ONE window over the distinct-value "
+        "frame only (bounded by metric cardinality, never corpus size) "
+        "then a 1-row aggregate; z^2 from exact decimal integers.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    kw = t.select("role", F.length("text").cast("long").alias("c"))
+    sections.append(summarize(
+        "Kruskal-Wallis rank statistics",
+        kruskal_wallis(kw, "role", "c"),
+        "groupBy(value, group) + groupBy(DISTINCT value) for the rank "
+        "window, per-group aggregate, broadcast 1-row totals — every "
+        "shuffle bounded by metric cardinality or group count.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    daily = t.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.col("tool").isNotNull().cast("int")).cast("long").alias("y"),
+    )
+    sections.append(summarize(
+        "Lagged cross-correlation (lead/lag)",
+        cross_correlation(daily, "d", "x", "y", max_lag=7),
+        "The series frame is calendar-bounded BEFORE the 8-row lag "
+        "explode; one equi-join on the shifted key + one partial-"
+        "aggregable groupBy(lag). Signed r^2 from exact decimal moments.",
+        forbid=("CartesianProduct", "BroadcastNestedLoop", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
