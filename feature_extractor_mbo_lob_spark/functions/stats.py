@@ -1427,3 +1427,154 @@ def cross_correlation(
         F.col("syy").cast("long").alias("syy"),
         r2.alias("r2_signed_raw"),
     )
+
+
+def effect_size_d2(
+    ev: DataFrame,
+    unit_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Signed squared Cohen's d between the two md5-randomized arms on
+    the per-unit integer-cent metric — the PRACTICAL-significance
+    companion to ab_ztest/mann_whitney_u (a tiny p-value on 10^9 units
+    can mean a trivial effect; d tells you if anyone should care).
+
+        d = (mean_a - mean_b) / s_pooled
+        d2_signed = sign(md) * md^2 / s2_pooled,
+        md = mean_a - mean_b,
+        s2_pooled = ((n_a-1) s2_a + (n_b-1) s2_b) / (n_a + n_b - 2)
+
+    sqrt never crosses an engine: with exact integer moments (n, s, ss)
+    per arm, both md^2 and s2_pooled are ratios of exact decimal(38,0)
+    integers — multiplied through, d2_signed is ONE IEEE division:
+
+        d2 = sign * (n_a + n_b - 2) * (s_a*n_b - s_b*n_a)^2
+             / ( n_a * n_b * (n_b * (n_a*ss_a - s_a^2)
+                              + n_a * (n_b*ss_b - s_b^2)) )
+
+    (per-arm sample variances (n*ss - s^2)/(n(n-1)) share the n(n-1)
+    factors that cancel into the expression above). |d| = sqrt(|d2|)
+    downstream. Scale shape: groupBy(unit) then one 2-cell conditional
+    aggregate — two partial-aggregable shuffles at any corpus size.
+    """
+    from .corpus import md5_bucket
+
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    pu = (
+        ev.select(F.col(unit_col).alias("uid"), cents.alias("_c"))
+        .groupBy("uid")
+        .agg(F.sum("_c").alias("c"))
+        .withColumn("arm", md5_bucket("uid", 2).cast("int"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    a = F.col("arm") == 0
+    m = pu.agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(a, F.col("c")).otherwise(0)).cast("long").alias("s_a"),
+        F.sum(F.when(~a, F.col("c")).otherwise(0)).cast("long").alias("s_b"),
+        F.sum(F.when(a, dec("c") * dec("c")).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").alias("ss_a"),
+        F.sum(F.when(~a, dec("c") * dec("c")).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").alias("ss_b"),
+    )
+    md = F.expr(
+        "cast(s_a as decimal(38,0)) * n_b - cast(s_b as decimal(38,0)) * n_a"
+    )
+    pooled = F.expr(
+        "cast(n_b as decimal(38,0)) * (cast(n_a as decimal(38,0)) * ss_a"
+        "   - cast(s_a as decimal(38,0)) * s_a)"
+        " + cast(n_a as decimal(38,0)) * (cast(n_b as decimal(38,0)) * ss_b"
+        "   - cast(s_b as decimal(38,0)) * s_b)"
+    )
+    w = m.withColumn("_md", md).withColumn("_pool", pooled)
+    den = F.expr("cast(n_a as decimal(38,0)) * n_b * _pool")
+    num = F.expr(
+        "cast(_md as decimal(38,0)) * _md * (n_a + n_b - 2)"
+    )
+    d2 = F.when(
+        (F.col("_pool") > 0) & (F.col("n_a") + F.col("n_b") > 2),
+        F.signum(F.col("_md").cast("double"))
+        * num.cast("double") / den.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return w.select(
+        "n_a", "n_b", "s_a", "s_b",
+        F.col("ss_a").cast("string").alias("ss_a"),
+        F.col("ss_b").cast("string").alias("ss_b"),
+        d2.alias("d2_signed_raw"),
+    )
+
+
+def cramers_v2(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Squared Cramér's V (Cramér 1946) — the normalized strength of
+    association between two categoricals, the effect-size companion to
+    the chi-square machinery:  V^2 = chi2 / (N * min(r-1, c-1)).
+
+    Engine-exactness: with exact integer cell/margin counts, each cell's
+    chi-square contribution (o - e)^2/e multiplies through to
+    (o*N - rt*ct)^2 / (N*rt*ct) — a ratio of exact integers, emitted as
+    the fixed-point ``(...)^2 * scale div (N*rt*ct)`` in decimal(38,0)
+    (hugeint twin) and SUMMED AS INTEGERS over cells; V^2 is then an
+    identical two-step IEEE expression over the summed int64.
+
+    Scale shape: one groupBy(a, b) collapses the corpus to the cell
+    frame; margins are two aggregates of that tiny frame joined back;
+    one 1-row final aggregate. Never a corpus-sized join.
+    """
+    cells = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rt = cells.groupBy("_a").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("_b").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n_total"),
+        F.countDistinct("_a").cast("long").alias("n_rows"),
+        F.countDistinct("_b").cast("long").alias("n_cols"),
+    )
+    s = int(scale)
+    term = F.expr(
+        f"(cast(o as decimal(38,0)) * n_total - cast(rt as decimal(38,0)) * ct)"
+        f" * (cast(o as decimal(38,0)) * n_total - cast(rt as decimal(38,0)) * ct)"
+        f" * {s}"
+        " div (cast(n_total as decimal(38,0)) * rt * ct)"
+    )
+    # zero cells contribute (0-e)^2/e = e each; over ALL (a,b) pairs
+    # sum(rt*ct) = N^2, so the missing mass is (N^2 - sum_observed rt*ct)/N
+    # — closed form, no need to materialize the empty cells.
+    agg = (
+        cells.join(rt, "_a")
+        .join(ct, "_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_total", "n_rows", "n_cols",
+            term.cast("long").alias("t_fp"),
+            F.expr("cast(rt as decimal(38,0)) * ct").alias("rc"),
+        )
+        .groupBy("n_total", "n_rows", "n_cols")
+        .agg(
+            F.sum("t_fp").cast("long").alias("obs_fp"),
+            F.sum("rc").cast("decimal(38,0)").alias("rc_sum"),
+        )
+        .withColumn(
+            "chi2_fp",
+            (F.col("obs_fp")
+             + F.expr(
+                 f"(cast(n_total as decimal(38,0)) * n_total - rc_sum)"
+                 f" * {s} div n_total"
+             ).cast("long")).cast("long"),
+        )
+    )
+    k = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    v2 = F.when(
+        (k > 0) & (F.col("n_total") > 0),
+        F.col("chi2_fp").cast("double") / F.lit(float(s))
+        / (F.col("n_total") * k).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_rows", "n_cols", "n_total", "chi2_fp", v2.alias("v2_raw")
+    )

@@ -14561,6 +14561,136 @@ QUERIES["cross_correlation"] = q_cross_correlation
 ORACLES["cross_correlation"] = O_CROSS_CORRELATION
 
 
+# --- signed squared Cohen's d between md5 arms ----------------------------------------
+
+def q_effect_size(spark, sf_dir):
+    """Practical-significance companion to ab_ztest (functions/stats.
+    effect_size_d2): signed squared Cohen's d on per-user spend cents
+    between the md5 arms — exact integer/decimal(38,0) moments, the
+    pooled-variance n(n-1) factors cancelled symbolically, one IEEE
+    division; |d| = sqrt(|d2|) downstream."""
+    from ..functions.stats import effect_size_d2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = effect_size_d2(ev, "user_id")
+    return out.select(
+        "n_a", "n_b", "s_a", "s_b", "ss_a", "ss_b",
+        _r6x(F.col("d2_signed_raw"), "d2_signed"),
+    )
+
+
+_ES_MD = "(cast(s_a as hugeint) * n_b - cast(s_b as hugeint) * n_a)"
+_ES_POOL = (
+    "(cast(n_b as hugeint) * (cast(n_a as hugeint) * ss_a"
+    "   - cast(s_a as hugeint) * s_a)"
+    " + cast(n_a as hugeint) * (cast(n_b as hugeint) * ss_b"
+    "   - cast(s_b as hugeint) * s_b))"
+)
+_ES_D2 = (
+    f"case when {_ES_POOL} > 0 and n_a + n_b > 2 then"
+    f" (case when {_ES_MD} > 0 then 1.0 when {_ES_MD} < 0 then -1.0 else 0.0 end)"
+    f" * cast({_ES_MD} * {_ES_MD} * (n_a + n_b - 2) as double)"
+    f" / cast(cast(n_a as hugeint) * n_b * {_ES_POOL} as double)"
+    " else 0.0 end"
+)
+
+O_EFFECT_SIZE = f"""
+with pu as (
+  select user_id as uid,
+    cast(sum(cast(floor(value * 100.0 + 0.5) as bigint)) as bigint) as c
+  from events group by user_id
+),
+arm as (
+  select c, cast(({_HEX7}) % 2 as int) as arm
+  from (select c, md5(cast(uid as varchar)) as h from pu)
+),
+m as (
+  select
+    cast(sum(case when arm = 0 then 1 else 0 end) as bigint) as n_a,
+    cast(sum(case when arm = 1 then 1 else 0 end) as bigint) as n_b,
+    cast(sum(case when arm = 0 then c else 0 end) as bigint) as s_a,
+    cast(sum(case when arm = 1 then c else 0 end) as bigint) as s_b,
+    sum(case when arm = 0 then cast(c as hugeint) * c else 0 end) as ss_a,
+    sum(case when arm = 1 then cast(c as hugeint) * c else 0 end) as ss_b
+  from arm
+)
+select n_a, n_b, s_a, s_b,
+  cast(ss_a as varchar) as ss_a, cast(ss_b as varchar) as ss_b,
+  {_r6x_sql(_ES_D2)} as d2_signed
+from m
+"""
+
+QUERIES["effect_size"] = q_effect_size
+ORACLES["effect_size"] = O_EFFECT_SIZE
+
+
+# --- Cramér's V^2: event-type x day-of-week association --------------------------------
+
+def q_cramers_v(spark, sf_dir):
+    """Squared Cramér's V (functions/stats.cramers_v2) between event
+    type and day-of-week: per-cell chi-square contributions as exact
+    fixed-point decimal(38,0) integers summed as integers, V^2 one
+    identical IEEE expression over the summed int64."""
+    from ..functions.stats import cramers_v2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    o = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 86400000000) % 7"
+        ).alias("dow"),
+    )
+    out = cramers_v2(o, "event_type", "dow")
+    return out.select(
+        "n_rows", "n_cols", "n_total", "chi2_fp", _r6x(F.col("v2_raw"), "v2")
+    )
+
+
+O_CRAMERS_V = f"""
+with o as (
+  select event_type as a, (epoch_us(ts) // 86400000000) % 7 as b
+  from events
+),
+cells as (select a, b, cast(count(*) as bigint) as o from o group by 1, 2),
+rt as (select a, cast(sum(o) as bigint) as rt from cells group by 1),
+ct as (select b, cast(sum(o) as bigint) as ct from cells group by 1),
+tot as (
+  select cast(sum(o) as bigint) as n_total,
+    cast(count(distinct a) as bigint) as n_rows,
+    cast(count(distinct b) as bigint) as n_cols
+  from cells
+),
+terms as (
+  select tot.n_total, tot.n_rows, tot.n_cols,
+    cast((cast(cells.o as hugeint) * tot.n_total
+            - cast(rt.rt as hugeint) * ct.ct)
+         * (cast(cells.o as hugeint) * tot.n_total
+            - cast(rt.rt as hugeint) * ct.ct) * 1000000
+         // (cast(tot.n_total as hugeint) * rt.rt * ct.ct) as bigint) as t_fp,
+    cast(rt.rt as hugeint) * ct.ct as rc
+  from cells join rt using (a) join ct using (b) cross join tot
+),
+agg as (
+  select n_rows, n_cols, n_total,
+    cast(sum(t_fp)
+         + (cast(n_total as hugeint) * n_total - sum(rc)) * 1000000 // n_total
+         as bigint) as chi2_fp
+  from terms group by 1, 2, 3
+)
+select n_rows, n_cols, n_total, chi2_fp,
+  {_r6x_sql(
+      "case when least(n_rows - 1, n_cols - 1) > 0 and n_total > 0 then"
+      " cast(chi2_fp as double) / 1000000.0"
+      " / cast(n_total * least(n_rows - 1, n_cols - 1) as double)"
+      " else 0.0 end"
+  )} as v2
+from agg
+"""
+
+QUERIES["cramers_v"] = q_cramers_v
+ORACLES["cramers_v"] = O_CRAMERS_V
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

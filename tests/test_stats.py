@@ -359,3 +359,54 @@ def test_cross_correlation_matches_numpy(spark):
         naive = np.sign(r) * r * r
         assert abs(out[lag].r2_signed_raw - naive) < 1e-9
     assert abs(out[2].r2_signed_raw - 1.0) < 1e-12  # exact lag-2 alignment
+
+
+# --- effect size / Cramér's V ----------------------------------------------------------
+
+
+def test_effect_size_d2_matches_naive_cohens_d(spark):
+    import math
+    from feature_extractor_mbo_lob_spark.functions.stats import effect_size_d2
+    from feature_extractor_mbo_lob_spark.functions.corpus import md5_bucket
+
+    rows = [(i, 100.0 + (i % 13) + (i % 3) * 7) for i in range(200)]
+    ev = spark.createDataFrame(rows, "user_id long, value double")
+    r = effect_size_d2(ev, "user_id").collect()[0]
+    # reproduce arms + cents exactly
+    arms = {
+        x.uid: x.arm
+        for x in ev.select(
+            ev.user_id.alias("uid"), md5_bucket(ev.user_id, 2).alias("arm")
+        ).collect()
+    }
+    cents = {u: int(math.floor(v * 100.0 + 0.5)) for u, v in rows}
+    a = [c for u, c in cents.items() if arms[u] == 0]
+    b = [c for u, c in cents.items() if arms[u] == 1]
+    assert r.n_a == len(a) and r.n_b == len(b)
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    sp2 = ((len(a) - 1) * va + (len(b) - 1) * vb) / (len(a) + len(b) - 2)
+    d = (ma - mb) / math.sqrt(sp2)
+    naive = math.copysign(d * d, d)
+    assert abs(r.d2_signed_raw - naive) < 1e-9
+
+
+def test_cramers_v2_perfect_association_is_one(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import cramers_v2
+
+    # 3x3 diagonal table: perfect association, V^2 = 1
+    rows = [(str(i), i) for i in range(3) for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b long")
+    r = cramers_v2(df, "a", "b").collect()[0]
+    assert r.n_rows == 3 and r.n_cols == 3 and r.n_total == 30
+    assert abs(r.v2_raw - 1.0) < 1e-5  # fixed-point floors only
+
+
+def test_cramers_v2_independence_is_zero(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import cramers_v2
+
+    rows = [(str(i), j) for i in range(3) for j in range(4) for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b long")
+    r = cramers_v2(df, "a", "b").collect()[0]
+    assert r.chi2_fp == 0 and r.v2_raw == 0.0
