@@ -1205,6 +1205,34 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        cramers_v2,
+        effect_size_d2,
+    )
+
+    sections.append(summarize(
+        "Cohen's d^2 effect size (md5 arms)",
+        effect_size_d2(ev, "user_id"),
+        "groupBy(unit) then ONE 2-cell conditional moment aggregate — two "
+        "partial-aggregable shuffles at any corpus size; the pooled-"
+        "variance n(n-1) factors cancel symbolically so d^2 is one IEEE "
+        "division of exact decimal integers.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    cv = t.select("role", (F.col("turn_idx") % 7).alias("dow"))
+    sections.append(summarize(
+        "Cramér's V^2 association",
+        cramers_v2(cv, "role", "dow"),
+        "groupBy(a, b) collapses the corpus to the cell frame; margins "
+        "are aggregates of that tiny frame joined back; the zero-cell "
+        "mass uses the closed form (N^2 - sum rt*ct)/N — empty cells are "
+        "never materialized. One 1-row final aggregate.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
