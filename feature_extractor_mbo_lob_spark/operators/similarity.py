@@ -932,7 +932,12 @@ def source_centroid_drift(
         F.col("centroid").alias("cb"),
     )
     return (
-        a.join(b, F.col("group_a") < F.col("group_b"))
+        # broadcast the O(groups)-row side: the pair expansion is bounded
+        # (groups² rows, groups small by definition) and planning it as a
+        # BroadcastNestedLoopJoin instead of a shuffle CartesianProduct
+        # keeps the package-wide "no CartesianProduct anywhere" invariant
+        # machine-checkable (tests/test_plan_lint.py).
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
         .select(
             "group_a", "group_b",
             F.col("n_a").cast("long").alias("n_a"),

@@ -1,0 +1,114 @@
+"""Package-wide physical-plan lint over the ENTIRE driver registry.
+
+PLANS.md hand-audits the most expensive plans; this test turns the two
+invariants every audit asserts into a machine-checked contract over all
+~306 registered queries at once:
+
+* no ``CartesianProduct`` anywhere — a shuffle cartesian is O(n·m) with
+  no size bound and is never the intended plan shape in this engine;
+* no ``BatchEvalPython`` anywhere — row-at-a-time Python UDFs are banned
+  package-wide (SURVEY §2.10); the only sanctioned Python stages are the
+  Arrow-vectorized ones (``ArrowEvalPython`` / ``MapInPandas`` /
+  ``FlatMapGroupsInPandas``);
+* ``BroadcastNestedLoopJoin`` only where the broadcast side is a bounded
+  aggregate (1-row corpus totals / thresholds, k-row codebooks or
+  centroid tables) — the explicit allowlist below. A new query that
+  introduces a BNLJ must be added here deliberately, with the bound that
+  justifies it; that turns the implicit "small side" assumption into a
+  reviewed contract (VERDICT r3 item 8).
+
+The lint builds (but does not execute) every registered plan at
+sf0.001; queries whose CONSTRUCTION runs a driver-side calibration pass
+(two-pass samplers etc.) execute only that tiny pass.
+"""
+
+from __future__ import annotations
+
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_TINY", "/root/testdata/sf0.001")
+
+# Queries whose plan legitimately contains BroadcastNestedLoopJoin(s):
+# every entry is a crossJoin(F.broadcast(<bounded aggregate>)) — 1-row
+# global totals/thresholds, k-row codebooks (pq_codes), k-row centroid /
+# shard tables (ivf_*, kmeans, text_clusters), or a groups-row centroid
+# table (embedding_drift). Bounds are asserted per-family in
+# tests/test_broadcast_budget.py and documented in COVERAGE.md.
+BNLJ_ALLOWED = {
+    "ab_strata",
+    "balance_classes",
+    "benford",
+    "bigram_logprob",
+    "bm25_scores",
+    "chi2_features",
+    "cramers_v",
+    "cuped",
+    "distinct_sketch",
+    "diversified_topk",
+    "dsir_weights",
+    "embedding_audit",
+    "embedding_drift",
+    "embedding_near_dup_lsh",
+    "export_normalize",
+    "hll_distinct",
+    "ivf_recall",
+    "ivf_topk",
+    "ivf_topk_sharded",
+    "key_skew_report",
+    "kmeans_clusters",
+    "kruskal_wallis",
+    "label_stats",
+    "lateness_audit",
+    "mann_kendall",
+    "markov_loglik",
+    "mcnemar",
+    "mi_features",
+    "mixture_apply",
+    "mixture_plan",
+    "ols_fit_predict",
+    "peak_concurrency",
+    "perplexity_prune",
+    "pit_staleness",
+    "pmi_collocations",
+    "pq_codes",
+    "psi_drift",
+    "quantile_bins",
+    "quantile_normalize",
+    "recency_scores",
+    "robust_zscore",
+    "rrf_fusion",
+    "sales_opportunity",
+    "source_kl",
+    "source_minhash_sim",
+    "source_mix",
+    "srm_check",
+    "temperature_mix",
+    "text_clusters",
+    "tfidf_cosine_pairs",
+    "tfidf_top_terms",
+    "triple_barrier_vol_scaled",
+    "unigram_logprob",
+    "wilcoxon_signed",
+    "winsorize",
+    "zorder_curve",
+}
+
+
+def test_no_forbidden_nodes_in_any_registered_plan(spark):
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    failures: list[str] = []
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: BatchEvalPython (row-at-a-time UDF)")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            failures.append(
+                f"{name}: BroadcastNestedLoopJoin not in allowlist — if the "
+                "broadcast side is a bounded aggregate, add it to "
+                "BNLJ_ALLOWED with its bound"
+            )
+    assert not failures, "plan lint failures:\n" + "\n".join(failures)
