@@ -92,3 +92,145 @@ def ols2_fit_predict(
         "m_n", "m_sx1", "m_sx2", "m_sx11", "m_sx12", "m_sx22",
         "m_sy", "m_sx1y", "m_sx2y",
     )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Python // floors, which
+    disagrees with Spark decimal ``div`` and DuckDB hugeint ``//`` for
+    negative numerators — both MEASURED to truncate on this container,
+    see operators/similarity.source_centroid_drift). Every driver-side
+    weight update uses this so all three arithmetics agree bit-for-bit."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+_MICRO = 1_000_000
+
+
+def _z_expr(col: str, m: int, s: int) -> str:
+    """Standardized feature: (x - mean) * 1e6 div meanAbsDev — exact
+    integer, so typical |z| ~ 1e6 and every feature trains at the same
+    curvature as the 1e6 intercept lane."""
+    return f"(cast({col} as decimal(38,0)) - {m}) * {_MICRO} div {s}"
+
+
+def _margin_expr(w: list[int], zs: list[str]) -> str:
+    return " + ".join(
+        f"cast({wj} as decimal(38,0)) * ({z})" for wj, z in zip(w, zs)
+    )
+
+
+def _p_expr(margin: str) -> str:
+    return (
+        f"least(greatest(500000 + (({margin}) div 4000000000), "
+        "cast(0 as decimal(38,0))), cast(1000000 as decimal(38,0)))"
+    )
+
+
+def fit_logistic_probe(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str] | tuple[str, ...],
+    iterations: int = 6,
+    lr_num: int = 1,
+    lr_den: int = 1,
+) -> dict:
+    """Training loop of logistic_probe_fit_predict. Returns
+    {"w": nano-int weights [intercept, x1, ...], "m": per-feature integer
+    means, "s": per-feature integer mean-abs-deviations}. Driver-side
+    state is 3 tiny int lists; per-iteration cost is ONE aggregate-only
+    Spark job (map-side combined, no shuffle)."""
+    n = df.count()
+    if n == 0:
+        return {"w": [0] * (len(x_cols) + 1), "m": [0] * len(x_cols), "s": [1] * len(x_cols)}
+
+    # pass 1+2: exact integer standardization moments (trunc division)
+    mrow = df.agg(
+        *[F.sum(F.col(c).cast(_DEC)).alias(f"m{j}") for j, c in enumerate(x_cols)]
+    ).collect()[0]
+    m = [_tdiv(int(mrow[f"m{j}"]), n) for j in range(len(x_cols))]
+    srow = df.agg(
+        *[
+            F.sum(F.expr(f"abs(cast({c} as decimal(38,0)) - {m[j]})")).alias(f"s{j}")
+            for j, c in enumerate(x_cols)
+        ]
+    ).collect()[0]
+    s = [max(_tdiv(int(srow[f"s{j}"]), n), 1) for j in range(len(x_cols))]
+
+    zs = [f"cast({_MICRO} as decimal(38,0))"] + [
+        _z_expr(c, m[j], s[j]) for j, c in enumerate(x_cols)
+    ]
+    w = [0] * len(zs)
+    for _ in range(iterations):
+        e = f"{_p_expr(_margin_expr(w, zs))} - cast({y_col} as decimal(38,0)) * {_MICRO}"
+        sums = df.agg(
+            *[
+                F.sum(F.expr(f"({e}) * ({z})")).alias(f"g{j}")
+                for j, z in enumerate(zs)
+            ]
+        ).collect()[0]
+        w = [
+            wj - _tdiv(int(sums[f"g{j}"]) * lr_num, n * lr_den * 1000)
+            for j, wj in enumerate(w)
+        ]
+    return {"w": w, "m": m, "s": s}
+
+
+def logistic_probe_fit_predict(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str] | tuple[str, ...],
+    iterations: int = 6,
+    lr_num: int = 1,
+    lr_den: int = 1,
+) -> DataFrame:
+    """Distributed linear quality-probe classifier (the fasttext-style
+    filter every corpus-curation pipeline trains: "does this document
+    look like the reference class?"), fit by full-batch gradient descent
+    on a hard-sigmoid logistic — ENGINE-EXACT, so a DuckDB hugeint twin
+    reproduces every score bit-for-bit.
+
+    Model, all integer fixed point. Features standardize exactly first
+    (z_j = (x_j - mean_j) * 1e6 div meanAbsDev_j, trunc division — two
+    aggregate passes; without this the 1e6 intercept lane dominates the
+    curvature and GD rings into the clamps instead of learning —
+    measured: acc 0.51 raw vs 0.996 standardized on the length probe).
+    Weights live in nano units starting at 0; per iteration:
+
+        margin_raw_i = sum_j w_nano_j * z_ij            (exact dec38)
+        p_micro_i    = clamp(5e5 + margin_raw_i div 4e9, 0, 1e6)
+        e_i          = p_micro_i - y_i * 1e6
+        g_j          = sum_i e_i * z_ij                 (exact dec38)
+        w_nano_j    -= trunc_div(g_j * lr_num, n * lr_den * 1000)
+
+    The hard sigmoid clamp(1/2 + m/4, 0, 1) (Collobert 2004's hard-tanh
+    sibling, the standard integer-arithmetic stand-in) replaces exp() —
+    transcendental libm calls are the one thing two engines never agree
+    on; every op above is integer multiply / add / truncated divide,
+    identical in Spark decimal(38,0), DuckDB HUGEINT, and the driver's
+    Python big-int update (_tdiv).
+
+    Scale shape: training never shuffles — standardization is 2
+    aggregate-only scans and each GD iteration is ONE map-side-combinable
+    global aggregate (J+1 decimal sums) collected as a single tiny row
+    (the two-pass-calibration pattern); scoring is a shuffle-free
+    projection with weights/means/scales as plan literals. At 100 TB you
+    materialize the integer feature frame once (parquet/cache) and pay
+    iterations+3 scans, nothing else. Magnitudes: |z| ~ 1e6 (heavy tails
+    bounded by s >= 1), |e| <= 1e6, so per-row gradient terms <= ~1e12
+    and weights grow <= lr*1e9/step — far inside decimal(38,0).
+
+    Returns df + columns: p_micro (long, hard-sigmoid score in micro),
+    pred (int, p_micro >= 5e5). Reference parity: the reference has no
+    model fitting; this is the curation-pipeline companion to the
+    gopher/perplexity filters (train a reference-class probe, score the
+    corpus, gate on p_micro).
+    """
+    fit = fit_logistic_probe(df, y_col, x_cols, iterations, lr_num, lr_den)
+    zs = [f"cast({_MICRO} as decimal(38,0))"] + [
+        _z_expr(c, fit["m"][j], fit["s"][j]) for j, c in enumerate(x_cols)
+    ]
+    p = _p_expr(_margin_expr(fit["w"], zs))
+    return df.withColumn("p_micro", F.expr(p).cast("long")).withColumn(
+        "pred", (F.col("p_micro") >= 500000).cast("int")
+    )

@@ -207,3 +207,58 @@ def dpo_pairs(
             .alias("margin_cents"),
         )
     )
+
+
+def sft_loss_spans(
+    transcripts: DataFrame,
+    cfg: PipelineConfig | None = None,
+    budget: int = 1024,
+    loss_role: str = "assistant",
+) -> DataFrame:
+    """Per-turn loss-mask spans for SFT sample packing: each conversation
+    becomes one training sequence (turns concatenated in stable order),
+    and the trainer masks loss to the tuned role's tokens only — the
+    universal SFT preprocessing step between sft_pairs (what to train on)
+    and pack_token_stream (how to pack it).
+
+    Emits, per turn: its whitespace token count, its [span_start,
+    span_end) slice of the conversation's packed sequence CLIPPED to the
+    ``budget``-token truncation every trainer applies, the 0/1 loss mask
+    (role == ``loss_role``), and loss_tokens = mask * clipped width — so
+    a downstream packer can materialize mask vectors, and a curation
+    audit can aggregate "how many loss tokens does this corpus actually
+    contain after truncation" (the number that sizes an SFT run).
+
+    Exactness: whitespace token counts and cumulative offsets are int64;
+    clipping is least() arithmetic — no floats anywhere. Scale shape: ONE
+    window cascade on the same partitionBy(conv_id).orderBy(turn_idx, ts)
+    sort every per-conversation operator shares (single exchange + sort);
+    no joins, no Python stages. Truncation means rows past the budget
+    emit zero-width spans instead of disappearing — the audit still sees
+    every turn (count-preserving, join-safe back to the source).
+
+    Reference analog: the reference's SequenceBuilder emits fixed-length
+    windows with label alignment (src/pipeline/sequence_builder.rs); this
+    is the transcript-native twin where the "label" is the loss mask.
+    """
+    from ..functions.text import token_count_ws
+
+    cfg = cfg or PipelineConfig()
+    w = _stable_window(cfg).rowsBetween(Window.unboundedPreceding, -1)
+    t = transcripts.withColumn("_nt", token_count_ws("text")).withColumn(
+        "_off", F.coalesce(F.sum("_nt").over(w), F.lit(0))
+    )
+    b = F.lit(int(budget)).cast("long")
+    start = F.least(F.col("_off"), b)
+    end = F.least(F.col("_off") + F.col("_nt"), b)
+    mask = (F.col("role") == loss_role).cast("int")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("_nt").cast("long").alias("n_tokens"),
+        start.cast("long").alias("span_start"),
+        end.cast("long").alias("span_end"),
+        mask.alias("mask"),
+        (mask.cast("long") * (end - start)).cast("long").alias("loss_tokens"),
+    )

@@ -14691,6 +14691,155 @@ QUERIES["cramers_v"] = q_cramers_v
 ORACLES["cramers_v"] = O_CRAMERS_V
 
 
+# --- logistic quality probe: hard-sigmoid GD classifier over documents ------------------
+
+_LP_RAW = """
+  select doc_id, cast(n_chars >= 300 as int) as y,
+    cast(((length(text) - length(replace(text, 'data', ''))) {d} 4 * 1000000)
+         {d} (length(text) - length(replace(text, ' ', '')) + 1) as {t}) as r1,
+    cast(((length(text) - length(replace(text, 'query', ''))) {d} 5 * 1000000)
+         {d} (length(text) - length(replace(text, ' ', '')) + 1) as {t}) as r2,
+    cast(((length(text) - length(replace(text, 'spark', ''))) {d} 5 * 1000000)
+         {d} (length(text) - length(replace(text, ' ', '')) + 1) as {t}) as r3,
+    cast(least(length(text), 2000) * 500 as {t}) as r4
+  from documents"""
+
+
+def q_logistic_probe(spark, sf_dir):
+    """Linear quality-probe classifier (functions/linear.
+    logistic_probe_fit_predict): exact integer standardization + 6
+    full-batch hard-sigmoid GD iterations over integer word-rate/length
+    features, predicting the long-document class — the fasttext-style
+    "reference-class filter" every curation pipeline trains (acc 0.996
+    at sf0.01). Training is 8 aggregate-only scans (2 standardization +
+    6 gradient, each one tiny collected row); scoring is a shuffle-free
+    projection with weights/means/scales as plan literals. Every op is
+    integer mul/add/trunc-div, so the unrolled DuckDB hugeint twin
+    reproduces each score bit-for-bit."""
+    from ..functions.linear import logistic_probe_fit_predict
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = docs.selectExpr(
+        "doc_id",
+        "cast(n_chars >= 300 as int) as y",
+        "cast(((length(text) - length(replace(text, 'data', ''))) div 4 * 1000000)"
+        " div (length(text) - length(replace(text, ' ', '')) + 1) as long) as r1",
+        "cast(((length(text) - length(replace(text, 'query', ''))) div 5 * 1000000)"
+        " div (length(text) - length(replace(text, ' ', '')) + 1) as long) as r2",
+        "cast(((length(text) - length(replace(text, 'spark', ''))) div 5 * 1000000)"
+        " div (length(text) - length(replace(text, ' ', '')) + 1) as long) as r3",
+        "cast(least(length(text), 2000) * 500 as long) as r4",
+    )
+    out = logistic_probe_fit_predict(f, "y", ["r1", "r2", "r3", "r4"])
+    return out.select(
+        "doc_id",
+        F.col("y").cast("int").alias("y"),
+        F.col("p_micro").cast("long").alias("p_micro"),
+        F.col("pred").cast("int").alias("pred"),
+    )
+
+
+def _lp_oracle(iters: int = 6, lrn: int = 1) -> str:
+    """Unrolled DuckDB twin of the 6-iteration standardized GD fit —
+    same integer arithmetic (hugeint, // trunc division) CTE by CTE."""
+    xs = [f"x{j}" for j in range(5)]
+    gsum = lambda e: ", ".join(f"sum(({e}) * {x}) as g{j}" for j, x in enumerate(xs))
+    margin = lambda w: " + ".join(f"{w}.w{j} * f.{x}" for j, x in enumerate(xs))
+    p = lambda w: (
+        f"least(greatest(500000 + ({margin(w)}) // 4000000000,"
+        " cast(0 as hugeint)), cast(1000000 as hugeint))"
+    )
+    ctes = [
+        "f0 as (" + _LP_RAW.format(d="//", t="hugeint") + ")",
+        "mm as (select "
+        + ", ".join(f"sum(r{i})//count(*) as m{i}" for i in range(1, 5))
+        + " from f0)",
+        "ss as (select "
+        + ", ".join(
+            f"greatest(sum(abs(r{i}-m{i}))//count(*),1) as s{i}" for i in range(1, 5)
+        )
+        + " from f0, mm)",
+        "f as (select doc_id, y, cast(1000000 as hugeint) as x0, "
+        + ", ".join(f"(r{i}-m{i})*1000000//s{i} as x{i}" for i in range(1, 5))
+        + " from f0, mm, ss)",
+        "nn as (select cast(count(*) as hugeint) as n from f)",
+        f"g1 as (select {gsum('cast(500000 - y * 1000000 as hugeint)')} from f)",
+        "w1 as (select "
+        + ", ".join(f"0 - (g1.g{j} * {lrn}) // (nn.n * 1000) as w{j}" for j in range(5))
+        + " from g1, nn)",
+    ]
+    for it in range(2, iters + 1):
+        ctes.append(
+            f"g{it} as (select {gsum(p(f'w{it-1}') + ' - y * 1000000')}"
+            f" from f, w{it-1})"
+        )
+        ctes.append(
+            f"w{it} as (select "
+            + ", ".join(
+                f"w{it-1}.w{j} - (g{it}.g{j} * {lrn}) // (nn.n * 1000) as w{j}"
+                for j in range(5)
+            )
+            + f" from w{it-1}, g{it}, nn)"
+        )
+    return (
+        "with "
+        + ",\n".join(ctes)
+        + f"""
+select f.doc_id, f.y, cast({p(f'w{iters}')} as bigint) as p_micro,
+  cast({p(f'w{iters}')} >= 500000 as int) as pred from f, w{iters}"""
+    )
+
+
+O_LOGISTIC_PROBE = _lp_oracle()
+
+QUERIES["logistic_probe"] = q_logistic_probe
+ORACLES["logistic_probe"] = O_LOGISTIC_PROBE
+
+
+# --- SFT loss-mask spans: per-turn packed-sequence slices + truncation ------------------
+
+def q_sft_loss_spans(spark, sf_dir):
+    """Per-turn SFT loss-mask spans (operators/forks.sft_loss_spans):
+    whitespace token counts, cumulative packed-sequence offsets clipped
+    to a 128-token truncation budget, 0/1 assistant loss mask, and the
+    post-truncation loss-token count — the preprocessing step that sizes
+    an SFT run. One window cascade on the shared per-conversation sort;
+    all int64, no joins, no Python stages."""
+    from ..operators.forks import sft_loss_spans
+
+    t = transcripts_from_events(spark, sf_dir)
+    return sft_loss_spans(t, CFG, budget=128).select(
+        "conv_id", "turn_idx", "role", "n_tokens",
+        "span_start", "span_end", "mask", "loss_tokens",
+    )
+
+
+O_SFT_LOSS_SPANS = f"""{_W},
+t as (
+  select conv_id, turn_idx, ts, role,
+    cast(len(regexp_split_to_array(trim(text), '\\s+')) as bigint) as n_tokens
+  from transcripts
+),
+o as (
+  select conv_id, turn_idx, role, n_tokens,
+    coalesce(sum(n_tokens) over ({_OWIN}
+      rows between unbounded preceding and 1 preceding), 0) as off
+  from t
+)
+select conv_id, turn_idx, role, n_tokens,
+  cast(least(off, 128) as bigint) as span_start,
+  cast(least(off + n_tokens, 128) as bigint) as span_end,
+  cast(role = 'assistant' as int) as mask,
+  cast(case when role = 'assistant'
+       then least(off + n_tokens, 128) - least(off, 128) else 0 end as bigint)
+    as loss_tokens
+from o
+"""
+
+QUERIES["sft_loss_spans"] = q_sft_loss_spans
+ORACLES["sft_loss_spans"] = O_SFT_LOSS_SPANS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -391,3 +391,36 @@ def test_idempotent_sink_skips_replayed_batches(spark, tmp_path):
     writer(b1.withColumn("text", F.lit("DUPLICATE")), 0)
     rows = spark.read.parquet(out + "/batch_id=*").collect()
     assert len(rows) == 2 and not any(r.text == "DUPLICATE" for r in rows)
+
+
+def test_sft_loss_spans_naive(spark):
+    rows = []
+    texts = {
+        "a": [("user", "one two three"), ("assistant", "four five"),
+              ("user", "six"), ("assistant", "seven eight nine ten")],
+        "b": [("user", "x"), ("tool", "y z"), ("assistant", "w")],
+    }
+    for cid, turns in texts.items():
+        for i, (role, t) in enumerate(turns):
+            rows.append((cid, i, role, t, None, _ts(i)))
+    df = _mk(spark, rows)
+    out = {(r["conv_id"], r["turn_idx"]): r
+           for r in forks.sft_loss_spans(df, CFG, budget=6).collect()}
+
+    for cid, turns in texts.items():
+        off = 0
+        for i, (role, t) in enumerate(turns):
+            nt = len(t.split())
+            r = out[(cid, i)]
+            assert r["n_tokens"] == nt
+            assert r["span_start"] == min(off, 6)
+            assert r["span_end"] == min(off + nt, 6)
+            assert r["mask"] == (1 if role == "assistant" else 0)
+            expect_loss = (min(off + nt, 6) - min(off, 6)) if role == "assistant" else 0
+            assert r["loss_tokens"] == expect_loss
+            off += nt
+    # conversation a: 13 tokens, budget 6 => turn 3 fully clipped
+    assert out[("a", 3)]["span_start"] == out[("a", 3)]["span_end"] == 6
+    assert out[("a", 3)]["loss_tokens"] == 0
+    # count-preserving: every turn still emitted
+    assert len(out) == 7

@@ -1,8 +1,8 @@
 """Package-wide physical-plan lint over the ENTIRE driver registry.
 
 PLANS.md hand-audits the most expensive plans; this test turns the two
-invariants every audit asserts into a machine-checked contract over all
-~306 registered queries at once:
+invariants every audit asserts into a machine-checked contract over the
+ENTIRE registry at once:
 
 * no ``CartesianProduct`` anywhere — a shuffle cartesian is O(n·m) with
   no size bound and is never the intended plan shape in this engine;
