@@ -409,3 +409,138 @@ def segmentation_pk(
         F.col("n_disagree").cast("double") / F.col("n_windows").cast("double"),
     ).otherwise(F.lit(0.0))
     return out.select("n_windows", "n_disagree", pk.alias("pk_raw"))
+
+
+def roc_curve_points(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Full ROC curve as a table — one row per DISTINCT classifier score,
+    with the exact cumulative confusion state at threshold "score >= s"
+    and its TPR / FPR / precision in exact ppm (integer trunc division,
+    so any engine reproduces every row bit-identically). The curve-table
+    sibling of binary_auc (one scalar) for threshold selection on quality
+    / contamination classifiers: pick the gating threshold by scanning
+    this frame, not by re-running the scorer.
+
+    Scale shape: one partial-aggregable groupBy collapses the corpus to
+    |distinct scores| rows map-side; the ordered cumulative pass and the
+    ppm ratios run ONLY over that collapsed frame (single-task window —
+    bounded by score cardinality, never corpus rows; a micro-quantized
+    score keeps it <= 1e6 rows at any corpus size).
+
+    Returns DataFrame[score, n_at, pos_at, cum_pos, cum_neg, tpr_ppm,
+    fpr_ppm, precision_ppm] ordered by score descending.
+    """
+    lbl = F.col(label_col).cast("int")
+    g = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum(lbl).cast("long").alias("pos_at"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_pos = F.sum("pos_at").over(w)
+    cum_all = F.sum("n_at").over(w)
+    tot_pos = F.sum("pos_at").over(wall)
+    tot_all = F.sum("n_at").over(wall)
+    c = g.select(
+        "score", "n_at", "pos_at",
+        cum_pos.cast("long").alias("cum_pos"),
+        (cum_all - cum_pos).cast("long").alias("cum_neg"),
+        tot_pos.cast("long").alias("_p"),
+        (tot_all - tot_pos).cast("long").alias("_n"),
+    )
+    return c.select(
+        "score", "n_at", "pos_at", "cum_pos", "cum_neg",
+        F.expr("case when _p > 0 then (cum_pos * 1000000) div _p else 0 end")
+        .cast("long").alias("tpr_ppm"),
+        F.expr("case when _n > 0 then (cum_neg * 1000000) div _n else 0 end")
+        .cast("long").alias("fpr_ppm"),
+        F.expr("(cum_pos * 1000000) div (cum_pos + cum_neg)")
+        .cast("long").alias("precision_ppm"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame, p_micro_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Murphy (1973) Brier-score decomposition over a micro-unit
+    probability column: BRIER = RELIABILITY - RESOLUTION + UNCERTAINTY,
+    binned on equal-width probability bins. The calibration-diagnostic
+    companion to expected_calibration_error: reliability isolates "the
+    probabilities are wrong", resolution isolates "the classifier
+    separates", uncertainty is the irreducible base-rate term — the
+    triple that decides whether a quality classifier needs recalibration
+    or retraining before it gates a corpus.
+
+    All in exact integer micro^2 units per sample: per-row squared error
+    (p - y*1e6)^2 summed as decimal(38,0); per-bin means are trunc
+    divisions of exact integer sums (all operands non-negative, so Spark
+    ``div`` == DuckDB ``//``); each released term is ONE integer trunc
+    division — engine-exact, no floats anywhere. (The classic identity
+    holds exactly only with per-bin means; the quantized means here make
+    brier ~= rel - res + unc up to sub-micro^2 rounding, each term exact
+    on its own definition.)
+
+    Scale shape: ONE partial-aggregable groupBy on the bin index
+    (<= n_bins groups) carrying (n, sum_p, sum_y, sum_sq), then a tiny
+    <=n_bins-row aggregate — fully map-side combinable, no sort, no join.
+
+    Returns one row: (n, brier_micro2, reliability_micro2,
+    resolution_micro2, uncertainty_micro2) — all bigint.
+    """
+    width = 1_000_000 // int(n_bins)
+    p = F.col(p_micro_col).cast("long")
+    y = F.col(label_col).cast("int")
+    b = F.least(
+        F.expr(f"cast({p_micro_col} as bigint) div {width}"),
+        F.lit(int(n_bins) - 1),
+    )
+    sq = (p - y.cast("long") * F.lit(1_000_000)).cast(_D38)
+    g = df.groupBy(b.alias("_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum(p.cast(_D38)).alias("sp"),
+        F.sum(y.cast(_D38)).alias("sy"),
+        F.sum(sq * sq).alias("ssq"),
+    )
+    pbar = F.expr("sp div n_k").cast(_D38)
+    ybar = F.expr("(sy * 1000000) div n_k").cast(_D38)
+    per = g.select(
+        "n_k", "sy", "ssq",
+        (F.col("n_k").cast(_D38) * (pbar - ybar) * (pbar - ybar)).alias("rel_k"),
+        ybar.alias("ybar"),
+    )
+    tot = per.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("ssq").alias("t_ssq"),
+        F.sum("rel_k").alias("t_rel"),
+        F.sum("sy").alias("t_sy"),
+        F.sum(F.col("n_k").cast(_D38) * F.col("ybar")).alias("t_nybar"),
+        F.sum(
+            F.col("n_k").cast(_D38) * F.col("ybar") * F.col("ybar")
+        ).alias("t_nybar2"),
+    )
+    # resolution = sum_k n_k*(ybar_k - base)^2 expanded so base (a global
+    # trunc-div) enters linearly: t_nybar2 - 2*base*t_nybar + n*base^2.
+    base = F.expr("(t_sy * 1000000) div n").cast(_D38)
+    res = (
+        F.col("t_nybar2")
+        - F.lit(2).cast(_D38) * base * F.col("t_nybar")
+        + F.col("n").cast(_D38) * base * base
+    )
+    return tot.select(
+        "n",
+        F.expr("t_ssq div n").cast("long").alias("brier_micro2"),
+        F.expr("t_rel div n").cast("long").alias("reliability_micro2"),
+        (res.cast(_D38)).cast("string").alias("_res_raw"),
+        base.cast("long").alias("_base"),
+    ).select(
+        "n", "brier_micro2", "reliability_micro2",
+        F.expr("cast(_res_raw as decimal(38,0)) div n").cast("long")
+        .alias("resolution_micro2"),
+        (F.col("_base") * (F.lit(1_000_000) - F.col("_base")))
+        .cast("long").alias("uncertainty_micro2"),
+    )

@@ -29,7 +29,7 @@ does for connected components).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..operators.dedup import normalize_text
 
@@ -709,3 +709,65 @@ def kcore_peel(
             F.coalesce("peel_round", F.lit(0)).cast("int").alias("peel_round"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+    w_col: str = "w",
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (Raghavan 2007) over an
+    undirected weighted edge list — the community-detection sibling of
+    pagerank_int / kcore_peel in the graph-curation family (the
+    reference's graph analog is the order-book "level community" of
+    src/features/mbo_features/order_tracker.rs; here communities group
+    co-occurring vocabulary / tools for curation and topic rollups).
+
+    Every node starts labeled with itself; each synchronous round a node
+    adopts the label with the greatest total incident edge weight among
+    its neighbors' current labels, ties broken by the lexicographically
+    SMALLEST label — fully deterministic, no RNG, no convergence test
+    (bounded plan depth, the bounded-iteration rule shared by
+    pagerank_int/hits_int/kcore_peel). Fixed rounds make synchronous
+    oscillation harmless: the output is a pure function of the input.
+
+    Engine-exactness: integer weight sums + (sum DESC, label ASC)
+    argmax — any engine reproduces every row bit-identically.
+
+    Scale shape: the directed edge view localCheckpoints ONCE (the
+    graph-iteration lineage rule, see MEMORY); each round is one
+    hash join on the destination node + one partial-aggregable
+    (node, label) weight sum + one per-node top-1 window — all keyed on
+    the node column, no cross join, no Python. Frame sizes are bounded
+    by |edges| and |nodes| (vocab-pair bounded upstream), never corpus
+    rows.
+
+    Returns ``DataFrame[node: string, community: string]``.
+    """
+    e = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"),
+                     F.col(w_col).cast("long").alias("w"))
+        .union(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"),
+                         F.col(w_col).cast("long").alias("w"))
+        )
+    ).localCheckpoint(eager=True)
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    for _ in range(int(rounds)):
+        scored = (
+            e.join(labels, e["dst"] == labels["node"])
+            .select(F.col("src"), F.col("community").alias("lab"), F.col("w"))
+            .groupBy("src", "lab")
+            .agg(F.sum("w").alias("s"))
+        )
+        win = Window.partitionBy("src").orderBy(F.col("s").desc(), F.col("lab").asc())
+        labels = (
+            scored.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("src").alias("node"), F.col("lab").alias("community"))
+        )
+    return labels

@@ -97,3 +97,47 @@ def k_anonymize(
     for c in quasi_cols:
         out = out.withColumn(c, F.when(rare, F.lit(sentinel)).otherwise(F.col(c)))
     return out.drop("_qn")
+
+
+def l_diversity_audit(
+    df,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 3,
+):
+    """l-diversity audit (Machanavajjhala 2007) — the companion gate to
+    k_anonymize: k-anonymity bounds how few rows share a quasi-identifier
+    tuple, but a group whose SENSITIVE attribute is constant still leaks
+    it (homogeneity attack); distinct l-diversity additionally requires
+    >= l distinct sensitive values per group. This emits the per-group
+    audit a release pipeline inspects before publishing: group size k,
+    distinct-sensitive count l, and the two gate flags.
+
+    Exactness: pure integer counts (count + count distinct) — any engine
+    reproduces every row bit-identically.
+
+    Scale shape: ONE two-level aggregation — groupBy(quasi + sensitive)
+    collapses duplicates map-side, then groupBy(quasi) counts rows and
+    distinct values from the collapsed frame; no sort, no join, no
+    Python. Group count is bounded by quasi-tuple cardinality.
+
+    Returns ``DataFrame[*quasi_cols, k_count: long, l_distinct: long,
+    meets_k: int, meets_l: int]``.
+    """
+    from pyspark.sql import functions as F
+
+    pre = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("_sv")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    g = pre.groupBy(*quasi_cols).agg(
+        F.sum("_n").cast("long").alias("k_count"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+    )
+    return g.select(
+        *quasi_cols,
+        "k_count",
+        "l_distinct",
+        (F.col("k_count") >= int(k)).cast("int").alias("meets_k"),
+        (F.col("l_distinct") >= int(l)).cast("int").alias("meets_l"),
+    )

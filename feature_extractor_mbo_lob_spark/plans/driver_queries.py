@@ -14840,6 +14840,210 @@ QUERIES["sft_loss_spans"] = q_sft_loss_spans
 ORACLES["sft_loss_spans"] = O_SFT_LOSS_SPANS
 
 
+# --- label propagation communities over the word-adjacency graph ------------------------
+
+def q_label_propagation(spark, sf_dir):
+    """3-round synchronous label propagation (functions/graph.
+    label_propagation) over the pruned word-adjacency graph: each word's
+    community after three deterministic max-weight / min-label adoption
+    rounds — the community-detection leg of the graph-curation family
+    (pagerank / HITS / triangles / k-core). Edge list localCheckpointed
+    once; each round one node-keyed join + partial-aggregable weight sum
+    + per-node top-1 window."""
+    from ..functions import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = graph.word_adjacency_edges(docs, min_count=3)
+    return graph.label_propagation(edges, rounds=3)
+
+
+def _lpa_oracle(rounds: int = 3, min_count: int = 3) -> str:
+    rnd = """,
+l{n} as (
+  select src as node, lab as community from (
+    select e.src, l.community as lab, sum(e.w) as s,
+      row_number() over (partition by e.src
+                         order by sum(e.w) desc, l.community asc) as rn
+    from e join l{p} l on e.dst = l.node
+    group by e.src, l.community
+  ) where rn = 1
+)"""
+    parts = [
+        f"""
+with d as (
+  select string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as w
+  from documents
+),
+tr as (
+  select unnest(w[1:len(w)-1]) as x, unnest(w[2:len(w)]) as y from d
+),
+e0 as (
+  select least(x, y) as a, greatest(x, y) as b, count(*) as w
+  from tr where x <> y group by 1, 2
+),
+eu as (select a, b, w from e0 where w >= {min_count}),
+e as (
+  select a as src, b as dst, w from eu
+  union all
+  select b as src, a as dst, w from eu
+),
+l0 as (select distinct src as node, src as community from e)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(rnd.format(n=r, p=r - 1))
+    parts.append(f"\nselect node, community from l{rounds}")
+    return "".join(parts)
+
+
+QUERIES["label_propagation"] = q_label_propagation
+ORACLES["label_propagation"] = _lpa_oracle()
+
+
+# --- ROC curve points: exact per-threshold confusion table -------------------------------
+
+def q_roc_curve(spark, sf_dir):
+    """Exact ROC curve table (functions/evalmetrics.roc_curve_points):
+    one row per distinct quantized score with cumulative TP/FP state and
+    TPR/FPR/precision in exact ppm — threshold selection for corpus
+    quality gates without re-scoring. Corpus collapses to |distinct
+    scores| rows map-side; the ordered pass runs only over that frame."""
+    from ..functions.evalmetrics import roc_curve_points
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.selectExpr(
+        "cast(n_chars div 16 as long) as score",
+        "cast(contains(text, 'data') as int) as y",
+    )
+    return roc_curve_points(scored, "score", "y").select(
+        "score", "n_at", "pos_at", "cum_pos", "cum_neg",
+        "tpr_ppm", "fpr_ppm", "precision_ppm",
+    )
+
+
+O_ROC_CURVE = """
+with s as (
+  select cast(n_chars // 16 as bigint) as score,
+    cast(contains(text, 'data') as int) as y
+  from documents
+),
+g as (
+  select score, cast(count(*) as bigint) as n_at,
+    cast(sum(y) as bigint) as pos_at
+  from s group by score
+),
+c as (
+  select score, n_at, pos_at,
+    sum(pos_at) over (order by score desc
+      rows between unbounded preceding and current row) as cum_pos,
+    sum(n_at - pos_at) over (order by score desc
+      rows between unbounded preceding and current row) as cum_neg,
+    sum(pos_at) over () as p, sum(n_at - pos_at) over () as n
+  from g
+)
+select score, n_at, pos_at,
+  cast(cum_pos as bigint) as cum_pos, cast(cum_neg as bigint) as cum_neg,
+  cast(case when p > 0 then (cum_pos * 1000000) // p else 0 end as bigint) as tpr_ppm,
+  cast(case when n > 0 then (cum_neg * 1000000) // n else 0 end as bigint) as fpr_ppm,
+  cast((cum_pos * 1000000) // (cum_pos + cum_neg) as bigint) as precision_ppm
+from c
+"""
+
+QUERIES["roc_curve"] = q_roc_curve
+ORACLES["roc_curve"] = O_ROC_CURVE
+
+
+# --- Brier decomposition: reliability / resolution / uncertainty ------------------------
+
+def q_brier_decomp(spark, sf_dir):
+    """Murphy Brier-score decomposition (functions/evalmetrics.
+    brier_decomposition) of the deterministic length-probability score
+    against the long-document class: exact integer micro^2 reliability /
+    resolution / uncertainty over 10 equal-width bins — ONE bin-keyed
+    partial-aggregable groupBy plus a <=10-row final aggregate."""
+    from ..functions.evalmetrics import brier_decomposition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.selectExpr(
+        "cast(least(length(text), 2000) * 500 as long) as p_micro",
+        "cast(n_chars >= 300 as int) as y",
+    )
+    return brier_decomposition(scored, "p_micro", "y", n_bins=10)
+
+
+O_BRIER_DECOMP = """
+with s as (
+  select cast(least(length(text), 2000) * 500 as hugeint) as p,
+    cast(n_chars >= 300 as int) as y
+  from documents
+),
+g as (
+  select least(p // 100000, 9) as b,
+    cast(count(*) as hugeint) as n_k,
+    sum(p) as sp, cast(sum(y) as hugeint) as sy,
+    sum((p - y * 1000000) * (p - y * 1000000)) as ssq
+  from s group by 1
+),
+per as (
+  select n_k, sy, ssq,
+    n_k * ((sp // n_k) - ((sy * 1000000) // n_k))
+        * ((sp // n_k) - ((sy * 1000000) // n_k)) as rel_k,
+    (sy * 1000000) // n_k as ybar
+  from g
+),
+tot as (
+  select sum(n_k) as n, sum(ssq) as t_ssq, sum(rel_k) as t_rel,
+    sum(sy) as t_sy, sum(n_k * ybar) as t_nybar,
+    sum(n_k * ybar * ybar) as t_nybar2
+  from per
+)
+select cast(n as bigint) as n,
+  cast(t_ssq // n as bigint) as brier_micro2,
+  cast(t_rel // n as bigint) as reliability_micro2,
+  cast((t_nybar2 - 2 * ((t_sy * 1000000) // n) * t_nybar
+        + n * ((t_sy * 1000000) // n) * ((t_sy * 1000000) // n)) // n
+       as bigint) as resolution_micro2,
+  cast(((t_sy * 1000000) // n) * (1000000 - (t_sy * 1000000) // n)
+       as bigint) as uncertainty_micro2
+from tot
+"""
+
+QUERIES["brier_decomp"] = q_brier_decomp
+ORACLES["brier_decomp"] = O_BRIER_DECOMP
+
+
+# --- l-diversity release audit over quasi-identifier groups -----------------------------
+
+def q_l_diversity(spark, sf_dir):
+    """Distinct l-diversity audit (functions/pii.l_diversity_audit) over
+    (role, tool) quasi-identifier groups with conv_id as the sensitive
+    attribute: per group its size, distinct-sensitive count, and the
+    k>=5 / l>=3 gate flags — the homogeneity-attack companion to the
+    k-anonymity release gate. One two-level aggregation, no sort/join."""
+    from ..functions.pii import l_diversity_audit
+
+    t = transcripts_from_events(spark, sf_dir).selectExpr(
+        "role", "coalesce(tool, '-') as tool", "conv_id"
+    )
+    return l_diversity_audit(t, ["role", "tool"], "conv_id", k=5, l=3)
+
+
+O_L_DIVERSITY = f"""{_W},
+t as (select role, coalesce(tool, '-') as tool, conv_id from transcripts),
+pre as (
+  select role, tool, conv_id, count(*) as n from t group by 1, 2, 3
+)
+select role, tool,
+  cast(sum(n) as bigint) as k_count,
+  cast(count(*) as bigint) as l_distinct,
+  cast(sum(n) >= 5 as int) as meets_k,
+  cast(count(*) >= 3 as int) as meets_l
+from pre group by role, tool
+"""
+
+QUERIES["l_diversity"] = q_l_diversity
+ORACLES["l_diversity"] = O_L_DIVERSITY
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -193,3 +193,53 @@ def test_segmentation_pk_missed_boundary_counts_straddling_windows(spark):
     # windows (3,5) and (4,6) straddle the reference boundary at 5
     assert out.n_windows == 8 and out.n_disagree == 2
     assert abs(out.pk_raw - 0.25) < 1e-12
+
+
+def test_roc_curve_points_hand_case(spark):
+    # scores desc: 3 (1 pos), 2 (1 pos + 1 neg), 1 (1 neg); P=2, N=2
+    df = spark.createDataFrame(
+        [(3, 1), (2, 1), (2, 0), (1, 0)], "score long, y int"
+    )
+    rows = {r.score: r for r in em.roc_curve_points(df, "score", "y").collect()}
+    assert rows[3].cum_pos == 1 and rows[3].cum_neg == 0
+    assert rows[3].tpr_ppm == 500000 and rows[3].fpr_ppm == 0
+    assert rows[3].precision_ppm == 1000000
+    assert rows[2].cum_pos == 2 and rows[2].cum_neg == 1
+    assert rows[2].tpr_ppm == 1000000 and rows[2].fpr_ppm == 500000
+    assert rows[2].precision_ppm == 666666  # trunc(2e6/3)
+    assert rows[1].tpr_ppm == 1000000 and rows[1].fpr_ppm == 1000000
+
+
+def test_roc_curve_points_degenerate_single_class(spark):
+    df = spark.createDataFrame([(5, 1), (4, 1)], "score long, y int")
+    rows = em.roc_curve_points(df, "score", "y").collect()
+    assert all(r.fpr_ppm == 0 for r in rows)  # no negatives: guard, not crash
+    assert all(r.precision_ppm == 1000000 for r in rows)
+
+
+def test_brier_decomposition_perfectly_calibrated_bins(spark):
+    # one bin at p=0.2 with 20% positives, one at p=0.8 with 80% positives:
+    # reliability = 0, uncertainty = base(1-base) with base = 0.5
+    rows = [(200000, 1 if i < 2 else 0) for i in range(10)] + [
+        (800000, 1 if i < 8 else 0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "p long, y int")
+    r = em.brier_decomposition(df, "p", "y", n_bins=10).collect()[0]
+    assert r.n == 20
+    assert r.reliability_micro2 == 0
+    base = 500000
+    assert r.uncertainty_micro2 == base * (1000000 - base)
+    # resolution = mean of n_k*(ybar_k - base)^2 = (10*(3e5)^2 * 2)/20
+    assert r.resolution_micro2 == (300000 ** 2)
+    # brier = mean (p - y)^2 in micro^2: bin1: 2*(8e5)^2+8*(2e5)^2 ... symmetric
+    expect = (2 * 800000**2 + 8 * 200000**2) * 2 // 20
+    assert r.brier_micro2 == expect
+
+
+def test_brier_decomposition_miscalibrated_is_flagged(spark):
+    # constant p=0.9 but only 10% positives: reliability ~ (0.8)^2
+    rows = [(900000, 1 if i == 0 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "p long, y int")
+    r = em.brier_decomposition(df, "p", "y", n_bins=10).collect()[0]
+    assert r.reliability_micro2 == (900000 - 100000) ** 2
+    assert r.resolution_micro2 == 0  # single bin: ybar == base

@@ -240,3 +240,41 @@ def test_kcore_peel_cascade(spark):
     e = _kcore_edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")])
     out = {r.node: r.peel_round for r in kcore_peel(e, k=3, rounds=3).collect()}
     assert out == {"a": 2, "b": 1, "c": 1, "d": 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles joined by one weak bridge: each triangle converges to
+    # its own min-label community
+    edges = [
+        ("a", "b", 5), ("a", "c", 5), ("b", "c", 5),
+        ("x", "y", 5), ("x", "z", 5), ("y", "z", 5),
+        ("c", "x", 1),
+    ]
+    df = spark.createDataFrame(edges, "a string, b string, w long")
+    out = {r.node: r.community for r in graph.label_propagation(df, rounds=3).collect()}
+    assert out["a"] == out["b"] == out["c"]
+    assert out["x"] == out["y"] == out["z"]
+    assert out["a"] != out["x"]
+
+
+def test_label_propagation_tie_breaks_min_label(spark):
+    # single round, node m sees labels 'a' and 'z' with equal weight ->
+    # adopts the lexicographically smaller 'a'
+    df = spark.createDataFrame(
+        [("a", "m", 2), ("m", "z", 2)], "a string, b string, w long"
+    )
+    out = {r.node: r.community for r in graph.label_propagation(df, rounds=1).collect()}
+    assert out["m"] == "a"
+    # endpoints adopt their only neighbor's label
+    assert out["a"] == "m" and out["z"] == "m"
+
+
+def test_label_propagation_weight_beats_count(spark):
+    # m has two light edges into the 'x' side but one heavy edge to 'a'
+    df = spark.createDataFrame(
+        [("m", "x", 1), ("m", "y", 1), ("m", "a", 3),
+         ("x", "y", 9)],
+        "a string, b string, w long",
+    )
+    out = {r.node: r.community for r in graph.label_propagation(df, rounds=1).collect()}
+    assert out["m"] == "a"

@@ -85,3 +85,30 @@ def test_connected_components_long_chain(spark):
     )
     out = {r.id: r.cluster_id for r in dedup.connected_components(edges).collect()}
     assert set(out.values()) == {1} and len(out) == 200
+
+
+def test_l_diversity_audit_hand_case(spark):
+    # group (u, t1): 5 rows, 3 distinct sensitive -> meets both;
+    # group (u, t2): 5 rows, 1 distinct sensitive -> k ok, l fails;
+    # group (a, t1): 2 rows, 2 distinct -> k fails, l fails
+    rows = (
+        [("u", "t1", f"c{i % 3}") for i in range(5)]
+        + [("u", "t2", "c9")] * 5
+        + [("a", "t1", "c1"), ("a", "t1", "c2")]
+    )
+    df = spark.createDataFrame(rows, "role string, tool string, s string")
+    out = {(r.role, r.tool): r
+           for r in pii.l_diversity_audit(df, ["role", "tool"], "s", k=5, l=3).collect()}
+    assert out[("u", "t1")].k_count == 5 and out[("u", "t1")].l_distinct == 3
+    assert out[("u", "t1")].meets_k == 1 and out[("u", "t1")].meets_l == 1
+    assert out[("u", "t2")].meets_k == 1 and out[("u", "t2")].meets_l == 0
+    assert out[("a", "t1")].meets_k == 0 and out[("a", "t1")].meets_l == 0
+
+
+def test_l_diversity_counts_duplicate_sensitive_once(spark):
+    df = spark.createDataFrame(
+        [("u", "x", "c1")] * 4 + [("u", "x", "c2")] * 3,
+        "role string, tool string, s string",
+    )
+    r = pii.l_diversity_audit(df, ["role", "tool"], "s", k=5, l=2).collect()[0]
+    assert r.k_count == 7 and r.l_distinct == 2 and r.meets_k == 1 and r.meets_l == 1

@@ -1233,6 +1233,66 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import (
+        brier_decomposition,
+        roc_curve_points,
+    )
+    from feature_extractor_mbo_lob_spark.functions.graph import (
+        label_propagation,
+        word_adjacency_edges,
+    )
+    from feature_extractor_mbo_lob_spark.functions.pii import l_diversity_audit
+
+    lp_docs = t.select(F.col("text")).limit(200)
+    sections.append(summarize(
+        "Label propagation communities (3 rounds)",
+        label_propagation(word_adjacency_edges(lp_docs, min_count=2), rounds=3),
+        "Directed edge view localCheckpoints ONCE (graph-iteration "
+        "lineage rule); each unrolled round = one node-keyed hash join + "
+        "one partial-aggregable (node, label) weight sum + one per-node "
+        "top-1 window — all frames bounded by the pruned vocab-pair edge "
+        "list, never corpus rows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sc = t.select((F.col("turn_idx") % 16).alias("score"),
+                  (F.col("turn_idx") % 3 == 0).cast("int").alias("y"))
+    sections.append(summarize(
+        "ROC curve points",
+        roc_curve_points(sc, "score", "y"),
+        "ONE partial-aggregable groupBy collapses the corpus to "
+        "|distinct scores| rows map-side; the ordered cumulative pass + "
+        "ppm ratios run only over that collapsed frame (single-task "
+        "window, bounded by score cardinality).",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    bd = t.select(((F.col("turn_idx") % 11) * 100000).alias("p"),
+                  (F.col("turn_idx") % 2).alias("y"))
+    sections.append(summarize(
+        "Brier decomposition",
+        brier_decomposition(bd, "p", "y", n_bins=10),
+        "ONE bin-keyed partial-aggregable groupBy (<= n_bins groups) "
+        "carrying exact decimal moments, then a <= n_bins-row final "
+        "aggregate — fully map-side combinable, no sort, no join.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    ld = t.select("role", F.coalesce("tool", F.lit("-")).alias("tool"), "conv_id")
+    sections.append(summarize(
+        "l-diversity release audit",
+        l_diversity_audit(ld, ["role", "tool"], "conv_id", k=5, l=3),
+        "Two-level aggregation: groupBy(quasi + sensitive) collapses "
+        "duplicates map-side, then groupBy(quasi) counts rows and "
+        "distinct values from the collapsed frame — no sort, no join, "
+        "no Python; group count bounded by quasi-tuple cardinality.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
