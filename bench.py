@@ -187,7 +187,10 @@ def main() -> None:
     # final stdout line stays compact: headline metrics + the first-50
     # certified-window queries only (round-1-proven parse size).
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    detail_path.write_text(json.dumps(result, indent=1) + "\n")
+    if not args.skip_queries:
+        # a headline-only run must not clobber the full per-query map the
+        # driver reads (measured: --skip-queries left a 0-query sidecar)
+        detail_path.write_text(json.dumps(result, indent=1) + "\n")
 
     compact = dict(result)
     compact["queries"] = dict(list(q_times.items())[:50])

@@ -1934,3 +1934,117 @@ def dsir_log_weights(
         F.sum("k").cast("long").alias("n_words"),
         F.sum(F.col("k") * F.col("lr")).alias("log_weight"),
     )
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities (Kneser & Ney 1995,
+    absolute discount d = 3/4) over the corpus bigram table — the
+    production-grade smoothing the interpolated add-one of
+    bigram_logprob approximates, and (because d is the rational 3/4)
+    expressible ENTIRELY in exact integer fixed point:
+
+        p(w|v) = (c(vw) - 3/4) / c(v·)
+               + [3/4 · N1+(v·) / c(v·)] · [N1+(·w) / T]
+
+    with c(v·) = Σ_w c(vw) (context mass), N1+(v·) = distinct
+    continuations of v, N1+(·w) = distinct contexts of w (the
+    continuation count that makes KN rank "francisco" low even though
+    "san francisco" is frequent), and T = |distinct bigram types|.
+    Every factor is a ratio of exact integers; the released p_micro is
+    three trunc divisions on non-negative decimal(38,0) operands
+    (Spark ``div`` == DuckDB ``//``), bit-identical on both engines.
+
+    Scale shape: the corpus collapses to the bigram-type frame in one
+    explode -> partial-aggregable groupBy; margins are two groupBys OF
+    THAT frame joined back on their keys; T is a broadcast 1-row
+    aggregate (bounded, on the BNLJ allowlist). Nothing downstream of
+    the first shuffle scales with corpus rows — only with bigram types.
+
+    Returns ``DataFrame[v, w, c_vw: long, p_micro: long]``.
+    """
+    from .repetition import gram_counts
+
+    bi = (
+        gram_counts(df, id_col, text_col)
+        .groupBy("gram")
+        .agg(F.sum("cnt").cast("long").alias("c_vw"))
+        .select(
+            F.split("gram", " ")[0].alias("v"),
+            F.split("gram", " ")[1].alias("w"),
+            "c_vw",
+        )
+    )
+    ctx = bi.groupBy("v").agg(
+        F.sum("c_vw").cast("long").alias("c_v"),
+        F.count(F.lit(1)).cast("long").alias("n1p_v"),
+    )
+    cont = bi.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n1p_w"))
+    tot = bi.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+    joined = (
+        bi.join(ctx, "v").join(cont, "w").crossJoin(F.broadcast(tot))
+    )
+    term1 = F.expr(
+        "((4 * cast(c_vw as decimal(38,0)) - 3) * 1000000)"
+        " div (4 * cast(c_v as decimal(38,0)))"
+    )
+    lam = F.expr(
+        "(3 * cast(n1p_v as decimal(38,0)) * 1000000)"
+        " div (4 * cast(c_v as decimal(38,0)))"
+    )
+    pcont = F.expr(
+        "(cast(n1p_w as decimal(38,0)) * 1000000) div cast(t_types as decimal(38,0))"
+    )
+    return joined.select(
+        "v", "w", "c_vw",
+        (lam * pcont).alias("_lp"),
+        term1.alias("_t1"),
+    ).select(
+        "v", "w", "c_vw",
+        (F.col("_t1").cast("decimal(38,0)")
+         + F.expr("cast(_lp as decimal(38,0)) div 1000000")).cast("long")
+        .alias("p_micro"),
+    )
+
+
+def good_turing_counts(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Good-Turing count-of-counts table with the Turing-adjusted
+    frequency estimate r* = (r+1)·N_{r+1}/N_r in exact micro units — the
+    smoothing diagnostic a corpus LM pass computes before choosing
+    discounts (and the standard unseen-mass estimate N_1/N for coverage
+    audits). Emits one row per observed frequency r: how many word types
+    occur exactly r times (n_r), and gt_r_micro = ((r+1)·N_{r+1}·1e6)
+    div N_r (0 when N_{r+1}=0, the classic truncation).
+
+    Exactness: integer counts and ONE trunc division of non-negative
+    integers — bit-identical on any engine.
+
+    Scale shape: word counts are one explode -> partial-aggregable
+    groupBy; count-of-counts is a second groupBy of the vocab-sized
+    frame; N_{r+1} arrives by a self-join of the tiny frequency table on
+    r+1 (|distinct frequencies| rows). No sort, no Python, no driver
+    collect.
+
+    Returns ``DataFrame[r: long, n_r: long, gt_r_micro: long]``.
+    """
+    wc = word_counts(df, text_col)
+    cc = wc.groupBy(F.col("cnt").cast("long").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    nxt = cc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        cc.join(nxt, "r", "left")
+        .select(
+            "r", "n_r",
+            F.expr(
+                "coalesce(((r + 1) * cast(coalesce(n_r1, 0) as decimal(38,0))"
+                " * 1000000) div cast(n_r as decimal(38,0)), 0)"
+            ).cast("long").alias("gt_r_micro"),
+        )
+    )

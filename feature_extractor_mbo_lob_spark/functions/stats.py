@@ -1578,3 +1578,156 @@ def cramers_v2(
     return agg.select(
         "n_rows", "n_cols", "n_total", "chi2_fp", v2.alias("v2_raw")
     )
+
+
+def dispersion_index(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group index of dispersion (variance-to-mean ratio, the
+    overdispersion meter for count data): D = s^2 / x-bar, D ~ 1 for a
+    Poisson process, D >> 1 for bursty / clumped arrivals — the one-line
+    screen that decides between Poisson and negative-binomial modeling
+    of per-day event counts, tool invocations, or token arrivals.
+
+    Exactness: sufficient statistics (n, S = Σx, Q = Σx²) are exact
+    integer/decimal(38,0) sums; the released value is the single IEEE
+    division (n·Q − S²)/((n−1)·S) of two exact integers — the same
+    op on both engines — then boundary-exact 6-decimal canonicalization.
+    Mean x-bar = S/n is released the same way. Groups with n < 2 or
+    S <= 0 release NULL (dispersion undefined).
+
+    Scale shape: ONE partial-aggregable groupBy carrying three integer
+    moments — fully map-side combinable, no sort, no join, no Python.
+
+    Returns ``DataFrame[<group_col>, n: long, mean_x, dispersion]``.
+    """
+    x = F.col(value_col).cast("decimal(38,0)")
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("q"),
+    )
+    x6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    num = F.col("n").cast("decimal(38,0)") * F.col("q") - F.col("s") * F.col("s")
+    den = (F.col("n") - 1).cast("decimal(38,0)") * F.col("s")
+    return g.select(
+        group_col,
+        "n",
+        x6(F.col("s").cast("double") / F.col("n").cast("double")).alias("mean_x"),
+        F.when(
+            (F.col("n") >= 2) & (F.col("s") > 0),
+            x6(num.cast("double") / den.cast("double")),
+        ).alias("dispersion"),
+    )
+
+
+def cliffs_delta(
+    ev: DataFrame,
+    unit_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Cliff's delta between the two md5 arms — the nonparametric effect
+    size (P[a > b] - P[a < b]) that reports HOW MUCH the arms differ
+    where mann_whitney_u reports WHETHER: the robust companion to the
+    parametric effect_size_d2, immune to the heavy tails that inflate
+    Cohen's d. Derived exactly from the doubled-U machinery (u2_a is the
+    DOUBLED U_A, so the 2s cancel):
+
+        delta = 2*U_A / (n_a*n_b) - 1 = (u2_a - n_a*n_b) / (n_a*n_b)
+
+    one IEEE division of exact integers (u2_a, n_a, n_b from
+    mann_whitney_u's exact midrank path), then 6-decimal boundary-exact
+    canonicalization. |delta| <= 1; ~0.147/0.33/0.474 are the standard
+    small/medium/large thresholds.
+
+    Scale shape: identical to mann_whitney_u (groupBy(unit) ->
+    distinct-value window -> 1-row aggregate); this adds only a 1-row
+    projection.
+
+    Returns one row: (n_a, n_b, u2_a, delta).
+    """
+    u = mann_whitney_u(ev, unit_col, value_col)
+    x6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    prod = F.col("n_a").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)")
+    return u.select(
+        "n_a", "n_b", "u2_a",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            x6(
+                (F.col("u2_a").cast("decimal(38,0)") - prod).cast("double")
+                / prod.cast("double")
+            ),
+        ).alias("delta"),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Hill (1975) tail-index estimator over the top-``k`` order
+    statistics of a positive integer metric: H = (1/k) Σ_{i<=k}
+    ln(x_(i) / x_(k+1)), alpha = 1/H — the heavy-tail screen that says
+    whether conversation lengths / spend / burst sizes have finite
+    variance (alpha > 2) or Pareto-like tails (alpha < 2) before any
+    mean-based statistic is trusted.
+
+    Determinism: each distinct value's ln is quantized to integer nanos
+    (floor(ln(v)*1e9 + 0.5), the zipf_fit convention) BEFORE
+    multiplication by its multiplicity and summation, so the sum is an
+    exact integer in any order; H and alpha release as integer trunc
+    divisions (h_nanos, alpha_micro) — bit-identical on both engines.
+
+    Scale shape: one partial-aggregable groupBy collapses the corpus to
+    the distinct-value frame; the descending cumulative window, top-k
+    clamp, and threshold pick all run on that frame only (bounded by
+    metric cardinality); one 1-row final aggregate. Returns an empty
+    frame when fewer than k+1 observations exist (tail undefined).
+
+    Returns one row: (k, n_total, x_threshold, h_nanos, alpha_micro).
+    """
+    from pyspark.sql import Window
+
+    g = df.select(F.col(value_col).cast("long").alias("x")).filter(
+        F.col("x") > 0
+    ).groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy(F.col("x").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "x", "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(w).alias("cum_incl"),
+        F.floor(F.log(F.col("x").cast("double")) * F.lit(1e9) + F.lit(0.5))
+        .cast("long").alias("lnx_nanos"),
+    )
+    kk = F.lit(int(k)).cast("long")
+    take = F.greatest(
+        F.least(F.col("cnt"), kk - F.col("cum_before")), F.lit(0)
+    )
+    agg = c.agg(
+        F.sum(take.cast("decimal(38,0)") * F.col("lnx_nanos").cast("decimal(38,0)"))
+        .alias("top_ln_sum"),
+        F.max(F.when(F.col("cum_incl") >= kk + 1, F.col("x"))).alias("x_threshold"),
+        F.max(
+            F.when(F.col("cum_incl") >= kk + 1, F.col("lnx_nanos"))
+        ).alias("thr_ln"),
+        F.sum("cnt").cast("long").alias("n_total"),
+    )
+    return agg.filter(F.col("n_total") >= int(k) + 1).select(
+        F.lit(int(k)).cast("long").alias("k"),
+        "n_total",
+        F.col("x_threshold").cast("long").alias("x_threshold"),
+        F.expr(
+            f"cast((top_ln_sum - {int(k)} * cast(thr_ln as decimal(38,0)))"
+            f" div {int(k)} as bigint)"
+        ).alias("h_nanos"),
+    ).select(
+        "k", "n_total", "x_threshold", "h_nanos",
+        F.expr(
+            "case when h_nanos > 0 then"
+            " cast((cast(1000000000 as decimal(38,0)) * 1000000)"
+            " div cast(h_nanos as decimal(38,0)) as bigint) end"
+        ).alias("alpha_micro"),
+    )

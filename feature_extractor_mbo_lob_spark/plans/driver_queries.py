@@ -15044,6 +15044,243 @@ QUERIES["l_diversity"] = q_l_diversity
 ORACLES["l_diversity"] = O_L_DIVERSITY
 
 
+# --- Kneser-Ney smoothed bigram model: exact rational-discount fixed point --------------
+
+def q_kneser_ney(spark, sf_dir):
+    """Kneser-Ney bigram probabilities (functions/corpus.
+    kneser_ney_bigrams, d = 3/4): per corpus bigram type its count and
+    KN-smoothed p(w|v) in exact micro units — continuation counts and
+    context masses as groupBys of the bigram-type frame, the 1-row type
+    total broadcast (BNLJ allowlist), three trunc divisions on
+    non-negative decimal(38,0) operands identical in DuckDB hugeint."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.kneser_ney_bigrams(docs).select("v", "w", "c_vw", "p_micro")
+
+
+O_KNESER_NEY = f"""
+with {_WORDS_CTE},
+grams as (
+  select unnest([array_to_string(words[i:i+1], ' ') for i in range(1, len(words))]) as gram
+  from w
+),
+bi as (
+  select string_split(gram, ' ')[1] as v, string_split(gram, ' ')[2] as w,
+    cast(count(*) as hugeint) as c_vw
+  from grams group by gram
+),
+bim as (
+  select v, w, sum(c_vw) as c_vw from bi group by v, w
+),
+ctx as (
+  select v, sum(c_vw) as c_v, cast(count(*) as hugeint) as n1p_v
+  from bim group by v
+),
+cont as (
+  select w, cast(count(*) as hugeint) as n1p_w from bim group by w
+),
+tot as (select cast(count(*) as hugeint) as t_types from bim)
+select bim.v, bim.w, cast(bim.c_vw as bigint) as c_vw,
+  cast(
+    ((4 * bim.c_vw - 3) * 1000000) // (4 * ctx.c_v)
+    + (((3 * ctx.n1p_v * 1000000) // (4 * ctx.c_v))
+       * ((cont.n1p_w * 1000000) // tot.t_types)) // 1000000
+  as bigint) as p_micro
+from bim join ctx using (v) join cont using (w) cross join tot
+"""
+
+QUERIES["kneser_ney"] = q_kneser_ney
+ORACLES["kneser_ney"] = O_KNESER_NEY
+
+
+# --- Good-Turing count-of-counts smoothing table -----------------------------------------
+
+def q_good_turing(spark, sf_dir):
+    """Good-Turing count-of-counts (functions/corpus.good_turing_counts):
+    per observed word frequency r, the number of types n_r and the
+    Turing-adjusted estimate r* = (r+1)·N_{r+1}·1e6 div N_r — two
+    partial-aggregable groupBys plus a self-join of the tiny frequency
+    table on r+1; exact integer arithmetic throughout."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.good_turing_counts(docs).select("r", "n_r", "gt_r_micro")
+
+
+O_GOOD_TURING = f"""
+with {_WORDS_CTE},
+ww as (select unnest(words) as word from w),
+wc as (select word, cast(count(*) as bigint) as cnt from ww group by word),
+cc as (select cnt as r, cast(count(*) as bigint) as n_r from wc group by cnt)
+select cc.r, cc.n_r,
+  cast(coalesce(
+    ((cc.r + 1) * cast(coalesce(nx.n_r, 0) as hugeint) * 1000000)
+      // cast(cc.n_r as hugeint), 0) as bigint) as gt_r_micro
+from cc left join cc nx on nx.r = cc.r + 1
+"""
+
+QUERIES["good_turing"] = q_good_turing
+ORACLES["good_turing"] = O_GOOD_TURING
+
+
+# --- dispersion index: Poisson vs bursty arrivals per event type -------------------------
+
+def q_dispersion_index(spark, sf_dir):
+    """Per-event-type index of dispersion (functions/stats.
+    dispersion_index) of daily event counts: D = s²/x̄ — the
+    overdispersion screen (Poisson D≈1 vs clumped D≫1) that picks the
+    arrival model for capacity planning. Daily counts are one groupBy;
+    the index is ONE partial-aggregable 3-moment aggregate with a single
+    IEEE division of exact integers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    from ..functions.stats import dispersion_index
+
+    return dispersion_index(daily, "event_type", "x").select(
+        "event_type", "n", "mean_x", "dispersion"
+    )
+
+
+O_DISPERSION_INDEX = """
+with daily as (
+  select event_type, cast(ts as date) as d, cast(count(*) as hugeint) as x
+  from events group by 1, 2
+),
+g as (
+  select event_type, cast(count(*) as bigint) as n,
+    sum(x) as s, sum(x * x) as q
+  from daily group by event_type
+)
+select event_type, n,
+  floor((cast(s as double) / cast(n as double)) * 1000000.0 + 0.5) / 1000000.0
+    as mean_x,
+  case when n >= 2 and s > 0 then
+    floor((cast(n * q - s * s as double) / cast((n - 1) * s as double))
+          * 1000000.0 + 0.5) / 1000000.0
+  end as dispersion
+from g
+"""
+
+QUERIES["dispersion_index"] = q_dispersion_index
+ORACLES["dispersion_index"] = O_DISPERSION_INDEX
+
+
+# --- Cliff's delta: nonparametric effect size between md5 arms --------------------------
+
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta between the md5 arms on per-user spend cents
+    (functions/stats.cliffs_delta): P[a>b] - P[a<b] derived exactly from
+    the doubled Mann-Whitney U — the robust effect-size companion to
+    effect_size (Cohen's d) for heavy-tailed metrics. Same distinct-value
+    window shape as mann_whitney; one extra 1-row projection with a
+    single IEEE division."""
+    from ..functions.stats import cliffs_delta
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cliffs_delta(ev, "user_id")
+
+
+O_CLIFFS_DELTA = f"""
+with pu as (
+  select user_id as uid,
+    cast(sum(cast(floor(value * 100.0 + 0.5) as bigint)) as bigint) as c
+  from events group by user_id
+),
+arm as (
+  select c, cast(({_HEX7}) % 2 as int) as arm
+  from (select c, md5(cast(uid as varchar)) as h from pu)
+),
+g as (
+  select c, count(*) as cnt,
+    sum(case when arm = 0 then 1 else 0 end) as cnt_a
+  from arm group by c
+),
+r as (
+  select cnt, cnt_a,
+    2 * (sum(cnt) over (order by c rows between unbounded preceding and current row) - cnt)
+      + cnt + 1 as two_midrank
+  from g
+),
+f as (
+  select cast(sum(cnt_a) as bigint) as n_a,
+    cast(sum(cnt - cnt_a) as bigint) as n_b,
+    cast(sum(cnt_a * two_midrank) as bigint) as r2_sum_a
+  from r
+),
+u as (
+  select n_a, n_b,
+    cast(r2_sum_a - n_a * (n_a + 1) as bigint) as u2_a
+  from f
+)
+select n_a, n_b, u2_a,
+  case when n_a > 0 and n_b > 0 then
+    floor((cast(cast(u2_a as hugeint) - cast(n_a as hugeint) * n_b as double)
+           / cast(cast(n_a as hugeint) * n_b as double)) * 1000000.0 + 0.5)
+      / 1000000.0
+  end as delta
+from u
+"""
+
+QUERIES["cliffs_delta"] = q_cliffs_delta
+ORACLES["cliffs_delta"] = O_CLIFFS_DELTA
+
+
+# --- Hill tail-index estimator over conversation lengths --------------------------------
+
+def q_hill_tail(spark, sf_dir):
+    """Hill tail-index (functions/stats.hill_tail_index, k=100) over
+    per-conversation turn counts: H = mean of ln(x_(i)/x_(k+1)) over the
+    top-k order statistics, alpha = 1/H — the heavy-tail screen run
+    before trusting mean-based capacity statistics. ln quantized to
+    integer nanos per DISTINCT value (zipf_fit convention) so sums are
+    exact integers; H and alpha release as trunc divisions. The
+    cumulative pass runs over the distinct-length frame only."""
+    from ..functions.stats import hill_tail_index
+
+    t = transcripts_from_events(spark, sf_dir)
+    lens = t.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    return hill_tail_index(lens, "n_turns", k=100)
+
+
+O_HILL_TAIL = f"""{_W},
+lens as (
+  select conv_id, cast(count(*) as bigint) as x from transcripts group by conv_id
+),
+g as (
+  select x, cast(count(*) as bigint) as cnt from lens where x > 0 group by x
+),
+c as (
+  select x, cnt,
+    sum(cnt) over (order by x desc rows between unbounded preceding and current row)
+      - cnt as cum_before,
+    sum(cnt) over (order by x desc rows between unbounded preceding and current row)
+      as cum_incl,
+    cast(floor(ln(cast(x as double)) * 1000000000.0 + 0.5) as bigint) as lnx_nanos
+  from g
+),
+a as (
+  select
+    sum(cast(greatest(least(cnt, 100 - cum_before), 0) as hugeint)
+        * lnx_nanos) as top_ln_sum,
+    max(case when cum_incl >= 101 then x end) as x_threshold,
+    max(case when cum_incl >= 101 then lnx_nanos end) as thr_ln,
+    cast(sum(cnt) as bigint) as n_total
+  from c
+)
+select cast(100 as bigint) as k, n_total,
+  cast(x_threshold as bigint) as x_threshold,
+  cast((top_ln_sum - 100 * cast(thr_ln as hugeint)) // 100 as bigint) as h_nanos,
+  case when (top_ln_sum - 100 * cast(thr_ln as hugeint)) // 100 > 0 then
+    cast((cast(1000000000 as hugeint) * 1000000)
+         // ((top_ln_sum - 100 * cast(thr_ln as hugeint)) // 100) as bigint)
+  end as alpha_micro
+from a
+where n_total >= 101
+"""
+
+QUERIES["hill_tail"] = q_hill_tail
+ORACLES["hill_tail"] = O_HILL_TAIL
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

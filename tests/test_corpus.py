@@ -583,3 +583,59 @@ def test_dsir_log_weights_direction_and_counts(spark):
     # target-vocabulary docs score higher than source-vocabulary docs
     assert out[4].log_weight > 0 > out[5].log_weight
     assert out[0].log_weight > out[2].log_weight
+
+
+def test_kneser_ney_hand_case(spark):
+    # corpus: "a b", "a b", "a c" -> bigrams ab:2, ac:1
+    # ctx a: c_v=3, n1p_v=2; cont b: n1p_w=1, c: n1p_w=1; T=2
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {(r.v, r.w): r for r in corpus.kneser_ney_bigrams(df).collect()}
+    # term1(ab) = (4*2-3)*1e6 div 12 = 416666; lam = 3*2*1e6 div 12 = 500000
+    # pcont(b) = 1e6 div 2 = 500000; p = 416666 + 500000*500000 div 1e6
+    assert out[("a", "b")].c_vw == 2
+    assert out[("a", "b")].p_micro == 416666 + 250000
+    # term1(ac) = (4-3)*1e6 div 12 = 83333
+    assert out[("a", "c")].p_micro == 83333 + 250000
+    # probabilities ordered by evidence
+    assert out[("a", "b")].p_micro > out[("a", "c")].p_micro
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(spark):
+    # "york" appears often but ALWAYS after "new" (1 context);
+    # "the" appears in many contexts. After unseen-ish context "q",
+    # p_cont should rank the versatile word higher: compare n1p_w effect
+    # via the lambda-weighted term of two equal-count bigrams.
+    rows = [(i, "new york") for i in range(5)] + [
+        (10, "a the"), (11, "b the"), (12, "c the"), (13, "d the"), (14, "e the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.v, r.w): r for r in corpus.kneser_ney_bigrams(df).collect()}
+    # T = 6 bigram types; n1p_w(the) = 5 contexts vs n1p_w(york) = 1
+    # p(york|new): c=5, c_v=5 -> term1 = 17e6 div 20 = 850000,
+    #   lam = 3e6 div 20 = 150000, pcont = 1e6 div 6 = 166666
+    assert out[("new", "york")].p_micro == 850000 + (150000 * 166666) // 10**6
+    # p(the|a): c=1, c_v=1 -> term1 = 1e6 div 4 = 250000,
+    #   lam = 3e6 div 4 = 750000, pcont = 5e6 div 6 = 833333
+    assert out[("a", "the")].p_micro == 250000 + (750000 * 833333) // 10**6
+    # the continuation boost (p - term1) favors the versatile word
+    assert (out[("a", "the")].p_micro - 250000) > (
+        out[("new", "york")].p_micro - 850000
+    )
+
+
+def test_good_turing_hand_case(spark):
+    # counts: a:3, b:1, c:1, d:2, e:2, f:2 -> N1=2, N2=3, N3=1
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "c d d e"), (2, "e f f")],
+        "doc_id long, text string",
+    )
+    out = {r.r: r for r in corpus.good_turing_counts(df).collect()}
+    assert out[1].n_r == 2 and out[2].n_r == 3 and out[3].n_r == 1
+    # r*=1: (1+1)*N2*1e6 div N1 = 2*3e6 div 2 = 3e6
+    assert out[1].gt_r_micro == 3_000_000
+    # r*=2: 3*N3*1e6 div N2 = 3e6 div 3 = 1e6
+    assert out[2].gt_r_micro == 1_000_000
+    # top frequency truncates to 0
+    assert out[3].gt_r_micro == 0

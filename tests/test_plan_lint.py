@@ -56,6 +56,7 @@ BNLJ_ALLOWED = {
     "ivf_topk_sharded",
     "key_skew_report",
     "kmeans_clusters",
+    "kneser_ney",
     "kruskal_wallis",
     "label_stats",
     "lateness_audit",

@@ -410,3 +410,75 @@ def test_cramers_v2_independence_is_zero(spark):
     df = spark.createDataFrame(rows, "a string, b long")
     r = cramers_v2(df, "a", "b").collect()[0]
     assert r.chi2_fp == 0 and r.v2_raw == 0.0
+
+
+def test_dispersion_index_poisson_like_and_bursty(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import dispersion_index
+
+    rows = (
+        [("flat", x) for x in (4, 5, 6, 5, 5)]        # var 0.5, mean 5 -> 0.1
+        + [("burst", x) for x in (0, 0, 0, 0, 25)]    # heavily clumped
+        + [("tiny", 7)]                               # n < 2 -> NULL
+        + [("zero", 0), ("zero", 0)]                  # s = 0 -> NULL
+    )
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r.g: r for r in dispersion_index(df, "g", "x").collect()}
+    assert out["flat"].n == 5 and out["flat"].mean_x == 5.0
+    assert out["flat"].dispersion == 0.1
+    # burst: mean 5, var = (4*25 + 400)/4 = 125 -> D = 25
+    assert out["burst"].dispersion == 25.0
+    assert out["tiny"].dispersion is None
+    assert out["zero"].dispersion is None
+
+
+def test_cliffs_delta_matches_naive_pairwise(spark):
+    import hashlib
+
+    from feature_extractor_mbo_lob_spark.functions.stats import cliffs_delta
+
+    # one event per user; value = cents/100 so per-user total = value*100
+    rows = [(f"u{i}", float(i % 13) + (i % 3) * 0.25) for i in range(60)]
+    df = spark.createDataFrame(rows, "user_id string, value double")
+    r = cliffs_delta(df, "user_id").collect()[0]
+
+    arm = lambda u: int(hashlib.md5(u.encode()).hexdigest()[:7], 16) % 2
+    import math
+    a = [math.floor(v * 100.0 + 0.5) for u, v in rows if arm(u) == 0]
+    b = [math.floor(v * 100.0 + 0.5) for u, v in rows if arm(u) == 1]
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    expect = (gt - lt) / (len(a) * len(b))
+    assert abs(r.delta - expect) < 2e-6
+    assert -1.0 <= r.delta <= 1.0
+
+
+def test_hill_tail_index_hand_case(spark):
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import hill_tail_index
+
+    # top-3 values 64, 32, 16; threshold x_(4) = 8; k = 3
+    vals = [64, 32, 16, 8] + [2] * 10
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    r = hill_tail_index(df, "x", k=3).collect()[0]
+    assert r.k == 3 and r.n_total == 14 and r.x_threshold == 8
+    q = lambda v: math.floor(math.log(v) * 1e9 + 0.5)
+    h = (q(64) + q(32) + q(16) - 3 * q(8)) // 3
+    assert r.h_nanos == h
+    assert r.alpha_micro == (10**9 * 10**6) // h
+    # Hill of 64/8, 32/8, 16/8 = mean ln = (3+2+1)*ln2/3 = 2 ln2 -> alpha ~ 0.72
+    assert abs(r.alpha_micro / 1e6 - 1 / (2 * math.log(2))) < 1e-5
+
+
+def test_hill_tail_index_ties_and_insufficient_rows(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import hill_tail_index
+
+    # ties straddling the k boundary: values [9,9,9,9,5,...] k=2 takes two 9s,
+    # threshold is the value at cumulative position 3 (still 9)
+    df = spark.createDataFrame([(9,)] * 4 + [(5,)] * 3, "x long")
+    r = hill_tail_index(df, "x", k=2).collect()[0]
+    assert r.x_threshold == 9 and r.h_nanos == 0 and r.alpha_micro is None
+    # fewer than k+1 rows -> empty frame, not a bogus row
+    tiny = spark.createDataFrame([(7,), (3,)], "x long")
+    assert hill_tail_index(tiny, "x", k=5).count() == 0

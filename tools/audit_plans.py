@@ -1293,6 +1293,73 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.corpus import (
+        good_turing_counts,
+        kneser_ney_bigrams,
+    )
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        cliffs_delta,
+        dispersion_index,
+        hill_tail_index,
+    )
+
+    kn_docs = t.select(F.col("turn_idx").alias("doc_id"), "text").limit(200)
+    sections.append(summarize(
+        "Kneser-Ney bigram probabilities",
+        kneser_ney_bigrams(kn_docs),
+        "Corpus collapses to the bigram-type frame in one explode -> "
+        "partial-aggregable groupBy; context/continuation margins are "
+        "groupBys OF that frame joined back on their keys; the 1-row "
+        "type total broadcasts (BNLJ allowlist). Nothing downstream of "
+        "the first shuffle scales with corpus rows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Good-Turing count-of-counts",
+        good_turing_counts(lp_docs),
+        "Word counts one explode->groupBy; count-of-counts a second "
+        "groupBy of the vocab frame; N_{r+1} via a self-join of the "
+        "tiny frequency table on r+1. No sort, no Python, no collect.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    ev2 = t.select(F.col("conv_id").alias("user_id"),
+                   (F.col("turn_idx") % 7).cast("double").alias("value"))
+    sections.append(summarize(
+        "Cliff's delta (md5 arms)",
+        cliffs_delta(ev2, "user_id"),
+        "Identical shape to mann_whitney: groupBy(unit) -> distinct-"
+        "value cumulative window -> 1-row aggregate; delta adds one "
+        "1-row projection with a single IEEE division.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    dd = t.select("role", (F.col("turn_idx") % 9).alias("x"))
+    sections.append(summarize(
+        "Dispersion index (var/mean per group)",
+        dispersion_index(dd, "role", "x"),
+        "ONE partial-aggregable groupBy carrying three exact integer "
+        "moments — fully map-side combinable, no sort, no join.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    hl = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    sections.append(summarize(
+        "Hill tail-index (top-k order statistics)",
+        hill_tail_index(hl, "n_turns", k=10),
+        "Corpus collapses to the distinct-value frame in one groupBy; "
+        "the descending cumulative window, top-k clamp, threshold pick "
+        "and 1-row aggregate all run on that bounded frame; ln "
+        "quantized to integer nanos per distinct value before any sum.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
