@@ -2048,3 +2048,65 @@ def good_turing_counts(
             ).cast("long").alias("gt_r_micro"),
         )
     )
+
+
+def source_js_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between per-source unigram distributions
+    (add-one smoothing over the union vocabulary) — the SYMMETRIC,
+    BOUNDED (<= ln 2) companion to source_kl for mixture dashboards:
+    KL explodes when q misses p's support and is asymmetric, JS is the
+    metric-like average against the midpoint m = (p+q)/2.
+
+    Determinism, one notch stricter than source_kl: the per-word
+    contribution pa·ln(pa/m) + pb·ln(pb/m) is quantized to integer
+    NANOS per vocabulary row (floor(t·1e9 + 0.5), the zipf_fit
+    convention) BEFORE summation, so the released js_nanos = Σ div 2 is
+    an exact integer in any summation order — no order-dependent float
+    sum ever crosses an engine boundary.
+
+    Scale shape: one word-count shuffle (partial-agg), a V-row dense
+    table per source (sources × union vocab via the same left-join fill
+    as source_kl), one V-row equi-join per unordered source pair, one
+    integer-sum groupBy. All frames bounded by |sources|·|vocab|.
+
+    Returns ``DataFrame[src_a, src_b, js_nanos: long]`` with
+    src_a < src_b.
+    """
+    from ..operators.dedup import normalize_text
+
+    words = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+    )
+    cnt = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab_v = words.select("w").distinct().count()
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = words.select("w").distinct()
+    dense = (
+        tot.crossJoin(vocab)
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source", "w",
+            ((F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+             / (F.col("n") + vocab_v)).alias("p"),
+        )
+    )
+    a = dense.select(F.col("source").alias("src_a"), "w", F.col("p").alias("pa"))
+    b = dense.select(F.col("source").alias("src_b"), "w", F.col("p").alias("pb"))
+    mcol = (F.col("pa") + F.col("pb")) / F.lit(2.0)
+    t = (
+        F.col("pa") * F.log(F.col("pa") / mcol)
+        + F.col("pb") * F.log(F.col("pb") / mcol)
+    )
+    q = F.floor(t * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b", q.alias("t"))
+        .groupBy("src_a", "src_b")
+        .agg(F.expr("cast(sum(t) div 2 as bigint)").alias("js_nanos"))
+    )

@@ -771,3 +771,58 @@ def label_propagation(
             .select(F.col("src").alias("node"), F.col("lab").alias("community"))
         )
     return labels
+
+
+def degree_assortativity(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Degree assortativity (Newman 2002) of an undirected edge list:
+    the Pearson correlation of endpoint degrees over both orientations
+    of every edge — positive when hubs attach to hubs (social-network
+    shape), negative when hubs attach to leaves (star/boilerplate
+    shape); the one-row structural fingerprint that complements
+    triangle_stats (local clustering) and kcore_peel (coreness).
+
+    Released as the SIGNED SQUARE r2_signed = sign(num)·num²/(vx·vy)
+    (the cross_correlation convention): moments are exact decimal(38,0)
+    integers, the release is one fixed-operand-order IEEE expression, and
+    |r| = sqrt(|r2|) is recoverable by any consumer — sqrt never crosses
+    an engine boundary.
+
+    Scale shape: one degree count over the edge list (partial-agg), two
+    node-keyed joins decorating each orientation with its endpoint
+    degrees, ONE 6-moment global aggregate. Everything is bounded by
+    |edges|, never corpus rows.
+
+    Returns one row: (m2 = 2|E|, sx, sxx, sxy, r2_signed_raw).
+    """
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    both = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    dx = deg.select(F.col("node").alias("a"), F.col("deg").alias("x"))
+    dy = deg.select(F.col("node").alias("b"), F.col("deg").alias("y"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = both.join(dx, "a").join(dy, "b").agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    # both orientations make x/y exchangeable: sy = sx, syy = sxx
+    num = F.expr("cast(m2 as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sx")
+    vx = F.expr("cast(m2 as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx")
+    withm = m.withColumn("_num", num).withColumn("_vx", vx)
+    r2 = F.when(
+        F.col("_vx") > 0,
+        F.signum(F.col("_num").cast("double"))
+        * (F.col("_num") * F.col("_num")).cast("double")
+        / (F.col("_vx") * F.col("_vx")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return withm.select(
+        "m2", "sx",
+        F.col("sxx").cast("long").alias("sxx"),
+        F.col("sxy").cast("long").alias("sxy"),
+        r2.alias("r2_signed_raw"),
+    )

@@ -1071,3 +1071,88 @@ def embedding_outliers(
             F.sum("t_fp").cast("long").alias("score_fp"),
         )
     )
+
+
+def pca_power_direction(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 3,
+) -> DataFrame:
+    """Top principal DIRECTION of the embedding cloud by max-norm power
+    iteration — the fully-distributed, ENGINE-EXACT twin of
+    pca_top_component (whose numpy eigensolve runs on the driver and
+    cannot be oracle-verified). Every step is integer arithmetic, so a
+    DuckDB hugeint twin reproduces each component bit-for-bit:
+
+    * lanes quantize to micro ints q = floor(x*1e6 + 0.5);
+    * the centered scatter C_jk = (n·Σ q_j q_k − S_j S_k) div n is an
+      exact trunc division (scale-free for the eigenvector);
+    * v_0 = 1e6 in every lane; each round v <- C v rescaled by
+      (u_j · 1e6) div max|u| — max-norm instead of the usual L2 norm
+      precisely because it needs no sqrt (both engines truncate
+      identically on signed operands, the _tdiv contract).
+
+    Fixed ``iterations`` (the bounded-iteration rule): deterministic
+    plan depth; with a reasonable eigengap 3 rounds give the direction
+    to ~1e-3, and the output is a pure function of the input either way.
+
+    Scale shape: ONE id-keyed self-join fans each vector into its d^2
+    lane pairs with map-side partial aggregation into the (j, k) scatter
+    cells (shuffle O(d^2), never O(rows)) — the embedding_covariance
+    shape; every iteration then joins the d^2-cell frame with the d-row
+    vector (broadcast) and re-aggregates d rows; max|u| is a broadcast
+    1-row aggregate (BNLJ allowlist). Magnitude bound: |C_jk| <~ n·1e12
+    and |u_j| <= d·|C|·1e6 — inside decimal(38,0) to n ~ 1e12 vectors
+    at d = 64 (documented bound, COVERAGE broadcast-budget table).
+
+    Returns ``DataFrame[j: int, v_micro: long]`` — the direction in
+    micro units, max-norm scaled (the largest-|.| component is ±1e6).
+    """
+    lanes = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("j", "x"),
+    ).select(
+        "id", "j",
+        F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("q"),
+    )
+    n = df.count()
+    if not n:
+        return df.sparkSession.createDataFrame([], "j int, v_micro long")
+    s = lanes.groupBy("j").agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s"))
+    a = lanes.select("id", F.col("j"), F.col("q").alias("qa"))
+    b = lanes.select("id", F.col("j").alias("k"), F.col("q").alias("qb"))
+    raw = (
+        a.join(b, "id")
+        .groupBy("j", "k")
+        .agg(
+            F.sum(
+                F.col("qa").cast("decimal(38,0)") * F.col("qb").cast("decimal(38,0)")
+            ).alias("sum_jk")
+        )
+    )
+    cells = (
+        raw.join(s.select(F.col("j"), F.col("s").alias("s_j")), "j")
+        .join(s.select(F.col("j").alias("k"), F.col("s").alias("s_k")), "k")
+        .select(
+            "j", "k",
+            F.expr(
+                f"(cast({int(n)} as decimal(38,0)) * sum_jk - s_j * s_k)"
+                f" div {int(n)}"
+            ).cast("decimal(38,0)").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = s.select("j", F.lit(1_000_000).cast("decimal(38,0)").alias("v"))
+    for _ in range(int(iterations)):
+        u = (
+            cells.join(v.select(F.col("j").alias("k"), "v"), "k")
+            .groupBy("j")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = u.crossJoin(F.broadcast(m)).select(
+            "j", F.expr("(u * 1000000) div m").cast("decimal(38,0)").alias("v")
+        )
+    return v.select(F.col("j").cast("int").alias("j"),
+                    F.col("v").cast("long").alias("v_micro"))

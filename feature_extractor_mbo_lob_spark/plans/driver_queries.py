@@ -15281,6 +15281,165 @@ QUERIES["hill_tail"] = q_hill_tail
 ORACLES["hill_tail"] = O_HILL_TAIL
 
 
+# --- distributed PCA: top direction by engine-exact max-norm power iteration -------------
+
+def q_pca_power(spark, sf_dir):
+    """Top principal direction of the embedding cloud by max-norm power
+    iteration (operators/similarity.pca_power_direction, 3 rounds): the
+    fully-distributed, engine-exact PCA twin — micro-quantized lanes,
+    exact integer scatter matrix C = (n·Σqq' − SS') div n, sqrt-free
+    max-norm rescale each round. One id-keyed d² fan-out with map-side
+    partial aggregation; iterations touch only the d² cell frame."""
+    from ..operators.similarity import pca_power_direction
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_power_direction(emb, "vec_id", "embedding", iterations=3)
+
+
+def _pca_power_oracle(iterations: int = 3) -> str:
+    ctes = [
+        """lanes as (
+  select vec_id as id,
+    generate_subscripts(embedding, 1) - 1 as j,
+    cast(floor(cast(unnest(embedding) as double) * 1000000.0 + 0.5) as hugeint) as q
+  from embeddings
+)""",
+        "nn as (select cast(count(*) as hugeint) as n from embeddings)",
+        "s as (select j, sum(q) as s from lanes group by j)",
+        """raw as (
+  select a.j as j, b.j as k, sum(a.q * b.q) as sum_jk
+  from lanes a join lanes b on a.id = b.id group by 1, 2
+)""",
+        """cells as (
+  select raw.j, raw.k, (nn.n * raw.sum_jk - sj.s * sk.s) // nn.n as c
+  from raw join s sj on sj.j = raw.j join s sk on sk.j = raw.k cross join nn
+)""",
+        "v0 as (select j, cast(1000000 as hugeint) as v from s)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"u{t} as (select cells.j, sum(c * v.v) as u from cells"
+            f" join v{t-1} v on v.j = cells.k group by 1)"
+        )
+        ctes.append(f"m{t} as (select max(abs(u)) as m from u{t})")
+        ctes.append(
+            f"v{t} as (select j, (u * 1000000) // m as v from u{t}, m{t})"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect cast(j as int) as j, cast(v as bigint) as v_micro from v{iterations}"
+    )
+
+
+O_PCA_POWER = _pca_power_oracle()
+
+QUERIES["pca_power"] = q_pca_power
+ORACLES["pca_power"] = O_PCA_POWER
+
+
+# --- degree assortativity of the word-adjacency graph ------------------------------------
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (functions/graph.degree_assortativity) of the
+    pruned word-adjacency graph: Pearson correlation of endpoint degrees
+    over both edge orientations, released as the signed square (the
+    cross_correlation convention — sqrt never crosses engines). One
+    degree count + two node-keyed joins + one 4-moment aggregate, all
+    bounded by |edges|."""
+    from ..functions import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = graph.word_adjacency_edges(docs, min_count=3)
+    out = graph.degree_assortativity(edges)
+    return out.select("m2", "sx", "sxx", "sxy", _r6x(F.col("r2_signed_raw"), "r2_signed"))
+
+
+O_ASSORTATIVITY = f"""
+with d as (
+  select string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') as w
+  from documents
+),
+tr as (
+  select unnest(w[1:len(w)-1]) as x, unnest(w[2:len(w)]) as y from d
+),
+e0 as (
+  select least(x, y) as a, greatest(x, y) as b, count(*) as cw
+  from tr where x <> y group by 1, 2
+),
+eu as (select a, b from e0 where cw >= 3),
+bo as (
+  select a, b from eu union all select b as a, a as b from eu
+),
+deg as (select a as node, cast(count(*) as bigint) as deg from bo group by a),
+m as (
+  select cast(count(*) as bigint) as m2,
+    cast(sum(dx.deg) as bigint) as sx,
+    sum(cast(dx.deg as hugeint) * dx.deg) as sxx,
+    sum(cast(dx.deg as hugeint) * dy.deg) as sxy
+  from bo
+  join deg dx on dx.node = bo.a
+  join deg dy on dy.node = bo.b
+),
+f as (
+  select m2, sx, sxx, sxy,
+    cast(m2 as hugeint) * sxy - cast(sx as hugeint) * sx as num,
+    cast(m2 as hugeint) * sxx - cast(sx as hugeint) * sx as vx
+  from m
+)
+select m2, sx, cast(sxx as bigint) as sxx, cast(sxy as bigint) as sxy,
+  {_r6x_sql("case when vx > 0 then sign(cast(num as double)) * cast(num * num as double) / cast(vx * vx as double) else 0.0 end")}
+    as r2_signed
+from f
+"""
+
+QUERIES["assortativity"] = q_assortativity
+ORACLES["assortativity"] = O_ASSORTATIVITY
+
+
+# --- Jensen-Shannon divergence between source unigram distributions ---------------------
+
+def q_source_js(spark, sf_dir):
+    """Symmetric bounded source-distance (functions/corpus.
+    source_js_divergence): JS divergence between per-source smoothed
+    unigram distributions with per-word contributions quantized to
+    integer nanos BEFORE summation (order-free integer sum — stricter
+    than source_kl's float sum). One word-count shuffle, V-row dense
+    frames, one equi-join per unordered source pair."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.source_js_divergence(docs).select("src_a", "src_b", "js_nanos")
+
+
+O_SOURCE_JS = """
+with wds as (
+  select source,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) as w
+  from documents
+),
+cnt as (select source, w, count(*) as c from wds group by 1, 2),
+vv as (select count(distinct w) as v from wds),
+tot as (select source, sum(c) as n from cnt group by 1),
+vocab as (select distinct w from wds),
+dense as (
+  select t.source, vb.w,
+    cast(coalesce(c.c, 0) + 1 as double) / (t.n + (select v from vv)) as p
+  from tot t cross join vocab vb
+  left join cnt c on c.source = t.source and c.w = vb.w
+),
+pairs as (
+  select a.source as src_a, b.source as src_b,
+    cast(floor((a.p * ln(a.p / ((a.p + b.p) / 2.0))
+                + b.p * ln(b.p / ((a.p + b.p) / 2.0))) * 1000000000.0 + 0.5)
+         as bigint) as t
+  from dense a join dense b on a.w = b.w and a.source < b.source
+)
+select src_a, src_b, cast(sum(t) // 2 as bigint) as js_nanos
+from pairs group by 1, 2
+"""
+
+QUERIES["source_js"] = q_source_js
+ORACLES["source_js"] = O_SOURCE_JS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -639,3 +639,32 @@ def test_good_turing_hand_case(spark):
     assert out[2].gt_r_micro == 1_000_000
     # top frequency truncates to 0
     assert out[3].gt_r_micro == 0
+
+
+def test_source_js_divergence_properties(spark):
+    import math
+
+    rows = (
+        [(i, "alpha beta gamma", "s1") for i in range(5)]
+        + [(10 + i, "alpha beta gamma", "s2") for i in range(5)]   # identical to s1
+        + [(20 + i, "delta delta epsilon", "s3") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.src_a, r.src_b): r.js_nanos
+           for r in corpus.source_js_divergence(df).collect()}
+    # identical distributions -> (near) zero; smoothing keeps it exactly 0 here
+    assert out[("s1", "s2")] == 0
+    # disjoint vocab -> strictly positive, bounded by ln 2
+    assert 0 < out[("s1", "s3")] == out[("s2", "s3")] < math.log(2) * 1e9
+    # hand replica of the exact quantized sum for (s1, s3)
+    V = 5
+    n1 = 15; n3 = 15
+    c1 = {"alpha": 5, "beta": 5, "gamma": 5, "delta": 0, "epsilon": 0}
+    c3 = {"alpha": 0, "beta": 0, "gamma": 0, "delta": 10, "epsilon": 5}
+    tot = 0
+    for w in c1:
+        pa = (c1[w] + 1) / (n1 + V)
+        pb = (c3[w] + 1) / (n3 + V)
+        m = (pa + pb) / 2.0
+        tot += math.floor((pa * math.log(pa / m) + pb * math.log(pb / m)) * 1e9 + 0.5)
+    assert out[("s1", "s3")] == tot // 2

@@ -278,3 +278,22 @@ def test_label_propagation_weight_beats_count(spark):
     )
     out = {r.node: r.community for r in graph.label_propagation(df, rounds=1).collect()}
     assert out["m"] == "a"
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # star K_{1,3}: every edge joins deg-3 hub to deg-1 leaf -> r = -1
+    df = spark.createDataFrame(
+        [("c", "a"), ("c", "b"), ("c", "d")], "a string, b string"
+    )
+    r = graph.degree_assortativity(df).collect()[0]
+    assert r.m2 == 6
+    assert r.r2_signed_raw == -1.0
+
+
+def test_assortativity_regular_graph_is_zero_guard(spark):
+    # 4-cycle: every degree is 2, variance 0 -> guarded 0.0 release
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")], "a string, b string"
+    )
+    r = graph.degree_assortativity(df).collect()[0]
+    assert r.r2_signed_raw == 0.0

@@ -873,3 +873,33 @@ def test_pca_top_component_matches_numpy(spark):
     ref = np.array([1.0, 2.0, 0.0]) / np.sqrt(5.0)
     assert abs(abs(float(vn @ ref)) - 1.0) < 0.01
     assert ratio > 0.9
+
+
+def test_pca_power_direction_dominant_axis(spark):
+    from feature_extractor_mbo_lob_spark.operators.similarity import (
+        pca_power_direction,
+        pca_top_component,
+    )
+
+    # zero-mean cloud exactly along direction (2, 1): scatter C ~ [[40,20],[20,10]]
+    rows = [(0, [2.0, 1.0]), (1, [-2.0, -1.0]), (2, [4.0, 2.0]), (3, [-4.0, -2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.j: r.v_micro for r in pca_power_direction(df, iterations=3).collect()}
+    assert out[0] == 1_000_000          # max-norm: dominant lane is ±1e6
+    assert out[1] == 500_000            # exact 2:1 ratio
+    # agrees with the numpy eigensolve direction up to scale
+    v, _ = pca_top_component(df)
+    assert abs(v[0] / v[1] - 2.0) < 1e-9
+
+
+def test_pca_power_direction_empty_and_centering(spark):
+    from feature_extractor_mbo_lob_spark.operators.similarity import pca_power_direction
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert pca_power_direction(empty).count() == 0
+    # a constant offset must not change the direction (centering works):
+    rows = [(i, [2.0 * s + 10.0, 1.0 * s + 20.0])
+            for i, s in enumerate([1.0, -1.0, 2.0, -2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.j: r.v_micro for r in pca_power_direction(df, iterations=3).collect()}
+    assert out[0] == 1_000_000 and out[1] == 500_000

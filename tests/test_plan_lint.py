@@ -77,8 +77,10 @@ BNLJ_ALLOWED = {
     "quantile_normalize",
     "recency_scores",
     "robust_zscore",
+    "pca_power",
     "rrf_fusion",
     "sales_opportunity",
+    "source_js",
     "source_kl",
     "source_minhash_sim",
     "source_mix",

@@ -1360,6 +1360,52 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.corpus import source_js_divergence
+    from feature_extractor_mbo_lob_spark.functions.graph import degree_assortativity
+    from feature_extractor_mbo_lob_spark.operators.similarity import (
+        pca_power_direction,
+    )
+
+    pp = t.select(
+        F.col("conv_id").alias("vec_id"),
+        F.array(F.col("turn_idx").cast("double"),
+                (F.col("turn_idx") % 5).cast("double")).alias("embedding"),
+    ).limit(100)
+    sections.append(summarize(
+        "PCA top direction (max-norm power iteration)",
+        pca_power_direction(pp, iterations=3),
+        "ONE id-keyed self-join fans each vector into d^2 lane pairs "
+        "with map-side partial aggregation (shuffle O(d^2), never "
+        "O(rows)); each unrolled round joins the d^2 cell frame with "
+        "the d-row vector and re-aggregates; max|u| is a broadcast "
+        "1-row aggregate (BNLJ allowlist).",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Degree assortativity",
+        degree_assortativity(word_adjacency_edges(lp_docs, min_count=2)),
+        "One degree count over the edge list, two node-keyed joins "
+        "decorating each orientation, ONE 4-moment aggregate — bounded "
+        "by |edges|.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    js_docs = t.select(F.col("role").alias("source"), "text").limit(200)
+    sections.append(summarize(
+        "Source JS divergence (nano-quantized)",
+        source_js_divergence(js_docs),
+        "One word-count shuffle, sources x union-vocab dense frames "
+        "(bounded broadcast cross of a |sources|-row aggregate), one "
+        "V-row equi-join per unordered source pair, integer-sum "
+        "groupBy — per-word contributions quantized to nanos before "
+        "summation.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
