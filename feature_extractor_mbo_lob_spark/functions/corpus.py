@@ -2110,3 +2110,43 @@ def source_js_divergence(
         .groupBy("src_a", "src_b")
         .agg(F.expr("cast(sum(t) div 2 as bigint)").alias("js_nanos"))
     )
+
+
+def effective_sample_size(df: DataFrame, weight_col: str) -> DataFrame:
+    """Kish effective sample size of an integer weight column:
+    ESS = (Σw)² / Σw² — the number that sizes a soft-deduped / importance-
+    weighted corpus (dup_weights, dsir_weights, priority samples): n
+    weighted documents train like ESS unweighted ones, so epochs and
+    mixture budgets should be set from ESS, not n.
+
+    Exactness: Σw and Σw² are exact decimal(38,0) sums; the releases are
+    two integer trunc divisions — ess_micro = ((Σw)²·1e6) div Σw² (ESS in
+    micro-documents) and ess_ratio_ppm = ((Σw)²·1e6) div (n·Σw²) — both
+    bit-identical on any engine.
+
+    Scale shape: ONE fully map-side-combinable global aggregate carrying
+    three moments; no sort, no join, no Python.
+
+    Returns one row: (n, sum_w, sum_w2, ess_micro, ess_ratio_ppm).
+    """
+    w = F.col(weight_col).cast("decimal(38,0)")
+    g = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(w).alias("sum_w"),
+        F.sum(w * w).alias("sum_w2"),
+    )
+    return g.select(
+        "n",
+        # stringified: sum_w2 exceeds int64 once n * w^2 passes ~9e18
+        # (1e7 micro-weighted rows) — the embedding_covariance convention
+        F.col("sum_w").cast("decimal(38,0)").cast("string").alias("sum_w"),
+        F.col("sum_w2").cast("decimal(38,0)").cast("string").alias("sum_w2"),
+        F.expr(
+            "case when sum_w2 > 0 then cast((sum_w * sum_w * 1000000)"
+            " div sum_w2 as bigint) else 0 end"
+        ).alias("ess_micro"),
+        F.expr(
+            "case when sum_w2 > 0 and n > 0 then cast((sum_w * sum_w * 1000000)"
+            " div (n * sum_w2) as bigint) else 0 end"
+        ).alias("ess_ratio_ppm"),
+    )

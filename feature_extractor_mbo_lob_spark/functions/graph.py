@@ -826,3 +826,66 @@ def degree_assortativity(
         F.col("sxy").cast("long").alias("sxy"),
         r2.alias("r2_signed_raw"),
     )
+
+
+def markov_stationary(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+) -> DataFrame:
+    """Stationary distribution of the Markov chain defined by a weighted
+    transition-count edge list, by fixed-round power iteration in exact
+    ppm fixed point — the long-run occupancy companion to markov_loglik
+    (which scores sequences against the SAME transition matrix): "what
+    fraction of turns does the chain spend in each role/tool state as
+    conversations run long".
+
+    Spec, all integer: row-stochastic matrix p_ij = (c_ij * 1e6) div c_i
+    (trunc); v_0 = 1e6 div R over the R source states; each round
+    v_j <- (sum_i v_i * p_ij) div 1e6 — the sum is exact int64/decimal,
+    ONE trunc division per state per round, so both engines reproduce
+    every ppm bit-for-bit (mass lost to flooring is part of the
+    deterministic spec, as in pagerank_int). States with no outgoing
+    edges simply absorb nothing (their column receives mass only via
+    p_ij); fixed ``iterations`` = bounded plan depth.
+
+    Scale shape: the transition matrix is |states|^2 rows (states =
+    roles/tools — tiny); each round is one broadcast-sized join + one
+    partial-aggregable groupBy. The edge frame localCheckpoints once
+    (graph-iteration lineage rule).
+
+    Returns ``DataFrame[state: string, pi_ppm: long]``.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        F.col(w_col).cast("long").alias("c"),
+    ).localCheckpoint(eager=True)
+    outs = e.groupBy("src").agg(F.sum("c").alias("c_src"))
+    pmat = e.join(outs, "src").select(
+        "src", "dst", F.expr("(c * 1000000) div c_src").cast("long").alias("p_ppm")
+    ).localCheckpoint(eager=True)
+    states = (
+        e.select(F.col("src").alias("state"))
+        .union(e.select(F.col("dst").alias("state")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    r = states.count()
+    if r == 0:
+        return states.withColumn("pi_ppm", F.lit(0).cast("long"))
+    v = states.select("state", F.lit(1_000_000 // r).cast("long").alias("pi"))
+    for _ in range(int(iterations)):
+        v = (
+            pmat.join(v.withColumnRenamed("state", "src"), "src")
+            .groupBy(F.col("dst").alias("state"))
+            .agg(
+                F.expr("cast(sum(cast(pi as decimal(38,0)) * p_ppm) div 1000000"
+                       " as bigint)").alias("pi")
+            )
+        )
+        v = states.join(v, "state", "left").select(
+            "state", F.coalesce("pi", F.lit(0)).cast("long").alias("pi")
+        )
+    return v.select("state", F.col("pi").cast("long").alias("pi_ppm"))

@@ -325,3 +325,81 @@ def hdr_quantiles(hist: DataFrame, qs: list[float], sub_buckets: int = 16) -> di
                 out[q] = float(r["lo"] + (r["sub"] + 0.5) * width) if r["lo"] else 0.0
                 break
     return out
+
+
+def hll_alpha_m2_over_2_61(p: int) -> str:
+    """The constant alpha_m * m^2 * 2^61 for the exact-rational HLL
+    estimate, rendered as a repr'd Python float literal so BOTH engines
+    parse the IDENTICAL double (the plan-literal convention)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return repr(alpha * m * m * float(1 << 61))
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    p: int = 8,
+) -> DataFrame:
+    """Trailing-window distinct-count estimate per day — HLL register
+    MERGE as a distributed operator (the mergeability that makes HLL the
+    standard sketch, exercised as a sliding rollup: "distinct users in
+    the trailing 7 days, every day" over arbitrarily large input with an
+    O(days * 2^p) shuffle).
+
+    Mechanics: per (day, register) max rank (hll_registers' md5 layout),
+    each contributing row EXPLODES to the <= ``window_days`` output days
+    it can serve (a bounded fan-out of sketch rows, never data rows),
+    then per (out_day, register) element-wise MAX merges the window's
+    sketches. The estimate is ENGINE-EXACT, unlike the driver-side
+    hll_estimate: every 2^-rank is the exact integer 2^(61-rank) over
+    the common denominator 2^61, so the harmonic-mean denominator
+    S = zeros*2^61 + sum 2^(61-r) is an exact decimal(38,0) sum (<= 2^69,
+    far inside range), and the release is ONE IEEE division of the
+    plan-literal constant alpha*m^2*2^61 by S. The small-range
+    linear-counting branch (est <= 2.5m and zeros > 0) is the same
+    fixed-operand-order m*ln(m/zeros) on both engines.
+
+    Returns ``DataFrame[day: date, m_set: long, s_exact: decimal,
+    est: double]`` — one row per day with at least one event in its
+    trailing window.
+    """
+    day = F.to_date(F.col(ts_col))
+    regs = hll_registers(
+        df.select(F.col(key_col).alias("key"), day.alias("day")),
+        "key", p=p, group_cols=("day",),
+    )
+    served = regs.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), int(window_days) - 1))
+        ).alias("day"),
+        "register", "max_rank",
+    )
+    merged = served.groupBy("day", "register").agg(
+        F.max("max_rank").alias("r")
+    )
+    m = 1 << p
+    per_day = merged.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("m_set"),
+        # shiftleft keeps 2^(61-r) an exact int64: cast(power(...) as
+        # decimal) goes through BigDecimal.valueOf's shortest-string double
+        # repr and corrupts 2^60 by +24 (the _r6x lesson, measured)
+        F.sum(
+            F.expr("cast(shiftleft(cast(1 as bigint), 61 - r) as decimal(38,0))")
+        ).alias("s_regs"),
+    )
+    zeros = (F.lit(m) - F.col("m_set")).cast("decimal(38,0)")
+    s_exact = (zeros * F.lit(1 << 61).cast("decimal(38,0)") + F.col("s_regs"))
+    lit = hll_alpha_m2_over_2_61(p)
+    raw = F.expr(f"cast({lit} as double)") / s_exact.cast("double")
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("m_set")).cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("m_set") < m), small
+    ).otherwise(raw)
+    return per_day.select(
+        "day", "m_set",
+        s_exact.cast("decimal(38,0)").alias("s_exact"),
+        est.alias("est"),
+    )

@@ -15440,6 +15440,208 @@ QUERIES["source_js"] = q_source_js
 ORACLES["source_js"] = O_SOURCE_JS
 
 
+# --- sliding HLL merge: trailing-window distinct users per day ---------------------------
+
+def q_hll_sliding(spark, sf_dir):
+    """Trailing-7-day distinct-user estimate per day (functions/sketch.
+    hll_sliding_distinct): per-day HLL registers explode to the <= 7
+    output days they serve (sketch-row fan-out, never data rows),
+    element-wise MAX merges each window, and the estimate is ENGINE-EXACT
+    — every 2^-rank is the exact integer 2^(61-rank)/2^61, the harmonic
+    denominator an exact decimal sum, the release one IEEE division by a
+    plan-literal constant."""
+    from ..functions.sketch import hll_sliding_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = hll_sliding_distinct(ev, "user_id", "ts", window_days=7, p=8)
+    return out.select(
+        "day", "m_set",
+        F.col("s_exact").cast("string").alias("s_exact"),
+        _r6x(F.col("est"), "est"),
+    )
+
+
+def _hll_sliding_oracle(window_days: int = 7, p: int = 8) -> str:
+    from ..functions.sketch import hll_alpha_m2_over_2_61
+
+    m = 1 << p
+    lit = hll_alpha_m2_over_2_61(p)
+    return f"""
+with ev as (select user_id, cast(ts as date) as day from events),
+h as (select day, md5(cast(user_id as varchar)) as hx from ev),
+r as (
+  select day,
+    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) as register,
+    length(regexp_extract(substr(hx, 3, 15), '^(0*)', 1)) as lz,
+    substr(substr(hx, 3, 15), length(regexp_extract(substr(hx, 3, 15), '^(0*)', 1)) + 1, 1) as fnz
+  from h
+),
+rr as (
+  select day, register,
+    case when lz = 15 then 61
+         else lz * 4
+              + (case when fnz = '1' then 3
+                      when fnz in ('2', '3') then 2
+                      when fnz in ('4', '5', '6', '7') then 1
+                      else 0 end)
+              + 1 end as rank
+  from r
+),
+regs as (select day, register, max(rank) as max_rank from rr group by 1, 2),
+served as (
+  select day + cast(tt.i as int) as day2, register, max_rank
+  from regs, range(0, {window_days}) tt(i)
+),
+merged as (select day2 as day, register, max(max_rank) as r from served group by 1, 2),
+pd as (
+  select day, cast(count(*) as bigint) as m_set,
+    sum(cast(power(2, 61 - r) as hugeint)) as s_regs
+  from merged group by day
+),
+f as (
+  select day, m_set,
+    cast({m} - m_set as hugeint) * cast(power(2, 61) as hugeint) + s_regs as s_exact
+  from pd
+),
+e as (
+  select day, m_set, s_exact,
+    cast({lit} as double) / cast(s_exact as double) as raw
+  from f
+)
+select day, m_set, cast(s_exact as varchar) as s_exact,
+  {_r6x_sql(f"case when raw <= {2.5 * m} and m_set < {m} then {float(m)!r} * ln({float(m)!r} / cast({m} - m_set as double)) else raw end")}
+    as est
+from e
+"""
+
+
+O_HLL_SLIDING = _hll_sliding_oracle()
+
+QUERIES["hll_sliding"] = q_hll_sliding
+ORACLES["hll_sliding"] = O_HLL_SLIDING
+
+
+# --- Markov stationary distribution of the role-transition chain ------------------------
+
+def q_markov_stationary(spark, sf_dir):
+    """Stationary role-occupancy distribution (functions/graph.
+    markov_stationary, 4 rounds) of the conversation role-transition
+    chain — the long-run companion to markov_loglik over the same
+    transition matrix: exact ppm fixed point, one trunc division per
+    state per round, matrix and states checkpointed once."""
+    from ..functions.graph import markov_stationary
+
+    from pyspark.sql import Window
+
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    pairs = t.select("role", F.lead("role").over(w).alias("nxt")).filter(
+        F.col("nxt").isNotNull()
+    )
+    edges = pairs.groupBy(
+        F.col("role").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    return markov_stationary(edges, iterations=4)
+
+
+O_MARKOV_STATIONARY = f"""{_W},
+p0 as (
+  select role, lead(role) over ({_OWIN}) as nxt from transcripts
+),
+e as (
+  select role as src, nxt as dst, cast(count(*) as bigint) as c
+  from p0 where nxt is not null group by 1, 2
+),
+outs as (select src, sum(c) as c_src from e group by src),
+pm as (
+  select e.src, e.dst, (c * 1000000) // c_src as p_ppm
+  from e join outs using (src)
+),
+st as (select src as state from e union select dst from e),
+nr as (select count(*) as r from st),
+v0 as (select state, 1000000 // r as pi from st, nr),
+v1 as (
+  select st.state, coalesce(x.pi, 0) as pi from st left join (
+    select pm.dst as state, sum(cast(v.pi as hugeint) * pm.p_ppm) // 1000000 as pi
+    from pm join v0 v on v.state = pm.src group by pm.dst
+  ) x using (state)
+),
+v2 as (
+  select st.state, coalesce(x.pi, 0) as pi from st left join (
+    select pm.dst as state, sum(cast(v.pi as hugeint) * pm.p_ppm) // 1000000 as pi
+    from pm join v1 v on v.state = pm.src group by pm.dst
+  ) x using (state)
+),
+v3 as (
+  select st.state, coalesce(x.pi, 0) as pi from st left join (
+    select pm.dst as state, sum(cast(v.pi as hugeint) * pm.p_ppm) // 1000000 as pi
+    from pm join v2 v on v.state = pm.src group by pm.dst
+  ) x using (state)
+),
+v4 as (
+  select st.state, coalesce(x.pi, 0) as pi from st left join (
+    select pm.dst as state, sum(cast(v.pi as hugeint) * pm.p_ppm) // 1000000 as pi
+    from pm join v3 v on v.state = pm.src group by pm.dst
+  ) x using (state)
+)
+select state, cast(pi as bigint) as pi_ppm from v4
+"""
+
+QUERIES["markov_stationary"] = q_markov_stationary
+ORACLES["markov_stationary"] = O_MARKOV_STATIONARY
+
+
+# --- effective sample size of soft-dedup weights -----------------------------------------
+
+def q_ess_weights(spark, sf_dir):
+    """Kish effective sample size (functions/corpus.
+    effective_sample_size) of the exact-dup soft weights (weight_ppm =
+    1e6 div duplicate-group size by normalized-text md5): the number
+    that sizes a soft-deduped corpus — n weighted docs train like ESS
+    unweighted ones. One digest groupBy + join-back + one 3-moment
+    global aggregate, releases as integer trunc divisions."""
+    from ..operators.dedup import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select("doc_id", F.md5(normalize_text("text")).alias("dg"))
+    sizes = d.groupBy("dg").agg(F.count(F.lit(1)).cast("long").alias("csize"))
+    w = d.join(sizes, "dg").select(
+        F.expr("1000000 div csize").cast("long").alias("weight_ppm")
+    )
+    return corpus.effective_sample_size(w, "weight_ppm").select(
+        "n", "sum_w", "sum_w2", "ess_micro", "ess_ratio_ppm"
+    )
+
+
+O_ESS_WEIGHTS = """
+with d as (
+  select doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as dg
+  from documents
+),
+sizes as (select dg, cast(count(*) as bigint) as csize from d group by dg),
+w as (
+  select cast(1000000 // csize as hugeint) as w
+  from d join sizes using (dg)
+),
+g as (
+  select cast(count(*) as bigint) as n, sum(w) as sum_w, sum(w * w) as sum_w2
+  from w
+)
+select n, cast(sum_w as varchar) as sum_w, cast(sum_w2 as varchar) as sum_w2,
+  case when sum_w2 > 0 then cast((sum_w * sum_w * 1000000) // sum_w2 as bigint)
+       else 0 end as ess_micro,
+  case when sum_w2 > 0 and n > 0 then
+    cast((sum_w * sum_w * 1000000) // (n * sum_w2) as bigint) else 0 end
+    as ess_ratio_ppm
+from g
+"""
+
+QUERIES["ess_weights"] = q_ess_weights
+ORACLES["ess_weights"] = O_ESS_WEIGHTS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

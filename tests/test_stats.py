@@ -482,3 +482,65 @@ def test_hill_tail_index_ties_and_insufficient_rows(spark):
     # fewer than k+1 rows -> empty frame, not a bogus row
     tiny = spark.createDataFrame([(7,), (3,)], "x long")
     assert hill_tail_index(tiny, "x", k=5).count() == 0
+
+
+def test_hll_sliding_distinct_tracks_true_trailing_counts(spark):
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.functions.sketch import hll_sliding_distinct
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 40 users/day, 50% overlap with the previous day
+    for d in range(10):
+        for u in range(40):
+            rows.append((f"u{d * 20 + u}", base + dt.timedelta(days=d)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {r.day: r for r in
+           hll_sliding_distinct(df, "user_id", "ts", window_days=7, p=8).collect()}
+    # day 9 window covers days 3..9: users u60..u239 -> 180 distinct
+    day9 = dt.date(2024, 1, 10)
+    assert abs(out[day9].est - 180) / 180 < 0.15  # p=8 ~ 6.5% rse
+    # day 0 window covers only day 0: 40 distinct
+    day0 = dt.date(2024, 1, 1)
+    assert abs(out[day0].est - 40) / 40 < 0.15
+    # trailing windows extend past the last data day (day 9 + 6)
+    assert dt.date(2024, 1, 16) in out and dt.date(2024, 1, 17) not in out
+    # monotone merge: a window superset never has fewer set registers
+    assert out[day9].m_set >= out[day0].m_set
+
+
+def test_markov_stationary_symmetric_and_absorbing(spark):
+    from feature_extractor_mbo_lob_spark.functions.graph import markov_stationary
+
+    sym = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, w long"
+    )
+    out = {r.state: r.pi_ppm for r in markov_stationary(sym, iterations=4).collect()}
+    assert out == {"a": 500000, "b": 500000}
+
+    # b always leaves to a; a self-loops: all mass drains to a
+    absb = spark.createDataFrame(
+        [("a", "a", 1), ("b", "a", 1)], "src string, dst string, w long"
+    )
+    out = {r.state: r.pi_ppm for r in markov_stationary(absb, iterations=4).collect()}
+    assert out["a"] == 1_000_000 and out["b"] == 0
+
+
+def test_effective_sample_size_hand_cases(spark):
+    from feature_extractor_mbo_lob_spark.functions.corpus import effective_sample_size
+
+    # uniform weights: ESS = n exactly
+    u = spark.createDataFrame([(1_000_000,)] * 8, "w long")
+    r = effective_sample_size(u, "w").collect()[0]
+    assert r.ess_ratio_ppm == 1_000_000
+    assert r.ess_micro == 8_000_000
+
+    # one full + two half weights: ESS = (2e6)^2 / 1.5e12 = 8/3
+    v = spark.createDataFrame([(1_000_000,), (500_000,), (500_000,)], "w long")
+    r = effective_sample_size(v, "w").collect()[0]
+    assert r.ess_micro == (2_000_000**2 * 1_000_000) // 1_500_000_000_000
+    assert r.ess_ratio_ppm == (2_000_000**2 * 1_000_000) // (3 * 1_500_000_000_000)
+    # zero-weight degenerate input releases 0, not a crash
+    z = spark.createDataFrame([(0,)], "w long")
+    assert effective_sample_size(z, "w").collect()[0].ess_micro == 0

@@ -1406,6 +1406,47 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.corpus import (
+        effective_sample_size,
+    )
+    from feature_extractor_mbo_lob_spark.functions.graph import markov_stationary
+    from feature_extractor_mbo_lob_spark.functions.sketch import hll_sliding_distinct
+
+    hs = t.select(F.col("conv_id").alias("user_id"), "ts")
+    sections.append(summarize(
+        "Sliding HLL distinct (7-day merge)",
+        hll_sliding_distinct(hs, "user_id", "ts"),
+        "Per-day registers (O(days * 2^p) shuffle) explode to the <= 7 "
+        "output days they serve — sketch-row fan-out, never data rows — "
+        "then element-wise MAX per (day, register); the estimate is one "
+        "IEEE division of a plan literal by an exact decimal sum.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    me = t.select(F.col("role").alias("src"),
+                  F.col("role").alias("dst")).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("w"))
+    sections.append(summarize(
+        "Markov stationary distribution (4 rounds)",
+        markov_stationary(me, iterations=4),
+        "Transition matrix and state set localCheckpoint ONCE; each "
+        "unrolled round is one broadcast-sized join + one partial-"
+        "aggregable groupBy over the |states|^2 frame.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    ew = t.select((F.col("turn_idx") % 3 * 250000 + 500000).alias("w"))
+    sections.append(summarize(
+        "Effective sample size (Kish)",
+        effective_sample_size(ew, "w"),
+        "ONE fully map-side-combinable global aggregate carrying three "
+        "exact moments; releases are integer trunc divisions.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
