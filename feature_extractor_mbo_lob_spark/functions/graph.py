@@ -889,3 +889,60 @@ def markov_stationary(
             "state", F.coalesce("pi", F.lit(0)).cast("long").alias("pi")
         )
     return v.select("state", F.col("pi").cast("long").alias("pi_ppm"))
+
+
+def markov_entropy_rate(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+) -> DataFrame:
+    """Entropy rate of the Markov chain, H = −Σ_ij π_i p_ij ln p_ij — the
+    predictability meter over the same transition matrix as
+    markov_loglik / markov_stationary: low H means conversations follow
+    rigid role/tool scripts (templated agents), high H means varied
+    flows; THE one-number summary for comparing corpus sources'
+    interaction diversity.
+
+    Exactness: p_ij in exact ppm (trunc div), π from markov_stationary's
+    exact ppm iteration, ln(p_ij/1e6) quantized to integer nanos PER
+    DISTINCT EDGE before any multiplication (zipf_fit convention), the
+    occupancy product t_ij = (π_i·p_ij) div 1e6 an exact trunc division
+    — so the sum Σ t_ij·q_ij is an exact integer in any order and
+    h_nanos = (−Σ) div 1e6 releases bit-identically on both engines.
+
+    Scale shape: the |states|² matrix frame plus markov_stationary's
+    bounded rounds; the entropy pass is one join + one 1-row aggregate.
+
+    Returns one row: (n_states, n_edges, h_nanos: long).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        F.col(w_col).cast("long").alias("c"),
+    )
+    outs = e.groupBy("src").agg(F.sum("c").alias("c_src"))
+    pmat = e.join(outs, "src").select(
+        "src", "dst",
+        F.expr("(c * 1000000) div c_src").cast("long").alias("p_ppm"),
+    )
+    pi = markov_stationary(edges, iterations, src_col, dst_col, w_col)
+    n_states = pi.count()
+    q = F.floor(
+        F.log(F.col("p_ppm").cast("double") / F.lit(1e6)) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    # p_ppm == 0 cells (c_src > 1e6*c at extreme skew) contribute 0 in the
+    # x*ln(x) limit — filtered on BOTH engines, never fed to ln
+    joined = pmat.filter(F.col("p_ppm") > 0).join(
+        pi.select(F.col("state").alias("src"), "pi_ppm"), "src"
+    ).select(
+        F.expr("(pi_ppm * p_ppm) div 1000000").cast("long").alias("t"),
+        q.alias("q"),
+    )
+    return joined.agg(
+        F.lit(int(n_states)).cast("long").alias("n_states"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.expr(
+            "cast((0 - sum(cast(t as decimal(38,0)) * q)) div 1000000 as bigint)"
+        ).alias("h_nanos"),
+    )

@@ -1731,3 +1731,66 @@ def hill_tail_index(
             " div cast(h_nanos as decimal(38,0)) as bigint) end"
         ).alias("alpha_micro"),
     )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    group_col: str,
+    n_col: str,
+    k_col: str,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    per-group success rates — the estimator that fixes the two failure
+    modes of raw rates on a leaderboard: tiny-n groups swing to 0%/100%,
+    and picking the max is winner's-cursed. Each group's rate shrinks
+    toward the global prior in proportion to its evidence:
+
+        mu_ppm    = (Σk · 1e6) div Σn                  (exact trunc div)
+        var_ppm2  = Σ n_i (r_i − mu)² div Σn, r_i = (k_i·1e6) div n_i
+        M         = mu(1e6 − mu)/var − 1  (prior pseudo-count, float)
+        shrunk_i  = (k_i·1e6 + mu·M) / ((n_i + M)·1e6)
+
+    Exactness contract: every moment is an exact integer (ppm / ppm²
+    trunc divisions identical on both engines); M and the released
+    shrunk rate are ONE fixed-operand-order float expression over those
+    exact integers — the same IEEE ops on both engines (the
+    wilson_interval convention). Degenerate var <= 0 (all groups at the
+    prior) or M <= 0 (between-group variance exceeds the binomial bound)
+    releases the raw rate unshrunk.
+
+    Scale shape: ONE group aggregate (assumed pre-aggregated input:
+    group, n, k), one 1-row global moment pass broadcast back (BNLJ
+    allowlist), one projection. No sort, no Python.
+
+    Returns ``DataFrame[<group>, n, k, rate_ppm: long, shrunk_rate]``.
+    """
+    g = df.select(
+        F.col(group_col).alias("g"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(k_col).cast("long").alias("k"),
+    ).withColumn("rate_ppm", F.expr("(k * 1000000) div n").cast("long"))
+    tot = g.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("k").cast("long").alias("tk"),
+    ).withColumn("mu_ppm", F.expr("(tk * 1000000) div tn").cast("long"))
+    withmu = g.crossJoin(F.broadcast(tot))
+    var = withmu.groupBy("tn", "mu_ppm").agg(
+        F.expr(
+            "cast(sum(n * cast(rate_ppm - mu_ppm as decimal(38,0))"
+            " * (rate_ppm - mu_ppm)) div max(tn) as long)"
+        ).alias("var_ppm2")
+    )
+    full = withmu.join(F.broadcast(var.select("mu_ppm", "var_ppm2")), "mu_ppm")
+    mu = F.col("mu_ppm").cast("double")
+    v = F.col("var_ppm2").cast("double")
+    m_prior = mu * (F.lit(1e6) - mu) / v - F.lit(1.0)
+    shrunk = (
+        F.col("k").cast("double") * F.lit(1e6) + mu * m_prior
+    ) / ((F.col("n").cast("double") + m_prior) * F.lit(1e6))
+    out = F.when(
+        (F.col("var_ppm2") > 0) & (m_prior > 0), shrunk
+    ).otherwise(F.col("rate_ppm").cast("double") / F.lit(1e6))
+    return full.select(
+        F.col("g").alias(group_col), "n", "k", "rate_ppm",
+        out.alias("shrunk_rate_raw"),
+    )

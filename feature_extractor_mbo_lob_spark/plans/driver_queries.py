@@ -15642,6 +15642,150 @@ QUERIES["ess_weights"] = q_ess_weights
 ORACLES["ess_weights"] = O_ESS_WEIGHTS
 
 
+# --- empirical-Bayes shrunk tool success rates -------------------------------------------
+
+def q_eb_shrinkage(spark, sf_dir):
+    """Beta-binomial empirical-Bayes shrinkage (functions/stats.
+    eb_shrunk_rates) of per-tool success rates toward the global prior —
+    the leaderboard estimator that de-noises tiny-n tools and kills the
+    winner's curse (companion to tool_success_wilson's bounds). Exact
+    integer ppm moments; the prior strength M and shrunk rate are one
+    fixed-operand-order float expression over those integers."""
+    from ..functions.stats import eb_shrunk_rates
+
+    t = transcripts_from_events(spark, sf_dir)
+    agg = (
+        t.filter(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.count("*").cast("long").alias("n_calls"),
+            F.sum((~F.col("text").startswith("error")).cast("int"))
+            .cast("long").alias("n_success"),
+        )
+    )
+    out = eb_shrunk_rates(agg, "tool", "n_calls", "n_success")
+    return out.select(
+        "tool", "n", "k", "rate_ppm", _r6x(F.col("shrunk_rate_raw"), "shrunk_rate")
+    )
+
+
+O_EB_SHRINKAGE = f"""{_W},
+agg as (
+  select tool,
+    cast(count(*) as bigint) as n,
+    cast(sum(case when text like 'error%' then 0 else 1 end) as bigint) as k
+  from transcripts where tool is not null group by tool
+),
+g as (select tool, n, k, cast((k * 1000000) // n as bigint) as rate_ppm from agg),
+tot as (
+  select sum(n) as tn, cast((sum(k) * 1000000) // sum(n) as bigint) as mu_ppm
+  from g
+),
+vr as (
+  select cast(sum(g.n * cast(g.rate_ppm - tot.mu_ppm as hugeint)
+                   * (g.rate_ppm - tot.mu_ppm)) // max(tot.tn) as bigint)
+    as var_ppm2
+  from g, tot
+),
+f as (
+  select g.tool, g.n, g.k, g.rate_ppm, tot.mu_ppm, vr.var_ppm2,
+    cast(tot.mu_ppm as double) as mu, cast(vr.var_ppm2 as double) as v
+  from g, tot, vr
+)
+select tool, n, k, rate_ppm,
+  {_r6x_sql(
+      "case when var_ppm2 > 0 and (mu * (1000000.0 - mu) / v - 1.0) > 0 then"
+      " (cast(k as double) * 1000000.0 + mu * (mu * (1000000.0 - mu) / v - 1.0))"
+      " / ((cast(n as double) + (mu * (1000000.0 - mu) / v - 1.0)) * 1000000.0)"
+      " else cast(rate_ppm as double) / 1000000.0 end"
+  )} as shrunk_rate
+from f
+"""
+
+QUERIES["eb_shrinkage"] = q_eb_shrinkage
+ORACLES["eb_shrinkage"] = O_EB_SHRINKAGE
+
+
+# --- entropy rate of the role-transition chain -------------------------------------------
+
+def q_entropy_rate(spark, sf_dir):
+    """Markov entropy rate H = −Σ π_i p_ij ln p_ij (functions/graph.
+    markov_entropy_rate) of the conversation role-transition chain — the
+    one-number predictability meter (templated agents score low, varied
+    flows high). Exact ppm matrix and occupancy, per-edge nano-quantized
+    ln, integer sum; one join + one 1-row aggregate past the stationary
+    rounds."""
+    from ..functions.graph import markov_entropy_rate
+    from pyspark.sql import Window
+
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    pairs = t.select("role", F.lead("role").over(w).alias("nxt")).filter(
+        F.col("nxt").isNotNull()
+    )
+    edges = pairs.groupBy(
+        F.col("role").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    return markov_entropy_rate(edges, iterations=4)
+
+
+O_ENTROPY_RATE = f"""{_W},
+p0 as (
+  select role, lead(role) over ({_OWIN}) as nxt from transcripts
+),
+e as (
+  select role as src, nxt as dst, cast(count(*) as bigint) as c
+  from p0 where nxt is not null group by 1, 2
+),
+outs as (select src, sum(c) as c_src from e group by src),
+pm as (
+  select e.src, e.dst, cast((c * 1000000) // c_src as bigint) as p_ppm
+  from e join outs using (src)
+),
+st as (select src as state from e union select dst from e),
+nr as (select count(*) as r from st),
+v0 as (select state, 1000000 // r as pi from st, nr),
+v1 as (
+  select st.state, coalesce(x.pi, 0) as pi from st left join (
+    select pm.dst as state, sum(cast(v.pi as hugeint) * pm.p_ppm) // 1000000 as pi
+    from pm join v0 v on v.state = pm.src group by pm.dst
+  ) x using (state)
+),
+v2 as (
+  select st.state, coalesce(x.pi, 0) as pi from st left join (
+    select pm.dst as state, sum(cast(v.pi as hugeint) * pm.p_ppm) // 1000000 as pi
+    from pm join v1 v on v.state = pm.src group by pm.dst
+  ) x using (state)
+),
+v3 as (
+  select st.state, coalesce(x.pi, 0) as pi from st left join (
+    select pm.dst as state, sum(cast(v.pi as hugeint) * pm.p_ppm) // 1000000 as pi
+    from pm join v2 v on v.state = pm.src group by pm.dst
+  ) x using (state)
+),
+v4 as (
+  select st.state, coalesce(x.pi, 0) as pi from st left join (
+    select pm.dst as state, sum(cast(v.pi as hugeint) * pm.p_ppm) // 1000000 as pi
+    from pm join v3 v on v.state = pm.src group by pm.dst
+  ) x using (state)
+),
+j as (
+  select cast((v4.pi * pm.p_ppm) // 1000000 as bigint) as t,
+    cast(floor(ln(cast(pm.p_ppm as double) / 1000000.0) * 1000000000.0 + 0.5)
+         as bigint) as q
+  from pm join v4 on v4.state = pm.src
+  where pm.p_ppm > 0
+)
+select (select cast(count(*) as bigint) from st) as n_states,
+  cast(count(*) as bigint) as n_edges,
+  cast((0 - sum(cast(t as hugeint) * q)) // 1000000 as bigint) as h_nanos
+from j
+"""
+
+QUERIES["entropy_rate"] = q_entropy_rate
+ORACLES["entropy_rate"] = O_ENTROPY_RATE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "distinct_sketch",
     "diversified_topk",
     "dsir_weights",
+    "eb_shrinkage",
     "embedding_audit",
     "embedding_drift",
     "embedding_near_dup_lsh",

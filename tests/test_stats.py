@@ -544,3 +544,56 @@ def test_effective_sample_size_hand_cases(spark):
     # zero-weight degenerate input releases 0, not a crash
     z = spark.createDataFrame([(0,)], "w long")
     assert effective_sample_size(z, "w").collect()[0].ess_micro == 0
+
+
+def test_eb_shrinkage_pulls_small_n_toward_prior(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import eb_shrunk_rates
+
+    # big well-measured groups at 50% and 70%; one tiny 1/1 group
+    rows = [("a", 1000, 500), ("b", 1000, 700), ("tiny", 1, 1)]
+    df = spark.createDataFrame(rows, "tool string, n long, k long")
+    out = {r.tool: r for r in eb_shrunk_rates(df, "tool", "n", "k").collect()}
+    mu = (500 + 700 + 1) * 10**6 // 2001 / 1e6
+    # tiny's raw rate is 1.0 but its shrunk rate collapses near the prior
+    assert out["tiny"].rate_ppm == 1_000_000
+    assert out["tiny"].shrunk_rate_raw < mu + 0.15
+    # well-measured groups barely move and ordering is preserved
+    assert abs(out["a"].shrunk_rate_raw - 0.5) < 0.05
+    assert abs(out["b"].shrunk_rate_raw - 0.7) < 0.05
+    assert out["b"].shrunk_rate_raw > out["a"].shrunk_rate_raw
+
+
+def test_eb_shrinkage_degenerate_equal_rates(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import eb_shrunk_rates
+
+    # zero between-group variance -> raw rates released unshrunk
+    rows = [("a", 10, 5), ("b", 20, 10)]
+    df = spark.createDataFrame(rows, "tool string, n long, k long")
+    out = {r.tool: r.shrunk_rate_raw
+           for r in eb_shrunk_rates(df, "tool", "n", "k").collect()}
+    assert out == {"a": 0.5, "b": 0.5}
+
+
+def test_markov_entropy_rate_hand_cases(spark):
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.graph import markov_entropy_rate
+
+    # deterministic 2-cycle: every transition is certain -> H = 0
+    det = spark.createDataFrame(
+        [("a", "b", 5), ("b", "a", 5)], "src string, dst string, w long"
+    )
+    assert markov_entropy_rate(det).collect()[0].h_nanos == 0
+
+    # symmetric fair coin chain: H = ln 2 per step
+    fair = spark.createDataFrame(
+        [("a", "a", 1), ("a", "b", 1), ("b", "a", 1), ("b", "b", 1)],
+        "src string, dst string, w long",
+    )
+    r = markov_entropy_rate(fair).collect()[0]
+    assert r.n_states == 2 and r.n_edges == 4
+    # p = 0.5 everywhere, pi = 0.5: H = ln 2; quantization: q = ln(0.5)*1e9,
+    # t = 250000 ppm per cell -> h = -(4 * 250000 * q) div 1e6
+    q = math.floor(math.log(0.5) * 1e9 + 0.5)
+    assert r.h_nanos == (0 - 4 * 250000 * q) // 10**6
+    assert abs(r.h_nanos / 1e9 - math.log(2)) < 1e-6

@@ -1447,6 +1447,33 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.graph import markov_entropy_rate
+    from feature_extractor_mbo_lob_spark.functions.stats import eb_shrunk_rates
+
+    eb = t.groupBy(F.col("role").alias("g")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("turn_idx") % 3 == 0).cast("int")).alias("k"),
+    )
+    sections.append(summarize(
+        "EB shrunk rates (beta-binomial MoM)",
+        eb_shrunk_rates(eb, "g", "n", "k"),
+        "ONE group aggregate over pre-aggregated (group, n, k), one "
+        "1-row global moment pass broadcast back (BNLJ allowlist), one "
+        "projection — no sort, no Python.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Markov entropy rate",
+        markov_entropy_rate(me, iterations=4),
+        "markov_stationary's bounded rounds plus ONE join of the "
+        "|states|^2 matrix with the stationary vector and a 1-row "
+        "integer-sum aggregate; ln nano-quantized per distinct edge.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
