@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Exact-integer ppm inverse CDF of Poisson(1): cumulative thresholds
@@ -1793,4 +1793,131 @@ def eb_shrunk_rates(
     return full.select(
         F.col("g").alias(group_col), "n", "k", "rate_ppm",
         out.alias("shrunk_rate_raw"),
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between two groups'
+    value distributions — the drift metric that, unlike KS (max gap) or
+    PSI (binned), weighs HOW FAR mass moved: W1 = ∫|F_a − F_b| dx over
+    the merged support. The modern two-sample distance for "did my
+    length/latency/score distribution shift, and by how much in value
+    units".
+
+    ENTIRELY exact integer arithmetic: on the merged distinct-value grid,
+    W1 = Σ_i |cumA_i·n_b − cumB_i·n_a| · (x_{i+1} − x_i) released as
+    w1_micro = (Σ · 1e6) div (n_a·n_b) — one trunc division of exact
+    decimal(38,0) integers, bit-identical on any engine (value units:
+    micro-units of the metric).
+
+    Scale shape: one partial-aggregable groupBy collapses both corpora to
+    the merged distinct-value frame; one ordered cumulative window over
+    that frame (bounded by value cardinality, never rows); one 1-row
+    aggregate. No joins, no Python.
+
+    Returns one row: (n_a, n_b, w1_micro: long).
+    """
+    g = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).cast("long").alias("x"))
+        .agg(
+            F.sum((F.col(group_col) == group_a).cast("long")).alias("ca"),
+            F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lead_x = F.lead("x").over(Window.orderBy("x"))
+    c = g.select(
+        "x",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+        (lead_x - F.col("x")).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")
+    term = (
+        F.abs(dec("cum_a") * dec("n_b") - dec("cum_b") * dec("n_a")) * dec("gap")
+    )
+    return c.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.expr(
+            "cast((sum(abs(cast(cum_a as decimal(38,0)) * n_b"
+            " - cast(cum_b as decimal(38,0)) * n_a) * gap) * 1000000)"
+            " div (max(n_a) * max(n_b)) as bigint)"
+        ).alias("w1_micro"),
+    )
+
+
+def conformal_calibration(
+    df: DataFrame,
+    score_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    cal_mod: int = 2,
+    id_col: str = "id",
+) -> DataFrame:
+    """Split-conformal calibration of a nonconformity score: the
+    calibration half (md5 split, deterministic) yields the conformal
+    quantile q_hat = the ceil((n_cal+1)·(1−alpha))-th smallest score —
+    the distribution-free threshold whose prediction sets are guaranteed
+    >= 1−alpha coverage; the held-out half then reports the achieved
+    empirical coverage. This is the modern ML-ops gate for "how wide
+    must the interval be so 90% of eval scores fall inside".
+
+    Exactness: the split is the repo-standard md5 bucket; the rank is
+    k = ceil((n_cal+1)·(1−alpha)) computed with integer ceiling division
+    (alpha passed as the rational alpha_num/alpha_den, so the ceiling is
+    exact — no float rank); q_hat is a TYPE-1 order statistic
+    picked by cumulative counts over the distinct-score frame (exact
+    integers); coverage_ppm = (hits·1e6) div n_eval. All integer — no
+    floats anywhere.
+
+    Scale shape: one groupBy per split collapsing to distinct scores,
+    one cumulative window over that bounded frame, broadcast 1-row
+    q_hat, one eval aggregate.
+
+    Returns one row: (n_cal, q_hat: long, n_eval, coverage_ppm: long).
+    """
+    from .corpus import md5_bucket
+
+    marked = df.select(
+        F.col(score_col).cast("long").alias("s"),
+        (md5_bucket(id_col, cal_mod) == 0).cast("int").alias("is_cal"),
+    )
+    cal = marked.filter(F.col("is_cal") == 1)
+    n_cal_row = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    g = cal.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select("s", F.sum("cnt").over(w).alias("cum"))
+    # k = ceil((n_cal + 1) * (den - num) / den), integer ceiling division
+    ranked = cum.crossJoin(F.broadcast(n_cal_row)).withColumn(
+        "k",
+        F.expr(
+            f"((n_cal + 1) * {alpha_den - alpha_num} + {alpha_den - 1})"
+            f" div {alpha_den}"
+        ),
+    )
+    qhat = ranked.filter(F.col("cum") >= F.least(F.col("k"), F.col("n_cal"))).agg(
+        F.min("s").cast("long").alias("q_hat"),
+        F.max("n_cal").cast("long").alias("n_cal"),
+    )
+    ev = marked.filter(F.col("is_cal") == 0).crossJoin(F.broadcast(qhat))
+    return ev.agg(
+        F.max("n_cal").alias("n_cal"),
+        F.max("q_hat").alias("q_hat"),
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.expr(
+            "cast((sum(cast(s <= q_hat as int)) * 1000000) div count(*) as bigint)"
+        ).alias("coverage_ppm"),
     )

@@ -15786,6 +15786,100 @@ QUERIES["entropy_rate"] = q_entropy_rate
 ORACLES["entropy_rate"] = O_ENTROPY_RATE
 
 
+# --- exact 1-D Wasserstein distance between source length distributions -----------------
+
+def q_wasserstein(spark, sf_dir):
+    """Exact earth-mover distance (functions/stats.wasserstein_1d)
+    between src0's and src1's document-length distributions: W1 =
+    Σ|cumA·nB − cumB·nA|·gap over the merged distinct-value grid, one
+    trunc division — the value-weighted drift metric KS/PSI miss.
+    All integer, one bounded window, no joins."""
+    from ..functions.stats import wasserstein_1d
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return wasserstein_1d(docs, "source", "n_chars", "src0", "src1")
+
+
+O_WASSERSTEIN = """
+with g as (
+  select cast(n_chars as bigint) as x,
+    sum(case when source = 'src0' then 1 else 0 end) as ca,
+    sum(case when source = 'src1' then 1 else 0 end) as cb
+  from documents where source in ('src0', 'src1') group by 1
+),
+c as (
+  select x,
+    sum(ca) over (order by x rows between unbounded preceding and current row) as cum_a,
+    sum(cb) over (order by x rows between unbounded preceding and current row) as cum_b,
+    sum(ca) over () as n_a, sum(cb) over () as n_b,
+    lead(x) over (order by x) - x as gap
+  from g
+)
+select cast(max(n_a) as bigint) as n_a, cast(max(n_b) as bigint) as n_b,
+  cast((sum(abs(cast(cum_a as hugeint) * n_b - cast(cum_b as hugeint) * n_a) * gap)
+        * 1000000) // (max(n_a) * max(n_b)) as bigint) as w1_micro
+from c where gap is not null
+"""
+
+QUERIES["wasserstein"] = q_wasserstein
+ORACLES["wasserstein"] = O_WASSERSTEIN
+
+
+# --- split-conformal calibration of a nonconformity score -------------------------------
+
+def q_conformal(spark, sf_dir):
+    """Split-conformal calibration (functions/stats.
+    conformal_calibration, alpha = 0.1) of per-event spend cents: the
+    md5-split calibration half yields the exact ceil((n+1)(1−alpha))
+    order-statistic threshold q_hat; the held-out half reports achieved
+    coverage in exact ppm — the distribution-free interval gate. Order
+    statistics ride the distinct-score cumulative frame; no floats."""
+    from ..functions.stats import conformal_calibration
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    scored = ev.select(
+        "event_id",
+        F.expr("cast(floor(value * 100.0 + 0.5) as long)").alias("cents"),
+    )
+    return conformal_calibration(
+        scored, "cents", alpha_num=1, alpha_den=10, id_col="event_id"
+    )
+
+
+O_CONFORMAL = f"""
+with marked as (
+  select cast(floor(value * 100.0 + 0.5) as bigint) as s,
+    cast(({_HEX7}) % 2 = 0 as int) as is_cal
+  from (select value, md5(cast(event_id as varchar)) as h from events)
+),
+ncal as (select cast(count(*) as bigint) as n_cal from marked where is_cal = 1),
+g as (select s, count(*) as cnt from marked where is_cal = 1 group by s),
+cum as (
+  select s,
+    sum(cnt) over (order by s rows between unbounded preceding and current row) as cum
+  from g
+),
+ranked as (
+  select s, cum,
+    ((ncal.n_cal + 1) * 9 + 9) // 10 as k, ncal.n_cal
+  from cum, ncal
+),
+qhat as (
+  select cast(min(s) as bigint) as q_hat, cast(max(n_cal) as bigint) as n_cal
+  from ranked where cum >= least(k, n_cal)
+)
+select qhat.n_cal, qhat.q_hat,
+  cast(count(*) as bigint) as n_eval,
+  cast((sum(cast(m.s <= qhat.q_hat as int)) * 1000000) // count(*) as bigint)
+    as coverage_ppm
+from marked m, qhat where m.is_cal = 0
+group by qhat.n_cal, qhat.q_hat
+"""
+
+QUERIES["conformal"] = q_conformal
+ORACLES["conformal"] = O_CONFORMAL
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

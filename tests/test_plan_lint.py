@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "bigram_logprob",
     "bm25_scores",
     "chi2_features",
+    "conformal",
     "cramers_v",
     "cuped",
     "distinct_sketch",

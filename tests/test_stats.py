@@ -597,3 +597,47 @@ def test_markov_entropy_rate_hand_cases(spark):
     q = math.floor(math.log(0.5) * 1e9 + 0.5)
     assert r.h_nanos == (0 - 4 * 250000 * q) // 10**6
     assert abs(r.h_nanos / 1e9 - math.log(2)) < 1e-6
+
+
+def test_wasserstein_1d_hand_case(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import wasserstein_1d
+
+    # A = {0,0,4}, B = {2,2,2}: optimal transport cost = (2+2+2)/3 = 2.0
+    rows = [("a", 0), ("a", 0), ("a", 4), ("b", 2), ("b", 2), ("b", 2)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = wasserstein_1d(df, "g", "x", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.w1_micro == 2_000_000
+    # identical distributions -> 0
+    same = spark.createDataFrame(
+        [("a", v) for v in (1, 5, 9)] + [("b", v) for v in (1, 5, 9)], "g string, x long"
+    )
+    assert wasserstein_1d(same, "g", "x", "a", "b").collect()[0].w1_micro == 0
+    # shift by a constant: W1 == the shift
+    shift = spark.createDataFrame(
+        [("a", v) for v in (1, 5, 9)] + [("b", v + 3) for v in (1, 5, 9)],
+        "g string, x long",
+    )
+    assert wasserstein_1d(shift, "g", "x", "a", "b").collect()[0].w1_micro == 3_000_000
+
+
+def test_conformal_calibration_matches_naive_replica(spark):
+    import hashlib
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import conformal_calibration
+
+    rows = [(i, (i * 37) % 101) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, s long")
+    r = conformal_calibration(df, "s", alpha_num=1, alpha_den=10).collect()[0]
+
+    arm = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16) % 2
+    cal = sorted(s for i, s in rows if arm(i) == 0)
+    ev = [s for i, s in rows if arm(i) == 1]
+    k = min(math.ceil((len(cal) + 1) * 0.9), len(cal))
+    q = cal[k - 1]
+    assert (r.n_cal, r.n_eval) == (len(cal), len(ev))
+    assert r.q_hat == q
+    assert r.coverage_ppm == sum(1 for s in ev if s <= q) * 10**6 // len(ev)
+    # the conformal guarantee: coverage near or above 1 - alpha
+    assert r.coverage_ppm >= 850_000

@@ -1474,6 +1474,34 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        conformal_calibration,
+        wasserstein_1d,
+    )
+
+    wd = t.select("role", (F.col("turn_idx") % 17).alias("x"))
+    sections.append(summarize(
+        "Wasserstein-1 (exact EMD)",
+        wasserstein_1d(wd, "role", "x", "user", "assistant"),
+        "One partial-aggregable groupBy collapses both corpora to the "
+        "merged distinct-value grid; one cumulative window over that "
+        "bounded frame; one 1-row integer aggregate. No joins.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    cf = t.select(F.col("turn_idx").alias("id"),
+                  (F.col("turn_idx") % 97).alias("s"))
+    sections.append(summarize(
+        "Split-conformal calibration",
+        conformal_calibration(cf, "s", id_col="id"),
+        "Distinct-score cumulative frame picks the exact order-statistic "
+        "threshold; q_hat broadcasts as a 1-row aggregate (BNLJ "
+        "allowlist); the eval half is one aggregate. All integer.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
