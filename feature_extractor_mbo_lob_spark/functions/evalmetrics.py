@@ -544,3 +544,79 @@ def brier_decomposition(
         (F.col("_base") * (F.lit(1_000_000) - F.col("_base")))
         .cast("long").alias("uncertainty_micro2"),
     )
+
+
+def v_measure(
+    df: DataFrame, cluster_col: str, label_col: str
+) -> DataFrame:
+    """V-measure clustering evaluation (Rosenberg & Hirschberg 2007):
+    homogeneity h = 1 − H(label|cluster)/H(label), completeness
+    c = 1 − H(cluster|label)/H(cluster), v = 2hc/(h+c) — the
+    contingency-based external validation for any clustering (k-means,
+    LSH buckets, dedup clusters) against known labels; unlike accuracy
+    it needs no cluster-label matching.
+
+    Determinism: every entropy is a sum of per-cell contributions
+    quantized to integer NANOS before summation — each contribution is
+    ONE fixed-operand-order float expression over exact integer counts
+    (n_ij, n_i, n_j, N), so the integer sums are order-free and the
+    three released ratios are fixed-order float ops over those exact
+    sums (boundary-exact 6-decimal canonicalization downstream).
+    Degenerate guards: h = 1 when H(label) = 0, c = 1 when
+    H(cluster) = 0, v = 0 when h + c = 0.
+
+    Scale shape: ONE groupBy collapses the corpus to the contingency
+    cells; margins are aggregates of that tiny frame joined back on
+    their keys; one 1-row final aggregate. Bounded by
+    |clusters|·|labels|, never rows.
+
+    Returns one row: (n, hl_nanos, hc_nanos, hlk_nanos, hkl_nanos,
+    homogeneity, completeness, v_measure).
+    """
+    cells = df.groupBy(
+        F.col(cluster_col).alias("k"), F.col(label_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    km = cells.groupBy("k").agg(F.sum("n").alias("n_k"))
+    cm = cells.groupBy("c").agg(F.sum("n").alias("n_c"))
+    tot = cells.agg(F.sum("n").alias("nn"))
+    full = (
+        cells.join(km, "k").join(cm, "c").crossJoin(F.broadcast(tot))
+    )
+    d = lambda c_: F.col(c_).cast("double")
+    q = lambda expr: F.floor(expr * F.lit(1e9) + F.lit(0.5)).cast("long")
+    # per-cell conditional-entropy contributions (negated at release)
+    t_lk = q((d("n") / d("nn")) * F.log(d("n") / d("n_k")))
+    t_kl = q((d("n") / d("nn")) * F.log(d("n") / d("n_c")))
+    sums = full.agg(
+        F.max("nn").cast("long").alias("n"),
+        (-F.sum(t_lk)).cast("long").alias("hlk_nanos"),
+        (-F.sum(t_kl)).cast("long").alias("hkl_nanos"),
+    )
+    hl = cm.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(q((d("n_c") / d("nn")) * F.log(d("n_c") / d("nn")))))
+        .cast("long").alias("hl_nanos")
+    )
+    hc = km.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(q((d("n_k") / d("nn")) * F.log(d("n_k") / d("nn")))))
+        .cast("long").alias("hc_nanos")
+    )
+    j = sums.crossJoin(F.broadcast(hl)).crossJoin(F.broadcast(hc))
+    h = F.when(
+        F.col("hl_nanos") > 0,
+        F.lit(1.0) - d("hlk_nanos") / d("hl_nanos"),
+    ).otherwise(F.lit(1.0))
+    c = F.when(
+        F.col("hc_nanos") > 0,
+        F.lit(1.0) - d("hkl_nanos") / d("hc_nanos"),
+    ).otherwise(F.lit(1.0))
+    withhc = j.withColumn("_h", h).withColumn("_c", c)
+    v = F.when(
+        (F.col("_h") + F.col("_c")) > 0,
+        F.lit(2.0) * F.col("_h") * F.col("_c") / (F.col("_h") + F.col("_c")),
+    ).otherwise(F.lit(0.0))
+    return withhc.select(
+        "n", "hl_nanos", "hc_nanos", "hlk_nanos", "hkl_nanos",
+        F.col("_h").alias("homogeneity_raw"),
+        F.col("_c").alias("completeness_raw"),
+        v.alias("v_measure_raw"),
+    )

@@ -15880,6 +15880,94 @@ QUERIES["conformal"] = q_conformal
 ORACLES["conformal"] = O_CONFORMAL
 
 
+# --- V-measure: external validation of k-means clusters against labels -------------------
+
+def q_v_measure(spark, sf_dir):
+    """V-measure (functions/evalmetrics.v_measure) of the certified
+    2-iteration Lloyd k-means clustering against the embeddings table's
+    known labels: homogeneity / completeness / V from nano-quantized
+    contingency entropies — the external clustering validation that
+    needs no cluster-label matching. Contingency is one groupBy of the
+    assignment frame; everything downstream is cells-bounded."""
+    from ..functions.evalmetrics import v_measure
+    from ..operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    out, _cents = similarity.kmeans_lloyd(
+        emb.select("vec_id", "embedding"), k=4, iters=2
+    )
+    joined = out.select("vec_id", F.col("centroid_id").cast("int").alias("cluster")
+                        ).join(emb.select("vec_id", "label"), "vec_id")
+    r = v_measure(joined, "cluster", "label")
+    return r.select(
+        "n", "hl_nanos", "hc_nanos", "hlk_nanos", "hkl_nanos",
+        _r6x(F.col("homogeneity_raw"), "homogeneity"),
+        _r6x(F.col("completeness_raw"), "completeness"),
+        _r6x(F.col("v_measure_raw"), "v"),
+    )
+
+
+def _v_measure_oracle() -> str:
+    km = _kmeans_oracle()
+    return f"""
+with cl as (select * from ({km})),
+lab as (select vec_id, label from embeddings),
+cells as (
+  select cl.cluster as k, lab.label as c, cast(count(*) as bigint) as n
+  from cl join lab using (vec_id) group by 1, 2
+),
+kmarg as (select k, sum(n) as n_k from cells group by k),
+cmarg as (select c, sum(n) as n_c from cells group by c),
+tot as (select sum(n) as nn from cells),
+s as (
+  select max(tot.nn) as n,
+    0 - sum(cast(floor((cast(cells.n as double) / tot.nn)
+        * ln(cast(cells.n as double) / kmarg.n_k) * 1000000000.0 + 0.5)
+      as bigint)) as hlk_nanos,
+    0 - sum(cast(floor((cast(cells.n as double) / tot.nn)
+        * ln(cast(cells.n as double) / cmarg.n_c) * 1000000000.0 + 0.5)
+      as bigint)) as hkl_nanos
+  from cells join kmarg using (k) join cmarg using (c) cross join tot
+),
+hl as (
+  select 0 - sum(cast(floor((cast(n_c as double) / tot.nn)
+      * ln(cast(n_c as double) / tot.nn) * 1000000000.0 + 0.5) as bigint))
+    as hl_nanos
+  from cmarg cross join tot
+),
+hc as (
+  select 0 - sum(cast(floor((cast(n_k as double) / tot.nn)
+      * ln(cast(n_k as double) / tot.nn) * 1000000000.0 + 0.5) as bigint))
+    as hc_nanos
+  from kmarg cross join tot
+),
+f as (
+  select s.n, hl.hl_nanos, hc.hc_nanos, s.hlk_nanos, s.hkl_nanos,
+    case when hl.hl_nanos > 0
+         then 1.0 - cast(s.hlk_nanos as double) / hl.hl_nanos else 1.0 end as h,
+    case when hc.hc_nanos > 0
+         then 1.0 - cast(s.hkl_nanos as double) / hc.hc_nanos else 1.0 end as c
+  from s, hl, hc
+)
+select cast(n as bigint) as n,
+  cast(hl_nanos as bigint) as hl_nanos, cast(hc_nanos as bigint) as hc_nanos,
+  cast(hlk_nanos as bigint) as hlk_nanos, cast(hkl_nanos as bigint) as hkl_nanos,
+  {_r6x_sql("h")} as homogeneity,
+  {_r6x_sql("c")} as completeness,
+  {_r6x_sql("case when h + c > 0 then 2.0 * h * c / (h + c) else 0.0 end")} as v
+from f
+"""
+
+
+O_V_MEASURE = _v_measure_oracle()
+
+QUERIES["v_measure"] = q_v_measure
+ORACLES["v_measure"] = O_V_MEASURE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -243,3 +243,54 @@ def test_brier_decomposition_miscalibrated_is_flagged(spark):
     r = em.brier_decomposition(df, "p", "y", n_bins=10).collect()[0]
     assert r.reliability_micro2 == (900000 - 100000) ** 2
     assert r.resolution_micro2 == 0  # single bin: ybar == base
+
+
+def test_v_measure_perfect_and_degenerate(spark):
+    # perfect clustering: clusters == labels -> h = c = v = 1
+    rows = [(i, i % 3, f"l{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, cluster int, label string")
+    r = em.v_measure(df, "cluster", "label").collect()[0]
+    assert r.homogeneity_raw == 1.0 and r.completeness_raw == 1.0
+    assert r.v_measure_raw == 1.0
+    assert r.hlk_nanos == 0 and r.hkl_nanos == 0
+
+    # single cluster: perfectly complete, homogeneity < 1
+    one = spark.createDataFrame(
+        [(i, 0, f"l{i % 3}") for i in range(30)], "id long, cluster int, label string"
+    )
+    r = em.v_measure(one, "cluster", "label").collect()[0]
+    assert r.completeness_raw == 1.0          # H(cluster) = 0 guard
+    assert r.homogeneity_raw < 0.01           # labels fully mixed in the cluster
+
+
+def test_v_measure_matches_sklearn_formula(spark):
+    import math
+
+    # 2 clusters x 2 labels with a known contingency [[8,2],[3,7]]
+    rows = (
+        [(i, 0, "a") for i in range(8)] + [(100 + i, 0, "b") for i in range(2)]
+        + [(200 + i, 1, "a") for i in range(3)] + [(300 + i, 1, "b") for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "id long, cluster int, label string")
+    r = em.v_measure(df, "cluster", "label").collect()[0]
+
+    def ent(counts, n):
+        return -sum(x / n * math.log(x / n) for x in counts if x)
+
+    n = 20.0
+    h_l = ent([11, 9], n)
+    h_k = ent([10, 10], n)
+    h_lk = -sum(
+        nij / n * math.log(nij / nk)
+        for nij, nk in ((8, 10), (2, 10), (3, 10), (7, 10))
+    )
+    h_kl = -sum(
+        nij / n * math.log(nij / nc)
+        for nij, nc in ((8, 11), (2, 9), (3, 11), (7, 9))
+    )
+    h = 1 - h_lk / h_l
+    c = 1 - h_kl / h_k
+    v = 2 * h * c / (h + c)
+    assert abs(r.homogeneity_raw - h) < 1e-6
+    assert abs(r.completeness_raw - c) < 1e-6
+    assert abs(r.v_measure_raw - v) < 1e-6

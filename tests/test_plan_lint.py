@@ -93,6 +93,7 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",
     "triple_barrier_vol_scaled",
     "unigram_logprob",
+    "v_measure",
     "wilcoxon_signed",
     "winsorize",
     "zorder_curve",

@@ -1502,6 +1502,20 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import v_measure
+
+    vm = t.select((F.col("turn_idx") % 4).alias("cluster"), F.col("role").alias("label"))
+    sections.append(summarize(
+        "V-measure (contingency entropies)",
+        v_measure(vm, "cluster", "label"),
+        "ONE groupBy collapses the corpus to the contingency cells; "
+        "margins are aggregates of that tiny frame joined back; 1-row "
+        "broadcast totals (BNLJ allowlist); all entropies are integer "
+        "nano sums.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
