@@ -620,3 +620,61 @@ def v_measure(
         F.col("_c").alias("completeness_raw"),
         v.alias("v_measure_raw"),
     )
+
+
+def adjusted_rand_index(
+    df: DataFrame, cluster_col: str, label_col: str
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) — the chance-corrected
+    pair-counting companion to v_measure: +1 for identical partitions,
+    ~0 for random assignment, negative for worse-than-chance. Computed
+    ENTIRELY from exact integer pair counts (no entropies, no ln):
+
+        Sij = Σ_ij n_ij(n_ij−1),  Sa = Σ_i a_i(a_i−1),  Sb = Σ_j b_j(b_j−1)
+        ARI = (C·Sij − Sa·Sb) / (C·(Sa+Sb)/2 − Sa·Sb),  C = n(n−1)
+
+    (doubled-binomial form: every term is an exact decimal(38,0)
+    integer; the single /2 stays exact because C·(Sa+Sb) is always even
+    — both factors are products of consecutive integers). The release is
+    ONE IEEE division of two exact integers. Degenerate den = 0 (single
+    cluster AND single label, or n < 2) releases 1.0 when num = 0 (the
+    sklearn convention: identical trivial partitions) else 0.0.
+
+    Scale shape: ONE groupBy to the contingency cells; margins are
+    aggregates of that tiny frame; one 1-row final aggregate. Bounded by
+    |clusters|·|labels|. Magnitude bound: the C·Sij product stays inside
+    decimal(38,0) to n ~ 3e9 rows; past that, compute ARI on a
+    hash-sampled contingency (the pair counts concentrate fast).
+
+    Returns one row: (n, sij, sa, sb, ari_raw).
+    """
+    cells = df.groupBy(
+        F.col(cluster_col).alias("k"), F.col(label_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")
+    km = cells.groupBy("k").agg(F.sum("n").alias("a"))
+    cm = cells.groupBy("c").agg(F.sum("n").alias("b"))
+    sij = cells.agg(
+        F.sum(dec("n") * (dec("n") - 1)).alias("sij"),
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+    )
+    sa = km.agg(F.sum(dec("a") * (dec("a") - 1)).alias("sa"))
+    sb = cm.agg(F.sum(dec("b") * (dec("b") - 1)).alias("sb"))
+    j = sij.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    j = j.withColumn("cc", F.expr("nn * (nn - 1)"))
+    num = F.expr("cc * sij - sa * sb")
+    den = F.expr("(cc * (sa + sb)) div 2 - sa * sb")
+    withnd = j.withColumn("_num", num).withColumn("_den", den)
+    ari = F.when(
+        F.col("_den") != 0,
+        F.col("_num").cast("double") / F.col("_den").cast("double"),
+    ).otherwise(
+        F.when(F.col("_num") == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return withnd.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("sij").cast("long").alias("sij"),
+        F.col("sa").cast("long").alias("sa"),
+        F.col("sb").cast("long").alias("sb"),
+        ari.alias("ari_raw"),
+    )

@@ -15968,6 +15968,64 @@ QUERIES["v_measure"] = q_v_measure
 ORACLES["v_measure"] = O_V_MEASURE
 
 
+# --- Adjusted Rand Index of k-means clusters vs labels -----------------------------------
+
+def q_ari(spark, sf_dir):
+    """Adjusted Rand Index (functions/evalmetrics.adjusted_rand_index) of
+    the certified k-means clustering vs the embeddings labels — the
+    chance-corrected pair-counting twin of v_measure, entirely exact
+    integer arithmetic (no ln anywhere), one IEEE division at release."""
+    from ..functions.evalmetrics import adjusted_rand_index
+    from ..operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    out, _cents = similarity.kmeans_lloyd(
+        emb.select("vec_id", "embedding"), k=4, iters=2
+    )
+    joined = out.select(
+        "vec_id", F.col("centroid_id").cast("int").alias("cluster")
+    ).join(emb.select("vec_id", "label"), "vec_id")
+    r = adjusted_rand_index(joined, "cluster", "label")
+    return r.select("n", "sij", "sa", "sb", _r6x(F.col("ari_raw"), "ari"))
+
+
+def _ari_oracle() -> str:
+    km = _kmeans_oracle()
+    return f"""
+with cl as (select * from ({km})),
+lab as (select vec_id, label from embeddings),
+cells as (
+  select cl.cluster as k, lab.label as c, cast(count(*) as hugeint) as n
+  from cl join lab using (vec_id) group by 1, 2
+),
+s as (
+  select sum(n * (n - 1)) as sij, sum(n) as nn from cells
+),
+sa as (select sum(a * (a - 1)) as sa from (select sum(n) as a from cells group by k)),
+sb as (select sum(b * (b - 1)) as sb from (select sum(n) as b from cells group by c)),
+f as (
+  select s.nn, s.sij, sa.sa, sb.sb,
+    s.nn * (s.nn - 1) * s.sij - sa.sa * sb.sb as num,
+    (s.nn * (s.nn - 1) * (sa.sa + sb.sb)) // 2 - sa.sa * sb.sb as den
+  from s, sa, sb
+)
+select cast(nn as bigint) as n, cast(sij as bigint) as sij,
+  cast(sa as bigint) as sa, cast(sb as bigint) as sb,
+  {_r6x_sql("case when den <> 0 then cast(num as double) / cast(den as double) when num = 0 then 1.0 else 0.0 end")}
+    as ari
+from f
+"""
+
+
+O_ARI = _ari_oracle()
+
+QUERIES["ari"] = q_ari
+ORACLES["ari"] = O_ARI
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

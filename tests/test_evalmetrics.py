@@ -294,3 +294,36 @@ def test_v_measure_matches_sklearn_formula(spark):
     assert abs(r.homogeneity_raw - h) < 1e-6
     assert abs(r.completeness_raw - c) < 1e-6
     assert abs(r.v_measure_raw - v) < 1e-6
+
+
+def test_adjusted_rand_index_hand_cases(spark):
+    # identical partitions -> ARI = 1
+    same = spark.createDataFrame(
+        [(i, i % 3, f"l{i % 3}") for i in range(30)], "id long, cluster int, label string"
+    )
+    r = em.adjusted_rand_index(same, "cluster", "label").collect()[0]
+    assert r.ari_raw == 1.0
+
+    # known contingency [[8,2],[3,7]] -> sklearn adjusted_rand_score value
+    rows = (
+        [(i, 0, "a") for i in range(8)] + [(100 + i, 0, "b") for i in range(2)]
+        + [(200 + i, 1, "a") for i in range(3)] + [(300 + i, 1, "b") for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "id long, cluster int, label string")
+    r = em.adjusted_rand_index(df, "cluster", "label").collect()[0]
+    # exact rational check against the doubled-binomial closed form
+    sij = 8*7 + 2*1 + 3*2 + 7*6
+    sa = 10*9 + 10*9
+    sb = 11*10 + 9*8
+    cc = 20*19
+    num = cc*sij - sa*sb
+    den = (cc*(sa+sb))//2 - sa*sb
+    assert abs(r.ari_raw - num/den) < 1e-12
+    assert (r.sij, r.sa, r.sb) == (sij, sa, sb)
+
+    # single cluster vs varied labels: chance-level agreement -> 0
+    one = spark.createDataFrame(
+        [(i, 0, f"l{i % 3}") for i in range(30)], "id long, cluster int, label string"
+    )
+    r = em.adjusted_rand_index(one, "cluster", "label").collect()[0]
+    assert abs(r.ari_raw) < 1e-12  # Sa collapses the adjustment to 0

@@ -36,6 +36,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_TINY", "/root/testdata/sf0.001")
 # tests/test_broadcast_budget.py and documented in COVERAGE.md.
 BNLJ_ALLOWED = {
     "ab_strata",
+    "ari",
     "balance_classes",
     "benford",
     "bigram_logprob",

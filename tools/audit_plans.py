@@ -1516,6 +1516,20 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import (
+        adjusted_rand_index,
+    )
+
+    sections.append(summarize(
+        "Adjusted Rand Index",
+        adjusted_rand_index(vm, "cluster", "label"),
+        "Same cells-bounded shape as V-measure, pure integer pair "
+        "counts (no ln), 1-row broadcast margins (BNLJ allowlist), one "
+        "IEEE division at release.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
