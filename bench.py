@@ -111,7 +111,7 @@ def main() -> None:
                 while fh.read(1 << 24):
                     pass
     runs = []
-    for _ in range(6):
+    for _ in range(8):
         fresh = read_transcripts(spark, tpath)
         t0 = time.time()
         noop(vectorized_flagship(fresh, CFG, price_col="char_len"))

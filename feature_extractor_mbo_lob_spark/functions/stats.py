@@ -1921,3 +1921,137 @@ def conformal_calibration(
             "cast((sum(cast(s <= q_hat as int)) * 1000000) div count(*) as bigint)"
         ).alias("coverage_ppm"),
     )
+
+
+def permutation_test(
+    ev: DataFrame,
+    unit_col: str,
+    value_col: str = "value",
+    n_perms: int = 64,
+) -> DataFrame:
+    """Deterministic permutation test for the md5-arm mean difference —
+    the assumption-free significance check behind ab_ztest (which needs
+    normality) and mann_whitney (which tests stochastic dominance, not
+    the mean): re-randomize units into pseudo-arms ``n_perms`` times with
+    md5(uid || '#' || b) and ask how often a pseudo difference-of-sums is
+    at least as extreme as the observed one.
+
+    Everything exact: per-unit integer cents; per-replicate arm sums are
+    exact int64; the statistic compares |S_a·n_b − S_b·n_a| (the
+    difference of means cleared of denominators — exact decimal
+    products); p_ppm = ((1 + #extreme) · 1e6) div (B + 1), the standard
+    add-one permutation p-value, an exact trunc division. Fully
+    engine-reproducible — the "permutations" are md5 re-hashes, so the
+    oracle replays them bit-for-bit.
+
+    Scale shape: ONE groupBy(unit) reduction, then a bounded B-way
+    explode OF THE UNIT FRAME (never raw rows) into one partial-
+    aggregable groupBy(b) and a 1-row aggregate. B = 64 replicates give
+    p-value resolution ~ 1.5% — the screening regime; raise n_perms for
+    confirmatory runs.
+
+    Returns one row: (n_units, b, n_extreme, p_ppm).
+    """
+    from .corpus import md5_bucket
+
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    pu = (
+        ev.select(F.col(unit_col).alias("uid"), cents.alias("_c"))
+        .groupBy("uid")
+        .agg(F.sum("_c").alias("c"))
+        .withColumn("arm", md5_bucket("uid", 2).cast("int"))
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")
+    obs = pu.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("c"))).alias("s_a"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c"))).alias("s_b"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    ).select(
+        F.abs(
+            dec("s_a") * dec("n_b") - dec("s_b") * dec("n_a")
+        ).alias("t_obs"),
+        (F.col("n_a") + F.col("n_b")).cast("long").alias("n_units"),
+    )
+    reps = pu.select(
+        "uid", "c",
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_perms)))).alias("b"),
+    ).withColumn(
+        "parm",
+        md5_bucket(F.concat(F.col("uid").cast("string"), F.lit("#"),
+                            F.col("b").cast("string")), 2).cast("int"),
+    )
+    per_b = reps.groupBy("b").agg(
+        F.sum(F.when(F.col("parm") == 0, F.col("c"))).alias("s_a"),
+        F.sum(F.when(F.col("parm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("parm") == 1, F.col("c"))).alias("s_b"),
+        F.sum(F.when(F.col("parm") == 1, 1).otherwise(0)).alias("n_b"),
+    ).select(
+        "b",
+        F.abs(dec("s_a") * dec("n_b") - dec("s_b") * dec("n_a")).alias("t"),
+    )
+    joined = per_b.crossJoin(F.broadcast(obs))
+    return joined.agg(
+        F.max("n_units").alias("n_units"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+        F.sum((F.col("t") >= F.col("t_obs")).cast("int")).cast("long")
+        .alias("n_extreme"),
+        F.expr(
+            f"cast(((1 + sum(cast(t >= t_obs as int))) * 1000000)"
+            f" div ({int(n_perms)} + 1) as bigint)"
+        ).alias("p_ppm"),
+    )
+
+
+def cmh_pooled_odds(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel pooled odds ratio across strata — the
+    confounder-adjusted effect estimate that avoids Simpson's paradox:
+    pooling per-stratum 2x2 tables (a,b,c,d; n = a+b+c+d) as
+    OR_cmh = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i), each stratum weighted by
+    its own size, never mixing strata marginals.
+
+    Exactness: per-stratum terms (a·d·1e6) div n and (b·c·1e6) div n are
+    exact trunc divisions of integer counts summed exactly; the release
+    is ONE IEEE division of the two exact micro sums (plus both sums
+    released raw). Strata where n = 0 cannot occur (they'd have no
+    rows); zero-cell strata contribute their exact zero terms, the
+    standard CMH behavior.
+
+    Scale shape: ONE groupBy(stratum) building the 2x2 cells with
+    conditional sums, one projection, one 1-row aggregate — fully
+    map-side combinable.
+
+    Returns one row: (n_strata, num_micro, den_micro, or_cmh_raw).
+    """
+    arm = F.col(arm_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    g = df.groupBy(stratum_col).agg(
+        F.sum(((arm == 0) & (y == 1)).cast("long")).alias("a"),
+        F.sum(((arm == 0) & (y == 0)).cast("long")).alias("b"),
+        F.sum(((arm == 1) & (y == 1)).cast("long")).alias("c"),
+        F.sum(((arm == 1) & (y == 0)).cast("long")).alias("d"),
+    ).withColumn("n", F.expr("a + b + c + d"))
+    terms = g.select(
+        F.expr("(cast(a as decimal(38,0)) * d * 1000000) div n").alias("t_num"),
+        F.expr("(cast(b as decimal(38,0)) * c * 1000000) div n").alias("t_den"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("t_num").alias("num_micro"),
+        F.sum("t_den").alias("den_micro"),
+    )
+    orr = F.when(
+        F.col("den_micro") > 0,
+        F.col("num_micro").cast("double") / F.col("den_micro").cast("double"),
+    )
+    return agg.select(
+        "n_strata",
+        F.col("num_micro").cast("long").alias("num_micro"),
+        F.col("den_micro").cast("long").alias("den_micro"),
+        orr.alias("or_cmh_raw"),
+    )

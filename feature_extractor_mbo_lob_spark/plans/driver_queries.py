@@ -16026,6 +16026,135 @@ QUERIES["ari"] = q_ari
 ORACLES["ari"] = O_ARI
 
 
+# --- deterministic permutation test for the arm mean difference -------------------------
+
+def q_permutation_test(spark, sf_dir):
+    """Assumption-free permutation test (functions/stats.
+    permutation_test, B = 64 md5 re-randomizations) of the md5-arm
+    per-user spend difference: p_ppm = add-one rank of the observed
+    |S_a·n_b − S_b·n_a| among the pseudo-replicates — exact integers end
+    to end, the 'permutations' are md5 re-hashes replayed bit-for-bit by
+    the oracle. One unit reduction, one bounded 64-way explode of the
+    unit frame, one groupBy(b)."""
+    from ..functions.stats import permutation_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return permutation_test(ev, "user_id", "value", n_perms=64)
+
+
+def _perm_oracle(n_perms: int = 64) -> str:
+    hexpr = _HEX7
+    return f"""
+with pu as (
+  select user_id as uid,
+    cast(sum(cast(floor(value * 100.0 + 0.5) as bigint)) as bigint) as c
+  from events group by user_id
+),
+arm as (
+  select uid, c, cast(({hexpr}) % 2 as int) as arm
+  from (select uid, c, md5(cast(uid as varchar)) as h from pu)
+),
+obs as (
+  select abs(cast(sum(case when arm = 0 then c end) as hugeint)
+             * sum(case when arm = 1 then 1 else 0 end)
+           - cast(sum(case when arm = 1 then c end) as hugeint)
+             * sum(case when arm = 0 then 1 else 0 end)) as t_obs,
+    cast(count(*) as bigint) as n_units
+  from arm
+),
+reps as (
+  select uid, c, tt.b,
+    cast(({hexpr}) % 2 as int) as parm
+  from (
+    select uid, c, tt.i + 1 as b,
+      md5(concat(cast(uid as varchar), '#', cast(tt.i + 1 as varchar))) as h,
+      tt.i
+    from pu, range(0, {n_perms}) tt(i)
+  ) tt
+),
+per_b as (
+  select b,
+    abs(cast(sum(case when parm = 0 then c end) as hugeint)
+        * sum(case when parm = 1 then 1 else 0 end)
+      - cast(sum(case when parm = 1 then c end) as hugeint)
+        * sum(case when parm = 0 then 1 else 0 end)) as t
+  from reps group by b
+)
+select obs.n_units,
+  cast(count(*) as bigint) as b,
+  cast(sum(cast(per_b.t >= obs.t_obs as int)) as bigint) as n_extreme,
+  cast(((1 + sum(cast(per_b.t >= obs.t_obs as int))) * 1000000)
+       // ({n_perms} + 1) as bigint) as p_ppm
+from per_b, obs
+group by obs.n_units
+"""
+
+
+O_PERMUTATION_TEST = _perm_oracle()
+
+QUERIES["permutation_test"] = q_permutation_test
+ORACLES["permutation_test"] = O_PERMUTATION_TEST
+
+
+# --- Cochran-Mantel-Haenszel pooled odds ratio across event-type strata ------------------
+
+def q_cmh_odds(spark, sf_dir):
+    """Confounder-adjusted pooled odds ratio (functions/stats.
+    cmh_pooled_odds) of high-value outcomes between the md5 arms,
+    stratified by event type — the Simpson's-paradox-proof effect
+    estimate. Per-stratum 2x2 terms as exact micro trunc divisions
+    summed exactly; one groupBy + one 1-row aggregate."""
+    from ..functions.corpus import md5_bucket
+    from ..functions.stats import cmh_pooled_odds
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    marked = ev.select(
+        "event_type",
+        md5_bucket("user_id", 2).cast("int").alias("arm"),
+        (F.col("value") >= 50.0).cast("int").alias("hi"),
+    )
+    out = cmh_pooled_odds(marked, "event_type", "arm", "hi")
+    return out.select(
+        "n_strata", "num_micro", "den_micro", _r6x(F.col("or_cmh_raw"), "or_cmh")
+    )
+
+
+O_CMH_ODDS = f"""
+with m as (
+  select event_type,
+    cast(({_HEX7}) % 2 as int) as arm,
+    cast(value >= 50.0 as int) as hi
+  from (select event_type, value, md5(cast(user_id as varchar)) as h from events)
+),
+g as (
+  select event_type,
+    sum(case when arm = 0 and hi = 1 then 1 else 0 end) as a,
+    sum(case when arm = 0 and hi = 0 then 1 else 0 end) as b,
+    sum(case when arm = 1 and hi = 1 then 1 else 0 end) as c,
+    sum(case when arm = 1 and hi = 0 then 1 else 0 end) as d
+  from m group by event_type
+),
+t as (
+  select (cast(a as hugeint) * d * 1000000) // (a + b + c + d) as t_num,
+    (cast(b as hugeint) * c * 1000000) // (a + b + c + d) as t_den
+  from g
+),
+f as (
+  select cast(count(*) as bigint) as n_strata,
+    sum(t_num) as num_micro, sum(t_den) as den_micro
+  from t
+)
+select n_strata, cast(num_micro as bigint) as num_micro,
+  cast(den_micro as bigint) as den_micro,
+  {_r6x_sql("case when den_micro > 0 then cast(num_micro as double) / cast(den_micro as double) end")}
+    as or_cmh
+from f
+"""
+
+QUERIES["cmh_odds"] = q_cmh_odds
+ORACLES["cmh_odds"] = O_CMH_ODDS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

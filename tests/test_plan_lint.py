@@ -71,6 +71,7 @@ BNLJ_ALLOWED = {
     "mixture_plan",
     "ols_fit_predict",
     "peak_concurrency",
+    "permutation_test",
     "perplexity_prune",
     "pit_staleness",
     "pmi_collocations",

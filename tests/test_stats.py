@@ -641,3 +641,46 @@ def test_conformal_calibration_matches_naive_replica(spark):
     assert r.coverage_ppm == sum(1 for s in ev if s <= q) * 10**6 // len(ev)
     # the conformal guarantee: coverage near or above 1 - alpha
     assert r.coverage_ppm >= 850_000
+
+
+def test_permutation_test_null_vs_signal(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import permutation_test
+
+    # null: identical constant values in both arms -> observed diff-of-means
+    # statistic is ~0, every permutation ties it -> p = 1
+    rows = [(f"u{i}", 10.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "user_id string, value double")
+    r = permutation_test(df, "user_id", n_perms=64).collect()[0]
+    assert r.n_units == 100 and r.b == 64
+    assert r.p_ppm == 1_000_000
+
+    # strong signal: value is a deterministic function of the REAL md5 arm,
+    # so pseudo-arms wash it out -> small p
+    import hashlib
+    arm = lambda u: int(hashlib.md5(u.encode()).hexdigest()[:7], 16) % 2
+    rows = [(f"u{i}", 100.0 if arm(f"u{i}") == 0 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "user_id string, value double")
+    r = permutation_test(df, "user_id", n_perms=64).collect()[0]
+    assert r.p_ppm <= 2 * 1_000_000 // 65 + 1  # at most ~2 extreme replicates
+
+
+def test_cmh_pooled_odds_simpson_safe(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import cmh_pooled_odds
+
+    # two strata with identical within-stratum OR = (4*6)/(2*3) = 4.0;
+    # CMH pools to exactly 4.0 regardless of stratum sizes
+    rows = []
+    for s, scale in (("x", 1), ("y", 3)):
+        rows += [(s, 0, 1)] * 4 * scale + [(s, 0, 0)] * 2 * scale
+        rows += [(s, 1, 1)] * 3 * scale + [(s, 1, 0)] * 6 * scale
+    df = spark.createDataFrame(rows, "s string, arm int, y int")
+    r = cmh_pooled_odds(df, "s", "arm", "y").collect()[0]
+    assert r.n_strata == 2
+    assert abs(r.or_cmh_raw - 4.0) < 1e-4  # micro quantization only
+
+    # zero-cell stratum contributes its exact zero term, no crash
+    z = spark.createDataFrame(
+        [("z", 0, 1)] * 3 + [("z", 1, 0)] * 3, "s string, arm int, y int"
+    )
+    r = cmh_pooled_odds(z, "s", "arm", "y").collect()[0]
+    assert r.den_micro == 0 and r.or_cmh_raw is None

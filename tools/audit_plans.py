@@ -1530,6 +1530,35 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        cmh_pooled_odds,
+        permutation_test,
+    )
+
+    pt = t.select(F.col("conv_id").alias("user_id"),
+                  (F.col("turn_idx") % 7).cast("double").alias("value"))
+    sections.append(summarize(
+        "Permutation test (md5 re-randomized)",
+        permutation_test(pt, "user_id", n_perms=8),
+        "ONE groupBy(unit) reduction, a bounded B-way explode OF THE "
+        "UNIT FRAME (never raw rows) into one partial-aggregable "
+        "groupBy(b), 1-row observed statistic broadcast.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    ch = t.select(F.col("role").alias("s"), (F.col("turn_idx") % 2).alias("arm"),
+                  (F.col("turn_idx") % 3 == 0).cast("int").alias("y"))
+    sections.append(summarize(
+        "CMH pooled odds ratio",
+        cmh_pooled_odds(ch, "s", "arm", "y"),
+        "ONE groupBy(stratum) building the 2x2 cells with conditional "
+        "sums, one projection, one 1-row aggregate — map-side "
+        "combinable.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
