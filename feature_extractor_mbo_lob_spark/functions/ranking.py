@@ -165,3 +165,65 @@ def reciprocal_rank_fusion(
         F.col("qid").alias(query_col), F.col("did").alias(doc_col),
         "rrf_nano", "fused_rank",
     )
+
+
+def rbo_weights(depth: int = 20, p_num: int = 9, p_den: int = 10):
+    """Truncated rank-biased-overlap weights in exact micro fixed point:
+    w_1 = 1e6, w_d = (w_{d-1}·p_num) div p_den — the geometric decay of
+    Webber et al. 2010 as a deterministic integer recurrence. Returns
+    (weights list, per-match credit list, W = Σw) where credit[m] =
+    Σ_{d=m..D} (w_d·1e6 div d): the exact total weighted-agreement mass
+    a document pair earns when it enters both rankings at depth m."""
+    w = [1_000_000]
+    for _ in range(depth - 1):
+        w.append(w[-1] * p_num // p_den)
+    credit = [0] * (depth + 1)
+    for m in range(depth, 0, -1):
+        credit[m] = (credit[m + 1] if m < depth else 0) + (w[m - 1] * 1_000_000) // m
+    return w, credit[1:], sum(w)
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    depth: int = 20,
+    p_num: int = 9,
+    p_den: int = 10,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber 2010) between two rankings
+    per query — the top-weighted ranking-agreement metric for comparing
+    retrievers (exact vs quantized, BM25 vs dense): unlike Kendall/
+    Spearman it weights depth-1 agreement geometrically more than
+    depth-20 and handles non-conjoint lists natively.
+
+    Inputs: two frames (query_id, doc_id, rank), 1-based ranks <= depth.
+    A document in both lists first co-occurs at depth m = max(rank_a,
+    rank_b); its exact agreement credit Σ_{d>=m} w_d/d is a PLAN-LITERAL
+    integer (rbo_weights' micro recurrence), so per-query
+    rbo_micro = (Σ_matches credit[m]) div W is pure integer arithmetic —
+    bit-identical on both engines; identical lists score 999999 (one
+    micro lost to the final trunc division).
+
+    Scale shape: one equi-join of two (queries × depth)-bounded frames
+    on (query_id, doc_id), one element_at against the literal credit
+    array, one partial-aggregable groupBy(query_id). Nothing scales
+    with corpus rows.
+
+    Returns ``DataFrame[query_id, n_matches: long, rbo_micro: long]``.
+    """
+    _w, credit, big_w = rbo_weights(depth, p_num, p_den)
+    ra = a.select(
+        F.col("query_id"), F.col("doc_id"), F.col("rank").alias("ra")
+    ).filter(F.col("ra") <= depth)
+    rb = b.select(
+        F.col("query_id"), F.col("doc_id"), F.col("rank").alias("rb")
+    ).filter(F.col("rb") <= depth)
+    m = F.greatest(F.col("ra"), F.col("rb")).cast("int")
+    credit_arr = F.array(*[F.lit(int(c)).cast("long") for c in credit])
+    j = ra.join(rb, ["query_id", "doc_id"]).select(
+        "query_id", F.element_at(credit_arr, m).alias("c")
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.expr(f"cast(sum(c) div {big_w} as bigint)").alias("rbo_micro"),
+    )

@@ -16155,6 +16155,105 @@ QUERIES["cmh_odds"] = q_cmh_odds
 ORACLES["cmh_odds"] = O_CMH_ODDS
 
 
+# --- rank-biased overlap between exact and int8-quantized retrieval ----------------------
+
+def q_rbo(spark, sf_dir):
+    """Truncated rank-biased overlap (functions/ranking.
+    rank_biased_overlap, depth 20, p = 0.9) between the exact-cosine and
+    int8-quantized top-20 rankings per query — the top-weighted
+    agreement meter that quantifies quantization damage where rrf_fusion
+    repairs it. Agreement credits are plan-literal integers from the
+    micro weight recurrence; one bounded equi-join + groupBy(query)."""
+    from pyspark.sql import Window
+
+    from ..functions.ranking import rank_biased_overlap
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    exact = similarity.brute_force_topk(
+        emb, k=20, query=queries.select("vec_id", "embedding")
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+
+    q8 = similarity.quantize_embeddings_int8(emb).select(
+        "vec_id",
+        F.transform(F.col("embedding_q8"), lambda x: x.cast("double")).alias("qv"),
+    )
+    qq = q8.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    pairs = q8.select(
+        F.col("vec_id").alias("doc_id"), F.col("qv").alias("nv")
+    ).crossJoin(F.broadcast(qq)).where(F.col("doc_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id", "doc_id", similarity.cosine(F.col("qa"), F.col("nv")).alias("cos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("doc_id"))
+    quant = (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rank_biased_overlap(exact, quant, depth=20).select(
+        "query_id", "n_matches", "rbo_micro"
+    )
+
+
+def _rbo_oracle(depth: int = 20) -> str:
+    from ..functions.ranking import rbo_weights
+
+    _w, credit, big_w = rbo_weights(depth)
+    arr = "[" + ", ".join(str(c) for c in credit) + "]"
+    return f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+p1 as (
+  select q.vec_id as query_id, b.vec_id as doc_id,
+    list_dot_product(q.v, b.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v)) + {DIVISION_GUARD_EPS}) as cos
+  from e q, e b where q.vec_id % 20 = 0 and b.vec_id != q.vec_id
+),
+r1 as (
+  select query_id, doc_id,
+    row_number() over (partition by query_id order by cos desc, doc_id) as ra
+  from p1
+),
+qe as (
+  select vec_id,
+    list_transform(v, x -> cast(case when mx > 0
+      then greatest(-127.0, least(127.0, floor(x * 127.0 / mx + 0.5)))
+      else 0.0 end as double)) as qv
+  from (select vec_id, v, (select max(abs(u.x)) from unnest(v) as u(x)) as mx from e)
+),
+p2 as (
+  select q.vec_id as query_id, b.vec_id as doc_id,
+    list_dot_product(q.qv, b.qv)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.qv, b.qv)) + {DIVISION_GUARD_EPS}) as cos
+  from qe q, qe b where q.vec_id % 20 = 0 and b.vec_id != q.vec_id
+),
+r2 as (
+  select query_id, doc_id,
+    row_number() over (partition by query_id order by cos desc, doc_id) as rb
+  from p2
+),
+j as (
+  select r1.query_id,
+    {arr}[greatest(r1.ra, r2.rb)] as c
+  from r1 join r2 on r1.query_id = r2.query_id and r1.doc_id = r2.doc_id
+  where r1.ra <= {depth} and r2.rb <= {depth}
+)
+select query_id, cast(count(*) as bigint) as n_matches,
+  cast(sum(c) // {big_w} as bigint) as rbo_micro
+from j group by query_id
+"""
+
+
+O_RBO = _rbo_oracle()
+
+QUERIES["rbo"] = q_rbo
+ORACLES["rbo"] = O_RBO
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -79,6 +79,7 @@ BNLJ_ALLOWED = {
     "psi_drift",
     "quantile_bins",
     "quantile_normalize",
+    "rbo",
     "recency_scores",
     "robust_zscore",
     "pca_power",

@@ -65,3 +65,35 @@ def test_idcg_capped_at_k(spark):
     assert out[1].ndcg == 1.0
     # AP normalizer = min(100, 3) = 3
     assert out[1].ap == 1.0
+
+
+def test_rbo_identical_disjoint_and_partial(spark):
+    from feature_extractor_mbo_lob_spark.functions.ranking import (
+        rank_biased_overlap,
+        rbo_weights,
+    )
+
+    a = spark.createDataFrame(
+        [("q", f"d{r}", r) for r in range(1, 21)], "query_id string, doc_id string, rank int"
+    )
+    # identical lists -> 999999 (one micro lost to the final trunc)
+    r = rank_biased_overlap(a, a, depth=20).collect()[0]
+    assert r.n_matches == 20 and r.rbo_micro == 999999
+
+    # disjoint lists -> no rows for the query (no matches)
+    b = spark.createDataFrame(
+        [("q", f"x{r}", r) for r in range(1, 21)], "query_id string, doc_id string, rank int"
+    )
+    assert rank_biased_overlap(a, b, depth=20).count() == 0
+
+    # same docs reversed: exact credit accounting per match
+    rev = spark.createDataFrame(
+        [("q", f"d{r}", 21 - r) for r in range(1, 21)],
+        "query_id string, doc_id string, rank int",
+    )
+    r = rank_biased_overlap(a, rev, depth=20).collect()[0]
+    _w, credit, W = rbo_weights(20)
+    expect = sum(credit[max(rr, 21 - rr) - 1] for rr in range(1, 21)) // W
+    assert r.n_matches == 20 and r.rbo_micro == expect
+    # reversal is heavily penalized vs identity
+    assert r.rbo_micro < 700_000

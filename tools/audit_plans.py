@@ -1559,6 +1559,23 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.ranking import (
+        rank_biased_overlap,
+    )
+
+    ra = t.select(F.col("role").alias("query_id"),
+                  F.col("conv_id").alias("doc_id"),
+                  (F.col("turn_idx") % 20 + 1).alias("rank")).limit(200)
+    sections.append(summarize(
+        "Rank-biased overlap",
+        rank_biased_overlap(ra, ra, depth=20),
+        "One equi-join of two (queries x depth)-bounded ranking frames "
+        "on (query_id, doc_id), plan-literal credit array lookup, one "
+        "partial-aggregable groupBy(query).",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
