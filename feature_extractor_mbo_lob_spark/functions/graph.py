@@ -773,6 +773,79 @@ def label_propagation(
     return labels
 
 
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    w_col: str = "w",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a community assignment over an undirected
+    weighted edge list — the quality meter for label_propagation (as
+    ari / v_measure grade the certified k-means): "how much better than
+    chance do these communities capture the edge mass". Complements the
+    structural fingerprints (triangle_stats, kcore_peel, assortativity)
+    with an assignment-conditional score.
+
+    Exact integer form: with the directed view (both orientations),
+    M = 2m = total directed weight, deg_c = total strength of nodes in
+    community c, in_c = directed weight with BOTH endpoints in c,
+
+        Q = sum_c (in_c/M - (deg_c/M)^2)
+          = [ sum_c (in_c * M - deg_c^2) ] / M^2.
+
+    The numerator is summed as exact decimal(38,0) integers (hugeint on
+    the oracle side); the release is ONE signed trunc division
+    q_micro = (1e6 * num) div M^2 — both engines truncate toward zero
+    (similarity.py:878 convention), so the result is bit-identical.
+
+    Scale shape: two node-keyed broadcast-able joins decorating each
+    directed edge with its endpoint communities, one partial-aggregable
+    per-community sum, one 1-row broadcast of M. Everything is bounded
+    by |edges| and |communities| — never corpus rows. No Python stages.
+
+    Returns one row ``(m2, n_communities, in_total, q_micro)``.
+    """
+    e = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst"),
+        F.col(w_col).cast("long").alias("w"),
+    )
+    e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(community_col).alias("_c")
+    )
+    dec = (
+        e.join(lab.select(F.col("_n").alias("src"), F.col("_c").alias("c_src")), "src")
+        .join(lab.select(F.col("_n").alias("dst"), F.col("_c").alias("c_dst")), "dst")
+    )
+    per_c = dec.groupBy("c_src").agg(
+        F.sum("w").cast("decimal(38,0)").alias("deg_c"),
+        F.sum(F.when(F.col("c_src") == F.col("c_dst"), F.col("w")).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("in_c"),
+    )
+    m_row = per_c.agg(F.sum("deg_c").cast("decimal(38,0)").alias("m2_d"))
+    out = (
+        per_c.crossJoin(F.broadcast(m_row))
+        .agg(
+            F.max("m2_d").alias("m2_d"),
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum("in_c").cast("decimal(38,0)").alias("in_d"),
+            F.sum(F.col("in_c") * F.col("m2_d") - F.col("deg_c") * F.col("deg_c"))
+            .cast("decimal(38,0)")
+            .alias("num"),
+        )
+    )
+    return out.select(
+        F.col("m2_d").cast("long").alias("m2"),
+        "n_communities",
+        F.col("in_d").cast("long").alias("in_total"),
+        F.expr("cast((num * 1000000) div (m2_d * m2_d) as bigint)").alias("q_micro"),
+    )
+
+
 def degree_assortativity(
     edges: DataFrame, a_col: str = "a", b_col: str = "b"
 ) -> DataFrame:

@@ -14857,7 +14857,10 @@ def q_label_propagation(spark, sf_dir):
     return graph.label_propagation(edges, rounds=3)
 
 
-def _lpa_oracle(rounds: int = 3, min_count: int = 3) -> str:
+def _lpa_cte(rounds: int = 3, min_count: int = 3) -> str:
+    """WITH-clause prefix shared by label_propagation and modularity:
+    builds the pruned word-adjacency directed edge list ``e`` and the
+    round-``rounds`` label frame ``l{rounds}``."""
     rnd = """,
 l{n} as (
   select src as node, lab as community from (
@@ -14891,8 +14894,11 @@ l0 as (select distinct src as node, src as community from e)"""
     ]
     for r in range(1, rounds + 1):
         parts.append(rnd.format(n=r, p=r - 1))
-    parts.append(f"\nselect node, community from l{rounds}")
     return "".join(parts)
+
+
+def _lpa_oracle(rounds: int = 3, min_count: int = 3) -> str:
+    return _lpa_cte(rounds, min_count) + f"\nselect node, community from l{rounds}"
 
 
 QUERIES["label_propagation"] = q_label_propagation
@@ -16252,6 +16258,55 @@ O_RBO = _rbo_oracle()
 
 QUERIES["rbo"] = q_rbo
 ORACLES["rbo"] = O_RBO
+
+
+# --- modularity of the label-propagation communities -------------------------------
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity Q of the 3-round label-propagation communities
+    over the pruned word-adjacency graph (functions/graph.modularity) —
+    the chance-corrected quality meter for the community assignment
+    (the graph twin of ari / v_measure for the certified k-means).
+    Exact decimal(38,0) numerator sum_c(in_c*M - deg_c^2), one signed
+    trunc division releases q_micro; both engines truncate toward zero
+    so the row is bit-identical. Two node-keyed joins + one
+    partial-aggregable per-community sum + a 1-row M broadcast —
+    bounded by |edges|, never corpus rows."""
+    from ..functions import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = graph.word_adjacency_edges(docs, min_count=3)
+    labels = graph.label_propagation(edges, rounds=3)
+    return graph.modularity(edges, labels)
+
+
+O_MODULARITY = _lpa_cte() + """,
+lab as (select node, community from l3),
+de as (
+  select e.w, ls.community as c_src, ld.community as c_dst
+  from e
+  join lab ls on e.src = ls.node
+  join lab ld on e.dst = ld.node
+),
+pc as (
+  select c_src,
+    sum(cast(w as hugeint)) as deg_c,
+    sum(case when c_src = c_dst then cast(w as hugeint) else 0 end) as in_c
+  from de group by c_src
+),
+m as (select sum(deg_c) as m2_d from pc)
+select
+  cast(m2_d as bigint) as m2,
+  cast(count(*) as bigint) as n_communities,
+  cast(sum(in_c) as bigint) as in_total,
+  cast((sum(in_c * m2_d - deg_c * deg_c) * 1000000) // (m2_d * m2_d) as bigint)
+    as q_micro
+from pc, m
+group by m2_d
+"""
+
+QUERIES["modularity"] = q_modularity
+ORACLES["modularity"] = O_MODULARITY
 
 
 def _reorder_registry() -> None:

@@ -297,3 +297,51 @@ def test_assortativity_regular_graph_is_zero_guard(spark):
     )
     r = graph.degree_assortativity(df).collect()[0]
     assert r.r2_signed_raw == 0.0
+
+
+def _naive_modularity_micro(edges, assign):
+    # exact integer reference: trunc((1e6 * sum_c(in_c*M - deg_c^2)) / M^2)
+    M = 2 * sum(w for _, _, w in edges)
+    comms = set(assign.values())
+    num = 0
+    for c in comms:
+        deg_c = sum(
+            w for a, b, w in edges for n in (a, b) if assign[n] == c
+        )
+        in_c = 2 * sum(w for a, b, w in edges if assign[a] == c and assign[b] == c)
+        num += in_c * M - deg_c * deg_c
+    q = (1_000_000 * num) / (M * M)
+    return int(q)  # trunc toward zero
+
+
+def test_modularity_two_triangles(spark):
+    # two unit-weight triangles + bridge, LPA communities = the triangles:
+    # Q = 2*(6/14 - (7/14)^2) = 5/14 -> 357142 micro
+    edges = [
+        ("a", "b", 1), ("a", "c", 1), ("b", "c", 1),
+        ("x", "y", 1), ("x", "z", 1), ("y", "z", 1),
+        ("c", "x", 1),
+    ]
+    df = spark.createDataFrame(edges, "a string, b string, w long")
+    labs = graph.label_propagation(df, rounds=3)
+    r = graph.modularity(df, labs).collect()[0]
+    assert (r.m2, r.n_communities, r.in_total, r.q_micro) == (14, 2, 12, 357142)
+
+
+def test_modularity_adversarial_assignment_matches_naive(spark):
+    # an assignment that cuts both triangles scores below the LPA one,
+    # and the signed trunc-div release matches the naive integer form
+    edges = [
+        ("a", "b", 1), ("a", "c", 1), ("b", "c", 1),
+        ("x", "y", 1), ("x", "z", 1), ("y", "z", 1),
+        ("c", "x", 1),
+    ]
+    assign = {"a": "p", "x": "p", "b": "q", "y": "q", "c": "r", "z": "r"}
+    df = spark.createDataFrame(edges, "a string, b string, w long")
+    labs = spark.createDataFrame(
+        list(assign.items()), "node string, community string"
+    )
+    r = graph.modularity(df, labs).collect()[0]
+    expect = _naive_modularity_micro(edges, assign)
+    assert r.q_micro == expect
+    assert r.q_micro < 0  # worse than chance: all triangle edges cut

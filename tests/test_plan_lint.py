@@ -69,6 +69,7 @@ BNLJ_ALLOWED = {
     "mi_features",
     "mixture_apply",
     "mixture_plan",
+    "modularity",  # 1-row total-mass M broadcast into the per-community frame
     "ols_fit_predict",
     "peak_concurrency",
     "permutation_test",

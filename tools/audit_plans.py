@@ -1576,6 +1576,20 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.graph import modularity
+
+    mod_edges = word_adjacency_edges(lp_docs, min_count=2)
+    sections.append(summarize(
+        "Modularity of the label-propagation communities",
+        modularity(mod_edges, label_propagation(mod_edges, rounds=3)),
+        "Two node-keyed joins decorate each directed edge with endpoint "
+        "communities, one partial-aggregable per-community sum, one 1-row "
+        "M broadcast (bounded BNLJ), ONE signed trunc division at release "
+        "— bounded by |edges| and |communities|, never corpus rows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
