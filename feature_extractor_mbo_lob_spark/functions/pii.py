@@ -141,3 +141,71 @@ def l_diversity_audit(
         (F.col("k_count") >= int(k)).cast("int").alias("meets_k"),
         (F.col("l_distinct") >= int(l)).cast("int").alias("meets_l"),
     )
+
+
+def t_closeness_audit(
+    df,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int = 200_000,
+):
+    """t-closeness audit (Li 2007) — the third rung of the release-gate
+    ladder after k_anonymize and l_diversity_audit: a group can be large
+    (k) and diverse (l) yet still leak if its SENSITIVE-value
+    distribution deviates sharply from the corpus-wide one (skewness
+    attack: "90% of this group is in the rare cohort"). For a
+    categorical sensitive attribute the Li-paper ground distance is the
+    total-variation distance, so the audit is per equivalence class
+
+        t_ec = TVD(P_ec, P_global) = (1/2) * sum_s | c_s/n_ec - g_s/N |.
+
+    Exact integer form: every cell term is |c_s*N - g_s*n_ec| (exact
+    decimal(38,0) / hugeint products), and the sensitive values ABSENT
+    from the class contribute the closed-form zero-cell mass
+    (N - sum_{s in ec} g_s) * n_ec — the cramers_v trick, so empty cells
+    are never materialized. Release is ONE nonnegative trunc division
+    t_ppm = (1e6 * sum) div (2 * n_ec * N): bit-identical on any engine.
+
+    Scale shape: one (quasi, sensitive) cell aggregation (map-side
+    combinable), a broadcast-able join decorating cells with the global
+    per-sensitive counts (bounded by sensitive cardinality), one
+    per-class n_ec join back on the quasi tuple (AQE-decided), a 1-row N
+    broadcast, ONE final per-class aggregate. Everything is bounded by
+    cell counts, never raw rows. No Python stages.
+
+    Returns ``DataFrame[*quasi_cols, k_count: long, tvd_ppm: long,
+    meets_t: int]`` (meets_t = tvd_ppm <= t_ppm).
+    """
+    from pyspark.sql import functions as F
+
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    cells = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("_sv")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    glob = cells.groupBy("_sv").agg(F.sum("_c").cast("long").alias("_g"))
+    per_q = cells.groupBy(*quasi_cols).agg(
+        F.sum("_c").cast("long").alias("_nec")
+    )
+    n_row = glob.agg(F.sum("_g").cast("long").alias("_N"))
+    dd = (
+        cells.join(F.broadcast(glob), "_sv")
+        .join(per_q, quasi_cols)
+        .crossJoin(F.broadcast(n_row))
+    )
+    out = dd.groupBy(*quasi_cols).agg(
+        F.max("_nec").alias("_nec"),
+        F.max("_N").alias("_N"),
+        F.sum(F.abs(dec("_c") * dec("_N") - dec("_g") * dec("_nec")))
+        .cast("decimal(38,0)")
+        .alias("_present"),
+        F.sum("_g").cast("long").alias("_gsum"),
+    )
+    tvd = F.expr(
+        "cast(((_present + (cast(_N as decimal(38,0)) - _gsum) * _nec) * 1000000)"
+        " div (2 * cast(_nec as decimal(38,0)) * _N) as bigint)"
+    )
+    return out.select(
+        *quasi_cols,
+        F.col("_nec").alias("k_count"),
+        tvd.alias("tvd_ppm"),
+    ).withColumn("meets_t", (F.col("tvd_ppm") <= int(t_ppm)).cast("int"))

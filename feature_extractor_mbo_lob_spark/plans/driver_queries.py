@@ -16309,6 +16309,63 @@ QUERIES["modularity"] = q_modularity
 ORACLES["modularity"] = O_MODULARITY
 
 
+# --- t-closeness release audit ------------------------------------------------------
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (functions/pii.t_closeness_audit, Li 2007) over
+    the (event_type, day) quasi-identifier with the user-id decile
+    cohort as the sensitive attribute — the skewness-attack gate that
+    k-anonymity and l-diversity miss: per equivalence class the exact
+    total-variation distance between its cohort distribution and the
+    global one, |c_s*N - g_s*n_ec| cell terms in decimal(38,0) with the
+    cramers_v closed-form zero-cell mass, released by ONE nonnegative
+    trunc division as tvd_ppm."""
+    from ..functions.pii import t_closeness_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % 10).cast("long").alias("cohort"),
+    )
+    return t_closeness_audit(ev, ["event_type", "day"], "cohort", t_ppm=200_000)
+
+
+O_T_CLOSENESS = """
+with e as (
+  select event_type, cast(ts as date) as day,
+    cast(user_id % 10 as bigint) as sv
+  from events
+),
+cells as (
+  select event_type, day, sv, cast(count(*) as hugeint) as c
+  from e group by 1, 2, 3
+),
+gcnt as (select sv, sum(c) as g from cells group by sv),
+perq as (select event_type, day, sum(c) as nec from cells group by 1, 2),
+n as (select sum(g) as nn from gcnt),
+d as (
+  select c.event_type, c.day, c.c, g.g, p.nec, n.nn
+  from cells c
+  join gcnt g using (sv)
+  join perq p using (event_type, day)
+  cross join n
+),
+agg as (
+  select event_type, day,
+    cast(max(nec) as bigint) as k_count,
+    cast(((sum(abs(c * nn - g * nec)) + (max(nn) - sum(g)) * max(nec)) * 1000000)
+         // (2 * max(nec) * max(nn)) as bigint) as tvd_ppm
+  from d group by event_type, day
+)
+select event_type, day, k_count, tvd_ppm,
+  cast(tvd_ppm <= 200000 as int) as meets_t
+from agg
+"""
+
+QUERIES["t_closeness"] = q_t_closeness
+ORACLES["t_closeness"] = O_T_CLOSENESS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -112,3 +112,39 @@ def test_l_diversity_counts_duplicate_sensitive_once(spark):
     )
     r = pii.l_diversity_audit(df, ["role", "tool"], "s", k=5, l=2).collect()[0]
     assert r.k_count == 7 and r.l_distinct == 2 and r.meets_k == 1 and r.meets_l == 1
+
+
+def _naive_tvd_ppm(rows, n_quasi, target_q):
+    # rows: (quasi, sensitive); exact trunc((1e6 * sum|c*N - g*nec|) / (2*nec*N))
+    from collections import Counter
+    N = len(rows)
+    g = Counter(s for _, s in rows)
+    grp = [s for q, s in rows if q == target_q]
+    nec = len(grp)
+    c = Counter(grp)
+    total = sum(abs(c.get(s, 0) * N - g[s] * nec) for s in g)
+    return (1_000_000 * total) // (2 * nec * N)
+
+
+def test_t_closeness_hand_case(spark):
+    # group 'a' is all-cohort-0 (skewed); group 'b' mirrors the global mix
+    rows = [("a", 0)] * 4 + [("b", 0)] * 2 + [("b", 1)] * 2 + [("b", 2)] * 2
+    df = spark.createDataFrame(rows, "q string, s long")
+    out = {r.q: r for r in pii.t_closeness_audit(df, ["q"], "s", t_ppm=300_000).collect()}
+    assert out["a"].k_count == 4 and out["b"].k_count == 6
+    # exact values: a = 400000 (skewed), b = 266666 (close to global)
+    assert out["a"].tvd_ppm == _naive_tvd_ppm(rows, "q", "a") == 400_000
+    assert out["b"].tvd_ppm == _naive_tvd_ppm(rows, "q", "b") == 266_666
+    # the skewed group fails the gate, the near-global one passes
+    assert out["a"].meets_t == 0
+    assert out["b"].meets_t == 1
+
+
+def test_t_closeness_zero_cell_mass(spark):
+    # group 'a' NEVER sees sensitive value 1: the absent cell must still
+    # contribute g_1 * nec to the distance (closed-form zero-cell mass)
+    rows = [("a", 0), ("a", 0), ("b", 1), ("b", 1)]
+    df = spark.createDataFrame(rows, "q string, s long")
+    out = {r.q: r.tvd_ppm for r in pii.t_closeness_audit(df, ["q"], "s").collect()}
+    # P_a = (1,0) vs P_global = (.5,.5): TVD = 0.5 exactly
+    assert out["a"] == 500_000 and out["b"] == 500_000

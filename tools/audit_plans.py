@@ -1590,6 +1590,23 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.pii import t_closeness_audit
+
+    tc = t.select("role", F.coalesce("tool", F.lit("-")).alias("tool"),
+                  (F.col("turn_idx") % 7).alias("cohort"))
+    sections.append(summarize(
+        "t-closeness audit",
+        t_closeness_audit(tc, ["role", "tool"], "cohort"),
+        "One (quasi, sensitive) cell aggregation (map-side combinable), "
+        "broadcast join of the bounded global per-sensitive counts, one "
+        "AQE-decided n_ec join back on the quasi tuple, a 1-row N "
+        "broadcast (bounded BNLJ), ONE final per-class aggregate with the "
+        "closed-form zero-cell mass — bounded by cell counts, never raw "
+        "rows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
