@@ -2055,3 +2055,90 @@ def cmh_pooled_odds(
         F.col("den_micro").cast("long").alias("den_micro"),
         orr.alias("or_cmh_raw"),
     )
+
+
+def gini_best_split(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact 1-D decision stump per feature: the CART-style best split
+    threshold maximizing Gini purity of a binary label — the
+    feature-selection screen that complements mi_features / chi2_features
+    (which rank association) with the actionable "where would a tree cut
+    this feature" answer, e.g. for quality-filter threshold tuning.
+
+    Entirely engine-exact: candidate thresholds are the distinct feature
+    values; with binary classes the class-count squares collapse to
+    sum_cL^2 = posL^2 + (nL-posL)^2 (and mirrored on the right), so the
+    split criterion
+
+        purity(v) = sum_cL^2/nL + sum_cR^2/nR      (maximize)
+                  = n - weighted_gini_mass
+
+    is the exact rational (sL2*nR + sR2*nL) / (nL*nR). Both the release
+    purity_micro = trunc(scale * (sL2*nR + sR2*nL) / (nL*nR*n)) and the
+    per-feature argmax (purity_micro DESC, v ASC) are pure integer /
+    decimal(38,0) operations — bit-identical on any engine. Bound: the
+    decimal product sL2*nR*scale stays inside 38 digits for n up to
+    ~3e12 rows per feature at scale=1e6.
+
+    Scale shape: ONE map-side-combinable (feature, value) cell aggregate
+    over the unpivoted frame, window cumsums over the DISTINCT-VALUE
+    frame only (bounded by feature cardinality, never rows), one top-1
+    window per feature. No joins, no Python stages.
+
+    Returns one row per feature: ``(feature, threshold, n_left, n_right,
+    pos_left, pos_right, purity_micro)`` where the split is
+    ``value <= threshold``.
+    """
+    longs = [F.col(c).cast("long").alias(c) for c in feature_cols]
+    base = df.select(*longs, F.col(label_col).cast("long").alias("_y"))
+    stack = ", ".join(f"'{c}', {c}" for c in feature_cols)
+    fv = base.selectExpr(
+        f"stack({len(feature_cols)}, {stack}) as (feature, v)", "_y"
+    )
+    cells = fv.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("_y").cast("long").alias("pos"),
+    )
+    w = Window.partitionBy("feature").orderBy("v")
+    tot = Window.partitionBy("feature")
+    cum = cells.select(
+        "feature",
+        "v",
+        F.sum("cnt").over(w).cast("long").alias("nl"),
+        F.sum("pos").over(w).cast("long").alias("posl"),
+        F.sum("cnt").over(tot).cast("long").alias("n"),
+        F.sum("pos").over(tot).cast("long").alias("npos"),
+    ).filter(F.col("nl") < F.col("n"))
+    d = "cast({} as decimal(38,0))"
+    sl2 = f"({d.format('posl')} * posl + {d.format('nl - posl')} * (nl - posl))"
+    sr2 = (
+        f"({d.format('npos - posl')} * (npos - posl)"
+        f" + {d.format('(n - nl) - (npos - posl)')} * ((n - nl) - (npos - posl)))"
+    )
+    scored = cum.withColumn(
+        "purity_micro",
+        F.expr(
+            f"cast((({sl2} * (n - nl) + {sr2} * nl) * {int(scale)})"
+            f" div ({d.format('nl')} * (n - nl) * n) as bigint)"
+        ),
+    )
+    top = Window.partitionBy("feature").orderBy(
+        F.col("purity_micro").desc(), F.col("v").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(top))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "feature",
+            F.col("v").alias("threshold"),
+            F.col("nl").alias("n_left"),
+            (F.col("n") - F.col("nl")).cast("long").alias("n_right"),
+            F.col("posl").alias("pos_left"),
+            (F.col("npos") - F.col("posl")).cast("long").alias("pos_right"),
+            "purity_micro",
+        )
+    )

@@ -16366,6 +16366,91 @@ QUERIES["t_closeness"] = q_t_closeness
 ORACLES["t_closeness"] = O_T_CLOSENESS
 
 
+# --- exact decision stump (best 1-D Gini split per feature) -------------------------
+
+def q_decision_stump(spark, sf_dir):
+    """Exact CART decision stump per text feature (functions/stats.
+    gini_best_split): the threshold on n_chars / n_words / n_distinct /
+    max_wlen best separating English documents by Gini purity — the
+    actionable companion to mi_features/chi2_features for quality-filter
+    threshold tuning. Candidate splits are the distinct feature values;
+    the purity criterion (sL2*nR + sR2*nL)/(nL*nR*n) is released by one
+    trunc division in decimal(38,0) and the per-feature argmax is
+    (purity DESC, v ASC) — engine-exact end to end. One cell aggregate +
+    distinct-value-frame windows, no joins, no Python."""
+    from ..functions.stats import gini_best_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim("text"), r"\s+")
+    feat = docs.select(
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_max(F.transform(toks, lambda x: F.length(x)))
+        .cast("long")
+        .alias("max_wlen"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return gini_best_split(
+        feat, ["n_chars", "n_words", "n_distinct", "max_wlen"], "y"
+    )
+
+
+O_DECISION_STUMP = """
+with f0 as (
+  select n_chars, regexp_split_to_array(trim(text), '\\s+') as w,
+    cast(lang = 'en' as bigint) as y
+  from documents
+),
+base as (
+  select cast(n_chars as bigint) as n_chars,
+    cast(len(w) as bigint) as n_words,
+    cast(len(list_distinct(w)) as bigint) as n_distinct,
+    cast(list_max(list_transform(w, x -> length(x))) as bigint) as max_wlen,
+    y
+  from f0
+),
+fv as (
+  select 'n_chars' as feature, n_chars as v, y from base
+  union all select 'n_words', n_words, y from base
+  union all select 'n_distinct', n_distinct, y from base
+  union all select 'max_wlen', max_wlen, y from base
+),
+cells as (select feature, v, count(*) as cnt, sum(y) as pos from fv group by 1, 2),
+cum as (
+  select feature, v,
+    sum(cnt) over (partition by feature order by v) as nl,
+    sum(pos) over (partition by feature order by v) as posl,
+    sum(cnt) over (partition by feature) as n,
+    sum(pos) over (partition by feature) as npos
+  from cells
+),
+scored as (
+  select feature, v, nl, posl, n, npos,
+    cast((((cast(posl as hugeint) * posl
+            + cast(nl - posl as hugeint) * (nl - posl)) * (n - nl)
+           + (cast(npos - posl as hugeint) * (npos - posl)
+              + cast((n - nl) - (npos - posl) as hugeint)
+                * ((n - nl) - (npos - posl))) * nl) * 1000000)
+         // (cast(nl as hugeint) * (n - nl) * n) as bigint) as purity_micro
+  from cum where nl < n
+),
+rk as (
+  select *, row_number() over (
+    partition by feature order by purity_micro desc, v asc) as rn
+  from scored
+)
+select feature, cast(v as bigint) as threshold,
+  cast(nl as bigint) as n_left, cast(n - nl as bigint) as n_right,
+  cast(posl as bigint) as pos_left, cast(npos - posl as bigint) as pos_right,
+  purity_micro
+from rk where rn = 1
+"""
+
+QUERIES["decision_stump"] = q_decision_stump
+ORACLES["decision_stump"] = O_DECISION_STUMP
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

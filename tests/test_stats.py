@@ -684,3 +684,52 @@ def test_cmh_pooled_odds_simpson_safe(spark):
     )
     r = cmh_pooled_odds(z, "s", "arm", "y").collect()[0]
     assert r.den_micro == 0 and r.or_cmh_raw is None
+
+
+def _naive_best_split(vals, ys, scale=1_000_000):
+    # enumerate distinct thresholds; exact integer purity; argmax (purity desc, v asc)
+    n, npos = len(vals), sum(ys)
+    best = None
+    for v in sorted(set(vals))[:-1]:
+        nl = sum(1 for x in vals if x <= v)
+        posl = sum(y for x, y in zip(vals, ys) if x <= v)
+        sl2 = posl * posl + (nl - posl) * (nl - posl)
+        nr, posr = n - nl, npos - posl
+        sr2 = posr * posr + (nr - posr) * (nr - posr)
+        purity = ((sl2 * nr + sr2 * nl) * scale) // (nl * nr * n)
+        key = (-purity, v)
+        if best is None or key < best[0]:
+            best = (key, v, nl, posl, purity)
+    return best[1:]
+
+
+def test_gini_best_split_perfect_separation(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import gini_best_split
+
+    rows = [(1, 0), (2, 0), (3, 1), (4, 1)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = gini_best_split(df, ["x"], "y").collect()[0]
+    # perfect split at x <= 2: purity = 1.0 exactly
+    assert (r.feature, r.threshold, r.purity_micro) == ("x", 2, 1_000_000)
+    assert (r.n_left, r.n_right, r.pos_left, r.pos_right) == (2, 2, 0, 2)
+
+
+def test_gini_best_split_matches_naive_enumeration(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import gini_best_split
+
+    # deterministic noisy feature: y mostly 1 above 6, plus a distractor feature
+    vals = [1, 2, 2, 3, 5, 6, 6, 7, 8, 9, 9, 11, 13, 14]
+    ys =   [0, 0, 1, 0, 0, 1, 0, 1, 1, 1, 0, 1, 1, 1]
+    distractor = [(v * 7) % 5 for v in vals]
+    df = spark.createDataFrame(
+        list(zip(vals, distractor, ys)), "x long, d long, y long"
+    )
+    out = {r.feature: r for r in gini_best_split(df, ["x", "d"], "y").collect()}
+    for feat, fvals in (("x", vals), ("d", distractor)):
+        v, nl, posl, purity = _naive_best_split(fvals, ys)
+        r = out[feat]
+        assert (r.threshold, r.n_left, r.pos_left, r.purity_micro) == (
+            v, nl, posl, purity
+        ), feat
+    # the real feature separates better than the distractor
+    assert out["x"].purity_micro > out["d"].purity_micro

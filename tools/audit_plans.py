@@ -1607,6 +1607,22 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.stats import gini_best_split
+
+    gb = t.select(F.length("text").cast("long").alias("n_chars"),
+                  (F.col("turn_idx") % 9).cast("long").alias("d"),
+                  (F.col("role") == "assistant").cast("long").alias("y"))
+    sections.append(summarize(
+        "Decision stump (exact Gini best split)",
+        gini_best_split(gb, ["n_chars", "d"], "y"),
+        "One map-side-combinable (feature, value) cell aggregate over the "
+        "unpivoted frame; window cumsums run over the DISTINCT-VALUE frame "
+        "only (bounded by feature cardinality, never rows); one top-1 "
+        "window per feature. No joins, no Python stages.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
