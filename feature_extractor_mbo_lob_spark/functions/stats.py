@@ -2142,3 +2142,77 @@ def gini_best_split(
             "purity_micro",
         )
     )
+
+
+def jackknife_ratio_var(
+    ev: DataFrame,
+    cluster_col: str,
+    value_col: str = "value",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Leave-one-cluster-out (delete-1 jackknife) variance of a ratio
+    metric R = S/N (total value / total events) with CLUSTERED units —
+    the variance that naive per-row SE understates when rows within a
+    user are correlated (the ratio-metric / cluster-randomization
+    standard, Deng 2017-style): pseudo-values r_g = (S - s_g)/(N - n_g),
+    var_jk = (G-1)/G * sum_g (r_g - rbar)^2.
+
+    Everything engine-exact: per-cluster value sums are integer cents
+    (floor(v*100 + 0.5)); each pseudo-ratio is ONE matched trunc
+    division ((S - s_g) * scale) div (N - n_g) — identical on both
+    engines — and the spread uses the cleared-denominator form
+    sum_g (G*r_g - Sr)^2 in decimal(38,0), released as
+    var_jk = ((G-1) * T) div G^3 in (scaled ratio unit)^2. sqrt never
+    crosses an engine boundary (consumers take it driver-side).
+
+    Scale shape: ONE groupBy(cluster) reduction, a 1-row totals
+    broadcast into the cluster frame (bounded BNLJ), a second 1-row
+    broadcast of the pseudo-value sum, ONE final aggregate. Bounded by
+    cluster count, never raw rows. No Python stages.
+
+    Returns one row: ``(g_clusters, n_events, sum_cents,
+    ratio_micro, jk_var_micro2)``.
+    """
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    per_g = (
+        ev.select(F.col(cluster_col).alias("g"), cents.alias("_c"))
+        .groupBy("g")
+        .agg(F.sum("_c").cast("long").alias("s_g"),
+             F.count(F.lit(1)).cast("long").alias("n_g"))
+    )
+    tot = per_g.agg(
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("gc"),
+    )
+    pseudo = per_g.crossJoin(F.broadcast(tot)).select(
+        "s_g", "n_g", "s", "n", "gc",
+        F.expr(
+            f"cast(((cast(s as decimal(38,0)) - s_g) * {int(scale)})"
+            " div (n - n_g) as decimal(38,0))"
+        ).alias("r_g"),
+    )
+    sr = pseudo.agg(F.sum("r_g").cast("decimal(38,0)").alias("sr"))
+    return (
+        pseudo.crossJoin(F.broadcast(sr))
+        .agg(
+            F.max("gc").alias("gc"),
+            F.max("n").alias("n"),
+            F.max("s").alias("s"),
+            F.sum(
+                (F.col("gc") * F.col("r_g") - F.col("sr"))
+                * (F.col("gc") * F.col("r_g") - F.col("sr"))
+            ).cast("decimal(38,0)").alias("t"),
+        )
+        .select(
+            F.col("gc").alias("g_clusters"),
+            F.col("n").alias("n_events"),
+            F.col("s").alias("sum_cents"),
+            F.expr(f"cast((cast(s as decimal(38,0)) * {int(scale)}) div n as bigint)")
+            .alias("ratio_micro"),
+            F.expr(
+                "cast(((gc - 1) * t) div (cast(gc as decimal(38,0)) * gc * gc)"
+                " as bigint)"
+            ).alias("jk_var_micro2"),
+        )
+    )

@@ -16451,6 +16451,53 @@ QUERIES["decision_stump"] = q_decision_stump
 ORACLES["decision_stump"] = O_DECISION_STUMP
 
 
+# --- jackknife (delete-1 cluster) variance of the ratio metric ----------------------
+
+def q_jackknife_ratio(spark, sf_dir):
+    """Leave-one-user-out jackknife variance of the value-per-event
+    ratio metric (functions/stats.jackknife_ratio_var) — the
+    cluster-robust uncertainty for ratio metrics that per-row SEs
+    understate when rows within a user are correlated. Pseudo-ratios
+    (S - s_g)/(N - n_g) as matched trunc divisions in scaled integer
+    cents, spread in the cleared-denominator decimal(38,0) form,
+    var_jk = ((G-1)·T) div G³ — engine-exact end to end."""
+    from ..functions.stats import jackknife_ratio_var
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return jackknife_ratio_var(ev, "user_id", "value")
+
+
+O_JACKKNIFE_RATIO = """
+with pg as (
+  select user_id as g,
+    sum(cast(floor(value * 100.0 + 0.5) as bigint)) as s_g,
+    count(*) as n_g
+  from events group by user_id
+),
+tot as (
+  select sum(s_g) as s, sum(n_g) as n, count(*) as gc from pg
+),
+pseudo as (
+  select pg.s_g, pg.n_g, t.s, t.n, t.gc,
+    ((cast(t.s as hugeint) - pg.s_g) * 1000000) // (t.n - pg.n_g) as r_g
+  from pg cross join tot t
+),
+sr as (select sum(r_g) as sr from pseudo)
+select
+  cast(max(p.gc) as bigint) as g_clusters,
+  cast(max(p.n) as bigint) as n_events,
+  cast(max(p.s) as bigint) as sum_cents,
+  cast((cast(max(p.s) as hugeint) * 1000000) // max(p.n) as bigint) as ratio_micro,
+  cast(((max(p.gc) - 1) * sum((p.gc * p.r_g - s.sr) * (p.gc * p.r_g - s.sr)))
+       // (cast(max(p.gc) as hugeint) * max(p.gc) * max(p.gc)) as bigint)
+    as jk_var_micro2
+from pseudo p cross join sr s
+"""
+
+QUERIES["jackknife_ratio"] = q_jackknife_ratio
+ORACLES["jackknife_ratio"] = O_JACKKNIFE_RATIO
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

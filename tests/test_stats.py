@@ -733,3 +733,40 @@ def test_gini_best_split_matches_naive_enumeration(spark):
         ), feat
     # the real feature separates better than the distractor
     assert out["x"].purity_micro > out["d"].purity_micro
+
+
+def _naive_jackknife(clusters, scale=1_000_000):
+    # clusters: list of (s_g_cents, n_g); returns (ratio_micro, jk_var_micro2)
+    S = sum(s for s, _ in clusters)
+    N = sum(n for _, n in clusters)
+    G = len(clusters)
+    r = [((S - s) * scale) // (N - n) for s, n in clusters]
+    Sr = sum(r)
+    T = sum((G * ri - Sr) ** 2 for ri in r)
+    return (S * scale) // N, ((G - 1) * T) // (G * G * G)
+
+
+def test_jackknife_ratio_hand_case(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import jackknife_ratio_var
+
+    # 3 users with different per-event value levels (cluster correlation)
+    rows = [("u1", 1.00), ("u1", 1.00), ("u2", 2.00), ("u2", 2.00),
+            ("u2", 2.00), ("u3", 5.00)]
+    df = spark.createDataFrame(rows, "user_id string, value double")
+    r = jackknife_ratio_var(df, "user_id", "value").collect()[0]
+    clusters = [(200, 2), (600, 3), (500, 1)]
+    ratio, var = _naive_jackknife(clusters)
+    assert (r.g_clusters, r.n_events, r.sum_cents) == (3, 6, 1300)
+    assert r.ratio_micro == ratio
+    assert r.jk_var_micro2 == var
+    assert r.jk_var_micro2 > 0
+
+
+def test_jackknife_zero_when_clusters_identical(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import jackknife_ratio_var
+
+    # identical clusters -> every pseudo-value equal -> variance exactly 0
+    rows = [(f"u{i}", 3.00) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id string, value double")
+    r = jackknife_ratio_var(df, "user_id", "value").collect()[0]
+    assert r.jk_var_micro2 == 0 and r.ratio_micro == 300 * 1_000_000

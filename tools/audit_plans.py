@@ -1623,6 +1623,20 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.stats import jackknife_ratio_var
+
+    jk = t.select(F.col("conv_id").alias("user_id"),
+                  F.length("text").cast("double").alias("value"))
+    sections.append(summarize(
+        "Jackknife (delete-1 cluster) ratio variance",
+        jackknife_ratio_var(jk, "user_id", "value"),
+        "ONE groupBy(cluster) reduction; 1-row totals and pseudo-value-sum "
+        "broadcasts (bounded BNLJs); one final aggregate. Bounded by "
+        "cluster count, never raw rows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
