@@ -2216,3 +2216,114 @@ def jackknife_ratio_var(
             ).alias("jk_var_micro2"),
         )
     )
+
+
+def bh_fdr_permutation(
+    ev: DataFrame,
+    group_col: str,
+    unit_col: str,
+    value_col: str = "value",
+    n_perms: int = 64,
+    q_ppm: int = 100_000,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a FAMILY of per-group exact
+    permutation tests — the multiple-testing step every per-segment A/B
+    readout needs (m segments screened at q=10% FDR instead of m
+    uncorrected p<0.05 looks): one permutation_test per ``group_col``
+    stratum, then the BH step-up rule on the exact ppm p-values.
+
+    Everything engine-exact: per-(group, unit) integer cents; the md5
+    pseudo-arms replay bit-for-bit (permutation_test's construction);
+    each stratum's add-one p is an exact trunc division in ppm; and the
+    BH comparison p_(k) <= k*q/m clears denominators to the pure-integer
+    test p_ppm * m <= rank * q_ppm — no float ever crosses an engine.
+    Ties in p_ppm are harmless: rejection uses the MAX satisfying rank
+    (step-up), so all tied rows share a fate regardless of rank order
+    within the tie.
+
+    Scale shape: ONE groupBy(group, unit) reduction; the bounded B-way
+    explode runs over the UNIT frame; per-(group, b) sums are
+    partial-aggregable; the observed row joins back broadcast (bounded
+    by group cardinality); the BH ranking windows run on the m-row
+    p-value frame (single bounded task by construction). No Python.
+
+    Returns one row per group: ``(group_col, n_units, n_extreme, p_ppm,
+    bh_rank, m_tests, k_star, reject)``.
+    """
+    from .corpus import md5_bucket
+
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")
+    pu = (
+        ev.select(
+            F.col(group_col).alias("grp"),
+            F.col(unit_col).alias("uid"),
+            cents.alias("_c"),
+        )
+        .groupBy("grp", "uid")
+        .agg(F.sum("_c").alias("c"))
+        .withColumn("arm", md5_bucket("uid", 2).cast("int"))
+    )
+    def _arm_sums(frame, keys, armc):
+        return frame.groupBy(*keys).agg(
+            F.sum(F.when(F.col(armc) == 0, F.col("c"))).alias("s_a"),
+            F.sum(F.when(F.col(armc) == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col(armc) == 1, F.col("c"))).alias("s_b"),
+            F.sum(F.when(F.col(armc) == 1, 1).otherwise(0)).alias("n_b"),
+        )
+    obs = _arm_sums(pu, ["grp"], "arm").select(
+        "grp",
+        F.abs(dec("s_a") * dec("n_b") - dec("s_b") * dec("n_a")).alias("t_obs"),
+        (F.col("n_a") + F.col("n_b")).cast("long").alias("n_units"),
+    )
+    reps = pu.select(
+        "grp", "uid", "c",
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_perms)))).alias("b"),
+    ).withColumn(
+        "parm",
+        md5_bucket(
+            F.concat(F.col("uid").cast("string"), F.lit("#"),
+                     F.col("b").cast("string")), 2
+        ).cast("int"),
+    )
+    per_b = _arm_sums(reps, ["grp", "b"], "parm").select(
+        "grp", "b",
+        F.abs(dec("s_a") * dec("n_b") - dec("s_b") * dec("n_a")).alias("t"),
+    )
+    p = (
+        per_b.join(F.broadcast(obs), "grp")
+        .groupBy("grp")
+        .agg(
+            F.max("n_units").alias("n_units"),
+            F.sum((F.col("t") >= F.col("t_obs")).cast("int")).cast("long")
+            .alias("n_extreme"),
+        )
+        .withColumn(
+            "p_ppm",
+            F.expr(
+                f"cast(((1 + n_extreme) * 1000000) div ({int(n_perms)} + 1)"
+                " as bigint)"
+            ),
+        )
+    )
+    w_rank = Window.orderBy(F.col("p_ppm").asc(), F.col("grp").asc())
+    w_all = Window.partitionBy(F.lit(1))
+    ranked = (
+        p.withColumn("bh_rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("m_tests", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn(
+            "_ok",
+            (F.col("p_ppm") * F.col("m_tests")
+             <= F.col("bh_rank") * F.lit(int(q_ppm))).cast("int"),
+        )
+        .withColumn(
+            "k_star",
+            F.max(F.when(F.col("_ok") == 1, F.col("bh_rank")).otherwise(0))
+            .over(w_all).cast("long"),
+        )
+    )
+    return ranked.select(
+        F.col("grp").alias(group_col),
+        "n_units", "n_extreme", "p_ppm", "bh_rank", "m_tests", "k_star",
+        (F.col("bh_rank") <= F.col("k_star")).cast("int").alias("reject"),
+    )

@@ -16498,6 +16498,91 @@ QUERIES["jackknife_ratio"] = q_jackknife_ratio
 ORACLES["jackknife_ratio"] = O_JACKKNIFE_RATIO
 
 
+# --- Benjamini-Hochberg FDR over per-segment permutation tests ----------------------
+
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg step-up FDR control (functions/stats.
+    bh_fdr_permutation) over the family of per-event-type exact
+    permutation tests of the md5-arm value difference — the
+    multiple-testing correction a per-segment experiment readout needs.
+    Every stratum's add-one p is an exact ppm trunc division over B=64
+    md5 pseudo-arms the oracle replays bit-for-bit; the BH comparison
+    clears denominators to the pure-integer p_ppm*m <= rank*q_ppm."""
+    from ..functions.stats import bh_fdr_permutation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bh_fdr_permutation(
+        ev, "event_type", "user_id", "value", n_perms=64, q_ppm=100_000
+    )
+
+
+def _bh_fdr_oracle(n_perms: int = 64, q_ppm: int = 100_000) -> str:
+    hexpr = _HEX7
+    t_expr = (
+        "abs(cast(sum(case when {a} = 0 then c end) as hugeint)"
+        " * sum(case when {a} = 1 then 1 else 0 end)"
+        " - cast(sum(case when {a} = 1 then c end) as hugeint)"
+        " * sum(case when {a} = 0 then 1 else 0 end))"
+    )
+    return f"""
+with pu as (
+  select event_type as grp, user_id as uid,
+    cast(sum(cast(floor(value * 100.0 + 0.5) as bigint)) as bigint) as c
+  from events group by 1, 2
+),
+arm as (
+  select grp, uid, c, cast(({hexpr}) % 2 as int) as arm
+  from (select grp, uid, c, md5(cast(uid as varchar)) as h from pu)
+),
+obs as (
+  select grp, {t_expr.format(a='arm')} as t_obs,
+    cast(count(*) as bigint) as n_units
+  from arm group by grp
+),
+reps as (
+  select grp, uid, c, b, cast(({hexpr}) % 2 as int) as parm
+  from (
+    select grp, uid, c, tt.i + 1 as b,
+      md5(concat(cast(uid as varchar), '#', cast(tt.i + 1 as varchar))) as h
+    from pu, range(0, {n_perms}) tt(i)
+  )
+),
+per_b as (
+  select grp, b, {t_expr.format(a='parm')} as t
+  from reps group by grp, b
+),
+p as (
+  select o.grp, o.n_units,
+    cast(sum(cast(pb.t >= o.t_obs as int)) as bigint) as n_extreme,
+    cast(((1 + sum(cast(pb.t >= o.t_obs as int))) * 1000000)
+         // ({n_perms} + 1) as bigint) as p_ppm
+  from per_b pb join obs o using (grp)
+  group by o.grp, o.n_units
+),
+rk as (
+  select *, row_number() over (order by p_ppm asc, grp asc) as bh_rank,
+    count(*) over () as m_tests
+  from p
+),
+ks as (
+  select *, max(case when p_ppm * m_tests <= bh_rank * {q_ppm}
+                     then bh_rank else 0 end) over () as k_star
+  from rk
+)
+select grp as event_type, n_units, n_extreme, p_ppm,
+  cast(bh_rank as bigint) as bh_rank, cast(m_tests as bigint) as m_tests,
+  cast(k_star as bigint) as k_star,
+  cast(bh_rank <= k_star as int) as reject
+from ks
+"""
+
+
+O_BH_FDR = _bh_fdr_oracle()
+
+QUERIES["bh_fdr"] = q_bh_fdr
+ORACLES["bh_fdr"] = O_BH_FDR
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -770,3 +770,45 @@ def test_jackknife_zero_when_clusters_identical(spark):
     df = spark.createDataFrame(rows, "user_id string, value double")
     r = jackknife_ratio_var(df, "user_id", "value").collect()[0]
     assert r.jk_var_micro2 == 0 and r.ratio_micro == 300 * 1_000_000
+
+
+def _synth_events(spark, n_users=40):
+    rows = []
+    for u in range(n_users):
+        for g in ("alpha", "beta", "gamma"):
+            # deterministic values; 'gamma' gets a big user-dependent bump
+            v = 10.0 + (u % 7) + (50.0 * (u % 2) if g == "gamma" else 0.0)
+            rows.append((g, u, v))
+    return spark.createDataFrame(rows, "event_type string, user_id long, value double")
+
+
+def test_bh_fdr_step_up_matches_naive(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import bh_fdr_permutation
+
+    ev = _synth_events(spark)
+    out = bh_fdr_permutation(ev, "event_type", "user_id", "value",
+                             n_perms=16, q_ppm=200_000).collect()
+    # recompute the BH step from the emitted exact p-values
+    rows = sorted(out, key=lambda r: (r.p_ppm, r.event_type))
+    m = len(rows)
+    k_star = max(
+        (i + 1 for i, r in enumerate(rows) if r.p_ppm * m <= (i + 1) * 200_000),
+        default=0,
+    )
+    for i, r in enumerate(rows):
+        assert r.bh_rank == i + 1 and r.m_tests == m and r.k_star == k_star
+        assert r.reject == int(r.bh_rank <= k_star)
+
+
+def test_bh_fdr_gate_extremes(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import bh_fdr_permutation
+
+    ev = _synth_events(spark, n_users=20)
+    none = bh_fdr_permutation(ev, "event_type", "user_id", "value",
+                              n_perms=8, q_ppm=0).collect()
+    assert all(r.reject == 0 for r in none)
+    # q = 1 (ppm 1e6): p_ppm * m <= rank * 1e6 holds at rank = m for any p,
+    # so the step-up rule rejects EVERYTHING
+    allr = bh_fdr_permutation(ev, "event_type", "user_id", "value",
+                              n_perms=8, q_ppm=1_000_000).collect()
+    assert all(r.reject == 1 for r in allr)

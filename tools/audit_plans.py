@@ -1637,6 +1637,23 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.stats import bh_fdr_permutation
+
+    bh = t.select(F.col("role").alias("event_type"),
+                  F.col("conv_id").alias("user_id"),
+                  F.length("text").cast("double").alias("value"))
+    sections.append(summarize(
+        "BH-FDR over per-segment permutation tests",
+        bh_fdr_permutation(bh, "event_type", "user_id", "value", n_perms=8),
+        "ONE groupBy(group, unit) reduction; the bounded B-way explode "
+        "runs over the UNIT frame (never raw rows); per-(group, b) sums "
+        "partial-aggregate; observed row broadcast back (bounded by group "
+        "cardinality); BH ranking windows run on the m-row p-value frame. "
+        "No Python stages.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
