@@ -2327,3 +2327,86 @@ def bh_fdr_permutation(
         "n_units", "n_extreme", "p_ppm", "bh_rank", "m_tests", "k_star",
         (F.col("bh_rank") <= F.col("k_star")).cast("int").alias("reject"),
     )
+
+
+def replay_policy_eval(
+    ev: DataFrame,
+    context_col: str,
+    arm_col: str,
+    value_col: str = "value",
+    unit_col: str = "event_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Off-policy evaluation by REPLAY (Li et al. 2011): fit a greedy
+    per-context policy on a deterministic md5 half of the log, then
+    score it on the held-out half by keeping exactly the events whose
+    LOGGED arm equals the policy's choice and averaging their rewards —
+    the unbiased offline estimate of "what would this policy have
+    earned" under uniform logging, and the evaluation loop behind every
+    bandit / routing experiment readout.
+
+    Engine-exact end to end: the train/eval split is md5(unit) % 2
+    (hash_sample's construction — the oracle replays it bit-for-bit);
+    per-(context, arm) training means are ONE trunc division in scaled
+    integer cents; the policy argmax is (mean DESC, arm ASC); and the
+    replay estimate is again one trunc division. No float crosses an
+    engine boundary.
+
+    Scale shape: one groupBy(context, arm) training reduction; the
+    policy frame (bounded by context cardinality) broadcasts back onto
+    the eval half; ONE final per-context aggregate. Never shuffles raw
+    rows twice, no Python stages.
+
+    Returns one row per context: ``(context_col, arm_star,
+    train_mean_micro, n_eval, n_matched, replay_mean_micro)``
+    (replay_mean_micro = 0 when the policy arm never appears in the
+    eval half).
+    """
+    from .corpus import md5_bucket
+
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    base = ev.select(
+        F.col(context_col).alias("ctx"),
+        F.col(arm_col).alias("arm"),
+        cents.alias("_c"),
+        md5_bucket(unit_col, 2).cast("int").alias("_split"),
+    )
+    est = (
+        base.filter(F.col("_split") == 0)
+        .groupBy("ctx", "arm")
+        .agg(F.sum("_c").cast("long").alias("s"),
+             F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "mean_micro",
+            F.expr(f"cast((cast(s as decimal(38,0)) * {int(scale)}) div n"
+                   " as bigint)"),
+        )
+    )
+    w = Window.partitionBy("ctx").orderBy(
+        F.col("mean_micro").desc(), F.col("arm").asc()
+    )
+    pol = (
+        est.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("ctx", F.col("arm").alias("arm_star"),
+                F.col("mean_micro").alias("train_mean_micro"))
+    )
+    evh = base.filter(F.col("_split") == 1).join(F.broadcast(pol), "ctx")
+    out = evh.groupBy("ctx").agg(
+        F.max("arm_star").alias("arm_star"),
+        F.max("train_mean_micro").alias("train_mean_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum((F.col("arm") == F.col("arm_star")).cast("int")).cast("long")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("arm") == F.col("arm_star"), F.col("_c"))
+              .otherwise(0)).cast("long").alias("_sm"),
+    )
+    return out.select(
+        F.col("ctx").alias(context_col),
+        "arm_star", "train_mean_micro", "n_eval", "n_matched",
+        F.expr(
+            f"cast(case when n_matched = 0 then 0 else"
+            f" (cast(_sm as decimal(38,0)) * {int(scale)}) div n_matched end"
+            " as bigint)"
+        ).alias("replay_mean_micro"),
+    )

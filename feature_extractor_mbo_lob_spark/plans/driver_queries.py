@@ -16583,6 +16583,68 @@ QUERIES["bh_fdr"] = q_bh_fdr
 ORACLES["bh_fdr"] = O_BH_FDR
 
 
+# --- off-policy evaluation by replay -------------------------------------------------
+
+def q_replay_ope(spark, sf_dir):
+    """Off-policy evaluation by replay (functions/stats.
+    replay_policy_eval, Li 2011): fit the greedy best event_type per
+    user-cohort context on the md5-even half of the log, replay it on
+    the held-out half keeping only events whose logged arm equals the
+    policy arm — the unbiased offline bandit-policy estimate. Matched
+    trunc divisions in scaled cents; the oracle replays the md5 split
+    and the (mean desc, arm asc) argmax bit-for-bit."""
+    from ..functions.stats import replay_policy_eval
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "cohort", (F.col("user_id") % 4).cast("long")
+    )
+    return replay_policy_eval(ev, "cohort", "event_type", "value", "event_id")
+
+
+def _replay_ope_oracle() -> str:
+    hexpr = _HEX7
+    return f"""
+with base as (
+  select cast(user_id % 4 as bigint) as ctx, event_type as arm,
+    cast(floor(value * 100.0 + 0.5) as bigint) as c,
+    cast(({hexpr}) % 2 as int) as s
+  from (select *, md5(cast(event_id as varchar)) as h from events)
+),
+est as (
+  select ctx, arm, sum(c) as sv, count(*) as n,
+    (cast(sum(c) as hugeint) * 1000000) // count(*) as mean_micro
+  from base where s = 0 group by ctx, arm
+),
+pol as (
+  select ctx, arm as arm_star, cast(mean_micro as bigint) as train_mean_micro
+  from (
+    select *, row_number() over (
+      partition by ctx order by mean_micro desc, arm asc) as rn
+    from est
+  ) where rn = 1
+),
+ev2 as (
+  select b.ctx, b.arm, b.c, p.arm_star, p.train_mean_micro
+  from base b join pol p using (ctx) where b.s = 1
+)
+select ctx as cohort,
+  max(arm_star) as arm_star,
+  max(train_mean_micro) as train_mean_micro,
+  cast(count(*) as bigint) as n_eval,
+  cast(sum(cast(arm = arm_star as int)) as bigint) as n_matched,
+  cast(case when sum(cast(arm = arm_star as int)) = 0 then 0 else
+    (cast(sum(case when arm = arm_star then c else 0 end) as hugeint) * 1000000)
+    // sum(cast(arm = arm_star as int)) end as bigint) as replay_mean_micro
+from ev2 group by ctx
+"""
+
+
+O_REPLAY_OPE = _replay_ope_oracle()
+
+QUERIES["replay_ope"] = q_replay_ope
+ORACLES["replay_ope"] = O_REPLAY_OPE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

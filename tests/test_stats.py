@@ -812,3 +812,44 @@ def test_bh_fdr_gate_extremes(spark):
     allr = bh_fdr_permutation(ev, "event_type", "user_id", "value",
                               n_perms=8, q_ppm=1_000_000).collect()
     assert all(r.reject == 1 for r in allr)
+
+
+def test_replay_ope_picks_best_arm_and_matches_naive(spark):
+    import hashlib
+
+    from feature_extractor_mbo_lob_spark.functions.stats import replay_policy_eval
+
+    # one context; arm 'good' pays 9.00, arm 'bad' pays 1.00 deterministically
+    rows = [(i, "good" if i % 2 == 0 else "bad",
+             9.00 if i % 2 == 0 else 1.00) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, arm string, value double")
+    df = df.withColumn("ctx", F.lit(0).cast("long"))
+    out = replay_policy_eval(df, "ctx", "arm", "value", "event_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.arm_star == "good"
+    assert r.train_mean_micro == 900 * 1_000_000
+    assert r.replay_mean_micro == 900 * 1_000_000
+    # naive replay: count eval-half (md5 odd bucket) events with arm == good
+    def bucket(e):
+        return int(hashlib.md5(str(e).encode()).hexdigest()[:7], 16) % 2
+    eval_rows = [(e, a, v) for e, a, v in rows if bucket(e) == 1]
+    assert r.n_eval == len(eval_rows)
+    assert r.n_matched == sum(1 for _, a, _ in eval_rows if a == "good")
+
+
+def test_replay_ope_unmatched_context_returns_zero(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import replay_policy_eval
+
+    # policy arm 'a' exists only in the train half -> eval matches may be 0;
+    # construct so that eval half contains only arm 'b' rows
+    import hashlib
+    def bucket(e):
+        return int(hashlib.md5(str(e).encode()).hexdigest()[:7], 16) % 2
+    train_ids = [e for e in range(100) if bucket(e) == 0][:5]
+    eval_ids = [e for e in range(100) if bucket(e) == 1][:5]
+    rows = [(e, "a", 9.0) for e in train_ids] + [(e, "b", 1.0) for e in eval_ids]
+    df = spark.createDataFrame(rows, "event_id long, arm string, value double")
+    df = df.withColumn("ctx", F.lit(0).cast("long"))
+    r = replay_policy_eval(df, "ctx", "arm", "value", "event_id").collect()[0]
+    assert r.arm_star == "a" and r.n_matched == 0 and r.replay_mean_micro == 0

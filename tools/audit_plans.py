@@ -1654,6 +1654,23 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.stats import replay_policy_eval
+
+    rp = t.select((F.col("turn_idx") % 4).cast("long").alias("ctx"),
+                  F.col("role").alias("arm"),
+                  F.length("text").cast("double").alias("value"),
+                  F.col("conv_id").alias("event_id"))
+    sections.append(summarize(
+        "Replay off-policy evaluation",
+        replay_policy_eval(rp, "ctx", "arm", "value", "event_id"),
+        "One groupBy(context, arm) training reduction on the md5-even "
+        "half; the bounded policy frame broadcasts onto the eval half; "
+        "ONE final per-context aggregate. Raw rows shuffle once, no "
+        "Python stages.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
