@@ -1156,3 +1156,115 @@ def pca_power_direction(
         )
     return v.select(F.col("j").cast("int").alias("j"),
                     F.col("v").cast("long").alias("v_micro"))
+
+
+def linear_cka_quantization(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    x_scale: int = 1_000,
+) -> DataFrame:
+    """Linear Centered Kernel Alignment (Kornblith 2019) between the
+    exact embedding matrix X and its stored int8-quantized codes Q —
+    the REPRESENTATION-level answer to "how much geometry survives int8
+    storage", complementing rbo (ranking-level damage) and ivf_recall
+    (retrieval-level damage):
+
+        CKA(X, Q) = ||cov(X, Q)||_F^2 / (||cov(X)||_F · ||cov(Q)||_F).
+
+    Engine-exact spec: X lanes quantize to milli ints
+    floor(x·1e3 + 0.5); Q lanes are quantize_embeddings_int8's exact
+    int8 codes (same IEEE clamp/floor sequence on both engines); every
+    centered moment is the cleared-denominator integer
+    M_jk = n·Σ a_j b_k − S_j S_k in decimal(38,0) (the n-powers cancel
+    between numerator and denominator, so no division happens until
+    release); the release is the SQUARED alignment
+    cka2_raw = (num/√(dx·dy))² = num²/(dx·dy) as one fixed-order IEEE
+    expression of decimal-cast doubles — sqrt never crosses an engine
+    (the assortativity convention). Magnitude bound: block cells stay
+    inside 38 digits to n ≈ 1e6 vectors at d = 64; beyond that run on
+    an md5 vector sample (hash_sample), which leaves the estimator
+    unbiased.
+
+    Scale shape: ONE id-keyed fan-out of each vector into its tagged
+    (2d)²/…-block lane pairs with map-side partial aggregation into
+    ≤ 3d² cells (the pca_power_direction shuffle shape — O(d²), never
+    O(rows)); two bounded d-row joins decorate cells with lane sums;
+    ONE final 1-row aggregate. No Python stages.
+
+    Returns one row: ``(n_vecs, cka2_raw)`` with cka2 in [0, 1]
+    (1 = geometry fully preserved).
+    """
+    q8 = quantize_embeddings_int8(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v")),
+        vec_col="v",
+        out_col="v_q8",
+    )
+    lx = q8.select(
+        "id", F.lit("x").alias("rep"),
+        F.posexplode(
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x * F.lit(float(x_scale)) + F.lit(0.5))
+                .cast("long"),
+            )
+        ).alias("j", "q"),
+    )
+    ly = q8.select(
+        "id", F.lit("y").alias("rep"),
+        F.posexplode(F.col("v_q8")).alias("j", "q"),
+    ).select("id", "rep", "j", F.col("q").cast("long").alias("q"))
+    lanes = lx.union(ly)
+    n = df.count()
+    if not n:
+        return df.sparkSession.createDataFrame([], "n_vecs long, cka2_raw double")
+    s = lanes.groupBy("rep", "j").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
+    )
+    a = lanes.select("id", F.col("rep").alias("ra"), F.col("j"),
+                     F.col("q").alias("qa"))
+    b = lanes.select("id", F.col("rep").alias("rb"), F.col("j").alias("k"),
+                     F.col("q").alias("qb"))
+    cells = (
+        a.join(b, "id")
+        .filter(F.col("ra") <= F.col("rb"))
+        .groupBy("ra", "rb", "j", "k")
+        .agg(
+            F.sum(F.col("qa").cast("decimal(38,0)")
+                  * F.col("qb").cast("decimal(38,0)")).alias("sum_jk")
+        )
+        .join(
+            s.select(F.col("rep").alias("ra"), F.col("j"),
+                     F.col("s").alias("s_j")),
+            ["ra", "j"],
+        )
+        .join(
+            s.select(F.col("rep").alias("rb"), F.col("j").alias("k"),
+                     F.col("s").alias("s_k")),
+            ["rb", "k"],
+        )
+        .select(
+            "ra", "rb",
+            F.expr(f"cast({int(n)} as decimal(38,0)) * sum_jk - s_j * s_k")
+            .cast("decimal(38,0)").alias("m"),
+        )
+    )
+    blk = lambda ra, rb: F.sum(
+        F.when((F.col("ra") == ra) & (F.col("rb") == rb),
+               F.col("m") * F.col("m")).otherwise(F.lit(0).cast("decimal(38,0)"))
+    ).cast("decimal(38,0)")
+    out = cells.agg(
+        blk("x", "y").alias("num"),
+        blk("x", "x").alias("dx"),
+        blk("y", "y").alias("dy"),
+    )
+    cka2 = F.when(
+        (F.col("dx") > 0) & (F.col("dy") > 0),
+        (F.col("num").cast("double") * F.col("num").cast("double"))
+        / (F.col("dx").cast("double") * F.col("dy").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.lit(int(n)).cast("long").alias("n_vecs"),
+        cka2.alias("cka2_raw"),
+    )

@@ -16645,6 +16645,77 @@ QUERIES["replay_ope"] = q_replay_ope
 ORACLES["replay_ope"] = O_REPLAY_OPE
 
 
+# --- linear CKA between exact and int8-quantized embeddings -------------------------
+
+def q_cka_quantization(spark, sf_dir):
+    """Linear Centered Kernel Alignment (operators/similarity.
+    linear_cka_quantization, Kornblith 2019) between the exact embedding
+    matrix and its int8-quantized codes — the representation-level
+    quantization-damage meter next to rbo (ranking level) and ivf_recall
+    (retrieval level). Cleared-denominator integer moments
+    n·Σab − S_a·S_b per lane pair in decimal(38,0)/hugeint, squared
+    alignment released as ONE fixed-order IEEE expression; the O(d²)
+    scatter shuffle never touches O(rows)."""
+    from ..operators.similarity import linear_cka_quantization
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return linear_cka_quantization(emb, "vec_id", "embedding")
+
+
+O_CKA_QUANTIZATION = """
+with e as (select vec_id as id, embedding from embeddings),
+nn as (select count(*) as n from e),
+s0 as (
+  select id, embedding,
+    (select max(abs(cast(u.x as double))) from unnest(embedding) as u(x)) as mx
+  from e
+),
+lanes as (
+  select id, 'x' as rep, generate_subscripts(embedding, 1) - 1 as j,
+    cast(floor(cast(unnest(embedding) as double) * 1000.0 + 0.5) as bigint) as q
+  from s0
+  union all
+  select id, 'y' as rep, generate_subscripts(embedding, 1) - 1 as j,
+    cast(case when mx > 0 then greatest(-127, least(127,
+      floor(cast(unnest(embedding) as double) * 127.0 / mx + 0.5)))
+      else 0 end as bigint) as q
+  from s0
+),
+s as (select rep, j, sum(cast(q as hugeint)) as sv from lanes group by rep, j),
+cells0 as (
+  select a.rep as ra, b.rep as rb, a.j as j, b.j as k,
+    sum(cast(a.q as hugeint) * b.q) as sum_jk
+  from lanes a join lanes b using (id)
+  where a.rep <= b.rep
+  group by 1, 2, 3, 4
+),
+cells as (
+  select c.ra, c.rb,
+    cast(nn.n as hugeint) * c.sum_jk - sj.sv * sk.sv as m
+  from cells0 c
+  join s sj on sj.rep = c.ra and sj.j = c.j
+  join s sk on sk.rep = c.rb and sk.j = c.k
+  cross join nn
+),
+agg as (
+  select
+    sum(case when ra = 'x' and rb = 'y' then m * m else 0 end) as num,
+    sum(case when ra = 'x' and rb = 'x' then m * m else 0 end) as dx,
+    sum(case when ra = 'y' and rb = 'y' then m * m else 0 end) as dy
+  from cells
+)
+select cast(nn.n as bigint) as n_vecs,
+  case when agg.dx > 0 and agg.dy > 0
+    then (cast(agg.num as double) * cast(agg.num as double))
+         / (cast(agg.dx as double) * cast(agg.dy as double))
+    else 0.0 end as cka2_raw
+from agg cross join nn
+"""
+
+QUERIES["cka_quantization"] = q_cka_quantization
+ORACLES["cka_quantization"] = O_CKA_QUANTIZATION
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

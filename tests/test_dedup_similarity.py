@@ -684,3 +684,53 @@ def test_embedding_outliers_matches_naive_and_flags_outlier(spark):
         assert abs(out[i].score_fp / 1e6 - naive[i]) < 5e-6
     assert out[29].score_fp == max(r.score_fp for r in out.values())
     assert out[29].score_fp > 10 * sorted(r.score_fp for r in out.values())[-2]
+
+
+def _naive_cka2(vecs, x_scale=1000):
+    # exact-integer replica of linear_cka_quantization's spec
+    import math
+
+    n, d = len(vecs), len(vecs[0])
+    X = [[math.floor(x * x_scale + 0.5) for x in v] for v in vecs]
+    Y = []
+    for v in vecs:
+        mx = max(abs(x) for x in v)
+        Y.append([
+            max(-127, min(127, math.floor(x * 127.0 / mx + 0.5))) if mx > 0 else 0
+            for x in v
+        ])
+    def moments(A, B):
+        s_a = [sum(r[j] for r in A) for j in range(d)]
+        s_b = [sum(r[j] for r in B) for j in range(d)]
+        tot = 0
+        for j in range(d):
+            for k in range(d):
+                m = n * sum(r[j] * q[k] for r, q in zip(A, B)) - s_a[j] * s_b[k]
+                tot += m * m
+        return tot
+    num, dx, dy = moments(X, Y), moments(X, X), moments(Y, Y)
+    return (float(num) * float(num)) / (float(dx) * float(dy))
+
+
+def test_cka_quantization_matches_naive(spark):
+    vecs = [
+        [0.5, -1.2, 0.3], [1.0, 0.1, -0.4], [-0.7, 0.9, 0.2],
+        [0.2, 0.2, 1.5], [-1.1, -0.3, 0.8],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    r = similarity.linear_cka_quantization(df).collect()[0]
+    assert r.n_vecs == 5
+    assert abs(r.cka2_raw - _naive_cka2(vecs)) < 1e-12
+    # int8 quantization preserves most geometry (coarse at d=3, still high)
+    assert r.cka2_raw > 0.9
+
+
+def test_cka_degenerate_returns_zero(spark):
+    # all-zero vectors: dx = dy = 0 -> guarded 0.0 release
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    r = similarity.linear_cka_quantization(df).collect()[0]
+    assert r.cka2_raw == 0.0

@@ -1671,6 +1671,26 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.operators.similarity import (
+        linear_cka_quantization,
+    )
+
+    ck = t.select(F.col("conv_id").alias("vec_id"),
+                  F.array(F.length("text").cast("double"),
+                          (F.col("turn_idx") % 5).cast("double"),
+                          F.lit(1.0)).alias("embedding")).limit(64)
+    sections.append(summarize(
+        "Linear CKA (exact vs int8-quantized embeddings)",
+        linear_cka_quantization(ck),
+        "One id-keyed fan-out into tagged lane pairs with map-side "
+        "partial aggregation into <= 3d^2 scatter cells (the "
+        "pca_power_direction shuffle shape — O(d^2), never O(rows)); two "
+        "bounded d-row joins decorate cells with lane sums; one 1-row "
+        "final aggregate. No Python stages.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
