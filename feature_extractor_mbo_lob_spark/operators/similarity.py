@@ -1268,3 +1268,79 @@ def linear_cka_quantization(
         F.lit(int(n)).cast("long").alias("n_vecs"),
         cka2.alias("cka2_raw"),
     )
+
+
+def knn_hubness(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    method: str = "matrix",
+) -> DataFrame:
+    """Hubness of the k-NN graph (Radovanović 2010): the skewness of the
+    k-occurrence distribution N_k(x) = "how many other points name x a
+    top-k neighbor". High positive skew means a few hub vectors dominate
+    every neighbor list — the classic high-dimensional ANN failure mode
+    that silently degrades retrieval diversity and near-dup recall; the
+    structural diagnostic to run beside ivf_recall (accuracy) and
+    rbo/cka (quantization damage).
+
+    Engine-exact release: in-degrees are pure integer counts (vectors
+    never retrieved enter as the zero row via a left join from the id
+    frame); with raw moments S1/S2/S3 the third central moment clears to
+    B = n²S3 − 3nS1S2 + 2S1³ and the variance to A = nS2 − S1², giving
+    skewness g1 = B/A^{3/2} — released as the SIGNED SQUARE
+    sign(B)·B²/A³ in one fixed-order IEEE expression of decimal-cast
+    doubles (the assortativity convention; sqrt never crosses engines).
+
+    Scale shape: the k-NN edge list comes from brute_force_topk, which
+    auto-routes to IVF above the broadcast cap; the in-degree reduction
+    is one partial-aggregable groupBy over the EDGE list (n·k rows); the
+    moment aggregate is 1-row. S1 = n·k by construction (every query
+    emits k edges) — asserted in tests.
+
+    Returns one row: ``(n_vecs, k, max_indeg, n_orphans,
+    g1_sq_signed_raw)``.
+    """
+    nn = brute_force_topk(df, id_col=id_col, vec_col=vec_col, k=k, method=method)
+    ids = df.select(F.col(id_col).alias("node"))
+    indeg = nn.groupBy(F.col("neighbor_id").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    deg = ids.join(indeg, "node", "left").select(
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    dec = lambda e: e.cast("decimal(38,0)")
+    m = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(dec(F.col("c")) * F.col("c")).cast("decimal(38,0)").alias("s2"),
+        F.sum(dec(F.col("c")) * F.col("c") * F.col("c"))
+        .cast("decimal(38,0)").alias("s3"),
+        F.max("c").cast("long").alias("max_indeg"),
+        F.sum((F.col("c") == 0).cast("int")).cast("long").alias("n_orphans"),
+    )
+    withm = m.withColumn(
+        "_b",
+        F.expr(
+            "cast(n as decimal(38,0)) * n * s3"
+            " - 3 * cast(n as decimal(38,0)) * s1 * s2"
+            " + 2 * cast(s1 as decimal(38,0)) * s1 * s1"
+        ),
+    ).withColumn(
+        "_a", F.expr("cast(n as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1")
+    )
+    g1sq = F.when(
+        F.col("_a") > 0,
+        F.signum(F.col("_b").cast("double"))
+        * (F.col("_b").cast("double") * F.col("_b").cast("double"))
+        / (F.col("_a").cast("double") * F.col("_a").cast("double")
+           * F.col("_a").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return withm.select(
+        F.col("n").alias("n_vecs"),
+        F.lit(int(k)).cast("int").alias("k"),
+        "max_indeg",
+        "n_orphans",
+        g1sq.alias("g1_sq_signed_raw"),
+    )

@@ -16716,6 +16716,74 @@ QUERIES["cka_quantization"] = q_cka_quantization
 ORACLES["cka_quantization"] = O_CKA_QUANTIZATION
 
 
+# --- hubness of the k-NN graph -------------------------------------------------------
+
+def q_ann_hubness(spark, sf_dir):
+    """k-occurrence hubness (operators/similarity.knn_hubness,
+    Radovanović 2010): skewness of the in-degree distribution of the
+    exact cosine 5-NN graph — the high-dimensional failure-mode
+    diagnostic (a few hub vectors dominating every neighbor list) next
+    to ivf_recall and cka_quantization. Integer in-degree moments with
+    cleared denominators B = n²S3 − 3nS1S2 + 2S1³, A = nS2 − S1²;
+    skewness released as the signed square B²/A³ in one fixed-order
+    IEEE expression."""
+    from ..operators.similarity import knn_hubness
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return knn_hubness(emb, k=5)
+
+
+O_ANN_HUBNESS = f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+pairs as (
+  select a.vec_id as query_id, b.vec_id as neighbor_id,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))
+         + {DIVISION_GUARD_EPS}) as cos
+  from e a, e b where a.vec_id != b.vec_id
+),
+ranked as (
+  select *, row_number() over (
+    partition by query_id order by cos desc, neighbor_id) as rank
+  from pairs
+),
+indeg as (
+  select neighbor_id as node, count(*) as c from ranked where rank <= 5
+  group by neighbor_id
+),
+deg as (
+  select coalesce(i.c, 0) as c from e left join indeg i on e.vec_id = i.node
+),
+m as (
+  select cast(count(*) as bigint) as n,
+    cast(sum(c) as bigint) as s1,
+    sum(cast(c as hugeint) * c) as s2,
+    sum(cast(c as hugeint) * c * c) as s3,
+    cast(max(c) as bigint) as max_indeg,
+    cast(sum(cast(c = 0 as int)) as bigint) as n_orphans
+  from deg
+)
+select n as n_vecs, 5 as k, max_indeg, n_orphans,
+  case when (cast(n as hugeint) * s2 - cast(s1 as hugeint) * s1) > 0 then
+    sign(cast(cast(n as hugeint) * n * s3 - 3 * cast(n as hugeint) * s1 * s2
+              + 2 * cast(s1 as hugeint) * s1 * s1 as double))
+    * (cast(cast(n as hugeint) * n * s3 - 3 * cast(n as hugeint) * s1 * s2
+            + 2 * cast(s1 as hugeint) * s1 * s1 as double)
+       * cast(cast(n as hugeint) * n * s3 - 3 * cast(n as hugeint) * s1 * s2
+              + 2 * cast(s1 as hugeint) * s1 * s1 as double))
+    / (cast(cast(n as hugeint) * s2 - cast(s1 as hugeint) * s1 as double)
+       * cast(cast(n as hugeint) * s2 - cast(s1 as hugeint) * s1 as double)
+       * cast(cast(n as hugeint) * s2 - cast(s1 as hugeint) * s1 as double))
+  else 0.0 end as g1_sq_signed_raw
+from m
+"""
+
+QUERIES["ann_hubness"] = q_ann_hubness
+ORACLES["ann_hubness"] = O_ANN_HUBNESS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -734,3 +734,41 @@ def test_cka_degenerate_returns_zero(spark):
     )
     r = similarity.linear_cka_quantization(df).collect()[0]
     assert r.cka2_raw == 0.0
+
+
+def test_knn_hubness_star_geometry(spark):
+    # a hub at the center plus orthogonal-ish satellites: every satellite's
+    # 1-NN is the hub -> in-degree [n-1, smallest...], strongly right-skewed
+    import math
+
+    vecs = {"hub": [1.0, 1.0, 1.0, 1.0]}
+    for i in range(4):
+        v = [0.1] * 4
+        v[i] = 2.0
+        vecs[f"s{i}"] = v
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(vecs.items())],
+        "vec_id string, embedding array<double>",
+    )
+    r = similarity.knn_hubness(df, k=1).collect()[0]
+    assert r.n_vecs == 5 and r.k == 1
+    # hub is everyone's nearest neighbor
+    assert r.max_indeg == 4
+    assert r.g1_sq_signed_raw > 0  # right-skew
+    # moments identity: S1 = n*k edges, here with orphans = satellites never chosen
+    assert r.n_orphans == 4 - (5 - 1 - 4 + 1)  # 4 satellites, 1 gets hub's pick
+
+
+def test_knn_hubness_symmetric_is_balanced(spark):
+    # two tight mutual pairs: every point has in-degree exactly 1 at k=1 ->
+    # zero variance -> guarded 0.0 release, no orphans
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]), ("b", [0.99, 0.01]),
+            ("c", [0.0, 1.0]), ("d", [0.01, 0.99]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    r = similarity.knn_hubness(df, k=1).collect()[0]
+    assert r.max_indeg == 1 and r.n_orphans == 0
+    assert r.g1_sq_signed_raw == 0.0

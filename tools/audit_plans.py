@@ -1691,6 +1691,23 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.operators.similarity import knn_hubness
+
+    hb = t.select(F.col("conv_id").alias("vec_id"),
+                  F.array(F.length("text").cast("double"),
+                          (F.col("turn_idx") % 5).cast("double"),
+                          F.lit(1.0)).alias("embedding")).limit(64)
+    sections.append(summarize(
+        "k-NN hubness (in-degree skewness)",
+        knn_hubness(hb, k=2),
+        "Edge list from the capped/auto-routing GEMM top-k (sanctioned "
+        "Arrow stage); in-degree is one partial-aggregable groupBy over "
+        "the n*k edge rows + a left join from the id frame for zero "
+        "rows; 1-row moment aggregate with the cleared-denominator "
+        "signed-square release.",
+        forbid=("CartesianProduct", "BatchEvalPython"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
