@@ -124,3 +124,51 @@ def cumulative_target_encoding_chunked(
         F.when(F.col("_n") > 0, F.col("_s").cast("double") / (scale * F.col("_n")))
         .alias(f"{p}_te"),
     )
+
+
+def loo_target_encoding(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    decimals: int = 2,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """Leave-one-out target encoding: every row gets the mean of the
+    target over ALL OTHER rows of its category, (S_cat − s_i)/(n_cat − 1)
+    — the fit-time-encoding standard (category_encoders' LOO) that kills
+    the self-leakage of naive mean encoding while, unlike the expanding
+    cumulative_target_encoding, using the whole training fold (the right
+    tool when rows are exchangeable rather than time-ordered; pair with
+    group_hash_split so the fold boundary is leak-free).
+
+    Exactness: the target integerizes at ``decimals`` (the same
+    order-independent bigint sums as cumulative_target_encoding); the
+    release divides the exact integers once per row, a fixed-order IEEE
+    op. Singleton categories get NULL (no peer rows).
+
+    Scale shape: ONE map-side-combinable groupBy(category) producing the
+    (S, n) frame, joined back AQE-broadcastable on the category key —
+    no window over raw rows at all, so hot categories cost nothing
+    extra (the straggler-free twin of the chunked expanding form).
+
+    Adds ``{p}_peers`` (bigint) and ``{p}_loo_te`` (double).
+    """
+    p = out_prefix or cat_col
+    it, scale = _int_target(target_col, decimals)
+    rows = df.withColumn("_it", it)
+    per_cat = rows.groupBy(F.col(cat_col).alias("_cc")).agg(
+        F.sum("_it").cast("long").alias("_S"),
+        F.count(F.lit(1)).cast("long").alias("_N"),
+    )
+    out = rows.join(per_cat, rows[cat_col].eqNullSafe(per_cat["_cc"]), "left").drop(
+        "_cc"
+    )
+    peers = (F.col("_N") - 1).cast("long")
+    return out.select(
+        *df.columns,
+        peers.alias(f"{p}_peers"),
+        F.when(
+            peers > 0,
+            (F.col("_S") - F.col("_it")).cast("double") / (scale * peers),
+        ).alias(f"{p}_loo_te"),
+    )

@@ -16784,6 +16784,49 @@ QUERIES["ann_hubness"] = q_ann_hubness
 ORACLES["ann_hubness"] = O_ANN_HUBNESS
 
 
+# --- leave-one-out target encoding ---------------------------------------------------
+
+def q_loo_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding of the tool category
+    (operators/encoding.loo_target_encoding): every turn gets the mean
+    `value` over all OTHER turns of its tool, (S − s_i)/(n − 1) — the
+    fit-time encoding standard that kills self-leakage, complementing
+    the expanding point-in-time form (target_encoding). Integer-cent
+    sums, one fixed-order IEEE division per row; NULL tools form a real
+    group (eqNullSafe join = SQL group-by-NULL semantics); singletons
+    get NULL. One map-side-combinable groupBy + AQE-broadcastable join,
+    no window over raw rows."""
+    from ..operators import encoding
+
+    t = transcripts_from_events(spark, sf_dir)
+    out = encoding.loo_target_encoding(t, "tool", "value")
+    return out.select(
+        "conv_id", "turn_idx", "tool",
+        F.col("tool_peers"),
+        _r6x(F.col("tool_loo_te"), "tool_loo_te"),
+    )
+
+
+O_LOO_TARGET_ENCODING = f"""{_W},
+pc as (
+  select tool as cc,
+    sum(cast(round(value * 100, 0) as bigint)) as s,
+    count(*) as n
+  from transcripts group by tool
+)
+select t.conv_id, t.turn_idx, t.tool,
+  cast(pc.n - 1 as bigint) as tool_peers,
+  case when pc.n - 1 > 0 then
+    {_r6x_sql("(pc.s - cast(round(t.value * 100, 0) as bigint))"
+              " / (100.0 * (pc.n - 1))")}
+  end as tool_loo_te
+from transcripts t join pc on t.tool is not distinct from pc.cc
+"""
+
+QUERIES["loo_target_encoding"] = q_loo_target_encoding
+ORACLES["loo_target_encoding"] = O_LOO_TARGET_ENCODING
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

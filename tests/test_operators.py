@@ -903,3 +903,27 @@ def test_pca_power_direction_empty_and_centering(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = {r.j: r.v_micro for r in pca_power_direction(df, iterations=3).collect()}
     assert out[0] == 1_000_000 and out[1] == 500_000
+
+
+def test_loo_target_encoding_hand_case(spark):
+    from feature_extractor_mbo_lob_spark.operators import encoding
+
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "x", 1.00, ts(0)),
+            ("c", 1, "x", 2.00, ts(1)),
+            ("c", 2, "x", 6.00, ts(2)),
+            ("c", 3, "y", 5.00, ts(3)),   # singleton -> NULL
+            ("c", 4, None, 3.00, ts(4)),  # NULL tool is a real group
+            ("c", 5, None, 7.00, ts(5)),
+        ],
+        "conv_id string, turn_idx int, tool string, value double, ts timestamp",
+    )
+    out = {r.turn_idx: r for r in
+           encoding.loo_target_encoding(df, "tool", "value").collect()}
+    # row 0: peers (2.0, 6.0) -> 4.0; row 1: (1+6)/2 = 3.5; row 2: 1.5
+    assert out[0].tool_peers == 2 and out[0].tool_loo_te == 4.0
+    assert out[1].tool_loo_te == 3.5 and out[2].tool_loo_te == 1.5
+    assert out[3].tool_peers == 0 and out[3].tool_loo_te is None
+    assert out[4].tool_peers == 1 and out[4].tool_loo_te == 7.0
+    assert out[5].tool_loo_te == 3.0

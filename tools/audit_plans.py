@@ -1708,6 +1708,22 @@ def main() -> None:
         forbid=("CartesianProduct", "BatchEvalPython"),
     ))
 
+    from feature_extractor_mbo_lob_spark.operators import encoding as enc_mod
+
+    sections.append(summarize(
+        "Leave-one-out target encoding",
+        enc_mod.loo_target_encoding(t, "tool", "char_len")
+        if "char_len" in t.columns else
+        enc_mod.loo_target_encoding(
+            t.withColumn("value", F.length("text").cast("double")),
+            "tool", "value"),
+        "ONE map-side-combinable groupBy(category) producing the (S, n) "
+        "frame, joined back AQE-broadcastable on the category key — no "
+        "window over raw rows, so hot categories cost nothing extra.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
