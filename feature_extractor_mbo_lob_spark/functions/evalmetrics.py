@@ -678,3 +678,87 @@ def adjusted_rand_index(
         F.col("sb").cast("long").alias("sb"),
         ari.alias("ari_raw"),
     )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table: rank rows by score descending, cut
+    into ``n_buckets`` equal-position buckets, and report per bucket the
+    positives captured so far and the cumulative lift over the base rate
+    — the model-eval view a targeting/curation decision actually reads
+    ("top 20% of the ranking captures X% of the positives at Y× lift"),
+    complementing auc_score (one number) and roc_curve (threshold
+    curve).
+
+    Engine-exact spec: the global position is rn = (rows with strictly
+    higher score) + (row_number within the score group ordered by id) —
+    a deterministic unique total order with NO single-task global
+    window; the bucket is the closed-form b = ((rn−1)·k) div N + 1
+    (identical integer arithmetic on both engines rather than relying
+    on a native ntile); capture and lift release as exact ppm trunc
+    divisions capture = cum_pos·1e6 div P and
+    lift = cum_pos·N·1e6 div (cum_n·P).
+
+    Scale shape: one groupBy(score) for the distinct-score cumulative
+    offsets (bounded by score cardinality), an AQE-decided join back,
+    a row_number window PARTITIONED BY SCORE (distributed; a single
+    degenerate constant-score input concentrates in one task — pre-salt
+    upstream if scores are constant), one groupBy(bucket) and a k-row
+    cumulative window. No Python stages.
+
+    Returns ``n_buckets`` rows: ``(bucket, n, n_pos, cum_n, cum_pos,
+    capture_ppm, lift_ppm)``.
+    """
+    rows = df.select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+        F.col(id_col).alias("rid"),
+    )
+    g = rows.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcb = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = g.select("s", F.coalesce(F.sum("cnt").over(wcb), F.lit(0)).alias("cb"))
+    win = Window.partitionBy("s").orderBy("rid")
+    tot = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("y").cast("long").alias("pp"),
+    )
+    pos = (
+        rows.join(off, "s")
+        .withColumn("rn", F.col("cb") + F.row_number().over(win))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bucket",
+            F.expr(f"cast(((rn - 1) * {int(n_buckets)}) div nn + 1 as int)"),
+        )
+    )
+    per_b = pos.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.max("nn").alias("nn"),
+        F.max("pp").alias("pp"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_b.select(
+        "bucket", "n", "n_pos", "nn", "pp",
+        F.sum("n").over(wc).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+    )
+    return cum.select(
+        "bucket", "n", "n_pos", "cum_n", "cum_pos",
+        F.expr(
+            "cast(case when pp > 0 then (cum_pos * 1000000) div pp"
+            " else 0 end as bigint)"
+        ).alias("capture_ppm"),
+        F.expr(
+            "cast(case when pp > 0 and cum_n > 0 then"
+            " (cast(cum_pos as decimal(38,0)) * nn * 1000000) div"
+            " (cast(cum_n as decimal(38,0)) * pp) else 0 end as bigint)"
+        ).alias("lift_ppm"),
+    )

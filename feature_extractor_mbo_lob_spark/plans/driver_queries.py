@@ -16827,6 +16827,75 @@ QUERIES["loo_target_encoding"] = q_loo_target_encoding
 ORACLES["loo_target_encoding"] = O_LOO_TARGET_ENCODING
 
 
+# --- cumulative gains / lift table ---------------------------------------------------
+
+def q_lift_table(spark, sf_dir):
+    """Decile cumulative-gains/lift table of the length-correlated label
+    vs the length score (functions/evalmetrics.gains_table) — the
+    targeting-decision view beside auc_score/roc_curve: per decile of
+    the (score desc, doc_id asc) ranking, positives captured so far and
+    cumulative lift over the base rate, both exact ppm trunc divisions.
+    Global positions come from distinct-score offsets + a score-
+    partitioned row_number (no single-task global window); the bucket is
+    the closed-form ((rn−1)·10) div N + 1 on both engines."""
+    from ..functions.evalmetrics import gains_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lbl = (
+        (F.col("doc_id") * F.lit(2654435761)) % 1000
+        < F.least(F.col("n_chars"), F.lit(999))
+    ).cast("int")
+    sc = docs.select(F.col("n_chars").alias("s"), lbl.alias("y"), "doc_id")
+    return gains_table(sc, "s", "y", "doc_id", n_buckets=10)
+
+
+O_LIFT_TABLE = f"""
+with sc as (
+  select n_chars as s,
+    case when (doc_id * 2654435761) % 1000 < least(n_chars, 999)
+         then 1 else 0 end as y,
+    doc_id as rid
+  from documents
+),
+g as (select s, count(*) as cnt from sc group by s),
+off as (
+  select s, coalesce(sum(cnt) over (
+    order by s desc rows between unbounded preceding and 1 preceding), 0) as cb
+  from g
+),
+tot as (select count(*) as nn, sum(y) as pp from sc),
+pos as (
+  select sc.y, t.nn, t.pp,
+    cast(((o.cb + row_number() over (partition by sc.s order by sc.rid) - 1)
+          * 10) // t.nn + 1 as int) as bucket
+  from sc join off o using (s) cross join tot t
+),
+per_b as (
+  select bucket, count(*) as n, sum(y) as n_pos, max(nn) as nn, max(pp) as pp
+  from pos group by bucket
+),
+cum as (
+  select bucket, n, n_pos, nn, pp,
+    sum(n) over (order by bucket rows between unbounded preceding
+                 and current row) as cum_n,
+    sum(n_pos) over (order by bucket rows between unbounded preceding
+                     and current row) as cum_pos
+  from per_b
+)
+select bucket, cast(n as bigint) as n, cast(n_pos as bigint) as n_pos,
+  cast(cum_n as bigint) as cum_n, cast(cum_pos as bigint) as cum_pos,
+  cast(case when pp > 0 then (cum_pos * 1000000) // pp else 0 end as bigint)
+    as capture_ppm,
+  cast(case when pp > 0 and cum_n > 0 then
+    (cast(cum_pos as hugeint) * nn * 1000000) // (cast(cum_n as hugeint) * pp)
+    else 0 end as bigint) as lift_ppm
+from cum
+"""
+
+QUERIES["lift_table"] = q_lift_table
+ORACLES["lift_table"] = O_LIFT_TABLE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -327,3 +327,37 @@ def test_adjusted_rand_index_hand_cases(spark):
     )
     r = em.adjusted_rand_index(one, "cluster", "label").collect()[0]
     assert abs(r.ari_raw) < 1e-12  # Sa collapses the adjustment to 0
+
+
+def test_gains_table_perfect_ranking(spark):
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import gains_table
+
+    # 20 rows, top-5 scores are exactly the positives -> bucket 1+2 capture all
+    rows = [(i, 100 - i, 1 if i < 5 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "rid long, s long, y int")
+    out = {r.bucket: r for r in gains_table(df, "s", "y", "rid", n_buckets=10).collect()}
+    assert len(out) == 10
+    assert out[1].n == 2 and out[1].n_pos == 2
+    # first 5 positions are positives: cum capture hits 1.0 at bucket 3
+    assert out[2].cum_pos == 4 and out[3].cum_pos == 5
+    assert out[3].capture_ppm == 1_000_000
+    # bucket-1 lift = (2/2) / (5/20) = 4x
+    assert out[1].lift_ppm == 4_000_000
+    # monotone non-decreasing capture
+    caps = [out[b].capture_ppm for b in range(1, 11)]
+    assert caps == sorted(caps) and caps[-1] == 1_000_000
+
+
+def test_gains_table_tie_handling_deterministic(spark):
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import gains_table
+
+    # all scores tied: buckets cut by rid order, equal sizes, lift = 1 everywhere
+    rows = [(i, 7, i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "rid long, s long, y int")
+    out = gains_table(df, "s", "y", "rid", n_buckets=4).collect()
+    assert [r.n for r in sorted(out, key=lambda r: r.bucket)] == [10, 10, 10, 10]
+    last = max(out, key=lambda r: r.bucket)
+    assert last.capture_ppm == 1_000_000 and last.lift_ppm == 1_000_000
+    # determinism under repartition
+    again = gains_table(df.repartition(7), "s", "y", "rid", n_buckets=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

@@ -72,6 +72,7 @@ BNLJ_ALLOWED = {
     "modularity",  # 1-row total-mass M broadcast into the per-community frame
     "t_closeness",  # 1-row corpus-total N broadcast into the cells frame
     "jackknife_ratio",  # two 1-row totals broadcasts into the cluster frame
+    "lift_table",  # 1-row (N, P) totals broadcast into the ranked frame
     "ols_fit_predict",
     "peak_concurrency",
     "permutation_test",

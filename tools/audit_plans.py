@@ -1724,6 +1724,23 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import gains_table
+
+    gt = t.select(F.length("text").cast("long").alias("s"),
+                  (F.col("turn_idx") % 3 == 0).cast("int").alias("y"),
+                  F.col("conv_id").alias("rid"))
+    sections.append(summarize(
+        "Cumulative gains / lift table",
+        gains_table(gt, "s", "y", "rid", n_buckets=10),
+        "Distinct-score cumulative offsets (bounded frame) + a "
+        "score-PARTITIONED row_number give global positions with no "
+        "single-task global window; closed-form integer bucket; one "
+        "groupBy(bucket) + a k-row cumulative window; 1-row totals "
+        "broadcast (bounded BNLJ).",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
