@@ -2150,3 +2150,78 @@ def effective_sample_size(df: DataFrame, weight_col: str) -> DataFrame:
             " div (n * sum_w2) as bigint) else 0 end"
         ).alias("ess_ratio_ppm"),
     )
+
+
+def diversity_indices(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ecological diversity profile of each corpus slice's WORD
+    distribution — the composition view that tells a curation pipeline
+    whether a source is lexically rich or a stamped-out template farm:
+
+    * ``chao1_micro`` — bias-corrected Chao1 richness estimator
+      (Chao 1984) V + f1(f1-1)/(2(f2+1)): how many word types the slice
+      WOULD show at infinite sampling, from the singleton/doubleton
+      counts (the abundance cousin of vocab_richness's observed-hapax
+      report). Exact integer micro units, defined even when f2 = 0.
+    * ``simpson_ppm`` — Simpson concentration lambda =
+      sum c(c-1) / (N(N-1)) in exact ppm (probability two random tokens
+      are the same type; 1 - lambda is Simpson diversity). Pure integer
+      trunc division.
+    * ``entropy`` — Shannon entropy (nats) of the word distribution,
+      the entropy_by_group release form: per-type ln quantized to
+      integer nanos BEFORE the weighted sum (order-free exact
+      decimal(38,0) reduction), one fixed-order closing expression.
+
+    Scale shape: one (group, word) shuffle bounded by vocabulary x
+    groups, then one map-side-combinable groupBy(group); no windows, no
+    sorts, no raw-text shuffle (words explode map-side). Distinct from
+    entropy_report (language-mix entropy) — this profiles the lexical
+    distribution itself.
+    """
+    from ..operators.dedup import normalize_text
+
+    wc = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("grp", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nlog = F.floor(
+        F.log(F.col("c").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    g = wc.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v_distinct"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("f2"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("_cc"),
+        F.sum(F.col("c").cast("decimal(38,0)") * nlog).alias("_wl"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    ent = (
+        F.floor(F.log(n_d) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+        - F.col("_wl").cast("double") / n_d / F.lit(1e9)
+    )
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "v_distinct",
+        "f1",
+        "f2",
+        F.expr(
+            "cast(v_distinct * 1000000 + (cast(f1 as decimal(38,0)) * (f1 - 1)"
+            " * 1000000) div (2 * (f2 + 1)) as bigint)"
+        ).alias("chao1_micro"),
+        F.expr(
+            "cast(case when n_tokens >= 2 then"
+            " ((_cc - n_tokens) * 1000000) div (cast(n_tokens as decimal(38,0))"
+            " * (n_tokens - 1)) else 0 end as bigint)"
+        ).alias("simpson_ppm"),
+        (F.floor(ent * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("entropy"),
+    )

@@ -762,3 +762,107 @@ def gains_table(
             " (cast(cum_n as decimal(38,0)) * pp) else 0 end as bigint)"
         ).alias("lift_ppm"),
     )
+
+
+def _ntile_code(
+    units: "DataFrame",
+    val_col: str,
+    id_col: str,
+    out_col: str,
+    n_buckets: int = 5,
+    ascending: bool = True,
+) -> "DataFrame":
+    """Deterministic engine-exact ntile of ``units`` by ``val_col`` —
+    the gains_table ranking trick factored out: global position rn =
+    cumulative count of strictly-better values (distinct-value frame)
+    + row_number within the value group ordered by ``id_col``; bucket =
+    ((rn-1)*k) div N + 1. No single-task window over raw rows — the
+    unpartitioned cumulative window runs over the DISTINCT-VALUE frame
+    only, so callers must pass a bounded-cardinality value (quantized
+    upstream if needed; see rfm_segments).
+    """
+    order = F.col("_v").asc() if ascending else F.col("_v").desc()
+    rows = units.select(
+        F.col(val_col).cast("long").alias("_v"), F.col(id_col).alias("_rid"), "*"
+    )
+    g = rows.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    wcb = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    off = g.select("_v", F.coalesce(F.sum("_cnt").over(wcb), F.lit(0)).alias("_cb"))
+    win = Window.partitionBy("_v").orderBy("_rid")
+    tot = rows.agg(F.count(F.lit(1)).cast("long").alias("_nn"))
+    out = (
+        rows.join(off, "_v")
+        .withColumn("_rn", F.col("_cb") + F.row_number().over(win))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            out_col,
+            F.expr(f"cast(((_rn - 1) * {int(n_buckets)}) div _nn + 1 as int)"),
+        )
+    )
+    return out.drop("_v", "_rid", "_cb", "_rn", "_nn", "_cnt")
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    monetary_event: str = "purchase",
+    event_col: str = "event_type",
+    n_buckets: int = 5,
+    monetary_unit_cents: int = 100,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classical user-base triage view (Hughes 1994) a curation or
+    targeting pipeline reads before sampling users: code every user
+    1..k on each dimension, then report the segment grid.
+
+    Per user: recency_days = days between the user's last event and the
+    corpus max day (0 = active today), freq = total events, monetary =
+    exact integer cents over ``monetary_event`` rows. Codes: R by
+    recency ASCENDING (1 = most recent), F by frequency DESCENDING
+    (1 = most frequent), M by monetary DESCENDING (1 = biggest spender)
+    — each via the engine-exact closed-form ntile (no native ntile, no
+    single-task raw-row window), ties broken deterministically by
+    user id.
+
+    Scale shape: one groupBy(user) collapses the corpus; the three
+    ranking passes run their unpartitioned cumulative window over
+    DISTINCT-VALUE frames only — recency is calendar-bounded, freq is
+    count-bounded, and monetary is quantized to whole units
+    (``monetary_unit_cents``) precisely so its distinct frame is
+    value-range-bounded, not user-bounded. Output: <= k^3 segment rows
+    (r_q, f_q, m_q, n_users, total_cents, mean_cents as an exact trunc
+    division).
+    """
+    per_user = events.groupBy(F.col(user_col).alias("_uid")).agg(
+        F.max(F.to_date(F.col(ts_col).cast("timestamp"))).alias("_last_d"),
+        F.count(F.lit(1)).cast("long").alias("_freq"),
+        F.sum(
+            F.when(
+                F.col(event_col) == monetary_event,
+                F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("_mon_cents"),
+    )
+    mx = events.agg(
+        F.max(F.to_date(F.col(ts_col).cast("timestamp"))).alias("_mx_d")
+    )
+    u = per_user.crossJoin(F.broadcast(mx)).select(
+        "_uid",
+        F.datediff(F.col("_mx_d"), F.col("_last_d")).cast("long").alias("_rec"),
+        "_freq",
+        "_mon_cents",
+        F.expr(f"_mon_cents div {int(monetary_unit_cents)}").alias("_mon_u"),
+    )
+    u = _ntile_code(u, "_rec", "_uid", "r_q", n_buckets, ascending=True)
+    u = _ntile_code(u, "_freq", "_uid", "f_q", n_buckets, ascending=False)
+    u = _ntile_code(u, "_mon_u", "_uid", "m_q", n_buckets, ascending=False)
+    seg = u.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_mon_cents").cast("long").alias("total_cents"),
+    )
+    return seg.select(
+        "r_q", "f_q", "m_q", "n_users", "total_cents",
+        F.expr("cast(total_cents div n_users as bigint)").alias("mean_cents"),
+    )

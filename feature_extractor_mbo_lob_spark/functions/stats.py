@@ -2410,3 +2410,304 @@ def replay_policy_eval(
             " as bigint)"
         ).alias("replay_mean_micro"),
     )
+
+
+def ljung_box(
+    series: DataFrame,
+    idx_col: str,
+    y_col: str,
+    lags: int = 7,
+) -> DataFrame:
+    """Ljung-Box portmanteau autocorrelation test (Ljung & Box 1978) of
+    an integer-valued calendar series — the whiteness gate a forecasting
+    or drift-monitoring pipeline runs BEFORE trusting iid-based CIs on
+    daily metrics (the reference's regime/seasonality checks,
+    `time_regime.rs`, answer "which regime"; this answers "is the
+    residual series even exchangeable").
+
+    Q = n(n+2) * sum_k r_k^2 / (n-k), r_k the lag-k autocorrelation of
+    the densified series (missing calendar indices participate as
+    zeros, so lags measure true elapsed time, not observation gaps —
+    same contract as seasonal_decompose_int).
+
+    Engine-exact spec: with S = sum(y) and u_t = n*y_t - S (exact
+    integers; u is n times the centered value, and the n^2 factors
+    cancel in r_k), C_k = sum_t u_t*u_{t+k} and C_0 = sum_t u_t^2
+    accumulate in decimal(38,0)/hugeint. Each released float is ONE
+    fixed-order IEEE expression on identical exact operands:
+    r_k = C_k/C_0, term_k = r_k*r_k*(n*(n+2))/(n-k), then
+    nano-quantized floor(term_k*1e9) so the Q sum is an order-free
+    integer sum. Output: ``lags`` rows (lag, n, n_pairs, acf,
+    lb_term_nano, q_nano) — the last row's q_nano/1e9 is the statistic,
+    chi-square with ``lags`` df under the null.
+
+    Scale shape: one groupBy collapses raw rows to the calendar frame
+    (bounded by elapsed days/hours, NOT data volume — the
+    seasonal_decompose_int / km_risk_table precedent for the
+    unpartitioned window), one 1-row total broadcast, `lags` lead
+    columns from one shared sort. Integer bound: |u| <= n*max(y), so
+    C_k <= n^2*max(y)^2*n — at 1000 days x 1e9 events/day that is
+    1e3^3 * 1e18 = 1e27 << 1e38.
+    """
+    if lags < 1:
+        raise ValueError("lags must be >= 1")
+    agg = series.groupBy(F.col(idx_col).cast("long").alias("_i")).agg(
+        F.sum(F.col(y_col).cast("long")).alias("_y")
+    )
+    rng = agg.agg(F.min("_i").alias("_lo"), F.max("_i").alias("_hi"))
+    dense = (
+        rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_i"))
+        .join(agg, "_i", "left")
+        .select("_i", F.coalesce("_y", F.lit(0)).alias("_y"))
+    )
+    tot = dense.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_s"),
+    )
+    w = Window.orderBy("_i")
+    u = (F.col("_n") * F.col("_y") - F.col("_s")).cast("decimal(38,0)")
+    cols = [u.alias("_u0")] + [
+        (
+            F.col("_n") * F.lead("_y", k).over(w) - F.col("_s")
+        ).cast("decimal(38,0)").alias(f"_u{k}")
+        for k in range(1, lags + 1)
+    ]
+    d = dense.crossJoin(F.broadcast(tot)).select("_n", *cols)
+    aggs = [F.max("_n").alias("n"), F.sum(F.col("_u0") * F.col("_u0")).alias("_c0")] + [
+        F.sum(F.col("_u0") * F.col(f"_u{k}")).alias(f"_c{k}")
+        for k in range(1, lags + 1)
+    ]
+    g = d.agg(*aggs)
+    per_lag = g.select(
+        "n",
+        "_c0",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"_c{k}").alias("_ck")
+                    )
+                    for k in range(1, lags + 1)
+                ]
+            )
+        ).alias("_e"),
+    ).select("n", "_c0", F.col("_e.lag").alias("lag"), F.col("_e._ck").alias("_ck"))
+    rk = F.col("_ck").cast("double") / F.col("_c0").cast("double")
+    term = (
+        rk
+        * rk
+        * (F.col("n") * (F.col("n") + F.lit(2))).cast("double")
+        / (F.col("n") - F.col("lag")).cast("double")
+    )
+    out = per_lag.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") - F.col("lag")).cast("long").alias("n_pairs"),
+        F.when(F.col("_c0") > 0, F.floor(rk * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .otherwise(F.lit(0.0))
+        .alias("acf"),
+        F.when(F.col("_c0") > 0, F.floor(term * F.lit(1e9)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("lb_term_nano"),
+    )
+    wq = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return out.select(
+        "lag", "n", "n_pairs", "acf", "lb_term_nano",
+        F.sum("lb_term_nano").over(wq).cast("long").alias("q_nano"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall tau-b rank correlation between two integer-valued series
+    keyed by ``id_col`` — the tie-robust monotone-association companion
+    to spearman (midrank Pearson) and cross_correlation (lagged linear):
+    tau counts pair ORDER agreements, so one wild day cannot dominate
+    the way it can a product-moment statistic.
+
+    Exact pair counts over the i<j self-join: nc (concordant:
+    (x_i-x_j)(y_i-y_j) > 0), nd (discordant), n_dx / n_dy (pairs whose
+    x / y differ — n0-n1 and n0-n2 in Kendall's notation; both-tied
+    pairs leave both denominators). tau_b = (nc-nd)/sqrt(n_dx*n_dy) is
+    released as the house signed square
+    tau_b2_signed = sign(nc-nd)*(nc-nd)^2 / (n_dx*n_dy) — one IEEE
+    division of exact integers, sqrt never crosses engines.
+
+    Scale shape: the input is a CALENDAR-BOUNDED aggregate (daily
+    counts; the seasonal_decompose_int precedent), so the pair
+    expansion is days^2 via a bounded broadcast nested-loop join —
+    1000 days is 5e5 pairs in one task-set, never O(rows^2) of the raw
+    corpus. (nc-nd)^2 <= (n^2/2)^2 = 2.5e11 at n=1000: exact in int64,
+    widened to decimal(38,0) anyway.
+    """
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    b = rows.select(
+        F.col("_id").alias("_id2"), F.col("_x").alias("_x2"), F.col("_y").alias("_y2")
+    )
+    pairs = rows.join(F.broadcast(b), F.col("_id") < F.col("_id2"))
+    dx = F.col("_x") - F.col("_x2")
+    dy = F.col("_y") - F.col("_y2")
+    g = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((dx * dy > 0).cast("long")).cast("long").alias("nc"),
+        F.sum((dx * dy < 0).cast("long")).cast("long").alias("nd"),
+        F.sum((dx != 0).cast("long")).cast("long").alias("n_dx"),
+        F.sum((dy != 0).cast("long")).cast("long").alias("n_dy"),
+    )
+    s = (F.col("nc") - F.col("nd")).cast("decimal(38,0)")
+    tb2 = (
+        F.signum(s.cast("double"))
+        * (s * s).cast("double")
+        / (F.col("n_dx").cast("decimal(38,0)") * F.col("n_dy")).cast("double")
+    )
+    return g.select(
+        "n_pairs", "nc", "nd", "n_dx", "n_dy",
+        F.when(
+            (F.col("n_dx") > 0) & (F.col("n_dy") > 0),
+            F.floor(tb2 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("tau_b2_signed"),
+    )
+
+
+def granger_lag1(
+    series: DataFrame,
+    idx_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Granger causality test at lag 1, BOTH directions — "does yesterday's
+    x improve today's y forecast beyond y's own yesterday?" — the
+    predictive upgrade over cross_correlation (association only):
+    F = (RSS_restricted - RSS_full) / (RSS_full / (n-3)) comparing
+    y_t ~ y_{t-1} against y_t ~ y_{t-1} + x_{t-1} on the DENSIFIED
+    calendar series (missing days are zeros, same contract as
+    ljung_box / seasonal_decompose_int).
+
+    Engine-exact spec: with n-cleared centered moments
+    C_ab = n*sum(ab) - sum(a)*sum(b) (exact decimal(38,0)/hugeint
+    integers over the lag-aligned frame), partitioned regression
+    collapses the RSS gap to a PERFECT SQUARE:
+        RSS_r - RSS_u = (s2y*S11 - s1y*S12)^2 / (det*S11),
+    det = S11*S22 - S12^2, so
+        F = (n-3) * T^2 / (S11*(Syy*det - Q)),   T = s2y*S11 - s1y*S12,
+        Q = s1y^2*S22 - 2*s1y*s2y*S12 + s2y^2*S11
+    — every named quantity an exact integer, the release ONE fixed-order
+    IEEE expression on their double casts (T^2 may exceed int range;
+    it is formed in double on both engines identically).
+
+    Integer bound: C ~ n^2*max(daily)^2 must stay < ~1e19 for T, det
+    < ~1e38 — fine to ~1e6 events/day over ~1000 days; pre-scale the
+    series (thousands) beyond that.
+
+    Scale shape: one groupBy to the calendar frame, one shared sort for
+    both lag columns, a 2-row direction explode, one partial-aggregable
+    groupBy(direction). Returns 2 rows: (direction, n, syy, s11, s22,
+    s12, s1y, s2y, f_stat).
+    """
+    agg = series.groupBy(F.col(idx_col).cast("long").alias("_i")).agg(
+        F.sum(F.col(x_col).cast("long")).alias("_x"),
+        F.sum(F.col(y_col).cast("long")).alias("_y"),
+    )
+    rng = agg.agg(F.min("_i").alias("_lo"), F.max("_i").alias("_hi"))
+    dense = (
+        rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_i"))
+        .join(agg, "_i", "left")
+        .select(
+            "_i",
+            F.coalesce("_x", F.lit(0)).alias("_x"),
+            F.coalesce("_y", F.lit(0)).alias("_y"),
+        )
+    )
+    w = Window.orderBy("_i")
+    lagged = dense.select(
+        "_x", "_y",
+        F.lag("_x", 1).over(w).alias("_xl"),
+        F.lag("_y", 1).over(w).alias("_yl"),
+    ).filter(F.col("_xl").isNotNull())
+    both = lagged.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("x_to_y").alias("direction"),
+                    F.col("_y").alias("dep"),
+                    F.col("_yl").alias("own"),
+                    F.col("_xl").alias("cross"),
+                ),
+                F.struct(
+                    F.lit("y_to_x").alias("direction"),
+                    F.col("_x").alias("dep"),
+                    F.col("_xl").alias("own"),
+                    F.col("_yl").alias("cross"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.direction", "_e.dep", "_e.own", "_e.cross")
+    d38 = "decimal(38,0)"
+    g = both.groupBy("direction").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dep").cast(d38).alias("_sy"),
+        F.sum("own").cast(d38).alias("_s1"),
+        F.sum("cross").cast(d38).alias("_s2"),
+        F.sum(F.col("dep").cast(d38) * F.col("dep")).alias("_pyy"),
+        F.sum(F.col("own").cast(d38) * F.col("own")).alias("_p11"),
+        F.sum(F.col("cross").cast(d38) * F.col("cross")).alias("_p22"),
+        F.sum(F.col("own").cast(d38) * F.col("cross")).alias("_p12"),
+        F.sum(F.col("own").cast(d38) * F.col("dep")).alias("_p1y"),
+        F.sum(F.col("cross").cast(d38) * F.col("dep")).alias("_p2y"),
+    )
+    c = g.select(
+        "direction", "n",
+        (F.col("n") * F.col("_pyy") - F.col("_sy") * F.col("_sy")).alias("_cyy"),
+        (F.col("n") * F.col("_p11") - F.col("_s1") * F.col("_s1")).alias("_c11"),
+        (F.col("n") * F.col("_p22") - F.col("_s2") * F.col("_s2")).alias("_c22"),
+        (F.col("n") * F.col("_p12") - F.col("_s1") * F.col("_s2")).alias("_c12"),
+        (F.col("n") * F.col("_p1y") - F.col("_s1") * F.col("_sy")).alias("_c1y"),
+        (F.col("n") * F.col("_p2y") - F.col("_s2") * F.col("_sy")).alias("_c2y"),
+    )
+    f_expr = (
+        "cast(n - 3 as double) * (cast(_t as double) * cast(_t as double))"
+        " / (cast(_c11 as double)"
+        "    * (cast(_cyy as double) * cast(_det as double)"
+        "       - cast(_q as double)))"
+    )
+    out = c.select(
+        "direction", "n",
+        F.col("_cyy").cast("long").alias("syy"),
+        F.col("_c11").cast("long").alias("s11"),
+        F.col("_c22").cast("long").alias("s22"),
+        F.col("_c12").cast("long").alias("s12"),
+        F.col("_c1y").cast("long").alias("s1y"),
+        F.col("_c2y").cast("long").alias("s2y"),
+        (F.col("_c2y") * F.col("_c11") - F.col("_c1y") * F.col("_c12")).alias("_t"),
+        (F.col("_c11") * F.col("_c22") - F.col("_c12") * F.col("_c12")).alias("_det"),
+        (
+            F.col("_c1y") * F.col("_c1y") * F.col("_c22")
+            - F.lit(2).cast(d38) * F.col("_c1y") * F.col("_c2y") * F.col("_c12")
+            + F.col("_c2y") * F.col("_c2y") * F.col("_c11")
+        ).alias("_q"),
+        "_cyy", "_c11",
+    )
+    guarded = F.when(
+        (F.col("n") > 3)
+        & (F.col("_det") > 0)
+        & (
+            F.col("_cyy").cast("double") * F.col("_det").cast("double")
+            - F.col("_q").cast("double")
+            > 0
+        ),
+        F.expr(f_expr),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "direction", "n", "syy", "s11", "s22", "s12", "s1y", "s2y",
+        (F.floor(guarded * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("f_stat"),
+    )

@@ -16896,6 +16896,370 @@ QUERIES["lift_table"] = q_lift_table
 ORACLES["lift_table"] = O_LIFT_TABLE
 
 
+
+
+# --- Ljung-Box portmanteau whiteness test over the daily event series ------------------
+
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau test (functions/stats.ljung_box) of the
+    densified daily event-count series at lags 1-7 — the whiteness gate
+    run before trusting iid CIs on daily metrics, completing the
+    autocorrelation family (acf_features: per-conv values;
+    cross_correlation: lead/lag between two series; this: one series vs
+    its own past, aggregated into the chi-square(7) statistic). All
+    moments are exact decimal(38,0)/hugeint integers of the n-cleared
+    centered series u_t = n*y_t - S; each released float is one
+    fixed-order IEEE expression, the Q sum is order-free (nano-quantized
+    integer terms)."""
+    from ..functions.stats import ljung_box
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return ljung_box(daily, "d", "y", lags=7)
+
+
+_LB_RK = "(cast(ck as double) / cast(c0 as double))"
+_LB_TERM = (
+    f"({_LB_RK} * {_LB_RK} * cast(n * (n + 2) as double)"
+    " / cast(n - lag as double))"
+)
+
+O_LJUNG_BOX = f"""
+with c as (
+  select epoch_us(ts) // 86400000000 as d, cast(count(*) as bigint) as y
+  from events group by 1
+),
+idx as (
+  select unnest(generate_series((select min(d) from c),
+                                (select max(d) from c))) as i
+),
+dense as (
+  select idx.i, coalesce(c.y, 0) as y from idx left join c on c.d = idx.i
+),
+tot as (
+  select cast(count(*) as bigint) as n, cast(sum(y) as bigint) as s
+  from dense
+),
+u as (
+  select i, t.n, cast(t.n * y - t.s as hugeint) as u0,
+    cast(t.n * lead(y, 1) over (order by i) - t.s as hugeint) as u1,
+    cast(t.n * lead(y, 2) over (order by i) - t.s as hugeint) as u2,
+    cast(t.n * lead(y, 3) over (order by i) - t.s as hugeint) as u3,
+    cast(t.n * lead(y, 4) over (order by i) - t.s as hugeint) as u4,
+    cast(t.n * lead(y, 5) over (order by i) - t.s as hugeint) as u5,
+    cast(t.n * lead(y, 6) over (order by i) - t.s as hugeint) as u6,
+    cast(t.n * lead(y, 7) over (order by i) - t.s as hugeint) as u7
+  from dense, tot t
+),
+g as (
+  select max(n) as n, sum(u0 * u0) as c0,
+    sum(u0 * u1) as c1,
+    sum(u0 * u2) as c2,
+    sum(u0 * u3) as c3,
+    sum(u0 * u4) as c4,
+    sum(u0 * u5) as c5,
+    sum(u0 * u6) as c6,
+    sum(u0 * u7) as c7
+  from u
+),
+per as (
+  select n, c0, 1 as lag, c1 as ck from g
+  union all select n, c0, 2 as lag, c2 as ck from g
+  union all select n, c0, 3 as lag, c3 as ck from g
+  union all select n, c0, 4 as lag, c4 as ck from g
+  union all select n, c0, 5 as lag, c5 as ck from g
+  union all select n, c0, 6 as lag, c6 as ck from g
+  union all select n, c0, 7 as lag, c7 as ck from g
+)
+select cast(lag as int) as lag, cast(n as bigint) as n,
+  cast(n - lag as bigint) as n_pairs,
+  case when c0 > 0 then floor({_LB_RK} * 1000000.0 + 0.5) / 1000000.0
+       else 0.0 end as acf,
+  cast(case when c0 > 0 then floor({_LB_TERM} * 1000000000.0)
+       else 0 end as bigint) as lb_term_nano,
+  cast(sum(cast(case when c0 > 0 then floor({_LB_TERM} * 1000000000.0)
+                else 0 end as bigint))
+       over (order by lag rows between unbounded preceding and current row)
+       as bigint) as q_nano
+from per
+"""
+
+QUERIES["ljung_box"] = q_ljung_box
+ORACLES["ljung_box"] = O_LJUNG_BOX
+
+
+# --- Kendall tau-b between the daily purchase and error series -------------------------
+
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b (functions/stats.kendall_tau) between daily
+    purchase and error counts — the tie-robust monotone-association
+    companion to spearman/cross_correlation: exact concordant /
+    discordant / tie pair counts over the calendar-bounded days^2
+    bounded-broadcast pair join, tau-b released as the house signed
+    square (one IEEE division of exact integers, sqrt never crosses
+    engines)."""
+    from ..functions.stats import kendall_tau
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long").alias("x"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("long").alias("y"),
+    )
+    return kendall_tau(daily, "d", "x", "y")
+
+
+O_KENDALL_TAU = """
+with daily as (
+  select epoch_us(ts) // 86400000000 as d,
+    cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as x,
+    cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as y
+  from events group by 1
+),
+p as (
+  select a.x - b.x as dx, a.y - b.y as dy
+  from daily a join daily b on a.d < b.d
+),
+g as (
+  select cast(count(*) as bigint) as n_pairs,
+    cast(sum(case when dx * dy > 0 then 1 else 0 end) as bigint) as nc,
+    cast(sum(case when dx * dy < 0 then 1 else 0 end) as bigint) as nd,
+    cast(sum(case when dx <> 0 then 1 else 0 end) as bigint) as n_dx,
+    cast(sum(case when dy <> 0 then 1 else 0 end) as bigint) as n_dy
+  from p
+)
+select n_pairs, nc, nd, n_dx, n_dy,
+  case when n_dx > 0 and n_dy > 0 then
+    floor((
+      (case when nc - nd > 0 then 1.0 when nc - nd < 0 then -1.0 else 0.0 end)
+      * cast(cast(nc - nd as hugeint) * (nc - nd) as double)
+      / cast(cast(n_dx as hugeint) * n_dy as double)
+    ) * 1000000.0 + 0.5) / 1000000.0
+  else 0.0 end as tau_b2_signed
+from g
+"""
+
+QUERIES["kendall_tau"] = q_kendall_tau
+ORACLES["kendall_tau"] = O_KENDALL_TAU
+
+
+# --- RFM quintile segmentation of the user base -----------------------------------------
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation (functions/evalmetrics.rfm_segments): every user
+    coded 1-5 on recency (1 = most recent), frequency and monetary
+    (1 = heaviest), segments reported with exact integer cents — the
+    classical user-triage grid beside lift_table (ranking one score)
+    and cohort_retention (time view). Each code uses the engine-exact
+    closed-form ntile over a BOUNDED distinct-value frame (recency is
+    calendar-bounded, frequency count-bounded, monetary quantized to
+    whole units), ties broken by user id."""
+    from ..functions.evalmetrics import rfm_segments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rfm_segments(ev)
+
+
+O_RFM_SEGMENTS = """
+with pu as (
+  select user_id as uid,
+    max(cast(ts as date)) as last_d,
+    cast(count(*) as bigint) as freq,
+    cast(sum(case when event_type = 'purchase'
+        then cast(floor(value * 100.0 + 0.5) as bigint) else 0 end)
+      as bigint) as mon_cents
+  from events group by 1
+),
+mx as (select max(cast(ts as date)) as mx_d from events),
+u as (
+  select uid,
+    cast(date_diff('day', last_d, mx_d) as bigint) as rec,
+    freq, mon_cents, mon_cents // 100 as mon_u
+  from pu, mx
+),
+tot as (select cast(count(*) as bigint) as nn from u),
+coded as (
+  select uid, mon_cents,
+    cast(((row_number() over (order by rec asc, uid asc) - 1) * 5)
+         // t.nn + 1 as int) as r_q,
+    cast(((row_number() over (order by freq desc, uid asc) - 1) * 5)
+         // t.nn + 1 as int) as f_q,
+    cast(((row_number() over (order by mon_u desc, uid asc) - 1) * 5)
+         // t.nn + 1 as int) as m_q
+  from u, tot t
+)
+select r_q, f_q, m_q,
+  cast(count(*) as bigint) as n_users,
+  cast(sum(mon_cents) as bigint) as total_cents,
+  cast(sum(mon_cents) // count(*) as bigint) as mean_cents
+from coded group by 1, 2, 3
+"""
+
+QUERIES["rfm_segments"] = q_rfm_segments
+ORACLES["rfm_segments"] = O_RFM_SEGMENTS
+
+
+# --- ecological diversity profile of each source's word distribution -------------------
+
+def q_diversity_indices(spark, sf_dir):
+    """Per-source lexical diversity (functions/corpus.diversity_indices):
+    bias-corrected Chao1 richness estimate (exact integer micro),
+    Simpson concentration lambda (exact ppm trunc division), Shannon
+    word entropy (nano-quantized ln, order-free integer reduction) —
+    the composition triage beside vocab_richness (observed counts) and
+    entropy_report (language-mix entropy). One vocabulary-bounded
+    (group, word) shuffle + one map-side-combinable groupBy."""
+    from ..functions.corpus import diversity_indices
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return diversity_indices(docs, "source")
+
+
+O_DIVERSITY_INDICES = """
+with ww as (
+  select source as grp,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                        ' ')) as w
+  from documents
+),
+wc as (
+  select grp, w, cast(count(*) as bigint) as c
+  from ww where w <> '' group by 1, 2
+),
+g as (
+  select grp, cast(sum(c) as bigint) as n_tokens,
+    cast(count(*) as bigint) as v_distinct,
+    cast(sum(case when c = 1 then 1 else 0 end) as bigint) as f1,
+    cast(sum(case when c = 2 then 1 else 0 end) as bigint) as f2,
+    sum(cast(c as hugeint) * c) as cc,
+    sum(cast(c as hugeint)
+        * cast(floor(ln(cast(c as double)) * 1000000000.0 + 0.5) as hugeint))
+      as wl
+  from wc group by 1
+)
+select grp as source, n_tokens, v_distinct, f1, f2,
+  cast(v_distinct * 1000000
+       + (cast(f1 as hugeint) * (f1 - 1) * 1000000) // (2 * (f2 + 1))
+       as bigint) as chao1_micro,
+  cast(case when n_tokens >= 2 then
+    ((cc - n_tokens) * 1000000)
+      // (cast(n_tokens as hugeint) * (n_tokens - 1))
+    else 0 end as bigint) as simpson_ppm,
+  floor((floor(ln(cast(n_tokens as double)) * 1000000000.0 + 0.5)
+           / 1000000000.0
+         - cast(wl as double) / cast(n_tokens as double) / 1000000000.0)
+        * 1000000.0 + 0.5) / 1000000.0 as entropy
+from g
+"""
+
+QUERIES["diversity_indices"] = q_diversity_indices
+ORACLES["diversity_indices"] = O_DIVERSITY_INDICES
+
+
+# --- Granger lag-1 causality between the daily purchase and error series ----------------
+
+def q_granger_lag1(spark, sf_dir):
+    """Granger causality at lag 1, both directions (functions/stats.
+    granger_lag1), purchase vs error daily counts: does yesterday's
+    purchase volume predict today's errors beyond errors' own history
+    (and vice versa)? The RSS gap collapses to a perfect square, so the
+    F statistic is ONE fixed-order IEEE expression over exact
+    decimal(38,0)/hugeint centered moments of the densified calendar
+    series — the predictive upgrade over cross_correlation's
+    association view."""
+    from ..functions.stats import granger_lag1
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(
+        F.sum((F.col("event_type") == 'purchase').cast("int"))
+        .cast("long").alias("x"),
+        F.sum((F.col("event_type") == 'error').cast("int"))
+        .cast("long").alias("y"),
+    )
+    return granger_lag1(daily, "d", "x", "y")
+
+
+_GR_F = (
+    "cast(n - 3 as double) * (cast(t as double) * cast(t as double))"
+    " / (cast(c11 as double)"
+    "    * (cast(cyy as double) * cast(det as double) - cast(q as double)))"
+)
+
+O_GRANGER_LAG1 = f"""
+with c as (
+  select epoch_us(ts) // 86400000000 as d,
+    cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint)
+      as x,
+    cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as y
+  from events group by 1
+),
+idx as (
+  select unnest(generate_series((select min(d) from c),
+                                (select max(d) from c))) as i
+),
+dense as (
+  select idx.i, coalesce(c.x, 0) as x, coalesce(c.y, 0) as y
+  from idx left join c on c.d = idx.i
+),
+lagged as (
+  select x, y,
+    lag(x, 1) over (order by i) as xl,
+    lag(y, 1) over (order by i) as yl
+  from dense
+),
+dirs as (
+  select 'x_to_y' as direction, y as dep, yl as own, xl as xc
+  from lagged where xl is not null
+  union all
+  select 'y_to_x', x, xl, yl from lagged where xl is not null
+),
+g as (
+  select direction, cast(count(*) as bigint) as n,
+    sum(cast(dep as hugeint)) as sy, sum(cast(own as hugeint)) as s1,
+    sum(cast(xc as hugeint)) as s2,
+    sum(cast(dep as hugeint) * dep) as pyy,
+    sum(cast(own as hugeint) * own) as p11,
+    sum(cast(xc as hugeint) * xc) as p22,
+    sum(cast(own as hugeint) * xc) as p12,
+    sum(cast(own as hugeint) * dep) as p1y,
+    sum(cast(xc as hugeint) * dep) as p2y
+  from dirs group by 1
+),
+m as (
+  select direction, n,
+    n * pyy - sy * sy as cyy, n * p11 - s1 * s1 as c11,
+    n * p22 - s2 * s2 as c22, n * p12 - s1 * s2 as c12,
+    n * p1y - s1 * sy as c1y, n * p2y - s2 * sy as c2y
+  from g
+),
+f as (
+  select direction, n, cyy, c11, c22, c12, c1y, c2y,
+    c2y * c11 - c1y * c12 as t,
+    c11 * c22 - c12 * c12 as det,
+    c1y * c1y * c22 - 2 * c1y * c2y * c12 + c2y * c2y * c11 as q
+  from m
+)
+select direction, n,
+  cast(cyy as bigint) as syy, cast(c11 as bigint) as s11,
+  cast(c22 as bigint) as s22, cast(c12 as bigint) as s12,
+  cast(c1y as bigint) as s1y, cast(c2y as bigint) as s2y,
+  floor((case when n > 3 and det > 0
+         and cast(cyy as double) * cast(det as double) - cast(q as double) > 0
+         then {_GR_F} else 0.0 end) * 1000000.0 + 0.5) / 1000000.0 as f_stat
+from f
+"""
+
+QUERIES["granger_lag1"] = q_granger_lag1
+ORACLES["granger_lag1"] = O_GRANGER_LAG1
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

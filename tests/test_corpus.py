@@ -668,3 +668,31 @@ def test_source_js_divergence_properties(spark):
         m = (pa + pb) / 2.0
         tot += math.floor((pa * math.log(pa / m) + pb * math.log(pb / m)) * 1e9 + 0.5)
     assert out[("s1", "s3")] == tot // 2
+
+
+def test_diversity_indices_hand_corpus(spark):
+    from feature_extractor_mbo_lob_spark.functions.corpus import diversity_indices
+
+    # source A: counts {a:3, b:1, c:1, d:2} -> N=7, V=4, f1=2, f2=1
+    # source B: uniform singletons -> f2=0 branch of chao1
+    rows = [
+        (1, "a a a b", "A"), (2, "c d d", "A"),
+        (3, "p q r", "B"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in diversity_indices(docs, "source").collect()}
+    a = got["A"]
+    assert (a.n_tokens, a.v_distinct, a.f1, a.f2) == (7, 4, 2, 1)
+    # chao1 = V + f1(f1-1)/(2(f2+1)) = 4 + 2*1/4 = 4.5 -> micro
+    assert a.chao1_micro == 4 * 1_000_000 + (2 * 1 * 1_000_000) // 4
+    # simpson = sum c(c-1) / (N(N-1)) = (6 + 0 + 0 + 2) / 42
+    assert a.simpson_ppm == (8 * 1_000_000) // 42
+    import math as _m
+    wl = sum(c * _m.floor(_m.log(c) * 1e9 + 0.5) for c in (3, 1, 1, 2))
+    ent = _m.floor(_m.log(7.0) * 1e9 + 0.5) / 1e9 - wl / 7.0 / 1e9
+    assert a.entropy == _m.floor(ent * 1e6 + 0.5) / 1e6
+    b = got["B"]
+    assert (b.n_tokens, b.v_distinct, b.f1, b.f2) == (3, 3, 3, 0)
+    # f2=0: chao1 = 3 + 3*2/2 = 6
+    assert b.chao1_micro == 6_000_000
+    assert b.simpson_ppm == 0  # all singletons: never two equal tokens

@@ -361,3 +361,51 @@ def test_gains_table_tie_handling_deterministic(spark):
     # determinism under repartition
     again = gains_table(df.repartition(7), "s", "y", "rid", n_buckets=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_rfm_segments_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import rfm_segments
+
+    # 5 users, clean quintiles: user i has last event on day i (user 0
+    # most stale), i+1 events, and purchase total (i+1)*10.00
+    rows = []
+    for uid in range(5):
+        for j in range(uid + 1):
+            rows.append((uid, f"2024-01-{uid + 1:02d} 00:00:00", "purchase",
+                         10.0))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    segs = rfm_segments(ev).collect()
+    by_user_units = {uid: (uid + 1) * 1000 for uid in range(5)}
+    # user 4: most recent (r_q=1), most frequent (f_q=1), top spender (m_q=1)
+    top = [s for s in segs if s.r_q == 1 and s.f_q == 1 and s.m_q == 1]
+    assert len(top) == 1 and top[0].n_users == 1
+    assert top[0].total_cents == by_user_units[4]
+    # user 0: stalest, least frequent, smallest spender -> all 5s
+    bottom = [s for s in segs if s.r_q == 5 and s.f_q == 5 and s.m_q == 5]
+    assert len(bottom) == 1 and bottom[0].n_users == 1
+    assert bottom[0].total_cents == 1000
+    assert sum(s.n_users for s in segs) == 5
+    assert all(s.mean_cents == s.total_cents // s.n_users for s in segs)
+
+
+def test_rfm_segments_monetary_quantization_ties(spark):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import rfm_segments
+
+    # two users whose cents differ but land in the same whole unit ->
+    # same monetary rank value, tie broken by user id deterministically
+    rows = [(1, "2024-01-05 00:00:00", "purchase", 5.49),
+            (2, "2024-01-05 00:00:00", "purchase", 5.01)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    segs = rfm_segments(ev, n_buckets=2).collect()
+    # both quantize to unit 5; rank order is (unit desc, uid asc):
+    # user 1 -> m_q 1, user 2 -> m_q 2
+    m_by_cents = {s.total_cents: s.m_q for s in segs}
+    assert m_by_cents[549] == 1 and m_by_cents[501] == 2

@@ -57,7 +57,10 @@ BNLJ_ALLOWED = {
     "ivf_recall",
     "ivf_topk",
     "ivf_topk_sharded",
+    "kendall_tau",
     "key_skew_report",
+    "ljung_box",  # 1-row (n, S) totals broadcast into the calendar frame
+    "rfm_segments",  # 1-row max-date / N-users totals broadcasts into the user frame
     "kmeans_clusters",
     "kneser_ney",
     "kruskal_wallis",

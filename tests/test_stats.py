@@ -853,3 +853,156 @@ def test_replay_ope_unmatched_context_returns_zero(spark):
     df = df.withColumn("ctx", F.lit(0).cast("long"))
     r = replay_policy_eval(df, "ctx", "arm", "value", "event_id").collect()[0]
     assert r.arm_star == "a" and r.n_matched == 0 and r.replay_mean_micro == 0
+
+
+def _naive_ljung_box(ys, lags):
+    """Pure-python Ljung-Box on an already-dense integer series."""
+    n = len(ys)
+    s = sum(ys)
+    u = [n * y - s for y in ys]  # n * centered value, exact ints
+    c0 = sum(x * x for x in u)
+    out = []
+    q = 0
+    for k in range(1, lags + 1):
+        ck = sum(u[t] * u[t + k] for t in range(n - k))
+        rk = ck / c0 if c0 > 0 else 0.0
+        term = rk * rk * (n * (n + 2)) / (n - k) if c0 > 0 else 0.0
+        nano = math.floor(term * 1e9) if c0 > 0 else 0
+        q += nano
+        out.append((k, n, n - k, rk, nano, q))
+    return out
+
+
+def test_ljung_box_matches_naive_with_gap_densify(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import ljung_box
+
+    # observed days 0..5 and 8..11 -> days 6,7 participate as zeros
+    obs = [(0, 5), (1, 9), (2, 4), (3, 7), (4, 7), (5, 2), (8, 6), (9, 9),
+           (10, 1), (11, 8)]
+    df = spark.createDataFrame(obs, "d long, y long")
+    got = {r.lag: r for r in ljung_box(df, "d", "y", lags=4).collect()}
+    dense = []
+    lookup = dict(obs)
+    for d in range(0, 12):
+        dense.append(lookup.get(d, 0))
+    for k, n, npairs, rk, nano, q in _naive_ljung_box(dense, 4):
+        r = got[k]
+        assert r.n == n and r.n_pairs == npairs
+        assert r.acf == math.floor(rk * 1e6 + 0.5) / 1e6
+        assert r.lb_term_nano == nano
+        assert r.q_nano == q
+
+
+def test_ljung_box_constant_series_is_zero(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import ljung_box
+
+    df = spark.createDataFrame([(d, 3) for d in range(10)], "d long, y long")
+    rows = ljung_box(df, "d", "y", lags=3).collect()
+    assert all(r.acf == 0.0 and r.lb_term_nano == 0 and r.q_nano == 0
+               for r in rows)
+
+
+def test_kendall_tau_matches_naive_pair_count(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import kendall_tau
+
+    pts = [(0, 3, 1), (1, 1, 4), (2, 4, 4), (3, 1, 2), (4, 5, 9),
+           (5, 2, 6), (6, 5, 3), (7, 5, 5)]
+    df = spark.createDataFrame(pts, "d long, x long, y long")
+    r = kendall_tau(df, "d", "x", "y").collect()[0]
+    nc = nd = ndx = ndy = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx = pts[i][1] - pts[j][1]
+            dy = pts[i][2] - pts[j][2]
+            if dx * dy > 0:
+                nc += 1
+            elif dx * dy < 0:
+                nd += 1
+            if dx != 0:
+                ndx += 1
+            if dy != 0:
+                ndy += 1
+    assert (r.n_pairs, r.nc, r.nd, r.n_dx, r.n_dy) == (
+        len(pts) * (len(pts) - 1) // 2, nc, nd, ndx, ndy)
+    sign = 1.0 if nc > nd else (-1.0 if nc < nd else 0.0)
+    expect = sign * (nc - nd) ** 2 / (ndx * ndy)
+    assert r.tau_b2_signed == math.floor(expect * 1e6 + 0.5) / 1e6
+    # sanity: perfect agreement on a strictly increasing pair
+    inc = spark.createDataFrame([(i, i, i * 2) for i in range(6)],
+                                "d long, x long, y long")
+    r2 = kendall_tau(inc, "d", "x", "y").collect()[0]
+    assert r2.tau_b2_signed == 1.0
+
+
+def test_kendall_tau_all_ties_guard(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import kendall_tau
+
+    df = spark.createDataFrame([(i, 7, i) for i in range(5)],
+                               "d long, x long, y long")
+    r = kendall_tau(df, "d", "x", "y").collect()[0]
+    assert r.n_dx == 0 and r.tau_b2_signed == 0.0
+
+
+def _naive_granger(xs, ys):
+    """Exact-integer replica of granger_lag1's formula on dense series."""
+    out = {}
+    for direction, dep, own, cross in (
+        ("x_to_y", ys[1:], ys[:-1], xs[:-1]),
+        ("y_to_x", xs[1:], xs[:-1], ys[:-1]),
+    ):
+        n = len(dep)
+        sy, s1, s2 = sum(dep), sum(own), sum(cross)
+        pyy = sum(a * a for a in dep)
+        p11 = sum(a * a for a in own)
+        p22 = sum(a * a for a in cross)
+        p12 = sum(a * b for a, b in zip(own, cross))
+        p1y = sum(a * b for a, b in zip(own, dep))
+        p2y = sum(a * b for a, b in zip(cross, dep))
+        cyy, c11, c22 = n * pyy - sy * sy, n * p11 - s1 * s1, n * p22 - s2 * s2
+        c12, c1y, c2y = n * p12 - s1 * s2, n * p1y - s1 * sy, n * p2y - s2 * sy
+        t = c2y * c11 - c1y * c12
+        det = c11 * c22 - c12 * c12
+        q = c1y * c1y * c22 - 2 * c1y * c2y * c12 + c2y * c2y * c11
+        if n > 3 and det > 0 and float(cyy) * float(det) - float(q) > 0:
+            f = (
+                float(n - 3) * (float(t) * float(t))
+                / (float(c11) * (float(cyy) * float(det) - float(q)))
+            )
+        else:
+            f = 0.0
+        out[direction] = (n, cyy, c11, c22, c12, c1y, c2y,
+                          math.floor(f * 1e6 + 0.5) / 1e6)
+    return out
+
+
+def test_granger_lag1_exact_parity_and_direction(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import granger_lag1
+
+    # y follows x with a 1-day lag (plus a wiggle) -> x_to_y F should
+    # dominate y_to_x
+    xs = [5, 9, 2, 8, 4, 7, 1, 6, 9, 3, 8, 2]
+    ys = [0] + [x * 3 + (i % 2) for i, x in enumerate(xs[:-1])]
+    rows = [(d, x, y) for d, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, "d long, x long, y long")
+    got = {r.direction: r for r in granger_lag1(df, "d", "x", "y").collect()}
+    want = _naive_granger(xs, ys)
+    for direction, (n, cyy, c11, c22, c12, c1y, c2y, f) in want.items():
+        r = got[direction]
+        assert (r.n, r.syy, r.s11, r.s22, r.s12, r.s1y, r.s2y) == (
+            n, cyy, c11, c22, c12, c1y, c2y)
+        assert r.f_stat == f
+    assert got["x_to_y"].f_stat > 10 * got["y_to_x"].f_stat
+
+
+def test_granger_lag1_densifies_missing_days(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import granger_lag1
+
+    # day 2 missing -> must participate as (0, 0)
+    rows = [(0, 4, 1), (1, 2, 5), (3, 6, 2), (4, 1, 7), (5, 3, 3)]
+    df = spark.createDataFrame(rows, "d long, x long, y long")
+    got = {r.direction: r for r in granger_lag1(df, "d", "x", "y").collect()}
+    xs, ys = [4, 2, 0, 6, 1, 3], [1, 5, 0, 2, 7, 3]
+    want = _naive_granger(xs, ys)
+    for direction in ("x_to_y", "y_to_x"):
+        assert got[direction].f_stat == want[direction][-1]
+        assert got[direction].n == 5

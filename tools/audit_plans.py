@@ -1741,6 +1741,82 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        granger_lag1, kendall_tau, ljung_box,
+    )
+
+    daily = t.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("y"),
+        F.sum((F.col("role") == "user").cast("int")).cast("long").alias("x"),
+    )
+    sections.append(summarize(
+        "Ljung-Box whiteness test",
+        ljung_box(daily, "d", "y", lags=7),
+        "One groupBy to the calendar frame; the unpartitioned sort is over "
+        "the CALENDAR-BOUNDED dense series (seasonal_decompose precedent); "
+        "1-row (n, S) totals broadcast (bounded BNLJ); lags lead columns "
+        "share one sort; Q is an order-free integer sum of nano terms.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Kendall tau-b (calendar pair join)",
+        kendall_tau(daily, "d", "x", "y"),
+        "days^2 pair expansion via a bounded BROADCAST nested-loop join on "
+        "the calendar aggregate (1000 days = 5e5 pairs), never O(rows^2); "
+        "one partial-aggregable global aggregate; signed-square release.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Granger lag-1 F test (both directions)",
+        granger_lag1(daily, "d", "x", "y"),
+        "Calendar densify + one shared sort for both lag columns; 2-row "
+        "direction explode; ONE map-side-combinable groupBy(direction); "
+        "the F release is a single fixed-order IEEE expression over exact "
+        "decimal(38,0) moments — no iteration, no joins after the lag.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import rfm_segments
+
+    ev_like = t.select(
+        F.col("conv_id").alias("user_id"), "ts",
+        F.when(F.col("role") == "tool", F.lit("purchase"))
+        .otherwise(F.lit("other")).alias("event_type"),
+        F.length("text").cast("double").alias("value"),
+    )
+    sections.append(summarize(
+        "RFM quintile segmentation",
+        rfm_segments(ev_like),
+        "One groupBy(user) collapse; three closed-form ntile passes whose "
+        "unpartitioned cumulative windows run over BOUNDED distinct-value "
+        "frames (recency calendar-bounded, frequency count-bounded, "
+        "monetary quantized to whole units); 1-row max-date and N totals "
+        "broadcasts (bounded BNLJ); <=k^3 output rows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    from feature_extractor_mbo_lob_spark.functions.corpus import diversity_indices
+
+    docs_like = t.select(F.col("text"), F.col("role").alias("source"))
+    sections.append(summarize(
+        "Lexical diversity indices (Chao1 / Simpson / Shannon)",
+        diversity_indices(docs_like, "source"),
+        "Words explode map-side into ONE vocabulary-bounded (group, word) "
+        "shuffle, then one map-side-combinable groupBy(group); no windows, "
+        "no sorts, no raw-text shuffle; all three indices release from "
+        "exact integer sufficient statistics.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
