@@ -2711,3 +2711,245 @@ def granger_lag1(
         "direction", "n", "syy", "s11", "s22", "s12", "s1y", "s2y",
         (F.floor(guarded * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("f_stat"),
     )
+
+
+def haar_energy(
+    series: DataFrame,
+    idx_col: str,
+    y_col: str,
+    levels: int = 4,
+) -> DataFrame:
+    """Haar multiresolution energy decomposition of an integer calendar
+    series — "at which timescale does the variation live?" (day-to-day
+    jitter vs weekly swings), the exact-arithmetic cousin of a
+    periodogram: the unnormalized Haar detail at level L is
+    d = a - b over adjacent PAIRS of the level-(L-1) smooth
+    (s = a + b), so every coefficient — and therefore every energy
+    sum_d d^2 — is an exact integer; no trig, no floats until the
+    final share release.
+
+    Pairing rule (identical on both engines): level L groups the
+    level-(L-1) index by i div 2; a = the even-index member, b = the
+    odd; an unpaired boundary element is dropped at that level
+    (documented truncation, deterministic because the index is the
+    ABSOLUTE calendar index, not a row number). Missing days are
+    densified to zero first (ljung_box contract).
+
+    Output: ``levels`` rows (level, n_pairs, energy,
+    energy_ppm = energy*1e6 div total-detail-energy — exact trunc
+    division). Integer bound: the level-L smooth sums 2^L days, so
+    energy <= n * (2^L * max(daily))^2 — at 1000 days of 1e6/day and
+    L=4 that is 1e3 * 2.6e14 ~ 2.6e17 < int64; widened to
+    decimal(38,0) internally anyway.
+
+    Scale shape: one groupBy to the calendar frame, then ``levels``
+    halving aggregations over calendar-bounded frames; a levels-row
+    union + one window for the share. Nothing touches raw-row volume.
+    """
+    agg = series.groupBy(F.col(idx_col).cast("long").alias("_i")).agg(
+        F.sum(F.col(y_col).cast("long")).alias("_y")
+    )
+    rng = agg.agg(F.min("_i").alias("_lo"), F.max("_i").alias("_hi"))
+    cur = (
+        rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_i"))
+        .join(agg, "_i", "left")
+        .select("_i", F.coalesce("_y", F.lit(0)).alias("_y"))
+    )
+    per_level = []
+    for lvl in range(1, levels + 1):
+        paired = cur.groupBy(F.expr("_i div 2").alias("_i2")).agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(F.when(F.col("_i") % 2 == 0, F.col("_y"))).alias("_a"),
+            F.sum(F.when(F.col("_i") % 2 != 0, F.col("_y"))).alias("_b"),
+        ).filter(F.col("_cnt") == 2)
+        d = F.col("_a") - F.col("_b")
+        per_level.append(
+            paired.agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.coalesce(
+                    F.sum(d.cast("decimal(38,0)") * d), F.lit(0).cast("decimal(38,0)")
+                ).alias("_energy"),
+            ).select(F.lit(lvl).alias("level"), "n_pairs", "_energy")
+        )
+        cur = paired.select(
+            F.col("_i2").alias("_i"), (F.col("_a") + F.col("_b")).alias("_y")
+        )
+    out = per_level[0]
+    for nxt in per_level[1:]:
+        out = out.unionByName(nxt)
+    return out.select(
+        F.col("level").cast("int").alias("level"),
+        "n_pairs",
+        F.col("_energy").cast("long").alias("energy"),
+        F.expr(
+            "cast(case when sum(_energy) over (rows between unbounded preceding"
+            " and unbounded following) > 0 then (_energy * 1000000)"
+            " div sum(_energy) over (rows between unbounded preceding and"
+            " unbounded following) else 0 end as bigint)"
+        ).alias("energy_ppm"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    cents_col: str,
+    trim_ppm: int = 100_000,
+) -> DataFrame:
+    """Two-sided trimmed mean per group in EXACT integer arithmetic —
+    the robust-location companion to winsorize (which clamps) and
+    mad_outliers (which flags): drop the k = n*trim_ppm div 1e6 smallest
+    and k largest observations, average the rest. The estimator a
+    latency/spend dashboard should quote when single wild rows must not
+    move the number.
+
+    Engine-exact spec: per group, the DISTINCT-VALUE frame (value,
+    count) with its cumulative offset cb carries everything; each
+    distinct value contributes
+        kept_v = max(0, min(cb + cnt, n - k) - max(cb, k))
+    copies (pure integer clipping — no per-row rank materialized), and
+    the release is one exact trunc division
+    (sum kept_v * v * 1e6) div (n - 2k). Groups where the trim consumes
+    everything (n <= 2k) release NULL.
+
+    Scale shape: one groupBy collapses rows to the per-group
+    distinct-value frame (bounded by value cardinality), one
+    value-ordered cumulative window PARTITIONED BY GROUP, one final
+    groupBy(group). No raw-row windows.
+    """
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(cents_col).cast("long").alias("_v")
+    )
+    g = vals.groupBy("grp", "_v").agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    w = Window.partitionBy("grp").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cb = g.select(
+        "grp", "_v", "_cnt",
+        F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_cb"),
+        F.sum("_cnt").over(
+            Window.partitionBy("grp").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    k = F.expr(f"(_n * {int(trim_ppm)}) div 1000000")
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("_cb") + F.col("_cnt"), F.col("_n") - k)
+        - F.greatest(F.col("_cb"), k),
+    )
+    out = cb.select(
+        "grp", "_v", "_n", k.alias("_k"), kept.alias("_kept")
+    ).groupBy("grp").agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_k").cast("long").alias("k_trimmed"),
+        F.sum("_kept").cast("long").alias("n_kept"),
+        F.sum(F.col("_kept").cast("decimal(38,0)") * F.col("_v")).alias("_s"),
+    )
+    return out.select(
+        F.col("grp").alias(group_col), "n", "k_trimmed", "n_kept",
+        F.expr(
+            "cast(case when n - 2 * k_trimmed > 0 then (_s * 1000000)"
+            " div (n - 2 * k_trimmed) else null end as bigint)"
+        ).alias("trimmed_mean_micro"),
+    )
+
+
+def anderson_darling_2s(
+    df: DataFrame,
+    arm_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Two-sample Anderson-Darling test (Scholz & Stephens 1987,
+    tie-adjusted midrank version A2_akN, k=2) — the drift detector that
+    WEIGHTS THE TAILS, completing the two-sample family (ks_test: max
+    ECDF gap, anywhere; psi_drift/wasserstein: binned / value-weighted;
+    this: tail-sensitive, the one that fires when only the extremes
+    moved). Under H0 E[A2] = 1; A2 >> 1 rejects.
+
+    Engine-exact spec over the pooled DISTINCT-VALUE frame: with
+    doubled midrank cumulatives MM_aj = 2*m_{a,j-1} + f_aj and
+    BB_j = 2*b_{j-1} + l_j (exact integers; the 1/2s clear), the
+    Scholz-Stephens term becomes
+        l_j * (N*MM_aj - n_a*BB_j)^2
+          / (n_a * N * (BB_j*(2N - BB_j) - N*l_j))
+    — each term ONE fixed-order IEEE expression on exact integer
+    operands, nano-quantized so the (arm, value) reduction is an
+    order-free integer sum; the (N-1)/N factor applies as an exact
+    integer trunc division at release. Output one row:
+    (n_a, n_b, n_distinct, a2_nano); a2 = a2_nano/1e9.
+
+    Scale shape: one groupBy collapses the corpus to the distinct-value
+    frame; one value-ordered cumulative window over it (bounded by
+    value cardinality — the roc_curve/wilcoxon precedent); 1-row totals
+    broadcast; one final aggregate.
+    """
+    vals = df.select(
+        (F.col(arm_col).cast("int") == 0).cast("long").alias("_isa"),
+        F.col(cents_col).cast("long").alias("_v"),
+    )
+    g = vals.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_l"),
+        F.sum("_isa").cast("long").alias("_fa"),
+    )
+    wprev = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.select(
+        "_v", "_l", "_fa",
+        F.coalesce(F.sum("_l").over(wprev), F.lit(0)).alias("_bprev"),
+        F.coalesce(F.sum("_fa").over(wprev), F.lit(0)).alias("_maprev"),
+    )
+    tot = vals.agg(
+        F.count(F.lit(1)).cast("long").alias("_nn"),
+        F.sum("_isa").cast("long").alias("_na"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).select(
+        "_l", "_nn", "_na",
+        (F.lit(2) * F.col("_bprev") + F.col("_l")).alias("_bb"),
+        (F.lit(2) * F.col("_maprev") + F.col("_fa")).alias("_mma"),
+        (
+            F.lit(2) * (F.col("_bprev") - F.col("_maprev"))
+            + (F.col("_l") - F.col("_fa"))
+        ).alias("_mmb"),
+        (F.col("_nn") - F.col("_na")).alias("_nb"),
+    )
+    denom_core = (
+        F.col("_bb").cast("decimal(38,0)")
+        * (F.lit(2) * F.col("_nn") - F.col("_bb"))
+        - F.col("_nn").cast("decimal(38,0)") * F.col("_l")
+    )
+
+    def term(mm, na):
+        x = (
+            F.col("_nn").cast("decimal(38,0)") * F.col(mm)
+            - F.col(na).cast("decimal(38,0)") * F.col("_bb")
+        )
+        t = (
+            F.col("_l").cast("double")
+            * (x.cast("double") * x.cast("double"))
+            / (
+                F.col(na).cast("double")
+                * F.col("_nn").cast("double")
+                * denom_core.cast("double")
+            )
+        )
+        return F.when(
+            (denom_core > 0) & (F.col(na) > 0), F.floor(t * F.lit(1e9))
+        ).otherwise(F.lit(0)).cast("long")
+
+    s = j.select(
+        "_nn", "_na", "_nb",
+        (term("_mma", "_na") + term("_mmb", "_nb")).alias("_t"),
+    ).groupBy().agg(
+        F.max("_nn").alias("_nn"),
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("_t").cast("decimal(38,0)").alias("_sum_nano"),
+    )
+    return s.select(
+        "n_a", "n_b", "n_distinct",
+        F.expr(
+            "cast(((_nn - 1) * _sum_nano) div _nn as bigint)"
+        ).alias("a2_nano"),
+    )

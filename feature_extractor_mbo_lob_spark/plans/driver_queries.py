@@ -17260,6 +17260,352 @@ QUERIES["granger_lag1"] = q_granger_lag1
 ORACLES["granger_lag1"] = O_GRANGER_LAG1
 
 
+# --- Haar multiresolution energy of the daily event series ------------------------------
+
+def q_haar_energy(spark, sf_dir):
+    """Haar wavelet energy decomposition (functions/stats.haar_energy) of
+    the densified daily event-count series, levels 1-4 — which timescale
+    (1-day jitter, 2-day, 4-day, 8-day swings) carries the variation:
+    every Haar coefficient is an exact integer (pair difference of pair
+    sums), energies are exact decimal(38,0) sums, the share is an exact
+    ppm trunc division. The integer-exact periodogram substitute."""
+    from ..functions.stats import haar_energy
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return haar_energy(daily, "d", "y", levels=4)
+
+
+O_HAAR_ENERGY = """
+with c as (
+  select epoch_us(ts) // 86400000000 as d, cast(count(*) as bigint) as y
+  from events group by 1
+),
+idx as (
+  select unnest(generate_series((select min(d) from c),
+                                (select max(d) from c))) as i
+),
+l0 as (
+  select idx.i, coalesce(c.y, 0) as y from idx left join c on c.d = idx.i
+),
+p1 as (
+  select i // 2 as i2, count(*) as cnt,
+    sum(case when i % 2 = 0 then y end) as a,
+    sum(case when i % 2 <> 0 then y end) as b
+  from l0 group by 1 having count(*) = 2
+),
+l1 as (select i2 as i, a + b as y from p1),
+p2 as (
+  select i // 2 as i2, count(*) as cnt,
+    sum(case when i % 2 = 0 then y end) as a,
+    sum(case when i % 2 <> 0 then y end) as b
+  from l1 group by 1 having count(*) = 2
+),
+l2 as (select i2 as i, a + b as y from p2),
+p3 as (
+  select i // 2 as i2, count(*) as cnt,
+    sum(case when i % 2 = 0 then y end) as a,
+    sum(case when i % 2 <> 0 then y end) as b
+  from l2 group by 1 having count(*) = 2
+),
+l3 as (select i2 as i, a + b as y from p3),
+p4 as (
+  select i // 2 as i2, count(*) as cnt,
+    sum(case when i % 2 = 0 then y end) as a,
+    sum(case when i % 2 <> 0 then y end) as b
+  from l3 group by 1 having count(*) = 2
+),
+e as (
+  select 1 as level, cast(count(*) as bigint) as n_pairs,
+    coalesce(sum(cast(a - b as hugeint) * (a - b)), 0) as energy from p1
+  union all
+  select 2, cast(count(*) as bigint),
+    coalesce(sum(cast(a - b as hugeint) * (a - b)), 0) from p2
+  union all
+  select 3, cast(count(*) as bigint),
+    coalesce(sum(cast(a - b as hugeint) * (a - b)), 0) from p3
+  union all
+  select 4, cast(count(*) as bigint),
+    coalesce(sum(cast(a - b as hugeint) * (a - b)), 0) from p4
+)
+select cast(level as int) as level, n_pairs, cast(energy as bigint) as energy,
+  cast(case when sum(energy) over () > 0 then (energy * 1000000)
+       // sum(energy) over () else 0 end as bigint) as energy_ppm
+from e
+"""
+
+QUERIES["haar_energy"] = q_haar_energy
+ORACLES["haar_energy"] = O_HAAR_ENERGY
+
+
+# --- entity-level churn labeling (PIT feature/holdout split) ----------------------------
+
+def q_churn_labels(spark, sf_dir):
+    """Per-user churn training set (labeling/churn.churn_labels):
+    cutoff = max day - 7; exact-integer features from rows at or before
+    the cutoff ONLY (events, active days, cents, recency), label = zero
+    rows after it — the turn-level zero-leakage contract applied at
+    entity level. One max broadcast + one conditional-aggregate
+    groupBy(user); users with no pre-cutoff rows are excluded."""
+    from ..labeling.churn import churn_labels
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return churn_labels(ev, horizon_days=7)
+
+
+O_CHURN_LABELS = """
+with mx as (
+  select max(epoch_us(ts) // 86400000000) as mx_d from events
+),
+r as (
+  select user_id,
+    epoch_us(ts) // 86400000000 as d,
+    cast(floor(value * 100.0 + 0.5) as bigint) as cents,
+    m.mx_d - 7 as cut
+  from events, mx m
+),
+g as (
+  select user_id,
+    cast(sum(case when d <= cut then 1 else 0 end) as bigint) as n_events_pre,
+    cast(count(distinct case when d <= cut then d end) as bigint)
+      as active_days_pre,
+    cast(coalesce(sum(case when d <= cut then cents end), 0) as bigint)
+      as spend_cents_pre,
+    max(case when d <= cut then d end) as last_pre,
+    max(cut) as cut_max,
+    cast(sum(case when d > cut then 1 else 0 end) as bigint) as n_post
+  from r group by 1
+)
+select user_id, n_events_pre, active_days_pre, spend_cents_pre,
+  cast(cut_max - last_pre as bigint) as recency_days_pre,
+  cast(case when n_post = 0 then 1 else 0 end as int) as churned
+from g where n_events_pre > 0
+"""
+
+QUERIES["churn_labels"] = q_churn_labels
+ORACLES["churn_labels"] = O_CHURN_LABELS
+
+
+# --- Qini uplift curve over md5 arms ----------------------------------------------------
+
+def q_qini_curve(spark, sf_dir):
+    """Qini uplift curve (functions/evalmetrics.qini_curve): users ranked
+    by pre-cutoff activity (events with day <= max-7, the churn_labels
+    feature window), md5 arms, response = any post-cutoff purchase; per
+    decile the exact-integer incremental responders
+    cumR_t - cumR_c*cumN_t/cumN_c in micro units — the uplift companion
+    to lift_table (which cannot net out the control base rate)."""
+    from ..functions.corpus import md5_bucket
+    from ..functions.evalmetrics import qini_curve
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    mx = ev.agg(F.max(d).alias("_mx"))
+    units = (
+        ev.select(F.col("user_id").alias("uid"), d.alias("_d"), "event_type")
+        .crossJoin(F.broadcast(mx))
+        .groupBy("uid")
+        .agg(
+            F.sum((F.col("_d") <= F.col("_mx") - 7).cast("long"))
+            .cast("long").alias("score"),
+            F.max(
+                ((F.col("_d") > F.col("_mx") - 7)
+                 & (F.col("event_type") == "purchase")).cast("long")
+            ).cast("long").alias("resp"),
+        )
+        .withColumn("arm", md5_bucket("uid", 2).cast("int"))
+    )
+    return qini_curve(units, "score", "arm", "resp", "uid", n_buckets=10)
+
+
+O_QINI_CURVE = f"""
+with mx as (select max(epoch_us(ts) // 86400000000) as mx_d from events),
+pu as (
+  select user_id as uid,
+    cast(sum(case when epoch_us(ts) // 86400000000 <= m.mx_d - 7
+             then 1 else 0 end) as bigint) as score,
+    cast(max(case when epoch_us(ts) // 86400000000 > m.mx_d - 7
+             and event_type = 'purchase' then 1 else 0 end) as bigint) as resp
+  from events, mx m group by 1, m.mx_d
+),
+hx as (select uid, score, resp, md5(cast(uid as varchar)) as h from pu),
+u as (select uid, score, resp, cast(({_HEX7}) % 2 as int) as arm from hx),
+tot as (select cast(count(*) as bigint) as nn from u),
+coded as (
+  select arm, resp,
+    cast(((row_number() over (order by score desc, uid asc) - 1) * 10)
+         // t.nn + 1 as int) as bucket
+  from u, tot t
+),
+per_b as (
+  select bucket,
+    cast(sum(case when arm = 0 then 1 else 0 end) as bigint) as n_t,
+    cast(sum(case when arm <> 0 then 1 else 0 end) as bigint) as n_c,
+    cast(sum(case when arm = 0 then resp else 0 end) as bigint) as r_t,
+    cast(sum(case when arm <> 0 then resp else 0 end) as bigint) as r_c
+  from coded group by 1
+),
+cum as (
+  select bucket, n_t, n_c, r_t, r_c,
+    cast(sum(n_t) over w as bigint) as cum_n_t,
+    cast(sum(n_c) over w as bigint) as cum_n_c,
+    cast(sum(r_t) over w as bigint) as cum_r_t,
+    cast(sum(r_c) over w as bigint) as cum_r_c
+  from per_b
+  window w as (order by bucket rows between unbounded preceding
+               and current row)
+)
+select bucket, n_t, n_c, r_t, r_c, cum_n_t, cum_n_c, cum_r_t, cum_r_c,
+  cast(case when cum_n_c > 0 then cum_r_t * 1000000
+       - (cast(cum_r_c as hugeint) * cum_n_t * 1000000) // cum_n_c
+       else cum_r_t * 1000000 end as bigint) as qini_micro
+from cum
+"""
+
+QUERIES["qini_curve"] = q_qini_curve
+ORACLES["qini_curve"] = O_QINI_CURVE
+
+
+# --- exact two-sided trimmed mean per event type ----------------------------------------
+
+def q_trimmed_mean(spark, sf_dir):
+    """10%-per-side trimmed mean of value cents per event type
+    (functions/stats.trimmed_mean): the robust location the dashboards
+    should quote — distinct-value frame + integer clipping, no per-row
+    ranks, release one exact trunc division to micro units."""
+    from ..functions.stats import trimmed_mean
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    )
+    return trimmed_mean(cents, "event_type", "cents", trim_ppm=100_000)
+
+
+O_TRIMMED_MEAN = """
+with vals as (
+  select event_type as grp,
+    cast(floor(value * 100.0 + 0.5) as bigint) as v
+  from events
+),
+g as (select grp, v, cast(count(*) as bigint) as cnt from vals group by 1, 2),
+c as (
+  select grp, v, cnt,
+    coalesce(sum(cnt) over (partition by grp order by v
+      rows between unbounded preceding and 1 preceding), 0) as cb,
+    sum(cnt) over (partition by grp) as n
+  from g
+),
+kc as (
+  select grp, v, cnt, cb, n, (n * 100000) // 1000000 as k from c
+),
+kept as (
+  select grp, n, k,
+    greatest(0, least(cb + cnt, n - k) - greatest(cb, k)) as kv, v
+  from kc
+)
+select grp as event_type, cast(max(n) as bigint) as n,
+  cast(max(k) as bigint) as k_trimmed,
+  cast(sum(kv) as bigint) as n_kept,
+  cast(case when max(n) - 2 * max(k) > 0 then
+    (sum(cast(kv as hugeint) * v) * 1000000) // (max(n) - 2 * max(k))
+    else null end as bigint) as trimmed_mean_micro
+from kept group by grp
+"""
+
+QUERIES["trimmed_mean"] = q_trimmed_mean
+ORACLES["trimmed_mean"] = O_TRIMMED_MEAN
+
+
+# --- two-sample Anderson-Darling drift test between md5 arms ----------------------------
+
+def q_anderson_darling(spark, sf_dir):
+    """Tail-weighted two-sample Anderson-Darling A2_akN (Scholz-Stephens
+    midrank version; functions/stats.anderson_darling_2s) of per-event
+    value cents between the md5 user arms — completes the drift family:
+    ks_test fires on the middle, wasserstein on value mass, THIS on the
+    tails. Doubled midrank cumulatives keep everything integer; each
+    term is one fixed-order IEEE expression nano-quantized before the
+    order-free sum; the (N-1)/N factor is an exact trunc division."""
+    from ..functions.corpus import md5_bucket
+    from ..functions.stats import anderson_darling_2s
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = ev.select(
+        md5_bucket("user_id", 2).cast("int").alias("arm"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    )
+    return anderson_darling_2s(d, "arm", "cents")
+
+
+O_ANDERSON_DARLING = f"""
+with hx as (
+  select md5(cast(user_id as varchar)) as h,
+    cast(floor(value * 100.0 + 0.5) as bigint) as v
+  from events
+),
+vals as (
+  select case when ({_HEX7}) % 2 = 0 then 1 else 0 end as isa, v from hx
+),
+g as (
+  select v, cast(count(*) as bigint) as l, cast(sum(isa) as bigint) as fa
+  from vals group by 1
+),
+cum as (
+  select v, l, fa,
+    coalesce(sum(l) over (order by v
+      rows between unbounded preceding and 1 preceding), 0) as bprev,
+    coalesce(sum(fa) over (order by v
+      rows between unbounded preceding and 1 preceding), 0) as maprev
+  from g
+),
+tot as (
+  select cast(count(*) as bigint) as nn, cast(sum(isa) as bigint) as na
+  from vals
+),
+j as (
+  select l, t.nn, t.na, t.nn - t.na as nb,
+    2 * bprev + l as bb,
+    2 * maprev + fa as mma,
+    2 * (bprev - maprev) + (l - fa) as mmb,
+    cast(2 * bprev + l as hugeint) * (2 * t.nn - (2 * bprev + l))
+      - cast(t.nn as hugeint) * l as dc
+  from cum, tot t
+),
+terms as (
+  select nn, na, nb,
+    (case when dc > 0 and na > 0 then cast(floor(
+      cast(l as double)
+      * (cast(cast(nn as hugeint) * mma - cast(na as hugeint) * bb as double)
+         * cast(cast(nn as hugeint) * mma - cast(na as hugeint) * bb
+                as double))
+      / (cast(na as double) * cast(nn as double) * cast(dc as double))
+      * 1000000000.0) as bigint) else 0 end)
+    + (case when dc > 0 and nb > 0 then cast(floor(
+      cast(l as double)
+      * (cast(cast(nn as hugeint) * mmb - cast(nb as hugeint) * bb as double)
+         * cast(cast(nn as hugeint) * mmb - cast(nb as hugeint) * bb
+                as double))
+      / (cast(nb as double) * cast(nn as double) * cast(dc as double))
+      * 1000000000.0) as bigint) else 0 end) as t
+  from j
+)
+select cast(max(na) as bigint) as n_a, cast(max(nb) as bigint) as n_b,
+  cast(count(*) as bigint) as n_distinct,
+  cast(((max(nn) - 1) * sum(cast(t as hugeint))) // max(nn) as bigint)
+    as a2_nano
+from terms
+"""
+
+QUERIES["anderson_darling"] = q_anderson_darling
+ORACLES["anderson_darling"] = O_ANDERSON_DARLING
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -142,3 +142,60 @@ def test_triple_barrier_multikey_and_return_sign(spark, cfg):
             assert (g.tb_label is None) == (lab is None)
             if lab is not None:
                 assert g.tb_label == lab
+
+
+def test_churn_labels_pit_split(spark):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.labeling.churn import churn_labels
+
+    # corpus max day = 2024-01-20; horizon 7 -> cutoff day = 2024-01-13
+    rows = [
+        # user 1: active pre and post -> churned 0
+        (1, "2024-01-02", "purchase", 10.0),
+        (1, "2024-01-10", "view", 1.0),
+        (1, "2024-01-18", "purchase", 5.0),
+        # user 2: pre only -> churned 1
+        (2, "2024-01-03", "purchase", 2.5),
+        (2, "2024-01-13", "view", 0.0),   # exactly on cutoff -> pre
+        # user 3: post only -> EXCLUDED
+        (3, "2024-01-19", "purchase", 99.0),
+        # user 4 defines the max day
+        (4, "2024-01-20", "view", 0.0),
+        (4, "2024-01-05", "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.user_id: r for r in churn_labels(ev, horizon_days=7).collect()}
+    assert set(got) == {1, 2, 4}  # user 3 has no pre-cutoff rows
+    u1 = got[1]
+    assert (u1.n_events_pre, u1.churned) == (2, 0)
+    assert u1.spend_cents_pre == 1000 + 100
+    u2 = got[2]
+    assert (u2.n_events_pre, u2.active_days_pre, u2.churned) == (2, 2, 1)
+    assert u2.recency_days_pre == 0  # last pre event exactly on the cutoff
+    # feature window never sees post rows: user 1's post purchase (5.0)
+    # is absent from spend_cents_pre
+    assert u1.spend_cents_pre == 1100
+
+
+def test_qini_curve_hand_case(spark):
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import qini_curve
+
+    # 8 units, 2 buckets; score ranks 10..3; treated arm 0
+    units = [
+        # (id, score, arm, resp)
+        (1, 10, 0, 1), (2, 9, 1, 0), (3, 8, 0, 1), (4, 7, 1, 0),
+        (5, 6, 0, 0), (6, 5, 1, 1), (7, 4, 0, 0), (8, 3, 1, 1),
+    ]
+    df = spark.createDataFrame(units, "uid long, s long, arm int, resp long")
+    got = {r.bucket: r for r in
+           qini_curve(df, "s", "arm", "resp", "uid", n_buckets=2).collect()}
+    b1 = got[1]  # top half: units 1-4 -> t: {1,3} resp 2; c: {2,4} resp 0
+    assert (b1.n_t, b1.n_c, b1.r_t, b1.r_c) == (2, 2, 2, 0)
+    assert b1.qini_micro == 2_000_000  # 2 - 0*2/2
+    b2 = got[2]
+    assert (b2.cum_n_t, b2.cum_n_c, b2.cum_r_t, b2.cum_r_c) == (4, 4, 2, 2)
+    # qini at full depth: 2 - 2*4/4 = 0 -> no net uplift overall
+    assert b2.qini_micro == 0

@@ -60,6 +60,9 @@ BNLJ_ALLOWED = {
     "kendall_tau",
     "key_skew_report",
     "ljung_box",  # 1-row (n, S) totals broadcast into the calendar frame
+    "churn_labels",  # 1-row max-day broadcast into the per-event frame
+    "qini_curve",  # 1-row max-day / N totals broadcasts into the user/ranked frames
+    "anderson_darling",  # 1-row (N, n_a) totals broadcast into the distinct-value frame
     "rfm_segments",  # 1-row max-date / N-users totals broadcasts into the user frame
     "kmeans_clusters",
     "kneser_ney",

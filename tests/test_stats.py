@@ -1006,3 +1006,86 @@ def test_granger_lag1_densifies_missing_days(spark):
     for direction in ("x_to_y", "y_to_x"):
         assert got[direction].f_stat == want[direction][-1]
         assert got[direction].n == 5
+
+
+def test_haar_energy_matches_naive(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import haar_energy
+
+    obs = [(3, 5), (4, 2), (5, 9), (6, 1), (8, 7), (9, 4), (10, 6)]
+    df = spark.createDataFrame(obs, "d long, y long")
+    got = {r.level: r for r in haar_energy(df, "d", "y", levels=3).collect()}
+    # dense absolute-index series 3..10 (day 7 -> 0)
+    series = {d: y for d, y in obs}
+    cur = {i: series.get(i, 0) for i in range(3, 11)}
+    energies = {}
+    for lvl in range(1, 4):
+        pairs = {}
+        for i, y in cur.items():
+            pairs.setdefault(i // 2, {})[i % 2] = y
+        full = {k: v for k, v in pairs.items() if len(v) == 2}
+        energies[lvl] = sum((v[0] - v[1]) ** 2 for v in full.values())
+        cur = {k: v[0] + v[1] for k, v in full.items()}
+    total = sum(energies.values())
+    for lvl, e in energies.items():
+        assert got[lvl].energy == e
+        assert got[lvl].energy_ppm == (e * 1_000_000) // total
+    assert sum(r.energy_ppm for r in got.values()) <= 1_000_000
+
+
+def test_trimmed_mean_matches_sorted_trim(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import trimmed_mean
+
+    xs = [100, 100, 200, 300, 300, 300, 900, 5000, 5000, -50, 10, 10]
+    df = spark.createDataFrame([("a", x) for x in xs], "grp string, v long")
+    r = trimmed_mean(df, "grp", "v", trim_ppm=100_000).collect()[0]
+    n = len(xs)
+    k = n * 100_000 // 1_000_000
+    kept = sorted(xs)[k:n - k]
+    assert (r.n, r.k_trimmed, r.n_kept) == (n, k, len(kept))
+    want = (sum(kept) * 1_000_000) // len(kept)
+    assert r.trimmed_mean_micro == want
+    # trim everything -> NULL
+    tiny = spark.createDataFrame([("b", 5), ("b", 7)], "grp string, v long")
+    r2 = trimmed_mean(tiny, "grp", "v", trim_ppm=500_000).collect()[0]
+    assert r2.trimmed_mean_micro is None
+
+
+def _naive_ad_nano(xs, ys):
+    from collections import Counter
+    N = len(xs) + len(ys)
+    pooled = sorted(set(xs + ys))
+    la, lp = Counter(xs), Counter(xs + ys)
+    na, nb = len(xs), len(ys)
+    ma_prev = b_prev = snano = 0
+    for z in pooled:
+        l, fa = lp[z], la[z]
+        bb, mma = 2 * b_prev + l, 2 * ma_prev + fa
+        mmb = 2 * (b_prev - ma_prev) + (l - fa)
+        dc = bb * (2 * N - bb) - N * l
+        for mm, ni in ((mma, na), (mmb, nb)):
+            if dc > 0 and ni > 0:
+                x = N * mm - ni * bb
+                snano += math.floor(
+                    float(l) * (float(x) * float(x))
+                    / (float(ni) * float(N) * float(dc)) * 1e9)
+        ma_prev += fa
+        b_prev += l
+    return ((N - 1) * snano) // N
+
+
+def test_anderson_darling_matches_naive_midrank_formula(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import anderson_darling_2s
+
+    xs = [3, 7, 7, 12, 15, 15, 15, 22, 30, 41]
+    ys = [5, 7, 9, 15, 18, 25, 25, 33]
+    rows = [(0, v) for v in xs] + [(1, v) for v in ys]
+    df = spark.createDataFrame(rows, "arm int, v long")
+    r = anderson_darling_2s(df, "arm", "v").collect()[0]
+    assert (r.n_a, r.n_b) == (len(xs), len(ys))
+    assert r.n_distinct == len(set(xs + ys))
+    assert r.a2_nano == _naive_ad_nano(xs, ys)
+    # tail separation fires: disjoint samples give a much larger A2
+    far = [(0, v) for v in range(100, 120)] + [(1, v) for v in range(500, 520)]
+    r2 = anderson_darling_2s(
+        spark.createDataFrame(far, "arm int, v long"), "arm", "v").collect()[0]
+    assert r2.a2_nano > 5 * max(r.a2_nano, 1)

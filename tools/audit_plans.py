@@ -1817,6 +1817,85 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        anderson_darling_2s, haar_energy, trimmed_mean,
+    )
+
+    sections.append(summarize(
+        "Haar multiresolution energy",
+        haar_energy(daily, "d", "y", levels=4),
+        "One groupBy to the calendar frame, then 4 halving aggregations "
+        "over calendar-bounded frames keyed by the absolute index div 2; "
+        "a 4-row union + one tiny window for the ppm share. Raw-row "
+        "volume is touched exactly once.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    cents = t.select(
+        F.col("role").alias("grp"),
+        F.length("text").cast("long").alias("cents"),
+        F.expr("unix_micros(ts) % 2").cast("int").alias("arm"),
+    )
+    sections.append(summarize(
+        "Exact trimmed mean",
+        trimmed_mean(cents, "grp", "cents"),
+        "One groupBy collapses rows to the per-group DISTINCT-VALUE "
+        "frame; the cumulative window is PARTITIONED BY GROUP and runs "
+        "over that bounded frame; integer clipping replaces per-row "
+        "ranks; one exact trunc-division release.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Anderson-Darling two-sample (midrank)",
+        anderson_darling_2s(cents, "arm", "cents"),
+        "One groupBy to the pooled distinct-value frame; ONE "
+        "value-ordered cumulative window over it (roc_curve/wilcoxon "
+        "precedent); 1-row totals broadcast (bounded BNLJ); per-term "
+        "fixed-order IEEE nano quantization makes the final reduction "
+        "an order-free integer sum.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    from feature_extractor_mbo_lob_spark.labeling.churn import churn_labels
+
+    ev_like2 = t.select(
+        F.col("conv_id").alias("user_id"), "ts",
+        F.when(F.col("role") == "tool", F.lit("purchase"))
+        .otherwise(F.lit("other")).alias("event_type"),
+        F.length("text").cast("double").alias("value"),
+    )
+    sections.append(summarize(
+        "Churn labels (PIT feature/holdout split)",
+        churn_labels(ev_like2),
+        "1-row max-day broadcast (bounded BNLJ) + ONE map-side-combinable "
+        "groupBy(user) whose pre/post split is a predicate inside the "
+        "conditional aggregates — no second scan, no self-join; the "
+        "feature window and the label window partition the calendar.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import qini_curve
+
+    qu = t.groupBy(F.col("conv_id").alias("uid")).agg(
+        F.count(F.lit(1)).cast("long").alias("score"),
+        F.max((F.col("role") == "tool").cast("long")).alias("resp"),
+    ).withColumn("arm", (F.length("uid") % 2).cast("int"))
+    sections.append(summarize(
+        "Qini uplift curve",
+        qini_curve(qu, "score", "arm", "resp", "uid", n_buckets=10),
+        "The gains_table ranking shape (distinct-score offsets + "
+        "score-partitioned row_number, closed-form bucket) with four "
+        "conditional sums; one groupBy(bucket) + a k-row cumulative "
+        "window; exact-integer incremental-responder release.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
