@@ -2953,3 +2953,170 @@ def anderson_darling_2s(
             "cast(((_nn - 1) * _sum_nano) div _nn as bigint)"
         ).alias("a2_nano"),
     )
+
+
+def theil_index(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+) -> DataFrame:
+    """Theil T inequality index per group — the decomposable,
+    scale-invariant concentration measure beside gini_lengths (rank
+    geometry) and tool_usage_hhi (sum of squared shares):
+    T = (1/n) sum (x/mu) ln(x/mu), 0 = perfect equality,
+    ln(n) = one unit owns everything.
+
+    Engine-exact spec via T = (sum x*ln x)/S - ln(S/n), S = sum x:
+    ln is taken per DISTINCT value and quantized to integer nanos
+    BEFORE the weighted sum (the entropy_by_group trick — the reduction
+    is an exact integer in any order); the closing expression is one
+    fixed operand sequence (wl/S/1e9 minus the nano-quantized
+    ln(S/n)). Zero-size rows are excluded (x ln x -> 0; they carry no
+    mass). Integer bound: wl <= n * max(x) * ln(max(x)) * 1e9 — at
+    1e9 docs of 1e6 chars that is ~1.4e25, kept in decimal(38,0).
+
+    Scale shape: one (group, value) groupBy bounded by value
+    cardinality, one map-side-combinable groupBy(group). No windows.
+    """
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(size_col).cast("long").alias("_x")
+    ).filter(F.col("_x") > 0)
+    g = vals.groupBy("grp", "_x").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    xlog = F.floor(
+        F.log(F.col("_x").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    a = g.groupBy("grp").agg(
+        F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_x")).alias("_s"),
+        F.sum(F.col("_c").cast("long")).cast("long").alias("n"),
+        F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_x") * xlog).alias("_wl"),
+    )
+    t = (
+        F.col("_wl").cast("double") / F.col("_s").cast("double") / F.lit(1e9)
+        - F.floor(
+            F.log(F.col("_s").cast("double") / F.col("n").cast("double"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        / F.lit(1e9)
+    )
+    return a.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.col("_s").cast("long").alias("total"),
+        (F.floor(t * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("theil_t"),
+    )
+
+
+def mase_seasonal(
+    series: DataFrame,
+    idx_col: str,
+    y_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """MASE (Hyndman & Koehler 2006) of the seasonal-naive forecast on
+    the densified calendar series — the scale-free forecast-quality
+    gate: does "same as last week" beat "same as yesterday"? MASE < 1e6
+    ppm means the weekly pattern is real and a seasonal model is worth
+    deploying; > 1e6 means the series is dominated by short-term noise.
+
+    Engine-exact: both error sums are pure integers over the SHARED
+    support t >= period (documented deviation from the in-sample/
+    out-sample convention — a single scan needs one support),
+    mase_ppm = (sum|y_t - y_{t-period}| * 1e6) div sum|y_t - y_{t-1}|.
+
+    Scale shape: one groupBy to the calendar frame, one shared sort for
+    both lag columns, one global aggregate. Returns 1 row
+    (n_scored, sum_abs_naive1, sum_abs_seasonal, mase_ppm — NULL when
+    the naive-1 error is zero, i.e. a constant series).
+    """
+    agg = series.groupBy(F.col(idx_col).cast("long").alias("_i")).agg(
+        F.sum(F.col(y_col).cast("long")).alias("_y")
+    )
+    rng = agg.agg(F.min("_i").alias("_lo"), F.max("_i").alias("_hi"))
+    dense = (
+        rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_i"))
+        .join(agg, "_i", "left")
+        .select("_i", F.coalesce("_y", F.lit(0)).alias("_y"))
+    )
+    w = Window.orderBy("_i")
+    lagged = dense.select(
+        "_y",
+        F.lag("_y", 1).over(w).alias("_l1"),
+        F.lag("_y", int(period)).over(w).alias("_lp"),
+    ).filter(F.col("_lp").isNotNull())
+    g = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("_y") - F.col("_l1"))).cast("long")
+        .alias("sum_abs_naive1"),
+        F.sum(F.abs(F.col("_y") - F.col("_lp"))).cast("long")
+        .alias("sum_abs_seasonal"),
+    )
+    return g.select(
+        "n_scored", "sum_abs_naive1", "sum_abs_seasonal",
+        F.expr(
+            "cast(case when sum_abs_naive1 > 0 then"
+            " (cast(sum_abs_seasonal as decimal(38,0)) * 1000000)"
+            " div sum_abs_naive1 else null end as bigint)"
+        ).alias("mase_ppm"),
+    )
+
+
+def ltv_curve(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    monetary_event: str = "purchase",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Cohort LTV curve — cumulative spend per user by cohort age, the
+    revenue companion to cohort_retention (which counts actives): users
+    are cohorted by their FIRST event's epoch week, every purchase lands
+    in age = event week - cohort week, and each (cohort, age) row
+    reports the cohort's cumulative cents and the exact per-user LTV
+    (trunc division to micro units).
+
+    Engine-exact: weeks are epoch-day div 7 (no calendar locale), all
+    cents exact integers. Scale shape: one groupBy(user) for cohorts,
+    one AQE-broadcastable join back, one groupBy(cohort, age), one
+    cumulative window per cohort over the AGE-BOUNDED frame, a cohort-
+    size join. No raw-row windows.
+    """
+    wk = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 604800000000"
+    )
+    ev = events.select(
+        F.col(user_col).alias("_uid"),
+        wk.alias("_wk"),
+        F.when(
+            F.col(event_col) == monetary_event,
+            F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0)).alias("_cents"),
+    )
+    cohorts = ev.groupBy("_uid").agg(F.min("_wk").alias("_cwk"))
+    sizes = cohorts.groupBy("_cwk").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    per_age = (
+        ev.join(cohorts, "_uid")
+        .groupBy("_cwk", (F.col("_wk") - F.col("_cwk")).alias("age_weeks"))
+        .agg(F.sum("_cents").cast("long").alias("_spend"))
+    )
+    wcum = Window.partitionBy("_cwk").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_age.select(
+        "_cwk", "age_weeks", "_spend",
+        F.sum("_spend").over(wcum).cast("long").alias("cum_spend_cents"),
+    ).join(sizes, "_cwk")
+    return cum.select(
+        F.col("_cwk").cast("long").alias("cohort_week"),
+        F.col("age_weeks").cast("long").alias("age_weeks"),
+        "cohort_users",
+        F.col("_spend").alias("spend_cents"),
+        "cum_spend_cents",
+        F.expr(
+            "cast((cast(cum_spend_cents as decimal(38,0)) * 1000000)"
+            " div cohort_users as bigint)"
+        ).alias("ltv_micro"),
+    )

@@ -17606,6 +17606,147 @@ QUERIES["anderson_darling"] = q_anderson_darling
 ORACLES["anderson_darling"] = O_ANDERSON_DARLING
 
 
+# --- Theil T inequality of document lengths per source ----------------------------------
+
+def q_theil_index(spark, sf_dir):
+    """Theil T inequality (functions/stats.theil_index) of document
+    lengths per source — the decomposable concentration measure beside
+    gini_lengths: T = (sum x ln x)/S - ln(S/n) with per-distinct-value
+    nano-quantized ln (order-free integer reduction) and one fixed-order
+    closing expression."""
+    from ..functions.stats import theil_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return theil_index(docs, "source", "n_chars")
+
+
+O_THEIL_INDEX = """
+with vals as (
+  select source as grp, cast(n_chars as bigint) as x
+  from documents where n_chars > 0
+),
+g as (select grp, x, cast(count(*) as bigint) as c from vals group by 1, 2),
+a as (
+  select grp,
+    sum(cast(c as hugeint) * x) as s,
+    cast(sum(c) as bigint) as n,
+    sum(cast(c as hugeint) * x
+        * cast(floor(ln(cast(x as double)) * 1000000000.0 + 0.5) as hugeint))
+      as wl
+  from g group by 1
+)
+select grp as source, n, cast(s as bigint) as total,
+  floor((cast(wl as double) / cast(s as double) / 1000000000.0
+         - floor(ln(cast(s as double) / cast(n as double)) * 1000000000.0
+                 + 0.5) / 1000000000.0)
+        * 1000000.0 + 0.5) / 1000000.0 as theil_t
+from a
+"""
+
+QUERIES["theil_index"] = q_theil_index
+ORACLES["theil_index"] = O_THEIL_INDEX
+
+
+# --- seasonal-naive MASE of the daily event series --------------------------------------
+
+def q_mase_seasonal(spark, sf_dir):
+    """Seasonal-naive MASE (functions/stats.mase_seasonal) on the
+    densified daily event counts: is "same as last week" better than
+    "same as yesterday"? Both error sums pure integers over the shared
+    t >= 7 support, the ratio one exact ppm trunc division — the
+    scale-free forecastability gate beside seasonal_decompose (which
+    fits the pattern) and ljung_box (which tests whiteness)."""
+    from ..functions.stats import mase_seasonal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return mase_seasonal(daily, "d", "y", period=7)
+
+
+O_MASE_SEASONAL = """
+with c as (
+  select epoch_us(ts) // 86400000000 as d, cast(count(*) as bigint) as y
+  from events group by 1
+),
+idx as (
+  select unnest(generate_series((select min(d) from c),
+                                (select max(d) from c))) as i
+),
+dense as (
+  select idx.i, coalesce(c.y, 0) as y from idx left join c on c.d = idx.i
+),
+lagged as (
+  select y, lag(y, 1) over (order by i) as l1,
+    lag(y, 7) over (order by i) as lp
+  from dense
+)
+select cast(count(*) as bigint) as n_scored,
+  cast(sum(abs(y - l1)) as bigint) as sum_abs_naive1,
+  cast(sum(abs(y - lp)) as bigint) as sum_abs_seasonal,
+  cast(case when sum(abs(y - l1)) > 0 then
+    (cast(sum(abs(y - lp)) as hugeint) * 1000000) // sum(abs(y - l1))
+    else null end as bigint) as mase_ppm
+from lagged where lp is not null
+"""
+
+QUERIES["mase_seasonal"] = q_mase_seasonal
+ORACLES["mase_seasonal"] = O_MASE_SEASONAL
+
+
+# --- cohort LTV curve --------------------------------------------------------------------
+
+def q_ltv_curve(spark, sf_dir):
+    """Cohort LTV curve (functions/stats.ltv_curve): users cohorted by
+    first-event epoch week, cumulative purchase cents by cohort age,
+    per-user LTV as an exact micro trunc division — the revenue
+    companion to cohort_retention. One groupBy(user) + one join back +
+    one (cohort, age) aggregate + an age-bounded cumulative window."""
+    from ..functions.stats import ltv_curve
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ltv_curve(ev)
+
+
+O_LTV_CURVE = """
+with ev as (
+  select user_id as uid,
+    epoch_us(ts) // 604800000000 as wk,
+    case when event_type = 'purchase'
+         then cast(floor(value * 100.0 + 0.5) as bigint) else 0 end as cents
+  from events
+),
+cohorts as (select uid, min(wk) as cwk from ev group by 1),
+sizes as (
+  select cwk, cast(count(*) as bigint) as cohort_users from cohorts group by 1
+),
+per_age as (
+  select c.cwk, e.wk - c.cwk as age_weeks,
+    cast(sum(e.cents) as bigint) as spend
+  from ev e join cohorts c using (uid)
+  group by 1, 2
+),
+cum as (
+  select cwk, age_weeks, spend,
+    cast(sum(spend) over (partition by cwk order by age_weeks
+      rows between unbounded preceding and current row) as bigint)
+      as cum_spend_cents
+  from per_age
+)
+select cast(cum.cwk as bigint) as cohort_week,
+  cast(age_weeks as bigint) as age_weeks,
+  s.cohort_users,
+  spend as spend_cents, cum_spend_cents,
+  cast((cast(cum_spend_cents as hugeint) * 1000000) // s.cohort_users
+       as bigint) as ltv_micro
+from cum join sizes s using (cwk)
+"""
+
+QUERIES["ltv_curve"] = q_ltv_curve
+ORACLES["ltv_curve"] = O_LTV_CURVE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

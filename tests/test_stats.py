@@ -1089,3 +1089,77 @@ def test_anderson_darling_matches_naive_midrank_formula(spark):
     r2 = anderson_darling_2s(
         spark.createDataFrame(far, "arm int, v long"), "arm", "v").collect()[0]
     assert r2.a2_nano > 5 * max(r.a2_nano, 1)
+
+
+def test_theil_index_exact_and_limits(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import theil_index
+
+    rows = [("a", x) for x in (100, 100, 100, 100)] + [
+        ("b", x) for x in (1, 1, 1, 997)
+    ] + [("c", 50), ("c", 0)]  # zero-size row excluded
+    df = spark.createDataFrame(rows, "grp string, x long")
+    got = {r.grp: r for r in theil_index(df, "grp", "x").collect()}
+    assert got["a"].theil_t == 0.0  # perfect equality
+    # python replica of the exact spec for group b
+    import math as _m
+    xs = [1, 1, 1, 997]
+    S, n = sum(xs), len(xs)
+    wl = sum(x * _m.floor(_m.log(x) * 1e9 + 0.5) for x in xs)
+    t = wl / S / 1e9 - _m.floor(_m.log(S / n) * 1e9 + 0.5) / 1e9
+    assert got["b"].theil_t == _m.floor(t * 1e6 + 0.5) / 1e6
+    assert 0 < got["b"].theil_t < _m.log(4) + 1e-6
+    assert got["c"].n == 1 and got["c"].total == 50
+
+
+def test_mase_seasonal_hand_case(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import mase_seasonal
+
+    # 14 days, perfect weekly pattern -> seasonal error 0, mase 0
+    pat = [3, 9, 4, 7, 2, 8, 5]
+    rows = [(d, y) for d, y in enumerate(pat + pat)]
+    df = spark.createDataFrame(rows, "d long, y long")
+    r = mase_seasonal(df, "d", "y", period=7).collect()[0]
+    assert r.n_scored == 7 and r.sum_abs_seasonal == 0 and r.mase_ppm == 0
+    naive1 = sum(abs(rows[t][1] - rows[t - 1][1]) for t in range(7, 14))
+    assert r.sum_abs_naive1 == naive1
+    # constant series -> NULL (naive error zero)
+    const = spark.createDataFrame([(d, 5) for d in range(10)], "d long, y long")
+    r2 = mase_seasonal(const, "d", "y", period=7).collect()[0]
+    assert r2.mase_ppm is None
+    # densify: a missing day becomes 0 and contributes |y| jumps
+    gap = spark.createDataFrame(
+        [(d, 5) for d in range(9) if d != 8] + [(9, 5)], "d long, y long")
+    r3 = mase_seasonal(gap, "d", "y", period=7).collect()[0]
+    assert r3.sum_abs_seasonal > 0
+
+
+def test_ltv_curve_two_cohorts(spark):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.functions.stats import ltv_curve
+
+    rows = [
+        # cohort week W: users 1, 2 (first events same week)
+        (1, "2024-01-01", "purchase", 10.0),
+        (2, "2024-01-02", "view", 0.0),
+        # age 1 week: user 1 buys again, user 2 buys
+        (1, "2024-01-08", "purchase", 5.0),
+        (2, "2024-01-09", "purchase", 20.0),
+        # cohort W+1: user 3
+        (3, "2024-01-10", "purchase", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ltv_curve(ev).collect()
+    by = {(r.cohort_week, r.age_weeks): r for r in out}
+    weeks = sorted({r.cohort_week for r in out})
+    w0, w1 = weeks[0], weeks[-1]
+    a0 = by[(w0, 0)]
+    assert a0.cohort_users == 2 and a0.spend_cents == 1000
+    a1 = by[(w0, 1)]
+    assert a1.spend_cents == 500 + 2000
+    assert a1.cum_spend_cents == 3500
+    assert a1.ltv_micro == (3500 * 1_000_000) // 2
+    b0 = by[(w1, 0)]
+    assert b0.cohort_users == 1 and b0.cum_spend_cents == 700

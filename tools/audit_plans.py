@@ -1896,6 +1896,44 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        ltv_curve, mase_seasonal, theil_index,
+    )
+
+    sections.append(summarize(
+        "Theil T inequality",
+        theil_index(t.select(F.col("role").alias("source"),
+                             F.length("text").alias("n_chars")),
+                    "source", "n_chars"),
+        "One (group, value) groupBy bounded by value cardinality + one "
+        "map-side-combinable groupBy(group); nano-quantized ln per "
+        "distinct value makes the weighted reduction order-free; no "
+        "windows, no joins.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Seasonal-naive MASE",
+        mase_seasonal(daily, "d", "y", period=7),
+        "Calendar densify + one shared sort for both lag columns + one "
+        "global aggregate; both error sums pure integers; one exact ppm "
+        "trunc division.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Cohort LTV curve",
+        ltv_curve(ev_like2),
+        "One groupBy(user) for cohorts, AQE-broadcastable join back, one "
+        "(cohort, age) aggregate, a cumulative window over the "
+        "AGE-BOUNDED per-cohort frame, a cohort-size equi join; exact "
+        "cents end to end.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
