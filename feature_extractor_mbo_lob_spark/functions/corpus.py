@@ -2225,3 +2225,61 @@ def diversity_indices(
         ).alias("simpson_ppm"),
         (F.floor(ent * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("entropy"),
     )
+
+
+def capture_recapture(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the TOTAL vocabulary from
+    each source's "capture" vs the rest of the corpus (Lincoln-Petersen
+    with the Chapman small-m correction) — the cross-source coverage
+    meter beside diversity_indices' within-source Chao1: if a source's
+    estimate N-hat is far above the observed corpus vocabulary, the
+    corpus is still missing word mass that source hints at.
+
+    Per source s: n1 = |vocab(s)|, n2 = |vocab(rest)|, m = |overlap|,
+        chapman_micro = ((n1+1)(n2+1)*1e6) div (m+1) - 1e6
+    (exact integer trunc division, defined even at m = 0). The rest-side
+    quantities come from the per-word source-count frame: a word with
+    k >= 2 sources is shared; n2 = V_total - (n1 - m) where V_total is
+    the corpus vocabulary and n1 - m the words exclusive to s.
+
+    Scale shape: one distinct (source, word) shuffle bounded by
+    vocabulary x sources, one groupBy(word) for the share counts, one
+    AQE-decided join back, one groupBy(source); a 1-row corpus-vocab
+    broadcast. All integers until the final trunc division.
+    """
+    from ..operators.dedup import normalize_text
+
+    sw = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    shares = sw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("_k"))
+    tot = shares.agg(F.count(F.lit(1)).cast("long").alias("_vt"))
+    per_s = (
+        sw.join(shares, "w")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n1"),
+            F.sum((F.col("_k") >= 2).cast("long")).cast("long").alias("m"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return per_s.select(
+        F.col("grp").alias(group_col),
+        "n1",
+        (F.col("_vt") - (F.col("n1") - F.col("m"))).cast("long").alias("n2"),
+        "m",
+        F.col("_vt").alias("v_total"),
+        F.expr(
+            "cast(((cast(n1 as decimal(38,0)) + 1) * ((_vt - (n1 - m)) + 1)"
+            " * 1000000) div (m + 1) - 1000000 as bigint)"
+        ).alias("chapman_micro"),
+    )

@@ -1181,3 +1181,64 @@ def bleu_components(
             .cast("long").alias(f"c{n}")
         )
     return out.select(*cols)
+
+
+def minhash_recall(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """Measured recall of the banded MinHash candidate generator against
+    the EXACT shingle-Jaccard truth set — the honesty meter the flagship
+    dedup path was missing (ivf_recall and dbscan_recall already grade
+    their ANN/density approximations; this grades LSH): what fraction of
+    true Jaccard >= threshold pairs does the 16-hash/4-band scheme
+    actually surface? The theoretical hit probability at s = 0.8 with
+    r = 4 rows/band is 1-(1-s^4)^4 ~ 0.93 — this REPORTS the realized
+    value on the corpus instead of assuming it.
+
+    Truth = ngram_jaccard_pairs (exact co-occurrence join, NO doc-freq
+    cap — truth must be lossless, so run this on a bounded sample; the
+    registered query uses a deterministic md5 1/8 corpus sample, the
+    ppjoin_pairs precedent). Candidates = minhash_lsh_pairs on the SAME
+    shingle space (same k). Returns 1 row: (n_truth, n_candidates,
+    n_hit, recall_ppm, precision_proxy_ppm) — both released as exact
+    ppm trunc divisions; precision_proxy counts candidate pairs that
+    meet the threshold (true positives) against all candidates.
+
+    Scale shape: the truth join is the deliberate exact meter (pairs
+    bounded by the sample's co-occurrence structure); candidates reuse
+    the banded equi-join; the comparison is one (id_a, id_b) equi-join
+    + a 1-row aggregate.
+    """
+    truth = ngram_jaccard_pairs(
+        df, id_col, text_col, k=k, threshold=threshold_pct / 100.0
+    ).select("id_a", "id_b")
+    cands = minhash_lsh_pairs(
+        df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands
+    ).select("id_a", "id_b")
+    hit = truth.join(
+        cands.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_hit"),
+    )
+    nc = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    out = hit.crossJoin(F.broadcast(nc))
+    return out.select(
+        "n_truth", "n_candidates", "n_hit",
+        F.expr(
+            "cast(case when n_truth > 0 then"
+            " (cast(n_hit as decimal(38,0)) * 1000000) div n_truth"
+            " else 0 end as bigint)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "cast(case when n_candidates > 0 then"
+            " (cast(n_hit as decimal(38,0)) * 1000000) div n_candidates"
+            " else 0 end as bigint)"
+        ).alias("precision_proxy_ppm"),
+    )

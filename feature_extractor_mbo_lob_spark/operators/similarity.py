@@ -1344,3 +1344,74 @@ def knn_hubness(
         "n_orphans",
         g1sq.alias("g1_sq_signed_raw"),
     )
+
+
+def fisher_separability(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fisher class-separability ratio of the embedding cloud — the
+    LDA-style "are the labels linearly separable in this representation"
+    meter beside cka_quantization (representation damage) and
+    embedding_drift (distribution shift): J = B/W with
+    B = sum_j [ sum_c S1_cj^2/n_c - S1_j^2/n ]   (between-class scatter)
+    W = sum_j [ S2_j - sum_c S1_cj^2/n_c ]       (within-class scatter)
+    summed over lanes j and classes c. J >> 0 means a linear probe will
+    find the classes; J ~ 0 means the embedding has collapsed them.
+
+    Engine-exact spec: lanes quantize to micro ints (the pca_power
+    contract); every per-class division is the exact trunc division
+    t_cj = (S1_cj * S1_cj) div n_c on decimal(38,0)/hugeint, so B and W
+    are order-free INTEGER sums of quantized terms (micro^2 units) and
+    the only float is the final one-division release. NULL labels form
+    their own class (eqNullSafe semantics via grouping on the raw
+    column).
+
+    Scale shape: one lane explode with map-side partial aggregation
+    into (label, lane) cells — shuffle O(classes * d), never O(rows) —
+    then one d-cell reduce and one global 1-row aggregate. Magnitude
+    bound: S2_j <= n * 1e12, t_cj <= n_c * 1e12 — int64-safe past 1e6
+    vectors, decimal(38,0) internally.
+    """
+    lanes = df.select(
+        F.col(label_col).alias("_c"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_j", "_x"),
+    ).select(
+        "_c", "_j",
+        F.floor(F.col("_x") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_q"),
+    )
+    cells = lanes.groupBy("_c", "_j").agg(
+        F.count(F.lit(1)).cast("long").alias("_nc"),
+        F.sum(F.col("_q").cast("decimal(38,0)")).alias("_s1"),
+        F.sum(F.col("_q").cast("decimal(38,0)") * F.col("_q")).alias("_s2"),
+    )
+    per_lane = cells.groupBy("_j").agg(
+        F.sum("_nc").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.sum("_s1").alias("_s1g"),
+        F.sum("_s2").alias("_s2g"),
+        F.sum(F.expr("(_s1 * _s1) div _nc")).alias("_tsum"),
+    )
+    lane_terms = per_lane.select(
+        "_n", "_k",
+        (F.col("_tsum") - F.expr("(_s1g * _s1g) div _n")).alias("_b"),
+        (F.col("_s2g") - F.col("_tsum")).alias("_w"),
+    )
+    g = lane_terms.agg(
+        F.max("_n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.max("_k").cast("long").alias("n_classes"),
+        F.sum("_b").alias("_bs"),
+        F.sum("_w").alias("_ws"),
+    )
+    j = F.col("_bs").cast("double") / F.col("_ws").cast("double")
+    return g.select(
+        "n", "d", "n_classes",
+        F.col("_bs").cast("long").alias("between_sum"),
+        F.col("_ws").cast("long").alias("within_sum"),
+        F.when(
+            F.col("_ws") > 0, F.floor(j * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).otherwise(F.lit(0.0)).alias("fisher_ratio"),
+    )

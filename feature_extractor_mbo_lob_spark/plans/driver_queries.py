@@ -17747,6 +17747,393 @@ QUERIES["ltv_curve"] = q_ltv_curve
 ORACLES["ltv_curve"] = O_LTV_CURVE
 
 
+# --- referential-integrity audit over the warehouse schema ------------------------------
+
+def q_fk_orphan_audit(spark, sf_dir):
+    """Whole-schema foreign-key audit (validation.fk_orphan_audit):
+    orphan and NULL-key counts with exact ppm rates for the four core
+    relations (lineitem->orders, orders->customer, customer->nation,
+    supplier->nation) — the ingestion gate that catches a broken
+    upstream export before features silently lose rows. One left-anti
+    join per relation (the join IS the certificate), unioned."""
+    from ..validation import fk_orphan_audit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    out = fk_orphan_audit(li, od, "l_orderkey", "o_orderkey",
+                          "lineitem->orders")
+    out = out.unionByName(fk_orphan_audit(od, cu, "o_custkey", "c_custkey",
+                                          "orders->customer"))
+    out = out.unionByName(fk_orphan_audit(cu, na, "c_nationkey",
+                                          "n_nationkey", "customer->nation"))
+    out = out.unionByName(fk_orphan_audit(su, na, "s_nationkey",
+                                          "n_nationkey", "supplier->nation"))
+    return out
+
+
+O_FK_ORPHAN_AUDIT = """
+with rel as (
+  select 'lineitem->orders' as relation,
+    cast((select count(*) from lineitem) as bigint) as n_child,
+    cast((select count(*) from lineitem where l_orderkey is null) as bigint)
+      as n_null_keys,
+    cast((select count(*) from lineitem l
+          where l.l_orderkey is not null
+          and not exists (select 1 from orders o
+                          where o.o_orderkey = l.l_orderkey)) as bigint)
+      as n_orphans
+  union all
+  select 'orders->customer',
+    cast((select count(*) from orders) as bigint),
+    cast((select count(*) from orders where o_custkey is null) as bigint),
+    cast((select count(*) from orders o
+          where o.o_custkey is not null
+          and not exists (select 1 from customer c
+                          where c.c_custkey = o.o_custkey)) as bigint)
+  union all
+  select 'customer->nation',
+    cast((select count(*) from customer) as bigint),
+    cast((select count(*) from customer where c_nationkey is null) as bigint),
+    cast((select count(*) from customer c
+          where c.c_nationkey is not null
+          and not exists (select 1 from nation n
+                          where n.n_nationkey = c.c_nationkey)) as bigint)
+  union all
+  select 'supplier->nation',
+    cast((select count(*) from supplier) as bigint),
+    cast((select count(*) from supplier where s_nationkey is null) as bigint),
+    cast((select count(*) from supplier s
+          where s.s_nationkey is not null
+          and not exists (select 1 from nation n
+                          where n.n_nationkey = s.s_nationkey)) as bigint)
+)
+select relation, n_child, n_null_keys, n_orphans,
+  cast(case when n_child - n_null_keys > 0 then
+    (cast(n_orphans as hugeint) * 1000000) // (n_child - n_null_keys)
+    else 0 end as bigint) as orphan_ppm
+from rel
+"""
+
+QUERIES["fk_orphan_audit"] = q_fk_orphan_audit
+ORACLES["fk_orphan_audit"] = O_FK_ORPHAN_AUDIT
+
+
+# --- cold-start exposure under the serving-time temporal split --------------------------
+
+def q_coldstart_coverage(spark, sf_dir):
+    """Cold-start coverage (validation.coldstart_coverage): under the
+    temporal split serving actually faces (cutoff = max day - 7, the
+    churn/qini window), how much of each holdout-active entity
+    population — tools, users, event types — is FIRST SEEN after the
+    cutoff and therefore featureless at serving time. Exact counts +
+    ppm trunc divisions; one groupBy(entity) per dimension."""
+    from ..validation import coldstart_coverage
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = _t(spark, sf_dir)
+    out = coldstart_coverage(t, "tool", "ts", "tool")
+    out = out.unionByName(coldstart_coverage(ev, "user_id", "ts", "user"))
+    out = out.unionByName(
+        coldstart_coverage(ev, "event_type", "ts", "event_type")
+    )
+    return out
+
+
+O_COLDSTART_COVERAGE = f"""{_W},
+dims as (
+  select 'tool' as entity, cast(tool as varchar) as e,
+    epoch_us(ts) // 86400000000 as d
+  from transcripts where tool is not null
+  union all
+  select 'user', cast(user_id as varchar), epoch_us(ts) // 86400000000
+  from events where user_id is not null
+  union all
+  select 'event_type', event_type, epoch_us(ts) // 86400000000
+  from events where event_type is not null
+),
+mx as (select entity, max(d) as mxd from dims group by 1),
+per_e as (
+  select dims.entity, e, min(d) as first_d, max(d) as last_d,
+    max(m.mxd) - 7 as cut
+  from dims join mx m using (entity) group by dims.entity, e
+)
+select entity,
+  cast(sum(case when first_d <= cut then 1 else 0 end) as bigint)
+    as n_train_entities,
+  cast(sum(case when last_d > cut then 1 else 0 end) as bigint)
+    as n_holdout_active,
+  cast(sum(case when first_d > cut then 1 else 0 end) as bigint)
+    as n_coldstart,
+  cast(case when sum(case when last_d > cut then 1 else 0 end) > 0 then
+    (cast(sum(case when first_d > cut then 1 else 0 end) as hugeint)
+     * 1000000) // sum(case when last_d > cut then 1 else 0 end)
+    else 0 end as bigint) as coldstart_ppm
+from per_e group by entity
+"""
+
+QUERIES["coldstart_coverage"] = q_coldstart_coverage
+ORACLES["coldstart_coverage"] = O_COLDSTART_COVERAGE
+
+
+# --- Chapman capture-recapture vocabulary estimate --------------------------------------
+
+def q_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture vocabulary estimate per source
+    (functions/corpus.capture_recapture): each source is one "capture",
+    the rest of the corpus the other; N-hat = ((n1+1)(n2+1)) div (m+1)
+    - 1 in exact micro units — the cross-source coverage meter beside
+    diversity_indices' within-source Chao1."""
+    from ..functions.corpus import capture_recapture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return capture_recapture(docs, "source")
+
+
+O_CAPTURE_RECAPTURE = """
+with sw as (
+  select distinct source as grp, w from (
+    select source,
+      unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g'), ' ')) as w
+    from documents
+  ) where w <> ''
+),
+shares as (select w, cast(count(*) as bigint) as k from sw group by 1),
+tot as (select cast(count(*) as bigint) as vt from shares),
+per_s as (
+  select grp, cast(count(*) as bigint) as n1,
+    cast(sum(case when k >= 2 then 1 else 0 end) as bigint) as m
+  from sw join shares using (w) group by 1
+)
+select grp as source, n1,
+  cast(t.vt - (n1 - m) as bigint) as n2, m, t.vt as v_total,
+  cast(((cast(n1 as hugeint) + 1) * ((t.vt - (n1 - m)) + 1) * 1000000)
+       // (m + 1) - 1000000 as bigint) as chapman_micro
+from per_s, tot t
+"""
+
+QUERIES["capture_recapture"] = q_capture_recapture
+ORACLES["capture_recapture"] = O_CAPTURE_RECAPTURE
+
+
+# --- Fisher class-separability of the embedding cloud -----------------------------------
+
+def q_fisher_separability(spark, sf_dir):
+    """Fisher LDA-style separability ratio J = between/within scatter of
+    the labeled embeddings (operators/similarity.fisher_separability):
+    micro-quantized lanes, every per-class division an exact trunc
+    division so B and W are order-free integer sums, one IEEE division
+    at release — "will a linear probe find these classes" beside
+    cka_quantization and embedding_drift."""
+    from ..operators.similarity import fisher_separability
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return fisher_separability(emb, "vec_id", "embedding", "label")
+
+
+O_FISHER_SEPARABILITY = """
+with lanes as (
+  select label as c,
+    generate_subscripts(embedding, 1) - 1 as j,
+    cast(floor(cast(unnest(embedding) as double) * 1000000.0 + 0.5)
+         as bigint) as q
+  from embeddings
+),
+cells as (
+  select c, j, cast(count(*) as bigint) as nc,
+    sum(cast(q as hugeint)) as s1,
+    sum(cast(q as hugeint) * q) as s2
+  from lanes group by 1, 2
+),
+per_lane as (
+  select j, cast(sum(nc) as bigint) as n, cast(count(*) as bigint) as k,
+    sum(s1) as s1g, sum(s2) as s2g,
+    sum((s1 * s1) // nc) as tsum
+  from cells group by 1
+),
+lt as (
+  select n, k, tsum - (s1g * s1g) // n as b, s2g - tsum as w
+  from per_lane
+)
+select cast(max(n) as bigint) as n, cast(count(*) as bigint) as d,
+  cast(max(k) as bigint) as n_classes,
+  cast(sum(b) as bigint) as between_sum,
+  cast(sum(w) as bigint) as within_sum,
+  case when sum(w) > 0 then
+    floor((cast(sum(b) as double) / cast(sum(w) as double))
+          * 1000000.0 + 0.5) / 1000000.0
+  else 0.0 end as fisher_ratio
+from lt
+"""
+
+QUERIES["fisher_separability"] = q_fisher_separability
+ORACLES["fisher_separability"] = O_FISHER_SEPARABILITY
+
+
+# --- multi-level ROLLUP revenue report over the warehouse dims ---------------------------
+
+def q_revenue_rollup(spark, sf_dir):
+    """Region/nation ROLLUP revenue report — the multi-level aggregation
+    surface (Spark rollup == SQL GROUP BY ROLLUP) over the TPC-H star:
+    lineitem revenue in exact cents (floor(price*(1-disc)*100 + 0.5),
+    one fixed-order IEEE expression per row, then pure integer sums)
+    joined through orders->customer->nation->region; nation subtotals,
+    region subtotals and the grand total in ONE pass with grouping_id
+    disambiguating the levels — no per-level rescan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    re = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    j = (
+        li.select("l_orderkey", rev.alias("_cents"))
+        .join(od.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na.select("n_nationkey", "n_regionkey",
+                                    F.col("n_name").alias("nation"))),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re.select("r_regionkey",
+                                    F.col("r_name").alias("region"))),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    out = j.rollup("region", "nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("_cents").cast("long").alias("revenue_cents"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+    return out.select("region", "nation", "gid", "n_items", "revenue_cents")
+
+
+O_REVENUE_ROLLUP = """
+select r.r_name as region, n.n_name as nation,
+  cast(grouping(r.r_name) * 2 + grouping(n.n_name) as int) as gid,
+  cast(count(*) as bigint) as n_items,
+  cast(sum(cast(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+       as bigint)) as bigint) as revenue_cents
+from lineitem l
+join orders o on o.o_orderkey = l.l_orderkey
+join customer c on c.c_custkey = o.o_custkey
+join nation n on n.n_nationkey = c.c_nationkey
+join region r on r.r_regionkey = n.n_regionkey
+group by rollup(r.r_name, n.n_name)
+"""
+
+QUERIES["revenue_rollup"] = q_revenue_rollup
+ORACLES["revenue_rollup"] = O_REVENUE_ROLLUP
+
+
+# --- measured recall of banded MinHash vs the exact Jaccard truth ------------------------
+
+def q_minhash_recall(spark, sf_dir):
+    """LSH honesty meter (operators/dedup.minhash_recall): realized
+    recall and precision-proxy of the 16-hash/4-band MinHash candidate
+    generator against the EXACT shingle-Jaccard >= 0.8 truth set —
+    full corpus: 3-shingles are discriminative here (max shingle
+    doc-freq 25 at sf0.1, self-join 2.8M rows), so the exact truth join
+    is cheap without sampling — completing the approximation-meter family beside
+    ivf_recall and dbscan_recall. Both rates exact ppm trunc
+    divisions."""
+    from ..operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_recall(docs, k=3, num_hashes=16,
+                                bands=4, threshold_pct=80)
+
+
+O_MINHASH_RECALL = f"""
+with shingled as (
+  select doc_id, unnest(
+    case when len(words) >= 3 then
+      list_distinct([array_to_string(words[i:i+2], ' ')
+                     for i in range(1, len(words) - 1)])
+    else [array_to_string(words, ' ')] end
+  ) as shingle
+  from (
+    select doc_id,
+      string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ') as words
+    from documents
+  )
+),
+m as (select doc_id, cast(count(*) as bigint) as msz from shingled group by 1),
+co as (
+  select a.doc_id as id_a, b.doc_id as id_b, cast(count(*) as bigint) as inter
+  from shingled a join shingled b
+    on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+),
+truth as (
+  select id_a, id_b from co
+  join m ma on ma.doc_id = co.id_a
+  join m mb on mb.doc_id = co.id_b
+  where cast(inter as double)
+        / cast(ma.msz + mb.msz - inter as double) >= 0.8
+),
+sigs as (
+  select doc_id as id,
+    min(md5('0|' || shingle)) as sig_0,
+    min(md5('1|' || shingle)) as sig_1,
+    min(md5('2|' || shingle)) as sig_2,
+    min(md5('3|' || shingle)) as sig_3,
+    min(md5('4|' || shingle)) as sig_4,
+    min(md5('5|' || shingle)) as sig_5,
+    min(md5('6|' || shingle)) as sig_6,
+    min(md5('7|' || shingle)) as sig_7,
+    min(md5('8|' || shingle)) as sig_8,
+    min(md5('9|' || shingle)) as sig_9,
+    min(md5('10|' || shingle)) as sig_10,
+    min(md5('11|' || shingle)) as sig_11,
+    min(md5('12|' || shingle)) as sig_12,
+    min(md5('13|' || shingle)) as sig_13,
+    min(md5('14|' || shingle)) as sig_14,
+    min(md5('15|' || shingle)) as sig_15
+  from shingled group by doc_id
+),
+banded as (
+  select id,
+    '0:' || md5(sig_0 || '#' || sig_1 || '#' || sig_2 || '#' || sig_3) as band_0,
+    '1:' || md5(sig_4 || '#' || sig_5 || '#' || sig_6 || '#' || sig_7) as band_1,
+    '2:' || md5(sig_8 || '#' || sig_9 || '#' || sig_10 || '#' || sig_11) as band_2,
+    '3:' || md5(sig_12 || '#' || sig_13 || '#' || sig_14 || '#' || sig_15) as band_3
+  from sigs
+),
+melted as (select id, unnest([band_0, band_1, band_2, band_3]) as band_key from banded),
+cand as (
+  select distinct a.id as id_a, b.id as id_b
+  from melted a join melted b using (band_key)
+  where a.id < b.id
+),
+ht as (
+  select cast(count(*) as bigint) as n_truth,
+    cast(coalesce(sum(case when c.id_a is not null then 1 else 0 end), 0)
+         as bigint) as n_hit
+  from truth t left join cand c
+    on c.id_a = t.id_a and c.id_b = t.id_b
+),
+nc as (select cast(count(*) as bigint) as n_candidates from cand)
+select ht.n_truth, nc.n_candidates, ht.n_hit,
+  cast(case when ht.n_truth > 0 then
+    (cast(ht.n_hit as hugeint) * 1000000) // ht.n_truth else 0 end as bigint)
+    as recall_ppm,
+  cast(case when nc.n_candidates > 0 then
+    (cast(ht.n_hit as hugeint) * 1000000) // nc.n_candidates
+    else 0 end as bigint) as precision_proxy_ppm
+from ht, nc
+"""
+
+QUERIES["minhash_recall"] = q_minhash_recall
+ORACLES["minhash_recall"] = O_MINHASH_RECALL
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -358,3 +358,98 @@ def lateness_audit(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         "p50_lateness_us", "p95_lateness_us", "p99_lateness_us",
         F.col("max_lateness_us").alias("suggested_watermark_us"),
     )
+
+
+def fk_orphan_audit(
+    child: "DataFrame",
+    parent: "DataFrame",
+    child_key: str,
+    parent_key: str,
+    relation: str,
+) -> "DataFrame":
+    """Referential-integrity audit of one foreign-key relation — the
+    ingestion gate that catches a broken upstream join BEFORE features
+    silently lose rows: counts child rows whose key is NULL and child
+    rows whose key has no parent (orphans), releasing the orphan rate
+    as an exact ppm trunc division.
+
+    Scale shape: one conditional aggregate over the child for the NULL
+    split, one left-anti join (AQE broadcasts a small parent; both
+    sides shuffle on the key otherwise — the join IS the audit, there
+    is no cheaper certificate), one 1-row aggregate. Compose several
+    relations with unionByName for a whole-schema report.
+    """
+    keyed = child.select(F.col(child_key).alias("_k"))
+    base = keyed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        F.sum(F.col("_k").isNull().cast("long")).cast("long")
+        .alias("n_null_keys"),
+    )
+    orphans = (
+        keyed.filter(F.col("_k").isNotNull())
+        .join(parent.select(F.col(parent_key).alias("_k")), "_k", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+    )
+    out = base.crossJoin(F.broadcast(orphans))
+    return out.select(
+        F.lit(relation).alias("relation"),
+        "n_child", "n_null_keys", "n_orphans",
+        F.expr(
+            "cast(case when n_child - n_null_keys > 0 then"
+            " (cast(n_orphans as decimal(38,0)) * 1000000)"
+            " div (n_child - n_null_keys) else 0 end as bigint)"
+        ).alias("orphan_ppm"),
+    )
+
+
+def coldstart_coverage(
+    df: "DataFrame",
+    entity_col: str,
+    ts_col: str,
+    kind: str,
+    horizon_days: int = 7,
+) -> "DataFrame":
+    """Cold-start exposure of one entity dimension under the temporal
+    split every serving system actually faces: cutoff = corpus max day
+    - ``horizon_days`` (the churn_labels / qini_curve window); an
+    entity FIRST SEEN after the cutoff is cold — a model trained on the
+    pre-cutoff window has no history for it. Reports, per entity kind,
+    how much of the holdout's active population is cold
+    (coldstart_ppm = cold * 1e6 div holdout-active, exact trunc).
+
+    Scale shape: 1-row max broadcast + one groupBy(entity) for
+    (first_day, last_day) + one 4-cell aggregate. Rows with NULL
+    entities are ignored (they cannot be keyed at serving time either).
+    """
+    d = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+    rows = df.filter(F.col(entity_col).isNotNull()).select(
+        F.col(entity_col).alias("_e"), d.alias("_d")
+    )
+    mx = rows.agg(F.max("_d").alias("_mx"))
+    per_e = (
+        rows.crossJoin(F.broadcast(mx))
+        .withColumn("_cut", F.col("_mx") - F.lit(int(horizon_days)))
+        .groupBy("_e")
+        .agg(
+            F.min("_d").alias("_first"),
+            F.max("_d").alias("_last"),
+            F.max("_cut").alias("_c"),
+        )
+    )
+    g = per_e.agg(
+        F.sum((F.col("_first") <= F.col("_c")).cast("long")).cast("long")
+        .alias("n_train_entities"),
+        F.sum((F.col("_last") > F.col("_c")).cast("long")).cast("long")
+        .alias("n_holdout_active"),
+        F.sum((F.col("_first") > F.col("_c")).cast("long")).cast("long")
+        .alias("n_coldstart"),
+    )
+    return g.select(
+        F.lit(kind).alias("entity"),
+        "n_train_entities", "n_holdout_active", "n_coldstart",
+        F.expr(
+            "cast(case when n_holdout_active > 0 then"
+            " (cast(n_coldstart as decimal(38,0)) * 1000000)"
+            " div n_holdout_active else 0 end as bigint)"
+        ).alias("coldstart_ppm"),
+    )

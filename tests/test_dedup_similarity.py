@@ -772,3 +772,70 @@ def test_knn_hubness_symmetric_is_balanced(spark):
     r = similarity.knn_hubness(df, k=1).collect()[0]
     assert r.max_indeg == 1 and r.n_orphans == 0
     assert r.g1_sq_signed_raw == 0.0
+
+
+def test_fisher_separability_separable_vs_collapsed(spark):
+    from feature_extractor_mbo_lob_spark.operators.similarity import (
+        fisher_separability,
+    )
+
+    # two well-separated clusters along lane 0
+    rows = [(i, [10.0 + (i % 3) * 0.01, 1.0], 0) for i in range(6)] + [
+        (10 + i, [-10.0 - (i % 3) * 0.01, 1.0], 1) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    r = fisher_separability(df).collect()[0]
+    assert (r.n, r.d, r.n_classes) == (12, 2, 2)
+    assert r.fisher_ratio > 100  # between >> within
+    # identical label distribution in both classes -> J ~ 0
+    rows2 = [(i, [float(i % 5), 2.0], i % 2) for i in range(20)]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>, label int")
+    r2 = fisher_separability(df2).collect()[0]
+    assert abs(r2.fisher_ratio) < 0.2
+
+
+def test_fisher_separability_exact_integer_parity(spark):
+    from feature_extractor_mbo_lob_spark.operators.similarity import (
+        fisher_separability,
+    )
+    import math as _m
+
+    rows = [(1, [0.25, -1.5], 0), (2, [0.75, 2.25], 0),
+            (3, [1.5, 0.5], 1), (4, [-0.5, 1.0], 1), (5, [2.0, -0.25], 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    r = fisher_separability(df).collect()[0]
+    # python replica of the exact spec
+    qs = {(i, j): _m.floor(v * 1e6 + 0.5)
+          for i, (vid, vec, lab) in enumerate(rows) for j, v in enumerate(vec)}
+    labs = [lab for _, _, lab in rows]
+    B = W = 0
+    n = len(rows)
+    for j in range(2):
+        cls = {}
+        for i, lab in enumerate(labs):
+            cls.setdefault(lab, []).append(qs[(i, j)])
+        s1g = sum(sum(v) for v in cls.values())
+        s2g = sum(x * x for v in cls.values() for x in v)
+        # trunc division toward zero; S1^2 >= 0 so python // matches
+        tsum = sum((sum(v) * sum(v)) // len(v) for v in cls.values())
+        g = (s1g * s1g) // n
+        B += tsum - g
+        W += s2g - tsum
+    assert (r.between_sum, r.within_sum) == (B, W)
+    want = _m.floor((B / W) * 1e6 + 0.5) / 1e6 if W > 0 else 0.0
+    assert r.fisher_ratio == want
+
+
+def test_minhash_recall_finds_planted_duplicates(spark):
+    from feature_extractor_mbo_lob_spark.operators.dedup import minhash_recall
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"       # high shingle overlap with base
+    rows = [(1, base), (2, near), (3, "one two three four five six seven"),
+            (4, "completely different words entirely here now today")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = minhash_recall(docs, k=3, num_hashes=16, bands=4,
+                       threshold_pct=60).collect()[0]
+    assert r.n_truth >= 1            # (1, 2) is a true pair at 0.6
+    assert r.n_hit == r.n_truth      # identical band vectors must collide
+    assert r.recall_ppm == 1_000_000

@@ -63,6 +63,10 @@ BNLJ_ALLOWED = {
     "churn_labels",  # 1-row max-day broadcast into the per-event frame
     "qini_curve",  # 1-row max-day / N totals broadcasts into the user/ranked frames
     "anderson_darling",  # 1-row (N, n_a) totals broadcast into the distinct-value frame
+    "fk_orphan_audit",  # 1-row orphan-count broadcasts joined to 1-row base counts
+    "coldstart_coverage",  # 1-row max-day broadcast per entity dimension
+    "capture_recapture",  # 1-row corpus-vocab total broadcast into the per-source frame
+    "minhash_recall",  # 1-row candidate-count broadcast joined to the 1-row hit aggregate
     "rfm_segments",  # 1-row max-date / N-users totals broadcasts into the user frame
     "kmeans_clusters",
     "kneser_ney",

@@ -619,3 +619,79 @@ def test_diff_in_differences_cutover_ts_multi_month(spark):
     # BOTH rows (day 20 >= 16) land post -> no pre cells at all
     bad = diff_in_differences(ev, "user_id", cutover_day=16).collect()[0]
     assert bad.n_a_pre == 0 and bad.n_b_pre == 0
+
+
+def test_fk_orphan_audit_counts_nulls_and_orphans(spark):
+    from feature_extractor_mbo_lob_spark.validation import fk_orphan_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = fk_orphan_audit(child, parent, "fk", "pk", "c->p").collect()[0]
+    assert (r.relation, r.n_child, r.n_null_keys, r.n_orphans) == (
+        "c->p", 5, 1, 1)
+    assert r.orphan_ppm == (1 * 1_000_000) // 4
+    # clean relation -> zero everywhere
+    clean = spark.createDataFrame([(1,), (2,)], "fk long")
+    r2 = fk_orphan_audit(clean, parent, "fk", "pk", "ok").collect()[0]
+    assert r2.n_orphans == 0 and r2.orphan_ppm == 0
+
+
+def test_coldstart_coverage_temporal_split(spark):
+    from pyspark.sql import functions as F
+
+    from feature_extractor_mbo_lob_spark.validation import coldstart_coverage
+
+    # max day = 2024-01-20, cutoff = 13: tools a (old, active post),
+    # b (old, quiet post), c (first seen post -> cold), NULL ignored
+    rows = [
+        ("a", "2024-01-02"), ("a", "2024-01-18"),
+        ("b", "2024-01-05"),
+        ("c", "2024-01-19"),
+        (None, "2024-01-20"),
+    ]
+    df = spark.createDataFrame(rows, "tool string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    r = coldstart_coverage(df, "tool", "ts", "tool", horizon_days=7).collect()[0]
+    # NOTE: the NULL row is excluded entirely, so max day comes from
+    # non-null rows: 2024-01-19 -> cutoff 2024-01-12
+    assert r.entity == "tool"
+    assert r.n_train_entities == 2          # a, b first seen <= cutoff
+    assert r.n_holdout_active == 2          # a, c active after cutoff
+    assert r.n_coldstart == 1               # c
+    assert r.coldstart_ppm == 500_000
+
+
+def test_capture_recapture_chapman_hand_case(spark):
+    from feature_extractor_mbo_lob_spark.functions.corpus import capture_recapture
+
+    # source A vocab {x, y, z}; source B vocab {y, z, w, u}
+    docs = spark.createDataFrame(
+        [(1, "x y z", "A"), (2, "y z w u", "B")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in capture_recapture(docs, "source").collect()}
+    a = got["A"]
+    # n1=3, exclusive to A = {x} -> m=2, corpus vocab 5 -> n2 = 5-1 = 4
+    assert (a.n1, a.n2, a.m, a.v_total) == (3, 4, 2, 5)
+    assert a.chapman_micro == ((3 + 1) * (4 + 1) * 1_000_000) // 3 - 1_000_000
+    b = got["B"]
+    assert (b.n1, b.n2, b.m) == (4, 3, 2)
+
+
+def test_revenue_rollup_levels_consistent(spark):
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    out = QUERIES["revenue_rollup"](spark, "/root/testdata/sf0.001").collect()
+    grand = [r for r in out if r.gid == 3]
+    assert len(grand) == 1 and grand[0].region is None
+    regions = [r for r in out if r.gid == 1]
+    nations = [r for r in out if r.gid == 0]
+    assert grand[0].revenue_cents == sum(r.revenue_cents for r in regions)
+    assert grand[0].revenue_cents == sum(r.revenue_cents for r in nations)
+    assert grand[0].n_items == sum(r.n_items for r in regions)
+    # per-region subtotal equals the sum of its nations
+    for reg in regions:
+        subs = [n for n in nations if n.region == reg.region]
+        assert reg.revenue_cents == sum(n.revenue_cents for n in subs)

@@ -1934,6 +1934,81 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.validation import (
+        coldstart_coverage, fk_orphan_audit,
+    )
+
+    parent_t = t.select(F.col("conv_id").alias("pk")).distinct()
+    child_t = t.select(F.col("conv_id").alias("fk"))
+    sections.append(summarize(
+        "FK orphan audit",
+        fk_orphan_audit(child_t, parent_t, "fk", "pk", "t->t"),
+        "One conditional aggregate for the NULL split, one left-anti join "
+        "(AQE broadcasts a small parent), two 1-row aggregates joined by "
+        "a bounded BNLJ. The anti join IS the certificate — no cheaper "
+        "audit exists.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Cold-start coverage",
+        coldstart_coverage(t, "tool", "ts", "tool"),
+        "1-row max-day broadcast (bounded BNLJ) + one groupBy(entity) for "
+        "(first, last) days + one 4-cell aggregate; NULL entities "
+        "filtered at the scan.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    from feature_extractor_mbo_lob_spark.functions.corpus import capture_recapture
+
+    sections.append(summarize(
+        "Chapman capture-recapture",
+        capture_recapture(docs_like, "source"),
+        "One distinct (source, word) shuffle bounded by vocabulary x "
+        "sources, one groupBy(word) share count, an AQE-decided join "
+        "back, one groupBy(source), a 1-row corpus-vocab broadcast "
+        "(bounded BNLJ); all integers until the final trunc division.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    from feature_extractor_mbo_lob_spark.operators.similarity import (
+        fisher_separability,
+    )
+
+    emb_like = t.select(
+        F.col("turn_idx").alias("vec_id"),
+        F.array(F.length("text").cast("double"),
+                F.unix_micros("ts").cast("double") / F.lit(1e12)).alias("embedding"),
+        (F.length("text") % 3).cast("int").alias("label"),
+    )
+    sections.append(summarize(
+        "Fisher class-separability",
+        fisher_separability(emb_like),
+        "One lane explode with map-side partial aggregation into "
+        "(class, lane) cells — shuffle O(classes*d), never O(rows) — "
+        "then one d-cell reduce and one 1-row aggregate; per-class trunc "
+        "divisions quantize before order-free integer sums.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    from feature_extractor_mbo_lob_spark.operators.dedup import minhash_recall
+
+    mr_docs = t.select(F.col("turn_idx").alias("doc_id"), "text").limit(500)
+    sections.append(summarize(
+        "MinHash recall meter",
+        minhash_recall(mr_docs),
+        "Truth = exact co-occurrence join on the shingle table (the "
+        "deliberate exact meter; 3-shingle doc-freq is bounded on this "
+        "corpus); candidates reuse the banded equi-join; comparison is "
+        "one pair-keyed equi-join + two 1-row aggregates (bounded BNLJ).",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
