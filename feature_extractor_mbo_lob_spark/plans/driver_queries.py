@@ -18134,6 +18134,233 @@ QUERIES["minhash_recall"] = q_minhash_recall
 ORACLES["minhash_recall"] = O_MINHASH_RECALL
 
 
+# --- TPC-H Q13 analog: customer order-count distribution --------------------------------
+
+def q_customer_distribution(spark, sf_dir):
+    """Histogram of customers by order count, zeros included — TPC-H
+    Q13's LEFT OUTER + double aggregation. The orders side is
+    pre-aggregated to customer cardinality BEFORE the outer join (one
+    map-side-combinable groupBy on o_custkey), so the join never fans
+    out and the second aggregation runs over exactly |customer| rows.
+    All counts pure integers."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    per_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    counts = cust.join(
+        per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left_outer"
+    ).select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count"))
+    return counts.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+O_CUSTOMER_DISTRIBUTION = """
+select c_count, cast(count(*) as bigint) as custdist
+from (
+  select cast(coalesce(o.cnt, 0) as bigint) as c_count
+  from customer c
+  left join (select o_custkey, count(*) as cnt from orders group by 1) o
+    on o.o_custkey = c.c_custkey
+)
+group by c_count
+"""
+
+QUERIES["customer_distribution"] = q_customer_distribution
+ORACLES["customer_distribution"] = O_CUSTOMER_DISTRIBUTION
+
+
+# --- TPC-H Q17 analog: small-quantity revenue per brand ---------------------------------
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """Revenue sitting in below-one-fifth-of-average-quantity line items,
+    per part brand — TPC-H Q17's correlated-average predicate with the
+    division cleared: q < sum_q / (5*n)  ⇔  5*q*n < sum_q, exact because
+    quantities are integral. One groupBy(l_partkey) builds the per-part
+    moment table (same cardinality as part), joined back on the shuffle
+    key it was built on; price cents via the house fixed-order
+    floor(p*100+0.5); final rollup per brand is a tiny aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").cast("long").alias("sum_q"),
+        F.count(F.lit(1)).cast("long").alias("n_q"),
+    )
+    below = (
+        li.join(per_part.withColumnRenamed("l_partkey", "pk"),
+                F.col("l_partkey") == F.col("pk"))
+        .where(F.lit(5) * F.col("qty") * F.col("n_q") < F.col("sum_q"))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        below.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+O_SMALL_QUANTITY_REVENUE = """
+with li as (
+  select l_partkey, cast(l_quantity as bigint) as qty,
+    cast(floor(l_extendedprice * 100.0 + 0.5) as bigint) as cents
+  from lineitem
+),
+pp as (
+  select l_partkey as pk, cast(sum(qty) as bigint) as sum_q,
+    cast(count(*) as bigint) as n_q
+  from li group by 1
+)
+select p.p_brand, cast(count(*) as bigint) as n_items,
+  cast(sum(li.cents) as bigint) as revenue_cents
+from li
+join pp on pp.pk = li.l_partkey
+join part p on p.p_partkey = li.l_partkey
+where 5 * li.qty * pp.n_q < pp.sum_q
+group by p.p_brand
+"""
+
+QUERIES["small_quantity_revenue"] = q_small_quantity_revenue
+ORACLES["small_quantity_revenue"] = O_SMALL_QUANTITY_REVENUE
+
+
+# --- TPC-H Q18 analog: large-volume customers --------------------------------------------
+
+def q_large_volume_customers(spark, sf_dir):
+    """Orders whose total line quantity exceeds 250, with the customer
+    who placed them — TPC-H Q18's GROUP BY + HAVING pushed BELOW the
+    joins: lineitem collapses to per-order quantity totals first, the
+    HAVING filter drops ~97% of orders before any join, and only the
+    survivors touch orders/customer. Quantities are integral so the
+    threshold decision is pure integer."""
+    per_order = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("totalprice_cents"),
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "orderdate",
+                "totalprice_cents", "total_qty")
+    )
+
+
+O_LARGE_VOLUME_CUSTOMERS = """
+with po as (
+  select l_orderkey, cast(sum(cast(l_quantity as bigint)) as bigint) as total_qty
+  from lineitem group by 1
+  having sum(cast(l_quantity as bigint)) > 250
+)
+select c.c_custkey, c.c_name, o.o_orderkey,
+  strftime(o.o_orderdate, '%Y-%m-%d') as orderdate,
+  cast(floor(o.o_totalprice * 100.0 + 0.5) as bigint) as totalprice_cents,
+  po.total_qty
+from po
+join orders o on o.o_orderkey = po.l_orderkey
+join customer c on c.c_custkey = o.o_custkey
+"""
+
+QUERIES["large_volume_customers"] = q_large_volume_customers
+ORACLES["large_volume_customers"] = O_LARGE_VOLUME_CUSTOMERS
+
+
+# --- TPC-H Q21 analog: suppliers who kept multi-supplier orders waiting ------------------
+
+def q_waiting_suppliers(spark, sf_dir):
+    """Per supplier: multi-supplier orders where THIS supplier shipped
+    late (> 75 days after the order date) and no co-supplier did —
+    TPC-H Q21's EXISTS + NOT EXISTS as a LEFT SEMI then LEFT ANTI join,
+    both equi on l_orderkey with the supplier-inequality as a residual
+    condition (never a cartesian). The late set is built once from one
+    lineitem⋈orders pass and reused on both sides of the anti join;
+    counts pure integers."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .where(F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    o2 = all_pairs.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        late.join(
+            o2,
+            (late["l_orderkey"] == o2["ok2"]) & (late["l_suppkey"] != o2["sk2"]),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (late["l_orderkey"] == l3["ok3"]) & (late["l_suppkey"] != l3["sk3"]),
+            "left_anti",
+        )
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+O_WAITING_SUPPLIERS = """
+with late as (
+  select distinct l.l_orderkey, l.l_suppkey
+  from lineitem l join orders o on o.o_orderkey = l.l_orderkey
+  where l.l_shipdate > o.o_orderdate + interval 75 day
+)
+select s.s_name, cast(count(*) as bigint) as numwait
+from late l1
+join supplier s on s.s_suppkey = l1.l_suppkey
+where exists (
+    select 1 from lineitem l2
+    where l2.l_orderkey = l1.l_orderkey and l2.l_suppkey <> l1.l_suppkey
+  )
+  and not exists (
+    select 1 from late l3
+    where l3.l_orderkey = l1.l_orderkey and l3.l_suppkey <> l1.l_suppkey
+  )
+group by s.s_name
+"""
+
+QUERIES["waiting_suppliers"] = q_waiting_suppliers
+ORACLES["waiting_suppliers"] = O_WAITING_SUPPLIERS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -695,3 +695,61 @@ def test_revenue_rollup_levels_consistent(spark):
     for reg in regions:
         subs = [n for n in nations if n.region == reg.region]
         assert reg.revenue_cents == sum(n.revenue_cents for n in subs)
+
+
+def test_customer_distribution_includes_zero_order_customers(spark, tmp_path):
+    """Q13 hand case: the LEFT OUTER + coalesce(0) must surface orderless
+    customers as a real c_count=0 bucket, and the histogram masses must
+    sum to the customer cardinality."""
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    cust = spark.createDataFrame([(1,), (2,), (3,), (4,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "o_orderkey long, o_custkey long"
+    )
+    sf = tmp_path / "q13"
+    cust.coalesce(1).write.parquet(str(sf / "customer.parquet"))
+    orders.coalesce(1).write.parquet(str(sf / "orders.parquet"))
+    out = QUERIES["customer_distribution"](spark, str(sf)).collect()
+    hist = {r.c_count: r.custdist for r in out}
+    assert hist == {0: 2, 1: 1, 2: 1}
+    # on the real table the masses conserve customer cardinality
+    out2 = QUERIES["customer_distribution"](spark, "/root/testdata/sf0.001").collect()
+    ncust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert sum(r.custdist for r in out2) == ncust
+
+
+def test_waiting_suppliers_exists_not_exists_semantics(spark, tmp_path):
+    """Q21 hand case: the waiting supplier is late on a multi-supplier
+    order where no co-supplier is late; sole-supplier orders and orders
+    with a late co-supplier are excluded."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    d0 = dt.date(1995, 1, 1)
+    late = d0 + dt.timedelta(days=100)
+    ok = d0 + dt.timedelta(days=10)
+    li = spark.createDataFrame(
+        [
+            # order 1: supplier 1 late, co-supplier 2 on time -> S1 waits
+            (1, 1, late), (1, 2, ok),
+            # order 2: both late -> neither counted (NOT EXISTS fails)
+            (2, 1, late), (2, 2, late),
+            # order 3: single-supplier late -> excluded (EXISTS fails)
+            (3, 3, late),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate date",
+    )
+    od = spark.createDataFrame(
+        [(1, d0), (2, d0), (3, d0)], "o_orderkey long, o_orderdate date"
+    )
+    supp = spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")], "s_suppkey long, s_name string"
+    )
+    sf = tmp_path / "q21"
+    li.coalesce(1).write.parquet(str(sf / "lineitem.parquet"))
+    od.coalesce(1).write.parquet(str(sf / "orders.parquet"))
+    supp.coalesce(1).write.parquet(str(sf / "supplier.parquet"))
+    out = {r.s_name: r.numwait for r in QUERIES["waiting_suppliers"](spark, str(sf)).collect()}
+    assert out == {"S1": 1}

@@ -2009,6 +2009,53 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    tiny = "/root/testdata/sf0.001"
+    sections.append(summarize(
+        "customer order-count distribution (Q13 analog)",
+        QUERIES["customer_distribution"](spark, tiny),
+        "Orders pre-aggregated to per-customer cardinality BEFORE the "
+        "outer join (map-side combine on o_custkey), so the join never "
+        "fans out and the histogram aggregation runs over |customer| "
+        "rows; two exchanges total, both key-bounded.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "small-quantity revenue (Q17 analog)",
+        QUERIES["small_quantity_revenue"](spark, tiny),
+        "The correlated average is cleared of its division "
+        "(5*q*n < sum_q, exact for integral quantities); the per-part "
+        "moment table is joined back on the key it was aggregated on, "
+        "and the part dim join is AQE-broadcastable; final brand rollup "
+        "is a tiny aggregate.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "large-volume customers (Q18 analog)",
+        QUERIES["large_volume_customers"](spark, tiny),
+        "GROUP BY + HAVING pushed BELOW the joins: lineitem collapses to "
+        "per-order totals first and the >250 filter drops ~97% of orders "
+        "before any join touches orders/customer.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "waiting suppliers (Q21 analog)",
+        QUERIES["waiting_suppliers"](spark, tiny),
+        "EXISTS/NOT EXISTS as LEFT SEMI + LEFT ANTI, both equi on "
+        "l_orderkey with the supplier inequality as a residual condition "
+        "— never a cartesian; the late set is built once and reused on "
+        "both sides.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
