@@ -18361,6 +18361,370 @@ QUERIES["waiting_suppliers"] = q_waiting_suppliers
 ORACLES["waiting_suppliers"] = O_WAITING_SUPPLIERS
 
 
+# --- TPC-H Q7 generalized: international trade-flow matrix -------------------------------
+
+def q_trade_flow(spark, sf_dir):
+    """Cross-nation revenue matrix (supplier nation → customer nation,
+    per ship year) — TPC-H Q7 generalized from one nation pair to the
+    full trade-flow matrix so every SF has non-trivial support. The two
+    fact-sized joins (lineitem⋈orders, orders⋈customer) carry ONLY keys
+    + the c4 revenue term; nation names arrive via two broadcast-sized
+    dim joins AFTER the matrix has collapsed to ≤ nations²·years rows.
+    Revenue sums in decimal(38,0) (c4 × corpus rows wraps int64 at the
+    100-TB point), released via the house fixed-order r6x."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        _rev_c4().alias("rev_c4"),
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", F.col("s_nationkey").alias("supp_nk")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_nationkey").alias("cust_nk")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    cells = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .where(F.col("supp_nk") != F.col("cust_nk"))
+        .groupBy("supp_nk", "cust_nk", "ship_year")
+        .agg(
+            F.sum(F.col("rev_c4").cast("decimal(38,0)")).alias("rev_c4"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+    return (
+        cells.join(F.broadcast(nation), F.col("supp_nk") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("supp_nation"), "cust_nk", "ship_year",
+            "rev_c4", "n_items",
+        )
+        .join(F.broadcast(nation), F.col("cust_nk") == F.col("n_nationkey"))
+        .select(
+            "supp_nation", F.col("n_name").alias("cust_nation"), "ship_year",
+            _r6x(F.col("rev_c4").cast("double") / F.lit(1.0e4), "revenue"),
+            "n_items",
+        )
+    )
+
+
+O_TRADE_FLOW = """
+with cells as (
+  select s.s_nationkey as supp_nk, c.c_nationkey as cust_nk,
+    cast(year(l.l_shipdate) as bigint) as ship_year,
+    sum(cast(round(l.l_extendedprice * 100, 0) as hugeint)
+        * (100 - cast(round(l.l_discount * 100, 0) as bigint))) as rev_c4,
+    cast(count(*) as bigint) as n_items
+  from lineitem l
+  join supplier s on s.s_suppkey = l.l_suppkey
+  join orders o on o.o_orderkey = l.l_orderkey
+  join customer c on c.c_custkey = o.o_custkey
+  where l.l_shipdate >= timestamp '1996-01-01'
+    and l.l_shipdate < timestamp '1998-01-01'
+    and s.s_nationkey <> c.c_nationkey
+  group by 1, 2, 3
+)
+select ns.n_name as supp_nation, nc.n_name as cust_nation, ship_year,
+  floor((cast(rev_c4 as double) / 1e4) * 1000000.0 + 0.5) / 1000000.0 as revenue,
+  n_items
+from cells
+join nation ns on ns.n_nationkey = cells.supp_nk
+join nation nc on nc.n_nationkey = cells.cust_nk
+"""
+
+QUERIES["trade_flow"] = q_trade_flow
+ORACLES["trade_flow"] = O_TRADE_FLOW
+
+
+# --- TPC-H Q8 analog: supplier-region market share ---------------------------------------
+
+def q_market_share(spark, sf_dir):
+    """Per ship year, each supplier REGION's share of the revenue that
+    ASIA customers spent on PROMO parts — TPC-H Q8's share-of-total
+    nested aggregation with the single nation widened to the five
+    supplier regions (non-trivial at every SF). Facts shuffle once into
+    (year, supp_region) cells in decimal(38,0); the per-year total is a
+    ≤years-row aggregate joined back broadcast; the share is ONE exact
+    ppm trunc division of nonnegative integers — no float crosses
+    engines until the r6x revenue release."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    asia_nk = nation.join(
+        F.broadcast(region.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("asia_nk"))
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(asia_nk), F.col("c_nationkey") == F.col("asia_nk"))
+        .select("c_custkey")
+    )
+    promo = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    supp_reg = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        _rev_c4().alias("rev_c4"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cells = (
+        li.join(promo, li["l_partkey"] == promo["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp_reg), li["l_suppkey"] == supp_reg["s_suppkey"])
+        .groupBy("ship_year", "supp_region")
+        .agg(F.sum(F.col("rev_c4").cast("decimal(38,0)")).alias("rev_c4"))
+    )
+    totals = cells.groupBy("ship_year").agg(
+        F.sum("rev_c4").alias("tot_c4")
+    )
+    return (
+        cells.join(F.broadcast(totals), "ship_year")
+        .select(
+            "ship_year", "supp_region",
+            _r6x(F.col("rev_c4").cast("double") / F.lit(1.0e4), "revenue"),
+            F.expr("cast(rev_c4 * 1000000 div tot_c4 as long)").alias("share_ppm"),
+        )
+    )
+
+
+O_MARKET_SHARE = """
+with asia_cust as (
+  select c.c_custkey
+  from customer c
+  join nation n on n.n_nationkey = c.c_nationkey
+  join region r on r.r_regionkey = n.n_regionkey
+  where r.r_name = 'ASIA'
+),
+supp_reg as (
+  select s.s_suppkey, r.r_name as supp_region
+  from supplier s
+  join nation n on n.n_nationkey = s.s_nationkey
+  join region r on r.r_regionkey = n.n_regionkey
+),
+cells as (
+  select cast(year(l.l_shipdate) as bigint) as ship_year, sr.supp_region,
+    sum(cast(round(l.l_extendedprice * 100, 0) as hugeint)
+        * (100 - cast(round(l.l_discount * 100, 0) as bigint))) as rev_c4
+  from lineitem l
+  join part p on p.p_partkey = l.l_partkey and p.p_type = 'PROMO'
+  join orders o on o.o_orderkey = l.l_orderkey
+  join asia_cust c on c.c_custkey = o.o_custkey
+  join supp_reg sr on sr.s_suppkey = l.l_suppkey
+  group by 1, 2
+),
+tot as (
+  select ship_year, sum(rev_c4) as tot_c4 from cells group by 1
+)
+select cells.ship_year, cells.supp_region,
+  floor((cast(rev_c4 as double) / 1e4) * 1000000.0 + 0.5) / 1000000.0 as revenue,
+  cast((rev_c4 * 1000000) // tot_c4 as bigint) as share_ppm
+from cells join tot on tot.ship_year = cells.ship_year
+"""
+
+QUERIES["market_share"] = q_market_share
+ORACLES["market_share"] = O_MARKET_SHARE
+
+
+# --- TPC-H Q19 analog: disjunctive-predicate discounted revenue --------------------------
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """Revenue under an OR of three (type, quantity-range, size-range)
+    conjunctions — TPC-H Q19's disjunctive join predicate. The part
+    attributes needed by the OR ride a broadcast of the PRE-FILTERED
+    part rows (any branch's size window), so the disjunction evaluates
+    as a residual on a broadcast hash join — never a fan-out or a
+    cartesian; one branch tag per row lets the rollup stay per-branch.
+    Quantities/sizes integral → the predicate is pure integer."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _rev_c4().alias("rev_c4"),
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_type").isin("SMALL", "MEDIUM", "LARGE")
+    ).select("p_partkey", "p_type", F.col("p_size").cast("long").alias("psize"))
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    branch = (
+        F.when(
+            (F.col("p_type") == "SMALL")
+            & F.col("qty").between(1, 15) & F.col("psize").between(1, 20),
+            F.lit("small"),
+        )
+        .when(
+            (F.col("p_type") == "MEDIUM")
+            & F.col("qty").between(10, 25) & F.col("psize").between(11, 30),
+            F.lit("medium"),
+        )
+        .when(
+            (F.col("p_type") == "LARGE")
+            & F.col("qty").between(20, 35) & F.col("psize").between(21, 40),
+            F.lit("large"),
+        )
+    )
+    return (
+        j.select(branch.alias("branch"), "rev_c4")
+        .where(F.col("branch").isNotNull())
+        .groupBy("branch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            _r6x(
+                F.sum(F.col("rev_c4").cast("decimal(38,0)")).cast("double")
+                / F.lit(1.0e4),
+                "revenue",
+            ),
+        )
+    )
+
+
+O_DISJUNCTIVE_REVENUE = """
+with j as (
+  select
+    case
+      when p.p_type = 'SMALL' and l.l_quantity between 1 and 15
+        and p.p_size between 1 and 20 then 'small'
+      when p.p_type = 'MEDIUM' and l.l_quantity between 10 and 25
+        and p.p_size between 11 and 30 then 'medium'
+      when p.p_type = 'LARGE' and l.l_quantity between 20 and 35
+        and p.p_size between 21 and 40 then 'large'
+    end as branch,
+    cast(round(l.l_extendedprice * 100, 0) as hugeint)
+      * (100 - cast(round(l.l_discount * 100, 0) as bigint)) as rev_c4
+  from lineitem l
+  join part p on p.p_partkey = l.l_partkey
+  where p.p_type in ('SMALL', 'MEDIUM', 'LARGE')
+)
+select branch, cast(count(*) as bigint) as n_items,
+  floor((cast(sum(rev_c4) as double) / 1e4) * 1000000.0 + 0.5) / 1000000.0
+    as revenue
+from j where branch is not null
+group by branch
+"""
+
+QUERIES["disjunctive_revenue"] = q_disjunctive_revenue
+ORACLES["disjunctive_revenue"] = O_DISJUNCTIVE_REVENUE
+
+
+# --- TPC-H Q15 analog: top supplier by quarterly revenue ----------------------------------
+
+def q_top_supplier(spark, sf_dir):
+    """Supplier(s) with the maximum 1996-Q1 revenue — TPC-H Q15's
+    view + correlated max as: one per-supplier aggregate (map-side
+    combinable, decimal(38,0)), a 1-row max aggregate of THAT tiny
+    frame, and an equi join back on revenue equality (broadcast, ties
+    preserved — the SQL correlated-subquery semantics exactly). The
+    fact table is filtered to the quarter at the scan; no window over
+    raw rows, no global sort."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    ).select("l_suppkey", _rev_c4().alias("rev_c4"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("rev_c4").cast("decimal(38,0)")).alias("rev_c4")
+    )
+    mx = per_supp.agg(F.max("rev_c4").alias("max_c4"))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_supp.join(F.broadcast(mx), per_supp["rev_c4"] == mx["max_c4"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            "s_name",
+            _r6x(F.col("rev_c4").cast("double") / F.lit(1.0e4), "total_revenue"),
+        )
+    )
+
+
+O_TOP_SUPPLIER = """
+with ps as (
+  select l_suppkey,
+    sum(cast(round(l_extendedprice * 100, 0) as hugeint)
+        * (100 - cast(round(l_discount * 100, 0) as bigint))) as rev_c4
+  from lineitem
+  where l_shipdate >= timestamp '1996-01-01'
+    and l_shipdate < timestamp '1996-04-01'
+  group by 1
+)
+select s.s_name,
+  floor((cast(ps.rev_c4 as double) / 1e4) * 1000000.0 + 0.5) / 1000000.0
+    as total_revenue
+from ps
+join supplier s on s.s_suppkey = ps.l_suppkey
+where ps.rev_c4 = (select max(rev_c4) from ps)
+"""
+
+QUERIES["top_supplier"] = q_top_supplier
+ORACLES["top_supplier"] = O_TOP_SUPPLIER
+
+
+# --- TPC-H Q6 analog: forecast revenue change ---------------------------------------------
+
+def q_forecast_revenue(spark, sf_dir):
+    """Discounted revenue that would have been gained by dropping the
+    discount on small-quantity 1996 shipments — TPC-H Q6, the pure
+    scan-predicate query: every filter (ship-year range, discount band,
+    quantity cap) is pushable to the parquet scan and the whole plan is
+    one partial-aggregable 1-row sum. The forecast term itself
+    (price × discount) is exact c4 integer arithmetic."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= F.lit(0.03))
+        & (F.col("l_discount") <= F.lit(0.07))
+        & (F.col("l_quantity") < F.lit(25))
+    )
+    gain_c4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        _r6x(
+            F.sum(gain_c4.cast("decimal(38,0)")).cast("double") / F.lit(1.0e4),
+            "forecast_gain",
+        ),
+    )
+
+
+O_FORECAST_REVENUE = """
+select cast(count(*) as bigint) as n_items,
+  floor((cast(sum(cast(round(l_extendedprice * 100, 0) as hugeint)
+                  * cast(round(l_discount * 100, 0) as bigint)) as double)
+         / 1e4) * 1000000.0 + 0.5) / 1000000.0 as forecast_gain
+from lineitem
+where l_shipdate >= timestamp '1996-01-01'
+  and l_shipdate < timestamp '1997-01-01'
+  and l_discount >= 0.03 and l_discount <= 0.07
+  and l_quantity < 25
+"""
+
+QUERIES["forecast_revenue"] = q_forecast_revenue
+ORACLES["forecast_revenue"] = O_FORECAST_REVENUE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

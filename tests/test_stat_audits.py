@@ -753,3 +753,63 @@ def test_waiting_suppliers_exists_not_exists_semantics(spark, tmp_path):
     supp.coalesce(1).write.parquet(str(sf / "supplier.parquet"))
     out = {r.s_name: r.numwait for r in QUERIES["waiting_suppliers"](spark, str(sf)).collect()}
     assert out == {"S1": 1}
+
+
+def test_top_supplier_preserves_ties(spark, tmp_path):
+    """Q15 hand case: two suppliers with identical max quarterly revenue
+    must BOTH be returned (the correlated-max equi join keeps ties)."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    q1 = dt.datetime(1996, 2, 1)
+    li = spark.createDataFrame(
+        [
+            (1, 10.0, 0.0, q1), (2, 10.0, 0.0, q1),  # tied at 10.00
+            (3, 5.0, 0.0, q1),                        # below max
+            (1, 99.0, 0.0, dt.datetime(1997, 1, 1)),  # outside the quarter
+        ],
+        "l_suppkey long, l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    supp = spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")], "s_suppkey long, s_name string"
+    )
+    sf = tmp_path / "q15"
+    li.coalesce(1).write.parquet(str(sf / "lineitem.parquet"))
+    supp.coalesce(1).write.parquet(str(sf / "supplier.parquet"))
+    out = {r.s_name: r.total_revenue for r in QUERIES["top_supplier"](spark, str(sf)).collect()}
+    assert out == {"S1": 10.0, "S2": 10.0}
+
+
+def test_trade_flow_excludes_domestic(spark, tmp_path):
+    """Q7 hand case: same-nation supplier→customer revenue is excluded;
+    cross-nation cells carry exact revenue and year."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    t96 = dt.datetime(1996, 6, 1)
+    li = spark.createDataFrame(
+        [(100, 1, 20.0, 0.0, t96), (101, 2, 30.0, 0.0, t96)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(100, 7), (101, 8)], "o_orderkey long, o_custkey long"
+    )
+    # supplier 1 in nation 0, supplier 2 in nation 1;
+    # customer 7 in nation 1 (cross), customer 8 in nation 1 (domestic for s2)
+    supp = spark.createDataFrame([(1, 0), (2, 1)], "s_suppkey long, s_nationkey long")
+    cust = spark.createDataFrame([(7, 1), (8, 1)], "c_custkey long, c_nationkey long")
+    nation = spark.createDataFrame(
+        [(0, "N0"), (1, "N1")], "n_nationkey long, n_name string"
+    )
+    sf = tmp_path / "q7"
+    for name, df in [("lineitem", li), ("orders", orders), ("supplier", supp),
+                     ("customer", cust), ("nation", nation)]:
+        df.coalesce(1).write.parquet(str(sf / f"{name}.parquet"))
+    rows = QUERIES["trade_flow"](spark, str(sf)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.supp_nation, r.cust_nation, r.ship_year) == ("N0", "N1", 1996)
+    assert r.revenue == 20.0 and r.n_items == 1

@@ -2056,6 +2056,56 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    sections.append(summarize(
+        "international trade-flow matrix (Q7 generalized)",
+        QUERIES["trade_flow"](spark, tiny),
+        "Fact joins carry only keys + the c4 term; the matrix collapses "
+        "to <= nations^2 * years rows BEFORE the two nation-name "
+        "broadcasts; revenue sums in decimal(38,0).",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "supplier-region market share (Q8 analog)",
+        QUERIES["market_share"](spark, tiny),
+        "Share-of-total nested aggregation: one fact shuffle into "
+        "(year, region) cells, per-year totals broadcast back, the "
+        "share ONE exact ppm trunc division; dims (nation/region/"
+        "supplier-region map) all broadcast.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "disjunctive-predicate revenue (Q19 analog)",
+        QUERIES["disjunctive_revenue"](spark, tiny),
+        "The OR-of-conjunctions evaluates as a residual CASE on one "
+        "part join (pre-filtered to the three type classes); rollup is "
+        "a 3-row aggregate; the predicate is pure integer.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "top supplier by quarterly revenue (Q15 analog)",
+        QUERIES["top_supplier"](spark, tiny),
+        "Correlated max as: per-supplier aggregate (map-side "
+        "combinable), 1-row max of the tiny frame, equi join back on "
+        "revenue equality (ties preserved); quarter filter at the scan.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "forecast revenue (Q6 analog)",
+        QUERIES["forecast_revenue"](spark, tiny),
+        "The pure scan-predicate query: every filter pushable to the "
+        "scan, one partial-aggregable 1-row sum, exact c4 arithmetic.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
