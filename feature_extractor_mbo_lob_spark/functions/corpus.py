@@ -2283,3 +2283,119 @@ def capture_recapture(
             " * 1000000) div (m + 1) - 1000000 as bigint)"
         ).alias("chapman_micro"),
     )
+
+
+def naive_bayes_confusion(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes with add-one smoothing, trained on the
+    md5-even half of the corpus and evaluated on the odd half — the
+    count-based sibling of the logistic probe (the classical
+    fasttext-style corpus router). Returns the held-out confusion
+    matrix (label_true, label_pred, n_docs).
+
+    Engine-exact scoring: every model weight is a nano-quantized ln of
+    a ratio of exact integers (floor(ln((c+1)/(N_c+V))*1e9+0.5) — the
+    SAME IEEE division + ln on both engines), so a document's score
+
+        prior_nano(c) + Σ_matched cnt_w·w_nano(w,c)
+                      + (known_tokens − matched_tokens_c)·default_nano(c)
+
+    is a pure int64 sum and the argmax (score desc, label asc) is
+    deterministic. Only NONZERO (word, class) weights materialize: the
+    zero-count mass rides the per-class default term, so the model
+    table is O(observed vocab×class pairs), never the dense grid.
+    Held-out words outside the train vocabulary are dropped (the
+    documented OOV policy; both engines apply the same semi join).
+
+    Scale: one token shuffle into (word, class) counts (map-side
+    combinable, bounded by vocab×classes), one vocab-keyed join of test
+    tokens to the model (AQE broadcasts the model side when small), one
+    groupBy(doc, class) and a classes-row-per-doc argmax window.
+    Nothing is ever O(corpus²).
+
+    Reference analog: corpus router/quality gates in the curation CLIs
+    (tools/export_dataset.rs filter stages).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_y"),
+        (md5_bucket(F.col(id_col), 2) == 0).alias("_train"),
+        F.explode(normalized_words(text_col)).alias("w"),
+    ).where(F.col("w") != "")
+    tok = base.groupBy("_id", "_y", "_train", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    train = tok.where("_train")
+    cls = train.groupBy("_y").agg(
+        F.countDistinct("_id").cast("long").alias("docs_c"),
+        F.sum("cnt").cast("long").alias("n_c"),
+    )
+    vocab = train.select("w").distinct()
+    v_tot = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    docs_tot = train.agg(F.countDistinct("_id").cast("long").alias("docs_tot"))
+
+    def nano(c):
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    cls_full = (
+        cls.crossJoin(F.broadcast(v_tot))
+        .crossJoin(F.broadcast(docs_tot))
+        .select(
+            "_y",
+            nano(F.ln(F.col("docs_c").cast("double")
+                      / F.col("docs_tot").cast("double"))).alias("prior_nano"),
+            nano(F.ln(F.lit(1.0) / (F.col("n_c") + F.col("v")).cast("double"))
+                 ).alias("default_nano"),
+            (F.col("n_c") + F.col("v")).cast("long").alias("denom"),
+        )
+    )
+    wc = train.groupBy("w", "_y").agg(F.sum("cnt").cast("long").alias("c_wc"))
+    model = wc.join(F.broadcast(cls_full.select("_y", "denom")), "_y").select(
+        "w", "_y",
+        nano(F.ln((F.col("c_wc") + 1).cast("double")
+                  / F.col("denom").cast("double"))).alias("w_nano"),
+    )
+    test = tok.where(~F.col("_train")).join(vocab, "w", "left_semi")
+    known = test.groupBy("_id", "_y").agg(
+        F.sum("cnt").cast("long").alias("known_tokens")
+    )
+    matched = (
+        test.select("_id", "w", "cnt")
+        .join(model.select("w", F.col("_y").alias("_c"), "w_nano"), "w")
+        .groupBy("_id", "_c")
+        .agg(
+            F.sum(F.col("cnt") * F.col("w_nano")).cast("long").alias("m_sum"),
+            F.sum("cnt").cast("long").alias("m_cnt"),
+        )
+    )
+    classes = cls_full.select(
+        F.col("_y").alias("_c"), "prior_nano", "default_nano"
+    )
+    scored = (
+        known.crossJoin(F.broadcast(classes))
+        .join(matched, ["_id", "_c"], "left_outer")
+        .select(
+            "_id", "_y", "_c",
+            (
+                F.col("prior_nano")
+                + F.coalesce(F.col("m_sum"), F.lit(0))
+                + (F.col("known_tokens") - F.coalesce(F.col("m_cnt"), F.lit(0)))
+                * F.col("default_nano")
+            ).alias("score"),
+        )
+    )
+    w_arg = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.col("_c").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_arg))
+        .where(F.col("rn") == 1)
+        .groupBy(
+            F.col("_y").alias("label_true"), F.col("_c").alias("label_pred")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

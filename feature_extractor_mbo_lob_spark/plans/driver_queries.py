@@ -18725,6 +18725,103 @@ QUERIES["forecast_revenue"] = q_forecast_revenue
 ORACLES["forecast_revenue"] = O_FORECAST_REVENUE
 
 
+# --- Multinomial Naive Bayes corpus router ------------------------------------------------
+
+def q_naive_bayes(spark, sf_dir):
+    """Multinomial NB language router (functions/corpus.
+    naive_bayes_confusion): add-one-smoothed count model fit on the
+    md5-even half of `documents`, held-out confusion matrix on the odd
+    half — the count-based sibling of logistic_probe. Every weight is a
+    nano-quantized ln of a ratio of exact integers, scores are pure
+    int64 sums, argmax ties break (score desc, label asc); the oracle
+    replays the identical model CTE by CTE."""
+    from ..functions.corpus import naive_bayes_confusion
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return naive_bayes_confusion(docs, "lang")
+
+
+O_NAIVE_BAYES = f"""
+with tok0 as (
+  select doc_id as _id, lang as _y,
+    (({_HEX7}) % 2 = 0) as _train, w
+  from (
+    select doc_id, lang, md5(cast(doc_id as varchar)) as h,
+      unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+             ' ')) as w
+    from documents
+  )
+  where w <> ''
+),
+tok as (
+  select _id, _y, _train, w, cast(count(*) as bigint) as cnt
+  from tok0 group by 1, 2, 3, 4
+),
+train as (select * from tok where _train),
+cls as (
+  select _y, cast(count(distinct _id) as bigint) as docs_c,
+    cast(sum(cnt) as bigint) as n_c
+  from train group by 1
+),
+vocab as (select distinct w from train),
+v_tot as (select cast(count(*) as bigint) as v from vocab),
+docs_tot as (select cast(count(distinct _id) as bigint) as docs_tot from train),
+cls_full as (
+  select _y,
+    cast(floor(ln(cast(docs_c as double) / cast(docs_tot as double))
+         * 1000000000.0 + 0.5) as bigint) as prior_nano,
+    cast(floor(ln(1.0 / cast(n_c + v as double)) * 1000000000.0 + 0.5)
+         as bigint) as default_nano,
+    cast(n_c + v as bigint) as denom
+  from cls, v_tot, docs_tot
+),
+model as (
+  select wc.w, wc._y,
+    cast(floor(ln(cast(c_wc + 1 as double) / cast(denom as double))
+         * 1000000000.0 + 0.5) as bigint) as w_nano
+  from (
+    select w, _y, cast(sum(cnt) as bigint) as c_wc
+    from train group by 1, 2
+  ) wc
+  join cls_full cf on cf._y = wc._y
+),
+test as (
+  select t.* from tok t semi join vocab v on v.w = t.w where not t._train
+),
+known as (
+  select _id, _y, cast(sum(cnt) as bigint) as known_tokens
+  from test group by 1, 2
+),
+matched as (
+  select t._id, m._y as _c,
+    cast(sum(t.cnt * m.w_nano) as bigint) as m_sum,
+    cast(sum(t.cnt) as bigint) as m_cnt
+  from test t join model m on m.w = t.w
+  group by 1, 2
+),
+scored as (
+  select k._id, k._y, c._y as _c,
+    c.prior_nano + coalesce(m.m_sum, 0)
+      + (k.known_tokens - coalesce(m.m_cnt, 0)) * c.default_nano as score
+  from known k
+  cross join cls_full c
+  left join matched m on m._id = k._id and m._c = c._y
+),
+pred as (
+  select _id, _y, _c,
+    row_number() over (partition by _id order by score desc, _c asc) as rn
+  from scored
+)
+select _y as label_true, _c as label_pred,
+  cast(count(*) as bigint) as n_docs
+from pred where rn = 1
+group by 1, 2
+"""
+
+QUERIES["naive_bayes"] = q_naive_bayes
+ORACLES["naive_bayes"] = O_NAIVE_BAYES
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

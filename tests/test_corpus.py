@@ -696,3 +696,66 @@ def test_diversity_indices_hand_corpus(spark):
     # f2=0: chao1 = 3 + 3*2/2 = 6
     assert b.chao1_micro == 6_000_000
     assert b.simpson_ppm == 0  # all singletons: never two equal tokens
+
+
+def test_naive_bayes_disjoint_vocab_routes_perfectly(spark):
+    """Two classes with disjoint vocabularies: every held-out doc must be
+    routed to its own class (the matched weights dominate the default
+    mass for any smoothing level)."""
+    rows = [(i, "alpha beta alpha beta alpha", "A") for i in range(0, 40, 2)]
+    rows += [(i, "gamma delta gamma delta gamma", "B") for i in range(1, 40, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    out = corpus.naive_bayes_confusion(df, "label").collect()
+    assert all(r.label_true == r.label_pred for r in out)
+    # both classes appear in the held-out half (md5 split is balanced-ish)
+    assert {r.label_true for r in out} == {"A", "B"}
+
+
+def test_naive_bayes_matches_naive_reference(spark):
+    """Exact parity with a pure-Python NB using the same md5 split,
+    nano-quantized ln weights, OOV-drop policy and tie-break."""
+    import math
+    from collections import Counter, defaultdict
+
+    words = ["red", "blue", "green", "red red", "blue green", "red blue",
+             "green green green", "blue", "red green", "blue blue red"]
+    rows = [(i, words[i % len(words)] + (" extra" if i % 3 == 0 else ""),
+             "C" + str(i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    got = {(r.label_true, r.label_pred): r.n_docs
+           for r in corpus.naive_bayes_confusion(df, "label").collect()}
+
+    bucket = {r.doc_id: r.b for r in df.select(
+        "doc_id", corpus.md5_bucket("doc_id", 2).alias("b")).collect()}
+    nano = lambda x: math.floor(math.log(x) * 1e9 + 0.5)
+    train = [(i, t, y) for i, t, y in rows if bucket[i] == 0]
+    test = [(i, t, y) for i, t, y in rows if bucket[i] == 1]
+    wc, n_c, docs_c = defaultdict(Counter), Counter(), Counter()
+    vocab = set()
+    for _, t, y in train:
+        ws = t.split()
+        wc[y].update(ws)
+        n_c[y] += len(ws)
+        docs_c[y] += 1
+        vocab.update(ws)
+    docs_tot = sum(docs_c.values())
+    V = len(vocab)
+    classes = sorted(n_c)
+    want = Counter()
+    for _, t, y in test:
+        ws = [w for w in t.split() if w in vocab]
+        if not ws:
+            continue
+        cnt = Counter(ws)
+        best = None
+        for c in classes:
+            prior = nano(docs_c[c] / docs_tot)
+            default = nano(1.0 / (n_c[c] + V))
+            s = prior
+            for w, k in cnt.items():
+                s += k * (nano((wc[c][w] + 1) / (n_c[c] + V))
+                          if wc[c][w] else default)
+            if best is None or s > best[0]:
+                best = (s, c)
+        want[(y, best[1])] += 1
+    assert got == dict(want)

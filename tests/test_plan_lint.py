@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "bigram_logprob",
     "bm25_scores",
     "chi2_features",
+    "naive_bayes",  # 1-row vocab/doc totals + classes-row model broadcasts
     "conformal",
     "cramers_v",
     "cuped",

@@ -2106,6 +2106,18 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    sections.append(summarize(
+        "multinomial Naive Bayes corpus router",
+        QUERIES["naive_bayes"](spark, tiny),
+        "One token shuffle into (word, class) counts (map-side "
+        "combinable, bounded by vocab x classes); test tokens join the "
+        "model on the word key (AQE-broadcastable); 1-row totals and "
+        "the classes-row prior table ride bounded BNLJ broadcasts; "
+        "argmax is a classes-row-per-doc window. Never O(corpus^2).",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
