@@ -1019,3 +1019,61 @@ def markov_entropy_rate(
             "cast((0 - sum(cast(t as decimal(38,0)) * q)) div 1000000 as bigint)"
         ).alias("h_nanos"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    weight_col: str | None = None,
+    max_depth: int = 4,
+) -> DataFrame:
+    """Single-source BFS hop distances from a deterministic seed — the
+    reachability/diameter probe of the graph family (pagerank answers
+    "how central", k-core "how dense"; this answers "how far").
+
+    The seed is the max-weighted-degree node (ties → node asc): an
+    argmax over the degree aggregate, never a user-supplied magic id,
+    so the query is self-contained and reproducible. Frontier expansion
+    runs ``max_depth`` unrolled rounds: neighbors of the current layer,
+    LEFT ANTI against everything already labeled — first visit IS the
+    minimum hop count, so no min-aggregation pass is needed. Every
+    frame is node-bounded (the edge list is the largest relation —
+    node-keyed equi joins only, no cartesian); each layer is
+    localCheckpoint-ed to keep the unrolled lineage flat, the
+    label-propagation / kcore precedent.
+
+    Unreached nodes are absent from the output (the caller left-joins
+    the node frame if "infinite" rows are wanted). DuckDB twin: one
+    WITH RECURSIVE over the same undirected adjacency with dist <
+    max_depth, min(dist) per node.
+
+    Reference analog: workflow-graph diagnostics over the tool-usage
+    projection (SURVEY §2 graph family).
+    """
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    directed = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst"), w.alias("w")
+    )
+    und = directed.union(
+        directed.select(F.col("dst").alias("src"),
+                        F.col("src").alias("dst"), "w")
+    )
+    adj = und.select("src", "dst").distinct().localCheckpoint(eager=False)
+    deg = und.groupBy("src").agg(F.sum("w").alias("dw"))
+    seed = deg.orderBy(F.col("dw").desc(), F.col("src").asc()).limit(1)
+    dist = seed.select(
+        F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=False)
+    for d in range(max_depth):
+        frontier = dist.where(F.col("dist") == d)
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(d + 1).cast("long").alias("dist"))
+        )
+        dist = dist.union(nxt).localCheckpoint(eager=False)
+    return dist

@@ -117,3 +117,52 @@ def randomized_response(
         .cast("long")
         .alias("est_rate_ppm"),
     )
+
+
+def dp_histogram(
+    df: DataFrame,
+    key_cols: list[str],
+    epsilon_micro: int = 1_000_000,
+    salt: str = "dp",
+) -> DataFrame:
+    """eps-DP histogram release via the Laplace mechanism (Dwork 2006):
+    per-cell count + Lap(delta/eps) noise, delta = 1 for disjoint-cell
+    counting queries. Fully DETERMINISTIC here — the noise draw is a
+    keyed md5 uniform pushed through the exact inverse CDF — so the
+    release is replayable and oracle-exact. That determinism is a
+    TEST-HARNESS property, not a privacy property: an adversary who
+    knows the salt can invert the noise, so a production release must
+    swap the md5 coin for a real entropy source (the mechanism, scale
+    shape and quantization are unchanged — same contract as
+    randomized_response's keyed coins).
+
+    Engine-exact noise: h = first 7 hex digits of md5(salt||cell key)
+    as an integer in [0, 16^7); u = (h + 0.5)/16^7 - 0.5 in (-0.5, 0.5)
+    (never hits the poles, so ln never sees 0); noise = -b * sign(u) *
+    ln(1 - 2|u|) with b = 1e6/epsilon_micro — every step is the SAME
+    fixed-order IEEE expression on the same exact integer h in both
+    engines, quantized once to milli units. Released row: key cols +
+    noisy_milli (noisy count x 1000, may be negative — standard for an
+    unbiased DP release) + epsilon_micro. The TRUE count never appears
+    in the output.
+
+    Scale: ONE map-side-combinable groupBy; the noise is a shuffle-free
+    projection on the groups frame. No joins, no window, no skew
+    exposure beyond the count itself.
+    """
+    cnt = df.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    keystr = F.concat_ws(
+        "", F.lit(salt), *[F.col(k).cast("string") for k in key_cols]
+    )
+    h = F.conv(F.substring(F.md5(keystr), 1, 7), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16 ** 7)) - F.lit(0.5)
+    b = F.lit(1_000_000.0 / float(epsilon_micro))
+    noise = -b * F.signum(u) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    return cnt.select(
+        *key_cols,
+        (
+            F.col("_n") * 1000
+            + F.floor(noise * F.lit(1000.0) + F.lit(0.5)).cast("long")
+        ).alias("noisy_milli"),
+        F.lit(int(epsilon_micro)).cast("long").alias("epsilon_micro"),
+    )

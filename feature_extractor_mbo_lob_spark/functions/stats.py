@@ -3120,3 +3120,101 @@ def ltv_curve(
             " div cohort_users as bigint)"
         ).alias("ltv_micro"),
     )
+
+
+def jarque_bera(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    min_n: int = 8,
+) -> DataFrame:
+    """Jarque-Bera normality test per group (Jarque & Bera 1980) — the
+    distribution-shape gate a feature pipeline runs before trusting
+    z-scores / Gaussian CIs on a metric: JB = n·(b1/6 + (b2−3)²/24),
+    b1 = m3²/m2³ (squared skewness), b2 = m4/m2² (kurtosis), ~χ²(2)
+    under normality.
+
+    Engine-exact spec: a first aggregate takes each group's truncated
+    mean c = S1 div n (both engines truncate toward zero); residuals
+    d = y − c are exact integers whose power sums D1..D4 accumulate in
+    decimal(38,0)/hugeint (D1 = S1 − n·c ∈ [0, n) for nonneg sums, so
+    the origin shift kills the raw-magnitude blowup — only the SPREAD
+    enters the higher powers). The origin-invariant cleared central
+    moments
+        A2 = n·D2 − D1²           (= n²·m2)
+        A3 = n²·D3 − 3n·D1·D2 + 2·D1³        (= n³·m3)
+        A4 = n³·D4 − 4n²·D1·D3 + 6n·D1²·D2 − 3·D1⁴   (= n⁴·m4)
+    are exact integers identical on both engines; b1 = A3²/A2³ and
+    b2 = A4/A2² (the n-powers cancel) and JB are each ONE fixed-order
+    IEEE expression on those operands — bit-identical by construction.
+    Integer bound: A4 ≲ (n·spread)⁴ < 1e38 ⇒ n·spread(y) ≲ 5.6e9 per
+    group (1e6 rows at spread 2000); beyond that, pre-bucket values.
+
+    Groups with A2 = 0 (constant series) or n < min_n release NULL
+    stats but keep their n row — the audit shape (a silent drop would
+    read as "tested and normal").
+
+    Scale: two map-side-combinable aggregates on the SAME group key
+    (the mean join back is AQE-broadcastable — the per-group frame is
+    groups-sized); no window, no explode. Reference analog: the
+    validation gates of `src/validation.rs` extended with a
+    distributional test.
+    """
+    g = F.col(group_col).alias("_g")
+    val = F.col(value_col).cast("long")
+    means = (
+        df.select(g, val.alias("_y"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_y").cast("long").alias("_s1"),
+        )
+        .select("_g", "_n", F.expr("_s1 div _n").cast("long").alias("_c"))
+    )
+    d = (
+        df.select(g, val.alias("_y"))
+        .join(means, "_g")
+        .select(
+            "_g", "_n",
+            (F.col("_y") - F.col("_c")).cast("decimal(38,0)").alias("_d"),
+        )
+    )
+    s = d.groupBy("_g", "_n").agg(
+        F.sum("_d").alias("d1"),
+        F.sum(F.col("_d") * F.col("_d")).alias("d2"),
+        F.sum(F.col("_d") * F.col("_d") * F.col("_d")).alias("d3"),
+        F.sum(F.col("_d") * F.col("_d") * F.col("_d") * F.col("_d")).alias("d4"),
+    )
+    n = F.col("_n").cast("decimal(38,0)")
+    a2 = (n * F.col("d2") - F.col("d1") * F.col("d1")).alias("a2")
+    a3 = (
+        n * n * F.col("d3")
+        - F.lit(3) * n * F.col("d1") * F.col("d2")
+        + F.lit(2) * F.col("d1") * F.col("d1") * F.col("d1")
+    ).alias("a3")
+    a4 = (
+        n * n * n * F.col("d4")
+        - F.lit(4) * n * n * F.col("d1") * F.col("d3")
+        + F.lit(6) * n * F.col("d1") * F.col("d1") * F.col("d2")
+        - F.lit(3) * F.col("d1") * F.col("d1") * F.col("d1") * F.col("d1")
+    ).alias("a4")
+    m = s.select("_g", "_n", a2, a3, a4)
+    a2d = F.col("a2").cast("double")
+    a3d = F.col("a3").cast("double")
+    a4d = F.col("a4").cast("double")
+    ok = (F.col("a2") > 0) & (F.col("_n") >= F.lit(min_n))
+    b1 = (a3d * a3d) / (a2d * a2d * a2d)
+    b2 = a4d / (a2d * a2d)
+    nd = F.col("_n").cast("double")
+    jb = nd * (b1 / F.lit(6.0)
+               + (b2 - F.lit(3.0)) * (b2 - F.lit(3.0)) / F.lit(24.0))
+    def r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return m.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n"),
+        F.when(ok, r6(b1)).alias("skew2"),
+        F.when(ok, r6(b2)).alias("kurtosis"),
+        F.when(ok, r6(jb)).alias("jb_stat"),
+    )

@@ -18822,6 +18822,172 @@ QUERIES["naive_bayes"] = q_naive_bayes
 ORACLES["naive_bayes"] = O_NAIVE_BAYES
 
 
+# --- Jarque-Bera normality gate ------------------------------------------------------------
+
+def q_jarque_bera(spark, sf_dir):
+    """Per-source Jarque-Bera normality test of document lengths
+    (functions/stats.jarque_bera): truncated-mean origin shift kills
+    the raw-magnitude blowup, residual power sums in decimal(38,0)/
+    hugeint, the origin-invariant cleared moments A2/A3/A4 exact
+    integers, and b1/b2/JB each ONE fixed-order IEEE expression —
+    the distribution-shape gate before trusting z-scores on a metric."""
+    from ..functions.stats import jarque_bera
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jarque_bera(docs, "source", "n_chars")
+
+
+O_JARQUE_BERA = """
+with v as (select source as _g, cast(n_chars as bigint) as _y from documents),
+means as (
+  select _g, cast(count(*) as bigint) as _n, cast(sum(_y) as bigint) as _s1
+  from v group by 1
+),
+mm as (select _g, _n, _s1 // _n as _c from means),
+d as (
+  select v._g, mm._n, cast(v._y - mm._c as hugeint) as _d
+  from v join mm on mm._g = v._g
+),
+s as (
+  select _g, _n, sum(_d) as d1, sum(_d*_d) as d2,
+    sum(_d*_d*_d) as d3, sum(_d*_d*_d*_d) as d4
+  from d group by 1, 2
+),
+m as (
+  select _g, _n,
+    cast(_n as hugeint)*d2 - d1*d1 as a2,
+    cast(_n as hugeint)*_n*d3 - 3*_n*d1*d2 + 2*d1*d1*d1 as a3,
+    cast(_n as hugeint)*_n*_n*d4 - 4*_n*_n*d1*d3
+      + 6*_n*d1*d1*d2 - 3*d1*d1*d1*d1 as a4
+  from s
+)
+select _g as source, _n as n,
+  case when a2 > 0 and _n >= 8 then
+    floor(((cast(a3 as double) * cast(a3 as double))
+           / (cast(a2 as double) * cast(a2 as double) * cast(a2 as double)))
+          * 1000000.0 + 0.5) / 1000000.0 end as skew2,
+  case when a2 > 0 and _n >= 8 then
+    floor((cast(a4 as double) / (cast(a2 as double) * cast(a2 as double)))
+          * 1000000.0 + 0.5) / 1000000.0 end as kurtosis,
+  case when a2 > 0 and _n >= 8 then
+    floor((cast(_n as double)
+           * ((cast(a3 as double) * cast(a3 as double))
+              / (cast(a2 as double) * cast(a2 as double) * cast(a2 as double))
+              / 6.0
+              + (cast(a4 as double) / (cast(a2 as double) * cast(a2 as double))
+                 - 3.0)
+                * (cast(a4 as double) / (cast(a2 as double) * cast(a2 as double))
+                   - 3.0) / 24.0))
+          * 1000000.0 + 0.5) / 1000000.0 end as jb_stat
+from m
+"""
+
+QUERIES["jarque_bera"] = q_jarque_bera
+ORACLES["jarque_bera"] = O_JARQUE_BERA
+
+
+# --- Single-source BFS hop layers ----------------------------------------------------------
+
+def q_bfs_hops(spark, sf_dir):
+    """BFS hop distances (functions/graph.bfs_hops) over the tool
+    co-usage graph from the max-weighted-degree tool (ties → name asc)
+    — the reachability probe of the graph family; first visit IS the
+    minimum hop, so the unrolled frontier expansion needs no min pass.
+    The oracle replays it as ONE DuckDB WITH RECURSIVE over the same
+    undirected adjacency — the iterative-Spark ↔ recursive-SQL
+    equivalence certificate."""
+    from ..functions.graph import bfs_hops
+
+    t = transcripts_from_events(spark, sf_dir)
+    d = t.filter(F.col("tool").isNotNull()).select("conv_id", "tool").distinct()
+    a = d.select("conv_id", F.col("tool").alias("tool_a"))
+    b = d.select("conv_id", F.col("tool").alias("tool_b"))
+    edges = (
+        a.join(b, "conv_id")
+        .filter(F.col("tool_a") < F.col("tool_b"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("convs"))
+    )
+    out = bfs_hops(edges, "tool_a", "tool_b", weight_col="convs", max_depth=4)
+    return out.select(F.col("node").alias("tool"), "dist")
+
+
+O_BFS_HOPS = _W.replace("with ", "with recursive ", 1) + """,
+dt as (select distinct conv_id, tool from transcripts where tool is not null),
+e as (
+  select a.tool as ta, b.tool as tb, cast(count(*) as bigint) as w
+  from dt a join dt b on a.conv_id = b.conv_id and a.tool < b.tool
+  group by 1, 2
+),
+und as (
+  select ta as src, tb as dst, w from e
+  union all
+  select tb as src, ta as dst, w from e
+),
+adj as (select distinct src, dst from und),
+deg as (select src as node, cast(sum(w) as bigint) as dw from und group by 1),
+seed as (select node from deg order by dw desc, node asc limit 1),
+bfs(node, dist) as (
+  select node, 0 from seed
+  union
+  select a.dst, b.dist + 1
+  from bfs b join adj a on a.src = b.node
+  where b.dist < 4
+)
+select node as tool, cast(min(dist) as bigint) as dist
+from bfs group by 1
+"""
+
+QUERIES["bfs_hops"] = q_bfs_hops
+ORACLES["bfs_hops"] = O_BFS_HOPS
+
+
+# --- Laplace-mechanism DP histogram ---------------------------------------------------------
+
+def q_dp_histogram(spark, sf_dir):
+    """ε-DP daily event-type histogram (functions/privacy.dp_histogram,
+    Dwork 2006): per-cell count + Laplace(1/ε) noise from a keyed md5
+    uniform through the exact inverse CDF — deterministic (replayable,
+    oracle-exact) by design; the docstring states loudly that a
+    production release swaps the md5 coin for real entropy. Completes
+    the privacy ladder (k-anon / l-div / t-closeness / randomized
+    response / tombstone) with the central-DP release mechanism. The
+    true count never appears in the output."""
+    from ..functions.privacy import dp_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    return dp_histogram(ev, ["event_type", "day"])
+
+
+O_DP_HISTOGRAM = f"""
+with c as (
+  select event_type, cast(ts as date) as day,
+    cast(count(*) as bigint) as n
+  from events group by 1, 2
+),
+hx as (
+  select event_type, day, n,
+    md5('dp' || event_type || cast(day as varchar)) as h
+  from c
+),
+u as (
+  select event_type, day, n,
+    (cast(({_HEX7}) as double) + 0.5) / 268435456.0 - 0.5 as uu
+  from hx
+)
+select event_type, day,
+  n * 1000 + cast(floor(((-(1000000.0 / 1000000.0) * sign(uu))
+    * ln(1.0 - 2.0 * abs(uu))) * 1000.0 + 0.5) as bigint) as noisy_milli,
+  cast(1000000 as bigint) as epsilon_micro
+from u
+"""
+
+QUERIES["dp_histogram"] = q_dp_histogram
+ORACLES["dp_histogram"] = O_DP_HISTOGRAM
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

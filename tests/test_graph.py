@@ -345,3 +345,25 @@ def test_modularity_adversarial_assignment_matches_naive(spark):
     expect = _naive_modularity_micro(edges, assign)
     assert r.q_micro == expect
     assert r.q_micro < 0  # worse than chance: all triangle edges cut
+
+
+def test_bfs_hops_layers_seed_and_unreachable(spark):
+    from feature_extractor_mbo_lob_spark.functions.graph import bfs_hops
+
+    # weighted degree: b = 10+1 = 11 (seed); e/f disconnected
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 1), ("c", "d", 1), ("e", "f", 1)],
+        "a string, b string, w long",
+    )
+    got = {r.node: r.dist for r in
+           bfs_hops(edges, weight_col="w", max_depth=4).collect()}
+    assert got == {"b": 0, "a": 1, "c": 1, "d": 2}
+
+    # depth truncation: path graph, seed at max-degree middle node
+    path = spark.createDataFrame(
+        [("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n4", "n5"), ("n5", "n6")],
+        "a string, b string",
+    )
+    # unweighted degrees: n2..n5 = 2 (tie -> n2), n1/n6 = 1
+    got2 = {r.node: r.dist for r in bfs_hops(path, max_depth=2).collect()}
+    assert got2 == {"n2": 0, "n1": 1, "n3": 1, "n4": 2}

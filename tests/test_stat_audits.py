@@ -813,3 +813,29 @@ def test_trade_flow_excludes_domestic(spark, tmp_path):
     r = rows[0]
     assert (r.supp_nation, r.cust_nation, r.ship_year) == ("N0", "N1", 1996)
     assert r.revenue == 20.0 and r.n_items == 1
+
+
+def test_dp_histogram_noise_exact_and_scales_with_epsilon(spark):
+    """The Laplace draw replays from the md5 coin: hand-compute one
+    cell's noise; eps=4e6 noise is exactly 1/4 of eps=1e6 noise in
+    pre-quantization units (same uniform, scaled b)."""
+    import hashlib
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.privacy import dp_histogram
+
+    df = spark.createDataFrame(
+        [("x",)] * 7 + [("y",)] * 3, "k string"
+    )
+    out1 = {r.k: r.noisy_milli for r in dp_histogram(df, ["k"]).collect()}
+    out4 = {r.k: r.noisy_milli
+            for r in dp_histogram(df, ["k"], epsilon_micro=4_000_000).collect()}
+
+    def noise(cell, b):
+        h = int(hashlib.md5(("dp" + cell).encode()).hexdigest()[:7], 16)
+        u = (h + 0.5) / 16 ** 7 - 0.5
+        return -b * math.copysign(1.0, u) * math.log(1.0 - 2.0 * abs(u))
+
+    for cell, n in (("x", 7), ("y", 3)):
+        assert out1[cell] == n * 1000 + math.floor(noise(cell, 1.0) * 1000 + 0.5)
+        assert out4[cell] == n * 1000 + math.floor(noise(cell, 0.25) * 1000 + 0.5)

@@ -1163,3 +1163,39 @@ def test_ltv_curve_two_cohorts(spark):
     assert a1.ltv_micro == (3500 * 1_000_000) // 2
     b0 = by[(w1, 0)]
     assert b0.cohort_users == 1 and b0.cum_spend_cents == 700
+
+
+def test_jarque_bera_matches_naive_and_nulls_constant(spark):
+    import math
+
+    vals_a = [3, 7, 7, 8, 9, 12, 15, 40, 80, 5, 6, 7]   # right-skewed
+    vals_b = [5] * 10                                    # constant -> NULLs
+    rows = [("A", v) for v in vals_a] + [("B", v) for v in vals_b]
+    df = spark.createDataFrame(rows, "grp string, y long")
+    from feature_extractor_mbo_lob_spark.functions.stats import jarque_bera
+
+    out = {r.grp: r for r in jarque_bera(df, "grp", "y").collect()}
+
+    n = len(vals_a)
+    s1 = sum(vals_a)
+    c = s1 // n
+    d = [v - c for v in vals_a]
+    D = [sum(x ** k for x in d) for k in (1, 2, 3, 4)]
+    a2 = n * D[1] - D[0] ** 2
+    a3 = n * n * D[2] - 3 * n * D[0] * D[1] + 2 * D[0] ** 3
+    a4 = (n ** 3 * D[3] - 4 * n * n * D[0] * D[2]
+          + 6 * n * D[0] ** 2 * D[1] - 3 * D[0] ** 4)
+    b1 = (float(a3) * float(a3)) / (float(a2) * float(a2) * float(a2))
+    b2 = float(a4) / (float(a2) * float(a2))
+    jb = float(n) * (b1 / 6.0 + (b2 - 3.0) * (b2 - 3.0) / 24.0)
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    a = out["A"]
+    assert a.n == n
+    assert a.skew2 == r6(b1)
+    assert a.kurtosis == r6(b2)
+    assert a.jb_stat == r6(jb)
+    # sanity: this sample is visibly non-normal (JB far above chi2(2) crit)
+    assert a.jb_stat > 5.99
+    b = out["B"]
+    assert b.n == 10
+    assert b.skew2 is None and b.kurtosis is None and b.jb_stat is None

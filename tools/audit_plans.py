@@ -2118,6 +2118,38 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    sections.append(summarize(
+        "Jarque-Bera normality gate",
+        QUERIES["jarque_bera"](spark, tiny),
+        "Two map-side-combinable aggregates on the SAME group key; the "
+        "truncated-mean join back is AQE-broadcastable (groups-sized); "
+        "residual power sums in decimal(38,0); b1/b2/JB one fixed-order "
+        "IEEE expression each. No window, no explode.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "single-source BFS hop layers",
+        QUERIES["bfs_hops"](spark, tiny),
+        "Unrolled frontier expansion over the node-bounded tool graph: "
+        "node-keyed equi joins only, LEFT ANTI gives first-visit = min "
+        "hop, every layer localCheckpointed so the 4-round lineage "
+        "stays flat. Oracle is ONE DuckDB WITH RECURSIVE.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Laplace DP histogram",
+        QUERIES["dp_histogram"](spark, tiny),
+        "ONE map-side-combinable groupBy; the keyed-md5 Laplace draw is "
+        "a shuffle-free projection on the groups frame. No joins, no "
+        "window.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
