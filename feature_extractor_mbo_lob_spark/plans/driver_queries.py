@@ -18988,6 +18988,287 @@ QUERIES["dp_histogram"] = q_dp_histogram
 ORACLES["dp_histogram"] = O_DP_HISTOGRAM
 
 
+# --- TPC-H Q1 analog: pricing summary report ----------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1, the canonical pricing-summary scan-aggregate (reference
+    analog: the per-regime summary tables of README.md:430-460): one
+    filtered scan of lineitem, one map-side-combinable groupBy on the
+    2x2 (returnflag, linestatus) grid — no join, no window, no shuffle
+    beyond 4 cells. All money is exact integer arithmetic until release:
+    base price in cents (c2), discounted price in c4 = cents*(100-d),
+    charge in c6 = cents*(100-d)*(100+t); sums in decimal(38,0) (hugeint
+    on the oracle), averages as fixed-order IEEE divisions of exact
+    integer sums so both engines produce bit-identical doubles."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    ep_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d = F.round(F.col("l_discount") * 100, 0).cast("long")
+    t = F.round(F.col("l_tax") * 100, 0).cast("long")
+    disc_c4 = ep_c * (100 - d)
+    charge_c6 = ep_c * (100 - d) * (100 + t)
+    dec = "decimal(38,0)"
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            qty.alias("qty"),
+            ep_c.alias("ep_c"),
+            d.alias("d"),
+            disc_c4.alias("disc_c4"),
+            charge_c6.alias("charge_c6"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").cast("long").alias("sum_qty"),
+            _r6x(
+                F.sum(F.col("ep_c").cast(dec)).cast("double") / F.lit(100.0),
+                "sum_base_price",
+            ),
+            _r6x(
+                F.sum(F.col("disc_c4").cast(dec)).cast("double") / F.lit(1.0e4),
+                "sum_disc_price",
+            ),
+            _r6x(
+                F.sum(F.col("charge_c6").cast(dec)).cast("double") / F.lit(1.0e6),
+                "sum_charge",
+            ),
+            _r6x(
+                F.sum("qty").cast("double") / F.count(F.lit(1)).cast("double"),
+                "avg_qty",
+            ),
+            _r6x(
+                F.sum(F.col("ep_c").cast(dec)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(100.0),
+                "avg_price",
+            ),
+            _r6x(
+                F.sum("d").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(100.0),
+                "avg_disc",
+            ),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+O_PRICING_SUMMARY = """
+with c as (
+  select l_returnflag, l_linestatus,
+    cast(round(l_quantity, 0) as bigint) as qty,
+    cast(round(l_extendedprice * 100, 0) as bigint) as ep_c,
+    cast(round(l_discount * 100, 0) as bigint) as d,
+    cast(round(l_tax * 100, 0) as bigint) as t
+  from lineitem where l_shipdate <= timestamp '1998-09-02'
+)
+select l_returnflag, l_linestatus,
+  cast(sum(qty) as bigint) as sum_qty,
+  floor((cast(sum(cast(ep_c as hugeint)) as double) / 100.0)
+    * 1000000.0 + 0.5) / 1000000.0 as sum_base_price,
+  floor((cast(sum(cast(ep_c as hugeint) * (100 - d)) as double) / 1e4)
+    * 1000000.0 + 0.5) / 1000000.0 as sum_disc_price,
+  floor((cast(sum(cast(ep_c as hugeint) * (100 - d) * (100 + t)) as double)
+    / 1e6) * 1000000.0 + 0.5) / 1000000.0 as sum_charge,
+  floor((cast(sum(qty) as double) / cast(count(*) as double))
+    * 1000000.0 + 0.5) / 1000000.0 as avg_qty,
+  floor((cast(sum(cast(ep_c as hugeint)) as double)
+    / cast(count(*) as double) / 100.0)
+    * 1000000.0 + 0.5) / 1000000.0 as avg_price,
+  floor((cast(sum(d) as double) / cast(count(*) as double) / 100.0)
+    * 1000000.0 + 0.5) / 1000000.0 as avg_disc,
+  cast(count(*) as bigint) as count_order
+from c group by 1, 2
+"""
+
+QUERIES["pricing_summary"] = q_pricing_summary
+ORACLES["pricing_summary"] = O_PRICING_SUMMARY
+
+
+# --- TPC-H Q12 analog: shipping priority split by return flag -----------------------------
+
+def q_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 re-expressed over the columns this warehouse carries
+    (no l_shipmode/l_commitdate/l_receiptdate — documented analog):
+    lines shipped in 1996 MORE than 30 days after their order date,
+    counted per return flag and split into high-priority (1-URGENT /
+    2-HIGH) vs low-priority orders. The join is equi on orderkey with
+    the lateness inequality as a residual (never a cartesian); counts
+    are conditional integer sums, partial-aggregable."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(
+        orders,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(hi).cast("long").alias("high_line_count"),
+        F.sum(1 - hi).cast("long").alias("low_line_count"),
+    )
+
+
+O_PRIORITY_SHIPPING = """
+select l.l_returnflag,
+  cast(sum(case when o.o_orderpriority in ('1-URGENT', '2-HIGH')
+    then 1 else 0 end) as bigint) as high_line_count,
+  cast(sum(case when o.o_orderpriority in ('1-URGENT', '2-HIGH')
+    then 0 else 1 end) as bigint) as low_line_count
+from lineitem l
+join orders o on o.o_orderkey = l.l_orderkey
+  and l.l_shipdate > o.o_orderdate + interval 30 day
+where l.l_shipdate >= timestamp '1996-01-01'
+  and l.l_shipdate < timestamp '1997-01-01'
+group by 1
+"""
+
+QUERIES["priority_shipping"] = q_priority_shipping
+ORACLES["priority_shipping"] = O_PRIORITY_SHIPPING
+
+
+# --- TPC-H Q16 analog: supplier count per part cell ----------------------------------------
+
+def q_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 over the realized (part, supplier) relationships in
+    lineitem (this warehouse has no partsupp table — documented analog):
+    distinct supplier count per (brand, type, size) cell for a size
+    whitelist, excluding one brand, one type prefix, and every supplier
+    with a negative account balance (the 'customer complaints' NOT IN —
+    here a LEFT ANTI against a tiny broadcast exclusion frame). The
+    (partkey, suppkey) pairs are deduplicated BEFORE the part join so
+    the join input is bounded by the relationship count, not the fact
+    count; part is broadcast; count_distinct runs on the collapsed
+    pairs."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & F.col("p_size").isin(1, 9, 15, 23, 31, 40, 47, 50)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(
+            F.broadcast(bad_supp),
+            li["l_suppkey"] == bad_supp["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("long").alias("p_size"),
+            "supplier_cnt",
+        )
+    )
+
+
+O_SUPPLIER_PART_COUNTS = """
+with rel as (
+  select distinct l_partkey, l_suppkey from lineitem
+)
+select p.p_brand, p.p_type, cast(p.p_size as bigint) as p_size,
+  cast(count(distinct r.l_suppkey) as bigint) as supplier_cnt
+from rel r
+join part p on p.p_partkey = r.l_partkey
+where p.p_brand <> 'Brand#5'
+  and p.p_type not like 'MEDIUM%'
+  and p.p_size in (1, 9, 15, 23, 31, 40, 47, 50)
+  and r.l_suppkey not in (
+    select s_suppkey from supplier where s_acctbal < 0)
+group by 1, 2, 3
+"""
+
+QUERIES["supplier_part_counts"] = q_supplier_part_counts
+ORACLES["supplier_part_counts"] = O_SUPPLIER_PART_COUNTS
+
+
+# --- TPC-H Q9 analog: product-line profit by nation and year -------------------------------
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 over the columns this warehouse carries (no partsupp
+    supplycost — the cost proxy is qty * p_retailprice, documented
+    analog): profit per supplier nation per ship year for parts whose
+    name contains 'red'. Profit per line is EXACT c4 integer
+    arithmetic: rev_c4 - qty * retail_cents * 100 (both terms in units
+    of 1e-4 dollars), summed in decimal(38,0)/hugeint, one fixed-order
+    IEEE release. Part (name-filtered, broadcast) prunes lineitem
+    first; supplier and nation are broadcast dims; the aggregate
+    collapses to nations x years cells."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+        _rev_c4().alias("rev_c4"),
+        F.year(F.col("l_shipdate")).cast("long").alias("ship_year"),
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_name").contains("red")
+    ).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("retail_c"),
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    profit_c4 = (
+        F.col("rev_c4").cast("decimal(38,0)")
+        - (F.col("qty") * F.col("retail_c") * 100).cast("decimal(38,0)")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select("n_name", "ship_year", profit_c4.alias("profit_c4"))
+        .groupBy("n_name", "ship_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            _r6x(F.sum("profit_c4").cast("double") / F.lit(1.0e4), "profit"),
+        )
+    )
+
+
+O_PRODUCT_PROFIT = """
+with j as (
+  select n.n_name, cast(year(l.l_shipdate) as bigint) as ship_year,
+    cast(round(l.l_extendedprice * 100, 0) as hugeint)
+      * (100 - cast(round(l.l_discount * 100, 0) as bigint))
+    - cast(round(l.l_quantity, 0) as hugeint)
+      * cast(round(p.p_retailprice * 100, 0) as bigint) * 100 as profit_c4
+  from lineitem l
+  join part p on p.p_partkey = l.l_partkey and p.p_name like '%red%'
+  join supplier s on s.s_suppkey = l.l_suppkey
+  join nation n on n.n_nationkey = s.s_nationkey
+)
+select n_name, ship_year, cast(count(*) as bigint) as n_items,
+  floor((cast(sum(profit_c4) as double) / 1e4) * 1000000.0 + 0.5)
+    / 1000000.0 as profit
+from j group by 1, 2
+"""
+
+QUERIES["product_profit"] = q_product_profit
+ORACLES["product_profit"] = O_PRODUCT_PROFIT
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

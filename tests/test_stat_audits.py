@@ -839,3 +839,66 @@ def test_dp_histogram_noise_exact_and_scales_with_epsilon(spark):
     for cell, n in (("x", 7), ("y", 3)):
         assert out1[cell] == n * 1000 + math.floor(noise(cell, 1.0) * 1000 + 0.5)
         assert out4[cell] == n * 1000 + math.floor(noise(cell, 0.25) * 1000 + 0.5)
+
+
+def test_pricing_summary_exact_money(spark, tmp_path):
+    """Q1 hand case: one line ep=100.00 d=0.05 t=0.08 -> disc price
+    95.00, charge 102.60 (exact c6 integer path); the shipdate cutoff
+    drops the second line; averages are exact ratios."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    li = spark.createDataFrame(
+        [
+            ("A", "F", 4.0, 100.0, 0.05, 0.08, dt.datetime(1998, 1, 1)),
+            ("A", "F", 9.0, 999.0, 0.10, 0.02, dt.datetime(1998, 12, 1)),
+        ],
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_shipdate timestamp",
+    )
+    sf = tmp_path / "q1"
+    li.coalesce(1).write.parquet(str(sf / "lineitem.parquet"))
+    rows = QUERIES["pricing_summary"](spark, str(sf)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.sum_qty == 4 and r.count_order == 1
+    assert r.sum_base_price == 100.0
+    assert r.sum_disc_price == 95.0
+    assert r.sum_charge == 102.6
+    assert r.avg_qty == 4.0 and r.avg_price == 100.0 and r.avg_disc == 0.05
+
+
+def test_supplier_part_counts_exclusions_and_dedup(spark, tmp_path):
+    """Q16 hand case: a negative-acctbal supplier is excluded, an
+    off-whitelist size is excluded, and repeat (part, supplier)
+    shipments count once."""
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    li = spark.createDataFrame(
+        # part 1: suppliers 1 (good, ships twice) + 2 (bad acctbal);
+        # part 2: off-whitelist size; part 3: excluded brand
+        [(1, 1), (1, 1), (1, 2), (2, 1), (3, 1)],
+        "l_partkey long, l_suppkey long",
+    )
+    part = spark.createDataFrame(
+        [
+            (1, "Brand#1", "SMALL x", 9),
+            (2, "Brand#1", "SMALL x", 2),
+            (3, "Brand#5", "SMALL x", 9),
+        ],
+        "p_partkey long, p_brand string, p_type string, p_size int",
+    )
+    supp = spark.createDataFrame(
+        [(1, 50.0), (2, -3.0)], "s_suppkey long, s_acctbal double"
+    )
+    sf = tmp_path / "q16"
+    li.coalesce(1).write.parquet(str(sf / "lineitem.parquet"))
+    part.coalesce(1).write.parquet(str(sf / "part.parquet"))
+    supp.coalesce(1).write.parquet(str(sf / "supplier.parquet"))
+    rows = QUERIES["supplier_part_counts"](spark, str(sf)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.p_brand, r.p_type, r.p_size, r.supplier_cnt) == (
+        "Brand#1", "SMALL x", 9, 1)

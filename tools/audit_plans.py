@@ -2150,6 +2150,51 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    sections.append(summarize(
+        "TPC-H Q1 pricing summary",
+        QUERIES["pricing_summary"](spark, tiny),
+        "One filtered scan (shipdate cutoff pushed to the parquet "
+        "footer), one map-side-combinable groupBy onto the 2x2 "
+        "(returnflag, linestatus) grid; all money exact integers until "
+        "the release expressions. No joins, no window, no sort.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "TPC-H Q12 priority shipping",
+        QUERIES["priority_shipping"](spark, tiny),
+        "Equi join on orderkey with the 30-day lateness inequality as a "
+        "residual condition (never a cartesian); conditional integer "
+        "counts are partial-aggregable; the ship-year range is pushed "
+        "to the lineitem scan.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "TPC-H Q16 supplier-part counts",
+        QUERIES["supplier_part_counts"](spark, tiny),
+        "(part, supplier) pairs deduplicated BEFORE the joins so the "
+        "join input is the relationship count, not the fact count; the "
+        "filtered part dim and the negative-acctbal exclusion frame are "
+        "broadcast (LEFT ANTI = NOT IN); count_distinct on collapsed "
+        "pairs.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "TPC-H Q9 product profit",
+        QUERIES["product_profit"](spark, tiny),
+        "Name-filtered part broadcast prunes lineitem first; supplier "
+        "and nation broadcast dims; the exact c4 profit term is "
+        "computed per line and collapses to nations x years cells in "
+        "one map-side-combinable aggregate.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
