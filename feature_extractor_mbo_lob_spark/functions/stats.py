@@ -3218,3 +3218,334 @@ def jarque_bera(
         F.when(ok, r6(b2)).alias("kurtosis"),
         F.when(ok, r6(jb)).alias("jb_stat"),
     )
+
+
+def cramer_von_mises_2s(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Cramér–von Mises statistic between two groups'
+    value distributions — the INTEGRATED-squared-gap companion to
+    ks_test (max gap) and wasserstein (value-weighted L1): T =
+    (n·m/N²)·Σ_{all N observations} (F_n(z) − G_m(z))², sensitive to
+    distribution-wide shape differences a single extreme gap misses.
+
+    ENTIRELY exact integer arithmetic: on the merged distinct-value
+    grid, with cumA/cumB the inclusive cumulative counts at z and
+    cnt_z = ca + cb the observation multiplicity, T = S/(n·m·N²) where
+    S = Σ cnt_z·(cumA·m − cumB·n)² — released as one trunc division
+    t_micro = (S·1e6) div (n·m·N²) of decimal(38,0)/hugeint integers,
+    bit-identical on any engine. This observation-sum definition handles
+    ties natively (no midrank machinery needed). Capacity: S ≤ N·(nm)²,
+    inside decimal(38,0) up to n,m ≈ 3e6 distinct-grid mass per group
+    pair — per-pair inputs are pre-aggregated distributions, never raw
+    corpus rows.
+
+    Scale shape (same as wasserstein_1d): one partial-aggregable groupBy
+    collapses both corpora to the merged distinct-value frame; one
+    ordered cumulative window bounded by value cardinality; one 1-row
+    aggregate. No joins, no Python.
+
+    Returns one row: (n_a, n_b, t_micro: long).
+    """
+    g = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).cast("long").alias("x"))
+        .agg(
+            F.sum((F.col(group_col) == group_a).cast("long")).alias("ca"),
+            F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        (F.col("ca") + F.col("cb")).alias("cnt"),
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    return c.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.expr(
+            "cast((sum(cast(cnt as decimal(38,0))"
+            " * (cast(cum_a as decimal(38,0)) * n_b"
+            "    - cast(cum_b as decimal(38,0)) * n_a)"
+            " * (cast(cum_a as decimal(38,0)) * n_b"
+            "    - cast(cum_b as decimal(38,0)) * n_a)) * 1000000)"
+            " div (max(n_a) * max(n_b)"
+            "      * (max(n_a) + max(n_b)) * (max(n_a) + max(n_b)))"
+            " as bigint)"
+        ).alias("t_micro"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    treatments: list,
+) -> DataFrame:
+    """Cochran's Q test for k matched binary treatments over blocks —
+    the k-treatment generalization of mcnemar_paired: did the
+    per-treatment success columns T_j come from the same marginal, given
+    each block (user) is its own control? x_{ij} = 1 iff block i
+    exhibited treatment j at least once.
+
+    PURE integer statistic: with column totals T_j, S = ΣT_j, row totals
+    R_i, Q = (k−1)·(k·ΣT_j² − S²) / (k·S − ΣR_i²) — every term an exact
+    int64/decimal(38,0) integer, released as one trunc division
+    q_micro = (num·1e6) div den, NULL when the denominator is 0 (every
+    block all-0 or all-k: no within-block variation, Q undefined).
+
+    Scale shape: one distinct() collapse to (block, treatment) existence
+    pairs (bounded by blocks × k, never event rows), one k-row column
+    aggregate, one per-block aggregate whose 1-row summary joins the
+    other by a constant key (broadcast). Q is chi-square(k−1) under H0.
+
+    Returns one row: (k, n_blocks, s_total, q_micro).
+    """
+    k = len(treatments)
+    pairs = (
+        df.filter(F.col(treatment_col).isin(treatments))
+        .select(
+            F.col(block_col).alias("b"),
+            F.col(treatment_col).alias("t"),
+        )
+        .distinct()
+    )
+    col_tot = (
+        pairs.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tj"))
+        .agg(
+            F.sum("tj").cast("long").alias("s_total"),
+            F.sum(F.col("tj") * F.col("tj")).cast("decimal(38,0)").alias("sum_t2"),
+        )
+        .withColumn("_k", F.lit(1))
+    )
+    row_tot = (
+        pairs.groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ri"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.col("ri") * F.col("ri")).cast("decimal(38,0)").alias("sum_r2"),
+        )
+        .withColumn("_k", F.lit(1))
+    )
+    j = col_tot.join(F.broadcast(row_tot), "_k")
+    kk = F.lit(k).cast("decimal(38,0)")
+    num = (
+        F.lit(k - 1).cast("decimal(38,0)")
+        * (kk * F.col("sum_t2")
+           - F.col("s_total").cast("decimal(38,0)")
+           * F.col("s_total").cast("decimal(38,0)"))
+    )
+    den = kk * F.col("s_total").cast("decimal(38,0)") - F.col("sum_r2")
+    return j.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_blocks",
+        "s_total",
+        (num * F.lit(1000000)).cast("decimal(38,0)").alias("_numx"),
+        den.cast("decimal(38,0)").alias("_den"),
+    ).select(
+        "k",
+        "n_blocks",
+        "s_total",
+        F.when(
+            F.col("_den") > 0,
+            F.expr("cast((_numx div _den) as bigint)"),
+        ).alias("q_micro"),
+    )
+
+
+def durbin_watson_trend(
+    daily: DataFrame,
+    d_col: str = "d",
+    y_col: str = "y",
+) -> DataFrame:
+    """Durbin–Watson statistic of the residuals from the least-squares
+    LINEAR TREND of a daily series — the classic lag-1 autocorrelation
+    gate on regression residuals (DW ≈ 2 ⇒ white, → 0 positive, → 4
+    negative serial correlation), complementing ljung_box (raw-series
+    portmanteau) with the detrended form practitioners actually check
+    after fitting a trend.
+
+    EXACT integer residuals by denominator clearing: with t = 0..n−1
+    the day rank and Dx = n·Σt² − (Σt)², the scaled residual
+    E_t = Dx·y_t − (Σy·Σt² − Σt·Σty) − (n·Σty − Σt·Σy)·t is a pure
+    integer (Dx times the IEEE residual), and DW's ratio is
+    Dx²-invariant: dw_micro = (Σ(E_t − E_{t−1})²·1e6) div (ΣE_t²) —
+    decimal(38,0)/hugeint all the way, one trunc division, NULL when
+    the trend fits perfectly (ΣE² = 0). Capacity: |E_t| ≤ Dx·max|y|
+    ≈ n⁴·max|y|/12 — int64-safe to n ≈ 10⁴ days with 1e6-scale daily
+    values, decimal(38,0) sums far beyond.
+
+    Scale shape: the series frame is bounded by DAYS, never event rows
+    (the caller pre-aggregates); one rank window + one 1-row moments
+    aggregate broadcast back; one lag window; one final 1-row aggregate.
+
+    Returns one row: (n, dw_micro: long).
+    """
+    t = F.row_number().over(Window.orderBy(d_col)) - 1
+    base = daily.select(
+        t.cast("long").alias("t"), F.col(y_col).cast("long").alias("y")
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("decimal(38,0)").alias("stt"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("decimal(38,0)").alias("sty"),
+    ).withColumn("_k", F.lit(1))
+    b = base.withColumn("_k", F.lit(1)).join(F.broadcast(m), "_k")
+    dx = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    e = (
+        dx * F.col("y").cast("decimal(38,0)")
+        - (F.col("sy") * F.col("stt") - F.col("st") * F.col("sty"))
+        - (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+        * F.col("t").cast("decimal(38,0)")
+    )
+    r = b.select(F.col("t"), e.cast("decimal(38,0)").alias("e"))
+    lagw = Window.orderBy("t")
+    r = r.select(
+        "e", (F.col("e") - F.lag("e").over(lagw)).alias("de")
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.when(
+            F.sum(F.col("e") * F.col("e")) > 0,
+            F.expr(
+                "cast((sum(de * de) * 1000000) div (sum(e * e)) as bigint)"
+            ),
+        ).alias("dw_micro"),
+    )
+
+
+def yule_k(docs: DataFrame, source_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Yule's characteristic K per source — the classic repeat-rate
+    measure of lexical concentration (Yule 1944): K = 10⁴·(Σ_w c_w² −
+    N)/N², LARGE when a few words dominate, near-0 for maximally even
+    vocabulary. The repeat-rate companion to the richness estimators in
+    vocab_richness (Chao1 counts unseen mass, Simpson is the
+    probability form; K is the size-normalized classic that is — unlike
+    TTR — approximately text-length invariant, which is why corpus
+    QA uses it to compare sources of different sizes).
+
+    PURE integer: word counts c_w from the shared normalized_words
+    tokenization, N = Σc_w and S2 = Σc_w² exact decimal(38,0)/hugeint,
+    released as ONE trunc division k_milli = (10⁷·(S2 − N)) div N²
+    (K in milli-units). Capacity: S2 ≤ N², so 10⁷·S2 stays inside
+    decimal(38,0) to N ≈ 3e15 tokens per source.
+
+    Scale shape: one explode → one (source, word) groupBy (map-side
+    combinable, bounded by vocabulary per source) → one per-source
+    aggregate. No joins, no Python.
+
+    Returns per source: (source, n_tokens, n_types, k_milli: long).
+    """
+    from .repetition import normalized_words
+
+    words = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(normalized_words(text_col)).alias("word"),
+    )
+    counts = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.expr(
+                "cast(((s2 - n_tokens) * 10000000)"
+                " div (cast(n_tokens as decimal(38,0)) * n_tokens) as bigint)"
+            ).alias("k_milli"),
+        )
+    )
+
+
+def gk_gamma(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Goodman–Kruskal gamma AND Somers' D_yx between two ORDINAL
+    integer columns — the ordinal-association pair the continuous-rank
+    family (spearman, kendall_tau over series) doesn't cover: gamma =
+    (C−D)/(C+D) ignores all ties (association among untied pairs);
+    Somers' D_yx = (C−D)/(C+D+T_y) additionally charges pairs tied on
+    the dependent Y — the asymmetric "does X predict Y" form used for
+    rating-scale / bucket features.
+
+    PURE integer pair counting on the k×k contingency table: C =
+    Σ_{x1<x2, y1<y2} n₁n₂, D = Σ_{x1<x2, y1>y2} n₁n₂, T_y =
+    Σ_{x1<x2, y1=y2} n₁n₂ — each unordered pair counted once, every
+    term decimal(38,0)/hugeint, releases as signed trunc divisions
+    gamma_micro and somers_micro (both engines truncate toward zero);
+    NULL when the respective denominator is 0 (a constant column).
+
+    Scale shape: the raw frame collapses to the k×k cell table in ONE
+    map-side-combinable groupBy; the pair enumeration is a self-join of
+    that tiny broadcast table on a constant key (k² × k² cells, never
+    rows²); one 1-row aggregate. No window, no Python.
+
+    Returns one row: (n_pairs_c, n_pairs_d, ties_y, gamma_micro,
+    somers_micro).
+    """
+    cells = (
+        df.groupBy(
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("_k", F.lit(1))
+    )
+    a = cells.select(
+        F.col("_k"), F.col("x").alias("x1"), F.col("y").alias("y1"),
+        F.col("n").alias("n1"),
+    )
+    b = cells.select(
+        F.col("_k"), F.col("x").alias("x2"), F.col("y").alias("y2"),
+        F.col("n").alias("n2"),
+    )
+    pairs = a.join(F.broadcast(b), "_k").filter(F.col("x1") < F.col("x2"))
+    prod = F.col("n1").cast("decimal(38,0)") * F.col("n2")
+    agg = pairs.agg(
+        F.sum(F.when(F.col("y1") < F.col("y2"), prod).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("c"),
+        F.sum(F.when(F.col("y1") > F.col("y2"), prod).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("d"),
+        F.sum(F.when(F.col("y1") == F.col("y2"), prod).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("ty"),
+    )
+    return agg.select(
+        F.col("c").cast("long").alias("n_pairs_c"),
+        F.col("d").cast("long").alias("n_pairs_d"),
+        F.col("ty").cast("long").alias("ties_y"),
+        F.when(
+            (F.col("c") + F.col("d")) > 0,
+            F.expr("cast(((c - d) * 1000000) div (c + d) as bigint)"),
+        ).alias("gamma_micro"),
+        F.when(
+            (F.col("c") + F.col("d") + F.col("ty")) > 0,
+            F.expr("cast(((c - d) * 1000000) div (c + d + ty) as bigint)"),
+        ).alias("somers_micro"),
+    )

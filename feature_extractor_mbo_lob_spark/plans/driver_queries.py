@@ -19269,6 +19269,250 @@ QUERIES["product_profit"] = q_product_profit
 ORACLES["product_profit"] = O_PRODUCT_PROFIT
 
 
+
+
+# --- two-sample Cramér–von Mises drift statistic -------------------------------------------
+
+def q_cramer_von_mises(spark, sf_dir):
+    """Exact two-sample Cramér–von Mises T (functions/stats.
+    cramer_von_mises_2s) between src0's and src1's document-length
+    distributions — the integrated-squared-gap member of the drift
+    family (ks_test: max gap; wasserstein: value-weighted L1; this:
+    shape-sensitive L2 over the empirical CDFs). All integer on the
+    merged distinct-value grid, one bounded window, one trunc-division
+    release; no joins."""
+    from ..functions.stats import cramer_von_mises_2s
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cramer_von_mises_2s(docs, "source", "n_chars", "src0", "src1")
+
+
+O_CRAMER_VON_MISES = """
+with g as (
+  select cast(n_chars as bigint) as x,
+    sum(case when source = 'src0' then 1 else 0 end) as ca,
+    sum(case when source = 'src1' then 1 else 0 end) as cb
+  from documents where source in ('src0', 'src1') group by 1
+),
+c as (
+  select ca + cb as cnt,
+    sum(ca) over (order by x rows between unbounded preceding and current row) as cum_a,
+    sum(cb) over (order by x rows between unbounded preceding and current row) as cum_b,
+    sum(ca) over () as n_a, sum(cb) over () as n_b
+  from g
+)
+select cast(max(n_a) as bigint) as n_a, cast(max(n_b) as bigint) as n_b,
+  cast((sum(cast(cnt as hugeint)
+        * (cast(cum_a as hugeint) * n_b - cast(cum_b as hugeint) * n_a)
+        * (cast(cum_a as hugeint) * n_b - cast(cum_b as hugeint) * n_a))
+        * 1000000)
+    // (max(n_a) * max(n_b)
+        * (max(n_a) + max(n_b)) * (max(n_a) + max(n_b))) as bigint) as t_micro
+from c
+"""
+
+QUERIES["cramer_von_mises"] = q_cramer_von_mises
+ORACLES["cramer_von_mises"] = O_CRAMER_VON_MISES
+
+
+# --- Cochran's Q over first-day event-type exposure ----------------------------------------
+
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q (functions/stats.cochran_q) over users' FIRST-DAY
+    event-type exposure: blocks = users, k = 5 event types, x_ij = 1
+    iff the user triggered that type on the first calendar day — the
+    k-treatment generalization of mcnemar (are the five types equally
+    likely to appear in a user's first day, matched per user?). Pure
+    integer statistic, one distinct collapse + two tiny aggregates
+    joined on a constant key; the day filter is pushed to the scan."""
+    from ..functions.stats import cochran_q
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts").cast("timestamp") < F.lit("2024-01-02")
+    )
+    return cochran_q(
+        ev, "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+O_COCHRAN_Q = """
+with p as (
+  select distinct user_id as b, event_type as t
+  from events
+  where cast(ts as timestamp) < timestamp '2024-01-02'
+    and event_type in ('click', 'error', 'purchase', 'signup', 'view')
+),
+ct as (
+  select cast(sum(tj) as bigint) as s_total,
+    cast(sum(cast(tj as hugeint) * tj) as hugeint) as sum_t2
+  from (select t, count(*) as tj from p group by 1)
+),
+rt as (
+  select cast(count(*) as bigint) as n_blocks,
+    cast(sum(cast(ri as hugeint) * ri) as hugeint) as sum_r2
+  from (select b, count(*) as ri from p group by 1)
+)
+select cast(5 as bigint) as k, rt.n_blocks, ct.s_total,
+  case when 5 * cast(ct.s_total as hugeint) - rt.sum_r2 > 0 then
+    cast((4 * (5 * ct.sum_t2
+               - cast(ct.s_total as hugeint) * ct.s_total) * 1000000)
+      // (5 * cast(ct.s_total as hugeint) - rt.sum_r2) as bigint)
+  end as q_micro
+from ct, rt
+"""
+
+QUERIES["cochran_q"] = q_cochran_q
+ORACLES["cochran_q"] = O_COCHRAN_Q
+
+
+# --- Durbin–Watson on the daily trend residuals --------------------------------------------
+
+def q_durbin_watson(spark, sf_dir):
+    """Durbin–Watson (functions/stats.durbin_watson_trend) of the
+    residuals from the least-squares linear trend of the daily event
+    count — the detrended lag-1 serial-correlation gate beside
+    ljung_box's raw-series portmanteau. Residuals are EXACT integers by
+    denominator clearing (Dx·e_t), the DW ratio is Dx²-invariant, one
+    trunc division releases dw_micro."""
+    from ..functions.stats import durbin_watson_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return durbin_watson_trend(daily, "d", "y")
+
+
+O_DURBIN_WATSON = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+r as (
+  select cast(row_number() over (order by d) - 1 as hugeint) as t,
+    cast(y as hugeint) as y
+  from daily
+),
+m as (
+  select cast(count(*) as hugeint) as n, sum(t) as st, sum(t * t) as stt,
+    sum(y) as sy, sum(t * y) as sty
+  from r
+),
+e as (
+  select r.t,
+    (m.n * m.stt - m.st * m.st) * r.y
+      - (m.sy * m.stt - m.st * m.sty)
+      - (m.n * m.sty - m.st * m.sy) * r.t as e
+  from r, m
+),
+l as (
+  select e, e - lag(e) over (order by t) as de from e
+)
+select cast(count(*) as bigint) as n,
+  case when sum(e * e) > 0 then
+    cast((sum(de * de) * 1000000) // (sum(e * e)) as bigint)
+  end as dw_micro
+from l
+"""
+
+QUERIES["durbin_watson"] = q_durbin_watson
+ORACLES["durbin_watson"] = O_DURBIN_WATSON
+
+
+# --- Yule's K lexical concentration per source ---------------------------------------------
+
+def q_yule_k(spark, sf_dir):
+    """Yule's characteristic K per source (functions/stats.yule_k) —
+    the length-invariant repeat-rate: K = 10^4*(S2 - N)/N^2 over the
+    shared normalized_words tokenization. Completes the lexical panel
+    (vocab_richness: Chao1/Simpson/Shannon) with the classic
+    concentration statistic corpus QA compares across sources of
+    different sizes. Pure integers, one explode + two map-side
+    combinable aggregates, one trunc division per source."""
+    from ..functions.stats import yule_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return yule_k(docs)
+
+
+O_YULE_K = r"""
+with w as (
+  select source,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) as word
+  from documents
+),
+c as (
+  select source, word, cast(count(*) as bigint) as c
+  from w group by 1, 2
+)
+select source,
+  cast(sum(c) as bigint) as n_tokens,
+  cast(count(*) as bigint) as n_types,
+  cast(((sum(cast(c as hugeint) * c) - sum(c)) * 10000000)
+    // (cast(sum(c) as hugeint) * sum(c)) as bigint) as k_milli
+from c group by 1
+"""
+
+QUERIES["yule_k"] = q_yule_k
+ORACLES["yule_k"] = O_YULE_K
+
+
+# --- Goodman–Kruskal gamma / Somers' D between ordinal buckets -----------------------------
+
+def q_gk_gamma(spark, sf_dir):
+    """Goodman–Kruskal gamma and Somers' D_yx (functions/stats.
+    gk_gamma) between documents' length bucket (n_chars div 100, capped
+    at 5) and word-count bucket (tokens div 20, capped at 5) — the
+    ordinal-association pair for bucketed features: gamma on untied
+    pairs, Somers' D charging Y-ties. Pure integer pair counting on the
+    6x6 contingency table (ONE groupBy collapse; the pair enumeration
+    is a broadcast self-join of 36 cells, never rows^2); signed trunc
+    divisions release both statistics."""
+    from ..functions.repetition import normalized_words
+    from ..functions.stats import gk_gamma
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.size(normalized_words("text")).cast("long").alias("_nw"),
+        F.col("n_chars").cast("long").alias("_nc"),
+    ).select(
+        F.least(F.expr("_nc div 100"), F.lit(5).cast("long")).alias("xb"),
+        F.least(F.expr("_nw div 20"), F.lit(5).cast("long")).alias("yb"),
+    )
+    return gk_gamma(docs, "xb", "yb")
+
+
+O_GK_GAMMA = r"""
+with f as (
+  select least(cast(n_chars as bigint) // 100, 5) as x,
+    least(cast(length(string_split(
+      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) as bigint)
+      // 20, 5) as y
+  from documents
+),
+cells as (
+  select x, y, cast(count(*) as bigint) as n from f group by 1, 2
+),
+pr as (
+  select cast(sum(case when a.y < b.y then cast(a.n as hugeint) * b.n else 0 end) as hugeint) as c,
+    cast(sum(case when a.y > b.y then cast(a.n as hugeint) * b.n else 0 end) as hugeint) as d,
+    cast(sum(case when a.y = b.y then cast(a.n as hugeint) * b.n else 0 end) as hugeint) as ty
+  from cells a join cells b on a.x < b.x
+)
+select cast(c as bigint) as n_pairs_c, cast(d as bigint) as n_pairs_d,
+  cast(ty as bigint) as ties_y,
+  case when c + d > 0 then
+    cast(((c - d) * 1000000) // (c + d) as bigint) end as gamma_micro,
+  case when c + d + ty > 0 then
+    cast(((c - d) * 1000000) // (c + d + ty) as bigint) end as somers_micro
+from pr
+"""
+
+QUERIES["gk_gamma"] = q_gk_gamma
+ORACLES["gk_gamma"] = O_GK_GAMMA
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

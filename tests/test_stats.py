@@ -1199,3 +1199,77 @@ def test_jarque_bera_matches_naive_and_nulls_constant(spark):
     b = out["B"]
     assert b.n == 10
     assert b.skew2 is None and b.kurtosis is None and b.jb_stat is None
+
+
+def test_cramer_von_mises_hand_case(spark):
+    """A={1}, B={2}: S = 1 at z=1, 0 at z=2; T = 1/(1*1*4) = 0.25."""
+    from feature_extractor_mbo_lob_spark.functions.stats import cramer_von_mises_2s
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "g string, x long")
+    r = cramer_von_mises_2s(df, "g", "x", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.t_micro) == (1, 1, 250000)
+
+
+def test_cochran_q_hand_case(spark):
+    """Blocks {A}, {A,B}, {A,B,C} with k=3: T=(3,2,1), S=6, sumT2=14,
+    sumR2=14 -> Q = 2*(3*14-36)/(18-14) = 3."""
+    from feature_extractor_mbo_lob_spark.functions.stats import cochran_q
+
+    rows = [(1, "A"), (2, "A"), (2, "B"), (3, "A"), (3, "B"), (3, "C")]
+    df = spark.createDataFrame(rows, "b long, t string")
+    r = cochran_q(df, "b", "t", ["A", "B", "C"]).collect()[0]
+    assert (r.k, r.n_blocks, r.s_total, r.q_micro) == (3, 3, 6, 3000000)
+
+
+def test_cochran_q_degenerate_is_null(spark):
+    """Every block exhibits every treatment -> denominator 0 -> NULL."""
+    from feature_extractor_mbo_lob_spark.functions.stats import cochran_q
+
+    rows = [(b, t) for b in (1, 2) for t in ("A", "B")]
+    df = spark.createDataFrame(rows, "b long, t string")
+    r = cochran_q(df, "b", "t", ["A", "B"]).collect()[0]
+    assert r.q_micro is None
+
+
+def test_durbin_watson_hand_case_and_perfect_fit(spark):
+    """y=[0,1,0,1] over t=0..3: cleared residuals E=[-4,12,-12,4],
+    DW = 1088/320 = 3.4; a perfect line has zero residuals -> NULL."""
+    from feature_extractor_mbo_lob_spark.functions.stats import durbin_watson_trend
+
+    df = spark.createDataFrame(
+        [(10, 0), (11, 1), (12, 0), (13, 1)], "d long, y long"
+    )
+    r = durbin_watson_trend(df).collect()[0]
+    assert (r.n, r.dw_micro) == (4, 3400000)
+
+    line = spark.createDataFrame(
+        [(0, 1), (1, 3), (2, 5), (3, 7)], "d long, y long"
+    )
+    r2 = durbin_watson_trend(line).collect()[0]
+    assert r2.dw_micro is None
+
+
+def test_yule_k_hand_case(spark):
+    """'a a b': N=3, S2=5 -> K_milli = (2*1e7) div 9 = 2222222."""
+    from feature_extractor_mbo_lob_spark.functions.stats import yule_k
+
+    df = spark.createDataFrame([("s", "a a b")], "source string, text string")
+    r = yule_k(df).collect()[0]
+    assert (r.n_tokens, r.n_types, r.k_milli) == (3, 2, 2222222)
+
+
+def test_gk_gamma_hand_cases(spark):
+    """Perfect concordance -> gamma = 1e6; with one Y-tie pair Somers'
+    D_yx = 2/3 while gamma stays 1."""
+    from feature_extractor_mbo_lob_spark.functions.stats import gk_gamma
+
+    perfect = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2)], "x long, y long"
+    )
+    r = gk_gamma(perfect, "x", "y").collect()[0]
+    assert (r.n_pairs_c, r.n_pairs_d, r.gamma_micro) == (3, 0, 1000000)
+
+    tied = spark.createDataFrame([(0, 0), (1, 0), (2, 1)], "x long, y long")
+    r2 = gk_gamma(tied, "x", "y").collect()[0]
+    assert (r2.n_pairs_c, r2.n_pairs_d, r2.ties_y) == (2, 0, 1)
+    assert r2.gamma_micro == 1000000 and r2.somers_micro == 666666

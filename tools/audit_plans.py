@@ -2185,6 +2185,57 @@ def main() -> None:
     ))
 
     sections.append(summarize(
+        "Cramér–von Mises two-sample",
+        QUERIES["cramer_von_mises"](spark, tiny),
+        "Same shape as wasserstein: one groupBy collapses both corpora "
+        "to the merged distinct-value grid, one cumulative window "
+        "bounded by value cardinality, one 1-row aggregate. All exact "
+        "integers until the trunc-division release.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Cochran's Q",
+        QUERIES["cochran_q"](spark, tiny),
+        "One distinct() collapse to (block, treatment) pairs, one k-row "
+        "and one per-block aggregate, constant-key broadcast join of "
+        "two 1-row frames. Day filter pushed to the scan.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Durbin–Watson trend residuals",
+        QUERIES["durbin_watson"](spark, tiny),
+        "Series frame bounded by DAYS; one rank window + 1-row moments "
+        "broadcast back + one lag window + 1-row release. Cleared "
+        "integer residuals, one trunc division.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Yule's K per source",
+        QUERIES["yule_k"](spark, tiny),
+        "One explode + one (source, word) map-side-combinable groupBy "
+        "bounded by per-source vocabulary + one per-source aggregate. "
+        "No joins, no window.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Goodman–Kruskal gamma / Somers' D",
+        QUERIES["gk_gamma"](spark, tiny),
+        "Raw frame collapses to the 6x6 cell table in one groupBy; pair "
+        "enumeration is a broadcast self-join of 36 cells on a constant "
+        "key; one 1-row aggregate with signed trunc-division releases.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
         "TPC-H Q9 product profit",
         QUERIES["product_profit"](spark, tiny),
         "Name-filtered part broadcast prunes lineitem first; supplier "
