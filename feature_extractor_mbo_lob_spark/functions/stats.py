@@ -3549,3 +3549,117 @@ def gk_gamma(
             F.expr("cast(((c - d) * 1000000) div (c + d + ty) as bigint)"),
         ).alias("somers_micro"),
     )
+
+
+def variance_ratio(
+    daily: DataFrame,
+    d_col: str = "d",
+    y_col: str = "y",
+    q: int = 2,
+) -> DataFrame:
+    """Lo–MacKinlay variance-ratio statistic VR(q) of a series — the
+    random-walk diagnostic: if increments are uncorrelated, the variance
+    of q-period differences is q times the 1-period variance and VR ≈ 1;
+    VR > 1 flags momentum (positive serial correlation), VR < 1 mean
+    reversion. The econometric companion to durbin_watson (residual
+    lag-1) and ljung_box (portmanteau) that speaks in VARIANCE units.
+
+    PURE integer until one release: with d1 the n−1 one-period and dq
+    the n−q q-period differences, population variances clear to
+    A = m1·Σd1² − (Σd1)² and B = mq·Σdq² − (Σdq)²; VR = (B·m1²)/(q·A·mq²)
+    released as vr_micro = (B·m1²·1e6) div (q·A·mq²), decimal(38,0)/
+    hugeint, NULL when A = 0 (constant series).
+
+    Scale shape: the series frame is bounded by DAYS (caller
+    pre-aggregates); two lag windows over that tiny frame, one 1-row
+    aggregate. Returns one row: (n, vr_micro: long).
+    """
+    w = Window.orderBy(d_col)
+    base = daily.select(
+        F.col(d_col).alias("d"), F.col(y_col).cast("long").alias("y")
+    ).select(
+        "y",
+        (F.col("y") - F.lag("y", 1).over(w)).alias("d1"),
+        (F.col("y") - F.lag("y", q).over(w)).alias("dq"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("d1").cast("decimal(38,0)").alias("m1"),
+        F.sum(F.col("d1").cast("decimal(38,0)") * F.col("d1"))
+        .cast("decimal(38,0)").alias("sd1sq"),
+        F.sum("d1").cast("decimal(38,0)").alias("sd1"),
+        F.count("dq").cast("decimal(38,0)").alias("mq"),
+        F.sum(F.col("dq").cast("decimal(38,0)") * F.col("dq"))
+        .cast("decimal(38,0)").alias("sdqsq"),
+        F.sum("dq").cast("decimal(38,0)").alias("sdq"),
+    )
+    a = F.col("m1") * F.col("sd1sq") - F.col("sd1") * F.col("sd1")
+    b = F.col("mq") * F.col("sdqsq") - F.col("sdq") * F.col("sdq")
+    return agg.select(
+        "n",
+        F.when(
+            a > 0,
+            ((b * F.col("m1") * F.col("m1") * F.lit(1000000))
+             .cast("decimal(38,0)")),
+        ).alias("_num"),
+        F.when(
+            a > 0,
+            (F.lit(q).cast("decimal(38,0)") * a * F.col("mq") * F.col("mq"))
+            .cast("decimal(38,0)"),
+        ).alias("_den"),
+    ).select(
+        "n",
+        F.expr("cast((_num div _den) as bigint)").alias("vr_micro"),
+    )
+
+
+def turning_points(
+    daily: DataFrame,
+    d_col: str = "d",
+    y_col: str = "y",
+) -> DataFrame:
+    """Turning-points test of series randomness: count T of interior
+    points that are STRICT local maxima or minima; under iid the
+    expectation is 2(n−2)/3 with variance (16n−29)/90, and
+    z = (T − 2(n−2)/3)/√((16n−29)/90) is asymptotically standard
+    normal — the nonparametric "is this series just noise" gate that
+    needs no distributional assumptions at all (complements the
+    rank-based mann_kendall monotone-trend test: a trend SUPPRESSES
+    turning points).
+
+    T and n are pure integers; z is ONE fixed-order IEEE expression of
+    those integers (identical operand order on any engine), released
+    through the shared boundary-exact 6-decimal canonicalization.
+
+    Scale shape: the series frame is bounded by DAYS; one lag/lead
+    window, one 1-row aggregate. Returns one row: (n, t_count, z).
+    """
+    w = Window.orderBy(d_col)
+    base = daily.select(
+        F.col(y_col).cast("long").alias("y"),
+        F.lag(F.col(y_col).cast("long")).over(w).alias("yp"),
+        F.lead(F.col(y_col).cast("long")).over(w).alias("yn"),
+    )
+    is_tp = (
+        F.col("yp").isNotNull()
+        & F.col("yn").isNotNull()
+        & (
+            ((F.col("yp") < F.col("y")) & (F.col("y") > F.col("yn")))
+            | ((F.col("yp") > F.col("y")) & (F.col("y") < F.col("yn")))
+        )
+    ).cast("long")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(is_tp).cast("long").alias("t_count"),
+    )
+    nd = F.col("n").cast("double")
+    z = (
+        (F.col("t_count").cast("double")
+         - F.lit(2.0) * (nd - F.lit(2.0)) / F.lit(3.0))
+        / F.sqrt((F.lit(16.0) * nd - F.lit(29.0)) / F.lit(90.0))
+    )
+    return agg.select(
+        "n",
+        "t_count",
+        (F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("z"),
+    )

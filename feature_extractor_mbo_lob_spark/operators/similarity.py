@@ -1415,3 +1415,56 @@ def fisher_separability(
             F.col("_ws") > 0, F.floor(j * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
         ).otherwise(F.lit(0.0)).alias("fisher_ratio"),
     )
+
+
+def embedding_anisotropy(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Anisotropy of an embedding collection (Ethayarajh 2019's
+    observation that contextual embeddings occupy a narrow cone):
+    A = ‖Σᵢxᵢ‖² / (n·Σᵢ‖xᵢ‖²) ∈ [0, 1] — 0 when vectors cancel
+    (isotropic around the origin), 1 when all vectors share one
+    direction. THE one-number health check run before cosine-based
+    retrieval: high anisotropy means raw cosine similarity is dominated
+    by the common direction and the index needs centering — the
+    diagnostic companion to embedding_audit (norms), ann_hubness
+    (k-NN degree skew) and pca_power (the dominant direction itself).
+
+    EXACT integer arithmetic on micro-quantized lanes q = floor(x·1e6
+    + 0.5): per-lane sums S_j = Σq and square totals T_j = Σq² collapse
+    in ONE map-side-combinable groupBy (d cells, never rows); the
+    release a_ppm = (ΣS_j²·1e6) div (n·ΣT_j) is one trunc division of
+    decimal(38,0)/hugeint integers — bit-identical on any engine, and
+    the 1e12 quantization factors cancel exactly. NULL when every
+    vector is zero.
+
+    Returns one row: (n, dim, a_ppm: long).
+    """
+    lanes = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    ).select(
+        "i",
+        F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("q"),
+    )
+    per_lane = lanes.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q"))
+        .cast("decimal(38,0)")
+        .alias("t"),
+    )
+    agg = per_lane.agg(
+        F.max("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("dim"),
+        F.sum(F.col("s") * F.col("s")).cast("decimal(38,0)").alias("num"),
+        F.sum("t").cast("decimal(38,0)").alias("den"),
+    )
+    return agg.select(
+        "n",
+        "dim",
+        F.when(
+            F.col("den") > 0,
+            F.expr("cast((num * 1000000) div (n * den) as bigint)"),
+        ).alias("a_ppm"),
+    )

@@ -19513,6 +19513,206 @@ QUERIES["gk_gamma"] = q_gk_gamma
 ORACLES["gk_gamma"] = O_GK_GAMMA
 
 
+
+
+# --- Lo–MacKinlay variance ratio of the daily series ---------------------------------------
+
+def q_variance_ratio(spark, sf_dir):
+    """VR(2) (functions/stats.variance_ratio) of the daily event-count
+    series — the random-walk diagnostic in variance units (VR>1
+    momentum, VR<1 mean reversion), completing the serial-dependence
+    panel beside durbin_watson (trend residuals) and ljung_box
+    (portmanteau). Cleared integer moments, one trunc division."""
+    from ..functions.stats import variance_ratio
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return variance_ratio(daily, "d", "y", q=2)
+
+
+O_VARIANCE_RATIO = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+x as (
+  select y,
+    y - lag(y, 1) over (order by d) as d1,
+    y - lag(y, 2) over (order by d) as dq
+  from daily
+),
+m as (
+  select cast(count(*) as bigint) as n,
+    cast(count(d1) as hugeint) as m1,
+    cast(sum(cast(d1 as hugeint) * d1) as hugeint) as sd1sq,
+    cast(sum(d1) as hugeint) as sd1,
+    cast(count(dq) as hugeint) as mq,
+    cast(sum(cast(dq as hugeint) * dq) as hugeint) as sdqsq,
+    cast(sum(dq) as hugeint) as sdq
+  from x
+)
+select n,
+  case when m1 * sd1sq - sd1 * sd1 > 0 then
+    cast(((mq * sdqsq - sdq * sdq) * m1 * m1 * 1000000)
+      // (2 * (m1 * sd1sq - sd1 * sd1) * mq * mq) as bigint)
+  end as vr_micro
+from m
+"""
+
+QUERIES["variance_ratio"] = q_variance_ratio
+ORACLES["variance_ratio"] = O_VARIANCE_RATIO
+
+
+# --- turning-points randomness test ---------------------------------------------------------
+
+def q_turning_points(spark, sf_dir):
+    """Turning-points test (functions/stats.turning_points) of the
+    daily event-count series: strict local extrema count T vs the iid
+    expectation 2(n−2)/3 — the assumption-free randomness gate
+    complementing mann_kendall (a trend SUPPRESSES turning points).
+    Integer T, one fixed-order IEEE z release."""
+    from ..functions.stats import turning_points
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return turning_points(daily, "d", "y")
+
+
+O_TURNING_POINTS = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+x as (
+  select y, lag(y) over (order by d) as yp, lead(y) over (order by d) as yn
+  from daily
+),
+m as (
+  select cast(count(*) as bigint) as n,
+    cast(sum(case when yp is not null and yn is not null
+      and ((yp < y and y > yn) or (yp > y and y < yn))
+      then 1 else 0 end) as bigint) as t_count
+  from x
+)
+select n, t_count,
+  floor(((cast(t_count as double) - 2.0 * (cast(n as double) - 2.0) / 3.0)
+    / sqrt((16.0 * cast(n as double) - 29.0) / 90.0))
+    * 1000000.0 + 0.5) / 1000000.0 as z
+from m
+"""
+
+QUERIES["turning_points"] = q_turning_points
+ORACLES["turning_points"] = O_TURNING_POINTS
+
+
+# --- embedding anisotropy -------------------------------------------------------------------
+
+def q_anisotropy(spark, sf_dir):
+    """Embedding anisotropy A = ||sum x||^2/(n*sum||x||^2) (operators/
+    similarity.embedding_anisotropy) — the narrow-cone health check run
+    before any cosine retrieval (Ethayarajh 2019); exact micro-lane
+    integers, one posexplode + one d-cell groupBy + one trunc-division
+    release."""
+    from ..operators.similarity import embedding_anisotropy
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_anisotropy(emb)
+
+
+O_ANISOTROPY = """
+with l as (
+  select vec_id,
+    generate_subscripts(embedding, 1) - 1 as i,
+    cast(floor(cast(unnest(embedding) as double) * 1000000.0 + 0.5) as bigint) as q
+  from embeddings
+),
+p as (
+  select i, cast(count(*) as bigint) as cnt,
+    cast(sum(q) as hugeint) as s,
+    cast(sum(cast(q as hugeint) * q) as hugeint) as t
+  from l group by 1
+)
+select cast(max(cnt) as bigint) as n, cast(count(*) as bigint) as dim,
+  case when sum(t) > 0 then
+    cast((sum(s * s) * 1000000) // (max(cnt) * sum(t)) as bigint)
+  end as a_ppm
+from p
+"""
+
+QUERIES["anisotropy"] = q_anisotropy
+ORACLES["anisotropy"] = O_ANISOTROPY
+
+
+# --- Burrows' Delta stylometric source distance ---------------------------------------------
+
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta (functions/corpus.burrows_delta) between every
+    source pair over the corpus's top-30 words — the stylometric
+    distance (z-scored function-word frequencies, mean |z_a − z_b|)
+    complementing the topic-dominated source_kl/source_js. Exact ppm
+    frequencies on the dense top-m × sources grid, integer cleared
+    spreads, micro-quantized fixed-order word terms, order-free int64
+    pair sums."""
+    from ..functions.corpus import burrows_delta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return burrows_delta(docs)
+
+
+O_BURROWS_DELTA = r"""
+with w as (
+  select source,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) as word
+  from documents
+),
+counts as (
+  select source, word, cast(count(*) as bigint) as c from w group by 1, 2
+),
+totals as (
+  select source, cast(sum(c) as bigint) as n_s from counts group by 1
+),
+topw as (
+  select word from (
+    select word, row_number() over (order by sum(c) desc, word asc) as r
+    from counts group by word
+  ) where r <= 30
+),
+f as (
+  select t.source, tw.word,
+    cast((coalesce(c.c, 0) * 1000000) // t.n_s as bigint) as f
+  from totals t
+  cross join topw tw
+  left join counts c on c.source = t.source and c.word = tw.word
+),
+ws as (
+  select word, cast(count(*) as bigint) as s,
+    cast(count(*) as hugeint) * sum(cast(f as hugeint) * f)
+      - cast(sum(f) as hugeint) * sum(f) as dv
+  from f group by 1
+),
+pr as (
+  select a.source as src_a, b.source as src_b,
+    cast(floor((cast(abs(a.f - b.f) as double) * cast(ws.s as double))
+      / sqrt(cast(ws.dv as double)) * 1000000.0 + 0.5) as bigint) as t
+  from f a
+  join f b on a.word = b.word and a.source < b.source
+  join ws on ws.word = a.word and ws.dv > 0
+)
+select src_a, src_b, cast(count(*) as bigint) as m_words,
+  cast(sum(t) // count(*) as bigint) as delta_micro
+from pr group by 1, 2
+"""
+
+QUERIES["burrows_delta"] = q_burrows_delta
+ORACLES["burrows_delta"] = O_BURROWS_DELTA
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -759,3 +759,49 @@ def test_naive_bayes_matches_naive_reference(spark):
                 best = (s, c)
         want[(y, best[1])] += 1
     assert got == dict(want)
+
+
+def test_burrows_delta_orders_style_distance(spark):
+    """Three 2-word-vocabulary sources: s1 and s2 have opposite
+    function-word profiles, s3 sits between — Delta(s1,s2) must exceed
+    both Delta(s1,s3) and Delta(s2,s3); exact value checked against a
+    naive integer replica of the ppm/cleared-spread formula."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.corpus import burrows_delta
+
+    rows = [
+        ("s1", "a a b"),
+        ("s2", "a b b"),
+        ("s3", "a b"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.src_a, r.src_b): r.delta_micro
+           for r in burrows_delta(df, top_m=2).collect()}
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert out[("s1", "s2")] > out[("s1", "s3")]
+    assert out[("s1", "s2")] > out[("s2", "s3")]
+
+    # naive replica: f ppm per (source, word), cleared spread, term sum
+    f = {}
+    for s, text in rows:
+        ws = text.split()
+        n = len(ws)
+        for w in ("a", "b"):
+            f[(s, w)] = (ws.count(w) * 1000000) // n
+    expect = {}
+    for a, b in (("s1", "s2"), ("s1", "s3"), ("s2", "s3")):
+        tot = 0
+        m = 0
+        for w in ("a", "b"):
+            vals = [f[(s, w)] for s in ("s1", "s2", "s3")]
+            dv = 3 * sum(v * v for v in vals) - sum(vals) ** 2
+            if dv <= 0:
+                continue
+            term = math.floor(
+                abs(f[(a, w)] - f[(b, w)]) * 3 / math.sqrt(dv) * 1e6 + 0.5
+            )
+            tot += term
+            m += 1
+        expect[(a, b)] = tot // m
+    assert out == expect

@@ -1273,3 +1273,43 @@ def test_gk_gamma_hand_cases(spark):
     r2 = gk_gamma(tied, "x", "y").collect()[0]
     assert (r2.n_pairs_c, r2.n_pairs_d, r2.ties_y) == (2, 0, 1)
     assert r2.gamma_micro == 1000000 and r2.somers_micro == 666666
+
+
+def test_variance_ratio_hand_cases(spark):
+    """y=[0,1,3,6]: A=6, B=4 -> VR = 36/48 = 0.75; a perfect line has
+    A=... zero-variance one-period diffs -> NULL."""
+    from feature_extractor_mbo_lob_spark.functions.stats import variance_ratio
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 3), (3, 6)], "d long, y long"
+    )
+    r = variance_ratio(df).collect()[0]
+    assert (r.n, r.vr_micro) == (4, 750000)
+
+    line = spark.createDataFrame(
+        [(0, 5), (1, 7), (2, 9), (3, 11)], "d long, y long"
+    )
+    r2 = variance_ratio(line).collect()[0]
+    assert r2.vr_micro is None
+
+
+def test_turning_points_hand_case(spark):
+    """y=[1,3,2,4,1]: T=3 strict extrema, n=5; plateau points are NOT
+    turning points (strict inequalities)."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import turning_points
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 3), (2, 2), (3, 4), (4, 1)], "d long, y long"
+    )
+    r = turning_points(df).collect()[0]
+    z = (3 - 2.0 * 3 / 3.0) / math.sqrt((16.0 * 5 - 29.0) / 90.0)
+    assert (r.n, r.t_count) == (5, 3)
+    assert r.z == math.floor(z * 1e6 + 0.5) / 1e6
+
+    flat = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 2), (3, 1)], "d long, y long"
+    )
+    r2 = turning_points(flat).collect()[0]
+    assert r2.t_count == 0

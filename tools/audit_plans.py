@@ -2236,6 +2236,46 @@ def main() -> None:
     ))
 
     sections.append(summarize(
+        "Lo–MacKinlay variance ratio",
+        QUERIES["variance_ratio"](spark, tiny),
+        "Series frame bounded by DAYS; two lag windows over that tiny "
+        "frame + one 1-row aggregate; cleared integer moments, one "
+        "trunc division.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "turning-points randomness test",
+        QUERIES["turning_points"](spark, tiny),
+        "Series frame bounded by DAYS; one lag/lead window + one 1-row "
+        "aggregate; integer T, one fixed-order IEEE z release.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "embedding anisotropy",
+        QUERIES["anisotropy"](spark, tiny),
+        "One posexplode + ONE map-side-combinable d-cell groupBy + one "
+        "1-row trunc-division release. No joins, no window, O(d) "
+        "shuffle, never O(rows).",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Burrows' Delta",
+        QUERIES["burrows_delta"](spark, tiny),
+        "Corpus collapses to (source, word) counts once; top-m window "
+        "runs on the word-TOTALS frame (bounded by vocabulary); the "
+        "dense m x sources grid and all pair joins are broadcast "
+        "(constant-key equi join, never a cartesian).",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
         "TPC-H Q9 product profit",
         QUERIES["product_profit"](spark, tiny),
         "Name-filtered part broadcast prunes lineitem first; supplier "
