@@ -2512,3 +2512,63 @@ def burrows_delta(
             F.expr("cast(sum(t) div count(*) as bigint)").alias("delta_micro"),
         )
     )
+
+
+def hapax_profile(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hapax-legomena profile per source: V1 (once-words), V2
+    (twice-words), their shares of the vocabulary, Sichel's S = V2/V,
+    and Honoré's R = 100·ln(N)/(1 − V1/V) — the frequency-spectrum
+    vocabulary-growth characteristics that corpus QA reads alongside
+    yule_k (repeat rate) and vocab_richness (Chao1/Simpson/Shannon):
+    a crawler stuck in template text shows collapsing V1/V; genuinely
+    fresh text keeps R roughly stable as N grows.
+
+    Exact integers everywhere except Honoré's R, which is ONE
+    fixed-order IEEE expression of exact integers (NULL when V1 = V,
+    where R diverges); the shares release as exact ppm trunc
+    divisions.
+
+    Scale shape: one explode → one (source, word) groupBy bounded by
+    per-source vocabulary → one per-source conditional aggregate. No
+    joins, no windows.
+
+    Returns per source: (source, n_tokens, v_types, v1, v2, hapax_ppm,
+    sichel_ppm, honore_r).
+    """
+    from .repetition import normalized_words
+
+    words = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(normalized_words(text_col)).alias("word"),
+    )
+    counts = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("v1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("v2"),
+    )
+    honore = (
+        F.lit(100.0)
+        * F.log(F.col("n_tokens").cast("double"))
+        / (F.lit(1.0) - F.col("v1").cast("double") / F.col("v_types").cast("double"))
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "v_types",
+        "v1",
+        "v2",
+        F.expr("cast((v1 * 1000000) div v_types as bigint)").alias("hapax_ppm"),
+        F.expr("cast((v2 * 1000000) div v_types as bigint)").alias("sichel_ppm"),
+        F.when(
+            F.col("v1") < F.col("v_types"),
+            F.floor(honore * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("honore_r"),
+    )

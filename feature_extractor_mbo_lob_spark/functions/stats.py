@@ -3663,3 +3663,277 @@ def turning_points(
         "t_count",
         (F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("z"),
     )
+
+
+def runs_test_median(
+    daily: DataFrame,
+    d_col: str = "d",
+    y_col: str = "y",
+) -> DataFrame:
+    """Wald–Wolfowitz runs test of a series against its own median —
+    the third member of the assumption-free randomness panel
+    (turning_points counts extrema, mann_kendall ranks the trend; this
+    counts SIGN RUNS: too few runs = clustering/regimes, too many =
+    negative autocorrelation).
+
+    Median is the LOWER median (the smallest value whose cumulative
+    count reaches (n+1) div 2 on the distinct-value frame — an exact
+    integer order statistic, identical on any engine); observations
+    equal to the median are discarded per the classic prescription.
+    The run count R = 1 + Σ(sign_t ≠ sign_{t−1}) and n1/n2 are pure
+    integers; z = (R − μ)/σ with μ = 2n1n2/(n1+n2) + 1 and σ² =
+    2n1n2(2n1n2 − n1 − n2)/((n1+n2)²(n1+n2−1)) is ONE fixed-order IEEE
+    expression of those integers, NULL when n1·n2 = 0 or n1+n2 < 2.
+
+    Scale shape: the series frame is bounded by DAYS; one distinct-value
+    cumulative window for the median, a 1-row broadcast back, one lag
+    window, one 1-row aggregate.
+
+    Returns one row: (n1, n2, r_count, z).
+    """
+    base = daily.select(
+        F.col(d_col).alias("d"), F.col(y_col).cast("long").alias("y")
+    )
+    g = base.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        g.select(
+            "y",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("y").alias("med"))
+        .withColumn("_k", F.lit(1))
+    )
+    s = (
+        base.withColumn("_k", F.lit(1))
+        .join(F.broadcast(med), "_k")
+        .filter(F.col("y") != F.col("med"))
+        .select("d", (F.col("y") > F.col("med")).cast("long").alias("s"))
+    )
+    lagw = Window.orderBy("d")
+    runs = s.select(
+        "s",
+        F.when(F.lag("s").over(lagw).isNull(), F.lit(1))
+        .when(F.lag("s").over(lagw) != F.col("s"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).cast("long").alias("n2"),
+        F.sum("new_run").cast("long").alias("r_count"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    mu = F.lit(2.0) * n1d * n2d / nd + F.lit(1.0)
+    var = (
+        F.lit(2.0) * n1d * n2d * (F.lit(2.0) * n1d * n2d - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    z = (F.col("r_count").cast("double") - mu) / F.sqrt(var)
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & ((F.col("n1") + F.col("n2")) > 1)
+    return agg.select(
+        "n1",
+        "n2",
+        "r_count",
+        F.when(ok, F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("z"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown–Forsythe homogeneity-of-variance test across groups — the
+    robust Levene variant (deviations from the GROUP MEDIAN, not mean)
+    that gates every pooled-variance comparison the experimentation
+    suite runs: one-way ANOVA F on z_ig = |x_ig − median_g|.
+
+    Engine-exact by micro-quantized trunc divisions BEFORE the
+    order-free sums (the fisher_separability discipline): group medians
+    are exact lower-median order statistics on per-group distinct-value
+    frames; z values are pure integers; the ANOVA decomposition uses
+    u_g = (S_g²·10⁶) div n_g exact integer terms, so SSB_micro =
+    Σu_g − (S²·10⁶) div N and SSW_micro = 10⁶·ΣQ_g − Σu_g are exact
+    integers and the release f_micro = ((N−k)·SSB_micro·10⁶) div
+    ((k−1)·SSW_micro) is one trunc division — bit-identical anywhere;
+    NULL when SSW = 0 or k < 2.
+
+    Scale shape: one (group, value) collapse bounded by per-group value
+    cardinality, one partitioned cumulative window for the medians, a
+    broadcast join back, map-side-combinable group aggregates, one
+    k-row → 1-row release.
+
+    Returns one row: (k, n_total, f_micro: long).
+    """
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("x")
+    )
+    g = vals.groupBy("grp", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wp = (
+        Window.partitionBy("grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wpa = (
+        Window.partitionBy("grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    med = (
+        g.select(
+            "grp",
+            "x",
+            F.sum("c").over(wp).alias("cum"),
+            F.sum("c").over(wpa).alias("ng"),
+        )
+        .filter(F.col("cum") >= F.expr("(ng + 1) div 2"))
+        .groupBy("grp")
+        .agg(F.min("x").alias("med"))
+    )
+    z = (
+        vals.join(F.broadcast(med), "grp")
+        .select("grp", F.abs(F.col("x") - F.col("med")).alias("z"))
+    )
+    per = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("z").cast("decimal(38,0)").alias("sg"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
+        .cast("decimal(38,0)")
+        .alias("qg"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("decimal(38,0)").alias("n_total"),
+        F.sum("sg").cast("decimal(38,0)").alias("s"),
+        F.sum("qg").cast("decimal(38,0)").alias("q"),
+        F.sum(F.expr("(sg * sg * 1000000) div ng"))
+        .cast("decimal(38,0)")
+        .alias("u"),
+    )
+    return agg.select(
+        "k",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.when(
+            (F.col("k") > 1)
+            & ((F.col("q") * 1000000 - F.col("u")) > 0),
+            F.expr(
+                "cast((((n_total - k) * (u - (s * s * 1000000) div n_total))"
+                " * 1000000)"
+                " div ((k - 1) * (q * 1000000 - u)) as bigint)"
+            ),
+        ).alias("f_micro"),
+    )
+
+
+def grubbs_max_outlier(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Grubbs' statistic per group — the single-worst-outlier score
+    G = max|x − x̄|/s that answers "how extreme is this group's most
+    extreme value in its own σ units" (the per-group companion to
+    mad_outliers' row-level flags and robust_zscore's per-row scores).
+
+    Cleared integer moments: maxdev = max|n·x − S| and A = n·Σx² − S²
+    are exact decimal(38,0)/hugeint integers; since n·s =
+    √(n·A/(n−1)), G = maxdev/√(n·A/(n−1)) is ONE fixed-order IEEE
+    expression of three exact integers, released through the shared
+    6-decimal canonicalization; NULL when A = 0 (constant group) or
+    n < 3.
+
+    Scale shape: TWO map-side-combinable passes (moments, then the
+    cleared max-deviation against the broadcast 1-row-per-group
+    moments); no windows, no Python.
+
+    Returns per group: (group, n, g_stat).
+    """
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("x")
+    )
+    m = vals.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    j = vals.join(F.broadcast(m), "grp")
+    dev = F.abs(F.col("n") * F.col("x").cast("decimal(38,0)") - F.col("s"))
+    per = j.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("q").alias("q"),
+        F.max(dev).cast("decimal(38,0)").alias("maxdev"),
+    )
+    a = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    nd = F.col("n").cast("double")
+    g_stat = (
+        F.col("maxdev").cast("double")
+        / F.sqrt(nd * a.cast("double") / (nd - F.lit(1.0)))
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (F.col("n") >= 3) & (a > 0),
+            F.floor(g_stat * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("g_stat"),
+    )
+
+
+def atkinson_index(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+) -> DataFrame:
+    """Atkinson inequality index (ε = 1) per group: A = 1 − GM/AM, the
+    geometric-over-arithmetic-mean form — the WELFARE-weighted member
+    of the inequality panel (gini_lengths: rank geometry; theil_index:
+    entropy; this one: how much total could shrink with equal shares
+    at equal welfare). 0 = equality; → 1 as one unit takes everything.
+
+    Engine-exact via the theil_index discipline: ln per DISTINCT value
+    quantized to integer nanos before the weighted sum (order-free
+    integer reduction), so GM = exp(L/(n·1e9)) and the release
+    a = 1 − n·exp(L/n/1e9)/S is ONE fixed-order IEEE expression of
+    exact integers (L, n, S). Zero/negative sizes are excluded (no
+    defined ln; they carry no welfare mass).
+
+    Scale shape: one (group, value) groupBy bounded by value
+    cardinality, one map-side-combinable groupBy(group). No windows,
+    no joins.
+
+    Returns per group: (group, n, total, atkinson).
+    """
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(size_col).cast("long").alias("x")
+    ).filter(F.col("x") > 0)
+    g = vals.groupBy("grp", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    xlog = F.floor(
+        F.log(F.col("x").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    a = g.groupBy("grp").agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("x")).alias("s"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)") * xlog).alias("l"),
+    )
+    atk = F.lit(1.0) - (
+        F.col("n").cast("double")
+        * F.exp(F.col("l").cast("double") / F.col("n").cast("double") / F.lit(1e9))
+        / F.col("s").cast("double")
+    )
+    return a.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.col("s").cast("long").alias("total"),
+        (F.floor(atk * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("atkinson"),
+    )

@@ -19713,6 +19713,246 @@ QUERIES["burrows_delta"] = q_burrows_delta
 ORACLES["burrows_delta"] = O_BURROWS_DELTA
 
 
+
+
+# --- Wald–Wolfowitz runs test ----------------------------------------------------------------
+
+def q_runs_test(spark, sf_dir):
+    """Runs test (functions/stats.runs_test_median) of the daily event
+    count against its lower median — sign-run clustering, the third
+    assumption-free randomness gate beside turning_points and
+    mann_kendall. Integer median/runs/counts, one fixed-order IEEE z."""
+    from ..functions.stats import runs_test_median
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return runs_test_median(daily, "d", "y")
+
+
+O_RUNS_TEST = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+g as (select y, count(*) as c from daily group by 1),
+cum as (
+  select y,
+    sum(c) over (order by y rows between unbounded preceding and current row) as cum,
+    sum(c) over () as n
+  from g
+),
+med as (select min(y) as med from cum where cum >= (n + 1) // 2),
+s as (
+  select d, case when y > med then 1 else 0 end as s
+  from daily, med where y <> med
+),
+r as (
+  select s,
+    case when lag(s) over (order by d) is null then 1
+         when lag(s) over (order by d) <> s then 1 else 0 end as new_run
+  from s
+),
+a as (
+  select cast(sum(s) as bigint) as n1,
+    cast(sum(1 - s) as bigint) as n2,
+    cast(sum(new_run) as bigint) as r_count
+  from r
+)
+select n1, n2, r_count,
+  case when n1 > 0 and n2 > 0 and n1 + n2 > 1 then
+    floor(((cast(r_count as double)
+      - (2.0 * n1 * n2 / (cast(n1 as double) + n2) + 1.0))
+      / sqrt(2.0 * n1 * n2 * (2.0 * cast(n1 as double) * n2 - (cast(n1 as double) + n2))
+        / ((cast(n1 as double) + n2) * (cast(n1 as double) + n2)
+           * ((cast(n1 as double) + n2) - 1.0))))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as z
+from a
+"""
+
+QUERIES["runs_test"] = q_runs_test
+ORACLES["runs_test"] = O_RUNS_TEST
+
+
+# --- Brown–Forsythe homogeneity of variance --------------------------------------------------
+
+def q_brown_forsythe(spark, sf_dir):
+    """Brown–Forsythe robust variance-homogeneity F across sources'
+    document lengths (functions/stats.brown_forsythe) — the gate before
+    pooled-variance source comparisons; deviations from exact per-group
+    lower medians, micro-quantized trunc divisions before order-free
+    integer sums, one trunc-division release."""
+    from ..functions.stats import brown_forsythe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return brown_forsythe(docs, "source", "n_chars")
+
+
+O_BROWN_FORSYTHE = """
+with v as (select source as grp, cast(n_chars as bigint) as x from documents),
+g as (select grp, x, count(*) as c from v group by 1, 2),
+cum as (
+  select grp, x,
+    sum(c) over (partition by grp order by x rows between unbounded preceding and current row) as cum,
+    sum(c) over (partition by grp) as ng
+  from g
+),
+med as (select grp, min(x) as med from cum where cum >= (ng + 1) // 2 group by 1),
+z as (
+  select v.grp, abs(v.x - med.med) as z
+  from v join med on v.grp = med.grp
+),
+per as (
+  select grp, cast(count(*) as hugeint) as ng,
+    cast(sum(z) as hugeint) as sg,
+    cast(sum(cast(z as hugeint) * z) as hugeint) as qg
+  from z group by 1
+),
+a as (
+  select cast(count(*) as bigint) as k,
+    sum(ng) as n_total, sum(sg) as s, sum(qg) as q,
+    sum((sg * sg * 1000000) // ng) as u
+  from per
+)
+select k, cast(n_total as bigint) as n_total,
+  case when k > 1 and q * 1000000 - u > 0 then
+    cast((((n_total - k) * (u - (s * s * 1000000) // n_total)) * 1000000)
+      // ((k - 1) * (q * 1000000 - u)) as bigint)
+  end as f_micro
+from a
+"""
+
+QUERIES["brown_forsythe"] = q_brown_forsythe
+ORACLES["brown_forsythe"] = O_BROWN_FORSYTHE
+
+
+# --- Grubbs per-source max-outlier score -----------------------------------------------------
+
+def q_grubbs(spark, sf_dir):
+    """Grubbs' single-worst-outlier statistic per source over document
+    lengths (functions/stats.grubbs_max_outlier): cleared integer
+    moments maxdev = max|n·x − S| and A = n·Σx² − S², G one fixed-order
+    IEEE expression — the per-group extreme-value gate beside
+    mad_outliers/robust_zscore."""
+    from ..functions.stats import grubbs_max_outlier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return grubbs_max_outlier(docs, "source", "n_chars")
+
+
+O_GRUBBS = """
+with v as (select source as grp, cast(n_chars as bigint) as x from documents),
+m as (
+  select grp, cast(count(*) as hugeint) as n,
+    cast(sum(x) as hugeint) as s,
+    cast(sum(cast(x as hugeint) * x) as hugeint) as q
+  from v group by 1
+),
+d as (
+  select v.grp, m.n, m.s, m.q,
+    max(abs(m.n * v.x - m.s)) as maxdev
+  from v join m on v.grp = m.grp
+  group by 1, 2, 3, 4
+)
+select grp as source, cast(n as bigint) as n,
+  case when n >= 3 and n * q - s * s > 0 then
+    floor((cast(maxdev as double)
+      / sqrt(cast(n as double) * cast(n * q - s * s as double)
+             / (cast(n as double) - 1.0)))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as g_stat
+from d
+"""
+
+QUERIES["grubbs"] = q_grubbs
+ORACLES["grubbs"] = O_GRUBBS
+
+
+# --- Atkinson inequality index ----------------------------------------------------------------
+
+def q_atkinson(spark, sf_dir):
+    """Atkinson index (eps=1) of document lengths per source
+    (functions/stats.atkinson_index): A = 1 − GM/AM via per-distinct
+    nano-quantized ln (order-free integer reduction), one fixed-order
+    IEEE release — the welfare-weighted member of the inequality panel
+    beside gini_lengths and theil_index."""
+    from ..functions.stats import atkinson_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return atkinson_index(docs, "source", "n_chars")
+
+
+O_ATKINSON = """
+with v as (
+  select source as grp, cast(n_chars as bigint) as x
+  from documents where n_chars > 0
+),
+g as (select grp, x, cast(count(*) as bigint) as c from v group by 1, 2),
+a as (
+  select grp,
+    cast(sum(cast(c as hugeint) * x) as hugeint) as s,
+    cast(sum(c) as bigint) as n,
+    cast(sum(cast(c as hugeint)
+      * cast(floor(ln(cast(x as double)) * 1000000000.0 + 0.5) as bigint)) as hugeint) as l
+  from g group by 1
+)
+select grp as source, n, cast(s as bigint) as total,
+  floor((1.0 - cast(n as double)
+    * exp(cast(l as double) / cast(n as double) / 1000000000.0)
+    / cast(s as double))
+    * 1000000.0 + 0.5) / 1000000.0 as atkinson
+from a
+"""
+
+QUERIES["atkinson"] = q_atkinson
+ORACLES["atkinson"] = O_ATKINSON
+
+
+# --- hapax-legomena profile per source ---------------------------------------------------------
+
+def q_hapax_profile(spark, sf_dir):
+    """Hapax profile per source (functions/corpus.hapax_profile): V1/V2
+    counts, exact ppm shares, Sichel's S and Honoré's R — the
+    frequency-spectrum vocabulary characteristics beside yule_k and
+    vocab_richness; template-stuck crawls show collapsing V1/V."""
+    from ..functions.corpus import hapax_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hapax_profile(docs)
+
+
+O_HAPAX_PROFILE = r"""
+with w as (
+  select source,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) as word
+  from documents
+),
+c as (select source, word, cast(count(*) as bigint) as c from w group by 1, 2),
+a as (
+  select source, cast(sum(c) as bigint) as n_tokens,
+    cast(count(*) as bigint) as v_types,
+    cast(sum(case when c = 1 then 1 else 0 end) as bigint) as v1,
+    cast(sum(case when c = 2 then 1 else 0 end) as bigint) as v2
+  from c group by 1
+)
+select source, n_tokens, v_types, v1, v2,
+  cast((v1 * 1000000) // v_types as bigint) as hapax_ppm,
+  cast((v2 * 1000000) // v_types as bigint) as sichel_ppm,
+  case when v1 < v_types then
+    floor((100.0 * ln(cast(n_tokens as double))
+      / (1.0 - cast(v1 as double) / cast(v_types as double)))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as honore_r
+from a
+"""
+
+QUERIES["hapax_profile"] = q_hapax_profile
+ORACLES["hapax_profile"] = O_HAPAX_PROFILE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -805,3 +805,25 @@ def test_burrows_delta_orders_style_distance(spark):
             m += 1
         expect[(a, b)] = tot // m
     assert out == expect
+
+
+def test_hapax_profile_hand_cases(spark):
+    """"a a b c": N=4, V=3, V1=2, V2=1; Honore R=100 ln4/(1-2/3);
+    all-hapax text diverges -> honore_r NULL."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.corpus import hapax_profile
+
+    df = spark.createDataFrame(
+        [("s1", "a a b c"), ("s2", "x y z")], "source string, text string"
+    )
+    rows = {r.source: r for r in hapax_profile(df).collect()}
+    r1 = rows["s1"]
+    assert (r1.n_tokens, r1.v_types, r1.v1, r1.v2) == (4, 3, 2, 1)
+    assert (r1.hapax_ppm, r1.sichel_ppm) == (666666, 333333)
+    honore = 100.0 * math.log(4.0) / (1.0 - 2.0 / 3.0)
+    assert r1.honore_r == math.floor(honore * 1e6 + 0.5) / 1e6
+
+    r2 = rows["s2"]
+    assert (r2.v1, r2.v_types) == (3, 3)
+    assert r2.honore_r is None

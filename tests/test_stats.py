@@ -1313,3 +1313,89 @@ def test_turning_points_hand_case(spark):
     )
     r2 = turning_points(flat).collect()[0]
     assert r2.t_count == 0
+
+
+def test_runs_test_hand_cases(spark):
+    """y=[5,1,5,1,6,2]: lower median 2 (discarded), signs [1,0,1,0,1]
+    -> n1=3, n2=2, R=5, z=(5-3.4)/sqrt(0.84); one-sided series after
+    exclusion -> z NULL."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import runs_test_median
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, 1), (2, 5), (3, 1), (4, 6), (5, 2)], "d long, y long"
+    )
+    r = runs_test_median(df).collect()[0]
+    z = (5 - (2.0 * 3 * 2 / 5 + 1.0)) / math.sqrt(
+        2.0 * 3 * 2 * (2.0 * 3 * 2 - 5) / (25.0 * 4)
+    )
+    assert (r.n1, r.n2, r.r_count) == (3, 2, 5)
+    assert r.z == math.floor(z * 1e6 + 0.5) / 1e6
+
+    onesided = spark.createDataFrame([(0, 1), (1, 2), (2, 2)], "d long, y long")
+    r2 = runs_test_median(onesided).collect()[0]
+    assert r2.z is None and r2.n1 == 0
+
+
+def test_brown_forsythe_hand_cases(spark):
+    """Groups a=[0,0,4] (median 0, z=[0,0,4]) and b=[1,1,1] (z=0):
+    exact F = 1 -> f_micro=1000000; two constant groups -> SSW=0 ->
+    NULL."""
+    from feature_extractor_mbo_lob_spark.functions.stats import brown_forsythe
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("a", 4), ("b", 1), ("b", 1), ("b", 1)],
+        "g string, x long",
+    )
+    r = brown_forsythe(df, "g", "x").collect()[0]
+    assert (r.k, r.n_total, r.f_micro) == (2, 6, 1000000)
+
+    const = spark.createDataFrame(
+        [("a", 3), ("a", 3), ("b", 7), ("b", 7)], "g string, x long"
+    )
+    r2 = brown_forsythe(const, "g", "x").collect()[0]
+    assert r2.f_micro is None
+
+
+def test_grubbs_hand_cases(spark):
+    """x=[0,0,0,4]: mean 1, s=2, G=(4-1)/2=1.5; constant group and
+    n<3 release NULL but keep their rows."""
+    from feature_extractor_mbo_lob_spark.functions.stats import grubbs_max_outlier
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("a", 0), ("a", 4),
+         ("b", 5), ("b", 5), ("b", 5),
+         ("c", 1), ("c", 9)],
+        "g string, x long",
+    )
+    rows = {r.g: r for r in grubbs_max_outlier(df, "g", "x").collect()}
+    assert rows["a"].g_stat == 1.5 and rows["a"].n == 4
+    assert rows["b"].g_stat is None  # constant
+    assert rows["c"].g_stat is None  # n < 3
+
+
+def test_atkinson_hand_cases(spark):
+    """x=[1,4]: GM=2, AM=2.5 -> A=0.2 (via the same nano-quantized ln
+    both engines use); equal shares -> 0; zero sizes excluded."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import atkinson_index
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 4), ("b", 3), ("b", 3), ("b", 3), ("c", 0),
+         ("c", 2), ("c", 8)],
+        "g string, x long",
+    )
+    rows = {r.g: r for r in atkinson_index(df, "g", "x").collect()}
+
+    def expected(xs):
+        l = sum(math.floor(math.log(x) * 1e9 + 0.5) for x in xs)
+        atk = 1.0 - len(xs) * math.exp(l / len(xs) / 1e9) / sum(xs)
+        return math.floor(atk * 1e6 + 0.5) / 1e6
+
+    assert rows["a"].atkinson == expected([1, 4]) == 0.2
+    assert rows["b"].atkinson == 0.0
+    # zeros carry no welfare mass: n=2, total=10, A = 1 - 4/5
+    assert (rows["c"].n, rows["c"].total) == (2, 10)
+    assert rows["c"].atkinson == expected([2, 8])

@@ -2286,6 +2286,60 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "Wald-Wolfowitz runs test",
+        QUERIES["runs_test"](spark, tiny),
+        "Series frame bounded by DAYS; one distinct-value cumulative "
+        "window for the exact lower median, a broadcast 1-row median "
+        "join back, one lag window, one 1-row aggregate; integer "
+        "n1/n2/R, one fixed-order IEEE z.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Brown-Forsythe variance homogeneity",
+        QUERIES["brown_forsythe"](spark, tiny),
+        "One (group, value) collapse bounded by per-group value "
+        "cardinality; partitioned cumulative window for exact group "
+        "medians; broadcast medians join back; map-side-combinable "
+        "group aggregates; k-row to 1-row integer release.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Grubbs max-outlier statistic",
+        QUERIES["grubbs"](spark, tiny),
+        "TWO map-side-combinable passes: per-group moments, then the "
+        "cleared max-deviation against the broadcast per-group moment "
+        "rows; no windows, no Python.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Atkinson inequality index",
+        QUERIES["atkinson"](spark, tiny),
+        "One (group, value) groupBy bounded by value cardinality, one "
+        "map-side-combinable groupBy(group); nano-ln per DISTINCT value "
+        "so the weighted reduction is an order-free integer sum. No "
+        "joins, no windows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "hapax-legomena profile",
+        QUERIES["hapax_profile"](spark, tiny),
+        "One explode, one (source, word) groupBy bounded by per-source "
+        "vocabulary, one conditional per-source aggregate; exact ppm "
+        "shares, Honore R the only IEEE expression. No joins, no "
+        "windows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
