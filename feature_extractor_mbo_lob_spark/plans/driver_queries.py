@@ -19953,6 +19953,255 @@ QUERIES["hapax_profile"] = q_hapax_profile
 ORACLES["hapax_profile"] = O_HAPAX_PROFILE
 
 
+# --- TPC-H final wave: Q2 / Q11 / Q20 analogs ------------------------------------------------
+#
+# Completes the 22-query decision-support suite (Q4 and Q22 already live
+# as late_shipment_orders / sales_opportunity). The missing partsupp
+# table is replaced by the DOCUMENTED analog of the earlier waves:
+# realized (part, supplier) relationships from lineitem (as in
+# Q16/supplier_part_counts).
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier over the realized supply
+    relationships (no partsupp table — supply cost proxy is the MINIMUM
+    realized line price in exact cents per (part, supplier), a
+    deterministic integer): for every SMALL-type part, the EUROPE
+    supplier(s) achieving the part's minimum cost, ties preserved by an
+    equality join back (the correlated-subquery semantics, as Q15).
+    lineitem collapses to the bounded relationship frame FIRST; part
+    and the region-filtered supplier dim are broadcast; money stays
+    integer cents until the release divisions."""
+    rel = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("ep_c"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("ep_c").alias("cost_c"))
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "EUROPE"
+    )
+    eu = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_type") == "SMALL"
+    ).select("p_partkey", "p_name")
+    er = (
+        rel.join(F.broadcast(eu), rel["l_suppkey"] == eu["s_suppkey"])
+        .join(F.broadcast(part), rel["l_partkey"] == part["p_partkey"])
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "cost_c")
+    )
+    mn = er.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("cost_c").alias("min_c")
+    )
+    return (
+        er.join(
+            mn,
+            (er["p_partkey"] == mn["_pk"]) & (er["cost_c"] == mn["min_c"]),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            _r6x(F.col("s_acctbal"), "s_acctbal"),
+            _r6x(F.col("cost_c").cast("double") / 100.0, "supply_cost"),
+        )
+    )
+
+
+O_MIN_COST_SUPPLIER = """
+with rel as (
+  select l_partkey, l_suppkey,
+    min(cast(round(l_extendedprice * 100, 0) as bigint)) as cost_c
+  from lineitem group by 1, 2
+),
+eu as (
+  select s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  from supplier s
+  join nation n on s.s_nationkey = n.n_nationkey
+  join region r on n.n_regionkey = r.r_regionkey
+  where r.r_name = 'EUROPE'
+),
+er as (
+  select p.p_partkey, p.p_name, e.s_name, e.s_acctbal, e.n_name, rel.cost_c
+  from rel
+  join eu e on rel.l_suppkey = e.s_suppkey
+  join part p on rel.l_partkey = p.p_partkey
+  where p.p_type = 'SMALL'
+),
+mn as (select p_partkey as pk, min(cost_c) as min_c from er group by 1)
+select er.p_partkey, er.p_name, er.s_name, er.n_name,
+  floor(er.s_acctbal * 1000000.0 + 0.5) / 1000000.0 as s_acctbal,
+  floor((cast(er.cost_c as double) / 100.0) * 1000000.0 + 0.5) / 1000000.0
+    as supply_cost
+from er join mn on er.p_partkey = mn.pk and er.cost_c = mn.min_c
+"""
+
+QUERIES["min_cost_supplier"] = q_min_cost_supplier
+ORACLES["min_cost_supplier"] = O_MIN_COST_SUPPLIER
+
+
+def q_important_stock(spark, sf_dir):
+    """TPC-H Q11 important stock: per-part realized supply value from
+    EUROPE suppliers (value proxy = exact cents of extended price, the
+    partsupp analog), keeping parts whose value exceeds 1.5x the MEAN
+    part value — TPC-H scales Q11's share fraction with SF precisely
+    because a fixed share degenerates as the part count grows; the
+    mean-multiple form is the scale-free equivalent, cleared to the
+    pure integer predicate 2*value_c*n_parts > 3*total_c (no division
+    until release). One fact collapse to (part) cells, a 1-row
+    (total, count) broadcast back."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "EUROPE"
+    )
+    eu = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("ep_c"),
+    )
+    per_part = (
+        li.join(F.broadcast(eu), li["l_suppkey"] == eu["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum("ep_c").cast("decimal(38,0)").alias("val_c"))
+    )
+    tot = per_part.agg(
+        F.sum("val_c").cast("decimal(38,0)").alias("tot_c"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.lit(2) * F.col("val_c") * F.col("n_parts") > F.lit(3) * F.col("tot_c"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            _r6x(F.col("val_c").cast("double") / 100.0, "value"),
+        )
+    )
+
+
+O_IMPORTANT_STOCK = """
+with eu as (
+  select s.s_suppkey
+  from supplier s
+  join nation n on s.s_nationkey = n.n_nationkey
+  join region r on n.n_regionkey = r.r_regionkey
+  where r.r_name = 'EUROPE'
+),
+pp as (
+  select l.l_partkey,
+    sum(cast(round(l.l_extendedprice * 100, 0) as hugeint)) as val_c
+  from lineitem l join eu on l.l_suppkey = eu.s_suppkey
+  group by 1
+)
+select l_partkey as p_partkey,
+  floor((cast(val_c as double) / 100.0) * 1000000.0 + 0.5) / 1000000.0 as value
+from pp
+where 2 * val_c * (select count(*) from pp) > 3 * (select sum(val_c) from pp)
+"""
+
+QUERIES["important_stock"] = q_important_stock
+ORACLES["important_stock"] = O_IMPORTANT_STOCK
+
+
+def q_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 potential part promotion: ASIA suppliers who in 1996
+    shipped MORE THAN HALF of some 'red…' part's total 1996 quantity
+    (the availqty > 0.5·sum(qty) analog over realized flows — the
+    nested-subquery structure intact: name-filtered parts prune the
+    fact scan via a broadcast semi join, quantities collapse to
+    (part, supplier) cells, the per-part total joins back, and the
+    half-share HAVING is the pure integer predicate 2·q_ps > q_p).
+    Returns each qualifying supplier with their qualifying-part
+    count."""
+    red = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+    )
+    ps = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").cast("long").alias("q_ps"))
+    )
+    pt = ps.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("q_ps").cast("long").alias("q_p")
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "ASIA"
+    )
+    asia = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "s_name")
+    )
+    qual = ps.join(pt, ps["l_partkey"] == pt["_pk"]).filter(
+        F.lit(2) * F.col("q_ps") > F.col("q_p")
+    )
+    return (
+        qual.join(F.broadcast(asia), qual["l_suppkey"] == asia["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_qualifying_parts"))
+    )
+
+
+O_POTENTIAL_PROMOTION = """
+with red as (select p_partkey from part where p_name like 'red%'),
+ps as (
+  select l.l_partkey, l.l_suppkey,
+    cast(sum(cast(round(l.l_quantity, 0) as bigint)) as bigint) as q_ps
+  from lineitem l
+  where l.l_shipdate >= timestamp '1996-01-01'
+    and l.l_shipdate < timestamp '1997-01-01'
+    and l.l_partkey in (select p_partkey from red)
+  group by 1, 2
+),
+pt as (select l_partkey, cast(sum(q_ps) as bigint) as q_p from ps group by 1),
+asia as (
+  select s.s_suppkey, s.s_name
+  from supplier s
+  join nation n on s.s_nationkey = n.n_nationkey
+  join region r on n.n_regionkey = r.r_regionkey
+  where r.r_name = 'ASIA'
+)
+select a.s_name, cast(count(*) as bigint) as n_qualifying_parts
+from ps
+join pt on ps.l_partkey = pt.l_partkey
+join asia a on ps.l_suppkey = a.s_suppkey
+where 2 * ps.q_ps > pt.q_p
+group by 1
+"""
+
+QUERIES["potential_promotion"] = q_potential_promotion
+ORACLES["potential_promotion"] = O_POTENTIAL_PROMOTION
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -2340,6 +2340,38 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "TPC-H Q2 min-cost supplier",
+        QUERIES["min_cost_supplier"](spark, tiny),
+        "lineitem collapses to the bounded (part, supplier) "
+        "relationship frame FIRST; region-filtered supplier and the "
+        "part dim broadcast; per-part min joins back on equality so "
+        "ties survive (correlated-subquery semantics).",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "TPC-H Q11 important stock",
+        QUERIES["important_stock"](spark, tiny),
+        "One fact collapse to (part) cells after the broadcast "
+        "supplier semi-filter; 1-row (total, count) broadcast back; "
+        "the mean-multiple HAVING is a pure integer predicate.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "TPC-H Q20 potential promotion",
+        QUERIES["potential_promotion"](spark, tiny),
+        "Name-filtered part broadcast semi-prunes the year-filtered "
+        "fact scan; quantities collapse to (part, supplier) cells; "
+        "per-part totals join back; strict half-share is the integer "
+        "predicate 2q > Q; ASIA supplier dim broadcast.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
