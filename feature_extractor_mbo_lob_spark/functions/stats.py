@@ -3937,3 +3937,282 @@ def atkinson_index(
         F.col("s").cast("long").alias("total"),
         (F.floor(atk * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("atkinson"),
     )
+
+
+def mood_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mood's median test across k groups — the nonparametric
+    variance-free location test (each observation dichotomized at the
+    GRAND lower median; the 2xk chi-square asks whether groups share a
+    center, with none of Brown-Forsythe's moment assumptions).
+
+    Entirely engine-exact: the grand median is the exact lower-median
+    order statistic on the distinct-value frame; a_g = #(x > med) and
+    n_g are integers; the chi-square collapses to
+    chi2 = [Σ_g ((a_g·N − n_g·A)²·10⁶ div n_g)] / (A·B) — the N² of
+    the classic N²/(AB)·Σ D_g²/n_g form cancels against the D_g = 
+    (a_g·N − n_g·A)/N clearing — with A = Σa_g, B = N − A; per-group
+    micro trunc divisions BEFORE the
+    order-free integer sum (the brown_forsythe discipline), one final
+    trunc division; NULL when A·B = 0 (all mass on one side).
+
+    Scale shape: one (group, value) collapse, one distinct-value
+    cumulative window for the grand median, a 1-row broadcast back,
+    map-side-combinable group aggregates, k-row → 1-row release.
+
+    Returns one row: (k, n_total, chi2_micro: long).
+    """
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("x")
+    )
+    g = vals.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        g.select(
+            "x",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("x").alias("med"))
+        .withColumn("_k", F.lit(1))
+    )
+    per = (
+        vals.withColumn("_k", F.lit(1))
+        .join(F.broadcast(med), "_k")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum((F.col("x") > F.col("med")).cast("long"))
+            .cast("long")
+            .alias("ag"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n_total"),
+        F.sum("ag").cast("long").alias("a"),
+    )
+    j = per.crossJoin(F.broadcast(agg))
+    terms = j.groupBy("k", "n_total", "a").agg(
+        F.sum(F.expr(
+            "((cast(ag as decimal(38,0)) * n_total - cast(ng as decimal(38,0)) * a)"
+            " * (cast(ag as decimal(38,0)) * n_total - cast(ng as decimal(38,0)) * a)"
+            " * 1000000) div ng"
+        )).cast("decimal(38,0)").alias("s")
+    )
+    b = F.col("n_total") - F.col("a")
+    return terms.select(
+        "k",
+        "n_total",
+        F.when(
+            (F.col("a") > 0) & (b > 0),
+            F.expr("cast(s div (cast(a as decimal(38,0)) * (n_total - a))"
+                   " as bigint)"),
+        ).alias("chi2_micro"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED trend across groups —
+    the a-priori-ordering upgrade over kruskal_wallis (which only asks
+    "different", not "increasing"): JT = Σ_{i<j} U_ij, each U_ij the
+    Mann-Whitney count of pairs (x_i < x_j) with the half-credit tie
+    convention.
+
+    The doubled statistic JT2 = Σ 2·#less + #ties is a pure integer
+    over the (group, value)-collapsed pair join (bounded by (k·V)²,
+    V = distinct values — never rows²). The null moments use the
+    classic no-ties form E = (N² − Σn_g²)/4 and
+    Var = (N²(2N+3) − Σn_g²(2n_g+3))/72 (documented deviation: tie
+    correction omitted, conservative for heavy ties), so
+    z = (JT2 − 2E)/(2·√Var) is ONE fixed-order IEEE expression of
+    exact integers; NULL when Var = 0.
+
+    Returns one row: (k, n_total, jt2, z).
+    """
+    vals = df.select(
+        F.col(group_col).cast("long").alias("grp"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    g = vals.groupBy("grp", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = g.select(
+        F.col("grp").alias("gi"), F.col("x").alias("xi"), F.col("c").alias("ci")
+    )
+    b = g.select(
+        F.col("grp").alias("gj"), F.col("x").alias("xj"), F.col("c").alias("cj")
+    )
+    pairs = a.join(F.broadcast(b), F.col("gi") < F.col("gj"))
+    jt2 = pairs.agg(
+        F.sum(
+            F.when(F.col("xi") < F.col("xj"), F.lit(2) * F.col("ci") * F.col("cj"))
+            .when(F.col("xi") == F.col("xj"), F.col("ci") * F.col("cj"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("jt2")
+    ).withColumn("_k", F.lit(1))
+    sizes = vals.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("ng"))
+    moms = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n_total"),
+        F.sum(F.col("ng") * F.col("ng")).cast("long").alias("sn2"),
+        F.sum(F.col("ng") * F.col("ng") * (2 * F.col("ng") + 3))
+        .cast("long")
+        .alias("sn23"),
+    ).withColumn("_k", F.lit(1))
+    j = jt2.join(F.broadcast(moms), "_k")
+    nd = F.col("n_total").cast("double")
+    e2 = (nd * nd - F.col("sn2").cast("double")) / F.lit(2.0)
+    var = (
+        nd * nd * (F.lit(2.0) * nd + F.lit(3.0)) - F.col("sn23").cast("double")
+    ) / F.lit(72.0)
+    z = (F.col("jt2").cast("double") - e2) / (F.lit(2.0) * F.sqrt(var))
+    return j.select(
+        "k",
+        "n_total",
+        "jt2",
+        F.when(var > 0, F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("z"),
+    )
+
+
+def partial_correlation(
+    daily: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation r_xy·z — the confounder-netted
+    association the raw pearson/spearman panel cannot give ("do
+    purchases track clicks once errors are held fixed"). Clearing every
+    denominator reduces it to pure integer scatter terms
+    A_uv = n·Σuv − Σu·Σv (decimal(38,0)/hugeint), and
+
+        r_xy·z = (A_xy·A_zz − A_xz·A_yz)
+                 / √((A_xx·A_zz − A_xz²)·(A_yy·A_zz − A_yz²))
+
+    — the A-products run in IEEE doubles (identical nearest-double on
+    both engines since each A is an exact integer; products of two
+    38-digit integers would overflow any fixed decimal), so the release
+    is ONE fixed-order IEEE expression; NULL when either denominator
+    factor is ≤ 0 (a constant series or perfect confounding).
+
+    Returns one row: (n, r_xy_micro-style release as r_partial).
+    """
+    v = daily.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(z_col).cast("long").alias("z"),
+    )
+    dec = "decimal(38,0)"
+    agg = v.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum("z").cast(dec).alias("sz"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+        F.sum(F.col("z").cast(dec) * F.col("z")).cast(dec).alias("szz"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("z")).cast(dec).alias("sxz"),
+        F.sum(F.col("y").cast(dec) * F.col("z")).cast(dec).alias("syz"),
+    )
+    def A(p, q, sp, sq, spq):
+        return (F.col("n") * F.col(spq) - F.col(sp) * F.col(sq)).cast("double")
+    axx = A("x", "x", "sx", "sx", "sxx")
+    ayy = A("y", "y", "sy", "sy", "syy")
+    azz = A("z", "z", "sz", "sz", "szz")
+    axy = A("x", "y", "sx", "sy", "sxy")
+    axz = A("x", "z", "sx", "sz", "sxz")
+    ayz = A("y", "z", "sy", "sz", "syz")
+    d1 = axx * azz - axz * axz
+    d2 = ayy * azz - ayz * ayz
+    num = axy * azz - axz * ayz
+    r = num / F.sqrt(d1 * d2)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            F.floor(r * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("r_partial"),
+    )
+
+
+def chow_break(
+    daily: DataFrame,
+    d_col: str,
+    y_col: str,
+    break_d: int,
+) -> DataFrame:
+    """Chow structural-break F test of the linear daily trend at a
+    KNOWN calendar split — "did the slope/level change at the cutover"
+    (the regime complement to pettitt-style unknown-break scans and to
+    diff_in_differences' treatment framing): F = ((RSS_p − RSS_1 −
+    RSS_2)/2) / ((RSS_1 + RSS_2)/(n − 4)).
+
+    Raw power sums n, Σx, Σy, Σx², Σxy, Σy² per segment are exact
+    integers (decimal(38,0)/hugeint) and ADDITIVE, so the pooled
+    moments are the sums of the two segment rows — one conditional
+    aggregate, no second pass. Each RSS uses the cleared closed form
+    RSS = (A_xx·A_yy − A_xy²)/(n·A_xx) evaluated in IEEE doubles of
+    the exact integers (fixed order, identical on both engines), and F
+    is one fixed-order expression; NULL when either segment has < 3
+    points, a degenerate A_xx, or RSS_1 + RSS_2 = 0 (perfect fits).
+
+    Returns one row: (n1, n2, f_stat).
+    """
+    v = daily.select(
+        F.col(d_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y")
+    ).withColumn("seg", (F.col("x") >= F.lit(break_d)).cast("int"))
+    dec = "decimal(38,0)"
+
+    def moms(tag):
+        p = (F.col("seg") == tag).cast("int").cast(dec)
+        return [
+            F.sum(p).cast(dec).alias(f"n{tag}"),
+            F.sum(p * F.col("x")).cast(dec).alias(f"sx{tag}"),
+            F.sum(p * F.col("y")).cast(dec).alias(f"sy{tag}"),
+            F.sum(p * F.col("x") * F.col("x")).cast(dec).alias(f"sxx{tag}"),
+            F.sum(p * F.col("x") * F.col("y")).cast(dec).alias(f"sxy{tag}"),
+            F.sum(p * F.col("y") * F.col("y")).cast(dec).alias(f"syy{tag}"),
+        ]
+
+    agg = v.agg(*(moms(0) + moms(1)))
+
+    def rss(n, sx, sy, sxx, sxy, syy):
+        nd = n.cast("double")
+        axx = (n * sxx - sx * sx).cast("double")
+        ayy = (n * syy - sy * sy).cast("double")
+        axy = (n * sxy - sx * sy).cast("double")
+        return (axx * ayy - axy * axy) / (nd * axx), axx
+
+    c = F.col
+    n_p = c("n0") + c("n1")
+    rss0, axx0 = rss(c("n0"), c("sx0"), c("sy0"), c("sxx0"), c("sxy0"), c("syy0"))
+    rss1, axx1 = rss(c("n1"), c("sx1"), c("sy1"), c("sxx1"), c("sxy1"), c("syy1"))
+    rssp, axxp = rss(
+        n_p, c("sx0") + c("sx1"), c("sy0") + c("sy1"),
+        c("sxx0") + c("sxx1"), c("sxy0") + c("sxy1"), c("syy0") + c("syy1"),
+    )
+    f_stat = ((rssp - rss0 - rss1) / F.lit(2.0)) / (
+        (rss0 + rss1) / (n_p.cast("double") - F.lit(4.0))
+    )
+    ok = (
+        (c("n0") >= 3) & (c("n1") >= 3)
+        & (axx0 > 0) & (axx1 > 0) & (axxp > 0)
+        & (rss0 + rss1 > 0)
+    )
+    return agg.select(
+        c("n0").cast("long").alias("n1"),
+        c("n1").cast("long").alias("n2"),
+        F.when(ok, F.floor(f_stat * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("f_stat"),
+    )

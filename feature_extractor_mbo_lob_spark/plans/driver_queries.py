@@ -20202,6 +20202,383 @@ QUERIES["potential_promotion"] = q_potential_promotion
 ORACLES["potential_promotion"] = O_POTENTIAL_PROMOTION
 
 
+# --- Mood's median test ----------------------------------------------------------------------
+
+def q_mood_median(spark, sf_dir):
+    """Mood's median test (functions/stats.mood_median) of document
+    lengths across sources — the assumption-free location gate beside
+    brown_forsythe's spread gate and kruskal_wallis' rank test:
+    dichotomize every length at the corpus-wide exact lower median,
+    2xk chi-square entirely in cleared integers."""
+    from ..functions.stats import mood_median
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mood_median(docs, "source", "n_chars")
+
+
+O_MOOD_MEDIAN = """
+with vals as (select source as grp, cast(n_chars as bigint) as x from documents),
+g as (select x, count(*) as c from vals group by 1),
+cum as (
+  select x,
+    sum(c) over (order by x rows between unbounded preceding and current row) as cum,
+    sum(c) over () as n
+  from g
+),
+med as (select min(x) as med from cum where cum >= (n + 1) // 2),
+per as (
+  select grp, cast(count(*) as bigint) as ng,
+    cast(sum(case when x > (select med from med) then 1 else 0 end) as bigint) as ag
+  from vals group by 1
+),
+tot as (
+  select cast(count(*) as bigint) as k, cast(sum(ng) as bigint) as n_total,
+    cast(sum(ag) as bigint) as a
+  from per
+),
+terms as (
+  select t.k, t.n_total, t.a,
+    sum(((cast(p.ag as hugeint) * t.n_total - cast(p.ng as hugeint) * t.a)
+         * (cast(p.ag as hugeint) * t.n_total - cast(p.ng as hugeint) * t.a)
+         * 1000000) // p.ng) as s
+  from per p cross join tot t
+  group by 1, 2, 3
+)
+select k, n_total,
+  case when a > 0 and n_total - a > 0 then
+    cast(s // (cast(a as hugeint) * (n_total - a)) as bigint)
+  end as chi2_micro
+from terms
+"""
+
+QUERIES["mood_median"] = q_mood_median
+ORACLES["mood_median"] = O_MOOD_MEDIAN
+
+
+# --- Jonckheere-Terpstra ordered trend -------------------------------------------------------
+
+def q_jonckheere(spark, sf_dir):
+    """Jonckheere–Terpstra ordered-alternative trend test
+    (functions/stats.jonckheere_terpstra) of daily event counts across
+    epoch-weeks — "is activity increasing week over week", the
+    a-priori-ordering upgrade over kruskal_wallis; doubled integer JT2
+    over the (week, count)-collapsed pair join, classic no-ties null
+    moments, one fixed-order IEEE z."""
+    from ..functions.stats import jonckheere_terpstra
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    weekly = daily.select((F.col("d") / 7).cast("long").alias("w"), "y")
+    return jonckheere_terpstra(weekly, "w", "y")
+
+
+O_JONCKHEERE = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+v as (select cast(d // 7 as bigint) as grp, y as x from daily),
+g as (select grp, x, cast(count(*) as bigint) as c from v group by 1, 2),
+jt as (
+  select cast(sum(case when a.x < b.x then 2 * a.c * b.c
+                       when a.x = b.x then a.c * b.c
+                       else 0 end) as bigint) as jt2
+  from g a join g b on a.grp < b.grp
+),
+sz as (select grp, cast(count(*) as bigint) as ng from v group by 1),
+m as (
+  select cast(count(*) as bigint) as k, cast(sum(ng) as bigint) as n_total,
+    cast(sum(ng * ng) as bigint) as sn2,
+    cast(sum(ng * ng * (2 * ng + 3)) as bigint) as sn23
+  from sz
+)
+select m.k, m.n_total, jt.jt2,
+  case when (cast(m.n_total as double) * m.n_total * (2.0 * m.n_total + 3.0)
+             - m.sn23) / 72.0 > 0 then
+    floor(((cast(jt.jt2 as double)
+      - (cast(m.n_total as double) * m.n_total - m.sn2) / 2.0)
+      / (2.0 * sqrt((cast(m.n_total as double) * m.n_total
+          * (2.0 * m.n_total + 3.0) - m.sn23) / 72.0)))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as z
+from jt, m
+"""
+
+QUERIES["jonckheere"] = q_jonckheere
+ORACLES["jonckheere"] = O_JONCKHEERE
+
+
+# --- partial correlation ---------------------------------------------------------------------
+
+def q_partial_correlation(spark, sf_dir):
+    """Partial correlation (functions/stats.partial_correlation)
+    between daily purchase and click counts CONTROLLING for total
+    daily volume — the confounder-netted association the raw
+    pearson/spearman panel cannot give (busy days inflate both
+    series); cleared integer scatter terms, one fixed-order IEEE
+    release."""
+    from ..functions.stats import partial_correlation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long").alias("x"),
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("long").alias("y"),
+        F.count(F.lit(1)).cast("long").alias("z"),
+    )
+    return partial_correlation(daily, "x", "y", "z")
+
+
+O_PARTIAL_CORRELATION = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as x,
+    cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as y,
+    cast(count(*) as bigint) as z
+  from events group by 1
+),
+m as (
+  select cast(count(*) as hugeint) as n,
+    cast(sum(x) as hugeint) as sx, cast(sum(y) as hugeint) as sy,
+    cast(sum(z) as hugeint) as sz,
+    cast(sum(cast(x as hugeint) * x) as hugeint) as sxx,
+    cast(sum(cast(y as hugeint) * y) as hugeint) as syy,
+    cast(sum(cast(z as hugeint) * z) as hugeint) as szz,
+    cast(sum(cast(x as hugeint) * y) as hugeint) as sxy,
+    cast(sum(cast(x as hugeint) * z) as hugeint) as sxz,
+    cast(sum(cast(y as hugeint) * z) as hugeint) as syz
+  from daily
+)
+select cast(n as bigint) as n,
+  case when (cast(n * sxx - sx * sx as double) * cast(n * szz - sz * sz as double)
+             - cast(n * sxz - sx * sz as double) * cast(n * sxz - sx * sz as double)) > 0
+        and (cast(n * syy - sy * sy as double) * cast(n * szz - sz * sz as double)
+             - cast(n * syz - sy * sz as double) * cast(n * syz - sy * sz as double)) > 0
+  then floor(((cast(n * sxy - sx * sy as double) * cast(n * szz - sz * sz as double)
+               - cast(n * sxz - sx * sz as double) * cast(n * syz - sy * sz as double))
+    / sqrt((cast(n * sxx - sx * sx as double) * cast(n * szz - sz * sz as double)
+            - cast(n * sxz - sx * sz as double) * cast(n * sxz - sx * sz as double))
+         * (cast(n * syy - sy * sy as double) * cast(n * szz - sz * sz as double)
+            - cast(n * syz - sy * sz as double) * cast(n * syz - sy * sz as double))))
+    * 1000000.0 + 0.5) / 1000000.0
+  end as r_partial
+from m
+"""
+
+QUERIES["partial_correlation"] = q_partial_correlation
+ORACLES["partial_correlation"] = O_PARTIAL_CORRELATION
+
+
+# --- Chow structural break -------------------------------------------------------------------
+
+def q_chow_break(spark, sf_dir):
+    """Chow structural-break F (functions/stats.chow_break) of the
+    linear daily-count trend at the series midpoint day — "did the
+    trend change mid-sample"; additive exact integer power sums per
+    segment, pooled moments by summation, cleared RSS closed forms,
+    one fixed-order IEEE F."""
+    from ..functions.stats import chow_break
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    mid = daily.agg(
+        F.expr("cast((min(d) + max(d) + 1) div 2 as bigint)").alias("m")
+    ).collect()[0].m
+    return chow_break(daily, "d", "y", int(mid))
+
+
+O_CHOW_BREAK = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+cut as (select (min(d) + max(d) + 1) // 2 as m from daily),
+seg as (
+  select case when d >= (select m from cut) then 1 else 0 end as seg,
+    d as x, y
+  from daily
+),
+m as (
+  select
+    cast(sum(case when seg = 0 then 1 else 0 end) as hugeint) as n0,
+    cast(sum(case when seg = 0 then x else 0 end) as hugeint) as sx0,
+    cast(sum(case when seg = 0 then y else 0 end) as hugeint) as sy0,
+    cast(sum(case when seg = 0 then cast(x as hugeint) * x else 0 end) as hugeint) as sxx0,
+    cast(sum(case when seg = 0 then cast(x as hugeint) * y else 0 end) as hugeint) as sxy0,
+    cast(sum(case when seg = 0 then cast(y as hugeint) * y else 0 end) as hugeint) as syy0,
+    cast(sum(case when seg = 1 then 1 else 0 end) as hugeint) as n1,
+    cast(sum(case when seg = 1 then x else 0 end) as hugeint) as sx1,
+    cast(sum(case when seg = 1 then y else 0 end) as hugeint) as sy1,
+    cast(sum(case when seg = 1 then cast(x as hugeint) * x else 0 end) as hugeint) as sxx1,
+    cast(sum(case when seg = 1 then cast(x as hugeint) * y else 0 end) as hugeint) as sxy1,
+    cast(sum(case when seg = 1 then cast(y as hugeint) * y else 0 end) as hugeint) as syy1
+  from seg
+),
+r as (
+  select cast(n0 as bigint) as n1_out, cast(n1 as bigint) as n2_out,
+    (cast(n0 * sxx0 - sx0 * sx0 as double) * cast(n0 * syy0 - sy0 * sy0 as double)
+     - cast(n0 * sxy0 - sx0 * sy0 as double) * cast(n0 * sxy0 - sx0 * sy0 as double))
+      / (cast(n0 as double) * cast(n0 * sxx0 - sx0 * sx0 as double)) as rss0,
+    (cast(n1 * sxx1 - sx1 * sx1 as double) * cast(n1 * syy1 - sy1 * sy1 as double)
+     - cast(n1 * sxy1 - sx1 * sy1 as double) * cast(n1 * sxy1 - sx1 * sy1 as double))
+      / (cast(n1 as double) * cast(n1 * sxx1 - sx1 * sx1 as double)) as rss1,
+    (cast((n0 + n1) * (sxx0 + sxx1) - (sx0 + sx1) * (sx0 + sx1) as double)
+       * cast((n0 + n1) * (syy0 + syy1) - (sy0 + sy1) * (sy0 + sy1) as double)
+     - cast((n0 + n1) * (sxy0 + sxy1) - (sx0 + sx1) * (sy0 + sy1) as double)
+       * cast((n0 + n1) * (sxy0 + sxy1) - (sx0 + sx1) * (sy0 + sy1) as double))
+      / (cast(n0 + n1 as double)
+         * cast((n0 + n1) * (sxx0 + sxx1) - (sx0 + sx1) * (sx0 + sx1) as double)) as rssp,
+    cast(n0 * sxx0 - sx0 * sx0 as double) as axx0,
+    cast(n1 * sxx1 - sx1 * sx1 as double) as axx1,
+    cast((n0 + n1) * (sxx0 + sxx1) - (sx0 + sx1) * (sx0 + sx1) as double) as axxp,
+    cast(n0 + n1 as double) as np
+  from m
+)
+select n1_out as n1, n2_out as n2,
+  case when n1_out >= 3 and n2_out >= 3 and axx0 > 0 and axx1 > 0 and axxp > 0
+        and rss0 + rss1 > 0 then
+    floor((((rssp - rss0 - rss1) / 2.0) / ((rss0 + rss1) / (np - 4.0)))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as f_stat
+from r
+"""
+
+QUERIES["chow_break"] = q_chow_break
+ORACLES["chow_break"] = O_CHOW_BREAK
+
+
+# --- Lorenz curve of user revenue ------------------------------------------------------------
+
+def q_lorenz_revenue(spark, sf_dir):
+    """Lorenz curve of per-user purchase revenue by population decile
+    — the curve behind a single Gini number ("the bottom 50% of users
+    carry X% of revenue"), the revenue-concentration companion to
+    gini_lengths (documents) and the ASCENDING mirror of lift_table's
+    descending gains. Users rank by (revenue cents asc, user_id asc);
+    global positions come from distinct-value cumulative offsets + a
+    value-partitioned row_number (ntile semantics with NO single-task
+    global window); the decile is the closed form ((rn−1)·10 div N)+1
+    on both engines; cumulative user and revenue shares release as
+    exact ppm trunc divisions of integer sums."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    g = per_user.groupBy("rev_c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    woff = Window.orderBy("rev_c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = g.select(
+        "rev_c", F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("cb")
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("rev_c").cast("decimal(38,0)").alias("tot_c"),
+    )
+    wrn = Window.partitionBy("rev_c").orderBy("user_id")
+    pos = (
+        per_user.join(off, "rev_c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rev_c",
+            "nn",
+            "tot_c",
+            (((F.col("cb") + F.row_number().over(wrn) - 1) * 10)
+             / F.col("nn")).cast("long").alias("bkt"),
+        )
+        .withColumn("decile", F.col("bkt") + 1)
+    )
+    per_b = pos.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).alias("rev_c"),
+        F.max("nn").alias("nn"),
+        F.max("tot_c").alias("tot_c"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_b.select(
+        "decile",
+        "n_users",
+        F.sum("n_users").over(wcum).alias("cum_users"),
+        F.sum("rev_c").over(wcum).alias("cum_rev"),
+        "nn",
+        "tot_c",
+    )
+    return cum.select(
+        "decile",
+        "n_users",
+        F.expr("cast((cum_users * 1000000) div nn as bigint)").alias("cum_user_ppm"),
+        F.when(
+            F.col("tot_c") > 0,
+            F.expr("cast((cum_rev * 1000000) div tot_c as bigint)"),
+        ).otherwise(F.lit(0)).alias("cum_rev_ppm"),
+    )
+
+
+O_LORENZ_REVENUE = """
+with pu as (
+  select user_id,
+    cast(sum(cast(round(value * 100, 0) as bigint)) as bigint) as rev_c
+  from events where event_type = 'purchase' group by 1
+),
+g as (select rev_c, cast(count(*) as bigint) as cnt from pu group by 1),
+off as (
+  select rev_c, coalesce(sum(cnt) over (
+    order by rev_c rows between unbounded preceding and 1 preceding), 0) as cb
+  from g
+),
+tot as (
+  select cast(count(*) as bigint) as nn, cast(sum(rev_c) as hugeint) as tot_c
+  from pu
+),
+pos as (
+  select pu.rev_c, t.nn, t.tot_c,
+    ((o.cb + row_number() over (partition by pu.rev_c order by pu.user_id) - 1)
+     * 10) // t.nn + 1 as decile
+  from pu join off o using (rev_c) cross join tot t
+),
+per_b as (
+  select decile, cast(count(*) as bigint) as n_users,
+    cast(sum(cast(rev_c as hugeint)) as hugeint) as rev_c,
+    max(nn) as nn, max(tot_c) as tot_c
+  from pos group by 1
+),
+cum as (
+  select decile, n_users,
+    sum(n_users) over (order by decile rows between unbounded preceding
+                       and current row) as cum_users,
+    sum(rev_c) over (order by decile rows between unbounded preceding
+                     and current row) as cum_rev,
+    nn, tot_c
+  from per_b
+)
+select cast(decile as bigint) as decile, n_users,
+  cast((cum_users * 1000000) // nn as bigint) as cum_user_ppm,
+  cast(case when tot_c > 0 then (cum_rev * 1000000) // tot_c else 0 end
+       as bigint) as cum_rev_ppm
+from cum
+"""
+
+QUERIES["lorenz_revenue"] = q_lorenz_revenue
+ORACLES["lorenz_revenue"] = O_LORENZ_REVENUE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

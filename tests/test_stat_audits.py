@@ -902,3 +902,31 @@ def test_supplier_part_counts_exclusions_and_dedup(spark, tmp_path):
     r = rows[0]
     assert (r.p_brand, r.p_type, r.p_size, r.supplier_cnt) == (
         "Brand#1", "SMALL x", 9, 1)
+
+
+def test_lorenz_revenue_hand_case(spark, tmp_path):
+    """Three users with revenue [10, 30, 60] land in deciles 1/4/7
+    (closed-form ntile) with ascending cumulative shares 10%/40%/100%
+    of revenue and 1/3, 2/3, 3/3 of users."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    t = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t, 1, "purchase", 10.0, ""),
+            (2, t, 2, "purchase", 30.0, ""),
+            (3, t, 3, "purchase", 25.0, ""),
+            (4, t, 3, "purchase", 35.0, ""),
+            (5, t, 1, "click", 999.0, ""),   # non-purchase ignored
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = tmp_path / "lorenz"
+    ev.coalesce(1).write.parquet(str(sf / "events.parquet"))
+    rows = {r.decile: r for r in QUERIES["lorenz_revenue"](spark, str(sf)).collect()}
+    assert set(rows) == {1, 4, 7}
+    assert [rows[d].cum_user_ppm for d in (1, 4, 7)] == [333333, 666666, 1000000]
+    assert [rows[d].cum_rev_ppm for d in (1, 4, 7)] == [100000, 400000, 1000000]

@@ -1399,3 +1399,106 @@ def test_atkinson_hand_cases(spark):
     # zeros carry no welfare mass: n=2, total=10, A = 1 - 4/5
     assert (rows["c"].n, rows["c"].total) == (2, 10)
     assert rows["c"].atkinson == expected([2, 8])
+
+
+def test_mood_median_hand_case(spark):
+    """a=[1,1,5], b=[5,5,9]: grand lower median 5, above-counts (0,1)
+    -> 2x2 chi-square = 6*(0*2-1*3)^2/(1*5*3*3) = 1.2; all mass on one
+    side -> NULL."""
+    from feature_extractor_mbo_lob_spark.functions.stats import mood_median
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 5), ("b", 5), ("b", 5), ("b", 9)],
+        "g string, x long",
+    )
+    r = mood_median(df, "g", "x").collect()[0]
+    assert (r.k, r.n_total, r.chi2_micro) == (2, 6, 1200000)
+
+    flat = spark.createDataFrame(
+        [("a", 3), ("a", 3), ("b", 3)], "g string, x long"
+    )
+    assert mood_median(flat, "g", "x").collect()[0].chi2_micro is None
+
+
+def test_jonckheere_hand_case(spark):
+    """g1=[1,2], g2=[2,3]: JT2 = 2+2+1+2 = 7; E2 = (16-8)/2 = 4;
+    Var = (16*11 - 2*28)/72 = 5/3; z = 3/(2*sqrt(5/3))."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        jonckheere_terpstra,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (2, 3)], "g long, x long"
+    )
+    r = jonckheere_terpstra(df, "g", "x").collect()[0]
+    assert (r.k, r.n_total, r.jt2) == (2, 4, 7)
+    z = (7 - 4.0) / (2.0 * math.sqrt(5.0 / 3.0))
+    assert r.z == math.floor(z * 1e6 + 0.5) / 1e6
+
+
+def test_partial_correlation_hand_cases(spark):
+    """x==z (perfect confounding) -> NULL; a 4-point case replicated
+    through the exact same fixed-order IEEE expression."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        partial_correlation,
+    )
+
+    conf = spark.createDataFrame(
+        [(1, 2, 1), (2, 5, 2), (3, 4, 3)], "x long, y long, z long"
+    )
+    assert partial_correlation(conf, "x", "y", "z").collect()[0].r_partial is None
+
+    rows = [(1, 2, 1), (2, 1, 3), (4, 5, 2), (3, 3, 5)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    r = partial_correlation(df, "x", "y", "z").collect()[0]
+    n = len(rows)
+    sx = sum(a for a, _, _ in rows); sy = sum(b for _, b, _ in rows)
+    sz = sum(c for _, _, c in rows)
+    sxx = sum(a * a for a, _, _ in rows); syy = sum(b * b for _, b, _ in rows)
+    szz = sum(c * c for _, _, c in rows); sxy = sum(a * b for a, b, _ in rows)
+    sxz = sum(a * c for a, _, c in rows); syz = sum(b * c for _, b, c in rows)
+    axx = float(n * sxx - sx * sx); ayy = float(n * syy - sy * sy)
+    azz = float(n * szz - sz * sz); axy = float(n * sxy - sx * sy)
+    axz = float(n * sxz - sx * sz); ayz = float(n * syz - sy * sz)
+    expect = (axy * azz - axz * ayz) / math.sqrt(
+        (axx * azz - axz * axz) * (ayy * azz - ayz * ayz)
+    )
+    assert r.n == 4
+    assert r.r_partial == math.floor(expect * 1e6 + 0.5) / 1e6
+
+
+def test_chow_break_hand_cases(spark):
+    """Two noisy segments replicated through the same cleared-RSS
+    closed form; perfect fits in both segments release NULL."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import chow_break
+
+    seg0 = [(0, 0), (1, 1), (2, 2), (3, 4)]
+    seg1 = [(4, 10), (5, 10), (6, 11), (7, 14)]
+    df = spark.createDataFrame(seg0 + seg1, "d long, y long")
+    r = chow_break(df, "d", "y", 4).collect()[0]
+
+    def rss(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+        syy = sum(y * y for _, y in pts)
+        axx = float(n * sxx - sx * sx); ayy = float(n * syy - sy * sy)
+        axy = float(n * sxy - sx * sy)
+        return (axx * ayy - axy * axy) / (float(n) * axx)
+
+    r0, r1, rp = rss(seg0), rss(seg1), rss(seg0 + seg1)
+    f = ((rp - r0 - r1) / 2.0) / ((r0 + r1) / (8.0 - 4.0))
+    assert (r.n1, r.n2) == (4, 4)
+    assert r.f_stat == math.floor(f * 1e6 + 0.5) / 1e6
+
+    perfect = spark.createDataFrame(
+        [(x, x) for x in range(4)] + [(x, 2 * x) for x in range(4, 8)],
+        "d long, y long",
+    )
+    assert chow_break(perfect, "d", "y", 4).collect()[0].f_stat is None

@@ -2372,6 +2372,56 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    sections.append(summarize(
+        "Mood's median test",
+        QUERIES["mood_median"](spark, tiny),
+        "One (group, value) collapse; one distinct-value cumulative "
+        "window for the grand median; 1-row broadcast back; map-side-"
+        "combinable group aggregates; k-row to 1-row integer release.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Jonckheere-Terpstra ordered trend",
+        QUERIES["jonckheere"](spark, tiny),
+        "Pair join runs on the (group, value)-collapsed frame — "
+        "bounded by (k*V)^2, never rows^2 — as a bounded broadcast; "
+        "doubled integer JT2, one fixed-order IEEE z.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "partial correlation",
+        QUERIES["partial_correlation"](spark, tiny),
+        "Series frame bounded by DAYS; ONE map-side-combinable moment "
+        "aggregate (10 exact integer sums), one fixed-order IEEE "
+        "release. No joins, no windows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Chow structural break",
+        QUERIES["chow_break"](spark, tiny),
+        "Additive per-segment integer power sums in ONE conditional "
+        "aggregate (pooled = sum of segments, no second pass); "
+        "cleared-RSS closed forms, one fixed-order IEEE F.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Lorenz revenue curve",
+        QUERIES["lorenz_revenue"](spark, tiny),
+        "Closed-form ntile: distinct-value cumulative offsets + a "
+        "value-partitioned row_number — no single-task global window "
+        "over users; exact ppm cumulative shares on the 10-row frame.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
