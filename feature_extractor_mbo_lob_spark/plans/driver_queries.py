@@ -20579,6 +20579,277 @@ QUERIES["lorenz_revenue"] = q_lorenz_revenue
 ORACLES["lorenz_revenue"] = O_LORENZ_REVENUE
 
 
+# --- retrieval ranking quality: NDCG@10 / MAP@10 of IVF vs exact -----------------------------
+#
+# The position-weighted upgrade over ivf_recall's set overlap and rbo's
+# rank correlation: NDCG grades WHERE the approximate index puts the true
+# neighbors. Logarithmic discounts are PLAN LITERALS (floor(1e9/log2(p+1)
+# + 0.5) precomputed in Python), so every per-term value is a pure
+# integer on both engines — no cross-engine libm log2 ever runs; AP@10's
+# rational precision terms clear exactly through LCM(1..10) = 2520.
+
+_NDCG_W = [1000000000, 630929754, 500000000, 430676558, 386852807,
+           356207187, 333333333, 315464877, 301029996, 289064826]
+
+
+def q_retrieval_metrics(spark, sf_dir):
+    """NDCG@10, MAP@10, and mean precision@10 of the IVF index against
+    the brute-force cosine top-10 truth. Per candidate at IVF position
+    p with truth rank t: graded relevance rel = 11 − t (0 if not a true
+    neighbor), DCG term = rel·W_p with the integer literal discount
+    table W; IDCG composes the same integers from the truth list; AP's
+    precision-at-hit terms clear to hit·cumhits·(2520 div p). Per-query
+    ratios and the final means are exact ppm trunc divisions — every
+    number released is an integer. Queries the IVF misses entirely
+    (singleton clusters) count as zero, not dropped."""
+    from pyspark.sql import Window
+
+    from ..operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    truth = sim.brute_force_topk(emb, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank_t")
+    )
+    cand = sim.ivf_topk(emb, k=10, n_centroids=8).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank_c")
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    j = cand.join(truth, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "rank_c",
+        F.when(F.col("rank_t").isNotNull(), F.lit(11) - F.col("rank_t"))
+        .otherwise(F.lit(0)).cast("long").alias("rel"),
+        F.col("rank_t").isNotNull().cast("long").alias("hit"),
+    )
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy("rank_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    jh = j.select(
+        "query_id",
+        (F.col("rel") * F.element_at(w_arr, F.col("rank_c")).cast("long"))
+        .alias("dcg_term"),
+        (F.col("hit") * F.sum("hit").over(wcum)
+         * F.expr("2520 div rank_c")).alias("ap_term"),
+        "hit",
+    )
+    perq = jh.groupBy("query_id").agg(
+        F.sum("dcg_term").cast("long").alias("dcg_nano"),
+        F.sum("ap_term").cast("long").alias("ap_scaled"),
+        F.sum("hit").cast("long").alias("hits"),
+    )
+    idcg = truth.groupBy("query_id").agg(
+        F.sum((F.lit(11) - F.col("rank_t")).cast("long")
+              * F.element_at(w_arr, F.col("rank_t")).cast("long"))
+        .cast("long").alias("idcg_nano"),
+        F.count(F.lit(1)).cast("long").alias("t_cnt"),
+    )
+    per = idcg.join(perq, "query_id", "left").select(
+        F.expr("cast((coalesce(dcg_nano, 0) * 1000000) div idcg_nano as bigint)")
+        .alias("ndcg_ppm"),
+        F.expr(
+            "cast((coalesce(ap_scaled, 0) * 1000000)"
+            " div (2520 * least(t_cnt, 10)) as bigint)"
+        ).alias("ap_ppm"),
+        (F.coalesce(F.col("hits"), F.lit(0)) * F.lit(100000)).alias("prec_ppm"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.expr("cast(sum(ndcg_ppm) div count(*) as bigint)").alias("mean_ndcg_ppm"),
+        F.expr("cast(sum(ap_ppm) div count(*) as bigint)").alias("mean_ap_ppm"),
+        F.expr("cast(sum(prec_ppm) div count(*) as bigint)").alias("mean_prec10_ppm"),
+    )
+
+
+_NDCG_W_SQL = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
+
+O_RETRIEVAL_METRICS = f"""{_IVF_CTES},
+tpairs as (
+  select a.vec_id as query_id, b.vec_id as neighbor_id,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))
+         + {DIVISION_GUARD_EPS}) as cos
+  from e a, e b where a.vec_id != b.vec_id
+),
+truth as (
+  select query_id, neighbor_id, cast(rank as int) as rank_t from (
+    select *, row_number() over (partition by query_id
+      order by cos desc, neighbor_id) as rank
+    from tpairs
+  ) where rank <= 10
+),
+cpairs as (
+  select a.vec_id as query_id, b.vec_id as neighbor_id,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))
+         + {DIVISION_GUARD_EPS}) as cos
+  from asg a join asg b using (centroid_id)
+  where a.vec_id <> b.vec_id
+),
+cand as (
+  select query_id, neighbor_id, cast(rank as int) as rank_c from (
+    select *, row_number() over (partition by query_id
+      order by cos desc, neighbor_id) as rank
+    from cpairs
+  ) where rank <= 10
+),
+wt as (select {_NDCG_W_SQL}::BIGINT[] as w),
+j as (
+  select c.query_id, c.rank_c,
+    cast(case when t.rank_t is not null then 11 - t.rank_t else 0 end
+         as bigint) as rel,
+    cast(case when t.rank_t is not null then 1 else 0 end as bigint) as hit
+  from cand c left join truth t using (query_id, neighbor_id)
+),
+jh as (
+  select query_id,
+    rel * (select w from wt)[rank_c] as dcg_term,
+    hit * sum(hit) over (partition by query_id order by rank_c
+      rows between unbounded preceding and current row)
+      * (2520 // rank_c) as ap_term,
+    hit
+  from j
+),
+perq as (
+  select query_id, cast(sum(dcg_term) as bigint) as dcg_nano,
+    cast(sum(ap_term) as bigint) as ap_scaled,
+    cast(sum(hit) as bigint) as hits
+  from jh group by 1
+),
+idcg as (
+  select query_id,
+    cast(sum((11 - rank_t) * (select w from wt)[rank_t]) as bigint) as idcg_nano,
+    cast(count(*) as bigint) as t_cnt
+  from truth group by 1
+),
+per as (
+  select (coalesce(p.dcg_nano, 0) * 1000000) // i.idcg_nano as ndcg_ppm,
+    (coalesce(p.ap_scaled, 0) * 1000000) // (2520 * least(i.t_cnt, 10)) as ap_ppm,
+    coalesce(p.hits, 0) * 100000 as prec_ppm
+  from idcg i left join perq p using (query_id)
+)
+select cast(count(*) as bigint) as n_queries,
+  cast(sum(ndcg_ppm) // count(*) as bigint) as mean_ndcg_ppm,
+  cast(sum(ap_ppm) // count(*) as bigint) as mean_ap_ppm,
+  cast(sum(prec_ppm) // count(*) as bigint) as mean_prec10_ppm
+from per
+"""
+
+QUERIES["retrieval_metrics"] = q_retrieval_metrics
+ORACLES["retrieval_metrics"] = O_RETRIEVAL_METRICS
+
+
+# --- classifier summary: multiclass MCC + macro-F1 of the NB router --------------------------
+
+def q_nb_quality(spark, sf_dir):
+    """Multiclass Matthews correlation (Gorodkin R_k) and macro-F1 of
+    the Naive Bayes router's held-out confusion matrix — the
+    chance-corrected single numbers the per-cell confusion cannot give
+    (accuracy flatters imbalanced label mixes; MCC does not). From
+    integer confusion counts: c = trace, s = total, t_k/p_k the
+    true/predicted class masses; MCC = (c·s − Σp_k·t_k)/√((s²−Σp²)
+    (s²−Σt²)) is ONE fixed-order IEEE expression of exact integers
+    (NULL when either factor is 0); per-class F1 = 2TP·10⁶ div
+    (2TP+FP+FN) exact ppm over the UNION of true/predicted classes
+    (absent-side counts coalesce to 0), macro-F1 = the trunc-division
+    mean."""
+    from ..functions.corpus import naive_bayes_confusion
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cm = naive_bayes_confusion(docs, "lang")
+    t = cm.groupBy(F.col("label_true").alias("cls")).agg(
+        F.sum("n_docs").cast("long").alias("t_k")
+    )
+    p = cm.groupBy(F.col("label_pred").alias("cls")).agg(
+        F.sum("n_docs").cast("long").alias("p_k")
+    )
+    d = cm.filter(F.col("label_true") == F.col("label_pred")).select(
+        F.col("label_true").alias("cls"), F.col("n_docs").alias("tp")
+    )
+    per_cls = (
+        t.join(p, "cls", "full")
+        .join(d, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("t_k"), F.lit(0)).alias("t_k"),
+            F.coalesce(F.col("p_k"), F.lit(0)).alias("p_k"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        )
+    )
+    agg = per_cls.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("tp").cast("long").alias("c"),
+        F.sum("t_k").cast("long").alias("s"),
+        F.sum(F.col("p_k").cast("decimal(38,0)") * F.col("t_k"))
+        .cast("decimal(38,0)").alias("spt"),
+        F.sum(F.col("p_k").cast("decimal(38,0)") * F.col("p_k"))
+        .cast("decimal(38,0)").alias("sp2"),
+        F.sum(F.col("t_k").cast("decimal(38,0)") * F.col("t_k"))
+        .cast("decimal(38,0)").alias("st2"),
+        F.sum(
+            F.expr("cast((2 * tp * 1000000) div"
+                   " nullif(2 * tp + (p_k - tp) + (t_k - tp), 0) as bigint)")
+        ).cast("long").alias("f1_sum"),
+    )
+    cd = F.col("c").cast("double") * F.col("s").cast("double") \
+        - F.col("spt").cast("double")
+    d1 = F.col("s").cast("double") * F.col("s").cast("double") \
+        - F.col("sp2").cast("double")
+    d2 = F.col("s").cast("double") * F.col("s").cast("double") \
+        - F.col("st2").cast("double")
+    return agg.select(
+        "k",
+        F.col("s").cast("long").alias("n_docs"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            F.floor(cd / F.sqrt(d1 * d2) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("mcc"),
+        F.expr("cast(coalesce(f1_sum, 0) div k as bigint)").alias("macro_f1_ppm"),
+    )
+
+
+O_NB_QUALITY = f"""
+with cm as ({O_NAIVE_BAYES}),
+t as (select label_true as cls, cast(sum(n_docs) as bigint) as t_k from cm group by 1),
+p as (select label_pred as cls, cast(sum(n_docs) as bigint) as p_k from cm group by 1),
+d as (select label_true as cls, n_docs as tp from cm where label_true = label_pred),
+per_cls as (
+  select coalesce(t.cls, p.cls) as cls,
+    coalesce(t.t_k, 0) as t_k, coalesce(p.p_k, 0) as p_k,
+    coalesce(d.tp, 0) as tp
+  from t full join p on t.cls = p.cls
+  left join d on coalesce(t.cls, p.cls) = d.cls
+),
+a as (
+  select cast(count(*) as bigint) as k,
+    cast(sum(tp) as bigint) as c,
+    cast(sum(t_k) as bigint) as s,
+    cast(sum(cast(p_k as hugeint) * t_k) as hugeint) as spt,
+    cast(sum(cast(p_k as hugeint) * p_k) as hugeint) as sp2,
+    cast(sum(cast(t_k as hugeint) * t_k) as hugeint) as st2,
+    cast(sum((2 * tp * 1000000)
+             // nullif(2 * tp + (p_k - tp) + (t_k - tp), 0)) as bigint) as f1_sum
+  from per_cls
+)
+select k, s as n_docs,
+  case when (cast(s as double) * s - cast(sp2 as double)) > 0
+        and (cast(s as double) * s - cast(st2 as double)) > 0 then
+    floor(((cast(c as double) * cast(s as double) - cast(spt as double))
+      / sqrt((cast(s as double) * cast(s as double) - cast(sp2 as double))
+           * (cast(s as double) * cast(s as double) - cast(st2 as double))))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as mcc,
+  cast(coalesce(f1_sum, 0) // k as bigint) as macro_f1_ppm
+from a
+"""
+
+QUERIES["nb_quality"] = q_nb_quality
+ORACLES["nb_quality"] = O_NB_QUALITY
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -827,3 +827,43 @@ def test_hapax_profile_hand_cases(spark):
     r2 = rows["s2"]
     assert (r2.v1, r2.v_types) == (3, 3)
     assert r2.honore_r is None
+
+
+def test_nb_quality_perfect_and_degenerate(spark, tmp_path):
+    """Disjoint vocabularies route perfectly -> MCC = 1.0, macro-F1 =
+    1e6; identical texts with two labels collapse onto one predicted
+    class -> MCC NULL (zero predicted spread) and macro-F1 computed
+    from the one-column confusion."""
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    rows = [(i, "alpha beta alpha beta alpha", "A", "s", 1) for i in range(0, 40, 2)]
+    rows += [(i, "gamma delta gamma delta gamma", "B", "s", 1) for i in range(1, 40, 2)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    sf = tmp_path / "nbq1"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(sf / "documents.parquet"))
+    r = QUERIES["nb_quality"](spark, str(sf)).collect()[0]
+    assert (r.k, r.mcc, r.macro_f1_ppm) == (2, 1.0, 1000000)
+
+    rows2 = [(i, "same words here", "A" if i % 2 else "B", "s", 1)
+             for i in range(40)]
+    sf2 = tmp_path / "nbq2"
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(sf2 / "documents.parquet"))
+    r2 = QUERIES["nb_quality"](spark, str(sf2)).collect()[0]
+    assert r2.mcc is None  # every held-out doc predicted as the tie-broken class
+    # macro-F1 from the realized confusion (one predicted column)
+    cm = {(c.label_true, c.label_pred): c.n_docs
+          for c in corpus.naive_bayes_confusion(
+              spark.createDataFrame(rows2, schema).withColumnRenamed("lang", "label"),
+              "label").collect()}
+    n_a = sum(v for (t, p), v in cm.items() if t == "A")
+    n_b = sum(v for (t, p), v in cm.items() if t == "B")
+    pred = {p for (_, p) in cm}
+    assert len(pred) == 1
+    win = next(iter(pred))
+    tp = cm.get((win, win), 0)
+    n_win = n_a if win == "A" else n_b
+    n_lose = n_b if win == "A" else n_a
+    f1_win = (2 * tp * 1000000) // (2 * tp + (n_a + n_b - tp) + (n_win - tp))
+    assert r2.macro_f1_ppm == (f1_win + 0) // 2

@@ -839,3 +839,36 @@ def test_minhash_recall_finds_planted_duplicates(spark):
     assert r.n_truth >= 1            # (1, 2) is a true pair at 0.6
     assert r.n_hit == r.n_truth      # identical band vectors must collide
     assert r.recall_ppm == 1_000_000
+
+
+def test_retrieval_metrics_singletons_and_duplicate(spark, tmp_path):
+    """9 vectors = 8 orthogonal directions + one duplicate of v1, 8
+    deterministic centroids: every query except the duplicate pair
+    lands in a singleton cluster (IVF returns nothing -> counted as
+    ZERO, not dropped); the pair retrieves each other at truth rank 1.
+    Every released number replays from the integer discount table."""
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import (
+        _NDCG_W, QUERIES,
+    )
+
+    dim = 10
+    rows = []
+    for i in range(8):
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((i + 1, v))
+    v = [0.0] * dim
+    v[0] = 1.0
+    rows.append((9, v))  # duplicate direction of vec 1
+    sf = tmp_path / "rm"
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .coalesce(1).write.parquet(str(sf / "embeddings.parquet"))
+    r = QUERIES["retrieval_metrics"](spark, str(sf)).collect()[0]
+    assert r.n_queries == 9
+    # the two paired queries: candidate at IVF rank 1 is truth rank 1
+    idcg = sum((11 - p) * _NDCG_W[p - 1] for p in range(1, 9))  # t_cnt = 8
+    ndcg1 = (10 * _NDCG_W[0] * 1000000) // idcg
+    ap1 = (1 * 1 * (2520 // 1) * 1000000) // (2520 * 8)
+    assert r.mean_ndcg_ppm == (2 * ndcg1) // 9
+    assert r.mean_ap_ppm == (2 * ap1) // 9
+    assert r.mean_prec10_ppm == (2 * 100000) // 9

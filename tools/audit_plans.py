@@ -2422,6 +2422,25 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "retrieval metrics NDCG/MAP",
+        QUERIES["retrieval_metrics"](spark, tiny),
+        "Truth and candidate lists join on (query, neighbor); the "
+        "cumulative-hit window is per-query over <=10 rows; DCG "
+        "discounts are integer plan literals (no runtime log2); all "
+        "releases integer trunc divisions.",
+        forbid=("CartesianProduct", "BatchEvalPython"),
+    ))
+
+    sections.append(summarize(
+        "NB router MCC + macro-F1",
+        QUERIES["nb_quality"](spark, tiny),
+        "Confusion matrix is bounded by classes^2; class-mass frames "
+        "join on the tiny class key; MCC one fixed-order IEEE "
+        "expression of exact integers, macro-F1 exact ppm.",
+        forbid=("CartesianProduct", "BatchEvalPython"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
