@@ -4216,3 +4216,358 @@ def chow_break(
         F.when(ok, F.floor(f_stat * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
         .alias("f_stat"),
     )
+
+
+def welch_t(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t — the default two-group
+    mean comparison (Student's pooled form assumes the homogeneity
+    brown_forsythe exists to test): t = (x̄_a − x̄_b)/√(s_a²/n_a +
+    s_b²/n_b) with the Welch–Satterthwaite df.
+
+    Cleared moments: S_g and A_g = n_g·Σx² − S_g² are exact
+    decimal(38,0)/hugeint integers, s_g²/n_g = A_g/(n_g²(n_g−1)), so t
+    and df are each ONE fixed-order IEEE expression of six exact
+    integers; NULL when either n_g < 2 or both A_g = 0.
+
+    Scale shape: one conditional map-side-combinable aggregate over the
+    two groups' rows — no joins, no windows.
+
+    Returns one row: (n_a, n_b, t_stat, df).
+    """
+    dec = "decimal(38,0)"
+    v = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        (F.col(group_col) == group_a).cast("int").alias("ia"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    def moms(flag):
+        p = F.when(F.col("ia") == flag, F.lit(1)).otherwise(F.lit(0)).cast(dec)
+        tag = "a" if flag else "b"
+        return [
+            F.sum(p).cast(dec).alias(f"n_{tag}"),
+            F.sum(p * F.col("x")).cast(dec).alias(f"s_{tag}"),
+            F.sum(p * F.col("x") * F.col("x")).cast(dec).alias(f"q_{tag}"),
+        ]
+    agg = v.agg(*(moms(1) + moms(0)))
+    c = F.col
+    aa = (c("n_a") * c("q_a") - c("s_a") * c("s_a")).cast("double")
+    ab = (c("n_b") * c("q_b") - c("s_b") * c("s_b")).cast("double")
+    na, nb = c("n_a").cast("double"), c("n_b").cast("double")
+    va = aa / (na * na * (na - F.lit(1.0)))
+    vb = ab / (nb * nb * (nb - F.lit(1.0)))
+    t = (c("s_a").cast("double") / na - c("s_b").cast("double") / nb) / F.sqrt(
+        va + vb
+    )
+    dfree = (va + vb) * (va + vb) / (
+        va * va / (na - F.lit(1.0)) + vb * vb / (nb - F.lit(1.0))
+    )
+    ok = (c("n_a") >= 2) & (c("n_b") >= 2) & ((aa > 0) | (ab > 0))
+    return agg.select(
+        c("n_a").cast("long").alias("n_a"),
+        c("n_b").cast("long").alias("n_b"),
+        F.when(ok, F.floor(t * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("t_stat"),
+        F.when(ok, F.floor(dfree * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("df"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    case_col: str,
+    item_col: str,
+    value_col: str,
+    items: list,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient over a fixed
+    item list — "do these k per-case measurements move together"
+    (the reliability gate before averaging items into a scale score):
+    α = k/(k−1) · (1 − Σ_i σ_i²/σ_total²).
+
+    Cases missing an item score 0 for it (the dense pivot). Every
+    variance numerator A = n·Σx² − S² shares the same n (the case
+    count), so the n factors CANCEL and α = k·(A_tot − ΣA_i) /
+    ((k−1)·A_tot) is exact in integers; released as one signed micro
+    trunc division (both engines truncate toward zero); NULL when
+    A_tot = 0.
+
+    Scale shape: one conditional-sum pivot groupBy(case) (k literal
+    columns), one map-side-combinable moment aggregate. No joins, no
+    windows.
+
+    Returns one row: (k, n_cases, alpha_micro: long).
+    """
+    dec = "decimal(38,0)"
+    pivot = df.groupBy(F.col(case_col).alias("_case")).agg(
+        *[
+            F.sum(
+                F.when(F.col(item_col) == it, F.col(value_col).cast("long"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias(f"it_{i}")
+            for i, it in enumerate(items)
+        ]
+    )
+    k = len(items)
+    tot = sum(F.col(f"it_{i}") for i in range(k)).alias("row_tot")
+    pv = pivot.select(*[F.col(f"it_{i}") for i in range(k)], tot)
+    aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
+    for i in range(k):
+        aggs += [
+            F.sum(F.col(f"it_{i}")).cast(dec).alias(f"s_{i}"),
+            F.sum(F.col(f"it_{i}").cast(dec) * F.col(f"it_{i}"))
+            .cast(dec).alias(f"q_{i}"),
+        ]
+    aggs += [
+        F.sum(F.col("row_tot")).cast(dec).alias("s_t"),
+        F.sum(F.col("row_tot").cast(dec) * F.col("row_tot"))
+        .cast(dec).alias("q_t"),
+    ]
+    agg = pv.agg(*aggs)
+    a_tot = F.col("n") * F.col("q_t") - F.col("s_t") * F.col("s_t")
+    a_sum = None
+    for i in range(k):
+        ai = F.col("n") * F.col(f"q_{i}") - F.col(f"s_{i}") * F.col(f"s_{i}")
+        a_sum = ai if a_sum is None else (a_sum + ai)
+    alpha_micro = F.expr(
+        f"cast(({k} * (a_tot_c - a_sum_c) * 1000000)"
+        f" div ({k - 1} * a_tot_c) as bigint)"
+    )
+    return (
+        agg.withColumn("a_tot_c", a_tot)
+        .withColumn("a_sum_c", a_sum)
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.col("n").cast("long").alias("n_cases"),
+            F.when(F.col("a_tot_c") > 0, alpha_micro).alias("alpha_micro"),
+        )
+    )
+
+
+def pacf_lag2(
+    series: DataFrame,
+    idx_col: str = "d",
+    y_col: str = "y",
+) -> DataFrame:
+    """Partial autocorrelation at lag 2 by Durbin–Levinson: φ22 =
+    (r₂ − r₁²)/(1 − r₁²) — "is there second-order memory once the
+    lag-1 chain is accounted for" (an AR(1) process has φ22 ≈ 0 even
+    though r₂ = r₁² ≠ 0; the model-order evidence ljung_box's
+    portmanteau cannot localize).
+
+    The densified-calendar n-cleared discipline of ljung_box: u_t =
+    n·y_t − S exact integers, lag covariances C₀, C₁, C₂ exact
+    decimal(38,0)/hugeint sums (C₁/C₂ over their overlap windows, C₀
+    full-range — the standard estimator), and since r_ℓ = C_ℓ/C₀ the
+    ratio clears to φ22 = (C₂·C₀ − C₁²)/(C₀² − C₁²); the C-products
+    run in IEEE doubles (decimal(38,0) squares would overflow at the
+    documented 1e27 bound), one fixed-order release; NULL when
+    C₀² = C₁² (constant or perfectly alternating series).
+
+    Returns one row: (n, phi22).
+    """
+    agg = series.groupBy(F.col(idx_col).cast("long").alias("_i")).agg(
+        F.sum(F.col(y_col).cast("long")).alias("_y")
+    )
+    rng = agg.agg(F.min("_i").alias("_lo"), F.max("_i").alias("_hi"))
+    dense = (
+        rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_i"))
+        .join(agg, "_i", "left")
+        .select("_i", F.coalesce("_y", F.lit(0)).alias("_y"))
+    )
+    tot = dense.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_s"),
+    )
+    w = Window.orderBy("_i")
+    u0 = (F.col("_n") * F.col("_y") - F.col("_s")).cast("decimal(38,0)")
+    u1 = (F.col("_n") * F.lead("_y", 1).over(w) - F.col("_s")).cast(
+        "decimal(38,0)"
+    )
+    u2 = (F.col("_n") * F.lead("_y", 2).over(w) - F.col("_s")).cast(
+        "decimal(38,0)"
+    )
+    d = dense.crossJoin(F.broadcast(tot)).select(
+        "_n", u0.alias("_u0"), u1.alias("_u1"), u2.alias("_u2")
+    )
+    cagg = d.agg(
+        F.max("_n").alias("n"),
+        F.sum(F.col("_u0") * F.col("_u0")).cast("decimal(38,0)").alias("c0"),
+        F.sum(F.col("_u0") * F.col("_u1")).cast("decimal(38,0)").alias("c1"),
+        F.sum(F.col("_u0") * F.col("_u2")).cast("decimal(38,0)").alias("c2"),
+    )
+    c0, c1, c2 = (F.col(x).cast("double") for x in ("c0", "c1", "c2"))
+    phi = (c2 * c0 - c1 * c1) / (c0 * c0 - c1 * c1)
+    return cagg.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            c0 * c0 - c1 * c1 != 0,
+            F.floor(phi * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("phi22"),
+    )
+
+
+def kuiper_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kuiper V = D⁺ + D⁻ — the rotation-invariant KS
+    variant that keeps its power in the TAILS and on cyclic supports
+    (KS's single max gap under-weights distributions that cross): the
+    positive and negative ECDF excursions measured separately, then
+    summed.
+
+    Same cleared-integer frame as ks_test: on the merged distinct-value
+    grid, M⁺ = max(cumA·n_b − cumB·n_a) and M⁻ = max(cumB·n_a −
+    cumA·n_b) (each floored at 0) are exact integers, V releases as one
+    ppm trunc division (M⁺ + M⁻)·10⁶ div (n_a·n_b).
+
+    Returns one row: (n_a, n_b, v_ppm: long).
+    """
+    b = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == group_a).cast("long").alias("ia"),
+        (F.col(group_col) == group_b).cast("long").alias("ib"),
+    )
+    g = b.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("ca"), F.sum("ib").cast("long").alias("cb")
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        F.sum("ca").over(wc).alias("cum_a"),
+        F.sum("cb").over(wc).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    gap = (
+        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+    )
+    agg = c.agg(
+        F.greatest(F.max(gap), F.lit(0).cast("decimal(38,0)")).alias("m_pos"),
+        F.greatest(F.max(-gap), F.lit(0).cast("decimal(38,0)")).alias("m_neg"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.expr(
+                "cast(((m_pos + m_neg) * 1000000)"
+                " div (cast(n_a as decimal(38,0)) * n_b) as bigint)"
+            ),
+        ).alias("v_ppm"),
+    )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Ansari–Bradley two-sample SCALE test — the rank member the
+    location panel lacks: scores s(p) = min(p, N+1−p) grow toward the
+    center of the merged ordering, so a sample concentrated centrally
+    (smaller dispersion) collects a LARGER score sum; mann_whitney
+    shifts don't move it, spread changes do.
+
+    Tie-exact and engine-exact WITHOUT materializing positions: a tie
+    group occupying merged positions [lo, hi] has score sum S1 =
+    Σ_{p=lo..min(hi,m)} p + Σ_{q=N+1−hi..N+1−max(lo,m+1)} q (m =
+    (N+1) div 2) — two closed-form range sums whose /2 is provably
+    exact; tied observations share the average score, so the b-sample
+    statistic and the score second moment reduce to per-value micro
+    trunc divisions ab_v = (c_b·S1·10⁶) div c and sq_v = (S1²·10⁶)
+    div c, summed order-free. The conditional permutation moments
+    E = n_b·S_tot/N and Var = n_a·n_b·(N·Σā² − S_tot²)/(N²(N−1)) make
+    z ONE fixed-order IEEE expression of the exact integers
+    (AB_micro, S_tot, SQ_micro, n_a, n_b); NULL when Var ≤ 0 (all
+    scores tied). Integer bound: S1² ≤ (c·N/2)²·10⁶ — safe in
+    decimal(38,0) to ~10⁸ observations sharing one value.
+
+    Scale shape: one (value) collapse, two windows on the distinct
+    frame, one 1-row release. Returns (n_a, n_b, ab_micro, z).
+    """
+    b = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == group_a).cast("long").alias("ia"),
+        (F.col(group_col) == group_b).cast("long").alias("ib"),
+    )
+    g = b.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("ca"), F.sum("ib").cast("long").alias("cb")
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fr = g.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("c"),
+        F.sum(F.col("ca") + F.col("cb")).over(wc).alias("hi"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    ).select(
+        "ca", "cb", "c", "hi",
+        (F.col("hi") - F.col("c") + 1).alias("lo"),
+        "n_a", "n_b",
+        (F.col("n_a") + F.col("n_b")).alias("nn"),
+    )
+    terms = fr.select(
+        "ca", "cb", "c", "n_a", "n_b", "nn",
+        F.expr("""
+          cast(
+            case when least(hi, (nn + 1) div 2) >= lo then
+              (cast(least(hi, (nn + 1) div 2) as decimal(38,0))
+                 * (least(hi, (nn + 1) div 2) + 1)
+               - cast(lo - 1 as decimal(38,0)) * lo) div 2
+            else 0 end
+            +
+            case when (nn + 1 - greatest(lo, (nn + 1) div 2 + 1)) >= (nn + 1 - hi)
+                 then
+              (cast(nn + 1 - greatest(lo, (nn + 1) div 2 + 1) as decimal(38,0))
+                 * (nn + 2 - greatest(lo, (nn + 1) div 2 + 1))
+               - cast(nn - hi as decimal(38,0)) * (nn + 1 - hi)) div 2
+            else 0 end
+          as decimal(38,0))
+        """).alias("s1"),
+    )
+    agg = terms.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max("nn").cast("long").alias("nn"),
+        F.sum(F.expr("(cb * s1 * 1000000) div c"))
+        .cast("decimal(38,0)").alias("ab_micro"),
+        F.sum("s1").cast("decimal(38,0)").alias("s_tot"),
+        F.sum(F.expr("(s1 * s1 * 1000000) div c"))
+        .cast("decimal(38,0)").alias("sq_micro"),
+    )
+    c = F.col
+    nad, nbd, nd = (c(x).cast("double") for x in ("n_a", "n_b", "nn"))
+    abf = c("ab_micro").cast("double") / F.lit(1e6)
+    st = c("s_tot").cast("double")
+    sq = c("sq_micro").cast("double") / F.lit(1e6)
+    e = nbd * st / nd
+    var = nad * nbd * (nd * sq - st * st) / (nd * nd * (nd - F.lit(1.0)))
+    z = (abf - e) / F.sqrt(var)
+    return agg.select(
+        "n_a",
+        "n_b",
+        c("ab_micro").cast("long").alias("ab_micro"),
+        F.when(var > 0, F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("z"),
+    )

@@ -20850,6 +20850,302 @@ QUERIES["nb_quality"] = q_nb_quality
 ORACLES["nb_quality"] = O_NB_QUALITY
 
 
+# --- Welch's t ------------------------------------------------------------------------------
+
+def q_welch_t(spark, sf_dir):
+    """Welch's unequal-variance t (functions/stats.welch_t) between the
+    en and es document-length distributions — the default two-group
+    mean comparison (pooled Student assumes the variance homogeneity
+    brown_forsythe tests); cleared integer moments, t and the
+    Welch–Satterthwaite df each one fixed-order IEEE expression."""
+    from ..functions.stats import welch_t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return welch_t(docs, "lang", "n_chars", "en", "es")
+
+
+O_WELCH_T = """
+with v as (
+  select case when lang = 'en' then 1 else 0 end as ia,
+    cast(n_chars as bigint) as x
+  from documents where lang in ('en', 'es')
+),
+m as (
+  select
+    cast(sum(ia) as hugeint) as n_a,
+    cast(sum(ia * x) as hugeint) as s_a,
+    cast(sum(ia * cast(x as hugeint) * x) as hugeint) as q_a,
+    cast(sum(1 - ia) as hugeint) as n_b,
+    cast(sum((1 - ia) * x) as hugeint) as s_b,
+    cast(sum((1 - ia) * cast(x as hugeint) * x) as hugeint) as q_b
+  from v
+),
+r as (
+  select cast(n_a as bigint) as n_a, cast(n_b as bigint) as n_b,
+    cast(n_a * q_a - s_a * s_a as double) as aa,
+    cast(n_b * q_b - s_b * s_b as double) as ab,
+    cast(n_a as double) as nad, cast(n_b as double) as nbd,
+    cast(s_a as double) as sad, cast(s_b as double) as sbd
+  from m
+),
+x as (
+  select n_a, n_b, nad, nbd, sad, sbd, aa, ab,
+    aa / (nad * nad * (nad - 1.0)) as va,
+    ab / (nbd * nbd * (nbd - 1.0)) as vb
+  from r
+)
+select n_a, n_b,
+  case when n_a >= 2 and n_b >= 2 and (aa > 0 or ab > 0) then
+    floor(((sad / nad - sbd / nbd) / sqrt(va + vb)) * 1000000.0 + 0.5)
+      / 1000000.0
+  end as t_stat,
+  case when n_a >= 2 and n_b >= 2 and (aa > 0 or ab > 0) then
+    floor(((va + vb) * (va + vb)
+      / (va * va / (nad - 1.0) + vb * vb / (nbd - 1.0)))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as df
+from x
+"""
+
+QUERIES["welch_t"] = q_welch_t
+ORACLES["welch_t"] = O_WELCH_T
+
+
+# --- Cronbach's alpha -----------------------------------------------------------------------
+
+_CRONBACH_ITEMS = ["click", "purchase", "error", "signup", "view"]
+
+
+def q_cronbach(spark, sf_dir):
+    """Cronbach's alpha (functions/stats.cronbach_alpha) of users'
+    five event-type counts — "do the activity dimensions move together
+    enough to average into one engagement score"; the shared case
+    count cancels out of every variance numerator, so alpha is exact
+    in integers with one signed micro trunc division."""
+    from ..functions.stats import cronbach_alpha
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", F.lit(1).alias("one")
+    )
+    return cronbach_alpha(ev, "user_id", "event_type", "one", _CRONBACH_ITEMS)
+
+
+_CRON_PIV = ", ".join(
+    f"cast(sum(case when event_type = '{it}' then 1 else 0 end) as bigint)"
+    f" as it_{i}"
+    for i, it in enumerate(_CRONBACH_ITEMS)
+)
+_CRON_Q = " + ".join(
+    f"cast(n * q_{i} - s_{i} * s_{i} as hugeint)" for i in range(5)
+)
+_CRON_MOMS = ", ".join(
+    f"cast(sum(it_{i}) as hugeint) as s_{i},"
+    f" cast(sum(cast(it_{i} as hugeint) * it_{i}) as hugeint) as q_{i}"
+    for i in range(5)
+)
+
+O_CRONBACH = f"""
+with piv as (
+  select user_id, {_CRON_PIV}
+  from events group by 1
+),
+pv as (
+  select *, it_0 + it_1 + it_2 + it_3 + it_4 as row_tot from piv
+),
+m as (
+  select cast(count(*) as hugeint) as n, {_CRON_MOMS},
+    cast(sum(row_tot) as hugeint) as s_t,
+    cast(sum(cast(row_tot as hugeint) * row_tot) as hugeint) as q_t
+  from pv
+)
+select cast(5 as bigint) as k, cast(n as bigint) as n_cases,
+  case when n * q_t - s_t * s_t > 0 then
+    cast((5 * ((n * q_t - s_t * s_t) - ({_CRON_Q})) * 1000000)
+         // (4 * (n * q_t - s_t * s_t)) as bigint)
+  end as alpha_micro
+from m
+"""
+
+QUERIES["cronbach"] = q_cronbach
+ORACLES["cronbach"] = O_CRONBACH
+
+
+# --- PACF lag 2 -----------------------------------------------------------------------------
+
+def q_pacf2(spark, sf_dir):
+    """Durbin–Levinson partial autocorrelation at lag 2
+    (functions/stats.pacf_lag2) of the densified daily event counts —
+    the AR-order evidence ljung_box's portmanteau cannot localize
+    (AR(1) has phi22 ~ 0 even with r2 != 0); n-cleared integer lag
+    covariances, the ratio clears to (C2*C0 - C1^2)/(C0^2 - C1^2)."""
+    from ..functions.stats import pacf_lag2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return pacf_lag2(daily, "d", "y")
+
+
+O_PACF2 = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+cal as (
+  select unnest(generate_series((select min(d) from daily),
+                                (select max(d) from daily))) as i
+),
+dense as (
+  select cal.i, coalesce(daily.y, 0) as y
+  from cal left join daily on cal.i = daily.d
+),
+tot as (select cast(count(*) as bigint) as n, cast(sum(y) as bigint) as s from dense),
+u as (
+  select cast(t.n * d.y - t.s as hugeint) as u0,
+    cast(t.n * lead(d.y, 1) over (order by d.i) - t.s as hugeint) as u1,
+    cast(t.n * lead(d.y, 2) over (order by d.i) - t.s as hugeint) as u2,
+    t.n
+  from dense d cross join tot t
+),
+cm as (
+  select max(n) as n,
+    cast(sum(u0 * u0) as hugeint) as c0,
+    cast(sum(u0 * u1) as hugeint) as c1,
+    cast(sum(u0 * u2) as hugeint) as c2
+  from u
+)
+select cast(n as bigint) as n,
+  case when cast(c0 as double) * cast(c0 as double)
+            - cast(c1 as double) * cast(c1 as double) <> 0 then
+    floor(((cast(c2 as double) * cast(c0 as double)
+            - cast(c1 as double) * cast(c1 as double))
+      / (cast(c0 as double) * cast(c0 as double)
+         - cast(c1 as double) * cast(c1 as double)))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as phi22
+from cm
+"""
+
+QUERIES["pacf2"] = q_pacf2
+ORACLES["pacf2"] = O_PACF2
+
+
+# --- Kuiper two-sample ----------------------------------------------------------------------
+
+def q_kuiper(spark, sf_dir):
+    """Two-sample Kuiper V (functions/stats.kuiper_two_sample) between
+    the en and es doc-length distributions — D+ + D- keeps power in
+    the tails where KS's single max gap under-weights crossing
+    distributions; exact cleared-integer excursions, one ppm trunc
+    division."""
+    from ..functions.stats import kuiper_two_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kuiper_two_sample(docs, "n_chars", "lang", "en", "es")
+
+
+O_KUIPER = """
+with b as (select cast(n_chars as bigint) as v,
+  case when lang = 'en' then 1 else 0 end as ia,
+  case when lang = 'es' then 1 else 0 end as ib
+ from documents where lang in ('en', 'es')),
+g as (select v, cast(sum(ia) as bigint) as ca, cast(sum(ib) as bigint) as cb
+ from b group by v),
+c as (select
+  sum(ca) over (order by v rows between unbounded preceding and current row) as cum_a,
+  sum(cb) over (order by v rows between unbounded preceding and current row) as cum_b,
+  sum(ca) over () as n_a, sum(cb) over () as n_b
+ from g),
+a as (select
+  greatest(max(cast(cum_a as hugeint) * n_b - cast(cum_b as hugeint) * n_a),
+           0::hugeint) as m_pos,
+  greatest(max(cast(cum_b as hugeint) * n_a - cast(cum_a as hugeint) * n_b),
+           0::hugeint) as m_neg,
+  cast(max(n_a) as bigint) as n_a, cast(max(n_b) as bigint) as n_b
+ from c)
+select n_a, n_b,
+  case when n_a > 0 and n_b > 0 then
+    cast(((m_pos + m_neg) * 1000000) // (cast(n_a as hugeint) * n_b) as bigint)
+  end as v_ppm
+from a
+"""
+
+QUERIES["kuiper"] = q_kuiper
+ORACLES["kuiper"] = O_KUIPER
+
+
+# --- Ansari-Bradley scale test --------------------------------------------------------------
+
+def q_ansari_bradley(spark, sf_dir):
+    """Ansari–Bradley rank scale test (functions/stats.ansari_bradley)
+    between the en and es doc-length distributions — the dispersion
+    member of the rank panel (mann_whitney: location; this: spread);
+    tie-exact center-distance scores via closed-form range sums, the
+    conditional permutation moments from the realized tie structure,
+    one fixed-order IEEE z."""
+    from ..functions.stats import ansari_bradley
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ansari_bradley(docs, "n_chars", "lang", "en", "es")
+
+
+O_ANSARI_BRADLEY = """
+with b as (select cast(n_chars as bigint) as v,
+  case when lang = 'en' then 1 else 0 end as ia,
+  case when lang = 'es' then 1 else 0 end as ib
+ from documents where lang in ('en', 'es')),
+g as (select v, cast(sum(ia) as bigint) as ca, cast(sum(ib) as bigint) as cb
+ from b group by v),
+fr as (select ca, cb, ca + cb as c,
+  sum(ca + cb) over (order by v rows between unbounded preceding and current row) as hi,
+  sum(ca) over () as n_a, sum(cb) over () as n_b
+ from g),
+fr2 as (select ca, cb, c, hi, hi - c + 1 as lo, n_a, n_b, n_a + n_b as nn from fr),
+terms as (
+  select ca, cb, c, n_a, n_b, nn,
+    (case when least(hi, (nn + 1) // 2) >= lo then
+       (cast(least(hi, (nn + 1) // 2) as hugeint)
+          * (least(hi, (nn + 1) // 2) + 1)
+        - cast(lo - 1 as hugeint) * lo) // 2
+     else 0 end)
+    +
+    (case when (nn + 1 - greatest(lo, (nn + 1) // 2 + 1)) >= (nn + 1 - hi) then
+       (cast(nn + 1 - greatest(lo, (nn + 1) // 2 + 1) as hugeint)
+          * (nn + 2 - greatest(lo, (nn + 1) // 2 + 1))
+        - cast(nn - hi as hugeint) * (nn + 1 - hi)) // 2
+     else 0 end) as s1
+  from fr2
+),
+a as (
+  select cast(max(n_a) as bigint) as n_a, cast(max(n_b) as bigint) as n_b,
+    cast(max(nn) as bigint) as nn,
+    cast(sum((cb * s1 * 1000000) // c) as hugeint) as ab_micro,
+    cast(sum(s1) as hugeint) as s_tot,
+    cast(sum((s1 * s1 * 1000000) // c) as hugeint) as sq_micro
+  from terms
+)
+select n_a, n_b, cast(ab_micro as bigint) as ab_micro,
+  case when cast(n_a as double) * n_b
+        * (nn * (cast(sq_micro as double) / 1e6)
+           - cast(s_tot as double) * cast(s_tot as double))
+        / (cast(nn as double) * nn * (nn - 1.0)) > 0 then
+    floor(((cast(ab_micro as double) / 1e6
+            - cast(n_b as double) * cast(s_tot as double) / nn)
+      / sqrt(cast(n_a as double) * n_b
+          * (nn * (cast(sq_micro as double) / 1e6)
+             - cast(s_tot as double) * cast(s_tot as double))
+          / (cast(nn as double) * nn * (nn - 1.0))))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as z
+from a
+"""
+
+QUERIES["ansari_bradley"] = q_ansari_bradley
+ORACLES["ansari_bradley"] = O_ANSARI_BRADLEY
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

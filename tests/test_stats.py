@@ -1502,3 +1502,132 @@ def test_chow_break_hand_cases(spark):
         "d long, y long",
     )
     assert chow_break(perfect, "d", "y", 4).collect()[0].f_stat is None
+
+
+def test_welch_t_hand_cases(spark):
+    """a=[1,2,3], b=[7,9]: means 2/8, va=1/3, vb=1 -> t and the
+    Welch-Satterthwaite df replicated through the same IEEE order;
+    a singleton group releases NULL."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import welch_t
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 7), ("b", 9)], "g string, x long"
+    )
+    r = welch_t(df, "g", "x", "a", "b").collect()[0]
+    va, vb = (1.0 / 3.0), 1.0
+    t = (2.0 - 8.0) / math.sqrt(va + vb)
+    dfree = (va + vb) ** 2 / (va * va / 2.0 + vb * vb / 1.0)
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.t_stat == math.floor(t * 1e6 + 0.5) / 1e6
+    assert r.df == math.floor(dfree * 1e6 + 0.5) / 1e6
+
+    single = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], "g string, x long")
+    assert welch_t(single, "g", "x", "a", "b").collect()[0].t_stat is None
+
+
+def test_cronbach_alpha_hand_cases(spark):
+    """Item2 = 2*item1 across 3 cases: A_i sum = 5A, A_tot = 9A ->
+    alpha = 2*(9-5)/9 = 8/9; perfectly anti-correlated items zero the
+    total variance -> NULL."""
+    from feature_extractor_mbo_lob_spark.functions.stats import cronbach_alpha
+
+    rows = []
+    for case, v in [(1, 1), (2, 2), (3, 3)]:
+        rows += [(case, "i1", v), (case, "i2", 2 * v)]
+    df = spark.createDataFrame(rows, "u long, item string, x long")
+    r = cronbach_alpha(df, "u", "item", "x", ["i1", "i2"]).collect()[0]
+    assert (r.k, r.n_cases, r.alpha_micro) == (2, 3, 888888)
+
+    anti = spark.createDataFrame(
+        [(1, "i1", 1), (1, "i2", 2), (2, "i1", 2), (2, "i2", 1)],
+        "u long, item string, x long",
+    )
+    assert cronbach_alpha(anti, "u", "item", "x", ["i1", "i2"]) \
+        .collect()[0].alpha_micro is None
+
+
+def test_pacf_lag2_hand_cases(spark):
+    """Alternating series replicated through the exact cleared-integer
+    covariances; a constant series releases NULL."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import pacf_lag2
+
+    ys = [1, 2, 1, 2, 1, 2]
+    df = spark.createDataFrame(list(enumerate(ys)), "d long, y long")
+    n, s = len(ys), sum(ys)
+    u = [n * y - s for y in ys]
+    c0 = float(sum(x * x for x in u))
+    c1 = float(sum(u[i] * u[i + 1] for i in range(n - 1)))
+    c2 = float(sum(u[i] * u[i + 2] for i in range(n - 2)))
+    phi = (c2 * c0 - c1 * c1) / (c0 * c0 - c1 * c1)
+    r = pacf_lag2(df, "d", "y").collect()[0]
+    assert r.n == 6
+    assert r.phi22 == math.floor(phi * 1e6 + 0.5) / 1e6
+
+    const = spark.createDataFrame([(i, 5) for i in range(6)], "d long, y long")
+    assert pacf_lag2(const, "d", "y").collect()[0].phi22 is None
+
+
+def test_kuiper_hand_cases(spark):
+    """Separated samples: V = KS = 1.0; crossing samples a=[1,4],
+    b=[2,3]: both excursions are 1/2 so V = 1.0 while KS D = 0.5 —
+    the case Kuiper exists for."""
+    from feature_extractor_mbo_lob_spark.functions.stats import kuiper_two_sample
+
+    sep = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4)], "g string, x long"
+    )
+    assert kuiper_two_sample(sep, "x", "g", "a", "b").collect()[0].v_ppm == 1000000
+
+    cross = spark.createDataFrame(
+        [("a", 1), ("a", 4), ("b", 2), ("b", 3)], "g string, x long"
+    )
+    assert kuiper_two_sample(cross, "x", "g", "a", "b").collect()[0].v_ppm == 1000000
+
+
+def test_ansari_bradley_matches_naive_positions(spark):
+    """Exact parity with a naive positional replica (average scores
+    over ties, conditional moments) on tied and untied samples; the
+    all-tied sample releases NULL."""
+    import math
+    from collections import Counter, defaultdict
+
+    from feature_extractor_mbo_lob_spark.functions.stats import ansari_bradley
+
+    def naive(a_vals, b_vals):
+        allv = sorted([(v, "a") for v in a_vals] + [(v, "b") for v in b_vals])
+        n_all = len(allv)
+        scores = [min(p, n_all + 1 - p) for p in range(1, n_all + 1)]
+        pos = defaultdict(list)
+        for i, (v, _) in enumerate(allv):
+            pos[v].append(i)
+        cb = Counter(b_vals)
+        ab_micro = sq_micro = s_tot = 0
+        for v, idx in pos.items():
+            c = len(idx)
+            s1 = sum(scores[i] for i in idx)
+            s_tot += s1
+            ab_micro += (cb[v] * s1 * 10**6) // c
+            sq_micro += (s1 * s1 * 10**6) // c
+        na, nb = len(a_vals), len(b_vals)
+        st, sq = float(s_tot), sq_micro / 1e6
+        var = na * nb * (n_all * sq - st * st) / (n_all * n_all * (n_all - 1.0))
+        if var <= 0:
+            return ab_micro, None
+        z = (ab_micro / 1e6 - nb * st / n_all) / math.sqrt(var)
+        return ab_micro, math.floor(z * 1e6 + 0.5) / 1e6
+
+    for a_vals, b_vals in [
+        ([1, 2, 3, 4], [2, 3]),
+        ([1, 1, 2, 9, 9], [4, 5, 5, 6]),
+        ([0, 10, 20, 30, 40, 50], [24, 25, 26, 27]),
+        ([5, 5, 5], [5, 5]),
+    ]:
+        rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+        df = spark.createDataFrame(rows, "g string, x long")
+        r = ansari_bradley(df, "x", "g", "a", "b").collect()[0]
+        exp_ab, exp_z = naive(a_vals, b_vals)
+        assert (r.ab_micro, r.z) == (exp_ab, exp_z), (a_vals, b_vals)

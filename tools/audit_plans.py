@@ -2441,6 +2441,56 @@ def main() -> None:
         forbid=("CartesianProduct", "BatchEvalPython"),
     ))
 
+    sections.append(summarize(
+        "Welch's t",
+        QUERIES["welch_t"](spark, tiny),
+        "ONE conditional map-side-combinable moment aggregate over the "
+        "two groups' rows; t and the Satterthwaite df each one "
+        "fixed-order IEEE expression. No joins, no windows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Cronbach's alpha",
+        QUERIES["cronbach"](spark, tiny),
+        "One conditional-sum pivot groupBy(case) with k literal "
+        "columns + one moment aggregate; the shared case count cancels "
+        "so alpha is exact integer arithmetic.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "PACF lag 2",
+        QUERIES["pacf2"](spark, tiny),
+        "Densified calendar frame bounded by DAYS; two lead columns "
+        "from one shared sort; exact integer lag covariances, the "
+        "Durbin-Levinson ratio clears to integers.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Kuiper two-sample V",
+        QUERIES["kuiper"](spark, tiny),
+        "Merged distinct-value grid; two cumulative windows; exact "
+        "integer excursions M+/M-, one ppm trunc division.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Ansari-Bradley scale test",
+        QUERIES["ansari_bradley"](spark, tiny),
+        "Tie groups collapse to the distinct-value frame; positional "
+        "score sums are closed-form range sums (no position "
+        "materialization); conditional moments from the realized tie "
+        "structure; one fixed-order IEEE z.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
