@@ -1077,3 +1077,79 @@ def bfs_hops(
         )
         dist = dist.union(nxt).localCheckpoint(eager=False)
     return dist
+
+
+def moran_geary(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+    id_col: str = "id",
+    x_col: str = "x",
+) -> DataFrame:
+    """Moran's I and Geary's C network autocorrelation of a node
+    attribute over a weighted undirected edge list (edges given once
+    per unordered pair) — "do connected nodes carry similar values":
+    I > 0 assortative attribute mixing, C < 1 the local-difference
+    view of the same question (Geary weights local pairs, Moran the
+    global covariance — they can disagree on hub-dominated graphs).
+
+    Cleared integers end to end: u_i = n·x_i − S makes both statistics
+    ratios of exact decimal(38,0)/hugeint terms —
+    I = n·P/(W_h·U) with P = Σ_pairs w·u_a·u_b (signed) and
+    C = (n−1)·Q/(2·W_h·U) with Q = Σ_pairs w·(u_a−u_b)², where
+    W_h = Σ_pairs w and U = Σu² (every n-power cancels); released as
+    SIGNED micro trunc divisions (both engines truncate toward zero);
+    NULL when U = 0 (constant attribute) or W_h = 0.
+
+    Scale shape: one node aggregate (n, S) broadcast back; two joins
+    of the edge list to the node-u frame on the node key; one
+    map-side-combinable reduction. Edge list is O(|nodes|²) at worst,
+    never O(rows).
+
+    Returns one row: (n_nodes, w_half, moran_micro, geary_micro).
+    """
+    nd = nodes.select(F.col(id_col).alias("_id"), F.col(x_col).cast("long").alias("_x"))
+    tot = nd.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_s"),
+    )
+    u = nd.crossJoin(F.broadcast(tot)).select(
+        "_id",
+        "_n",
+        (F.col("_n") * F.col("_x") - F.col("_s")).cast("decimal(38,0)").alias("_u"),
+    )
+    ua = u.select(F.col("_id").alias("_ida"), F.col("_u").alias("_ua"), "_n")
+    ub = u.select(F.col("_id").alias("_idb"), F.col("_u").alias("_ub"))
+    e = (
+        edges.select(
+            F.col(src_col).alias("_ida"),
+            F.col(dst_col).alias("_idb"),
+            F.col(w_col).cast("long").alias("_w"),
+        )
+        .join(ua, "_ida")
+        .join(ub, "_idb")
+    )
+    usum = u.agg(F.sum(F.col("_u") * F.col("_u")).cast("decimal(38,0)").alias("uu"))
+    agg = e.agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sum("_w").cast("decimal(38,0)").alias("wh"),
+        F.sum(F.col("_w") * F.col("_ua") * F.col("_ub"))
+        .cast("decimal(38,0)").alias("p"),
+        F.sum(
+            F.col("_w") * (F.col("_ua") - F.col("_ub"))
+            * (F.col("_ua") - F.col("_ub"))
+        ).cast("decimal(38,0)").alias("q"),
+    ).crossJoin(F.broadcast(usum))
+    ok = (F.col("uu") > 0) & (F.col("wh") > 0)
+    return agg.select(
+        F.col("n").alias("n_nodes"),
+        F.col("wh").cast("long").alias("w_half"),
+        F.when(ok, F.expr("cast((n * p * 1000000) div (wh * uu) as bigint)"))
+        .alias("moran_micro"),
+        F.when(
+            ok,
+            F.expr("cast(((n - 1) * q * 1000000) div (2 * wh * uu) as bigint)"),
+        ).alias("geary_micro"),
+    )

@@ -4571,3 +4571,200 @@ def ansari_bradley(
         F.when(var > 0, F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
         .alias("z"),
     )
+
+
+def sign_test_paired(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Paired sign test — the weakest-assumption paired comparison
+    (wilcoxon_signed ranks the magnitudes; this only reads the signs,
+    so it survives any monotone transform of either series): ties
+    dropped per the classic prescription, S = #(x > y),
+    z = (2S − m)/√m over the m untied pairs (normal approximation,
+    continuity correction omitted — documented).
+
+    One map-side-combinable aggregate; integer counts, one fixed-order
+    IEEE z; NULL when m = 0.
+
+    Returns one row: (n_pos, n_neg, z).
+    """
+    v = df.select(
+        F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y")
+    )
+    agg = v.agg(
+        F.sum((F.col("x") > F.col("y")).cast("long")).cast("long").alias("n_pos"),
+        F.sum((F.col("x") < F.col("y")).cast("long")).cast("long").alias("n_neg"),
+    )
+    m = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    z = (F.lit(2.0) * F.col("n_pos").cast("double") - m) / F.sqrt(m)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.col("n_pos") + F.col("n_neg") > 0,
+            F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("z"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    item_col: str,
+    value_col: str,
+    items: list,
+) -> DataFrame:
+    """Friedman test across k related treatments in b blocks — the
+    repeated-measures ANOVA on ranks (cochran_q's k-ary sibling for
+    COUNTS rather than binaries): within every block the k items are
+    midranked and the treatment rank totals compared.
+
+    Tie-exact without any window: with the dense per-block pivot, the
+    DOUBLED midrank of item i is R2_i = 2 + 2·#(x_l < x_i) +
+    #(l ≠ i, x_l = x_i) — a closed form over the k literal columns.
+    The tie-corrected statistic (Conover) clears to pure integers in
+    doubled units: chi2 = (k−1)·Σ_j(B2_j − b(k+1))² / (ΣR2² −
+    b·k·(k+1)²), released as one micro trunc division; NULL when every
+    block is fully tied (zero denominator).
+
+    Scale shape: one conditional-sum pivot groupBy(block), per-block
+    rank arithmetic as k generated expressions, one k-column aggregate.
+    No joins, no windows.
+
+    Returns one row: (k, n_blocks, chi2_micro: long).
+    """
+    k = len(items)
+    pivot = df.groupBy(F.col(block_col).alias("_b")).agg(
+        *[
+            F.sum(
+                F.when(F.col(item_col) == it, F.col(value_col).cast("long"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias(f"it_{i}")
+            for i, it in enumerate(items)
+        ]
+    )
+    r2_cols = []
+    for i in range(k):
+        less = sum(
+            (F.col(f"it_{j}") < F.col(f"it_{i}")).cast("long")
+            for j in range(k) if j != i
+        )
+        ties = sum(
+            (F.col(f"it_{j}") == F.col(f"it_{i}")).cast("long")
+            for j in range(k) if j != i
+        )
+        r2_cols.append((F.lit(2) + F.lit(2) * less + ties).alias(f"r2_{i}"))
+    ranked = pivot.select(*r2_cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("b")]
+    for i in range(k):
+        aggs.append(F.sum(F.col(f"r2_{i}")).cast("decimal(38,0)").alias(f"b2_{i}"))
+    aggs.append(
+        sum(
+            F.sum(F.col(f"r2_{i}").cast("decimal(38,0)") * F.col(f"r2_{i}"))
+            for i in range(k)
+        ).cast("decimal(38,0)").alias("sr2")
+    )
+    agg = ranked.agg(*aggs)
+    dsq = None
+    for i in range(k):
+        d = F.col(f"b2_{i}") - F.col("b").cast("decimal(38,0)") * (k + 1)
+        dsq = d * d if dsq is None else (dsq + d * d)
+    denom = F.col("sr2") - F.col("b").cast("decimal(38,0)") * k * (k + 1) * (k + 1)
+    return agg.withColumn("_num", dsq.cast("decimal(38,0)")) \
+        .withColumn("_den", denom.cast("decimal(38,0)")) \
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.col("b").alias("n_blocks"),
+            F.when(
+                F.col("_den") > 0,
+                F.expr(f"cast(({k - 1} * _num * 1000000) div _den as bigint)"),
+            ).alias("chi2_micro"),
+        )
+
+
+def hurst_varagg(
+    series: DataFrame,
+    idx_col: str = "d",
+    y_col: str = "y",
+) -> DataFrame:
+    """Hurst exponent by the aggregated-variance method over dyadic
+    block sizes k = 1, 2, 4, 8: Var of the k-block means scales as
+    k^(2H−2), so H = 1 + slope/2 of the log-log line — the
+    long-range-dependence summary beside variance_ratio's two-scale
+    VR(2) (H > 0.5 persistent, < 0.5 anti-persistent).
+
+    Only COMPLETE blocks count. Per level the cleared variance
+    numerator A_k = m_k·Σb² − (Σb)² is an exact integer;
+    y_k = ln A_k − 2·ln m_k − 2·ln k in nano-quantized integers (the
+    nano-ln discipline), and because the x-grid is exactly
+    j·ln2 (j = 0..3), the OLS slope closed-forms to
+    Σ(2j−3)·y_j / (10·ln2): H_micro = 10⁶ + (Σ(2j−3)·y_j·10⁶) div
+    (20·L2) with L2 = the nano ln 2 literal — pure integer arithmetic
+    after the four ln quantizations; NULL when any level has m_k < 2
+    or A_k = 0.
+
+    Returns one row: (n, h_micro: long).
+    """
+    agg = series.groupBy(F.col(idx_col).cast("long").alias("_i")).agg(
+        F.sum(F.col(y_col).cast("long")).alias("_y")
+    )
+    lo = agg.agg(F.min("_i").alias("_lo"))
+    base = agg.crossJoin(F.broadcast(lo)).select(
+        (F.col("_i") - F.col("_lo")).alias("_t"), "_y"
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    levels = []
+    for j, kk in enumerate([1, 2, 4, 8]):
+        blocks = (
+            base.groupBy((F.col("_t") / kk).cast("long").alias("_blk"))
+            .agg(
+                F.count(F.lit(1)).alias("_cnt"),
+                F.sum("_y").cast("long").alias("_bs"),
+            )
+            .filter(F.col("_cnt") == kk)
+        )
+        lv = blocks.agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.col("_bs").cast("decimal(38,0)") * F.col("_bs"))
+            .cast("decimal(38,0)").alias("q"),
+            F.sum("_bs").cast("decimal(38,0)").alias("s"),
+        ).select(
+            F.lit(j).alias("j"),
+            "m",
+            (F.col("m") * F.col("q") - F.col("s") * F.col("s")).alias("a"),
+        )
+        levels.append(lv)
+    allv = levels[0]
+    for lv in levels[1:]:
+        allv = allv.unionByName(lv)
+    l2 = 693147181  # floor(ln 2 * 1e9 + 0.5)
+    y = (
+        F.floor(F.log(F.col("a").cast("double")) * F.lit(1e9) + F.lit(0.5))
+        - F.lit(2) * F.floor(
+            F.log(F.col("m").cast("double")) * F.lit(1e9) + F.lit(0.5)
+        )
+        - F.lit(2).cast("long") * F.col("j") * F.lit(l2).cast("long")
+    ).cast("long")
+    terms = allv.select(
+        "j", "m", "a", ((F.lit(2) * F.col("j") - 3) * y).alias("wy")
+    )
+    fin = terms.agg(
+        F.min("m").cast("long").alias("min_m"),
+        F.min("a").alias("min_a"),
+        F.sum("wy").cast("long").alias("swy"),
+        F.count(F.lit(1)).alias("n_lv"),
+    ).crossJoin(F.broadcast(n_row))
+    ok = (F.col("min_m") >= 2) & (F.col("min_a") > 0) & (F.col("n_lv") == 4)
+    return fin.select(
+        "n",
+        F.when(
+            ok,
+            F.lit(1000000)
+            + F.expr(
+                f"cast((swy * 1000000) div (20 * cast({l2} as bigint))"
+                " as bigint)"
+            ),
+        ).alias("h_micro"),
+    )

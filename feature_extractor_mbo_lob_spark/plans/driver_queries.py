@@ -21146,6 +21146,257 @@ QUERIES["ansari_bradley"] = q_ansari_bradley
 ORACLES["ansari_bradley"] = O_ANSARI_BRADLEY
 
 
+# --- paired sign test -----------------------------------------------------------------------
+
+def q_sign_test(spark, sf_dir):
+    """Paired sign test (functions/stats.sign_test_paired) of daily
+    purchase vs error counts — the weakest-assumption paired
+    comparison (survives any monotone transform of either series,
+    unlike wilcoxon_signed's magnitude ranks); ties dropped, integer
+    counts, one fixed-order IEEE z."""
+    from ..functions.stats import sign_test_paired
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long").alias("x"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("long").alias("y"),
+    )
+    return sign_test_paired(daily, "x", "y")
+
+
+O_SIGN_TEST = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as x,
+    cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as y
+  from events group by 1
+),
+a as (
+  select cast(sum(case when x > y then 1 else 0 end) as bigint) as n_pos,
+    cast(sum(case when x < y then 1 else 0 end) as bigint) as n_neg
+  from daily
+)
+select n_pos, n_neg,
+  case when n_pos + n_neg > 0 then
+    floor(((2.0 * n_pos - cast(n_pos + n_neg as double))
+      / sqrt(cast(n_pos + n_neg as double))) * 1000000.0 + 0.5) / 1000000.0
+  end as z
+from a
+"""
+
+QUERIES["sign_test"] = q_sign_test
+ORACLES["sign_test"] = O_SIGN_TEST
+
+
+# --- Moran's I / Geary's C over the tool co-usage graph --------------------------------------
+
+def q_moran_geary(spark, sf_dir):
+    """Moran's I + Geary's C (functions/graph.moran_geary) of tool
+    POPULARITY over the co-usage graph — "are popular tools used
+    together with popular tools" (assortative popularity mixing), the
+    attribute-level companion to assortativity's degree-degree
+    correlation; cleared integers end to end, signed micro trunc
+    releases."""
+    from ..functions.graph import moran_geary
+
+    t = transcripts_from_events(spark, sf_dir)
+    d = t.filter(F.col("tool").isNotNull()).select("conv_id", "tool").distinct()
+    a = d.select("conv_id", F.col("tool").alias("src"))
+    b = d.select("conv_id", F.col("tool").alias("dst"))
+    edges = (
+        a.join(b, "conv_id")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    nodes = d.groupBy(F.col("tool").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    return moran_geary(edges, nodes)
+
+
+O_MORAN_GEARY = f"""{_W},
+d as (select distinct conv_id, tool from transcripts where tool is not null),
+edges as (
+  select a.tool as src, b.tool as dst, cast(count(*) as bigint) as w
+  from d a join d b on a.conv_id = b.conv_id and a.tool < b.tool
+  group by 1, 2
+),
+nodes as (select tool as id, cast(count(*) as bigint) as x from d group by 1),
+tot as (select cast(count(*) as bigint) as n, cast(sum(x) as bigint) as s from nodes),
+u as (select id, cast(t.n * nodes.x - t.s as hugeint) as u, t.n
+  from nodes cross join tot t),
+uu as (select cast(sum(u * u) as hugeint) as uu from u),
+a as (
+  select cast(max(ua.n) as bigint) as n,
+    cast(sum(e.w) as hugeint) as wh,
+    cast(sum(e.w * ua.u * ub.u) as hugeint) as p,
+    cast(sum(e.w * (ua.u - ub.u) * (ua.u - ub.u)) as hugeint) as q
+  from edges e
+  join u ua on e.src = ua.id
+  join u ub on e.dst = ub.id
+)
+select n as n_nodes, cast(wh as bigint) as w_half,
+  case when (select uu from uu) > 0 and wh > 0 then
+    cast((n * p * 1000000) // (wh * (select uu from uu)) as bigint)
+  end as moran_micro,
+  case when (select uu from uu) > 0 and wh > 0 then
+    cast(((n - 1) * q * 1000000) // (2 * wh * (select uu from uu)) as bigint)
+  end as geary_micro
+from a
+"""
+
+QUERIES["moran_geary"] = q_moran_geary
+ORACLES["moran_geary"] = O_MORAN_GEARY
+
+
+# --- Friedman test --------------------------------------------------------------------------
+
+def q_friedman(spark, sf_dir):
+    """Friedman repeated-measures rank test (functions/stats.
+    friedman_test): days as blocks, the five event types as
+    treatments — "do the activity dimensions rank consistently day
+    after day" (cochran_q's sibling for counts); doubled closed-form
+    midranks over the dense pivot, the tie-corrected Conover statistic
+    entirely in integers."""
+    from ..functions.stats import friedman_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d"),
+        "event_type",
+        F.lit(1).alias("one"),
+    )
+    return friedman_test(ev, "d", "event_type", "one", _CRONBACH_ITEMS)
+
+
+def _friedman_sql() -> str:
+    k = 5
+    piv = ", ".join(
+        f"cast(sum(case when event_type = '{it}' then 1 else 0 end) as bigint)"
+        f" as it_{i}"
+        for i, it in enumerate(_CRONBACH_ITEMS)
+    )
+    r2 = []
+    for i in range(k):
+        less = " + ".join(
+            f"(case when it_{j} < it_{i} then 1 else 0 end)"
+            for j in range(k) if j != i
+        )
+        ties = " + ".join(
+            f"(case when it_{j} = it_{i} then 1 else 0 end)"
+            for j in range(k) if j != i
+        )
+        r2.append(f"2 + 2 * ({less}) + ({ties}) as r2_{i}")
+    b2 = ", ".join(
+        f"cast(sum(r2_{i}) as hugeint) as b2_{i}" for i in range(k)
+    )
+    sr2 = " + ".join(
+        f"cast(sum(cast(r2_{i} as hugeint) * r2_{i}) as hugeint)"
+        for i in range(k)
+    )
+    dsq = " + ".join(
+        f"(b2_{i} - cast(b as hugeint) * {k + 1})"
+        f" * (b2_{i} - cast(b as hugeint) * {k + 1})"
+        for i in range(k)
+    )
+    return f"""
+with piv as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d, {piv}
+  from events group by 1
+),
+rk as (select {', '.join(f'r2_{i}' for i in range(k))} from (
+  select *, {', '.join(r2)} from piv
+)),
+m as (
+  select cast(count(*) as bigint) as b, {b2}, {sr2} as sr2 from rk
+)
+select cast({k} as bigint) as k, b as n_blocks,
+  case when sr2 - cast(b as hugeint) * {k} * {(k + 1) ** 2} > 0 then
+    cast(({k - 1} * ({dsq}) * 1000000)
+         // (sr2 - cast(b as hugeint) * {k} * {(k + 1) ** 2}) as bigint)
+  end as chi2_micro
+from m
+"""
+
+
+O_FRIEDMAN = _friedman_sql()
+
+QUERIES["friedman"] = q_friedman
+ORACLES["friedman"] = O_FRIEDMAN
+
+
+# --- Hurst exponent (aggregated variance) ---------------------------------------------------
+
+def q_hurst(spark, sf_dir):
+    """Aggregated-variance Hurst exponent (functions/stats.
+    hurst_varagg) of the daily event counts over dyadic blocks 1/2/4/8
+    — the long-range-dependence summary beside variance_ratio's
+    two-scale VR(2); exact integer cleared variances per level,
+    nano-ln quantization, the dyadic x-grid closed-forms the OLS slope
+    to one integer trunc division."""
+    from ..functions.stats import hurst_varagg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return hurst_varagg(daily, "d", "y")
+
+
+def _hurst_sql() -> str:
+    lvl = []
+    for j, kk in enumerate([1, 2, 4, 8]):
+        lvl.append(f"""
+  select {j} as j, cast(count(*) as bigint) as m,
+    cast(count(*) as hugeint) * sum(cast(bs as hugeint) * bs)
+      - cast(sum(bs) as hugeint) * sum(bs) as a
+  from (
+    select (t // {kk}) as blk, count(*) as cnt, cast(sum(y) as bigint) as bs
+    from base group by 1
+  ) where cnt = {kk}""")
+    levels = " union all ".join(lvl)
+    l2 = 693147181
+    return f"""
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+base as (select d - (select min(d) from daily) as t, y from daily),
+nrow as (select cast(count(*) as bigint) as n from base),
+lv as ({levels}),
+terms as (
+  select j, m, a,
+    (2 * j - 3) * (
+      cast(floor(ln(cast(a as double)) * 1000000000.0 + 0.5) as bigint)
+      - 2 * cast(floor(ln(cast(m as double)) * 1000000000.0 + 0.5) as bigint)
+      - 2 * j * cast({l2} as bigint)
+    ) as wy
+  from lv
+),
+fin as (
+  select min(m) as min_m, min(a) as min_a,
+    cast(sum(wy) as bigint) as swy, count(*) as n_lv
+  from terms
+)
+select (select n from nrow) as n,
+  case when min_m >= 2 and min_a > 0 and n_lv = 4 then
+    1000000 + cast((swy * 1000000) // (20 * cast({l2} as bigint)) as bigint)
+  end as h_micro
+from fin
+"""
+
+
+O_HURST = _hurst_sql()
+
+QUERIES["hurst"] = q_hurst
+ORACLES["hurst"] = O_HURST
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -1631,3 +1631,105 @@ def test_ansari_bradley_matches_naive_positions(spark):
         r = ansari_bradley(df, "x", "g", "a", "b").collect()[0]
         exp_ab, exp_z = naive(a_vals, b_vals)
         assert (r.ab_micro, r.z) == (exp_ab, exp_z), (a_vals, b_vals)
+
+
+def test_sign_test_hand_case(spark):
+    """3 wins, 1 loss, 1 tie (dropped): z = (6-4)/2 = 1.0; all ties
+    release NULL."""
+    from feature_extractor_mbo_lob_spark.functions.stats import sign_test_paired
+
+    df = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3), (1, 5), (4, 4)], "x long, y long"
+    )
+    r = sign_test_paired(df, "x", "y").collect()[0]
+    assert (r.n_pos, r.n_neg, r.z) == (3, 1, 1.0)
+
+    ties = spark.createDataFrame([(2, 2), (3, 3)], "x long, y long")
+    assert sign_test_paired(ties, "x", "y").collect()[0].z is None
+
+
+def test_moran_geary_hand_cases(spark):
+    """Two homophilous components -> I = 1, C = 0; the centered path
+    graph a-b-c with x=[1,2,3] -> I = 0, C = 0.5; constant attribute
+    -> NULL."""
+    from feature_extractor_mbo_lob_spark.functions.graph import moran_geary
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("c", "d", 1)], "src string, dst string, w long"
+    )
+    nodes = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 2), ("d", 2)], "id string, x long"
+    )
+    r = moran_geary(edges, nodes).collect()[0]
+    assert (r.n_nodes, r.w_half, r.moran_micro, r.geary_micro) == (4, 2, 1000000, 0)
+
+    path = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)], "src string, dst string, w long"
+    )
+    pn = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, x long"
+    )
+    r2 = moran_geary(path, pn).collect()[0]
+    assert (r2.moran_micro, r2.geary_micro) == (0, 500000)
+
+    const = spark.createDataFrame(
+        [("a", 7), ("b", 7)], "id string, x long"
+    )
+    r3 = moran_geary(
+        spark.createDataFrame([("a", "b", 1)], "src string, dst string, w long"),
+        const,
+    ).collect()[0]
+    assert r3.moran_micro is None and r3.geary_micro is None
+
+
+def test_friedman_hand_cases(spark):
+    """Two blocks ranking three items identically -> the classic
+    perfect-consistency chi2 = b(k-1) = 4; fully tied blocks -> NULL."""
+    from feature_extractor_mbo_lob_spark.functions.stats import friedman_test
+
+    rows = []
+    for blk in (1, 2):
+        rows += [(blk, "i0", 1), (blk, "i1", 2), (blk, "i2", 3)]
+    df = spark.createDataFrame(rows, "b long, item string, x long")
+    r = friedman_test(df, "b", "item", "x", ["i0", "i1", "i2"]).collect()[0]
+    assert (r.k, r.n_blocks, r.chi2_micro) == (3, 2, 4000000)
+
+    flat = spark.createDataFrame(
+        [(1, "i0", 5), (1, "i1", 5), (1, "i2", 5)], "b long, item string, x long"
+    )
+    assert friedman_test(flat, "b", "item", "x", ["i0", "i1", "i2"]) \
+        .collect()[0].chi2_micro is None
+
+
+def test_hurst_varagg_replicates_integer_pipeline(spark):
+    """32-day fixed series replicated through the exact cleared-variance
+    + nano-ln + dyadic-slope pipeline (ln quantization tolerance +-3
+    micro for cross-libm 1-ulp wiggle); a short series releases NULL."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import hurst_varagg
+
+    ys = [(i * 37 + (i * i) % 11) % 23 + 1 for i in range(32)]
+    df = spark.createDataFrame(list(enumerate(ys)), "d long, y long")
+    r = hurst_varagg(df, "d", "y").collect()[0]
+    assert r.n == 32
+
+    l2 = 693147181
+    swy = 0
+    for j, kk in enumerate([1, 2, 4, 8]):
+        bs = [sum(ys[b * kk:(b + 1) * kk]) for b in range(32 // kk)]
+        m = len(bs)
+        a = m * sum(b * b for b in bs) - sum(bs) ** 2
+        y = (
+            math.floor(math.log(a) * 1e9 + 0.5)
+            - 2 * math.floor(math.log(m) * 1e9 + 0.5)
+            - 2 * j * l2
+        )
+        swy += (2 * j - 3) * y
+    # trunc-toward-zero division for the (typically negative) slope
+    q = (abs(swy) * 1000000) // (20 * l2)
+    expect = 1000000 + (q if swy >= 0 else -q)
+    assert abs(r.h_micro - expect) <= 3
+
+    short = spark.createDataFrame([(i, 1) for i in range(8)], "d long, y long")
+    assert hurst_varagg(short, "d", "y").collect()[0].h_micro is None

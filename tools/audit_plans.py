@@ -2491,6 +2491,44 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "paired sign test",
+        QUERIES["sign_test"](spark, tiny),
+        "Day-bounded series, one map-side-combinable aggregate; "
+        "integer counts, one fixed-order IEEE z. No joins, no windows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Moran's I / Geary's C",
+        QUERIES["moran_geary"](spark, tiny),
+        "Edge list bounded by tools^2; node-u frame joins twice on the "
+        "node key; one reduction; signed integer trunc releases.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Friedman test",
+        QUERIES["friedman"](spark, tiny),
+        "One conditional-sum pivot groupBy(block); closed-form doubled "
+        "midranks as k generated expressions — NO window; one k-column "
+        "aggregate, integer Conover statistic.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Hurst aggregated variance",
+        QUERIES["hurst"](spark, tiny),
+        "Four dyadic block aggregations of the day-bounded series "
+        "unioned; complete blocks only; nano-ln terms, one integer "
+        "slope release.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
