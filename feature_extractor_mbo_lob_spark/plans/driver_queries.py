@@ -21397,6 +21397,51 @@ QUERIES["hurst"] = q_hurst
 ORACLES["hurst"] = O_HURST
 
 
+# --- deterministic epoch shuffle -------------------------------------------------------------
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Seeded deterministic epoch shuffle of the document corpus into
+    training shards — the reproducible global permutation every
+    dataloader needs (hash_sample decides WHO is in; this decides WHERE
+    and in WHAT ORDER): shard = md5(seed ‖ id) mod 8, position = rank
+    of the same md5 within the shard. Same seed → identical permutation
+    on any engine or cluster size; changing the seed literal reshuffles
+    everything. The rank window is PARTITIONED by shard (no single-task
+    global sort); collisions tie-break by doc_id for total determinism.
+
+    Returns (doc_id, shard, pos)."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    h = F.md5(F.concat(F.lit("epoch0#"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % 8
+    ).alias("shard")
+    d = docs.select("doc_id", shard, h.alias("_h"))
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+O_EPOCH_SHUFFLE = f"""
+with d as (
+  select doc_id, md5('epoch0#' || cast(doc_id as varchar)) as h
+  from documents
+),
+s as (
+  select doc_id, cast(({_HEX7}) % 8 as bigint) as shard, h
+  from d
+)
+select doc_id, shard,
+  cast(row_number() over (partition by shard order by h, doc_id) as bigint) as pos
+from s
+"""
+
+QUERIES["epoch_shuffle"] = q_epoch_shuffle
+ORACLES["epoch_shuffle"] = O_EPOCH_SHUFFLE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

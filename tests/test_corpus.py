@@ -867,3 +867,26 @@ def test_nb_quality_perfect_and_degenerate(spark, tmp_path):
     n_lose = n_b if win == "A" else n_a
     f1_win = (2 * tp * 1000000) // (2 * tp + (n_a + n_b - tp) + (n_win - tp))
     assert r2.macro_f1_ppm == (f1_win + 0) // 2
+
+
+def test_epoch_shuffle_is_total_permutation(spark, tmp_path):
+    """Every doc appears exactly once; positions within each shard are
+    1..len dense; the permutation is deterministic across runs."""
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = tmp_path / "shuf"
+    docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    rows = QUERIES["epoch_shuffle"](spark, str(sf)).collect()
+    assert len(rows) == 100 and len({r.doc_id for r in rows}) == 100
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    rows2 = QUERIES["epoch_shuffle"](spark, str(sf)).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in rows} == \
+        {(r.doc_id, r.shard, r.pos) for r in rows2}

@@ -2529,6 +2529,15 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "epoch shuffle",
+        QUERIES["epoch_shuffle"](spark, tiny),
+        "One projection + ONE shard-partitioned rank window — no "
+        "global sort task; shard count is the parallelism knob.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
