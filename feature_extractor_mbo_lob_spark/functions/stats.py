@@ -4768,3 +4768,167 @@ def hurst_varagg(
             ),
         ).alias("h_micro"),
     )
+
+
+def concordance_ccc(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient between two paired
+    series — AGREEMENT, not association: pearson rewards any linear
+    relation, CCC additionally penalizes scale and location bias
+    (y = 2x has r = 1 but CCC well below 1), which is what a
+    prediction-vs-actual or replica-vs-primary comparison needs.
+
+    Denominator clearing collapses it to pure integers:
+    CCC = 2·cov/(σx² + σy² + (μx−μy)²) = 2·A_xy/(A_xx + A_yy +
+    (Sx−Sy)²) with A_uv = n·Σuv − Su·Sv exact decimal(38,0)/hugeint —
+    every n-power cancels; released as ONE signed micro trunc division
+    (both engines truncate toward zero); NULL when the denominator is
+    0 (both series constant and equal).
+
+    Returns one row: (n, ccc_micro: long).
+    """
+    dec = "decimal(38,0)"
+    v = df.select(
+        F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y")
+    )
+    agg = v.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+    )
+    axy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    axx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ayy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    dd = (F.col("sx") - F.col("sy"))
+    den = axx + ayy + dd * dd
+    return agg.withColumn("_num", (F.lit(2).cast(dec) * axy).cast(dec)) \
+        .withColumn("_den", den.cast(dec)) \
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.when(
+                F.col("_den") != 0,
+                F.expr("cast((_num * 1000000) div _den as bigint)"),
+            ).alias("ccc_micro"),
+        )
+
+
+def bland_altman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Bland–Altman method-agreement summary of two paired series:
+    the mean difference (bias) and the 95% limits of agreement
+    bias ± 1.96·SD(diff) — the clinical-agreement companion to
+    concordance_ccc's single number (CCC says HOW MUCH disagreement;
+    this says WHERE the band lies).
+
+    d_t = x_t − y_t stays integer; bias = Sd/n and the cleared spread
+    A_d = n·Σd² − Sd² are exact; bias releases as a signed micro trunc
+    division, the limits as fixed-order IEEE expressions of the exact
+    integers (the 1.96 literal is shared); NULL limits when n < 2 or
+    A_d = 0.
+
+    Returns one row: (n, bias_micro, loa_low, loa_high).
+    """
+    dec = "decimal(38,0)"
+    v = df.select(
+        (F.col(x_col).cast("long") - F.col(y_col).cast("long")).alias("d")
+    )
+    agg = v.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("d").cast(dec).alias("sd"),
+        F.sum(F.col("d").cast(dec) * F.col("d")).cast(dec).alias("qd"),
+    )
+    a = F.col("n") * F.col("qd") - F.col("sd") * F.col("sd")
+    nd = F.col("n").cast("double")
+    bias = F.col("sd").cast("double") / nd
+    sd = F.sqrt(a.cast("double") / (nd * nd * (nd - F.lit(1.0))) * nd)
+    lo = bias - F.lit(1.96) * sd
+    hi = bias + F.lit(1.96) * sd
+    ok = (F.col("n") >= 2) & (a > 0)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr("cast((sd * 1000000) div n as bigint)").alias("bias_micro"),
+        F.when(ok, F.floor(lo * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("loa_low"),
+        F.when(ok, F.floor(hi * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("loa_high"),
+    )
+
+
+def newey_west_lrv(
+    series: DataFrame,
+    idx_col: str = "d",
+    y_col: str = "y",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Newey–West long-run variance of the densified daily series with
+    the Bartlett kernel at lags 1..L — the autocorrelation-robust
+    variance a daily-metric confidence interval should use when
+    ljung_box rejects whiteness; the inflation factor σ²_NW/C₀ IS the
+    CI-width correction.
+
+    With the n-cleared integers u_t = n·y_t − S, every lag covariance
+    C_ℓ is exact, and clearing the Bartlett weights (1 − ℓ/(L+1)) by
+    (L+1) keeps the kernel sum integer: σ²_scaled = (L+1)·C₀ +
+    2·Σ(L+1−ℓ)·C_ℓ. The inflation ratio releases as one signed micro
+    trunc division σ²_scaled·10⁶ div ((L+1)·C₀) — engine-exact, no
+    IEEE anywhere; NULL when C₀ = 0 (constant series). A negative
+    ratio is reported as-is (the truncated-kernel estimate is not
+    guaranteed positive at tiny n; Bartlett weights make it
+    nonnegative for L < n — documented).
+
+    Returns one row: (n, lrv_ratio_micro: long).
+    """
+    agg = series.groupBy(F.col(idx_col).cast("long").alias("_i")).agg(
+        F.sum(F.col(y_col).cast("long")).alias("_y")
+    )
+    rng = agg.agg(F.min("_i").alias("_lo"), F.max("_i").alias("_hi"))
+    dense = (
+        rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_i"))
+        .join(agg, "_i", "left")
+        .select("_i", F.coalesce("_y", F.lit(0)).alias("_y"))
+    )
+    tot = dense.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_s"),
+    )
+    w = Window.orderBy("_i")
+    u0 = (F.col("_n") * F.col("_y") - F.col("_s")).cast("decimal(38,0)")
+    cols = [u0.alias("_u0")] + [
+        (F.col("_n") * F.lead("_y", k).over(w) - F.col("_s"))
+        .cast("decimal(38,0)").alias(f"_u{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    d = dense.crossJoin(F.broadcast(tot)).select("_n", *cols)
+    aggs = [
+        F.max("_n").alias("n"),
+        F.sum(F.col("_u0") * F.col("_u0")).cast("decimal(38,0)").alias("c0"),
+    ]
+    for k in range(1, max_lag + 1):
+        aggs.append(
+            F.sum(F.col("_u0") * F.col(f"_u{k}"))
+            .cast("decimal(38,0)").alias(f"c{k}")
+        )
+    cagg = d.agg(*aggs)
+    lp1 = max_lag + 1
+    scaled = F.lit(lp1).cast("decimal(38,0)") * F.col("c0")
+    for k in range(1, max_lag + 1):
+        scaled = scaled + F.lit(2 * (lp1 - k)).cast("decimal(38,0)") * F.col(f"c{k}")
+    return cagg.withColumn("_sc", scaled.cast("decimal(38,0)")) \
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.when(
+                F.col("c0") > 0,
+                F.expr(
+                    f"cast((_sc * 1000000) div ({lp1} * c0) as bigint)"
+                ),
+            ).alias("lrv_ratio_micro"),
+        )

@@ -21442,6 +21442,180 @@ QUERIES["epoch_shuffle"] = q_epoch_shuffle
 ORACLES["epoch_shuffle"] = O_EPOCH_SHUFFLE
 
 
+# --- Lin's concordance correlation -----------------------------------------------------------
+
+def q_ccc(spark, sf_dir):
+    """Lin's concordance CCC (functions/stats.concordance_ccc) between
+    daily purchase and click counts — AGREEMENT, not association
+    (pearson rewards y = 2x with r = 1; CCC penalizes the scale bias);
+    denominator clearing collapses it to one signed micro trunc
+    division of exact integers."""
+    from ..functions.stats import concordance_ccc
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long").alias("x"),
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("long").alias("y"),
+    )
+    return concordance_ccc(daily, "x", "y")
+
+
+O_CCC = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as x,
+    cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as y
+  from events group by 1
+),
+m as (
+  select cast(count(*) as hugeint) as n,
+    cast(sum(x) as hugeint) as sx, cast(sum(y) as hugeint) as sy,
+    cast(sum(cast(x as hugeint) * x) as hugeint) as sxx,
+    cast(sum(cast(y as hugeint) * y) as hugeint) as syy,
+    cast(sum(cast(x as hugeint) * y) as hugeint) as sxy
+  from daily
+)
+select cast(n as bigint) as n,
+  case when (n * sxx - sx * sx) + (n * syy - sy * sy)
+            + (sx - sy) * (sx - sy) <> 0 then
+    cast((2 * (n * sxy - sx * sy) * 1000000)
+         // ((n * sxx - sx * sx) + (n * syy - sy * sy)
+             + (sx - sy) * (sx - sy)) as bigint)
+  end as ccc_micro
+from m
+"""
+
+QUERIES["ccc"] = q_ccc
+ORACLES["ccc"] = O_CCC
+
+
+# --- Bland-Altman agreement band -------------------------------------------------------------
+
+def q_bland_altman(spark, sf_dir):
+    """Bland–Altman bias + 95% limits of agreement
+    (functions/stats.bland_altman) between daily purchase and click
+    counts — the band companion to ccc's single agreement number;
+    exact integer bias, fixed-order IEEE limits."""
+    from ..functions.stats import bland_altman
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long").alias("x"),
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("long").alias("y"),
+    )
+    return bland_altman(daily, "x", "y")
+
+
+O_BLAND_ALTMAN = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint)
+      - cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint)
+      as d_diff
+  from events group by 1
+),
+m as (
+  select cast(count(*) as hugeint) as n, cast(sum(d_diff) as hugeint) as sd,
+    cast(sum(cast(d_diff as hugeint) * d_diff) as hugeint) as qd
+  from daily
+)
+select cast(n as bigint) as n,
+  cast((sd * 1000000) // n as bigint) as bias_micro,
+  case when n >= 2 and n * qd - sd * sd > 0 then
+    floor((cast(sd as double) / cast(n as double)
+      - 1.96 * sqrt(cast(n * qd - sd * sd as double)
+          / (cast(n as double) * cast(n as double) * (cast(n as double) - 1.0))
+          * cast(n as double)))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as loa_low,
+  case when n >= 2 and n * qd - sd * sd > 0 then
+    floor((cast(sd as double) / cast(n as double)
+      + 1.96 * sqrt(cast(n * qd - sd * sd as double)
+          / (cast(n as double) * cast(n as double) * (cast(n as double) - 1.0))
+          * cast(n as double)))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as loa_high
+from m
+"""
+
+QUERIES["bland_altman"] = q_bland_altman
+ORACLES["bland_altman"] = O_BLAND_ALTMAN
+
+
+# --- Newey-West long-run variance ------------------------------------------------------------
+
+def q_newey_west(spark, sf_dir):
+    """Newey–West long-run variance inflation
+    (functions/stats.newey_west_lrv) of the densified daily event
+    counts, Bartlett kernel lags 1-5 — the CI-width correction to
+    apply when ljung_box rejects whiteness; clearing the Bartlett
+    weights by (L+1) keeps the whole statistic integer, released as
+    one signed micro trunc division with NO IEEE anywhere."""
+    from ..functions.stats import newey_west_lrv
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return newey_west_lrv(daily, "d", "y", max_lag=5)
+
+
+O_NEWEY_WEST = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+cal as (
+  select unnest(generate_series((select min(d) from daily),
+                                (select max(d) from daily))) as i
+),
+dense as (
+  select cal.i, coalesce(daily.y, 0) as y
+  from cal left join daily on cal.i = daily.d
+),
+tot as (select cast(count(*) as bigint) as n, cast(sum(y) as bigint) as s
+  from dense),
+u as (
+  select t.n,
+    cast(t.n * d.y - t.s as hugeint) as u0,
+    cast(t.n * lead(d.y, 1) over (order by d.i) - t.s as hugeint) as u1,
+    cast(t.n * lead(d.y, 2) over (order by d.i) - t.s as hugeint) as u2,
+    cast(t.n * lead(d.y, 3) over (order by d.i) - t.s as hugeint) as u3,
+    cast(t.n * lead(d.y, 4) over (order by d.i) - t.s as hugeint) as u4,
+    cast(t.n * lead(d.y, 5) over (order by d.i) - t.s as hugeint) as u5
+  from dense d cross join tot t
+),
+cm as (
+  select max(n) as n,
+    cast(sum(u0 * u0) as hugeint) as c0,
+    cast(sum(u0 * u1) as hugeint) as c1,
+    cast(sum(u0 * u2) as hugeint) as c2,
+    cast(sum(u0 * u3) as hugeint) as c3,
+    cast(sum(u0 * u4) as hugeint) as c4,
+    cast(sum(u0 * u5) as hugeint) as c5
+  from u
+)
+select cast(n as bigint) as n,
+  case when c0 > 0 then
+    cast(((6 * c0 + 2 * (5 * c1 + 4 * c2 + 3 * c3 + 2 * c4 + 1 * c5))
+          * 1000000) // (6 * c0) as bigint)
+  end as lrv_ratio_micro
+from cm
+"""
+
+QUERIES["newey_west"] = q_newey_west
+ORACLES["newey_west"] = O_NEWEY_WEST
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -1733,3 +1733,55 @@ def test_hurst_varagg_replicates_integer_pipeline(spark):
 
     short = spark.createDataFrame([(i, 1) for i in range(8)], "d long, y long")
     assert hurst_varagg(short, "d", "y").collect()[0].h_micro is None
+
+
+def test_ccc_penalizes_scale_bias(spark):
+    """Identical series -> CCC = 1; y = 2x has pearson r = 1 but
+    CCC = 24/66 — the agreement-vs-association distinction."""
+    from feature_extractor_mbo_lob_spark.functions.stats import concordance_ccc
+
+    same = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "x long, y long")
+    assert concordance_ccc(same, "x", "y").collect()[0].ccc_micro == 1000000
+
+    biased = spark.createDataFrame([(1, 2), (2, 4), (3, 6)], "x long, y long")
+    r = concordance_ccc(biased, "x", "y").collect()[0]
+    assert r.ccc_micro == (24 * 1000000) // 66  # = 363636
+
+
+def test_bland_altman_hand_cases(spark):
+    """diffs [-1, 1]: bias 0, limits ±1.96·√2; constant diffs keep the
+    exact bias but NULL the limits."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import bland_altman
+
+    df = spark.createDataFrame([(0, 1), (3, 2)], "x long, y long")
+    r = bland_altman(df, "x", "y").collect()[0]
+    assert (r.n, r.bias_micro) == (2, 0)
+    lim = 1.96 * math.sqrt(4.0 / (2.0 * 2.0 * 1.0) * 2.0)
+    assert r.loa_high == math.floor(lim * 1e6 + 0.5) / 1e6
+    assert r.loa_low == math.floor(-lim * 1e6 + 0.5) / 1e6
+
+    const = spark.createDataFrame([(5, 2), (6, 3), (7, 4)], "x long, y long")
+    r2 = bland_altman(const, "x", "y").collect()[0]
+    assert r2.bias_micro == 3000000 and r2.loa_low is None
+
+
+def test_newey_west_replicates_integer_kernel(spark):
+    """Fixed 12-day series replicated through the exact cleared-integer
+    Bartlett kernel; constant series releases NULL."""
+    from feature_extractor_mbo_lob_spark.functions.stats import newey_west_lrv
+
+    ys = [3, 7, 2, 9, 4, 8, 1, 6, 5, 9, 2, 7]
+    df = spark.createDataFrame(list(enumerate(ys)), "d long, y long")
+    n, s = len(ys), sum(ys)
+    u = [n * y - s for y in ys]
+    c = [sum(u[i] * u[i + k] for i in range(n - k)) for k in range(6)]
+    scaled = 6 * c[0] + 2 * sum((6 - k) * c[k] for k in range(1, 6))
+    q = (abs(scaled) * 1000000) // (6 * c[0])
+    expect = q if scaled >= 0 else -q
+    r = newey_west_lrv(df, "d", "y", max_lag=5).collect()[0]
+    assert (r.n, r.lrv_ratio_micro) == (12, expect)
+
+    const = spark.createDataFrame([(i, 4) for i in range(12)], "d long, y long")
+    assert newey_west_lrv(const, "d", "y").collect()[0].lrv_ratio_micro is None

@@ -2538,6 +2538,34 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "Lin's concordance CCC",
+        QUERIES["ccc"](spark, tiny),
+        "Day-bounded series, one moment aggregate, one signed integer "
+        "trunc release. No joins, no windows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Bland-Altman band",
+        QUERIES["bland_altman"](spark, tiny),
+        "Differences stay integer; one moment aggregate; exact bias, "
+        "two fixed-order IEEE limits.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Newey-West LRV inflation",
+        QUERIES["newey_west"](spark, tiny),
+        "Densified day-bounded frame; five lead columns from one "
+        "shared sort; Bartlett weights cleared by (L+1) so the whole "
+        "statistic is integer — no IEEE anywhere.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
