@@ -21616,6 +21616,200 @@ QUERIES["newey_west"] = q_newey_west
 ORACLES["newey_west"] = O_NEWEY_WEST
 
 
+# --- curation fairness audit ----------------------------------------------------------------
+
+def q_fairness_audit(spark, sf_dir):
+    """Disparate-impact audit of the quality keep-gate across source
+    cohorts — WHICH sources the curation filter disproportionately
+    drops (the 80%-rule view of text_quality's score): keep is the
+    EXACT INTEGER form of quality_score == 1 (20 ≤ chars ≤ 20000,
+    2·words ≤ chars ≤ 12·words, 5·punct ≤ chars — cleared of the
+    float ratios so both engines decide identically); per-source keep
+    rates release as exact ppm, and di_vs_best_ppm = the cohort's rate
+    over the best cohort's rate (the disparate-impact ratio a 4/5ths
+    policy reads). One scan, one groupBy, a 1-row max broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.length("text")
+    nw = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    np_ = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    keep = (
+        (n >= 20) & (n <= 20000)
+        & (F.lit(2) * nw <= n) & (n <= F.lit(12) * nw)
+        & (F.lit(5) * np_ <= n)
+    ).cast("long")
+    per = docs.select("source", keep.alias("k")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("k").cast("long").alias("n_kept"),
+    ).withColumn(
+        "keep_ppm", F.expr("cast((n_kept * 1000000) div n_docs as bigint)")
+    )
+    best = per.agg(F.max("keep_ppm").alias("best_ppm"))
+    return per.crossJoin(F.broadcast(best)).select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "keep_ppm",
+        F.when(
+            F.col("best_ppm") > 0,
+            F.expr("cast((keep_ppm * 1000000) div best_ppm as bigint)"),
+        ).otherwise(F.lit(0)).alias("di_vs_best_ppm"),
+    )
+
+
+O_FAIRNESS_AUDIT = r"""
+with q as (
+  select source,
+    case when len(text) >= 20 and len(text) <= 20000
+      and 2 * len(regexp_split_to_array(trim(text), '\s+')) <= len(text)
+      and len(text) <= 12 * len(regexp_split_to_array(trim(text), '\s+'))
+      and 5 * (len(text) - len(regexp_replace(text, '[^a-zA-Z0-9_\s]', '', 'g')))
+          <= len(text)
+    then 1 else 0 end as k
+  from documents
+),
+per as (
+  select source, cast(count(*) as bigint) as n_docs,
+    cast(sum(k) as bigint) as n_kept,
+    cast((sum(k) * 1000000) // count(*) as bigint) as keep_ppm
+  from q group by 1
+),
+best as (select max(keep_ppm) as best_ppm from per)
+select source, n_docs, n_kept, keep_ppm,
+  cast(case when best_ppm > 0 then (keep_ppm * 1000000) // best_ppm
+       else 0 end as bigint) as di_vs_best_ppm
+from per, best
+"""
+
+QUERIES["fairness_audit"] = q_fairness_audit
+ORACLES["fairness_audit"] = O_FAIRNESS_AUDIT
+
+
+# --- Poisson dispersion ---------------------------------------------------------------------
+
+def q_poisson_dispersion(spark, sf_dir):
+    """Poisson dispersion of the daily event counts: the
+    variance-to-mean ratio VMR = A/((n−1)·S) and the chi-square
+    dispersion statistic Σ(y−ȳ)²/ȳ = Σu²/(n·S) — both pure integer
+    trunc divisions of the n-cleared moments (Σu² = n·A identity
+    keeps everything in one aggregate). VMR ≫ 1 is the
+    overdispersion that invalidates Poisson CIs on daily counts —
+    the distributional companion to newey_west's serial correction."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    dec = "decimal(38,0)"
+    agg = daily.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("y").cast(dec).alias("s"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("q"),
+    )
+    a = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return agg.withColumn("_a", a.cast(dec)).select(
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (F.col("n") > 1) & (F.col("s") > 0),
+            F.expr("cast((_a * 1000000) div ((n - 1) * s) as bigint)"),
+        ).alias("vmr_micro"),
+        F.when(
+            F.col("s") > 0,
+            F.expr("cast((_a * 1000000) div s as bigint)"),
+        ).alias("chi2_micro"),
+    )
+
+
+O_POISSON_DISPERSION = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+m as (
+  select cast(count(*) as hugeint) as n, cast(sum(y) as hugeint) as s,
+    cast(sum(cast(y as hugeint) * y) as hugeint) as q
+  from daily
+)
+select cast(n as bigint) as n,
+  case when n > 1 and s > 0 then
+    cast(((n * q - s * s) * 1000000) // ((n - 1) * s) as bigint)
+  end as vmr_micro,
+  case when s > 0 then
+    cast(((n * q - s * s) * 1000000) // s as bigint)
+  end as chi2_micro
+from m
+"""
+
+QUERIES["poisson_dispersion"] = q_poisson_dispersion
+ORACLES["poisson_dispersion"] = O_POISSON_DISPERSION
+
+
+# --- interarrival exponentiality gate --------------------------------------------------------
+
+def q_interarrival_cv(spark, sf_dir):
+    """Pooled within-user interarrival CV² — the exponentiality gate
+    for arrival modeling (a Poisson process has CV = 1; CV² ≫ 1 is
+    burstiness, ≪ 1 is pacing): per-user consecutive event gaps in
+    SECONDS (integer micros div 10⁶ — documented quantization; keeps
+    the cleared spread inside decimal(38,0) at the 100-TB bound),
+    CV² = A·n/((n−1)·S²) one trunc division of exact integers; ties
+    (same-second events) contribute zero gaps and stay in the pool.
+    One user-partitioned lag window, one aggregate."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        ((F.col("us") - F.lag("us").over(w)) / 1000000)
+        .cast("long").alias("g")
+    ).filter(F.col("g").isNotNull())
+    dec = "decimal(38,0)"
+    agg = gaps.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("g").cast(dec).alias("s"),
+        F.sum(F.col("g").cast(dec) * F.col("g")).cast(dec).alias("q"),
+    )
+    a = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return agg.withColumn("_a", a.cast(dec)).select(
+        F.col("n").cast("long").alias("n_gaps"),
+        F.when(
+            (F.col("n") > 1) & (F.col("s") > 0),
+            F.expr("cast((_a * n * 1000000) div ((n - 1) * s * s) as bigint)"),
+        ).alias("cv2_micro"),
+    )
+
+
+O_INTERARRIVAL_CV = """
+with ev as (
+  select user_id, epoch_us(cast(ts as timestamp)) as us, event_id
+  from events
+),
+g as (
+  select (us - lag(us) over (partition by user_id order by us, event_id))
+         // 1000000 as g
+  from ev
+),
+m as (
+  select cast(count(*) as hugeint) as n, cast(sum(g) as hugeint) as s,
+    cast(sum(cast(g as hugeint) * g) as hugeint) as q
+  from g where g is not null
+)
+select cast(n as bigint) as n_gaps,
+  case when n > 1 and s > 0 then
+    cast(((n * q - s * s) * n * 1000000) // ((n - 1) * s * s) as bigint)
+  end as cv2_micro
+from m
+"""
+
+QUERIES["interarrival_cv"] = q_interarrival_cv
+ORACLES["interarrival_cv"] = O_INTERARRIVAL_CV
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

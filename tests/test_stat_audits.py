@@ -930,3 +930,66 @@ def test_lorenz_revenue_hand_case(spark, tmp_path):
     assert set(rows) == {1, 4, 7}
     assert [rows[d].cum_user_ppm for d in (1, 4, 7)] == [333333, 666666, 1000000]
     assert [rows[d].cum_rev_ppm for d in (1, 4, 7)] == [100000, 400000, 1000000]
+
+
+def test_fairness_audit_integer_gate_and_ratio(spark, tmp_path):
+    """Engineered cohorts: source A keeps 2/2, source B keeps 1/2 ->
+    di_vs_best = 500000; too-short, too-punctuated and mash docs all
+    fail the integer gate."""
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    good = "this is a perfectly reasonable document with normal words"
+    bad_punct = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) !!! ??? ### $$$"
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "A", 1), (2, good + " more words", "en", "A", 1),
+            (3, good, "en", "B", 1), (4, bad_punct, "en", "B", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = tmp_path / "fair"
+    docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    rows = {r.source: r for r in QUERIES["fairness_audit"](spark, str(sf)).collect()}
+    assert (rows["A"].n_kept, rows["B"].n_kept) == (2, 1)
+    assert rows["A"].di_vs_best_ppm == 1000000
+    assert rows["B"].di_vs_best_ppm == 500000
+
+
+def test_poisson_and_interarrival_hand_cases(spark, tmp_path):
+    """Daily counts [2,2,2] are equidispersed -> VMR = 0-variance ->
+    vmr = 0; user gaps [10, 30] -> CV2 = A*n/((n-1)S^2) = 200*2/400 = 1."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 3 days x 2 events -> zero dispersion
+    for day in range(3):
+        for j in range(2):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(days=day, hours=j), 1,
+                         "click", 0.0, ""))
+    sf = tmp_path / "pois"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    r = QUERIES["poisson_dispersion"](spark, str(sf)).collect()[0]
+    assert (r.n, r.vmr_micro, r.chi2_micro) == (3, 0, 0)
+
+    # one user, events at t=0, 10s, 40s -> gaps [10, 30]
+    rows2 = [(1, base, 7, "click", 0.0, ""),
+             (2, base + dt.timedelta(seconds=10), 7, "click", 0.0, ""),
+             (3, base + dt.timedelta(seconds=40), 7, "click", 0.0, "")]
+    sf2 = tmp_path / "gap"
+    spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(sf2 / "events.parquet"))
+    r2 = QUERIES["interarrival_cv"](spark, str(sf2)).collect()[0]
+    # n=2, S=40, Q=1000, A = 2*1000-1600 = 400; cv2 = 400*2/(1*1600) = 0.5
+    assert (r2.n_gaps, r2.cv2_micro) == (2, 500000)

@@ -2566,6 +2566,33 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "curation fairness audit",
+        QUERIES["fairness_audit"](spark, tiny),
+        "One scan with the integer keep-gate, one groupBy(source), a "
+        "1-row best-rate broadcast back; exact ppm releases.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Poisson dispersion",
+        QUERIES["poisson_dispersion"](spark, tiny),
+        "Day-bounded series, one moment aggregate, two integer trunc "
+        "releases. No joins, no windows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "interarrival CV2",
+        QUERIES["interarrival_cv"](spark, tiny),
+        "One user-partitioned lag window over the fact scan, one "
+        "moment aggregate, one integer trunc release.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
