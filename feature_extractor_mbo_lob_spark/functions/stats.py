@@ -4932,3 +4932,132 @@ def newey_west_lrv(
                 ),
             ).alias("lrv_ratio_micro"),
         )
+
+
+def holm_bonferroni_permutation(
+    ev: DataFrame,
+    group_col: str,
+    unit_col: str,
+    value_col: str = "value",
+    n_perms: int = 64,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Holm–Bonferroni step-down FWER control over the same family of
+    per-group exact permutation tests bh_fdr_permutation screens —
+    the FAMILY-WISE guarantee for the few-segments case where FDR's
+    "some fraction of rejections may be false" is too weak: reject
+    H_(i) iff p_(j)·(m−j+1) ≤ α for EVERY j ≤ i.
+
+    Reuses the verified p-value pipeline (bh_fdr_permutation's exact
+    ppm p-values and ascending rank) and adds the step-down prefix as
+    a running max of the pure-integer adjusted values
+    adj_(j) = p_ppm·(m−j+1): holm_adj_ppm = min(10⁶, runmax) and
+    reject = runmax ≤ α_ppm — no float anywhere.
+
+    Returns per group: (group, p_ppm, holm_rank, m_tests,
+    holm_adj_ppm, reject).
+    """
+    base = bh_fdr_permutation(
+        ev, group_col, unit_col, value_col, n_perms=n_perms, q_ppm=1
+    ).select(
+        F.col(group_col), "p_ppm",
+        F.col("bh_rank").alias("holm_rank"), "m_tests",
+    )
+    w = Window.orderBy("holm_rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = F.col("p_ppm") * (F.col("m_tests") - F.col("holm_rank") + 1)
+    run = F.max(adj).over(w)
+    return base.select(
+        group_col,
+        "p_ppm",
+        "holm_rank",
+        "m_tests",
+        F.least(run, F.lit(1_000_000).cast("long")).cast("long")
+        .alias("holm_adj_ppm"),
+        (run <= F.lit(int(alpha_ppm))).cast("int").alias("reject"),
+    )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after Kruskal–Wallis —
+    WHICH groups differ once kruskal_wallis says SOME do, on the
+    SHARED midranks of the pooled sample (pairwise Mann–Whitney runs
+    re-rank per pair and break the family's transitivity; Dunn does
+    not): z_ab = (R̄_a − R̄_b)/√(VB·(1/n_a + 1/n_b)) with the tie-
+    corrected VB = (N(N+1)(N−1) − T)/(12(N−1)), T = Σ(t³ − t).
+
+    Tie-exact in integers: the DOUBLED midrank of value v is
+    mid2(v) = 2·cumbefore(v) + c(v) + 1 on the merged distinct-value
+    frame, so every group rank sum R2_g = Σ c_g(v)·mid2(v), N and T
+    are exact integers and each pair's z is ONE fixed-order IEEE
+    expression of them (R̄ = R2/(2n)); NULL when VB ≤ 0 (all values
+    tied).
+
+    Scale shape: one (group, value) collapse, one merged-value
+    cumulative window, a value-keyed join back, one k-row group frame
+    self-joined over k(k−1)/2 broadcast pairs.
+
+    Returns per pair: (group_a, group_b, n_a, n_b, z).
+    """
+    dec = "decimal(38,0)"
+    gv = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("v")
+    ).groupBy("grp", "v").agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    merged = gv.groupBy("v").agg(F.sum("cg").cast("long").alias("c"))
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    mid = merged.select(
+        "v",
+        "c",
+        (F.lit(2) * F.coalesce(F.sum("c").over(wb), F.lit(0))
+         + F.col("c") + 1).alias("mid2"),
+    )
+    per = (
+        gv.join(mid, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("cg").cast("long").alias("n_g"),
+            F.sum(F.col("cg").cast(dec) * F.col("mid2")).cast(dec).alias("r2"),
+        )
+    )
+    tot = merged.agg(
+        F.sum("c").cast("long").alias("nn"),
+        F.sum(
+            F.col("c").cast(dec) * F.col("c") * F.col("c") - F.col("c").cast(dec)
+        ).cast(dec).alias("t_corr"),
+    )
+    a = per.select(
+        F.col("grp").alias("group_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("r2").alias("r2_a"),
+    )
+    b = per.select(
+        F.col("grp").alias("group_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("r2").alias("r2_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b")) \
+        .crossJoin(F.broadcast(tot))
+    nd = F.col("nn").cast("double")
+    vb = (
+        nd * (nd + F.lit(1.0)) * (nd - F.lit(1.0))
+        - F.col("t_corr").cast("double")
+    ) / (F.lit(12.0) * (nd - F.lit(1.0)))
+    mean_a = F.col("r2_a").cast("double") / (F.lit(2.0) * F.col("n_a").cast("double"))
+    mean_b = F.col("r2_b").cast("double") / (F.lit(2.0) * F.col("n_b").cast("double"))
+    z = (mean_a - mean_b) / F.sqrt(
+        vb * (F.lit(1.0) / F.col("n_a").cast("double")
+              + F.lit(1.0) / F.col("n_b").cast("double"))
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.when(vb > 0, F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("z"),
+    )

@@ -21810,6 +21810,235 @@ QUERIES["interarrival_cv"] = q_interarrival_cv
 ORACLES["interarrival_cv"] = O_INTERARRIVAL_CV
 
 
+# --- Kaplan-Meier curve with Greenwood CIs ---------------------------------------------------
+
+def q_km_greenwood(spark, sf_dir):
+    """Kaplan–Meier SURVIVAL CURVE with Greenwood standard errors over
+    the tool-episode durations — kaplan_meier releases the sufficient
+    statistics; this releases the estimator itself plus the pointwise
+    uncertainty a publication-quality curve needs. Engine-exact:
+    ln(1 − d/n) = nano-ln(n−d) − nano-ln(n) per time (each ln floored
+    separately — order-free integer terms), cumulated by one time
+    window, S(t) = exp(cum/10⁹) one fixed-order IEEE per row;
+    Greenwood's Σ d/(n(n−d)) cumulates PICO-quantized integer terms,
+    se = S·√(cum/10¹²) one IEEE per row. A time absorbing everyone
+    (d = n) releases the exact S = 0 with NULL se."""
+    from pyspark.sql import Window
+
+    from ..operators import survival
+
+    t = _t(spark, sf_dir)
+    d = survival.episode_durations(t, CFG, granularity_s=60)
+    rt = survival.km_risk_table(d, "dur_s")
+    safe = F.col("d_events") < F.col("n_risk")
+    ln_term = F.when(
+        F.col("d_events") == 0, F.lit(0).cast("long")
+    ).when(
+        safe,
+        (
+            F.floor(F.log((F.col("n_risk") - F.col("d_events")).cast("double"))
+                    * F.lit(1e9) + F.lit(0.5))
+            - F.floor(F.log(F.col("n_risk").cast("double"))
+                      * F.lit(1e9) + F.lit(0.5))
+        ).cast("long"),
+    )
+    gw_term = F.when(
+        safe,
+        F.expr(
+            "cast((d_events * 1000000000000)"
+            " div (n_risk * (n_risk - d_events)) as bigint)"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    w = Window.orderBy("t_s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = rt.select(
+        "t_s", "n_risk", "d_events",
+        ln_term.alias("_ln"), gw_term.alias("_gw"),
+        (F.col("d_events") == F.col("n_risk")).alias("_dead"),
+    ).select(
+        "t_s", "n_risk", "d_events",
+        F.sum("_ln").over(w).alias("_cln"),
+        F.sum("_gw").over(w).alias("_cgw"),
+        F.max(F.col("_dead").cast("int")).over(w).alias("_anydead"),
+    )
+    s_t = F.exp(F.col("_cln").cast("double") / F.lit(1e9))
+    se = s_t * F.sqrt(F.col("_cgw").cast("double") / F.lit(1e12))
+    return base.select(
+        "t_s",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_events").cast("long").alias("d_events"),
+        F.when(F.col("_anydead") == 1, F.lit(0.0))
+        .otherwise(F.floor(s_t * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("s_t"),
+        F.when(F.col("_anydead") == 0,
+               F.floor(se * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("greenwood_se"),
+    )
+
+
+O_KM_GREENWOOD = f"""{_W},
+evt as (
+  select conv_id, tool, turn_idx, ts,
+    case when role = 'assistant' then 1 else 0 end as is_inv
+  from transcripts
+  where tool is not null and role in ('assistant', 'tool')
+),
+r as (
+  select *,
+    row_number() over (partition by conv_id, tool, is_inv order by turn_idx, ts) as rnk
+  from evt
+),
+inv as (select conv_id, tool, rnk, ts as invoke_ts from r where is_inv = 1),
+res as (select conv_id, tool, rnk, ts as result_ts from r where is_inv = 0),
+ce as (select conv_id, max(epoch_us(ts)) as end_us from transcripts group by 1),
+ep as (
+  select greatest(
+      case when res.result_ts is not null
+           then epoch_us(res.result_ts) - epoch_us(i.invoke_ts)
+           else ce.end_us - epoch_us(i.invoke_ts) end, 0) as dur_us,
+    case when res.result_ts is not null then 1 else 0 end as event
+  from inv i
+  left join res on res.conv_id = i.conv_id and res.tool = i.tool and res.rnk = i.rnk
+  join ce on ce.conv_id = i.conv_id
+),
+a as (
+  select dur_us // 60000000 as t_s,
+    sum(event) as d_events, sum(1 - event) as c_censored
+  from ep group by 1
+),
+rt as (
+  select cast(t_s as bigint) as t_s,
+    cast(sum(d_events + c_censored)
+         over (order by t_s desc rows between unbounded preceding and current row)
+         as bigint) as n_risk,
+    cast(d_events as bigint) as d_events
+  from a
+),
+terms as (
+  select t_s, n_risk, d_events,
+    case when d_events = 0 then 0
+         when d_events < n_risk then
+      cast(floor(ln(cast(n_risk - d_events as double)) * 1000000000.0 + 0.5)
+           as bigint)
+      - cast(floor(ln(cast(n_risk as double)) * 1000000000.0 + 0.5) as bigint)
+    end as lnterm,
+    case when d_events < n_risk then
+      cast((d_events * 1000000000000) // (n_risk * (n_risk - d_events))
+           as bigint)
+    else 0 end as gwterm,
+    case when d_events = n_risk then 1 else 0 end as dead
+  from rt
+),
+cum as (
+  select t_s, n_risk, d_events,
+    sum(lnterm) over (order by t_s rows between unbounded preceding
+                      and current row) as cln,
+    sum(gwterm) over (order by t_s rows between unbounded preceding
+                      and current row) as cgw,
+    max(dead) over (order by t_s rows between unbounded preceding
+                    and current row) as anydead
+  from terms
+)
+select t_s, n_risk, d_events,
+  case when anydead = 1 then 0.0
+       else floor(exp(cast(cln as double) / 1e9) * 1000000.0 + 0.5)
+            / 1000000.0 end as s_t,
+  case when anydead = 0 then
+    floor((exp(cast(cln as double) / 1e9)
+           * sqrt(cast(cgw as double) / 1e12)) * 1000000.0 + 0.5) / 1000000.0
+  end as greenwood_se
+from cum
+"""
+
+QUERIES["km_greenwood"] = q_km_greenwood
+ORACLES["km_greenwood"] = O_KM_GREENWOOD
+
+
+# --- Holm-Bonferroni step-down ---------------------------------------------------------------
+
+def q_holm(spark, sf_dir):
+    """Holm–Bonferroni step-down FWER control
+    (functions/stats.holm_bonferroni_permutation) over the per-event-
+    type exact permutation family — the family-wise guarantee beside
+    bh_fdr's FDR screen; the oracle wraps the verified BH SQL and
+    replays the pure-integer step-down prefix."""
+    from ..functions.stats import holm_bonferroni_permutation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return holm_bonferroni_permutation(
+        ev, "event_type", "user_id", "value", n_perms=64, alpha_ppm=50_000
+    )
+
+
+O_HOLM = f"""
+with bh as ({_bh_fdr_oracle(64, 1)})
+select event_type, p_ppm, bh_rank as holm_rank, m_tests,
+  cast(least(max(p_ppm * (m_tests - bh_rank + 1))
+    over (order by bh_rank rows between unbounded preceding and current row),
+    1000000) as bigint) as holm_adj_ppm,
+  cast(case when max(p_ppm * (m_tests - bh_rank + 1))
+    over (order by bh_rank rows between unbounded preceding and current row)
+    <= 50000 then 1 else 0 end as int) as reject
+from bh
+"""
+
+QUERIES["holm"] = q_holm
+ORACLES["holm"] = O_HOLM
+
+
+# --- Dunn's post-hoc ------------------------------------------------------------------------
+
+def q_dunn(spark, sf_dir):
+    """Dunn's post-hoc pairwise z (functions/stats.dunn_posthoc) of
+    document lengths across sources — WHICH sources differ once
+    kruskal_wallis says some do, on the shared pooled midranks with
+    the exact tie correction; doubled integer midranks, one
+    fixed-order IEEE z per pair."""
+    from ..functions.stats import dunn_posthoc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dunn_posthoc(docs, "source", "n_chars")
+
+
+O_DUNN = """
+with gv as (
+  select source as grp, cast(n_chars as bigint) as v,
+    cast(count(*) as bigint) as cg
+  from documents group by 1, 2
+),
+merged as (select v, cast(sum(cg) as bigint) as c from gv group by 1),
+mid as (
+  select v, c,
+    2 * coalesce(sum(c) over (order by v rows between unbounded preceding
+                              and 1 preceding), 0) + c + 1 as mid2
+  from merged
+),
+per as (
+  select grp, cast(sum(cg) as bigint) as n_g,
+    cast(sum(cast(cg as hugeint) * mid2) as hugeint) as r2
+  from gv join mid using (v) group by 1
+),
+tot as (
+  select cast(sum(c) as bigint) as nn,
+    cast(sum(cast(c as hugeint) * c * c - c) as hugeint) as t_corr
+  from merged
+)
+select a.grp as group_a, b.grp as group_b, a.n_g as n_a, b.n_g as n_b,
+  case when (cast(nn as double) * (nn + 1.0) * (nn - 1.0)
+             - cast(t_corr as double)) / (12.0 * (nn - 1.0)) > 0 then
+    floor(((cast(a.r2 as double) / (2.0 * a.n_g)
+            - cast(b.r2 as double) / (2.0 * b.n_g))
+      / sqrt(((cast(nn as double) * (nn + 1.0) * (nn - 1.0)
+               - cast(t_corr as double)) / (12.0 * (nn - 1.0)))
+             * (1.0 / a.n_g + 1.0 / b.n_g)))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as z
+from per a join per b on a.grp < b.grp, tot
+"""
+
+QUERIES["dunn"] = q_dunn
+ORACLES["dunn"] = O_DUNN
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

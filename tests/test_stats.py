@@ -1785,3 +1785,99 @@ def test_newey_west_replicates_integer_kernel(spark):
 
     const = spark.createDataFrame([(i, 4) for i in range(12)], "d long, y long")
     assert newey_west_lrv(const, "d", "y").collect()[0].lrv_ratio_micro is None
+
+
+def test_dunn_posthoc_matches_naive_midranks(spark):
+    """Exact parity with a naive pooled-midrank replica (tie-corrected
+    VB) on a tied 3-group sample; all-tied input releases NULL."""
+    import math
+    from collections import Counter
+
+    from feature_extractor_mbo_lob_spark.functions.stats import dunn_posthoc
+
+    data = {"a": [1, 2, 2, 5], "b": [2, 3, 3], "c": [5, 5, 6, 6, 1]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {(r.group_a, r.group_b): r for r in dunn_posthoc(df, "g", "x").collect()}
+
+    pooled = sorted(v for vs in data.values() for v in vs)
+    n_all = len(pooled)
+    cnt = Counter(pooled)
+    # midrank per value
+    midr, cum = {}, 0
+    for v in sorted(cnt):
+        midr[v] = cum + (cnt[v] + 1) / 2.0
+        cum += cnt[v]
+    t_corr = sum(c**3 - c for c in cnt.values())
+    vb = (n_all * (n_all + 1.0) * (n_all - 1.0) - t_corr) / (12.0 * (n_all - 1.0))
+    for ga, gb in [("a", "b"), ("a", "c"), ("b", "c")]:
+        ma = sum(midr[v] for v in data[ga]) / len(data[ga])
+        mb = sum(midr[v] for v in data[gb]) / len(data[gb])
+        z = (ma - mb) / math.sqrt(vb * (1.0 / len(data[ga]) + 1.0 / len(data[gb])))
+        r = out[(ga, gb)]
+        assert (r.n_a, r.n_b) == (len(data[ga]), len(data[gb]))
+        assert abs(r.z - math.floor(z * 1e6 + 0.5) / 1e6) <= 1e-6, (ga, gb)
+
+    tied = spark.createDataFrame(
+        [("a", 3), ("a", 3), ("b", 3)], "g string, x long"
+    )
+    assert dunn_posthoc(tied, "g", "x").collect()[0].z is None
+
+
+def test_holm_stepdown_prefix_rule(spark):
+    """Holm's reject flag is the running-max prefix rule over
+    p*(m-rank+1) and is monotone: once a rank fails, no later rank
+    rejects; adjusted p is capped at 1e6."""
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        holm_bonferroni_permutation,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        et = ["alpha", "beta", "gamma"][i % 3]
+        rows.append((i, base, i, et, float((i * 13) % 7), ""))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = sorted(
+        holm_bonferroni_permutation(ev, "event_type", "user_id", "value",
+                                    n_perms=16, alpha_ppm=900_000).collect(),
+        key=lambda r: r.holm_rank,
+    )
+    assert [r.holm_rank for r in out] == [1, 2, 3]
+    runmax = 0
+    for r in out:
+        runmax = max(runmax, r.p_ppm * (r.m_tests - r.holm_rank + 1))
+        assert r.holm_adj_ppm == min(runmax, 1_000_000)
+        assert r.reject == int(runmax <= 900_000)
+    rejects = [r.reject for r in out]
+    assert rejects == sorted(rejects, reverse=True)  # monotone step-down
+
+
+def test_km_greenwood_hand_case(spark, tmp_path):
+    """Tiny synthetic risk table exercised through the registered query
+    is hard to pin by hand; instead verify the estimator identities on
+    the real tiny SF: S is nonincreasing in [0,1], se >= 0, and rows
+    where nobody has died yet have S = 1."""
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    rows = sorted(
+        QUERIES["km_greenwood"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.t_s,
+    )
+    assert rows
+    prev = 1.0 + 1e-9
+    seen_death = False
+    for r in rows:
+        assert 0.0 <= r.s_t <= 1.000001
+        assert r.s_t <= prev + 1e-6
+        prev = r.s_t
+        seen_death = seen_death or r.d_events > 0
+        if not seen_death:
+            assert r.s_t == 1.0
+        if r.greenwood_se is not None:
+            assert r.greenwood_se >= 0.0

@@ -2593,6 +2593,35 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "KM curve + Greenwood",
+        QUERIES["km_greenwood"](spark, tiny),
+        "Risk table frame bounded by distinct durations; nano-ln and "
+        "pico-Greenwood terms cumulate in one time window; one IEEE "
+        "release per row.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Holm step-down",
+        QUERIES["holm"](spark, tiny),
+        "Reuses the BH permutation pipeline; the step-down prefix is "
+        "a running max over the m-row p-frame — pure integers.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Dunn's post-hoc",
+        QUERIES["dunn"](spark, tiny),
+        "One (group, value) collapse; merged-value cumulative window "
+        "for shared midranks; value-keyed join back; k-row frame "
+        "self-joined over broadcast pairs.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
