@@ -22039,6 +22039,228 @@ QUERIES["dunn"] = q_dunn
 ORACLES["dunn"] = O_DUNN
 
 
+# --- ordered funnel conversion ---------------------------------------------------------------
+
+def q_funnel(spark, sf_dir):
+    """Ordered view → click → purchase funnel per user — the classic
+    product-analytics conversion readout with STRICT event ordering
+    (a purchase before any click does not count as a stage-3
+    conversion): stage timestamps are computed by three cascaded
+    conditional aggregates (t₁ = first view; t₂ = first click AFTER
+    t₁; t₃ = first purchase AFTER t₂ — each stage joins the previous
+    stage's user frame back, bounded by USERS not events); stage
+    counts and step conversions release as exact ppm."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_view")) \
+        .withColumn("_k", F.lit(1))
+    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_click")) \
+        .withColumn("_k", F.lit(1))
+    n3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n_purchase")) \
+        .withColumn("_k", F.lit(1))
+    return (
+        n1.join(n2, "_k").join(n3, "_k")
+        .select(
+            "n_view", "n_click", "n_purchase",
+            F.expr("cast(case when n_view > 0 then (n_click * 1000000)"
+                   " div n_view else 0 end as bigint)").alias("view_to_click_ppm"),
+            F.expr("cast(case when n_click > 0 then (n_purchase * 1000000)"
+                   " div n_click else 0 end as bigint)")
+            .alias("click_to_purchase_ppm"),
+            F.expr("cast(case when n_view > 0 then (n_purchase * 1000000)"
+                   " div n_view else 0 end as bigint)").alias("overall_ppm"),
+        )
+    )
+
+
+O_FUNNEL = """
+with ev as (
+  select user_id, event_type, epoch_us(cast(ts as timestamp)) as us from events
+),
+s1 as (select user_id, min(us) as t1 from ev where event_type = 'view'
+  group by 1),
+s2 as (
+  select ev.user_id, min(ev.us) as t2
+  from ev join s1 on ev.user_id = s1.user_id
+  where ev.event_type = 'click' and ev.us > s1.t1
+  group by 1
+),
+s3 as (
+  select ev.user_id, min(ev.us) as t3
+  from ev join s2 on ev.user_id = s2.user_id
+  where ev.event_type = 'purchase' and ev.us > s2.t2
+  group by 1
+),
+c as (
+  select (select cast(count(*) as bigint) from s1) as n_view,
+    (select cast(count(*) as bigint) from s2) as n_click,
+    (select cast(count(*) as bigint) from s3) as n_purchase
+)
+select n_view, n_click, n_purchase,
+  cast(case when n_view > 0 then (n_click * 1000000) // n_view
+       else 0 end as bigint) as view_to_click_ppm,
+  cast(case when n_click > 0 then (n_purchase * 1000000) // n_click
+       else 0 end as bigint) as click_to_purchase_ppm,
+  cast(case when n_view > 0 then (n_purchase * 1000000) // n_view
+       else 0 end as bigint) as overall_ppm
+from c
+"""
+
+QUERIES["funnel"] = q_funnel
+ORACLES["funnel"] = O_FUNNEL
+
+
+# --- day-of-week uniformity chi-square -------------------------------------------------------
+
+def q_dow_uniformity(spark, sf_dir):
+    """Chi-square goodness-of-fit of event day-of-week counts against
+    the uniform law — "is traffic actually flat across the week"
+    (seasonality SHOWS the profile; this scores its deviation):
+    clearing the expected count N/7 collapses the statistic to
+    χ² = (7·Σo² − N²)/N, a pure integer trunc division in micro.
+    Weekday index is the epoch-day mod 7 (engine-identical integer,
+    no locale-dependent date function)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dow = ev.select(
+        (F.expr("unix_micros(cast(ts as timestamp)) div 86400000000") % 7)
+        .alias("dow")
+    )
+    per = dow.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    dec = "decimal(38,0)"
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k_days"),
+        F.sum("o").cast(dec).alias("n"),
+        F.sum(F.col("o").cast(dec) * F.col("o")).cast(dec).alias("q"),
+    )
+    return agg.select(
+        "k_days",
+        F.col("n").cast("long").alias("n_events"),
+        F.when(
+            F.col("n") > 0,
+            F.expr("cast(((7 * q - n * n) * 1000000) div n as bigint)"),
+        ).alias("chi2_micro"),
+    )
+
+
+O_DOW_UNIFORMITY = """
+with d as (
+  select (epoch_us(cast(ts as timestamp)) // 86400000000) % 7 as dow
+  from events
+),
+per as (select dow, cast(count(*) as bigint) as o from d group by 1),
+m as (
+  select cast(count(*) as bigint) as k_days, cast(sum(o) as hugeint) as n,
+    cast(sum(cast(o as hugeint) * o) as hugeint) as q
+  from per
+)
+select k_days, cast(n as bigint) as n_events,
+  case when n > 0 then
+    cast(((7 * q - n * n) * 1000000) // n as bigint)
+  end as chi2_micro
+from m
+"""
+
+QUERIES["dow_uniformity"] = q_dow_uniformity
+ORACLES["dow_uniformity"] = O_DOW_UNIFORMITY
+
+
+# --- availability gap audit ------------------------------------------------------------------
+
+def q_availability_gaps(spark, sf_dir):
+    """Event-stream availability audit: the largest silent gap, the
+    count of gaps above one hour, the p99 gap (exact order statistic
+    ceil(99n/100) on the distinct-gap frame — no approximate
+    percentile), and total silent time above the threshold — the
+    SLA/ingest-health readout interarrival_cv's shape statistic does
+    not give. All integers in seconds."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"), "event_id"
+    )
+    w = Window.orderBy("us", "event_id")
+    gaps = ev.select(
+        ((F.col("us") - F.lag("us").over(w)) / 1000000).cast("long").alias("g")
+    ).filter(F.col("g").isNotNull())
+    gf = gaps.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p99 = (
+        gf.select(
+            "g",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        .filter(F.expr("cum * 100 >= 99 * n"))
+        .agg(F.min("g").alias("p99_gap_s"))
+        .withColumn("_k", F.lit(1))
+    )
+    tot = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.max("g").cast("long").alias("max_gap_s"),
+        F.sum((F.col("g") > 3600).cast("long")).cast("long").alias("n_over_1h"),
+        F.sum(F.when(F.col("g") > 3600, F.col("g")).otherwise(F.lit(0)))
+        .cast("long").alias("silent_s_over_1h"),
+    ).withColumn("_k", F.lit(1))
+    return tot.join(F.broadcast(p99), "_k").select(
+        "n_gaps", "max_gap_s", "n_over_1h", "silent_s_over_1h", "p99_gap_s"
+    )
+
+
+O_AVAILABILITY_GAPS = """
+with ev as (
+  select epoch_us(cast(ts as timestamp)) as us, event_id from events
+),
+g as (
+  select (us - lag(us) over (order by us, event_id)) // 1000000 as g
+  from ev
+),
+gg as (select g from g where g is not null),
+gf as (select g, cast(count(*) as bigint) as c from gg group by 1),
+cum as (
+  select g,
+    sum(c) over (order by g rows between unbounded preceding and current row) as cum,
+    sum(c) over () as n
+  from gf
+),
+p99 as (select min(g) as p99_gap_s from cum where cum * 100 >= 99 * n),
+tot as (
+  select cast(count(*) as bigint) as n_gaps,
+    cast(max(g) as bigint) as max_gap_s,
+    cast(sum(case when g > 3600 then 1 else 0 end) as bigint) as n_over_1h,
+    cast(sum(case when g > 3600 then g else 0 end) as bigint) as silent_s_over_1h
+  from gg
+)
+select n_gaps, max_gap_s, n_over_1h, silent_s_over_1h,
+  cast(p99_gap_s as bigint) as p99_gap_s
+from tot, p99
+"""
+
+QUERIES["availability_gaps"] = q_availability_gaps
+ORACLES["availability_gaps"] = O_AVAILABILITY_GAPS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -993,3 +993,68 @@ def test_poisson_and_interarrival_hand_cases(spark, tmp_path):
     r2 = QUERIES["interarrival_cv"](spark, str(sf2)).collect()[0]
     # n=2, S=40, Q=1000, A = 2*1000-1600 = 400; cv2 = 400*2/(1*1600) = 0.5
     assert (r2.n_gaps, r2.cv2_micro) == (2, 500000)
+
+
+def test_funnel_strict_ordering(spark, tmp_path):
+    """A purchase BEFORE the first click does not convert stage 3; a
+    click before the first view does not convert stage 2."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, sec, uid, typ):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, typ, 0.0, "")
+
+    rows = [
+        # user 1: view -> click -> purchase (full conversion)
+        ev(1, 0, 1, "view"), ev(2, 10, 1, "click"), ev(3, 20, 1, "purchase"),
+        # user 2: purchase BEFORE click: stage 2 yes, stage 3 no
+        ev(4, 0, 2, "view"), ev(5, 5, 2, "purchase"), ev(6, 10, 2, "click"),
+        # user 3: click before any view: stage 2 no
+        ev(7, 0, 3, "click"), ev(8, 10, 3, "view"),
+        # user 4: never views
+        ev(9, 0, 4, "purchase"),
+    ]
+    sf = tmp_path / "funnel"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    r = QUERIES["funnel"](spark, str(sf)).collect()[0]
+    assert (r.n_view, r.n_click, r.n_purchase) == (3, 2, 1)
+    assert r.view_to_click_ppm == (2 * 1000000) // 3
+    assert r.click_to_purchase_ppm == 500000
+    assert r.overall_ppm == 333333
+
+
+def test_dow_and_gaps_hand_cases(spark, tmp_path):
+    """Perfectly uniform days -> chi2 = 0; engineered gaps pin max/p99
+    and the over-1h accounting."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(days=i % 14), 1, "click", 0.0, "")
+            for i in range(28)]  # 2 events per dow
+    sf = tmp_path / "dow"
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(sf / "events.parquet"))
+    r = QUERIES["dow_uniformity"](spark, str(sf)).collect()[0]
+    assert (r.k_days, r.n_events, r.chi2_micro) == (7, 28, 0)
+
+    gaps = [0, 10, 20, 4000, 8000]  # gaps: 10, 10, 3980, 4000
+    rows2 = [(i, t0 + dt.timedelta(seconds=s), 1, "click", 0.0, "")
+             for i, s in enumerate(gaps)]
+    sf2 = tmp_path / "gaps"
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(sf2 / "events.parquet"))
+    g = QUERIES["availability_gaps"](spark, str(sf2)).collect()[0]
+    assert (g.n_gaps, g.max_gap_s, g.n_over_1h) == (4, 4000, 2)
+    assert g.silent_s_over_1h == 7980
+    assert g.p99_gap_s == 4000

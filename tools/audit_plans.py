@@ -2622,6 +2622,34 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    sections.append(summarize(
+        "funnel conversion",
+        QUERIES["funnel"](spark, tiny),
+        "Three cascaded conditional aggregates, each stage joining the "
+        "previous USER frame back (bounded by users, not events); "
+        "exact ppm conversions.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "day-of-week uniformity",
+        QUERIES["dow_uniformity"](spark, tiny),
+        "One 7-cell groupBy; clearing N/7 collapses the chi-square to "
+        "(7*sum(o^2) - N^2)/N — one integer trunc division.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "availability gap audit",
+        QUERIES["availability_gaps"](spark, tiny),
+        "One global lag window over the fact scan; p99 as the exact "
+        "order statistic on the distinct-gap frame; integer seconds.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
