@@ -22041,7 +22041,7 @@ ORACLES["dunn"] = O_DUNN
 
 # --- ordered funnel conversion ---------------------------------------------------------------
 
-def q_funnel(spark, sf_dir):
+def q_user_funnel(spark, sf_dir):
     """Ordered view → click → purchase funnel per user — the classic
     product-analytics conversion readout with STRICT event ordering
     (a purchase before any click does not count as a stage-3
@@ -22092,7 +22092,7 @@ def q_funnel(spark, sf_dir):
     )
 
 
-O_FUNNEL = """
+O_USER_FUNNEL = """
 with ev as (
   select user_id, event_type, epoch_us(cast(ts as timestamp)) as us from events
 ),
@@ -22125,8 +22125,8 @@ select n_view, n_click, n_purchase,
 from c
 """
 
-QUERIES["funnel"] = q_funnel
-ORACLES["funnel"] = O_FUNNEL
+QUERIES["user_funnel"] = q_user_funnel
+ORACLES["user_funnel"] = O_USER_FUNNEL
 
 
 # --- day-of-week uniformity chi-square -------------------------------------------------------

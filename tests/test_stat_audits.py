@@ -1023,7 +1023,7 @@ def test_funnel_strict_ordering(spark, tmp_path):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     ).coalesce(1).write.parquet(str(sf / "events.parquet"))
-    r = QUERIES["funnel"](spark, str(sf)).collect()[0]
+    r = QUERIES["user_funnel"](spark, str(sf)).collect()[0]
     assert (r.n_view, r.n_click, r.n_purchase) == (3, 2, 1)
     assert r.view_to_click_ppm == (2 * 1000000) // 3
     assert r.click_to_purchase_ppm == 500000

@@ -2623,8 +2623,8 @@ def main() -> None:
     ))
 
     sections.append(summarize(
-        "funnel conversion",
-        QUERIES["funnel"](spark, tiny),
+        "user-level funnel conversion",
+        QUERIES["user_funnel"](spark, tiny),
         "Three cascaded conditional aggregates, each stage joining the "
         "previous USER frame back (bounded by users, not events); "
         "exact ppm conversions.",
