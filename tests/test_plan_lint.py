@@ -69,6 +69,25 @@ BNLJ_ALLOWED = {
     "capture_recapture",  # 1-row corpus-vocab total broadcast into the per-source frame
     "minhash_recall",  # 1-row candidate-count broadcast joined to the 1-row hit aggregate
     "rfm_segments",  # 1-row max-date / N-users totals broadcasts into the user frame
+    "availability_gaps",  # 1-row p99 aggregate joined to the 1-row totals
+    "dunn",  # k-row group frame pairs + 1-row (N, T) totals broadcasts
+    "user_funnel",  # three 1-row stage-count aggregates joined
+    "runs_test",  # 1-row lower-median broadcast into the series frame
+    "mood_median",  # 1-row grand-median + 1-row totals broadcasts
+    "burrows_delta",  # 1-row corpus totals + bounded top-m word grid broadcasts
+    "cochran_q",  # 1-row block totals broadcast
+    "durbin_watson",  # 1-row (n, S) totals broadcast into the calendar frame
+    "gk_gamma",  # 36-cell contingency self-join + 1-row totals
+    "jonckheere",  # 1-row null moments + (k*V)-bounded pair frame broadcasts
+    "pacf2",  # 1-row (n, S) totals broadcast into the calendar frame
+    "newey_west",  # 1-row (n, S) totals broadcast into the calendar frame
+    "hurst",  # 1-row min-day + 1-row level aggregates broadcasts
+    "moran_geary",  # 1-row node totals + 1-row sum(u^2) broadcasts
+    "nb_quality",  # classes-bounded mass frames + 1-row MCC aggregate
+    "retrieval_metrics",  # 1-row per-query aggregate joins (queries-bounded)
+    "lorenz_revenue",  # 1-row (N, total) broadcast into the user frame
+    "important_stock",  # 1-row (total, count) broadcast into the part frame
+    "fairness_audit",  # 1-row best-keep-rate broadcast into the source frame
     "kmeans_clusters",
     "kneser_ney",
     "kruskal_wallis",
