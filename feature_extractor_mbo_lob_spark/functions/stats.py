@@ -5061,3 +5061,70 @@ def dunn_posthoc(
         F.when(vb > 0, F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
         .alias("z"),
     )
+
+
+def cliffs_delta_groups(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cliff's delta and Vargha–Delaney A between two NAMED groups —
+    the group-vs-group sibling of cliffs_delta (which compares the md5
+    experiment arms at unit level): robust ordinal effect sizes that
+    answer "how big is the difference" after mann_whitney answers "is
+    there one": δ = (#(x>y) − #(x<y))/
+    (n_a·n_b) and A = (#(x>y) + ½#(=))/(n_a·n_b) = (δ+1)/2.
+
+    Tie-exact in pure integers on the merged distinct-value grid: with
+    cumB(v) = #(y < v) and tieB(v) = #(y = v), #(x>y) = Σ_v
+    cntA(v)·cumB_below(v), all cross-multiplications exact
+    decimal(38,0)/hugeint; δ releases as a SIGNED micro trunc, A as
+    the doubled-numerator micro trunc (2·gt + eq)·10⁶ div (2·n_a·n_b).
+
+    Returns one row: (n_a, n_b, delta_micro, vda_micro).
+    """
+    b = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == group_a).cast("long").alias("ia"),
+        (F.col(group_col) == group_b).cast("long").alias("ib"),
+    )
+    g = b.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("ca"), F.sum("ib").cast("long").alias("cb")
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fr = g.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(wb), F.lit(0)).alias("cb_below"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    dec = "decimal(38,0)"
+    agg = fr.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.sum(F.col("ca").cast(dec) * F.col("cb_below")).cast(dec).alias("gt"),
+        F.sum(F.col("ca").cast(dec) * F.col("cb")).cast(dec).alias("eq"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    prod = F.expr("cast(n_a as decimal(38,0)) * n_b")
+    lt = prod - F.col("gt") - F.col("eq")
+    return agg.withColumn("_lt", lt.cast(dec)).select(
+        "n_a",
+        "n_b",
+        F.when(
+            ok,
+            F.expr("cast(((gt - _lt) * 1000000)"
+                   " div (cast(n_a as decimal(38,0)) * n_b) as bigint)"),
+        ).alias("delta_micro"),
+        F.when(
+            ok,
+            F.expr("cast(((2 * gt + eq) * 1000000)"
+                   " div (2 * cast(n_a as decimal(38,0)) * n_b) as bigint)"),
+        ).alias("vda_micro"),
+    )

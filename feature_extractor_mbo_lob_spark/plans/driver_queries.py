@@ -6319,8 +6319,8 @@ ORACLES["funnel"] = O_FUNNEL
 
 # --- cohort retention matrix -----------------------------------------------------
 
-def q_cohort_retention(spark, sf_dir):
-    """Weekly cohort retention over the events log: users bucketed by
+def q_cohort_retention_calendar(spark, sf_dir):
+    """CALENDAR-week cohort retention over the events log (the date-typed sibling of the epoch-bucket cohort_retention — was silently shadowed by it in the registry until the duplicate-key guard caught it): users bucketed by
     first-activity week, active-user counts per week offset. All-integer
     date arithmetic; one user-keyed shuffle + a cohort-matrix-sized
     aggregate (functions/corpus.cohort_retention)."""
@@ -6334,7 +6334,7 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
-O_COHORT_RETENTION = """
+O_COHORT_RETENTION_CALENDAR = """
 with f as (
   select user_id, min(cast(ts as date)) as first_day
   from events group by 1
@@ -6355,8 +6355,8 @@ select cast(cohort as varchar) as cohort, cast(wk_off as int) as week_offset,
 from pu group by 1, 2
 """
 
-QUERIES["cohort_retention"] = q_cohort_retention
-ORACLES["cohort_retention"] = O_COHORT_RETENTION
+QUERIES["cohort_retention_calendar"] = q_cohort_retention_calendar
+ORACLES["cohort_retention_calendar"] = O_COHORT_RETENTION_CALENDAR
 
 
 # --- length-bucketed dynamic batching --------------------------------------------
@@ -22259,6 +22259,162 @@ from tot, p99
 
 QUERIES["availability_gaps"] = q_availability_gaps
 ORACLES["availability_gaps"] = O_AVAILABILITY_GAPS
+
+
+# --- Cliff's delta / Vargha-Delaney A --------------------------------------------------------
+
+def q_cliffs_delta_groups(spark, sf_dir):
+    """Cliff's delta + Vargha–Delaney A (functions/stats.cliffs_delta)
+    between en and es doc lengths — the robust ordinal effect sizes
+    after mann_whitney's significance; tie-exact pure-integer pair
+    counts on the merged distinct-value grid."""
+    from ..functions.stats import cliffs_delta_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cliffs_delta_groups(docs, "n_chars", "lang", "en", "es")
+
+
+O_CLIFFS_DELTA_GROUPS = """
+with b as (select cast(n_chars as bigint) as v,
+  case when lang = 'en' then 1 else 0 end as ia,
+  case when lang = 'es' then 1 else 0 end as ib
+ from documents where lang in ('en', 'es')),
+g as (select v, cast(sum(ia) as bigint) as ca, cast(sum(ib) as bigint) as cb
+ from b group by v),
+fr as (select ca, cb,
+  coalesce(sum(cb) over (order by v rows between unbounded preceding
+                         and 1 preceding), 0) as cb_below,
+  sum(ca) over () as n_a, sum(cb) over () as n_b
+ from g),
+a as (
+  select cast(max(n_a) as bigint) as n_a, cast(max(n_b) as bigint) as n_b,
+    cast(sum(cast(ca as hugeint) * cb_below) as hugeint) as gt,
+    cast(sum(cast(ca as hugeint) * cb) as hugeint) as eq
+  from fr
+)
+select n_a, n_b,
+  case when n_a > 0 and n_b > 0 then
+    cast(((gt - (cast(n_a as hugeint) * n_b - gt - eq)) * 1000000)
+         // (cast(n_a as hugeint) * n_b) as bigint)
+  end as delta_micro,
+  case when n_a > 0 and n_b > 0 then
+    cast(((2 * gt + eq) * 1000000)
+         // (2 * cast(n_a as hugeint) * n_b) as bigint)
+  end as vda_micro
+from a
+"""
+
+QUERIES["cliffs_delta_groups"] = q_cliffs_delta_groups
+ORACLES["cliffs_delta_groups"] = O_CLIFFS_DELTA_GROUPS
+
+
+# --- Kendall's W coefficient of concordance --------------------------------------------------
+
+def q_kendalls_w(spark, sf_dir):
+    """Kendall's W concordance of the five event types' within-day
+    rankings — "how consistently do days agree on the activity
+    ordering" in [0, 1] units a cross-study reader compares (the
+    normalized view of friedman's chi-square: W = χ²/(b·(k−1)) with
+    the same tie-exact doubled midranks). One extra integer trunc
+    division over the friedman machinery."""
+    from ..functions.stats import friedman_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d"),
+        "event_type",
+        F.lit(1).alias("one"),
+    )
+    fr = friedman_test(ev, "d", "event_type", "one", _CRONBACH_ITEMS)
+    return fr.select(
+        "k",
+        "n_blocks",
+        F.when(
+            F.col("chi2_micro").isNotNull() & (F.col("n_blocks") > 0),
+            F.expr("cast(chi2_micro div (n_blocks * (k - 1)) as bigint)"),
+        ).alias("w_micro"),
+    )
+
+
+def _kendalls_w_sql() -> str:
+    inner = _friedman_sql().strip()
+    return f"""
+with fr as ({inner})
+select k, n_blocks,
+  case when chi2_micro is not null and n_blocks > 0 then
+    cast(chi2_micro // (n_blocks * (k - 1)) as bigint)
+  end as w_micro
+from fr
+"""
+
+
+O_KENDALLS_W = _kendalls_w_sql()
+
+QUERIES["kendalls_w"] = q_kendalls_w
+ORACLES["kendalls_w"] = O_KENDALLS_W
+
+
+# --- Benjamini-Yekutieli under dependence ----------------------------------------------------
+
+def q_by_fdr(spark, sf_dir):
+    """Benjamini–Yekutieli FDR control under ARBITRARY dependence over
+    the same permutation family as bh_fdr — the conservative variant
+    for correlated segments (BH's independence assumption rarely holds
+    across event types sharing users): the harmonic correction c(m) =
+    Σ1/k enters as the DEFINED quantization H_nano = Σ(10⁹ div k) —
+    a pure integer both engines compute identically — and the step-up
+    test clears to p_ppm·m·H_nano ≤ rank·q_ppm·10⁹."""
+    from pyspark.sql import Window as W_
+
+    from ..functions.stats import bh_fdr_permutation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = bh_fdr_permutation(
+        ev, "event_type", "user_id", "value", n_perms=64, q_ppm=1
+    ).select("event_type", "p_ppm", F.col("bh_rank").alias("by_rank"), "m_tests")
+    wh = W_.orderBy("by_rank").rowsBetween(W_.unboundedPreceding, W_.currentRow)
+    h_nano = F.sum(F.expr("1000000000 div by_rank")).over(
+        W_.orderBy("by_rank").rowsBetween(W_.unboundedPreceding, W_.unboundedFollowing)
+    )
+    q_ppm = 100_000
+    base2 = base.withColumn("h_nano", h_nano.cast("long"))
+    ok = (
+        F.col("p_ppm") * F.col("m_tests") * F.col("h_nano")
+        <= F.col("by_rank") * F.lit(q_ppm) * F.lit(1_000_000_000).cast("long")
+    ).cast("int")
+    wall = W_.orderBy("by_rank").rowsBetween(
+        W_.unboundedPreceding, W_.unboundedFollowing
+    )
+    out = base2.withColumn("_ok", ok).withColumn(
+        "k_star",
+        F.max(F.when(F.col("_ok") == 1, F.col("by_rank")).otherwise(0))
+        .over(wall).cast("long"),
+    )
+    return out.select(
+        "event_type", "p_ppm", "by_rank", "m_tests", "h_nano",
+        (F.col("by_rank") <= F.col("k_star")).cast("int").alias("reject"),
+    )
+
+
+O_BY_FDR = f"""
+with bh as ({_bh_fdr_oracle(64, 1)}),
+h as (
+  select *, cast(sum(1000000000 // bh_rank) over () as bigint) as h_nano
+  from bh
+),
+k as (
+  select *,
+    max(case when p_ppm * m_tests * h_nano
+              <= bh_rank * 100000 * cast(1000000000 as bigint)
+         then bh_rank else 0 end) over () as k_star
+  from h
+)
+select event_type, p_ppm, bh_rank as by_rank, m_tests, h_nano,
+  cast(case when bh_rank <= k_star then 1 else 0 end as int) as reject
+from k
+"""
+
+QUERIES["by_fdr"] = q_by_fdr
+ORACLES["by_fdr"] = O_BY_FDR
 
 
 def _reorder_registry() -> None:

@@ -33,3 +33,23 @@ def test_oracle_sql_executes_in_duckdb(con, name):
     # misses (recursive-CTE termination, cast overflows, list indexing)
     rows = con.sql(ORACLES[name]).fetchall()
     assert rows is not None
+
+
+def test_no_shadowed_registrations():
+    """Every `QUERIES["name"] =` statement in the source must survive
+    into the dict — a duplicate key would silently overwrite an
+    earlier operator (caught live twice: funnel, cliffs_delta)."""
+    import re
+    from collections import Counter
+    from pathlib import Path
+
+    import feature_extractor_mbo_lob_spark.plans.driver_queries as dq
+
+    src = Path(dq.__file__).read_text()
+    names = re.findall(r'^QUERIES\["([a-z_0-9]+)"\] = ', src, re.M)
+    dupes = [n for n, c in Counter(names).items() if c > 1]
+    assert not dupes, f"shadowed registrations: {dupes}"
+    # every literal registration must have survived (programmatic
+    # registrations — loops/helpers — account for the rest of the dict)
+    missing = [n for n in names if n not in dq.QUERIES]
+    assert not missing, f"literal registrations missing from dict: {missing}"

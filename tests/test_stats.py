@@ -1881,3 +1881,74 @@ def test_km_greenwood_hand_case(spark, tmp_path):
             assert r.s_t == 1.0
         if r.greenwood_se is not None:
             assert r.greenwood_se >= 0.0
+
+
+def test_cliffs_delta_hand_cases(spark):
+    """Fully separated groups: delta = 1, A = 1; identical groups:
+    delta = 0, A = 0.5; a tied mixed case replicated by counting."""
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        cliffs_delta_groups,
+    )
+
+    sep = spark.createDataFrame(
+        [("a", 10), ("a", 9), ("b", 1), ("b", 2)], "g string, x long"
+    )
+    r = cliffs_delta_groups(sep, "x", "g", "a", "b").collect()[0]
+    assert (r.delta_micro, r.vda_micro) == (1000000, 1000000)
+
+    same = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 5), ("b", 7)], "g string, x long"
+    )
+    r2 = cliffs_delta_groups(same, "x", "g", "a", "b").collect()[0]
+    assert (r2.delta_micro, r2.vda_micro) == (0, 500000)
+
+    # a=[1,3], b=[2,3]: gt pairs (3>2)=1, eq (3=3)=1, lt (1<2),(1<3),(3? no)
+    mixed = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 2), ("b", 3)], "g string, x long"
+    )
+    r3 = cliffs_delta_groups(mixed, "x", "g", "a", "b").collect()[0]
+    # gt=1, eq=1, lt=2; delta = (1-2)/4 = -0.25; A = (2+1)/8 = 0.375
+    assert r3.delta_micro == -250000 and r3.vda_micro == 375000
+
+
+def test_kendalls_w_perfect_consistency(spark, tmp_path):
+    """Perfectly consistent day rankings -> W = 1 (chi2 = b(k-1))."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 6)
+    rows, eid = [], 0
+    counts = {"click": 5, "purchase": 4, "error": 3, "signup": 2, "view": 1}
+    for day in range(3):
+        for et, c in counts.items():
+            for _ in range(c):
+                eid += 1
+                rows.append((eid, t0 + dt.timedelta(days=day), 1, et, 0.0, ""))
+    sf = tmp_path / "kw"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    r = QUERIES["kendalls_w"](spark, str(sf)).collect()[0]
+    assert (r.k, r.n_blocks, r.w_micro) == (5, 3, 1000000)
+
+
+def test_by_is_more_conservative_than_bh(spark):
+    """On the same family, every BY rejection is also a BH rejection
+    (the harmonic factor only shrinks the rejection set)."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.functions.stats import bh_fdr_permutation
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    spark_df = spark.read.parquet(f"{sf}/events.parquet")
+    bh = {r.event_type: r.reject for r in bh_fdr_permutation(
+        spark_df, "event_type", "user_id", "value", n_perms=64,
+        q_ppm=100_000).collect()}
+    by = {r.event_type: r.reject for r in QUERIES["by_fdr"](spark, sf).collect()}
+    for et, rej in by.items():
+        if rej:
+            assert bh[et] == 1, et

@@ -2650,6 +2650,33 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "Cliff's delta (groups)",
+        QUERIES["cliffs_delta_groups"](spark, tiny),
+        "Merged distinct-value grid, two cumulative windows, one "
+        "integer reduction; signed micro trunc releases.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Kendall's W",
+        QUERIES["kendalls_w"](spark, tiny),
+        "The friedman pivot machinery plus one integer trunc division "
+        "— no extra pass.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Benjamini-Yekutieli FDR",
+        QUERIES["by_fdr"](spark, tiny),
+        "Reuses the BH permutation pipeline; the harmonic factor is a "
+        "defined integer quantization summed on the m-row frame.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
