@@ -22417,6 +22417,184 @@ QUERIES["by_fdr"] = q_by_fdr
 ORACLES["by_fdr"] = O_BY_FDR
 
 
+# --- simplified silhouette of the certified k-means ------------------------------------------
+
+def q_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette of the certified 2-round
+    Lloyd k-means — the INTERNAL clustering validity number beside the
+    external v_measure/ari (those need labels; this doesn't): with
+    cosine dissimilarity a = 1 − cos(x, own centroid) and b = 1 − cos
+    (x, runner-up centroid), s = (b − a)/max(a, b) = (cc₁ − cc₂)/
+    max(1−cc₁, 1−cc₂) per point. Each point's s quantizes to micro
+    BEFORE the per-cluster mean (order-free integer sum, trunc-division
+    mean); s = 0 when both dissimilarities vanish. The oracle composes
+    the unrolled k-means SQL and reuses its final scoring frame."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    _asg, cents = similarity.kmeans_lloyd(emb, k=4, iters=2)
+    sc = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        similarity.cosine(F.col("embedding"), F.col("_cv")).alias("cc"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cc").desc(), "centroid_id")
+    rk = sc.withColumn("r", F.row_number().over(w))
+    a = rk.filter(F.col("r") == 1).select(
+        "vec_id", F.col("centroid_id").alias("cluster"), F.col("cc").alias("cc1")
+    )
+    b = rk.filter(F.col("r") == 2).select("vec_id", F.col("cc").alias("cc2"))
+    pt = a.join(b, "vec_id")
+    denom = F.greatest(F.lit(1.0) - F.col("cc1"), F.lit(1.0) - F.col("cc2"))
+    s_micro = F.when(
+        denom > 0,
+        F.floor((F.col("cc1") - F.col("cc2")) / denom * F.lit(1e6) + F.lit(0.5))
+        .cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return pt.select(F.col("cluster").cast("int").alias("cluster"),
+                     s_micro.alias("s")).groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.expr("cast(sum(s) div count(*) as bigint)").alias("mean_sil_micro"),
+    )
+
+
+O_SILHOUETTE = _kmeans_oracle().rsplit("select vec_id", 1)[0] + """,
+rk as (
+  select vec_id, centroid_id, cc,
+    row_number() over (partition by vec_id order by cc desc, centroid_id) as r
+  from sc3
+),
+pt as (
+  select a.vec_id, a.centroid_id as cluster, a.cc as cc1, b.cc as cc2
+  from rk a join rk b on a.vec_id = b.vec_id and a.r = 1 and b.r = 2
+),
+sil as (
+  select cluster,
+    case when greatest(1.0 - cc1, 1.0 - cc2) > 0 then
+      cast(floor(((cc1 - cc2) / greatest(1.0 - cc1, 1.0 - cc2))
+                 * 1000000.0 + 0.5) as bigint)
+    else 0 end as s
+  from pt
+)
+select cast(cluster as int) as cluster, cast(count(*) as bigint) as n_points,
+  cast(sum(s) // count(*) as bigint) as mean_sil_micro
+from sil group by 1
+"""
+
+QUERIES["silhouette"] = q_silhouette
+ORACLES["silhouette"] = O_SILHOUETTE
+
+
+# --- TOST equivalence + MDE ------------------------------------------------------------------
+
+def q_tost_mde(spark, sf_dir):
+    """TOST equivalence test and minimum-detectable-effect for the
+    en-vs-es mean document length — the experiment-DESIGN pair a
+    significance test can't give ("are they the same within ±20
+    chars" and "how small a shift could this sample even see"): on
+    the Welch standard error from cleared integer moments, t_lower =
+    (diff + 20)/se, t_upper = (diff − 20)/se, equivalent iff t_lower
+    ≥ 1.644854 AND t_upper ≤ −1.644854 (one-sided 95% literals), and
+    MDE = (1.959964 + 0.841621)·se (α = 5% two-sided, 80% power) —
+    every float one fixed-order IEEE expression of the six exact
+    integers."""
+    dec = "decimal(38,0)"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("lang").isin("en", "es")
+    ).select(
+        (F.col("lang") == "en").cast("int").alias("ia"),
+        F.col("n_chars").cast("long").alias("x"),
+    )
+    def moms(flag, tag):
+        p = F.when(F.col("ia") == flag, F.lit(1)).otherwise(F.lit(0)).cast(dec)
+        return [
+            F.sum(p).cast(dec).alias(f"n_{tag}"),
+            F.sum(p * F.col("x")).cast(dec).alias(f"s_{tag}"),
+            F.sum(p * F.col("x") * F.col("x")).cast(dec).alias(f"q_{tag}"),
+        ]
+    agg = docs.agg(*(moms(1, "a") + moms(0, "b")))
+    c = F.col
+    aa = (c("n_a") * c("q_a") - c("s_a") * c("s_a")).cast("double")
+    ab = (c("n_b") * c("q_b") - c("s_b") * c("s_b")).cast("double")
+    na, nb = c("n_a").cast("double"), c("n_b").cast("double")
+    se = F.sqrt(
+        aa / (na * na * (na - F.lit(1.0))) + ab / (nb * nb * (nb - F.lit(1.0)))
+    )
+    diff = c("s_a").cast("double") / na - c("s_b").cast("double") / nb
+    margin = F.lit(20.0)
+    t_lo = (diff + margin) / se
+    t_hi = (diff - margin) / se
+    z1 = F.lit(1.644854)
+    mde = (F.lit(1.959964) + F.lit(0.841621)) * se
+    ok = (c("n_a") >= 2) & (c("n_b") >= 2) & ((aa > 0) | (ab > 0))
+    return agg.select(
+        c("n_a").cast("long").alias("n_a"),
+        c("n_b").cast("long").alias("n_b"),
+        F.when(ok, F.floor(t_lo * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("t_lower"),
+        F.when(ok, F.floor(t_hi * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("t_upper"),
+        F.when(ok, ((t_lo >= z1) & (t_hi <= -z1)).cast("int"))
+        .alias("equivalent"),
+        F.when(ok, F.floor(mde * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("mde_chars"),
+    )
+
+
+O_TOST_MDE = """
+with v as (
+  select case when lang = 'en' then 1 else 0 end as ia,
+    cast(n_chars as bigint) as x
+  from documents where lang in ('en', 'es')
+),
+m as (
+  select
+    cast(sum(ia) as hugeint) as n_a,
+    cast(sum(ia * x) as hugeint) as s_a,
+    cast(sum(ia * cast(x as hugeint) * x) as hugeint) as q_a,
+    cast(sum(1 - ia) as hugeint) as n_b,
+    cast(sum((1 - ia) * x) as hugeint) as s_b,
+    cast(sum((1 - ia) * cast(x as hugeint) * x) as hugeint) as q_b
+  from v
+),
+r as (
+  select cast(n_a as bigint) as n_a, cast(n_b as bigint) as n_b,
+    cast(n_a * q_a - s_a * s_a as double) as aa,
+    cast(n_b * q_b - s_b * s_b as double) as ab,
+    cast(n_a as double) as nad, cast(n_b as double) as nbd,
+    cast(s_a as double) as sad, cast(s_b as double) as sbd
+  from m
+),
+x as (
+  select n_a, n_b, aa, ab,
+    sqrt(aa / (nad * nad * (nad - 1.0)) + ab / (nbd * nbd * (nbd - 1.0))) as se,
+    sad / nad - sbd / nbd as diff
+  from r
+)
+select n_a, n_b,
+  case when n_a >= 2 and n_b >= 2 and (aa > 0 or ab > 0) then
+    floor(((diff + 20.0) / se) * 1000000.0 + 0.5) / 1000000.0
+  end as t_lower,
+  case when n_a >= 2 and n_b >= 2 and (aa > 0 or ab > 0) then
+    floor(((diff - 20.0) / se) * 1000000.0 + 0.5) / 1000000.0
+  end as t_upper,
+  case when n_a >= 2 and n_b >= 2 and (aa > 0 or ab > 0) then
+    cast(case when (diff + 20.0) / se >= 1.644854
+               and (diff - 20.0) / se <= -1.644854
+         then 1 else 0 end as int)
+  end as equivalent,
+  case when n_a >= 2 and n_b >= 2 and (aa > 0 or ab > 0) then
+    floor(((1.959964 + 0.841621) * se) * 1000000.0 + 0.5) / 1000000.0
+  end as mde_chars
+from x
+"""
+
+QUERIES["tost_mde"] = q_tost_mde
+ORACLES["tost_mde"] = O_TOST_MDE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -872,3 +872,28 @@ def test_retrieval_metrics_singletons_and_duplicate(spark, tmp_path):
     assert r.mean_ndcg_ppm == (2 * ndcg1) // 9
     assert r.mean_ap_ppm == (2 * ap1) // 9
     assert r.mean_prec10_ppm == (2 * 100000) // 9
+
+
+def test_silhouette_separated_clusters(spark, tmp_path):
+    """Two tight orthogonal clusters (k=4 degenerates to 2 non-empty):
+    every point's runner-up centroid is the other cluster, so the mean
+    simplified silhouette of each populated cluster is strongly
+    positive; identical-point clusters give s near 1."""
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    dim = 8
+    rows = []
+    for i in range(6):  # cluster on axis 0
+        v = [0.0] * dim; v[0] = 1.0; v[1] = 0.001 * i
+        rows.append((i + 1, v))
+    for i in range(6):  # cluster on axis 2
+        v = [0.0] * dim; v[2] = 1.0; v[3] = 0.001 * i
+        rows.append((100 + i, v))
+    sf = tmp_path / "sil"
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .coalesce(1).write.parquet(str(sf / "embeddings.parquet"))
+    out = QUERIES["silhouette"](spark, str(sf)).collect()
+    assert sum(r.n_points for r in out) == 12
+    for r in out:
+        if r.n_points >= 6:
+            assert r.mean_sil_micro > 900000, r

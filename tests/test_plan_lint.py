@@ -69,6 +69,12 @@ BNLJ_ALLOWED = {
     "capture_recapture",  # 1-row corpus-vocab total broadcast into the per-source frame
     "minhash_recall",  # 1-row candidate-count broadcast joined to the 1-row hit aggregate
     "rfm_segments",  # 1-row max-date / N-users totals broadcasts into the user frame
+    "silhouette",  # k-row centroid table broadcast into the point frame
+    "tost_mde",  # single 1-row moment aggregate (no join at all; listed for the cross-join-free check)
+    "cliffs_delta_groups",  # 1-row totals on the distinct-value frame
+    "kendalls_w",  # friedman pivot machinery (1-row aggregates)
+    "by_fdr",  # m-row p-frame windows + 1-row harmonic total
+    "cohort_retention_calendar",  # 1-row cohort-size broadcasts
     "availability_gaps",  # 1-row p99 aggregate joined to the 1-row totals
     "dunn",  # k-row group frame pairs + 1-row (N, T) totals broadcasts
     "user_funnel",  # three 1-row stage-count aggregates joined

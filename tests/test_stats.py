@@ -1952,3 +1952,36 @@ def test_by_is_more_conservative_than_bh(spark):
     for et, rej in by.items():
         if rej:
             assert bh[et] == 1, et
+
+
+def test_tost_mde_equivalence_flag(spark, tmp_path):
+    """Near-identical groups within the ±20-char margin are declared
+    equivalent and MDE replays from the Welch se; a 100-char shift is
+    NOT equivalent."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def write(path, shift):
+        rows = [(i, "t", "en", "s", 100 + (i % 9)) for i in range(40)]
+        rows += [(100 + i, "t", "es", "s", 100 + shift + (i % 9))
+                 for i in range(40)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(path / "documents.parquet"))
+        return str(path)
+
+    sf = write(tmp_path / "same", 0)
+    r = QUERIES["tost_mde"](spark, sf).collect()[0]
+    assert r.equivalent == 1
+    # replay MDE from the cleared moments
+    xs = [100 + (i % 9) for i in range(40)]
+    n = 40; s = sum(xs); q = sum(x * x for x in xs)
+    a = float(n * q - s * s)
+    se = math.sqrt(a / (n * n * (n - 1.0)) + a / (n * n * (n - 1.0)))
+    mde = (1.959964 + 0.841621) * se
+    assert r.mde_chars == math.floor(mde * 1e6 + 0.5) / 1e6
+
+    sf2 = write(tmp_path / "shift", 100)
+    assert QUERIES["tost_mde"](spark, sf2).collect()[0].equivalent == 0

@@ -2677,6 +2677,26 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    sections.append(summarize(
+        "simplified silhouette",
+        QUERIES["silhouette"](spark, tiny),
+        "k-row centroid table broadcast into the point frame; one "
+        "per-point rank window over k rows; micro-quantized s BEFORE "
+        "the order-free per-cluster mean.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "TOST equivalence + MDE",
+        QUERIES["tost_mde"](spark, tiny),
+        "ONE conditional moment aggregate; every released float a "
+        "fixed-order IEEE expression of six exact integers. No joins, "
+        "no windows.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
