@@ -5128,3 +5128,91 @@ def cliffs_delta_groups(
                    " div (2 * cast(n_a as decimal(38,0)) * n_b) as bigint)"),
         ).alias("vda_micro"),
     )
+
+
+def huber_location(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    c_milli: int = 1345,
+) -> DataFrame:
+    """One-step Huber M-estimate of location per group — the robust
+    center that uses ALL the data trimmed_mean throws away and the
+    median ignores: starting from the exact lower median m₀ and MAD s,
+    one reweighting step with the Huber weight w = min(1, c·s/|x−m₀|)
+    (c = 1.345, the 95%-efficiency constant, as the integer literal
+    c_milli).
+
+    DEFINED as the one-step estimator (not iterated to convergence —
+    iteration is path-dependent; one step from the median is already
+    robust and engine-exact): weights quantize to micro by the trunc
+    division w_micro = min(10⁶, (c_milli·s·10⁶) div (1000·d)) with
+    d = |x − m₀| — pure integers — and the release
+    huber_micro = (Σw·x·10⁶) div Σw is one trunc division. s = 0
+    degenerates to the median (only d = 0 points carry weight).
+
+    Scale shape: two distinct-value cumulative windows (median, MAD),
+    two broadcast joins back, one weighted aggregate.
+
+    Returns per group: (group, n, m0, mad, huber_micro).
+    """
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("x")
+    )
+
+    def lower_median(frame, col, out):
+        g = frame.groupBy("grp", col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        wp = (
+            Window.partitionBy("grp")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wa = (
+            Window.partitionBy("grp")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        return (
+            g.select(
+                "grp",
+                F.col(col),
+                F.sum("c").over(wp).alias("cum"),
+                F.sum("c").over(wa).alias("n"),
+            )
+            .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("grp")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = lower_median(vals, "x", "m0")
+    dev = vals.join(F.broadcast(med), "grp").select(
+        "grp", "x", "m0", F.abs(F.col("x") - F.col("m0")).alias("d")
+    )
+    mad = lower_median(dev.select("grp", F.col("d").alias("x")), "x", "mad")
+    j = dev.join(F.broadcast(mad), "grp")
+    w_micro = F.when(
+        F.lit(1000) * F.col("d") <= F.lit(int(c_milli)) * F.col("mad"),
+        F.lit(1_000_000).cast("long"),
+    ).otherwise(
+        F.expr(f"cast(({int(c_milli)} * mad * 1000000) div (1000 * d) as bigint)")
+    )
+    agg = j.select(
+        "grp", "x", "m0", "mad", w_micro.alias("w")
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("m0").alias("m0"),
+        F.max("mad").alias("mad"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)").alias("wx"),
+        F.sum("w").cast("decimal(38,0)").alias("wsum"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "m0",
+        "mad",
+        F.when(
+            F.col("wsum") > 0,
+            F.expr("cast((wx * 1000000) div wsum as bigint)"),
+        ).alias("huber_micro"),
+    )

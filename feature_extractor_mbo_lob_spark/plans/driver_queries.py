@@ -22595,6 +22595,253 @@ QUERIES["tost_mde"] = q_tost_mde
 ORACLES["tost_mde"] = O_TOST_MDE
 
 
+# --- Huber one-step robust location ----------------------------------------------------------
+
+def q_huber_location(spark, sf_dir):
+    """One-step Huber M-location of document lengths per source
+    (functions/stats.huber_location) — the robust center that uses the
+    data trimmed_mean discards; defined one-step from the exact median
+    + MAD with micro-quantized Huber weights, released as one trunc
+    division."""
+    from ..functions.stats import huber_location
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return huber_location(docs, "source", "n_chars")
+
+
+O_HUBER_LOCATION = """
+with vals as (select source as grp, cast(n_chars as bigint) as x from documents),
+g1 as (select grp, x, cast(count(*) as bigint) as c from vals group by 1, 2),
+m1 as (
+  select grp, min(x) as m0 from (
+    select grp, x,
+      sum(c) over (partition by grp order by x
+        rows between unbounded preceding and current row) as cum,
+      sum(c) over (partition by grp) as n
+    from g1
+  ) where cum >= (n + 1) // 2
+  group by 1
+),
+dev as (
+  select v.grp, v.x, abs(v.x - m1.m0) as d, m1.m0
+  from vals v join m1 on v.grp = m1.grp
+),
+g2 as (select grp, d, cast(count(*) as bigint) as c from dev group by 1, 2),
+m2 as (
+  select grp, min(d) as mad from (
+    select grp, d,
+      sum(c) over (partition by grp order by d
+        rows between unbounded preceding and current row) as cum,
+      sum(c) over (partition by grp) as n
+    from g2
+  ) where cum >= (n + 1) // 2
+  group by 1
+),
+wts as (
+  select dev.grp, dev.x, dev.m0, m2.mad,
+    case when 1000 * dev.d <= 1345 * m2.mad then cast(1000000 as bigint)
+         else cast((1345 * m2.mad * 1000000) // (1000 * dev.d) as bigint)
+    end as w
+  from dev join m2 on dev.grp = m2.grp
+)
+select grp as source, cast(count(*) as bigint) as n,
+  cast(max(m0) as bigint) as m0, cast(max(mad) as bigint) as mad,
+  case when sum(w) > 0 then
+    cast((sum(cast(w as hugeint) * x) * 1000000)
+         // cast(sum(cast(w as hugeint)) as hugeint) as bigint)
+  end as huber_micro
+from wts group by 1
+"""
+
+QUERIES["huber_location"] = q_huber_location
+ORACLES["huber_location"] = O_HUBER_LOCATION
+
+
+# --- upper tail dependence -------------------------------------------------------------------
+
+def q_tail_dependence(spark, sf_dir):
+    """Empirical upper-tail dependence between daily purchase and
+    click counts — "when one series spikes, does the other" (the
+    JOINT-extremes question partial_correlation's whole-body
+    covariance cannot answer; independent series give λ ≈ 0.1 at the
+    q90 threshold, comonotone give 1): thresholds are the exact
+    integer order statistics min{v : 10·cum ≥ 9·n} per series,
+    exceedance and co-exceedance counts pure integers,
+    λ = co·10⁶ div n_x one trunc division."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long").alias("x"),
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("long").alias("y"),
+    )
+
+    def q90(col):
+        from pyspark.sql import Window as W_
+        g = daily.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        wc = W_.orderBy(col).rowsBetween(W_.unboundedPreceding, W_.currentRow)
+        wa = W_.orderBy(col).rowsBetween(
+            W_.unboundedPreceding, W_.unboundedFollowing
+        )
+        return (
+            g.select(
+                F.col(col),
+                F.sum("c").over(wc).alias("cum"),
+                F.sum("c").over(wa).alias("n"),
+            )
+            .filter(F.col("cum") * 10 >= F.col("n") * 9)
+            .agg(F.min(col).alias(f"u_{col}"))
+            .withColumn("_k", F.lit(1))
+        )
+
+    ux, uy = q90("x"), q90("y")
+    j = daily.withColumn("_k", F.lit(1)) \
+        .join(F.broadcast(ux), "_k").join(F.broadcast(uy), "_k")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum((F.col("x") > F.col("u_x")).cast("long")).cast("long")
+        .alias("n_x_exceed"),
+        F.sum(((F.col("x") > F.col("u_x")) & (F.col("y") > F.col("u_y")))
+              .cast("long")).cast("long").alias("n_co_exceed"),
+    )
+    return agg.select(
+        "n_days",
+        "n_x_exceed",
+        "n_co_exceed",
+        F.when(
+            F.col("n_x_exceed") > 0,
+            F.expr("cast((n_co_exceed * 1000000) div n_x_exceed as bigint)"),
+        ).alias("lambda_u_ppm"),
+    )
+
+
+O_TAIL_DEPENDENCE = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as x,
+    cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as y
+  from events group by 1
+),
+gx as (select x as v, count(*) as c from daily group by 1),
+qx as (
+  select min(v) as u_x from (
+    select v, sum(c) over (order by v rows between unbounded preceding
+      and current row) as cum, sum(c) over () as n
+    from gx
+  ) where cum * 10 >= n * 9
+),
+gy as (select y as v, count(*) as c from daily group by 1),
+qy as (
+  select min(v) as u_y from (
+    select v, sum(c) over (order by v rows between unbounded preceding
+      and current row) as cum, sum(c) over () as n
+    from gy
+  ) where cum * 10 >= n * 9
+),
+a as (
+  select cast(count(*) as bigint) as n_days,
+    cast(sum(case when x > (select u_x from qx) then 1 else 0 end) as bigint)
+      as n_x_exceed,
+    cast(sum(case when x > (select u_x from qx)
+              and y > (select u_y from qy) then 1 else 0 end) as bigint)
+      as n_co_exceed
+  from daily
+)
+select n_days, n_x_exceed, n_co_exceed,
+  case when n_x_exceed > 0 then
+    cast((n_co_exceed * 1000000) // n_x_exceed as bigint)
+  end as lambda_u_ppm
+from a
+"""
+
+QUERIES["tail_dependence"] = q_tail_dependence
+ORACLES["tail_dependence"] = O_TAIL_DEPENDENCE
+
+
+# --- peaks over threshold --------------------------------------------------------------------
+
+def q_peaks_over_threshold(spark, sf_dir):
+    """Peaks-over-threshold summary of the daily event counts at the
+    exact q90 order statistic — the extreme-value view (mean excess ≈
+    GPD scale; n_exceed per year ≈ return frequency) that a capacity
+    planner reads where variance-based stats saturate: threshold,
+    exceedance count, mean excess (exact micro trunc), and the max —
+    all pure integers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    from pyspark.sql import Window as W_
+    g = daily.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = W_.orderBy("y").rowsBetween(W_.unboundedPreceding, W_.currentRow)
+    wa = W_.orderBy("y").rowsBetween(W_.unboundedPreceding, W_.unboundedFollowing)
+    u = (
+        g.select(
+            "y",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wa).alias("n"),
+        )
+        .filter(F.col("cum") * 10 >= F.col("n") * 9)
+        .agg(F.min("y").alias("u"))
+        .withColumn("_k", F.lit(1))
+    )
+    j = daily.withColumn("_k", F.lit(1)).join(F.broadcast(u), "_k")
+    agg = j.agg(
+        F.max("u").cast("long").alias("threshold"),
+        F.sum((F.col("y") > F.col("u")).cast("long")).cast("long")
+        .alias("n_exceed"),
+        F.sum(F.when(F.col("y") > F.col("u"), F.col("y") - F.col("u"))
+              .otherwise(F.lit(0))).cast("long").alias("sum_excess"),
+        F.max("y").cast("long").alias("max_daily"),
+    )
+    return agg.select(
+        "threshold",
+        "n_exceed",
+        F.when(
+            F.col("n_exceed") > 0,
+            F.expr("cast((sum_excess * 1000000) div n_exceed as bigint)"),
+        ).alias("mean_excess_micro"),
+        "max_daily",
+    )
+
+
+O_PEAKS_OVER_THRESHOLD = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+g as (select y, count(*) as c from daily group by 1),
+q as (
+  select min(y) as u from (
+    select y, sum(c) over (order by y rows between unbounded preceding
+      and current row) as cum, sum(c) over () as n
+    from g
+  ) where cum * 10 >= n * 9
+),
+a as (
+  select (select u from q) as threshold,
+    cast(sum(case when y > (select u from q) then 1 else 0 end) as bigint)
+      as n_exceed,
+    cast(sum(case when y > (select u from q) then y - (select u from q)
+              else 0 end) as bigint) as sum_excess,
+    cast(max(y) as bigint) as max_daily
+  from daily
+)
+select cast(threshold as bigint) as threshold, n_exceed,
+  case when n_exceed > 0 then
+    cast((sum_excess * 1000000) // n_exceed as bigint)
+  end as mean_excess_micro,
+  max_daily
+from a
+"""
+
+QUERIES["peaks_over_threshold"] = q_peaks_over_threshold
+ORACLES["peaks_over_threshold"] = O_PEAKS_OVER_THRESHOLD
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -1985,3 +1985,63 @@ def test_tost_mde_equivalence_flag(spark, tmp_path):
 
     sf2 = write(tmp_path / "shift", 100)
     assert QUERIES["tost_mde"](spark, sf2).collect()[0].equivalent == 0
+
+
+def test_huber_location_hand_cases(spark):
+    """Symmetric data with one wild outlier: Huber sits near the bulk
+    (between median and mean, far from the outlier); replicated through
+    the exact integer weight pipeline. MAD = 0 degenerates to the
+    median."""
+    from feature_extractor_mbo_lob_spark.functions.stats import huber_location
+
+    xs = [10, 11, 12, 13, 14, 1000]
+    df = spark.createDataFrame([("a", x) for x in xs], "g string, x long")
+    r = huber_location(df, "g", "x").collect()[0]
+    # m0 = lower median of sorted [10..14,1000] -> 12; d = [2,1,0,1,2,988]
+    # mad = lower median of [0,1,1,2,2,988] -> 1
+    assert (r.m0, r.mad) == (12, 1)
+    T = 1345 * 1  # c_milli * mad
+    ws = [1_000_000 if 1000 * abs(x - 12) <= T else (T * 1_000_000) // (1000 * abs(x - 12))
+          for x in xs]
+    expect = (sum(w * x for w, x in zip(ws, xs)) * 1_000_000) // sum(ws)
+    assert r.huber_micro == expect
+    assert 12_000_000 <= r.huber_micro <= 14_000_000  # near the bulk, not 1000
+
+    const = spark.createDataFrame(
+        [("b", 5), ("b", 5), ("b", 9)], "g string, x long"
+    )
+    r2 = huber_location(const, "g", "x").collect()[0]
+    assert (r2.m0, r2.mad) == (5, 0)
+    assert r2.huber_micro == 5_000_000  # only d=0 points carry weight
+
+
+def test_tail_dependence_and_pot_hand_cases(spark, tmp_path):
+    """Comonotone daily series -> lambda_U = 1; engineered exceedances
+    pin the POT threshold and mean excess."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 20 days; day i has i+1 purchases and i+1 clicks (comonotone)
+    for day in range(20):
+        for _ in range(day + 1):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(days=day), 1, "purchase", 0.0, ""))
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(days=day), 1, "click", 0.0, ""))
+    sf = tmp_path / "tail"
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(sf / "events.parquet"))
+    r = QUERIES["tail_dependence"](spark, str(sf)).collect()[0]
+    assert r.n_days == 20 and r.n_x_exceed > 0
+    assert r.lambda_u_ppm == 1000000  # perfectly comonotone
+
+    p = QUERIES["peaks_over_threshold"](spark, str(sf)).collect()[0]
+    # daily totals are 2,4,...,40; q90 threshold = value with 10*cum >= 9*20
+    # -> 18th distinct value -> 36; exceed: 38,40 -> mean excess (2+4)/2 = 3
+    assert (p.threshold, p.n_exceed, p.max_daily) == (36, 2, 40)
+    assert p.mean_excess_micro == 3_000_000

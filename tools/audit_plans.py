@@ -2697,6 +2697,35 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "Huber one-step location",
+        QUERIES["huber_location"](spark, tiny),
+        "Two distinct-value cumulative windows (median, MAD), two "
+        "broadcast joins back, one weighted aggregate; all-integer "
+        "micro weights.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "upper tail dependence",
+        QUERIES["tail_dependence"](spark, tiny),
+        "Exact q90 order statistics per series on distinct-value "
+        "frames; two 1-row threshold broadcasts; one counting "
+        "aggregate.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "peaks over threshold",
+        QUERIES["peaks_over_threshold"](spark, tiny),
+        "Exact q90 order statistic, 1-row threshold broadcast, one "
+        "counting aggregate; pure integers.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
