@@ -5216,3 +5216,164 @@ def huber_location(
             F.expr("cast((wx * 1000000) div wsum as bigint)"),
         ).alias("huber_micro"),
     )
+
+
+def arch_lm(
+    series: DataFrame,
+    idx_col: str = "d",
+    y_col: str = "y",
+) -> DataFrame:
+    """Engle's ARCH-LM test (lag 1) for volatility clustering in the
+    daily series — ljung_box asks "do LEVELS remember"; this asks "do
+    MAGNITUDES remember" (calm days following calm days is invisible
+    to level autocorrelation but breaks every homoskedastic CI):
+    LM = n·R² of regressing x_t = d_t² on x_{t−1}, where d_t is the
+    FIRST DIFFERENCE of the densified series (differencing detrends
+    exactly and keeps everything integer — no mean clearing needed,
+    so the fourth powers stay inside decimal(38,0) to daily counts of
+    ~10⁸; documented bound).
+
+    R² = A_xy²/(A_xx·A_yy) from exact integer moments of the (x_t,
+    x_{t−1}) overlap; LM releases as one fixed-order IEEE expression;
+    NULL when either variance term is 0 (constant magnitudes).
+
+    Returns one row: (n_pairs, lm_stat).
+    """
+    agg = series.groupBy(F.col(idx_col).cast("long").alias("_i")).agg(
+        F.sum(F.col(y_col).cast("long")).alias("_y")
+    )
+    rng = agg.agg(F.min("_i").alias("_lo"), F.max("_i").alias("_hi"))
+    dense = (
+        rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_i"))
+        .join(agg, "_i", "left")
+        .select("_i", F.coalesce("_y", F.lit(0)).alias("_y"))
+    )
+    w = Window.orderBy("_i")
+    d = dense.select(
+        "_i", (F.col("_y") - F.lag("_y").over(w)).alias("_d")
+    ).filter(F.col("_d").isNotNull())
+    x = d.select(
+        "_i", (F.col("_d").cast("decimal(38,0)") * F.col("_d")).alias("_x")
+    )
+    pairs = x.select(
+        F.col("_x").alias("xt"),
+        F.lag("_x").over(Window.orderBy("_i")).alias("xl"),
+    ).filter(F.col("xl").isNotNull())
+    dec = "decimal(38,0)"
+    m = pairs.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("xt").cast(dec).alias("st"),
+        F.sum("xl").cast(dec).alias("sl"),
+        F.sum(F.col("xt") * F.col("xt")).cast(dec).alias("qt"),
+        F.sum(F.col("xl") * F.col("xl")).cast(dec).alias("ql"),
+        F.sum(F.col("xt") * F.col("xl")).cast(dec).alias("qc"),
+    )
+    axx = (F.col("n") * F.col("ql") - F.col("sl") * F.col("sl")).cast("double")
+    ayy = (F.col("n") * F.col("qt") - F.col("st") * F.col("st")).cast("double")
+    axy = (F.col("n") * F.col("qc") - F.col("sl") * F.col("st")).cast("double")
+    lm = F.col("n").cast("double") * (axy * axy) / (axx * ayy)
+    return m.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(
+            (axx > 0) & (ayy > 0),
+            F.floor(lm * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("lm_stat"),
+    )
+
+
+def records_test(
+    series: DataFrame,
+    idx_col: str = "d",
+    y_col: str = "y",
+) -> DataFrame:
+    """Record-breaking count test: the number of STRICT running-max
+    records R in the series versus the iid expectation E[R] = H_n and
+    Var[R] = H_n − H_n⁽²⁾ (records are distribution-free — any iid
+    series has the same law, so this gate needs no moments at all;
+    a trend inflates R, mean reversion suppresses it).
+
+    R is a pure integer (running max via one window, strict
+    inequality); the harmonic numbers enter as DEFINED integer
+    quantizations H_nano = Σ(10⁹ div k) and H2_nano = Σ(10⁹ div k²),
+    summed over the in-frame rank column — so
+    z = (R − H/10⁹)/√((H − H2)/10⁹) is one fixed-order IEEE
+    expression of exact integers; NULL when Var ≤ 0 (n < 2).
+
+    Returns one row: (n, n_records, z).
+    """
+    w = Window.orderBy(F.col(idx_col).cast("long"))
+    prev_max = F.max(F.col(y_col).cast("long")).over(
+        Window.orderBy(F.col(idx_col).cast("long"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = series.select(
+        F.col(y_col).cast("long").alias("y"),
+        prev_max.alias("pm"),
+        F.row_number().over(w).alias("rk"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("pm").isNull() | (F.col("y") > F.col("pm"))).cast("long")
+        ).cast("long").alias("n_records"),
+        F.sum(F.expr("1000000000 div rk")).cast("long").alias("h_nano"),
+        F.sum(F.expr("1000000000 div (rk * rk)")).cast("long").alias("h2_nano"),
+    )
+    var = (F.col("h_nano") - F.col("h2_nano")).cast("double") / F.lit(1e9)
+    z = (
+        F.col("n_records").cast("double")
+        - F.col("h_nano").cast("double") / F.lit(1e9)
+    ) / F.sqrt(var)
+    return agg.select(
+        "n",
+        "n_records",
+        F.when(var > 0, F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("z"),
+    )
+
+
+def gumbel_moments(
+    series: DataFrame,
+    idx_col: str = "d",
+    y_col: str = "y",
+    block_days: int = 7,
+) -> DataFrame:
+    """Gumbel (EV-I) location/scale fit to the BLOCK MAXIMA of the
+    daily series by the method of moments — the return-level model the
+    peaks_over_threshold exceedances complement (weekly maxima of
+    event counts are the classic Gumbel domain): σ = s·√6/π and
+    μ = m − γ·σ (Euler–Mascheroni γ), both constants as fixed decimal
+    literals.
+
+    Weekly maxima are exact integers (one epoch-block groupBy, no
+    calendar functions); the mean and the cleared spread A = k·Σm² −
+    (Σm)² are exact; σ and μ are each ONE fixed-order IEEE expression;
+    NULL when fewer than 2 blocks or A = 0.
+
+    Returns one row: (n_blocks, mu, sigma).
+    """
+    daily = series.groupBy(F.col(idx_col).cast("long").alias("_i")).agg(
+        F.sum(F.col(y_col).cast("long")).alias("_y")
+    )
+    blocks = daily.groupBy(
+        F.expr(f"_i div {int(block_days)}").alias("_b")
+    ).agg(F.max("_y").cast("long").alias("m"))
+    dec = "decimal(38,0)"
+    agg = blocks.agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum("m").cast(dec).alias("s"),
+        F.sum(F.col("m").cast(dec) * F.col("m")).cast(dec).alias("q"),
+    )
+    a = (F.col("k") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+    kd = F.col("k").cast("double")
+    sd_blocks = F.sqrt(a / (kd * (kd - F.lit(1.0))))
+    sigma = sd_blocks * F.lit(0.7796968)  # sqrt(6)/pi
+    mu = F.col("s").cast("double") / kd - F.lit(0.5772157) * sigma
+    ok = (F.col("k") >= 2) & (a > 0)
+    return agg.select(
+        F.col("k").cast("long").alias("n_blocks"),
+        F.when(ok, F.floor(mu * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("mu"),
+        F.when(ok, F.floor(sigma * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("sigma"),
+    )

@@ -22842,6 +22842,169 @@ QUERIES["peaks_over_threshold"] = q_peaks_over_threshold
 ORACLES["peaks_over_threshold"] = O_PEAKS_OVER_THRESHOLD
 
 
+# --- ARCH-LM volatility clustering -----------------------------------------------------------
+
+def q_arch_lm(spark, sf_dir):
+    """Engle ARCH-LM lag-1 (functions/stats.arch_lm) on the densified
+    daily counts — do MAGNITUDES remember where ljung_box asks whether
+    levels do; first differences keep everything integer with no mean
+    clearing, LM = n·R² one fixed-order IEEE expression."""
+    from ..functions.stats import arch_lm
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return arch_lm(daily, "d", "y")
+
+
+O_ARCH_LM = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+cal as (
+  select unnest(generate_series((select min(d) from daily),
+                                (select max(d) from daily))) as i
+),
+dense as (
+  select cal.i, coalesce(daily.y, 0) as y
+  from cal left join daily on cal.i = daily.d
+),
+dd as (
+  select i, y - lag(y) over (order by i) as d from dense
+),
+x as (
+  select i, cast(d as hugeint) * d as x from dd where d is not null
+),
+p as (
+  select x as xt, lag(x) over (order by i) as xl from x
+),
+m as (
+  select cast(count(*) as hugeint) as n,
+    cast(sum(xt) as hugeint) as st, cast(sum(xl) as hugeint) as sl,
+    cast(sum(xt * xt) as hugeint) as qt,
+    cast(sum(xl * xl) as hugeint) as ql,
+    cast(sum(xt * xl) as hugeint) as qc
+  from p where xl is not null
+)
+select cast(n as bigint) as n_pairs,
+  case when cast(n * ql - sl * sl as double) > 0
+        and cast(n * qt - st * st as double) > 0 then
+    floor((cast(n as double)
+      * (cast(n * qc - sl * st as double) * cast(n * qc - sl * st as double))
+      / (cast(n * ql - sl * sl as double) * cast(n * qt - st * st as double)))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as lm_stat
+from m
+"""
+
+QUERIES["arch_lm"] = q_arch_lm
+ORACLES["arch_lm"] = O_ARCH_LM
+
+
+# --- record-breaking count test --------------------------------------------------------------
+
+def q_records_test(spark, sf_dir):
+    """Record-breaking count test (functions/stats.records_test) of
+    the daily series — the distribution-free randomness gate needing
+    NO moments at all (any iid law gives the same record statistics);
+    strict running-max records vs the harmonic-number expectation,
+    both harmonic terms DEFINED integer quantizations."""
+    from ..functions.stats import records_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return records_test(daily, "d", "y")
+
+
+O_RECORDS_TEST = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+f as (
+  select y,
+    max(y) over (order by d rows between unbounded preceding
+                 and 1 preceding) as pm,
+    row_number() over (order by d) as rk
+  from daily
+),
+a as (
+  select cast(count(*) as bigint) as n,
+    cast(sum(case when pm is null or y > pm then 1 else 0 end) as bigint)
+      as n_records,
+    cast(sum(1000000000 // rk) as bigint) as h_nano,
+    cast(sum(1000000000 // (rk * rk)) as bigint) as h2_nano
+  from f
+)
+select n, n_records,
+  case when cast(h_nano - h2_nano as double) / 1e9 > 0 then
+    floor(((cast(n_records as double) - cast(h_nano as double) / 1e9)
+      / sqrt(cast(h_nano - h2_nano as double) / 1e9)) * 1000000.0 + 0.5)
+      / 1000000.0
+  end as z
+from a
+"""
+
+QUERIES["records_test"] = q_records_test
+ORACLES["records_test"] = O_RECORDS_TEST
+
+
+# --- Gumbel moments of weekly maxima ---------------------------------------------------------
+
+def q_gumbel(spark, sf_dir):
+    """Gumbel location/scale fit to weekly maxima of the daily counts
+    (functions/stats.gumbel_moments) — the return-level model
+    complementing peaks_over_threshold's exceedance view; exact
+    integer block maxima and cleared spread, two fixed-order IEEE
+    releases with the sqrt6/pi and Euler-gamma literals."""
+    from ..functions.stats import gumbel_moments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return gumbel_moments(daily, "d", "y", block_days=7)
+
+
+O_GUMBEL = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+blocks as (
+  select d // 7 as b, cast(max(y) as bigint) as m from daily group by 1
+),
+a as (
+  select cast(count(*) as hugeint) as k, cast(sum(m) as hugeint) as s,
+    cast(sum(cast(m as hugeint) * m) as hugeint) as q
+  from blocks
+)
+select cast(k as bigint) as n_blocks,
+  case when k >= 2 and cast(k * q - s * s as double) > 0 then
+    floor((cast(s as double) / cast(k as double)
+      - 0.5772157 * (sqrt(cast(k * q - s * s as double)
+          / (cast(k as double) * (cast(k as double) - 1.0))) * 0.7796968))
+      * 1000000.0 + 0.5) / 1000000.0
+  end as mu,
+  case when k >= 2 and cast(k * q - s * s as double) > 0 then
+    floor((sqrt(cast(k * q - s * s as double)
+        / (cast(k as double) * (cast(k as double) - 1.0))) * 0.7796968)
+      * 1000000.0 + 0.5) / 1000000.0
+  end as sigma
+from a
+"""
+
+QUERIES["gumbel"] = q_gumbel
+ORACLES["gumbel"] = O_GUMBEL
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

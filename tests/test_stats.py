@@ -2045,3 +2045,80 @@ def test_tail_dependence_and_pot_hand_cases(spark, tmp_path):
     # -> 18th distinct value -> 36; exceed: 38,40 -> mean excess (2+4)/2 = 3
     assert (p.threshold, p.n_exceed, p.max_daily) == (36, 2, 40)
     assert p.mean_excess_micro == 3_000_000
+
+
+def test_arch_lm_hand_cases(spark):
+    """Magnitude-clustered differences replicated through the exact
+    integer moments; a linear series (constant differences) releases
+    NULL."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import arch_lm
+
+    ys = [0, 10, 0, 10, 0, 1, 0, 1, 0, 10, 0, 10]
+    df = spark.createDataFrame(list(enumerate(ys)), "d long, y long")
+    d = [ys[i] - ys[i - 1] for i in range(1, len(ys))]
+    x = [v * v for v in d]
+    pairs = [(x[i], x[i - 1]) for i in range(1, len(x))]
+    n = len(pairs)
+    st = sum(a for a, _ in pairs); sl = sum(b for _, b in pairs)
+    qt = sum(a * a for a, _ in pairs); ql = sum(b * b for _, b in pairs)
+    qc = sum(a * b for a, b in pairs)
+    axx = float(n * ql - sl * sl); ayy = float(n * qt - st * st)
+    axy = float(n * qc - sl * st)
+    lm = n * (axy * axy) / (axx * ayy)
+    r = arch_lm(df, "d", "y").collect()[0]
+    assert r.n_pairs == n
+    assert r.lm_stat == math.floor(lm * 1e6 + 0.5) / 1e6
+
+    line = spark.createDataFrame([(i, 3 * i) for i in range(8)], "d long, y long")
+    assert arch_lm(line, "d", "y").collect()[0].lm_stat is None
+
+
+def test_records_test_hand_cases(spark):
+    """Strictly increasing series: every point is a record (R = n,
+    maximal z); replicate z through the integer harmonic
+    quantizations."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import records_test
+
+    n = 10
+    df = spark.createDataFrame([(i, i * 2) for i in range(n)], "d long, y long")
+    r = records_test(df, "d", "y").collect()[0]
+    assert (r.n, r.n_records) == (n, n)
+    h = sum(10**9 // k for k in range(1, n + 1))
+    h2 = sum(10**9 // (k * k) for k in range(1, n + 1))
+    z = (n - h / 1e9) / math.sqrt((h - h2) / 1e9)
+    assert r.z == math.floor(z * 1e6 + 0.5) / 1e6
+
+    flat = spark.createDataFrame([(i, 5) for i in range(6)], "d long, y long")
+    assert records_test(flat, "d", "y").collect()[0].n_records == 1
+
+
+def test_gumbel_moments_hand_case(spark):
+    """Weekly maxima [7, 9, 14] replicated through the
+    method-of-moments literals; single block releases NULL."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import gumbel_moments
+
+    rows = []
+    for day in range(21):
+        week = day // 7
+        y = [7, 9, 14][week] if day % 7 == 3 else 1
+        rows.append((day, y))
+    df = spark.createDataFrame(rows, "d long, y long")
+    r = gumbel_moments(df, "d", "y", block_days=7).collect()[0]
+    assert r.n_blocks == 3
+    ms = [7, 9, 14]
+    k, s, q = 3, sum(ms), sum(m * m for m in ms)
+    a = float(k * q - s * s)
+    sd = math.sqrt(a / (k * (k - 1.0)))
+    sigma = sd * 0.7796968
+    mu = s / k - 0.5772157 * sigma
+    assert r.sigma == math.floor(sigma * 1e6 + 0.5) / 1e6
+    assert r.mu == math.floor(mu * 1e6 + 0.5) / 1e6
+
+    one = spark.createDataFrame([(i, 5) for i in range(6)], "d long, y long")
+    assert gumbel_moments(one, "d", "y").collect()[0].mu is None

@@ -2726,6 +2726,33 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "ARCH-LM volatility clustering",
+        QUERIES["arch_lm"](spark, tiny),
+        "Densified day-bounded frame; first differences keep all "
+        "moments integer; one lag window + one moment aggregate.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "records test",
+        QUERIES["records_test"](spark, tiny),
+        "One running-max window + one aggregate; harmonic terms as "
+        "defined integer quantizations in-frame.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Gumbel block maxima",
+        QUERIES["gumbel"](spark, tiny),
+        "One epoch-block groupBy for weekly maxima, one moment "
+        "aggregate, two fixed-order IEEE releases.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
