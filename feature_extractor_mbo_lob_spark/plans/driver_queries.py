@@ -23005,6 +23005,147 @@ QUERIES["gumbel"] = q_gumbel
 ORACLES["gumbel"] = O_GUMBEL
 
 
+# --- Bowker symmetry of the confusion matrix -------------------------------------------------
+
+def q_bowker_symmetry(spark, sf_dir):
+    """Bowker's test of confusion-matrix SYMMETRY for the NB router —
+    McNemar's k×k generalization: are misroutes en→es as common as
+    es→en, or does the classifier have directional bias nb_quality's
+    single numbers average away? χ² = Σ_{i<j}(n_ij − n_ji)²/(n_ij +
+    n_ji) over off-diagonal pairs — per-pair micro trunc divisions
+    summed order-free, pure integers; pairs with n_ij + n_ji = 0 drop
+    (zero df contribution), df = the number of contributing pairs."""
+    from ..functions.corpus import naive_bayes_confusion
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cm = naive_bayes_confusion(docs, "lang")
+    a = cm.filter(F.col("label_true") < F.col("label_pred")).select(
+        F.col("label_true").alias("i"),
+        F.col("label_pred").alias("j"),
+        F.col("n_docs").alias("nij"),
+    )
+    b = cm.filter(F.col("label_true") > F.col("label_pred")).select(
+        F.col("label_pred").alias("i"),
+        F.col("label_true").alias("j"),
+        F.col("n_docs").alias("nji"),
+    )
+    pairs = a.join(b, ["i", "j"], "full").select(
+        F.coalesce(F.col("nij"), F.lit(0)).alias("nij"),
+        F.coalesce(F.col("nji"), F.lit(0)).alias("nji"),
+    )
+    term = F.expr(
+        "cast(((nij - nji) * (nij - nji) * 1000000) div (nij + nji) as bigint)"
+    )
+    agg = pairs.filter(F.col("nij") + F.col("nji") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(term).cast("long").alias("chi2_micro"),
+    )
+    return agg.select(
+        F.coalesce(F.col("df"), F.lit(0)).alias("df"),
+        F.coalesce(F.col("chi2_micro"), F.lit(0)).alias("chi2_micro"),
+    )
+
+
+O_BOWKER_SYMMETRY = f"""
+with cm as ({O_NAIVE_BAYES}),
+a as (
+  select label_true as i, label_pred as j, n_docs as nij
+  from cm where label_true < label_pred
+),
+b as (
+  select label_pred as i, label_true as j, n_docs as nji
+  from cm where label_true > label_pred
+),
+p as (
+  select coalesce(a.nij, 0) as nij, coalesce(b.nji, 0) as nji
+  from a full join b using (i, j)
+),
+m as (
+  select cast(count(*) as bigint) as df,
+    cast(sum(((nij - nji) * (nij - nji) * 1000000) // (nij + nji)) as bigint)
+      as chi2_micro
+  from p where nij + nji > 0
+)
+select coalesce(df, 0) as df, coalesce(chi2_micro, 0) as chi2_micro from m
+"""
+
+QUERIES["bowker_symmetry"] = q_bowker_symmetry
+ORACLES["bowker_symmetry"] = O_BOWKER_SYMMETRY
+
+
+# --- day-of-week eta-squared -----------------------------------------------------------------
+
+def q_dow_eta_squared(spark, sf_dir):
+    """η² of daily TOTALS across day-of-week groups — how much of the
+    day-to-day variance the weekly cycle explains (dow_uniformity
+    scores raw event counts against uniform; this is the ANOVA
+    effect-size view on the day level): with per-dow micro-quantized
+    u_g = (S_g²·10⁶) div n_g (the brown_forsythe discipline),
+    SSB_micro = Σu_g − (S²·10⁶) div n and SST_micro = 10⁶·ΣQ −
+    (S²·10⁶) div n are exact integers and η²_ppm releases as one trunc
+    division; NULL when SST = 0."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    per = daily.groupBy((F.col("d") % 7).alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("y").cast("decimal(38,0)").alias("sg"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)").alias("qg"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("decimal(38,0)").alias("n"),
+        F.sum("sg").cast("decimal(38,0)").alias("s"),
+        F.sum("qg").cast("decimal(38,0)").alias("q"),
+        F.sum(F.expr("(sg * sg * 1000000) div ng"))
+        .cast("decimal(38,0)").alias("u"),
+    )
+    ssb = F.col("u") - F.expr("(s * s * 1000000) div n")
+    sst = F.col("q") * 1000000 - F.expr("(s * s * 1000000) div n")
+    return agg.withColumn("_ssb", ssb.cast("decimal(38,0)")) \
+        .withColumn("_sst", sst.cast("decimal(38,0)")) \
+        .select(
+            "k",
+            F.col("n").cast("long").alias("n_days"),
+            F.when(
+                F.col("_sst") > 0,
+                F.expr("cast((_ssb * 1000000) div _sst as bigint)"),
+            ).alias("eta2_ppm"),
+        )
+
+
+O_DOW_ETA_SQUARED = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+per as (
+  select d % 7 as dow, cast(count(*) as bigint) as ng,
+    cast(sum(y) as hugeint) as sg,
+    cast(sum(cast(y as hugeint) * y) as hugeint) as qg
+  from daily group by 1
+),
+m as (
+  select cast(count(*) as bigint) as k, cast(sum(ng) as hugeint) as n,
+    cast(sum(sg) as hugeint) as s, cast(sum(qg) as hugeint) as q,
+    cast(sum((sg * sg * 1000000) // ng) as hugeint) as u
+  from per
+)
+select k, cast(n as bigint) as n_days,
+  case when q * 1000000 - (s * s * 1000000) // n > 0 then
+    cast(((u - (s * s * 1000000) // n) * 1000000)
+         // (q * 1000000 - (s * s * 1000000) // n) as bigint)
+  end as eta2_ppm
+from m
+"""
+
+QUERIES["dow_eta_squared"] = q_dow_eta_squared
+ORACLES["dow_eta_squared"] = O_DOW_ETA_SQUARED
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

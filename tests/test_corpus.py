@@ -890,3 +890,40 @@ def test_epoch_shuffle_is_total_permutation(spark, tmp_path):
     rows2 = QUERIES["epoch_shuffle"](spark, str(sf)).collect()
     assert {(r.doc_id, r.shard, r.pos) for r in rows} == \
         {(r.doc_id, r.shard, r.pos) for r in rows2}
+
+
+def test_bowker_symmetry_directional_bias(spark, tmp_path):
+    """Engineered corpus: class A's held-out docs partly leak B's
+    vocabulary so misroutes are one-directional -> chi2 equals the
+    hand formula on the realized confusion; a perfectly-routed corpus
+    gives chi2 = 0 with df = 0."""
+    from feature_extractor_mbo_lob_spark.functions import corpus
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [(i, "alpha beta alpha", "A", "s", 1) for i in range(0, 60, 2)]
+    rows += [(i, "gamma delta gamma", "B", "s", 1) for i in range(1, 60, 2)]
+    # odd ids 31..59 of class A use B's vocabulary -> routed to B
+    rows += [(100 + i, "gamma delta", "A", "s", 1) for i in range(1, 20, 2)]
+    sf = tmp_path / "bowker"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(sf / "documents.parquet"))
+    r = QUERIES["bowker_symmetry"](spark, str(sf)).collect()[0]
+    cm = {(c.label_true, c.label_pred): c.n_docs
+          for c in corpus.naive_bayes_confusion(
+              spark.read.parquet(str(sf / "documents.parquet")), "lang"
+          ).collect()}
+    nab = cm.get(("A", "B"), 0)
+    nba = cm.get(("B", "A"), 0)
+    if nab + nba > 0:
+        assert r.df == 1
+        assert r.chi2_micro == ((nab - nba) ** 2 * 1000000) // (nab + nba)
+        assert nab > 0 and nba == 0  # the engineered direction
+
+    clean = [(i, "alpha beta", "A", "s", 1) for i in range(0, 40, 2)]
+    clean += [(i, "gamma delta", "B", "s", 1) for i in range(1, 40, 2)]
+    sf2 = tmp_path / "clean"
+    spark.createDataFrame(clean, schema).coalesce(1).write.parquet(
+        str(sf2 / "documents.parquet"))
+    r2 = QUERIES["bowker_symmetry"](spark, str(sf2)).collect()[0]
+    assert (r2.df, r2.chi2_micro) == (0, 0)

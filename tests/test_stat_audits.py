@@ -1058,3 +1058,37 @@ def test_dow_and_gaps_hand_cases(spark, tmp_path):
     assert (g.n_gaps, g.max_gap_s, g.n_over_1h) == (4, 4000, 2)
     assert g.silent_s_over_1h == 7980
     assert g.p99_gap_s == 4000
+
+
+def test_dow_eta_squared_hand_cases(spark, tmp_path):
+    """A perfect weekly cycle (totals depend only on dow) -> eta2 near
+    1 (exactly 1 up to the micro trunc of the u_g terms); flat days ->
+    SST = 0 -> NULL."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    rows, eid = [], 0
+    for day in range(14):
+        for _ in range((day % 7) + 1):  # totals cycle 1..7 twice
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(days=day), 1, "click", 0.0, ""))
+    sf = tmp_path / "eta"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(sf / "events.parquet"))
+    r = QUERIES["dow_eta_squared"](spark, str(sf)).collect()[0]
+    assert (r.k, r.n_days) == (7, 14)
+    assert r.eta2_ppm >= 999999  # within-dow variance is exactly zero
+
+    flat, eid = [], 0
+    for day in range(14):
+        for _ in range(3):
+            eid += 1
+            flat.append((eid, t0 + dt.timedelta(days=day), 1, "click", 0.0, ""))
+    sf2 = tmp_path / "flat"
+    spark.createDataFrame(flat, schema).coalesce(1).write.parquet(
+        str(sf2 / "events.parquet"))
+    assert QUERIES["dow_eta_squared"](spark, str(sf2)).collect()[0].eta2_ppm is None

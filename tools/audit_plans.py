@@ -2753,6 +2753,25 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "Bowker symmetry",
+        QUERIES["bowker_symmetry"](spark, tiny),
+        "Confusion matrix bounded by classes^2; off-diagonal pairs "
+        "full-joined on the tiny (i, j) key; per-pair micro trunc "
+        "terms summed order-free.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "day-of-week eta-squared",
+        QUERIES["dow_eta_squared"](spark, tiny),
+        "Day-bounded series to a 7-cell groupBy; brown_forsythe-style "
+        "micro-quantized u_g terms; one trunc-division release.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
