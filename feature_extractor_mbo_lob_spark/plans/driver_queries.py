@@ -23146,6 +23146,219 @@ QUERIES["dow_eta_squared"] = q_dow_eta_squared
 ORACLES["dow_eta_squared"] = O_DOW_ETA_SQUARED
 
 
+# --- direct-standardized rate comparison -----------------------------------------------------
+
+def q_standardized_rate(spark, sf_dir):
+    """Directly-standardized purchase rates per md5 arm — the
+    epidemiology-classic confounder adjustment beside CUPED/ab_strata:
+    both arms' per-activity-stratum purchase rates are re-weighted to
+    the CORPUS user-mix, so a treatment that merely lands more heavy
+    users stops looking like a lift. Strata are user total-event
+    terciles from exact integer order statistics (3·cum ≥ k·n);
+    per-stratum rates quantize to ppm by trunc division BEFORE the
+    weighted sum (order-free integers); the standardized rate is one
+    final trunc division by the corpus size."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..functions.corpus import md5_bucket
+
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long").alias("n_buy"),
+    ).withColumn("arm", md5_bucket("user_id", 2).cast("int"))
+    from pyspark.sql import Window as W_
+    g = per_user.groupBy("n_ev").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = W_.orderBy("n_ev").rowsBetween(W_.unboundedPreceding, W_.currentRow)
+    wa = W_.orderBy("n_ev").rowsBetween(
+        W_.unboundedPreceding, W_.unboundedFollowing
+    )
+    cuts = g.select(
+        "n_ev",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wa).alias("n"),
+    )
+    t1 = cuts.filter(F.col("cum") * 3 >= F.col("n")).agg(
+        F.min("n_ev").alias("t1")
+    ).withColumn("_k", F.lit(1))
+    t2 = cuts.filter(F.col("cum") * 3 >= F.col("n") * 2).agg(
+        F.min("n_ev").alias("t2")
+    ).withColumn("_k", F.lit(1))
+    u = (
+        per_user.withColumn("_k", F.lit(1))
+        .join(F.broadcast(t1), "_k").join(F.broadcast(t2), "_k")
+        .withColumn(
+            "stratum",
+            F.when(F.col("n_ev") <= F.col("t1"), F.lit(0))
+            .when(F.col("n_ev") <= F.col("t2"), F.lit(1))
+            .otherwise(F.lit(2)),
+        )
+    )
+    w_h = u.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    cell = u.groupBy("arm", "stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("n_buy").cast("long").alias("b_h"),
+    )
+    j = cell.join(F.broadcast(w_h), "stratum").withColumn(
+        "rate_ppm", F.expr("cast((b_h * 1000000) div n_h as bigint)")
+    )
+    tot = u.agg(F.count(F.lit(1)).cast("long").alias("n_tot")) \
+        .withColumn("_k", F.lit(1))
+    out = (
+        j.groupBy("arm")
+        .agg(
+            F.sum("n_h").cast("long").alias("n_users"),
+            F.sum(F.expr("cast(w as decimal(38,0)) * rate_ppm"))
+            .cast("decimal(38,0)").alias("wsum"),
+        )
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(tot), "_k")
+    )
+    return out.select(
+        "arm",
+        "n_users",
+        F.expr("cast(wsum div n_tot as bigint)").alias("std_rate_ppm"),
+    )
+
+
+O_STANDARDIZED_RATE = f"""
+with pu0 as (
+  select user_id, cast(count(*) as bigint) as n_ev,
+    cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint)
+      as n_buy,
+    md5(cast(user_id as varchar)) as h
+  from events group by user_id
+),
+pu as (
+  select user_id, n_ev, n_buy, cast(({_HEX7}) % 2 as int) as arm
+  from pu0
+),
+g as (select n_ev, cast(count(*) as bigint) as c from pu group by 1),
+cuts as (
+  select n_ev,
+    sum(c) over (order by n_ev rows between unbounded preceding
+                 and current row) as cum,
+    sum(c) over () as n
+  from g
+),
+t1 as (select min(n_ev) as t1 from cuts where cum * 3 >= n),
+t2 as (select min(n_ev) as t2 from cuts where cum * 3 >= n * 2),
+u as (
+  select pu.*,
+    case when n_ev <= (select t1 from t1) then 0
+         when n_ev <= (select t2 from t2) then 1
+         else 2 end as stratum
+  from pu
+),
+wh as (select stratum, cast(count(*) as bigint) as w from u group by 1),
+cell as (
+  select arm, stratum, cast(count(*) as bigint) as n_h,
+    cast(sum(n_buy) as bigint) as b_h
+  from u group by 1, 2
+),
+j as (
+  select cell.arm, cell.n_h,
+    cast(wh.w as hugeint) * ((cell.b_h * 1000000) // cell.n_h) as wr
+  from cell join wh using (stratum)
+),
+tot as (select cast(count(*) as bigint) as n_tot from u)
+select arm, cast(sum(n_h) as bigint) as n_users,
+  cast(sum(wr) // (select n_tot from tot) as bigint) as std_rate_ppm
+from j group by arm
+"""
+
+QUERIES["standardized_rate"] = q_standardized_rate
+ORACLES["standardized_rate"] = O_STANDARDIZED_RATE
+
+
+# --- top-k churn week over week --------------------------------------------------------------
+
+def q_topk_churn(spark, sf_dir):
+    """Week-over-week churn of the top-10 tool leaderboard — "is the
+    dashboard stable or noise" (a ranking that reshuffles every week
+    is sampling error, not signal): per epoch-week the top-10 tools by
+    usage (rank ties broken by tool name — total determinism), then
+    for every consecutive week pair the exact Jaccard of the two
+    10-sets as a ppm trunc division. Ranks come from a week-partitioned
+    window (bounded by tools); the pair join is week-keyed."""
+    from pyspark.sql import Window as W_
+
+    t = transcripts_from_events(spark, sf_dir)
+    wk = t.filter(F.col("tool").isNotNull()).select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+        .alias("week"),
+        "tool",
+    )
+    cnt = wk.groupBy("week", "tool").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = W_.partitionBy("week").orderBy(F.col("c").desc(), "tool")
+    top = cnt.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 10)
+    a = top.select(F.col("week").alias("w1"), F.col("tool").alias("t1"))
+    b = top.select((F.col("week") - 1).alias("w1b"), F.col("tool").alias("t2"))
+    inter = (
+        a.join(b, (F.col("w1") == F.col("w1b")) & (F.col("t1") == F.col("t2")))
+        .groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sizes_a = a.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    sizes_b = b.groupBy(F.col("w1b").alias("w1")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    j = (
+        sizes_a.join(sizes_b, "w1")
+        .join(inter, "w1", "left")
+        .select(
+            F.col("w1").alias("week"),
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            "n_a",
+            "n_b",
+        )
+    )
+    return j.select(
+        "week",
+        "n_common",
+        F.expr(
+            "cast((n_common * 1000000) div (n_a + n_b - n_common) as bigint)"
+        ).alias("jaccard_ppm"),
+    )
+
+
+O_TOPK_CHURN = f"""{_W},
+wk as (
+  select epoch_us(cast(ts as timestamp)) // 604800000000 as week, tool
+  from transcripts where tool is not null
+),
+cnt as (select week, tool, cast(count(*) as bigint) as c from wk group by 1, 2),
+top as (
+  select week, tool from (
+    select *, row_number() over (partition by week order by c desc, tool) as r
+    from cnt
+  ) where r <= 10
+),
+a as (select week as w1, tool as t1 from top),
+b as (select week - 1 as w1, tool as t2 from top),
+inter as (
+  select a.w1, cast(count(*) as bigint) as n_common
+  from a join b on a.w1 = b.w1 and a.t1 = b.t2
+  group by 1
+),
+sa as (select w1, cast(count(*) as bigint) as n_a from a group by 1),
+sb as (select w1, cast(count(*) as bigint) as n_b from b group by 1),
+j as (
+  select sa.w1 as week, coalesce(inter.n_common, 0) as n_common, n_a, n_b
+  from sa join sb on sa.w1 = sb.w1
+  left join inter on inter.w1 = sa.w1
+)
+select cast(week as bigint) as week, cast(n_common as bigint) as n_common,
+  cast((n_common * 1000000) // (n_a + n_b - n_common) as bigint) as jaccard_ppm
+from j
+"""
+
+QUERIES["topk_churn"] = q_topk_churn
+ORACLES["topk_churn"] = O_TOPK_CHURN
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

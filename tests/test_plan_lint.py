@@ -69,6 +69,7 @@ BNLJ_ALLOWED = {
     "capture_recapture",  # 1-row corpus-vocab total broadcast into the per-source frame
     "minhash_recall",  # 1-row candidate-count broadcast joined to the 1-row hit aggregate
     "rfm_segments",  # 1-row max-date / N-users totals broadcasts into the user frame
+    "standardized_rate",  # 1-row tercile cuts + 1-row corpus-size broadcasts
     "bowker_symmetry",  # classes^2-bounded confusion pair frame
     "gumbel",  # 1-row moment aggregate of the block-maxima frame
     "huber_location",  # 1-row-per-group median/MAD broadcasts

@@ -1092,3 +1092,92 @@ def test_dow_eta_squared_hand_cases(spark, tmp_path):
     spark.createDataFrame(flat, schema).coalesce(1).write.parquet(
         str(sf2 / "events.parquet"))
     assert QUERIES["dow_eta_squared"](spark, str(sf2)).collect()[0].eta2_ppm is None
+
+
+def test_standardized_rate_adjusts_user_mix(spark, tmp_path):
+    """Two arms with IDENTICAL within-stratum purchase rates but
+    different user mixes: crude rates differ, standardized rates are
+    equal — the Simpson-reversal the adjustment exists for. Strata and
+    arms engineered via the real md5 bucketing (probed, not assumed)."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.functions.corpus import md5_bucket
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    # probe the md5 arm of candidate user ids
+    probe = spark.createDataFrame([(u,) for u in range(1, 200)], "uid long")
+    arms = {r.uid: r.arm for r in probe.select(
+        "uid", md5_bucket("uid", 2).alias("arm")).collect()}
+    arm0 = [u for u, a in arms.items() if a == 0]
+    arm1 = [u for u, a in arms.items() if a == 1]
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def add_user(uid, n_ev, n_buy):
+        nonlocal eid
+        for i in range(n_ev):
+            eid += 1
+            typ = "purchase" if i < n_buy else "click"
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), uid, typ, 0.0, ""))
+
+    # light users: 2 events, 1 purchase (rate 1/2)
+    # heavy users: 10 events, 1 purchase (rate 1/10)
+    # arm0: 8 light + 2 heavy; arm1: 2 light + 8 heavy -> crude rates differ
+    for u in arm0[:8]:
+        add_user(u, 2, 1)
+    for u in arm0[8:10]:
+        add_user(u, 10, 1)
+    for u in arm1[:2]:
+        add_user(u, 2, 1)
+    for u in arm1[2:10]:
+        add_user(u, 10, 1)
+
+    sf = tmp_path / "std"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    out = {r.arm: r for r in QUERIES["standardized_rate"](spark, str(sf)).collect()}
+    assert set(out) == {0, 1}
+    # terciles of n_ev in {2, 10}: t1 = 2, t2 = 10 -> strata 0 (light)
+    # and 1 (heavy); within each stratum both arms' rates are equal
+    # (500000 and 100000 ppm), so the standardized rates coincide.
+    assert out[0].std_rate_ppm == out[1].std_rate_ppm
+    # crude rates differ by construction
+    crude0 = (8 * 1 + 2 * 1) * 1_000_000 // (8 * 2 + 2 * 10)
+    crude1 = (2 * 1 + 8 * 1) * 1_000_000 // (2 * 2 + 8 * 10)
+    assert crude0 != crude1
+
+
+def test_topk_churn_jaccard(spark, tmp_path):
+    """Week A uses tools {t0, t1}, week B uses {t1, t2} (tool identity
+    is event_id mod 5 on purchase/error events): one common tool over a
+    3-tool union -> Jaccard = 1/3."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    wk0 = dt.datetime(2024, 1, 1)
+    wk1 = wk0 + dt.timedelta(days=7)
+    rows = []
+    # week A: purchases with event_id % 5 in {0, 1}
+    for eid in (10, 11, 15, 16):
+        rows.append((eid, wk0 + dt.timedelta(minutes=eid), eid, "purchase",
+                     0.0, ""))
+    # week B: purchases with event_id % 5 in {1, 2}
+    for eid in (21, 22, 26, 27):
+        rows.append((eid, wk1 + dt.timedelta(minutes=eid), eid, "purchase",
+                     0.0, ""))
+    sf = tmp_path / "churn"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    out = QUERIES["topk_churn"](spark, str(sf)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_common == 1
+    assert r.jaccard_ppm == 1000000 // 3

@@ -2772,6 +2772,25 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "directly standardized rates",
+        QUERIES["standardized_rate"](spark, tiny),
+        "User frame collapses once; tercile cuts are exact order "
+        "statistics on the distinct-count frame; per-stratum ppm "
+        "rates quantize BEFORE the weighted sum; 1-row broadcasts.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "top-k leaderboard churn",
+        QUERIES["topk_churn"](spark, tiny),
+        "Week-partitioned rank window bounded by tools; week-keyed "
+        "pair join of 10-row top lists; exact ppm Jaccard.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
