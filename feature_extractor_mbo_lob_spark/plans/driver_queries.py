@@ -23359,6 +23359,63 @@ QUERIES["topk_churn"] = q_topk_churn
 ORACLES["topk_churn"] = O_TOPK_CHURN
 
 
+# --- Gumbel return levels --------------------------------------------------------------------
+#
+# x_T = mu - sigma * ln(-ln(1 - 1/T)); the Gumbel quantile factors
+# q_T = -ln(-ln(1 - 1/T)) are PLAN LITERALS precomputed in Python
+# (T = 4, 13, 52 weeks), so both engines only ever multiply exact-moment
+# IEEE terms by the same decimal constants — no runtime ln of data.
+
+_RETURN_T = [(4, 1.245899), (13, 2.525195), (52, 3.94155)]
+
+
+def q_return_levels(spark, sf_dir):
+    """Gumbel return levels of the weekly daily-count maxima — "the
+    daily volume exceeded once a month / quarter / year on average",
+    the capacity-planning number the gumbel fit exists to produce:
+    x_T = μ + σ·q_T with the quantile factors q_T = −ln(−ln(1 − 1/T))
+    as fixed literals for T = 4/13/52 weeks; μ, σ from the same
+    method-of-moments machinery as `gumbel` (exact integer block
+    maxima, cleared spread), one IEEE expression per level."""
+    from ..functions.stats import gumbel_moments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    gm = gumbel_moments(daily, "d", "y", block_days=7)
+    cols = [F.col("n_blocks")]
+    for t, q in _RETURN_T:
+        lvl = F.col("mu") + F.col("sigma") * F.lit(q)
+        cols.append(
+            F.when(
+                F.col("mu").isNotNull(),
+                F.floor(lvl * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+            ).alias(f"level_{t}w")
+        )
+    return gm.select(*cols)
+
+
+def _return_levels_sql() -> str:
+    inner = O_GUMBEL.strip()
+    lvls = ", ".join(
+        f"case when mu is not null then"
+        f" floor((mu + sigma * {q}) * 1000000.0 + 0.5) / 1000000.0"
+        f" end as level_{t}w"
+        for t, q in _RETURN_T
+    )
+    return f"""
+with g as ({inner})
+select n_blocks, {lvls} from g
+"""
+
+
+O_RETURN_LEVELS = _return_levels_sql()
+
+QUERIES["return_levels"] = q_return_levels
+ORACLES["return_levels"] = O_RETURN_LEVELS
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -72,6 +72,7 @@ BNLJ_ALLOWED = {
     "standardized_rate",  # 1-row tercile cuts + 1-row corpus-size broadcasts
     "bowker_symmetry",  # classes^2-bounded confusion pair frame
     "gumbel",  # 1-row moment aggregate of the block-maxima frame
+    "return_levels",  # same 1-row gumbel aggregate + literal quantile factors
     "huber_location",  # 1-row-per-group median/MAD broadcasts
     "tail_dependence",  # two 1-row q90 thresholds broadcast into the day frame
     "peaks_over_threshold",  # 1-row q90 threshold broadcast into the day frame

@@ -2122,3 +2122,37 @@ def test_gumbel_moments_hand_case(spark):
 
     one = spark.createDataFrame([(i, 5) for i in range(6)], "d long, y long")
     assert gumbel_moments(one, "d", "y").collect()[0].mu is None
+
+
+def test_return_levels_compose_from_gumbel(spark, tmp_path):
+    """Return levels replay exactly as mu + sigma*q_T from the released
+    gumbel columns, and are ordered level_4w < level_13w < level_52w."""
+    import datetime as dt
+    import math
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import (
+        _RETURN_T, QUERIES,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for day in range(28):
+        for _ in range((day * 7) % 13 + 1):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(days=day), 1, "click", 0.0, ""))
+    sf = tmp_path / "rl"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    g = QUERIES["gumbel"](spark, str(sf)).collect()[0]
+    r = QUERIES["return_levels"](spark, str(sf)).collect()[0]
+    assert r.n_blocks == g.n_blocks >= 4
+    prev = None
+    for t, q in _RETURN_T:
+        expect = math.floor((g.mu + g.sigma * q) * 1e6 + 0.5) / 1e6
+        got = getattr(r, f"level_{t}w")
+        assert got == expect, t
+        assert prev is None or got > prev
+        prev = got

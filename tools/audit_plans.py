@@ -2791,6 +2791,15 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    sections.append(summarize(
+        "Gumbel return levels",
+        QUERIES["return_levels"](spark, tiny),
+        "The gumbel 1-row aggregate; quantile factors are plan "
+        "literals — no runtime ln of data anywhere.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
