@@ -23416,6 +23416,98 @@ QUERIES["return_levels"] = q_return_levels
 ORACLES["return_levels"] = O_RETURN_LEVELS
 
 
+# --- mean residual life curve ----------------------------------------------------------------
+
+def q_mean_residual_life(spark, sf_dir):
+    """Mean-residual-life curve of the daily counts at the q50..q90
+    decile thresholds — THE threshold-selection diagnostic for
+    peaks_over_threshold (a generalized-Pareto tail makes this curve
+    linear above the right threshold; curvature below says the
+    threshold is too low): each threshold is the exact integer order
+    statistic min{v : 100·cum ≥ q·n}, each mean excess an exact micro
+    trunc division. The 5-row threshold frame broadcasts into one
+    conditional aggregate over the day-bounded series."""
+    from pyspark.sql import Window as W_
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    g = daily.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = W_.orderBy("y").rowsBetween(W_.unboundedPreceding, W_.currentRow)
+    wa = W_.orderBy("y").rowsBetween(W_.unboundedPreceding, W_.unboundedFollowing)
+    cum = g.select(
+        "y",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wa).alias("n"),
+    )
+    thr = None
+    for q in (50, 60, 70, 80, 90):
+        t = cum.filter(F.col("cum") * 100 >= F.col("n") * q).agg(
+            F.lit(q).alias("q"), F.min("y").alias("u")
+        )
+        thr = t if thr is None else thr.unionByName(t)
+    j = daily.crossJoin(F.broadcast(thr))
+    agg = j.groupBy("q", "u").agg(
+        F.sum((F.col("y") > F.col("u")).cast("long")).cast("long")
+        .alias("n_exceed"),
+        F.sum(F.when(F.col("y") > F.col("u"), F.col("y") - F.col("u"))
+              .otherwise(F.lit(0))).cast("long").alias("sum_excess"),
+    )
+    return agg.select(
+        F.col("q").cast("long").alias("q"),
+        F.col("u").cast("long").alias("threshold"),
+        "n_exceed",
+        F.when(
+            F.col("n_exceed") > 0,
+            F.expr("cast((sum_excess * 1000000) div n_exceed as bigint)"),
+        ).alias("mean_excess_micro"),
+    )
+
+
+O_MEAN_RESIDUAL_LIFE = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+g as (select y, count(*) as c from daily group by 1),
+cum as (
+  select y,
+    sum(c) over (order by y rows between unbounded preceding and current row) as cum,
+    sum(c) over () as n
+  from g
+),
+thr as (
+  select 50 as q, min(y) as u from cum where cum * 100 >= n * 50
+  union all
+  select 60, min(y) from cum where cum * 100 >= n * 60
+  union all
+  select 70, min(y) from cum where cum * 100 >= n * 70
+  union all
+  select 80, min(y) from cum where cum * 100 >= n * 80
+  union all
+  select 90, min(y) from cum where cum * 100 >= n * 90
+),
+a as (
+  select t.q, t.u,
+    cast(sum(case when d.y > t.u then 1 else 0 end) as bigint) as n_exceed,
+    cast(sum(case when d.y > t.u then d.y - t.u else 0 end) as bigint)
+      as sum_excess
+  from daily d cross join thr t
+  group by 1, 2
+)
+select cast(q as bigint) as q, cast(u as bigint) as threshold, n_exceed,
+  case when n_exceed > 0 then
+    cast((sum_excess * 1000000) // n_exceed as bigint)
+  end as mean_excess_micro
+from a
+"""
+
+QUERIES["mean_residual_life"] = q_mean_residual_life
+ORACLES["mean_residual_life"] = O_MEAN_RESIDUAL_LIFE
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

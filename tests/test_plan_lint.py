@@ -76,6 +76,7 @@ BNLJ_ALLOWED = {
     "huber_location",  # 1-row-per-group median/MAD broadcasts
     "tail_dependence",  # two 1-row q90 thresholds broadcast into the day frame
     "peaks_over_threshold",  # 1-row q90 threshold broadcast into the day frame
+    "mean_residual_life",  # 5-row decile-threshold frame broadcast into the day frame
     "silhouette",  # k-row centroid table broadcast into the point frame
     "tost_mde",  # single 1-row moment aggregate (no join at all; listed for the cross-join-free check)
     "cliffs_delta_groups",  # 1-row totals on the distinct-value frame

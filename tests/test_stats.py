@@ -2156,3 +2156,33 @@ def test_return_levels_compose_from_gumbel(spark, tmp_path):
         assert got == expect, t
         assert prev is None or got > prev
         prev = got
+
+
+def test_mean_residual_life_consistent_with_pot(spark, tmp_path):
+    """The q90 row of the MRL curve equals peaks_over_threshold's
+    (threshold, n_exceed, mean excess); thresholds are nondecreasing
+    in q."""
+    import datetime as dt
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for day in range(20):
+        for _ in range(day + 1):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(days=day), 1, "click", 0.0, ""))
+    sf = tmp_path / "mrl"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    mrl = {r.q: r for r in QUERIES["mean_residual_life"](spark, str(sf)).collect()}
+    pot = QUERIES["peaks_over_threshold"](spark, str(sf)).collect()[0]
+    assert set(mrl) == {50, 60, 70, 80, 90}
+    r90 = mrl[90]
+    assert (r90.threshold, r90.n_exceed, r90.mean_excess_micro) == (
+        pot.threshold, pot.n_exceed, pot.mean_excess_micro)
+    us = [mrl[q].threshold for q in (50, 60, 70, 80, 90)]
+    assert us == sorted(us)

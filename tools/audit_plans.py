@@ -2800,6 +2800,16 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "mean residual life",
+        QUERIES["mean_residual_life"](spark, tiny),
+        "One distinct-value cumulative frame yields all five decile "
+        "thresholds; the 5-row frame broadcasts into one conditional "
+        "aggregate over the day-bounded series.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
