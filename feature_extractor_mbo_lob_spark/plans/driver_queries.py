@@ -23508,6 +23508,114 @@ QUERIES["mean_residual_life"] = q_mean_residual_life
 ORACLES["mean_residual_life"] = O_MEAN_RESIDUAL_LIFE
 
 
+# --- Dunning keyness G2 ----------------------------------------------------------------------
+
+def q_keyness_g2(spark, sf_dir):
+    """Dunning log-likelihood keyness (1993): the top-20 words whose
+    usage RATE most distinguishes the en corpus from the es corpus —
+    the corpus-linguistics standard where tf-idf ranks within-corpus
+    salience and burrows_delta whole-profile style: per word with
+    counts (a, b) and corpus sizes (N_a, N_b),
+    G² = 2·[a·ln(a·N/((a+b)·N_a)) + b·ln(b·N/((a+b)·N_b))].
+
+    Engine-exact: every ln is a nano-quantized ln of an exact integer
+    (ln a + ln N − ln(a+b) − ln N_a per side — four quantized terms,
+    fixed combination), so each word's G² is a pure int64 and the
+    top-20 ranking (G² desc, word asc) is deterministic integer
+    ordering; zero-count sides contribute zero (lim x·ln x = 0).
+    One (word, lang) collapse bounded by vocabulary, a 1-row totals
+    broadcast, one rank window on the word frame."""
+    from pyspark.sql import Window as W_
+
+    from ..functions.repetition import normalized_words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("lang").isin("en", "es")
+    )
+    words = docs.select(
+        (F.col("lang") == "en").cast("long").alias("ia"),
+        F.explode(normalized_words("text")).alias("w"),
+    )
+    wc = words.groupBy("w").agg(
+        F.sum("ia").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("ia")).cast("long").alias("b"),
+    )
+    tot = wc.agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    j = wc.crossJoin(F.broadcast(tot)).withColumn(
+        "nn", F.col("na") + F.col("nb")
+    )
+
+    def nln(c):
+        return F.floor(F.log(c.cast("double")) * F.lit(1e9) + F.lit(0.5)) \
+            .cast("long")
+
+    term_a = F.when(
+        F.col("a") > 0,
+        F.col("a") * (nln(F.col("a")) + nln(F.col("nn"))
+                      - nln(F.col("a") + F.col("b")) - nln(F.col("na"))),
+    ).otherwise(F.lit(0).cast("long"))
+    term_b = F.when(
+        F.col("b") > 0,
+        F.col("b") * (nln(F.col("b")) + nln(F.col("nn"))
+                      - nln(F.col("a") + F.col("b")) - nln(F.col("nb"))),
+    ).otherwise(F.lit(0).cast("long"))
+    scored = j.select(
+        "w", "a", "b", (F.lit(2) * (term_a + term_b)).alias("g2_nano")
+    )
+    rk = W_.orderBy(F.col("g2_nano").desc(), "w")
+    return scored.withColumn("rank", F.row_number().over(rk)) \
+        .filter(F.col("rank") <= 20) \
+        .select("rank", "w", "a", "b", "g2_nano")
+
+
+O_KEYNESS_G2 = r"""
+with docs as (select lang, text from documents where lang in ('en', 'es')),
+words as (
+  select case when lang = 'en' then 1 else 0 end as ia,
+    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+      as w
+  from docs
+),
+wc as (
+  select w, cast(sum(ia) as bigint) as a,
+    cast(sum(1 - ia) as bigint) as b
+  from words group by 1
+),
+tot as (select cast(sum(a) as bigint) as na, cast(sum(b) as bigint) as nb
+  from wc),
+j as (select wc.*, tot.na, tot.nb, tot.na + tot.nb as nn from wc, tot),
+scored as (
+  select w, a, b,
+    2 * (
+      (case when a > 0 then
+        a * (cast(floor(ln(cast(a as double)) * 1000000000.0 + 0.5) as bigint)
+             + cast(floor(ln(cast(nn as double)) * 1000000000.0 + 0.5) as bigint)
+             - cast(floor(ln(cast(a + b as double)) * 1000000000.0 + 0.5) as bigint)
+             - cast(floor(ln(cast(na as double)) * 1000000000.0 + 0.5) as bigint))
+       else 0 end)
+      +
+      (case when b > 0 then
+        b * (cast(floor(ln(cast(b as double)) * 1000000000.0 + 0.5) as bigint)
+             + cast(floor(ln(cast(nn as double)) * 1000000000.0 + 0.5) as bigint)
+             - cast(floor(ln(cast(a + b as double)) * 1000000000.0 + 0.5) as bigint)
+             - cast(floor(ln(cast(nb as double)) * 1000000000.0 + 0.5) as bigint))
+       else 0 end)
+    ) as g2_nano
+  from j
+)
+select cast(rank as bigint) as rank, w, a, b, g2_nano
+from (
+  select *, row_number() over (order by g2_nano desc, w) as rank from scored
+) where rank <= 20
+"""
+
+QUERIES["keyness_g2"] = q_keyness_g2
+ORACLES["keyness_g2"] = O_KEYNESS_G2
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

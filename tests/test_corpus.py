@@ -927,3 +927,32 @@ def test_bowker_symmetry_directional_bias(spark, tmp_path):
         str(sf2 / "documents.parquet"))
     r2 = QUERIES["bowker_symmetry"](spark, str(sf2)).collect()[0]
     assert (r2.df, r2.chi2_micro) == (0, 0)
+
+
+def test_keyness_g2_hand_case(spark, tmp_path):
+    """A word exclusive to one balanced corpus half tops the keyness
+    list and its G2 replays from the integer nano-ln formula; a word
+    used at the same RATE in both corpora scores ~0."""
+    import math
+
+    from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [(i, "common shared words market", "en", "s", 1) for i in range(10)]
+    rows += [(100 + i, "common shared words mercado", "es", "s", 1)
+             for i in range(10)]
+    sf = tmp_path / "key"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(sf / "documents.parquet"))
+    out = {r.w: r for r in QUERIES["keyness_g2"](spark, str(sf)).collect()}
+    # exclusive words dominate; shared-rate words score 0
+    top2 = sorted(out.values(), key=lambda r: r.rank)[:2]
+    assert {r.w for r in top2} == {"market", "mercado"}
+
+    def nln(x):
+        return math.floor(math.log(x) * 1e9 + 0.5)
+
+    a, b, na, nb = 10, 0, 40, 40
+    g2 = 2 * (a * (nln(a) + nln(na + nb) - nln(a + b) - nln(na)))
+    assert out["market"].g2_nano == g2
+    assert out["common"].g2_nano in (0, 1, -1, 2, -2)  # same-rate word ~ 0
