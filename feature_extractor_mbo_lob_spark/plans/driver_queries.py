@@ -4651,12 +4651,20 @@ ORACLES["cusum_drift"] = O_CUSUM_DRIFT
 def q_top_tools(spark, sf_dir):
     """Top-2 most used tools per conversation (ties broken by tool name
     desc) — counts aggregate first, the array fold only ever sees distinct
-    items, no rank window over the big table."""
+    items, no rank window over the big table. Driver-facing select flattens
+    the arrays to '|'-joined scalars (VERDICT r4 #1: the driver's
+    canonicalizer cannot hash array-typed columns)."""
     from ..functions.corpus import top_k_per_group
 
     t = transcripts_from_events(spark, sf_dir)
     out = top_k_per_group(t, "conv_id", "tool", k=2)
-    return out.select("conv_id", "top_items", "top_counts")
+    return out.select(
+        "conv_id",
+        F.array_join("top_items", "|").alias("top_items"),
+        F.array_join(
+            F.transform("top_counts", lambda x: x.cast("string")), "|"
+        ).alias("top_counts"),
+    )
 
 
 O_TOP_TOOLS = f"""{_W},
@@ -4666,8 +4674,8 @@ c as (
   group by conv_id, tool
 )
 select conv_id,
-  (list(tool order by n desc, tool desc))[1:2] as top_items,
-  (list(cast(n as bigint) order by n desc, tool desc))[1:2] as top_counts
+  array_to_string((list(tool order by n desc, tool desc))[1:2], '|') as top_items,
+  array_to_string((list(cast(n as varchar) order by n desc, tool desc))[1:2], '|') as top_counts
 from c
 group by conv_id
 """

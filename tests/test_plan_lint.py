@@ -102,6 +102,7 @@ BNLJ_ALLOWED = {
     "lorenz_revenue",  # 1-row (N, total) broadcast into the user frame
     "important_stock",  # 1-row (total, count) broadcast into the part frame
     "fairness_audit",  # 1-row best-keep-rate broadcast into the source frame
+    "keyness_g2",  # 1-row (na, nb) corpus-totals broadcast into the word frame
     "kmeans_clusters",
     "kneser_ney",
     "kruskal_wallis",
@@ -152,6 +153,8 @@ BNLJ_ALLOWED = {
 
 
 def test_no_forbidden_nodes_in_any_registered_plan(spark):
+    from pyspark.sql import types as T
+
     from feature_extractor_mbo_lob_spark.plans.driver_queries import QUERIES
 
     failures: list[str] = []
@@ -168,4 +171,18 @@ def test_no_forbidden_nodes_in_any_registered_plan(spark):
                 "broadcast side is a bounded aggregate, add it to "
                 "BNLJ_ALLOWED with its bound"
             )
+        # Driver-canon-safe output contract (VERDICT r4 #1): the driver's
+        # canonicalizer pandas-sorts and hashes every output column, and
+        # dies on unhashable container values. Every driver-facing final
+        # select must therefore be atomic-typed only — flatten arrays with
+        # array_join / posexplode before returning.
+        for field in df.schema.fields:
+            if isinstance(
+                field.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                failures.append(
+                    f"{name}: output column `{field.name}` is "
+                    f"{field.dataType.simpleString()} — driver canon cannot "
+                    "hash container types; flatten to atomic columns"
+                )
     assert not failures, "plan lint failures:\n" + "\n".join(failures)
