@@ -61,6 +61,37 @@ def noop(df) -> int:
     return 0
 
 
+def cpu_busy_frac(interval: float = 0.5) -> float:
+    """Instantaneous whole-box CPU busy fraction from /proc/stat."""
+
+    def snap():
+        with open("/proc/stat") as fh:
+            vals = list(map(int, fh.readline().split()[1:]))
+        return vals[3] + vals[4], sum(vals)  # idle+iowait, total
+
+    i0, t0 = snap()
+    time.sleep(interval)
+    i1, t1 = snap()
+    return 1.0 - (i1 - i0) / max(t1 - t0, 1)
+
+
+def wait_quiet(max_wait: float = 150.0, thresh: float = 0.15):
+    """Wait for the box to go CPU-quiet before timing the headline.
+
+    Three rounds in a row the external headline drifted up (2.3 -> 2.9 s)
+    while every per-query number improved — the harness overlaps its own
+    periodic verify with the bench (a concurrent local[32] Spark run halves
+    apparent throughput). Timing starts only once whole-box busy < thresh
+    (or after max_wait), and the observed busy fraction is reported in the
+    result JSON so any residual drift is attributable, not mysterious."""
+    t0 = time.time()
+    busy = cpu_busy_frac()
+    while busy > thresh and time.time() - t0 < max_wait:
+        time.sleep(4)
+        busy = cpu_busy_frac()
+    return round(busy, 3), round(time.time() - t0, 1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=None)
@@ -110,6 +141,7 @@ def main() -> None:
             with open(os.path.join(root, fname), "rb") as fh:
                 while fh.read(1 << 24):
                     pass
+    busy_at_headline, quiesce_wait = wait_quiet()
     runs = []
     for _ in range(8):
         fresh = read_transcripts(spark, tpath)
@@ -119,7 +151,7 @@ def main() -> None:
     headline_sec = min(runs[2:])
 
     decl_runs = []
-    for _ in range(2):
+    for _ in range(3):
         fresh = read_transcripts(spark, tpath)
         t0 = time.time()
         noop(flagship_pipeline(fresh, CFG, price_col="char_len"))
@@ -179,6 +211,8 @@ def main() -> None:
         "throughput_turns_per_sec": round(n_turns / headline_sec, 1),
         "all_runs_sec": [round(r, 3) for r in runs],
         "declarative_path_sec": round(min(decl_runs[1:] or decl_runs), 3),
+        "cpu_busy_at_headline": busy_at_headline,
+        "quiesce_wait_sec": quiesce_wait,
     }
     spark.stop()
 

@@ -1346,17 +1346,17 @@ def chi2_feature_selection(
     doubles), one guarded division per row.
     """
     top = vocab_topk(df, k=vocab_k, text_col=text_col).select("word")
-    pres = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(label_col).alias("lbl"),
-            F.explode(F.array_distinct(normalized_words(text_col))).alias("word"),
-        )
-        .join(F.broadcast(top), "word")
-        .distinct()
-    )
+    # explode(array_distinct(words)) emits each (id, word) pair at most
+    # once and lbl is functionally dependent on id, so the broadcast
+    # semi-join output is distinct by construction — no distinct() shuffle,
+    # and the presence margin is a plain count, not a countDistinct.
+    pres = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.explode(F.array_distinct(normalized_words(text_col))).alias("word"),
+    ).join(F.broadcast(top), "word")
     a_cnt = pres.groupBy("word", "lbl").agg(F.count(F.lit(1)).alias("a"))
-    w_cnt = pres.groupBy("word").agg(F.countDistinct("id").alias("w_docs"))
+    w_cnt = pres.groupBy("word").agg(F.count(F.lit(1)).alias("w_docs"))
     l_cnt = df.groupBy(F.col(label_col).alias("lbl")).agg(
         F.count(F.lit(1)).alias("l_docs")
     )
@@ -1594,17 +1594,17 @@ def mi_feature_screen(
     Zero cells contribute 0 (the 0*ln 0 limit).
     """
     top = vocab_topk(df, k=vocab_k, text_col=text_col).select("word")
-    pres = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(label_col).alias("lbl"),
-            F.explode(F.array_distinct(normalized_words(text_col))).alias("word"),
-        )
-        .join(F.broadcast(top), "word")
-        .distinct()
-    )
+    # explode(array_distinct(words)) emits each (id, word) pair at most
+    # once and lbl is functionally dependent on id, so the broadcast
+    # semi-join output is distinct by construction — no distinct() shuffle,
+    # and the presence margin is a plain count, not a countDistinct.
+    pres = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.explode(F.array_distinct(normalized_words(text_col))).alias("word"),
+    ).join(F.broadcast(top), "word")
     a_cnt = pres.groupBy("word", "lbl").agg(F.count(F.lit(1)).alias("a"))
-    w_cnt = pres.groupBy("word").agg(F.countDistinct("id").alias("w_docs"))
+    w_cnt = pres.groupBy("word").agg(F.count(F.lit(1)).alias("w_docs"))
     l_cnt = df.groupBy(F.col(label_col).alias("lbl")).agg(
         F.count(F.lit(1)).alias("l_docs")
     )

@@ -5564,30 +5564,30 @@ ORACLES["asof_join_range"] = O_ASOF_JOIN
 # order and stay covered by tools/check_oracle.py full sweeps (BASELINE.md).
 
 _CERTIFIED_FIRST = [
-    # Round-4 ROTATION (VERDICT r3 item 5): the driver certifies the first
-    # ~50 registry entries each round; rounds 1-3 certified 70 distinct
-    # queries, so this round's window keeps the flagship row 1 and fills
-    # the rest with 49 never-driver-certified entries (in their original
-    # registry order, plus the new minhash_lsh_capped) — turning the
-    # builder's self-administered 3-SF sweep into driver certification
-    # over time. Everything previously certified stays green in the full
-    # tools/check_oracle.py sweeps (BASELINE.md).
+    # Round-5 ROTATION (VERDICT r4 items 1+3): the driver certifies the
+    # first ~50 registry entries each round; cumulative driver-certified
+    # coverage after r4 is 118/442. This window keeps the flagship row 1,
+    # re-certifies top_tools under its fixed driver-canon-safe (scalar,
+    # array_join'd) output shape, and fills the remaining 48 slots with
+    # never-driver-certified queries from the round-4 statistical /
+    # extreme-value / graph tail the r4 verdict named as priority.
+    # Everything previously certified stays green in the full
+    # tools/check_oracle.py sweeps (BASELINE.md). The round-6 window is
+    # pre-registered in COVERAGE.md (VERDICT r4 item 8).
     "state_cumulative",
-    "minhash_lsh_capped",
-    "ivf_topk_sharded", "seasonality", "embedding_near_dup_hp",
-    "asof_join_forward", "dedup_exact_hash", "multiscale_sequences",
-    "multi_horizon_quantile", "multi_horizon_dynamic", "deeplob_m2",
-    "opportunity_priorities", "time_regime", "zscore_global",
-    "repetition_metrics", "word_runs", "pii_redaction", "vocab_topk",
-    "tfidf_top_terms", "domain_counts", "hash_sample", "bfill_impute",
-    "streaming_dedup", "open_tool_queue", "institutional_rates",
-    "stratified_sample", "source_mix", "semantic_dedup_clusters",
-    "shipping_priority", "local_supplier_volume", "returned_items",
-    "unigram_logprob", "text_clusters", "promo_revenue", "bigram_logprob",
-    "lsh_recall", "asof_join_tolerance", "target_encoding", "lag_features",
-    "quantile_bins", "distinct_tools", "session_features",
-    "balance_classes", "winsorize", "rolling_corr", "source_rollup",
-    "role_pivot", "cusum_drift", "top_tools", "edit_distance_pairs",
+    "top_tools",
+    "keyness_g2", "peaks_over_threshold", "gumbel", "return_levels",
+    "mean_residual_life", "modularity", "cka_quantization", "pca_power",
+    "kneser_ney", "bh_fdr", "lift_table", "hill_tail", "wasserstein",
+    "conformal", "hurst", "silhouette", "t_closeness", "decision_stump",
+    "jackknife_ratio", "ann_hubness", "loo_target_encoding", "ljung_box",
+    "kendall_tau", "mann_whitney", "mann_kendall", "kruskal_wallis",
+    "wilcoxon_signed", "effect_size", "cramers_v", "cliffs_delta",
+    "spearman", "logrank_test", "bradley_terry", "dsir_weights",
+    "kcore_peel", "label_propagation", "roc_curve", "brier_decomp",
+    "good_turing", "dispersion_index", "entropy_rate", "ess_weights",
+    "eb_shrinkage", "markov_stationary", "permutation_test", "v_measure",
+    "ari", "rbo",
 ]
 
 
