@@ -53,3 +53,21 @@ def test_no_shadowed_registrations():
     # registrations — loops/helpers — account for the rest of the dict)
     missing = [n for n in names if n not in dq.QUERIES]
     assert not missing, f"literal registrations missing from dict: {missing}"
+
+
+def test_coverage_appendix_in_sync():
+    """COVERAGE.md's registry appendix is generated from the runtime
+    registry (tools/gen_appendix.py) — hand-maintained counts drifted
+    twice (440 vs 441 in r4's README, 441 vs 442 in its COVERAGE.md).
+    This pins the doc to the dict the driver actually certifies."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "gen_appendix.py"), "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, f"appendix stale: {r.stdout}{r.stderr}"
