@@ -803,9 +803,13 @@ def contrastive_negatives(
     feed a clustered id (e.g. kmeans/IVF cluster reps) as the bucket
     table instead; the plan shape is identical.
     """
-    reps = F.broadcast(
+    from ..guards import checked_broadcast
+
+    reps = checked_broadcast(
         df.groupBy(md5_bucket(id_col, n_buckets).alias("_b"))
-        .agg(F.min(id_col).alias("neg_id"))
+        .agg(F.min(id_col).alias("neg_id")),
+        bound=n_buckets,
+        what="contrastive_negatives reps (n_buckets rows by construction)",
     )
     pairs = None
     for i in range(k):

@@ -787,6 +787,12 @@ def winnow_candidate_pairs(
     if max_fp_freq is not None:
         freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
         fps = fps.join(freq.filter(F.col("_n") <= max_fp_freq), "fp").drop("_n")
+        from ..guards import assert_group_size_at_most
+
+        fps = assert_group_size_at_most(
+            fps, "fp", max_fp_freq,
+            "winnow hot-fp cap (post-filter fp fan-out <= max_fp_freq)",
+        )
     a = fps.select(F.col("fp"), F.col("id").alias("id_a"))
     b = fps.select(F.col("fp"), F.col("id").alias("id_b"))
     return (

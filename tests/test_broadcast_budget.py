@@ -117,3 +117,47 @@ def test_budget_contrastive_negative_reps_bound(spark):
 
     sig = inspect.signature(contrastive_negatives)
     assert "n_buckets" in sig.parameters  # parameter-bounded by contract
+
+
+def test_debug_checked_broadcast_raises_past_bound(spark, monkeypatch):
+    """SPARK_GRAFT_CHECK_BROADCASTS=1 (guards.py) turns structural bounds
+    into checked-at-run contracts: the bounded side is counted and a
+    ValueError names the violated contract (VERDICT r4 item 7)."""
+    from feature_extractor_mbo_lob_spark import guards
+
+    df = spark.range(10)
+    # off (default): identity, no count job, no raise
+    monkeypatch.delenv(guards.DEBUG_ENV, raising=False)
+    assert guards.checked_broadcast(df, bound=1, what="t") is not None
+    # on: within bound passes, past bound raises with the contract name
+    monkeypatch.setenv(guards.DEBUG_ENV, "1")
+    guards.checked_broadcast(df, bound=10, what="t")
+    with pytest.raises(ValueError, match="broadcast budget violated"):
+        guards.checked_broadcast(df, bound=9, what="t")
+    with pytest.raises(ValueError, match="fan-out budget violated"):
+        guards.assert_group_size_at_most(
+            df.withColumn("k", F.lit(1)), "k", 9, "t"
+        )
+    guards.assert_group_size_at_most(df.withColumn("k", F.lit(1)), "k", 10, "t")
+
+
+def test_debug_checks_pass_on_real_operators(spark, monkeypatch):
+    """With the flag on, the two previously structural-only bounds —
+    contrastive reps and the winnow hot-fp cap — run their count checks
+    and pass on real outputs (the bound holds by construction; this
+    proves the wiring, the test above proves the raise path)."""
+    from feature_extractor_mbo_lob_spark import guards
+    from feature_extractor_mbo_lob_spark.functions.corpus import (
+        contrastive_negatives,
+    )
+
+    monkeypatch.setenv(guards.DEBUG_ENV, "1")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i % 3}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    assert contrastive_negatives(docs, k=2, n_buckets=8).count() > 0
+    assert dedup.winnow_candidate_pairs(
+        docs, k=3, w=4, min_shared=1, max_fp_freq=50
+    ).count() > 0
