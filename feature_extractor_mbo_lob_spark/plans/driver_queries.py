@@ -8561,8 +8561,6 @@ def q_rrf_fusion(spark, sf_dir):
     quantization-error recovery pass (functions/ranking.
     reciprocal_rank_fusion). Quantized scoring is all-integer (q lanes),
     so its ranking is engine-exact by construction."""
-    from pyspark.sql import Window
-
     from ..functions import ranking
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -8573,25 +8571,19 @@ def q_rrf_fusion(spark, sf_dir):
         emb, k=10, query=queries.select("vec_id", "embedding")
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
 
+    # Quantized ranking via the same GEMM engine as the exact path (the
+    # rbo rationale: int8-code vectors make every dot product an exact
+    # float64 integer, so cosine and the (cos desc, doc_id) tie order are
+    # bit-identical across engines — and the queries x corpus crossJoin of
+    # interpreted HOF cosines disappears; 5.6 -> ~2 s at sf0.1).
     q8 = similarity.quantize_embeddings_int8(emb).select(
         "vec_id",
         F.transform(F.col("embedding_q8"), lambda x: x.cast("double")).alias("qv"),
     )
-    qq = q8.where(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
-    )
-    pairs = q8.select(F.col("vec_id").alias("doc_id"), F.col("qv").alias("nv")).crossJoin(
-        F.broadcast(qq)
-    ).where(F.col("doc_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id", "doc_id", similarity.cosine(F.col("qa"), F.col("nv")).alias("cos")
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("doc_id"))
-    quant = (
-        scored.withColumn("rank", F.row_number().over(wq))
-        .where(F.col("rank") <= 10)
-        .select("query_id", "doc_id", "rank")
-    )
+    qq = q8.where(F.col("vec_id") % 20 == 0)
+    quant = similarity.brute_force_topk(
+        q8, id_col="vec_id", vec_col="qv", k=10, query=qq
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return ranking.reciprocal_rank_fusion([exact, quant], k_const=60, top_k=10)
 
 
@@ -16178,8 +16170,6 @@ def q_rbo(spark, sf_dir):
     agreement meter that quantifies quantization damage where rrf_fusion
     repairs it. Agreement credits are plan-literal integers from the
     micro weight recurrence; one bounded equi-join + groupBy(query)."""
-    from pyspark.sql import Window
-
     from ..functions.ranking import rank_biased_overlap
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -16190,25 +16180,20 @@ def q_rbo(spark, sf_dir):
         emb, k=20, query=queries.select("vec_id", "embedding")
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
 
+    # The quantized ranking reuses the exact path's GEMM engine instead of
+    # a queries x corpus crossJoin of interpreted HOF cosines (5.6 -> ~1 s
+    # at sf0.1). Determinism is STRONGER here than for the float ranking:
+    # int8-code vectors give integer dot products (<= 127^2*64, exact in
+    # float64 under ANY summation order), so the cosine and the
+    # (cos desc, doc_id) tie order are bit-identical across engines.
     q8 = similarity.quantize_embeddings_int8(emb).select(
         "vec_id",
         F.transform(F.col("embedding_q8"), lambda x: x.cast("double")).alias("qv"),
     )
-    qq = q8.where(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
-    )
-    pairs = q8.select(
-        F.col("vec_id").alias("doc_id"), F.col("qv").alias("nv")
-    ).crossJoin(F.broadcast(qq)).where(F.col("doc_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id", "doc_id", similarity.cosine(F.col("qa"), F.col("nv")).alias("cos")
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("doc_id"))
-    quant = (
-        scored.withColumn("rank", F.row_number().over(wq))
-        .where(F.col("rank") <= 20)
-        .select("query_id", "doc_id", "rank")
-    )
+    qq = q8.where(F.col("vec_id") % 20 == 0)
+    quant = similarity.brute_force_topk(
+        q8, id_col="vec_id", vec_col="qv", k=20, query=qq
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return rank_biased_overlap(exact, quant, depth=20).select(
         "query_id", "n_matches", "rbo_micro"
     )
