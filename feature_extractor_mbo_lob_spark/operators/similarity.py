@@ -1089,8 +1089,10 @@ def _int_gram_partials(df: DataFrame, vec_col: str, build_q, tag: str = "g"):
     id-keyed self-join produced — bit-identical oracle behavior, at
     numpy-GEMM speed instead of an O(rows·d²) exploded join (measured
     at sf0.1: cka_quantization 9.8 -> 1.0 s, pca_power 6.6 -> 2.0 s). Null vectors contribute
-    nothing, matching posexplode semantics. Shuffle stays O(batches·d²),
-    never O(rows)."""
+    nothing, matching posexplode semantics; RAGGED corpora raise in
+    np.asarray rather than silently mis-summing — length-filter first
+    (the contract embeddings tables satisfy by construction). Shuffle
+    stays O(batches·d²), never O(rows)."""
 
     def gen(batches):
         import numpy as np
