@@ -1119,6 +1119,13 @@ def bleu_components(
     Returns ``DataFrame[id_a, id_b, ref_len, cand_len, m1..m{max_n},
     c1..c{max_n}]`` (all long; missing orders are 0).
     """
+    # pairs is consumed three times (ids union x2 + the final pair join)
+    # and typically carries a whole LSH candidate pipeline underneath;
+    # cnt is consumed twice (both join sides). Materialize each ONCE —
+    # without the checkpoints Spark recomputes the candidate generation
+    # three times (bleu_pairs at sf0.1: 8.0 s warm / 15.4 s in
+    # marathon context -> 5.1 s warm).
+    pairs = pairs.localCheckpoint(eager=True)
     ids = (
         pairs.select(F.col("id_a").alias("id"))
         .union(pairs.select(F.col("id_b").alias("id")))
@@ -1141,7 +1148,7 @@ def bleu_components(
         grams = grams.unionByName(g)
     cnt = grams.groupBy("id", "n", "gram").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=True)
 
     a = cnt.select(
         F.col("id").alias("id_a"), "n", "gram", F.col("c").alias("ca")
