@@ -1046,10 +1046,13 @@ def ppjoin_pairs(
         F.row_number().over(wd.orderBy(F.asc("cnt"), F.asc("word"))).alias("pos"),
         F.count(F.lit(1)).over(wd).alias("m"),
     )
-    # prefix length = m - ceil(pct*m/100) + 1
+    # prefix length = m - ceil(pct*m/100) + 1. Materialize once: the
+    # prefix table sits on top of the frequency join + per-document
+    # window, and the a/b self-join below would otherwise recompute that
+    # whole subtree twice (7.0 -> 4.1 s at sf0.1).
     pre = tl.filter(
         F.col("pos") <= F.col("m") - F.expr(f"({pct} * m + 99) div 100") + 1
-    ).select("id", "word", "m")
+    ).select("id", "word", "m").localCheckpoint(eager=True)
 
     cand = (
         pre.alias("a")
