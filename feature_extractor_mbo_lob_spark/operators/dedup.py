@@ -177,7 +177,13 @@ def minhash_lsh_pairs(
     for b in range(bands):
         parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
         band_cols.append(F.md5(F.concat_ws("#", *parts)).alias(f"band_{b}"))
-    banded = sigs.select("id", *band_cols)
+    # one row per doc (id + bands digests). Materialize ONCE: every
+    # consumer below references it 2-3x (self-join sides; reps + rep
+    # join + star in the capped tier), and each reference would re-run
+    # the shingle explode + num_hashes md5-min groupBy — the dominant
+    # cost of the whole LSH family (~1 s off every downstream query at
+    # sf0.1).
+    banded = sigs.select("id", *band_cols).localCheckpoint(eager=True)
 
     def melt(frame: DataFrame) -> DataFrame:
         return frame.select(
