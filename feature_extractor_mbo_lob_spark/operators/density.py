@@ -87,6 +87,11 @@ def dbscan_from_pairs(
                   plain DBSCAN leaves this order-dependent);
     * noise     — everything else, cluster_id = -1.
     """
+    # materialize the (typically LSH + exact-verify) pair pipeline ONCE —
+    # it feeds both unionAll branches here, and sym feeds the degree
+    # count, the core-edge join, and the border labeling; without the
+    # checkpoint each of those consumers re-ran candidate generation
+    pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionAll(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
