@@ -5377,3 +5377,132 @@ def gumbel_moments(
         F.when(ok, F.floor(sigma * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
         .alias("sigma"),
     )
+
+
+def rayleigh_hour_uniformity(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Rayleigh test of circular uniformity over the hour-of-day clock —
+    the CIRCULAR companion to dow_uniformity's chi-square: a chi-square
+    sees hour 23 and hour 0 as maximally different categories, while the
+    Rayleigh statistic respects the wrap-around and detects CONCENTRATION
+    of events around any clock direction (the diurnal-load question "is
+    traffic pulled toward one time of day", the first read before
+    capacity planning trusts a flat-provisioning assumption).
+
+    The 24 unit-circle directions cos/sin(2*pi*h/24) are micro-quantized
+    PLAN LITERALS precomputed in Python (the gumbel/return_levels
+    precedent) — no runtime trig on either engine. The resultant
+    components C = sum_h c_h*cos_micro[h], S = sum_h c_h*sin_micro[h]
+    are exact integers over the <=24-row hour histogram; the mean
+    resultant length squared R_bar^2 = (C^2+S^2)/(n*1e6)^2 and the
+    Rayleigh statistic Z = n*R_bar^2 are released as floor-quantized
+    ppm/micro integers on nonnegative operands (squares), so both
+    engines agree bit-for-bit. |C|,|S| <= n*1e6 — bigint-safe to
+    ~9e12 events per released row; the squares ride decimal(38,0)/
+    hugeint (safe to ~1e16 events).
+
+    Scale shape: ONE partial-aggregable groupBy on the 24-value hour key
+    (shuffle bounded by 24 rows, never corpus size), then a 24-row
+    global aggregate. Hour is an epoch integer division — no
+    locale/timezone-dependent date function on either engine.
+
+    Returns one row: (n_events, c_micro, s_micro, r2_ppm, z_micro).
+    """
+    import math
+
+    ct = [int(math.floor(math.cos(2 * math.pi * h / 24) * 1e6 + 0.5)) for h in range(24)]
+    st = [int(math.floor(math.sin(2 * math.pi * h / 24) * 1e6 + 0.5)) for h in range(24)]
+    per = (
+        events.select(
+            (F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 3600000000") % 24)
+            .cast("int")
+            .alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    dec = "decimal(38,0)"
+    cosv = F.element_at(F.array(*[F.lit(v) for v in ct]), F.col("h") + 1)
+    sinv = F.element_at(F.array(*[F.lit(v) for v in st]), F.col("h") + 1)
+    agg = per.agg(
+        F.sum("c").cast(dec).alias("n"),
+        F.sum(F.col("c").cast(dec) * cosv).cast(dec).alias("cc"),
+        F.sum(F.col("c").cast(dec) * sinv).cast(dec).alias("ss"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("cc").cast("long").alias("c_micro"),
+        F.col("ss").cast("long").alias("s_micro"),
+        F.when(
+            F.col("n") > 0,
+            F.expr("cast((cc * cc + ss * ss) div (n * n * 1000000) as bigint)"),
+        ).alias("r2_ppm"),
+        F.when(
+            F.col("n") > 0,
+            F.expr("cast((cc * cc + ss * ss) div (n * 1000000) as bigint)"),
+        ).alias("z_micro"),
+    )
+
+
+def fleiss_kappa_binary(
+    items: DataFrame,
+    rating_cols: tuple = ("r1", "r2", "r3"),
+) -> DataFrame:
+    """Fleiss' kappa (1971) for m fixed binary raters over N items — the
+    MULTI-rater agreement coefficient beside cohens_kappa (2 raters) and
+    krippendorff (variable raters per unit): how much do m deterministic
+    labeling heuristics agree beyond the chance their marginal rates
+    imply? The registered query rates each user by three independent
+    quality heuristics; kappa near 0 says the "quality" signals are
+    measuring different things, kappa near 1 says any one of them
+    suffices.
+
+    Exact integer path: per item the agreement kernel
+    P_i = (n1_i^2 + (m-n1_i)^2 - m) / (m(m-1)) has an integer numerator
+    — sum it raw (order-free), ONE ppm trunc division at release.
+    Chance agreement uses the pooled positive count s1 = sum n1_i:
+    pe_ppm = (s1^2 + (mN-s1)^2) * 1e6 // (mN)^2, and
+    kappa_ppm = (p_bar_ppm - pe_ppm) * 1e6 // (1e6 - pe_ppm) — every
+    division a floor on nonnegative operands except the final signed
+    numerator, released via sign decomposition so Spark's
+    truncation-toward-zero `div` and DuckDB's flooring `//` agree.
+
+    Scale shape: one row per item in, ONE global 3-sum aggregate out
+    (partial-aggregable; no shuffle beyond the 1-row reduce).
+
+    Returns one row: (n_items, m_raters, s1, p_bar_ppm, pe_ppm,
+    kappa_ppm).
+    """
+    m = len(rating_cols)
+    n1 = sum(F.col(c).cast("long") for c in rating_cols).alias("n1")
+    per = items.select(n1)
+    dec = "decimal(38,0)"
+    agg = per.agg(
+        F.count(F.lit(1)).cast(dec).alias("nn"),
+        F.sum("n1").cast(dec).alias("s1"),
+        F.sum(
+            F.col("n1").cast(dec) * F.col("n1")
+            + (F.lit(m) - F.col("n1")).cast(dec) * (F.lit(m) - F.col("n1"))
+            - F.lit(m)
+        ).cast(dec).alias("pnum"),
+    )
+    p_bar = F.expr(f"cast((pnum * 1000000) div (nn * {m * (m - 1)}) as bigint)")
+    pe = F.expr(
+        f"cast(((s1 * s1 + ({m} * nn - s1) * ({m} * nn - s1)) * 1000000)"
+        f" div (({m} * nn) * ({m} * nn)) as bigint)"
+    )
+    out = agg.select(
+        F.col("nn").cast("long").alias("n_items"),
+        F.lit(m).cast("long").alias("m_raters"),
+        F.col("s1").cast("long").alias("s1"),
+        p_bar.alias("p_bar_ppm"),
+        pe.alias("pe_ppm"),
+    )
+    knum = (F.col("p_bar_ppm") - F.col("pe_ppm")).cast("decimal(38,0)")
+    kden = (F.lit(1000000) - F.col("pe_ppm")).cast("decimal(38,0)")
+    kappa = F.when(
+        F.col("pe_ppm") < 1000000,
+        F.signum(knum.cast("double")).cast("long")
+        * F.expr("cast((abs(cast(p_bar_ppm - pe_ppm as decimal(38,0))) * 1000000)"
+                 " div cast(1000000 - pe_ppm as decimal(38,0)) as bigint)"),
+    ).alias("kappa_ppm")
+    return out.select("n_items", "m_raters", "s1", "p_bar_ppm", "pe_ppm", kappa)

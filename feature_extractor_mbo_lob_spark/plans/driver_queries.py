@@ -23609,6 +23609,118 @@ QUERIES["keyness_g2"] = q_keyness_g2
 ORACLES["keyness_g2"] = O_KEYNESS_G2
 
 
+# --- Rayleigh circular uniformity (hour-of-day clock) --------------------------
+
+
+def q_rayleigh_hours(spark, sf_dir):
+    """Rayleigh test of diurnal concentration (functions/stats.
+    rayleigh_hour_uniformity): are events pulled toward one time of day?
+    The circular twin of dow_uniformity — hour 23 and hour 0 are
+    neighbors here, not opposite categories. The 24 cos/sin directions
+    are micro-quantized plan literals (no runtime trig); resultant
+    components exact integers over the 24-row hour histogram; R_bar^2
+    and Z released as floor ppm/micro on square (nonneg) operands."""
+    from ..functions.stats import rayleigh_hour_uniformity
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rayleigh_hour_uniformity(ev)
+
+
+def _rayleigh_oracle() -> str:
+    import math
+
+    ct = [int(math.floor(math.cos(2 * math.pi * h / 24) * 1e6 + 0.5)) for h in range(24)]
+    st = [int(math.floor(math.sin(2 * math.pi * h / 24) * 1e6 + 0.5)) for h in range(24)]
+    return f"""
+with hh as (
+  select cast((epoch_us(cast(ts as timestamp)) // 3600000000) % 24 as int) as h
+  from events
+),
+per as (select h, cast(count(*) as bigint) as c from hh group by 1),
+m as (
+  select cast(sum(c) as hugeint) as n,
+    cast(sum(cast(c as hugeint) * list_extract({ct}, h + 1)) as hugeint) as cc,
+    cast(sum(cast(c as hugeint) * list_extract({st}, h + 1)) as hugeint) as ss
+  from per
+)
+select cast(n as bigint) as n_events,
+  cast(cc as bigint) as c_micro, cast(ss as bigint) as s_micro,
+  case when n > 0 then cast((cc * cc + ss * ss) // (n * n * 1000000) as bigint) end as r2_ppm,
+  case when n > 0 then cast((cc * cc + ss * ss) // (n * 1000000) as bigint) end as z_micro
+from m
+"""
+
+
+QUERIES["rayleigh_hours"] = q_rayleigh_hours
+ORACLES["rayleigh_hours"] = _rayleigh_oracle()
+
+
+# --- Fleiss' kappa (3 deterministic binary raters over users) -------------------
+
+
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' multi-rater kappa (functions/stats.fleiss_kappa_binary)
+    over users rated by three independent binary quality heuristics —
+    total spend > 100.00, activity >= 5 events, breadth >= 3 distinct
+    event types. Near-zero kappa says the heuristics measure different
+    things; the 3-sum aggregate and ppm releases are exact integers."""
+    from ..functions.stats import fleiss_kappa_binary
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.expr("cast(floor(value * 100.0 + 0.5) as bigint)")).alias("cents"),
+        F.count(F.lit(1)).alias("n_ev"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    items = per.select(
+        (F.col("cents") > 10000).cast("int").alias("r1"),
+        (F.col("n_ev") >= 5).cast("int").alias("r2"),
+        (F.col("n_types") >= 3).cast("int").alias("r3"),
+    )
+    return fleiss_kappa_binary(items)
+
+
+O_FLEISS_KAPPA = """
+with per as (
+  select user_id,
+    sum(cast(floor(value * 100.0 + 0.5) as bigint)) as cents,
+    cast(count(*) as bigint) as n_ev,
+    cast(count(distinct event_type) as bigint) as n_types
+  from events group by 1
+),
+it as (
+  select (case when cents > 10000 then 1 else 0 end)
+       + (case when n_ev >= 5 then 1 else 0 end)
+       + (case when n_types >= 3 then 1 else 0 end) as n1
+  from per
+),
+agg as (
+  select cast(count(*) as hugeint) as nn, cast(sum(n1) as hugeint) as s1,
+    cast(sum(n1 * n1 + (3 - n1) * (3 - n1) - 3) as hugeint) as pnum
+  from it
+),
+rel as (
+  select cast(nn as bigint) as n_items, cast(3 as bigint) as m_raters,
+    cast(s1 as bigint) as s1,
+    cast((pnum * 1000000) // (nn * 6) as bigint) as p_bar_ppm,
+    cast(((s1 * s1 + (3 * nn - s1) * (3 * nn - s1)) * 1000000)
+         // ((3 * nn) * (3 * nn)) as bigint) as pe_ppm
+  from agg
+)
+select n_items, m_raters, s1, p_bar_ppm, pe_ppm,
+  case when pe_ppm < 1000000 then
+    cast((case when p_bar_ppm > pe_ppm then 1
+               when p_bar_ppm < pe_ppm then -1 else 0 end)
+      * ((abs(cast(p_bar_ppm as hugeint) - pe_ppm) * 1000000)
+         // cast(1000000 - pe_ppm as hugeint)) as bigint)
+  end as kappa_ppm
+from rel
+"""
+
+QUERIES["fleiss_kappa"] = q_fleiss_kappa
+ORACLES["fleiss_kappa"] = O_FLEISS_KAPPA
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

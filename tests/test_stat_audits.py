@@ -1181,3 +1181,67 @@ def test_topk_churn_jaccard(spark, tmp_path):
     r = out[0]
     assert r.n_common == 1
     assert r.jaccard_ppm == 1000000 // 3
+
+
+def test_rayleigh_hours_concentrated_and_uniform(spark):
+    import datetime
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        rayleigh_hour_uniformity,
+    )
+
+    ct = [int(math.floor(math.cos(2 * math.pi * h / 24) * 1e6 + 0.5)) for h in range(24)]
+    st = [int(math.floor(math.sin(2 * math.pi * h / 24) * 1e6 + 0.5)) for h in range(24)]
+
+    # all events at hour 0 -> quantized R_bar^2 is exactly 1e6 ppm,
+    # Z = n in micro units
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    ev = spark.createDataFrame(
+        [(i, base) for i in range(10)], "event_id long, ts timestamp"
+    )
+    r = rayleigh_hour_uniformity(ev).collect()[0]
+    assert r.n_events == 10
+    assert r.c_micro == 10 * ct[0] and r.s_micro == 10 * st[0]
+    assert r.r2_ppm == (r.c_micro ** 2 + r.s_micro ** 2) // (10 * 10 * 10 ** 6)
+    assert r.r2_ppm == 10 ** 6
+    assert r.z_micro == 10 * 10 ** 6
+
+    # perfectly uniform 24-hour histogram -> resultant collapses to the
+    # literal-table rounding residue (|C|,|S| <= 24, r2/z floor to 0)
+    ev2 = spark.createDataFrame(
+        [(h, base + datetime.timedelta(hours=h)) for h in range(24)] * 2,
+        "event_id long, ts timestamp",
+    )
+    r2 = rayleigh_hour_uniformity(ev2).collect()[0]
+    assert r2.n_events == 48
+    assert r2.c_micro == 2 * sum(ct) and r2.s_micro == 2 * sum(st)
+    assert abs(r2.c_micro) <= 48 and abs(r2.s_micro) <= 48
+    assert r2.r2_ppm == 0 and r2.z_micro == 0
+
+
+def test_fleiss_kappa_binary_hand_computed(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import fleiss_kappa_binary
+
+    # 6 items, 3 raters: n1 per item = [3, 3, 0, 0, 2, 1]
+    rows = [(1, 1, 1), (1, 1, 1), (0, 0, 0), (0, 0, 0), (1, 1, 0), (1, 0, 0)]
+    df = spark.createDataFrame(rows, "r1 int, r2 int, r3 int")
+    r = fleiss_kappa_binary(df).collect()[0]
+    n1s = [sum(t) for t in rows]
+    N, m = 6, 3
+    s1 = sum(n1s)
+    pnum = sum(v * v + (m - v) * (m - v) - m for v in n1s)
+    p_bar = pnum * 10 ** 6 // (N * m * (m - 1))
+    pe = (s1 * s1 + (m * N - s1) * (m * N - s1)) * 10 ** 6 // ((m * N) ** 2)
+    sign = 1 if p_bar > pe else (-1 if p_bar < pe else 0)
+    kappa = sign * (abs(p_bar - pe) * 10 ** 6 // (10 ** 6 - pe))
+    assert (r.n_items, r.m_raters, r.s1) == (N, m, s1)
+    assert r.p_bar_ppm == p_bar and r.pe_ppm == pe
+    assert r.kappa_ppm == kappa
+
+    # unanimous raters -> kappa exactly 1e6
+    uni = spark.createDataFrame(
+        [(1, 1, 1)] * 4 + [(0, 0, 0)] * 4, "r1 int, r2 int, r3 int"
+    )
+    ru = fleiss_kappa_binary(uni).collect()[0]
+    assert ru.p_bar_ppm == 10 ** 6 and ru.kappa_ppm == 10 ** 6
