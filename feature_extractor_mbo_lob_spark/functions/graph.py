@@ -1153,3 +1153,75 @@ def moran_geary(
             F.expr("cast(((n - 1) * q * 1000000) div (2 * wh * uu) as bigint)"),
         ).alias("geary_micro"),
     )
+
+
+def rich_club(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    ks: tuple = (1, 2, 4, 8),
+) -> DataFrame:
+    """Rich-club coefficient phi(k) (Colizza et al. 2006, unnormalized)
+    of an undirected simple edge list: among the nodes with degree > k,
+    what fraction of the possible links actually exist? Rising phi(k)
+    means hubs form a tightly-wired club (the workflow-core question for
+    the tool co-usage graph: do the most-connected tools interlock, or
+    does each hub serve its own spoke set?) — the density-by-elite
+    readout that degree_assortativity's single correlation cannot show.
+
+    phi_ppm(k) = 2 * E_{>k} * 1e6 // (N_{>k} * (N_{>k} - 1)) — exact
+    integer counts, one floor division per k on nonnegative operands,
+    NULL when fewer than 2 nodes clear the threshold.
+
+    Scale shape: one degree count over the edge list (partial-agg), two
+    node-keyed joins decorating each edge with endpoint degrees, then a
+    CONSTANT |ks|-fold explode of the decorated edge/node frames into
+    one groupBy(k) each — shuffles bounded by |edges| * |ks|, never
+    corpus rows; no threshold ever re-scans the input.
+
+    Returns one row per k: (k, n_nodes, n_edges, phi_ppm), k ascending.
+    """
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    both = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    karr = F.array(*[F.lit(int(k)) for k in sorted(ks)])
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ek = (
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.explode(karr).alias("k"),
+            F.least("deg_a", "deg_b").alias("mind"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("mind") > F.col("k"), 1).otherwise(0))
+            .cast("long").alias("n_edges")
+        )
+    )
+    nk = (
+        deg.select(F.explode(karr).alias("k"), "deg")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("deg") > F.col("k"), 1).otherwise(0))
+            .cast("long").alias("n_nodes")
+        )
+    )
+    return (
+        nk.join(ek, "k")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_nodes",
+            "n_edges",
+            F.when(
+                F.col("n_nodes") >= 2,
+                F.expr(
+                    "cast((2 * n_edges * cast(1000000 as bigint))"
+                    " div (n_nodes * (n_nodes - 1)) as bigint)"
+                ),
+            ).alias("phi_ppm"),
+        )
+        .orderBy("k")
+    )

@@ -5506,3 +5506,60 @@ def fleiss_kappa_binary(
                  " div cast(1000000 - pe_ppm as decimal(38,0)) as bigint)"),
     ).alias("kappa_ppm")
     return out.select("n_items", "m_raters", "s1", "p_bar_ppm", "pe_ppm", kappa)
+
+
+def spiegelhalter_z(
+    scored: DataFrame,
+    y_col: str = "y",
+    p_ppm_col: str = "p_ppm",
+) -> DataFrame:
+    """Spiegelhalter's (1986) calibration Z test over (outcome, forecast)
+    pairs with ppm-quantized probabilities — the hypothesis-test
+    companion to calibration_ece/brier_decomp: ECE measures HOW FAR the
+    forecasts sit from the diagonal, this asks whether the deviation
+    exceeds what binomial noise at those exact forecasts would produce.
+    Z^2 = [sum (y - p)(1 - 2p)]^2 / [sum (1 - 2p)^2 p (1 - p)].
+
+    With p in exact ppm both sums are exact integers (each term a
+    product of <= 1e6-bounded factors; the variance sum rides
+    decimal(38,0)/hugeint). Releases: n pairs, the signed numerator in
+    micro units via sign decomposition (Spark trunc-div vs DuckDB
+    floor-div never sees a negative), the variance quantized by 1e12,
+    and the convenience z2_ppm from the two quantized releases —
+    bigint-exact to ~3e8 pairs; beyond that consumers recombine the
+    released sums client-side.
+
+    Scale shape: ONE global aggregate (partial-aggregable, order-free
+    integer sums); no shuffle beyond the 1-row reduce.
+
+    Returns one row: (n, num_micro, var_micro6, z_sign, z2_ppm).
+    """
+    dec = "decimal(38,0)"
+    yterm = (F.col(y_col).cast(dec) * 1000000 - F.col(p_ppm_col))
+    one_m_2p = (F.lit(1000000).cast(dec) - 2 * F.col(p_ppm_col))
+    pvar = F.col(p_ppm_col).cast(dec) * (F.lit(1000000).cast(dec) - F.col(p_ppm_col))
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(yterm * one_m_2p).cast(dec).alias("num"),
+        F.sum(one_m_2p * one_m_2p * pvar).cast(dec).alias("den2"),
+    )
+    rel = agg.select(
+        "n",
+        F.expr("cast(case when num > 0 then 1 when num < 0 then -1 else 0 end as bigint)")
+        .alias("z_sign"),
+        F.expr("cast(abs(num) div 1000000 as bigint)").alias("abs_num_micro"),
+        F.expr("cast(den2 div 1000000000000 as bigint)").alias("var_micro6"),
+    )
+    return rel.select(
+        "n",
+        (F.col("z_sign") * F.col("abs_num_micro")).alias("num_micro"),
+        "var_micro6",
+        "z_sign",
+        F.when(
+            F.col("var_micro6") > 0,
+            F.expr(
+                "cast((cast(abs_num_micro as decimal(38,0)) * abs_num_micro * 1000000)"
+                " div cast(var_micro6 as decimal(38,0)) as bigint)"
+            ),
+        ).alias("z2_ppm"),
+    )

@@ -23721,6 +23721,128 @@ QUERIES["fleiss_kappa"] = q_fleiss_kappa
 ORACLES["fleiss_kappa"] = O_FLEISS_KAPPA
 
 
+# --- rich-club coefficient of the tool co-usage graph ---------------------------
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient phi(k) of the tool co-usage graph
+    (functions/graph.rich_club): do the most-connected tools interlock
+    into a dense core, or does each hub serve its own spokes? Degree
+    thresholds k = 1,2,4,8; exact integer counts, one ppm floor per k.
+    Edge decoration is two node-keyed joins; thresholds ride a constant
+    4-fold explode, never a re-scan."""
+    from ..functions.graph import rich_club
+
+    t = transcripts_from_events(spark, sf_dir)
+    d = t.filter(F.col("tool").isNotNull()).select("conv_id", "tool").distinct()
+    a = d.select("conv_id", F.col("tool").alias("tool_a"))
+    b = d.select("conv_id", F.col("tool").alias("tool_b"))
+    edges = (
+        a.join(b, "conv_id")
+        .filter(F.col("tool_a") < F.col("tool_b"))
+        .select("tool_a", "tool_b")
+        .distinct()
+    )
+    return rich_club(edges, "tool_a", "tool_b")
+
+
+O_RICH_CLUB = f"""{_W},
+d as (
+  select distinct conv_id, tool from transcripts where tool is not null
+),
+e as (
+  select distinct a.tool as a, b.tool as b
+  from d a join d b on a.conv_id = b.conv_id and a.tool < b.tool
+),
+orient2 as (select a, b from e union all select b as a, a as b from e),
+deg as (select a as node, cast(count(*) as bigint) as deg from orient2 group by 1),
+ks as (select unnest([1, 2, 4, 8]) as k),
+nk as (
+  select k, cast(sum(case when deg > k then 1 else 0 end) as bigint) as n_nodes
+  from deg, ks group by k
+),
+ek as (
+  select k,
+    cast(sum(case when least(da.deg, db.deg) > k then 1 else 0 end) as bigint)
+      as n_edges
+  from e join deg da on e.a = da.node join deg db on e.b = db.node, ks
+  group by k
+)
+select cast(nk.k as bigint) as k, n_nodes, n_edges,
+  case when n_nodes >= 2
+       then (2 * n_edges * 1000000) // (n_nodes * (n_nodes - 1)) end as phi_ppm
+from nk join ek on nk.k = ek.k
+order by 1
+"""
+
+QUERIES["rich_club"] = q_rich_club
+ORACLES["rich_club"] = O_RICH_CLUB
+
+
+# --- Spiegelhalter calibration Z (per-type forecasts, md5 split) ----------------
+
+
+def q_spiegelhalter(spark, sf_dir):
+    """Spiegelhalter's calibration Z test (functions/stats.
+    spiegelhalter_z): per-event-type success rates fit on the md5-even
+    half of events forecast the md5-odd half; the test asks whether the
+    held-out deviation from those exact ppm forecasts exceeds binomial
+    noise — the significance companion to calibration_ece. Forecast dim
+    is the tiny event_type table (broadcast); one global integer
+    aggregate."""
+    from ..functions.corpus import md5_bucket
+    from ..functions.stats import spiegelhalter_z
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("et"),
+        (F.col("value") > 100.0).cast("long").alias("y"),
+        md5_bucket("event_id", 2).alias("arm"),
+    )
+    train = ev.filter(F.col("arm") == 0).groupBy("et").agg(
+        F.sum("y").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select("et", F.expr("cast((s * 1000000) div n as bigint)").alias("p_ppm"))
+    scored = ev.filter(F.col("arm") == 1).join(F.broadcast(train), "et")
+    return spiegelhalter_z(scored, "y", "p_ppm")
+
+
+O_SPIEGELHALTER = f"""
+with hx as (
+  select event_type as et,
+    case when value > 100.0 then 1 else 0 end as y,
+    md5(cast(event_id as varchar)) as h
+  from events
+),
+t as (select et, y, ({_HEX7}) % 2 as arm from hx),
+tr as (
+  select et, cast((sum(y) * 1000000) // count(*) as hugeint) as p
+  from t where arm = 0 group by 1
+),
+te as (select t.y, tr.p from t join tr on t.et = tr.et where t.arm = 1),
+agg as (
+  select cast(count(*) as bigint) as n,
+    sum((cast(y as hugeint) * 1000000 - p) * (1000000 - 2 * p)) as num,
+    sum((1000000 - 2 * p) * (1000000 - 2 * p) * p * (1000000 - p)) as den2
+  from te
+),
+rel as (
+  select n,
+    case when num > 0 then 1 when num < 0 then -1 else 0 end as z_sign,
+    abs(num) // 1000000 as anm,
+    den2 // 1000000000000 as var_micro6
+  from agg
+)
+select n, cast(z_sign * anm as bigint) as num_micro,
+  cast(var_micro6 as bigint) as var_micro6, cast(z_sign as bigint) as z_sign,
+  case when var_micro6 > 0
+       then cast((anm * anm * 1000000) // var_micro6 as bigint) end as z2_ppm
+from rel
+"""
+
+QUERIES["spiegelhalter"] = q_spiegelhalter
+ORACLES["spiegelhalter"] = O_SPIEGELHALTER
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

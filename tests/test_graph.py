@@ -367,3 +367,31 @@ def test_bfs_hops_layers_seed_and_unreachable(spark):
     # unweighted degrees: n2..n5 = 2 (tie -> n2), n1/n6 = 1
     got2 = {r.node: r.dist for r in bfs_hops(path, max_depth=2).collect()}
     assert got2 == {"n2": 0, "n1": 1, "n3": 1, "n4": 2}
+
+
+def test_rich_club_clique_plus_leaf(spark):
+    from feature_extractor_mbo_lob_spark.functions.graph import rich_club
+
+    # K4 on {a,b,c,d} plus leaf e attached to a: deg a=4, b=c=d=3, e=1
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("a", "e")]
+    df = spark.createDataFrame(edges, "a string, b string")
+    rows = {r.k: r for r in rich_club(df).collect()}
+    assert set(rows) == {1, 2, 4, 8}
+    # k=1 and k=2: the club is the K4 -> fully wired, phi = 1e6 exactly
+    for k in (1, 2):
+        assert rows[k].n_nodes == 4 and rows[k].n_edges == 6
+        assert rows[k].phi_ppm == 10 ** 6
+    # k=4: nobody clears deg > 4 -> phi NULL
+    assert rows[4].n_nodes == 0 and rows[4].n_edges == 0
+    assert rows[4].phi_ppm is None and rows[8].phi_ppm is None
+
+    # half-wired club: path a-b-c-d plus pendant edges to give mid nodes
+    # degree 3 (b: a,c,x; c: b,d,y) -> club at k=2 is {b,c}, 1 of 1 edge
+    edges2 = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "x"), ("c", "y")]
+    df2 = spark.createDataFrame(edges2, "a string, b string")
+    rows2 = {r.k: r for r in rich_club(df2).collect()}
+    assert rows2[2].n_nodes == 2 and rows2[2].n_edges == 1
+    assert rows2[2].phi_ppm == 10 ** 6
+    # k=1: club {a?,b,c,d?}: degrees a=1,d=1,x=1,y=1 -> club {b,c}, same
+    assert rows2[1].n_nodes == 2 and rows2[1].n_edges == 1

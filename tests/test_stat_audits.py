@@ -1245,3 +1245,28 @@ def test_fleiss_kappa_binary_hand_computed(spark):
     )
     ru = fleiss_kappa_binary(uni).collect()[0]
     assert ru.p_bar_ppm == 10 ** 6 and ru.kappa_ppm == 10 ** 6
+
+
+def test_spiegelhalter_z_hand_computed(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import spiegelhalter_z
+
+    # p = 0.25 for all four pairs; y = [1,1,0,0] (observed rate 0.5)
+    df = spark.createDataFrame(
+        [(1, 250000), (1, 250000), (0, 250000), (0, 250000)],
+        "y long, p_ppm long",
+    )
+    r = spiegelhalter_z(df).collect()[0]
+    # num = 2*(750000*500000) - 2*(250000*500000) = 5e11 -> micro 5e5
+    assert r.n == 4 and r.z_sign == 1 and r.num_micro == 500000
+    # den2 = 4 * (5e5)^2 * 250000*750000 = 1.875e23 -> /1e12 = 1.875e11
+    assert r.var_micro6 == 187500000000
+    # z^2 = (5e11)^2 / 1.875e23 = 1.3333 -> ppm floor 1333333
+    assert r.z2_ppm == 1333333
+
+    # perfectly calibrated: y mean == p -> num 0, sign 0
+    df2 = spark.createDataFrame(
+        [(1, 250000), (0, 250000), (0, 250000), (0, 250000)],
+        "y long, p_ppm long",
+    )
+    r2 = spiegelhalter_z(df2).collect()[0]
+    assert r2.num_micro == 0 and r2.z_sign == 0 and r2.z2_ppm == 0
