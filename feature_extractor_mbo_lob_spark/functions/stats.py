@@ -5563,3 +5563,103 @@ def spiegelhalter_z(
             ),
         ).alias("z2_ppm"),
     )
+
+
+def ols_influence_topk(
+    xy: DataFrame,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    k: int = 20,
+) -> DataFrame:
+    """Simple-OLS influence diagnostics — leverage h_i and Cook's
+    distance D_i for y ~ a + b*x — released as the top-k most
+    influential rows: WHICH observations own the fit that ols_fit_predict
+    reports (the regression-audit question grubbs/mad_outliers answer
+    only marginally, since a point can be influential without being a
+    y-outlier when it sits at extreme x).
+
+    Exact-integer path (p = 2 parameters):
+      h_i    = 1/n + (n*x_i - Sx)^2 / (n*(n*Sxx - Sx^2))   -> floor ppm
+      e_i    = [bden*(n*y_i - Sy) - bnum*(n*x_i - Sx)] / (n*bden)
+               with bnum = n*Sxy - Sx*Sy, bden = n*Sxx - Sx^2
+               -> sign-decomposed floor in y units
+      s^2    = sum(e_i^2) div (n - 2)    over the QUANTIZED residuals
+      D_i    = e_i^2 * h_i / (2 * s^2 * (1 - h_i)^2)       -> floor micro
+    Every division floors nonnegative operands (signs handled by
+    decomposition), so Spark and DuckDB agree bit-for-bit. Intermediate
+    products ride decimal(38,0)/hugeint — safe for n*|y|max and
+    n*Sxx-scale products up to ~1e31 (documented frame: per-entity
+    aggregates, not raw corpus rows).
+
+    Scale shape: one global 5-moment aggregate, broadcast back as a
+    1-row crossJoin (the allowlisted bounded-BNLJ pattern); one more
+    1-row aggregate for s^2; top-k via orderBy(limit) = TakeOrdered,
+    never a full sort to the driver.
+
+    Returns k rows: (id, x, y, e_q, h_ppm, cook_micro), most
+    influential first (cook desc, NULLS LAST, id asc).
+    """
+    dec = "decimal(38,0)"
+    base = xy.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+    ).select(
+        "n", "sx", "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("bden"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("bnum"),
+    )
+    j = base.crossJoin(F.broadcast(stats)).filter(
+        (F.col("n") > 2) & (F.col("bden") > 0)
+    )
+    dx = (F.col("n") * F.col("x") - F.col("sx"))
+    ee = (
+        F.col("bden") * (F.col("n") * F.col("y") - F.col("sy"))
+        - F.col("bnum") * dx
+    )
+    per = j.select(
+        "id", "x", "y", "n",
+        F.expr("cast(cast(1000000 as decimal(38,0)) div n as bigint)")
+        .alias("_h_base"),
+        F.expr(
+            "cast(((cast(n as decimal(38,0)) * x - sx)"
+            " * (cast(n as decimal(38,0)) * x - sx) * 1000000)"
+            " div (n * bden) as bigint)"
+        ).alias("_h_dx"),
+        F.when(ee >= 0, F.lit(1)).otherwise(F.lit(-1)).alias("_es"),
+        F.expr(
+            "cast(abs(bden * (cast(n as decimal(38,0)) * y - sy)"
+            " - bnum * (cast(n as decimal(38,0)) * x - sx))"
+            " div (n * bden) as bigint)"
+        ).alias("_ea"),
+    ).select(
+        "id", "x", "y", "n",
+        (F.col("_h_base") + F.col("_h_dx")).alias("h_ppm"),
+        (F.col("_es") * F.col("_ea")).alias("e_q"),
+    )
+    s2 = per.agg(
+        F.max("n").cast(dec).alias("n2"),
+        F.sum(F.col("e_q").cast(dec) * F.col("e_q")).cast(dec).alias("se2"),
+    ).select(F.expr("cast(se2 div (n2 - 2) as decimal(38,0))").alias("s2q"))
+    out = per.crossJoin(F.broadcast(s2)).select(
+        "id", "x", "y", "e_q", "h_ppm",
+        F.when(
+            (F.col("s2q") > 0) & (F.col("h_ppm") < 1000000),
+            F.expr(
+                "cast((cast(e_q as decimal(38,0)) * e_q * h_ppm * 1000000000000)"
+                " div (2 * s2q * cast(1000000 - h_ppm as decimal(38,0))"
+                " * (1000000 - h_ppm)) as bigint)"
+            ),
+        ).alias("cook_micro"),
+    )
+    return out.orderBy(
+        F.col("cook_micro").desc_nulls_last(), F.col("id").asc()
+    ).limit(k)

@@ -1508,3 +1508,68 @@ def embedding_anisotropy(
             F.expr("cast((num * 1000000) div (n * den) as bigint)"),
         ).alias("a_ppm"),
     )
+
+
+def embedding_group_mmd(
+    df: DataFrame, vec_col: str = "embedding", grp_col: str = "grp"
+) -> DataFrame:
+    """Linear-kernel MMD^2 between two groups of embeddings — the
+    squared distance between group mean vectors, the cheapest exact
+    two-sample test on a 100-TB embedding table (Gretton et al.'s MMD
+    with k(x,y) = <x,y>, where MMD^2 collapses to |mu_a - mu_b|^2):
+    "did the label-0 and label-1 populations drift apart in embedding
+    space?" — the scalar companion to embedding_drift's per-centroid
+    view.
+
+    Exact path: micro-quantized lanes q = floor(x*1e6 + 0.5); per
+    (dim, group) integer sums; per-dim quantized means via sign
+    decomposition (Spark trunc-div and DuckDB floor-div agree on the
+    nonnegative |s| div n); delta_d = m0_d - m1_d in micro units, and
+    mmd2_micro = sum_d delta_d^2 div 1e6. Because the means are
+    quantized BEFORE differencing, every released value is bigint-safe
+    at any corpus size (|delta| <= 2e6 per dim).
+
+    Scale shape: one posexplode, ONE groupBy(dim) with conditional
+    partial-aggregable sums (shuffle O(dims), never O(rows)), then a
+    dims-row global aggregate.
+
+    Returns one row: (n_a, n_b, dims, mmd2_micro2_sum, mmd2_micro).
+    """
+    lanes = df.filter(F.col(vec_col).isNotNull()).select(
+        (F.col(grp_col).cast("int") % 2).alias("g"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    ).select(
+        "g", "d",
+        F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("q"),
+    )
+    dec = "decimal(38,0)"
+    per = lanes.groupBy("d").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("q")).otherwise(0)).cast(dec).alias("s0"),
+        F.sum(F.when(F.col("g") == 1, F.col("q")).otherwise(0)).cast(dec).alias("s1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast(dec).alias("n0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast(dec).alias("n1"),
+    ).filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    m0 = F.expr(
+        "cast(case when s0 >= 0 then abs(s0) div n0"
+        " else -(abs(s0) div n0) end as bigint)"
+    )
+    m1 = F.expr(
+        "cast(case when s1 >= 0 then abs(s1) div n1"
+        " else -(abs(s1) div n1) end as bigint)"
+    )
+    d = per.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        (m0 - m1).alias("delta"),
+    )
+    agg = d.agg(
+        F.max("n0").alias("n_a"),
+        F.max("n1").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("dims"),
+        F.sum(F.col("delta").cast(dec) * F.col("delta")).cast(dec).alias("sq"),
+    )
+    return agg.select(
+        "n_a", "n_b", "dims",
+        F.col("sq").cast("long").alias("mmd2_micro2_sum"),
+        F.expr("cast(sq div 1000000 as bigint)").alias("mmd2_micro"),
+    )

@@ -23843,6 +23843,132 @@ QUERIES["spiegelhalter"] = q_spiegelhalter
 ORACLES["spiegelhalter"] = O_SPIEGELHALTER
 
 
+# --- OLS influence diagnostics (leverage + Cook's distance top-k) ---------------
+
+
+def q_ols_influence(spark, sf_dir):
+    """Top-20 most influential users in the activity->spend regression
+    (functions/stats.ols_influence_topk): leverage ppm and Cook's
+    distance micro for y = total cents ~ a + b * n_events per user —
+    WHICH entities own the fit ols_fit_predict reports. Exact integer
+    sufficient statistics broadcast as a 1-row crossJoin; top-k is
+    TakeOrdered, never a driver sort."""
+    from ..functions.stats import ols_influence_topk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.expr("cast(floor(value * 100.0 + 0.5) as bigint)")).alias("y"),
+    )
+    return ols_influence_topk(
+        per, id_col="user_id", x_col="x", y_col="y", k=20
+    ).withColumnRenamed("id", "user_id")
+
+
+O_OLS_INFLUENCE = """
+with per as (
+  select user_id as id, cast(count(*) as bigint) as x,
+    sum(cast(floor(value * 100.0 + 0.5) as bigint)) as y
+  from events group by 1
+),
+st as (
+  select cast(count(*) as hugeint) as n,
+    cast(sum(x) as hugeint) as sx, cast(sum(y) as hugeint) as sy,
+    cast(sum(cast(x as hugeint) * x) as hugeint) as sxx,
+    cast(sum(cast(x as hugeint) * y) as hugeint) as sxy
+  from per
+),
+st2 as (
+  select n, sx, sy, n * sxx - sx * sx as bden, n * sxy - sx * sy as bnum
+  from st
+),
+j as (
+  select id, x, y, n, sx, sy, bden, bnum,
+    (1000000 // n) + (((n * x - sx) * (n * x - sx) * 1000000) // (n * bden))
+      as h_ppm,
+    case when bden * (n * y - sy) - bnum * (n * x - sx) >= 0 then 1 else -1 end
+      as es,
+    abs(bden * (n * y - sy) - bnum * (n * x - sx)) // (n * bden) as ea
+  from per, st2
+  where n > 2 and bden > 0
+),
+p2 as (select id, x, y, h_ppm, es * ea as e_q, ea from j),
+s2 as (
+  select cast(sum(cast(e_q as hugeint) * e_q) // (max(nn) - 2) as hugeint) as s2q
+  from (select e_q, (select n from st) as nn from p2)
+),
+fin as (
+  select id, x, y, e_q, cast(h_ppm as bigint) as h_ppm,
+    case when s2q > 0 and h_ppm < 1000000 then
+      cast((cast(e_q as hugeint) * e_q * h_ppm * 1000000000000)
+           // (2 * s2q * cast(1000000 - h_ppm as hugeint) * (1000000 - h_ppm))
+        as bigint) end as cook_micro
+  from p2, s2
+)
+select id as user_id, x, cast(y as bigint) as y, cast(e_q as bigint) as e_q,
+  h_ppm, cook_micro
+from fin
+order by cook_micro desc nulls last, id asc
+limit 20
+"""
+
+QUERIES["ols_influence"] = q_ols_influence
+ORACLES["ols_influence"] = O_OLS_INFLUENCE
+
+
+# --- linear-kernel MMD^2 between embedding label groups -------------------------
+
+
+def q_embedding_mmd(spark, sf_dir):
+    """Linear-kernel MMD^2 between even- and odd-label embeddings
+    (operators/similarity.embedding_group_mmd): the squared distance
+    between group mean vectors — the one-scalar two-sample drift read
+    over the embedding table. Means quantized per dim BEFORE
+    differencing, so every release is bigint-safe at any corpus size;
+    shuffle is O(dims), never O(rows)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_group_mmd(
+        emb.select("embedding", F.col("label").alias("grp"))
+    )
+
+
+O_EMBEDDING_MMD = """
+with l as (
+  select cast(label as int) % 2 as g,
+    generate_subscripts(embedding, 1) - 1 as d,
+    cast(floor(cast(unnest(embedding) as double) * 1000000.0 + 0.5) as bigint) as q
+  from embeddings where embedding is not null
+),
+per as (
+  select d,
+    cast(sum(case when g = 0 then q else 0 end) as hugeint) as s0,
+    cast(sum(case when g = 1 then q else 0 end) as hugeint) as s1,
+    cast(sum(case when g = 0 then 1 else 0 end) as hugeint) as n0,
+    cast(sum(case when g = 1 then 1 else 0 end) as hugeint) as n1
+  from l group by 1
+),
+f as (select * from per where n0 > 0 and n1 > 0),
+m as (
+  select n0, n1,
+    (case when s0 >= 0 then abs(s0) // n0 else -(abs(s0) // n0) end)
+    - (case when s1 >= 0 then abs(s1) // n1 else -(abs(s1) // n1) end) as delta
+  from f
+),
+agg as (
+  select cast(max(n0) as bigint) as n_a, cast(max(n1) as bigint) as n_b,
+    cast(count(*) as bigint) as dims,
+    cast(sum(cast(delta as hugeint) * delta) as hugeint) as sq
+  from m
+)
+select n_a, n_b, dims, cast(sq as bigint) as mmd2_micro2_sum,
+  cast(sq // 1000000 as bigint) as mmd2_micro
+from agg
+"""
+
+QUERIES["embedding_mmd"] = q_embedding_mmd
+ORACLES["embedding_mmd"] = O_EMBEDDING_MMD
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -1270,3 +1270,39 @@ def test_spiegelhalter_z_hand_computed(spark):
     )
     r2 = spiegelhalter_z(df2).collect()[0]
     assert r2.num_micro == 0 and r2.z_sign == 0 and r2.z2_ppm == 0
+
+
+def test_ols_influence_topk_hand_computed(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import ols_influence_topk
+
+    # clean line y = 100x plus one influential point at extreme x
+    pts = [(1, 1, 100), (2, 2, 200), (3, 3, 300), (4, 4, 400), (5, 10, 0)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    rows = ols_influence_topk(df, k=5).collect()
+
+    # integer mirror of the released formulas
+    n = len(pts)
+    sx = sum(p[1] for p in pts); sy = sum(p[2] for p in pts)
+    sxx = sum(p[1] ** 2 for p in pts); sxy = sum(p[1] * p[2] for p in pts)
+    bden = n * sxx - sx * sx; bnum = n * sxy - sx * sy
+    exp = {}
+    for i, x, y in pts:
+        dx = n * x - sx
+        h = 10 ** 6 // n + (dx * dx * 10 ** 6) // (n * bden)
+        ee = bden * (n * y - sy) - bnum * dx
+        eq = (1 if ee >= 0 else -1) * (abs(ee) // (n * bden))
+        exp[i] = (x, y, eq, h)
+    s2q = sum(v[2] ** 2 for v in exp.values()) // (n - 2)
+    cooks = {
+        i: (v[2] ** 2 * v[3] * 10 ** 12)
+        // (2 * s2q * (10 ** 6 - v[3]) ** 2)
+        for i, v in exp.items()
+    }
+    assert rows[0].id == 5  # the extreme-x point dominates
+    for r in rows:
+        x, y, eq, h = exp[r.id]
+        assert (r.x, r.y, r.e_q, r.h_ppm) == (x, y, eq, h)
+        assert r.cook_micro == cooks[r.id]
+    got_order = [r.id for r in rows]
+    want_order = sorted(exp, key=lambda i: (-cooks[i], i))
+    assert got_order == want_order
