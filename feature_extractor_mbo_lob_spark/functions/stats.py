@@ -5663,3 +5663,123 @@ def ols_influence_topk(
     return out.orderBy(
         F.col("cook_micro").desc_nulls_last(), F.col("id").asc()
     ).limit(k)
+
+
+def watson_u2_hours(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Watson's U^2 against the uniform law on the 24-hour clock, in the
+    grouped/discrete form of Choulakian, Lockhart & Stephens (1994) —
+    the OMNIBUS circular goodness-of-fit beside rayleigh_hours: the
+    Rayleigh statistic only sees the first circular moment (a perfectly
+    BIMODAL day — 9am and 9pm spikes — cancels to R=0), while U^2 is
+    rotation-invariant and catches any departure from flatness.
+
+    With hour counts c_h on the full 0..23 grid, cumulative C_h and
+    N_h = 24*C_h - n*(h+1), the grouped statistic collapses to
+        U^2 = (24*sum N_h^2 - (sum N_h)^2) / (331776 * n)
+    — numerator nonnegative by Cauchy-Schwarz, so the single floor
+    division releases an exact micro integer on nonneg operands.
+    |N_h| <= 24n: the squares ride decimal(38,0)/hugeint (safe to
+    ~1e16 events).
+
+    Scale shape: one 24-key partial-aggregable groupBy, a left join
+    onto the literal 24-row hour grid (missing hours MUST count as
+    zero in the CDF), two 24-row window passes, one global aggregate.
+
+    Returns one row: (n_events, u2_micro).
+    """
+    from pyspark.sql import Window
+
+    spark = events.sparkSession
+    per = (
+        events.select(
+            (F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 3600000000") % 24)
+            .cast("int")
+            .alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = spark.range(24).select(F.col("id").cast("int").alias("h"))
+    full = grid.join(per, "h", "left").select(
+        "h", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    wc = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = "decimal(38,0)"
+    nh = full.select(
+        (
+            F.lit(24).cast(dec) * F.sum("c").over(wc).cast(dec)
+            - F.sum("c").over(wall).cast(dec) * (F.col("h") + 1)
+        ).alias("nh"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    agg = nh.groupBy("n").agg(
+        F.sum("nh").cast(dec).alias("sn"),
+        F.sum(F.col("nh") * F.col("nh")).cast(dec).alias("sn2"),
+    )
+    return agg.select(
+        F.col("n").alias("n_events"),
+        F.when(
+            F.col("n") > 0,
+            F.expr(
+                "cast(((24 * sn2 - sn * sn) * 1000000)"
+                " div (331776 * cast(n as decimal(38,0))) as bigint)"
+            ),
+        ).alias("u2_micro"),
+    )
+
+
+def page_hinkley(
+    series: DataFrame,
+    idx_col: str = "d",
+    y_col: str = "y",
+    delta_q: int = 0,
+) -> DataFrame:
+    """Page-Hinkley drift sequence over an ordered integer series — the
+    running-mean CUSUM variant (Page 1954; Hinkley 1971) the streaming
+    drift-detection literature standardizes on (Gama et al.'s PHT):
+    cusum_drift tracks deviation from a FIXED reference; this tracks
+    deviation from the series' own RUNNING mean, so it detects drift
+    without a calibration period.
+
+    Exact path: running mean floor-quantized per step (mean_t =
+    cumsum(x) div t, nonneg series assumed — the registered query feeds
+    daily counts), dev_t = x_t - mean_t - delta_q an exact integer,
+    m_t = cumsum(dev), ph_t = m_t - min_{i<=t} m_i >= 0. Every step is
+    a window expression over the day-ordered frame; both engines floor
+    the same nonnegative cumsum, so the whole trajectory is
+    bit-identical.
+
+    Scale shape: the input is a per-period aggregate (days, not corpus
+    rows); two ordered window passes over that bounded frame. The
+    corpus-sized stage is the upstream groupBy producing the series.
+
+    Returns one row per period: (d, x, mean_q, m_t, ph_t), day order.
+    """
+    from pyspark.sql import Window
+
+    daily = series.select(
+        F.col(idx_col).cast("long").alias("d"),
+        F.col(y_col).cast("long").alias("x"),
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    step = daily.select(
+        "d", "x",
+        F.expr(
+            f"sum(x) over (order by d rows between unbounded preceding and"
+            f" current row) div (row_number() over (order by d))"
+        ).cast("long").alias("mean_q"),
+    ).select(
+        "d", "x", "mean_q",
+        (F.col("x") - F.col("mean_q") - F.lit(int(delta_q))).alias("_dev"),
+    )
+    out = step.select(
+        "d", "x", "mean_q",
+        F.sum("_dev").over(wc).cast("long").alias("m_t"),
+    )
+    return out.select(
+        "d", "x", "mean_q", "m_t",
+        (F.col("m_t") - F.min("m_t").over(wc)).cast("long").alias("ph_t"),
+    )

@@ -23969,6 +23969,104 @@ QUERIES["embedding_mmd"] = q_embedding_mmd
 ORACLES["embedding_mmd"] = O_EMBEDDING_MMD
 
 
+# --- Watson U^2 circular omnibus (hour-of-day clock) ----------------------------
+
+
+def q_watson_u2(spark, sf_dir):
+    """Watson's U^2 on the 24-hour clock in the grouped discrete form
+    (functions/stats.watson_u2_hours) — the rotation-invariant omnibus
+    circular test beside rayleigh_hours: Rayleigh only reads the first
+    circular moment (a bimodal 9am/9pm day cancels to R=0); U^2 catches
+    any departure from flatness. One 24-key shuffle + 24-row windows;
+    the single floor division rides nonneg operands."""
+    from ..functions.stats import watson_u2_hours
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return watson_u2_hours(ev)
+
+
+O_WATSON_U2 = """
+with hh as (
+  select cast((epoch_us(cast(ts as timestamp)) // 3600000000) % 24 as int) as h
+  from events
+),
+per as (select h, cast(count(*) as bigint) as c from hh group by 1),
+grid as (select cast(range as int) as h from range(24)),
+f as (
+  select g.h, coalesce(per.c, 0) as c from grid g left join per on g.h = per.h
+),
+nh as (
+  select
+    24 * sum(c) over (order by h rows between unbounded preceding and current row)
+      - sum(c) over () * (h + 1) as nh,
+    sum(c) over () as n
+  from f
+),
+agg as (
+  select max(n) as n, sum(cast(nh as hugeint)) as sn,
+    sum(cast(nh as hugeint) * nh) as sn2
+  from nh
+)
+select cast(n as bigint) as n_events,
+  case when n > 0 then
+    cast(((24 * sn2 - sn * sn) * 1000000) // (331776 * cast(n as hugeint)) as bigint)
+  end as u2_micro
+from agg
+"""
+
+QUERIES["watson_u2"] = q_watson_u2
+ORACLES["watson_u2"] = O_WATSON_U2
+
+
+# --- Page-Hinkley running-mean drift sequence -----------------------------------
+
+
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley drift trajectory over daily event counts
+    (functions/stats.page_hinkley): deviation-from-RUNNING-mean CUSUM —
+    detects level drift with no calibration period, the streaming-drift
+    standard (PHT) beside cusum_drift's fixed-reference chart. The
+    corpus-sized stage is the daily groupBy; the trajectory is two
+    window passes over the bounded day frame, bit-identical floors."""
+    from ..functions.stats import page_hinkley
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return page_hinkley(daily, idx_col="d", y_col="x")
+
+
+O_PAGE_HINKLEY = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as x
+  from events group by 1
+),
+st as (
+  select d, x,
+    sum(x) over (order by d rows between unbounded preceding and current row)
+      // row_number() over (order by d) as mean_q
+  from daily
+),
+mt as (
+  select d, x, cast(mean_q as bigint) as mean_q,
+    cast(sum(x - mean_q) over
+      (order by d rows between unbounded preceding and current row) as bigint)
+      as m_t
+  from st
+)
+select cast(d as bigint) as d, x, mean_q, m_t,
+  cast(m_t - min(m_t) over
+    (order by d rows between unbounded preceding and current row) as bigint)
+    as ph_t
+from mt
+"""
+
+QUERIES["page_hinkley"] = q_page_hinkley
+ORACLES["page_hinkley"] = O_PAGE_HINKLEY
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -1306,3 +1306,70 @@ def test_ols_influence_topk_hand_computed(spark):
     got_order = [r.id for r in rows]
     want_order = sorted(exp, key=lambda i: (-cooks[i], i))
     assert got_order == want_order
+
+
+def test_watson_u2_uniform_point_and_bimodal(spark):
+    import datetime
+
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        rayleigh_hour_uniformity,
+        watson_u2_hours,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    # perfectly uniform histogram -> U^2 exactly 0
+    ev = spark.createDataFrame(
+        [(h, base + datetime.timedelta(hours=h)) for h in range(24)] * 2,
+        "event_id long, ts timestamp",
+    )
+    r = watson_u2_hours(ev).collect()[0]
+    assert r.n_events == 48 and r.u2_micro == 0
+
+    # point mass at hour 0: N_h = n*(23-h); mirror the closed form
+    n = 4
+    ev2 = spark.createDataFrame(
+        [(i, base) for i in range(n)], "event_id long, ts timestamp"
+    )
+    r2 = watson_u2_hours(ev2).collect()[0]
+    sn = n * sum(23 - h for h in range(24))
+    sn2 = n * n * sum((23 - h) ** 2 for h in range(24))
+    assert r2.u2_micro == (24 * sn2 - sn * sn) * 10 ** 6 // (331776 * n)
+    assert r2.u2_micro > 0
+
+    # antipodal bimodal day (hours 6 and 18): Rayleigh cancels to ~0,
+    # Watson U^2 sees the departure — the omnibus claim, pinned
+    ev3 = spark.createDataFrame(
+        [(i, base + datetime.timedelta(hours=6)) for i in range(6)]
+        + [(100 + i, base + datetime.timedelta(hours=18)) for i in range(6)],
+        "event_id long, ts timestamp",
+    )
+    ray = rayleigh_hour_uniformity(ev3).collect()[0]
+    wat = watson_u2_hours(ev3).collect()[0]
+    assert ray.r2_ppm == 0          # first moment blind
+    assert wat.u2_micro > 100000    # omnibus sees it
+
+
+def test_page_hinkley_constant_and_step(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import page_hinkley
+
+    flat = spark.createDataFrame(
+        [(d, 10) for d in range(6)], "d long, x long"
+    )
+    rows = page_hinkley(flat, idx_col="d", y_col="x").collect()
+    assert all(r.mean_q == 10 and r.m_t == 0 and r.ph_t == 0 for r in rows)
+
+    xs = [10, 10, 10, 10, 20, 20, 20, 20]
+    step = spark.createDataFrame(list(enumerate(xs)), "d long, x long")
+    got = {r.d: r for r in page_hinkley(step, idx_col="d", y_col="x").collect()}
+    cum = m = 0
+    mn = 0
+    for t, x in enumerate(xs, 1):
+        cum += x
+        mean_q = cum // t
+        m += x - mean_q
+        mn = min(mn, m)
+        r = got[t - 1]
+        assert (r.mean_q, r.m_t, r.ph_t) == (mean_q, m, m - mn)
+    # the drift statistic rises after the step
+    assert got[7].ph_t > got[3].ph_t
