@@ -5783,3 +5783,185 @@ def page_hinkley(
         "d", "x", "mean_q", "m_t",
         (F.col("m_t") - F.min("m_t").over(wc)).cast("long").alias("ph_t"),
     )
+
+
+def hoeffding_d(
+    xy: DataFrame,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_rows: int = 8192,
+) -> DataFrame:
+    """Hoeffding's D (1948) — the rank-based dependence measure that
+    detects ANY association, not just monotone: spearman/kendall_tau
+    read 0 on a perfect U-shape, D does not. Ties are resolved by the
+    deterministic lexicographic order (value, id) — the classic
+    statistic assumes continuous marginals, so the pseudo-rank
+    tie-break is documented rather than hidden (same release-shape
+    philosophy as the DBSCAN border tie rule).
+
+    With R/S the tie-broken x/y ranks and Q_i = 1 + #{j : R_j < R_i,
+    S_j < S_i} the bivariate dominance count:
+      D1 = sum (Q-1)(Q-2),  D2 = sum (R-1)(R-2)(S-1)(S-2),
+      D3 = sum (R-2)(S-2)(Q-1),
+      D  = 30 * [(n-2)(n-3)D1 + D2 - 2(n-2)D3] / [n(n-1)...(n-4)]
+    — all exact integers; the one signed division releases d_micro via
+    sign decomposition.
+
+    Scale shape: the input is a per-entity aggregate frame, counted
+    FIRST and fail-fast above ``max_rows`` (the _collect_corpus
+    contract) because the dominance count is a deliberate O(n^2)
+    exact meter — run it on a bounded frame or a deterministic md5
+    sample, never raw corpus rows. One single-group Arrow kernel emits
+    (R, S, Q); the moment sums and the release stay in Catalyst as
+    order-free integer aggregates.
+
+    Returns one row: (n, d1, d2, d3, d_micro).
+    """
+    import pandas as pd
+
+    base = xy.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    n = base.count()
+    if n > max_rows:
+        raise ValueError(
+            f"hoeffding_d: {n} rows > max_rows={max_rows}; the dominance "
+            "count is O(n^2) — pass a bounded aggregate frame or a "
+            "deterministic md5 sample"
+        )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["id"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        k = len(ids)
+        r = np.empty(k, dtype=np.int64)
+        r[np.lexsort((ids, xs))] = np.arange(1, k + 1)
+        s = np.empty(k, dtype=np.int64)
+        s[np.lexsort((ids, ys))] = np.arange(1, k + 1)
+        dom = (r[:, None] > r[None, :]) & (s[:, None] > s[None, :])
+        q = dom.sum(axis=1).astype(np.int64) + 1
+        return pd.DataFrame({"id": ids, "r": r, "s": s, "q": q})
+
+    rsq = base.withColumn("_g", F.lit(0)).groupBy("_g").applyInPandas(
+        kernel, schema="id long, r long, s long, q long"
+    )
+    dec = "decimal(38,0)"
+    agg = rsq.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum((F.col("q") - 1).cast(dec) * (F.col("q") - 2)).cast(dec).alias("d1"),
+        F.sum(
+            (F.col("r") - 1).cast(dec) * (F.col("r") - 2)
+            * (F.col("s") - 1) * (F.col("s") - 2)
+        ).cast(dec).alias("d2"),
+        F.sum(
+            (F.col("r") - 2).cast(dec) * (F.col("s") - 2) * (F.col("q") - 1)
+        ).cast(dec).alias("d3"),
+    )
+    num = "(30 * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3))"
+    den = "(n * (n - 1) * (n - 2) * (n - 3) * (n - 4))"
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d2").cast("long").alias("d2"),
+        F.col("d3").cast("long").alias("d3"),
+        F.when(
+            F.col("n") >= 5,
+            F.expr(
+                f"cast(case when {num} >= 0 then 1 else -1 end as bigint)"
+            )
+            * F.expr(f"cast((abs({num}) * 1000000) div {den} as bigint)"),
+        ).alias("d_micro"),
+    )
+
+
+def breusch_pagan(
+    xy: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test (Koenker's studentized
+    n*R^2 form) for y ~ a + b*x: does the residual VARIANCE move with
+    x? durbin_watson audits residual autocorrelation, this audits the
+    constant-variance assumption — the other half of the OLS health
+    check, and the reason to distrust ols_fit_predict's single s^2
+    when it fails.
+
+    Path: residuals in exact integer form (the ols_influence algebra:
+    e_q = sign-decomposed [bden*(n*y - Sy) - bnum*(n*x - Sx)] div
+    (n*bden)), then the auxiliary regression of z = e_q^2 on x is
+    released in the degree_assortativity convention — exact decimal
+    moments (stringified where they exceed bigint), plus
+    r2_signed_raw and lm_micro = floor(n*R^2*1e6 + 0.5) as ONE
+    fixed-operand-order IEEE expression each, since n*var(z)-scale
+    products overflow any fixed-width integer at corpus scale.
+
+    Scale shape: two global aggregates with 1-row broadcast crossJoins
+    (allowlisted bounded-BNLJ pattern), everything partial-aggregable.
+
+    Returns one row: (n, sx, sz_str, sxz_str, r2_signed_raw, lm_micro).
+    """
+    dec = "decimal(38,0)"
+    base = xy.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+    ).select(
+        "n", "sx", "sy", "sxx",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("bden"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("bnum"),
+    )
+    j = base.crossJoin(F.broadcast(stats)).filter(
+        (F.col("n") > 2) & (F.col("bden") > 0)
+    )
+    per = j.select(
+        "x", "n", "sx", "sxx", "bden",
+        (
+            F.expr(
+                "cast(case when bden * (cast(n as decimal(38,0)) * y - sy)"
+                " - bnum * (cast(n as decimal(38,0)) * x - sx) >= 0"
+                " then 1 else -1 end as bigint)"
+            )
+            * F.expr(
+                "cast(abs(bden * (cast(n as decimal(38,0)) * y - sy)"
+                " - bnum * (cast(n as decimal(38,0)) * x - sx))"
+                " div (n * bden) as bigint)"
+            )
+        ).alias("e_q"),
+    ).withColumn("z", F.col("e_q").cast(dec) * F.col("e_q"))
+    m = per.groupBy("n", "sx", "sxx", "bden").agg(
+        F.sum("z").cast(dec).alias("sz"),
+        F.sum(F.col("x").cast(dec) * F.col("z")).cast(dec).alias("sxz"),
+        F.sum(F.col("z") * F.col("z")).cast(dec).alias("szz"),
+    )
+    numd = (
+        F.col("n").cast("double") * F.col("sxz").cast("double")
+        - F.col("sx").cast("double") * F.col("sz").cast("double")
+    )
+    vx = F.col("bden").cast("double")
+    vz = (
+        F.col("n").cast("double") * F.col("szz").cast("double")
+        - F.col("sz").cast("double") * F.col("sz").cast("double")
+    )
+    r2 = F.when(vz > 0, numd * numd / (vx * vz)).otherwise(F.lit(0.0))
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sz").cast("string").alias("sz_str"),
+        F.col("sxz").cast("string").alias("sxz_str"),
+        (F.signum(numd) * r2).alias("r2_signed_raw"),
+        F.floor(
+            F.col("n").cast("double") * r2 * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("lm_micro"),
+    )

@@ -24067,6 +24067,144 @@ QUERIES["page_hinkley"] = q_page_hinkley
 ORACLES["page_hinkley"] = O_PAGE_HINKLEY
 
 
+# --- Hoeffding's D (any-shape dependence, user activity vs spend) ---------------
+
+
+def q_hoeffding_d(spark, sf_dir):
+    """Hoeffding's D between per-user activity and spend
+    (functions/stats.hoeffding_d): the rank statistic that detects
+    NON-monotone association spearman/kendall_tau read as zero. Ties
+    break on the deterministic (value, id) order. The O(n^2) dominance
+    count is a deliberate exact meter over the bounded per-user frame
+    (counted first, fail-fast cap) — one Arrow kernel emits ranks, the
+    moments aggregate order-free in Catalyst."""
+    from ..functions.stats import hoeffding_d
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.expr("cast(floor(value * 100.0 + 0.5) as bigint)")).alias("y"),
+    )
+    return hoeffding_d(per, id_col="user_id", x_col="x", y_col="y")
+
+
+O_HOEFFDING_D = """
+with per as (
+  select user_id as id, cast(count(*) as bigint) as x,
+    sum(cast(floor(value * 100.0 + 0.5) as bigint)) as y
+  from events group by 1
+),
+rk as (
+  select id,
+    row_number() over (order by x, id) as r,
+    row_number() over (order by y, id) as s
+  from per
+),
+qq as (
+  select a.id, a.r, a.s, 1 + count(b.id) as q
+  from rk a left join rk b on b.r < a.r and b.s < a.s
+  group by a.id, a.r, a.s
+),
+m as (
+  select cast(count(*) as hugeint) as n,
+    cast(sum((q - 1) * (q - 2)) as hugeint) as d1,
+    cast(sum((r - 1) * (r - 2) * (s - 1) * (s - 2)) as hugeint) as d2,
+    cast(sum((r - 2) * (s - 2) * (q - 1)) as hugeint) as d3
+  from qq
+)
+select cast(n as bigint) as n, cast(d1 as bigint) as d1,
+  cast(d2 as bigint) as d2, cast(d3 as bigint) as d3,
+  case when n >= 5 then
+    cast((case when 30 * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3) >= 0
+               then 1 else -1 end)
+      * ((abs(30 * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3)) * 1000000)
+         // (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))) as bigint)
+  end as d_micro
+from m
+"""
+
+QUERIES["hoeffding_d"] = q_hoeffding_d
+ORACLES["hoeffding_d"] = O_HOEFFDING_D
+
+
+# --- Breusch-Pagan heteroscedasticity (user activity -> spend residuals) --------
+
+
+def q_breusch_pagan(spark, sf_dir):
+    """Breusch-Pagan (Koenker n*R^2) heteroscedasticity test for
+    per-user spend ~ activity (functions/stats.breusch_pagan): does
+    residual variance grow with activity? The constant-variance half of
+    the OLS health check beside durbin_watson's autocorrelation half.
+    Residuals ride the exact ols_influence integer algebra; the
+    auxiliary e^2-on-x regression releases exact moments (stringified
+    past bigint) plus the assortativity-convention IEEE r2/lm."""
+    from ..functions.stats import breusch_pagan
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.expr("cast(floor(value * 100.0 + 0.5) as bigint)")).alias("y"),
+    )
+    return breusch_pagan(per, x_col="x", y_col="y")
+
+
+O_BREUSCH_PAGAN = """
+with per as (
+  select cast(count(*) as bigint) as x,
+    sum(cast(floor(value * 100.0 + 0.5) as bigint)) as y
+  from events group by user_id
+),
+st as (
+  select cast(count(*) as hugeint) as n,
+    cast(sum(x) as hugeint) as sx, cast(sum(y) as hugeint) as sy,
+    cast(sum(cast(x as hugeint) * x) as hugeint) as sxx,
+    cast(sum(cast(x as hugeint) * y) as hugeint) as sxy
+  from per
+),
+st2 as (
+  select n, sx, sy, sxx,
+    n * sxx - sx * sx as bden, n * sxy - sx * sy as bnum
+  from st
+),
+j as (
+  select x, n, sx, sxx, bden,
+    (case when bden * (n * y - sy) - bnum * (n * x - sx) >= 0 then 1 else -1 end)
+      * (abs(bden * (n * y - sy) - bnum * (n * x - sx)) // (n * bden)) as e_q
+  from per, st2
+  where n > 2 and bden > 0
+),
+z as (select x, n, sx, sxx, bden, cast(e_q as hugeint) * e_q as z from j),
+m as (
+  select n, sx, bden,
+    cast(sum(z) as hugeint) as sz,
+    cast(sum(cast(x as hugeint) * z) as hugeint) as sxz,
+    cast(sum(z * z) as hugeint) as szz
+  from z group by n, sx, bden
+),
+d as (
+  select cast(n as bigint) as n, cast(sx as bigint) as sx,
+    cast(sz as varchar) as sz_str, cast(sxz as varchar) as sxz_str,
+    cast(n as double) * cast(sxz as double)
+      - cast(sx as double) * cast(sz as double) as numd,
+    cast(bden as double) as vx,
+    cast(n as double) * cast(szz as double)
+      - cast(sz as double) * cast(sz as double) as vz
+  from m
+)
+select n, sx, sz_str, sxz_str,
+  (case when numd > 0 then 1.0 when numd < 0 then -1.0 else 0.0 end)
+    * (case when vz > 0 then numd * numd / (vx * vz) else 0.0 end)
+    as r2_signed_raw,
+  cast(floor(cast(n as double)
+    * (case when vz > 0 then numd * numd / (vx * vz) else 0.0 end)
+    * 1000000.0 + 0.5) as bigint) as lm_micro
+from d
+"""
+
+QUERIES["breusch_pagan"] = q_breusch_pagan
+ORACLES["breusch_pagan"] = O_BREUSCH_PAGAN
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -118,6 +118,7 @@ BNLJ_ALLOWED = {
     "t_closeness",  # 1-row corpus-total N broadcast into the cells frame
     "jackknife_ratio",  # two 1-row totals broadcasts into the cluster frame
     "lift_table",  # 1-row (N, P) totals broadcast into the ranked frame
+    "breusch_pagan",  # 1-row 5-moment stats broadcast
     "ols_fit_predict",
     "ols_influence",  # 1-row 5-moment stats + 1-row s^2 broadcasts
     "peak_concurrency",

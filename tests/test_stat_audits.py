@@ -1373,3 +1373,68 @@ def test_page_hinkley_constant_and_step(spark):
         assert (r.mean_q, r.m_t, r.ph_t) == (mean_q, m, m - mn)
     # the drift statistic rises after the step
     assert got[7].ph_t > got[3].ph_t
+
+
+def test_hoeffding_d_monotone_ushape_and_cap(spark):
+    import pytest
+
+    from feature_extractor_mbo_lob_spark.functions.stats import hoeffding_d
+
+    def mirror(pts):
+        n = len(pts)
+        order_x = sorted(range(n), key=lambda i: (pts[i][1], pts[i][0]))
+        order_y = sorted(range(n), key=lambda i: (pts[i][2], pts[i][0]))
+        r = [0] * n
+        s = [0] * n
+        for k, i in enumerate(order_x, 1):
+            r[i] = k
+        for k, i in enumerate(order_y, 1):
+            s[i] = k
+        q = [1 + sum(1 for j in range(n) if r[j] < r[i] and s[j] < s[i])
+             for i in range(n)]
+        d1 = sum((qi - 1) * (qi - 2) for qi in q)
+        d2 = sum((r[i] - 1) * (r[i] - 2) * (s[i] - 1) * (s[i] - 2)
+                 for i in range(n))
+        d3 = sum((r[i] - 2) * (s[i] - 2) * (q[i] - 1) for i in range(n))
+        num = 30 * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3)
+        den = n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+        sign = 1 if num >= 0 else -1
+        return d1, d2, d3, sign * (abs(num) * 10 ** 6 // den)
+
+    # perfect monotone dependence -> normalized D at its maximum 1.0
+    pts = [(i, i, 10 * i) for i in range(1, 11)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    r = hoeffding_d(df).collect()[0]
+    d1, d2, d3, dm = mirror(pts)
+    assert (r.d1, r.d2, r.d3, r.d_micro) == (d1, d2, d3, dm)
+    assert r.d_micro == 10 ** 6  # the 30-scaled (SAS) normalization
+
+    # U-shape: y = (x-5)^2 — monotone ranks cancel, Hoeffding still fires
+    pts2 = [(i, i, (i - 5) ** 2 * 100) for i in range(11)]
+    df2 = spark.createDataFrame(pts2, "id long, x long, y long")
+    r2 = hoeffding_d(df2).collect()[0]
+    assert r2.d_micro == mirror(pts2)[3]
+    assert r2.d_micro > 0
+
+    with pytest.raises(ValueError, match="max_rows"):
+        hoeffding_d(df, max_rows=5)
+
+
+def test_breusch_pagan_homo_and_hetero(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import breusch_pagan
+
+    # exact line: residuals identically 0 -> no heteroscedasticity signal
+    line = [(x, 3 * x) for x in range(1, 9)]
+    df = spark.createDataFrame(line, "x long, y long")
+    r = breusch_pagan(df).collect()[0]
+    assert r.sz_str == "0" and r.r2_signed_raw == 0.0 and r.lm_micro == 0
+
+    # symmetric residuals whose magnitude grows with x -> LM fires
+    het = []
+    for i, x in enumerate(range(1, 21)):
+        e = x * 50 * (1 if i % 2 == 0 else -1)
+        het.append((x, 100 * x + e))
+    df2 = spark.createDataFrame(het, "x long, y long")
+    r2 = breusch_pagan(df2).collect()[0]
+    assert r2.lm_micro > 10 ** 6  # n*R^2 > 1 for this engineered spread
+    assert r2.r2_signed_raw != 0.0
