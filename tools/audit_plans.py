@@ -2813,6 +2813,99 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "Rayleigh circular uniformity (hour clock)",
+        QUERIES["rayleigh_hours"](spark, tiny),
+        "ONE 24-key partial-aggregable shuffle; cos/sin are plan "
+        "literals indexed by element_at — no runtime trig, no join.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Watson U^2 circular omnibus (hour clock)",
+        QUERIES["watson_u2"](spark, tiny),
+        "24-key shuffle + literal 24-row grid left join (missing hours "
+        "count in the CDF); two 24-row window passes; one global "
+        "aggregate. The grid join broadcasts.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Fleiss' kappa (3 binary raters per user)",
+        QUERIES["fleiss_kappa"](spark, tiny),
+        "One user groupBy then ONE global 3-sum aggregate; all "
+        "partial-aggregable, no joins.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "rich-club coefficient (tool co-usage)",
+        QUERIES["rich_club"](spark, tiny),
+        "Degree count + two node-keyed joins decorate edges once; the "
+        "4 thresholds ride a constant explode into one groupBy(k) — "
+        "never a re-scan per threshold.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Spiegelhalter calibration Z",
+        QUERIES["spiegelhalter"](spark, tiny),
+        "Forecast dim = tiny event_type table broadcast into the "
+        "held-out half; ONE global integer aggregate.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "OLS influence top-k (leverage + Cook's D)",
+        QUERIES["ols_influence"](spark, tiny),
+        "Two 1-row broadcast crossJoins (5-moment stats, then s^2); "
+        "top-20 is TakeOrdered, never a full driver sort.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "embedding linear-MMD^2 (label groups)",
+        QUERIES["embedding_mmd"](spark, tiny),
+        "One posexplode + ONE groupBy(dim) with conditional sums — "
+        "shuffle O(dims), never O(rows); dims-row final aggregate.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Page-Hinkley drift sequence",
+        QUERIES["page_hinkley"](spark, tiny),
+        "Corpus-sized stage is the daily groupBy; the trajectory is "
+        "two window passes over the bounded day frame.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Hoeffding's D (bounded exact meter)",
+        QUERIES["hoeffding_d"](spark, tiny),
+        "Per-user aggregate frame, fail-fast capped; ONE single-group "
+        "Arrow kernel emits tie-broken ranks; D1/D2/D3 moments "
+        "aggregate order-free in Catalyst.",
+        forbid=("CartesianProduct", "BatchEvalPython"),
+    ))
+
+    sections.append(summarize(
+        "Breusch-Pagan heteroscedasticity",
+        QUERIES["breusch_pagan"](spark, tiny),
+        "ols_influence residual algebra + one more global aggregate; "
+        "1-row moment broadcast; assortativity-convention IEEE "
+        "release.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
