@@ -5965,3 +5965,149 @@ def breusch_pagan(
             F.col("n").cast("double") * r2 * F.lit(1e6) + F.lit(0.5)
         ).cast("long").alias("lm_micro"),
     )
+
+
+def kupiec_pof(
+    values: DataFrame,
+    v_col: str = "v",
+    arm_col: str = "arm",
+    p_ppm: int = 50000,
+) -> DataFrame:
+    """Kupiec's proportion-of-failures VaR backtest (1995) — the
+    coverage test every risk/SLA threshold should pass before anyone
+    trusts it: fit the (1-p) quantile threshold on the training half,
+    count threshold exceedances on the held-out half, and ask whether
+    the realized exception rate is consistent with p via the binomial
+    likelihood ratio
+      LR = -2[ (n-x)ln(1-p) + x ln p - (n-x)ln(1-x/n) - x ln(x/n) ].
+
+    Engine-exact: the threshold is the EXACT integer order statistic
+    (smallest train value whose cumulative distinct-value count reaches
+    ceil((1-p)*n_train)); ln(p)/ln(1-p) are nano PLAN LITERALS and the
+    data-dependent terms are keyness-convention nano-quantized lns of
+    exact integers — the release is pure integer adds/multiplies, no
+    division anywhere, so no sign decomposition is needed. Zero-count
+    sides contribute zero (lim x ln x = 0).
+
+    Scale shape: one distinct-value cumulative frame for the
+    threshold (shuffle bounded by value cardinality), one conditional
+    global aggregate per half.
+
+    Returns one row: (n_train, thr, n_test, x_exceptions, p_ppm,
+    lr_nano).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    lnp = int(math.floor(math.log(p_ppm / 1e6) * 1e9 + 0.5))
+    lnq = int(math.floor(math.log(1 - p_ppm / 1e6) * 1e9 + 0.5))
+    base = values.select(
+        F.col(v_col).cast("long").alias("v"),
+        F.col(arm_col).cast("int").alias("arm"),
+    )
+    tr = base.filter(F.col("arm") == 0).groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = tr.select(
+        "v",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wall).alias("nt"),
+    )
+    thr = cum.groupBy("nt").agg(
+        F.min(
+            F.when(
+                F.col("cum") * 1000000 >= F.col("nt") * (1000000 - p_ppm),
+                F.col("v"),
+            )
+        ).alias("thr")
+    ).select(F.col("nt").cast("long").alias("n_train"), "thr")
+    te = base.filter(F.col("arm") == 1).crossJoin(F.broadcast(thr)).agg(
+        F.max("n_train").alias("n_train"),
+        F.max("thr").alias("thr"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("v") > F.col("thr"), 1).otherwise(0))
+        .cast("long").alias("x"),
+    )
+
+    def nln(c):
+        return F.floor(F.log(c.cast("double")) * F.lit(1e9) + F.lit(0.5)) \
+            .cast("long")
+
+    nx = F.col("n") - F.col("x")
+    null_side = (
+        F.when(nx > 0, nx * (nln(nx) - nln(F.col("n")))).otherwise(F.lit(0))
+        + F.when(F.col("x") > 0,
+                 F.col("x") * (nln(F.col("x")) - nln(F.col("n"))))
+        .otherwise(F.lit(0))
+    )
+    lr = -2 * (nx * F.lit(lnq) + F.col("x") * F.lit(lnp) - null_side)
+    return te.select(
+        "n_train", "thr",
+        F.col("n").alias("n_test"),
+        F.col("x").alias("x_exceptions"),
+        F.lit(int(p_ppm)).cast("long").alias("p_ppm"),
+        F.when(F.col("n") > 0, lr).cast("long").alias("lr_nano"),
+    )
+
+
+def gwet_ac1_binary(
+    items: DataFrame,
+    rating_cols: tuple = ("r1", "r2", "r3"),
+) -> DataFrame:
+    """Gwet's AC1 (2008) for m fixed binary raters — the
+    paradox-resistant twin of fleiss_kappa: with skewed prevalence,
+    chance agreement p_e = p1^2 + p0^2 approaches 1 and Fleiss' kappa
+    collapses toward 0 even when raters almost always agree (the
+    "kappa paradox"); Gwet's chance term 2*pi*(1-pi) instead
+    approaches 0, keeping the coefficient interpretable. Same observed
+    agreement P_i kernel, same exact integer path, different chance
+    correction — report both and the gap IS the prevalence-skew
+    diagnostic.
+
+    Returns one row: (n_items, m_raters, s1, p_bar_ppm, pe_gwet_ppm,
+    ac1_ppm).
+    """
+    m = len(rating_cols)
+    n1 = sum(F.col(c).cast("long") for c in rating_cols).alias("n1")
+    per = items.select(n1)
+    dec = "decimal(38,0)"
+    agg = per.agg(
+        F.count(F.lit(1)).cast(dec).alias("nn"),
+        F.sum("n1").cast(dec).alias("s1"),
+        F.sum(
+            F.col("n1").cast(dec) * F.col("n1")
+            + (F.lit(m) - F.col("n1")).cast(dec) * (F.lit(m) - F.col("n1"))
+            - F.lit(m)
+        ).cast(dec).alias("pnum"),
+    )
+    p_bar = F.expr(f"cast((pnum * 1000000) div (nn * {m * (m - 1)}) as bigint)")
+    pe = F.expr(
+        f"cast((2 * s1 * ({m} * nn - s1) * 1000000)"
+        f" div (({m} * nn) * ({m} * nn)) as bigint)"
+    )
+    out = agg.select(
+        F.col("nn").cast("long").alias("n_items"),
+        F.lit(m).cast("long").alias("m_raters"),
+        F.col("s1").cast("long").alias("s1"),
+        p_bar.alias("p_bar_ppm"),
+        pe.alias("pe_gwet_ppm"),
+    )
+    ac1 = F.when(
+        F.col("pe_gwet_ppm") < 1000000,
+        F.expr(
+            "cast(case when p_bar_ppm > pe_gwet_ppm then 1"
+            " when p_bar_ppm < pe_gwet_ppm then -1 else 0 end as bigint)"
+        )
+        * F.expr(
+            "cast((abs(cast(p_bar_ppm - pe_gwet_ppm as decimal(38,0))) * 1000000)"
+            " div cast(1000000 - pe_gwet_ppm as decimal(38,0)) as bigint)"
+        ),
+    ).alias("ac1_ppm")
+    return out.select(
+        "n_items", "m_raters", "s1", "p_bar_ppm", "pe_gwet_ppm", ac1
+    )

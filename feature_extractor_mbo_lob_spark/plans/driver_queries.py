@@ -24205,6 +24205,144 @@ QUERIES["breusch_pagan"] = q_breusch_pagan
 ORACLES["breusch_pagan"] = O_BREUSCH_PAGAN
 
 
+# --- Kupiec proportion-of-failures backtest (p95 threshold coverage) ------------
+
+
+def q_kupiec_pof(spark, sf_dir):
+    """Kupiec POF coverage backtest (functions/stats.kupiec_pof): the
+    p95 spend threshold fit as the EXACT integer order statistic on the
+    md5-even half must produce ~5% exceedances on the md5-odd half; the
+    binomial likelihood ratio says whether the realized rate breaks
+    coverage. ln(p)/ln(1-p) are nano plan literals; data lns are
+    keyness-convention nano integers; no division anywhere."""
+    from ..functions.corpus import md5_bucket
+    from ..functions.stats import kupiec_pof
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr("cast(floor(value * 100.0 + 0.5) as bigint)").alias("v"),
+        md5_bucket("event_id", 2).alias("arm"),
+    )
+    return kupiec_pof(ev, v_col="v", arm_col="arm", p_ppm=50000)
+
+
+def _kupiec_oracle() -> str:
+    import math
+
+    lnp = int(math.floor(math.log(0.05) * 1e9 + 0.5))
+    lnq = int(math.floor(math.log(0.95) * 1e9 + 0.5))
+    nln = "cast(floor(ln(cast({c} as double)) * 1000000000.0 + 0.5) as bigint)"
+    return f"""
+with hx as (
+  select cast(floor(value * 100.0 + 0.5) as bigint) as v,
+    md5(cast(event_id as varchar)) as h
+  from events
+),
+t as (select v, ({_HEX7}) % 2 as arm from hx),
+tr as (select v, cast(count(*) as bigint) as c from t where arm = 0 group by 1),
+cum as (
+  select v,
+    sum(c) over (order by v rows between unbounded preceding and current row)
+      as cum,
+    sum(c) over () as nt
+  from tr
+),
+th as (
+  select cast(max(nt) as bigint) as n_train,
+    min(case when cum * 1000000 >= nt * 950000 then v end) as thr
+  from cum
+),
+te as (
+  select max(th.n_train) as n_train, max(th.thr) as thr,
+    cast(count(*) as bigint) as n,
+    cast(sum(case when t.v > th.thr then 1 else 0 end) as bigint) as x
+  from t, th where t.arm = 1
+)
+select n_train, thr, n as n_test, x as x_exceptions,
+  cast(50000 as bigint) as p_ppm,
+  case when n > 0 then cast(-2 * (
+    (n - x) * {lnq} + x * {lnp}
+    - ((case when n - x > 0
+             then (n - x) * ({nln.format(c='n - x')} - {nln.format(c='n')})
+             else 0 end)
+       + (case when x > 0
+               then x * ({nln.format(c='x')} - {nln.format(c='n')})
+               else 0 end))
+  ) as bigint) end as lr_nano
+from te
+"""
+
+
+QUERIES["kupiec_pof"] = q_kupiec_pof
+ORACLES["kupiec_pof"] = _kupiec_oracle()
+
+
+# --- Gwet's AC1 (paradox-resistant multi-rater agreement) -----------------------
+
+
+def q_gwet_ac1(spark, sf_dir):
+    """Gwet's AC1 over the SAME three binary user-quality raters as
+    fleiss_kappa (functions/stats.gwet_ac1_binary) — the
+    prevalence-skew-resistant chance correction: when almost every user
+    rates the same way, Fleiss' kappa collapses (the kappa paradox)
+    while AC1 stays interpretable; the fleiss-vs-AC1 gap IS the skew
+    diagnostic. Same exact integer path, different chance term."""
+    from ..functions.stats import gwet_ac1_binary
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.expr("cast(floor(value * 100.0 + 0.5) as bigint)")).alias("cents"),
+        F.count(F.lit(1)).alias("n_ev"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    items = per.select(
+        (F.col("cents") > 10000).cast("int").alias("r1"),
+        (F.col("n_ev") >= 5).cast("int").alias("r2"),
+        (F.col("n_types") >= 3).cast("int").alias("r3"),
+    )
+    return gwet_ac1_binary(items)
+
+
+O_GWET_AC1 = """
+with per as (
+  select user_id,
+    sum(cast(floor(value * 100.0 + 0.5) as bigint)) as cents,
+    cast(count(*) as bigint) as n_ev,
+    cast(count(distinct event_type) as bigint) as n_types
+  from events group by 1
+),
+it as (
+  select (case when cents > 10000 then 1 else 0 end)
+       + (case when n_ev >= 5 then 1 else 0 end)
+       + (case when n_types >= 3 then 1 else 0 end) as n1
+  from per
+),
+agg as (
+  select cast(count(*) as hugeint) as nn, cast(sum(n1) as hugeint) as s1,
+    cast(sum(n1 * n1 + (3 - n1) * (3 - n1) - 3) as hugeint) as pnum
+  from it
+),
+rel as (
+  select cast(nn as bigint) as n_items, cast(3 as bigint) as m_raters,
+    cast(s1 as bigint) as s1,
+    cast((pnum * 1000000) // (nn * 6) as bigint) as p_bar_ppm,
+    cast((2 * s1 * (3 * nn - s1) * 1000000)
+         // ((3 * nn) * (3 * nn)) as bigint) as pe_gwet_ppm
+  from agg
+)
+select n_items, m_raters, s1, p_bar_ppm, pe_gwet_ppm,
+  case when pe_gwet_ppm < 1000000 then
+    cast((case when p_bar_ppm > pe_gwet_ppm then 1
+               when p_bar_ppm < pe_gwet_ppm then -1 else 0 end)
+      * ((abs(cast(p_bar_ppm as hugeint) - pe_gwet_ppm) * 1000000)
+         // cast(1000000 - pe_gwet_ppm as hugeint)) as bigint)
+  end as ac1_ppm
+from rel
+"""
+
+QUERIES["gwet_ac1"] = q_gwet_ac1
+ORACLES["gwet_ac1"] = O_GWET_AC1
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -1438,3 +1438,69 @@ def test_breusch_pagan_homo_and_hetero(spark):
     r2 = breusch_pagan(df2).collect()[0]
     assert r2.lm_micro > 10 ** 6  # n*R^2 > 1 for this engineered spread
     assert r2.r2_signed_raw != 0.0
+
+
+def test_kupiec_pof_hand_computed(spark):
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import kupiec_pof
+
+    # train: 1..100 once each -> p95 exact order statistic = 95
+    rows = [(v, 0) for v in range(1, 101)]
+    # test: 19 values below threshold + one exceedance = exactly 5%
+    rows += [(50, 1)] * 19 + [(96, 1)]
+    df = spark.createDataFrame(rows, "v long, arm int")
+    r = kupiec_pof(df, p_ppm=50000).collect()[0]
+    assert (r.n_train, r.thr, r.n_test, r.x_exceptions) == (100, 95, 20, 1)
+
+    def nln(c):
+        return math.floor(math.log(c) * 1e9 + 0.5)
+
+    lnp = math.floor(math.log(0.05) * 1e9 + 0.5)
+    lnq = math.floor(math.log(0.95) * 1e9 + 0.5)
+    n, x = 20, 1
+    null_side = (n - x) * (nln(n - x) - nln(n)) + x * (nln(x) - nln(n))
+    lr = -2 * ((n - x) * lnq + x * lnp - null_side)
+    assert r.lr_nano == lr
+    # realized rate == nominal p -> LR collapses to quantization residue
+    assert abs(r.lr_nano) < 10 ** 6  # < 0.001 in natural units
+
+    # gross coverage failure: half the test half exceeds
+    rows2 = [(v, 0) for v in range(1, 101)] + [(50, 1)] * 10 + [(99, 1)] * 10
+    r2 = kupiec_pof(
+        spark.createDataFrame(rows2, "v long, arm int"), p_ppm=50000
+    ).collect()[0]
+    assert r2.x_exceptions == 10
+    assert r2.lr_nano > 10 * 10 ** 9  # LR >> critical value 3.84
+
+
+def test_gwet_ac1_resists_kappa_paradox(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        fleiss_kappa_binary,
+        gwet_ac1_binary,
+    )
+
+    # extreme prevalence: 19 unanimous-positive items, one 2/3 item
+    rows = [(1, 1, 1)] * 19 + [(1, 1, 0)]
+    df = spark.createDataFrame(rows, "r1 int, r2 int, r3 int")
+    kap = fleiss_kappa_binary(df).collect()[0]
+    ac1 = gwet_ac1_binary(df).collect()[0]
+
+    N, m = 20, 3
+    s1 = 19 * 3 + 2
+    pnum = 19 * (9 + 0 - 3) + (4 + 1 - 3)
+    p_bar = pnum * 10 ** 6 // (N * 6)
+    pe_f = (s1 ** 2 + (60 - s1) ** 2) * 10 ** 6 // 3600
+    pe_g = 2 * s1 * (60 - s1) * 10 ** 6 // 3600
+    assert kap.p_bar_ppm == p_bar and ac1.p_bar_ppm == p_bar
+    assert kap.pe_ppm == pe_f and ac1.pe_gwet_ppm == pe_g
+    k_val = (1 if p_bar > pe_f else -1) * (
+        abs(p_bar - pe_f) * 10 ** 6 // (10 ** 6 - pe_f)
+    )
+    a_val = (1 if p_bar > pe_g else -1) * (
+        abs(p_bar - pe_g) * 10 ** 6 // (10 ** 6 - pe_g)
+    )
+    assert kap.kappa_ppm == k_val and ac1.ac1_ppm == a_val
+    # the paradox: near-unanimous data, kappa craters, AC1 stays high
+    assert kap.kappa_ppm < 0 < ac1.ac1_ppm
+    assert ac1.ac1_ppm > 900000
