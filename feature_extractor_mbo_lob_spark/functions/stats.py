@@ -6111,3 +6111,75 @@ def gwet_ac1_binary(
     return out.select(
         "n_items", "m_raters", "s1", "p_bar_ppm", "pe_gwet_ppm", ac1
     )
+
+
+def taylor_law(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Taylor's law / fluctuation scaling (Taylor 1961; Eisler et al.
+    2008): across groups, daily-count variance grows as a POWER of the
+    daily-count mean, var ~ mean^b — b near 1 means Poisson-like
+    independent arrivals, b near 2 means strongly correlated bursts
+    (the event_burstiness story at the cross-group level). The released
+    slope b is the ln-var-on-ln-mean OLS coefficient across groups —
+    the one-number answer to "do busy event types get disproportionately
+    burstier?", which capacity models assuming Poisson scaling get
+    wrong exactly when b > 1.
+
+    Exact path: per-group day counts -> exact integer (k, S, Q);
+    mean_micro = S*1e6 div k and var_micro = (k*Q - S*S)*1e6 div k^2
+    floor on nonneg operands; ln of those QUANTIZED positive integers
+    is the keyness-convention nano ln (identical inputs on both
+    engines -> identical IEEE ln -> identical nano floor); the slope
+    over the bounded group frame is one integer OLS with a
+    sign-decomposed release.
+
+    Scale shape: one (group, day) groupBy (partial-aggregable), one
+    group-level aggregate, one global slope aggregate over the tiny
+    group frame. Shuffles bounded by groups x days, never event rows.
+
+    Returns one row: (n_groups, slope_micro).
+    """
+    daily = events.groupBy(
+        F.col(group_col).alias("g"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dec = "decimal(38,0)"
+    per = daily.groupBy("g").agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum("c").cast(dec).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).cast(dec).alias("q"),
+    ).select(
+        F.expr("cast((s * 1000000) div k as bigint)").alias("mean_micro"),
+        F.expr("cast(((k * q - s * s) * 1000000) div (k * k) as bigint)")
+        .alias("var_micro"),
+    ).filter((F.col("mean_micro") > 0) & (F.col("var_micro") > 0))
+
+    def nln(c):
+        return F.floor(F.log(c.cast("double")) * F.lit(1e9) + F.lit(0.5)) \
+            .cast("long")
+
+    pts = per.select(
+        nln(F.col("mean_micro")).alias("x"),
+        nln(F.col("var_micro")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+    )
+    num = "(k * sxy - sx * sy)"
+    den = "(k * sxx - sx * sx)"
+    return agg.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.when(
+            (F.col("k") >= 2) & (F.expr(den) > 0),
+            F.expr(f"cast(case when {num} >= 0 then 1 else -1 end as bigint)")
+            * F.expr(f"cast((abs({num}) * 1000000) div {den} as bigint)"),
+        ).alias("slope_micro"),
+    )

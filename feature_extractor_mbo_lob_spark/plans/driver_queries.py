@@ -24343,6 +24343,67 @@ QUERIES["gwet_ac1"] = q_gwet_ac1
 ORACLES["gwet_ac1"] = O_GWET_AC1
 
 
+# --- Taylor's law (variance-mean fluctuation scaling across event types) --------
+
+
+def q_taylor_law(spark, sf_dir):
+    """Taylor's law slope across event types (functions/stats.
+    taylor_law): does daily-count variance scale as mean^b with b > 1
+    (correlated bursts) or b ~ 1 (Poisson arrivals)? The cross-group
+    fluctuation-scaling companion to event_burstiness. Exact integer
+    mean/var per type quantized BEFORE the keyness-convention nano ln;
+    one integer OLS over the tiny group frame."""
+    from ..functions.stats import taylor_law
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return taylor_law(ev)
+
+
+O_TAYLOR_LAW = """
+with daily as (
+  select event_type as g,
+    epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as c
+  from events group by 1, 2
+),
+per as (
+  select cast(count(*) as hugeint) as k, cast(sum(c) as hugeint) as s,
+    cast(sum(cast(c as hugeint) * c) as hugeint) as q
+  from daily group by g
+),
+mv as (
+  select cast((s * 1000000) // k as bigint) as mean_micro,
+    cast(((k * q - s * s) * 1000000) // (k * k) as bigint) as var_micro
+  from per
+),
+f as (select * from mv where mean_micro > 0 and var_micro > 0),
+pts as (
+  select
+    cast(floor(ln(cast(mean_micro as double)) * 1000000000.0 + 0.5) as bigint)
+      as x,
+    cast(floor(ln(cast(var_micro as double)) * 1000000000.0 + 0.5) as bigint)
+      as y
+  from f
+),
+agg as (
+  select cast(count(*) as hugeint) as k,
+    cast(sum(x) as hugeint) as sx, cast(sum(y) as hugeint) as sy,
+    cast(sum(cast(x as hugeint) * x) as hugeint) as sxx,
+    cast(sum(cast(x as hugeint) * y) as hugeint) as sxy
+  from pts
+)
+select cast(k as bigint) as n_groups,
+  case when k >= 2 and (k * sxx - sx * sx) > 0 then
+    cast((case when k * sxy - sx * sy >= 0 then 1 else -1 end)
+      * ((abs(k * sxy - sx * sy) * 1000000) // (k * sxx - sx * sx)) as bigint)
+  end as slope_micro
+from agg
+"""
+
+QUERIES["taylor_law"] = q_taylor_law
+ORACLES["taylor_law"] = O_TAYLOR_LAW
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

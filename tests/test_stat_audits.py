@@ -1504,3 +1504,51 @@ def test_gwet_ac1_resists_kappa_paradox(spark):
     # the paradox: near-unanimous data, kappa craters, AC1 stays high
     assert kap.kappa_ppm < 0 < ac1.ac1_ppm
     assert ac1.ac1_ppm > 900000
+
+
+def test_taylor_law_quadratic_scaling(spark):
+    import datetime
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import taylor_law
+
+    # three groups engineered with var = mean^2 / 4 -> slope exactly 2
+    # g1: days [1,3], g2: [2,6], g3: [4,12]
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for g, counts in (("a", [1, 3]), ("b", [2, 6]), ("c", [4, 12])):
+        for day, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, g, base + datetime.timedelta(days=day)))
+                eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    r = taylor_law(ev).collect()[0]
+    assert r.n_groups == 3
+
+    def nln(v):
+        return math.floor(math.log(v) * 1e9 + 0.5)
+
+    pts = []
+    for counts in ([1, 3], [2, 6], [4, 12]):
+        k = len(counts)
+        s = sum(counts)
+        q = sum(c * c for c in counts)
+        mean_micro = s * 10 ** 6 // k
+        var_micro = (k * q - s * s) * 10 ** 6 // (k * k)
+        pts.append((nln(mean_micro), nln(var_micro)))
+    k = len(pts)
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts); sxy = sum(p[0] * p[1] for p in pts)
+    num = k * sxy - sx * sy; den = k * sxx - sx * sx
+    want = (1 if num >= 0 else -1) * (abs(num) * 10 ** 6 // den)
+    assert r.slope_micro == want
+    assert abs(r.slope_micro - 2 * 10 ** 6) < 100  # b = 2 up to ln residue
+
+    # flat groups (zero variance) are filtered -> slope NULL
+    flat = spark.createDataFrame(
+        [(i, "a", base) for i in range(3)] + [(9 + i, "b", base) for i in range(5)],
+        "event_id long, event_type string, ts timestamp",
+    )
+    r2 = taylor_law(flat).collect()[0]
+    assert r2.n_groups == 0 and r2.slope_micro is None
