@@ -355,12 +355,16 @@ def neighbor_recall(
     two intersections are plain pair-key joins."""
     from ..functions.corpus import md5_bucket
 
+    # the sampled frame feeds the GEMM truth AND both LSH operating
+    # points, and the GEMM truth is consumed three times (two candidate
+    # intersections + the full-outer base) — materialize each ONCE or
+    # the quadratic exact pass re-runs per consumer
     e = emb.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).filter(md5_bucket("id", sample_buckets) == 0)
+    ).filter(md5_bucket("id", sample_buckets) == 0).localCheckpoint(eager=True)
 
-    exact = exact_eps_pairs(e, eps_micro)
+    exact = exact_eps_pairs(e, eps_micro).localCheckpoint(eager=True)
 
     keys = ["id_a", "id_b"]
     single = banded_candidate_pairs(
