@@ -1240,9 +1240,11 @@ def minhash_recall(
     truth = ngram_jaccard_pairs(
         df, id_col, text_col, k=k, threshold=threshold_pct / 100.0
     ).select("id_a", "id_b")
+    # cands is consumed twice (the hit join + the candidate count) —
+    # materialize once so the band self-join doesn't re-run
     cands = minhash_lsh_pairs(
         df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     hit = truth.join(
         cands.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "left"
     ).agg(
