@@ -6183,3 +6183,141 @@ def taylor_law(
             * F.expr(f"cast((abs({num}) * 1000000) div {den} as bigint)"),
         ).alias("slope_micro"),
     )
+
+
+def dickey_fuller(
+    series: DataFrame,
+    idx_col: str = "d",
+    y_col: str = "y",
+) -> DataFrame:
+    """Dickey-Fuller unit-root regression (1979, no augmentation,
+    with constant) over an ordered integer series: delta_y on lagged
+    level, the standard first stationarity read before anyone trusts a
+    mean-reverting model — variance_ratio and hurst measure scaling
+    behavior, this tests the unit root directly. rho < 0 with large t^2
+    says shocks decay (stationary); rho ~ 0 says shocks persist (random
+    walk).
+
+    Fully exact-integer release — no IEEE anywhere: with centered
+    moments Sxy_c = k*Sxy - Sx*Sy etc. over (x = y_{t-1}, dy),
+      rho_micro = sign(Sxy_c) * |Sxy_c|*1e6 div Sxx_c
+      t^2       = (k-2)*Sxy_c^2 / (Sxx_c*Syy_c - Sxy_c^2)
+    whose denominator is nonnegative by Cauchy-Schwarz, so one floor
+    division releases t2_micro exactly; t_sign = sign(Sxy_c). NULL when
+    the fit is degenerate (perfect fit or constant series). Products
+    ride decimal(38,0) — safe for bounded per-period aggregate series
+    (the registered query feeds daily counts).
+
+    Scale shape: corpus collapses in the upstream groupBy; one lag
+    window + one 6-moment aggregate over the bounded day frame.
+
+    Returns one row: (n_obs, rho_micro, t_sign, t2_micro).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d")
+    daily = series.select(
+        F.col(idx_col).cast("long").alias("d"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    lagged = daily.select(
+        "d", "y", F.lag("y").over(w).alias("x")
+    ).filter(F.col("x").isNotNull()).select(
+        F.col("x"), (F.col("y") - F.col("x")).alias("dy")
+    )
+    dec = "decimal(38,0)"
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("dy").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("dy")).cast(dec).alias("sxy"),
+        F.sum(F.col("dy").cast(dec) * F.col("dy")).cast(dec).alias("syy"),
+    ).select(
+        "k",
+        (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("sxx_c"),
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("sxy_c"),
+        (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).alias("syy_c"),
+    )
+    den = "(sxx_c * syy_c - sxy_c * sxy_c)"
+    return agg.select(
+        F.col("k").cast("long").alias("n_obs"),
+        F.when(
+            F.col("sxx_c") > 0,
+            F.expr("cast(case when sxy_c >= 0 then 1 else -1 end as bigint)")
+            * F.expr("cast((abs(sxy_c) * 1000000) div sxx_c as bigint)"),
+        ).alias("rho_micro"),
+        F.when(
+            (F.col("k") > 2) & (F.expr(den) > 0),
+            F.expr("cast(case when sxy_c > 0 then 1 when sxy_c < 0 then -1"
+                   " else 0 end as bigint)"),
+        ).alias("t_sign"),
+        F.when(
+            (F.col("k") > 2) & (F.expr(den) > 0),
+            F.expr(
+                f"cast(((k - 2) * sxy_c * sxy_c * 1000000) div {den} as bigint)"
+            ),
+        ).alias("t2_micro"),
+    )
+
+
+def seasonal_mann_kendall(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch & Slack 1984) over the daily
+    event-count series: the monotone-trend test computed WITHIN each
+    day-of-week season and summed — a strong weekly cycle turns plain
+    mann_kendall's cross-season pairs into noise (Monday vs Sunday
+    comparisons say nothing about trend); restricting pairs to matching
+    seasons removes the cycle without modeling it.
+
+    S' = sum_g S_g over season-internal day pairs, tie corrections
+    t(t-1)(2t+5) accumulated per (season, count) — all int64, exact;
+    variance/z left to the caller like the plain MK release.
+
+    Scale shape: one groupBy(day) collapses the corpus; the pair join
+    carries the season as an EQUI key (day inequality only within
+    season), so fan-out is sum_g days_g^2 — a period-fold smaller than
+    the plain MK quadratic, on an already-bounded frame.
+
+    Returns one row: (n_seasons, n_days, s_stat, n_pairs, tie_term).
+    """
+    d = (
+        ev.select(
+            F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 86400000000")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select("day", "cnt", (F.col("day") % period).alias("season"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.season") == F.col("b.season")) & (F.col("a.day") < F.col("b.day")),
+    )
+    sgn = (
+        F.when(F.col("b.cnt") > F.col("a.cnt"), 1)
+        .when(F.col("b.cnt") < F.col("a.cnt"), -1)
+        .otherwise(0)
+    )
+    s = pairs.agg(
+        F.sum(sgn).cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    ties = (
+        d.groupBy("season", "cnt").agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - F.lit(1))
+                * (F.lit(2) * F.col("t") + F.lit(5))
+            ).cast("long").alias("tie_term")
+        )
+    )
+    n = d.agg(
+        F.countDistinct("season").cast("long").alias("n_seasons"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return n.crossJoin(s).crossJoin(ties)

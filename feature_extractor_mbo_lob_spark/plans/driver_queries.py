@@ -24404,6 +24404,118 @@ QUERIES["taylor_law"] = q_taylor_law
 ORACLES["taylor_law"] = O_TAYLOR_LAW
 
 
+# --- Dickey-Fuller unit root (daily count series) -------------------------------
+
+
+def q_dickey_fuller(spark, sf_dir):
+    """Dickey-Fuller unit-root regression over daily event counts
+    (functions/stats.dickey_fuller): do volume shocks decay (rho < 0,
+    stationary) or persist (random walk)? The direct stationarity test
+    beside variance_ratio/hurst's scaling reads. Fully exact-integer:
+    t^2's denominator is Cauchy-Schwarz-nonnegative, so the release is
+    one floor division — no IEEE anywhere."""
+    from ..functions.stats import dickey_fuller
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return dickey_fuller(daily, idx_col="d", y_col="y")
+
+
+O_DICKEY_FULLER = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    cast(count(*) as bigint) as y
+  from events group by 1
+),
+lagged as (
+  select lag(y) over (order by d) as x, y
+  from daily
+),
+f as (select x, y - x as dy from lagged where x is not null),
+agg as (
+  select cast(count(*) as hugeint) as k,
+    cast(sum(x) as hugeint) as sx, cast(sum(dy) as hugeint) as sy,
+    cast(sum(cast(x as hugeint) * x) as hugeint) as sxx,
+    cast(sum(cast(x as hugeint) * dy) as hugeint) as sxy,
+    cast(sum(cast(dy as hugeint) * dy) as hugeint) as syy
+  from f
+),
+c as (
+  select k, k * sxx - sx * sx as sxx_c, k * sxy - sx * sy as sxy_c,
+    k * syy - sy * sy as syy_c
+  from agg
+)
+select cast(k as bigint) as n_obs,
+  case when sxx_c > 0 then
+    cast((case when sxy_c >= 0 then 1 else -1 end)
+      * ((abs(sxy_c) * 1000000) // sxx_c) as bigint) end as rho_micro,
+  case when k > 2 and (sxx_c * syy_c - sxy_c * sxy_c) > 0 then
+    cast(case when sxy_c > 0 then 1 when sxy_c < 0 then -1 else 0 end as bigint)
+  end as t_sign,
+  case when k > 2 and (sxx_c * syy_c - sxy_c * sxy_c) > 0 then
+    cast(((k - 2) * sxy_c * sxy_c * 1000000)
+         // (sxx_c * syy_c - sxy_c * sxy_c) as bigint)
+  end as t2_micro
+from c
+"""
+
+QUERIES["dickey_fuller"] = q_dickey_fuller
+ORACLES["dickey_fuller"] = O_DICKEY_FULLER
+
+
+# --- seasonal Mann-Kendall (weekly-cycle-robust trend) --------------------------
+
+
+def q_seasonal_mann_kendall(spark, sf_dir):
+    """Seasonal Mann-Kendall trend over daily counts (functions/stats.
+    seasonal_mann_kendall, Hirsch-Slack): pairs restricted to matching
+    day-of-week seasons, so a strong weekly cycle can't masquerade as
+    (or drown) a monotone trend the way it can in plain mann_kendall.
+    Season rides the pair join as an EQUI key; exact int64 S and tie
+    terms, variance left to the caller per the MK convention."""
+    from ..functions.stats import seasonal_mann_kendall
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return seasonal_mann_kendall(ev, period=7)
+
+
+O_SEASONAL_MANN_KENDALL = """
+with d as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as day,
+    cast(count(*) as bigint) as cnt
+  from events group by 1
+),
+s as (select day, cnt, day % 7 as season from d),
+pairs as (
+  select case when b.cnt > a.cnt then 1 when b.cnt < a.cnt then -1 else 0 end
+    as sgn
+  from s a join s b on a.season = b.season and a.day < b.day
+),
+sp as (
+  select cast(coalesce(sum(sgn), 0) as bigint) as s_stat,
+    cast(count(*) as bigint) as n_pairs
+  from pairs
+),
+ties as (
+  select cast(sum(t * (t - 1) * (2 * t + 5)) as bigint) as tie_term
+  from (select season, cnt, cast(count(*) as bigint) as t
+        from s group by 1, 2)
+),
+n as (
+  select cast(count(distinct season) as bigint) as n_seasons,
+    cast(count(*) as bigint) as n_days
+  from s
+)
+select n_seasons, n_days, s_stat, n_pairs, tie_term
+from n, sp, ties
+"""
+
+QUERIES["seasonal_mann_kendall"] = q_seasonal_mann_kendall
+ORACLES["seasonal_mann_kendall"] = O_SEASONAL_MANN_KENDALL
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

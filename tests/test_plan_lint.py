@@ -109,6 +109,7 @@ BNLJ_ALLOWED = {
     "label_stats",
     "lateness_audit",
     "mann_kendall",
+    "seasonal_mann_kendall",  # 1-row S/ties/n crossJoins (MK convention)
     "markov_loglik",
     "mcnemar",
     "mi_features",

@@ -1552,3 +1552,90 @@ def test_taylor_law_quadratic_scaling(spark):
     )
     r2 = taylor_law(flat).collect()[0]
     assert r2.n_groups == 0 and r2.slope_micro is None
+
+
+def test_dickey_fuller_mean_reversion_hand_computed(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import dickey_fuller
+
+    # noisy alternation: strong mean reversion -> rho strongly negative
+    ys = [10, 0, 10, 0, 9, 1, 9, 1, 10, 0]
+    df = spark.createDataFrame(list(enumerate(ys)), "d long, y long")
+    r = dickey_fuller(df, idx_col="d", y_col="y").collect()[0]
+
+    xs = ys[:-1]
+    dys = [b - a for a, b in zip(ys, ys[1:])]
+    k = len(xs)
+    sx, sy = sum(xs), sum(dys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * d for x, d in zip(xs, dys))
+    syy = sum(d * d for d in dys)
+    sxx_c = k * sxx - sx * sx
+    sxy_c = k * sxy - sx * sy
+    syy_c = k * syy - sy * sy
+    rho = (1 if sxy_c >= 0 else -1) * (abs(sxy_c) * 10 ** 6 // sxx_c)
+    den = sxx_c * syy_c - sxy_c * sxy_c
+    t2 = (k - 2) * sxy_c * sxy_c * 10 ** 6 // den
+    assert r.n_obs == k
+    assert (r.rho_micro, r.t_sign, r.t2_micro) == (rho, -1, t2)
+    assert r.rho_micro < -1500000  # near-full reversion each step
+    assert r.t2_micro > 10 * 10 ** 6  # decisive rejection of the unit root
+
+    # perfect deterministic fit -> Cauchy-Schwarz denominator 0 -> NULL
+    perfect = spark.createDataFrame(
+        list(enumerate([10, 0, 10, 0, 10, 0])), "d long, y long"
+    )
+    rp = dickey_fuller(perfect, idx_col="d", y_col="y").collect()[0]
+    assert rp.t2_micro is None and rp.t_sign is None
+
+
+def test_seasonal_mann_kendall_cycle_robustness(spark):
+    import datetime
+
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        mann_kendall_trend,
+        seasonal_mann_kendall,
+    )
+
+    # 4 weeks, period 2: even days heavy (100+w), odd days light (1+w) —
+    # a monotone +1/week trend under a huge 2-day cycle
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(28):
+        week = day // 7
+        c = (100 + week) if day % 2 == 0 else (1 + week)
+        for _ in range(c):
+            rows.append((eid, base + datetime.timedelta(days=day)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+    r = seasonal_mann_kendall(ev, period=2).collect()[0]
+    assert r.n_seasons == 2 and r.n_days == 28
+    # mirror: within a season, same-week days tie (equal counts), pairs
+    # across weeks are all concordant (+1 per week of trend)
+    from collections import Counter
+
+    s_mirror = pairs_mirror = tie_mirror = 0
+    for season in (0, 1):
+        days = [day for day in range(28) if day % 2 == season]
+        cnts = [(100 if day % 2 == 0 else 1) + day // 7 for day in days]
+        n = len(days)
+        pairs_mirror += n * (n - 1) // 2
+        s_mirror += sum(
+            1 if cj > ci else (-1 if cj < ci else 0)
+            for i, ci in enumerate(cnts) for cj in cnts[i + 1:]
+        )
+        for t in Counter(cnts).values():
+            tie_mirror += t * (t - 1) * (2 * t + 5)
+    assert r.s_stat == s_mirror == 146
+    assert r.n_pairs == pairs_mirror
+    assert r.tie_term == tie_mirror == 888
+
+    # plain MK on the same data: the cycle floods S with discordant
+    # cross-season pairs (|S| much smaller relative to n_pairs)
+    # plain MK on the same data: cross-season pairs flood S with cycle
+    # noise — the seasonal concordance fraction is far higher
+    mk = mann_kendall_trend(ev).collect()[0]
+    frac_seasonal = r.s_stat / r.n_pairs
+    frac_plain = mk.s_stat / mk.n_pairs
+    assert frac_seasonal > 0.8 > frac_plain + 0.25
