@@ -24516,6 +24516,101 @@ QUERIES["seasonal_mann_kendall"] = q_seasonal_mann_kendall
 ORACLES["seasonal_mann_kendall"] = O_SEASONAL_MANN_KENDALL
 
 
+# --- streaming Page-Hinkley drift (stateful stream, oracle-checked) -------------
+
+
+def q_streaming_drift(spark, sf_dir):
+    """REAL streaming execution of the Page-Hinkley drift monitor:
+    events replayed through readStream -> applyInPandasWithState (five
+    integers of group state per event type) -> availableNow -> memory
+    sink. The live twin of the batch page_hinkley query — per-type
+    running-mean CUSUM over per-event cents in (ts, event_id) order,
+    integer-exact, so the final row per type matches the batch window
+    SQL oracle bit-for-bit (the streaming_state pattern)."""
+    import hashlib
+    import uuid
+    from pathlib import Path as _P
+
+    from ..streaming import stream as strm
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.expr("cast(floor(value * 100.0 + 0.5) as bigint)").alias("v"),
+        "ts", "event_id",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/stream_drift_src_{tag}"
+    if not _P(path).exists():
+        ev.coalesce(1).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(ev.schema).parquet(path)
+    out = strm.streaming_page_hinkley(src, key_col="event_type", value_col="v")
+    qname = "qsd_" + uuid.uuid4().hex[:12]
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                f"/tmp/stream_drift_ckpt_{uuid.uuid4().hex[:12]}",
+            )
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    res = spark.table(qname)
+    return res.select(
+        F.col("key").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+        F.col("m_t").cast("long").alias("m_t"),
+        F.col("ph_t").cast("long").alias("ph_t"),
+    )
+
+
+O_STREAMING_DRIFT = """
+with t as (
+  select event_type as key, cast(floor(value * 100.0 + 0.5) as bigint) as v,
+    ts, event_id
+  from events
+),
+o as (
+  select key, v,
+    row_number() over w as rn,
+    sum(v) over w as cum
+  from t
+  window w as (partition by key order by ts, event_id
+               rows between unbounded preceding and current row)
+),
+d as (select key, rn, v - (cum // rn) as dev from o),
+m as (
+  select key, rn,
+    sum(dev) over (partition by key order by rn
+                   rows between unbounded preceding and current row) as m
+  from d
+),
+p as (
+  select key, rn, m,
+    m - min(m) over (partition by key order by rn
+                     rows between unbounded preceding and current row) as ph
+  from m
+),
+last as (
+  select key, rn, m, ph,
+    row_number() over (partition by key order by rn desc) as rr
+  from p
+)
+select key as event_type, cast(rn as bigint) as n,
+  cast(m as bigint) as m_t, cast(ph as bigint) as ph_t
+from last where rr = 1
+"""
+
+QUERIES["streaming_drift"] = q_streaming_drift
+ORACLES["streaming_drift"] = O_STREAMING_DRIFT
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

@@ -578,3 +578,97 @@ def streaming_sprt(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# --- streaming Page-Hinkley drift monitor ---------------------------------------
+
+PH_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("s", LongType()),
+    StructField("m", LongType()),
+    StructField("mmin", LongType()),
+    StructField("has_min", LongType()),
+])
+
+PH_OUTPUT_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("n", LongType()),
+    StructField("m_t", LongType()),
+    StructField("ph_t", LongType()),
+])
+
+
+def _ph_state_fn(delta_q: int):
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            n0, s0, m0, mmin0, has_min = state.get
+        else:
+            n0, s0, m0, mmin0, has_min = 0, 0, 0, 0, 0
+        frames = [p for p in pdfs]
+        if frames:
+            pdf = pd.concat(frames).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            x = pdf["v"].to_numpy(dtype=np.int64)
+            if len(x):
+                n = n0 + np.arange(1, len(x) + 1, dtype=np.int64)
+                cums = s0 + np.cumsum(x)
+                # numpy floor-div == DuckDB // (floor), the oracle contract
+                mean_q = cums // n
+                dev = x - mean_q - delta_q
+                m = m0 + np.cumsum(dev)
+                run_min = np.minimum.accumulate(m)
+                if has_min:
+                    run_min = np.minimum(run_min, mmin0)
+                n0, s0, m0 = int(n[-1]), int(cums[-1]), int(m[-1])
+                mmin0, has_min = int(run_min[-1]), 1
+        state.update((n0, s0, m0, mmin0, has_min))
+        if n0 > 0:
+            yield pd.DataFrame(
+                {"key": [key[0]], "n": [n0], "m_t": [m0],
+                 "ph_t": [m0 - mmin0]}
+            )
+
+    return fn
+
+
+def streaming_page_hinkley(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "v",
+    delta_q: int = 0,
+) -> DataFrame:
+    """Per-key Page-Hinkley drift monitor as a stateful stream — the
+    LIVE twin of functions/stats.page_hinkley: the deviation-from-
+    running-mean CUSUM per key (event type), carried across
+    micro-batches in group state so the alarm statistic ph_t = m_t -
+    min m is exact over the whole history with O(1) state per key
+    (five integers). Within-batch ordering is (ts, event_id); cross-
+    batch correctness requires in-order delivery per key — the same
+    contract as streaming_cumulative_state.
+
+    The running mean floors via numpy integer division, matching the
+    DuckDB oracle's flooring `//` for any sign; the whole trajectory is
+    integer-exact, so the emitted final row per key equals the batch
+    window computation bit-for-bit.
+
+    Emits one row per key per micro-batch: (key, n, m_t, ph_t).
+    """
+    return (
+        events.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).cast("long").alias("v"),
+            F.col("ts"),
+            F.col("event_id"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            _ph_state_fn(delta_q),
+            outputStructType=PH_OUTPUT_SCHEMA,
+            stateStructType=PH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -661,3 +661,74 @@ def test_phash_near_dup_band_bucket_cap(spark):
     fp = mm.phash_fingerprints(media)
     # a cap of 1 drops every shared band bucket -> no candidates at all
     assert mm.phash_near_dup(fp, max_hamming=64, max_band_bucket=1).count() == 0
+
+
+def test_streaming_page_hinkley_cross_batch_state(spark, tmp_path):
+    """Two files + maxFilesPerTrigger=1 force TWO micro-batches: the PH
+    trajectory must carry (n, cumsum, m, min m) across the batch
+    boundary and the final emitted row must equal the single-pass
+    integer mirror over the full ordered series."""
+    import datetime
+    import uuid
+
+    import pandas as pd
+
+    from feature_extractor_mbo_lob_spark.streaming.stream import (
+        streaming_page_hinkley,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    xs = [10, 10, 10, 10, 50, 50, 50, 50]  # level shift mid-series
+    rows = [
+        ("a", x, base + datetime.timedelta(minutes=i), i)
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, v long, ts timestamp, event_id long"
+    )
+    src_dir = str(tmp_path / "ph_src")
+    # file 0 = first half, file 1 = second half (lexicographic order ==
+    # arrival order for availableNow's file listing)
+    df.filter("event_id < 4").coalesce(1).write.parquet(src_dir + "/p=0")
+    df.filter("event_id >= 4").coalesce(1).write.parquet(src_dir + "/p=1")
+    src = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/p=*")
+    )
+    out = streaming_page_hinkley(src, key_col="event_type", value_col="v")
+    qname = "ph_" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(qname).toPandas().sort_values("n")
+    # one emitted row per micro-batch that saw data; final row is last
+    final = res.iloc[-1]
+
+    # integer mirror over the whole ordered series
+    n = s = m = 0
+    mmin = None
+    for x in xs:
+        n += 1
+        s += x
+        m += x - s // n
+        mmin = m if mmin is None else min(mmin, m)
+    assert int(final["n"]) == 8
+    assert int(final["m_t"]) == m
+    assert int(final["ph_t"]) == m - mmin
+    assert int(final["ph_t"]) > 0  # the level shift raised the statistic
+    # the intermediate batch emission matches the 4-element prefix
+    if len(res) > 1:
+        n = s = m = 0
+        mmin = None
+        for x in xs[:4]:
+            n += 1
+            s += x
+            m += x - s // n
+            mmin = m if mmin is None else min(mmin, m)
+        first = res.iloc[0]
+        assert int(first["n"]) == 4 and int(first["m_t"]) == m
