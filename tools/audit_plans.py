@@ -2906,6 +2906,55 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "Taylor's law (fluctuation scaling)",
+        QUERIES["taylor_law"](spark, tiny),
+        "One (group, day) groupBy + one group-level aggregate + one "
+        "slope aggregate over the tiny group frame; ln only of "
+        "pre-quantized integers.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Kupiec POF coverage backtest",
+        QUERIES["kupiec_pof"](spark, tiny),
+        "Distinct-value cumulative frame for the exact order-statistic "
+        "threshold (shuffle bounded by value cardinality); 1-row "
+        "threshold broadcast into one conditional aggregate.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
+    sections.append(summarize(
+        "Gwet AC1 (binary raters)",
+        QUERIES["gwet_ac1"](spark, tiny),
+        "Identical shape to Fleiss: one user groupBy then ONE global "
+        "3-sum aggregate; only the chance term differs.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Dickey-Fuller unit root",
+        QUERIES["dickey_fuller"](spark, tiny),
+        "Corpus collapses in the daily groupBy; one lag window + one "
+        "6-moment aggregate over the bounded day frame; release is "
+        "pure integer floor division.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "seasonal Mann-Kendall",
+        QUERIES["seasonal_mann_kendall"](spark, tiny),
+        "Season rides the bounded day-frame pair join as an EQUI key "
+        "(never cartesian); 1-row S/ties/n crossJoins per the MK "
+        "convention.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
