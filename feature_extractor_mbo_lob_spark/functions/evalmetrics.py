@@ -927,3 +927,99 @@ def qini_curve(
             " div cum_n_c else cum_r_t * 1000000 end as bigint)"
         ).alias("qini_micro"),
     )
+
+
+def average_precision(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    step-wise sklearn definition sum_i (R_i - R_{i-1}) * P_i over
+    distinct-score thresholds) — the ranking metric that stays
+    informative under class imbalance where ROC-AUC saturates: with 1%
+    positives a classifier can hold fpr tiny (great-looking ROC) while
+    precision collapses; AP reads straight off the PR trade-off.
+
+    Exact path: per distinct score block i (descending), the recall
+    increment is pos_at_i / total_pos and precision is cum_pos_i /
+    cum_all_i, so
+      term_i = (pos_at_i * cum_pos_i * 1e6) div cum_all_i
+      ap_ppm = (sum_i term_i) div total_pos
+    — every division floors nonnegative integers, so both engines
+    reproduce the scalar bit-identically (per-block quantization is the
+    release contract, documented like every ppm trunc in this module).
+
+    Scale shape: identical to roc_curve_points — one partial-aggregable
+    groupBy collapses the corpus to |distinct scores| rows, the ordered
+    pass runs only there.
+
+    Returns one row: (n_thresholds, total_pos, ap_ppm).
+    """
+    lbl = F.col(label_col).cast("int")
+    g = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum(lbl).cast("long").alias("pos_at"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "pos_at",
+        F.sum("pos_at").over(w).cast("long").alias("cum_pos"),
+        F.sum("n_at").over(w).cast("long").alias("cum_all"),
+        F.sum("pos_at").over(wall).cast("long").alias("tot_pos"),
+    )
+    dec = "decimal(38,0)"
+    agg = c.groupBy("tot_pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_thresholds"),
+        F.sum(
+            F.expr(
+                "(cast(pos_at as decimal(38,0)) * cum_pos * 1000000)"
+                " div cum_all"
+            )
+        ).cast(dec).alias("tsum"),
+    )
+    return agg.select(
+        "n_thresholds",
+        F.col("tot_pos").cast("long").alias("total_pos"),
+        F.when(
+            F.col("tot_pos") > 0,
+            F.expr("cast(tsum div tot_pos as bigint)"),
+        ).otherwise(F.lit(0)).alias("ap_ppm"),
+    )
+
+
+def youden_threshold(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Youden's J threshold selection over the exact ROC table: the
+    distinct score maximizing J = TPR - FPR (in released ppm units) —
+    the standard operating point for a quality/contamination gate when
+    false positives and false negatives weigh equally, read directly
+    off roc_curve_points' frame instead of eyeballing the curve. Ties
+    break deterministically on the SMALLEST qualifying score (gate in
+    more, the documented rule).
+
+    Returns one row: (best_score, tpr_ppm, fpr_ppm, j_ppm,
+    n_thresholds).
+    """
+    pts = roc_curve_points(df, score_col, label_col)
+    w = Window.orderBy(
+        (F.col("tpr_ppm") - F.col("fpr_ppm")).desc(), F.col("score").asc()
+    )
+    ranked = pts.select(
+        "score", "tpr_ppm", "fpr_ppm",
+        (F.col("tpr_ppm") - F.col("fpr_ppm")).alias("j_ppm"),
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n_thresholds"),
+    )
+    return ranked.filter(F.col("_rk") == 1).select(
+        F.col("score").alias("best_score"),
+        "tpr_ppm", "fpr_ppm", "j_ppm", "n_thresholds",
+    )

@@ -24611,6 +24611,127 @@ QUERIES["streaming_drift"] = q_streaming_drift
 ORACLES["streaming_drift"] = O_STREAMING_DRIFT
 
 
+# --- average precision (PR-AUC, imbalance-robust ranking metric) ----------------
+
+
+def q_average_precision(spark, sf_dir):
+    """Step-wise average precision over the same scored frame as
+    roc_curve/auc_score (functions/evalmetrics.average_precision): the
+    PR-curve scalar that stays informative under class imbalance where
+    ROC-AUC saturates. Per-block terms floor-quantized then summed —
+    bit-identical on both engines; same collapsed |distinct scores|
+    shape as the ROC table."""
+    from ..functions.evalmetrics import average_precision
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.selectExpr(
+        "cast(n_chars div 16 as long) as score",
+        "cast(contains(text, 'data') as int) as y",
+    )
+    return average_precision(scored, "score", "y")
+
+
+O_AVERAGE_PRECISION = """
+with s as (
+  select cast(n_chars // 16 as bigint) as score,
+    cast(contains(text, 'data') as int) as y
+  from documents
+),
+g as (
+  select score, cast(count(*) as bigint) as n_at,
+    cast(sum(y) as bigint) as pos_at
+  from s group by score
+),
+c as (
+  select pos_at,
+    sum(pos_at) over (order by score desc
+                      rows between unbounded preceding and current row)
+      as cum_pos,
+    sum(n_at) over (order by score desc
+                    rows between unbounded preceding and current row)
+      as cum_all,
+    sum(pos_at) over () as tot_pos
+  from g
+),
+agg as (
+  select tot_pos, cast(count(*) as bigint) as n_thresholds,
+    cast(sum((cast(pos_at as hugeint) * cum_pos * 1000000) // cum_all)
+      as hugeint) as tsum
+  from c group by tot_pos
+)
+select n_thresholds, cast(tot_pos as bigint) as total_pos,
+  case when tot_pos > 0 then cast(tsum // tot_pos as bigint) else 0 end
+    as ap_ppm
+from agg
+"""
+
+QUERIES["average_precision"] = q_average_precision
+ORACLES["average_precision"] = O_AVERAGE_PRECISION
+
+
+# --- Youden J operating point ---------------------------------------------------
+
+
+def q_youden_j(spark, sf_dir):
+    """Youden's J threshold over the exact ROC table (functions/
+    evalmetrics.youden_threshold): the distinct score maximizing
+    TPR - FPR in released ppm units — the equal-cost operating point
+    for a quality gate, smallest qualifying score on ties (gate in
+    more)."""
+    from ..functions.evalmetrics import youden_threshold
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.selectExpr(
+        "cast(n_chars div 16 as long) as score",
+        "cast(contains(text, 'data') as int) as y",
+    )
+    return youden_threshold(scored, "score", "y")
+
+
+O_YOUDEN_J = """
+with s as (
+  select cast(n_chars // 16 as bigint) as score,
+    cast(contains(text, 'data') as int) as y
+  from documents
+),
+g as (
+  select score, cast(count(*) as bigint) as n_at,
+    cast(sum(y) as bigint) as pos_at
+  from s group by score
+),
+c as (
+  select score,
+    sum(pos_at) over w as cum_pos,
+    sum(n_at) over w - sum(pos_at) over w as cum_neg,
+    sum(pos_at) over () as p, sum(n_at) over () - sum(pos_at) over () as n
+  from g
+  window w as (order by score desc
+               rows between unbounded preceding and current row)
+),
+r as (
+  select score,
+    cast(case when p > 0 then (cum_pos * 1000000) // p else 0 end as bigint)
+      as tpr_ppm,
+    cast(case when n > 0 then (cum_neg * 1000000) // n else 0 end as bigint)
+      as fpr_ppm
+  from c
+),
+j as (
+  select score as best_score, tpr_ppm, fpr_ppm,
+    tpr_ppm - fpr_ppm as j_ppm,
+    row_number() over (order by tpr_ppm - fpr_ppm desc, score asc) as rk,
+    cast(count(*) over () as bigint) as n_thresholds
+  from r
+)
+select best_score, tpr_ppm, fpr_ppm, cast(j_ppm as bigint) as j_ppm,
+  n_thresholds
+from j where rk = 1
+"""
+
+QUERIES["youden_j"] = q_youden_j
+ORACLES["youden_j"] = O_YOUDEN_J
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

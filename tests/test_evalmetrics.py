@@ -409,3 +409,50 @@ def test_rfm_segments_monetary_quantization_ties(spark):
     # user 1 -> m_q 1, user 2 -> m_q 2
     m_by_cents = {s.total_cents: s.m_q for s in segs}
     assert m_by_cents[549] == 1 and m_by_cents[501] == 2
+
+
+def test_average_precision_hand_computed(spark):
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import (
+        average_precision,
+    )
+
+    # scores desc: 5:(1 pos), 4:(1 neg), 3:(1 pos, 1 neg), 2:(1 pos)
+    rows = [(5, 1), (4, 0), (3, 1), (3, 0), (2, 1)]
+    df = spark.createDataFrame(rows, "score long, y int")
+    r = average_precision(df, "score", "y").collect()[0]
+    # blocks desc: (pos_at, cum_pos, cum_all) = (1,1,1), (0,1,2), (1,2,4), (1,3,5)
+    terms = [
+        1 * 1 * 10 ** 6 // 1,
+        0,
+        1 * 2 * 10 ** 6 // 4,
+        1 * 3 * 10 ** 6 // 5,
+    ]
+    assert r.total_pos == 3 and r.n_thresholds == 4
+    assert r.ap_ppm == sum(terms) // 3
+    # perfect ranking -> AP = 1
+    perf = spark.createDataFrame(
+        [(3, 1), (2, 1), (1, 0), (0, 0)], "score long, y int"
+    )
+    rp = average_precision(perf, "score", "y").collect()[0]
+    assert rp.ap_ppm == 10 ** 6
+
+
+def test_youden_threshold_hand_computed(spark):
+    from feature_extractor_mbo_lob_spark.functions.evalmetrics import (
+        youden_threshold,
+    )
+
+    # perfect separation at score >= 3: tpr=1, fpr=0 -> J = 1e6 at score 3
+    rows = [(5, 1), (4, 1), (3, 1), (2, 0), (1, 0)]
+    df = spark.createDataFrame(rows, "score long, y int")
+    r = youden_threshold(df, "score", "y").collect()[0]
+    assert (r.best_score, r.tpr_ppm, r.fpr_ppm, r.j_ppm) == (3, 10 ** 6, 0, 10 ** 6)
+    assert r.n_thresholds == 5
+
+    # tie on J -> smallest qualifying score wins (documented rule)
+    rows2 = [(5, 1), (4, 1), (3, 0), (2, 0)]
+    # J at score 5: 500000-0; at 4: 1e6-0 (max); at 3: 1e6-500000; at 2: 0
+    r2 = youden_threshold(
+        spark.createDataFrame(rows2, "score long, y int"), "score", "y"
+    ).collect()[0]
+    assert r2.best_score == 4 and r2.j_ppm == 10 ** 6
