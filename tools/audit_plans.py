@@ -2955,6 +2955,25 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas"),
     ))
 
+    sections.append(summarize(
+        "average precision (PR-AUC)",
+        QUERIES["average_precision"](spark, tiny),
+        "Same collapsed |distinct scores| shape as the ROC table: one "
+        "partial-aggregable groupBy, the ordered pass only over that "
+        "frame, one global floor.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Youden J operating point",
+        QUERIES["youden_j"](spark, tiny),
+        "roc_curve_points frame + one rank window over the bounded "
+        "threshold table; top-1 row out.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
