@@ -2576,3 +2576,56 @@ def hapax_profile(
             F.floor(honore * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
         ).alias("honore_r"),
     )
+
+
+def richness_estimators(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Nonparametric vocabulary-richness floors — Chao1 (1984) and the
+    first-order jackknife (Burnham & Overton 1978) — from the same
+    frequency-of-frequencies frame good_turing uses: given the observed
+    type count D and the singleton/doubleton counts f1/f2, how many
+    types does the corpus PLAUSIBLY contain that sampling missed?
+    heaps_fit extrapolates a power law; these are the abundance-based
+    lower bounds the ecology literature standardizes on, and the
+    deduplication question "how much unseen vocabulary is left" in one
+    row.
+
+      chao1     = D + f1^2 / (2 f2)        (bias-corrected form
+                  D + f1(f1-1)/(2(f2+1)) released alongside — exact
+                  with the +1 guard, defined even at f2 = 0)
+      jackknife = D + f1 * (n-1) / n        (n = token count)
+
+    All inputs are exact integers off two partial-aggregable groupBys;
+    each estimate is one floor division on nonnegative operands,
+    released in micro units.
+
+    Returns one row: (n_tokens, d_types, f1, f2, chao1_micro,
+    chao1_bc_micro, jack1_micro).
+    """
+    wc = word_counts(df, text_col)
+    dec = "decimal(38,0)"
+    agg = wc.agg(
+        F.sum("cnt").cast(dec).alias("n"),
+        F.count(F.lit(1)).cast(dec).alias("d"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast(dec).alias("f1"),
+        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).cast(dec).alias("f2"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("d").cast("long").alias("d_types"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.when(
+            F.col("f2") > 0,
+            F.expr("cast(d * 1000000 + (f1 * f1 * 1000000) div (2 * f2)"
+                   " as bigint)"),
+        ).alias("chao1_micro"),
+        F.expr(
+            "cast(d * 1000000 + (f1 * (f1 - 1) * 1000000) div (2 * (f2 + 1))"
+            " as bigint)"
+        ).alias("chao1_bc_micro"),
+        F.when(
+            F.col("n") > 0,
+            F.expr("cast(d * 1000000 + (f1 * (n - 1) * 1000000) div n"
+                   " as bigint)"),
+        ).alias("jack1_micro"),
+    )

@@ -6321,3 +6321,56 @@ def seasonal_mann_kendall(
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
     return n.crossJoin(s).crossJoin(ties)
+
+
+def lorenz_asymmetry(
+    values: DataFrame,
+    v_col: str = "v",
+) -> DataFrame:
+    """Lorenz asymmetry coefficient S = F(mu) + L(mu) (Damgaard &
+    Weiner, Ecology 2000) over a nonnegative value frame: WHERE on the
+    Lorenz curve the inequality lives — gini/lorenz_revenue say HOW
+    MUCH, this says whether it is driven by many small units (S < 1)
+    or by a few dominant ones (S > 1), which changes the intervention
+    (raise the floor vs cap the top).
+
+    Discrete release rule (documented, engine-exact): with total T and
+    n units, unit i is "below the mean" iff n*v_i < T (an integer
+    predicate — the mean never materializes as a float);
+      F(mu) = m/n,  L(mu) = (sum of below-mean values)/T,
+      s_ppm = (m*1e6) div n + (sum_below*1e6) div T.
+    The classic delta-interpolation term is omitted by contract (it
+    needs the two order statistics straddling the mean; the released
+    integer pair (m, sum_below) lets any consumer add it client-side).
+
+    Scale shape: one 1-row total aggregate broadcast back (allowlisted
+    bounded-BNLJ), one conditional global aggregate. Fully
+    partial-aggregable.
+
+    Returns one row: (n, total, m_below, sum_below, s_ppm).
+    """
+    dec = "decimal(38,0)"
+    base = values.select(F.col(v_col).cast("long").alias("v"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("v").cast(dec).alias("t"),
+    )
+    j = base.crossJoin(F.broadcast(tot))
+    agg = j.groupBy("n", "t").agg(
+        F.sum(
+            F.when(F.col("n") * F.col("v") < F.col("t"), 1).otherwise(0)
+        ).cast(dec).alias("m"),
+        F.sum(
+            F.when(F.col("n") * F.col("v") < F.col("t"), F.col("v")).otherwise(0)
+        ).cast(dec).alias("sb"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("t").cast("long").alias("total"),
+        F.col("m").cast("long").alias("m_below"),
+        F.col("sb").cast("long").alias("sum_below"),
+        F.when(
+            (F.col("n") > 0) & (F.col("t") > 0),
+            F.expr("cast((m * 1000000) div n + (sb * 1000000) div t as bigint)"),
+        ).alias("s_ppm"),
+    )

@@ -24732,6 +24732,92 @@ QUERIES["youden_j"] = q_youden_j
 ORACLES["youden_j"] = O_YOUDEN_J
 
 
+# --- Chao1 / jackknife vocabulary-richness floors -------------------------------
+
+
+def q_richness(spark, sf_dir):
+    """Chao1 and first-order jackknife unseen-vocabulary floors
+    (functions/corpus.richness_estimators) from the good_turing
+    frequency-of-frequencies frame: how many types did sampling miss?
+    The abundance-based lower bounds beside heaps_fit's power-law
+    extrapolation. Exact integers off two partial-aggregable groupBys;
+    one floor division per estimate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.richness_estimators(docs)
+
+
+O_RICHNESS = f"""
+with {_WORDS_CTE},
+ww as (select unnest(words) as word from w),
+wc as (select word, cast(count(*) as bigint) as cnt from ww group by word),
+agg as (
+  select cast(sum(cnt) as hugeint) as n, cast(count(*) as hugeint) as d,
+    cast(sum(case when cnt = 1 then 1 else 0 end) as hugeint) as f1,
+    cast(sum(case when cnt = 2 then 1 else 0 end) as hugeint) as f2
+  from wc
+)
+select cast(n as bigint) as n_tokens, cast(d as bigint) as d_types,
+  cast(f1 as bigint) as f1, cast(f2 as bigint) as f2,
+  case when f2 > 0 then
+    cast(d * 1000000 + (f1 * f1 * 1000000) // (2 * f2) as bigint)
+  end as chao1_micro,
+  cast(d * 1000000 + (f1 * (f1 - 1) * 1000000) // (2 * (f2 + 1)) as bigint)
+    as chao1_bc_micro,
+  case when n > 0 then
+    cast(d * 1000000 + (f1 * (n - 1) * 1000000) // n as bigint)
+  end as jack1_micro
+from agg
+"""
+
+QUERIES["richness"] = q_richness
+ORACLES["richness"] = O_RICHNESS
+
+
+# --- Lorenz asymmetry (which tail owns the inequality) --------------------------
+
+
+def q_lorenz_asymmetry(spark, sf_dir):
+    """Lorenz asymmetry coefficient S = F(mu) + L(mu) over per-user
+    total spend (functions/stats.lorenz_asymmetry): gini/lorenz_revenue
+    say HOW MUCH inequality, this says WHERE it lives — many small
+    users (S < 1) or a few dominant ones (S > 1). Below-mean is the
+    integer predicate n*v < T (the mean never floats); one 1-row total
+    broadcast + one conditional aggregate."""
+    from ..functions.stats import lorenz_asymmetry
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.expr("cast(floor(value * 100.0 + 0.5) as bigint)")).alias("v")
+    )
+    return lorenz_asymmetry(per, v_col="v")
+
+
+O_LORENZ_ASYMMETRY = """
+with per as (
+  select sum(cast(floor(value * 100.0 + 0.5) as bigint)) as v
+  from events group by user_id
+),
+tot as (
+  select cast(count(*) as hugeint) as n, cast(sum(v) as hugeint) as t from per
+),
+agg as (
+  select n, t,
+    cast(sum(case when n * v < t then 1 else 0 end) as hugeint) as m,
+    cast(sum(case when n * v < t then v else 0 end) as hugeint) as sb
+  from per, tot group by n, t
+)
+select cast(n as bigint) as n, cast(t as bigint) as total,
+  cast(m as bigint) as m_below, cast(sb as bigint) as sum_below,
+  case when n > 0 and t > 0 then
+    cast((m * 1000000) // n + (sb * 1000000) // t as bigint)
+  end as s_ppm
+from agg
+"""
+
+QUERIES["lorenz_asymmetry"] = q_lorenz_asymmetry
+ORACLES["lorenz_asymmetry"] = O_LORENZ_ASYMMETRY
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

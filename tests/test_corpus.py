@@ -956,3 +956,28 @@ def test_keyness_g2_hand_case(spark, tmp_path):
     g2 = 2 * (a * (nln(a) + nln(na + nb) - nln(a + b) - nln(na)))
     assert out["market"].g2_nano == g2
     assert out["common"].g2_nano in (0, 1, -1, 2, -2)  # same-rate word ~ 0
+
+
+def test_richness_estimators_hand_computed(spark):
+    from feature_extractor_mbo_lob_spark.functions.corpus import (
+        richness_estimators,
+    )
+
+    # corpus: a a a b b c d e -> D=5, f1=3 (c,d,e), f2=1 (b), n=8
+    docs = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "c d e")], "doc_id long, text string"
+    )
+    r = richness_estimators(docs).collect()[0]
+    assert (r.n_tokens, r.d_types, r.f1, r.f2) == (8, 5, 3, 1)
+    assert r.chao1_micro == 5 * 10 ** 6 + 9 * 10 ** 6 // 2
+    assert r.chao1_bc_micro == 5 * 10 ** 6 + 3 * 2 * 10 ** 6 // 4
+    assert r.jack1_micro == 5 * 10 ** 6 + 3 * 7 * 10 ** 6 // 8
+
+    # no singletons -> every estimator collapses to D
+    docs2 = spark.createDataFrame(
+        [(1, "x x y y"), (2, "z z")], "doc_id long, text string"
+    )
+    r2 = richness_estimators(docs2).collect()[0]
+    assert r2.f1 == 0
+    assert r2.chao1_bc_micro == r2.d_types * 10 ** 6
+    assert r2.jack1_micro == r2.d_types * 10 ** 6

@@ -121,6 +121,7 @@ BNLJ_ALLOWED = {
     "lift_table",  # 1-row (N, P) totals broadcast into the ranked frame
     "breusch_pagan",  # 1-row 5-moment stats broadcast
     "kupiec_pof",  # 1-row threshold broadcast
+    "lorenz_asymmetry",  # 1-row (n, total) broadcast
     "ols_fit_predict",
     "ols_influence",  # 1-row 5-moment stats + 1-row s^2 broadcasts
     "peak_concurrency",

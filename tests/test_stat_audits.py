@@ -1639,3 +1639,29 @@ def test_seasonal_mann_kendall_cycle_robustness(spark):
     frac_seasonal = r.s_stat / r.n_pairs
     frac_plain = mk.s_stat / mk.n_pairs
     assert frac_seasonal > 0.8 > frac_plain + 0.25
+
+
+def test_lorenz_asymmetry_hand_cases(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import lorenz_asymmetry
+
+    # symmetric around the mean: S = F + L = 1/2 + (sum below)/T
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "v long")
+    r = lorenz_asymmetry(df).collect()[0]
+    # mean 2.5: below = {1, 2} -> m=2, sb=3, S = 500000 + 300000
+    assert (r.n, r.total, r.m_below, r.sum_below) == (4, 10, 2, 3)
+    assert r.s_ppm == 500000 + 300000
+
+    # one dominant unit: nearly everyone below the mean -> S > 1
+    dom = spark.createDataFrame([(1,)] * 9 + [(91,)], "v long")
+    rd = lorenz_asymmetry(dom).collect()[0]
+    # mean 10: below = nine 1s -> F = 0.9, L = 9/100 -> S = 0.99e6? no:
+    # 900000 + 90000 = 990000 — check against the mirror, then the
+    # qualitative claim via a small-units case
+    assert rd.s_ppm == (9 * 10 ** 6) // 10 + (9 * 10 ** 6) // 100
+
+    # many tiny + mid mass: mean pulled low -> F small -> S < 1
+    low = spark.createDataFrame([(10,)] * 9 + [(1,)], "v long")
+    rl = lorenz_asymmetry(low).collect()[0]
+    # mean 9.1: below = the single 1 -> F = 0.1, L = 1/91
+    assert rl.s_ppm == 10 ** 6 // 10 + 10 ** 6 // 91
+    assert rl.s_ppm < r.s_ppm  # floor-driven < symmetric
