@@ -2974,6 +2974,24 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "Chao1 / jackknife richness floors",
+        QUERIES["richness"](spark, tiny),
+        "Two partial-aggregable groupBys (words, then one global "
+        "4-sum); no joins at all.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
+    sections.append(summarize(
+        "Lorenz asymmetry coefficient",
+        QUERIES["lorenz_asymmetry"](spark, tiny),
+        "One 1-row (n, total) broadcast + one conditional global "
+        "aggregate; the below-mean predicate is integer n*v < T.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
