@@ -6374,3 +6374,82 @@ def lorenz_asymmetry(
             F.expr("cast((m * 1000000) div n + (sb * 1000000) div t as bigint)"),
         ).alias("s_ppm"),
     )
+
+
+def forecast_error_decomp(
+    series: DataFrame,
+    idx_col: str = "d",
+    y_col: str = "y",
+    lag: int = 7,
+) -> DataFrame:
+    """Theil's inequality decomposition (U_M / U_S / U_C, Theil 1966)
+    of the seasonal-naive forecast f_d = y_{d-lag} against the actual
+    daily series: mase_seasonal says HOW BIG the forecast error is;
+    this says WHY — a level shift (U_M: the mean moved), an amplitude
+    mismatch (U_S: the spread changed), or phase/shape error (U_C:
+    imperfect correlation). The three shares sum to 1 and each points
+    at a different fix (re-baseline vs re-scale vs re-model).
+
+    Release contract: integer moments of d = f - a are exact;
+    mse_micro, mae_micro and the BIAS share u_m_ppm =
+    ((sum d)^2 * 1e6) div (n * sum d^2) are pure integer floors; U_S
+    and U_C need standard deviations (a sqrt), so they are released in
+    the degree_assortativity convention — ONE fixed-operand-order IEEE
+    expression each, boundary-exact-quantized (floor(x*1e6 + 0.5))
+    from the exact decimal moments, identical on both engines.
+
+    Scale shape: corpus collapses in the daily groupBy; one lag window
+    + one 8-moment aggregate over the bounded day frame.
+
+    Returns one row: (n, mse_micro, mae_micro, u_m_ppm, u_s_q, u_c_q).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d")
+    daily = series.select(
+        F.col(idx_col).cast("long").alias("d"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    pairs = daily.select(
+        "d", F.col("y").alias("a"), F.lag("y", lag).over(w).alias("f")
+    ).filter(F.col("f").isNotNull())
+    dec = "decimal(38,0)"
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("a").cast(dec).alias("sa"),
+        F.sum("f").cast(dec).alias("sf"),
+        F.sum(F.col("a").cast(dec) * F.col("a")).cast(dec).alias("saa"),
+        F.sum(F.col("f").cast(dec) * F.col("f")).cast(dec).alias("sff"),
+        F.sum(F.col("f").cast(dec) * F.col("a")).cast(dec).alias("sfa"),
+        F.sum((F.col("f") - F.col("a")).cast(dec) * (F.col("f") - F.col("a")))
+        .cast(dec).alias("sdd"),
+        F.sum(F.abs(F.col("f") - F.col("a"))).cast(dec).alias("sad"),
+    )
+    # exact integer releases
+    mse = F.expr("cast((sdd * 1000000) div n as bigint)")
+    mae = F.expr("cast((sad * 1000000) div n as bigint)")
+    um = F.when(
+        F.col("sdd") > 0,
+        F.expr("cast(((sf - sa) * (sf - sa) * 1000000) div (n * sdd)"
+               " as bigint)"),
+    ).otherwise(F.lit(0))
+    # IEEE releases (fixed operand order, boundary-exact quantization):
+    # s_x = sqrt(n*sxx - sx^2) (n-scaled; the common n^2 cancels in the
+    # shares), denominator n * sdd in the same scaling
+    sfd = F.sqrt((F.col("n") * F.col("sff") - F.col("sf") * F.col("sf")).cast("double"))
+    sad_ = F.sqrt((F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double"))
+    cov = (F.col("n") * F.col("sfa") - F.col("sf") * F.col("sa")).cast("double")
+    nden = (F.col("n") * F.col("sdd")).cast("double")
+    us = (sfd - sad_) * (sfd - sad_) / nden
+    uc = F.lit(2.0) * (sfd * sad_ - cov) / nden
+    q6 = lambda c: F.when(
+        F.col("sdd") > 0, F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ).otherwise(F.lit(0))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        mse.alias("mse_micro"),
+        mae.alias("mae_micro"),
+        um.alias("u_m_ppm"),
+        q6(us).alias("u_s_q"),
+        q6(uc).alias("u_c_q"),
+    )

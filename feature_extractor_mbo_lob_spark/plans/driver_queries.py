@@ -24818,6 +24818,76 @@ QUERIES["lorenz_asymmetry"] = q_lorenz_asymmetry
 ORACLES["lorenz_asymmetry"] = O_LORENZ_ASYMMETRY
 
 
+# --- Theil U decomposition of the seasonal-naive forecast -----------------------
+
+
+def q_forecast_decomp(spark, sf_dir):
+    """Theil's U_M/U_S/U_C decomposition of the 7-day seasonal-naive
+    forecast of daily spend (functions/stats.forecast_error_decomp):
+    mase_seasonal scores HOW BIG the error is, this says WHY — level
+    shift vs amplitude mismatch vs phase error, each pointing at a
+    different fix. MSE/MAE and the bias share are pure integer floors;
+    the two sqrt-bearing shares ride the assortativity-convention
+    fixed-order IEEE release."""
+    from ..functions.stats import forecast_error_decomp
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d")
+    ).agg(
+        F.sum(F.expr("cast(floor(value * 100.0 + 0.5) as bigint)")).alias("y")
+    )
+    return forecast_error_decomp(daily, idx_col="d", y_col="y", lag=7)
+
+
+O_FORECAST_DECOMP = """
+with daily as (
+  select epoch_us(cast(ts as timestamp)) // 86400000000 as d,
+    sum(cast(floor(value * 100.0 + 0.5) as bigint)) as y
+  from events group by 1
+),
+p as (
+  select y as a, lag(y, 7) over (order by d) as f
+  from daily
+),
+fp as (select a, f from p where f is not null),
+agg as (
+  select cast(count(*) as hugeint) as n,
+    cast(sum(a) as hugeint) as sa, cast(sum(f) as hugeint) as sf,
+    cast(sum(cast(a as hugeint) * a) as hugeint) as saa,
+    cast(sum(cast(f as hugeint) * f) as hugeint) as sff,
+    cast(sum(cast(f as hugeint) * a) as hugeint) as sfa,
+    cast(sum(cast(f - a as hugeint) * (f - a)) as hugeint) as sdd,
+    cast(sum(abs(f - a)) as hugeint) as sad
+  from fp
+),
+rel as (
+  select n, sdd,
+    cast((sdd * 1000000) // n as bigint) as mse_micro,
+    cast((sad * 1000000) // n as bigint) as mae_micro,
+    case when sdd > 0 then
+      cast(((sf - sa) * (sf - sa) * 1000000) // (n * sdd) as bigint)
+    else 0 end as u_m_ppm,
+    sqrt(cast(n * sff - sf * sf as double)) as sfd,
+    sqrt(cast(n * saa - sa * sa as double)) as sad_,
+    cast(n * sfa - sf * sa as double) as cov,
+    cast(n * sdd as double) as nden
+  from agg
+)
+select cast(n as bigint) as n, mse_micro, mae_micro, u_m_ppm,
+  case when sdd > 0 then
+    cast(floor((sfd - sad_) * (sfd - sad_) / nden * 1000000.0 + 0.5)
+      as bigint) else 0 end as u_s_q,
+  case when sdd > 0 then
+    cast(floor(2.0 * (sfd * sad_ - cov) / nden * 1000000.0 + 0.5)
+      as bigint) else 0 end as u_c_q
+from rel
+"""
+
+QUERIES["forecast_decomp"] = q_forecast_decomp
+ORACLES["forecast_decomp"] = O_FORECAST_DECOMP
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

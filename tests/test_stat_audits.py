@@ -1665,3 +1665,45 @@ def test_lorenz_asymmetry_hand_cases(spark):
     # mean 9.1: below = the single 1 -> F = 0.1, L = 1/91
     assert rl.s_ppm == 10 ** 6 // 10 + 10 ** 6 // 91
     assert rl.s_ppm < r.s_ppm  # floor-driven < symmetric
+
+
+def test_forecast_error_decomp_hand_cases(spark):
+    import math
+
+    from feature_extractor_mbo_lob_spark.functions.stats import (
+        forecast_error_decomp,
+    )
+
+    # pure level shift: second week = first week + 10 -> all error is
+    # bias (U_M = 1, U_S = U_C = 0)
+    ys = [20, 30, 25, 35, 40, 22, 28] + [30, 40, 35, 45, 50, 32, 38]
+    df = spark.createDataFrame(list(enumerate(ys)), "d long, y long")
+    r = forecast_error_decomp(df, lag=7).collect()[0]
+    assert r.n == 7
+    assert r.mse_micro == 100 * 10 ** 6 and r.mae_micro == 10 * 10 ** 6
+    assert r.u_m_ppm == 10 ** 6
+    assert r.u_s_q == 0 and r.u_c_q == 0
+
+    # pure amplitude change: second week = 2x first (mean-zero base
+    # would make it all U_S; with nonzero mean it splits — mirror it)
+    base = [10, -10, 20, -20, 5, -5, 0]
+    ys2 = [100 + b for b in base] + [100 + 2 * b for b in base]
+    df2 = spark.createDataFrame(list(enumerate(ys2)), "d long, y long")
+    r2 = forecast_error_decomp(df2, lag=7).collect()[0]
+    fs = [100 + b for b in base]
+    as_ = [100 + 2 * b for b in base]
+    n = 7
+    ds = [f - a for f, a in zip(fs, as_)]
+    sdd = sum(d * d for d in ds)
+    assert r2.mse_micro == sdd * 10 ** 6 // n
+    assert r2.u_m_ppm == (sum(ds)) ** 2 * 10 ** 6 // (n * sdd)
+    sfd = math.sqrt(n * sum(f * f for f in fs) - sum(fs) ** 2)
+    sad = math.sqrt(n * sum(a * a for a in as_) - sum(as_) ** 2)
+    cov = n * sum(f * a for f, a in zip(fs, as_)) - sum(fs) * sum(as_)
+    nden = float(n * sdd)
+    assert r2.u_s_q == math.floor((sfd - sad) ** 2 / nden * 1e6 + 0.5)
+    assert r2.u_c_q == math.floor(2.0 * (sfd * sad - cov) / nden * 1e6 + 0.5)
+    # amplitude doubling with zero-mean deviations: U_S dominates
+    assert r2.u_s_q > 900000 and r2.u_m_ppm == 0
+    # shares sum to ~1 (quantization residue only)
+    assert abs(r2.u_m_ppm + r2.u_s_q + r2.u_c_q - 10 ** 6) <= 2
