@@ -2992,6 +2992,15 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "Theil U forecast decomposition",
+        QUERIES["forecast_decomp"](spark, tiny),
+        "Daily groupBy collapses the corpus; one lag window + one "
+        "8-moment aggregate over the bounded day frame.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
