@@ -6453,3 +6453,79 @@ def forecast_error_decomp(
         q6(us).alias("u_s_q"),
         q6(uc).alias("u_c_q"),
     )
+
+
+def rosner_esd(
+    xy: DataFrame,
+    id_col: str = "id",
+    v_col: str = "v",
+    k: int = 3,
+) -> DataFrame:
+    """Generalized extreme studentized deviate (Rosner 1983) — the
+    MULTIPLE-outlier test grubbs cannot be iterated into by hand
+    (re-running Grubbs after a removal invalidates its critical value;
+    ESD computes the full removal trajectory so the caller tests each
+    R_i against the proper lambda_i): k rounds, each removing the
+    remaining point with the largest squared deviation from the
+    remaining mean.
+
+    Fully exact-integer: with round statistics (n, S, Q) the squared
+    studentized deviate for point v is
+      R^2 = (n-1)*(n*v - S)^2 / (n * (n*Q - S^2))
+    so each round releases r2_ppm as ONE floor division on nonnegative
+    operands — no sqrt, no IEEE, bit-identical on both engines. The
+    removal choice is the argmax of the exact integer (n*v - S)^2 with
+    ties broken by smallest id (documented rule).
+
+    Scale shape: the input is a bounded per-entity aggregate frame; k
+    is a small constant, so the k unrolled rounds are k 1-row-broadcast
+    aggregates + k top-1 TakeOrdereds — never quadratic, never
+    corpus-sized.
+
+    Returns k rows: (round, outlier_id, v, n_remaining, r2_ppm),
+    round ascending (1-based).
+    """
+    dec = "decimal(38,0)"
+    remaining = xy.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(v_col).cast("long").alias("v"),
+    )
+    out_rows = []
+    for rnd in range(1, k + 1):
+        stats = remaining.agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum("v").cast(dec).alias("s"),
+            F.sum(F.col("v").cast(dec) * F.col("v")).cast(dec).alias("q"),
+        )
+        scored = remaining.crossJoin(F.broadcast(stats)).filter(
+            (F.col("n") >= 3)
+            & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)
+        ).select(
+            "id", "v", "n",
+            F.expr(
+                "(cast(n as decimal(38,0)) * v - s)"
+                " * (cast(n as decimal(38,0)) * v - s)"
+            ).alias("dev2"),
+            F.expr(
+                "cast(((n - 1) * (cast(n as decimal(38,0)) * v - s)"
+                " * (cast(n as decimal(38,0)) * v - s) * 1000000)"
+                " div (n * (n * q - s * s)) as bigint)"
+            ).alias("r2_ppm"),
+        )
+        top = scored.orderBy(
+            F.col("dev2").desc(), F.col("id").asc()
+        ).limit(1).select(
+            F.lit(rnd).cast("long").alias("round"),
+            F.col("id").alias("outlier_id"),
+            "v",
+            F.col("n").cast("long").alias("n_remaining"),
+            "r2_ppm",
+        ).localCheckpoint(eager=True)
+        out_rows.append(top)
+        remaining = remaining.join(
+            top.select(F.col("outlier_id").alias("id")), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+    res = out_rows[0]
+    for t in out_rows[1:]:
+        res = res.unionByName(t)
+    return res

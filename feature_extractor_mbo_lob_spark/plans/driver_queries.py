@@ -24888,6 +24888,68 @@ QUERIES["forecast_decomp"] = q_forecast_decomp
 ORACLES["forecast_decomp"] = O_FORECAST_DECOMP
 
 
+# --- generalized ESD (Rosner) multiple-outlier trajectory -----------------------
+
+
+def q_rosner_esd(spark, sf_dir):
+    """Rosner's generalized ESD over per-user spend (functions/stats.
+    rosner_esd): the 3-round removal trajectory with the exact squared
+    studentized deviate per round — the multiple-outlier test grubbs
+    cannot be iterated into by hand (each removal changes the proper
+    critical value; ESD publishes the whole trajectory). R^2 is one
+    floor division on nonneg operands per round — no sqrt, no IEEE;
+    argmax ties break on smallest id."""
+    from ..functions.stats import rosner_esd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.expr("cast(floor(value * 100.0 + 0.5) as bigint)")).alias("v")
+    )
+    return rosner_esd(per, id_col="user_id", v_col="v", k=3)
+
+
+def _rosner_oracle(k: int = 3) -> str:
+    parts = ["""
+with per0 as (
+  select user_id as id, sum(cast(floor(value * 100.0 + 0.5) as bigint)) as v
+  from events group by 1
+)"""]
+    for r in range(1, k + 1):
+        prev = f"per{r - 1}"
+        parts.append(f""",
+s{r} as (
+  select cast(count(*) as hugeint) as n, cast(sum(v) as hugeint) as s,
+    cast(sum(cast(v as hugeint) * v) as hugeint) as q
+  from {prev}
+),
+c{r} as (
+  select id, v, n, (n * v - s) * (n * v - s) as dev2,
+    cast(((n - 1) * (n * v - s) * (n * v - s) * 1000000)
+         // (n * (n * q - s * s)) as bigint) as r2
+  from {prev}, s{r} where n >= 3 and n * q - s * s > 0
+),
+t{r} as (
+  select cast({r} as bigint) as round, id as outlier_id, v,
+    cast(n as bigint) as n_remaining, r2 as r2_ppm,
+    row_number() over (order by dev2 desc, id asc) as rk
+  from c{r}
+),
+per{r} as (
+  select id, v from {prev}
+  where id != (select outlier_id from t{r} where rk = 1)
+)""")
+    sel = "\nunion all\n".join(
+        f"select round, outlier_id, cast(v as bigint) as v, n_remaining, r2_ppm from t{r} where rk = 1"
+        for r in range(1, k + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+QUERIES["rosner_esd"] = q_rosner_esd
+ORACLES["rosner_esd"] = _rosner_oracle()
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     missing = [n for n in _CERTIFIED_FIRST if n not in QUERIES]

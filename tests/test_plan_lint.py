@@ -122,6 +122,7 @@ BNLJ_ALLOWED = {
     "breusch_pagan",  # 1-row 5-moment stats broadcast
     "kupiec_pof",  # 1-row threshold broadcast
     "lorenz_asymmetry",  # 1-row (n, total) broadcast
+    "rosner_esd",  # k 1-row round-stat broadcasts (k=3 unrolled)
     "ols_fit_predict",
     "ols_influence",  # 1-row 5-moment stats + 1-row s^2 broadcasts
     "peak_concurrency",

@@ -1707,3 +1707,28 @@ def test_forecast_error_decomp_hand_cases(spark):
     assert r2.u_s_q > 900000 and r2.u_m_ppm == 0
     # shares sum to ~1 (quantization residue only)
     assert abs(r2.u_m_ppm + r2.u_s_q + r2.u_c_q - 10 ** 6) <= 2
+
+
+def test_rosner_esd_removal_trajectory(spark):
+    from feature_extractor_mbo_lob_spark.functions.stats import rosner_esd
+
+    # tight cluster + three separated outliers at 100, 60, 40
+    vals = {1: 10, 2: 11, 3: 9, 4: 10, 5: 12, 6: 100, 7: 60, 8: 40}
+    df = spark.createDataFrame(list(vals.items()), "id long, v long")
+    rows = {r.round: r for r in rosner_esd(df, k=3).collect()}
+    assert [rows[r].outlier_id for r in (1, 2, 3)] == [6, 7, 8]
+    assert [rows[r].n_remaining for r in (1, 2, 3)] == [8, 7, 6]
+
+    # mirror round 1 exactly
+    n = len(vals); s = sum(vals.values()); q = sum(v * v for v in vals.values())
+    dev2 = {i: (n * v - s) ** 2 for i, v in vals.items()}
+    top = max(dev2, key=lambda i: (dev2[i], -i))
+    r2 = (n - 1) * dev2[top] * 10 ** 6 // (n * (n * q - s * s))
+    assert rows[1].outlier_id == top and rows[1].r2_ppm == r2
+
+    # argmax tie -> smallest id (two symmetric extremes around the mean)
+    sym = [(1, 0), (2, 20), (3, 10), (4, 10), (5, 10)]
+    rt = {r.round: r for r in rosner_esd(
+        spark.createDataFrame(sym, "id long, v long"), k=2).collect()}
+    assert rt[1].outlier_id == 1  # dev2 equal for ids 1 and 2 -> id 1
+    assert rt[2].outlier_id == 2
