@@ -3001,6 +3001,16 @@ def main() -> None:
                 "FlatMapGroupsInPandas", "MapInPandas", "SortMergeJoin"),
     ))
 
+    sections.append(summarize(
+        "generalized ESD removal trajectory",
+        QUERIES["rosner_esd"](spark, tiny),
+        "k=3 unrolled rounds: three 1-row-broadcast aggregates + three "
+        "top-1 TakeOrdereds over the bounded per-entity frame; each "
+        "round checkpointed so the trajectory is materialized once.",
+        forbid=("CartesianProduct", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"),
+    ))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     out.write_text("\n".join(sections))
     print(f"wrote {out}")
