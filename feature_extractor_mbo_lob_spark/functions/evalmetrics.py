@@ -572,53 +572,52 @@ def v_measure(
 
     Returns one row: (n, hl_nanos, hc_nanos, hlk_nanos, hkl_nanos,
     homogeneity, completeness, v_measure).
+
+    Optimization shape (r6): ONE Spark job reduces the corpus to the
+    contingency cells (partial-aggregated groupBy); the cells frame is
+    |clusters|·|labels| rows — bounded by construction — so it is
+    collected and the margins/entropies finish on the driver with the
+    IDENTICAL IEEE operation order (same divisions, same ln, same
+    floor(x·1e9 + 0.5) quantization), replacing four broadcast-exchange
+    stages with integer arithmetic on a dozen rows.
     """
-    cells = df.groupBy(
-        F.col(cluster_col).alias("k"), F.col(label_col).alias("c")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    km = cells.groupBy("k").agg(F.sum("n").alias("n_k"))
-    cm = cells.groupBy("c").agg(F.sum("n").alias("n_c"))
-    tot = cells.agg(F.sum("n").alias("nn"))
-    full = (
-        cells.join(km, "k").join(cm, "c").crossJoin(F.broadcast(tot))
+    import math
+
+    spark = df.sparkSession
+    cells = [
+        (r["k"], r["c"], int(r["n"]))
+        for r in df.groupBy(
+            F.col(cluster_col).alias("k"), F.col(label_col).alias("c")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n")).collect()
+    ]
+    schema = (
+        "n long, hl_nanos long, hc_nanos long, hlk_nanos long, hkl_nanos long, "
+        "homogeneity_raw double, completeness_raw double, v_measure_raw double"
     )
-    d = lambda c_: F.col(c_).cast("double")
-    q = lambda expr: F.floor(expr * F.lit(1e9) + F.lit(0.5)).cast("long")
-    # per-cell conditional-entropy contributions (negated at release)
-    t_lk = q((d("n") / d("nn")) * F.log(d("n") / d("n_k")))
-    t_kl = q((d("n") / d("nn")) * F.log(d("n") / d("n_c")))
-    sums = full.agg(
-        F.max("nn").cast("long").alias("n"),
-        (-F.sum(t_lk)).cast("long").alias("hlk_nanos"),
-        (-F.sum(t_kl)).cast("long").alias("hkl_nanos"),
-    )
-    hl = cm.crossJoin(F.broadcast(tot)).agg(
-        (-F.sum(q((d("n_c") / d("nn")) * F.log(d("n_c") / d("nn")))))
-        .cast("long").alias("hl_nanos")
-    )
-    hc = km.crossJoin(F.broadcast(tot)).agg(
-        (-F.sum(q((d("n_k") / d("nn")) * F.log(d("n_k") / d("nn")))))
-        .cast("long").alias("hc_nanos")
-    )
-    j = sums.crossJoin(F.broadcast(hl)).crossJoin(F.broadcast(hc))
-    h = F.when(
-        F.col("hl_nanos") > 0,
-        F.lit(1.0) - d("hlk_nanos") / d("hl_nanos"),
-    ).otherwise(F.lit(1.0))
-    c = F.when(
-        F.col("hc_nanos") > 0,
-        F.lit(1.0) - d("hkl_nanos") / d("hc_nanos"),
-    ).otherwise(F.lit(1.0))
-    withhc = j.withColumn("_h", h).withColumn("_c", c)
-    v = F.when(
-        (F.col("_h") + F.col("_c")) > 0,
-        F.lit(2.0) * F.col("_h") * F.col("_c") / (F.col("_h") + F.col("_c")),
-    ).otherwise(F.lit(0.0))
-    return withhc.select(
-        "n", "hl_nanos", "hc_nanos", "hlk_nanos", "hkl_nanos",
-        F.col("_h").alias("homogeneity_raw"),
-        F.col("_c").alias("completeness_raw"),
-        v.alias("v_measure_raw"),
+    if not cells:
+        # mirror the empty-input frame: null aggregates, degenerate h=c=1
+        return spark.createDataFrame(
+            [(None, None, None, None, None, 1.0, 1.0, 1.0)], schema=schema
+        )
+    n_k: dict = {}
+    n_c: dict = {}
+    for k, c, n in cells:
+        n_k[k] = n_k.get(k, 0) + n
+        n_c[c] = n_c.get(c, 0) + n
+    nn = sum(n for _, _, n in cells)
+
+    def q(x: float) -> int:
+        return math.floor(x * 1e9 + 0.5)
+
+    hlk = -sum(q((n / nn) * math.log(n / n_k[k])) for k, c, n in cells)
+    hkl = -sum(q((n / nn) * math.log(n / n_c[c])) for k, c, n in cells)
+    hl = -sum(q((v / nn) * math.log(v / nn)) for v in n_c.values())
+    hc = -sum(q((v / nn) * math.log(v / nn)) for v in n_k.values())
+    h = 1.0 - hlk / hl if hl > 0 else 1.0
+    c_ = 1.0 - hkl / hc if hc > 0 else 1.0
+    v = 2.0 * h * c_ / (h + c_) if (h + c_) > 0 else 0.0
+    return spark.createDataFrame(
+        [(nn, hl, hc, hlk, hkl, h, c_, v)], schema=schema
     )
 
 
@@ -647,37 +646,43 @@ def adjusted_rand_index(
     hash-sampled contingency (the pair counts concentrate fast).
 
     Returns one row: (n, sij, sa, sb, ari_raw).
+
+    Optimization shape (r6): ONE Spark job reduces the corpus to the
+    contingency cells; the bounded cells frame is collected and the pair
+    counts finish on the driver as exact Python integers (arbitrary
+    precision — a strict superset of decimal(38,0)) with the identical
+    single IEEE division at release, replacing three broadcast-exchange
+    stages.
     """
-    cells = df.groupBy(
-        F.col(cluster_col).alias("k"), F.col(label_col).alias("c")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    dec = lambda c_: F.col(c_).cast("decimal(38,0)")
-    km = cells.groupBy("k").agg(F.sum("n").alias("a"))
-    cm = cells.groupBy("c").agg(F.sum("n").alias("b"))
-    sij = cells.agg(
-        F.sum(dec("n") * (dec("n") - 1)).alias("sij"),
-        F.sum("n").cast("decimal(38,0)").alias("nn"),
-    )
-    sa = km.agg(F.sum(dec("a") * (dec("a") - 1)).alias("sa"))
-    sb = cm.agg(F.sum(dec("b") * (dec("b") - 1)).alias("sb"))
-    j = sij.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
-    j = j.withColumn("cc", F.expr("nn * (nn - 1)"))
-    num = F.expr("cc * sij - sa * sb")
-    den = F.expr("(cc * (sa + sb)) div 2 - sa * sb")
-    withnd = j.withColumn("_num", num).withColumn("_den", den)
-    ari = F.when(
-        F.col("_den") != 0,
-        F.col("_num").cast("double") / F.col("_den").cast("double"),
-    ).otherwise(
-        F.when(F.col("_num") == 0, F.lit(1.0)).otherwise(F.lit(0.0))
-    )
-    return withnd.select(
-        F.col("nn").cast("long").alias("n"),
-        F.col("sij").cast("long").alias("sij"),
-        F.col("sa").cast("long").alias("sa"),
-        F.col("sb").cast("long").alias("sb"),
-        ari.alias("ari_raw"),
-    )
+    spark = df.sparkSession
+    cells = [
+        (r["k"], r["c"], int(r["n"]))
+        for r in df.groupBy(
+            F.col(cluster_col).alias("k"), F.col(label_col).alias("c")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n")).collect()
+    ]
+    schema = "n long, sij long, sa long, sb long, ari_raw double"
+    if not cells:
+        # mirror the empty-input frame: null aggregates, when() falls
+        # through both branches to the 0.0 release
+        return spark.createDataFrame([(None, None, None, None, 0.0)], schema=schema)
+    a: dict = {}
+    b: dict = {}
+    for k, c, n in cells:
+        a[k] = a.get(k, 0) + n
+        b[c] = b.get(c, 0) + n
+    nn = sum(n for _, _, n in cells)
+    sij = sum(n * (n - 1) for _, _, n in cells)
+    sa = sum(v * (v - 1) for v in a.values())
+    sb = sum(v * (v - 1) for v in b.values())
+    cc = nn * (nn - 1)
+    num = cc * sij - sa * sb
+    den = (cc * (sa + sb)) // 2 - sa * sb
+    if den != 0:
+        ari = float(num) / float(den)
+    else:
+        ari = 1.0 if num == 0 else 0.0
+    return spark.createDataFrame([(nn, sij, sa, sb, ari)], schema=schema)
 
 
 def gains_table(

@@ -287,23 +287,54 @@ def deterministic_centroids(df: DataFrame, id_col: str, vec_col: str, n: int) ->
     )
 
 
+def _cents_as_array(centroids: DataFrame) -> DataFrame:
+    """Collapse a parameter-bounded centroid table (centroid_id, _cv) to a
+    ONE-ROW frame holding the whole table as a sorted array of structs —
+    the broadcastable form that turns nearest-centroid assignment into a
+    pure projection (no per-vector exchange, no window sort)."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "_cv"))
+        ).alias("_cents")
+    )
+
+
+def _nearest_centroid(vec_col: str) -> Column:
+    """argmin over struct(-cos, centroid_id) == the engine's canonical
+    (cos DESC, centroid_id ASC) nearest-centroid choice, evaluated inline
+    over the broadcast ``_cents`` array — bit-identical tie-breaking to
+    the historical window-rank form (double negation is IEEE-exact)."""
+    return F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (-cosine(F.col(vec_col), c["_cv"])).alias("_negc"),
+                c["centroid_id"].alias("centroid_id"),
+            ),
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid by cosine (broadcast the
-    tiny centroid table; rank over K candidates)."""
-    joined = df.crossJoin(F.broadcast(centroids))
-    scored = joined.select(
-        id_col, vec_col, "centroid_id", cosine(F.col(vec_col), F.col("_cv")).alias("_c")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_c").desc(), F.col("centroid_id"))
+    """Assign each vector to its nearest centroid by cosine.
+
+    The centroid table is parameter-bounded (k rows — broadcast-budget
+    contract), so it is collapsed to a 1-row array-of-structs broadcast
+    and the (cos DESC, centroid_id ASC) argmax is evaluated as a PURE
+    PROJECTION per vector: zero per-vector exchanges, zero window sorts,
+    and the whole assignment stays lazy (no driver action). Results are
+    bit-identical to the historical broadcast-join + rank form."""
     return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(id_col, vec_col, "centroid_id")
+        df.crossJoin(F.broadcast(_cents_as_array(centroids)))
+        .select(
+            id_col, vec_col,
+            _nearest_centroid(vec_col)["centroid_id"].alias("centroid_id"),
+        )
     )
 
 
@@ -507,6 +538,7 @@ def kmeans_lloyd(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ):
     """Distributed Lloyd k-means over an embedding column.
 
@@ -518,22 +550,40 @@ def kmeans_lloyd(
     the K-row centroid table (ivf_assign). localCheckpoint per round keeps
     the plan bounded, exactly like connected_components.
 
-    Returns (assignments DataFrame (id, centroid_id), centroids DataFrame
-    (centroid_id, _cv)). The fixed deterministic iteration count makes the
-    whole computation expressible in SQL for the oracle gate.
+    Returns (assignments DataFrame (id [, keep_cols], centroid_id),
+    centroids DataFrame (centroid_id, _cv)). The fixed deterministic
+    iteration count makes the whole computation expressible in SQL for
+    the oracle gate.
+
+    Optimization shape (r6): the whole fit is ONE LAZY PLAN — no
+    localCheckpoint actions, no driver collects. Each round's assignment
+    is a pure projection against the 1-row broadcast centroid array
+    (_cents_as_array / _nearest_centroid: no per-vector exchange, no
+    window sort); each round's update is the same posexplode →
+    partial-aggregated (centroid, dim) avg as before, so every float
+    lands from the identical expression and results are bit-identical to
+    the checkpointed join+window form — pinned by
+    test_kmeans_lloyd_partition_invariant / _matches_naive_reference.
+    With 2 rounds the unrolled lineage is shallow; consumers pay a
+    single action for fit + downstream instead of 3+.
     """
     cents = deterministic_centroids(df, id_col, vec_col, k)
     for _ in range(iters):
-        asg = ivf_assign(df, cents, id_col, vec_col)
+        asg = df.crossJoin(F.broadcast(_cents_as_array(cents))).select(
+            id_col, vec_col,
+            _nearest_centroid(vec_col)["centroid_id"].alias("centroid_id"),
+        )
         dims = asg.select("centroid_id", F.posexplode(vec_col).alias("i", "v"))
         means = dims.groupBy("centroid_id", "i").agg(F.avg("v").alias("m"))
         cents = (
             means.groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_s"))
             .select("centroid_id", F.transform("_s", lambda s: s["m"]).alias("_cv"))
-            .localCheckpoint(eager=True)
         )
-    out = ivf_assign(df, cents, id_col, vec_col).select(id_col, "centroid_id")
+    out = df.crossJoin(F.broadcast(_cents_as_array(cents))).select(
+        id_col, *keep_cols,
+        _nearest_centroid(vec_col)["centroid_id"].alias("centroid_id"),
+    )
     return out, cents
 
 

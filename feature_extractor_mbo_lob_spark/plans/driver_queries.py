@@ -15894,7 +15894,10 @@ def q_v_measure(spark, sf_dir):
     known labels: homogeneity / completeness / V from nano-quantized
     contingency entropies — the external clustering validation that
     needs no cluster-label matching. Contingency is one groupBy of the
-    assignment frame; everything downstream is cells-bounded."""
+    assignment frame; everything downstream is cells-bounded. r6: the
+    label rides through the literal-centroid assignment projection
+    (keep_cols) instead of a vec_id equi-join — one exchange fewer,
+    identical (cluster, label) rows."""
     from ..functions.evalmetrics import v_measure
     from ..operators import similarity
 
@@ -15903,10 +15906,11 @@ def q_v_measure(spark, sf_dir):
         "label",
     )
     out, _cents = similarity.kmeans_lloyd(
-        emb.select("vec_id", "embedding"), k=4, iters=2
+        emb, k=4, iters=2, keep_cols=("label",)
     )
-    joined = out.select("vec_id", F.col("centroid_id").cast("int").alias("cluster")
-                        ).join(emb.select("vec_id", "label"), "vec_id")
+    joined = out.select(
+        "vec_id", F.col("centroid_id").cast("int").alias("cluster"), "label"
+    )
     r = v_measure(joined, "cluster", "label")
     return r.select(
         "n", "hl_nanos", "hc_nanos", "hlk_nanos", "hkl_nanos",
@@ -15989,11 +15993,11 @@ def q_ari(spark, sf_dir):
         "label",
     )
     out, _cents = similarity.kmeans_lloyd(
-        emb.select("vec_id", "embedding"), k=4, iters=2
+        emb, k=4, iters=2, keep_cols=("label",)
     )
     joined = out.select(
-        "vec_id", F.col("centroid_id").cast("int").alias("cluster")
-    ).join(emb.select("vec_id", "label"), "vec_id")
+        "vec_id", F.col("centroid_id").cast("int").alias("cluster"), "label"
+    )
     r = adjusted_rand_index(joined, "cluster", "label")
     return r.select("n", "sij", "sa", "sb", _r6x(F.col("ari_raw"), "ari"))
 
@@ -22421,25 +22425,30 @@ def q_silhouette(spark, sf_dir):
     max(1−cc₁, 1−cc₂) per point. Each point's s quantizes to micro
     BEFORE the per-cluster mean (order-free integer sum, trunc-division
     mean); s = 0 when both dissimilarities vanish. The oracle composes
-    the unrolled k-means SQL and reuses its final scoring frame."""
-    from pyspark.sql import Window
-
+    the unrolled k-means SQL and reuses its final scoring frame. r6: the
+    (own, runner-up) centroid pair comes from elements 1 and 2 of the
+    per-row sorted score array over the 1-row broadcast centroid table —
+    a pure projection with bit-identical cc values (double negation
+    round-trip) and the same (cos DESC, centroid_id ASC) order,
+    replacing the k-row crossJoin + per-vec window rank + self-join;
+    the whole query is one lazy plan."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     _asg, cents = similarity.kmeans_lloyd(emb, k=4, iters=2)
-    sc = emb.crossJoin(F.broadcast(cents)).select(
+    scored = F.array_sort(F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (-similarity.cosine(F.col("embedding"), c["_cv"])).alias("_negc"),
+            c["centroid_id"].alias("centroid_id"),
+        ),
+    ))
+    pt = emb.crossJoin(F.broadcast(similarity._cents_as_array(cents))).select(
         "vec_id",
-        "centroid_id",
-        similarity.cosine(F.col("embedding"), F.col("_cv")).alias("cc"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cc").desc(), "centroid_id")
-    rk = sc.withColumn("r", F.row_number().over(w))
-    a = rk.filter(F.col("r") == 1).select(
-        "vec_id", F.col("centroid_id").alias("cluster"), F.col("cc").alias("cc1")
-    )
-    b = rk.filter(F.col("r") == 2).select("vec_id", F.col("cc").alias("cc2"))
-    pt = a.join(b, "vec_id")
+        F.element_at(scored, 1)["centroid_id"].alias("cluster"),
+        (-F.element_at(scored, 1)["_negc"]).alias("cc1"),
+        (-F.element_at(scored, 2)["_negc"]).alias("cc2"),
+    ).where(F.col("cc2").isNotNull())
     denom = F.greatest(F.lit(1.0) - F.col("cc1"), F.lit(1.0) - F.col("cc2"))
     s_micro = F.when(
         denom > 0,

@@ -50,6 +50,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE: coalescePartitions.parallelismFirst stays at its default
+        # (true): byte-based coalescing (parallelismFirst=false +
+        # advisoryPartitionSizeInBytes) measured 4.5x WORSE on the
+        # flagship — the post-exchange Arrow compute stage collapsed to
+        # 1-2 partitions and lost the cores (r6 measurement); compute-
+        # bound stages need parallelism even when shuffle bytes are small
+        # unified sort-based shuffle everywhere: the bypass-merge path
+        # writes R files per map task (R = shuffle partitions), which is
+        # file-creation-bound for small stages and the non-scalable shuffle
+        # form; the sort path writes one data file + index per map task at
+        # any R (guide §2.2 "fewer, larger blocks")
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         # answer bare min/max/count aggregates from parquet footer stats —
         # makes the flagship's skew probe (max(turn_idx)) metadata-only
         .config("spark.sql.parquet.aggregatePushdown", "true")
