@@ -1982,14 +1982,18 @@ def kneser_ney_bigrams(
             "c_vw",
         )
     )
-    ctx = bi.groupBy("v").agg(
-        F.sum("c_vw").cast("long").alias("c_v"),
-        F.count(F.lit(1)).cast("long").alias("n1p_v"),
-    )
-    cont = bi.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n1p_w"))
+    # margins as whole-partition windows over the bigram-type frame
+    # (r6): each margin costs ONE exchange of the frame by its key
+    # instead of a groupBy aggregate plus an equi-join back — identical
+    # integer sums/counts, two fewer exchanges of the largest frame
+    wv = Window.partitionBy("v")
+    ww = Window.partitionBy("w")
     tot = bi.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
     joined = (
-        bi.join(ctx, "v").join(cont, "w").crossJoin(F.broadcast(tot))
+        bi.withColumn("c_v", F.sum("c_vw").over(wv).cast("long"))
+        .withColumn("n1p_v", F.count(F.lit(1)).over(wv).cast("long"))
+        .withColumn("n1p_w", F.count(F.lit(1)).over(ww).cast("long"))
+        .crossJoin(F.broadcast(tot))
     )
     term1 = F.expr(
         "((4 * cast(c_vw as decimal(38,0)) - 3) * 1000000)"

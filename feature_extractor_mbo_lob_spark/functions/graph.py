@@ -680,7 +680,7 @@ def kcore_peel(
         d = inc.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
         if nodes is None:
             return d
-        return nodes.join(d, "node", "left").select(
+        return nodes.join(F.broadcast(d), "node", "left").select(
             "node", F.coalesce("deg", F.lit(0)).cast("long").alias("deg")
         )
 
@@ -695,14 +695,17 @@ def kcore_peel(
             )
         )
         keep = surv.filter(F.col("deg") >= k).select("node")
+        # node frames are vocab-bounded — broadcast them into the edge
+        # list so each round's semi joins stay map-side (r6: removes two
+        # edge-list exchanges per round)
         cur_e = cur_e.join(
-            keep.withColumnRenamed("node", "a"), "a", "leftsemi"
-        ).join(keep.withColumnRenamed("node", "b"), "b", "leftsemi")
+            F.broadcast(keep.withColumnRenamed("node", "a")), "a", "leftsemi"
+        ).join(F.broadcast(keep.withColumnRenamed("node", "b")), "b", "leftsemi")
         surv = degrees(cur_e, keep)
     peeled = reduce(DataFrame.union, peeled_frames)
     return (
         deg0.select("node", F.col("deg").alias("deg0"))
-        .join(peeled, "node", "left")
+        .join(F.broadcast(peeled), "node", "left")
         .select(
             "node",
             "deg0",
@@ -738,11 +741,13 @@ def label_propagation(
 
     Scale shape: the directed edge view localCheckpoints ONCE (the
     graph-iteration lineage rule, see MEMORY); each round is one
-    hash join on the destination node + one partial-aggregable
-    (node, label) weight sum + one per-node top-1 window — all keyed on
-    the node column, no cross join, no Python. Frame sizes are bounded
-    by |edges| and |nodes| (vocab-pair bounded upstream), never corpus
-    rows.
+    broadcast join of the node-bounded label table into the edge list
+    (|nodes| = pruned vocabulary — the same broadcast-budget class as
+    the word-df frame) + one partial-aggregable (node, label) weight
+    sum + one partial-aggregable min-struct argmax (r6: replaces the
+    per-round top-1 window sort). No cross join, no Python. Frame sizes
+    are bounded by |edges| and |nodes| (vocab-pair bounded upstream),
+    never corpus rows.
 
     Returns ``DataFrame[node: string, community: string]``.
     """
@@ -759,16 +764,19 @@ def label_propagation(
     )
     for _ in range(int(rounds)):
         scored = (
-            e.join(labels, e["dst"] == labels["node"])
+            e.join(F.broadcast(labels), e["dst"] == labels["node"])
             .select(F.col("src"), F.col("community").alias("lab"), F.col("w"))
             .groupBy("src", "lab")
             .agg(F.sum("w").alias("s"))
         )
-        win = Window.partitionBy("src").orderBy(F.col("s").desc(), F.col("lab").asc())
+        # (s DESC, lab ASC) argmax as a partial-aggregable min over
+        # struct(-s, lab) — bit-identical tie-breaking to the former
+        # row_number window, without the per-round sort (r6)
         labels = (
-            scored.withColumn("_rn", F.row_number().over(win))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("src").alias("node"), F.col("lab").alias("community"))
+            scored.groupBy(F.col("src").alias("node"))
+            .agg(F.min(F.struct((-F.col("s")).alias("_negs"),
+                                F.col("lab").alias("lab"))).alias("_b"))
+            .select("node", F.col("_b.lab").alias("community"))
         )
     return labels
 
@@ -817,8 +825,10 @@ def modularity(
         F.col(node_col).alias("_n"), F.col(community_col).alias("_c")
     )
     dec = (
-        e.join(lab.select(F.col("_n").alias("src"), F.col("_c").alias("c_src")), "src")
-        .join(lab.select(F.col("_n").alias("dst"), F.col("_c").alias("c_dst")), "dst")
+        e.join(F.broadcast(lab.select(F.col("_n").alias("src"),
+                                      F.col("_c").alias("c_src"))), "src")
+        .join(F.broadcast(lab.select(F.col("_n").alias("dst"),
+                                     F.col("_c").alias("c_dst"))), "dst")
     )
     per_c = dec.groupBy("c_src").agg(
         F.sum("w").cast("decimal(38,0)").alias("deg_c"),
@@ -925,43 +935,40 @@ def markov_stationary(
     p_ij); fixed ``iterations`` = bounded plan depth.
 
     Scale shape: the transition matrix is |states|^2 rows (states =
-    roles/tools — tiny); each round is one broadcast-sized join + one
-    partial-aggregable groupBy. The edge frame localCheckpoints once
-    (graph-iteration lineage rule).
+    roles/tools — tiny, a documented bound), so after Spark reduces the
+    corpus to the aggregated edge list, the matrix is COLLECTED and the
+    fixed-round power iteration runs on the driver in exact Python
+    integers (arbitrary precision — a strict superset of the
+    decimal(38,0) spec; floor division on the non-negative operands is
+    the identical trunc division). One Spark job replaces 3
+    localCheckpoints + per-round joins; the released ppm values are
+    bit-identical by the all-integer spec.
 
     Returns ``DataFrame[state: string, pi_ppm: long]``.
     """
-    e = edges.select(
+    spark = edges.sparkSession
+    e_df = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         F.col(w_col).cast("long").alias("c"),
-    ).localCheckpoint(eager=True)
-    outs = e.groupBy("src").agg(F.sum("c").alias("c_src"))
-    pmat = e.join(outs, "src").select(
-        "src", "dst", F.expr("(c * 1000000) div c_src").cast("long").alias("p_ppm")
-    ).localCheckpoint(eager=True)
-    states = (
-        e.select(F.col("src").alias("state"))
-        .union(e.select(F.col("dst").alias("state")))
-        .distinct()
-        .localCheckpoint(eager=True)
     )
-    r = states.count()
-    if r == 0:
-        return states.withColumn("pi_ppm", F.lit(0).cast("long"))
-    v = states.select("state", F.lit(1_000_000 // r).cast("long").alias("pi"))
+    state_type = e_df.schema["src"].dataType.simpleString()
+    e = [(r["src"], r["dst"], int(r["c"])) for r in e_df.collect()]
+    schema = f"state {state_type}, pi_ppm long"
+    if not e:
+        return spark.createDataFrame([], schema=schema)
+    c_src: dict = {}
+    for s, _d, c in e:
+        c_src[s] = c_src.get(s, 0) + c
+    pmat = [(s, d, (c * 1_000_000) // c_src[s]) for s, d, c in e]
+    states = sorted({s for s, _, _ in e} | {d for _, d, _ in e})
+    r = len(states)
+    v = {s: 1_000_000 // r for s in states}
     for _ in range(int(iterations)):
-        v = (
-            pmat.join(v.withColumnRenamed("state", "src"), "src")
-            .groupBy(F.col("dst").alias("state"))
-            .agg(
-                F.expr("cast(sum(cast(pi as decimal(38,0)) * p_ppm) div 1000000"
-                       " as bigint)").alias("pi")
-            )
-        )
-        v = states.join(v, "state", "left").select(
-            "state", F.coalesce("pi", F.lit(0)).cast("long").alias("pi")
-        )
-    return v.select("state", F.col("pi").cast("long").alias("pi_ppm"))
+        acc: dict = {}
+        for s, d, p in pmat:
+            acc[d] = acc.get(d, 0) + v[s] * p
+        v = {s: acc.get(s, 0) // 1_000_000 for s in states}
+    return spark.createDataFrame([(s, v[s]) for s in states], schema=schema)
 
 
 def markov_entropy_rate(
@@ -986,39 +993,52 @@ def markov_entropy_rate(
     h_nanos = (−Σ) div 1e6 releases bit-identically on both engines.
 
     Scale shape: the |states|² matrix frame plus markov_stationary's
-    bounded rounds; the entropy pass is one join + one 1-row aggregate.
+    bounded rounds; after Spark reduces the corpus to the aggregated
+    edge list, the whole chain (matrix, stationary rounds, entropy sum)
+    finishes on the driver exactly like markov_stationary above — exact
+    Python integers, the identical ln quantization (floor(ln(p/1e6)·1e9
+    + 0.5) per DISTINCT EDGE before any multiplication), one Spark job
+    total.
 
     Returns one row: (n_states, n_edges, h_nanos: long).
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
-        F.col(w_col).cast("long").alias("c"),
-    )
-    outs = e.groupBy("src").agg(F.sum("c").alias("c_src"))
-    pmat = e.join(outs, "src").select(
-        "src", "dst",
-        F.expr("(c * 1000000) div c_src").cast("long").alias("p_ppm"),
-    )
-    pi = markov_stationary(edges, iterations, src_col, dst_col, w_col)
-    n_states = pi.count()
-    q = F.floor(
-        F.log(F.col("p_ppm").cast("double") / F.lit(1e6)) * F.lit(1e9) + F.lit(0.5)
-    ).cast("long")
+    import math
+
+    spark = edges.sparkSession
+    e = [
+        (r["src"], r["dst"], int(r["c"]))
+        for r in edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+            F.col(w_col).cast("long").alias("c"),
+        ).collect()
+    ]
+    schema = "n_states long, n_edges long, h_nanos long"
+    c_src: dict = {}
+    for s, _d, c in e:
+        c_src[s] = c_src.get(s, 0) + c
+    pmat = [(s, d, (c * 1_000_000) // c_src[s]) for s, d, c in e]
+    states = sorted({s for s, _, _ in e} | {d for _, d, _ in e})
+    r = len(states)
+    if r == 0:
+        return spark.createDataFrame([(0, 0, None)], schema=schema)
+    v = {s: 1_000_000 // r for s in states}
+    for _ in range(int(iterations)):
+        acc: dict = {}
+        for s, d, p in pmat:
+            acc[d] = acc.get(d, 0) + v[s] * p
+        v = {s: acc.get(s, 0) // 1_000_000 for s in states}
     # p_ppm == 0 cells (c_src > 1e6*c at extreme skew) contribute 0 in the
     # x*ln(x) limit — filtered on BOTH engines, never fed to ln
-    joined = pmat.filter(F.col("p_ppm") > 0).join(
-        pi.select(F.col("state").alias("src"), "pi_ppm"), "src"
-    ).select(
-        F.expr("(pi_ppm * p_ppm) div 1000000").cast("long").alias("t"),
-        q.alias("q"),
-    )
-    return joined.agg(
-        F.lit(int(n_states)).cast("long").alias("n_states"),
-        F.count(F.lit(1)).cast("long").alias("n_edges"),
-        F.expr(
-            "cast((0 - sum(cast(t as decimal(38,0)) * q)) div 1000000 as bigint)"
-        ).alias("h_nanos"),
-    )
+    total = 0
+    n_edges = 0
+    for s, _d, p in pmat:
+        if p > 0:
+            t = (v[s] * p) // 1_000_000
+            q = math.floor(math.log(p / 1e6) * 1e9 + 0.5)
+            total += t * q
+            n_edges += 1
+    h_nanos = (0 - total) // 1_000_000 if n_edges else None
+    return spark.createDataFrame([(r, n_edges, h_nanos)], schema=schema)
 
 
 def bfs_hops(

@@ -1220,46 +1220,46 @@ def pca_power_direction(
     n = df.count()
     if not n:
         return df.sparkSession.createDataFrame([], "j int, v_micro long")
+    # ONE aggregation job reduces the GEMM partials to the d lane sums
+    # (k = -1) plus the d^2 Gram cells — a d-bounded frame (documented
+    # bound) collected to the driver, where the scatter build and the
+    # fixed-round iteration run as exact Python integers (arbitrary
+    # precision covers decimal(38,0); _tdiv replicated as sign-aware
+    # trunc division). r6: replaces a second localCheckpoint plus
+    # 3 rounds of join/aggregate/broadcast stages with O(d^2) driver
+    # arithmetic; released v_micro values are bit-identical by the
+    # all-integer spec.
     parts = _int_gram_partials(
         df,
         vec_col,
         lambda M: np.floor(M * 1e6 + 0.5).astype(np.int64),
-    ).localCheckpoint(eager=True)  # one execution feeds scatter AND lane sums
-    s = (
-        parts.where(F.col("k") == -1)
-        .groupBy("j")
-        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
     )
-    raw = (
-        parts.where(F.col("k") >= 0)
-        .groupBy("j", "k")
-        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("sum_jk"))
-    )
-    cells = (
-        raw.join(s.select(F.col("j"), F.col("s").alias("s_j")), "j")
-        .join(s.select(F.col("j").alias("k"), F.col("s").alias("s_k")), "k")
-        .select(
-            "j", "k",
-            F.expr(
-                f"(cast({int(n)} as decimal(38,0)) * sum_jk - s_j * s_k)"
-                f" div {int(n)}"
-            ).cast("decimal(38,0)").alias("c"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    v = s.select("j", F.lit(1_000_000).cast("decimal(38,0)").alias("v"))
+    agg = [
+        (int(r["j"]), int(r["k"]), int(r["sp"]))
+        for r in parts.groupBy("j", "k")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("sp"))
+        .collect()
+    ]
+    s = {j: sp for j, k, sp in agg if k == -1}
+
+    def tdiv(a: int, b: int) -> int:
+        # trunc-toward-zero division on signed ints (the _tdiv contract)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    cells = [
+        (j, k, tdiv(n * sp - s[j] * s[k], n)) for j, k, sp in agg if k >= 0
+    ]
+    v = {j: 1_000_000 for j in s}
     for _ in range(int(iterations)):
-        u = (
-            cells.join(v.select(F.col("j").alias("k"), "v"), "k")
-            .groupBy("j")
-            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
-        )
-        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
-        v = u.crossJoin(F.broadcast(m)).select(
-            "j", F.expr("(u * 1000000) div m").cast("decimal(38,0)").alias("v")
-        )
-    return v.select(F.col("j").cast("int").alias("j"),
-                    F.col("v").cast("long").alias("v_micro"))
+        u: dict = {}
+        for j, k, c in cells:
+            u[j] = u.get(j, 0) + c * v[k]
+        m = max(abs(x) for x in u.values())
+        v = {j: tdiv(x * 1_000_000, m) for j, x in u.items()}
+    return df.sparkSession.createDataFrame(
+        sorted(v.items()), "j int, v_micro long"
+    )
 
 
 def linear_cka_quantization(

@@ -16268,12 +16268,16 @@ def q_modularity(spark, sf_dir):
     trunc division releases q_micro; both engines truncate toward zero
     so the row is bit-identical. Two node-keyed joins + one
     partial-aggregable per-community sum + a 1-row M broadcast —
-    bounded by |edges|, never corpus rows."""
+    bounded by |edges|, never corpus rows. r6: the edge list is
+    materialized ONCE (localCheckpoint) so the docs scan + word-pair
+    aggregation is not recomputed by the LPA lineage and the modularity
+    decoration separately, and the final label table is materialized
+    once before its two endpoint joins (the r5 materialize-once rule)."""
     from ..functions import graph
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    edges = graph.word_adjacency_edges(docs, min_count=3)
-    labels = graph.label_propagation(edges, rounds=3)
+    edges = graph.word_adjacency_edges(docs, min_count=3).localCheckpoint(eager=False)
+    labels = graph.label_propagation(edges, rounds=3).localCheckpoint(eager=False)
     return graph.modularity(edges, labels)
 
 
