@@ -2404,7 +2404,7 @@ def q_streaming_state(spark, sf_dir):
             out.writeStream.format("memory")
             .queryName(qname)
             .trigger(availableNow=True)
-            .option("checkpointLocation", f"/tmp/stream_state_ckpt_{uuid.uuid4().hex[:12]}")
+            .option("checkpointLocation", f"/dev/shm/spark-tmp/stream_state_ckpt_{uuid.uuid4().hex[:12]}")
             .start()
         )
         q.awaitTermination()
@@ -2522,7 +2522,7 @@ def q_streaming_sessions(spark, sf_dir):
             .queryName(qname)
             .outputMode("complete")
             .trigger(availableNow=True)
-            .option("checkpointLocation", f"/tmp/stream_sess_ckpt_{uuid.uuid4().hex[:12]}")
+            .option("checkpointLocation", f"/dev/shm/spark-tmp/stream_sess_ckpt_{uuid.uuid4().hex[:12]}")
             .start()
         )
         q.awaitTermination()
@@ -3356,7 +3356,7 @@ def q_streaming_dedup(spark, sf_dir):
             .queryName(qname)
             .outputMode("complete")
             .trigger(availableNow=True)
-            .option("checkpointLocation", f"/tmp/stream_dedup_ckpt_{uuid.uuid4().hex[:12]}")
+            .option("checkpointLocation", f"/dev/shm/spark-tmp/stream_dedup_ckpt_{uuid.uuid4().hex[:12]}")
             .start()
         )
         q.awaitTermination()
@@ -10539,7 +10539,7 @@ def q_streaming_pit(spark, sf_dir):
             out.writeStream.format("memory")
             .queryName(qname)
             .trigger(availableNow=True)
-            .option("checkpointLocation", f"/tmp/stream_pit_ckpt_{uuid.uuid4().hex[:12]}")
+            .option("checkpointLocation", f"/dev/shm/spark-tmp/stream_pit_ckpt_{uuid.uuid4().hex[:12]}")
             .start()
         )
         q.awaitTermination()
@@ -11583,7 +11583,7 @@ def q_streaming_sft(spark, sf_dir):
             out.writeStream.format("memory")
             .queryName(qname)
             .trigger(availableNow=True)
-            .option("checkpointLocation", f"/tmp/stream_sft_ckpt_{uuid.uuid4().hex[:12]}")
+            .option("checkpointLocation", f"/dev/shm/spark-tmp/stream_sft_ckpt_{uuid.uuid4().hex[:12]}")
             .start()
         )
         q.awaitTermination()
@@ -12940,7 +12940,7 @@ def q_streaming_sprt(spark, sf_dir):
             out.writeStream.format("memory")
             .queryName(qname)
             .trigger(availableNow=True)
-            .option("checkpointLocation", f"/tmp/stream_sprt_ckpt_{uuid.uuid4().hex[:12]}")
+            .option("checkpointLocation", f"/dev/shm/spark-tmp/stream_sprt_ckpt_{uuid.uuid4().hex[:12]}")
             .start()
         )
         q.awaitTermination()
@@ -13619,7 +13619,7 @@ def q_streaming_rates(spark, sf_dir):
             .queryName(qname)
             .outputMode("complete")
             .trigger(availableNow=True)
-            .option("checkpointLocation", f"/tmp/stream_rates_ckpt_{uuid.uuid4().hex[:12]}")
+            .option("checkpointLocation", f"/dev/shm/spark-tmp/stream_rates_ckpt_{uuid.uuid4().hex[:12]}")
             .start()
         )
         q.awaitTermination()
@@ -24567,7 +24567,7 @@ def q_streaming_drift(spark, sf_dir):
             .trigger(availableNow=True)
             .option(
                 "checkpointLocation",
-                f"/tmp/stream_drift_ckpt_{uuid.uuid4().hex[:12]}",
+                f"/dev/shm/spark-tmp/stream_drift_ckpt_{uuid.uuid4().hex[:12]}",
             )
             .start()
         )

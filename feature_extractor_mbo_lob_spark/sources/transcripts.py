@@ -184,9 +184,19 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the driver's events table into the transcript shape (plus the
     per-turn scalar timeline ``value`` used by labeling operators)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    # project the string conv_id FIRST and partition the turn-index window
+    # by that attribute: downstream operators window on conv_id (string),
+    # so the one exchange established here is reused by every consumer
+    # instead of re-shuffling the whole frame under a differently-hashed
+    # key (r6: one exchange, not two, for all ~90 transcript-shaped
+    # queries; the cast is injective so groups and turn_idx are unchanged)
+    base = ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
+        "event_id", "event_type", "props", "ts", "value",
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return base.select(
+        "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.when(F.col("event_type").isin("click", "view"), F.lit("user"))
         .when(F.col("event_type").isin("signup", "purchase"), F.lit("assistant"))
