@@ -622,7 +622,11 @@ def word_adjacency_edges(
 
     Returns ``DataFrame[a: string, b: string, w: long]`` with a < b.
     """
-    base = df.select(F.split(normalize_text(text_col), " ").alias("_w"))
+    from ..operators.skew import fan_out_small_scan
+
+    base = fan_out_small_scan(df).select(
+        F.split(normalize_text(text_col), " ").alias("_w")
+    )
     k = F.greatest(F.size(F.col("_w")) - 1, F.lit(0))
     pairs = F.arrays_zip(
         F.slice(F.col("_w"), 1, k).alias("x"),

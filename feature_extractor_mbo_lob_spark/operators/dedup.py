@@ -61,8 +61,15 @@ def word_shingles(col, k: int = 3) -> F.Column:
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   k: int = 3) -> DataFrame:
-    """(id, shingle) exploded — the base relation for Jaccard and MinHash."""
-    return df.select(
+    """(id, shingle) exploded — the base relation for Jaccard and MinHash.
+
+    The source frame is fanned out first (skew.fan_out_small_scan): the
+    explode + hashing pipelines built on this relation are the map-heavy
+    stages of the whole dedup family, and a single-split input would run
+    them on one core (r6: minhash_signatures 2.6 s -> ~0.4 s at sf0.1)."""
+    from .skew import fan_out_small_scan
+
+    return fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, k)).alias("shingle"),
     )
@@ -347,6 +354,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    collect_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Duplicate-cluster assembly: connected components over an undirected
     near-dup pair set via min-label propagation. Returns (id, cluster_id)
@@ -363,11 +371,50 @@ def connected_components(
     batch-export "merge duplicate sources" step (src/batch.rs:60-140)
     generalized to fuzzy matches.
     """
+    e_sel = edges.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    # r6 auto-route: near-dup pair sets are usually a small fraction of the
+    # corpus. Up to ``collect_threshold`` pairs (~32 MB of longs — the
+    # brute_force_topk bounded-collect discipline) the components are
+    # computed exactly on the driver with union-find: min-label CC is a
+    # pure function of the edge set, so the output is identical to the
+    # iterative path, for ONE driver action instead of 2 per round. Larger
+    # pair sets continue to the distributed Pregel-style loop (the 100-TB
+    # path, unchanged — it re-materializes the pair pipeline once, the
+    # price of the route probe).
+    head = e_sel.take(collect_threshold + 1)
+    if len(head) <= collect_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in head:
+            a, b = row["src"], row["dst"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps the representative deterministic
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        out = [(i, find(i)) for i in parent]
+        return edges.sparkSession.createDataFrame(
+            out, schema="id long, cluster_id long"
+        )
     # materialize the (possibly expensive) pair pipeline ONCE before fanning
     # it into both union branches
-    e0 = edges.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    ).localCheckpoint(eager=True)
+    e0 = e_sel.localCheckpoint(eager=True)
     sym = (
         e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -740,8 +787,10 @@ def winnow_fingerprints(
     def h7(c):
         return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
 
+    from .skew import fan_out_small_scan
+
     words_n = F.size(F.split(normalize_text(text_col), " "))
-    base = df.select(
+    base = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("_txt"),
         F.greatest(words_n - k + 1, F.lit(0)).alias("_ng"),
@@ -1037,7 +1086,9 @@ def ppjoin_pairs(
     from ..functions.repetition import normalized_words
 
     pct = int(threshold_pct)
-    tok = df.select(
+    from .skew import fan_out_small_scan
+
+    tok = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(normalized_words(text_col))).alias("word"),
     )

@@ -158,7 +158,9 @@ def banded_candidate_pairs(
         bands.append(
             F.struct(F.lit(k).cast("int").alias("band"), bucket.alias("bk"))
         )
-    melted = e.select(
+    from .skew import fan_out_small_scan
+
+    melted = fan_out_small_scan(e).select(
         "id", F.explode(F.array(*bands)).alias("m")
     ).select("id", F.col("m.band").alias("band"), F.col("m.bk").alias("bk"))
     return (
@@ -359,10 +361,17 @@ def neighbor_recall(
     # points, and the GEMM truth is consumed three times (two candidate
     # intersections + the full-outer base) — materialize each ONCE or
     # the quadratic exact pass re-runs per consumer
-    e = emb.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).filter(md5_bucket("id", sample_buckets) == 0).localCheckpoint(eager=True)
+    # fan out the single-split scan BEFORE checkpointing: localCheckpoint
+    # preserves partitioning, and a 1-partition sample would serialize the
+    # GEMM truth pass and both LSH hashing stages on one core (r6)
+    from .skew import fan_out_small_scan
+
+    e = fan_out_small_scan(
+        emb.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).filter(md5_bucket("id", sample_buckets) == 0)
+    ).localCheckpoint(eager=True)
 
     exact = exact_eps_pairs(e, eps_micro).localCheckpoint(eager=True)
 

@@ -456,11 +456,37 @@ def hyperplane_signs(
     seed: int = 7,
 ):
     """Random-hyperplane sign bucket (embedding SimHash): bit j of the
-    bucket = [dot(v, h_j) > 0]. Returns (bucket int column, planes)."""
+    bucket = [dot(v, h_j) > 0]. Returns (bucket int column, planes).
+
+    The whole bucket is built as ONE parsed SQL expression when the vector
+    is a plain column reference: the former per-plane Column construction
+    (n_planes HOF lambdas through py4j) dominated plan-build time for the
+    banded generators (r6). The parsed tree is the identical
+    aggregate/zip_with fold in the identical order, so results are
+    bit-identical."""
     planes = hyperplanes(dim, n_planes, seed)
+    name = vec_col if isinstance(vec_col, str) else None
+    if name is None:
+        # unwrap a bare column reference like F.col("v")
+        try:
+            expr_str = vec_col._jc.toString()
+            if expr_str.replace("`", "").isidentifier():
+                name = expr_str.replace("`", "")
+        except Exception:
+            name = None
+    if name is not None:
+        terms = []
+        for j, h in enumerate(planes):
+            arr = ", ".join(f"{x:.1f}D" for x in h)
+            dotj = (
+                f"aggregate(zip_with(`{name}`, array({arr}), (x, y) -> x * y), "
+                f"cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+            terms.append(f"(case when {dotj} > 0 then {1 << j} else 0 end)")
+        return F.expr("cast((0 + " + " + ".join(terms) + ") as int)"), planes
     bucket = F.lit(0)
     for j, h in enumerate(planes):
-        hcol = F.array(*[F.lit(x) for x in h])
+        hcol = F.lit(h)
         bucket = bucket + F.when(dot(vec_col, hcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket.cast("int"), planes
 
@@ -481,9 +507,12 @@ def hyperplane_near_dup(
     path next to the exact GEMM and IVF-bucketed variants."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    from .skew import fan_out_small_scan
+
     bucket, _ = hyperplane_signs(F.col(vec_col), dim, n_planes, seed)
-    tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
-                       bucket.alias("_b"))
+    tagged = fan_out_small_scan(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
+        bucket.alias("_b"))
     a = tagged.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "_b")
     b = tagged.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "_b")
     pairs = a.join(b, on="_b").filter(F.col("id_a") < F.col("id_b"))
@@ -893,7 +922,7 @@ def random_projection(
     )
     projs = []
     for j, h in enumerate(planes):
-        hcol = F.array(*[F.lit(int(x)).cast("long") for x in h])
+        hcol = F.lit([int(x) for x in h]).cast("array<bigint>")
         signed = F.zip_with(q, hcol, lambda a, s: a * s)
         projs.append(
             F.struct(
@@ -1040,7 +1069,7 @@ def kcenter_select(
     picks = [(1, first, 0)]
 
     def d2_to(vec):
-        lit = F.array(*[F.lit(int(x)).cast("long") for x in vec])
+        lit = F.lit([int(x) for x in vec]).cast("array<bigint>")
         return F.aggregate(
             F.zip_with("q", lit, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
@@ -1174,8 +1203,11 @@ def _int_gram_partials(df: DataFrame, vec_col: str, build_q, tag: str = "g"):
                 }
             )
 
-    return df.select(F.col(vec_col).cast("array<double>").alias(vec_col)) \
-        .mapInPandas(gen, schema="j int, k int, p long")
+    from .skew import fan_out_small_scan
+
+    return fan_out_small_scan(
+        df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+    ).mapInPandas(gen, schema="j int, k int, p long")
 
 
 def pca_power_direction(

@@ -256,3 +256,23 @@ def salted_join(
     )
     r = right.withColumn("_salt", F.explode(salts))
     return l.join(r, [key, "_salt"], how).drop("_salt")
+
+
+def fan_out_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Scale-adaptive scan fan-out (optimization guide §2.5, "input skew:
+    one huge unsplittable file ... repartition immediately after the read").
+
+    A small input — e.g. one sub-row-group parquet file — scans as ONE task,
+    which serializes every compute-heavy map stage built on it (shingle
+    explodes feeding 16 md5-min aggregations run single-threaded while 31
+    cores idle). When the frame has fewer partitions than the session's
+    default parallelism, round-robin repartition it to that parallelism; at
+    real scale the input already has >= parallelism splits and this is a
+    no-op — no shuffle is ever added where the data is large. Results are
+    unchanged: every consumer is an order-free aggregation/join pipeline.
+    """
+    sc = df.sparkSession.sparkContext
+    target = int(min_partitions or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
