@@ -1121,9 +1121,15 @@ def ppjoin_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # explicit pair-keyed repartition: the exact array_intersect verify
+        # below is compute-bound but byte-light, and AQE's byte-based
+        # coalescing was collapsing it to 2 tasks (r6 event-log profile:
+        # one 3.1 s straggler stage). A user repartition is not coalesced;
+        # the count stays the scale-parameterised shuffle.partitions.
+        .repartition("id_a", "id_b")
     )
 
-    toks = df.select(
+    toks = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(normalized_words(text_col)).alias("tw"),
     )

@@ -10937,9 +10937,10 @@ def q_source_minhash_sim(spark, sf_dir):
     the shuffle carries 16 strings per source, and the pair join runs on
     the n_sources-row signature frame, never documents."""
     from ..operators.dedup import word_shingles
+    from ..operators.skew import fan_out_small_scan
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = docs.select(
+    sh = fan_out_small_scan(docs).select(
         "source", F.explode(word_shingles("text", 3)).alias("shingle")
     )
     sig = sh.groupBy("source").agg(

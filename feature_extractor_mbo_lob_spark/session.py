@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # smaller coalesce floor: compute-bound but byte-light post-shuffle
+        # stages (pair verifies via array_intersect, BLEU scoring, per-pair
+        # edit distances) were coalesced to 1-3 tasks by the default 1 MB
+        # minPartitionSize and became stragglers (event-log profile: one
+        # 3.1 s 2-task stage in ppjoin). 64k keeps genuinely tiny shuffles
+        # at 1 task but restores parallelism for the mid-size compute
+        # stages; at production scale partitions are far above either floor
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         # NOTE: coalescePartitions.parallelismFirst stays at its default
         # (true): byte-based coalescing (parallelismFirst=false +
         # advisoryPartitionSizeInBytes) measured 4.5x WORSE on the
