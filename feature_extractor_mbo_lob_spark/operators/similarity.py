@@ -784,43 +784,44 @@ def embedding_covariance(
     (n, s_i, s_j, s_ij) over micro-quantized lanes q = floor(x*1e6 + 0.5),
     plus cov_ij = (n*s_ij - s_i*s_j) / n^2 / 1e12 back in original units.
 
-    This is the "reduce 100 TB to a d*d sufficient statistic" PCA stage:
-    every product is an exact decimal integer (order-free), the d(d+1)/2
-    result rows are tiny, and eigen-decomposition happens downstream on
-    the driver (pca_top_component). Shape: one posexplode, one id-keyed
-    self-join that fans out d^2 per row with map-side partial aggregation
-    into (i, j) cells — shuffle O(d^2), never O(rows).
+    This is the "reduce 100 TB to a d*d sufficient statistic" PCA stage.
+    r6 shape: the integer Gram + lane-sum partials come from the
+    _int_gram_partials numpy-GEMM stage (exact int64 per batch, exact
+    decimal accumulation across batches — the pca_power engine) instead
+    of the O(rows·d²) id-keyed lane self-join; the d²-bounded aggregate
+    is collected and the released cov replays the identical IEEE
+    expression (int→double casts, two divisions, micro floor) on the
+    driver. Exact integer sufficient statistics are unchanged;
+    2.6 → ~0.8 s at sf0.1.
     """
-    lanes = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
-    ).select(
-        "id", "i", F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("q")
+    import math
+
+    n = df.filter(F.col(vec_col).isNotNull()).count()
+    parts = _int_gram_partials(
+        df,
+        vec_col,
+        lambda M: np.floor(M * 1e6 + 0.5).astype(np.int64),
     )
-    a = lanes.select("id", F.col("i").alias("i"), F.col("q").alias("qa"))
-    b = lanes.select("id", F.col("i").alias("j"), F.col("q").alias("qb"))
-    dec = lambda c: F.col(c).cast("decimal(20,0)")
-    cells = (
-        a.join(b, "id")
-        .where(F.col("i") <= F.col("j"))
-        .groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("qa").cast("long").alias("s_i"),
-            F.sum("qb").cast("long").alias("s_j"),
-            F.sum(dec("qa") * dec("qb")).alias("s_ij"),
+    agg = [
+        (int(r["j"]), int(r["k"]), int(r["sp"]))
+        for r in parts.groupBy("j", "k")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("sp"))
+        .collect()
+    ]
+    s = {j: sp for j, k, sp in agg if k == -1}
+    rows = []
+    for i, j, s_ij in sorted((j, k, sp) for j, k, sp in agg if k >= 0):
+        if i > j:
+            continue
+        num = n * s_ij - s[i] * s[j]
+        cov = float(num) / (float(n) * float(n)) / 1e12
+        rows.append(
+            (i, j, n, s[i], s[j], str(s_ij),
+             math.floor(cov * 1e6 + 0.5) / 1e6)
         )
-    )
-    nd = F.col("n").cast("double")
-    cov = (
-        (F.col("n").cast("decimal(20,0)") * F.col("s_ij")
-         - F.col("s_i").cast("decimal(20,0)") * F.col("s_j").cast("decimal(20,0)"))
-        .cast("double") / (nd * nd) / F.lit(1e12)
-    )
-    return cells.select(
-        "i", "j", "n", "s_i", "s_j",
-        F.col("s_ij").cast("decimal(38,0)").cast("string").alias("s_ij"),
-        (F.floor(cov * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cov"),
+    return df.sparkSession.createDataFrame(
+        rows,
+        schema="i int, j int, n long, s_i long, s_j long, s_ij string, cov double",
     )
 
 
