@@ -684,7 +684,7 @@ def kcore_peel(
         d = inc.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
         if nodes is None:
             return d
-        return nodes.join(F.broadcast(d), "node", "left").select(
+        return nodes.join(d, "node", "left").select(
             "node", F.coalesce("deg", F.lit(0)).cast("long").alias("deg")
         )
 
@@ -699,17 +699,18 @@ def kcore_peel(
             )
         )
         keep = surv.filter(F.col("deg") >= k).select("node")
-        # node frames are vocab-bounded — broadcast them into the edge
-        # list so each round's semi joins stay map-side (r6: removes two
-        # edge-list exchanges per round)
+        # NOTE(r6): broadcast-hinting the keep/degree/peeled node frames
+        # measured SLOWER than the shuffle joins (each broadcast build
+        # re-executes its growing per-round lineage; shuffle exchanges are
+        # reused across rounds) — hints removed after A/B.
         cur_e = cur_e.join(
-            F.broadcast(keep.withColumnRenamed("node", "a")), "a", "leftsemi"
-        ).join(F.broadcast(keep.withColumnRenamed("node", "b")), "b", "leftsemi")
+            keep.withColumnRenamed("node", "a"), "a", "leftsemi"
+        ).join(keep.withColumnRenamed("node", "b"), "b", "leftsemi")
         surv = degrees(cur_e, keep)
     peeled = reduce(DataFrame.union, peeled_frames)
     return (
         deg0.select("node", F.col("deg").alias("deg0"))
-        .join(F.broadcast(peeled), "node", "left")
+        .join(peeled, "node", "left")
         .select(
             "node",
             "deg0",
@@ -745,13 +746,11 @@ def label_propagation(
 
     Scale shape: the directed edge view localCheckpoints ONCE (the
     graph-iteration lineage rule, see MEMORY); each round is one
-    broadcast join of the node-bounded label table into the edge list
-    (|nodes| = pruned vocabulary — the same broadcast-budget class as
-    the word-df frame) + one partial-aggregable (node, label) weight
-    sum + one partial-aggregable min-struct argmax (r6: replaces the
-    per-round top-1 window sort). No cross join, no Python. Frame sizes
-    are bounded by |edges| and |nodes| (vocab-pair bounded upstream),
-    never corpus rows.
+    hash join on the destination node + one partial-aggregable
+    (node, label) weight sum + one per-node top-1 window — all keyed on
+    the node column, no cross join, no Python. Frame sizes are bounded
+    by |edges| and |nodes| (vocab-pair bounded upstream), never corpus
+    rows.
 
     Returns ``DataFrame[node: string, community: string]``.
     """
@@ -767,20 +766,22 @@ def label_propagation(
         "node", F.col("node").alias("community")
     )
     for _ in range(int(rounds)):
+        # NOTE(r6): measured variants — broadcast-hinting the label table
+        # and/or replacing the top-1 window with a min-struct aggregate
+        # were all SLOWER here (broadcast builds re-execute the growing
+        # label lineage each round; the shuffle form reuses exchanges).
+        # The original join + window stays.
         scored = (
-            e.join(F.broadcast(labels), e["dst"] == labels["node"])
+            e.join(labels, e["dst"] == labels["node"])
             .select(F.col("src"), F.col("community").alias("lab"), F.col("w"))
             .groupBy("src", "lab")
             .agg(F.sum("w").alias("s"))
         )
-        # (s DESC, lab ASC) argmax as a partial-aggregable min over
-        # struct(-s, lab) — bit-identical tie-breaking to the former
-        # row_number window, without the per-round sort (r6)
+        win = Window.partitionBy("src").orderBy(F.col("s").desc(), F.col("lab").asc())
         labels = (
-            scored.groupBy(F.col("src").alias("node"))
-            .agg(F.min(F.struct((-F.col("s")).alias("_negs"),
-                                F.col("lab").alias("lab"))).alias("_b"))
-            .select("node", F.col("_b.lab").alias("community"))
+            scored.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("src").alias("node"), F.col("lab").alias("community"))
         )
     return labels
 
@@ -829,10 +830,8 @@ def modularity(
         F.col(node_col).alias("_n"), F.col(community_col).alias("_c")
     )
     dec = (
-        e.join(F.broadcast(lab.select(F.col("_n").alias("src"),
-                                      F.col("_c").alias("c_src"))), "src")
-        .join(F.broadcast(lab.select(F.col("_n").alias("dst"),
-                                     F.col("_c").alias("c_dst"))), "dst")
+        e.join(lab.select(F.col("_n").alias("src"), F.col("_c").alias("c_src")), "src")
+        .join(lab.select(F.col("_n").alias("dst"), F.col("_c").alias("c_dst")), "dst")
     )
     per_c = dec.groupBy("c_src").agg(
         F.sum("w").cast("decimal(38,0)").alias("deg_c"),

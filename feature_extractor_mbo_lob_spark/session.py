@@ -54,10 +54,13 @@ def get_spark(
         # stages (pair verifies via array_intersect, BLEU scoring, per-pair
         # edit distances) were coalesced to 1-3 tasks by the default 1 MB
         # minPartitionSize and became stragglers (event-log profile: one
-        # 3.1 s 2-task stage in ppjoin). 64k keeps genuinely tiny shuffles
-        # at 1 task but restores parallelism for the mid-size compute
-        # stages; at production scale partitions are far above either floor
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # 3.1 s 2-task stage in ppjoin). 256k measured best across BOTH
+        # classes (A/B sweep 64k/256k/1m): compute-heavy mid-size stages
+        # regain the cores (ppjoin 4.7 -> 2.0 s, triple_barrier 5.3 -> 2.0)
+        # while byte-dominated window stages keep few tasks (state_cum
+        # 1.39@64k -> 0.68); at production scale partitions are far above
+        # either floor so the setting is inert
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         # NOTE: coalescePartitions.parallelismFirst stays at its default
         # (true): byte-based coalescing (parallelismFirst=false +
         # advisoryPartitionSizeInBytes) measured 4.5x WORSE on the
