@@ -80,7 +80,9 @@ def tf_idf_top_terms(
     score ln(1 + N/df) * tf is emitted for consumers but never used to
     rank (cross-engine float noise must not pick different rows).
     """
-    words = df.select(
+    from ..operators.skew import fan_out_small_scan
+
+    words = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
     )
     tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -294,7 +296,9 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
     All counts are exact integers; the only floats are ln() and the final
     mean, computed with the identical expression in the SQL oracle."""
-    words = df.select(
+    from ..operators.skew import fan_out_small_scan
+
+    words = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
     )
     wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -328,7 +332,9 @@ def hashed_embedding(
     One explode + one keyed aggregation; feeds the similarity/kmeans family
     so a corpus can be clustered with zero model artifacts."""
     assert dim <= 16, "bucket = first md5 nibble; dim > 16 needs more nibbles"
-    words = df.select(
+    from ..operators.skew import fan_out_small_scan
+
+    words = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
     )
     bucket = F.conv(F.substring(F.md5("word"), 1, 1), 16, 10).cast("int") % dim
@@ -378,7 +384,9 @@ def bigram_logprob(
     and the mean are mirrored exactly in the SQL oracle."""
     from .repetition import gram_counts
 
-    words = df.select(
+    from ..operators.skew import fan_out_small_scan
+
+    words = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
     )
     uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("ucnt"))
@@ -852,8 +860,10 @@ def span_corruption_targets(
 
     from ..operators.dedup import normalize_text
 
+    from ..operators.skew import fan_out_small_scan
+
     words = F.split(normalize_text(text_col), " ")
-    g = df.select(
+    g = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(words).alias("pos", "word"),
     )
@@ -939,7 +949,9 @@ def bm25_scores(
     """
     terms = list(query_terms)
     idx = range(len(terms))
-    words = df.select(
+    from ..operators.skew import fan_out_small_scan
+
+    words = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
     )
     dl = words.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
@@ -1024,7 +1036,9 @@ def pmi_collocations(
     # N_bi counts ALL bigram occurrences (PMI must not depend on min_count)
     n_bi = bi_all.agg(F.sum("c_ab").cast("long").alias("n_bi"))
     bi = bi_all.filter(F.col("c_ab") >= min_count)
-    words = df.select(
+    from ..operators.skew import fan_out_small_scan
+
+    words = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
     )
     uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
@@ -1306,7 +1320,9 @@ def signed_hashed_features(
     for large dim; triplets shuffle only non-zero cells. One explode + one
     (id, idx) groupBy, integer weights, engine-exact md5 hashing.
     """
-    words = df.select(
+    from ..operators.skew import fan_out_small_scan
+
+    words = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
     )
     idx = (
@@ -1413,7 +1429,9 @@ def heaps_fit(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     stream is |docs| tiny rows (two longs each), and sampling every k-th
     boundary bounds it further without changing the fit materially.
     """
-    words = df.select(
+    from ..operators.skew import fan_out_small_scan
+
+    words = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
     )
     toks = words.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("toks"))
@@ -1479,7 +1497,9 @@ def tfidf_cosine_pairs(
     ever decides pair membership. The reported cosine is a fixed-order
     quotient of those exact integers.
     """
-    words = df.select(
+    from ..operators.skew import fan_out_small_scan
+
+    words = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("word")
     )
     tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).cast("long").alias("tf"))
@@ -2328,7 +2348,9 @@ def naive_bayes_confusion(
     Reference analog: corpus router/quality gates in the curation CLIs
     (tools/export_dataset.rs filter stages).
     """
-    base = df.select(
+    from ..operators.skew import fan_out_small_scan
+
+    base = fan_out_small_scan(df).select(
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("_y"),
         (md5_bucket(F.col(id_col), 2) == 0).alias("_train"),

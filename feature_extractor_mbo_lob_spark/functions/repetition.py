@@ -67,8 +67,11 @@ def gram_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """(id, gram, cnt) — the distributed form: explode then count.
     Partial aggregation (map-side combine) keeps the shuffle at
     |distinct grams| not |gram occurrences|."""
+    from ..operators.skew import fan_out_small_scan
+
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(word_2grams(text_col)).alias("gram"))
+        fan_out_small_scan(df)
+        .select(F.col(id_col).alias("id"), F.explode(word_2grams(text_col)).alias("gram"))
         .groupBy("id", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -78,8 +81,10 @@ def repetition_metrics(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """One row per document with the four repetition signals."""
+    from ..operators.skew import fan_out_small_scan
+
     norm_len = F.length(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
-    base = df.select(
+    base = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.size(normalized_words(text_col)).cast("long").alias("n_words"),
         distinct_word_ratio(text_col).alias("distinct_word_ratio"),
@@ -120,7 +125,9 @@ def max_word_run(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     sort; skewed mega-documents would ride the same chunked carry-in
     treatment as operators/skew.py if one doc outgrew a partition.
     """
-    words = df.select(
+    from ..operators.skew import fan_out_small_scan
+
+    words = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(normalized_words(text_col)).alias("pos", "word"),
     )

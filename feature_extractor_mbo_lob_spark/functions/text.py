@@ -311,8 +311,10 @@ def rake_keywords(
     """
     from pyspark.sql import Window
 
+    from ..operators.skew import fan_out_small_scan
+
     sw = F.array(*[F.lit(w) for w in stopwords])
-    tok = docs.select(
+    tok = fan_out_small_scan(docs).select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
     ).withColumn("_stop", F.array_contains(sw, F.col("word")))

@@ -595,7 +595,9 @@ def dup_ngram_stats(
     (boilerplate grams are the skew) — here every gram row is (digest,
     count), so even hot grams cost O(occurrences), not O(occurrences^2).
     """
-    grams = df.select(
+    from .skew import fan_out_small_scan
+
+    grams = fan_out_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(positional_ngrams(text_col, n), lambda g: F.md5(g))
@@ -644,8 +646,10 @@ def remove_dup_spans(
     expression over the words array. No Python stage, no text through any
     shuffle.
     """
+    from .skew import fan_out_small_scan
+
     words_col = F.split(normalize_text(text_col), " ")
-    base = df.select(F.col(id_col).alias("id"), words_col.alias("_ws"))
+    base = fan_out_small_scan(df).select(F.col(id_col).alias("id"), words_col.alias("_ws"))
     # positional grams from the words array (1-based start positions)
     acc = F.col("_ws")
     nw = F.size("_ws")

@@ -434,6 +434,14 @@ def _t(spark, sf_dir):
     return transcripts_from_events(spark, sf_dir)
 
 
+def _fan(df):
+    """Scale-adaptive scan fan-out for compute-heavy word explodes
+    (operators/skew.fan_out_small_scan)."""
+    from ..operators.skew import fan_out_small_scan
+
+    return fan_out_small_scan(df)
+
+
 # --- 11. DeepLOB labels -------------------------------------------------------
 
 def q_deeplob_labels(spark, sf_dir):
@@ -5828,7 +5836,7 @@ def q_cms_word_counts(spark, sf_dir):
     from ..functions.repetition import normalized_words
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = docs.select(F.explode(normalized_words("text")).alias("word"))
+    words = _fan(docs).select(F.explode(normalized_words("text")).alias("word"))
     cells = sketch.count_min_sketch(words, "word", depth=4, width=256)
     true = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
     top = true.orderBy(F.col("true_cnt").desc(), F.col("word")).limit(10)
@@ -5922,7 +5930,7 @@ def q_distinct_sketch(spark, sf_dir):
     from ..functions.repetition import normalized_words
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = docs.select(F.explode(normalized_words("text")).alias("word"))
+    words = _fan(docs).select(F.explode(normalized_words("text")).alias("word"))
     lc = sketch.linear_counting(words, "word", m=4096)
     truth = words.agg(F.count_distinct("word").cast("long").alias("distinct_true"))
     return lc.crossJoin(truth)
@@ -9407,7 +9415,7 @@ def q_hll_distinct(spark, sf_dir):
     from ..functions.repetition import normalized_words
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = docs.select(F.explode(normalized_words("text")).alias("word"))
+    words = _fan(docs).select(F.explode(normalized_words("text")).alias("word"))
     regs = sketch.hll_registers(words, "word", p=8)
     truth = words.agg(F.count_distinct("word").cast("long").alias("distinct_true"))
     return regs.crossJoin(truth)
@@ -9944,7 +9952,7 @@ def q_hll_by_source(spark, sf_dir):
     from ..functions.repetition import normalized_words
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = docs.select(
+    words = _fan(docs).select(
         "source", F.explode(normalized_words("text")).alias("word")
     )
     regs = sketch.hll_registers(words, "word", p=8, group_cols=("source",))
@@ -23539,7 +23547,7 @@ def q_keyness_g2(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("lang").isin("en", "es")
     )
-    words = docs.select(
+    words = _fan(docs).select(
         (F.col("lang") == "en").cast("long").alias("ia"),
         F.explode(normalized_words("text")).alias("w"),
     )
