@@ -5413,9 +5413,17 @@ def rayleigh_hour_uniformity(events: DataFrame, ts_col: str = "ts") -> DataFrame
     st = [int(math.floor(math.sin(2 * math.pi * h / 24) * 1e6 + 0.5)) for h in range(24)]
     per = (
         events.select(
-            (F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 3600000000") % 24)
-            .cast("int")
-            .alias("h")
+            # fail loudly on pre-epoch timestamps: Spark's div/% truncate
+            # toward zero while the oracle's // floors, so negative hours
+            # would silently diverge (ADVICE r5) — the operator contract is
+            # ts >= epoch and violations now raise instead of mis-indexing
+            F.when(
+                F.expr(f"unix_micros(cast({ts_col} as timestamp))") >= 0,
+                (F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 3600000000") % 24)
+                .cast("int"),
+            ).otherwise(
+                F.raise_error("hour-circular statistics require ts >= epoch")
+            ).alias("h")
         )
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -5692,9 +5700,17 @@ def watson_u2_hours(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     spark = events.sparkSession
     per = (
         events.select(
-            (F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 3600000000") % 24)
-            .cast("int")
-            .alias("h")
+            # fail loudly on pre-epoch timestamps: Spark's div/% truncate
+            # toward zero while the oracle's // floors, so negative hours
+            # would silently diverge (ADVICE r5) — the operator contract is
+            # ts >= epoch and violations now raise instead of mis-indexing
+            F.when(
+                F.expr(f"unix_micros(cast({ts_col} as timestamp))") >= 0,
+                (F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 3600000000") % 24)
+                .cast("int"),
+            ).otherwise(
+                F.raise_error("hour-circular statistics require ts >= epoch")
+            ).alias("h")
         )
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -6304,7 +6320,9 @@ def seasonal_mann_kendall(
         .otherwise(0)
     )
     s = pairs.agg(
-        F.sum(sgn).cast("long").alias("s_stat"),
+        # coalesce matches the oracle's coalesce(sum(sgn), 0) on an empty
+        # pair set (at most one day per season) — ADVICE r5 fix
+        F.coalesce(F.sum(sgn), F.lit(0)).cast("long").alias("s_stat"),
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
     )
     ties = (

@@ -1186,6 +1186,18 @@ def _int_gram_partials(df: DataFrame, vec_col: str, build_q, tag: str = "g"):
                 [np.asarray(v, dtype=np.float64) for v in vecs]
             )
             Q = build_q(M)
+            # runtime guard on the documented no-overflow bound (ADVICE
+            # r5): |q|^2 * batch_rows must stay inside int64 — a larger
+            # arrow batch conf or larger-magnitude vectors would
+            # otherwise wrap silently instead of failing
+            qmax = int(np.max(np.abs(Q))) if Q.size else 0
+            if qmax and qmax * qmax * len(vecs) >= (1 << 63):
+                raise ValueError(
+                    f"_int_gram_partials int64 GEMM bound exceeded: "
+                    f"max|q|={qmax}, batch_rows={len(vecs)} — lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch or "
+                    "rescale the quantizer"
+                )
             G = Q.T @ Q
             S = Q.sum(axis=0)
             d = Q.shape[1]
