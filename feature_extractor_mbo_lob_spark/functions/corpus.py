@@ -2348,9 +2348,10 @@ def naive_bayes_confusion(
     Reference analog: corpus router/quality gates in the curation CLIs
     (tools/export_dataset.rs filter stages).
     """
-    from ..operators.skew import fan_out_small_scan
-
-    base = fan_out_small_scan(df).select(
+    # NOTE(r6): fan_out_small_scan here measured ~0.5 s SLOWER (the token
+    # base fans into many consumers; the repartition subtree outweighed the
+    # single-task explode) — left on the plain scan after A/B.
+    base = df.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("_y"),
         (md5_bucket(F.col(id_col), 2) == 0).alias("_train"),
