@@ -1365,43 +1365,41 @@ def linear_cka_quantization(
         qy[mx == 0] = 0.0
         return np.hstack([qx, qy.astype(np.int64)])
 
-    parts = _int_gram_partials(df, vec_col, build_z).localCheckpoint(eager=True)
-    s = (
-        parts.where(F.col("k") == -1)
-        .groupBy("j")
-        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
-    )
-    rep = lambda c: F.when(F.col(c) < d, F.lit("x")).otherwise(F.lit("y"))
-    cells = (
-        parts.where(F.col("k") >= 0)
-        .groupBy("j", "k")
-        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("sum_jk"))
-        .join(s.select("j", F.col("s").alias("s_j")), "j")
-        .join(s.select(F.col("j").alias("k"), F.col("s").alias("s_k")), "k")
-        .select(
-            rep("j").alias("ra"), rep("k").alias("rb"),
-            F.expr(f"cast({int(n)} as decimal(38,0)) * sum_jk - s_j * s_k")
-            .cast("decimal(38,0)").alias("m"),
-        )
-        .filter(F.col("ra") <= F.col("rb"))  # drop the transposed yx block
-    )
-    blk = lambda ra, rb: F.sum(
-        F.when((F.col("ra") == ra) & (F.col("rb") == rb),
-               F.col("m") * F.col("m")).otherwise(F.lit(0).cast("decimal(38,0)"))
-    ).cast("decimal(38,0)")
-    out = cells.agg(
-        blk("x", "y").alias("num"),
-        blk("x", "x").alias("dx"),
-        blk("y", "y").alias("dy"),
-    )
-    cka2 = F.when(
-        (F.col("dx") > 0) & (F.col("dy") > 0),
-        (F.col("num").cast("double") * F.col("num").cast("double"))
-        / (F.col("dx").cast("double") * F.col("dy").cast("double")),
-    ).otherwise(F.lit(0.0))
-    return out.select(
-        F.lit(int(n)).cast("long").alias("n_vecs"),
-        cka2.alias("cka2_raw"),
+    # r6: ONE aggregation job reduces the GEMM partials to the (2d)^2-cell
+    # frame (d-bounded, documented); the centered block moments and the
+    # single release expression finish on the driver in exact Python
+    # integers (⊇ decimal(38,0)) with the identical int→double casts —
+    # removes a localCheckpoint plus two cell joins and a final aggregate.
+    parts = _int_gram_partials(df, vec_col, build_z)
+    agg = [
+        (int(r["j"]), int(r["k"]), int(r["sp"]))
+        for r in parts.groupBy("j", "k")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("sp"))
+        .collect()
+    ]
+    s = {j: sp for j, k, sp in agg if k == -1}
+    num = dx = dy = 0
+    for j, k, sum_jk in agg:
+        if k < 0:
+            continue
+        ra = "x" if j < d else "y"
+        rb = "x" if k < d else "y"
+        if ra > rb:
+            continue  # drop the transposed yx block
+        m = n * sum_jk - s[j] * s[k]
+        mm = m * m
+        if ra == "x" and rb == "y":
+            num += mm
+        elif ra == "x":
+            dx += mm
+        else:
+            dy += mm
+    if dx > 0 and dy > 0:
+        cka2 = (float(num) * float(num)) / (float(dx) * float(dy))
+    else:
+        cka2 = 0.0
+    return df.sparkSession.createDataFrame(
+        [(n, cka2)], "n_vecs long, cka2_raw double"
     )
 
 
