@@ -1216,11 +1216,12 @@ def _int_gram_partials(df: DataFrame, vec_col: str, build_q, tag: str = "g"):
                 }
             )
 
-    from .skew import fan_out_small_scan
-
-    return fan_out_small_scan(
-        df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
-    ).mapInPandas(gen, schema="j int, k int, p long")
+    # NOTE(r6): fan_out_small_scan here measured SLOWER on every consumer
+    # (the numpy GEMM is trivial per batch; splitting one batch into 32
+    # multiplies the O(batches·d²) partial-row volume and adds an
+    # exchange) — the plain scan stays.
+    return df.select(F.col(vec_col).cast("array<double>").alias(vec_col)) \
+        .mapInPandas(gen, schema="j int, k int, p long")
 
 
 def pca_power_direction(
