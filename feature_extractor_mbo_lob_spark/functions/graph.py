@@ -52,24 +52,33 @@ def word_transition_edges(
     Tokenizes the normalized text, maps each word to a bucket node
     ``wb<k>`` via the repo-standard md5 bucket (first 7 hex chars mod
     ``buckets``), and counts ordered pairs (bucket of word i -> bucket
-    of word i+1) across the whole corpus. Pure JVM: split + slice +
-    arrays_zip + explode, then one partial-aggregable groupBy whose
-    result is at most buckets^2 rows. Self-loops are kept — they are
-    real transitions and the rank iteration handles them naturally.
+    of word i+1) across the whole corpus. Pure JVM: split + transform
+    (per-word bucket) + slice + arrays_zip + explode, then one
+    partial-aggregable groupBy whose result is at most buckets^2 rows.
+    The bucket hash is applied to the word ARRAY once before pairing —
+    each occurrence is hashed once, not twice (as pair-left and
+    pair-right), and the zip/slice/explode then move longs instead of
+    strings. Self-loops are kept — they are real transitions and the
+    rank iteration handles them naturally.
 
     Returns ``DataFrame[src: string, dst: string, w: long]``.
     """
-    base = df.select(F.split(normalize_text(text_col), " ").alias("_w"))
-    k = F.greatest(F.size(F.col("_w")) - 1, F.lit(0))
+    base = df.select(
+        F.transform(
+            F.split(normalize_text(text_col), " "),
+            lambda w: _bucket(w, buckets),
+        ).alias("_b")
+    )
+    k = F.greatest(F.size(F.col("_b")) - 1, F.lit(0))
     pairs = F.arrays_zip(
-        F.slice(F.col("_w"), 1, k).alias("a"),
-        F.slice(F.col("_w"), 2, k).alias("b"),
+        F.slice(F.col("_b"), 1, k).alias("a"),
+        F.slice(F.col("_b"), 2, k).alias("b"),
     )
     out = (
         base.select(F.explode(pairs).alias("p"))
         .select(
-            _bucket(F.col("p.a"), buckets).alias("_sb"),
-            _bucket(F.col("p.b"), buckets).alias("_db"),
+            F.col("p.a").alias("_sb"),
+            F.col("p.b").alias("_db"),
         )
         .groupBy("_sb", "_db")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
@@ -88,6 +97,7 @@ def pagerank_int(
     scale: int = 1_000_000,
     damping_num: int = 17,
     damping_den: int = 20,
+    max_driver_edges: int = 200_000,
 ) -> DataFrame:
     """Weighted PageRank over an edge list, integer micro-unit arithmetic.
 
@@ -106,9 +116,49 @@ def pagerank_int(
     left plan-chained: linear growth per round, and eager per-round
     checkpoints were measured 40% slower on the 6.7M-edge turn graph.
 
+    Bounded fast path (the hits_int / markov_stationary discipline): an
+    aggregated edge list within ``max_driver_edges`` — every bucket
+    graph is O(buckets²) rows by construction — is COLLECTED after
+    Spark's corpus-to-edge-list reduction and the fixed-round iteration
+    finishes on the driver in exact Python integers (arbitrary
+    precision ⊇ int64; ``//`` on the non-negative operands is the
+    identical trunc division), replacing ~10 fixed-overhead join/groupBy
+    shuffle stages with one tiny createDataFrame. Past the cap the
+    distributed loop below runs unchanged (turn-level / web graphs).
+
     Returns ``DataFrame[node: string, rank_micro: long]``.
     """
     edges = edges.localCheckpoint(eager=True)
+    if edges.count() <= max_driver_edges:
+        spark = edges.sparkSession
+        node_type = edges.schema["src"].dataType.simpleString()
+        e = [
+            (r["src"], r["dst"], int(r["w"]))
+            for r in edges.select(
+                "src", "dst", F.col("w").cast("long").alias("w")
+            ).collect()
+        ]
+        schema = f"node {node_type}, rank_micro long"
+        if not e:
+            return spark.createDataFrame([], schema=schema)
+        out_w: dict = {}
+        for s, _d, w in e:
+            out_w[s] = out_w.get(s, 0) + w
+        node_set = sorted({s for s, _, _ in e} | {d for _, d, _ in e})
+        n = len(node_set)
+        base = (scale * (damping_den - damping_num)) // (damping_den * n)
+        rank = {v: scale // n for v in node_set}
+        for _ in range(int(iterations)):
+            acc: dict = {}
+            for s, d, w in e:
+                acc[d] = acc.get(d, 0) + (rank[s] * w) // out_w[s]
+            rank = {
+                v: base + (damping_num * acc.get(v, 0)) // damping_den
+                for v in node_set
+            }
+        return spark.createDataFrame(
+            [(v, rank[v]) for v in node_set], schema=schema
+        )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
