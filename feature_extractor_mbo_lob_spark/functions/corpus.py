@@ -2342,7 +2342,10 @@ def naive_bayes_confusion(
     Scale: one token shuffle into (word, class) counts (map-side
     combinable, bounded by vocab×classes), one vocab-keyed join of test
     tokens to the model (AQE broadcasts the model side when small), one
-    groupBy(doc, class) and a classes-row-per-doc argmax window.
+    groupBy(doc, class) and a per-doc argmax as a min-struct groupBy
+    ((-score, class) ascending ≡ score desc / class asc — the identical
+    tie-break, but partial-aggregable map-side instead of a
+    shuffle+sort window over the classes-row-per-doc frame).
     Nothing is ever O(corpus²).
 
     Reference analog: corpus router/quality gates in the curation CLIs
@@ -2360,6 +2363,9 @@ def naive_bayes_confusion(
     tok = base.groupBy("_id", "_y", "_train", "w").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+    # NOTE(r6): localCheckpoint(eager=True) on tok (7 consumers) measured
+    # EQUAL warm in an 8-round alternating A/B (1.76-2.04 vs 1.79-1.91 s
+    # at sf0.1) — the exchange subtrees already reuse; left unmaterialized.
     train = tok.where("_train")
     cls = train.groupBy("_y").agg(
         F.countDistinct("_id").cast("long").alias("docs_c"),
@@ -2419,14 +2425,16 @@ def naive_bayes_confusion(
             ).alias("score"),
         )
     )
-    w_arg = Window.partitionBy("_id").orderBy(
-        F.col("score").desc(), F.col("_c").asc()
-    )
+    # argmax(score desc, _c asc) == min of the struct (-score, _c): int64
+    # negation is exact, struct comparison is field-ordered, and string
+    # min is the ascending tie-break — same winner as the row_number
+    # window, but partial-aggregable (map-side combine) with no sort.
     return (
-        scored.withColumn("rn", F.row_number().over(w_arg))
-        .where(F.col("rn") == 1)
+        scored.groupBy("_id", "_y")
+        .agg(F.min(F.struct((-F.col("score")).alias("_ns"), F.col("_c"))).alias("_m"))
         .groupBy(
-            F.col("_y").alias("label_true"), F.col("_c").alias("label_pred")
+            F.col("_y").alias("label_true"),
+            F.col("_m._c").alias("label_pred"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )

@@ -20769,7 +20769,9 @@ def q_nb_quality(spark, sf_dir):
     from ..functions.corpus import naive_bayes_confusion
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cm = naive_bayes_confusion(docs, "lang")
+    # |langs|²-bounded: materialize ONCE so the t/p/d branches don't each
+    # re-execute the full classifier lineage (r5 materialize-once pattern)
+    cm = naive_bayes_confusion(docs, "lang").localCheckpoint(eager=False)
     t = cm.groupBy(F.col("label_true").alias("cls")).agg(
         F.sum("n_docs").cast("long").alias("t_k")
     )
@@ -23033,7 +23035,9 @@ def q_bowker_symmetry(spark, sf_dir):
     from ..functions.corpus import naive_bayes_confusion
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cm = naive_bayes_confusion(docs, "lang")
+    # |langs|²-bounded: materialize ONCE so the a/b branches don't each
+    # re-execute the full classifier lineage (r5 materialize-once pattern)
+    cm = naive_bayes_confusion(docs, "lang").localCheckpoint(eager=False)
     a = cm.filter(F.col("label_true") < F.col("label_pred")).select(
         F.col("label_true").alias("i"),
         F.col("label_pred").alias("j"),
