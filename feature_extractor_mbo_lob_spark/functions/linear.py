@@ -139,7 +139,21 @@ def fit_logistic_probe(
     {"w": nano-int weights [intercept, x1, ...], "m": per-feature integer
     means, "s": per-feature integer mean-abs-deviations}. Driver-side
     state is 3 tiny int lists; per-iteration cost is ONE aggregate-only
-    Spark job (map-side combined, no shuffle)."""
+    Spark job (map-side combined, no shuffle).
+
+    The (y, x...) integer feature frame is projected, fanned out to the
+    session parallelism (a no-op at real scale) and materialized ONCE
+    before the count + 2 standardization + ``iterations`` gradient
+    actions — without this every one of those 9 actions re-executes the
+    caller's full feature lineage (for the registered probe: four
+    string-replace scans over the corpus, serialized on a single input
+    split). Every training sum is an exact decimal(38,0) integer, so
+    partitioning and materialization change nothing bit-wise."""
+    from ..operators.skew import fan_out_small_scan
+
+    df = fan_out_small_scan(
+        df.select(y_col, *x_cols)
+    ).localCheckpoint(eager=True)
     n = df.count()
     if n == 0:
         return {"w": [0] * (len(x_cols) + 1), "m": [0] * len(x_cols), "s": [1] * len(x_cols)}
